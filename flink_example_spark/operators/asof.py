@@ -1,0 +1,164 @@
+"""Event-time as-of (temporal) join — the one operator Spark SQL lacks.
+
+Reference semantics (J1/J2, App.java:200-233): for each probe row, attach the
+version of the matching key whose ``_change_time`` is the **latest at or
+before** (inclusive ``<=``) the probe's time column; LEFT ⇒ NULL-extend when
+no such version exists. Inclusivity is load-bearing: the golden output
+(App.java:80-81) requires the version produced *at* the probe instant to be
+visible (Bob@03:46 sees loss_duration 11, not 3 — SURVEY.md §0).
+
+Unlike Flink, the probe-time column is a plain parameter, so joining as-of a
+*different* time column (J2, App.java:228-233) needs none of the
+watermark-reassignment machinery (App.java:207-225).
+
+Three strategies, one API (SURVEY.md §7.3):
+
+- ``union``  (default): tag version and probe rows, union, per-key
+  cumulative ``last(value) IGNORE NULLS`` ordered by (time, tag), keep probe
+  rows. ONE shuffle + per-key sort, bounded memory per partition — the
+  100 TB-scale plan. Probes at a version's exact timestamp sort after it
+  (tag 1 > 0) ⇒ inclusive ``<=``.
+- ``rank``: equi-join on key, filter ``version_time <= probe_time``,
+  ``row_number() = 1`` per probe. Simple and exact, but materializes
+  |versions-per-key| × |probes-per-key| intermediates — fine for small/
+  broadcastable version tables, quadratic-per-key at scale.
+- ``pandas``: cogrouped ``applyInPandas`` + ``pandas.merge_asof`` —
+  per-key sorted merge in Arrow batches; needs each key group to fit in
+  memory. Kept as the escape hatch for semantics built-ins can't express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TIME, _TAG, _VAL, _PID = "__asof_t", "__asof_tag", "__asof_v", "__asof_pid"
+
+
+def _as_list(x: str | Sequence[str]) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def asof_join(
+    probes: DataFrame,
+    versions: DataFrame,
+    on: str | Sequence[str],
+    probe_time: str,
+    version_time: str = "_change_time",
+    how: str = "left",
+    strategy: str = "union",
+) -> DataFrame:
+    """As-of join ``probes`` against the version history ``versions``.
+
+    Output columns: all of ``probes``' columns, then ``versions``' value
+    columns (everything but the key and ``version_time``).
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    keys = _as_list(on)
+    if version_time in probes.columns:
+        raise ValueError(
+            f"version_time column {version_time!r} collides with a probe column; rename one"
+        )
+    vcols = [c for c in versions.columns if c not in (*keys, version_time)]
+    clash = set(vcols) & set(probes.columns)
+    if clash:
+        raise ValueError(f"value columns {sorted(clash)} collide with probe columns")
+    impl = {"union": _asof_union, "rank": _asof_rank, "pandas": _asof_pandas}.get(strategy)
+    if impl is None:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return impl(probes, versions, keys, probe_time, version_time, vcols, how)
+
+
+def _asof_union(probes, versions, keys, probe_time, version_time, vcols, how):
+    # Pack value columns into one struct so a legitimately-NULL value inside a
+    # version can't make last(..., ignorenulls) skip back to an older version.
+    pcols = probes.columns
+    v_part = versions.select(
+        *keys,
+        F.col(version_time).alias(_TIME),
+        F.lit(0).alias(_TAG),
+        F.struct(*[F.col(c) for c in vcols]).alias(_VAL),
+        *[F.lit(None).cast(probes.schema[c].dataType).alias(f"__p_{c}") for c in pcols],
+    )
+    p_part = probes.select(
+        *keys,
+        F.col(probe_time).alias(_TIME),
+        F.lit(1).alias(_TAG),
+        F.lit(None).cast(v_part.schema[_VAL].dataType).alias(_VAL),
+        *[F.col(c).alias(f"__p_{c}") for c in pcols],
+    )
+    unioned = v_part.unionByName(p_part)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TIME).asc_nulls_first(), F.col(_TAG))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn(_VAL, F.last(_VAL, ignorenulls=True).over(w))
+    out = filled.filter(F.col(_TAG) == 1)
+    if how == "inner":
+        out = out.filter(F.col(_VAL).isNotNull())
+    return out.select(
+        *[F.col(f"__p_{c}").alias(c) for c in pcols],
+        *[F.col(f"{_VAL}.{c}").alias(c) for c in vcols],
+    )
+
+
+def _asof_rank(probes, versions, keys, probe_time, version_time, vcols, how):
+    p = probes.withColumn(_PID, F.monotonically_increasing_id())
+    joined = p.join(versions, on=keys, how="inner").filter(
+        F.col(version_time) <= F.col(probe_time)
+    )
+    w = Window.partitionBy(_PID).orderBy(F.col(version_time).desc())
+    best = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(_PID, *vcols)
+    )
+    out = p.join(best, on=_PID, how=how).drop(_PID)
+    return out.select(*probes.columns, *vcols)
+
+
+def _asof_pandas(probes, versions, keys, probe_time, version_time, vcols, how):
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(
+        [probes.schema[c] for c in probes.columns]
+        + [versions.schema[c] for c in vcols]
+    )
+    pcols = probes.columns
+
+    def merge(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if left.empty:
+            return pd.DataFrame(columns=pcols + vcols)
+        left = left.sort_values(probe_time, kind="mergesort")
+        if right.empty:
+            out = left.copy()
+            for c in vcols:
+                out[c] = None
+            return out[pcols + vcols]
+        right = right.sort_values(version_time, kind="mergesort")
+        merged = pd.merge_asof(
+            left,
+            right[[version_time, *vcols]],
+            left_on=probe_time,
+            right_on=version_time,
+            direction="backward",
+            allow_exact_matches=True,  # inclusive <=
+        )
+        if how == "inner":
+            merged = merged[merged[version_time].notna()]
+        # Keep integer value columns nullable (NaN from unmatched LEFT rows
+        # would otherwise arrive as float at the Arrow boundary).
+        for c in vcols:
+            if pd.api.types.is_float_dtype(merged[c]) and not pd.api.types.is_float_dtype(
+                right[c]
+            ):
+                merged[c] = merged[c].astype("object").where(merged[c].notna(), None)
+        return merged[pcols + vcols]
+
+    grouped = probes.groupBy(*keys).cogroup(versions.groupBy(*keys))
+    return grouped.applyInPandas(merge, schema=out_schema)

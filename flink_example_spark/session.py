@@ -1,0 +1,51 @@
+"""SparkSession construction and tuning.
+
+The reference creates two environments (StreamExecutionEnvironment +
+StreamTableEnvironment, App.java:19-20); Spark has one unified session.
+
+Scale posture: AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), shuffle partitions sized for the local harness but overridable
+for cluster runs, timezone pinned UTC so TIMESTAMP columns behave like the
+reference's timezone-less TIMESTAMP(3) (App.java:117).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to *any* session (including the driver's).
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # local[32] harness default; a real cluster job would size this to
+    # ~2-3x total cores and let AQE coalesce.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-provided or ours)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a running session — keep going
+    return spark
+
+
+def get_spark(app_name: str = "flink-example-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

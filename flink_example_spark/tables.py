@@ -1,0 +1,85 @@
+"""Data model: EventTable and table loading.
+
+Reference mapping (SURVEY.md §1): a Flink "event table" is a row stream with a
+declared schema, an event-time column, and a watermark (App.java:116-122).
+In Spark the DataFrame *is* the table and the stream; :class:`EventTable`
+just carries the event-time (and optional key) metadata alongside it.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@dataclass(frozen=True)
+class EventTable:
+    """A DataFrame tagged with event-time (and optionally key) columns.
+
+    Mirrors the reference's view registration carrying watermark + primary-key
+    metadata (``createTemporaryView`` with ``Schema.newBuilder`` watermark /
+    primaryKey, App.java:99-122, 166-172). ``watermark_delay`` maps the
+    reference's zero-lateness ``watermark("ts", "ts")`` (App.java:121).
+    """
+
+    df: DataFrame
+    time_col: str
+    key_col: str | None = None
+    watermark_delay: str = "0 seconds"
+    name: str | None = None
+
+    def with_time(self, time_col: str) -> "EventTable":
+        """Event-time reassignment — replaces App.java:216-225's bridge dance."""
+        return replace(self, time_col=time_col)
+
+    def register(self, name: str | None = None) -> "EventTable":
+        n = name or self.name
+        if not n:
+            raise ValueError("EventTable.register needs a name")
+        self.df.createOrReplaceTempView(n)
+        return replace(self, name=n)
+
+    def with_watermark(self) -> DataFrame:
+        """Streaming view: declare the watermark (T1, App.java:121)."""
+        return self.df.withWatermark(self.time_col, self.watermark_delay)
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    names: tuple[str, ...] = TABLE_NAMES,
+    register: bool = True,
+) -> dict[str, DataFrame]:
+    """Load the harness parquet tables and (optionally) register temp views.
+
+    Parquet scans get predicate pushdown / column pruning from Catalyst for
+    free — callers should select/filter on the returned DataFrames and let
+    the optimizer prune the scan.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
