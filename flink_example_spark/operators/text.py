@@ -1,0 +1,167 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is JVM-side Catalyst expressions (split/regexp/array
+functions) — no Python UDFs — so the same pipeline runs unchanged on a
+1000-executor cluster with whole-stage codegen. Each operator has a DuckDB
+oracle template (TEXT_ORACLES) built from the *same* definition so the
+driver's t2 gate hash-matches.
+
+Operators:
+- token_count        whitespace tokenization count
+- fingerprint        document fingerprint: md5 over normalized text
+- lang_id            stopword-overlap language heuristic
+- quality_score      length/alpha-ratio/stopword-ratio composite
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny function-word lists for the lang-id heuristic. The heuristic is the
+# operator; the lists are deliberately small and fixed so Spark and the SQL
+# oracle share one definition.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "du", "que"],
+    "es": ["el", "los", "las", "y", "es", "en", "una", "por", "con", "para"],
+}
+LANG_PRIORITY = ["en", "de", "fr", "es"]  # deterministic tie-break order
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    return (
+        F.when(F.length(F.trim(text)) == 0, F.lit(0))
+        .otherwise(F.size(tokens(text)))
+        .cast("int")
+    )
+
+
+def normalized(text: Column) -> Column:
+    """Normalization for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalized(text))
+
+
+def _stopword_hits(text: Column, lang: str) -> Column:
+    """Distinct stopwords of ``lang`` present in the text."""
+    return F.size(F.array_intersect(tokens(text), F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of stopword overlap across languages, ties broken by
+    LANG_PRIORITY order; 'und' (undetermined) when no stopword hits."""
+    scores = {lang: _stopword_hits(text, lang) for lang in LANG_PRIORITY}
+    expr = F.lit("und")
+    # Build the CASE chain back-to-front so earlier languages win ties.
+    for lang in reversed(LANG_PRIORITY):
+        later = [scores[o] for o in LANG_PRIORITY[LANG_PRIORITY.index(lang) + 1 :]]
+        cond = (scores[lang] > 0) & (
+            scores[lang] >= F.greatest(*later) if later else scores[lang] > 0
+        )
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def alpha_ratio(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("double") / F.greatest(
+        F.length(text), F.lit(1)
+    ).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: token-count saturation, alphabetic
+    ratio, english-stopword ratio. All double arithmetic — deterministic."""
+    nt = token_count(text).cast("double")
+    stop_ratio = _stopword_hits(text, "en").cast("double") / F.greatest(nt, F.lit(1.0))
+    return (
+        F.least(nt / F.lit(100.0), F.lit(1.0)) * 0.4
+        + alpha_ratio(text) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.2
+    )
+
+
+def text_features(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """All text-analysis columns at once over a documents table."""
+    t = F.col(text_col)
+    return documents.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        fingerprint(t).alias("fingerprint"),
+        lang_id(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+    )
+
+
+# --- DuckDB oracle templates (same definitions, SQL dialect) ----------------
+
+_DUCK_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _duck_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_distinct(list_intersect({_DUCK_TOKENS}, [{words}])))"
+
+
+def _duck_lang_case() -> str:
+    exprs = []
+    for i, lang in enumerate(LANG_PRIORITY):
+        later = LANG_PRIORITY[i + 1 :]
+        if later:
+            cond = f"s_{lang} > 0 AND s_{lang} >= greatest({', '.join('s_' + o for o in later)})"
+        else:
+            cond = f"s_{lang} > 0"
+        exprs.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(exprs) + " ELSE 'und' END"
+
+
+_DUCK_NTOK = (
+    f"CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({_DUCK_TOKENS}) END AS INTEGER)"
+)
+_DUCK_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+_DUCK_ALPHA = (
+    "CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
+    " / CAST(greatest(len(text), 1) AS DOUBLE)"
+)
+
+TEXT_ORACLES = {
+    "text_token_count": f"SELECT doc_id, {_DUCK_NTOK} AS n_tokens FROM documents",
+    "text_fingerprint": f"SELECT doc_id, md5({_DUCK_NORM}) AS fingerprint FROM documents",
+    "text_lang_id": f"""
+        SELECT doc_id, {_duck_lang_case()} AS lang_pred FROM (
+          SELECT doc_id,
+                 {_duck_hits('en')} AS s_en, {_duck_hits('de')} AS s_de,
+                 {_duck_hits('fr')} AS s_fr, {_duck_hits('es')} AS s_es
+          FROM documents
+        )
+    """,
+    "text_quality_score": f"""
+        SELECT doc_id,
+               least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+               + alpha * 0.4
+               + least((CAST(s_en AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 5.0, 1.0) * 0.2
+               AS quality
+        FROM (
+          SELECT doc_id, {_DUCK_NTOK} AS n_tokens, {_DUCK_ALPHA} AS alpha,
+                 {_duck_hits('en')} AS s_en
+          FROM documents
+        )
+    """,
+}

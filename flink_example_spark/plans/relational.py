@@ -1,0 +1,211 @@
+"""Relational operator coverage on the TPC-H-ish harness tables.
+
+SURVEY.md §2.6 notes the reference uses no sorts/limits/set-ops — they are
+"Spark built-ins... listed so the inventory is complete". This module makes
+that coverage concrete and oracle-checked: aggregations, multi-way joins,
+sort/limit, UNION/INTERSECT/EXCEPT, ranking/analytic windows, ROLLUP,
+semi/anti joins, correlated subqueries, scalar functions.
+
+Engine-determinism rules (so Spark and the DuckDB oracle hash-match exactly):
+
+- Never SUM doubles — summation order differs across engines/partitions.
+  Cast to DECIMAL first (exact, associative); fixed output scale via CAST.
+- Averages as CAST(SUM(decimal) AS DOUBLE)/COUNT(*) — one IEEE divide,
+  bit-identical in both engines.
+- Every ORDER BY under a LIMIT carries a unique tiebreaker column.
+- Each query template is shared between Spark and DuckDB with dialect
+  placeholders ({TS} timestamp literal prefix, {STR} string type).
+
+Most queries run through ``spark.sql`` — the idiomatic path: Catalyst plans
+them (broadcast joins for the small dims, partial aggregation, pushdown).
+A few use the DataFrame API to exercise that surface too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_example_spark.tables import load_tables
+
+# revenue = extendedprice * (1 - discount): exact decimal accumulation,
+# DOUBLE at the output boundary (identical representation in both engines).
+_REV = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+)
+
+TEMPLATES: dict[str, str] = {
+    # A1/A2-class grouped aggregation with filter pushdown (TPC-H Q1 shape).
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               {_REV} AS sum_disc_price,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) *
+                        (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= {{TS}} '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    # 3-way join + group + top-k (TPC-H Q3 shape; o_orderpriority stands in
+    # for the missing o_shippriority column).
+    "q3_shipping_priority": f"""
+        SELECT l_orderkey, {_REV} AS revenue, o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < {{TS}} '1998-01-01 00:00:00'
+          AND l_shipdate > {{TS}} '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    # 6-way join through the dimension chain (TPC-H Q5 shape).
+    "q5_local_supplier_volume": f"""
+        SELECT n_name, {_REV} AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= {{TS}} '1996-01-01 00:00:00'
+          AND o_orderdate < {{TS}} '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    # Pure filter + aggregate (TPC-H Q6 shape) — tests predicate pushdown.
+    "q6_forecast_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= {TS} '1996-01-01 00:00:00'
+          AND l_shipdate < {TS} '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.06
+          AND l_quantity < 24
+    """,
+    # Global sort + limit with unique tiebreaker (§2.6 ORDER BY/LIMIT).
+    "top_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    # Set operations (§2.6): UNION (distinct), INTERSECT, EXCEPT.
+    "set_union": """
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+    "set_intersect": """
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        INTERSECT
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "set_except": """
+        SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders
+    """,
+    # Ranking + analytic window functions (W-class beyond W1).
+    "ranking_windows": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER w AS rn,
+               RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS pri_rank,
+               DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS st_rank,
+               LAG(o_orderkey) OVER w AS prev_orderkey,
+               LEAD(o_orderkey) OVER w AS next_orderkey
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    # ROLLUP grouping sets (§2.3 extension).
+    "rollup_revenue": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    # Correlated scalar comparison via explicit per-key aggregate join —
+    # orders 1.5x above their customer's mean order value.
+    "orders_above_customer_avg": """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        JOIN (
+            SELECT o_custkey AS ck,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                        / COUNT(*) AS DOUBLE) AS avg_price
+            FROM orders GROUP BY o_custkey
+        ) a ON o.o_custkey = a.ck
+        WHERE o.o_totalprice > 1.5 * a.avg_price
+    """,
+    # Scalar expression breadth (P1/F-class): string/date/case/null functions.
+    "scalar_functions": """
+        SELECT o_orderkey,
+               UPPER(o_orderpriority) AS pri_upper,
+               SUBSTR(o_orderpriority, 1, 1) AS pri_code,
+               CONCAT(CAST(o_orderkey AS {STR}), '-', o_orderstatus) AS tag,
+               CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+               CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
+               DATE_TRUNC('month', o_orderdate) AS month_start,
+               CASE WHEN o_totalprice > 100000 THEN 'big'
+                    WHEN o_totalprice > 10000 THEN 'mid'
+                    ELSE 'small' END AS bucket,
+               COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open
+        FROM orders
+    """,
+}
+
+
+def render(name: str, dialect: str) -> str:
+    return TEMPLATES[name].format(
+        TS="TIMESTAMP_NTZ" if dialect == "spark" else "TIMESTAMP",
+        STR="STRING" if dialect == "spark" else "VARCHAR",
+    )
+
+
+def run_sql(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(render(name, "spark"))
+
+
+# --- DataFrame-API variants (exercise the non-SQL surface) ------------------
+
+
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one URGENT order — left_semi join."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, t["customer"].c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — left_anti join (NOT EXISTS)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+DF_ORACLES = {
+    "semi_join_customers": (
+        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c.c_custkey "
+        "AND o_orderpriority = '1-URGENT')"
+    ),
+    "anti_join_customers": (
+        "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)"
+    ),
+}

@@ -18,6 +18,9 @@ from pyspark.sql import SparkSession
 # Runtime-settable confs applied to *any* session (including the driver's).
 RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
+    # Harness parquet stores TIMESTAMP(NANOS); Spark lacks a ns timestamp
+    # type, so read as long and convert in tables.load_tables.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

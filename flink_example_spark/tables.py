@@ -28,6 +28,17 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Harness parquet writes timestamps as INT64 TIMESTAMP(NANOS), which Spark
+# reads (under spark.sql.legacy.parquet.nanosAsLong) as plain longs. These
+# columns are converted to TIMESTAMP_NTZ at load. Integer `div` (not `/`)
+# keeps full precision: int64 ns exceeds double's 53-bit mantissa. Flooring
+# ns→µs matches DuckDB's own TIMESTAMP_NS→TIMESTAMP cast, so oracles agree.
+TIMESTAMP_NS_COLUMNS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
 
 @dataclass(frozen=True)
 class EventTable:
@@ -75,11 +86,30 @@ def load_tables(
     """
     out: dict[str, DataFrame] = {}
     for name in names:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if not os.path.exists(path):
+        df = load_table(spark, sf_dir, name)
+        if df is None:
             continue
-        df = spark.read.parquet(path)
         if register:
             df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
+    """Load one harness table, converting ns-long timestamp columns."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.session import tune
+
+    tune(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        return None
+    df = spark.read.parquet(path)
+    for col in TIMESTAMP_NS_COLUMNS.get(name, ()):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
+            )
+    return df

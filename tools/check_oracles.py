@@ -1,0 +1,132 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then compares
+row count, column names, and an order-insensitive value hash. The driver's
+exact hash is unknown; this uses a strict stringified comparison — if this
+passes, any reasonable normalization matches.
+
+Usage: python tools/check_oracles.py [--sf /root/testdata/sf0.01] [--only q1,q2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(df):
+    """pandas frame → sorted list of stringified rows (order-insensitive)."""
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    df = df[sorted(df.columns)]
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and np.isnan(v)) or v is pd.NaT:
+            return "NULL"
+        if isinstance(v, (np.floating, float)):
+            return repr(float(v))
+        if isinstance(v, (np.integer, int)):
+            return str(int(v))
+        if isinstance(v, decimal.Decimal):
+            return str(v)
+        if isinstance(v, pd.Timestamp):
+            return v.isoformat()
+        if isinstance(v, (list, np.ndarray)):
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        return str(v)
+
+    rows = sorted("|".join(cell(v) for v in row) for row in df.itertuples(index=False))
+    return rows
+
+
+def value_hash(rows: list[str]) -> str:
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(r.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from flink_example_spark.session import get_spark
+
+    spark = get_spark("check-oracles")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{args.sf}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        spark_s = time.time() - t0
+        osql = oracles.get(name)
+        if osql is None:
+            print(f"rows-only  {name}: {len(sdf)} rows  ({spark_s:.1f}s)")
+            continue
+        try:
+            odf = con.execute(osql).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rowcount spark={len(sdf)} duck={len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols spark={sorted(sdf.columns)} duck={sorted(odf.columns)}")
+        if not problems:
+            srows, orows = normalize(sdf), normalize(odf)
+            if value_hash(srows) != value_hash(orows):
+                diff = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+                problems.append(f"valuehash mismatch; first diffs: {diff}")
+        if problems:
+            failures += 1
+            print(f"\nFAIL  {name}: {'; '.join(problems)}", flush=True)
+        else:
+            print(
+                f"\nOK    {name}: {len(sdf)} rows, hash={value_hash(normalize(sdf))}  ({spark_s:.1f}s)",
+                flush=True,
+            )
+    missing = set(oracles) - set(qs)
+    if missing:
+        print(f"WARN: oracle_sql keys with no queries() entry: {sorted(missing)}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
