@@ -93,6 +93,157 @@ def _relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
     return out
 
 
+# --- north-star data-pipeline operators (SURVEY.md §2.9) ---------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.tables import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators import dedup, multimodal, similarity, text
+
+    def text_q(col_fn, out_name):
+        def fn(spark, sf_dir):
+            d = _docs(spark, sf_dir)
+            return d.select("doc_id", col_fn(F.col("text")).alias(out_name))
+
+        return fn
+
+    def ann_topk(spark, sf_dir):
+        e = _embs(spark, sf_dir)
+        return similarity.cosine_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+
+    def ann_lsh_topk(spark, sf_dir):
+        e = _embs(spark, sf_dir)
+        return similarity.lsh_cosine_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+
+    def emb_pairs(spark, sf_dir):
+        return similarity.cosine_pairs(_embs(spark, sf_dir), threshold=0.4)
+
+    def mm_stats(spark, sf_dir):
+        return multimodal.media_stats(
+            multimodal.documents_as_media(_docs(spark, sf_dir))
+        ).withColumn("total_bytes", F.col("total_bytes").cast("long"))
+
+    def mm_decode(spark, sf_dir):
+        media = multimodal.documents_as_media(_docs(spark, sf_dir))
+        feats = multimodal.decode_media(media, dim=16, fake=True)
+        return feats.select("media_id", "media_type", "meta_n_bytes", F.size("feature").alias("dim"))
+
+    return {
+        "text_token_count": text_q(text.token_count, "n_tokens"),
+        "text_fingerprint": text_q(text.fingerprint, "fingerprint"),
+        "text_lang_id": text_q(text.lang_id, "lang_pred"),
+        "text_quality_score": text_q(text.quality_score, "quality"),
+        "dedup_exact": lambda spark, sf_dir: dedup.exact_dedup(_docs(spark, sf_dir)),
+        "dedup_ngram_jaccard": lambda spark, sf_dir: dedup.ngram_jaccard_pairs(
+            _docs(spark, sf_dir), threshold=0.8
+        ),
+        "dedup_minhash_lsh": lambda spark, sf_dir: dedup.minhash_lsh_pairs(
+            _docs(spark, sf_dir), threshold=0.8
+        ),
+        "dedup_simhash": lambda spark, sf_dir: dedup.simhash_pairs(
+            _docs(spark, sf_dir), max_hamming=3
+        ),
+        "ann_cosine_topk": ann_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "embedding_near_dup": emb_pairs,
+        "multimodal_stats": mm_stats,
+        "multimodal_decode": mm_decode,
+    }
+
+
+_DUCK_COS = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+# char-5-gram shingle set / word-3-gram set in DuckDB (mirrors operators.dedup)
+_DUCK_SHINGLES = (
+    "list_distinct([substr(lower(text), i, 5) FOR i IN range(1, len(text) - 3)])"
+)
+_DUCK_3GRAMS = (
+    "list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])"
+)
+
+
+def _northstar_oracles() -> dict[str, str]:
+    from flink_example_spark.operators.text import TEXT_ORACLES
+
+    out = dict(TEXT_ORACLES)
+    out["dedup_exact"] = (
+        "SELECT MIN(doc_id) AS doc_id, md5(text) AS content_md5, COUNT(*) AS n_copies "
+        "FROM documents GROUP BY md5(text)"
+    )
+    out["dedup_ngram_jaccard"] = f"""
+        WITH ng AS (
+          SELECT doc_id, lang, {_DUCK_3GRAMS} AS g
+          FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents)
+          WHERE len(w) >= 3
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jaccard
+        FROM ng a JOIN ng b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.8
+    """
+    # Brute-force oracle for the LSH path: valid because recall at the
+    # observed duplicate structure (j>=0.98 vs next 0.30) is ~1 - 1e-22.
+    out["dedup_minhash_lsh"] = f"""
+        WITH sh AS (
+          SELECT doc_id, {_DUCK_SHINGLES} AS g FROM documents WHERE len(text) >= 5
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.8
+    """
+    out["ann_cosine_topk"] = f"""
+        WITH scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_DUCK_COS} AS cos
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id < 8 AND a.vec_id != b.vec_id
+        )
+        SELECT query_id, neighbor_id, rank, cos FROM (
+          SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """
+    out["embedding_near_dup"] = f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_DUCK_COS} AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_DUCK_COS} >= 0.4
+    """
+    out["multimodal_stats"] = """
+        SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+               COUNT(*) AS n_items,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               MAX(octet_length(encode(text))) AS max_bytes
+        FROM documents GROUP BY 1
+    """
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "features_agg": _q_features_agg,
@@ -103,7 +254,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_examples": _q_training_examples,
     }
     q.update(_relational_queries())
+    q.update(_northstar_queries())
+    q.update(_streaming_queries())
     return q
+
+
+def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Structured Streaming parity entries: availableNow micro-batch runs that
+    converge to the batch results, so they share the batch oracles."""
+    from flink_example_spark.streaming.pipeline import (
+        run_streaming_features,
+        run_streaming_training_examples,
+    )
+
+    return {
+        "streaming_features_agg": run_streaming_features,
+        "streaming_training_examples": run_streaming_training_examples,
+    }
 
 
 _FH_SQL = """
@@ -138,6 +305,14 @@ def oracle_sql() -> dict[str, str]:
     out = {name: relational.render(name, "duck") for name in relational.TEMPLATES}
     out.update(relational.DF_ORACLES)
     out.update(_core_oracles())
+    out.update(_northstar_oracles())
+    # Streaming runs converge to the batch results → same oracles.
+    out["streaming_features_agg"] = out["features_agg"]
+    out["streaming_training_examples"] = out["training_examples"]
+    # "dedup_simhash", "ann_lsh_topk", "multimodal_decode" are deliberately
+    # absent: simhash needs xxhash64 (no DuckDB equivalent), LSH top-k is
+    # approximate by construction, decode plumbing has no SQL equivalent —
+    # the driver records rows-only checks for them.
     return out
 
 

@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is timed over a full consume of its result via the noop sink
+(executes everything, materializes nothing to the driver). A small warmup
+query runs first so JVM/codegen startup isn't billed to the first query.
+
+Excluded from the headline set: dedup_ngram_jaccard (the deliberate
+brute-force O(block²) baseline — its LSH replacement dedup_minhash_lsh is
+the scale path and IS benched).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "training_examples",
+    "feature_history",
+    "examples_window",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "top_orders",
+    "ranking_windows",
+    "orders_above_customer_avg",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_fingerprint",
+    "text_quality_score",
+    "ann_cosine_topk",
+    "multimodal_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entrymod
+    from flink_example_spark.session import get_spark
+
+    spark = get_spark("flink-example-spark-bench")
+    qs = entrymod.queries()
+
+    # warmup: JVM, codegen, parquet footer reads
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    qs["target_agg"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -136,6 +136,8 @@ def _asof_pandas(probes, versions, keys, probe_time, version_time, vcols, how):
             return pd.DataFrame(columns=pcols + vcols)
         left = left.sort_values(probe_time, kind="mergesort")
         if right.empty:
+            if how == "inner":
+                return pd.DataFrame(columns=pcols + vcols)
             out = left.copy()
             for c in vcols:
                 out[c] = None

@@ -1,0 +1,185 @@
+"""Embedding similarity search (approximate-nearest-neighbor).
+
+- cosine_topk       exact brute-force top-k: broadcast the (small) query set
+                    against the corpus; JVM-side zip_with/aggregate dot
+                    products inside whole-stage codegen; per-query top-k via
+                    window. The correctness baseline.
+- lsh_cosine_topk   random-hyperplane LSH bucketing: corpus shuffles once on
+                    a sign-bit bucket, probes search only matching buckets —
+                    the 100 TB scale path (bucket count grows with corpus;
+                    recall tunable via hyperplane count / multi-probe).
+- cosine_pairs      near-duplicate pairs by cosine >= threshold within blocks.
+
+All dot products fold left-to-right over DOUBLE — deterministic and
+bit-identical to the DuckDB oracle's list_dot_product/list_cosine_similarity
+(verified empirically in tests).
+
+Hyperplanes are derived from xxhash64(seed, dim) — deterministic across the
+cluster, no driver-side RNG state to ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_vec(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic summation order."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    v = as_double_vec(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        v.alias(f"{prefix}_vec"),
+        l2_norm(v).alias(f"{prefix}_norm"),
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    The query side is broadcast (ANN query batches are small relative to the
+    corpus); the corpus streams through in place — no corpus shuffle at all.
+    Output: (query_id, neighbor_id, rank, cos).
+    """
+    c = _prep(corpus, id_col, vec_col, "n")
+    q = _prep(queries, id_col, vec_col, "q")
+    joined = c.join(F.broadcast(q), F.lit(True))
+    if not include_self:
+        joined = joined.filter(F.col("q_id") != F.col("n_id"))
+    scored = joined.select(
+        "q_id",
+        "n_id",
+        (dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("neighbor_id"),
+            F.col("rank"),
+            F.col("cos"),
+        )
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a hash — reproducible on
+    any executor without shipping RNG state. Components in [-0.5, 0.5)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int.from_bytes(
+                hashlib.sha256(f"{seed}:{p}:{d}".encode()).digest()[:8], "big"
+            )
+            row.append((h % 10_000) / 10_000.0 - 0.5)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit p = 1 iff dot(vec, plane_p) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(x) for x in plane]))
+        bucket = bucket + F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+    return bucket
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket are
+    scored. Equi-join on bucket → one corpus shuffle, no cross product.
+    Recall < 1 by construction (rows-only check; cosine_topk is the oracle-
+    checked exact baseline)."""
+    planes = hyperplanes(dim, n_planes)
+    c = _prep(corpus, id_col, vec_col, "n").withColumn(
+        "bucket", lsh_bucket(F.col("n_vec"), planes)
+    )
+    q = _prep(queries, id_col, vec_col, "q").withColumn(
+        "bucket", lsh_bucket(F.col("q_vec"), planes)
+    )
+    joined = c.join(F.broadcast(q), "bucket").filter(F.col("q_id") != F.col("n_id"))
+    scored = joined.select(
+        "q_id",
+        "n_id",
+        (dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("neighbor_id"),
+            F.col("rank"),
+            F.col("cos"),
+        )
+    )
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    block_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold, brute force
+    within blocks (use LSH buckets as blocks at scale)."""
+    p = _prep(embeddings, id_col, vec_col, "n")
+    if block_col:
+        p = p.join(
+            embeddings.select(F.col(id_col).alias("n_id"), F.col(block_col).alias("__blk")),
+            "n_id",
+        )
+    a, b = p.alias("a"), p.alias("b")
+    cond = F.col("a.n_id") < F.col("b.n_id")
+    if block_col:
+        cond = cond & (F.col("a.__blk") == F.col("b.__blk"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.n_id").alias("vec_a"),
+            F.col("b.n_id").alias("vec_b"),
+            (
+                dot(F.col("a.n_vec"), F.col("b.n_vec"))
+                / (F.col("a.n_norm") * F.col("b.n_norm"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

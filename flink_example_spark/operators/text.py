@@ -70,9 +70,11 @@ def lang_id(text: Column) -> Column:
     # Build the CASE chain back-to-front so earlier languages win ties.
     for lang in reversed(LANG_PRIORITY):
         later = [scores[o] for o in LANG_PRIORITY[LANG_PRIORITY.index(lang) + 1 :]]
-        cond = (scores[lang] > 0) & (
-            scores[lang] >= F.greatest(*later) if later else scores[lang] > 0
-        )
+        cond = scores[lang] > 0
+        if len(later) == 1:
+            cond = cond & (scores[lang] >= later[0])
+        elif later:
+            cond = cond & (scores[lang] >= F.greatest(*later))
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return expr
 

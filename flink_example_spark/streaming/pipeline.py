@@ -1,0 +1,147 @@
+"""Structured Streaming parity (SURVEY.md §2.7, build plan Phase 3).
+
+Reference mapping:
+- T1 zero-delay watermark (App.java:121,139)  → ``withWatermark(ts, "0 seconds")``
+- A1/A2 update-mode aggregates (App.java:47,52) → streaming groupBy + update/
+  complete output; the state store holds per-key running aggregates (what
+  Flink emits as a changelog)
+- T3/T4 changelog→versioned table (AddWatermark.java) → unnecessary: version
+  history is computed directly from event time (SURVEY.md §7.1); the
+  streaming as-of join consumes micro-batches via foreachBatch
+- J1/J2 temporal join → ``streaming_asof_join``: each probe micro-batch is
+  as-of joined against the version history (stream-static); exact same
+  operator as batch, so streaming results converge to the batch result.
+
+All sources here are file streams over the harness parquet (maxFilesPerTrigger
+simulates arrival); production would swap in Kafka/Kinesis sources — the
+transformations are source-agnostic DataFrame code.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_example_spark.operators.asof import asof_join
+from flink_example_spark.session import tune
+
+
+def _staged_dir(src_file: str) -> str:
+    """File-stream sources need a *directory*; stage the (read-only) harness
+    parquet file into a temp dir via symlink."""
+    import os
+
+    d = f"/tmp/stream_src_{uuid.uuid4().hex[:8]}"
+    os.makedirs(d, exist_ok=True)
+    os.symlink(src_file, os.path.join(d, os.path.basename(src_file)))
+    return d
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source event stream with the reference's zero-delay watermark."""
+    tune(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staged_dir(f"{sf_dir}/events.parquet"))
+    )
+    return stream.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ).withWatermark("ts", "0 seconds")
+
+
+def run_streaming_features(
+    spark: SparkSession, sf_dir: str, loss_type: str = "error"
+) -> DataFrame:
+    """Streaming A1: continuously-updating per-user loss aggregate, complete
+    output mode into an in-memory table; returns the converged result.
+
+    This is the reference's Features query (App.java:47) as a live stream —
+    the state store plays the role of Flink's aggregate state, the memory
+    sink the role of the changelog consumer.
+    """
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.filter(F.col("event_type") == loss_type)
+        .groupBy(F.col("user_id").alias("_entity"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("loss_value"))
+    )
+    name = f"stream_features_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_asof_join(
+    spark: SparkSession,
+    probe_stream: DataFrame,
+    versions: DataFrame,
+    on: str,
+    probe_time: str,
+    sink_table: str | None = None,
+) -> DataFrame:
+    """Temporal join of a probe stream against a version history (J1/J2,
+    App.java:200-233) via foreachBatch: every micro-batch of probes is as-of
+    joined with the SAME operator as batch, appended to an in-memory sink.
+
+    Because the as-of result for a probe row never changes once emitted (the
+    no-temporal-leakage property, App.java:29-33), per-micro-batch evaluation
+    is exact — no retraction handling is needed, which is precisely why the
+    version-history formulation beats changelog replay.
+    """
+    name = sink_table or f"stream_asof_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        out = asof_join(batch, versions, on=on, probe_time=probe_time, strategy="union")
+        out.write.mode("append").saveAsTable(name)
+
+    q = probe_stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_streaming_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full streaming pipeline: streamed examples as-of joined against the
+    feature/target version histories; converges to the batch flagship query."""
+    from flink_example_spark.plans.events_demo import (
+        examples,
+        feature_history,
+        load_events,
+        target_history,
+    )
+
+    ev_batch = load_events(spark, sf_dir)
+    fh, th = feature_history(ev_batch), target_history(ev_batch)
+
+    # The examples relation needs a per-key ordered window (W1), which batch
+    # computes; stream the *examples* (prediction points) instead — in a live
+    # deployment this is the upstream model-serving event stream.
+    ex_batch = examples(ev_batch)
+    tmpdir = f"/tmp/stream_examples_{uuid.uuid4().hex[:8]}"
+    ex_batch.repartition(8).write.mode("overwrite").parquet(tmpdir)
+    ex_stream = (
+        spark.readStream.schema(ex_batch.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(tmpdir)
+    )
+    sink = f"stream_training_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {sink}")
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        step1 = asof_join(batch, fh, on="_entity", probe_time="_prediction_time")
+        step2 = asof_join(step1, th, on="_entity", probe_time="_label_time")
+        step2.write.mode("append").saveAsTable(sink)
+
+    q = ex_stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.table(sink)

@@ -1,0 +1,123 @@
+"""Property tests for the as-of join (SURVEY.md §5).
+
+Invariants from the reference's core thesis (App.java:22-35):
+- point-in-time correctness: result for (key, t) = latest version <= t
+- no temporal leakage: versions arriving after t never change the row at t
+- inclusive boundary: a version AT the probe instant is visible
+- LEFT null-extension when no version <= t exists
+All three strategies must agree with a pure-Python reference model.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from flink_example_spark.operators.asof import asof_join
+
+BASE = datetime(2024, 1, 1)
+
+VERSION_SCHEMA = StructType(
+    [
+        StructField("k", StringType(), False),
+        StructField("_change_time", TimestampNTZType(), False),
+        StructField("v", LongType(), True),
+    ]
+)
+PROBE_SCHEMA = StructType(
+    [
+        StructField("k", StringType(), False),
+        StructField("pid", IntegerType(), False),
+        StructField("t", TimestampNTZType(), False),
+    ]
+)
+
+
+def gen(seed: int, n_keys=4, n_versions=60, n_probes=40):
+    rng = random.Random(seed)
+    keys = [f"k{i}" for i in range(n_keys)]
+    seen = set()
+    versions = []
+    while len(versions) < n_versions:
+        k, m = rng.choice(keys), rng.randrange(0, 500)
+        if (k, m) in seen:
+            continue
+        seen.add((k, m))
+        versions.append((k, BASE + timedelta(minutes=m), rng.randrange(0, 1000)))
+    probes = [
+        (rng.choice(keys), i, BASE + timedelta(minutes=rng.randrange(0, 500)))
+        for i in range(n_probes)
+    ]
+    return versions, probes
+
+
+def model(versions, probes):
+    """Pure-Python as-of reference: latest version at-or-before probe time."""
+    out = {}
+    for k, pid, t in probes:
+        best = None
+        for vk, vt, vv in versions:
+            if vk == k and vt <= t and (best is None or vt > best[0]):
+                best = (vt, vv)
+        out[pid] = best[1] if best else None
+    return out
+
+
+@pytest.mark.parametrize("strategy", ["union", "rank", "pandas"])
+@pytest.mark.parametrize("seed", [1, 2])
+def test_asof_matches_model(spark, strategy, seed):
+    versions, probes = gen(seed)
+    vdf = spark.createDataFrame(versions, VERSION_SCHEMA)
+    pdf = spark.createDataFrame(probes, PROBE_SCHEMA)
+    got = {
+        r["pid"]: r["v"]
+        for r in asof_join(pdf, vdf, on="k", probe_time="t", strategy=strategy).collect()
+    }
+    assert got == model(versions, probes)
+
+
+@pytest.mark.parametrize("strategy", ["union", "rank"])
+def test_no_temporal_leakage(spark, strategy):
+    """Appending versions later than every probe must not change any result."""
+    versions, probes = gen(7)
+    max_t = max(t for _, _, t in probes)
+    future = [(k, max_t + timedelta(minutes=i + 1), 999_999) for i, k in enumerate("k0 k1 k2 k3".split())]
+    vdf = spark.createDataFrame(versions, VERSION_SCHEMA)
+    vdf2 = spark.createDataFrame(versions + future, VERSION_SCHEMA)
+    pdf = spark.createDataFrame(probes, PROBE_SCHEMA)
+    before = sorted(
+        asof_join(pdf, vdf, on="k", probe_time="t", strategy=strategy).collect(),
+        key=lambda r: r["pid"],
+    )
+    after = sorted(
+        asof_join(pdf, vdf2, on="k", probe_time="t", strategy=strategy).collect(),
+        key=lambda r: r["pid"],
+    )
+    assert before == after
+
+
+@pytest.mark.parametrize("strategy", ["union", "rank", "pandas"])
+def test_inclusive_boundary_and_null_extension(spark, strategy):
+    t0 = BASE
+    vdf = spark.createDataFrame([("a", t0, 42)], VERSION_SCHEMA)
+    pdf = spark.createDataFrame(
+        [("a", 1, t0), ("a", 2, t0 - timedelta(seconds=1)), ("b", 3, t0)], PROBE_SCHEMA
+    )
+    got = {
+        r["pid"]: r["v"]
+        for r in asof_join(pdf, vdf, on="k", probe_time="t", strategy=strategy).collect()
+    }
+    # probe at exactly the version instant sees it (inclusive <=)
+    assert got == {1: 42, 2: None, 3: None}
+    inner = asof_join(pdf, vdf, on="k", probe_time="t", how="inner", strategy=strategy)
+    assert {r["pid"] for r in inner.collect()} == {1}

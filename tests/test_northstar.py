@@ -1,0 +1,148 @@
+"""Tests for the training-data-pipeline operators (SURVEY.md §2.9):
+dedup families, similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_example_spark.operators import dedup, multimodal, similarity, text
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again", "en"),
+    (1, "the quick brown fox jumps over the lazy dog again and again!", "en"),  # near-dup of 0
+    (2, "completely different content about spark query engines", "en"),
+    (3, "the quick brown fox jumps over the lazy dog again and again", "en"),  # exact dup of 0
+    (4, "der schnelle braune fuchs springt und springt", "de"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["doc_id"]: r["n_copies"] for r in dedup.exact_dedup(docs).collect()}
+    assert out[0] == 2  # doc 3 collapsed into doc 0 (min id kept)
+    assert 3 not in out
+    assert out[1] == 1 and out[2] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0
+    assert (0, 2) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs
+    assert all(j >= 0.5 for j in pairs.values())
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dedup.simhash_pairs(docs).collect()}
+    assert pairs[(0, 3)] == 0  # identical text → identical simhash
+    assert all(h <= 3 for h in pairs.values())
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),
+    (2, [0.0, 1.0, 0.0]),
+    (3, [0.0, 0.0, 1.0]),
+    (4, [0.7, 0.7, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in VECS], "vec_id long, embedding array<float>"
+    )
+
+
+def np_topk(qid, k=3):
+    qv = dict(VECS)[qid]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    scored = sorted(
+        ((cos(qv, v), i) for i, v in VECS if i != qid), key=lambda t: (-t[0], t[1])
+    )
+    return [i for _, i in scored[:k]]
+
+
+def test_cosine_topk_exact(spark, vecs):
+    out = similarity.cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=3)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == np_topk(0)
+    # rel=1e-6: embeddings are stored float32, so values are quantized
+    assert rows[0]["cos"] == pytest.approx(0.9 / math.sqrt(0.81 + 0.01), rel=1e-6)
+
+
+def test_lsh_topk_subset_of_exact(spark, vecs):
+    exact = similarity.cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=5)
+    approx = similarity.lsh_cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=5, dim=3)
+    exact_ids = {r["neighbor_id"] for r in exact.collect()}
+    approx_rows = approx.collect()
+    assert {r["neighbor_id"] for r in approx_rows} <= exact_ids
+    # ranks are contiguous from 1 within the bucket
+    assert sorted(r["rank"] for r in approx_rows) == list(range(1, len(approx_rows) + 1))
+
+
+def test_cosine_pairs_threshold(spark, vecs):
+    with_block = vecs.withColumn("label", F.lit(1))
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in similarity.cosine_pairs(with_block, threshold=0.99).collect()
+    }
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] == pytest.approx(0.9 / math.sqrt(0.82), rel=1e-6)
+
+
+def test_text_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "one"), (3, "a  b\t c"), (4, "the fox and the dog")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.text_features(df).collect()}
+    assert [out[i]["n_tokens"] for i in range(5)] == [0, 0, 1, 3, 5]
+    assert out[4]["lang_pred"] == "en"
+    assert out[0]["fingerprint"] == out[1]["fingerprint"]  # both normalize to ""
+    assert 0.0 <= out[4]["quality"] <= 1.0
+
+
+def test_multimodal_decode_plumbing(spark, docs):
+    media = multimodal.documents_as_media(docs.select("doc_id", "text"))
+    # name/type parity with the declared schema (nullability differs by source)
+    assert [(f.name, f.dataType) for f in media.schema] == [
+        (f.name, f.dataType) for f in multimodal.MEDIA_SCHEMA
+    ]
+    feats = multimodal.decode_media(media, dim=16, fake=True)
+    rows = feats.collect()
+    assert len(rows) == len(DOCS)
+    assert all(len(r["feature"]) == 16 for r in rows)
+    # deterministic: same payload → same fake feature
+    by_id = {r["media_id"]: r["feature"] for r in rows}
+    assert by_id[0] == by_id[3]
+    assert all(r["media_type"] in multimodal.MEDIA_TYPES for r in rows)
+
+
+def test_multimodal_decode_stub_raises(spark, docs):
+    media = multimodal.documents_as_media(docs.select("doc_id", "text"))
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        multimodal.decode_media(media, fake=False).collect()
