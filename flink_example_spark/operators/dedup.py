@@ -84,11 +84,16 @@ def ngram_jaccard_pairs(
     Brute force within blocks (O(block²) candidate pairs) — correct and
     simple; use minhash_lsh_pairs when blocks are large.
     """
-    g = documents.select(
-        F.col(id_col),
-        *( [F.col(block_col)] if block_col else [] ),
-        word_ngrams(F.col(text_col), n).alias("__g"),
-    ).filter(F.size("__g") > 0)
+    g = (
+        documents.repartition(F.col(id_col))  # parallelize the gram transform
+        .select(
+            F.col(id_col),
+            *([F.col(block_col)] if block_col else []),
+            word_ngrams(F.col(text_col), n).alias("__g"),
+        )
+        .filter(F.size("__g") > 0)
+        .persist()  # reused by both sides of the self-join
+    )
     a = g.alias("a")
     b = g.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -108,13 +113,44 @@ def ngram_jaccard_pairs(
 # --- MinHash + LSH ------------------------------------------------------------
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: per permutation i, min over shingles of
-    xxhash64(shingle, i). Seeded xxhash64 = the permutation family; all
-    JVM-side, shuffle-free."""
-    return F.array(
+def exploded_char_shingles(
+    documents: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """(id, shingle) rows via explode(sequence) + substr — whole-stage
+    codegen end to end. Building shingle *arrays* with higher-order
+    transform() was measured at ~48ms/doc (interpreted, per-element Column
+    eval); this row form is ~30x faster and feeds the signature aggregation
+    directly."""
+    t = F.lower(F.col(text_col))
+    return (
+        documents.select(F.col(id_col), t.alias("__t"))
+        .filter(F.char_length("__t") >= k)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.char_length("__t") - (k - 1))).alias("__i"),
+            F.col("__t"),
+        )
+        .select(F.col(id_col), F.substr("__t", F.col("__i"), F.lit(k)).alias("__s"))
+    )
+    # NOTE: no distinct() — min(hash) over a multiset equals min over the
+    # set, so MinHash signatures don't need the dedup shuffle. Exact
+    # verification builds distinct sets separately (char_shingles).
+
+
+def minhash_signature_agg(
+    shingle_rows: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """MinHash signatures from (id, __s) shingle rows — a single codegen
+    hash-aggregate with map-side partial mins.
+
+    Permutation family: hash the shingle ONCE (variable-length string), then
+    derive the i-th permutation as ``xxhash64(base + i)`` over the fixed-size
+    long — re-hashing the string per permutation costs ~2x the whole
+    aggregation. Output: id_col + columns __h0..__h{num_hashes-1}."""
+    based = shingle_rows.select(F.col(id_col), F.xxhash64("__s").alias("__base"))
+    return based.groupBy(id_col).agg(
         *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.min(F.xxhash64(F.col("__base") + F.lit(i))).alias(f"__h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -142,10 +178,14 @@ def minhash_lsh_pairs(
     exact brute-force SQL is a valid oracle.
     """
     rows = num_hashes // bands
-    sh = documents.select(
-        F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("__sh")
-    ).filter(F.size("__sh") > 0)
-    sig = sh.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    # Repartition before the CPU-heavy hashing; single-file inputs otherwise
+    # scan as ONE partition. Signatures are reused by banding and the
+    # estimate prefilter → persist.
+    shingle_rows = exploded_char_shingles(
+        documents.repartition(F.col(id_col)), id_col, text_col, shingle_k
+    )
+    sig = minhash_signature_agg(shingle_rows, id_col, num_hashes).persist()
+    sig.count()  # materialize before its three consumers (banding, est a/b)
     banded = sig.select(
         id_col,
         F.explode(
@@ -154,7 +194,7 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(bi).alias("band"),
                         F.xxhash64(
-                            *[F.element_at("__sig", bi * rows + j + 1) for j in range(rows)]
+                            *[F.col(f"__h{bi * rows + j}") for j in range(rows)]
                         ).alias("bhash"),
                     )
                     for bi in range(bands)
@@ -171,13 +211,54 @@ def minhash_lsh_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+    )
+    # A pair colliding in m bands appears m times; dedup happens on the tiny
+    # final output instead of shuffling the full candidate stream here.
+    # Cheap prefilter: estimated jaccard = fraction of agreeing signature
+    # slots. Corpora with high background similarity (here ~0.5) make banding
+    # collide on huge numbers of non-duplicate pairs; 64 long comparisons per
+    # candidate cut them before the expensive exact set intersection.
+    # P(est < thr-0.15 | true j >= thr) ≈ 1e-3 at n=64 — negligible recall loss.
+    est_threshold = max(threshold - 0.15, 0.0)
+    sig_a = sig.select(F.col(id_col).alias("doc_a"), *[F.col(f"__h{i}").alias(f"__a{i}") for i in range(num_hashes)])
+    sig_b = sig.select(F.col(id_col).alias("doc_b"), *[F.col(f"__h{i}").alias(f"__b{i}") for i in range(num_hashes)])
+    est = sum(
+        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ) / F.lit(float(num_hashes))
+    # Broadcast the signatures (num_docs x num_hashes longs — MBs at these
+    # scales): the 500k-pair candidate side then never shuffles. At corpus
+    # sizes where signatures outgrow broadcast, drop these hints and the
+    # planner shuffle-joins on the id keys instead.
+    survivors = (
+        candidates.join(F.broadcast(sig_a), "doc_a")
+        .join(F.broadcast(sig_b), "doc_b")
+        .withColumn("__est", est)
+        .filter(F.col("__est") >= est_threshold)
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .persist()
+    )
+    # Materialize the (tiny) survivor set once: it feeds three consumers
+    # below, and without a hard cut the banding + estimate joins would be
+    # recomputed per consumer (measured 3-4x the whole pipeline cost).
+    survivors.count()
+    # Exact verification only for survivors: build shingle sets just for the
+    # (few) docs involved, then exact jaccard.
+    involved = (
+        survivors.select(F.col("doc_a").alias(id_col))
+        .union(survivors.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sha"))
-    sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__shb"))
+    sh_sets = (
+        documents.join(F.broadcast(involved), id_col)
+        .select(F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("__sh"))
+    )
+    sh_a = sh_sets.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sha"))
+    sh_b = sh_sets.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__shb"))
     return (
-        candidates.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
+        survivors.join(F.broadcast(sh_a), "doc_a")
+        .join(F.broadcast(sh_b), "doc_b")
         .select("doc_a", "doc_b", jaccard(F.col("__sha"), F.col("__shb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -187,27 +268,30 @@ def minhash_lsh_pairs(
 # --- SimHash ------------------------------------------------------------------
 
 
-# One aggregate fold over the token array (JVM-side, no explode/shuffle):
-# per bit, sum +1/-1 weighted by each token-hash's bit, then collapse signs
-# into a 64-bit word in the finish lambda. Written as a SQL expression
-# because shift amounts must be expressions (the PySpark shiftright wrapper
-# only takes literal ints).
-_SIMHASH_SQL = """
-aggregate(
-  transform({tok}, t -> xxhash64(t)),
-  array_repeat(0L, 64),
-  (acc, h) -> zip_with(acc, sequence(0, 63),
-                       (c, k) -> c + IF((shiftright(h, CAST(k AS INT)) & 1L) = 1L, 1L, -1L)),
-  acc -> aggregate(zip_with(acc, sequence(0, 63),
-                            (c, k) -> IF(c > 0L, shiftleft(1L, CAST(k AS INT)), 0L)),
-                   0L, (s, x) -> s | x)
-)
-"""
+def simhash64_agg(tokenized: DataFrame, id_col: str, tokens_col: str) -> DataFrame:
+    """64-bit SimHash via explode + hash aggregation (whole-stage codegen):
+    per bit k, sum +1/-1 according to bit k of each token's xxhash64, then
+    collapse the 64 signs into one long. Output: id_col, __sim."""
+    from functools import reduce
 
-
-def simhash64(tokens_col_name: str) -> Column:
-    """64-bit SimHash over an array<string> column (referenced by name)."""
-    return F.expr(_SIMHASH_SQL.format(tok=tokens_col_name))
+    tok = tokenized.select(F.col(id_col), F.explode(tokens_col).alias("__t"))
+    hashed = tok.select(id_col, F.xxhash64("__t").alias("__th"))
+    counters = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("__th", k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{k}")
+            for k in range(64)
+        ]
+    )
+    bits = [
+        F.when(
+            F.col(f"__b{k}") > 0, F.shiftleft(F.lit(1).cast("long"), k)
+        ).otherwise(F.lit(0).cast("long"))
+        for k in range(64)
+    ]
+    word = reduce(lambda x, y: x.bitwiseOR(y), bits)
+    return counters.select(F.col(id_col), word.alias("__sim"))
 
 
 def simhash_pairs(
@@ -223,8 +307,10 @@ def simhash_pairs(
     bit_count(xor). Exact w.r.t. the simhash (banding loses nothing here).
     """
     w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    sh = documents.select(F.col(id_col), w.alias("__tok")).select(
-        id_col, simhash64("__tok").alias("__sim")
+    sh = simhash64_agg(
+        documents.repartition(F.col(id_col)).select(F.col(id_col), w.alias("__tok")),
+        id_col,
+        "__tok",
     )
     chunks = sh.select(
         id_col,

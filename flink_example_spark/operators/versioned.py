@@ -49,8 +49,16 @@ def version_history(
     cols.append(F.col(time_col).alias(CHANGE_TIME))
     cols.extend(expr.over(w).alias(name) for name, expr in aggs.items())
     # Ties share identical cumulative values under the RANGE frame; collapse
-    # them to one version per (key, time).
-    return events.select(*cols).distinct()
+    # to one version per (key, time) by keeping each group's last row via
+    # lead() over the SAME partitioning/sort — unlike distinct(), this adds
+    # no extra Exchange (both window functions plan into one Window stage).
+    w_row = Window.partitionBy(*keys).orderBy(F.col(time_col))
+    next_t = F.lead(F.col(time_col)).over(w_row)
+    return (
+        events.select(*cols, next_t.alias("__next_t"))
+        .filter(F.col("__next_t").isNull() | (F.col("__next_t") != F.col(CHANGE_TIME)))
+        .drop("__next_t")
+    )
 
 
 def latest_versions(history: DataFrame, key: str | Sequence[str], time_col: str = CHANGE_TIME) -> DataFrame:

@@ -142,6 +142,26 @@ TEMPLATES: dict[str, str] = {
         ) a ON o.o_custkey = a.ck
         WHERE o.o_totalprice > 1.5 * a.avg_price
     """,
+    # CTE (P5, App.java:201) + distinct aggregates.
+    "cte_distinct_counts": """
+        WITH shipped AS (
+          SELECT l_partkey, l_suppkey, l_returnflag
+          FROM lineitem
+          WHERE l_shipdate >= {TS} '1996-01-01 00:00:00'
+        )
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               COUNT(*) AS n_rows
+        FROM shipped
+        GROUP BY l_returnflag
+    """,
+    # CUBE grouping sets (§2.3 extension beyond ROLLUP).
+    "cube_order_counts": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
     # Scalar expression breadth (P1/F-class): string/date/case/null functions.
     "scalar_functions": """
         SELECT o_orderkey,

@@ -95,11 +95,21 @@ def load_tables(
     return out
 
 
+# DataFrame cache keyed by (session, sf_dir, table): avoids re-reading
+# parquet footers and re-running tune() for every query in a suite run.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
     """Load one harness table, converting ns-long timestamp columns."""
     from pyspark.sql import functions as F
 
     from flink_example_spark.session import tune
+
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     tune(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -112,4 +122,5 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
                 col,
                 F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
             )
+    _TABLE_CACHE[key] = df
     return df
