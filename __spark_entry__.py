@@ -244,8 +244,55 @@ def _northstar_oracles() -> dict[str, str]:
     return out
 
 
+def _q_feature_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table head (App.java:148: "most recent row for each key")."""
+    from flink_example_spark.operators.versioned import latest_versions
+    from flink_example_spark.plans.events_demo import feature_history, load_events
+
+    return latest_versions(feature_history(load_events(spark, sf_dir)), "_entity")
+
+
+def _q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 event-time tumbling window aggregate (daily counts per type)."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.plans.events_demo import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("day"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 session windows: per-user sessions with a 30-minute inactivity gap."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.plans.events_demo import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
+        "feature_latest": _q_feature_latest,
+        "tumbling_window_counts": _q_tumbling_window,
+        "session_window_counts": _q_session_window,
         "features_agg": _q_features_agg,
         "target_agg": _q_target_agg,
         "feature_history": _q_feature_history,
@@ -318,6 +365,33 @@ def oracle_sql() -> dict[str, str]:
 
 def _core_oracles() -> dict[str, str]:
     return {
+        "feature_latest": f"""
+            SELECT _entity, _change_time, loss_value FROM ({_FH_SQL})
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY _entity
+                                       ORDER BY _change_time DESC) = 1
+        """,
+        "tumbling_window_counts": (
+            "SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n "
+            "FROM events GROUP BY 1, 2"
+        ),
+        # Spark session windows span [start, last_event + gap); an event at
+        # exactly last+gap starts a NEW session — hence >= in the island edge.
+        "session_window_counts": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                               OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sessions AS (
+              SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+              FROM flagged
+            )
+            SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+            FROM sessions GROUP BY user_id, sid
+        """,
         "features_agg": (
             "SELECT user_id AS _entity, "
             "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS loss_value "
