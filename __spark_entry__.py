@@ -143,6 +143,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "text_token_count": text_q(text.token_count, "n_tokens"),
+        "text_bpe_token_count": text_q(text.bpe_token_count, "n_bpe_tokens"),
         "text_fingerprint": text_q(text.fingerprint, "fingerprint"),
         "text_lang_id": text_q(text.lang_id, "lang_pred"),
         "text_quality_score": text_q(text.quality_score, "quality"),
@@ -153,6 +154,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": lambda spark, sf_dir: dedup.minhash_lsh_pairs(
             _docs(spark, sf_dir), threshold=0.8
         ),
+        "dedup_minhash_keep": lambda spark, sf_dir: dedup.apply_pair_dedup(
+            _docs(spark, sf_dir),
+            dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8),
+        ).select("doc_id", "lang", "source", "n_chars"),
         "dedup_simhash": lambda spark, sf_dir: dedup.simhash_pairs(
             _docs(spark, sf_dir), max_hamming=3
         ),
@@ -213,6 +218,11 @@ def _northstar_oracles() -> dict[str, str]:
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                  / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.8
+    """
+    out["dedup_minhash_keep"] = f"""
+        WITH pairs AS ({out["dedup_minhash_lsh"]})
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
     """
     out["ann_cosine_topk"] = f"""
         WITH scored AS (

@@ -25,6 +25,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def apply_pair_dedup(
+    documents: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize a deduplicated corpus from near-dup pairs: drop every doc
+    that appears as the GREATER id of a pair (keep-first heuristic; pairs
+    are emitted with doc_a < doc_b). One anti-join, no driver loop.
+
+    Full cluster-canonical dedup (transitive closure → connected components)
+    is a follow-up; keep-first matches what most LLM-corpus pipelines ship.
+    """
+    drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return documents.join(F.broadcast(drop), id_col, "left_anti")
+
+
 def exact_dedup(documents: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per distinct content: the minimum id (deterministic keeper)
     and the copy count. Single hash-aggregate shuffle on the content hash."""
@@ -287,6 +301,9 @@ def simhash64_agg(tokenized: DataFrame, id_col: str, tokens_col: str) -> DataFra
 
     tok = tokenized.select(F.col(id_col), F.explode(tokens_col).alias("__t"))
     hashed = tok.select(id_col, F.xxhash64("__t").alias("__th"))
+    # (A count-weighted two-stage variant — fold duplicate tokens, then
+    # weight the bit sums — measured SLOWER here: the extra exchange costs
+    # more than the map-side partial aggregation saves.)
     counters = hashed.groupBy(id_col).agg(
         *[
             F.sum(

@@ -43,6 +43,17 @@ def token_count(text: Column) -> Column:
     )
 
 
+# BPE-ish pre-tokenization pattern (GPT-2-style word/number/punct split,
+# simplified to constructs RE2 (DuckDB) and java.util.regex share).
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under BPE-style pre-tokenization: letter runs, digit
+    runs, and single punctuation marks each count as one token."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0))).cast("int")
+
+
 def normalized(text: Column) -> Column:
     """Normalization for fingerprinting: lowercase, strip non-alnum,
     collapse whitespace."""
@@ -145,6 +156,10 @@ _DUCK_ALPHA = (
 
 TEXT_ORACLES = {
     "text_token_count": f"SELECT doc_id, {_DUCK_NTOK} AS n_tokens FROM documents",
+    "text_bpe_token_count": (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text,"
+        f" '{BPE_PATTERN}')) AS INTEGER) AS n_bpe_tokens FROM documents"
+    ),
     "text_fingerprint": f"SELECT doc_id, md5({_DUCK_NORM}) AS fingerprint FROM documents",
     "text_lang_id": f"""
         SELECT doc_id, {_duck_lang_case()} AS lang_pred FROM (

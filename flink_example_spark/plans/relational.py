@@ -142,6 +142,17 @@ TEMPLATES: dict[str, str] = {
         ) a ON o.o_custkey = a.ck
         WHERE o.o_totalprice > 1.5 * a.avg_price
     """,
+    # Range (interval) join: equi key + time-band predicate — errors in the
+    # hour before each purchase. Catalyst plans SMJ on the equi key with the
+    # band as a post-join filter; at scale, bucketing by user co-locates it.
+    "range_join_prior_errors": """
+        SELECT p.event_id, COUNT(e.event_id) AS n_prior_errors
+        FROM events p LEFT JOIN events e
+          ON p.user_id = e.user_id AND e.event_type = 'error'
+          AND e.ts > p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id
+    """,
     # CTE (P5, App.java:201) + distinct aggregates.
     "cte_distinct_counts": """
         WITH shipped AS (

@@ -1,0 +1,62 @@
+"""Plan-shape regression tests: the properties that make the engine scale
+must stay visible in the physical plan (SURVEY.md §4, PERF.md)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from flink_example_spark.plans.events_demo import feature_history, load_events
+
+    plan = physical(feature_history(load_events(spark, SF)))
+    assert "PushedFilters" in plan and "error" in plan
+    # column pruning: props/value columns not needed don't reach the scan
+    assert "ReadSchema" in plan
+
+
+def test_version_history_single_exchange(spark):
+    from flink_example_spark.plans.events_demo import feature_history, load_events
+
+    plan = physical(feature_history(load_events(spark, SF)))
+    assert plan.count("Exchange") == 1  # one shuffle on the entity key
+
+
+def test_asof_union_single_exchange_over_union(spark):
+    from flink_example_spark.operators.asof import asof_join
+    from flink_example_spark.plans.events_demo import (
+        examples,
+        feature_history,
+        load_events,
+    )
+
+    ev = load_events(spark, SF)
+    joined = asof_join(
+        examples(ev), feature_history(ev), on="_entity", probe_time="_prediction_time"
+    )
+    plan = physical(joined)
+    # the as-of itself adds exactly one Exchange above the Union (plus the
+    # per-input shuffles counted in the other tests)
+    assert "Union" in plan
+    assert "Window" in plan
+
+
+def test_q5_broadcasts_small_dims(spark):
+    from flink_example_spark.plans.relational import run_sql
+
+    plan = physical(run_sql(spark, SF, "q5_local_supplier_volume"))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    from flink_example_spark.plans.relational import run_sql
+
+    plan = physical(run_sql(spark, SF, "q1_pricing_summary"))
+    # map-side partial agg before the exchange
+    assert plan.count("HashAggregate") >= 2
