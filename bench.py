@@ -53,8 +53,13 @@ def main() -> None:
     spark = get_spark("flink-example-spark-bench")
     qs = entrymod.queries()
 
-    # warmup: JVM, codegen, parquet footer reads
+    # warmup: JVM/codegen spin-up and one full scan of every input table
+    # (footer reads + OS page cache), so measured queries reflect compute.
+    from flink_example_spark.tables import load_tables
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for df in load_tables(spark, sf_dir, register=False).values():
+        df.write.format("noop").mode("overwrite").save()
     qs["target_agg"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
