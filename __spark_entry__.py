@@ -154,6 +154,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": lambda spark, sf_dir: dedup.minhash_lsh_pairs(
             _docs(spark, sf_dir), threshold=0.8
         ),
+        "dedup_minhash_clusters": lambda spark, sf_dir: dedup.duplicate_clusters(
+            dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+        ),
         "dedup_minhash_keep": lambda spark, sf_dir: dedup.apply_pair_dedup(
             _docs(spark, sf_dir),
             dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8),
@@ -218,6 +221,19 @@ def _northstar_oracles() -> dict[str, str]:
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                  / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.8
+    """
+    out["dedup_minhash_clusters"] = f"""
+        WITH RECURSIVE pairs AS ({out["dedup_minhash_lsh"]}),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(id, r) AS (
+          SELECT a, a FROM edges
+          UNION SELECT a, b FROM edges
+          UNION SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+        )
+        SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
     """
     out["dedup_minhash_keep"] = f"""
         WITH pairs AS ({out["dedup_minhash_lsh"]})

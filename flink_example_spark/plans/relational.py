@@ -142,6 +142,32 @@ TEMPLATES: dict[str, str] = {
         ) a ON o.o_custkey = a.ck
         WHERE o.o_totalprice > 1.5 * a.avg_price
     """,
+    # EXISTS-correlated aggregate (TPC-H Q4 shape).
+    "q4_order_priority_check": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= {TS} '1996-01-01 00:00:00'
+          AND o_orderdate < {TS} '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    # LEFT join + count distribution (TPC-H Q13 shape).
+    "q13_customer_distribution": """
+        SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        ) GROUP BY c_count
+    """,
+    # Correlated scalar subquery with per-group MIN (TPC-H Q2 shape).
+    "q2_min_price_parts": """
+        SELECT p.p_type, p.p_partkey, p.p_retailprice
+        FROM part p
+        WHERE p.p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+                                 WHERE p2.p_type = p.p_type)
+    """,
     # Range (interval) join: equi key + time-band predicate — errors in the
     # hour before each purchase. Catalyst plans SMJ on the equi key with the
     # band as a post-join filter; at scale, bucketing by user co-locates it.

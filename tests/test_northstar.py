@@ -57,6 +57,21 @@ def test_simhash_pairs(spark, docs):
     assert all(h <= 3 for h in pairs.values())
 
 
+@pytest.mark.parametrize("method", ["local", "distributed"])
+def test_duplicate_clusters_transitive(spark, method):
+    """A≈B and B≈C must land A, B, C in one cluster labeled min(id);
+    both the union-find and label-propagation paths must agree."""
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (10, 11, 0.95)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs, method=method).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 VECS = [
     (0, [1.0, 0.0, 0.0]),
     (1, [0.9, 0.1, 0.0]),
