@@ -128,6 +128,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _embs(spark, sf_dir)
         return similarity.lsh_cosine_topk(e, e.filter(F.col("vec_id") < 8), k=5)
 
+    def ann_ivf_topk(spark, sf_dir):
+        e = _embs(spark, sf_dir)
+        return similarity.ivf_cosine_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+
     def emb_pairs(spark, sf_dir):
         return similarity.cosine_pairs(_embs(spark, sf_dir), threshold=0.4)
 
@@ -166,6 +170,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_cosine_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "embedding_near_dup": emb_pairs,
         "multimodal_stats": mm_stats,
         "multimodal_decode": mm_decode,

@@ -152,6 +152,77 @@ def lsh_cosine_topk(
     )
 
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are assigned to the
+    nearest of ``n_cells`` centroids (deterministically sampled corpus
+    vectors — an IVF-lite coarse quantizer; k-means refinement is a drop-in
+    upgrade); each query scores only the ``n_probe`` nearest cells.
+
+    One corpus shuffle on cell id; per-query work drops from |corpus| to
+    ~|corpus|*n_probe/n_cells. Recall < 1 by construction (rows-only check;
+    cosine_topk is the exact oracle-checked baseline).
+    """
+    c = _prep(corpus, id_col, vec_col, "n")
+    q = _prep(queries, id_col, vec_col, "q")
+    # Deterministic centroid sample: the n_cells corpus vectors with the
+    # smallest xxhash64(id) — stable across executors, no RNG state.
+    centroids = (
+        c.withColumn("__h", F.xxhash64(F.col("n_id")))
+        .orderBy("__h")
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy("__h")).alias("cell"),
+            F.col("n_vec").alias("c_vec"),
+            F.col("n_norm").alias("c_norm"),
+        )
+    )
+
+    def nearest_cells(side_vec: str, side_norm: str, n_keep: int, df: DataFrame) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(centroids)).select(
+            "*",
+            (
+                dot(F.col(side_vec), F.col("c_vec"))
+                / (F.col(side_norm) * F.col("c_norm"))
+            ).alias("__csim"),
+        )
+        w = Window.partitionBy(df.columns[0]).orderBy(F.col("__csim").desc(), F.col("cell"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n_keep)
+            .drop("c_vec", "c_norm", "__csim", "__r")
+        )
+
+    c_assigned = nearest_cells("n_vec", "n_norm", 1, c)
+    q_assigned = nearest_cells("q_vec", "q_norm", n_probe, q)
+    joined = c_assigned.join(F.broadcast(q_assigned), "cell").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    scored = joined.select(
+        "q_id",
+        "n_id",
+        (dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))).alias("cos"),
+    ).dropDuplicates(["q_id", "n_id"])
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("neighbor_id"),
+            F.col("rank"),
+            F.col("cos"),
+        )
+    )
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

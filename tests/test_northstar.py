@@ -119,6 +119,27 @@ def test_lsh_topk_subset_of_exact(spark, vecs):
     assert sorted(r["rank"] for r in approx_rows) == list(range(1, len(approx_rows) + 1))
 
 
+def test_ivf_topk_structure(spark):
+    """IVF results: correct rank ordering, subset of the corpus, sane recall
+    against the exact baseline on a bigger sample."""
+    from flink_example_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.ivf_cosine_topk(emb, queries, k=5, n_cells=8, n_probe=4)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap_rows = approx.collect()
+    # per-query ranks contiguous from 1
+    by_q: dict = {}
+    for r in ap_rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    # probing half the cells should recover a reasonable share of true top-5
+    recall = len({(r["query_id"], r["neighbor_id"]) for r in ap_rows} & ex) / len(ex)
+    assert recall >= 0.2, recall
+
+
 def test_cosine_pairs_threshold(spark, vecs):
     with_block = vecs.withColumn("label", F.lit(1))
     pairs = {

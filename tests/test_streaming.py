@@ -31,6 +31,42 @@ def test_streaming_training_examples_converges_to_batch(spark):
     assert rows_set(streamed) == rows_set(batch)
 
 
+def test_streaming_tumbling_window_converges(spark):
+    """T6 streaming: watermarked tumbling-window aggregate converges to the
+    batch daily counts."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from flink_example_spark.streaming.pipeline import stream_events
+
+    ev = stream_events(spark, SF)
+    agg = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("day"), "event_type", "n")
+    )
+    name = f"stream_tumble_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["day"].replace(tzinfo=None), r["event_type"], r["n"])
+        for r in spark.table(name).collect()
+    }
+    batch = {
+        (r["day"], r["event_type"], r["n"])
+        for r in entrymod.queries()["tumbling_window_counts"](spark, SF).collect()
+    }
+    assert streamed == batch
+
+
 def test_streaming_watermark_declared(spark):
     from flink_example_spark.streaming.pipeline import stream_events
 
