@@ -24,11 +24,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "training_examples",
     "feature_history",
+    "feature_latest",
     "examples_window",
+    "session_window_counts",
+    "range_join_prior_errors",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q13_customer_distribution",
     "top_orders",
     "ranking_windows",
     "orders_above_customer_avg",

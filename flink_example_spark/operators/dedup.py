@@ -69,6 +69,7 @@ def duplicate_clusters(
             return x
 
         rows = e.collect()
+        e.unpersist()
         for r in rows:
             a, b = find(r["src"]), find(r["dst"])
             if a != b:
