@@ -32,8 +32,8 @@ def apply_pair_dedup(
     that appears as the GREATER id of a pair (keep-first heuristic; pairs
     are emitted with doc_a < doc_b). One anti-join, no driver loop.
 
-    Full cluster-canonical dedup (transitive closure → connected components)
-    is a follow-up; keep-first matches what most LLM-corpus pipelines ship.
+    For cluster-canonical dedup (one representative per transitive duplicate
+    cluster) compose with :func:`duplicate_clusters` instead.
     """
     drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return documents.join(F.broadcast(drop), id_col, "left_anti")
@@ -223,11 +223,11 @@ def exploded_char_shingles(
             F.explode(F.sequence(F.lit(1), F.char_length("__t") - (k - 1))).alias("__i"),
             F.col("__t"),
         )
+        # No distinct() — min(hash) over a multiset equals min over the set,
+        # so MinHash signatures don't need the dedup shuffle. Exact
+        # verification builds distinct sets separately (char_shingles).
         .select(F.col(id_col), F.substr("__t", F.col("__i"), F.lit(k)).alias("__s"))
     )
-    # NOTE: no distinct() — min(hash) over a multiset equals min over the
-    # set, so MinHash signatures don't need the dedup shuffle. Exact
-    # verification builds distinct sets separately (char_shingles).
 
 
 def minhash_signature_agg(
