@@ -65,14 +65,29 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a plain SparkSession (no engine confs) to mimic the driver",
+    )
     args = ap.parse_args()
 
     import duckdb
 
     import __spark_entry__ as entrymod
-    from flink_example_spark.session import get_spark
 
-    spark = get_spark("check-oracles")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .appName("check-oracles-vanilla")
+            .getOrCreate()
+        )
+    else:
+        from flink_example_spark.session import get_spark
+
+        spark = get_spark("check-oracles")
     con = duckdb.connect()
     for t in TABLES:
         path = f"{args.sf}/{t}.parquet"
