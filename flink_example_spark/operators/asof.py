@@ -103,6 +103,10 @@ def _asof_union(probes, versions, keys, probe_time, version_time, vcols, how):
     # Pack value columns into one struct so a legitimately-NULL value inside a
     # version can't make last(..., ignorenulls) skip back to an older version.
     pcols = probes.columns
+    # NULL-time versions are meaningless ("valid since unknown"); drop them so
+    # all three strategies agree (rank/pandas reject them via the <= filter,
+    # but asc_nulls_first would have sorted them before every probe here).
+    versions = versions.filter(F.col(version_time).isNotNull())
     v_part = versions.select(
         *keys,
         F.col(version_time).alias(_TIME),
@@ -134,7 +138,10 @@ def _asof_union(probes, versions, keys, probe_time, version_time, vcols, how):
 
 
 def _asof_rank(probes, versions, keys, probe_time, version_time, vcols, how):
-    p = probes.withColumn(_PID, F.monotonically_increasing_id())
+    # The synthetic probe id is nondeterministic per evaluation; persist so
+    # the version-join branch and the final left join see the SAME ids even
+    # under task retries / nondeterministic upstream placement.
+    p = probes.withColumn(_PID, F.monotonically_increasing_id()).persist()
     joined = p.join(versions, on=keys, how="inner").filter(
         F.col(version_time) <= F.col(probe_time)
     )

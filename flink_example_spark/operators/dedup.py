@@ -78,16 +78,23 @@ def duplicate_clusters(
                 parent[b] = a
         members = sorted({x for r in rows for x in (r["src"], r["dst"])})
         spark = pairs.sparkSession
-        return spark.createDataFrame(
-            [(m, find(m)) for m in members], f"{id_col} long, cluster_id long"
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = pairs.schema["doc_a"].dataType  # works for any id type
+        schema = StructType(
+            [StructField(id_col, id_type), StructField("cluster_id", id_type)]
         )
+        return spark.createDataFrame([(m, find(m)) for m in members], schema)
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
+    edges.count()
+    e.unpersist()
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).persist()
     labels.count()
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -114,7 +121,15 @@ def duplicate_clusters(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds — "
+            "component diameter exceeds max_iter; raise max_iter or use "
+            "large-star/small-star"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 
@@ -131,21 +146,33 @@ def exact_dedup(documents: DataFrame, content_col: str = "text", id_col: str = "
 # --- shingling ---------------------------------------------------------------
 
 
+def _empty_str_array() -> Column:
+    # built lazily: creating Columns needs an active SparkSession, and this
+    # module must stay importable before one exists
+    return F.array().cast("array<string>")
+
+
 def char_shingles(text: Column, k: int = 5) -> Column:
-    """Distinct lowercase character k-grams (SQL substr is 1-based)."""
+    """Distinct lowercase character k-grams (SQL substr is 1-based); empty
+    array for texts shorter than k. The guard matters: Spark's
+    ``sequence(a, b)`` DESCENDS when a > b, so an unguarded ``sequence(1,
+    len-k+1)`` on short text yields [1, 0] and a bogus whole-text shingle."""
     t = F.lower(text)
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.char_length(t) - (k - 1), F.lit(0))),
+            F.sequence(F.lit(1), F.char_length(t) - (k - 1)),
             lambda i: F.substr(t, i, F.lit(k)),
         )
     )
+    return F.when(F.char_length(t) >= k, grams).otherwise(_empty_str_array())
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams over whitespace tokens."""
+    """Distinct word n-grams over whitespace tokens; empty array for texts
+    with fewer than n tokens (same descending-sequence hazard as above —
+    unguarded, element_at would index out of bounds under ANSI mode)."""
     w = F.split(F.trim(text), r"\s+")
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(w) - n),
             lambda i: F.concat_ws(
@@ -153,6 +180,7 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
             ),
         )
     )
+    return F.when(F.size(w) >= n, grams).otherwise(_empty_str_array())
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -346,7 +374,9 @@ def minhash_lsh_pairs(
     # Materialize the (tiny) survivor set once: it feeds three consumers
     # below, and without a hard cut the banding + estimate joins would be
     # recomputed per consumer (measured 3-4x the whole pipeline cost).
+    # Signatures are no longer needed past this point — release the cache.
     survivors.count()
+    sig.unpersist()
     # Exact verification only for survivors: build shingle sets just for the
     # (few) docs involved, then exact jaccard.
     involved = (

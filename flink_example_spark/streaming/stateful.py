@@ -109,13 +109,15 @@ def stateful_asof(
                 else []
             )
 
-        # Watermark: no version with time <= wm can still arrive, so probes
-        # at-or-before wm have their final answer (no temporal leakage).
+        # Watermark guarantee is STRICT: no more data with event time < wm
+        # can arrive, but a version at exactly wm still can. Emit only probes
+        # strictly before wm so a same-instant version can't be missed
+        # (inclusive-<= contract).
         wm_ms = state.getCurrentWatermarkMs()
         versions.sort(key=lambda v: v[0])
         ready, still_pending = [], []
         for t, pcols in pending:
-            if t.value // 1_000_000 <= wm_ms:
+            if t.value // 1_000_000 < wm_ms:
                 ready.append((t, pcols))
             else:
                 still_pending.append((t, pcols))
@@ -130,6 +132,20 @@ def stateful_asof(
                     break
             vals = best if best is not None else (None,) * len(value_cols)
             out_rows.append((key[0], *pcols, *vals))
+
+        # Prune state: every future probe has event time >= wm, so only the
+        # single latest version strictly before wm (plus everything at/after
+        # wm) can ever be an answer. Without this the per-key version list —
+        # re-pickled every batch — grows forever.
+        if wm_ms > 0:
+            cutoff = None
+            for idx, (vt, _) in enumerate(versions):
+                if vt.value // 1_000_000 < wm_ms:
+                    cutoff = idx
+                else:
+                    break
+            if cutoff is not None and cutoff > 0:
+                versions = versions[cutoff:]
 
         state.update((pickle.dumps((versions, still_pending)),))
         if out_rows:

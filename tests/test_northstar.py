@@ -57,6 +57,34 @@ def test_simhash_pairs(spark, docs):
     assert all(h <= 3 for h in pairs.values())
 
 
+def test_short_docs_do_not_crash_dedup(spark):
+    """Docs shorter than the shingle/ngram size: empty gram sets, no crash,
+    no spurious pairs (Spark's sequence(a,b) DESCENDS when a>b — regression
+    guard for the unguarded-sequence bug)."""
+    short = spark.createDataFrame(
+        [(0, "ab", "en"), (1, "cd", "en"), (2, "one two", "en"),
+         (3, "the quick brown fox jumps over the lazy dog", "en"),
+         (4, "the quick brown fox jumps over the lazy dog", "en")],
+        "doc_id long, text string, lang string",
+    )
+    # word_ngrams(n=3): docs 0-2 have <3 tokens -> excluded, 3-4 pair up
+    pairs = dedup.ngram_jaccard_pairs(short, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(3, 4)}
+    # char_shingles(k=5): docs 0-1 are shorter than k -> no bogus pair
+    mh = dedup.minhash_lsh_pairs(short, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in mh} == {(3, 4)}
+    # direct: short text yields an EMPTY shingle set, not a whole-text one
+    from pyspark.sql.types import Row
+
+    row = (
+        spark.createDataFrame([("ab",)], "text string")
+        .select(dedup.char_shingles(F.col("text"), 5).alias("g"),
+                dedup.word_ngrams(F.col("text"), 3).alias("w"))
+        .first()
+    )
+    assert row["g"] == [] and row["w"] == []
+
+
 @pytest.mark.parametrize("method", ["local", "distributed"])
 def test_duplicate_clusters_transitive(spark, method):
     """A≈B and B≈C must land A, B, C in one cluster labeled min(id);
