@@ -142,6 +142,16 @@ TEMPLATES: dict[str, str] = {
         ) a ON o.o_custkey = a.ck
         WHERE o.o_totalprice > 1.5 * a.avg_price
     """,
+    # Exact interpolated percentiles (verified bit-identical between Spark
+    # PERCENTILE and DuckDB QUANTILE_CONT — same linear interpolation).
+    "percentile_prices": """
+        SELECT l_returnflag,
+               {PCT}(l_extendedprice, 0.5) AS p50_price,
+               {PCT}(l_extendedprice, 0.95) AS p95_price,
+               {PCT}(l_quantity, 0.25) AS q1_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     # EXISTS-correlated aggregate (TPC-H Q4 shape).
     "q4_order_priority_check": """
         SELECT o_orderpriority, COUNT(*) AS order_count
@@ -221,6 +231,7 @@ def render(name: str, dialect: str) -> str:
     return TEMPLATES[name].format(
         TS="TIMESTAMP_NTZ" if dialect == "spark" else "TIMESTAMP",
         STR="STRING" if dialect == "spark" else "VARCHAR",
+        PCT="PERCENTILE" if dialect == "spark" else "QUANTILE_CONT",
     )
 
 
