@@ -315,9 +315,13 @@ def minhash_lsh_pairs(
         )
         .persist()
     )
-    sig.count()  # materialize before its three consumers (banding, est a/b)
+    sig.count()  # materialize before both banded sides read it
+    # Carry the packed signature THROUGH the band join: the self-join then
+    # computes the estimate inline, with no extra signature joins and no
+    # intermediate materialization (removed two broadcast joins + one job).
     banded = sig.select(
         id_col,
+        "__sig",
         F.explode(
             F.array(
                 *[
@@ -334,40 +338,31 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("__b"),
-    ).select(id_col, "__b.band", "__b.bhash")
+    ).select(id_col, "__sig", "__b.band", "__b.bhash")
     a, b = banded.alias("a"), banded.alias("b")
-    candidates = (
+    # Cheap prefilter: estimated jaccard = fraction of agreeing signature
+    # slots. Corpora with high background similarity (here ~0.5) make banding
+    # collide on huge numbers of non-duplicate pairs; num_hashes long
+    # comparisons per candidate cut them before the expensive exact set
+    # intersection. P(est < thr-0.15 | true j >= thr) ≈ 1e-3 at n=64.
+    # A pair colliding in m bands is evaluated m times; dedup happens on the
+    # tiny estimate-surviving output, not the full candidate stream.
+    est_threshold = max(threshold - 0.15, 0.0)
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("a.__sig"), F.col("b.__sig"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    ) / F.lit(float(num_hashes))
+    survivors = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bhash") == F.col("b.bhash"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .filter(est >= est_threshold)
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-    )
-    # A pair colliding in m bands appears m times; dedup happens on the tiny
-    # final output instead of shuffling the full candidate stream here.
-    # Cheap prefilter: estimated jaccard = fraction of agreeing signature
-    # slots. Corpora with high background similarity (here ~0.5) make banding
-    # collide on huge numbers of non-duplicate pairs; 64 long comparisons per
-    # candidate cut them before the expensive exact set intersection.
-    # P(est < thr-0.15 | true j >= thr) ≈ 1e-3 at n=64 — negligible recall loss.
-    est_threshold = max(threshold - 0.15, 0.0)
-    sig_a = sig.select(F.col(id_col).alias("doc_a"), F.col("__sig").alias("__siga"))
-    sig_b = sig.select(F.col(id_col).alias("doc_b"), F.col("__sig").alias("__sigb"))
-    est = F.size(
-        F.filter(F.zip_with("__siga", "__sigb", lambda x, y: x == y), lambda v: v)
-    ) / F.lit(float(num_hashes))
-    # Broadcast the signatures (num_docs x num_hashes longs — MBs at these
-    # scales): the 500k-pair candidate side then never shuffles. At corpus
-    # sizes where signatures outgrow broadcast, drop these hints and the
-    # planner shuffle-joins on the id keys instead.
-    survivors = (
-        candidates.join(F.broadcast(sig_a), "doc_a")
-        .join(F.broadcast(sig_b), "doc_b")
-        .withColumn("__est", est)
-        .filter(F.col("__est") >= est_threshold)
-        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
         .persist()
     )
