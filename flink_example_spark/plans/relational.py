@@ -142,6 +142,36 @@ TEMPLATES: dict[str, str] = {
         ) a ON o.o_custkey = a.ck
         WHERE o.o_totalprice > 1.5 * a.avg_price
     """,
+    # Bilateral trade-volume shape (TPC-H Q7): two nation-dimension joins of
+    # the same table, year extraction, decimal-exact revenue.
+    "q7_nation_volume": f"""
+        SELECT supp_nation, cust_nation, l_year, {_REV} AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
+                 l_extendedprice, l_discount
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    # FILTER-clause aggregates (conditional counts/sums in one pass).
+    "filtered_aggregates": """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_total,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_value
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
     # Exact interpolated percentiles (verified bit-identical between Spark
     # PERCENTILE and DuckDB QUANTILE_CONT — same linear interpolation).
     "percentile_prices": """
