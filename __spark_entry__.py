@@ -145,7 +145,25 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         feats = multimodal.decode_media(media, dim=16, fake=True)
         return feats.select("media_id", "media_type", "meta_n_bytes", F.size("feature").alias("dim"))
 
+    def top_terms(spark, sf_dir):
+        """Term frequency: top 5 tokens per language (ties broken by term)."""
+        from pyspark.sql import Window
+
+        d = _docs(spark, sf_dir)
+        tf = (
+            d.select("lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+            .groupBy("lang", "term")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+        return (
+            tf.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("lang", "term", "n", "rank")
+        )
+
     return {
+        "text_top_terms": top_terms,
         "text_token_count": text_q(text.token_count, "n_tokens"),
         "text_bpe_token_count": text_q(text.bpe_token_count, "n_bpe_tokens"),
         "text_fingerprint": text_q(text.fingerprint, "fingerprint"),
@@ -196,6 +214,19 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.text import TEXT_ORACLES
 
     out = dict(TEXT_ORACLES)
+    out["text_top_terms"] = """
+        WITH tf AS (
+          SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+          FROM documents
+        ), counts AS (
+          SELECT lang, term, COUNT(*) AS n FROM tf GROUP BY lang, term
+        )
+        SELECT lang, term, n, rank FROM (
+          SELECT lang, term, n,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rank
+          FROM counts
+        ) WHERE rank <= 5
+    """
     out["dedup_exact"] = (
         "SELECT MIN(doc_id) AS doc_id, md5(text) AS content_md5, COUNT(*) AS n_copies "
         "FROM documents GROUP BY md5(text)"
