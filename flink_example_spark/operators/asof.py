@@ -62,6 +62,13 @@ def asof_join(
     version history. Trades ``salt``x version replication for ``salt``x
     probe-side parallelism — the right trade when one entity dominates the
     probe stream (versions-per-key ≪ probes-per-key).
+
+    Duplicate ``(key, version_time)`` version rows: the union and rank
+    strategies break the tie deterministically (the duplicate with the
+    largest ``xxhash64`` of its value columns wins, consistently across both
+    strategies and across runs). ``version_history`` outputs never contain
+    such duplicates; the pandas strategy assumes they don't (its winner
+    follows pandas' stable sort of the incoming Arrow batch order).
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
@@ -122,9 +129,12 @@ def _asof_union(probes, versions, keys, probe_time, version_time, vcols, how):
         *[F.col(c).alias(f"__p_{c}") for c in pcols],
     )
     unioned = v_part.unionByName(p_part)
+    # Third sort key: deterministic winner among duplicate (key, time) version
+    # rows — last() takes the final row in order, i.e. the max value-hash
+    # (matches _asof_rank's hash-desc tiebreak). No-op for unique histories.
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(_TIME).asc_nulls_first(), F.col(_TAG))
+        .orderBy(F.col(_TIME).asc_nulls_first(), F.col(_TAG), F.xxhash64(F.col(_VAL)))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn(_VAL, F.last(_VAL, ignorenulls=True).over(w))
@@ -138,14 +148,22 @@ def _asof_union(probes, versions, keys, probe_time, version_time, vcols, how):
 
 
 def _asof_rank(probes, versions, keys, probe_time, version_time, vcols, how):
-    # The synthetic probe id is nondeterministic per evaluation; persist so
-    # the version-join branch and the final left join see the SAME ids even
-    # under task retries / nondeterministic upstream placement.
-    p = probes.withColumn(_PID, F.monotonically_increasing_id()).persist()
+    # The synthetic probe id is nondeterministic per evaluation; localCheckpoint
+    # (materialize + truncate lineage) so the version-join branch and the final
+    # left join see the SAME ids even under task retries. Checkpoint blocks are
+    # auto-freed when the result DataFrame is GC'd — unlike persist(), repeated
+    # calls in a long session don't accumulate cached partitions.
+    p = probes.withColumn(_PID, F.monotonically_increasing_id()).localCheckpoint(
+        eager=True
+    )
     joined = p.join(versions, on=keys, how="inner").filter(
         F.col(version_time) <= F.col(probe_time)
     )
-    w = Window.partitionBy(_PID).orderBy(F.col(version_time).desc())
+    # hash-desc tiebreak: same winner as the union strategy on duplicate
+    # (key, version_time) rows
+    w = Window.partitionBy(_PID).orderBy(
+        F.col(version_time).desc(), F.xxhash64(F.struct(*[F.col(c) for c in vcols])).desc()
+    )
     best = (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -40,97 +40,126 @@ def apply_pair_dedup(
 
 
 def duplicate_clusters(
-    pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 20, method: str = "auto"
+    pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 25, method: str = "distributed"
 ) -> DataFrame:
     """Connected components over near-dup pair edges: every doc in a pair
     gets ``cluster_id`` = the minimum doc id transitively reachable through
     duplicate relations (so A≈B, B≈C puts all three in one cluster even if
     A≈C was never emitted).
 
-    ``method``: 'local' (driver union-find), 'distributed' (min-label
-    propagation — each round one join+aggregate, converging in
-    graph-diameter rounds), or 'auto' (local below 5M edges). At extreme
-    scale swap the propagation for large-star/small-star (same building
-    blocks).
+    ``method``: 'distributed' (default) — the alternating large-star /
+    small-star algorithm (Kiveris et al., "Connected Components in MapReduce
+    and Beyond"): each round is two groupBy+join passes over the edge set,
+    and the edge set contracts toward star forests in O(log²) rounds
+    regardless of component DIAMETER (plain min-label propagation needs
+    diameter rounds — a 1M-long duplicate chain would need 1M rounds; stars
+    collapse it in ~20). Nothing edge-sized ever reaches the driver, so the
+    default path scales to any corpus. 'local' — driver-side union-find,
+    only for interactive use on small pair sets.
     """
-    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).persist()
-    n_edges = e.count()
-    if method == "local" or (method == "auto" and n_edges <= 5_000_000):
-        # Verified duplicate pairs are a tiny fraction of the corpus; below
-        # millions of edges, driver-side union-find beats 10+ distributed
-        # label-propagation rounds by ~10x wall-clock (and each round would
-        # re-touch the executors for a KB-sized graph).
-        parent: dict = {}
+    if method == "local":
+        return _clusters_local(pairs, id_col)
+    if method != "distributed":
+        raise ValueError(f"unknown method {method!r}")
 
-        def find(x):
-            while parent.get(x, x) != x:
-                parent[x] = parent.get(parent[x], parent[x])
-                x = parent[x]
-            return x
-
-        rows = e.collect()
-        e.unpersist()
-        for r in rows:
-            a, b = find(r["src"]), find(r["dst"])
-            if a != b:
-                if b < a:
-                    a, b = b, a
-                parent[b] = a
-        members = sorted({x for r in rows for x in (r["src"], r["dst"])})
-        spark = pairs.sparkSession
-        from pyspark.sql.types import StructField, StructType
-
-        id_type = pairs.schema["doc_a"].dataType  # works for any id type
-        schema = StructType(
-            [StructField(id_col, id_type), StructField("cluster_id", id_type)]
+    def large_star(e: DataFrame) -> DataFrame:
+        # symmetric neighborhoods; connect strictly-larger neighbors to the
+        # neighborhood minimum
+        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
-        return spark.createDataFrame([(m, find(m)) for m in members], schema)
-    edges = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
-    edges.count()
-    e.unpersist()
-    labels = (
-        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).persist()
-    labels.count()
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        return (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # all neighbors in a directed (hi -> lo) edge list are smaller;
+        # connect them (and hi itself) to the minimum
+        mins = e.groupBy("hi").agg(F.min("lo").alias("m"))
+        relink = (
+            e.join(mins, "hi")
+            .filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        )
+        keep = mins.select("hi", F.col("m").alias("lo"))
+        return relink.union(keep).distinct()
+
+    def checksum(e: DataFrame):
+        return e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(hi, lo))").alias("x"),
+        ).first()
+
+    # canonical directed edges (hi > lo); pairs are emitted doc_a < doc_b
+    e = (
+        pairs.select(F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo"))
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)  # auto-freed on GC (no persist leak)
+    )
+    prev = checksum(e)
     converged = False
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(
-                labels.select(F.col("id").alias("dst"), F.col("label").alias("nlabel")),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("nlabel").alias("nmin"))
-            .select(F.col("src").alias("id"), "nmin")
-        )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id", F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label")
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        # localCheckpoint each round: truncates the growing iterative lineage
+        # (without it the plan doubles per round and the optimizer dominates)
+        e_next = small_star(large_star(e)).localCheckpoint(eager=True)
+        cur = checksum(e_next)
+        e = e_next
+        if cur == prev:
             converged = True
             break
-    edges.unpersist()
+        prev = cur
     if not converged:
         raise RuntimeError(
-            f"duplicate_clusters did not converge in {max_iter} rounds — "
-            "component diameter exceeds max_iter; raise max_iter or use "
-            "large-star/small-star"
+            f"duplicate_clusters did not converge in {max_iter} rounds; "
+            "raise max_iter"
         )
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    # e is now a star forest: (member -> component-min root). Roots map to
+    # themselves via the left join + coalesce.
+    members = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    stars = e.select(F.col("hi").alias(id_col), F.col("lo").alias("__root"))
+    return members.join(stars, id_col, "left").select(
+        F.col(id_col), F.coalesce("__root", F.col(id_col)).alias("cluster_id")
+    )
+
+
+def _clusters_local(pairs: DataFrame, id_col: str) -> DataFrame:
+    """Driver-side union-find — small pair sets / interactive use only."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    rows = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).collect()
+    for r in rows:
+        a, b = find(r["src"]), find(r["dst"])
+        if a != b:
+            if b < a:
+                a, b = b, a
+            parent[b] = a
+    members = sorted({x for r in rows for x in (r["src"], r["dst"])})
+    spark = pairs.sparkSession
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = pairs.schema["doc_a"].dataType  # works for any id type
+    schema = StructType([StructField(id_col, id_type), StructField("cluster_id", id_type)])
+    return spark.createDataFrame([(m, find(m)) for m in members], schema)
 
 
 def exact_dedup(documents: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -213,7 +242,11 @@ def ngram_jaccard_pairs(
             word_ngrams(F.col(text_col), n).alias("__g"),
         )
         .filter(F.size("__g") > 0)
-        .persist()  # reused by both sides of the self-join
+        # localCheckpoint, not persist(): both sides of the self-join read it,
+        # and the checkpoint blocks are auto-freed by the ContextCleaner when
+        # the result DataFrame is garbage-collected — persist() would leak
+        # cached partitions across repeated calls in a long-lived session.
+        .localCheckpoint(eager=False)
     )
     a = g.alias("a")
     b = g.alias("b")
@@ -265,13 +298,15 @@ def minhash_signature_agg(
     hash-aggregate with map-side partial mins.
 
     Permutation family: hash the shingle ONCE (variable-length string), then
-    derive the i-th permutation as ``xxhash64(base + i)`` over the fixed-size
-    long — re-hashing the string per permutation costs ~2x the whole
-    aggregation. Output: id_col + columns __h0..__h{num_hashes-1}."""
+    derive the i-th permutation as ``xxhash64(base, i)`` over the fixed-size
+    longs — re-hashing the string per permutation costs ~2x the whole
+    aggregation, and hashing the *pair* (rather than ``base + i``) cannot
+    overflow under ANSI mode when base lands near Long.MAX.
+    Output: id_col + columns __h0..__h{num_hashes-1}."""
     based = shingle_rows.select(F.col(id_col), F.xxhash64("__s").alias("__base"))
     return based.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.col("__base") + F.lit(i))).alias(f"__h{i}")
+            F.min(F.xxhash64(F.col("__base"), F.lit(i))).alias(f"__h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -364,13 +399,14 @@ def minhash_lsh_pairs(
         .filter(est >= est_threshold)
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
-        .persist()
+        # Materialize the (tiny) survivor set once: it feeds three consumers
+        # below, and without a hard cut the banding + estimate joins would be
+        # recomputed per consumer (measured 3-4x the whole pipeline cost).
+        # localCheckpoint (vs persist) so the blocks are auto-freed when the
+        # result DataFrame is garbage-collected — no session-lifetime leak.
+        .localCheckpoint(eager=True)
     )
-    # Materialize the (tiny) survivor set once: it feeds three consumers
-    # below, and without a hard cut the banding + estimate joins would be
-    # recomputed per consumer (measured 3-4x the whole pipeline cost).
     # Signatures are no longer needed past this point — release the cache.
-    survivors.count()
     sig.unpersist()
     # Exact verification only for survivors: build shingle sets just for the
     # (few) docs involved, then exact jaccard.
@@ -397,24 +433,48 @@ def minhash_lsh_pairs(
 # --- SimHash ------------------------------------------------------------------
 
 
-def simhash64_agg(tokenized: DataFrame, id_col: str, tokens_col: str) -> DataFrame:
+def simhash64_agg(
+    tokenized: DataFrame, id_col: str, tokens_col: str, token_hash: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash via explode + hash aggregation (whole-stage codegen):
-    per bit k, sum +1/-1 according to bit k of each token's xxhash64, then
-    collapse the 64 signs into one long. Output: id_col, __sim."""
+    per bit k, sum +1/-1 according to bit k of each token's hash, then
+    collapse the 64 signs into one long. Output: id_col, __sim.
+
+    ``token_hash``: "xxhash64" (fast JVM path, default) or "md5" — the 64
+    bits are the first 16 hex digits of md5(token), 4 bits per digit. md5 is
+    reproducible by any SQL engine (DuckDB, Trino, Postgres), which makes the
+    simhash oracle-checkable cross-engine; xxhash64 is Spark-only.
+    """
     from functools import reduce
 
     tok = tokenized.select(F.col(id_col), F.explode(tokens_col).alias("__t"))
-    hashed = tok.select(id_col, F.xxhash64("__t").alias("__th"))
+    if token_hash == "md5":
+        # Two 32-bit words from the first 16 hex digits of md5(token): same
+        # aggregate shape as the xxhash64 path (shift/and on integer cols).
+        hashed = tok.select(id_col, F.md5("__t").alias("__h")).select(
+            id_col,
+            F.conv(F.substring("__h", 1, 8), 16, 10).cast("long").alias("__w0"),
+            F.conv(F.substring("__h", 9, 8), 16, 10).cast("long").alias("__w1"),
+        )
+
+        def bit(k: int):
+            return (
+                F.shiftright("__w0" if k < 32 else "__w1", k % 32)
+                .bitwiseAND(F.lit(1))
+                == 1
+            )
+
+    else:
+        hashed = tok.select(id_col, F.xxhash64("__t").alias("__th"))
+
+        def bit(k: int):
+            return F.shiftright("__th", k).bitwiseAND(F.lit(1)) == 1
+
     # (A count-weighted two-stage variant — fold duplicate tokens, then
     # weight the bit sums — measured SLOWER here: the extra exchange costs
     # more than the map-side partial aggregation saves.)
     counters = hashed.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("__th", k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"__b{k}")
-            for k in range(64)
-        ]
+        *[F.sum(F.when(bit(k), 1).otherwise(-1)).alias(f"__b{k}") for k in range(64)]
     )
     bits = [
         F.when(
@@ -431,18 +491,24 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_hamming.
 
     Pigeonhole banding: with 4 chunks of 16 bits, any pair within hamming 3
     agrees on at least one chunk — join on chunk equality, verify with
     bit_count(xor). Exact w.r.t. the simhash (banding loses nothing here).
+
+    ``token_hash="md5"`` makes the simhash cross-engine reproducible (see
+    simhash64_agg) at ~2x the hashing cost — use it for oracle checks;
+    the xxhash64 default is the production fast path.
     """
     w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     sh = simhash64_agg(
         documents.repartition(F.col(id_col)).select(F.col(id_col), w.alias("__tok")),
         id_col,
         "__tok",
+        token_hash=token_hash,
     )
     chunks = sh.select(
         id_col,

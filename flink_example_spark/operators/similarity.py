@@ -173,9 +173,10 @@ def ivf_cosine_topk(
     c = _prep(corpus, id_col, vec_col, "n")
     q = _prep(queries, id_col, vec_col, "q")
     # Deterministic centroid sample: the n_cells corpus vectors with the
-    # smallest xxhash64(id) — stable across executors, no RNG state.
+    # smallest md5(id) — stable across executors, no RNG state, and (unlike
+    # xxhash64) reproducible by any SQL engine for oracle checking.
     centroids = (
-        c.withColumn("__h", F.xxhash64(F.col("n_id")))
+        c.withColumn("__h", F.md5(F.col("n_id").cast("string")))
         .orderBy("__h")
         .limit(n_cells)
         .select(

@@ -97,17 +97,22 @@ def streaming_asof_join(
     no-temporal-leakage property, App.java:29-33), per-micro-batch evaluation
     is exact — no retraction handling is needed, which is precisely why the
     version-history formulation beats changelog replay.
+
+    foreachBatch is at-least-once: a failed/restarted micro-batch re-runs.
+    Writes are therefore keyed on ``batch_id`` (mode=overwrite into a
+    per-batch partition directory), so a replayed batch overwrites its own
+    prior output instead of duplicating rows — the same contract a
+    transactional sink (Delta/Iceberg) gives via (queryId, batchId) dedup.
     """
-    name = sink_table or f"stream_asof_{uuid.uuid4().hex[:8]}"
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    outdir = sink_table or f"/tmp/stream_asof_{uuid.uuid4().hex[:8]}"
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         out = asof_join(batch, versions, on=on, probe_time=probe_time, strategy="union")
-        out.write.mode("append").saveAsTable(name)
+        out.write.mode("overwrite").parquet(f"{outdir}/batch={batch_id}")
 
     q = probe_stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination()
-    return spark.table(name)
+    return spark.read.parquet(outdir).drop("batch")
 
 
 def run_streaming_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,20 +133,20 @@ def run_streaming_training_examples(spark: SparkSession, sf_dir: str) -> DataFra
     # deployment this is the upstream model-serving event stream.
     ex_batch = examples(ev_batch)
     tmpdir = f"/tmp/stream_examples_{uuid.uuid4().hex[:8]}"
-    ex_batch.repartition(8).write.mode("overwrite").parquet(tmpdir)
+    ex_batch.repartition(4).write.mode("overwrite").parquet(tmpdir)
     ex_stream = (
         spark.readStream.schema(ex_batch.schema)
         .option("maxFilesPerTrigger", 2)
         .parquet(tmpdir)
     )
-    sink = f"stream_training_{uuid.uuid4().hex[:8]}"
-    spark.sql(f"DROP TABLE IF EXISTS {sink}")
+    sink = f"/tmp/stream_training_{uuid.uuid4().hex[:8]}"
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         step1 = asof_join(batch, fh, on="_entity", probe_time="_prediction_time")
         step2 = asof_join(step1, th, on="_entity", probe_time="_label_time")
-        step2.write.mode("append").saveAsTable(sink)
+        # batch_id-keyed overwrite: idempotent under at-least-once replay
+        step2.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
 
     q = ex_stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination()
-    return spark.table(sink)
+    return spark.read.parquet(sink).drop("batch")

@@ -138,3 +138,23 @@ def test_inclusive_boundary_and_null_extension(spark, strategy):
     assert got == {1: 42, 2: None, 3: None}
     inner = asof_join(pdf, vdf, on="k", probe_time="t", how="inner", strategy=strategy)
     assert {r["pid"] for r in inner.collect()} == {1}
+
+
+def test_duplicate_version_rows_tie_break_deterministically(spark):
+    """Duplicate (key, version_time) rows: union and rank must pick the SAME
+    winner (max xxhash64 of the value struct), consistently across runs."""
+    versions = spark.createDataFrame(
+        [("a", BASE, 1), ("a", BASE, 2), ("a", BASE, 3)], VERSION_SCHEMA
+    )
+    probes = spark.createDataFrame(
+        [("a", 0, BASE + timedelta(hours=1))], PROBE_SCHEMA
+    )
+    winners = set()
+    for strategy in ("union", "rank"):
+        for _ in range(3):
+            rows = asof_join(
+                probes, versions, on="k", probe_time="t", strategy=strategy
+            ).collect()
+            assert len(rows) == 1
+            winners.add(rows[0]["v"])
+    assert len(winners) == 1, f"nondeterministic tie-break: {winners}"

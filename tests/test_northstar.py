@@ -210,3 +210,45 @@ def test_multimodal_decode_stub_raises(spark, docs):
     media = multimodal.documents_as_media(docs.select("doc_id", "text"))
     with pytest.raises(Exception, match="NotImplementedError|not available"):
         multimodal.decode_media(media, fake=False).collect()
+
+
+def test_duplicate_clusters_long_chain(spark):
+    """Star contraction must collapse a high-diameter component in O(log)
+    rounds — plain min-label propagation would need diameter rounds. Also
+    asserts nothing edge-sized is collected on the DEFAULT path."""
+    from pyspark.sql import DataFrame
+
+    n = 60  # chain 0-1-2-...-60 (diameter 60 >> max_iter)
+    chain = [(i, i + 1, 1.0) for i in range(n)] + [(100, 101, 1.0)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long, jaccard double")
+
+    collected_sizes = []
+    orig_collect = DataFrame.collect
+
+    def spy(self):
+        rows = orig_collect(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    DataFrame.collect = spy
+    try:
+        out = dedup.duplicate_clusters(pairs, max_iter=10)  # default method
+        rows = orig_collect(out)
+    finally:
+        DataFrame.collect = orig_collect
+    labels = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert labels == {**{i: 0 for i in range(n + 1)}, 100: 100, 101: 100}
+    # driver saw only scalar checksums (DataFrame.first goes through limit(1)
+    # plans, not DataFrame.collect on the edge set)
+    assert all(s <= 1 for s in collected_sizes), collected_sizes
+
+
+def test_simhash_md5_matches_xxhash_structure(spark, docs):
+    """The portable md5-token simhash finds the same identical-text dup as
+    the xxhash64 fast path (hamming 0 is hash-family-independent)."""
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, token_hash="md5").collect()
+    }
+    assert pairs[(0, 3)] == 0
+    assert all(h <= 3 for h in pairs.values())
