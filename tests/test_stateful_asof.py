@@ -20,7 +20,11 @@ from pyspark.sql.types import (
 
 from flink_example_spark.operators.asof import asof_join
 from flink_example_spark.plans.events_demo import examples, feature_history, load_events
-from flink_example_spark.streaming.stateful import stateful_asof, unify_streams
+from flink_example_spark.streaming.stateful import (
+    stateful_asof,
+    stateful_asof_tws,
+    unify_streams,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -34,7 +38,35 @@ OUT_SCHEMA = StructType(
 )
 
 
-def test_stateful_asof_converges_to_batch(spark):
+def _has_protobuf() -> bool:
+    # transformWithState's Python state-server client speaks protobuf; the
+    # implementation is gated on it being importable (not installable here).
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.parametrize(
+    "impl",
+    [
+        stateful_asof,
+        pytest.param(
+            stateful_asof_tws,
+            marks=pytest.mark.skipif(
+                not _has_protobuf(),
+                reason="transformWithState state client needs google.protobuf "
+                "(absent in this container; verified root cause: the TWS "
+                "driver worker crashes on `from google.protobuf import "
+                "descriptor`)",
+            ),
+        ),
+    ],
+    ids=["pandas_state", "transform_with_state"],
+)
+def test_stateful_asof_converges_to_batch(spark, impl):
     ev = load_events(spark, SF)
     fh = feature_history(ev)
     ex = examples(ev)
@@ -83,7 +115,7 @@ def test_stateful_asof_converges_to_batch(spark):
         .option("maxFilesPerTrigger", 1)
         .parquet(os.path.join(tmpdir, "chunk_*"))
     )
-    joined = stateful_asof(
+    joined = impl(
         stream,
         value_cols=["loss_value"],
         probe_cols=["_prediction_time", "_label_time"],
