@@ -224,6 +224,74 @@ def ivf_cosine_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-iteration k-means over DataFrame ops — the IVF coarse-quantizer
+    trainer (upgrade over the md5-sampled centroids in ivf_cosine_topk).
+
+    Each iteration: assign every vector to its nearest centroid (broadcast
+    centroids, cosine), then recompute centroids as the per-cell elementwise
+    mean via posexplode + (cell, dim) aggregation — two shuffles per round,
+    both map-side-combined; nothing vector-count-sized touches the driver.
+    Deterministic: seeds are the k corpus vectors with smallest md5(id), and
+    every aggregation is over doubles whose tie-order is fixed by (cell, pos)
+    keys. Output: (cell, c_vec, c_norm) — plug into ``ivf_cosine_topk``-style
+    assignment or use directly for partition pruning at query time.
+    """
+    c = _prep(corpus, id_col, vec_col, "n")
+    centroids = (
+        c.withColumn("__h", F.md5(F.col("n_id").cast("string")))
+        .orderBy("__h")
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("__h")).alias("cell"),
+            F.col("n_vec").alias("c_vec"),
+            l2_norm(F.col("n_vec")).alias("c_norm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        scored = c.crossJoin(F.broadcast(centroids)).select(
+            "n_id",
+            "n_vec",
+            "cell",
+            (dot(F.col("n_vec"), F.col("c_vec")) / (F.col("n_norm") * F.col("c_norm"))).alias(
+                "__csim"
+            ),
+        )
+        w = Window.partitionBy("n_id").orderBy(F.col("__csim").desc(), F.col("cell"))
+        assigned = scored.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") == 1)
+        # elementwise mean per cell: posexplode -> (cell, pos) partial sums
+        by_dim = (
+            assigned.select("cell", F.posexplode("n_vec").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            # decimal accumulation: double sums are partition-order-dependent
+            .agg(
+                F.sum(F.col("x").cast("decimal(28,12)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        centroids = (
+            by_dim.groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("pos", (F.col("s").cast("double") / F.col("n")).alias("m"))
+                    )
+                ).alias("__pm")
+            )
+            .select("cell", F.transform("__pm", lambda pm: pm["m"]).alias("c_vec"))
+            .select("cell", "c_vec", l2_norm(F.col("c_vec")).alias("c_norm"))
+            .localCheckpoint(eager=True)  # truncate iterative lineage
+        )
+    return centroids
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -239,6 +239,152 @@ TEMPLATES: dict[str, str] = {
         FROM orders
         GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
+    # Market-share shape (TPC-H Q8): conditional revenue share per year —
+    # ratio of two decimal sums, single double divide at the boundary.
+    "q8_market_share": """
+        SELECT l_year,
+               CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+                                  THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                    / CAST(SUM(rev) AS DOUBLE) AS DOUBLE) AS mkt_share
+        FROM (
+          SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS l_year,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS rev,
+                 n2.n_name AS supp_nation
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        )
+        GROUP BY l_year
+    """,
+    # Product-profit shape (TPC-H Q9; p_retailprice stands in for the absent
+    # partsupp supply cost): profit by supplier nation x year.
+    "q9_product_profit": """
+        SELECT n_name AS nation, CAST(YEAR(l_shipdate) AS INTEGER) AS o_year,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+                        - CAST(CAST(p_retailprice AS DECIMAL(18,2)) *
+                               CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_profit
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%a%'
+        GROUP BY n_name, YEAR(l_shipdate)
+    """,
+    # Returned-items top customers (TPC-H Q10 shape).
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, {_REV} AS revenue, n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= {{TS}} '1996-01-01 00:00:00'
+          AND o_orderdate < {{TS}} '1996-07-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    # Promo-revenue ratio (TPC-H Q14 shape): conditional sum / total sum.
+    "q14_promo_revenue": """
+        SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                               (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                               (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE)
+               AS DOUBLE) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= {TS} '1996-03-01 00:00:00'
+          AND l_shipdate < {TS} '1996-04-01 00:00:00'
+    """,
+    # Small-quantity-order revenue (TPC-H Q17 shape): correlated per-part
+    # average quantity via explicit aggregate join.
+    "q17_small_quantity_revenue": """
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                    / 7.0 AS DOUBLE) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN (
+          SELECT l_partkey AS agg_pk,
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                      / COUNT(*) AS DOUBLE) AS avg_qty
+          FROM lineitem GROUP BY l_partkey
+        ) a ON a.agg_pk = l_partkey
+        WHERE p_brand = 'Brand#1' AND l_quantity < 0.5 * avg_qty
+    """,
+    # Large-volume customers (TPC-H Q18 shape): HAVING over a grouped join,
+    # then top-k with unique tiebreaker.
+    "q18_large_volume_customers": """
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 120
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 50
+    """,
+    # Disjunctive multi-attribute predicates (TPC-H Q19 shape) — tests
+    # OR-of-ANDs pushdown and join predicate extraction.
+    "q19_disjunctive_revenue": f"""
+        SELECT {_REV} AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 5 AND l_quantity <= 25)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity >= 10 AND l_quantity <= 35)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+    # Dormant high-balance customers (TPC-H Q22 shape): scalar-subquery
+    # average + NOT EXISTS anti-correlation.
+    "q22_dormant_customers": """
+        SELECT c_mktsegment, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                       / COUNT(*) AS DOUBLE)
+                           FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+                          AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+    """,
+    # Event-time RANGE frame (W-class): per-user rolling 1-hour sums — the
+    # time-interval window frame Spark and DuckDB both evaluate over peers.
+    "time_range_window_sums": """
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS hour_sum,
+               COUNT(*) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS hour_n
+        FROM events
+    """,
+    # Distribution analytics (W-class): NTILE / PERCENT_RANK / CUME_DIST /
+    # FIRST_VALUE with fully-tiebroken ordering.
+    "analytic_distribution": """
+        SELECT l_orderkey, l_linenumber,
+               NTILE(4) OVER w AS price_quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume,
+               FIRST_VALUE(l_orderkey) OVER w AS cheapest_order
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+    """,
     # Scalar expression breadth (P1/F-class): string/date/case/null functions.
     "scalar_functions": """
         SELECT o_orderkey,

@@ -252,3 +252,35 @@ def test_simhash_md5_matches_xxhash_structure(spark, docs):
     }
     assert pairs[(0, 3)] == 0
     assert all(h <= 3 for h in pairs.values())
+
+
+def test_kmeans_centroids_improve_distortion(spark):
+    """Lloyd iterations must not worsen mean assignment similarity, stay at
+    exactly k cells, and be deterministic across runs."""
+    from flink_example_spark.operators import similarity
+    from flink_example_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def mean_sim(cent):
+        c = similarity._prep(embs, "vec_id", "embedding", "n")
+        scored = c.crossJoin(F.broadcast(cent)).select(
+            "n_id",
+            (
+                similarity.dot(F.col("n_vec"), F.col("c_vec"))
+                / (F.col("n_norm") * F.col("c_norm"))
+            ).alias("s"),
+        )
+        best = scored.groupBy("n_id").agg(F.max("s").alias("b"))
+        return best.agg(F.avg("b")).first()[0]
+
+    c0 = similarity.kmeans_centroids(embs, k=8, iters=0)
+    c3 = similarity.kmeans_centroids(embs, k=8, iters=3)
+    assert c0.count() == 8 and c3.count() == 8
+    s0, s3 = mean_sim(c0), mean_sim(c3)
+    assert s3 >= s0 - 1e-9, (s0, s3)
+    # deterministic re-run
+    c3b = similarity.kmeans_centroids(embs, k=8, iters=3)
+    rows_a = sorted((r["cell"], tuple(r["c_vec"])) for r in c3.collect())
+    rows_b = sorted((r["cell"], tuple(r["c_vec"])) for r in c3b.collect())
+    assert rows_a == rows_b
