@@ -111,7 +111,7 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pyspark.sql import functions as F
 
-    from flink_example_spark.operators import dedup, multimodal, similarity, text
+    from flink_example_spark.operators import curation, dedup, multimodal, similarity, text
 
     def text_q(col_fn, out_name):
         def fn(spark, sf_dir):
@@ -195,7 +195,32 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": emb_pairs,
         "multimodal_stats": mm_stats,
         "multimodal_decode": mm_decode,
+        # corpus curation (operators/curation.py): benchmark = every doc_id
+        # divisible by 7 (deterministic holdout), corpus = the rest.
+        "curation_decontaminate": lambda spark, sf_dir: curation.decontaminate(
+            _docs(spark, sf_dir).filter(F.col("doc_id") % 7 != 0),
+            _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0),
+            n=8,
+        ),
+        "curation_shared_spans": lambda spark, sf_dir: curation.shared_spans(
+            _docs(spark, sf_dir), n=8, min_docs=2
+        ),
+        "curation_repetition": lambda spark, sf_dir: curation.repetition_stats(
+            _docs(spark, sf_dir), n=2
+        ),
+        "curation_redaction": lambda spark, sf_dir: curation.redaction_stats(
+            _docs(spark, sf_dir), pattern=_BLOCKLIST_PATTERN
+        ),
+        "curation_gopher_filter": lambda spark, sf_dir: curation.gopher_flags(
+            _docs(spark, sf_dir)
+        ),
     }
+
+
+# Blocklist-redaction demo pattern: the fixture corpus has no synthetic PII,
+# so the driver query scrubs a term blocklist through the same machinery the
+# EMAIL/PHONE defaults use (tests/test_curation.py covers real PII strings).
+_BLOCKLIST_PATTERN = r"\b(customer|secret|merge)\b"
 
 
 _DUCK_COS = (
@@ -320,6 +345,15 @@ def _northstar_oracles() -> dict[str, str]:
     out["dedup_simhash"] = _simhash_md5_oracle()
     out["ann_lsh_topk"] = _lsh_topk_oracle()
     out["ann_ivf_topk"] = _ivf_topk_oracle()
+    from flink_example_spark.operators import curation
+
+    out["curation_decontaminate"] = curation.decontamination_oracle(n=8, bench_mod=7)
+    out["curation_shared_spans"] = curation.shared_spans_oracle(n=8, min_docs=2)
+    out["curation_repetition"] = curation.repetition_oracle(n=2)
+    out["curation_redaction"] = curation.redaction_oracle(
+        _BLOCKLIST_PATTERN, "[REDACTED]"
+    )
+    out["curation_gopher_filter"] = curation.GOPHER_ORACLE
     return out
 
 

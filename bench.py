@@ -41,6 +41,9 @@ HEADLINE = [
     "dedup_simhash",
     "text_fingerprint",
     "text_quality_score",
+    "curation_decontaminate",
+    "curation_shared_spans",
+    "curation_repetition",
     "ann_cosine_topk",
     "multimodal_stats",
 ]

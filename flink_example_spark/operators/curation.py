@@ -1,0 +1,316 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+The steps a web-scale pretraining pipeline runs between raw crawl and
+training shards — benchmark decontamination, boilerplate span detection,
+within-document repetition scoring, PII / blocklist redaction, and
+Gopher-style rule filtering. All hot-path logic is JVM-side Catalyst
+expressions (explode + codegen, no Python UDFs), and every operator has a
+DuckDB oracle template (CURATION_ORACLES) built from the same definition so
+the driver's t2 gate hash-matches.
+
+Scale design (100 TB posture):
+- n-gram generation is explode(sequence) + element_at concat — whole-stage
+  codegen rows, never higher-order array lambdas (interpreted; measured
+  10-30x slower on this box for the shingling analog).
+- decontamination joins the corpus n-gram stream against the benchmark
+  n-gram SET: the benchmark side (eval suites: MMLU/GSM8K/... ~1e6 n-grams)
+  is broadcast, so the corpus side streams map-side with NO shuffle. If the
+  benchmark outgrows broadcast, swap to a hash join on xxhash64(ngram) —
+  the join column should then be the 8-byte hash, not the string.
+- shared-span detection is one hash aggregation keyed on the span; at
+  100 TB carry xxhash64(span) through the shuffle instead of the string
+  (shrinks shuffle bytes ~10x) and resolve strings only for the survivors.
+- repetition / redaction / rule filters are per-row projections or a single
+  map-side-combined aggregation — embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_example_spark.operators.text import (
+    STOPWORDS,
+    alpha_ratio,
+    token_count,
+)
+
+# --- word n-gram row stream (codegen) ----------------------------------------
+
+
+def exploded_word_ngrams(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """(id, ngram) rows of word n-grams over whitespace tokens, via
+    explode(sequence) + element_at — whole-stage codegen end to end.
+    Documents with fewer than n tokens produce no rows (the size guard also
+    avoids Spark's descending ``sequence(a, b)`` when a > b)."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        documents.select(F.col(id_col), w.alias("__w"))
+        .filter(F.size("__w") >= n)
+        .select(
+            F.col(id_col),
+            F.col("__w"),
+            F.explode(F.sequence(F.lit(1), F.size("__w") - (n - 1))).alias("__i"),
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ", *[F.element_at("__w", F.col("__i") + j) for j in range(n)]
+            ).alias("__g"),
+        )
+    )
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/test decontamination: for every corpus document sharing at
+    least one word n-gram with the benchmark set, return the count of
+    distinct overlapping n-grams. Documents with no overlap are absent
+    (join-then-aggregate keeps the output proportional to contamination,
+    not corpus size).
+
+    The benchmark n-gram set is broadcast — the corpus n-gram stream is
+    filtered map-side with no shuffle of corpus data; the only exchange is
+    the per-document count aggregation over the (tiny) hit stream.
+    """
+    doc_g = exploded_word_ngrams(corpus, id_col, text_col, n)
+    bench_g = exploded_word_ngrams(benchmark, id_col, text_col, n).select("__g").distinct()
+    return (
+        doc_g.join(F.broadcast(bench_g), "__g")
+        .groupBy(id_col)
+        .agg(F.countDistinct("__g").alias("n_contaminated"))
+    )
+
+
+# --- cross-document span dedup (C4-style boilerplate detection) --------------
+
+
+def shared_spans(
+    documents: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Word n-gram spans appearing in >= min_docs distinct documents —
+    the C4/RefinedWeb "repeated line/paragraph" boilerplate signal, at
+    n-gram granularity. Output: span, n_docs, n_occurrences.
+
+    One hash aggregation keyed on the span (map-side combined). At 100 TB,
+    shuffle xxhash64(span) instead of the string and resolve surviving
+    spans by a second (tiny) join.
+    """
+    g = exploded_word_ngrams(documents, id_col, text_col, n)
+    return (
+        g.groupBy("__g")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(F.col("__g").alias("span"), "n_docs", "n_occurrences")
+    )
+
+
+# --- within-document repetition (Gopher-style) -------------------------------
+
+
+def repetition_stats(
+    documents: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram repetition: total n-grams, distinct n-grams, and
+    rep_ratio = 1 - distinct/total (the Gopher "fraction of duplicate
+    n-grams" quality signal). Documents with fewer than n tokens are
+    excluded. Single map-side-combined aggregation."""
+    g = exploded_word_ngrams(documents, id_col, text_col, n)
+    return (
+        g.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.countDistinct("__g").alias("n_distinct"),
+        )
+        .select(
+            F.col(id_col),
+            "n_ngrams",
+            "n_distinct",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_ngrams").cast("double")
+            ).alias("rep_ratio"),
+        )
+    )
+
+
+# --- PII / blocklist redaction -----------------------------------------------
+
+# Default PII patterns, restricted to constructs java.util.regex (Spark) and
+# RE2 (DuckDB/Trino) interpret identically: character classes, bounded
+# repetition, alternation, \b word boundaries. No backrefs, no lookaround.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9()\- ]{6,14}[0-9]"
+
+
+def regex_redact(text: Column, pattern: str, replacement: str = "[REDACTED]") -> Column:
+    """Replace every match of ``pattern`` (global) with ``replacement`` —
+    pure Catalyst regexp_replace, codegen, no Python."""
+    return F.regexp_replace(text, pattern, replacement)
+
+
+def redaction_stats(
+    documents: DataFrame,
+    pattern: str,
+    replacement: str = "[REDACTED]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document redaction audit: match count and the fingerprint of the
+    redacted text (md5 — cross-engine reproducible). The scrub itself is a
+    projection; run it inline in the write path at scale, never as a
+    separate pass over the corpus."""
+    t = F.col(text_col)
+    return documents.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(pattern), F.lit(0))).alias("n_redactions"),
+        F.md5(regex_redact(t, pattern, replacement)).alias("redacted_fp"),
+    )
+
+
+# --- Gopher-style rule filter ------------------------------------------------
+
+
+def gopher_flags(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document quality-rule flags (Gopher §A1-style): token-count
+    bounds, mean word length band, alphabetic ratio, and an
+    English-function-word requirement; ``passes`` is the conjunction.
+    Pure per-row projection — embarrassingly parallel."""
+    t = F.col(text_col)
+    nt = token_count(t).cast("double")
+    # mean word length over non-whitespace characters
+    mean_wl = F.length(F.regexp_replace(t, r"\s", "")).cast("double") / F.greatest(
+        nt, F.lit(1.0)
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.split(F.trim(t), r"\s+"),
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    )
+    flags = {
+        "r_min_tokens": nt >= 15,
+        "r_max_tokens": nt <= 400,
+        "r_word_len": (mean_wl >= 2.0) & (mean_wl <= 10.0),
+        "r_alpha": alpha_ratio(t) >= 0.6,
+        "r_stopword": stop_hits >= 1,
+    }
+    out = documents.select(
+        F.col(id_col), *[v.alias(k) for k, v in flags.items()]
+    )
+    passes = F.lit(True)
+    for k in flags:
+        passes = passes & F.col(k)
+    return out.withColumn("passes", passes)
+
+
+# --- DuckDB oracle templates (same definitions, SQL dialect) ----------------
+
+
+def _duck_ngrams(n: int) -> str:
+    """List comprehension over 1-based inclusive slices: w[i:i+(n-1)] is n
+    tokens; i ranges 1 .. len(w)-(n-1)."""
+    return (
+        f"[array_to_string(w[i:i+{n - 1}], ' ') FOR i IN range(1, len(w) - {n - 2})]"
+    )
+
+
+_DUCK_W = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _duck_gram_rows(n: int, where: str = "") -> str:
+    return f"""
+        SELECT doc_id, unnest({_duck_ngrams(n)}) AS g
+        FROM (SELECT doc_id, {_DUCK_W} AS w FROM documents {where})
+        WHERE len(w) >= {n}
+    """
+
+
+def decontamination_oracle(n: int, bench_mod: int) -> str:
+    return f"""
+        WITH grams AS ({_duck_gram_rows(n)}),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {bench_mod} = 0),
+        corpus AS (SELECT * FROM grams WHERE doc_id % {bench_mod} <> 0)
+        SELECT corpus.doc_id, COUNT(DISTINCT corpus.g) AS n_contaminated
+        FROM corpus JOIN bench USING (g)
+        GROUP BY corpus.doc_id
+    """
+
+
+def shared_spans_oracle(n: int, min_docs: int) -> str:
+    return f"""
+        SELECT g AS span, COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_occurrences
+        FROM ({_duck_gram_rows(n)})
+        GROUP BY g HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+    """
+
+
+def repetition_oracle(n: int) -> str:
+    return f"""
+        SELECT doc_id, COUNT(*) AS n_ngrams, COUNT(DISTINCT g) AS n_distinct,
+               1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS rep_ratio
+        FROM ({_duck_gram_rows(n)})
+        GROUP BY doc_id
+    """
+
+
+def redaction_oracle(pattern: str, replacement: str) -> str:
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{pattern}')) AS INTEGER)
+                 AS n_redactions,
+               md5(regexp_replace(text, '{pattern}', '{replacement}', 'g'))
+                 AS redacted_fp
+        FROM documents
+    """
+
+
+_DUCK_NTOK_D = (
+    "CAST(CASE WHEN len(trim(text)) = 0 THEN 0"
+    f" ELSE len({_DUCK_W}) END AS DOUBLE)"
+)
+_DUCK_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+GOPHER_ORACLE = f"""
+    SELECT doc_id,
+           nt >= 15 AS r_min_tokens,
+           nt <= 400 AS r_max_tokens,
+           mwl >= 2.0 AND mwl <= 10.0 AS r_word_len,
+           alpha >= 0.6 AS r_alpha,
+           s_en >= 1 AS r_stopword,
+           (nt >= 15 AND nt <= 400 AND mwl >= 2.0 AND mwl <= 10.0
+            AND alpha >= 0.6 AND s_en >= 1) AS passes
+    FROM (
+      SELECT doc_id, {_DUCK_NTOK_D} AS nt,
+             CAST(len(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+               / greatest({_DUCK_NTOK_D}, 1.0) AS mwl,
+             CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(len(text), 1) AS DOUBLE) AS alpha,
+             len(list_distinct(list_intersect({_DUCK_W}, [{_DUCK_EN}]))) AS s_en
+      FROM documents
+    )
+"""

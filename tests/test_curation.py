@@ -1,0 +1,100 @@
+"""Corpus-curation operator tests: decontamination, shared spans,
+repetition, PII/blocklist redaction, Gopher-style rule flags."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_example_spark.operators import curation
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # 0 and 1 share an 8-gram span ("alpha beta ... theta")
+        (0, "alpha beta gamma delta epsilon zeta eta theta unique tail zero"),
+        (1, "prefix one alpha beta gamma delta epsilon zeta eta theta"),
+        # 2: heavy within-doc repetition
+        (2, "spam spam spam spam spam spam spam spam spam spam"),
+        # 3: too short for 8-grams
+        (3, "tiny doc"),
+        # 4: disjoint content
+        (4, "the quick brown fox jumps over the lazy dog again today"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exploded_word_ngrams_counts(spark, corpus):
+    g = curation.exploded_word_ngrams(corpus, n=8)
+    counts = {r["doc_id"]: r["n"] for r in g.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    # len(words) - 8 + 1 n-grams; doc 3 (2 words) absent
+    assert counts == {0: 4, 1: 3, 2: 3, 4: 4}
+    first = (
+        g.filter(F.col("doc_id") == 0)
+        .orderBy("__g")
+        .first()["__g"]
+    )
+    assert len(first.split(" ")) == 8
+
+
+def test_decontaminate_flags_overlap(spark, corpus):
+    bench = corpus.filter(F.col("doc_id") == 0)
+    rest = corpus.filter(F.col("doc_id") != 0)
+    out = curation.decontaminate(rest, bench, n=8).collect()
+    # only doc 1 shares an 8-gram with the benchmark doc
+    assert {(r["doc_id"], r["n_contaminated"]) for r in out} == {(1, 1)}
+
+
+def test_shared_spans_cross_doc(spark, corpus):
+    out = curation.shared_spans(corpus, n=8, min_docs=2).collect()
+    spans = {r["span"]: (r["n_docs"], r["n_occurrences"]) for r in out}
+    assert spans == {"alpha beta gamma delta epsilon zeta eta theta": (2, 2)}
+
+
+def test_repetition_stats(spark, corpus):
+    out = {r["doc_id"]: r for r in curation.repetition_stats(corpus, n=2).collect()}
+    # doc 2: nine 2-grams, all identical
+    assert out[2]["n_ngrams"] == 9 and out[2]["n_distinct"] == 1
+    assert out[2]["rep_ratio"] == pytest.approx(1 - 1 / 9)
+    # doc 4 repeats "the" but no 2-gram; fully distinct
+    assert out[4]["rep_ratio"] == 0.0
+    # doc 3 (2 words) has exactly one 2-gram
+    assert out[3]["n_ngrams"] == 1 and out[3]["n_distinct"] == 1
+
+
+def test_pii_redaction_real_patterns(spark):
+    rows = [
+        (0, "contact me at jane.doe+x@example.co.uk or +1 (555) 123-4567 ok"),
+        (1, "no pii here"),
+        (2, "two mails a@b.io c@d.org"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    emails = curation.redaction_stats(df, curation.EMAIL_PATTERN, "[EMAIL]")
+    got = {r["doc_id"]: r["n_redactions"] for r in emails.collect()}
+    assert got == {0: 1, 1: 0, 2: 2}
+    redacted = df.select(
+        "doc_id", curation.regex_redact(F.col("text"), curation.EMAIL_PATTERN, "[EMAIL]").alias("t")
+    )
+    t0 = {r["doc_id"]: r["t"] for r in redacted.collect()}
+    assert t0[2] == "two mails [EMAIL] [EMAIL]"
+    phones = curation.redaction_stats(df, curation.PHONE_PATTERN, "[PHONE]")
+    assert {r["doc_id"]: r["n_redactions"] for r in phones.collect()}[0] == 1
+
+
+def test_gopher_flags(spark, corpus):
+    out = {r["doc_id"]: r for r in curation.gopher_flags(corpus).collect()}
+    # doc 3 ("tiny doc") fails the min-token rule
+    assert not out[3]["r_min_tokens"] and not out[3]["passes"]
+    # doc 4 has English stopwords and sane shape but only 11 tokens
+    assert out[4]["r_stopword"] and not out[4]["r_min_tokens"]
+    # every flag column is boolean and passes == conjunction
+    for r in out.values():
+        conj = (
+            r["r_min_tokens"]
+            and r["r_max_tokens"]
+            and r["r_word_len"]
+            and r["r_alpha"]
+            and r["r_stopword"]
+        )
+        assert r["passes"] == conj
