@@ -359,6 +359,105 @@ TEMPLATES: dict[str, str] = {
                           AND o_orderpriority = '1-URGENT')
         GROUP BY c_mktsegment
     """,
+    # Group-share HAVING over a scalar subquery (TPC-H Q11 shape; lineitem
+    # supply value stands in for the absent partsupp table).
+    "q11_important_stock": """
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+        HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > (
+          SELECT 0.001 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                                  CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3'
+        )
+    """,
+    # Two-level conditional counts per category (TPC-H Q12 shape;
+    # l_linestatus stands in for the absent l_shipmode column).
+    "q12_priority_by_status": """
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= {TS} '1996-01-01 00:00:00'
+          AND l_shipdate < {TS} '1997-01-01 00:00:00'
+        GROUP BY l_linestatus
+    """,
+    # Top supplier(s) via derived revenue view + scalar MAX (TPC-H Q15
+    # shape) — ties all included, deterministic without a tiebreaker.
+    "q15_top_supplier": f"""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no, {_REV} AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= {{TS}} '1996-01-01 00:00:00'
+            AND l_shipdate < {{TS}} '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    # Distinct-supplier counts per part attribute with a NOT IN exclusion
+    # subquery (TPC-H Q16 shape).
+    "q16_parts_supplier_counts": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+          )
+        GROUP BY p_brand, p_type, p_size
+    """,
+    # Nested-IN supplier qualification with a grouped HAVING threshold
+    # (TPC-H Q20 shape): suppliers who moved real volume of 'a'-parts.
+    "q20_volume_suppliers": """
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE '%a%'
+            AND l_shipdate >= {TS} '1996-01-01 00:00:00'
+            AND l_shipdate < {TS} '1997-01-01 00:00:00'
+          GROUP BY l_suppkey
+          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 100.0
+        )
+    """,
+    # EXISTS + NOT EXISTS over self-joined lineitem (TPC-H Q21 shape):
+    # suppliers solely responsible for returns in multi-supplier orders.
+    "q21_sole_returner": """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s_name
+    """,
     # Event-time RANGE frame (W-class): per-user rolling 1-hour sums — the
     # time-interval window frame Spark and DuckDB both evaluate over peers.
     "time_range_window_sums": """
