@@ -548,9 +548,16 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         run_streaming_training_examples,
     )
 
+    from flink_example_spark.streaming.incremental import (
+        run_incremental_feature_history,
+    )
+
     return {
         "streaming_features_agg": run_streaming_features,
         "streaming_training_examples": run_streaming_training_examples,
+        # incremental feature-cache maintenance: converges exactly to the
+        # batch feature_history relation → shares its oracle
+        "streaming_incremental_history": run_incremental_feature_history,
     }
 
 
@@ -590,6 +597,7 @@ def oracle_sql() -> dict[str, str]:
     # Streaming runs converge to the batch results → same oracles.
     out["streaming_features_agg"] = out["features_agg"]
     out["streaming_training_examples"] = out["training_examples"]
+    out["streaming_incremental_history"] = out["feature_history"]
     return out
 
 
