@@ -62,6 +62,59 @@ def test_q1_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_q10_q19_broadcast_and_pushdown(spark):
+    from flink_example_spark.plans.relational import run_sql
+
+    p10 = physical(run_sql(spark, SF, "q10_returned_items"))
+    assert "BroadcastHashJoin" in p10  # nation (25 rows) must broadcast
+    p19 = physical(run_sql(spark, SF, "q19_disjunctive_revenue"))
+    # the OR-of-ANDs still pushes single-column bounds to the scan and
+    # broadcasts the part side
+    assert "PushedFilters" in p19 and "BroadcastHashJoin" in p19
+
+
+def test_q21_no_cartesian(spark):
+    """EXISTS/NOT EXISTS self-joins must plan as semi/anti hash joins —
+    never a nested-loop/cartesian (the 100TB killer)."""
+    from flink_example_spark.plans.relational import run_sql
+
+    plan = physical(run_sql(spark, SF, "q21_sole_returner"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curation_projections_shuffle_free(spark):
+    """Per-row curation ops (rule filter, redaction) must plan with ZERO
+    exchanges — embarrassingly parallel at any scale."""
+    from flink_example_spark.operators import curation
+    from flink_example_spark.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    assert physical(curation.gopher_flags(d)).count("Exchange") == 0
+    assert (
+        physical(curation.redaction_stats(d, pattern=r"\b(customer)\b")).count("Exchange")
+        == 0
+    )
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark n-gram set must broadcast: the corpus n-gram stream is
+    filtered map-side; the only exchanges are the benchmark-set distinct and
+    the per-doc hit aggregation — never a corpus-sized shuffle before the
+    join."""
+    from flink_example_spark.operators import curation
+    from flink_example_spark.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    plan = physical(
+        curation.decontaminate(
+            d.filter(F.col("doc_id") % 7 != 0), d.filter(F.col("doc_id") % 7 == 0), n=8
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange") <= 4
+
+
 def test_asof_salted_partitions_on_salt(spark):
     """salt=N must show up in the shuffle key: the Exchange partitions on
     (keys..., __asof_salt) so a hot entity spreads across N sub-partitions,
