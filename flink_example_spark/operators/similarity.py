@@ -160,11 +160,17 @@ def ivf_cosine_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors are assigned to the
-    nearest of ``n_cells`` centroids (deterministically sampled corpus
-    vectors — an IVF-lite coarse quantizer; k-means refinement is a drop-in
-    upgrade); each query scores only the ``n_probe`` nearest cells.
+    nearest of ``n_cells`` centroids; each query scores only the ``n_probe``
+    nearest cells.
+
+    ``centroids``: a trained coarse quantizer ``(cell, c_vec, c_norm)`` —
+    pass ``kmeans_centroids(corpus)`` for the Lloyd-refined cells. Default
+    (None) samples the n_cells corpus vectors with smallest md5(id) —
+    deterministic, no RNG state, and (unlike xxhash64) reproducible by any
+    SQL engine for oracle checking.
 
     One corpus shuffle on cell id; per-query work drops from |corpus| to
     ~|corpus|*n_probe/n_cells. Recall < 1 by construction (rows-only check;
@@ -172,19 +178,17 @@ def ivf_cosine_topk(
     """
     c = _prep(corpus, id_col, vec_col, "n")
     q = _prep(queries, id_col, vec_col, "q")
-    # Deterministic centroid sample: the n_cells corpus vectors with the
-    # smallest md5(id) — stable across executors, no RNG state, and (unlike
-    # xxhash64) reproducible by any SQL engine for oracle checking.
-    centroids = (
-        c.withColumn("__h", F.md5(F.col("n_id").cast("string")))
-        .orderBy("__h")
-        .limit(n_cells)
-        .select(
-            F.row_number().over(Window.orderBy("__h")).alias("cell"),
-            F.col("n_vec").alias("c_vec"),
-            F.col("n_norm").alias("c_norm"),
+    if centroids is None:
+        centroids = (
+            c.withColumn("__h", F.md5(F.col("n_id").cast("string")))
+            .orderBy("__h")
+            .limit(n_cells)
+            .select(
+                F.row_number().over(Window.orderBy("__h")).alias("cell"),
+                F.col("n_vec").alias("c_vec"),
+                F.col("n_norm").alias("c_norm"),
+            )
         )
-    )
 
     def nearest_cells(side_vec: str, side_norm: str, n_keep: int, df: DataFrame) -> DataFrame:
         scored = df.crossJoin(F.broadcast(centroids)).select(

@@ -254,6 +254,38 @@ def test_simhash_md5_matches_xxhash_structure(spark, docs):
     assert all(h <= 3 for h in pairs.values())
 
 
+def test_ann_recall_vs_exact(spark):
+    """recall@k of every approximate path against the exact baseline; the
+    kmeans-trained IVF must not lag the sampled-centroid IVF materially."""
+    from flink_example_spark.operators import similarity
+    from flink_example_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = embs.filter(F.col("vec_id") < 8)
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = pairs(similarity.cosine_topk(embs, queries, k=5))
+    assert len(exact) == 8 * 5
+
+    def recall(df):
+        return len(pairs(df) & exact) / len(exact)
+
+    # LSH: each added plane halves the candidate set — recall must follow
+    # the tradeoff curve (monotone non-increasing), and the coarse setting
+    # must retain a meaningful fraction on these near-random embeddings.
+    r_lsh = {p: recall(similarity.lsh_cosine_topk(embs, queries, k=5, n_planes=p)) for p in (2, 3, 4)}
+    assert r_lsh[2] >= r_lsh[3] >= r_lsh[4], r_lsh
+    assert r_lsh[2] > 0.3, r_lsh
+    r_ivf = recall(similarity.ivf_cosine_topk(embs, queries, k=5))
+    km = similarity.kmeans_centroids(embs, k=16, iters=2)
+    r_kivf = recall(similarity.ivf_cosine_topk(embs, queries, k=5, centroids=km))
+    # IVF probes n_probe/n_cells of the corpus; training must not hurt
+    assert r_ivf > 0.4, r_ivf
+    assert r_kivf >= r_ivf - 0.15, (r_kivf, r_ivf)
+
+
 def test_kmeans_centroids_improve_distortion(spark):
     """Lloyd iterations must not worsen mean assignment similarity, stay at
     exactly k cells, and be deterministic across runs."""
