@@ -558,7 +558,16 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental feature-cache maintenance: converges exactly to the
         # batch feature_history relation → shares its oracle
         "streaming_incremental_history": run_incremental_feature_history,
+        # dedup-on-ingest: running (content → min id, copies) aggregate;
+        # converges exactly to batch exact_dedup → shares its oracle
+        "streaming_dedup_exact": _run_streaming_dedup,
     }
+
+
+def _run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.dedup_stream import run_streaming_exact_dedup
+
+    return run_streaming_exact_dedup(spark, sf_dir)
 
 
 _FH_SQL = """
@@ -598,6 +607,7 @@ def oracle_sql() -> dict[str, str]:
     out["streaming_features_agg"] = out["features_agg"]
     out["streaming_training_examples"] = out["training_examples"]
     out["streaming_incremental_history"] = out["feature_history"]
+    out["streaming_dedup_exact"] = out["dedup_exact"]
     return out
 
 

@@ -1,0 +1,131 @@
+"""Streaming deduplication — dedup-on-ingest for a document stream.
+
+Two complementary shapes, both pure Structured Streaming built-ins (state
+lives in the JVM state store; no Python in the hot path):
+
+- ``streaming_exact_dedup``: the batch ``exact_dedup`` relation maintained
+  as a streaming grouped aggregate keyed on the content hash — min-id keeper
+  and copy count update as documents arrive. Complete/update output; the
+  production sink is a KV upsert (update mode), the bounded-replay harness
+  uses complete mode into a memory sink and converges EXACTLY to batch.
+- ``streaming_first_seen``: emit only the first document seen per content
+  hash (append mode) — the ingest-time filter that keeps duplicate payloads
+  out of downstream storage entirely. ``dropDuplicates`` keyed on the hash;
+  at unbounded scale use ``dropDuplicatesWithinWatermark`` so state ages out
+  (exactness then holds within the watermark horizon — the standard
+  trade-off).
+
+Scale: both are one shuffle on the content hash — the same exchange the
+batch aggregate needs; state per key is O(1) (keeper id + count / presence
+bit).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time as _time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_example_spark.session import tune
+
+
+def streaming_exact_dedup(
+    doc_stream: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Running (content_md5 → min id, copy count) aggregate over a document
+    stream; same output columns as the batch ``exact_dedup``."""
+    return (
+        doc_stream.groupBy(F.md5(F.col(content_col)).alias("content_md5"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "content_md5", "n_copies")
+    )
+
+
+def streaming_first_seen(
+    doc_stream: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """First document per distinct content, in arrival order (append mode).
+    Unbounded streams should add a watermark column and use
+    ``dropDuplicatesWithinWatermark`` to bound state."""
+    return doc_stream.withColumn("content_md5", F.md5(F.col(content_col))).dropDuplicates(
+        ["content_md5"]
+    )
+
+
+def _stage_by_id(spark: SparkSession, sf_dir: str, chunks: int) -> tuple[str, object]:
+    """Stage the documents table as id-ordered chunk files so arrival order
+    follows doc_id (first-seen == min-id). Range filters only — no row data
+    crosses the driver."""
+    from flink_example_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmpdir = tempfile.mkdtemp(prefix="stream_dedup_")
+    cuts = (
+        docs.agg(
+            F.percentile_approx(
+                F.col("doc_id").cast("double"), [i / chunks for i in range(1, chunks)], 10000
+            )
+        ).first()[0]
+        if chunks > 1
+        else []
+    )
+    bounds = [None, *cuts, None]
+    for i in range(chunks):
+        part = docs
+        if bounds[i] is not None:
+            part = part.filter(F.col("doc_id").cast("double") >= bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("doc_id").cast("double") < bounds[i + 1])
+        part.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmpdir, f"chunk_{i}"))
+        _time.sleep(0.05)
+    return tmpdir, docs.schema
+
+
+def run_streaming_exact_dedup(spark: SparkSession, sf_dir: str, chunks: int = 3) -> DataFrame:
+    """Bounded replay of the documents table through the streaming dedup
+    aggregate; converges exactly to the batch ``exact_dedup`` relation."""
+    tune(spark)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_streaming_first_seen(spark: SparkSession, sf_dir: str, chunks: int = 3) -> DataFrame:
+    """Bounded replay through the first-seen filter; with id-ordered arrival
+    the kept ids equal the batch min-id keeper set."""
+    tune(spark)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    name = f"stream_first_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_first_seen(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
