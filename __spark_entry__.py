@@ -145,6 +145,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         feats = multimodal.decode_media(media, dim=16, fake=True)
         return feats.select("media_id", "media_type", "meta_n_bytes", F.size("feature").alias("dim"))
 
+    def mm_frames(spark, sf_dir):
+        media = multimodal.documents_as_media(_docs(spark, sf_dir))
+        return multimodal.sample_frames(media, n_frames=4, fake=True)
+
     def top_terms(spark, sf_dir):
         """Term frequency: top 5 tokens per language (ties broken by term)."""
         from pyspark.sql import Window
@@ -195,6 +199,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": emb_pairs,
         "multimodal_stats": mm_stats,
         "multimodal_decode": mm_decode,
+        "multimodal_frames": mm_frames,
         # corpus curation (operators/curation.py): benchmark = every doc_id
         # divisible by 7 (deterministic holdout), corpus = the rest.
         "curation_decontaminate": lambda spark, sf_dir: curation.decontaminate(
@@ -341,6 +346,21 @@ def _northstar_oracles() -> dict[str, str]:
                CAST(octet_length(encode(text)) AS BIGINT) AS meta_n_bytes,
                16 AS dim
         FROM documents
+    """
+    # Frame fingerprints are deterministic character slices of the payload
+    # (sample_frames fake path) — re-derivable with substr + md5.
+    out["multimodal_frames"] = """
+        WITH v AS (
+          SELECT doc_id, text,
+                 CAST(ceil(len(text) / 4.0) AS INTEGER) AS step
+          FROM documents WHERE doc_id % 3 = 2
+        )
+        SELECT doc_id AS media_id,
+               CAST(i AS INTEGER) AS frame_idx,
+               CAST(len(substr(text, CAST(i AS INTEGER) * step + 1, step)) AS INTEGER)
+                 AS frame_chars,
+               md5(substr(text, CAST(i AS INTEGER) * step + 1, step)) AS frame_md5
+        FROM v JOIN range(0, 4) t(i) ON CAST(i AS INTEGER) * step < len(text)
     """
     out["dedup_simhash"] = _simhash_md5_oracle()
     out["ann_lsh_topk"] = _lsh_topk_oracle()

@@ -118,6 +118,66 @@ def decode_media(media: DataFrame, dim: int = 16, fake: bool = False) -> DataFra
     return media.repartition("media_type").mapInPandas(decode, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_chars", IntegerType(), True),
+        StructField("frame_md5", StringType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4, fake: bool = False) -> DataFrame:
+    """Frame sampling for video payloads via Arrow-batched mapInPandas: emit
+    up to ``n_frames`` evenly-spaced frames per video as (media_id,
+    frame_idx, frame_chars, frame_md5) rows.
+
+    Real codecs (ffmpeg keyframe extraction) are not in this container;
+    ``fake=True`` slices the payload into ceil(len/n)-sized character spans
+    — deterministic, so the emitted frame fingerprints are reproducible by
+    any SQL engine (the driver oracle re-derives them with substr+md5).
+    The Spark-side shape is the real one: video-only pushdown filter,
+    size-balanced repartition, Arrow batches bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` so one huge payload
+    batch can't blow executor memory.
+    """
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video codecs not available in this environment; "
+                    "pass fake=True to exercise the pipeline plumbing"
+                )
+            out: list[tuple] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                s = bytes(payload).decode("utf-8")
+                step = math.ceil(len(s) / n_frames) if s else 1
+                for i in range(n_frames):
+                    frame = s[i * step : (i + 1) * step]
+                    if not frame:
+                        break
+                    out.append(
+                        (mid, i, len(frame), hashlib.md5(frame.encode()).hexdigest())
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return (
+        media.filter(F.col("media_type") == "video")
+        .repartition("media_id")
+        .mapInPandas(sample, schema=FRAME_SCHEMA)
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Typed-metadata aggregation — stays entirely JVM-side."""
     return media.groupBy("media_type").agg(

@@ -212,6 +212,35 @@ def test_multimodal_decode_stub_raises(spark, docs):
         multimodal.decode_media(media, fake=False).collect()
 
 
+def test_multimodal_sample_frames(spark):
+    import hashlib
+    import math
+
+    rows = [(2, "abcdefghij"), (5, "xyz"), (8, ""), (3, "not a video")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    media = multimodal.documents_as_media(docs)
+    frames = multimodal.sample_frames(media, n_frames=4, fake=True).collect()
+    got = {(r["media_id"], r["frame_idx"]): (r["frame_chars"], r["frame_md5"]) for r in frames}
+    # doc 3 is not a video (3 % 3 == 0 → image): excluded entirely
+    assert not any(mid == 3 for mid, _ in got)
+    # doc 2: 10 chars, step=3 → frames abc/def/ghi/j
+    for i, frame in enumerate(["abc", "def", "ghi", "j"]):
+        assert got[(2, i)] == (len(frame), hashlib.md5(frame.encode()).hexdigest())
+    # doc 5: 3 chars, step=1 → x/y/z (3 frames, not 4)
+    assert {i for m, i in got if m == 5} == {0, 1, 2}
+    # doc 8: empty payload → no frames
+    assert not any(mid == 8 for mid, _ in got)
+    # deterministic slicing mirrors ceil-division
+    assert math.ceil(10 / 4) == 3
+
+
+def test_sample_frames_stub_raises(spark):
+    docs = spark.createDataFrame([(2, "abcdef")], ["doc_id", "text"])
+    media = multimodal.documents_as_media(docs)
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        multimodal.sample_frames(media, fake=False).collect()
+
+
 def test_duplicate_clusters_long_chain(spark):
     """Star contraction must collapse a high-diameter component in O(log)
     rounds — plain min-label propagation would need diameter rounds. Also

@@ -115,6 +115,22 @@ def test_decontaminate_broadcasts_benchmark(spark):
     assert plan.count("Exchange") <= 4
 
 
+def test_topk_avoids_global_sort(spark):
+    """Every ORDER BY + LIMIT query must plan as TakeOrderedAndProject —
+    per-partition top-k then a k-row driver merge, never a full global sort
+    (which would shuffle the whole relation at 100 TB)."""
+    from flink_example_spark.plans.relational import run_sql
+
+    for q in (
+        "top_orders",
+        "q3_shipping_priority",
+        "q10_returned_items",
+        "q18_large_volume_customers",
+    ):
+        plan = physical(run_sql(spark, SF, q))
+        assert "TakeOrderedAndProject" in plan, q
+
+
 def test_asof_salted_partitions_on_salt(spark):
     """salt=N must show up in the shuffle key: the Exchange partitions on
     (keys..., __asof_salt) so a hot entity spreads across N sub-partitions,
