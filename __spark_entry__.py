@@ -566,6 +566,7 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from flink_example_spark.streaming.pipeline import (
         run_streaming_features,
         run_streaming_training_examples,
+        run_streaming_tumbling_counts,
     )
 
     from flink_example_spark.streaming.incremental import (
@@ -581,6 +582,9 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup-on-ingest: running (content → min id, copies) aggregate;
         # converges exactly to batch exact_dedup → shares its oracle
         "streaming_dedup_exact": _run_streaming_dedup,
+        # windowed streaming aggregate: converges to the batch tumbling
+        # window counts → shares its oracle
+        "streaming_tumbling_counts": run_streaming_tumbling_counts,
     }
 
 
@@ -628,6 +632,7 @@ def oracle_sql() -> dict[str, str]:
     out["streaming_training_examples"] = out["training_examples"]
     out["streaming_incremental_history"] = out["feature_history"]
     out["streaming_dedup_exact"] = out["dedup_exact"]
+    out["streaming_tumbling_counts"] = out["tumbling_window_counts"]
     return out
 
 

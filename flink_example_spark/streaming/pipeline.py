@@ -81,6 +81,30 @@ def run_streaming_features(
     return spark.table(name)
 
 
+def run_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming T6: event-time tumbling daily counts per type with the
+    zero-delay watermark; complete output into a memory sink for bounded
+    replay — converges to the batch tumbling_window_counts (shared oracle).
+    In production this runs in update mode with the watermark expiring
+    closed windows from the state store."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("day"), "event_type", "n")
+    )
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def streaming_asof_join(
     spark: SparkSession,
     probe_stream: DataFrame,
