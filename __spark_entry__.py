@@ -219,7 +219,18 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_gopher_filter": lambda spark, sf_dir: curation.gopher_flags(
             _docs(spark, sf_dir)
         ),
+        # deterministic corpus mixing / sharding (portable hash buckets)
+        "curation_sample": lambda spark, sf_dir: curation.stratified_sample(
+            _docs(spark, sf_dir), _MIX_FRACTIONS
+        ).select("doc_id", "lang"),
+        "curation_shards": lambda spark, sf_dir: curation.shard_stats(
+            _docs(spark, sf_dir), n_shards=8
+        ),
     }
+
+
+# Corpus-mixing demo weights (per-language keep fractions).
+_MIX_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.75, "es": 0.1}
 
 
 # Blocklist-redaction demo pattern: the fixture corpus has no synthetic PII,
@@ -374,6 +385,8 @@ def _northstar_oracles() -> dict[str, str]:
         _BLOCKLIST_PATTERN, "[REDACTED]"
     )
     out["curation_gopher_filter"] = curation.GOPHER_ORACLE
+    out["curation_sample"] = curation.stratified_sample_oracle(_MIX_FRACTIONS)
+    out["curation_shards"] = curation.shard_stats_oracle(n_shards=8)
     return out
 
 

@@ -226,6 +226,66 @@ def gopher_flags(
     return out.withColumn("passes", passes)
 
 
+# --- deterministic sampling & sharding ---------------------------------------
+
+
+def _hash_bucket(key: Column, buckets: int = 10_000) -> Column:
+    """Deterministic, engine-portable bucket in [0, buckets): first 8 hex
+    digits of md5(key) mod buckets. Unlike rand()/TABLESAMPLE, the sample is
+    reproducible across runs, engines, and cluster layouts — required for
+    auditable corpus construction."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % buckets
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", buckets: int = 10_000
+) -> DataFrame:
+    """Keep ~fraction of rows, chosen by the portable hash bucket — a pure
+    map-side filter, no shuffle, no RNG state."""
+    return df.filter(_hash_bucket(F.col(key_col), buckets) < int(fraction * buckets))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing step (e.g.
+    keep 50% of en, 25% of de). Strata absent from ``fractions`` are
+    dropped. Still a pure map-side filter."""
+    thresh = F.lit(-1)
+    for stratum, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(int(frac * buckets))
+        ).otherwise(thresh)
+    return df.filter(_hash_bucket(F.col(key_col), buckets) < thresh)
+
+
+def shard_stats(
+    df: DataFrame,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to training shards by the portable hash (map-side,
+    size-independent) and report per-shard balance: doc count and token sum.
+    Hash sharding is the scale answer — balance follows from the law of
+    large numbers, no global sort or coordination; greedy bin-packing would
+    serialize through one node. Output: (shard, n_docs, n_tokens)."""
+    sharded = df.select(
+        (_hash_bucket(F.col(key_col)) % n_shards).cast("int").alias("shard"),
+        token_count(F.col(text_col)).alias("__nt"),
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").cast("long").alias("n_tokens"),
+    )
+
+
 # --- DuckDB oracle templates (same definitions, SQL dialect) ----------------
 
 
@@ -286,6 +346,38 @@ def redaction_oracle(pattern: str, replacement: str) -> str:
                md5(regexp_replace(text, '{pattern}', '{replacement}', 'g'))
                  AS redacted_fp
         FROM documents
+    """
+
+
+_DUCK_BUCKET = (
+    "(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 10000)"
+)
+
+
+def stratified_sample_oracle(fractions: dict[str, float], buckets: int = 10_000) -> str:
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN {int(f * buckets)}"
+        for s, f in sorted(fractions.items())
+    )
+    return f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE {_DUCK_BUCKET} < (CASE {cases} ELSE -1 END)
+    """
+
+
+def shard_stats_oracle(n_shards: int) -> str:
+    ntok = (
+        "CAST(CASE WHEN len(trim(text)) = 0 THEN 0"
+        f" ELSE len({_DUCK_W}) END AS INTEGER)"
+    )
+    return f"""
+        SELECT CAST({_DUCK_BUCKET} % {n_shards} AS INTEGER) AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM({ntok}) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY 1
     """
 
 

@@ -82,6 +82,39 @@ def test_pii_redaction_real_patterns(spark):
     assert {r["doc_id"]: r["n_redactions"] for r in phones.collect()}[0] == 1
 
 
+def test_hash_sample_deterministic_and_proportional(spark):
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    a = curation.hash_sample(df, 0.3).count()
+    b = curation.hash_sample(df, 0.3).count()
+    assert a == b  # deterministic — same rows every run
+    assert 0.25 * 10_000 < a < 0.35 * 10_000  # ~proportional
+    # monotone: a larger fraction strictly contains the smaller sample
+    small = {r["doc_id"] for r in curation.hash_sample(df, 0.1).collect()}
+    big = {r["doc_id"] for r in curation.hash_sample(df, 0.5).collect()}
+    assert small <= big
+
+
+def test_stratified_sample_drops_unlisted_strata(spark):
+    rows = [(i, "en" if i % 2 == 0 else "zz") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = curation.stratified_sample(df, {"en": 1.0})
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    assert out.count() == 500  # fraction 1.0 keeps every en row
+
+
+def test_shard_stats_cover_all_docs(spark):
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(500)], ["doc_id", "text"]
+    )
+    stats = curation.shard_stats(df, n_shards=8).collect()
+    assert sum(r["n_docs"] for r in stats) == 500
+    assert {r["shard"] for r in stats} <= set(range(8))
+    # hash sharding balances within a loose band at this size
+    counts = [r["n_docs"] for r in stats]
+    assert max(counts) < 3 * min(counts)
+
+
 def test_gopher_flags(spark, corpus):
     out = {r["doc_id"]: r for r in curation.gopher_flags(corpus).collect()}
     # doc 3 ("tiny doc") fails the min-token rule
