@@ -89,6 +89,7 @@ def _relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
     for name in relational.TEMPLATES:
         out[name] = (lambda n: lambda spark, sf_dir: relational.run_sql(spark, sf_dir, n))(name)
     out["semi_join_customers"] = relational.semi_join_customers
+    out["pivot_status_counts"] = relational.pivot_status_counts
     out["anti_join_customers"] = relational.anti_join_customers
     return out
 

@@ -484,6 +484,31 @@ TEMPLATES: dict[str, str] = {
         WINDOW w AS (PARTITION BY l_returnflag
                      ORDER BY l_extendedprice, l_orderkey, l_linenumber)
     """,
+    # Explicit GROUPING SETS with GROUPING() disambiguation (beyond the
+    # ROLLUP/CUBE shorthands): three chosen aggregation levels in one pass.
+    "grouping_sets_revenue": f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """,
+    # FULL OUTER join over year-partitioned aggregates: entities present in
+    # either side survive with NULLs on the absent side.
+    "full_outer_order_years": """
+        SELECT COALESCE(a.ck, b.ck) AS custkey,
+               a.n AS n_1996, b.n AS n_1997
+        FROM (SELECT o_custkey AS ck, COUNT(*) AS n FROM orders
+              WHERE o_orderdate >= {TS} '1996-01-01 00:00:00'
+                AND o_orderdate < {TS} '1997-01-01 00:00:00' GROUP BY 1) a
+        FULL OUTER JOIN
+             (SELECT o_custkey AS ck, COUNT(*) AS n FROM orders
+              WHERE o_orderdate >= {TS} '1997-01-01 00:00:00'
+                AND o_orderdate < {TS} '1998-01-01 00:00:00' GROUP BY 1) b
+          ON a.ck = b.ck
+    """,
     # Scalar expression breadth (P1/F-class): string/date/case/null functions.
     "scalar_functions": """
         SELECT o_orderkey,
@@ -541,7 +566,36 @@ def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts pivoted to one column per order status — the DataFrame
+    ``pivot`` relational operator (plans into a single partial-aggregated
+    exchange, same as a CASE-sum rollup). Status values are enumerated so
+    the plan needs no pre-scan of the pivot column."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    statuses = ["F", "O", "P"]
+    p = (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot emits NULL for empty cells; normalize to 0 like the CASE oracle
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in statuses],
+    )
+
+
 DF_ORACLES = {
+    "pivot_status_counts": (
+        "SELECT o_orderpriority, "
+        "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F, "
+        "CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O, "
+        "CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
     "semi_join_customers": (
         "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
         "(SELECT 1 FROM orders WHERE o_custkey = c.c_custkey "
