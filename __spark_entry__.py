@@ -599,7 +599,17 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windowed streaming aggregate: converges to the batch tumbling
         # window counts → shares its oracle
         "streaming_tumbling_counts": run_streaming_tumbling_counts,
+        # stream-stream interval join (state-store buffered both sides,
+        # watermark-evicted): converges to the batch range join → shares
+        # its oracle
+        "streaming_interval_join": _run_streaming_interval_join,
     }
+
+
+def _run_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.interval_join import run_streaming_interval_join
+
+    return run_streaming_interval_join(spark, sf_dir)
 
 
 def _run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,6 +657,7 @@ def oracle_sql() -> dict[str, str]:
     out["streaming_incremental_history"] = out["feature_history"]
     out["streaming_dedup_exact"] = out["dedup_exact"]
     out["streaming_tumbling_counts"] = out["tumbling_window_counts"]
+    out["streaming_interval_join"] = out["range_join_prior_errors"]
     return out
 
 

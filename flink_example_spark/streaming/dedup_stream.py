@@ -30,7 +30,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_example_spark.session import tune
+from flink_example_spark.session import shuffle_partitions, tune
 
 
 def streaming_exact_dedup(
@@ -96,15 +96,16 @@ def run_streaming_exact_dedup(spark: SparkSession, sf_dir: str, chunks: int = 3)
         .parquet(os.path.join(tmpdir, "chunk_*"))
     )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        streaming_exact_dedup(stream)
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with shuffle_partitions(spark, 8):
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -119,13 +120,14 @@ def run_streaming_first_seen(spark: SparkSession, sf_dir: str, chunks: int = 3) 
         .parquet(os.path.join(tmpdir, "chunk_*"))
     )
     name = f"stream_first_{uuid.uuid4().hex[:8]}"
-    q = (
-        streaming_first_seen(stream)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with shuffle_partitions(spark, 8):
+        q = (
+            streaming_first_seen(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)

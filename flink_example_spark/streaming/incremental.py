@@ -230,13 +230,16 @@ def run_incremental_feature_history(
     )
     import uuid
 
+    from flink_example_spark.session import shuffle_partitions
+
     name = f"incr_hist_{uuid.uuid4().hex[:8]}"
-    q = (
-        hist.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with shuffle_partitions(spark, 8):
+        q = (
+            hist.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).filter(F.col("_change_time") < F.lit(sentinel_cut))
