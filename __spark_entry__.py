@@ -227,6 +227,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_shards": lambda spark, sf_dir: curation.shard_stats(
             _docs(spark, sf_dir), n_shards=8
         ),
+        "curation_length_histogram": lambda spark, sf_dir: curation.length_histogram(
+            _docs(spark, sf_dir)
+        ),
     }
 
 
@@ -388,6 +391,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["curation_gopher_filter"] = curation.GOPHER_ORACLE
     out["curation_sample"] = curation.stratified_sample_oracle(_MIX_FRACTIONS)
     out["curation_shards"] = curation.shard_stats_oracle(n_shards=8)
+    out["curation_length_histogram"] = curation.length_histogram_oracle()
     return out
 
 
@@ -580,6 +584,7 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from flink_example_spark.streaming.pipeline import (
         run_streaming_features,
         run_streaming_training_examples,
+        run_streaming_session_windows,
         run_streaming_tumbling_counts,
     )
 
@@ -599,6 +604,9 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windowed streaming aggregate: converges to the batch tumbling
         # window counts → shares its oracle
         "streaming_tumbling_counts": run_streaming_tumbling_counts,
+        # session-window streaming aggregate (state-store session merge):
+        # converges to the batch session window counts → shares its oracle
+        "streaming_session_windows": run_streaming_session_windows,
         # stream-stream interval join (state-store buffered both sides,
         # watermark-evicted): converges to the batch range join → shares
         # its oracle
@@ -658,6 +666,7 @@ def oracle_sql() -> dict[str, str]:
     out["streaming_dedup_exact"] = out["dedup_exact"]
     out["streaming_tumbling_counts"] = out["tumbling_window_counts"]
     out["streaming_interval_join"] = out["range_join_prior_errors"]
+    out["streaming_session_windows"] = out["session_window_counts"]
     return out
 
 

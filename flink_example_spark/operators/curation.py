@@ -286,6 +286,36 @@ def shard_stats(
     )
 
 
+def length_histogram(
+    df: DataFrame, bucket_chars: int = 50, len_col: str = "n_chars"
+) -> DataFrame:
+    """Corpus length distribution: fixed-width buckets over the length
+    column — the quick-look stat every curation run starts with. Integer
+    bucketing (floor division) keeps it engine-exact; single
+    map-side-combined aggregation."""
+    b = F.expr(f"{len_col} DIV {bucket_chars}").cast("long")
+    return (
+        df.groupBy((b * bucket_chars).alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(len_col).cast("long").alias("min_chars"),
+            F.max(len_col).cast("long").alias("max_chars"),
+        )
+    )
+
+
+def length_histogram_oracle(bucket_chars: int = 50) -> str:
+    return f"""
+        SELECT CAST((n_chars // {bucket_chars}) * {bucket_chars} AS BIGINT)
+                 AS bucket_lo,
+               COUNT(*) AS n_docs,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents
+        GROUP BY 1
+    """
+
+
 # --- DuckDB oracle templates (same definitions, SQL dialect) ----------------
 
 

@@ -105,6 +105,33 @@ def run_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(name)
 
 
+def run_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming T6 session windows: per-user sessions with a 30-minute
+    inactivity gap — the state store MERGES adjacent session state as events
+    arrive (the hard part Flink's session windows also solve); complete
+    output for bounded replay, converging to the batch session_window_counts
+    (shared oracle)."""
+    from flink_example_spark.session import shuffle_partitions
+
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    name = f"stream_session_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 def streaming_asof_join(
     spark: SparkSession,
     probe_stream: DataFrame,
