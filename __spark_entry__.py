@@ -82,6 +82,23 @@ def _q_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline(spark, sf_dir)
 
 
+def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: the FIRST feature version at-or-after each example's
+    label time (the 'value once available' lookup — pandas merge_asof
+    direction='forward' semantics, same union-strategy plan shape)."""
+    from flink_example_spark.operators.asof import asof_join
+    from flink_example_spark.plans.events_demo import examples, feature_history, load_events
+
+    ev = load_events(spark, sf_dir)
+    return asof_join(
+        examples(ev),
+        feature_history(ev),
+        on="_entity",
+        probe_time="_label_time",
+        direction="forward",
+    )
+
+
 def _relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from flink_example_spark.plans import relational
 
@@ -567,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_history": _q_target_history,
         "examples_window": _q_examples,
         "training_examples": _q_training_examples,
+        "asof_forward_labels": _q_asof_forward,
     }
     # Streaming entries run EARLY: if the driver's correctness pass has a
     # global budget and truncates the tail of this dict, the core + streaming
@@ -711,6 +729,21 @@ def _core_oracles() -> dict[str, str]:
         "feature_history": _FH_SQL,
         "target_history": _TH_SQL,
         "examples_window": _EX_SQL,
+        # forward as-of: FIRST version at-or-after the probe instant (DuckDB
+        # ASOF is backward-only, so the oracle ranks the forward band).
+        "asof_forward_labels": f"""
+            WITH fh AS ({_FH_SQL}), ex AS ({_EX_SQL})
+            SELECT _entity, _prediction_time, _label_time, loss_value FROM (
+              SELECT ex._entity, ex._prediction_time, ex._label_time,
+                     fh.loss_value,
+                     ROW_NUMBER() OVER (
+                        PARTITION BY ex._entity, ex._prediction_time
+                        ORDER BY fh._change_time) AS rn
+              FROM ex LEFT JOIN fh
+                ON ex._entity = fh._entity
+               AND fh._change_time >= ex._label_time
+            ) WHERE rn = 1
+        """,
         "training_examples": f"""
             WITH fh AS ({_FH_SQL}), th AS ({_TH_SQL}), ex AS ({_EX_SQL}),
             exf AS (

@@ -50,6 +50,7 @@ def asof_join(
     how: str = "left",
     strategy: str = "union",
     salt: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join ``probes`` against the version history ``versions``.
 
@@ -72,6 +73,8 @@ def asof_join(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     keys = _as_list(on)
     if version_time in probes.columns:
         raise ValueError(
@@ -85,15 +88,17 @@ def asof_join(
         if strategy != "union":
             raise ValueError("salt is only supported with the 'union' strategy")
         return _asof_union_salted(
-            probes, versions, keys, probe_time, version_time, vcols, how, salt
+            probes, versions, keys, probe_time, version_time, vcols, how, salt, direction
         )
     impl = {"union": _asof_union, "rank": _asof_rank, "pandas": _asof_pandas}.get(strategy)
     if impl is None:
         raise ValueError(f"unknown strategy {strategy!r}")
-    return impl(probes, versions, keys, probe_time, version_time, vcols, how)
+    return impl(probes, versions, keys, probe_time, version_time, vcols, how, direction)
 
 
-def _asof_union_salted(probes, versions, keys, probe_time, version_time, vcols, how, salt):
+def _asof_union_salted(
+    probes, versions, keys, probe_time, version_time, vcols, how, salt, direction="backward"
+):
     """Salted union strategy: deterministic probe salt from the probe time,
     versions exploded to all salts; then the plain union strategy keyed by
     (keys..., __salt)."""
@@ -102,11 +107,11 @@ def _asof_union_salted(probes, versions, keys, probe_time, version_time, vcols, 
     v = versions.withColumn(
         salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>"))
     )
-    out = _asof_union(p, v, [*keys, salt_col], probe_time, version_time, vcols, how)
+    out = _asof_union(p, v, [*keys, salt_col], probe_time, version_time, vcols, how, direction)
     return out.drop(salt_col)
 
 
-def _asof_union(probes, versions, keys, probe_time, version_time, vcols, how):
+def _asof_union(probes, versions, keys, probe_time, version_time, vcols, how, direction="backward"):
     # Pack value columns into one struct so a legitimately-NULL value inside a
     # version can't make last(..., ignorenulls) skip back to an older version.
     pcols = probes.columns
@@ -130,14 +135,35 @@ def _asof_union(probes, versions, keys, probe_time, version_time, vcols, how):
     )
     unioned = v_part.unionByName(p_part)
     # Third sort key: deterministic winner among duplicate (key, time) version
-    # rows — last() takes the final row in order, i.e. the max value-hash
-    # (matches _asof_rank's hash-desc tiebreak). No-op for unique histories.
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col(_TIME).asc_nulls_first(), F.col(_TAG), F.xxhash64(F.col(_VAL)))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned.withColumn(_VAL, F.last(_VAL, ignorenulls=True).over(w))
+    # rows — both directions pick the max value-hash, matching _asof_rank's
+    # hash-desc tiebreak. No-op for unique histories.
+    #
+    # backward: versions sort BEFORE probes at the same instant (tag 0 < 1)
+    # and each probe takes the cumulative last version ⇒ inclusive <=.
+    # forward: flip the frame — probes take the FIRST version at-or-after
+    # their instant; versions at the same instant must fall inside the
+    # (currentRow, unboundedFollowing] frame, which tag 0 < 1 already
+    # guarantees... except ordering must put probes first, so the tag order
+    # flips (probe tag stays 1 but descending) — equivalently order _TAG
+    # desc and hash desc, frame currentRow→following, first(ignorenulls).
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(_TIME).asc_nulls_first(), F.col(_TAG), F.xxhash64(F.col(_VAL)))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = unioned.withColumn(_VAL, F.last(_VAL, ignorenulls=True).over(w))
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(
+                F.col(_TIME).asc_nulls_last(),
+                F.col(_TAG).desc(),
+                F.xxhash64(F.col(_VAL)).desc(),
+            )
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        filled = unioned.withColumn(_VAL, F.first(_VAL, ignorenulls=True).over(w))
     out = filled.filter(F.col(_TAG) == 1)
     if how == "inner":
         out = out.filter(F.col(_VAL).isNotNull())
@@ -147,7 +173,7 @@ def _asof_union(probes, versions, keys, probe_time, version_time, vcols, how):
     )
 
 
-def _asof_rank(probes, versions, keys, probe_time, version_time, vcols, how):
+def _asof_rank(probes, versions, keys, probe_time, version_time, vcols, how, direction="backward"):
     # The synthetic probe id is nondeterministic per evaluation; localCheckpoint
     # (materialize + truncate lineage) so the version-join branch and the final
     # left join see the SAME ids even under task retries. Checkpoint blocks are
@@ -156,13 +182,19 @@ def _asof_rank(probes, versions, keys, probe_time, version_time, vcols, how):
     p = probes.withColumn(_PID, F.monotonically_increasing_id()).localCheckpoint(
         eager=True
     )
-    joined = p.join(versions, on=keys, how="inner").filter(
+    band = (
         F.col(version_time) <= F.col(probe_time)
+        if direction == "backward"
+        else F.col(version_time) >= F.col(probe_time)
     )
+    joined = p.join(versions, on=keys, how="inner").filter(band)
     # hash-desc tiebreak: same winner as the union strategy on duplicate
     # (key, version_time) rows
+    order_t = (
+        F.col(version_time).desc() if direction == "backward" else F.col(version_time).asc()
+    )
     w = Window.partitionBy(_PID).orderBy(
-        F.col(version_time).desc(), F.xxhash64(F.struct(*[F.col(c) for c in vcols])).desc()
+        order_t, F.xxhash64(F.struct(*[F.col(c) for c in vcols])).desc()
     )
     best = (
         joined.withColumn("__rn", F.row_number().over(w))
@@ -173,7 +205,7 @@ def _asof_rank(probes, versions, keys, probe_time, version_time, vcols, how):
     return out.select(*probes.columns, *vcols)
 
 
-def _asof_pandas(probes, versions, keys, probe_time, version_time, vcols, how):
+def _asof_pandas(probes, versions, keys, probe_time, version_time, vcols, how, direction="backward"):
     import pandas as pd
     from pyspark.sql.types import StructType
 
@@ -200,8 +232,8 @@ def _asof_pandas(probes, versions, keys, probe_time, version_time, vcols, how):
             right[[version_time, *vcols]],
             left_on=probe_time,
             right_on=version_time,
-            direction="backward",
-            allow_exact_matches=True,  # inclusive <=
+            direction=direction,
+            allow_exact_matches=True,  # inclusive (<= backward / >= forward)
         )
         if how == "inner":
             merged = merged[merged[version_time].notna()]

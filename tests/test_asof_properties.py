@@ -158,3 +158,72 @@ def test_duplicate_version_rows_tie_break_deterministically(spark):
             assert len(rows) == 1
             winners.add(rows[0]["v"])
     assert len(winners) == 1, f"nondeterministic tie-break: {winners}"
+
+
+@pytest.mark.parametrize("strategy", ["union", "rank", "pandas"])
+def test_forward_direction_first_at_or_after(spark, strategy):
+    """direction='forward': FIRST version at-or-after the probe instant;
+    inclusive >=; LEFT null-extension when no later version exists."""
+    t0 = BASE + timedelta(hours=1)
+    versions = spark.createDataFrame(
+        [("a", t0, 10), ("a", t0 + timedelta(hours=2), 20), ("b", t0, 7)],
+        VERSION_SCHEMA,
+    )
+    probes = spark.createDataFrame(
+        [
+            ("a", 1, t0),                          # exact instant → inclusive
+            ("a", 2, t0 + timedelta(minutes=30)),  # between → next version
+            ("a", 3, t0 + timedelta(hours=3)),     # after all → NULL
+            ("b", 4, t0 - timedelta(hours=1)),     # before all → first
+        ],
+        PROBE_SCHEMA,
+    )
+    got = {
+        r["pid"]: r["v"]
+        for r in asof_join(
+            probes, versions, on="k", probe_time="t",
+            strategy=strategy, direction="forward",
+        ).collect()
+    }
+    assert got == {1: 10, 2: 20, 3: None, 4: 7}
+    inner = asof_join(
+        probes, versions, on="k", probe_time="t",
+        how="inner", strategy=strategy, direction="forward",
+    )
+    assert {r["pid"] for r in inner.collect()} == {1, 2, 4}
+
+
+def test_forward_random_model_agreement(spark):
+    """Randomized: all strategies must match a pure-Python forward model."""
+    rng = random.Random(7)
+    versions = [
+        (k, BASE + timedelta(minutes=rng.randrange(0, 600)), rng.randrange(100))
+        for k in "abc" for _ in range(20)
+    ]
+    # unique (k, time) to keep the model unambiguous
+    seen, uniq = set(), []
+    for k, t, v in versions:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            uniq.append((k, t, v))
+    probes = [
+        (k, i, BASE + timedelta(minutes=rng.randrange(-30, 660)))
+        for i, k in enumerate(rng.choices("abcd", k=40))
+    ]
+    vdf = spark.createDataFrame(uniq, VERSION_SCHEMA)
+    pdf = spark.createDataFrame(probes, PROBE_SCHEMA)
+
+    def model(k, t):
+        cand = [(vt, v) for (vk, vt, v) in uniq if vk == k and vt >= t]
+        return min(cand)[1] if cand else None
+
+    expected = {pid: model(k, t) for (k, pid, t) in probes}
+    for strategy in ("union", "rank", "pandas"):
+        got = {
+            r["pid"]: r["v"]
+            for r in asof_join(
+                pdf, vdf, on="k", probe_time="t",
+                strategy=strategy, direction="forward",
+            ).collect()
+        }
+        assert got == expected, strategy
