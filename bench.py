@@ -58,7 +58,9 @@ def main() -> None:
     from flink_example_spark.session import get_spark
 
     spark = get_spark("flink-example-spark-bench")
-    qs = entrymod.queries()
+    # merged driver + extra view: HEADLINE is stable round-over-round even
+    # though queries() itself is consolidated to the driver's 50-entry cap.
+    qs = entrymod._all_queries()
 
     # warmup: JVM/codegen spin-up and one full scan of every input table
     # (footer reads + OS page cache), so measured queries reflect compute.

@@ -226,6 +226,85 @@ def gopher_flags(
     return out.withColumn("passes", passes)
 
 
+# --- consolidated per-document quality relation -------------------------------
+
+
+def doc_quality(
+    documents: DataFrame,
+    pattern: str,
+    replacement: str = "[REDACTED]",
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One per-document quality relation combining the Gopher rule flags,
+    the redaction audit, and the n-gram repetition stats — the columns a
+    curation run actually filters on, in one pass.
+
+    Plan shape: the flags + redaction columns are a single projection over
+    the document row (no shuffle); repetition needs one map-side-combined
+    aggregation, joined back on the id. Documents with < n tokens carry NULL
+    repetition columns (LEFT join)."""
+    flags = gopher_flags(documents, id_col, text_col)
+    red = redaction_stats(documents, pattern, replacement, id_col, text_col)
+    rep = repetition_stats(documents, n, id_col, text_col)
+    return flags.join(red, id_col).join(rep, id_col, "left")
+
+
+def doc_quality_oracle(pattern: str, replacement: str, n: int = 2) -> str:
+    return f"""
+        WITH flags AS ({GOPHER_ORACLE}),
+        red AS ({redaction_oracle(pattern, replacement)}),
+        rep AS ({repetition_oracle(n)})
+        SELECT flags.*, red.n_redactions, red.redacted_fp,
+               rep.n_ngrams, rep.n_distinct, rep.rep_ratio
+        FROM flags
+        JOIN red USING (doc_id)
+        LEFT JOIN rep USING (doc_id)
+    """
+
+
+def dist_stats(
+    documents: DataFrame,
+    n_shards: int = 8,
+    bucket_chars: int = 50,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Consolidated corpus-distribution stats: the shard-balance relation and
+    the length histogram, tag-unioned to one schema
+    (kind, k, n_docs, v1, v2). Both halves are single map-side-combined
+    aggregations; the union adds no shuffle."""
+    sh = shard_stats(documents, n_shards, key_col, text_col).select(
+        F.lit("shard").alias("kind"),
+        F.col("shard").cast("long").alias("k"),
+        "n_docs",
+        F.col("n_tokens").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+    )
+    lh = length_histogram(documents, bucket_chars, len_col).select(
+        F.lit("len").alias("kind"),
+        F.col("bucket_lo").alias("k"),
+        "n_docs",
+        F.col("min_chars").alias("v1"),
+        F.col("max_chars").alias("v2"),
+    )
+    return sh.unionByName(lh)
+
+
+def dist_stats_oracle(n_shards: int = 8, bucket_chars: int = 50) -> str:
+    return f"""
+        SELECT 'shard' AS kind, CAST(shard AS BIGINT) AS k, n_docs,
+               n_tokens AS v1, CAST(NULL AS BIGINT) AS v2
+        FROM ({shard_stats_oracle(n_shards)})
+        UNION ALL
+        SELECT 'len' AS kind, bucket_lo AS k, n_docs,
+               min_chars AS v1, max_chars AS v2
+        FROM ({length_histogram_oracle(bucket_chars)})
+    """
+
+
 # --- deterministic sampling & sharding ---------------------------------------
 
 

@@ -114,6 +114,7 @@ def text_features(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return documents.select(
         "doc_id",
         token_count(t).alias("n_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
         fingerprint(t).alias("fingerprint"),
         lang_id(t).alias("lang_pred"),
         quality_score(t).alias("quality"),
@@ -153,6 +154,29 @@ _DUCK_ALPHA = (
     "CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
     " / CAST(greatest(len(text), 1) AS DOUBLE)"
 )
+
+# Consolidated one-row-per-doc oracle for text_features (all five analysis
+# columns in a single relation — one driver-recorded row covers the suite;
+# the single-column variants stay in the extra registry for local checks).
+def text_features_oracle() -> str:
+    return f"""
+        SELECT doc_id, {_DUCK_NTOK} AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INTEGER)
+                 AS n_bpe_tokens,
+               md5({_DUCK_NORM}) AS fingerprint,
+               {_duck_lang_case()} AS lang_pred,
+               least(CAST(n_tokens_i AS DOUBLE) / 100.0, 1.0) * 0.4
+               + alpha * 0.4
+               + least((CAST(s_en AS DOUBLE) / greatest(CAST(n_tokens_i AS DOUBLE), 1.0)) * 5.0, 1.0) * 0.2
+                 AS quality
+        FROM (
+          SELECT doc_id, text, {_DUCK_NTOK} AS n_tokens_i, {_DUCK_ALPHA} AS alpha,
+                 {_duck_hits('en')} AS s_en, {_duck_hits('de')} AS s_de,
+                 {_duck_hits('fr')} AS s_fr, {_duck_hits('es')} AS s_es
+          FROM documents
+        )
+    """
+
 
 TEXT_ORACLES = {
     "text_token_count": f"SELECT doc_id, {_DUCK_NTOK} AS n_tokens FROM documents",

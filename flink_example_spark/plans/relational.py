@@ -509,6 +509,79 @@ TEMPLATES: dict[str, str] = {
                 AND o_orderdate < {TS} '1998-01-01 00:00:00' GROUP BY 1) b
           ON a.ck = b.ck
     """,
+    # Consolidated set-operation suite (§2.6): UNION / INTERSECT / EXCEPT in
+    # one tagged relation so a single driver-recorded row covers all three
+    # (the individual variants stay in the extra registry for local checks).
+    "set_ops_suite": """
+        SELECT 'union' AS op, c_custkey FROM (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          UNION
+          SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        )
+        UNION ALL
+        SELECT 'intersect' AS op, c_custkey FROM (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+          INTERSECT
+          SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+        UNION ALL
+        SELECT 'except' AS op, c_custkey FROM (
+          SELECT c_custkey FROM customer
+          EXCEPT
+          SELECT o_custkey AS c_custkey FROM orders
+        )
+    """,
+    # Consolidated window-function suite (W-class): the ranking/lag/lead
+    # block over orders and the NTILE/PERCENT_RANK/CUME_DIST block over
+    # lineitem, padded to one tagged schema. BIGINT keys are cast to DOUBLE
+    # for the shared value columns — exact below 2^53, so hash-safe.
+    "window_suite": """
+        SELECT 'rank' AS variant, o_custkey AS k1, o_orderkey AS k2,
+               CAST(o_totalprice AS DOUBLE) AS v1,
+               CAST(ROW_NUMBER() OVER w AS DOUBLE) AS v2,
+               CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS DOUBLE) AS v3,
+               CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS DOUBLE) AS v4,
+               CAST(LAG(o_orderkey) OVER w AS DOUBLE) AS v5,
+               CAST(LEAD(o_orderkey) OVER w AS DOUBLE) AS v6
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        UNION ALL
+        SELECT 'dist' AS variant, l_orderkey AS k1, l_linenumber AS k2,
+               CAST(NTILE(4) OVER w2 AS DOUBLE) AS v1,
+               PERCENT_RANK() OVER w2 AS v2,
+               CUME_DIST() OVER w2 AS v3,
+               CAST(FIRST_VALUE(l_orderkey) OVER w2 AS DOUBLE) AS v4,
+               CAST(NULL AS DOUBLE) AS v5,
+               CAST(NULL AS DOUBLE) AS v6
+        FROM lineitem
+        WINDOW w2 AS (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+    """,
+    # Consolidated grouping-set suite (§2.3): ROLLUP, CUBE, and explicit
+    # GROUPING SETS with GROUPING() in one tagged relation.
+    "grouping_suite": """
+        SELECT 'rollup' AS variant, l_returnflag AS k1, l_linestatus AS k2,
+               CAST(NULL AS INTEGER) AS g1, CAST(NULL AS INTEGER) AS g2,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS val
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        UNION ALL
+        SELECT 'cube' AS variant, o_orderstatus AS k1, o_orderpriority AS k2,
+               CAST(NULL AS INTEGER) AS g1, CAST(NULL AS INTEGER) AS g2,
+               COUNT(*) AS n, CAST(NULL AS DOUBLE) AS val
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        UNION ALL
+        SELECT 'gsets' AS variant, o_orderstatus AS k1, o_orderpriority AS k2,
+               CAST(GROUPING(o_orderstatus) AS INTEGER) AS g1,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g2,
+               CAST(NULL AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS val
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """,
     # Scalar expression breadth (P1/F-class): string/date/case/null functions.
     "scalar_functions": """
         SELECT o_orderkey,
@@ -588,7 +661,25 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semi_anti_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated left_semi + left_anti coverage: one tagged relation so a
+    single driver-recorded row covers both DataFrame-API join types."""
+    from pyspark.sql import functions as F
+
+    semi = semi_join_customers(spark, sf_dir).withColumn("op", F.lit("semi"))
+    anti = anti_join_customers(spark, sf_dir).withColumn("op", F.lit("anti"))
+    return semi.unionByName(anti)
+
+
 DF_ORACLES = {
+    "semi_anti_suite": (
+        "SELECT c_custkey, c_name, 'semi' AS op FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c.c_custkey "
+        "AND o_orderpriority = '1-URGENT') "
+        "UNION ALL "
+        "SELECT c_custkey, c_name, 'anti' AS op FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)"
+    ),
     "pivot_status_counts": (
         "SELECT o_orderpriority, "
         "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F, "

@@ -16,7 +16,7 @@ def test_feature_cache_converges(spark):
     cache = run_feature_cache(spark, SF, FileKVCache(tempfile.mkdtemp()))
     batch = {
         r["_entity"]: r["loss_value"]
-        for r in entrymod.queries()["features_agg"](spark, SF).collect()
+        for r in entrymod._all_queries()["features_agg"](spark, SF).collect()
     }
     assert cache.snapshot() == batch
     # Per-partition upserts: the writers ran on executor partitions — every

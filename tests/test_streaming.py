@@ -17,7 +17,7 @@ def test_streaming_features_converges_to_batch(spark):
     from flink_example_spark.streaming.pipeline import run_streaming_features
 
     streamed = run_streaming_features(spark, SF)
-    batch = entrymod.queries()["features_agg"](spark, SF)
+    batch = entrymod._all_queries()["features_agg"](spark, SF)
     assert rows_set(streamed) == rows_set(batch)
 
 
@@ -62,7 +62,7 @@ def test_streaming_tumbling_window_converges(spark):
     }
     batch = {
         (r["day"], r["event_type"], r["n"])
-        for r in entrymod.queries()["tumbling_window_counts"](spark, SF).collect()
+        for r in entrymod._all_queries()["tumbling_window_counts"](spark, SF).collect()
     }
     assert streamed == batch
 

@@ -1,6 +1,7 @@
 """Local replica of the driver's t2 correctness gate.
 
-Runs every ``__spark_entry__.queries()`` entry on Spark and its
+Runs every ``__spark_entry__.queries()`` entry (plus ``extra_queries()``,
+the locally-verified surface past the driver's 50-entry cap) on Spark and its
 ``oracle_sql()`` twin on DuckDB over the same parquet tables, then compares
 row count, column names, and an order-insensitive value hash. The driver's
 exact hash is unknown; this uses a strict stringified comparison — if this
@@ -95,6 +96,9 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if hasattr(entrymod, "extra_queries"):
+        qs = {**qs, **entrymod.extra_queries()}
+        oracles = {**oracles, **entrymod.extra_oracle_sql()}
     only = set(args.only.split(",")) if args.only else None
     failures = 0
     for name, fn in qs.items():
