@@ -111,12 +111,18 @@ def duplicate_clusters(
     for _ in range(max_iter):
         # localCheckpoint each round: truncates the growing iterative lineage
         # (without it the plan doubles per round and the optimizer dominates)
-        e_next = small_star(large_star(e)).localCheckpoint(eager=True)
+        e_prev, e_next = e, small_star(large_star(e)).localCheckpoint(eager=True)
         cur = checksum(e_next)
         e = e_next
         if cur == prev:
-            converged = True
-            break
+            # Checksum equality alone leaves a ~2^-64 collision window that
+            # would return a non-fixpoint star forest. Confirm once: counts
+            # already match (checksum embeds count), so one-directional
+            # multiset difference emptiness proves the edge sets are equal.
+            # Runs a single extra O(edges) pass only at convergence.
+            if e_next.exceptAll(e_prev).isEmpty():
+                converged = True
+                break
         prev = cur
     if not converged:
         raise RuntimeError(

@@ -24,13 +24,13 @@ from __future__ import annotations
 
 import os
 import tempfile
-import time as _time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_example_spark.session import shuffle_partitions, tune
+from flink_example_spark.streaming.staging import stamp_chunk_mtimes
 
 
 def streaming_exact_dedup(
@@ -81,7 +81,8 @@ def _stage_by_id(spark: SparkSession, sf_dir: str, chunks: int) -> tuple[str, ob
         if bounds[i + 1] is not None:
             part = part.filter(F.col("doc_id").cast("double") < bounds[i + 1])
         part.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmpdir, f"chunk_{i}"))
-        _time.sleep(0.05)
+    # arrival order = chunk index via explicit mtimes (not write timing)
+    stamp_chunk_mtimes(tmpdir)
     return tmpdir, docs.schema
 
 
@@ -110,8 +111,15 @@ def run_streaming_exact_dedup(spark: SparkSession, sf_dir: str, chunks: int = 3)
 
 
 def run_streaming_first_seen(spark: SparkSession, sf_dir: str, chunks: int = 3) -> DataFrame:
-    """Bounded replay through the first-seen filter; with id-ordered arrival
-    the kept ids equal the batch min-id keeper set."""
+    """Bounded replay through the first-seen filter: keeps one valid holder
+    per content value.
+
+    NOT oracle-safe against the batch min-id keeper relation: within a
+    micro-batch ``dropDuplicates`` keeps an ARBITRARY row per key, so two
+    same-content docs landing in one chunk file can keep a non-min id even
+    though chunks are staged in id order.  Oracle comparisons must check
+    holder validity (kept id belongs to the content's id set), not identity.
+    """
     tune(spark)
     tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
     stream = (

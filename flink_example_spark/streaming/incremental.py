@@ -162,10 +162,10 @@ def run_incremental_feature_history(
     """
     import os
     import tempfile
-    import time as _time
     from datetime import timedelta
 
     from flink_example_spark.plans.events_demo import LOSS_TYPE, TARGET_TYPE, load_events
+    from flink_example_spark.streaming.staging import stamp_chunk_mtimes
 
     ev = load_events(spark, sf_dir)
     etype = LOSS_TYPE if agg == "sum" else TARGET_TYPE
@@ -207,7 +207,6 @@ def run_incremental_feature_history(
         part.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(tmpdir, f"chunk_{i}")
         )
-        _time.sleep(0.05)
     # Two sentinel waves: the watermark in batch N reflects data through
     # batch N-1, so the FIRST sentinel batch still runs at wm = max real
     # event time (the strict-< gate parks the latest real event); the second
@@ -215,10 +214,11 @@ def run_incremental_feature_history(
     sentinel.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(tmpdir, "chunk_8_sentinel")
     )
-    _time.sleep(0.05)
     sentinel.withColumn("ts", F.expr("ts + INTERVAL 10 HOURS")).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(tmpdir, "chunk_9_sentinel"))
+    # arrival order = chunk index via explicit mtimes (not write timing)
+    stamp_chunk_mtimes(tmpdir)
 
     stream = (
         spark.readStream.schema(src.schema)

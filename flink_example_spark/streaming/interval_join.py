@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import os
 import tempfile
-import time as _time
 import uuid
 from datetime import timedelta
 
@@ -33,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_example_spark.session import shuffle_partitions, tune
+from flink_example_spark.streaming.staging import stamp_chunk_mtimes
 
 PURCHASE, ERROR = "purchase", "error"
 
@@ -80,7 +80,6 @@ def run_streaming_interval_join(
         if bounds[i + 1] is not None:
             part = part.filter(F.col("ts").cast("double") < bounds[i + 1])
         part.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmpdir, f"chunk_{i}"))
-        _time.sleep(0.05)
     # sentinel waves: one row of EACH type so both filtered streams' own
     # watermark operators see them (filtered-out rows don't advance a wm)
     for wave, hours in ((8, 5), (9, 10)):
@@ -95,7 +94,8 @@ def run_streaming_interval_join(
         wave_rows.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(tmpdir, f"chunk_{wave}_sentinel")
         )
-        _time.sleep(0.05)
+    # arrival order = chunk index via explicit mtimes (not write timing)
+    stamp_chunk_mtimes(tmpdir)
 
     def side(prefix: str, etype: str) -> DataFrame:
         return (

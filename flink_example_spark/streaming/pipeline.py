@@ -19,6 +19,8 @@ transformations are source-agnostic DataFrame code.
 
 from __future__ import annotations
 
+import os
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,6 +28,17 @@ from pyspark.sql import functions as F
 
 from flink_example_spark.operators.asof import asof_join
 from flink_example_spark.session import tune
+
+
+def _read_batches(spark: SparkSession, outdir: str) -> DataFrame:
+    """Read foreachBatch output; the parquet files back the returned (lazy)
+    DataFrame, so the caller reaps ``outdir`` only after consuming it."""
+    if not any(name.startswith("batch=") for name in os.listdir(outdir)):
+        raise RuntimeError(
+            f"streaming sink {outdir} is empty: the source stream produced no "
+            "micro-batches (empty input directory?)"
+        )
+    return spark.read.parquet(outdir).drop("batch")
 
 
 def _staged_dir(src_file: str) -> str:
@@ -155,7 +168,7 @@ def streaming_asof_join(
     prior output instead of duplicating rows — the same contract a
     transactional sink (Delta/Iceberg) gives via (queryId, batchId) dedup.
     """
-    outdir = sink_table or f"/tmp/stream_asof_{uuid.uuid4().hex[:8]}"
+    outdir = sink_table or tempfile.mkdtemp(prefix="stream_asof_")
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         out = asof_join(batch, versions, on=on, probe_time=probe_time, strategy="union")
@@ -163,7 +176,7 @@ def streaming_asof_join(
 
     q = probe_stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination()
-    return spark.read.parquet(outdir).drop("batch")
+    return _read_batches(spark, outdir)
 
 
 def run_streaming_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,14 +196,14 @@ def run_streaming_training_examples(spark: SparkSession, sf_dir: str) -> DataFra
     # computes; stream the *examples* (prediction points) instead — in a live
     # deployment this is the upstream model-serving event stream.
     ex_batch = examples(ev_batch)
-    tmpdir = f"/tmp/stream_examples_{uuid.uuid4().hex[:8]}"
+    tmpdir = tempfile.mkdtemp(prefix="stream_examples_")
     ex_batch.repartition(4).write.mode("overwrite").parquet(tmpdir)
     ex_stream = (
         spark.readStream.schema(ex_batch.schema)
         .option("maxFilesPerTrigger", 2)
         .parquet(tmpdir)
     )
-    sink = f"/tmp/stream_training_{uuid.uuid4().hex[:8]}"
+    sink = tempfile.mkdtemp(prefix="stream_training_")
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         step1 = asof_join(batch, fh, on="_entity", probe_time="_prediction_time")
@@ -200,4 +213,4 @@ def run_streaming_training_examples(spark: SparkSession, sf_dir: str) -> DataFra
 
     q = ex_stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination()
-    return spark.read.parquet(sink).drop("batch")
+    return _read_batches(spark, sink)

@@ -1,0 +1,42 @@
+"""Deterministic arrival-order stamping for staged bounded-replay chunks.
+
+The file stream source (``readStream.parquet`` + ``maxFilesPerTrigger=1``)
+orders files by modification time.  The bounded replays stage chunk
+directories sequentially and previously relied on 0.05s inter-write sleeps
+for distinct mtimes — fragile on filesystems with coarse mtime granularity,
+where a sentinel wave sharing an mtime with a data chunk collapses into the
+same micro-batch and defeats the two-wave watermark flush.
+
+``stamp_chunk_mtimes`` makes ordering explicit: every file under
+``chunk_<i>*`` gets mtime ``base + i`` seconds (whole-second spacing clears
+any filesystem's resolution), so batch order equals chunk index regardless
+of write timing.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+_CHUNK_RE = re.compile(r"^chunk_(\d+)")
+
+
+def stamp_chunk_mtimes(tmpdir: str) -> None:
+    """Set strictly-increasing mtimes on staged chunk files by chunk index."""
+    entries = []
+    for name in os.listdir(tmpdir):
+        m = _CHUNK_RE.match(name)
+        if m:
+            entries.append((int(m.group(1)), os.path.join(tmpdir, name)))
+    base = max(
+        (
+            os.path.getmtime(os.path.join(d, f))
+            for _, d in entries
+            for f in os.listdir(d)
+        ),
+        default=0.0,
+    )
+    for idx, d in sorted(entries):
+        ts = base + 1.0 + idx
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (ts, ts))
