@@ -152,6 +152,31 @@ def lsh_cosine_topk(
     )
 
 
+def _seed_centroids(c: DataFrame, n_cells: int) -> DataFrame:
+    """The n_cells corpus vectors with smallest md5(id), numbered by hash
+    order — deterministic, RNG-free, and reproducible by any SQL engine for
+    oracle checking.
+
+    Scale: ``orderBy(h).limit(n)`` compiles to ``TakeOrderedAndProject`` —
+    each partition keeps its local top-n, the driver merges n_parts*n rows;
+    NO global sort exists at any corpus size (plan pinned in
+    tests/test_plan_regressions.py). The numbering window runs post-LIMIT on
+    n_cells rows; partitionBy(lit(1)) keeps the partition spec non-empty (one
+    tiny task, no unpartitioned-window hazard).
+    """
+    w = Window.partitionBy(F.lit(1)).orderBy("__h")
+    return (
+        c.withColumn("__h", F.md5(F.col("n_id").cast("string")))
+        .orderBy("__h")
+        .limit(n_cells)
+        .select(
+            F.row_number().over(w).alias("cell"),
+            F.col("n_vec").alias("c_vec"),
+            F.col("n_norm").alias("c_norm"),
+        )
+    )
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -179,16 +204,7 @@ def ivf_cosine_topk(
     c = _prep(corpus, id_col, vec_col, "n")
     q = _prep(queries, id_col, vec_col, "q")
     if centroids is None:
-        centroids = (
-            c.withColumn("__h", F.md5(F.col("n_id").cast("string")))
-            .orderBy("__h")
-            .limit(n_cells)
-            .select(
-                F.row_number().over(Window.orderBy("__h")).alias("cell"),
-                F.col("n_vec").alias("c_vec"),
-                F.col("n_norm").alias("c_norm"),
-            )
-        )
+        centroids = _seed_centroids(c, n_cells)
 
     def nearest_cells(side_vec: str, side_norm: str, n_keep: int, df: DataFrame) -> DataFrame:
         scored = df.crossJoin(F.broadcast(centroids)).select(
@@ -248,17 +264,7 @@ def kmeans_centroids(
     assignment or use directly for partition pruning at query time.
     """
     c = _prep(corpus, id_col, vec_col, "n")
-    centroids = (
-        c.withColumn("__h", F.md5(F.col("n_id").cast("string")))
-        .orderBy("__h")
-        .limit(k)
-        .select(
-            F.row_number().over(Window.orderBy("__h")).alias("cell"),
-            F.col("n_vec").alias("c_vec"),
-            l2_norm(F.col("n_vec")).alias("c_norm"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    centroids = _seed_centroids(c, k).localCheckpoint(eager=True)
     for _ in range(iters):
         scored = c.crossJoin(F.broadcast(centroids)).select(
             "n_id",

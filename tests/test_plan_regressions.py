@@ -160,3 +160,19 @@ def test_asof_salted_partitions_on_salt(spark):
         examples(ev), feature_history(ev), on="_entity", probe_time="_prediction_time"
     )
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, unsalted.collect()))
+
+
+def test_ivf_centroid_sampling_no_global_sort(spark):
+    """Centroid seeding must stay TakeOrderedAndProject (per-partition top-k,
+    k-row driver merge) — no Sort+Exchange of the corpus — and its numbering
+    window must declare a partition spec (no unpartitioned WindowExec)."""
+    from flink_example_spark.operators.similarity import _prep, _seed_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = _seed_centroids(_prep(emb, "vec_id", "embedding", "n"), 16)
+    plan = physical(cent)
+    assert "TakeOrderedAndProject" in plan
+    # the only Sort allowed is inside TakeOrdered / the 16-row window stage;
+    # no global Exchange(rangepartitioning) may exist
+    assert "rangepartitioning" not in plan.lower()
+    assert cent.count() == 16
