@@ -160,19 +160,21 @@ def _seed_centroids(c: DataFrame, n_cells: int) -> DataFrame:
     Scale: ``orderBy(h).limit(n)`` compiles to ``TakeOrderedAndProject`` —
     each partition keeps its local top-n, the driver merges n_parts*n rows;
     NO global sort exists at any corpus size (plan pinned in
-    tests/test_plan_regressions.py). The numbering window runs post-LIMIT on
-    n_cells rows; partitionBy(lit(1)) keeps the partition spec non-empty (one
-    tiny task, no unpartitioned-window hazard).
+    tests/test_plan_regressions.py). Cell numbering uses a sorted-array
+    posexplode over the n_cells surviving rows instead of an unpartitioned
+    row_number window (whose single-partition WindowExec Catalyst cannot see
+    is post-LIMIT tiny).
     """
-    w = Window.partitionBy(F.lit(1)).orderBy("__h")
     return (
         c.withColumn("__h", F.md5(F.col("n_id").cast("string")))
         .orderBy("__h")
         .limit(n_cells)
+        .agg(F.array_sort(F.collect_list(F.struct("__h", "n_vec", "n_norm"))).alias("__a"))
+        .select(F.posexplode("__a").alias("__pos", "__s"))
         .select(
-            F.row_number().over(w).alias("cell"),
-            F.col("n_vec").alias("c_vec"),
-            F.col("n_norm").alias("c_norm"),
+            (F.col("__pos") + 1).alias("cell"),
+            F.col("__s.n_vec").alias("c_vec"),
+            F.col("__s.n_norm").alias("c_norm"),
         )
     )
 
