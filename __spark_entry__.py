@@ -177,6 +177,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = multimodal.documents_as_media(_docs(spark, sf_dir))
         return multimodal.sample_frames(media, n_frames=4, fake=True)
 
+    def mm_codec(spark, sf_dir):
+        """REAL codec round-trip: pack genuine PPM/WAV payloads, parse them
+        back from raw bytes (no fake flag anywhere); the oracle re-derives
+        every decoded field analytically (operators/multimodal.py)."""
+        media = multimodal.encode_codec_media(_docs(spark, sf_dir))
+        return multimodal.decode_codec_media(media)
+
     def top_terms(spark, sf_dir):
         """Term frequency: top 5 tokens per language (ties broken by term)."""
         from pyspark.sql import Window
@@ -231,6 +238,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_stats": mm_stats,
         "multimodal_decode": mm_decode,
         "multimodal_frames": mm_frames,
+        "multimodal_codec": mm_codec,
         # corpus curation (operators/curation.py): benchmark = every doc_id
         # divisible by 7 (deterministic holdout), corpus = the rest.
         "curation_decontaminate": lambda spark, sf_dir: curation.decontaminate(
@@ -417,6 +425,26 @@ def _northstar_oracles() -> dict[str, str]:
                  AS frame_chars,
                md5(substr(text, CAST(i AS INTEGER) * step + 1, step)) AS frame_md5
         FROM v JOIN range(0, 4) t(i) ON CAST(i AS INTEGER) * step < len(text)
+    """
+    # Real-codec round-trip: payload bytes derive from doc_id + md5(text),
+    # so every field the PPM/WAV parser extracts (header dims/rates, data
+    # size, first-16-data-byte sum) is predictable without running Python.
+    first16 = " + ".join(f"ascii(substr(md5(text), {i}, 1))" for i in range(1, 17))
+    out["multimodal_codec"] = f"""
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 32 + 8 END AS INTEGER) AS width,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 24 + 8 END AS INTEGER) AS height,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 + doc_id % 2 END AS INTEGER)
+                 AS channels,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN NULL
+                         ELSE 8000 + (doc_id % 8) * 1000 END AS INTEGER) AS sample_rate,
+               CAST(CASE WHEN doc_id % 2 = 0
+                         THEN (doc_id % 32 + 8) * (doc_id % 24 + 8) * 3
+                         ELSE (doc_id % 64 + 16) * (1 + doc_id % 2) * 2 END AS BIGINT)
+                 AS n_data_bytes,
+               CAST({first16} AS BIGINT) AS first16_sum
+        FROM documents WHERE text IS NOT NULL
     """
     out["dedup_simhash"] = _simhash_md5_oracle()
     out["ann_lsh_topk"] = _lsh_topk_oracle()
@@ -658,6 +686,7 @@ DRIVER_KEYS = [
     "multimodal_stats",
     "multimodal_decode",
     "multimodal_frames",
+    "multimodal_codec",
     "curation_decontaminate",
     "curation_shared_spans",
     "curation_doc_quality",

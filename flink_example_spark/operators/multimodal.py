@@ -6,11 +6,20 @@ frame-sampling run as Arrow-batched ``mapInPandas`` stages so each executor
 processes whole record batches without JVM↔Python per-row overhead, and the
 pipeline repartitions by size-balanced ranges before the expensive decode.
 
-The actual codec calls are STUBBED (image/audio libraries are not in this
+Third-party codec calls are STUBBED (image/audio libraries are not in this
 container): ``decode_media`` raises NotImplementedError unless
 ``fake=True``, in which case it produces a deterministic fake feature vector
 (seeded from the payload bytes) with the REAL schema, partitioning, UDF
 signature, and batch shape — so the Spark-side plumbing is fully testable.
+
+A REAL codec path exists for the two formats simple enough to implement
+from their public specs without libraries: ``encode_codec_media`` packs
+genuine PPM (P6) images and WAV (RIFF/PCM) audio payloads byte-for-byte,
+and ``decode_codec_media`` parses them back from raw bytes (magic check,
+header walk, chunk scan) — no ``fake`` flag, no metadata peeking. The
+decoded metadata is oracle-checked: payload content derives
+deterministically from the documents table, so DuckDB re-computes the
+expected header fields and a data-byte checksum analytically.
 """
 
 from __future__ import annotations
@@ -176,6 +185,174 @@ def sample_frames(media: DataFrame, n_frames: int = 4, fake: bool = False) -> Da
         .repartition("media_id")
         .mapInPandas(sample, schema=FRAME_SCHEMA)
     )
+
+
+CODEC_MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+CODEC_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_data_bytes", LongType(), True),
+        StructField("first16_sum", LongType(), True),
+    ]
+)
+
+
+def _cycle_bytes(seed_hex: str, n: int) -> bytes:
+    """Deterministic payload data: the 32 ascii md5-hex chars cycled to n
+    bytes — cheap for the encoder AND analytically reproducible by the
+    DuckDB oracle (ascii(substr(md5(text), i, 1)))."""
+    return (seed_hex * (n // 32 + 1))[:n].encode("ascii")
+
+
+def _encode_ppm(width: int, height: int, data: bytes) -> bytes:
+    assert len(data) == width * height * 3
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + data
+
+
+def _encode_wav(sample_rate: int, channels: int, data: bytes) -> bytes:
+    import struct
+
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _parse_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary-PPM payload from raw bytes: magic, three whitespace-
+    separated header tokens (width height maxval), then exactly w*h*3 data
+    bytes. Raises ValueError on malformed input."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster data
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    data = payload[pos:]
+    if len(data) != width * height * 3:
+        raise ValueError("PPM raster size mismatch")
+    return width, height, data
+
+
+def _parse_wav(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a RIFF/WAVE payload from raw bytes: verify magic, walk the
+    chunk list for fmt/data (PCM 16-bit only). Raises ValueError on
+    malformed input."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sample_rate, channels, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format, channels, sample_rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_format != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return sample_rate, channels, data
+
+
+def encode_codec_media(documents: DataFrame) -> DataFrame:
+    """REAL encoder: pack each document into a genuine media payload — PPM
+    (P6) images for even doc_ids, WAV (RIFF/PCM-16) audio for odd ones.
+    Dimensions/rates derive from doc_id and data bytes from md5(text), so an
+    external oracle can predict every decoded field without running Python.
+    Arrow-batched mapInPandas; payloads are a few KB each.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                mid = int(mid)
+                hh = hashlib.md5(text.encode("utf-8")).hexdigest()
+                if mid % 2 == 0:
+                    w, h = mid % 32 + 8, mid % 24 + 8
+                    payload = _encode_ppm(w, h, _cycle_bytes(hh, w * h * 3))
+                    rows.append((mid, "image", payload))
+                else:
+                    sr, ch = 8000 + (mid % 8) * 1000, 1 + mid % 2
+                    n_frames = mid % 64 + 16
+                    payload = _encode_wav(sr, ch, _cycle_bytes(hh, n_frames * ch * 2))
+                    rows.append((mid, "audio", payload))
+            yield pd.DataFrame(rows, columns=["media_id", "media_type", "payload"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        encode, schema=CODEC_MEDIA_SCHEMA
+    )
+
+
+def decode_codec_media(media: DataFrame) -> DataFrame:
+    """REAL decoder: parse PPM/WAV payloads from raw bytes (magic check,
+    header tokens, RIFF chunk walk) — nothing is read from metadata columns,
+    only from the payload. Emits typed metadata plus ``first16_sum`` (the sum
+    of the first 16 data bytes) as the content-roundtrip check.
+
+    Same 100 TB shape as ``decode_media``: size-balanced repartition before
+    the CPU-bound parse, Arrow-batched mapInPandas, malformed payloads fail
+    loudly (ValueError) rather than silently skewing stats.
+    """
+    import pandas as pd
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                if payload[:2] == b"P6":
+                    w, h, data = _parse_ppm(payload)
+                    rows.append((int(mid), mtype, w, h, 3, None, len(data), sum(data[:16])))
+                elif payload[:4] == b"RIFF":
+                    sr, ch, data = _parse_wav(payload)
+                    rows.append(
+                        (int(mid), mtype, None, None, ch, sr, len(data), sum(data[:16]))
+                    )
+                else:
+                    raise ValueError(f"unrecognized payload magic for media {mid}")
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in CODEC_META_SCHEMA.fields]
+            )
+
+    return media.repartition("media_type").mapInPandas(decode, schema=CODEC_META_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:

@@ -345,3 +345,52 @@ def test_kmeans_centroids_improve_distortion(spark):
     rows_a = sorted((r["cell"], tuple(r["c_vec"])) for r in c3.collect())
     rows_b = sorted((r["cell"], tuple(r["c_vec"])) for r in c3b.collect())
     assert rows_a == rows_b
+
+
+def test_codec_parsers_roundtrip():
+    """Pure-python codec layer: encode → parse recovers exactly what was
+    packed, including RIFF word-alignment for odd-sized data chunks."""
+    data = bytes(range(48)) * 4  # 192 bytes = 8*8*3
+    w, h, raster = multimodal._parse_ppm(multimodal._encode_ppm(8, 8, data))
+    assert (w, h, raster) == (8, 8, data)
+
+    pcm = b"ab" * 20  # 40 bytes, 20 frames mono
+    sr, ch, got = multimodal._parse_wav(multimodal._encode_wav(16000, 1, pcm))
+    assert (sr, ch, got) == (16000, 1, pcm)
+    # odd-sized data chunk exercises the word-alignment walk
+    odd = b"xyz"
+    payload = multimodal._encode_wav(8000, 2, odd) + b"JUNK" + (4).to_bytes(4, "little") + b"zzzz"
+    sr, ch, got = multimodal._parse_wav(payload)
+    assert (sr, ch, got) == (8000, 2, odd)
+
+
+def test_codec_parsers_reject_malformed():
+    with pytest.raises(ValueError, match="P6"):
+        multimodal._parse_ppm(b"P3\n1 1\n255\nxxx")
+    with pytest.raises(ValueError, match="raster size"):
+        multimodal._parse_ppm(b"P6\n2 2\n255\nshort")
+    with pytest.raises(ValueError, match="RIFF"):
+        multimodal._parse_wav(b"RIFX....WAVE")
+    with pytest.raises(ValueError, match="missing fmt"):
+        multimodal._parse_wav(b"RIFF" + (4).to_bytes(4, "little") + b"WAVE")
+
+
+def test_codec_roundtrip_spark(spark, docs):
+    """encode_codec_media → decode_codec_media recovers the analytic
+    metadata for every document; decode reads ONLY payload bytes."""
+    media = multimodal.encode_codec_media(docs.select("doc_id", "text"))
+    out = {r["media_id"]: r for r in multimodal.decode_codec_media(media).collect()}
+    assert len(out) == len(DOCS)
+    for doc_id, _text, _lang in DOCS:
+        r = out[doc_id]
+        if doc_id % 2 == 0:
+            assert r["media_type"] == "image"
+            assert (r["width"], r["height"]) == (doc_id % 32 + 8, doc_id % 24 + 8)
+            assert r["channels"] == 3 and r["sample_rate"] is None
+            assert r["n_data_bytes"] == r["width"] * r["height"] * 3
+        else:
+            assert r["media_type"] == "audio"
+            assert r["width"] is None and r["height"] is None
+            assert r["sample_rate"] == 8000 + (doc_id % 8) * 1000
+            assert r["channels"] == 1 + doc_id % 2
+            assert r["n_data_bytes"] == (doc_id % 64 + 16) * r["channels"] * 2
