@@ -177,6 +177,28 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = multimodal.documents_as_media(_docs(spark, sf_dir))
         return multimodal.sample_frames(media, n_frames=4, fake=True)
 
+    def para_dedup(spark, sf_dir):
+        """Paragraph-level dedup over synthetic multi-paragraph docs: the
+        harness corpus is single-line, so groups of 4 docs are joined with
+        newlines (deterministically, id-ordered) before the line-hash
+        rollup — the oracle builds the same synthetic docs in SQL."""
+        d = _docs(spark, sf_dir)
+        synth = (
+            d.select(F.expr("doc_id DIV 4").alias("gid"), "doc_id", "text")
+            .groupBy("gid")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                        lambda s: s["text"],
+                    ),
+                    "\n",
+                ).alias("text")
+            )
+            .select(F.col("gid").alias("doc_id"), "text")
+        )
+        return dedup.paragraph_dedup(synth)
+
     def mm_codec(spark, sf_dir):
         """REAL codec round-trip: pack genuine PPM/WAV payloads, parse them
         back from raw bytes (no fake flag anywhere); the oracle re-derives
@@ -231,6 +253,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": lambda spark, sf_dir: dedup.simhash_pairs(
             _docs(spark, sf_dir), max_hamming=3, token_hash="md5"
         ),
+        "dedup_paragraphs": para_dedup,
         "ann_cosine_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -425,6 +448,39 @@ def _northstar_oracles() -> dict[str, str]:
                  AS frame_chars,
                md5(substr(text, CAST(i AS INTEGER) * step + 1, step)) AS frame_md5
         FROM v JOIN range(0, 4) t(i) ON CAST(i AS INTEGER) * step < len(text)
+    """
+    # Paragraph dedup over synthetic multi-paragraph docs (groups of 4,
+    # id-ordered, newline-joined): keeper = arithmetic arg-min (id<<20 | pos),
+    # reassembly = position-ordered string_agg — all portable SQL.
+    out["dedup_paragraphs"] = """
+        WITH synth AS (
+          SELECT doc_id // 4 AS doc_id,
+                 string_agg(text, chr(10) ORDER BY doc_id) AS text
+          FROM documents GROUP BY 1
+        ), parts AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, len(parts))) - 1 AS pos,
+                 unnest(parts) AS para
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM synth)
+        ), hashed AS (
+          SELECT doc_id, pos, para, md5(para) AS h,
+                 doc_id * 1048576 + pos AS code
+          FROM parts
+        ), keepers AS (SELECT h, MIN(code) AS kcode FROM hashed GROUP BY h),
+        kept AS (
+          SELECT doc_id, pos, para FROM hashed JOIN keepers USING (h)
+          WHERE code = kcode
+        ), reasm AS (
+          SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text_deduped,
+                 COUNT(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        ), totals AS (
+          SELECT doc_id, len(string_split(text, chr(10))) AS total FROM synth
+        )
+        SELECT t.doc_id, COALESCE(r.text_deduped, '') AS text_deduped,
+               CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(t.total - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+        FROM totals t LEFT JOIN reasm r ON t.doc_id = r.doc_id
     """
     # Real-codec round-trip: payload bytes derive from doc_id + md5(text),
     # so every field the PPM/WAV parser extracts (header dims/rates, data
@@ -679,6 +735,7 @@ DRIVER_KEYS = [
     "dedup_minhash_clusters",
     "dedup_minhash_keep",
     "dedup_simhash",
+    "dedup_paragraphs",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

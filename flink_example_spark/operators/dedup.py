@@ -178,6 +178,60 @@ def exact_dedup(documents: DataFrame, content_col: str = "text", id_col: str = "
     )
 
 
+def paragraph_dedup(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Within-corpus paragraph-level dedup (C4-style line dedup): split each
+    document on ``sep``, keep only the CANONICAL occurrence of every distinct
+    paragraph — the (min doc id, min position) one — and reassemble the
+    documents in original paragraph order.
+
+    Output: (id_col, text_deduped, n_kept, n_removed); documents whose every
+    paragraph was claimed elsewhere survive with ``text_deduped = ''``.
+
+    Scale: two shuffles — one hash-partition on the paragraph md5 (the
+    keeper aggregation and the keeper join share that exchange), one back on
+    the doc id for reassembly. The keeper is an arithmetic arg-min
+    (id * 2^20 + pos), deterministic and reproducible by any SQL engine;
+    positions must stay below 2^20 paragraphs per document.
+    """
+    parts = documents.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("__pos", "__para"),
+    ).withColumn("__h", F.md5(F.col("__para")))
+    code = F.col("__id") * (1 << 20) + F.col("__pos")
+    keepers = parts.groupBy("__h").agg(F.min(code).alias("__kcode"))
+    kept = parts.join(keepers, "__h").filter(code == F.col("__kcode"))
+    reassembled = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    # paragraph totals come from a plain projection over the input (no second
+    # pass through the explode/join branch — multi-consumer DAGs recompute)
+    totals = documents.select(
+        F.col(id_col).alias("__id"),
+        F.size(F.split(F.col(text_col), sep, -1)).alias("__total"),
+    )
+    return (
+        totals.join(reassembled, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("__total") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )
+
+
 # --- shingling ---------------------------------------------------------------
 
 

@@ -394,3 +394,23 @@ def test_codec_roundtrip_spark(spark, docs):
             assert r["sample_rate"] == 8000 + (doc_id % 8) * 1000
             assert r["channels"] == 1 + doc_id % 2
             assert r["n_data_bytes"] == (doc_id % 64 + 16) * r["channels"] * 2
+
+
+def test_paragraph_dedup(spark):
+    rows = [
+        (1, "alpha\nbeta\ngamma"),
+        (2, "beta\ndelta"),      # beta's canonical home is doc 1
+        (3, "alpha\nbeta"),      # fully claimed elsewhere -> empty doc
+        (4, "\nalpha"),          # leading empty paragraph (first '' keeper)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.paragraph_dedup(d).collect()}
+    assert out[1]["text_deduped"] == "alpha\nbeta\ngamma"
+    assert (out[1]["n_kept"], out[1]["n_removed"]) == (3, 0)
+    assert out[2]["text_deduped"] == "delta"
+    assert (out[2]["n_kept"], out[2]["n_removed"]) == (1, 1)
+    assert out[3]["text_deduped"] == "" and out[3]["n_kept"] == 0
+    assert out[3]["n_removed"] == 2
+    # doc 4: '' at pos 0 is the canonical empty paragraph; 'alpha' removed
+    assert out[4]["text_deduped"] == "" and out[4]["n_kept"] == 1
+    assert out[4]["n_removed"] == 1
