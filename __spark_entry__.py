@@ -206,6 +206,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = multimodal.encode_codec_media(_docs(spark, sf_dir))
         return multimodal.decode_codec_media(media)
 
+    def mm_audio_chunks(spark, sf_dir):
+        """Frame-aligned chunking of the real WAV payloads (PCM slice sums
+        re-derived analytically by the oracle from the cycled-md5 data)."""
+        media = multimodal.encode_codec_media(_docs(spark, sf_dir))
+        return multimodal.chunk_audio(media, frames_per_chunk=16)
+
     def top_terms(spark, sf_dir):
         """Term frequency: top 5 tokens per language (ties broken by term)."""
         from pyspark.sql import Window
@@ -262,6 +268,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": mm_decode,
         "multimodal_frames": mm_frames,
         "multimodal_codec": mm_codec,
+        "multimodal_audio_chunks": mm_audio_chunks,
         # corpus curation (operators/curation.py): benchmark = every doc_id
         # divisible by 7 (deterministic holdout), corpus = the rest.
         "curation_decontaminate": lambda spark, sf_dir: curation.decontaminate(
@@ -291,6 +298,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_length_histogram": lambda spark, sf_dir: curation.length_histogram(
             _docs(spark, sf_dir)
         ),
+        # per-domain caps (anti-dominance, two-phase skew-safe top-k)
+        "curation_domain_cap": lambda spark, sf_dir: curation.domain_cap(
+            _docs(spark, sf_dir), cap=10
+        ).select("doc_id", "source", "n_chars"),
         # consolidated per-doc quality relation: Gopher flags + redaction
         # audit + repetition stats in one row per document.
         "curation_doc_quality": lambda spark, sf_dir: curation.doc_quality(
@@ -502,6 +513,25 @@ def _northstar_oracles() -> dict[str, str]:
                CAST({first16} AS BIGINT) AS first16_sum
         FROM documents WHERE text IS NOT NULL
     """
+    # Audio chunking: expand every PCM data byte (bi-th byte = ascii of the
+    # cycled md5-hex char), group by frame-aligned chunk index.
+    out["multimodal_audio_chunks"] = """
+        WITH m AS (
+          SELECT doc_id AS media_id, md5(text) AS hh,
+                 1 + doc_id % 2 AS ch, doc_id % 64 + 16 AS nf
+          FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL
+        ), bytes AS (
+          SELECT media_id, ch,
+                 unnest(generate_series(0, nf * ch * 2 - 1)) AS bi, hh
+          FROM m
+        )
+        SELECT media_id,
+               CAST(bi // (16 * ch * 2) AS INTEGER) AS chunk_idx,
+               CAST(COUNT(*) // (ch * 2) AS INTEGER) AS n_frames,
+               CAST(SUM(ascii(substr(hh, CAST(bi % 32 AS INTEGER) + 1, 1))) AS BIGINT)
+                 AS byte_sum
+        FROM bytes GROUP BY media_id, chunk_idx, ch
+    """
     out["dedup_simhash"] = _simhash_md5_oracle()
     out["ann_lsh_topk"] = _lsh_topk_oracle()
     out["ann_ivf_topk"] = _ivf_topk_oracle()
@@ -517,6 +547,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["curation_sample"] = curation.stratified_sample_oracle(_MIX_FRACTIONS)
     out["curation_shards"] = curation.shard_stats_oracle(n_shards=8)
     out["curation_length_histogram"] = curation.length_histogram_oracle()
+    out["curation_domain_cap"] = curation.domain_cap_oracle(cap=10)
     out["curation_doc_quality"] = curation.doc_quality_oracle(
         _BLOCKLIST_PATTERN, "[REDACTED]", n=2
     )
@@ -667,6 +698,21 @@ def _q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 event-time SLIDING window aggregate: 1-day windows every 12 hours —
+    each event lands in exactly two windows (epoch-aligned slide)."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.plans.events_demo import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+
+
 def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 session windows: per-user sessions with a 30-minute inactivity gap."""
     from pyspark.sql import functions as F
@@ -756,6 +802,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "feature_latest": _q_feature_latest,
         "tumbling_window_counts": _q_tumbling_window,
+        "sliding_window_counts": _q_sliding_window,
         "session_window_counts": _q_session_window,
         "features_agg": _q_features_agg,
         "target_agg": _q_target_agg,
@@ -792,6 +839,7 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         run_streaming_features,
         run_streaming_training_examples,
         run_streaming_session_windows,
+        run_streaming_sliding_counts,
         run_streaming_tumbling_counts,
     )
 
@@ -808,9 +856,10 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup-on-ingest: running (content → min id, copies) aggregate;
         # converges exactly to batch exact_dedup → shares its oracle
         "streaming_dedup_exact": _run_streaming_dedup,
-        # windowed streaming aggregate: converges to the batch tumbling
-        # window counts → shares its oracle
+        # windowed streaming aggregates: converge to the batch tumbling /
+        # sliding window counts → share their oracles
         "streaming_tumbling_counts": run_streaming_tumbling_counts,
+        "streaming_sliding_counts": run_streaming_sliding_counts,
         # session-window streaming aggregate (state-store session merge):
         # converges to the batch session window counts → shares its oracle
         "streaming_session_windows": run_streaming_session_windows,
@@ -872,6 +921,7 @@ def _all_oracles() -> dict[str, str]:
     out["streaming_incremental_history"] = out["feature_history"]
     out["streaming_dedup_exact"] = out["dedup_exact"]
     out["streaming_tumbling_counts"] = out["tumbling_window_counts"]
+    out["streaming_sliding_counts"] = out["sliding_window_counts"]
     out["streaming_interval_join"] = out["range_join_prior_errors"]
     out["streaming_session_windows"] = out["session_window_counts"]
     return out
@@ -898,6 +948,23 @@ def _core_oracles() -> dict[str, str]:
             "SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n "
             "FROM events GROUP BY 1, 2"
         ),
+        # Sliding 1-day/12-hour windows: every event belongs to exactly two
+        # epoch-aligned window starts — floor-to-12h and 12h before it. The
+        # date_trunc construction keeps plain TIMESTAMP (epoch()/to_timestamp
+        # would detour through TIMESTAMPTZ and break hash parity).
+        "sliding_window_counts": """
+            WITH base AS (
+              SELECT event_type,
+                     date_trunc('day', ts)
+                       + CASE WHEN ts - date_trunc('day', ts) >= INTERVAL 12 HOUR
+                              THEN INTERVAL 12 HOUR ELSE INTERVAL 0 HOUR END AS s0
+              FROM events
+            )
+            SELECT CASE WHEN j = 0 THEN s0 ELSE s0 - INTERVAL 12 HOUR END AS win_start,
+                   event_type, COUNT(*) AS n
+            FROM base, range(0, 2) r(j)
+            GROUP BY 1, 2
+        """,
         # Spark session windows span [start, last_event + gap); an event at
         # exactly last+gap starts a NEW session — hence >= in the island edge.
         "session_window_counts": """

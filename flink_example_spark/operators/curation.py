@@ -344,6 +344,54 @@ def stratified_sample(
     return df.filter(_hash_bucket(F.col(key_col), buckets) < thresh)
 
 
+def domain_cap(
+    df: DataFrame,
+    cap: int = 10,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    n_salt: int = 8,
+) -> DataFrame:
+    """Per-domain document caps: keep at most ``cap`` docs per domain,
+    chosen by the portable md5(id) order — the anti-dominance step that
+    stops one crawl host from swamping the training mix, reproducible
+    across engines and cluster layouts (no RNG).
+
+    Scale: two-phase top-k so a mega-domain can't serialize through one
+    partition's sort — phase 1 takes the per-(domain, salt) top-``cap``
+    (the hot domain spreads over ``n_salt`` sub-partitions), phase 2
+    re-ranks the ≤ n_salt*cap survivors per domain. Exact: the global
+    per-domain top-cap is always contained in the union of per-salt
+    top-caps.
+    """
+    from pyspark.sql import Window
+
+    d = df.withColumn("__h", F.md5(F.col(key_col).cast("string"))).withColumn(
+        "__s", (_hash_bucket(F.col(key_col)) % n_salt).cast("int")
+    )
+    w1 = Window.partitionBy(domain_col, "__s").orderBy("__h", key_col)
+    cand = d.withColumn("__r", F.row_number().over(w1)).filter(F.col("__r") <= cap)
+    w2 = Window.partitionBy(domain_col).orderBy("__h", key_col)
+    return (
+        cand.drop("__r")
+        .withColumn("__r", F.row_number().over(w2))
+        .filter(F.col("__r") <= cap)
+        .drop("__r", "__h", "__s")
+    )
+
+
+def domain_cap_oracle(cap: int = 10) -> str:
+    """Single-rank oracle for ``domain_cap`` (two-phase == direct top-k)."""
+    return f"""
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents
+        ) WHERE rn <= {cap}
+    """
+
+
 def shard_stats(
     df: DataFrame,
     n_shards: int = 8,

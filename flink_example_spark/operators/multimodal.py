@@ -355,6 +355,51 @@ def decode_codec_media(media: DataFrame) -> DataFrame:
     return media.repartition("media_type").mapInPandas(decode, schema=CODEC_META_SCHEMA)
 
 
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("chunk_idx", IntegerType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("byte_sum", LongType(), False),
+    ]
+)
+
+
+def chunk_audio(media: DataFrame, frames_per_chunk: int = 16) -> DataFrame:
+    """Audio chunking over REAL WAV payloads: parse each RIFF/PCM payload
+    from raw bytes (the ``_parse_wav`` codec), slice the PCM stream into
+    frame-aligned chunks of ``frames_per_chunk`` frames, and emit per-chunk
+    (frame count, data-byte sum) — the frame-sampling analog for audio
+    (NEXT.md #3). The last chunk may be short but stays frame-aligned.
+
+    Scale shape mirrors ``sample_frames``: audio-only pushdown filter,
+    size-balanced repartition, Arrow-batched mapInPandas.
+    """
+    import pandas as pd
+
+    def chunk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                _sr, ch, data = _parse_wav(bytes(payload))
+                frame_bytes = ch * 2
+                chunk_bytes = frames_per_chunk * frame_bytes
+                for ci in range(0, len(data), chunk_bytes):
+                    seg = data[ci : ci + chunk_bytes]
+                    rows.append(
+                        (int(mid), ci // chunk_bytes, len(seg) // frame_bytes, sum(seg))
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in CHUNK_SCHEMA.fields])
+
+    return (
+        media.filter(F.col("media_type") == "audio")
+        .repartition("media_id")
+        .mapInPandas(chunk, schema=CHUNK_SCHEMA)
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Typed-metadata aggregation — stays entirely JVM-side."""
     return media.groupBy("media_type").agg(

@@ -118,6 +118,29 @@ def run_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(name)
 
 
+def run_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming T6 sliding windows (1 day every 12 hours): each event updates
+    two window states; complete output for bounded replay — converges to the
+    batch sliding_window_counts (shared oracle). Production runs update mode
+    with the watermark closing windows 1 day after their start."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming T6 session windows: per-user sessions with a 30-minute
     inactivity gap — the state store MERGES adjacent session state as events

@@ -131,3 +131,22 @@ def test_gopher_flags(spark, corpus):
             and r["r_stopword"]
         )
         assert r["passes"] == conj
+
+
+def test_domain_cap_two_phase_matches_direct(spark):
+    """Skew-safe two-phase cap == direct per-domain top-k, and a hot domain
+    is actually capped."""
+    from pyspark.sql import Window
+
+    rows = [(i, "hot" if i < 40 else f"d{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    capped = curation.domain_cap(df, cap=5, n_salt=4)
+    counts = {r["source"]: r["n"] for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["hot"] == 5
+    assert all(v <= 5 for v in counts.values())
+    # exactness vs the single-window reference
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    direct = df.withColumn("r", F.row_number().over(w)).filter("r <= 5").drop("r")
+    assert sorted(r["doc_id"] for r in capped.collect()) == sorted(
+        r["doc_id"] for r in direct.collect()
+    )

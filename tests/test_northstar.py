@@ -414,3 +414,16 @@ def test_paragraph_dedup(spark):
     # doc 4: '' at pos 0 is the canonical empty paragraph; 'alpha' removed
     assert out[4]["text_deduped"] == "" and out[4]["n_kept"] == 1
     assert out[4]["n_removed"] == 1
+
+
+def test_chunk_audio_real_wav(spark, docs):
+    media = multimodal.encode_codec_media(docs.select("doc_id", "text"))
+    out = multimodal.chunk_audio(media, frames_per_chunk=16).collect()
+    audio_ids = {doc_id for doc_id, _t, _l in DOCS if doc_id % 2 == 1}
+    assert {r["media_id"] for r in out} == audio_ids
+    for mid in audio_ids:
+        chunks = sorted((r for r in out if r["media_id"] == mid), key=lambda r: r["chunk_idx"])
+        nf_total = mid % 64 + 16
+        assert sum(c["n_frames"] for c in chunks) == nf_total
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        assert all(c["n_frames"] == 16 for c in chunks[:-1])  # only last may be short
