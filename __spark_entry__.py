@@ -204,13 +204,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         back from raw bytes (no fake flag anywhere); the oracle re-derives
         every decoded field analytically (operators/multimodal.py)."""
         media = multimodal.encode_codec_media(_docs(spark, sf_dir))
-        return multimodal.decode_codec_media(media)
+        return multimodal.decode_codec_media(media, repartition=False)
 
     def mm_audio_chunks(spark, sf_dir):
         """Frame-aligned chunking of the real WAV payloads (PCM slice sums
         re-derived analytically by the oracle from the cycled-md5 data)."""
         media = multimodal.encode_codec_media(_docs(spark, sf_dir))
-        return multimodal.chunk_audio(media, frames_per_chunk=16)
+        return multimodal.chunk_audio(media, frames_per_chunk=16, repartition=False)
 
     def top_terms(spark, sf_dir):
         """Term frequency: top 5 tokens per language (ties broken by term)."""

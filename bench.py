@@ -46,6 +46,24 @@ HEADLINE = [
     "curation_repetition",
     "ann_cosine_topk",
     "multimodal_stats",
+    # added round 3
+    "dedup_paragraphs",
+    "multimodal_codec",
+    "curation_domain_cap",
+    "sliding_window_counts",
+]
+
+# the round-2 headline set: its subtotal is reported separately so suite
+# growth can never mask a regression (PERF.md bench-honesty protocol)
+COMMON_R2 = [
+    "training_examples", "feature_history", "feature_latest", "examples_window",
+    "session_window_counts", "range_join_prior_errors", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q13_customer_distribution", "top_orders", "ranking_windows",
+    "orders_above_customer_avg", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "text_fingerprint", "text_quality_score",
+    "curation_decontaminate", "curation_shared_spans", "curation_repetition",
+    "ann_cosine_topk", "multimodal_stats",
 ]
 
 
@@ -86,6 +104,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "common_r2_subtotal_sec": round(
+                    sum(timings[q] for q in COMMON_R2), 3
+                ),
                 "sf": sf,
             }
         )

@@ -192,11 +192,14 @@ def paragraph_dedup(
     Output: (id_col, text_deduped, n_kept, n_removed); documents whose every
     paragraph was claimed elsewhere survive with ``text_deduped = ''``.
 
-    Scale: two shuffles — one hash-partition on the paragraph md5 (the
-    keeper aggregation and the keeper join share that exchange), one back on
-    the doc id for reassembly. The keeper is an arithmetic arg-min
-    (id * 2^20 + pos), deterministic and reproducible by any SQL engine;
-    positions must stay below 2^20 paragraphs per document.
+    Scale: the keeper relation (one row per DISTINCT paragraph) broadcasts
+    while it fits, leaving one corpus shuffle into the keeper aggregation
+    plus the doc-id reassembly exchange (audited plan: broadcast join, 2
+    exchanges at sf0.01); past broadcast size it degrades to a shuffled
+    equi-join on (kcode, hash) — still hash-partitioned, never all-pairs.
+    The keeper is an arithmetic arg-min (id * 2^20 + pos), deterministic and
+    reproducible by any SQL engine; positions must stay below 2^20
+    paragraphs per document.
     """
     parts = documents.select(
         F.col(id_col).alias("__id"),

@@ -121,10 +121,11 @@ def decode_media(media: DataFrame, dim: int = 16, fake: bool = False) -> DataFra
                 }
             )
 
-    # Size-balance partitions before the (real-world: expensive) decode so
-    # stragglers don't dominate; at cluster scale this is the knob that keeps
-    # 1000 executors busy.
-    return media.repartition("media_type").mapInPandas(decode, schema=FEATURE_SCHEMA)
+    # Hash-spread on media_id before the (real-world: expensive) decode so
+    # stragglers don't dominate — at cluster scale this is the knob that
+    # keeps 1000 executors busy. (Partitioning on media_type would cap
+    # parallelism at the handful of distinct modalities.)
+    return media.repartition("media_id").mapInPandas(decode, schema=FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(
@@ -312,12 +313,16 @@ def encode_codec_media(documents: DataFrame) -> DataFrame:
                     rows.append((mid, "audio", payload))
             yield pd.DataFrame(rows, columns=["media_id", "media_type", "payload"])
 
-    return documents.select("doc_id", "text").mapInPandas(
-        encode, schema=CODEC_MEDIA_SCHEMA
+    # single-file harness parquet scans as ONE partition — spread before
+    # the Python-side packing so every core encodes
+    return (
+        documents.select("doc_id", "text")
+        .repartition("doc_id")
+        .mapInPandas(encode, schema=CODEC_MEDIA_SCHEMA)
     )
 
 
-def decode_codec_media(media: DataFrame) -> DataFrame:
+def decode_codec_media(media: DataFrame, repartition: bool = True) -> DataFrame:
     """REAL decoder: parse PPM/WAV payloads from raw bytes (magic check,
     header tokens, RIFF chunk walk) — nothing is read from metadata columns,
     only from the payload. Emits typed metadata plus ``first16_sum`` (the sum
@@ -352,7 +357,12 @@ def decode_codec_media(media: DataFrame) -> DataFrame:
                 rows, columns=[f.name for f in CODEC_META_SCHEMA.fields]
             )
 
-    return media.repartition("media_type").mapInPandas(decode, schema=CODEC_META_SCHEMA)
+    # repartition=False lets a caller that already hash-spread the payloads
+    # (e.g. straight off encode_codec_media) chain both Python stages in one
+    # task without re-shuffling payload bytes
+    if repartition:
+        media = media.repartition("media_id")
+    return media.mapInPandas(decode, schema=CODEC_META_SCHEMA)
 
 
 CHUNK_SCHEMA = StructType(
@@ -365,7 +375,9 @@ CHUNK_SCHEMA = StructType(
 )
 
 
-def chunk_audio(media: DataFrame, frames_per_chunk: int = 16) -> DataFrame:
+def chunk_audio(
+    media: DataFrame, frames_per_chunk: int = 16, repartition: bool = True
+) -> DataFrame:
     """Audio chunking over REAL WAV payloads: parse each RIFF/PCM payload
     from raw bytes (the ``_parse_wav`` codec), slice the PCM stream into
     frame-aligned chunks of ``frames_per_chunk`` frames, and emit per-chunk
@@ -393,11 +405,10 @@ def chunk_audio(media: DataFrame, frames_per_chunk: int = 16) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in CHUNK_SCHEMA.fields])
 
-    return (
-        media.filter(F.col("media_type") == "audio")
-        .repartition("media_id")
-        .mapInPandas(chunk, schema=CHUNK_SCHEMA)
-    )
+    audio = media.filter(F.col("media_type") == "audio")
+    if repartition:
+        audio = audio.repartition("media_id")
+    return audio.mapInPandas(chunk, schema=CHUNK_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:
