@@ -56,6 +56,25 @@ def streaming_first_seen(
     )
 
 
+def streaming_first_seen_within_watermark(
+    doc_stream: DataFrame,
+    delay: str = "1 hour",
+    ts_col: str = "ingest_ts",
+    content_col: str = "text",
+) -> DataFrame:
+    """State-BOUNDED first-seen filter: ``dropDuplicatesWithinWatermark``
+    keyed on the content hash, so per-key state is evicted once the
+    watermark passes ``delay`` — the unbounded-ingest configuration (exact
+    dedup holds within the watermark horizon; a duplicate arriving later
+    than ``delay`` after its first copy can slip through, the standard
+    trade-off). Same single content-hash shuffle as the exact variant."""
+    return (
+        doc_stream.withColumn("content_md5", F.md5(F.col(content_col)))
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+    )
+
+
 def _stage_by_id(spark: SparkSession, sf_dir: str, chunks: int) -> tuple[str, object]:
     """Stage the documents table as id-ordered chunk files so arrival order
     follows doc_id (first-seen == min-id). Range filters only — no row data

@@ -35,3 +35,43 @@ def test_streaming_first_seen_semantics(spark):
     holders = docs.select(F.md5("text").alias("content_md5"), "doc_id")
     bogus = kept.select("content_md5", "doc_id").exceptAll(holders)
     assert bogus.count() == 0
+
+
+def test_streaming_first_seen_within_watermark(spark):
+    """State-bounded variant: dropDuplicatesWithinWatermark with a horizon
+    wider than the replay dedups exactly; state is watermark-evicted."""
+    import os
+    import uuid
+
+    from flink_example_spark.session import shuffle_partitions
+    from flink_example_spark.streaming.dedup_stream import (
+        _stage_by_id,
+        streaming_first_seen_within_watermark,
+    )
+
+    tmpdir, schema = _stage_by_id(spark, SF, 3)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+        .withColumn(
+            "ingest_ts", F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id"))
+        )
+    )
+    name = f"fsw_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            streaming_first_seen_within_watermark(stream, delay="10 days")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    kept = spark.table(name)
+    docs = load_table(spark, SF, "documents")
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+    assert kept.count() == n_distinct
+    holders = docs.select(F.md5("text").alias("content_md5"), "doc_id")
+    assert kept.select("content_md5", "doc_id").exceptAll(holders).count() == 0
