@@ -163,6 +163,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def emb_pairs(spark, sf_dir):
         return similarity.cosine_pairs(_embs(spark, sf_dir), threshold=0.4)
 
+    def emb_pairs_lsh(spark, sf_dir):
+        return similarity.lsh_cosine_pairs(_embs(spark, sf_dir), threshold=0.4)
+
     def mm_stats(spark, sf_dir):
         return multimodal.media_stats(
             multimodal.documents_as_media(_docs(spark, sf_dir))
@@ -264,6 +267,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "embedding_near_dup": emb_pairs,
+        "embedding_near_dup_lsh": emb_pairs_lsh,
         "multimodal_stats": mm_stats,
         "multimodal_decode": mm_decode,
         "multimodal_frames": mm_frames,
@@ -426,6 +430,7 @@ def _northstar_oracles() -> dict[str, str]:
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE {_DUCK_COS} >= 0.4
     """
+    out["embedding_near_dup_lsh"] = _lsh_pairs_oracle(threshold=0.4)
     out["multimodal_stats"] = """
         SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
                     WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
@@ -633,6 +638,30 @@ def _lsh_topk_oracle() -> str:
                                     ORDER BY cos DESC, neighbor_id) AS rank
           FROM scored
         ) WHERE rank <= 5
+    """
+
+
+def _lsh_pairs_oracle(threshold: float) -> str:
+    """Exact replica of the LSH-bucketed near-dup pairs (same inlined
+    hyperplane literals as the top-k oracle)."""
+    from flink_example_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 8)
+    bucket = "\n             + ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in plane)
+        + f"]::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+        WITH c AS ({_DUCK_VECS}),
+        b AS (
+          SELECT vec_id, v, nrm, {bucket} AS bucket FROM c
+        )
+        SELECT a.vec_id AS vec_a, n.vec_id AS vec_b,
+               list_dot_product(a.v, n.v) / (a.nrm * n.nrm) AS cos
+        FROM b a JOIN b n ON a.bucket = n.bucket AND a.vec_id < n.vec_id
+        WHERE list_dot_product(a.v, n.v) / (a.nrm * n.nrm) >= {threshold}
     """
 
 

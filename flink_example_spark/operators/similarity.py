@@ -304,6 +304,43 @@ def kmeans_centroids(
     return centroids
 
 
+def lsh_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: candidate pairs are vectors
+    sharing a sign-bit LSH bucket (the documented swap for the blocked brute
+    force in ``cosine_pairs``) — one corpus shuffle on the bucket, pair work
+    O(sum of bucket²) instead of O(block²) over arbitrary label blocks.
+    Recall < 1 by construction for pairs straddling a hyperplane; raise
+    recall with more bands (union over several plane sets) exactly as in
+    minhash banding."""
+    p = _prep(embeddings, id_col, vec_col, "n").withColumn(
+        "bucket", lsh_bucket(F.col("n_vec"), hyperplanes(dim, n_planes))
+    )
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.n_id") < F.col("b.n_id")),
+        )
+        .select(
+            F.col("a.n_id").alias("vec_a"),
+            F.col("b.n_id").alias("vec_b"),
+            (
+                dot(F.col("a.n_vec"), F.col("b.n_vec"))
+                / (F.col("a.n_norm") * F.col("b.n_norm"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
