@@ -20,11 +20,60 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def dedup_probe(multiples: list[int], sf: str) -> None:
+    """Minhash-LSH scaling curve: N x the documents table (id-offset unions,
+    suffix-perturbed text so content cardinality grows with N) through
+    minhash_lsh_pairs. Near-linear growth = banding holds; quadratic would
+    mean bucket blowup."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.dedup import minhash_lsh_pairs
+    from flink_example_spark.session import get_spark
+    from flink_example_spark.tables import load_table
+
+    spark = get_spark("scale-probe-dedup")
+    base = load_table(spark, sf, "documents")
+    n_docs = base.count()
+    results = []
+    with tempfile.TemporaryDirectory(prefix="scale_probe_dedup_") as tmp:
+        for mult in multiples:
+            copies = [
+                base.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
+                .withColumn(
+                    "text",
+                    F.concat(F.col("text"), F.lit(f" copyset{i}")) if i else F.col("text"),
+                )
+                for i in range(mult)
+            ]
+            docs = copies[0]
+            for c in copies[1:]:
+                docs = docs.unionByName(c)
+            path = os.path.join(tmp, f"docs_x{mult}")
+            docs.repartition(32).write.mode("overwrite").parquet(path)
+            dp = spark.read.parquet(path)
+
+            t0 = time.perf_counter()
+            minhash_lsh_pairs(dp, threshold=0.8).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            wall = time.perf_counter() - t0
+            results.append(
+                {"multiple": mult, "docs": n_docs * mult, "wall_sec": round(wall, 2)}
+            )
+            print(json.dumps(results[-1]), flush=True)
+    print(json.dumps({"dedup_scale_probe": results}))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--multiples", default="1,4,16")
+    ap.add_argument("--dedup", action="store_true", help="probe minhash dedup instead")
     args = ap.parse_args()
+    if args.dedup:
+        dedup_probe([int(m) for m in args.multiples.split(",")], args.sf)
+        return
 
     from pyspark.sql import functions as F
 
