@@ -237,6 +237,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # consolidated per-doc text-analysis relation (all five columns);
         # the single-column variants below stay for local checks.
         "text_features": lambda spark, sf_dir: text.text_features(_docs(spark, sf_dir)),
+        "text_tfidf_top_terms": lambda spark, sf_dir: text.tfidf_top_terms(
+            _docs(spark, sf_dir), k=3
+        ),
         "text_token_count": text_q(text.token_count, "n_tokens"),
         "text_bpe_token_count": text_q(text.bpe_token_count, "n_bpe_tokens"),
         "text_fingerprint": text_q(text.fingerprint, "fingerprint"),
@@ -349,6 +352,9 @@ def _northstar_oracles() -> dict[str, str]:
 
     out = dict(TEXT_ORACLES)
     out["text_features"] = text_features_oracle()
+    from flink_example_spark.operators.text import tfidf_oracle
+
+    out["text_tfidf_top_terms"] = tfidf_oracle(k=3)
     out["text_top_terms"] = """
         WITH tf AS (
           SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term

@@ -206,3 +206,69 @@ TEXT_ORACLES = {
         )
     """,
 }
+
+
+def tfidf_top_terms(
+    documents: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k salient terms per document by tf * idf with a RATIONAL idf,
+    idf = (N + 1) / (df + 1) — same ranking family as log-idf but pure
+    integer-ratio arithmetic, so every score is a deterministic double that
+    any SQL engine reproduces bit-for-bit (ln() differs in the last ulp
+    across libm implementations and would break hash parity).
+
+    Scale: one shuffle for the (doc, term) tf aggregate, one for the df
+    aggregate (grouped on term), a broadcast of the (small) df relation back
+    onto the tf stream, and a per-doc top-k window. df is |vocabulary|-sized
+    — broadcast while it fits, hash join past that.
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.select(F.countDistinct(id_col)).first()[0]
+    scored = tf.join(F.broadcast(df_rel), "term").select(
+        "__id",
+        "term",
+        (
+            F.col("tf").cast("double")
+            * (F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)).cast("double"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__id").alias(id_col), "term", "rank", "score")
+    )
+
+
+def tfidf_oracle(k: int = 3) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ), dfr AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        ), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+        SELECT doc_id, term, rank, score FROM (
+          SELECT tf.doc_id, tf.term,
+                 CAST(tf.tf AS DOUBLE)
+                   * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(dfr.df + 1 AS DOUBLE))
+                   AS score,
+                 ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY CAST(tf.tf AS DOUBLE)
+                                      * (CAST(n.n_docs + 1 AS DOUBLE)
+                                         / CAST(dfr.df + 1 AS DOUBLE)) DESC,
+                                      tf.term) AS rank
+          FROM tf JOIN dfr USING (term) CROSS JOIN n
+        ) WHERE rank <= {k}
+    """

@@ -427,3 +427,19 @@ def test_chunk_audio_real_wav(spark, docs):
         assert sum(c["n_frames"] for c in chunks) == nf_total
         assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
         assert all(c["n_frames"] == 16 for c in chunks[:-1])  # only last may be short
+
+
+def test_tfidf_top_terms(spark):
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "durian durian durian"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id"], r["rank"]): r for r in text.tfidf_top_terms(d, k=2).collect()}
+    # doc 1: apple tf=2 df=1 -> 2*(4/2)=4.0 beats banana 1*(4/3)
+    assert out[(1, 1)]["term"] == "apple" and out[(1, 1)]["score"] == 4.0
+    assert out[(1, 2)]["term"] == "banana"
+    # doc 3: durian tf=3 df=1 -> 6.0, only one distinct term
+    assert out[(3, 1)]["term"] == "durian" and out[(3, 1)]["score"] == 6.0
+    assert (3, 2) not in out
