@@ -895,6 +895,9 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sliding window counts → share their oracles
         "streaming_tumbling_counts": run_streaming_tumbling_counts,
         "streaming_sliding_counts": run_streaming_sliding_counts,
+        # stateless streaming text analysis: append-mode projection,
+        # row-for-row equal to the batch text_features -> shares its oracle
+        "streaming_text_features": _run_streaming_text_features,
         # session-window streaming aggregate (state-store session merge):
         # converges to the batch session window counts → shares its oracle
         "streaming_session_windows": run_streaming_session_windows,
@@ -909,6 +912,12 @@ def _run_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_example_spark.streaming.interval_join import run_streaming_interval_join
 
     return run_streaming_interval_join(spark, sf_dir)
+
+
+def _run_streaming_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.dedup_stream import run_streaming_text_features
+
+    return run_streaming_text_features(spark, sf_dir)
 
 
 def _run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -957,6 +966,7 @@ def _all_oracles() -> dict[str, str]:
     out["streaming_dedup_exact"] = out["dedup_exact"]
     out["streaming_tumbling_counts"] = out["tumbling_window_counts"]
     out["streaming_sliding_counts"] = out["sliding_window_counts"]
+    out["streaming_text_features"] = out["text_features"]
     out["streaming_interval_join"] = out["range_join_prior_errors"]
     out["streaming_session_windows"] = out["session_window_counts"]
     return out

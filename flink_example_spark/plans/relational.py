@@ -530,6 +530,18 @@ TEMPLATES: dict[str, str] = {
           EXCEPT
           SELECT o_custkey AS c_custkey FROM orders
         )
+        UNION ALL
+        SELECT 'intersect_all' AS op, c_custkey FROM (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+          INTERSECT ALL
+          SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+        UNION ALL
+        SELECT 'except_all' AS op, c_custkey FROM (
+          SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          EXCEPT ALL
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        )
     """,
     # Consolidated window-function suite (W-class): the ranking/lag/lead
     # block over orders and the NTILE/PERCENT_RANK/CUME_DIST block over

@@ -75,6 +75,34 @@ def streaming_first_seen_within_watermark(
     )
 
 
+def run_streaming_text_features(spark: SparkSession, sf_dir: str, chunks: int = 3) -> DataFrame:
+    """Streaming text analysis at ingest: the ``text_features`` projection
+    (token counts, fingerprint, lang-id, quality) applied to a live document
+    stream — stateless append mode, so it converges row-for-row to the batch
+    relation (shared oracle). This is how the text operators run in an
+    unbounded pipeline: pure Catalyst projections, no state store at all."""
+    from flink_example_spark.operators.text import text_features
+
+    tune(spark)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    name = f"stream_textfeat_{uuid.uuid4().hex[:8]}"
+    q = (
+        text_features(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _stage_by_id(spark: SparkSession, sf_dir: str, chunks: int) -> tuple[str, object]:
     """Stage the documents table as id-ordered chunk files so arrival order
     follows doc_id (first-seen == min-id). Range filters only — no row data
