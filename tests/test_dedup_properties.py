@@ -1,0 +1,71 @@
+"""Property tests for paragraph_dedup: a pure-Python model is the oracle
+(same spirit as the as-of hypothesis suite — the two implementations share
+no code paths)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flink_example_spark.operators.dedup import paragraph_dedup
+
+paras = st.sampled_from(["alpha", "beta", "gamma", "delta", ""])
+doc_strategy = st.lists(
+    st.lists(paras, min_size=1, max_size=5), min_size=1, max_size=6
+)
+
+
+def model(docs: list[list[str]]) -> dict[int, tuple[str, int, int]]:
+    keeper: dict[str, tuple[int, int]] = {}
+    for i, ps in enumerate(docs):
+        for j, p in enumerate(ps):
+            if p not in keeper:
+                keeper[p] = (i, j)
+    out = {}
+    for i, ps in enumerate(docs):
+        kept = [p for j, p in enumerate(ps) if keeper[p] == (i, j)]
+        out[i] = ("\n".join(kept), len(kept), len(ps) - len(kept))
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@given(docs=doc_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_paragraph_dedup_matches_model(spark, docs):
+    rows = [(i, "\n".join(ps)) for i, ps in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_deduped"], r["n_kept"], r["n_removed"])
+        for r in paragraph_dedup(df).collect()
+    }
+    assert got == model(docs)
+
+
+@pytest.mark.usefixtures("spark")
+@given(docs=doc_strategy)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_paragraph_dedup_idempotent(spark, docs):
+    """Deduping an already-deduped corpus removes nothing further — after
+    dropping fully-emptied docs, as a real pipeline does (an emptied doc
+    serializes to "" which would collide with other emptied docs as a
+    spurious empty paragraph)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, "\n".join(ps)) for i, ps in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = (
+        paragraph_dedup(df)
+        .filter(F.col("n_kept") > 0)
+        .select("doc_id", F.col("text_deduped").alias("text"))
+    )
+    twice = paragraph_dedup(once).collect()
+    assert all(r["n_removed"] == 0 for r in twice)
