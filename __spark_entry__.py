@@ -905,7 +905,16 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # watermark-evicted): converges to the batch range join → shares
         # its oracle
         "streaming_interval_join": _run_streaming_interval_join,
+        # fully-JVM stream-stream as-of: chained interval join + arg-max agg
+        # (no Python state) — converges to the batch backward as-of
+        "streaming_asof_interval": _run_streaming_asof_interval,
     }
+
+
+def _run_streaming_asof_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.asof_stream import run_streaming_asof_interval
+
+    return run_streaming_asof_interval(spark, sf_dir)
 
 
 def _run_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -967,6 +976,12 @@ def _all_oracles() -> dict[str, str]:
     out["streaming_tumbling_counts"] = out["tumbling_window_counts"]
     out["streaming_sliding_counts"] = out["sliding_window_counts"]
     out["streaming_text_features"] = out["text_features"]
+    out["streaming_asof_interval"] = f"""
+        WITH fh AS ({_FH_SQL}), ex AS ({_EX_SQL})
+        SELECT ex._entity, ex._prediction_time, ex._label_time, fh.loss_value
+        FROM ex ASOF LEFT JOIN fh
+          ON ex._entity = fh._entity AND ex._prediction_time >= fh._change_time
+    """
     out["streaming_interval_join"] = out["range_join_prior_errors"]
     out["streaming_session_windows"] = out["session_window_counts"]
     return out
