@@ -79,6 +79,12 @@ def stateful_asof(
 ) -> DataFrame:
     """Stream-stream as-of join over a unified (tagged) keyed stream.
 
+    NOTE: state here is pickled Python per key (applyInPandasWithState).
+    For an all-JVM-state alternative with a bounded lookback horizon, see
+    ``streaming/asof_stream.py`` (chained interval join + arg-max agg); the
+    ``transformWithState`` port below (JVM typed state, unbounded horizon)
+    stays gated on google.protobuf being available in the environment.
+
     ``output_schema`` must be: _k, then probe_cols, then value_cols.
     """
     import pandas as pd
