@@ -164,7 +164,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.cosine_pairs(_embs(spark, sf_dir), threshold=0.4)
 
     def emb_pairs_lsh(spark, sf_dir):
-        return similarity.lsh_cosine_pairs(_embs(spark, sf_dir), threshold=0.4)
+        return similarity.lsh_cosine_pairs(_embs(spark, sf_dir), threshold=0.4, n_bands=2)
 
     def mm_stats(spark, sf_dir):
         return multimodal.media_stats(
@@ -436,7 +436,7 @@ def _northstar_oracles() -> dict[str, str]:
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE {_DUCK_COS} >= 0.4
     """
-    out["embedding_near_dup_lsh"] = _lsh_pairs_oracle(threshold=0.4)
+    out["embedding_near_dup_lsh"] = _lsh_pairs_oracle(threshold=0.4, n_bands=2)
     out["multimodal_stats"] = """
         SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
                     WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
@@ -647,26 +647,38 @@ def _lsh_topk_oracle() -> str:
     """
 
 
-def _lsh_pairs_oracle(threshold: float) -> str:
-    """Exact replica of the LSH-bucketed near-dup pairs (same inlined
-    hyperplane literals as the top-k oracle)."""
+def _lsh_pairs_oracle(threshold: float, n_bands: int = 1) -> str:
+    """Exact replica of the multi-band LSH near-dup pairs: per-band bucket
+    joins unioned (UNION dedups pairs), same inlined hyperplane literals as
+    the top-k oracle; band b uses seed 42+b."""
     from flink_example_spark.operators.similarity import hyperplanes
 
-    planes = hyperplanes(64, 8)
-    bucket = "\n             + ".join(
-        "CASE WHEN list_dot_product(v, ["
-        + ", ".join(repr(x) for x in plane)
-        + f"]::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END"
-        for p, plane in enumerate(planes)
+    def bucket_expr(seed: int) -> str:
+        return "\n             + ".join(
+            "CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(x) for x in plane)
+            + f"]::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END"
+            for p, plane in enumerate(hyperplanes(64, 8, seed=seed))
+        )
+
+    bucket_cols = ",\n               ".join(
+        f"{bucket_expr(42 + b)} AS b{b}" for b in range(n_bands)
+    )
+    band_joins = "\n          UNION\n".join(
+        f"          SELECT a.vec_id AS va, n.vec_id AS vb\n"
+        f"          FROM b a JOIN b n ON a.b{b} = n.b{b} AND a.vec_id < n.vec_id"
+        for b in range(n_bands)
     )
     return f"""
         WITH c AS ({_DUCK_VECS}),
         b AS (
-          SELECT vec_id, v, nrm, {bucket} AS bucket FROM c
+          SELECT vec_id, v, nrm, {bucket_cols} FROM c
+        ), cand AS (
+{band_joins}
         )
-        SELECT a.vec_id AS vec_a, n.vec_id AS vec_b,
+        SELECT cand.va AS vec_a, cand.vb AS vec_b,
                list_dot_product(a.v, n.v) / (a.nrm * n.nrm) AS cos
-        FROM b a JOIN b n ON a.bucket = n.bucket AND a.vec_id < n.vec_id
+        FROM cand JOIN c a ON cand.va = a.vec_id JOIN c n ON cand.vb = n.vec_id
         WHERE list_dot_product(a.v, n.v) / (a.nrm * n.nrm) >= {threshold}
     """
 

@@ -308,34 +308,53 @@ def lsh_cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
     n_planes: int = 8,
+    n_bands: int = 1,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding near-duplicate pairs at scale: candidate pairs are vectors
-    sharing a sign-bit LSH bucket (the documented swap for the blocked brute
-    force in ``cosine_pairs``) — one corpus shuffle on the bucket, pair work
-    O(sum of bucket²) instead of O(block²) over arbitrary label blocks.
-    Recall < 1 by construction for pairs straddling a hyperplane; raise
-    recall with more bands (union over several plane sets) exactly as in
-    minhash banding."""
+    sharing a sign-bit LSH bucket in ANY of ``n_bands`` independent
+    hyperplane sets (minhash-style banding; band b uses seed 42+b) — the
+    documented swap for the blocked brute force in ``cosine_pairs``.
+
+    ONE corpus shuffle regardless of band count: the per-band bucket ids
+    posexplode into (band, bucket) rows and the self-join keys on both, so
+    adding bands raises recall (a close pair misses only if it straddles a
+    plane in EVERY band) at linear candidate cost, never extra shuffles.
+    Duplicate candidates from multiple bands collapse via dropDuplicates on
+    the pair key — value-safe since both carry identical vectors."""
     p = _prep(embeddings, id_col, vec_col, "n").withColumn(
-        "bucket", lsh_bucket(F.col("n_vec"), hyperplanes(dim, n_planes))
+        "bands",
+        F.array(
+            *[
+                lsh_bucket(F.col("n_vec"), hyperplanes(dim, n_planes, seed=42 + b))
+                for b in range(n_bands)
+            ]
+        ),
     )
-    a, b = p.alias("a"), p.alias("b")
+    e = p.select(
+        "n_id", "n_vec", "n_norm", F.posexplode("bands").alias("band", "bucket")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.n_id") < F.col("b.n_id")),
+    ).select(
+        F.col("a.n_id").alias("vec_a"),
+        F.col("b.n_id").alias("vec_b"),
+        F.col("a.n_vec").alias("va"),
+        F.col("b.n_vec").alias("vb"),
+        F.col("a.n_norm").alias("na"),
+        F.col("b.n_norm").alias("nb"),
+    ).dropDuplicates(["vec_a", "vec_b"])
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.n_id") < F.col("b.n_id")),
-        )
-        .select(
-            F.col("a.n_id").alias("vec_a"),
-            F.col("b.n_id").alias("vec_b"),
-            (
-                dot(F.col("a.n_vec"), F.col("b.n_vec"))
-                / (F.col("a.n_norm") * F.col("b.n_norm"))
-            ).alias("cos"),
+        cand.select(
+            "vec_a",
+            "vec_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -443,3 +443,38 @@ def test_tfidf_top_terms(spark):
     # doc 3: durian tf=3 df=1 -> 6.0, only one distinct term
     assert out[(3, 1)]["term"] == "durian" and out[(3, 1)]["score"] == 6.0
     assert (3, 2) not in out
+
+
+def test_lsh_pairs_banding_recall(spark):
+    """Multi-band LSH recall on planted near-duplicates (cos >= 0.95):
+    deterministic corpus, so the curve is stable — 1 band misses pairs that
+    straddle a hyperplane, 4 bands recover them all."""
+    from flink_example_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 1, 63),
+            F.array((F.element_at("embedding", 64) + F.lit(0.05)).cast("float")),
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(pert)
+    brute = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.cosine_pairs(corpus, threshold=0.95, block_col=None).collect()
+    }
+    assert brute
+    r1 = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.lsh_cosine_pairs(corpus, threshold=0.95, n_bands=1).collect()
+    }
+    r4 = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.lsh_cosine_pairs(corpus, threshold=0.95, n_bands=4).collect()
+    }
+    assert r1 <= brute and r4 <= brute  # LSH never invents pairs
+    assert len(r1) / len(brute) >= 0.7
+    assert len(r4) / len(brute) >= 0.95
+    assert len(r4) >= len(r1)
