@@ -129,6 +129,18 @@ TEMPLATES: dict[str, str] = {
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
+    # Hypertable-style time-hierarchy rollup: one scan produces the counts
+    # at hour, day, month, and grand-total grain (continuous-aggregate
+    # maintenance is this same relation under incremental refresh).
+    "time_rollup_counts": """
+        SELECT date_trunc('month', ts) AS month,
+               date_trunc('day', ts) AS day,
+               date_trunc('hour', ts) AS hour,
+               event_type, COUNT(*) AS n
+        FROM events
+        GROUP BY ROLLUP(date_trunc('month', ts), date_trunc('day', ts),
+                        date_trunc('hour', ts)), event_type
+    """,
     # Correlated scalar comparison via explicit per-key aggregate join —
     # orders 1.5x above their customer's mean order value.
     "orders_above_customer_avg": """
