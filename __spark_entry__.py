@@ -305,6 +305,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_length_histogram": lambda spark, sf_dir: curation.length_histogram(
             _docs(spark, sf_dir)
         ),
+        # end-to-end composed curation pipeline (dedup -> decontaminate ->
+        # gopher filter -> redact -> shard), one Catalyst plan
+        "curation_pipeline": lambda spark, sf_dir: curation.curated_corpus(
+            _docs(spark, sf_dir), pattern=_BLOCKLIST_PATTERN
+        ),
         # per-domain caps (anti-dominance, two-phase skew-safe top-k)
         "curation_domain_cap": lambda spark, sf_dir: curation.domain_cap(
             _docs(spark, sf_dir), cap=10
@@ -559,6 +564,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["curation_shards"] = curation.shard_stats_oracle(n_shards=8)
     out["curation_length_histogram"] = curation.length_histogram_oracle()
     out["curation_domain_cap"] = curation.domain_cap_oracle(cap=10)
+    out["curation_pipeline"] = curation.curated_corpus_oracle(pattern=_BLOCKLIST_PATTERN)
     out["curation_doc_quality"] = curation.doc_quality_oracle(
         _BLOCKLIST_PATTERN, "[REDACTED]", n=2
     )

@@ -457,10 +457,10 @@ def _duck_ngrams(n: int) -> str:
 _DUCK_W = "regexp_split_to_array(trim(text), '\\s+')"
 
 
-def _duck_gram_rows(n: int, where: str = "") -> str:
+def _duck_gram_rows(n: int, where: str = "", src: str = "documents") -> str:
     return f"""
         SELECT doc_id, unnest({_duck_ngrams(n)}) AS g
-        FROM (SELECT doc_id, {_DUCK_W} AS w FROM documents {where})
+        FROM (SELECT doc_id, {_DUCK_W} AS w FROM {src} {where})
         WHERE len(w) >= {n}
     """
 
@@ -563,3 +563,95 @@ GOPHER_ORACLE = f"""
       FROM documents
     )
 """
+
+
+def curated_corpus(
+    documents: DataFrame,
+    bench_mod: int = 7,
+    n: int = 8,
+    pattern: str = r"\b(customer|secret|merge)\b",
+    replacement: str = "[REDACTED]",
+    n_shards: int = 8,
+) -> DataFrame:
+    """END-TO-END curation pipeline — the operators composed the way a real
+    pretraining ingest runs them, as ONE lazily-planned relation:
+
+    exact dedup (keep min-id per content) → benchmark decontamination
+    (drop docs sharing any word n-gram with the holdout) → Gopher rule
+    filter → PII/blocklist redaction → deterministic shard assignment.
+
+    Output: (doc_id, shard, redacted_fp, n_chars) for every surviving doc.
+    Composition stays one Catalyst plan: dedup is one hash-agg + join on the
+    content hash, decontamination joins the broadcast benchmark gram set,
+    the rule filter and redaction are projections, sharding is the portable
+    md5 bucket — so Catalyst prunes/pushes across stage boundaries instead
+    of materializing intermediates.
+    """
+    did = F.col("doc_id")
+    corpus = documents.filter(did % bench_mod != 0)
+    benchmark = documents.filter(did % bench_mod == 0)
+    keepers = corpus.groupBy(F.md5(F.col("text")).alias("__h")).agg(
+        F.min("doc_id").alias("__keep")
+    )
+    dd = (
+        corpus.withColumn("__h", F.md5(F.col("text")))
+        .join(keepers, "__h")
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .drop("__h", "__keep")
+    )
+    contaminated = decontaminate(dd, benchmark, n=n).select("doc_id")
+    clean = dd.join(contaminated, "doc_id", "left_anti")
+    passing = gopher_flags(clean).filter("passes").select("doc_id")
+    return clean.join(passing, "doc_id", "left_semi").select(
+        "doc_id",
+        (_hash_bucket(did) % n_shards).cast("int").alias("shard"),
+        F.md5(regex_redact(F.col("text"), pattern, replacement)).alias("redacted_fp"),
+        "n_chars",
+    )
+
+
+def curated_corpus_oracle(
+    bench_mod: int = 7,
+    n: int = 8,
+    pattern: str = r"\b(customer|secret|merge)\b",
+    replacement: str = "[REDACTED]",
+    n_shards: int = 8,
+) -> str:
+    """Same composition assembled from the per-stage oracle fragments."""
+    return f"""
+        WITH corpus AS (SELECT * FROM documents WHERE doc_id % {bench_mod} <> 0),
+        keepers AS (
+          SELECT md5(text) AS h, MIN(doc_id) AS keep FROM corpus GROUP BY 1
+        ),
+        dd AS (
+          SELECT c.* FROM corpus c
+          JOIN keepers k ON md5(c.text) = k.h AND c.doc_id = k.keep
+        ),
+        ddg AS ({_duck_gram_rows(n, src="dd")}),
+        bg AS (
+          SELECT DISTINCT g
+          FROM ({_duck_gram_rows(n, where=f"WHERE doc_id % {bench_mod} = 0")})
+        ),
+        cont AS (SELECT DISTINCT ddg.doc_id FROM ddg JOIN bg USING (g)),
+        clean AS (
+          SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+        ),
+        passing AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, {_DUCK_NTOK_D} AS nt,
+                   CAST(len(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                     / greatest({_DUCK_NTOK_D}, 1.0) AS mwl,
+                   CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                     / CAST(greatest(len(text), 1) AS DOUBLE) AS alpha,
+                   len(list_distinct(list_intersect({_DUCK_W}, [{_DUCK_EN}]))) AS s_en
+            FROM clean
+          ) WHERE nt >= 15 AND nt <= 400 AND mwl >= 2.0 AND mwl <= 10.0
+                AND alpha >= 0.6 AND s_en >= 1
+        )
+        SELECT c.doc_id,
+               CAST({_DUCK_BUCKET} % {n_shards} AS INTEGER) AS shard,
+               md5(regexp_replace(c.text, '{pattern}', '{replacement}', 'g'))
+                 AS redacted_fp,
+               c.n_chars
+        FROM clean c JOIN passing USING (doc_id)
+    """

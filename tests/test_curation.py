@@ -150,3 +150,31 @@ def test_domain_cap_two_phase_matches_direct(spark):
     assert sorted(r["doc_id"] for r in capped.collect()) == sorted(
         r["doc_id"] for r in direct.collect()
     )
+
+
+def test_curated_corpus_composition(spark):
+    """The composed pipeline equals applying the stages one by one."""
+    from flink_example_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = curation.curated_corpus(docs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows, "pipeline produced no survivors"
+    # survivors are non-benchmark, dedup keepers, uncontaminated, passing
+    bench = docs.filter("doc_id % 7 = 0")
+    corpus = docs.filter("doc_id % 7 != 0")
+    keepers = {
+        r["doc_id"]
+        for r in corpus.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    contaminated = {
+        r["doc_id"] for r in curation.decontaminate(corpus, bench).collect()
+    }
+    passing = {
+        r["doc_id"] for r in curation.gopher_flags(corpus).filter("passes").collect()
+    }
+    expected = (keepers - contaminated) & passing
+    assert set(rows) == expected
+    assert all(0 <= r["shard"] < 8 for r in rows.values())
