@@ -201,6 +201,9 @@ def paragraph_dedup(
     reproducible by any SQL engine; positions must stay below 2^20
     paragraphs per document.
     """
+    # null-text documents are dropped (they have no paragraphs to keep and
+    # would otherwise surface as a null-count row)
+    documents = documents.filter(F.col(text_col).isNotNull())
     parts = documents.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), sep, -1)).alias("__pos", "__para"),

@@ -69,3 +69,10 @@ def test_paragraph_dedup_idempotent(spark, docs):
     )
     twice = paragraph_dedup(once).collect()
     assert all(r["n_removed"] == 0 for r in twice)
+
+
+def test_paragraph_dedup_drops_null_text(spark):
+    df = spark.createDataFrame([(1, "a\nb"), (2, None)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_kept"] == 2 and out[1]["n_removed"] == 0
