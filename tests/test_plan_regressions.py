@@ -176,3 +176,15 @@ def test_ivf_centroid_sampling_no_global_sort(spark):
     # no global Exchange(rangepartitioning) may exist
     assert "rangepartitioning" not in plan.lower()
     assert cent.count() == 16
+
+
+def test_curated_corpus_no_cartesian_no_smj(spark):
+    """The composed curation pipeline must keep every join broadcast-able
+    at small-dim scale (benchmark gram set, keeper set, flag set) — no
+    cartesian products, no accidental sort-merge of the corpus."""
+    from flink_example_spark.operators.curation import curated_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical(curated_corpus(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
