@@ -209,6 +209,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = multimodal.encode_codec_media(_docs(spark, sf_dir))
         return multimodal.decode_codec_media(media, repartition=False)
 
+    def mm_codec_be(spark, sf_dir):
+        """Big-endian / grayscale codec sibling: PGM (P5) images and AIFF
+        (IFF, 80-bit-extended-float sample rate) audio — same analytic
+        oracle scheme, exercising the other byte orders and headers."""
+        media = multimodal.encode_codec_media(_docs(spark, sf_dir), formats=("pgm", "aiff"))
+        return multimodal.decode_codec_media(media, repartition=False)
+
     def mm_audio_chunks(spark, sf_dir):
         """Frame-aligned chunking of the real WAV payloads (PCM slice sums
         re-derived analytically by the oracle from the cycled-md5 data)."""
@@ -275,6 +282,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": mm_decode,
         "multimodal_frames": mm_frames,
         "multimodal_codec": mm_codec,
+        "multimodal_codec_be": mm_codec_be,
         "multimodal_audio_chunks": mm_audio_chunks,
         # corpus curation (operators/curation.py): benchmark = every doc_id
         # divisible by 7 (deterministic holdout), corpus = the rest.
@@ -547,6 +555,22 @@ def _northstar_oracles() -> dict[str, str]:
                CAST(SUM(ascii(substr(hh, CAST(bi % 32 AS INTEGER) + 1, 1))) AS BIGINT)
                  AS byte_sum
         FROM bytes GROUP BY media_id, chunk_idx, ch
+    """
+    out["multimodal_codec_be"] = f"""
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 32 + 8 END AS INTEGER) AS width,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 24 + 8 END AS INTEGER) AS height,
+               CAST(1 AS INTEGER) * CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+                         ELSE 1 + doc_id % 2 END AS INTEGER) AS channels,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN NULL
+                         ELSE 8000 + (doc_id % 8) * 1000 END AS INTEGER) AS sample_rate,
+               CAST(CASE WHEN doc_id % 2 = 0
+                         THEN (doc_id % 32 + 8) * (doc_id % 24 + 8)
+                         ELSE (doc_id % 64 + 16) * (1 + doc_id % 2) * 2 END AS BIGINT)
+                 AS n_data_bytes,
+               CAST({first16} AS BIGINT) AS first16_sum
+        FROM documents WHERE text IS NOT NULL
     """
     out["dedup_simhash"] = _simhash_md5_oracle()
     out["ann_lsh_topk"] = _lsh_topk_oracle()

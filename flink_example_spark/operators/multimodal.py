@@ -256,6 +256,94 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, data
 
 
+def _encode_pgm(width: int, height: int, data: bytes) -> bytes:
+    assert len(data) == width * height
+    return f"P5\n{width} {height}\n255\n".encode("ascii") + data
+
+
+def _parse_pgm(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse binary-PGM (grayscale sibling of PPM): w*h data bytes."""
+    if payload[:2] != b"P5":
+        raise ValueError("not a P5 PGM payload")
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    data = payload[pos:]
+    if len(data) != width * height:
+        raise ValueError("PGM raster size mismatch")
+    return width, height, data
+
+
+def _encode_f80(x: int) -> bytes:
+    """IEEE 754 80-bit extended float (big-endian), exact for positive ints —
+    the AIFF COMM sample-rate encoding."""
+    import struct
+
+    if x == 0:
+        return b"\x00" * 10
+    e = x.bit_length() - 1
+    mant = x << (63 - e)  # explicit leading 1 in bit 63
+    return struct.pack(">HQ", 16383 + e, mant)
+
+
+def _parse_f80(b: bytes) -> int:
+    import struct
+
+    se, mant = struct.unpack(">HQ", b[:10])
+    if se == 0 and mant == 0:
+        return 0
+    e = (se & 0x7FFF) - 16383
+    return mant >> (63 - e)
+
+
+def _encode_aiff(sample_rate: int, channels: int, data: bytes) -> bytes:
+    """AIFF: big-endian IFF container — COMM (channels, frames, 16-bit,
+    80-bit-float rate) + SSND (offset, blockSize, PCM data)."""
+    import struct
+
+    n_frames = len(data) // (channels * 2)
+    comm = struct.pack(">hLh", channels, n_frames, 16) + _encode_f80(sample_rate)
+    ssnd = struct.pack(">LL", 0, 0) + data
+    chunks = b"COMM" + struct.pack(">L", len(comm)) + comm
+    chunks += b"SSND" + struct.pack(">L", len(ssnd)) + ssnd
+    return b"FORM" + struct.pack(">L", 4 + len(chunks)) + b"AIFF" + chunks
+
+
+def _parse_aiff(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse an AIFF payload: verify FORM/AIFF magic, walk the big-endian
+    chunk list for COMM/SSND, decode the 80-bit-float sample rate."""
+    import struct
+
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("not a FORM/AIFF payload")
+    pos, sample_rate, channels, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack(">L", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            channels, _n_frames, bits = struct.unpack(">hLh", body[:8])
+            if bits != 16:
+                raise ValueError("only 16-bit PCM supported")
+            sample_rate = _parse_f80(body[8:18])
+        elif cid == b"SSND":
+            offset, _block = struct.unpack(">LL", body[:8])
+            data = body[8 + offset :]
+        pos += 8 + size + (size & 1)  # IFF chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing COMM or SSND chunk")
+    return sample_rate, channels, data
+
+
 def _parse_wav(payload: bytes) -> tuple[int, int, bytes]:
     """Parse a RIFF/WAVE payload from raw bytes: verify magic, walk the
     chunk list for fmt/data (PCM 16-bit only). Raises ValueError on
@@ -283,16 +371,26 @@ def _parse_wav(payload: bytes) -> tuple[int, int, bytes]:
     return sample_rate, channels, data
 
 
-def encode_codec_media(documents: DataFrame) -> DataFrame:
-    """REAL encoder: pack each document into a genuine media payload — PPM
-    (P6) images for even doc_ids, WAV (RIFF/PCM-16) audio for odd ones.
-    Dimensions/rates derive from doc_id and data bytes from md5(text), so an
-    external oracle can predict every decoded field without running Python.
-    Arrow-batched mapInPandas; payloads are a few KB each.
+def encode_codec_media(
+    documents: DataFrame, formats: tuple[str, str] = ("ppm", "wav")
+) -> DataFrame:
+    """REAL encoder: pack each document into a genuine media payload — an
+    image format for even doc_ids, an audio format for odd ones
+    (``formats`` = (image_fmt, audio_fmt): ppm/pgm and wav/aiff; wav is
+    little-endian RIFF, aiff its big-endian IFF sibling with an 80-bit
+    extended-float sample rate). Dimensions/rates derive from doc_id and
+    data bytes from md5(text), so an external oracle can predict every
+    decoded field without running Python. Arrow-batched mapInPandas;
+    payloads are a few KB each.
     """
     import hashlib
 
     import pandas as pd
+
+    img_fmt, aud_fmt = formats
+    img_encode = {"ppm": _encode_ppm, "pgm": _encode_pgm}[img_fmt]
+    img_depth = 3 if img_fmt == "ppm" else 1
+    aud_encode = {"wav": _encode_wav, "aiff": _encode_aiff}[aud_fmt]
 
     def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -304,12 +402,12 @@ def encode_codec_media(documents: DataFrame) -> DataFrame:
                 hh = hashlib.md5(text.encode("utf-8")).hexdigest()
                 if mid % 2 == 0:
                     w, h = mid % 32 + 8, mid % 24 + 8
-                    payload = _encode_ppm(w, h, _cycle_bytes(hh, w * h * 3))
+                    payload = img_encode(w, h, _cycle_bytes(hh, w * h * img_depth))
                     rows.append((mid, "image", payload))
                 else:
                     sr, ch = 8000 + (mid % 8) * 1000, 1 + mid % 2
                     n_frames = mid % 64 + 16
-                    payload = _encode_wav(sr, ch, _cycle_bytes(hh, n_frames * ch * 2))
+                    payload = aud_encode(sr, ch, _cycle_bytes(hh, n_frames * ch * 2))
                     rows.append((mid, "audio", payload))
             yield pd.DataFrame(rows, columns=["media_id", "media_type", "payload"])
 
@@ -346,8 +444,16 @@ def decode_codec_media(media: DataFrame, repartition: bool = True) -> DataFrame:
                 if payload[:2] == b"P6":
                     w, h, data = _parse_ppm(payload)
                     rows.append((int(mid), mtype, w, h, 3, None, len(data), sum(data[:16])))
+                elif payload[:2] == b"P5":
+                    w, h, data = _parse_pgm(payload)
+                    rows.append((int(mid), mtype, w, h, 1, None, len(data), sum(data[:16])))
                 elif payload[:4] == b"RIFF":
                     sr, ch, data = _parse_wav(payload)
+                    rows.append(
+                        (int(mid), mtype, None, None, ch, sr, len(data), sum(data[:16]))
+                    )
+                elif payload[:4] == b"FORM":
+                    sr, ch, data = _parse_aiff(payload)
                     rows.append(
                         (int(mid), mtype, None, None, ch, sr, len(data), sum(data[:16]))
                     )

@@ -478,3 +478,19 @@ def test_lsh_pairs_banding_recall(spark):
     assert len(r1) / len(brute) >= 0.7
     assert len(r4) / len(brute) >= 0.95
     assert len(r4) >= len(r1)
+
+
+def test_codec_parsers_pgm_aiff():
+    data = bytes(range(64))  # 8*8 grayscale
+    w, h, got = multimodal._parse_pgm(multimodal._encode_pgm(8, 8, data))
+    assert (w, h, got) == (8, 8, data)
+    # 80-bit extended float round-trips exactly for integer sample rates
+    for sr in (8000, 11025, 44100, 96000):
+        assert multimodal._parse_f80(multimodal._encode_f80(sr)) == sr
+    pcm = b"xy" * 10
+    sr, ch, got = multimodal._parse_aiff(multimodal._encode_aiff(22050, 1, pcm))
+    assert (sr, ch, got) == (22050, 1, pcm)
+    with pytest.raises(ValueError, match="FORM"):
+        multimodal._parse_aiff(b"RIFF....WAVE")
+    with pytest.raises(ValueError, match="missing COMM"):
+        multimodal._parse_aiff(b"FORM" + (4).to_bytes(4, "big") + b"AIFF")
