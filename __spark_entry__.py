@@ -166,6 +166,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def emb_pairs_lsh(spark, sf_dir):
         return similarity.lsh_cosine_pairs(_embs(spark, sf_dir), threshold=0.4, n_bands=2)
 
+    def emb_clusters(spark, sf_dir):
+        """Connected components over the LSH near-dup graph — the same
+        distributed star-contraction operator as document clusters."""
+        pairs = similarity.lsh_cosine_pairs(
+            _embs(spark, sf_dir), threshold=0.4, n_bands=2
+        ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        return dedup.duplicate_clusters(pairs).select(
+            F.col("doc_id").alias("vec_id"), "cluster_id"
+        )
+
     def mm_stats(spark, sf_dir):
         return multimodal.media_stats(
             multimodal.documents_as_media(_docs(spark, sf_dir))
@@ -278,6 +288,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "embedding_near_dup": emb_pairs,
         "embedding_near_dup_lsh": emb_pairs_lsh,
+        "embedding_dup_clusters": emb_clusters,
         "multimodal_stats": mm_stats,
         "multimodal_decode": mm_decode,
         "multimodal_frames": mm_frames,
@@ -450,6 +461,19 @@ def _northstar_oracles() -> dict[str, str]:
         WHERE {_DUCK_COS} >= 0.4
     """
     out["embedding_near_dup_lsh"] = _lsh_pairs_oracle(threshold=0.4, n_bands=2)
+    out["embedding_dup_clusters"] = f"""
+        WITH RECURSIVE pairs AS ({_lsh_pairs_oracle(threshold=0.4, n_bands=2)}),
+        edges AS (
+          SELECT vec_a AS a, vec_b AS b FROM pairs
+          UNION SELECT vec_b, vec_a FROM pairs
+        ),
+        reach(id, r) AS (
+          SELECT a, a FROM edges
+          UNION SELECT a, b FROM edges
+          UNION SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+        )
+        SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """
     out["multimodal_stats"] = """
         SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
                     WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
