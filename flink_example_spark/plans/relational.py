@@ -129,6 +129,18 @@ TEMPLATES: dict[str, str] = {
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
+    # Correlated LATERAL subquery with per-row ORDER BY + LIMIT — top-2
+    # orders per customer (the per-group-top-k shape as a join, not a
+    # window; Catalyst rewrites it to a ranked join under the hood).
+    "lateral_top_orders": """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+          FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) o
+    """,
     # Hypertable-style time-hierarchy rollup: one scan produces the counts
     # at hour, day, month, and grand-total grain (continuous-aggregate
     # maintenance is this same relation under incremental refresh).
