@@ -9,7 +9,7 @@ just carries the event-time (and optional key) metadata alongside it.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession
 
