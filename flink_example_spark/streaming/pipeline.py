@@ -53,7 +53,13 @@ def _staged_dir(src_file: str) -> str:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source event stream with the reference's zero-delay watermark."""
+    """File-source event stream with the reference's zero-delay watermark.
+
+    Timestamp ingestion goes through the SAME ``tables.normalize_ts`` helper
+    as the batch loader, so both parquet layouts (int64-nanos and native µs)
+    stream identically and the two ingest paths cannot diverge."""
+    from flink_example_spark.tables import normalize_ts
+
     tune(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = (
@@ -61,9 +67,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(_staged_dir(f"{sf_dir}/events.parquet"))
     )
-    return stream.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    ).withWatermark("ts", "0 seconds")
+    # EventTimeWatermark requires TIMESTAMP (LTZ); normalize first (shared
+    # layout logic), then cast NTZ→LTZ — exact under the UTC session pin.
+    normalized = normalize_ts(stream, "ts").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return normalized.withWatermark("ts", "0 seconds")
 
 
 def run_streaming_features(

@@ -28,16 +28,39 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Harness parquet writes timestamps as INT64 TIMESTAMP(NANOS), which Spark
-# reads (under spark.sql.legacy.parquet.nanosAsLong) as plain longs. These
-# columns are converted to TIMESTAMP_NTZ at load. Integer `div` (not `/`)
-# keeps full precision: int64 ns exceeds double's 53-bit mantissa. Flooring
-# ns→µs matches DuckDB's own TIMESTAMP_NS→TIMESTAMP cast, so oracles agree.
+# Harness parquet has stored timestamps as INT64 TIMESTAMP(NANOS) — which
+# Spark reads (under spark.sql.legacy.parquet.nanosAsLong) as plain longs —
+# or, in newer harness builds, as native timestamp[us]. ``normalize_ts``
+# converts ONLY when the column actually arrives as a long, so both layouts
+# load identically. Integer `div` (not `/`) keeps full precision: int64 ns
+# exceeds double's 53-bit mantissa. Flooring ns→µs matches DuckDB's own
+# TIMESTAMP_NS→TIMESTAMP cast, so oracles agree.
 TIMESTAMP_NS_COLUMNS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
 }
+
+
+def normalize_ts(df: DataFrame, *cols: str) -> DataFrame:
+    """Normalize timestamp columns to TIMESTAMP_NTZ regardless of how the
+    parquet stored them (int64-nanos vs native µs). The ONLY place that
+    knows about the harness timestamp layout — both the batch loader and
+    the streaming ingest (``streaming/pipeline.py:stream_events``) go
+    through here, so the two paths cannot diverge."""
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    for col in cols:
+        dt = dtypes.get(col)
+        if dt == "bigint":
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
+            )
+        elif dt == "timestamp":
+            df = df.withColumn(col, F.col(col).cast("timestamp_ntz"))
+    return df
 
 
 @dataclass(frozen=True)
@@ -101,9 +124,8 @@ _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
-    """Load one harness table, converting ns-long timestamp columns."""
-    from pyspark.sql import functions as F
-
+    """Load one harness table, normalizing timestamp columns (either parquet
+    layout) via :func:`normalize_ts`."""
     from flink_example_spark.session import tune
 
     key = (spark.sparkContext.applicationId, sf_dir, name)
@@ -116,11 +138,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
     if not os.path.exists(path):
         return None
     df = spark.read.parquet(path)
-    for col in TIMESTAMP_NS_COLUMNS.get(name, ()):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
-            df = df.withColumn(
-                col,
-                F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
-            )
+    cols = [c for c in TIMESTAMP_NS_COLUMNS.get(name, ()) if c in df.columns]
+    df = normalize_ts(df, *cols)
     _TABLE_CACHE[key] = df
     return df
