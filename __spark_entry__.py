@@ -850,7 +850,7 @@ DRIVER_KEYS = [
     "asof_forward_labels",
     # structured-streaming operators (converge to batch oracles)
     "streaming_features_agg",
-    "streaming_training_examples",
+    "streaming_pipeline_e2e",
     "streaming_incremental_history",
     "streaming_dedup_exact",
     "streaming_tumbling_counts",
@@ -951,6 +951,10 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "streaming_features_agg": run_streaming_features,
         "streaming_training_examples": run_streaming_training_examples,
+        # the whole flagship graph (examples + both as-ofs, histories fused
+        # into interval-join+agg) as ONE streaming query, all state JVM-side;
+        # converges exactly to batch training_examples → shares its oracle
+        "streaming_pipeline_e2e": _run_streaming_pipeline_e2e,
         # incremental feature-cache maintenance: converges exactly to the
         # batch feature_history relation → shares its oracle
         "streaming_incremental_history": run_incremental_feature_history,
@@ -975,6 +979,12 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (no Python state) — converges to the batch backward as-of
         "streaming_asof_interval": _run_streaming_asof_interval,
     }
+
+
+def _run_streaming_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.e2e import run_streaming_pipeline_e2e
+
+    return run_streaming_pipeline_e2e(spark, sf_dir)
 
 
 def _run_streaming_asof_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1037,6 +1047,7 @@ def _all_oracles() -> dict[str, str]:
     # Streaming runs converge to the batch results → same oracles.
     out["streaming_features_agg"] = out["features_agg"]
     out["streaming_training_examples"] = out["training_examples"]
+    out["streaming_pipeline_e2e"] = out["training_examples"]
     out["streaming_incremental_history"] = out["feature_history"]
     out["streaming_dedup_exact"] = out["dedup_exact"]
     out["streaming_tumbling_counts"] = out["tumbling_window_counts"]
