@@ -160,6 +160,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _embs(spark, sf_dir)
         return similarity.ivf_cosine_topk(e, e.filter(F.col("vec_id") < 8), k=5)
 
+    def ann_kmeans(spark, sf_dir):
+        return similarity.kmeans_centroids(_embs(spark, sf_dir), k=8, iters=2)
+
     def emb_pairs(spark, sf_dir):
         return similarity.cosine_pairs(_embs(spark, sf_dir), threshold=0.4)
 
@@ -286,6 +289,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_kmeans_centroids": ann_kmeans,
         "embedding_near_dup": emb_pairs,
         "embedding_near_dup_lsh": emb_pairs_lsh,
         "embedding_dup_clusters": emb_clusters,
@@ -599,6 +603,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["dedup_simhash"] = _simhash_md5_oracle()
     out["ann_lsh_topk"] = _lsh_topk_oracle()
     out["ann_ivf_topk"] = _ivf_topk_oracle()
+    out["ann_kmeans_centroids"] = _kmeans_oracle(k=8, iters=2)
     from flink_example_spark.operators import curation
 
     out["curation_decontaminate"] = curation.decontamination_oracle(n=8, bench_mod=7)
@@ -773,6 +778,51 @@ def _ivf_topk_oracle() -> str:
     """
 
 
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled-Lloyd replica of ``similarity.kmeans_centroids``: seeds are
+    the k corpus vectors with smallest md5(id) (same as the IVF oracle);
+    each iteration assigns every vector to its nearest centroid (cosine,
+    ties by cell) and recomputes per-cell elementwise means with the SAME
+    integer-quantized accumulation the Spark operator uses (floor(x*1e12
+    + 0.5) summed as int64 — IEEE-exact in any engine), so the emitted
+    doubles are bit-identical. Iterations are unrolled as chained CTEs —
+    DuckDB recursive CTEs can't carry list aggregates per round."""
+    it = """
+        assign{i} AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT c.vec_id, c.v, cent.cell,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY list_dot_product(c.v, cent.cv) / (c.nrm * cent.cn) DESC,
+                              cent.cell) AS rr
+            FROM c CROSS JOIN cent{j} cent
+          ) WHERE rr = 1
+        ),
+        dim{i} AS (
+          SELECT cell, pos,
+                 CAST(SUM(CAST(floor(x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) / 1e12 AS m
+          FROM (
+            SELECT cell, unnest(v) AS x, unnest(range(len(v))) AS pos FROM assign{i}
+          ) GROUP BY cell, pos
+        ),
+        cent{i} AS (
+          SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+            SELECT cell, list(m ORDER BY pos) AS cv FROM dim{i} GROUP BY cell
+          )
+        )"""
+    rounds = ",".join(it.format(i=i + 1, j=i) for i in range(iters))
+    return f"""
+        WITH c AS ({_DUCK_VECS}),
+        cent0 AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cell,
+                 v AS cv, nrm AS cn
+          FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}
+        ),{rounds}
+        SELECT cell, cv AS c_vec, cn AS c_norm FROM cent{iters}
+    """
+
+
 def _q_feature_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned-table head (App.java:148: "most recent row for each key")."""
     from flink_example_spark.operators.versioned import latest_versions
@@ -871,7 +921,6 @@ DRIVER_KEYS = [
     "filtered_aggregates",
     "range_join_prior_errors",
     "full_outer_order_years",
-    "pivot_status_counts",
     "semi_anti_suite",
     "scalar_functions",
     # north-star data-pipeline operators
@@ -886,6 +935,7 @@ DRIVER_KEYS = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_kmeans_centroids",
     "embedding_near_dup",
     "multimodal_stats",
     "multimodal_decode",

@@ -66,6 +66,14 @@ COMMON_R2 = [
     "ann_cosine_topk", "multimodal_stats",
 ]
 
+# the round-3 headline set (COMMON_R2 + the four round-3 additions), frozen
+# the same way: compare its subtotal round-over-round once the suite grows
+# past round 3's shape
+COMMON_R3 = COMMON_R2 + [
+    "dedup_paragraphs", "multimodal_codec", "curation_domain_cap",
+    "sliding_window_counts",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,6 +114,9 @@ def main() -> None:
                 "queries": timings,
                 "common_r2_subtotal_sec": round(
                     sum(timings[q] for q in COMMON_R2), 3
+                ),
+                "common_r3_subtotal_sec": round(
+                    sum(timings[q] for q in COMMON_R3), 3
                 ),
                 "sf": sf,
             }

@@ -278,13 +278,16 @@ def kmeans_centroids(
         )
         w = Window.partitionBy("n_id").orderBy(F.col("__csim").desc(), F.col("cell"))
         assigned = scored.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") == 1)
-        # elementwise mean per cell: posexplode -> (cell, pos) partial sums
+        # elementwise mean per cell: posexplode -> (cell, pos) partial sums.
+        # Accumulate integer-quantized components (floor(x*1e12 + 0.5), an
+        # IEEE-exact double expression every engine evaluates identically)
+        # rather than doubles (partition-order-dependent) or decimals (the
+        # double->decimal rounding mode differs across engines at 1 ulp).
         by_dim = (
             assigned.select("cell", F.posexplode("n_vec").alias("pos", "x"))
             .groupBy("cell", "pos")
-            # decimal accumulation: double sums are partition-order-dependent
             .agg(
-                F.sum(F.col("x").cast("decimal(28,12)")).alias("s"),
+                F.sum(F.floor(F.col("x") * F.lit(1e12) + F.lit(0.5)).cast("long")).alias("s"),
                 F.count(F.lit(1)).alias("n"),
             )
         )
@@ -293,7 +296,10 @@ def kmeans_centroids(
             .agg(
                 F.array_sort(
                     F.collect_list(
-                        F.struct("pos", (F.col("s").cast("double") / F.col("n")).alias("m"))
+                        F.struct(
+                            "pos",
+                            (F.col("s").cast("double") / F.col("n") / F.lit(1e12)).alias("m"),
+                        )
                     )
                 ).alias("__pm")
             )
