@@ -77,6 +77,25 @@ def _q_target_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target_history(load_events(spark, sf_dir))
 
 
+def _q_feature_history_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 via the skew-safe two-phase path: per-(key, time-bucket) running
+    sums merged with per-key bucket offsets — identical relation to
+    feature_history (shares its oracle), no single-task per-key sort."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.versioned import salted_version_history
+    from flink_example_spark.plans.events_demo import LOSS_TYPE, load_events
+
+    ev = load_events(spark, sf_dir)
+    errs = ev.filter(F.col("event_type") == LOSS_TYPE).withColumn(
+        "__v", F.col("value").cast("decimal(18,2)")
+    )
+    hist = salted_version_history(
+        errs, key="user_id", time_col="ts", aggs={"loss_value": ("sum", "__v")}
+    )
+    return hist.withColumn("loss_value", F.col("loss_value").cast("double"))
+
+
 def _q_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 + P3 + F2 (App.java:64-77): sliding row-frame count + filter."""
     from flink_example_spark.plans.events_demo import examples, load_events
@@ -958,6 +977,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "features_agg": _q_features_agg,
         "target_agg": _q_target_agg,
         "feature_history": _q_feature_history,
+        "feature_history_salted": _q_feature_history_salted,
         "target_history": _q_target_history,
         "examples_window": _q_examples,
         "training_examples": _q_training_examples,
@@ -1099,6 +1119,7 @@ def _all_oracles() -> dict[str, str]:
     out["streaming_training_examples"] = out["training_examples"]
     out["streaming_pipeline_e2e"] = out["training_examples"]
     out["streaming_incremental_history"] = out["feature_history"]
+    out["feature_history_salted"] = out["feature_history"]
     out["streaming_dedup_exact"] = out["dedup_exact"]
     out["streaming_tumbling_counts"] = out["tumbling_window_counts"]
     out["streaming_sliding_counts"] = out["sliding_window_counts"]

@@ -61,6 +61,123 @@ def version_history(
     )
 
 
+def salted_version_history(
+    events: DataFrame,
+    key: str | Sequence[str],
+    time_col: str,
+    aggs: dict[str, tuple[str, str | None]],
+    entity_alias: str = "_entity",
+    n_buckets: int = 32,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """``version_history`` with the per-key sort salted by time bucket — the
+    skewed-entity scale path (PERF.md follow-up: the cumulative window sorts
+    each entity's whole history in ONE task; a hot entity with 10^8 events
+    stalls the stage).
+
+    Two-phase merge, the running-aggregate analog of a map-side combine:
+
+    1. bucket rows by a monotone time slice and compute the running
+       aggregate WITHIN each (key, bucket) — tasks are bounded by bucket
+       size, a hot key spreads over ``n_buckets`` tasks;
+    2. per-(key, bucket) totals (tiny: |keys|·n_buckets rows) get a per-key
+       running OFFSET over the *preceding* buckets, joined back (broadcast)
+       and merged into the within-bucket values.
+
+    ``aggs`` maps output name → (kind, source column), kind in
+    ``sum|count|min|max`` — the decomposable running aggregates (an
+    arbitrary Column can't be merged across buckets, so the salted variant
+    takes a spec instead of ``version_history``'s open Column API).
+
+    ``bucket``: optional monotone bucket expression over ``time_col`` (e.g.
+    ``F.date_trunc("week", ts)``) — what production passes, avoiding the
+    min/max pre-scan the ``n_buckets`` default needs. Ties (equal
+    timestamps) always land in one bucket, so the RANGE-frame tie collapse
+    stays correct across bucket boundaries.
+
+    Results are identical to ``version_history`` for exact types (longs,
+    decimals); salting changes double summation order, so cast to decimal
+    upstream exactly as the unsalted path already requires.
+    """
+    _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+    def running(kind: str, col: str | None, w: "Window") -> Column:
+        if kind == "count":
+            return F.count(F.lit(1)).over(w)
+        return getattr(F, kind)(F.col(col)).over(w)
+
+    def total(kind: str, col: str | None) -> Column:
+        if kind == "count":
+            return F.count(F.lit(1))
+        return getattr(F, kind)(F.col(col))
+
+    for kind, _ in aggs.values():
+        if kind not in _MERGE:
+            raise ValueError(f"salted_version_history supports {sorted(_MERGE)}, got {kind!r}")
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if bucket is None:
+        # NTZ needs a hop through TIMESTAMP to reach seconds-as-double
+        t_d = F.col(time_col).cast("timestamp").cast("double")
+        lo, hi = events.agg(F.min(t_d), F.max(t_d)).first()
+        width = max((hi - lo) / n_buckets, 1e-9)
+        bucket = F.least(F.lit(n_buckets - 1), F.floor((t_d - F.lit(lo)) / F.lit(width)))
+    ev = events.withColumn("__b", bucket)
+
+    w_in = (
+        Window.partitionBy(*keys, "__b")
+        .orderBy(F.col(time_col))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cols = [F.col(keys[0]).alias(entity_alias)] if len(keys) == 1 else [F.col(k) for k in keys]
+    out_keys = [entity_alias] if len(keys) == 1 else keys
+    cols.append(F.col(time_col).alias(CHANGE_TIME))
+    cols.append(F.col("__b"))
+    cols.extend(
+        running(kind, col, w_in).alias(f"__in_{name}") for name, (kind, col) in aggs.items()
+    )
+    # tie collapse within (key, bucket) — same-lead trick as version_history;
+    # ties share a bucket, so this is exactly the unsalted collapse
+    w_row = Window.partitionBy(*keys, "__b").orderBy(F.col(time_col))
+    within = (
+        ev.select(*cols, F.lead(F.col(time_col)).over(w_row).alias("__next_t"))
+        .filter(F.col("__next_t").isNull() | (F.col("__next_t") != F.col(CHANGE_TIME)))
+        .drop("__next_t")
+    )
+
+    totals = ev.groupBy(
+        *[F.col(k).alias(a) for k, a in zip(keys, out_keys)], "__b"
+    ).agg(*[total(kind, col).alias(f"__t_{name}") for name, (kind, col) in aggs.items()])
+    w_off = (
+        Window.partitionBy(*out_keys)
+        .orderBy(F.col("__b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *out_keys,
+        "__b",
+        *[
+            _MERGE[kind](F.col(f"__t_{name}")).over(w_off).alias(f"__o_{name}")
+            for name, (kind, _) in aggs.items()
+        ],
+    )
+
+    def merged(name: str, kind: str) -> Column:
+        w, o = F.col(f"__in_{name}"), F.col(f"__o_{name}")
+        if kind in ("sum", "count"):
+            return F.when(o.isNull(), w).otherwise(w + o)
+        return F.least(w, o) if kind == "min" else F.greatest(w, o)
+
+    return (
+        within.join(F.broadcast(offsets), [*out_keys, "__b"], "left")
+        .select(
+            *out_keys,
+            CHANGE_TIME,
+            *[merged(name, kind).alias(name) for name, (kind, _) in aggs.items()],
+        )
+    )
+
+
 def latest_versions(history: DataFrame, key: str | Sequence[str], time_col: str = CHANGE_TIME) -> DataFrame:
     """"Most recent row per key" — the versioned table's queryable head
     (App.java:148). row_number over a per-key desc sort; single shuffle."""

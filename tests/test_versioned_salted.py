@@ -1,0 +1,106 @@
+"""Salted (two-phase, time-bucketed) version history must equal the
+single-window operator exactly — including tie collapse — while the heavy
+window partitions on (key, bucket), never on the bare key."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from flink_example_spark.plans.events_demo import load_events
+
+    return load_events(spark, SF)
+
+
+def test_salted_sum_equals_unsalted(spark, events):
+    from flink_example_spark.operators.versioned import (
+        salted_version_history,
+        version_history,
+    )
+
+    errs = events.filter(F.col("event_type") == "error").withColumn(
+        "__v", F.col("value").cast("decimal(18,2)")
+    )
+    plain = version_history(errs, key="user_id", time_col="ts", aggs={"v": F.sum("__v")})
+    salted = salted_version_history(
+        errs, key="user_id", time_col="ts", aggs={"v": ("sum", "__v")}, n_buckets=8
+    )
+    assert rows_set(plain) == rows_set(salted)
+
+
+def test_salted_count_min_max_equal_unsalted(spark, events):
+    from flink_example_spark.operators.versioned import (
+        salted_version_history,
+        version_history,
+    )
+
+    src = events.filter(F.col("event_type") == "purchase")
+    plain = version_history(
+        src,
+        key="user_id",
+        time_col="ts",
+        aggs={"c": F.count(F.lit(1)), "lo": F.min("value"), "hi": F.max("value")},
+    )
+    salted = salted_version_history(
+        src,
+        key="user_id",
+        time_col="ts",
+        aggs={"c": ("count", None), "lo": ("min", "value"), "hi": ("max", "value")},
+        n_buckets=5,
+    )
+    assert rows_set(plain) == rows_set(salted)
+
+
+def test_salted_tie_collapse(spark):
+    """Simultaneous events fold into ONE version row per (key, time), exactly
+    like the RANGE frame — ties always share a bucket."""
+    from flink_example_spark.operators.versioned import (
+        salted_version_history,
+        version_history,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10),
+        (1, t0, 5),  # tie with the row above
+        (1, t0 + datetime.timedelta(hours=1), 1),
+        (2, t0 + datetime.timedelta(hours=2), 7),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp_ntz, x long")
+    plain = version_history(df, key="k", time_col="ts", aggs={"s": F.sum("x")})
+    salted = salted_version_history(
+        df, key="k", time_col="ts", aggs={"s": ("sum", "x")}, n_buckets=4
+    )
+    assert rows_set(plain) == rows_set(salted)
+    assert salted.count() == 3  # the tie collapsed
+
+
+def test_salted_plan_shape(spark, events):
+    """The event-sized window sorts on (key, bucket); only the tiny totals
+    relation ever windows on the bare key."""
+    from flink_example_spark.operators.versioned import salted_version_history
+
+    errs = events.filter(F.col("event_type") == "error")
+    salted = salted_version_history(
+        errs, key="user_id", time_col="ts", aggs={"v": ("sum", "value")}
+    )
+    plan = salted._jdf.queryExecution().optimizedPlan().toString()
+    specs = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition" in line.lower()
+    ]
+    assert specs, plan
+    event_windows = [s for s in specs if "__b" in s]
+    assert event_windows, f"no (key, bucket)-salted window in plan:\n{plan}"

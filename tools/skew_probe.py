@@ -1,13 +1,18 @@
-"""Skew probe: does asof_join(salt=N) beat the unsalted plan on a hot key?
+"""Skew probe: do the salted plans beat the unsalted ones on a hot key?
 
-Synthesizes a probe stream where ONE entity owns half of all probes (the
-model-serving hot-user case) against a version history with ordinary key
-cardinality, then times the union-strategy as-of join with and without
-salting. Unsalted, the hot key's probes sort in a single partition task;
-salted, they spread across ``salt`` sub-partitions while versions replicate
-``salt``x (versions-per-key is small — the right trade).
+Part 1 (as-of): synthesizes a probe stream where ONE entity owns half of
+all probes (the model-serving hot-user case) against a version history with
+ordinary key cardinality, then times the union-strategy as-of join with and
+without salting. Unsalted, the hot key's probes sort in a single partition
+task; salted, they spread across ``salt`` sub-partitions while versions
+replicate ``salt``x (versions-per-key is small — the right trade).
 
-Also verifies the salted result equals the unsalted result bit-for-bit.
+Part 2 (version history): synthesizes an event table where ONE entity owns
+half of all events, then times the cumulative version-history window
+unsalted (the hot entity's whole history sorts in ONE task) vs
+``salted_version_history`` (two-phase time-bucket merge).
+
+Both parts verify the salted result equals the unsalted result bit-for-bit.
 Results recorded in PERF.md.
 
 Usage: python tools/skew_probe.py [--probes 4000000] [--entities 1000] [--salt 16]
@@ -83,6 +88,7 @@ def main() -> None:
     print(
         json.dumps(
             {
+                "probe": "asof_join",
                 "probes": args.probes,
                 "hot_share": 0.5,
                 "entities": args.entities,
@@ -90,6 +96,62 @@ def main() -> None:
                 "unsalted_sec": round(unsalted_s, 2),
                 "salted_sec": round(salted_s, 2),
                 "speedup": round(unsalted_s / salted_s, 2),
+                "results_identical": True,
+            }
+        )
+    )
+
+    # ---- part 2: version-history window on a hot entity -------------------
+    from flink_example_spark.operators.versioned import (
+        salted_version_history,
+        version_history,
+    )
+
+    hot_events = (
+        spark.range(args.probes)
+        .select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(args.entities - 1)) + 1)
+            .alias("k"),
+            F.timestamp_millis(
+                F.lit(1_600_000_000_000) + F.pmod(F.xxhash64("id", F.lit(13)), F.lit(86_400_000))
+            ).alias("ts"),
+            F.col("id").cast("decimal(18,2)").alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def run_history(salted):
+        t0 = time.time()
+        if salted:
+            out = salted_version_history(
+                hot_events, key="k", time_col="ts", aggs={"s": ("sum", "x")},
+                n_buckets=args.salt,
+            )
+        else:
+            out = version_history(hot_events, key="k", time_col="ts", aggs={"s": F.sum("x")})
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("s").cast("decimal(38,2)")).alias("sig"),
+        ).first()
+        return time.time() - t0, (agg["n"], str(agg["sig"]))
+
+    run_history(False)
+    run_history(True)
+    plain_s, plain_sig = run_history(False)
+    bsalted_s, bsalted_sig = run_history(True)
+    assert plain_sig == bsalted_sig, (plain_sig, bsalted_sig)
+    print(
+        json.dumps(
+            {
+                "probe": "version_history",
+                "events": args.probes,
+                "hot_share": 0.5,
+                "entities": args.entities,
+                "buckets": args.salt,
+                "unsalted_sec": round(plain_s, 2),
+                "salted_sec": round(bsalted_s, 2),
+                "speedup": round(plain_s / bsalted_s, 2),
                 "results_identical": True,
             }
         )
