@@ -14,12 +14,12 @@ Scale design (100 TB posture):
   10-30x slower on this box for the shingling analog).
 - decontamination joins the corpus n-gram stream against the benchmark
   n-gram SET: the benchmark side (eval suites: MMLU/GSM8K/... ~1e6 n-grams)
-  is broadcast, so the corpus side streams map-side with NO shuffle. If the
-  benchmark outgrows broadcast, swap to a hash join on xxhash64(ngram) —
-  the join column should then be the 8-byte hash, not the string.
+  is broadcast, so the corpus side streams map-side with NO shuffle;
+  ``hashed=True`` reduces both sides to xxhash64(ngram) first (8-byte
+  broadcast + shuffle keys — measured in tools/hash_shuffle_probe.py).
 - shared-span detection is one hash aggregation keyed on the span; at
-  100 TB carry xxhash64(span) through the shuffle instead of the string
-  (shrinks shuffle bytes ~10x) and resolve strings only for the survivors.
+  100 TB pass ``hashed=True`` to carry xxhash64(span) through the shuffle
+  instead of the string and resolve strings only for the survivors.
 - repetition / redaction / rule filters are per-row projections or a single
   map-side-combined aggregation — embarrassingly parallel.
 """
@@ -72,6 +72,7 @@ def decontaminate(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hashed: bool = False,
 ) -> DataFrame:
     """Train/test decontamination: for every corpus document sharing at
     least one word n-gram with the benchmark set, return the count of
@@ -82,11 +83,24 @@ def decontaminate(
     The benchmark n-gram set is broadcast — the corpus n-gram stream is
     filtered map-side with no shuffle of corpus data; the only exchange is
     the per-document count aggregation over the (tiny) hit stream.
+
+    ``hashed=True`` is the 100 TB shuffle diet this module's header
+    prescribes: both sides reduce to ``xxhash64(ngram)`` before the join,
+    so the broadcast table and the aggregation shuffle carry 8-byte longs
+    instead of ~n-word strings (~10x fewer bytes; tools/hash_shuffle_probe
+    records the measured delta). Counting distinct hashes instead of
+    distinct strings differs only on a 64-bit collision *within one
+    document's overlap set* — at 1e6 benchmark n-grams the chance is
+    ~1e-7 per corpus — which is why the exact form stays the oracle
+    default.
     """
     doc_g = exploded_word_ngrams(corpus, id_col, text_col, n)
-    bench_g = exploded_word_ngrams(benchmark, id_col, text_col, n).select("__g").distinct()
+    bench_g = exploded_word_ngrams(benchmark, id_col, text_col, n)
+    if hashed:
+        doc_g = doc_g.select(id_col, F.xxhash64("__g").alias("__g"))
+        bench_g = bench_g.select(F.xxhash64("__g").alias("__g"))
     return (
-        doc_g.join(F.broadcast(bench_g), "__g")
+        doc_g.join(F.broadcast(bench_g.select("__g").distinct()), "__g")
         .groupBy(id_col)
         .agg(F.countDistinct("__g").alias("n_contaminated"))
     )
@@ -101,24 +115,49 @@ def shared_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hashed: bool = False,
 ) -> DataFrame:
     """Word n-gram spans appearing in >= min_docs distinct documents —
     the C4/RefinedWeb "repeated line/paragraph" boilerplate signal, at
     n-gram granularity. Output: span, n_docs, n_occurrences.
 
-    One hash aggregation keyed on the span (map-side combined). At 100 TB,
-    shuffle xxhash64(span) instead of the string and resolve surviving
-    spans by a second (tiny) join.
+    One hash aggregation keyed on the span (map-side combined).
+
+    ``hashed=True`` is the 100 TB shuffle diet this module's header
+    prescribes: the aggregation shuffles ``xxhash64(span)`` (8 bytes)
+    instead of the ~n-word string, then resolves strings for the
+    SURVIVORS only — the survivor set broadcasts back onto the n-gram
+    stream map-side, and the final min-string aggregation shuffles only
+    surviving occurrences. Identical output unless two distinct surviving
+    spans collide at 64 bits (~1e-13 for 1e6 survivors); the exact form
+    stays the oracle default.
     """
     g = exploded_word_ngrams(documents, id_col, text_col, n)
-    return (
-        g.groupBy("__g")
+    if not hashed:
+        return (
+            g.groupBy("__g")
+            .agg(
+                F.countDistinct(id_col).alias("n_docs"),
+                F.count(F.lit(1)).alias("n_occurrences"),
+            )
+            .filter(F.col("n_docs") >= min_docs)
+            .select(F.col("__g").alias("span"), "n_docs", "n_occurrences")
+        )
+    survivors = (
+        g.select(id_col, F.xxhash64("__g").alias("__h"))
+        .groupBy("__h")
         .agg(
             F.countDistinct(id_col).alias("n_docs"),
             F.count(F.lit(1)).alias("n_occurrences"),
         )
         .filter(F.col("n_docs") >= min_docs)
-        .select(F.col("__g").alias("span"), "n_docs", "n_occurrences")
+    )
+    return (
+        g.select("__g", F.xxhash64("__g").alias("__h"))
+        .join(F.broadcast(survivors), "__h")
+        .groupBy("__h", "n_docs", "n_occurrences")
+        .agg(F.min("__g").alias("span"))
+        .select("span", "n_docs", "n_occurrences")
     )
 
 

@@ -178,3 +178,23 @@ def test_curated_corpus_composition(spark):
     expected = (keepers - contaminated) & passing
     assert set(rows) == expected
     assert all(0 <= r["shard"] < 8 for r in rows.values())
+
+
+def test_shared_spans_hashed_matches_exact(spark, corpus):
+    """The xxhash64 shuffle-diet path resolves to the identical relation."""
+    exact = {tuple(r) for r in curation.shared_spans(corpus, n=8, min_docs=2).collect()}
+    hashed = {
+        tuple(r)
+        for r in curation.shared_spans(corpus, n=8, min_docs=2, hashed=True).collect()
+    }
+    assert exact == hashed and exact
+
+
+def test_decontaminate_hashed_matches_exact(spark, corpus):
+    bench = corpus.filter(F.col("doc_id") == 0)
+    rest = corpus.filter(F.col("doc_id") != 0)
+    exact = {tuple(r) for r in curation.decontaminate(rest, bench, n=8).collect()}
+    hashed = {
+        tuple(r) for r in curation.decontaminate(rest, bench, n=8, hashed=True).collect()
+    }
+    assert exact == hashed and exact
