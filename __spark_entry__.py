@@ -182,6 +182,14 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_kmeans(spark, sf_dir):
         return similarity.kmeans_centroids(_embs(spark, sf_dir), k=8, iters=2)
 
+    def ann_ivf_trained(spark, sf_dir):
+        """Full train+search: Lloyd-refined coarse quantizer feeding IVF."""
+        e = _embs(spark, sf_dir)
+        cents = similarity.kmeans_centroids(e, k=8, iters=2)
+        return similarity.ivf_cosine_topk(
+            e, e.filter(F.col("vec_id") < 8), k=5, n_probe=4, centroids=cents
+        )
+
     def emb_pairs(spark, sf_dir):
         return similarity.cosine_pairs(_embs(spark, sf_dir), threshold=0.4)
 
@@ -309,6 +317,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_kmeans_centroids": ann_kmeans,
+        "ann_ivf_trained": ann_ivf_trained,
         "embedding_near_dup": emb_pairs,
         "embedding_near_dup_lsh": emb_pairs_lsh,
         "embedding_dup_clusters": emb_clusters,
@@ -623,6 +632,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["ann_lsh_topk"] = _lsh_topk_oracle()
     out["ann_ivf_topk"] = _ivf_topk_oracle()
     out["ann_kmeans_centroids"] = _kmeans_oracle(k=8, iters=2)
+    out["ann_ivf_trained"] = _ivf_trained_oracle(k=8, iters=2, n_probe=4, topk=5)
     from flink_example_spark.operators import curation
 
     out["curation_decontaminate"] = curation.decontamination_oracle(n=8, bench_mod=7)
@@ -797,15 +807,10 @@ def _ivf_topk_oracle() -> str:
     """
 
 
-def _kmeans_oracle(k: int, iters: int) -> str:
-    """Unrolled-Lloyd replica of ``similarity.kmeans_centroids``: seeds are
-    the k corpus vectors with smallest md5(id) (same as the IVF oracle);
-    each iteration assigns every vector to its nearest centroid (cosine,
-    ties by cell) and recomputes per-cell elementwise means with the SAME
-    integer-quantized accumulation the Spark operator uses (floor(x*1e12
-    + 0.5) summed as int64 — IEEE-exact in any engine), so the emitted
-    doubles are bit-identical. Iterations are unrolled as chained CTEs —
-    DuckDB recursive CTEs can't carry list aggregates per round."""
+def _kmeans_ctes(k: int, iters: int) -> str:
+    """The unrolled-Lloyd CTE chain (cent0 seeds → cent{iters}), shared by
+    the kmeans oracle and the trained-IVF oracle. Assumes a CTE ``c`` with
+    (vec_id, v, nrm) is already in scope."""
     it = """
         assign{i} AS (
           SELECT vec_id, v, cell FROM (
@@ -832,13 +837,59 @@ def _kmeans_oracle(k: int, iters: int) -> str:
         )"""
     rounds = ",".join(it.format(i=i + 1, j=i) for i in range(iters))
     return f"""
-        WITH c AS ({_DUCK_VECS}),
         cent0 AS (
           SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cell,
                  v AS cv, nrm AS cn
           FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}
-        ),{rounds}
+        ),{rounds}"""
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled-Lloyd replica of ``similarity.kmeans_centroids``: seeds are
+    the k corpus vectors with smallest md5(id) (same as the IVF oracle);
+    each iteration assigns every vector to its nearest centroid (cosine,
+    ties by cell) and recomputes per-cell elementwise means with the SAME
+    integer-quantized accumulation the Spark operator uses (floor(x*1e12
+    + 0.5) summed as int64 — IEEE-exact in any engine), so the emitted
+    doubles are bit-identical. Iterations are unrolled as chained CTEs —
+    DuckDB recursive CTEs can't carry list aggregates per round."""
+    return f"""
+        WITH c AS ({_DUCK_VECS}),{_kmeans_ctes(k, iters)}
         SELECT cell, cv AS c_vec, cn AS c_norm FROM cent{iters}
+    """
+
+
+def _ivf_trained_oracle(k: int, iters: int, n_probe: int, topk: int) -> str:
+    """The full train+search path: Lloyd-refined centroids (same CTE chain
+    as the kmeans oracle) feeding the IVF assignment and scoring of
+    ``_ivf_topk_oracle`` — exactly ``ivf_cosine_topk(centroids=
+    kmeans_centroids(...))``."""
+    assign = """
+          SELECT vec_id, v, nrm, cell FROM (
+            SELECT c.vec_id, c.v, c.nrm, cent.cell,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY list_dot_product(c.v, cent.cv) / (c.nrm * cent.cn) DESC,
+                              cent.cell) AS rr
+            FROM c CROSS JOIN cent{extra_filter}
+          ) WHERE rr {rr_cond}
+    """
+    return f"""
+        WITH c AS ({_DUCK_VECS}),{_kmeans_ctes(k, iters)},
+        cent AS (SELECT cell, cv, cn FROM cent{iters}),
+        cass AS ({assign.format(extra_filter="", rr_cond="= 1")}
+        ), qass AS ({assign.format(extra_filter=" WHERE c.vec_id < 8", rr_cond=f"<= {n_probe}")}
+        ), scored AS (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos
+          FROM qass q JOIN cass n ON q.cell = n.cell AND q.vec_id != n.vec_id
+        )
+        SELECT query_id, neighbor_id, rank, cos FROM (
+          SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= {topk}
     """
 
 
