@@ -190,6 +190,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e, e.filter(F.col("vec_id") < 8), k=5, n_probe=4, centroids=cents
         )
 
+    def semantic_keep(spark, sf_dir):
+        """SemDeDup-style semantic dedup: embedding near-dup pairs (multi-
+        band sign-LSH over the docs' embedding vectors, vec_id = doc_id)
+        drive the keep-first anti-join over the document corpus."""
+        pairs = similarity.lsh_cosine_pairs(
+            _embs(spark, sf_dir), threshold=0.4, n_bands=2
+        ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+        return dedup.apply_pair_dedup(docs, pairs)
+
     def emb_pairs(spark, sf_dir):
         return similarity.cosine_pairs(_embs(spark, sf_dir), threshold=0.4)
 
@@ -318,6 +328,8 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "ann_kmeans_centroids": ann_kmeans,
         "ann_ivf_trained": ann_ivf_trained,
+        "text_lm_surprisal": lambda spark, sf_dir: text.lm_surprisal(_docs(spark, sf_dir)),
+        "dedup_semantic_keep": semantic_keep,
         "embedding_near_dup": emb_pairs,
         "embedding_near_dup_lsh": emb_pairs_lsh,
         "embedding_dup_clusters": emb_clusters,
@@ -493,6 +505,11 @@ def _northstar_oracles() -> dict[str, str]:
         WHERE {_DUCK_COS} >= 0.4
     """
     out["embedding_near_dup_lsh"] = _lsh_pairs_oracle(threshold=0.4, n_bands=2)
+    out["dedup_semantic_keep"] = f"""
+        WITH pairs AS ({_lsh_pairs_oracle(threshold=0.4, n_bands=2)})
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT vec_b FROM pairs)
+    """
     out["embedding_dup_clusters"] = f"""
         WITH RECURSIVE pairs AS ({_lsh_pairs_oracle(threshold=0.4, n_bands=2)}),
         edges AS (
@@ -633,7 +650,9 @@ def _northstar_oracles() -> dict[str, str]:
     out["ann_ivf_topk"] = _ivf_topk_oracle()
     out["ann_kmeans_centroids"] = _kmeans_oracle(k=8, iters=2)
     out["ann_ivf_trained"] = _ivf_trained_oracle(k=8, iters=2, n_probe=4, topk=5)
-    from flink_example_spark.operators import curation
+    from flink_example_spark.operators import curation, text
+
+    out["text_lm_surprisal"] = text.lm_surprisal_oracle()
 
     out["curation_decontaminate"] = curation.decontamination_oracle(n=8, bench_mod=7)
     out["curation_shared_spans"] = curation.shared_spans_oracle(n=8, min_docs=2)

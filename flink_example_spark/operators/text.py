@@ -272,3 +272,66 @@ def tfidf_oracle(k: int = 3) -> str:
           FROM tf JOIN dfr USING (term) CROSS JOIN n
         ) WHERE rank <= {k}
     """
+
+
+def lm_surprisal(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document quantized unigram surprisal — the CCNet/RefinedWeb-style
+    "LM perplexity" quality filter, with the corpus itself as the language
+    model. A document of common tokens scores low (boilerplate-ish); rare
+    tokens score high (unusual or noisy text). Output:
+    ``(id, n_tokens, avg_surprisal_bits)``.
+
+    Per token instance the surprisal is floor(log2(N / c(t))) bits, where
+    c(t) is the corpus count of the (normalized) token and N the corpus
+    token total — computed as ``length(bin(N div c)) - 1``, pure integer
+    arithmetic both engines evaluate identically (same rationale as the
+    rational idf above: ln()/log2() differ in the last ulp across libm
+    implementations and would break hash parity). The doc score is the
+    exact int sum of bits divided by the token count, as a double.
+
+    Scale: explode → term-count shuffle, a join of the token stream with
+    the |vocabulary|-sized count relation (broadcast while it fits, hash
+    join past that), one per-doc aggregation. No Python anywhere.
+    """
+    toks = (
+        documents.select(F.col(id_col), F.explode(tokens(normalized(F.col(text_col)))).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    freqs = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = freqs.agg(F.sum("c").alias("n"))
+    bits = (
+        toks.join(freqs, "t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (F.length(F.bin(F.expr("n div c"))) - 1).alias("__bits"),
+        )
+    )
+    return bits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("__bits").cast("double") / F.count(F.lit(1))).alias("avg_surprisal_bits"),
+    )
+
+
+def lm_surprisal_oracle() -> str:
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex({_DUCK_NORM}, '\\s+')) AS t
+          FROM documents
+        ), tok2 AS (
+          SELECT * FROM tok WHERE t <> ''
+        ), f AS (
+          SELECT t, COUNT(*) AS c FROM tok2 GROUP BY t
+        ), n AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS n FROM f
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(CAST(SUM(len(bin(n.n // f.c)) - 1) AS BIGINT) AS DOUBLE)
+                 / COUNT(*) AS avg_surprisal_bits
+        FROM tok2 JOIN f USING (t) CROSS JOIN n
+        GROUP BY doc_id
+    """
