@@ -266,6 +266,17 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = multimodal.encode_codec_media(_docs(spark, sf_dir), formats=("pgm", "aiff"))
         return multimodal.decode_codec_media(media, repartition=False)
 
+    def mm_resize(spark, sf_dir):
+        """REAL nearest-neighbor image resize over the PGM codec payloads:
+        decode -> downsample /4 -> re-encode -> re-decode; out_sum proves
+        the roundtrip and the oracle re-derives it from the cycled-md5
+        payload scheme analytically."""
+        media = multimodal.encode_codec_media(_docs(spark, sf_dir), formats=("pgm", "aiff"))
+        resized = multimodal.resize_image(
+            media.filter(F.col("media_type") == "image"), factor=4, repartition=False
+        )
+        return resized.select("media_id", "in_w", "in_h", "out_w", "out_h", "out_sum")
+
     def mm_audio_chunks(spark, sf_dir):
         """Frame-aligned chunking of the real WAV payloads (PCM slice sums
         re-derived analytically by the oracle from the cycled-md5 data)."""
@@ -338,6 +349,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": mm_frames,
         "multimodal_codec": mm_codec,
         "multimodal_codec_be": mm_codec_be,
+        "multimodal_resize": mm_resize,
         "multimodal_audio_chunks": mm_audio_chunks,
         # corpus curation (operators/curation.py): benchmark = every doc_id
         # divisible by 7 (deterministic holdout), corpus = the rest.
@@ -650,6 +662,25 @@ def _northstar_oracles() -> dict[str, str]:
     out["ann_ivf_topk"] = _ivf_topk_oracle()
     out["ann_kmeans_centroids"] = _kmeans_oracle(k=8, iters=2)
     out["ann_ivf_trained"] = _ivf_trained_oracle(k=8, iters=2, n_probe=4, topk=5)
+
+    out["multimodal_resize"] = """
+        WITH img AS (
+          SELECT doc_id, md5(text) AS hh,
+                 CAST(doc_id % 32 + 8 AS INTEGER) AS w,
+                 CAST(doc_id % 24 + 8 AS INTEGER) AS h
+          FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+        ), px AS (
+          SELECT doc_id, hh, w, h, w // 4 AS ow, h // 4 AS oh,
+                 unnest(range((w // 4) * (h // 4))) AS i
+          FROM img
+        )
+        SELECT doc_id AS media_id, w AS in_w, h AS in_h,
+               ow AS out_w, oh AS out_h,
+               CAST(SUM(ascii(substr(hh,
+                    CAST(((i // ow) * 4 * w + (i % ow) * 4) % 32 AS INTEGER) + 1,
+                    1))) AS BIGINT) AS out_sum
+        FROM px GROUP BY 1, 2, 3, 4, 5
+    """
     from flink_example_spark.operators import curation, text
 
     out["text_lm_surprisal"] = text.lm_surprisal_oracle()
