@@ -494,3 +494,32 @@ def test_codec_parsers_pgm_aiff():
         multimodal._parse_aiff(b"RIFF....WAVE")
     with pytest.raises(ValueError, match="missing COMM"):
         multimodal._parse_aiff(b"FORM" + (4).to_bytes(4, "big") + b"AIFF")
+
+
+def test_resize_image_roundtrip_ppm_and_pgm(spark):
+    """Real resize over BOTH codec formats: hand-computed nearest-neighbor
+    sampling on a tiny synthetic image, payload re-parse proof."""
+    from flink_example_spark.operators import multimodal as mm
+
+    w, h = 6, 4
+    gray = bytes(range(w * h))                      # P5: byte = pixel index
+    rgb = bytes(x % 251 for x in range(w * h * 3))  # P6
+    media = spark.createDataFrame(
+        [(0, "image", mm._encode_pgm(w, h, gray)), (2, "image", mm._encode_ppm(w, h, rgb))],
+        mm.CODEC_MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in mm.resize_image(media, factor=2).collect()}
+    assert set(out) == {0, 2}
+    r0 = out[0]
+    assert (r0["in_w"], r0["in_h"], r0["out_w"], r0["out_h"]) == (6, 4, 3, 2)
+    expect_gray = [gray[(y * 2) * w + x * 2] for y in range(2) for x in range(3)]
+    assert r0["out_sum"] == sum(expect_gray)
+    _, _, data0 = mm._parse_pgm(bytes(r0["out_payload"]))
+    assert list(data0) == expect_gray
+    r2 = out[2]
+    expect_rgb = [
+        rgb[((y * 2) * w + x * 2) * 3 + c] for y in range(2) for x in range(3) for c in range(3)
+    ]
+    assert r2["out_sum"] == sum(expect_rgb)
+    _, _, data2 = mm._parse_ppm(bytes(r2["out_payload"]))
+    assert list(data2) == expect_rgb
