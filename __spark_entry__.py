@@ -190,6 +190,17 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e, e.filter(F.col("vec_id") < 8), k=5, n_probe=4, centroids=cents
         )
 
+    def kmv_entry(spark, sf_dir):
+        """KMV bottom-k distinct sketch: per-language estimated distinct
+        fingerprints over documents (k=32 exercises BOTH branches — small
+        languages exact, large ones estimated)."""
+        from flink_example_spark.operators.sketch import kmv_distinct
+
+        d = _docs(spark, sf_dir).select(
+            "lang", text.fingerprint(F.col("text")).alias("fp")
+        )
+        return kmv_distinct(d, "lang", "fp", k=32)
+
     def semantic_keep(spark, sf_dir):
         """SemDeDup-style semantic dedup: embedding near-dup pairs (multi-
         band sign-LSH over the docs' embedding vectors, vec_id = doc_id)
@@ -341,6 +352,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": ann_ivf_trained,
         "text_lm_surprisal": lambda spark, sf_dir: text.lm_surprisal(_docs(spark, sf_dir)),
         "dedup_semantic_keep": semantic_keep,
+        "sketch_kmv_distinct": kmv_entry,
         "embedding_near_dup": emb_pairs,
         "embedding_near_dup_lsh": emb_pairs_lsh,
         "embedding_dup_clusters": emb_clusters,
@@ -684,6 +696,15 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators import curation, text
 
     out["text_lm_surprisal"] = text.lm_surprisal_oracle()
+    from flink_example_spark.operators.sketch import kmv_distinct_oracle
+    from flink_example_spark.operators.text import _DUCK_NORM
+
+    out["sketch_kmv_distinct"] = kmv_distinct_oracle(
+        f"(SELECT lang, md5({_DUCK_NORM}) AS fp FROM documents)",
+        ["lang"],
+        "fp",
+        k=32,
+    )
 
     out["curation_decontaminate"] = curation.decontamination_oracle(n=8, bench_mod=7)
     out["curation_shared_spans"] = curation.shared_spans_oracle(n=8, min_docs=2)

@@ -1,0 +1,103 @@
+"""Cardinality sketches for 100 TB-scale profiling.
+
+``kmv_distinct`` is a K-Minimum-Values distinct-count sketch (Bar-Yossef et
+al. 2002; the classic KMV/bottom-k estimator): hash every value to a
+uniform 32-bit point, keep the k smallest DISTINCT hashes per group, and
+estimate |D| = (k-1) / x_(k) where x_(k) is the k-th smallest hash
+normalized to (0, 1]. Groups with fewer than k distinct hashes report the
+exact count.
+
+Why KMV and not Spark's HLL++ (``approx_count_distinct``): the hash here is
+the engine-portable md5 bucket (CLAUDE.md: ``conv(substr(md5(v),1,8),16,10)``
+↔ DuckDB ``CAST(concat('0x', ...) AS BIGINT)``), so the sketch — not just
+its error bound — is DETERMINISTIC and bit-identical in any engine, which
+makes it oracle-checkable and stable across replays/retries. HLL sketches
+differ per implementation and can't be hash-compared across engines.
+
+Scale shape: the distinct-hash dedup is the same exchange an exact
+COUNT(DISTINCT) needs, but the per-group state after it is bounded by k
+(the window top-k spills; a custom partial-top-k merge aggregate would
+avoid materializing the distinct set — noted for a cluster port). Sketches
+of disjoint shards MERGE by unioning hash sets and re-taking the k
+smallest — the property that makes bottom-k the right profiling tool for
+incremental 100 TB corpus stats.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_SPACE = 4294967296.0  # 2^32: first 8 md5 hex digits as uniform points
+
+
+def portable_hash32(col: F.Column) -> F.Column:
+    """First 8 md5-hex digits as a BIGINT in [0, 2^32) — identical in Spark
+    and DuckDB (the repo's standard engine-portable bucket)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate.
+
+    Output: group cols + ``n_kept`` (min(k, distinct hashes)), ``kth_hash``
+    (the k-th smallest, null when exact), ``est_distinct`` (double; exact
+    count when the group has < k distinct values — the estimator is only
+    defined past k).
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    hashes = (
+        df.select(*groups, portable_hash32(F.col(value_col)).alias("__h"))
+        .groupBy(*groups, "__h")
+        .agg(F.lit(1).alias("__one"))
+    )
+    w = Window.partitionBy(*groups).orderBy(F.col("__h"))
+    kept = hashes.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    return (
+        kept.groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("__h").alias("__max_h"),
+        )
+        .select(
+            *groups,
+            "n_kept",
+            F.when(F.col("n_kept") >= k, F.col("__max_h")).alias("kth_hash"),
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+            .otherwise(
+                F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("__max_h").cast("double")
+            )
+            .alias("est_distinct"),
+        )
+    )
+
+
+def kmv_distinct_oracle(
+    table: str, group_cols: Sequence[str], value_col: str, k: int = 64
+) -> str:
+    """DuckDB twin built from the same definition."""
+    gs = ", ".join(group_cols)
+    return f"""
+        WITH hashes AS (
+          SELECT DISTINCT {gs},
+                 CAST(concat('0x', substr(md5({value_col}), 1, 8)) AS BIGINT) AS h
+          FROM {table}
+        ), kept AS (
+          SELECT {gs}, h,
+                 ROW_NUMBER() OVER (PARTITION BY {gs} ORDER BY h) AS rn
+          FROM hashes QUALIFY rn <= {k}
+        )
+        SELECT {gs}, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CASE WHEN COUNT(*) >= {k} THEN MAX(h) END AS kth_hash,
+               CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE CAST({k - 1} AS DOUBLE) * 4294967296.0
+                         / CAST(MAX(h) AS DOUBLE) END AS est_distinct
+        FROM kept GROUP BY {gs}
+    """
