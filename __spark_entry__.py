@@ -1160,6 +1160,9 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stateless streaming text analysis: append-mode projection,
         # row-for-row equal to the batch text_features -> shares its oracle
         "streaming_text_features": _run_streaming_text_features,
+        # stateless streaming curation: append-mode Gopher rule filter,
+        # row-for-row equal to batch curation_gopher_filter -> shares oracle
+        "streaming_gopher_filter": _run_streaming_gopher,
         # session-window streaming aggregate (state-store session merge):
         # converges to the batch session window counts → shares its oracle
         "streaming_session_windows": run_streaming_session_windows,
@@ -1195,6 +1198,12 @@ def _run_streaming_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_example_spark.streaming.dedup_stream import run_streaming_text_features
 
     return run_streaming_text_features(spark, sf_dir)
+
+
+def _run_streaming_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.dedup_stream import run_streaming_gopher
+
+    return run_streaming_gopher(spark, sf_dir)
 
 
 def _run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1246,6 +1255,7 @@ def _all_oracles() -> dict[str, str]:
     out["streaming_tumbling_counts"] = out["tumbling_window_counts"]
     out["streaming_sliding_counts"] = out["sliding_window_counts"]
     out["streaming_text_features"] = out["text_features"]
+    out["streaming_gopher_filter"] = out["curation_gopher_filter"]
     out["streaming_asof_interval"] = f"""
         WITH fh AS ({_FH_SQL}), ex AS ({_EX_SQL})
         SELECT ex._entity, ex._prediction_time, ex._label_time, fh.loss_value

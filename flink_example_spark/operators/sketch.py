@@ -44,6 +44,7 @@ def kmv_distinct(
     group_cols: str | Sequence[str],
     value_col: str,
     k: int = 64,
+    sub_buckets: int = 16,
 ) -> DataFrame:
     """Per-group KMV distinct-count estimate.
 
@@ -51,6 +52,13 @@ def kmv_distinct(
     (the k-th smallest, null when exact), ``est_distinct`` (double; exact
     count when the group has < k distinct values — the estimator is only
     defined past k).
+
+    Two-phase bottom-k (domain_cap's skew trick): phase 1 takes the k
+    smallest within each of ``sub_buckets`` hash sub-buckets — a hot
+    group's distinct hashes sort across 16 tasks, and at most
+    sub_buckets·k rows per group reach phase 2's bare-group window. The
+    global bottom-k is always contained in the union of sub-bucket
+    bottom-ks, so the result is identical to the single-window form.
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     hashes = (
@@ -58,8 +66,16 @@ def kmv_distinct(
         .groupBy(*groups, "__h")
         .agg(F.lit(1).alias("__one"))
     )
+    w1 = Window.partitionBy(*groups, F.pmod(F.col("__h"), F.lit(sub_buckets))).orderBy(
+        F.col("__h")
+    )
+    survivors = (
+        hashes.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+        .drop("__rn1")
+    )
     w = Window.partitionBy(*groups).orderBy(F.col("__h"))
-    kept = hashes.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    kept = survivors.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
     return (
         kept.groupBy(*groups)
         .agg(

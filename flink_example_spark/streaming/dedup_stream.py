@@ -186,3 +186,31 @@ def run_streaming_first_seen(spark: SparkSession, sf_dir: str, chunks: int = 3) 
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def run_streaming_gopher(spark: SparkSession, sf_dir: str, chunks: int = 3) -> DataFrame:
+    """Streaming curation at ingest: the Gopher-style rule filter applied to
+    a live document stream — stateless append mode, row-for-row equal to the
+    batch ``gopher_flags`` relation (shared oracle). The shape every
+    per-document curation rule takes in an unbounded pipeline: a pure
+    Catalyst projection, no state store."""
+    from flink_example_spark.operators.curation import gopher_flags
+
+    tune(spark)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    name = f"stream_gopher_{uuid.uuid4().hex[:8]}"
+    q = (
+        gopher_flags(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
