@@ -288,6 +288,19 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return resized.select("media_id", "in_w", "in_h", "out_w", "out_h", "out_sum")
 
+    def mm_resize_box(spark, sf_dir):
+        """Anti-aliased (box-mean) variant: every output byte is the
+        integer mean of an f x f block — re-derived per pixel by the
+        oracle from the cycled-md5 scheme."""
+        media = multimodal.encode_codec_media(_docs(spark, sf_dir), formats=("pgm", "aiff"))
+        resized = multimodal.resize_image(
+            media.filter(F.col("media_type") == "image"),
+            factor=4,
+            method="box",
+            repartition=False,
+        )
+        return resized.select("media_id", "in_w", "in_h", "out_w", "out_h", "out_sum")
+
     def mm_audio_chunks(spark, sf_dir):
         """Frame-aligned chunking of the real WAV payloads (PCM slice sums
         re-derived analytically by the oracle from the cycled-md5 data)."""
@@ -362,6 +375,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_codec": mm_codec,
         "multimodal_codec_be": mm_codec_be,
         "multimodal_resize": mm_resize,
+        "multimodal_resize_box": mm_resize_box,
         "multimodal_audio_chunks": mm_audio_chunks,
         # corpus curation (operators/curation.py): benchmark = every doc_id
         # divisible by 7 (deterministic holdout), corpus = the rest.
@@ -692,6 +706,32 @@ def _northstar_oracles() -> dict[str, str]:
                     CAST(((i // ow) * 4 * w + (i % ow) * 4) % 32 AS INTEGER) + 1,
                     1))) AS BIGINT) AS out_sum
         FROM px GROUP BY 1, 2, 3, 4, 5
+    """
+
+    out["multimodal_resize_box"] = """
+        WITH img AS (
+          SELECT doc_id, md5(text) AS hh,
+                 CAST(doc_id % 32 + 8 AS INTEGER) AS w,
+                 CAST(doc_id % 24 + 8 AS INTEGER) AS h
+          FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+        ), px AS (
+          -- flat index over ow*oh*16 block samples: opix = i // 16,
+          -- (dy, dx) = divmod(i % 16, 4)
+          SELECT doc_id, hh, w, h, w // 4 AS ow, h // 4 AS oh,
+                 unnest(range((w // 4) * (h // 4) * 16)) AS i
+          FROM img
+        ), blocks AS (
+          SELECT doc_id, w, h, ow, oh, i // 16 AS opix,
+                 SUM(ascii(substr(hh,
+                     CAST((((i // 16) // ow * 4 + (i % 16) // 4) * w
+                           + ((i // 16) % ow) * 4 + (i % 16) % 4) % 32 AS INTEGER) + 1,
+                     1))) AS s
+          FROM px GROUP BY 1, 2, 3, 4, 5, 6
+        )
+        SELECT doc_id AS media_id, w AS in_w, h AS in_h,
+               ow AS out_w, oh AS out_h,
+               CAST(SUM(s // 16) AS BIGINT) AS out_sum
+        FROM blocks GROUP BY 1, 2, 3, 4, 5
     """
     from flink_example_spark.operators import curation, text
 

@@ -540,15 +540,19 @@ RESIZE_SCHEMA = StructType(
 
 
 def resize_image(
-    media: DataFrame, factor: int = 4, repartition: bool = True
+    media: DataFrame, factor: int = 4, method: str = "nearest", repartition: bool = True
 ) -> DataFrame:
     """REAL image resize: parse each PGM/PPM payload from raw bytes,
-    nearest-neighbor downsample by integer ``factor`` (out pixel (Y, X) =
-    in pixel (Y*factor, X*factor), out dims = floor(in/factor)), re-encode
-    in the same format, then RE-PARSE the new payload to produce
+    downsample by integer ``factor`` (out dims = floor(in/factor)),
+    re-encode in the same format, then RE-PARSE the new payload to produce
     ``out_sum`` (sum of all data bytes of the resized image) — so the
     emitted stats prove the full decode → transform → encode → decode
     roundtrip, not just the sampling arithmetic.
+
+    ``method``: 'nearest' (out pixel (Y, X) = in pixel (Y·f, X·f)) or
+    'box' (anti-aliased: per-channel integer mean of the f×f block,
+    floor division — pure integer arithmetic, so an external oracle can
+    re-derive every output byte).
 
     Same 100 TB shape as the other codec stages: hash-spread on media_id
     before the CPU-bound byte work, Arrow-batched mapInPandas, loud
@@ -558,6 +562,8 @@ def resize_image(
 
     if factor < 1:
         raise ValueError("factor must be >= 1")
+    if method not in ("nearest", "box"):
+        raise ValueError(f"unknown resize method {method!r}")
 
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -579,10 +585,18 @@ def resize_image(
                     raise ValueError(f"media {mid}: {w}x{h} too small for /{factor}")
                 out = bytearray()
                 for y in range(oh):
-                    base = y * factor * w
                     for x in range(ow):
-                        p = (base + x * factor) * depth
-                        out += data[p : p + depth]
+                        if method == "nearest":
+                            p = (y * factor * w + x * factor) * depth
+                            out += data[p : p + depth]
+                        else:
+                            for c in range(depth):
+                                s = 0
+                                for dy in range(factor):
+                                    row0 = ((y * factor + dy) * w + x * factor) * depth
+                                    for dx in range(factor):
+                                        s += data[row0 + dx * depth + c]
+                                out.append(s // (factor * factor))
                 new_payload = enc(ow, oh, bytes(out))
                 _, _, new_data = parse(new_payload)  # roundtrip proof
                 rows.append((int(mid), w, h, ow, oh, new_payload, sum(new_data)))

@@ -523,3 +523,26 @@ def test_resize_image_roundtrip_ppm_and_pgm(spark):
     assert r2["out_sum"] == sum(expect_rgb)
     _, _, data2 = mm._parse_ppm(bytes(r2["out_payload"]))
     assert list(data2) == expect_rgb
+
+
+def test_resize_image_box_mean(spark):
+    """Box-filter downsample: every output byte is the integer mean of its
+    f x f block (hand-computed on a tiny gradient)."""
+    from flink_example_spark.operators import multimodal as mm
+
+    w, h = 4, 4
+    gray = bytes(range(16))
+    media = spark.createDataFrame(
+        [(0, "image", mm._encode_pgm(w, h, gray))], mm.CODEC_MEDIA_SCHEMA
+    )
+    r = mm.resize_image(media, factor=2, method="box").first()
+    assert (r["out_w"], r["out_h"]) == (2, 2)
+    blocks = [
+        (gray[0] + gray[1] + gray[4] + gray[5]) // 4,
+        (gray[2] + gray[3] + gray[6] + gray[7]) // 4,
+        (gray[8] + gray[9] + gray[12] + gray[13]) // 4,
+        (gray[10] + gray[11] + gray[14] + gray[15]) // 4,
+    ]
+    _, _, data = mm._parse_pgm(bytes(r["out_payload"]))
+    assert list(data) == blocks
+    assert r["out_sum"] == sum(blocks)
