@@ -51,6 +51,11 @@ HEADLINE = [
     "multimodal_codec",
     "curation_domain_cap",
     "sliding_window_counts",
+    # added round 5
+    "text_lm_surprisal",
+    "dedup_semantic_keep",
+    "sketch_kmv_distinct",
+    "multimodal_resize",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

@@ -188,3 +188,49 @@ def test_curated_corpus_no_cartesian_no_smj(spark):
     plan = physical(curated_corpus(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_lm_surprisal_no_python_udf(spark):
+    """Corpus-LM scoring stays entirely JVM-side: no Python eval nodes, and
+    the token-total relation joins in as a broadcast (no extra exchange for
+    the scalar)."""
+    from flink_example_spark.operators.text import lm_surprisal
+    from flink_example_spark.tables import load_table
+
+    plan = physical(lm_surprisal(load_table(spark, SF, "documents")))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semantic_keep_broadcast_anti_join(spark):
+    """The keep-first materialization is one broadcast anti-join — corpus
+    rows never shuffle."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators import dedup, similarity
+    from flink_example_spark.tables import load_table
+
+    pairs = similarity.lsh_cosine_pairs(
+        load_table(spark, SF, "embeddings"), threshold=0.4, n_bands=2
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    plan = physical(dedup.apply_pair_dedup(docs, pairs))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_kmv_two_phase_windows(spark):
+    """Phase-1 window partitions on (group, hash sub-bucket); only the
+    bounded survivor set windows on the bare group."""
+    from flink_example_spark.operators.sketch import kmv_distinct
+    from flink_example_spark.tables import load_table
+
+    import re
+
+    d = load_table(spark, SF, "documents").select("lang", "text")
+    plan = physical(kmv_distinct(d, "lang", "text", k=16))
+    # two row_number windows: phase 1 partitioned on (group, sub-bucket)
+    # (pmod compiles into a projected _w0 key), phase 2 on the bare group
+    assert plan.count("Window [row_number()") == 2
+    assert re.search(r"windowspecdefinition\(lang#\d+, _w0#", plan), plan
+    # Spark's WindowGroupLimit pushes the k-limit below each shuffle too
+    assert "WindowGroupLimit" in plan
