@@ -104,3 +104,52 @@ def test_salted_plan_shape(spark, events):
     assert specs, plan
     event_windows = [s for s in specs if "__b" in s]
     assert event_windows, f"no (key, bucket)-salted window in plan:\n{plan}"
+
+
+def test_salted_matches_unsalted_hypothesis(spark):
+    """Property: salted == unsalted on randomized event sets (ties, empty
+    buckets, key skew) for sum and count. Few examples — each is a Spark
+    job — but each a full random relation."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from flink_example_spark.operators.versioned import (
+        salted_version_history,
+        version_history,
+    )
+
+    events_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # key (skew-prone)
+            st.integers(min_value=0, max_value=30),  # minute (ties likely)
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+
+    @given(rows=events_strategy, n_buckets=st.integers(min_value=1, max_value=5))
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    )
+    def run(rows, n_buckets):
+        data = [
+            (k, datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=m), x)
+            for k, m, x in rows
+        ]
+        df = spark.createDataFrame(data, "k long, ts timestamp_ntz, x long")
+        plain = version_history(
+            df, key="k", time_col="ts", aggs={"s": F.sum("x"), "c": F.count(F.lit(1))}
+        )
+        salted = salted_version_history(
+            df,
+            key="k",
+            time_col="ts",
+            aggs={"s": ("sum", "x"), "c": ("count", None)},
+            n_buckets=n_buckets,
+        )
+        assert rows_set(plain) == rows_set(salted)
+
+    run()
