@@ -1203,6 +1203,10 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stateless streaming curation: append-mode Gopher rule filter,
         # row-for-row equal to batch curation_gopher_filter -> shares oracle
         "streaming_gopher_filter": _run_streaming_gopher,
+        # streaming cardinality: bottom-k KMV sketch maintained per group
+        # (O(k) state, no watermark needed — commutative monoid); final
+        # sketch equals the batch kmv_distinct -> shares its oracle
+        "streaming_kmv_distinct": _run_streaming_kmv,
         # session-window streaming aggregate (state-store session merge):
         # converges to the batch session window counts → shares its oracle
         "streaming_session_windows": run_streaming_session_windows,
@@ -1238,6 +1242,12 @@ def _run_streaming_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_example_spark.streaming.dedup_stream import run_streaming_text_features
 
     return run_streaming_text_features(spark, sf_dir)
+
+
+def _run_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.sketch_stream import run_streaming_kmv
+
+    return run_streaming_kmv(spark, sf_dir, k=32)
 
 
 def _run_streaming_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1296,6 +1306,7 @@ def _all_oracles() -> dict[str, str]:
     out["streaming_sliding_counts"] = out["sliding_window_counts"]
     out["streaming_text_features"] = out["text_features"]
     out["streaming_gopher_filter"] = out["curation_gopher_filter"]
+    out["streaming_kmv_distinct"] = out["sketch_kmv_distinct"]
     out["streaming_asof_interval"] = f"""
         WITH fh AS ({_FH_SQL}), ex AS ({_EX_SQL})
         SELECT ex._entity, ex._prediction_time, ex._label_time, fh.loss_value

@@ -1,0 +1,137 @@
+"""Streaming cardinality: the KMV bottom-k sketch maintained over a stream.
+
+The batch sketch (operators/sketch.py) is a commutative, idempotent monoid —
+the k smallest distinct hashes of a union is the bottom-k of the per-part
+bottom-ks — so the streaming form needs NO watermark and tolerates any
+arrival order / duplication: per-group state is a sorted array of at most k
+hashes, merged as micro-batches arrive (state O(k), not O(distinct)).
+
+This is the profiling loop a live ingest pipeline runs: "how many distinct
+fingerprints per language so far" without ever materializing the distinct
+set. Bounded replay converges EXACTLY to the batch ``kmv_distinct`` (the
+merge property, pinned in tests/test_sketch.py) and shares its oracle.
+
+State here is the pickled sorted list (applyInPandasWithState); the
+transformWithState port (ListState of longs, JVM-side) follows
+streaming/stateful.py's pattern once google.protobuf lands.
+"""
+
+from __future__ import annotations
+
+import pickle
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from flink_example_spark.operators.sketch import HASH_SPACE, portable_hash32
+
+_STATE_SCHEMA = StructType([StructField("pkl", BinaryType(), True)])
+
+
+def streaming_kmv_distinct(
+    doc_stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Update-mode per-group KMV over a stream. Emits one row per group per
+    micro-batch with a monotone ``version`` — the latest version per group
+    is the current sketch (same columns as the batch operator + version)."""
+    import pandas as pd
+
+    output_schema = StructType(
+        [
+            StructField(group_col, StringType()),
+            StructField("version", LongType()),
+            StructField("n_kept", LongType()),
+            StructField("kth_hash", LongType(), True),
+            StructField("est_distinct", DoubleType()),
+        ]
+    )
+    src = doc_stream.select(
+        F.col(group_col).cast("string").alias("_g"),
+        portable_hash32(F.col(value_col)).alias("_h"),
+    )
+
+    def process(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            version, kept = pickle.loads(state.get[0])
+        else:
+            version, kept = 0, []
+        merged = set(kept)
+        for pdf in pdfs:
+            merged.update(int(h) for h in pdf["_h"])
+        kept = sorted(merged)[:k]
+        version += 1
+        state.update((pickle.dumps((version, kept)),))
+        n = len(kept)
+        kth = kept[-1] if n >= k else None
+        est = float(n) if n < k else float(k - 1) * HASH_SPACE / float(kth)
+        yield pd.DataFrame(
+            [(key[0], version, n, kth, est)],
+            columns=[f.name for f in output_schema.fields],
+        )
+
+    return src.groupBy("_g").applyInPandasWithState(
+        process,
+        outputStructType=output_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_kmv(
+    spark: SparkSession, sf_dir: str, k: int = 32, chunks: int = 3
+) -> DataFrame:
+    """Bounded replay: per-language distinct-fingerprint sketch over the
+    document stream; the final (max-version) row per language equals the
+    batch ``kmv_distinct`` relation exactly — shares its oracle."""
+    import os
+    import uuid
+
+    from flink_example_spark.operators.text import fingerprint
+    from flink_example_spark.session import shuffle_partitions, tune
+    from flink_example_spark.streaming.dedup_stream import _stage_by_id
+
+    tune(spark)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+        .select("lang", fingerprint(F.col("text")).alias("fp"))
+    )
+    sketch = streaming_kmv_distinct(stream, "lang", "fp", k=k)
+    name = f"stream_kmv_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            sketch.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    w_latest = (
+        "SELECT lang, n_kept, kth_hash, est_distinct FROM ("
+        f"  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY version DESC) rn"
+        f"  FROM {name}"
+        ") WHERE rn = 1"
+    )
+    return spark.sql(w_latest)

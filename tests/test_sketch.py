@@ -64,3 +64,19 @@ def test_kmv_shard_merge_equals_global(spark):
     union_of_shards = sorted(set(bottomk(shard_a)) | set(bottomk(shard_b)))[:k]
     assert union_of_shards == bottomk(df)
     assert global_row["n_kept"] == k
+
+
+def test_streaming_kmv_converges_to_batch(spark):
+    """Bounded replay of the stream-maintained bottom-k sketch equals the
+    batch operator exactly (merge property, any arrival order)."""
+    from flink_example_spark.operators.text import fingerprint
+    from flink_example_spark.streaming.sketch_stream import run_streaming_kmv
+    from flink_example_spark.tables import load_table
+
+    SF = "/root/testdata/sf0.001"
+    streamed = {tuple(r) for r in run_streaming_kmv(spark, SF, k=32).collect()}
+    d = load_table(spark, SF, "documents").select(
+        "lang", fingerprint(F.col("text")).alias("fp")
+    )
+    batch = {tuple(r) for r in kmv_distinct(d, "lang", "fp", k=32).collect()}
+    assert streamed == batch
