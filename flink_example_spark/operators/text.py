@@ -301,19 +301,26 @@ def lm_surprisal(
         documents.select(F.col(id_col), F.explode(tokens(normalized(F.col(text_col)))).alias("t"))
         .filter(F.col("t") != "")
     )
-    freqs = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    # aggregate to (doc, term, tf) FIRST: the vocabulary join and the final
+    # per-doc aggregation then carry distinct pairs, not token instances
+    # (the per-instance sum equals sum(tf * bits) exactly — integers)
+    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    freqs = tf.groupBy("t").agg(F.sum("tf").alias("c"))
     total = freqs.agg(F.sum("c").alias("n"))
     bits = (
-        toks.join(freqs, "t")
+        tf.join(freqs, "t")
         .crossJoin(F.broadcast(total))
         .select(
             F.col(id_col),
+            "tf",
             (F.length(F.bin(F.expr("n div c"))) - 1).alias("__bits"),
         )
     )
     return bits.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        (F.sum("__bits").cast("double") / F.count(F.lit(1))).alias("avg_surprisal_bits"),
+        F.sum("tf").alias("n_tokens"),
+        (
+            F.sum(F.col("tf") * F.col("__bits")).cast("double") / F.sum("tf")
+        ).alias("avg_surprisal_bits"),
     )
 
 
