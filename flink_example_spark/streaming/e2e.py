@@ -65,6 +65,60 @@ def run_streaming_pipeline_e2e(
     converges exactly to batch ``plans.events_demo.pipeline`` when
     ``horizon_days`` covers the data span (production sets it from the
     feature-staleness SLA instead)."""
+    tmpdir, src_schema, horizon_days, sentinel_cut = stage_replay(
+        spark, sf_dir, horizon_days, chunks, waves
+    )
+    stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    final = build_pipeline_stream(stream, horizon_days, label_delay_hours)
+
+    name = f"pipeline_e2e_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            final.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return strip_sentinels(spark.table(name), sentinel_cut)
+
+
+def strip_sentinels(result: DataFrame, sentinel_cut) -> DataFrame:
+    """Drop sentinel-entity rows and normalize timestamps back to NTZ."""
+    return result.filter(
+        (F.col("_entity") >= 0) & (F.col("_prediction_time") < F.lit(sentinel_cut))
+    ).select(
+        "_entity",
+        F.col("_prediction_time").cast("timestamp_ntz").alias("_prediction_time"),
+        F.col("_label_time").cast("timestamp_ntz").alias("_label_time"),
+        "loss_value",
+        "cnt",
+    )
+
+
+def stage_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    horizon_days: int | None = None,
+    chunks: int = 2,
+    waves: int = 3,
+    tmpdir: str | None = None,
+    skip_chunks: int = 0,
+    skip_waves: int = 0,
+):
+    """Stage the bounded replay: time-split chunk files + sentinel waves.
+
+    Returns ``(tmpdir, src_schema, horizon_days, sentinel_cut)``.
+    ``skip_chunks``/``skip_waves`` let a caller stage the replay in PARTS
+    into the same ``tmpdir`` (checkpoint-recovery tests run the query,
+    stage more files, and restart it from the same checkpoint — the file
+    source picks up the new files and the state store carries on).
+    """
     from flink_example_spark.plans.events_demo import load_events
 
     tune(spark)
@@ -77,10 +131,8 @@ def run_streaming_pipeline_e2e(
     min_t, max_t = src.agg(F.min("ts"), F.max("ts")).first()
     if horizon_days is None:
         horizon_days = (max_t - min_t).days + 2
-    h = f"INTERVAL {horizon_days} DAYS"
 
-    # --- stage the replay: time-split chunks + sentinel waves --------------
-    tmpdir = tempfile.mkdtemp(prefix="e2e_stream_")
+    tmpdir = tmpdir or tempfile.mkdtemp(prefix="e2e_stream_")
     cuts = (
         src.agg(
             F.percentile_approx(
@@ -91,7 +143,7 @@ def run_streaming_pipeline_e2e(
         else []
     )
     bounds = [None, *cuts, None]
-    for i in range(chunks):
+    for i in range(skip_chunks, chunks):
         part = src
         if bounds[i] is not None:
             part = part.filter(F.col("ts").cast("double") >= bounds[i])
@@ -112,7 +164,7 @@ def run_streaming_pipeline_e2e(
     # end-to-end themselves (wave w-1 is wave w's in-horizon prior event).
     sentinel_base = max_t + timedelta(days=3 * horizon_days + 1)
     sentinel_cut = max_t + timedelta(hours=1, minutes=30)  # > any real label time
-    for wave in range(waves):
+    for wave in range(skip_waves, waves):
         wts = sentinel_base + timedelta(hours=6 * wave)
         spark.createDataFrame(
             [(-1, wts, LOSS, 0.0), (-1, wts + timedelta(minutes=1), TARGET, 0.0)],
@@ -121,35 +173,7 @@ def run_streaming_pipeline_e2e(
             os.path.join(tmpdir, f"chunk_{chunks + wave}_sentinel")
         )
     stamp_chunk_mtimes(tmpdir)
-
-    stream = (
-        spark.readStream.schema(src.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(tmpdir, "chunk_*"))
-    )
-    final = build_pipeline_stream(stream, horizon_days, label_delay_hours)
-
-    name = f"pipeline_e2e_{uuid.uuid4().hex[:8]}"
-    with shuffle_partitions(spark, 8):
-        q = (
-            final.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return (
-        spark.table(name)
-        .filter((F.col("_entity") >= 0) & (F.col("_prediction_time") < F.lit(sentinel_cut)))
-        .select(
-            "_entity",
-            F.col("_prediction_time").cast("timestamp_ntz").alias("_prediction_time"),
-            F.col("_label_time").cast("timestamp_ntz").alias("_label_time"),
-            "loss_value",
-            "cnt",
-        )
-    )
+    return tmpdir, src.schema, horizon_days, sentinel_cut
 
 
 def build_pipeline_stream(
