@@ -1098,14 +1098,14 @@ DRIVER_KEYS = [
     "window_suite",
     "time_range_window_sums",
     "grouping_suite",
-    "percentile_prices",
     "filtered_aggregates",
     "range_join_prior_errors",
-    "full_outer_order_years",
     "semi_anti_suite",
     "scalar_functions",
     # north-star data-pipeline operators
     "text_top_terms",
+    "text_lm_surprisal",
+    "sketch_kmv_distinct",
     "text_features",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
