@@ -65,14 +65,54 @@ def dedup_probe(multiples: list[int], sf: str) -> None:
     spark.stop()
 
 
+def e2e_probe(sf: str) -> None:
+    """Batch vs fused-streaming wall at one scale factor with an exact
+    row-set convergence check (the PERF.md 'Fused e2e streaming pipeline
+    scale probe' table rows)."""
+    from flink_example_spark.plans.events_demo import pipeline
+    from flink_example_spark.session import get_spark
+    from flink_example_spark.streaming.e2e import run_streaming_pipeline_e2e
+
+    spark = get_spark("scale-probe-e2e")
+    t0 = time.perf_counter()
+    batch = {tuple(r) for r in pipeline(spark, sf).collect()}
+    t_batch = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    streamed = {tuple(r) for r in run_streaming_pipeline_e2e(spark, sf).collect()}
+    t_stream = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "e2e_scale_probe": {
+                    "sf": sf,
+                    "rows": len(batch),
+                    "batch_sec": round(t_batch, 1),
+                    "streaming_sec": round(t_stream, 1),
+                    "identical": streamed == batch,
+                }
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--multiples", default="1,4,16")
     ap.add_argument("--dedup", action="store_true", help="probe minhash dedup instead")
+    ap.add_argument(
+        "--e2e",
+        action="store_true",
+        help="probe the fused streaming pipeline: batch vs ONE-query streaming "
+        "replay at --sf, verifying exact convergence (PERF.md scale table)",
+    )
     args = ap.parse_args()
     if args.dedup:
         dedup_probe([int(m) for m in args.multiples.split(",")], args.sf)
+        return
+    if args.e2e:
+        e2e_probe(args.sf)
         return
 
     from pyspark.sql import functions as F
