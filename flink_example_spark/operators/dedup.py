@@ -591,6 +591,11 @@ def simhash_pairs(
             )
         ).alias("__c"),
     ).select(id_col, "__sim", "__c.chunk", "__c.cval")
+    # Materialize the banded signatures once: the self-join otherwise
+    # recomputes the 64-sum simhash aggregation on BOTH sides (multi-
+    # consumer DAG recompute). Measured at sf0.1, alternating runs:
+    # 3.7-4.1s -> 3.0-3.4s.
+    chunks = chunks.localCheckpoint(eager=True)
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(
