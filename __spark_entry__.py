@@ -110,6 +110,23 @@ def _q_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline(spark, sf_dir)
 
 
+def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-staleness as-of (pandas merge_asof tolerance semantics): a
+    feature older than the bound is treated as missing — the SLA form every
+    production feature store enforces."""
+    from flink_example_spark.operators.asof import asof_join
+    from flink_example_spark.plans.events_demo import examples, load_events, target_history
+
+    ev = load_events(spark, sf_dir)
+    return asof_join(
+        examples(ev),
+        target_history(ev),
+        on="_entity",
+        probe_time="_prediction_time",
+        tolerance="7 days",
+    )
+
+
 def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of: the FIRST feature version at-or-after each example's
     label time (the 'value once available' lookup — pandas merge_asof
@@ -1145,6 +1162,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_examples": _q_training_examples,
         "asof_forward_labels": _q_asof_forward,
     }
+    q["asof_tolerance_labels"] = _q_asof_tolerance
     q.update(_streaming_queries())
     q.update(_relational_queries())
     q.update(_northstar_queries())
@@ -1330,6 +1348,14 @@ def extra_oracle_sql() -> dict[str, str]:
 
 def _core_oracles() -> dict[str, str]:
     return {
+        "asof_tolerance_labels": f"""
+            WITH th AS ({_TH_SQL}), ex AS ({_EX_SQL})
+            SELECT ex._entity, ex._prediction_time, ex._label_time,
+                   CASE WHEN th._change_time >= ex._prediction_time - INTERVAL 7 DAY
+                        THEN th.cnt END AS cnt
+            FROM ex ASOF LEFT JOIN th
+              ON ex._entity = th._entity AND ex._prediction_time >= th._change_time
+        """,
         "feature_latest": f"""
             SELECT _entity, _change_time, loss_value FROM ({_FH_SQL})
             QUALIFY ROW_NUMBER() OVER (PARTITION BY _entity

@@ -51,11 +51,20 @@ def asof_join(
     strategy: str = "union",
     salt: int | None = None,
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join ``probes`` against the version history ``versions``.
 
     Output columns: all of ``probes``' columns, then ``versions``' value
     columns (everything but the key and ``version_time``).
+
+    ``tolerance``: optional maximum staleness as a SQL interval string
+    (e.g. ``"7 days"``) — pandas ``merge_asof(tolerance=...)`` semantics.
+    A match further than ``tolerance`` from the probe instant is treated
+    as no match (values null under ``how='left'``, row dropped under
+    ``how='inner'``). Works with every strategy and direction: the match
+    time rides along as an extra value column and the bound is applied as
+    a post-filter, so the core strategies stay untouched.
 
     ``salt``: hot-key mitigation for the ``union`` strategy at cluster scale.
     Probes spread across ``salt`` sub-partitions of their key; versions
@@ -84,6 +93,36 @@ def asof_join(
     clash = set(vcols) & set(probes.columns)
     if clash:
         raise ValueError(f"value columns {sorted(clash)} collide with probe columns")
+    if tolerance is not None:
+        matched = "__asof_matched_time"
+        # the when() wrapper forces nullable=True — unmatched LEFT probes
+        # carry null here even when version_time itself is non-nullable
+        inner = asof_join(
+            probes,
+            versions.withColumn(
+                matched, F.when(F.col(version_time).isNotNull(), F.col(version_time))
+            ),
+            on=on,
+            probe_time=probe_time,
+            version_time=version_time,
+            how="left",
+            strategy=strategy,
+            salt=salt,
+            direction=direction,
+        )
+        if direction == "backward":
+            keep = F.col(matched) >= F.expr(f"`{probe_time}` - INTERVAL {tolerance}")
+        else:
+            keep = F.col(matched) <= F.expr(f"`{probe_time}` + INTERVAL {tolerance}")
+        keep = F.col(matched).isNotNull() & keep
+        out = inner.select(
+            *probes.columns,
+            *[F.when(keep, F.col(c)).otherwise(F.lit(None)).alias(c) for c in vcols],
+            keep.alias("__asof_keep"),
+        )
+        if how == "inner":
+            out = out.filter(F.col("__asof_keep"))
+        return out.drop("__asof_keep")
     if salt is not None:
         if strategy != "union":
             raise ValueError("salt is only supported with the 'union' strategy")

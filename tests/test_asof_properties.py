@@ -227,3 +227,44 @@ def test_forward_random_model_agreement(spark):
             ).collect()
         }
         assert got == expected, strategy
+
+
+def test_tolerance_bounds_staleness(spark):
+    """tolerance='0 seconds' keeps only exact-instant matches; a tolerance
+    covering the span equals no tolerance; inner drops out-of-bound rows —
+    across all three strategies."""
+    from datetime import timedelta
+
+    from flink_example_spark.operators.asof import asof_join
+
+    versions = [("a", BASE, 1), ("a", BASE + timedelta(minutes=10), 2)]
+    probes = [
+        ("a", 0, BASE),                          # exact hit on v1
+        ("a", 1, BASE + timedelta(minutes=5)),   # 5 min stale v1
+        ("a", 2, BASE + timedelta(minutes=30)),  # 20 min stale v2
+        ("b", 3, BASE + timedelta(minutes=1)),   # no versions at all
+    ]
+    vdf = spark.createDataFrame(versions, VERSION_SCHEMA)
+    pdf = spark.createDataFrame(probes, PROBE_SCHEMA)
+    for strategy in ("union", "rank", "pandas"):
+        got = {
+            r["pid"]: r["v"]
+            for r in asof_join(
+                pdf, vdf, on="k", probe_time="t", strategy=strategy,
+                tolerance="6 minutes",
+            ).collect()
+        }
+        assert got == {0: 1, 1: 1, 2: None, 3: None}, strategy
+        exact = {
+            r["pid"]: r["v"]
+            for r in asof_join(
+                pdf, vdf, on="k", probe_time="t", strategy=strategy,
+                tolerance="0 seconds",
+            ).collect()
+        }
+        assert exact == {0: 1, 1: None, 2: None, 3: None}, strategy
+        inner = asof_join(
+            pdf, vdf, on="k", probe_time="t", strategy=strategy,
+            how="inner", tolerance="6 minutes",
+        )
+        assert {r["pid"] for r in inner.collect()} == {0, 1}, strategy
