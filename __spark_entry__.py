@@ -197,6 +197,17 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.ivf_cosine_topk(e, e.filter(F.col("vec_id") < 8), k=5)
 
     def ann_kmeans(spark, sf_dir):
+        """Driver-recorded shape: the driver's oracle canonicalizer sorts
+        raw pandas columns and cannot hash list cells, so the array-valued
+        centroid is posexploded to scalar (cell, pos, component, c_norm)
+        rows.  The array-shaped operator output stays in extras as
+        ``ann_kmeans_centroids_vec``."""
+        c = similarity.kmeans_centroids(_embs(spark, sf_dir), k=8, iters=2)
+        return c.select(
+            "cell", F.posexplode("c_vec").alias("pos", "component"), "c_norm"
+        )
+
+    def ann_kmeans_vec(spark, sf_dir):
         return similarity.kmeans_centroids(_embs(spark, sf_dir), k=8, iters=2)
 
     def ann_ivf_trained(spark, sf_dir):
@@ -227,6 +238,24 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
         docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
         return dedup.apply_pair_dedup(docs, pairs)
+
+    def semantic_keep_strict(spark, sf_dir):
+        """Production-threshold SemDeDup: cos >= 0.9 (measured sign-LSH
+        recall ~1.0 there), 4 bands. The synthetic corpus has no natural
+        pairs past cos 0.51, so exact twins (vec_id+100000, same vector)
+        are planted for the first 25 vectors — identical vectors share
+        every band bucket, so the strict path provably finds and drops
+        all 25 (525-row corpus in, 500 keepers out)."""
+        e = _embs(spark, sf_dir).select("vec_id", "embedding")
+        twins = e.filter(F.col("vec_id") < 25).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+        corpus = e.union(twins)
+        pairs = similarity.lsh_cosine_pairs(
+            corpus, threshold=0.9, n_bands=4
+        ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        ids = corpus.select(F.col("vec_id").alias("doc_id"))
+        return dedup.apply_pair_dedup(ids, pairs)
 
     def emb_pairs(spark, sf_dir):
         return similarity.cosine_pairs(_embs(spark, sf_dir), threshold=0.4)
@@ -379,9 +408,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_kmeans_centroids": ann_kmeans,
+        "ann_kmeans_centroids_vec": ann_kmeans_vec,
         "ann_ivf_trained": ann_ivf_trained,
         "text_lm_surprisal": lambda spark, sf_dir: text.lm_surprisal(_docs(spark, sf_dir)),
         "dedup_semantic_keep": semantic_keep,
+        "dedup_semantic_strict": semantic_keep_strict,
         "sketch_kmv_distinct": kmv_entry,
         "embedding_near_dup": emb_pairs,
         "embedding_near_dup_lsh": emb_pairs_lsh,
@@ -565,6 +596,26 @@ def _northstar_oracles() -> dict[str, str]:
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE doc_id NOT IN (SELECT vec_b FROM pairs)
     """
+    # production-posture SemDeDup: threshold 0.9 where the measured sign-LSH
+    # recall curve is ~1.0 (PERF.md), 4 bands — the setting a real pipeline
+    # would run; the 0.4/2-band driver row stays frozen for hash stability.
+    # Exact twins (vec_id+100000) are planted so the strict bound provably
+    # fires (the synthetic corpus tops out at cos 0.51).
+    strict_vecs = """
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM (SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 25)
+    """
+    out["dedup_semantic_strict"] = f"""
+        WITH pairs AS ({_lsh_pairs_oracle(threshold=0.9, n_bands=4, vecs_sql=strict_vecs)}),
+        corpus AS (SELECT vec_id AS doc_id FROM embeddings
+                   UNION ALL
+                   SELECT vec_id + 100000 FROM embeddings WHERE vec_id < 25)
+        SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT vec_b FROM pairs)
+    """
     out["embedding_dup_clusters"] = f"""
         WITH RECURSIVE pairs AS ({_lsh_pairs_oracle(threshold=0.4, n_bands=2)}),
         edges AS (
@@ -703,7 +754,8 @@ def _northstar_oracles() -> dict[str, str]:
     out["dedup_simhash"] = _simhash_md5_oracle()
     out["ann_lsh_topk"] = _lsh_topk_oracle()
     out["ann_ivf_topk"] = _ivf_topk_oracle()
-    out["ann_kmeans_centroids"] = _kmeans_oracle(k=8, iters=2)
+    out["ann_kmeans_centroids"] = _kmeans_oracle(k=8, iters=2, scalar=True)
+    out["ann_kmeans_centroids_vec"] = _kmeans_oracle(k=8, iters=2)
     out["ann_ivf_trained"] = _ivf_trained_oracle(k=8, iters=2, n_probe=4, topk=5)
 
     out["multimodal_resize"] = """
@@ -863,10 +915,11 @@ def _lsh_topk_oracle() -> str:
     """
 
 
-def _lsh_pairs_oracle(threshold: float, n_bands: int = 1) -> str:
+def _lsh_pairs_oracle(threshold: float, n_bands: int = 1, vecs_sql: str | None = None) -> str:
     """Exact replica of the multi-band LSH near-dup pairs: per-band bucket
     joins unioned (UNION dedups pairs), same inlined hyperplane literals as
-    the top-k oracle; band b uses seed 42+b."""
+    the top-k oracle; band b uses seed 42+b. ``vecs_sql`` overrides the
+    (vec_id, v, nrm) corpus CTE (default: the embeddings table)."""
     from flink_example_spark.operators.similarity import hyperplanes
 
     def bucket_expr(seed: int) -> str:
@@ -886,7 +939,7 @@ def _lsh_pairs_oracle(threshold: float, n_bands: int = 1) -> str:
         for b in range(n_bands)
     )
     return f"""
-        WITH c AS ({_DUCK_VECS}),
+        WITH c AS ({vecs_sql or _DUCK_VECS}),
         b AS (
           SELECT vec_id, v, nrm, {bucket_cols} FROM c
         ), cand AS (
@@ -972,7 +1025,7 @@ def _kmeans_ctes(k: int, iters: int) -> str:
         ),{rounds}"""
 
 
-def _kmeans_oracle(k: int, iters: int) -> str:
+def _kmeans_oracle(k: int, iters: int, scalar: bool = False) -> str:
     """Unrolled-Lloyd replica of ``similarity.kmeans_centroids``: seeds are
     the k corpus vectors with smallest md5(id) (same as the IVF oracle);
     each iteration assigns every vector to its nearest centroid (cosine,
@@ -980,7 +1033,18 @@ def _kmeans_oracle(k: int, iters: int) -> str:
     integer-quantized accumulation the Spark operator uses (floor(x*1e12
     + 0.5) summed as int64 — IEEE-exact in any engine), so the emitted
     doubles are bit-identical. Iterations are unrolled as chained CTEs —
-    DuckDB recursive CTEs can't carry list aggregates per round."""
+    DuckDB recursive CTEs can't carry list aggregates per round.
+
+    ``scalar=True`` unnests the centroid vector to one row per component
+    (driver-canonicalizer-safe: no list cells; pandas sort_values can hash
+    every column). Spark twin uses ``posexplode`` (0-based pos)."""
+    if scalar:
+        return f"""
+            WITH c AS ({_DUCK_VECS}),{_kmeans_ctes(k, iters)}
+            SELECT cell, generate_subscripts(cv, 1) - 1 AS pos,
+                   unnest(cv) AS component, cn AS c_norm
+            FROM cent{iters}
+        """
     return f"""
         WITH c AS ({_DUCK_VECS}),{_kmeans_ctes(k, iters)}
         SELECT cell, cv AS c_vec, cn AS c_norm FROM cent{iters}
@@ -1221,6 +1285,10 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stateless streaming curation: append-mode Gopher rule filter,
         # row-for-row equal to batch curation_gopher_filter -> shares oracle
         "streaming_gopher_filter": _run_streaming_gopher,
+        # streaming curation vs a FROZEN corpus LM: per-batch score +
+        # threshold filter (foreachBatch) = batch lm_surprisal filtered at
+        # the same bound -> shares a filtered form of its oracle
+        "streaming_lm_filter": _run_streaming_lm_filter,
         # streaming cardinality: bottom-k KMV sketch maintained per group
         # (O(k) state, no watermark needed — commutative monoid); final
         # sketch equals the batch kmv_distinct -> shares its oracle
@@ -1274,6 +1342,14 @@ def _run_streaming_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_gopher(spark, sf_dir)
 
 
+def _run_streaming_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.dedup_stream import run_streaming_lm_filter
+
+    # 4.03 bits ~ the sf0.01 median (synthetic corpus scores cluster in
+    # 4.0-4.5) — the bound actually bites, keeping ~half the docs
+    return run_streaming_lm_filter(spark, sf_dir, max_bits=4.03)
+
+
 def _run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_example_spark.streaming.dedup_stream import run_streaming_exact_dedup
 
@@ -1325,6 +1401,9 @@ def _all_oracles() -> dict[str, str]:
     out["streaming_text_features"] = out["text_features"]
     out["streaming_gopher_filter"] = out["curation_gopher_filter"]
     out["streaming_kmv_distinct"] = out["sketch_kmv_distinct"]
+    out["streaming_lm_filter"] = (
+        f"SELECT * FROM ({out['text_lm_surprisal']}) WHERE avg_surprisal_bits <= 4.03"
+    )
     out["streaming_asof_interval"] = f"""
         WITH fh AS ({_FH_SQL}), ex AS ({_EX_SQL})
         SELECT ex._entity, ex._prediction_time, ex._label_time, fh.loss_value

@@ -95,6 +95,10 @@ def asof_join(
         raise ValueError(f"value columns {sorted(clash)} collide with probe columns")
     if tolerance is not None:
         matched = "__asof_matched_time"
+        if matched in versions.columns or matched in probes.columns:
+            raise ValueError(
+                f"column {matched!r} is reserved by the tolerance path; rename it"
+            )
         # the when() wrapper forces nullable=True — unmatched LEFT probes
         # carry null here even when version_time itself is non-nullable
         inner = asof_join(

@@ -143,9 +143,13 @@ def shared_spans(
             .filter(F.col("n_docs") >= min_docs)
             .select(F.col("__g").alias("span"), "n_docs", "n_occurrences")
         )
+    # The hashed path consumes the exploded n-gram stream TWICE (survivor
+    # aggregation + survivor string resolution); without a cut the shingling
+    # recomputes per consumer (the multi-consumer recompute pitfall). One
+    # projection carries both (__g, __h), checkpointed once.
+    gh = g.select(id_col, "__g", F.xxhash64("__g").alias("__h")).localCheckpoint()
     survivors = (
-        g.select(id_col, F.xxhash64("__g").alias("__h"))
-        .groupBy("__h")
+        gh.groupBy("__h")
         .agg(
             F.countDistinct(id_col).alias("n_docs"),
             F.count(F.lit(1)).alias("n_occurrences"),
@@ -153,7 +157,7 @@ def shared_spans(
         .filter(F.col("n_docs") >= min_docs)
     )
     return (
-        g.select("__g", F.xxhash64("__g").alias("__h"))
+        gh.select("__g", "__h")
         .join(F.broadcast(survivors), "__h")
         .groupBy("__h", "n_docs", "n_occurrences")
         .agg(F.min("__g").alias("span"))

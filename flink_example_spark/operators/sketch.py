@@ -45,6 +45,7 @@ def kmv_distinct(
     value_col: str,
     k: int = 64,
     sub_buckets: int = 16,
+    method: str = "window",
 ) -> DataFrame:
     """Per-group KMV distinct-count estimate.
 
@@ -59,10 +60,26 @@ def kmv_distinct(
     sub_buckets·k rows per group reach phase 2's bare-group window. The
     global bottom-k is always contained in the union of sub-bucket
     bottom-ks, so the result is identical to the single-window form.
+
+    ``method='merge'`` is the true cluster port this module's header notes:
+    a per-input-partition bounded bottom-k (Arrow ``mapInPandas``, O(k)
+    heap per group per partition — the distinct set is NEVER materialized)
+    whose partial sketches merge in one per-group reduce. Only
+    ``partitions × k`` hashes per group ever shuffle. Identical output to
+    the window form (bottom-k is a commutative merge; the estimator
+    arithmetic runs the same IEEE double ops).
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if method == "merge":
+        return _kmv_merge(df, groups, value_col, k)
+    if method != "window":
+        raise ValueError(f"method must be 'window' or 'merge', got {method!r}")
+    # NULL values hash to NULL, which Spark's window ORDER BY sorts first
+    # while DuckDB sorts NULLs last — drop them before the bottom-k so both
+    # engines sketch the same (non-null) domain.
     hashes = (
         df.select(*groups, portable_hash32(F.col(value_col)).alias("__h"))
+        .filter(F.col("__h").isNotNull())
         .groupBy(*groups, "__h")
         .agg(F.lit(1).alias("__one"))
     )
@@ -95,6 +112,80 @@ def kmv_distinct(
     )
 
 
+def _kmv_merge(df: DataFrame, groups: list[str], value_col: str, k: int) -> DataFrame:
+    """Bounded-state KMV: partial bottom-k per input partition (mapInPandas,
+    max-heap of size k per group — streaming over Arrow batches, never the
+    distinct set), then one per-group merge of <= partitions partial
+    sketches. The shuffle carries at most k hashes per (group, partition)."""
+    import heapq
+
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    src = df.select(
+        *groups, portable_hash32(F.col(value_col)).alias("__h")
+    ).filter(F.col("__h").isNotNull())
+    part_schema = StructType(
+        [*src.select(*groups).schema.fields, StructField("__hs", ArrayType(LongType()))]
+    )
+    out_schema = StructType(
+        [
+            *src.select(*groups).schema.fields,
+            StructField("n_kept", LongType()),
+            StructField("kth_hash", LongType(), True),
+        ]
+    )
+
+    def partial(batches):
+        heaps: dict[tuple, tuple[list, set]] = {}
+        for pdf in batches:
+            grouped = pdf.groupby(groups, dropna=False, sort=False)["__h"]
+            for key, hs in grouped.unique().items():
+                key = key if isinstance(key, tuple) else (key,)
+                heap, seen = heaps.setdefault(key, ([], set()))
+                for h in hs:
+                    h = int(h)
+                    if h in seen:
+                        continue
+                    if len(heap) < k:
+                        heapq.heappush(heap, -h)
+                        seen.add(h)
+                    elif h < -heap[0]:
+                        seen.discard(-heapq.heappushpop(heap, -h))
+                        seen.add(h)
+        yield pd.DataFrame(
+            [(*key, sorted(-x for x in heap)) for key, (heap, _) in heaps.items()],
+            columns=[f.name for f in part_schema.fields],
+        )
+
+    def merge(key, pdf):
+        merged: set[int] = set()
+        for hs in pdf["__hs"]:
+            merged.update(int(h) for h in hs)
+        kept = sorted(merged)[:k]
+        n = len(kept)
+        return pd.DataFrame(
+            [(*key, n, kept[-1] if n >= k else None)],
+            columns=[f.name for f in out_schema.fields],
+        )
+
+    partials = src.mapInPandas(partial, schema=part_schema)
+    sketches = partials.groupBy(*groups).applyInPandas(merge, schema=out_schema)
+    # estimator arithmetic stays a Spark expression — the same IEEE double
+    # mult-then-div as the window path, so outputs are bit-identical
+    return sketches.select(
+        *groups,
+        "n_kept",
+        "kth_hash",
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("kth_hash").cast("double")
+        )
+        .alias("est_distinct"),
+    )
+
+
 def kmv_distinct_oracle(
     table: str, group_cols: Sequence[str], value_col: str, k: int = 64
 ) -> str:
@@ -104,7 +195,7 @@ def kmv_distinct_oracle(
         WITH hashes AS (
           SELECT DISTINCT {gs},
                  CAST(concat('0x', substr(md5({value_col}), 1, 8)) AS BIGINT) AS h
-          FROM {table}
+          FROM {table} WHERE {value_col} IS NOT NULL
         ), kept AS (
           SELECT {gs}, h,
                  ROW_NUMBER() OVER (PARTITION BY {gs} ORDER BY h) AS rn

@@ -274,10 +274,32 @@ def tfidf_oracle(k: int = 3) -> str:
     """
 
 
+def lm_vocab(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Train the corpus-unigram LM used by ``lm_surprisal``: returns
+    ``(freqs, total)`` — the (term, c) count relation and the 1-row token
+    total. Computed once and frozen (localCheckpoint at the call site),
+    this is the "reference LM" a production ingest filter loads — scoring
+    a stream against it is then stateless per document."""
+    toks = (
+        documents.select(
+            F.col(id_col), F.explode(tokens(normalized(F.col(text_col)))).alias("t")
+        ).filter(F.col("t") != "")
+    )
+    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    freqs = tf.groupBy("t").agg(F.sum("tf").alias("c"))
+    total = freqs.agg(F.sum("c").alias("n"))
+    return freqs, total
+
+
 def lm_surprisal(
     documents: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    model: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Per-document quantized unigram surprisal — the CCNet/RefinedWeb-style
     "LM perplexity" quality filter, with the corpus itself as the language
@@ -296,6 +318,11 @@ def lm_surprisal(
     Scale: explode → term-count shuffle, a join of the token stream with
     the |vocabulary|-sized count relation (broadcast while it fits, hash
     join past that), one per-doc aggregation. No Python anywhere.
+
+    ``model``: optional pre-trained ``(freqs, total)`` from :func:`lm_vocab`
+    — score these documents against a FROZEN reference LM instead of
+    themselves (the streaming-ingest shape; unknown tokens are skipped,
+    exactly what the self-trained form can never hit).
     """
     toks = (
         documents.select(F.col(id_col), F.explode(tokens(normalized(F.col(text_col)))).alias("t"))
@@ -305,8 +332,11 @@ def lm_surprisal(
     # per-doc aggregation then carry distinct pairs, not token instances
     # (the per-instance sum equals sum(tf * bits) exactly — integers)
     tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
-    freqs = tf.groupBy("t").agg(F.sum("tf").alias("c"))
-    total = freqs.agg(F.sum("c").alias("n"))
+    if model is not None:
+        freqs, total = model
+    else:
+        freqs = tf.groupBy("t").agg(F.sum("tf").alias("c"))
+        total = freqs.agg(F.sum("c").alias("n"))
     bits = (
         tf.join(freqs, "t")
         .crossJoin(F.broadcast(total))

@@ -214,3 +214,49 @@ def run_streaming_gopher(spark: SparkSession, sf_dir: str, chunks: int = 3) -> D
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_streaming_lm_filter(
+    spark: SparkSession,
+    sf_dir: str,
+    max_bits: float = 4.03,
+    chunks: int = 3,
+) -> DataFrame:
+    """LM-score curation at ingest: documents scored per micro-batch against
+    a FROZEN corpus-unigram LM (``lm_vocab`` trained in batch — the reference
+    model a production filter loads), keeping docs whose average surprisal is
+    ``<= max_bits`` (CCNet-style: drop the weird/noisy tail).
+
+    The per-document score needs an explode→join→re-aggregate inside each
+    batch, so this uses foreachBatch (full batch semantics per micro-batch;
+    a document never spans batches, so batch-local aggregation is exact).
+    The frozen model makes scores arrival-order-invariant → the union of
+    per-batch outputs equals the batch ``lm_surprisal`` relation filtered at
+    the same threshold, and the row shares its oracle. batch_id-keyed
+    overwrite keeps the sink idempotent under at-least-once replay."""
+    from flink_example_spark.operators.text import lm_surprisal, lm_vocab
+    from flink_example_spark.streaming.pipeline import _read_batches
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    freqs, total = lm_vocab(docs)
+    # freeze the model once — every micro-batch joins the SAME counts
+    freqs, total = freqs.localCheckpoint(), total.localCheckpoint()
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    sink = tempfile.mkdtemp(prefix="stream_lmfilter_")
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        scored = lm_surprisal(batch, model=(freqs, total))
+        kept = scored.filter(F.col("avg_surprisal_bits") <= max_bits)
+        kept.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
+
+    with shuffle_partitions(spark, 8):
+        q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+        q.awaitTermination()
+    return _read_batches(spark, sink)

@@ -57,14 +57,23 @@ def run_streaming_pipeline_e2e(
     spark: SparkSession,
     sf_dir: str,
     horizon_days: int | None = None,
-    chunks: int = 2,
+    chunks: int | None = None,
     label_delay_hours: int = 1,
     waves: int = 3,
 ) -> DataFrame:
     """Bounded replay of the full flagship pipeline as ONE streaming query;
     converges exactly to batch ``plans.events_demo.pipeline`` when
     ``horizon_days`` covers the data span (production sets it from the
-    feature-staleness SLA instead)."""
+    feature-staleness SLA instead).
+
+    ``chunks`` defaults to the ``SPARK_GRAFT_E2E_CHUNKS`` env var (else 2).
+    Convergence is chunk/wave-count-invariant (each micro-batch costs the
+    full state-store overhead, so fewer chunks = fewer batches = faster):
+    chunks=1 is the wall-budget fast path for a tight harness sweep —
+    measured ~32s vs ~45-55s at sf0.01, identical result hash (pinned in
+    tests/test_e2e_stream.py)."""
+    if chunks is None:
+        chunks = int(os.environ.get("SPARK_GRAFT_E2E_CHUNKS", "2"))
     tmpdir, src_schema, horizon_days, sentinel_cut = stage_replay(
         spark, sf_dir, horizon_days, chunks, waves
     )

@@ -59,10 +59,12 @@ def streaming_kmv_distinct(
             StructField("est_distinct", DoubleType()),
         ]
     )
+    # NULL values hash to NULL → pandas NaN → int(h) ValueError inside the
+    # stateful UDF; drop them at the source (mirrors batch kmv_distinct).
     src = doc_stream.select(
         F.col(group_col).cast("string").alias("_g"),
         portable_hash32(F.col(value_col)).alias("_h"),
-    )
+    ).filter(F.col("_h").isNotNull())
 
     def process(
         key: tuple[Any, ...],

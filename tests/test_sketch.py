@@ -66,6 +66,84 @@ def test_kmv_shard_merge_equals_global(spark):
     assert global_row["n_kept"] == k
 
 
+def test_kmv_merge_method_equals_window(spark):
+    """The bounded-state merge port (per-partition bottom-k heaps + one
+    per-group reduce) must be bit-identical to the window form — same
+    bottom-k set, same IEEE estimator arithmetic. Multi-group, duplicate
+    values, partitions > groups, and a below-k group all exercised."""
+    df = (
+        spark.range(8_000)
+        .select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") % 2_500).cast("string").alias("v"),
+        )
+        .union(spark.range(5).select(F.lit("tiny").alias("g"), F.col("id").cast("string")))
+        .repartition(16)
+    )
+    k = 64
+    win = {tuple(r) for r in kmv_distinct(df, "g", "v", k=k).collect()}
+    mrg = {tuple(r) for r in kmv_distinct(df, "g", "v", k=k, method="merge").collect()}
+    assert win == mrg
+
+
+def test_kmv_null_values_ignored_and_engine_parity(spark):
+    """NULL values must not enter the sketch: Spark windows sort NULL hashes
+    first, DuckDB's oracle ORDER BY sorts them last, so an unfiltered NULL
+    inside a >=k group would shift kth_hash/est_distinct across engines
+    (ADVICE r5). Both sides now drop NULLs; sketch of (values + NULLs) ==
+    sketch of values, and the DuckDB oracle agrees."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.sketch import kmv_distinct_oracle
+
+    vals = [("g", str(i)) for i in range(200)]
+    with_nulls = vals + [("g", None)] * 7
+    df_clean = spark.createDataFrame(vals, "g string, v string")
+    df_nulls = spark.createDataFrame(with_nulls, "g string, v string")
+    k = 64
+    clean = kmv_distinct(df_clean, "g", "v", k=k).first()
+    dirty = kmv_distinct(df_nulls, "g", "v", k=k).first()
+    assert (clean["n_kept"], clean["kth_hash"], clean["est_distinct"]) == (
+        dirty["n_kept"],
+        dirty["kth_hash"],
+        dirty["est_distinct"],
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(with_nulls, columns=["g", "v"]))
+    ora = con.execute(kmv_distinct_oracle("t", ["g"], "v", k=k)).fetchone()
+    assert (ora[1], ora[2], ora[3]) == (
+        dirty["n_kept"],
+        dirty["kth_hash"],
+        dirty["est_distinct"],
+    )
+
+
+def test_streaming_kmv_null_values_do_not_crash(spark, tmp_path):
+    """A NULL value reaching applyInPandasWithState arrived as NaN and blew
+    up int(h) (ADVICE r5); the source filter must drop it pre-state."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_example_spark.streaming.sketch_stream import run_streaming_kmv
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(10)),
+            "lang": ["en"] * 10,
+            "source": ["s"] * 10,
+            "text": [None if i % 3 == 0 else f"doc {i}" for i in range(10)],
+            "n_chars": [5] * 10,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), sf / "documents.parquet")
+    out = run_streaming_kmv(spark, str(sf), k=8).collect()
+    assert len(out) == 1 and out[0]["n_kept"] > 0
+
+
 def test_streaming_kmv_converges_to_batch(spark):
     """Bounded replay of the stream-maintained bottom-k sketch equals the
     batch operator exactly (merge property, any arrival order)."""
