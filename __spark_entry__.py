@@ -432,8 +432,33 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0),
             n=8,
         ),
+        # bloom-filter decontamination: m=2^16 keeps the filter ~33% loaded
+        # at sf0.01 so FALSE POSITIVES occur and must match across engines
+        # (the bitmap path's determinism is the point; m=2^20 default is the
+        # production setting)
+        "curation_bloom_decontaminate": lambda spark, sf_dir: curation.bloom_decontaminate(
+            _docs(spark, sf_dir).filter(F.col("doc_id") % 7 != 0),
+            _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0),
+            n=8,
+            m=1 << 16,
+            k=4,
+        ),
         "curation_shared_spans": lambda spark, sf_dir: curation.shared_spans(
             _docs(spark, sf_dir), n=8, min_docs=2
+        ),
+        # boilerplate REMOVAL (not just detection): covered-token surgery
+        # with sliding-MAX interval merge, full reassembled clean_text
+        "curation_remove_spans": lambda spark, sf_dir: curation.remove_shared_spans(
+            _docs(spark, sf_dir), n=8, min_docs=2
+        ),
+        # GPT-style sequence packing: per-shard doc->context-window map via
+        # one running-sum window (parallelism = shards)
+        "curation_pack_sequences": lambda spark, sf_dir: curation.pack_sequences(
+            _docs(spark, sf_dir), ctx_len=256, n_shards=8
+        ),
+        # RAG-style overlapping token chunks: pure codegen flatMap
+        "curation_chunk_tokens": lambda spark, sf_dir: curation.chunk_tokens(
+            _docs(spark, sf_dir), chunk_len=32, overlap=8
         ),
         "curation_repetition": lambda spark, sf_dir: curation.repetition_stats(
             _docs(spark, sf_dir), n=2
@@ -816,6 +841,12 @@ def _northstar_oracles() -> dict[str, str]:
     )
 
     out["curation_decontaminate"] = curation.decontamination_oracle(n=8, bench_mod=7)
+    out["curation_bloom_decontaminate"] = curation.bloom_decontamination_oracle(
+        n=8, bench_mod=7, m=1 << 16, k=4
+    )
+    out["curation_remove_spans"] = curation.remove_shared_spans_oracle(n=8, min_docs=2)
+    out["curation_pack_sequences"] = curation.pack_sequences_oracle(ctx_len=256, n_shards=8)
+    out["curation_chunk_tokens"] = curation.chunk_tokens_oracle(chunk_len=32, overlap=8)
     out["curation_shared_spans"] = curation.shared_spans_oracle(n=8, min_docs=2)
     out["curation_repetition"] = curation.repetition_oracle(n=2)
     out["curation_redaction"] = curation.redaction_oracle(
@@ -1293,6 +1324,10 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (O(k) state, no watermark needed — commutative monoid); final
         # sketch equals the batch kmv_distinct -> shares its oracle
         "streaming_kmv_distinct": _run_streaming_kmv,
+        # streaming ANN: live query stream answered per micro-batch against
+        # the static corpus (broadcast query batch, zero corpus shuffle);
+        # converges to batch cosine_topk -> shares its oracle
+        "streaming_ann_topk": _run_streaming_ann,
         # session-window streaming aggregate (state-store session merge):
         # converges to the batch session window counts → shares its oracle
         "streaming_session_windows": run_streaming_session_windows,
@@ -1340,6 +1375,12 @@ def _run_streaming_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_example_spark.streaming.dedup_stream import run_streaming_gopher
 
     return run_streaming_gopher(spark, sf_dir)
+
+
+def _run_streaming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.ann_stream import run_streaming_ann_topk
+
+    return run_streaming_ann_topk(spark, sf_dir, k=5)
 
 
 def _run_streaming_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1401,6 +1442,7 @@ def _all_oracles() -> dict[str, str]:
     out["streaming_text_features"] = out["text_features"]
     out["streaming_gopher_filter"] = out["curation_gopher_filter"]
     out["streaming_kmv_distinct"] = out["sketch_kmv_distinct"]
+    out["streaming_ann_topk"] = out["ann_cosine_topk"]
     out["streaming_lm_filter"] = (
         f"SELECT * FROM ({out['text_lm_surprisal']}) WHERE avg_surprisal_bits <= 4.03"
     )

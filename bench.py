@@ -56,6 +56,11 @@ HEADLINE = [
     "dedup_semantic_keep",
     "sketch_kmv_distinct",
     "multimodal_resize",
+    # added round 6
+    "curation_bloom_decontaminate",
+    "curation_remove_spans",
+    "curation_pack_sequences",
+    "curation_chunk_tokens",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

@@ -106,6 +106,127 @@ def decontaminate(
     )
 
 
+def ngram_bloom(
+    documents: DataFrame,
+    n: int = 8,
+    m: int = 1 << 20,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter bitmap of the documents' word n-gram set: ``m`` bits
+    packed into ``m/64`` longs — ``(word_idx, bits)`` rows built by a
+    ``bit_or`` aggregation (map-side combined; bitmaps of disjoint shards
+    MERGE by bit_or, so the filter composes incrementally like the KMV
+    sketch).
+
+    Probes are engine-portable double hashing: ``h1``/``h2`` = the first /
+    second 8 md5-hex digits of the n-gram as BIGINTs, probe i sets bit
+    ``(h1 + i*h2) mod m`` — pure integer arithmetic both engines evaluate
+    identically, so membership (INCLUDING false positives) is
+    deterministic and oracle-checkable.
+
+    At 100 TB posture this is the decontamination broadcast diet: a 2^20-bit
+    filter is 16 K rows / 128 KB regardless of benchmark size, vs
+    broadcasting the full n-gram (or even hashed) set.
+    """
+    g = exploded_word_ngrams(documents, id_col, text_col, n).select("__g").distinct()
+    probes = _bloom_probes(g, m, k)
+    return (
+        probes.select(
+            F.expr("__pos div 64").alias("word_idx"),
+            F.expr("shiftleft(1L, int(__pos % 64))").alias("__bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__bit").alias("bits"))
+    )
+
+
+def _bloom_probes(grams: DataFrame, m: int, k: int) -> DataFrame:
+    """Append k probe positions per row (explodes k rows per input row)."""
+    h1 = F.conv(F.substring(F.md5("__g"), 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5("__g"), 9, 8), 16, 10).cast("bigint")
+    return grams.withColumn(
+        "__pos",
+        F.explode(F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)])),
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    m: int = 1 << 20,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Decontamination through a Bloom filter of the benchmark n-gram set:
+    for every corpus document, the count of distinct n-grams whose k probe
+    bits are ALL set — a superset of true overlaps by exactly the filter's
+    (deterministic) false positives. Output: ``(doc_id, n_flagged)``.
+
+    The bitmap (``m/64`` rows) is broadcast; corpus n-grams stream map-side
+    through the probe join, and only flagged grams reach the per-document
+    count — the same output-proportional-to-contamination shape as exact
+    ``decontaminate``, with a benchmark-size-independent broadcast."""
+    bitmap = ngram_bloom(benchmark, n=n, m=m, k=k, id_col=id_col, text_col=text_col)
+    dg = (
+        exploded_word_ngrams(corpus, id_col, text_col, n)
+        .select(id_col, "__g")
+        .distinct()
+    )
+    probes = _bloom_probes(dg, m, k)
+    tested = probes.join(
+        F.broadcast(bitmap), F.expr("__pos div 64") == F.col("word_idx"), "left"
+    ).select(
+        id_col,
+        "__g",
+        (
+            F.col("bits").isNotNull()
+            & (F.expr("bits & shiftleft(1L, int(__pos % 64))") != 0)
+        ).alias("__set"),
+    )
+    flagged = (
+        tested.groupBy(id_col, "__g")
+        .agg(F.sum(F.when(F.col("__set"), 1).otherwise(0)).alias("__n_set"))
+        .filter(F.col("__n_set") == k)
+    )
+    return flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_flagged"))
+
+
+def bloom_decontamination_oracle(
+    n: int, bench_mod: int, m: int = 1 << 20, k: int = 4
+) -> str:
+    """Set-logic twin of the bitmap path: a gram is flagged iff all k probe
+    positions are in the benchmark's set-bit set — mathematically identical
+    to testing the bit_or bitmap, with no SQL bit gymnastics."""
+    probe = (
+        f"(CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)"
+        f" + i * CAST(concat('0x', substr(md5(g), 9, 8)) AS BIGINT)) % {m}"
+    )
+    return f"""
+        WITH grams AS ({_duck_gram_rows(n)}),
+        ii AS (SELECT unnest(range({k})) AS i),
+        bench_bits AS (
+          SELECT DISTINCT {probe} AS pos
+          FROM (SELECT DISTINCT g FROM grams WHERE doc_id % {bench_mod} = 0)
+          CROSS JOIN ii
+        ),
+        cp AS (
+          SELECT doc_id, g, {probe} AS pos
+          FROM (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % {bench_mod} <> 0)
+          CROSS JOIN ii
+        ),
+        hits AS (
+          SELECT doc_id, g FROM cp JOIN bench_bits USING (pos)
+          GROUP BY doc_id, g HAVING COUNT(*) = {k}
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged
+        FROM hits GROUP BY doc_id
+    """
+
+
 # --- cross-document span dedup (C4-style boilerplate detection) --------------
 
 
@@ -163,6 +284,126 @@ def shared_spans(
         .agg(F.min("__g").alias("span"))
         .select("span", "n_docs", "n_occurrences")
     )
+
+
+def remove_shared_spans(
+    documents: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4/RefinedWeb-style boilerplate REMOVAL (not just detection): every
+    token covered by a word n-gram that appears in >= min_docs distinct
+    documents is dropped, and the survivors reassemble in order. Output:
+    ``(doc_id, clean_text, n_tokens_removed)`` — one row per input document
+    (whitespace normalized to single spaces; a fully-boilerplate document
+    yields an empty string).
+
+    Overlapping shared spans merge implicitly: token t is covered iff ANY
+    flagged n-gram starts in [t-n+1, t], computed as a MAX over an n-row
+    sliding frame — no interval-union pass, no self-join.
+
+    Scale shape: one gram aggregation (the shared-span detection shuffle),
+    one equi-join of flagged starts back onto the token stream (keyed
+    (doc, pos) — never a range join), one per-doc window + reassembly
+    aggregation. Tokens shuffle once; spans never materialize per token.
+    """
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = documents.select(F.col(id_col), F.posexplode(w).alias("__p0", "__tok")).select(
+        F.col(id_col), (F.col("__p0") + 1).alias("__pos"), "__tok"
+    )
+    grams = (
+        documents.select(F.col(id_col), w.alias("__w"))
+        .filter(F.size("__w") >= n)
+        .select(
+            F.col(id_col),
+            F.col("__w"),
+            F.explode(F.sequence(F.lit(1), F.size("__w") - (n - 1))).alias("__pos"),
+        )
+        .select(
+            F.col(id_col),
+            "__pos",
+            F.concat_ws(
+                " ", *[F.element_at("__w", F.col("__pos") + j) for j in range(n)]
+            ).alias("__g"),
+        )
+    )
+    shared = (
+        grams.groupBy("__g")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__g")
+    )
+    flagged = (
+        grams.join(F.broadcast(shared), "__g").select(id_col, "__pos").distinct()
+    )
+    from pyspark.sql import Window
+
+    cover_w = (
+        Window.partitionBy(id_col).orderBy("__pos").rowsBetween(-(n - 1), 0)
+    )
+    covered = (
+        toks.join(flagged.withColumn("__flag", F.lit(1)), [id_col, "__pos"], "left")
+        .select(
+            F.col(id_col),
+            "__pos",
+            "__tok",
+            F.coalesce(F.col("__flag"), F.lit(0)).alias("__flag"),
+        )
+        .withColumn("__cov", F.max("__flag").over(cover_w))
+    )
+    return covered.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__cov") == 0, F.struct("__pos", "__tok")
+                        )
+                    )
+                ),
+                lambda s: s["__tok"],
+            ),
+        ).alias("clean_text"),
+        F.sum("__cov").cast("bigint").alias("n_tokens_removed"),
+    )
+
+
+def remove_shared_spans_oracle(n: int, min_docs: int) -> str:
+    """DuckDB twin: same flag-the-start / sliding-MAX coverage / ordered
+    string_agg reassembly."""
+    return f"""
+        WITH w AS (SELECT doc_id, {_DUCK_W} AS w FROM documents),
+        toks AS (
+          SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS tok FROM w
+        ),
+        grams AS (
+          SELECT doc_id, generate_subscripts({_duck_ngrams(n)}, 1) AS pos,
+                 unnest({_duck_ngrams(n)}) AS g
+          FROM w WHERE len(w) >= {n}
+        ),
+        shared AS (
+          SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+        ),
+        flagged AS (
+          SELECT DISTINCT doc_id, pos FROM grams JOIN shared USING (g)
+        ),
+        cov AS (
+          SELECT t.doc_id, t.pos, t.tok,
+                 MAX(CASE WHEN f.pos IS NOT NULL THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                         ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW) AS covered
+          FROM toks t LEFT JOIN flagged f
+            ON t.doc_id = f.doc_id AND t.pos = f.pos
+        )
+        SELECT doc_id,
+               COALESCE(string_agg(tok, ' ' ORDER BY pos)
+                          FILTER (WHERE covered = 0), '') AS clean_text,
+               CAST(SUM(covered) AS BIGINT) AS n_tokens_removed
+        FROM cov GROUP BY doc_id
+    """
 
 
 # --- within-document repetition (Gopher-style) -------------------------------
@@ -345,6 +586,143 @@ def dist_stats_oracle(n_shards: int = 8, bucket_chars: int = 50) -> str:
         SELECT 'len' AS kind, bucket_lo AS k, n_docs,
                min_chars AS v1, max_chars AS v2
         FROM ({length_histogram_oracle(bucket_chars)})
+    """
+
+
+# --- training-sequence construction ------------------------------------------
+
+
+def pack_sequences(
+    documents: DataFrame,
+    ctx_len: int = 2048,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing: within each (hash-assigned) shard the
+    documents concatenate into one token stream in ``id_col`` order, and
+    that stream chunks into fixed ``ctx_len`` context windows. Output maps
+    every document to its place in the packed stream: ``(shard, doc_id,
+    n_tok, start_tok, first_bin, last_bin, n_bins)`` — start offset
+    (0-based within shard), the first/last training sequences the document
+    lands in, and how many it spans. Zero-token documents are excluded
+    (they occupy no stream positions).
+
+    Scale shape: a per-shard running-sum window (ordered by id). Shards
+    bound the sequential region — the window sorts within a shard only, so
+    parallelism = n_shards and each shard's cumsum is one Exchange+Sort,
+    the same shape as version_history. Deterministic across engines: shard
+    assignment is the portable md5 bucket, ordering is the id."""
+    sized = documents.select(
+        (_hash_bucket(F.col(id_col).cast("string")) % n_shards)
+        .cast("int")
+        .alias("shard"),
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn("__end", F.sum("n_tok").over(w)).select(
+        "shard",
+        id_col,
+        "n_tok",
+        (F.col("__end") - F.col("n_tok")).alias("start_tok"),
+        F.expr(f"(__end - n_tok) div {ctx_len}").alias("first_bin"),
+        F.expr(f"(__end - 1) div {ctx_len}").alias("last_bin"),
+    )
+    return packed.withColumn(
+        "n_bins", (F.col("last_bin") - F.col("first_bin") + 1).cast("bigint")
+    )
+
+
+def pack_sequences_oracle(ctx_len: int, n_shards: int) -> str:
+    return f"""
+        WITH sized AS (
+          SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) % 10000 % {n_shards} AS INTEGER) AS shard,
+                 doc_id,
+                 CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                           ELSE len({_DUCK_W}) END AS BIGINT) AS n_tok
+          FROM documents
+        ), packed AS (
+          SELECT shard, doc_id, n_tok,
+                 CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+          FROM sized WHERE n_tok > 0
+        )
+        SELECT shard, doc_id, n_tok, e - n_tok AS start_tok,
+               (e - n_tok) // {ctx_len} AS first_bin,
+               (e - 1) // {ctx_len} AS last_bin,
+               (e - 1) // {ctx_len} - (e - n_tok) // {ctx_len} + 1 AS n_bins
+        FROM packed
+    """
+
+
+def chunk_tokens(
+    documents: DataFrame,
+    chunk_len: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style overlapping token windows: each document splits into
+    chunks of ``chunk_len`` tokens advancing by ``chunk_len - overlap``;
+    the final chunk may be shorter, and every token is covered. Output:
+    ``(doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_text)``.
+
+    Pure codegen — explode(sequence) for the starts, ``slice`` +
+    ``concat_ws`` for the chunk text; no Python, no shuffle (a per-row
+    flatMap the scan pipelines through)."""
+    if not 0 <= overlap < chunk_len:
+        raise ValueError(f"need 0 <= overlap < chunk_len, got {overlap}/{chunk_len}")
+    stride = chunk_len - overlap
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        documents.select(F.col(id_col), w.alias("__w"))
+        .select(
+            F.col(id_col),
+            "__w",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.lit(1), F.size("__w") - F.lit(overlap)),
+                    F.lit(stride),
+                )
+            ).alias("start_tok"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(f"(start_tok - 1) div {stride}").cast("int").alias("chunk_idx"),
+            F.col("start_tok").cast("int").alias("start_tok"),
+            F.least(F.lit(chunk_len), F.size("__w") - F.col("start_tok") + 1)
+            .cast("int")
+            .alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice("__w", F.col("start_tok"), chunk_len)).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+def chunk_tokens_oracle(chunk_len: int, overlap: int) -> str:
+    stride = chunk_len - overlap
+    return f"""
+        WITH w AS (SELECT doc_id, {_DUCK_W} AS w FROM documents),
+        starts AS (
+          SELECT doc_id, w,
+                 unnest(range(1, greatest(1, len(w) - {overlap}) + 1, {stride})) AS s
+          FROM w
+        )
+        SELECT doc_id, CAST((s - 1) // {stride} AS INTEGER) AS chunk_idx,
+               CAST(s AS INTEGER) AS start_tok,
+               CAST(least({chunk_len}, len(w) - s + 1) AS INTEGER) AS n_chunk_tokens,
+               array_to_string(w[s:s + {chunk_len} - 1], ' ') AS chunk_text
+        FROM starts
     """
 
 

@@ -198,3 +198,84 @@ def test_decontaminate_hashed_matches_exact(spark, corpus):
         tuple(r) for r in curation.decontaminate(rest, bench, n=8, hashed=True).collect()
     }
     assert exact == hashed and exact
+
+
+def test_bloom_decontaminate_supersets_exact(spark, corpus):
+    """Bloom flags every truly-contaminated doc with count >= the exact
+    count (no false negatives, by construction); with a large filter and
+    this tiny corpus there are no false positives either."""
+    bench = corpus.filter(F.col("doc_id") == 0)
+    rest = corpus.filter(F.col("doc_id") != 0)
+    exact = {r["doc_id"]: r["n_contaminated"] for r in
+             curation.decontaminate(rest, bench, n=8).collect()}
+    bloom = {r["doc_id"]: r["n_flagged"] for r in
+             curation.bloom_decontaminate(rest, bench, n=8, m=1 << 20, k=4).collect()}
+    for doc, n in exact.items():
+        assert bloom.get(doc, 0) >= n
+    assert bloom == exact  # tiny corpus, 2^20 bits: fp-free
+
+
+def test_ngram_bloom_shards_merge_by_bit_or(spark, corpus):
+    """Bitmaps of disjoint shards OR together into the whole-corpus bitmap
+    (the merge property that lets the filter build incrementally)."""
+    whole = {r["word_idx"]: r["bits"] for r in curation.ngram_bloom(corpus, n=8).collect()}
+    a = curation.ngram_bloom(corpus.filter(F.col("doc_id") % 2 == 0), n=8)
+    b = curation.ngram_bloom(corpus.filter(F.col("doc_id") % 2 == 1), n=8)
+    merged: dict[int, int] = {}
+    for r in a.unionByName(b).collect():
+        merged[r["word_idx"]] = merged.get(r["word_idx"], 0) | r["bits"]
+    assert merged == whole
+
+
+def test_remove_shared_spans_surgery(spark, corpus):
+    out = {r["doc_id"]: r for r in curation.remove_shared_spans(corpus, n=8, min_docs=2).collect()}
+    assert len(out) == 5  # one row per doc, always
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    # the shared span is excised from BOTH docs; unique content survives
+    assert out[0]["clean_text"] == "unique tail zero"
+    assert out[1]["clean_text"] == "prefix one"
+    assert out[0]["n_tokens_removed"] == 8 and out[1]["n_tokens_removed"] == 8
+    for d in (2, 3, 4):  # untouched docs pass through whitespace-normalized
+        assert out[d]["n_tokens_removed"] == 0
+        assert span not in out[d]["clean_text"]
+    assert out[4]["clean_text"] == "the quick brown fox jumps over the lazy dog again today"
+
+
+def test_pack_sequences_contiguous_offsets(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (5 + i % 7))) for i in range(40)] + [(99, "   ")],
+        ["doc_id", "text"],
+    )
+    rows = curation.pack_sequences(docs, ctx_len=16, n_shards=4).collect()
+    assert {r["doc_id"] for r in rows} == set(range(40))  # blank doc excluded
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        expect_start = 0
+        for r in shard_rows:
+            assert r["start_tok"] == expect_start
+            assert r["first_bin"] == r["start_tok"] // 16
+            assert r["last_bin"] == (r["start_tok"] + r["n_tok"] - 1) // 16
+            assert r["n_bins"] == r["last_bin"] - r["first_bin"] + 1
+            expect_start += r["n_tok"]
+
+
+def test_chunk_tokens_covers_and_reconstructs(spark):
+    text = " ".join(f"w{i}" for i in range(1, 101))  # 100 tokens
+    docs = spark.createDataFrame([(1, text), (2, "short doc")], ["doc_id", "text"])
+    rows = sorted(
+        curation.chunk_tokens(docs, chunk_len=32, overlap=8).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    one = [r for r in rows if r["doc_id"] == 1]
+    assert [r["start_tok"] for r in one] == [1, 25, 49, 73]
+    assert [r["n_chunk_tokens"] for r in one] == [32, 32, 32, 28]
+    # stride-concatenation (drop the 8-token overlap after the first chunk)
+    rebuilt = one[0]["chunk_text"].split()
+    for r in one[1:]:
+        rebuilt.extend(r["chunk_text"].split()[8:])
+    assert " ".join(rebuilt) == text
+    two = [r for r in rows if r["doc_id"] == 2]
+    assert len(two) == 1 and two[0]["chunk_text"] == "short doc"
