@@ -229,6 +229,32 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return kmv_distinct(d, "lang", "fp", k=32)
 
+    def bm25_entry(spark, sf_dir):
+        """BM25 ranked retrieval of a fixed 4-query set over the corpus
+        (quantized idf + integer-accumulated scores — deterministic across
+        engines; see operators/text.py::bm25_topk)."""
+        qdf = spark.createDataFrame(
+            list(_BM25_QUERIES), "query_id bigint, query_text string"
+        )
+        return text.bm25_topk(_docs(spark, sf_dir), qdf, topk=10)
+
+    def cm_hh_entry(spark, sf_dir):
+        """Count-min heavy hitters: top-16 document terms with exact counts
+        AND the CM point estimates from a 3x8 counter matrix — width 8
+        forces collisions at this vocabulary size, so the over-count
+        behavior itself is what the oracle hash-checks (est >= true, with
+        the exact same deterministic collisions in both engines)."""
+        from flink_example_spark.operators.sketch import cm_heavy_hitters
+
+        toks = (
+            _docs(spark, sf_dir)
+            .select(
+                F.explode(text.tokens(text.normalized(F.col("text")))).alias("term")
+            )
+            .filter(F.col("term") != "")
+        )
+        return cm_heavy_hitters(toks, "term", depth=3, width=8, topk=16)
+
     def semantic_keep(spark, sf_dir):
         """SemDeDup-style semantic dedup: embedding near-dup pairs (multi-
         band sign-LSH over the docs' embedding vectors, vec_id = doc_id)
@@ -411,9 +437,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_kmeans_centroids_vec": ann_kmeans_vec,
         "ann_ivf_trained": ann_ivf_trained,
         "text_lm_surprisal": lambda spark, sf_dir: text.lm_surprisal(_docs(spark, sf_dir)),
+        "text_bm25_topk": bm25_entry,
         "dedup_semantic_keep": semantic_keep,
         "dedup_semantic_strict": semantic_keep_strict,
         "sketch_kmv_distinct": kmv_entry,
+        "sketch_cm_heavy_hitters": cm_hh_entry,
         "embedding_near_dup": emb_pairs,
         "embedding_near_dup_lsh": emb_pairs_lsh,
         "embedding_dup_clusters": emb_clusters,
@@ -503,6 +531,14 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Corpus-mixing demo weights (per-language keep fractions).
 _MIX_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.75, "es": 0.1}
+
+# BM25 demo query set (terms drawn from the synthetic corpus vocabulary).
+_BM25_QUERIES = (
+    (0, "fast table scan"),
+    (1, "stream batch join"),
+    (2, "hash merge sort"),
+    (3, "vector data query"),
+)
 
 
 # Blocklist-redaction demo pattern: the fixture corpus has no synthetic PII,
@@ -830,6 +866,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators import curation, text
 
     out["text_lm_surprisal"] = text.lm_surprisal_oracle()
+    out["text_bm25_topk"] = text.bm25_oracle(
+        ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES), topk=10
+    )
     from flink_example_spark.operators.sketch import kmv_distinct_oracle
     from flink_example_spark.operators.text import _DUCK_NORM
 
@@ -838,6 +877,15 @@ def _northstar_oracles() -> dict[str, str]:
         ["lang"],
         "fp",
         k=32,
+    )
+    from flink_example_spark.operators.sketch import cm_heavy_hitters_oracle
+
+    _duck_terms = (
+        f"SELECT t FROM (SELECT unnest(string_split_regex({_DUCK_NORM}, '\\s+')) AS t"
+        " FROM documents) WHERE t <> ''"
+    )
+    out["sketch_cm_heavy_hitters"] = cm_heavy_hitters_oracle(
+        _duck_terms, "t", depth=3, width=8, topk=16, value_alias="term"
     )
 
     out["curation_decontaminate"] = curation.decontamination_oracle(n=8, bench_mod=7)
@@ -1324,6 +1372,11 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (O(k) state, no watermark needed — commutative monoid); final
         # sketch equals the batch kmv_distinct -> shares its oracle
         "streaming_kmv_distinct": _run_streaming_kmv,
+        # streaming count-min: the counter matrix maintained as a plain
+        # streaming groupBy aggregate — pure JVM state (no Python), at most
+        # depth*width state rows; converges to batch cm_sketch -> shares
+        # its oracle
+        "streaming_cm_sketch": _run_streaming_cm,
         # streaming ANN: live query stream answered per micro-batch against
         # the static corpus (broadcast query batch, zero corpus shuffle);
         # converges to batch cosine_topk -> shares its oracle
@@ -1369,6 +1422,12 @@ def _run_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_example_spark.streaming.sketch_stream import run_streaming_kmv
 
     return run_streaming_kmv(spark, sf_dir, k=32)
+
+
+def _run_streaming_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.sketch_stream import run_streaming_cm_sketch
+
+    return run_streaming_cm_sketch(spark, sf_dir, depth=3, width=8)
 
 
 def _run_streaming_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1442,6 +1501,16 @@ def _all_oracles() -> dict[str, str]:
     out["streaming_text_features"] = out["text_features"]
     out["streaming_gopher_filter"] = out["curation_gopher_filter"]
     out["streaming_kmv_distinct"] = out["sketch_kmv_distinct"]
+    from flink_example_spark.operators.sketch import cm_sketch_oracle
+    from flink_example_spark.operators.text import _DUCK_NORM as _DN
+
+    out["streaming_cm_sketch"] = cm_sketch_oracle(
+        f"SELECT t FROM (SELECT unnest(string_split_regex({_DN}, '\\s+')) AS t"
+        " FROM documents) WHERE t <> ''",
+        "t",
+        depth=3,
+        width=8,
+    )
     out["streaming_ann_topk"] = out["ann_cosine_topk"]
     out["streaming_lm_filter"] = (
         f"SELECT * FROM ({out['text_lm_surprisal']}) WHERE avg_surprisal_bits <= 4.03"

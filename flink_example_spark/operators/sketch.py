@@ -186,6 +186,180 @@ def _kmv_merge(df: DataFrame, groups: list[str], value_col: str, k: int) -> Data
     )
 
 
+def cm_coords(value: F.Column, depth: int, width: int) -> F.Column:
+    """Per-row (r, j) coordinate pairs for a count-min sketch as an array of
+    structs — row r uses the engine-portable md5 bucket of ``'r:' || value``
+    mod width. Returned as a Column of array<struct<r,j>> for explode()."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(
+                    portable_hash32(F.concat(F.lit(f"{r}:"), value)), F.lit(width)
+                ).alias("j"),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
+def cm_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a value stream:
+    a depth x width counter matrix as rows ``(r, j, cnt)`` where
+    ``cnt = SUM(weight)`` of all values hashing to column j under row r's
+    hash. Point-estimate guarantee: ``min_r cnt[r][h_r(v)] >= true_count(v)``
+    (only over-counts, by collisions).
+
+    Determinism: row-r's hash is the portable md5 bucket of ``'r:' || v``
+    (identical in Spark and DuckDB), so the SKETCH ITSELF is bit-identical
+    across engines — oracle-checkable, unlike seeded-hash implementations.
+
+    Scale shape: one explode (depth rows per input) + one hash-aggregate on
+    (r, j) with map-side partial combine — the reduce side carries at most
+    depth*width rows TOTAL regardless of corpus size. Sketches of disjoint
+    shards merge by summing counters (same groupBy), the property that makes
+    CM the standard distributed frequency profile at 100 TB.
+
+    NULL values are skipped (no portable hash), mirroring ``kmv_distinct``.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    coords = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.explode(cm_coords(F.col(value_col), depth, width)).alias("__c"),
+            w.cast("bigint").alias("__w"),
+        )
+        .select(F.col("__c.r").alias("r"), F.col("__c.j").alias("j"), "__w")
+    )
+    return coords.groupBy("r", "j").agg(F.sum("__w").alias("cnt"))
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge shard sketches (same depth/width) by summing counters."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("r", "j").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate the frequency of each item: est = min over rows r of
+    counter[r][h_r(v)]. Items absent from every row's cell estimate from
+    the collision mass alone (still an upper bound on 0).
+
+    The sketch is depth*width rows — broadcast to the probe side, so the
+    estimate join never shuffles the item stream.
+    """
+    probes = items.select(
+        F.col(value_col), F.explode(cm_coords(F.col(value_col), depth, width)).alias("__c")
+    ).select(value_col, F.col("__c.r").alias("r"), F.col("__c.j").alias("j"))
+    joined = probes.join(F.broadcast(sketch), ["r", "j"], "left").select(
+        value_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("__cell")
+    )
+    return joined.groupBy(value_col).agg(F.min("__cell").alias("est_count"))
+
+
+def cm_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    topk: int = 16,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Heavy hitters with count-min verification: the candidate set is the
+    exact per-value count (the same single hash-agg shuffle the sketch's
+    merge needs — at cluster scale the candidate pass would instead track
+    per-partition local heavy hitters; the CM estimate is what makes the
+    merged candidates rankable without a second full pass). Output one row
+    per top-k value: ``(value, true_count, est_count)`` with
+    ``est_count >= true_count`` by the CM guarantee; ties in true_count
+    break on the value itself (deterministic).
+    """
+    sketch = cm_sketch(df, value_col, depth=depth, width=width)
+    exact = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    top = exact.orderBy(F.col("true_count").desc(), F.col(value_col)).limit(topk)
+    est = cm_estimate(sketch, top, value_col, depth=depth, width=width)
+    return top.join(est, value_col).select(value_col, "true_count", "est_count")
+
+
+def cm_sketch_oracle(
+    source_sql: str, value_expr: str, depth: int = 4, width: int = 256
+) -> str:
+    """DuckDB twin of ``cm_sketch`` built from the same hash definition.
+    ``source_sql`` yields one row per value instance with column ``v``."""
+    rows = " UNION ALL ".join(
+        f"""SELECT {r} AS r,
+               CAST(concat('0x', substr(md5(concat('{r}:', v)), 1, 8)) AS BIGINT)
+                 % {width} AS j
+            FROM src"""
+        for r in range(depth)
+    )
+    return f"""
+        WITH src AS (SELECT {value_expr} AS v FROM ({source_sql}) WHERE {value_expr} IS NOT NULL),
+        coords AS ({rows})
+        SELECT r, j, CAST(COUNT(*) AS BIGINT) AS cnt FROM coords GROUP BY r, j
+    """
+
+
+def cm_heavy_hitters_oracle(
+    source_sql: str,
+    value_expr: str,
+    depth: int = 4,
+    width: int = 256,
+    topk: int = 16,
+    value_alias: str = "v",
+) -> str:
+    """DuckDB twin of ``cm_heavy_hitters`` built from the same definition."""
+    coord_rows = " UNION ALL ".join(
+        f"""SELECT {r} AS r,
+               CAST(concat('0x', substr(md5(concat('{r}:', v)), 1, 8)) AS BIGINT)
+                 % {width} AS j
+            FROM src"""
+        for r in range(depth)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"""SELECT v, true_count, {r} AS r,
+               CAST(concat('0x', substr(md5(concat('{r}:', v)), 1, 8)) AS BIGINT)
+                 % {width} AS j
+            FROM top"""
+        for r in range(depth)
+    )
+    return f"""
+        WITH src AS (
+          SELECT {value_expr} AS v FROM ({source_sql})
+          WHERE {value_expr} IS NOT NULL
+        ), coords AS ({coord_rows}),
+        sketch AS (
+          SELECT r, j, CAST(COUNT(*) AS BIGINT) AS cnt FROM coords GROUP BY r, j
+        ), exact AS (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS true_count FROM src GROUP BY v
+        ), top AS (
+          SELECT * FROM exact ORDER BY true_count DESC, v LIMIT {topk}
+        ), probes AS ({probe_rows})
+        SELECT p.v AS {value_alias}, p.true_count,
+               MIN(COALESCE(s.cnt, 0)) AS est_count
+        FROM probes p LEFT JOIN sketch s USING (r, j)
+        GROUP BY p.v, p.true_count
+    """
+
+
 def kmv_distinct_oracle(
     table: str, group_cols: Sequence[str], value_col: str, k: int = 64
 ) -> str:

@@ -372,3 +372,131 @@ def lm_surprisal_oracle() -> str:
         FROM tok2 JOIN f USING (t) CROSS JOIN n
         GROUP BY doc_id
     """
+
+
+def bm25_topk(
+    documents: DataFrame,
+    queries: DataFrame,
+    topk: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval: score a (small) query set against the corpus
+    and return the top-k documents per query — the retrieval primitive a
+    RAG/training pipeline runs next to ANN search.
+
+    ``queries``: (query_id, query_text). Output:
+    ``(query_id, doc_id, rank, score)``.
+
+    Okapi BM25 with k1=1.2, b=0.75 and a QUANTIZED idf: instead of
+    ln((N-df+.5)/(df+.5)) — whose libm last-ulp varies across engines —
+    idf(t) = floor(log2(N_docs div df(t))) computed as
+    ``length(bin(N div df)) - 1``, pure integer arithmetic (the same
+    determinism device as ``lm_surprisal``). Per-term contributions are
+    doubles quantized to integers (floor(w*1e12 + 0.5)) before the SUM, so
+    accumulation order cannot change the score (CLAUDE.md: never SUM raw
+    doubles across engines); the final score divides back to a double.
+
+    Scale shape: the query-term join hits the (doc, term, tf) relation
+    FIRST with a broadcast of the tiny query-term set — the corpus-sized
+    stream is filtered to query terms before any other join; df/dl stats
+    join after on the filtered stream. One aggregation per (query, doc),
+    one top-k window per query. No Python anywhere.
+    """
+    toks = documents.select(
+        F.col(id_col), F.explode(tokens(normalized(F.col(text_col)))).alias("t")
+    ).filter(F.col("t") != "")
+    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dfr = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qt = (
+        queries.select(
+            "query_id", F.explode(tokens(normalized(F.col("query_text")))).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .distinct()
+    )
+    bits = (F.length(F.bin(F.expr("n_docs div df"))) - F.lit(1)).cast("double")
+    w = (bits * (F.col("tf") * F.lit(2.2))) / (
+        F.col("tf")
+        + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))
+    )
+    contrib = (
+        tf.join(F.broadcast(qt), "t")
+        .join(dfr, "t")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.floor(w * F.lit(1e12) + F.lit(0.5)).cast("bigint").alias("__s"),
+        )
+    )
+    scored = contrib.groupBy("query_id", id_col).agg(F.sum("__s").alias("__sum"))
+    from pyspark.sql import Window
+
+    rnk = Window.partitionBy("query_id").orderBy(F.col("__sum").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(rnk))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            id_col,
+            "rank",
+            (F.col("__sum").cast("double") / F.lit(1e12)).alias("score"),
+        )
+    )
+
+
+def bm25_oracle(query_values: str, topk: int = 10) -> str:
+    """DuckDB twin of ``bm25_topk``. ``query_values`` is a SQL VALUES body
+    like ``(0, 'fast table scan'), (1, ...)``."""
+    norm_q = _DUCK_NORM.replace("(text)", "(qtext)").replace("lower(text)", "lower(qtext)")
+    return f"""
+        WITH q(query_id, qtext) AS (VALUES {query_values}),
+        qt AS (
+          SELECT DISTINCT query_id, t FROM (
+            SELECT query_id, unnest(string_split_regex({norm_q}, '\\s+')) AS t
+            FROM q
+          ) WHERE t <> ''
+        ), tok AS (
+          SELECT doc_id, t FROM (
+            SELECT doc_id, unnest(string_split_regex({_DUCK_NORM}, '\\s+')) AS t
+            FROM documents
+          ) WHERE t <> ''
+        ), tf AS (
+          SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+        ), dl AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+        ), dfr AS (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM dl
+        ), contrib AS (
+          SELECT qt.query_id, tf.doc_id,
+                 CAST(floor(
+                   ((CAST(len(bin(stats.n_docs // dfr.df)) - 1 AS DOUBLE)
+                     * (tf.tf * 2.2))
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / stats.avgdl))))
+                   * 1e12 + 0.5) AS BIGINT) AS s
+          FROM tf
+          JOIN qt USING (t)
+          JOIN dfr USING (t)
+          JOIN dl USING (doc_id)
+          CROSS JOIN stats
+        )
+        SELECT query_id, doc_id, rank, score FROM (
+          SELECT query_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY CAST(SUM(s) AS BIGINT) DESC, doc_id)
+                   AS rank,
+                 CAST(CAST(SUM(s) AS BIGINT) AS DOUBLE) / 1e12 AS score
+          FROM contrib GROUP BY query_id, doc_id
+        ) WHERE rank <= {topk}
+    """

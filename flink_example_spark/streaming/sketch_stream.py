@@ -1,4 +1,4 @@
-"""Streaming cardinality: the KMV bottom-k sketch maintained over a stream.
+"""Streaming sketches: KMV bottom-k and count-min maintained over a stream.
 
 The batch sketch (operators/sketch.py) is a commutative, idempotent monoid —
 the k smallest distinct hashes of a union is the bottom-k of the per-part
@@ -137,3 +137,52 @@ def run_streaming_kmv(
         ") WHERE rn = 1"
     )
     return spark.sql(w_latest)
+
+
+def run_streaming_cm_sketch(
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int = 4,
+    width: int = 8,
+    chunks: int = 3,
+) -> DataFrame:
+    """Count-min sketch of the document TERM stream, maintained live.
+
+    Unlike the KMV twin this needs no Python state at all: the counter
+    matrix is a plain streaming ``groupBy(r, j).count()`` — Spark's built-in
+    streaming-aggregation state store (JVM-side, at most depth*width rows of
+    state), complete-mode output. Counter addition is a commutative monoid,
+    so no watermark is needed and bounded replay converges EXACTLY to the
+    batch ``cm_sketch`` — shares its oracle.
+    """
+    import os
+    import uuid
+
+    from flink_example_spark.operators.sketch import cm_coords
+    from flink_example_spark.operators.text import normalized, tokens
+    from flink_example_spark.session import shuffle_partitions, tune
+    from flink_example_spark.streaming.dedup_stream import _stage_by_id
+
+    tune(spark)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+        .select(F.explode(tokens(normalized(F.col("text")))).alias("term"))
+        .filter(F.col("term") != "")
+        .select(F.explode(cm_coords(F.col("term"), depth, width)).alias("__c"))
+        .select(F.col("__c.r").alias("r"), F.col("__c.j").alias("j"))
+    )
+    counts = stream.groupBy("r", "j").agg(F.count(F.lit(1)).alias("cnt"))
+    name = f"stream_cm_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql(f"SELECT r, j, cnt FROM {name}")

@@ -546,3 +546,47 @@ def test_resize_image_box_mean(spark):
     _, _, data = mm._parse_pgm(bytes(r["out_payload"]))
     assert list(data) == blocks
     assert r["out_sum"] == sum(blocks)
+
+
+def test_bm25_topk_ranking_properties(spark):
+    """BM25: a doc containing all query terms outranks one with none; rare
+    terms dominate common ones; rank is dense 1..k per query."""
+    from flink_example_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra quark flux"),            # all rare terms
+            (2, "zebra zebra common common"),   # one rare term, repeated
+            (3, "common common common"),        # only the ubiquitous term
+            (4, "common other words here"),
+            (5, "common filler text row"),
+        ],
+        "doc_id bigint, text string",
+    )
+    qs = spark.createDataFrame([(0, "zebra quark")], "query_id bigint, query_text string")
+    out = bm25_topk(docs, qs, topk=5).orderBy("rank").collect()
+    # docs 3-5 share no query term -> absent; doc 1 (both terms) beats doc 2
+    assert [r["doc_id"] for r in out] == [1, 2]
+    assert [r["rank"] for r in out] == [1, 2]
+    assert out[0]["score"] > out[1]["score"] > 0.0
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf in a shorter document scores higher (the b term)."""
+    from flink_example_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "needle alpha"),
+            (2, "needle alpha beta gamma delta epsilon zeta eta theta iota"),
+            (3, "alpha beta gamma"),
+            (4, "beta gamma delta"),
+            (5, "gamma delta epsilon"),
+            (6, "delta epsilon zeta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    qs = spark.createDataFrame([(0, "needle")], "query_id bigint, query_text string")
+    out = {r["doc_id"]: r["score"] for r in bm25_topk(docs, qs, topk=5).collect()}
+    assert set(out) == {1, 2}
+    assert out[1] > out[2]

@@ -158,3 +158,95 @@ def test_streaming_kmv_converges_to_batch(spark):
     )
     batch = {tuple(r) for r in kmv_distinct(d, "lang", "fp", k=32).collect()}
     assert streamed == batch
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+
+
+def _cm_values(spark):
+    """A skewed value stream: value i appears (i % 7 + 1) times."""
+    return spark.range(300).select(
+        F.explode(F.sequence(F.lit(1), F.col("id") % 7 + 1)).alias("_"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    ).select("v")
+
+
+def test_cm_estimate_upper_bounds_true_count(spark):
+    """CM guarantee: every point estimate >= the true count; with a
+    width-forced collision regime some estimate strictly exceeds it."""
+    from flink_example_spark.operators.sketch import cm_estimate, cm_sketch
+
+    df = _cm_values(spark)
+    sketch = cm_sketch(df, "v", depth=3, width=16)
+    exact = df.groupBy("v").agg(F.count(F.lit(1)).alias("true_count"))
+    est = cm_estimate(sketch, exact.select("v"), "v", depth=3, width=16)
+    rows = exact.join(est, "v").collect()
+    assert len(rows) == 300
+    assert all(r["est_count"] >= r["true_count"] for r in rows)
+    # 300 values into 16 columns: collisions are certain somewhere
+    assert any(r["est_count"] > r["true_count"] for r in rows)
+
+
+def test_cm_shard_merge_equals_global(spark):
+    """Summing shard sketches == sketching the union (counter addition is
+    the monoid that makes CM the distributed frequency profile)."""
+    from flink_example_spark.operators.sketch import cm_merge, cm_sketch
+
+    df = _cm_values(spark)
+    whole = cm_sketch(df, "v", depth=4, width=32)
+    a = cm_sketch(df.filter(F.length("v") % 2 == 0), "v", depth=4, width=32)
+    b = cm_sketch(df.filter(F.length("v") % 2 == 1), "v", depth=4, width=32)
+    merged = cm_merge(a, b)
+    assert {tuple(r) for r in whole.collect()} == {tuple(r) for r in merged.collect()}
+
+
+def test_cm_total_mass_per_row(spark):
+    """Every depth row holds the full stream mass (each instance lands in
+    exactly one cell per row)."""
+    from flink_example_spark.operators.sketch import cm_sketch
+
+    df = _cm_values(spark)
+    n = df.count()
+    rows = (
+        cm_sketch(df, "v", depth=3, width=8)
+        .groupBy("r")
+        .agg(F.sum("cnt").alias("mass"))
+        .collect()
+    )
+    assert len(rows) == 3
+    assert all(r["mass"] == n for r in rows)
+
+
+def test_cm_heavy_hitters_ranked_exactly(spark):
+    """The top-k relation carries exact counts (candidate pass) and CM
+    estimates that dominate them."""
+    from flink_example_spark.operators.sketch import cm_heavy_hitters
+
+    df = _cm_values(spark)
+    out = cm_heavy_hitters(df, "v", depth=3, width=8, topk=10).collect()
+    assert len(out) == 10
+    assert all(r["est_count"] >= r["true_count"] for r in out)
+    # the stream's heaviest values have true count 7
+    assert max(r["true_count"] for r in out) == 7
+
+
+def test_streaming_cm_converges_to_batch(spark):
+    """Bounded replay of the streaming counter aggregate equals the batch
+    sketch exactly (pure-JVM streaming aggregation state)."""
+    from flink_example_spark.operators.sketch import cm_sketch
+    from flink_example_spark.operators.text import normalized, tokens
+    from flink_example_spark.streaming.sketch_stream import run_streaming_cm_sketch
+    from flink_example_spark.tables import load_table
+
+    SF = "/root/testdata/sf0.001"
+    streamed = {
+        tuple(r) for r in run_streaming_cm_sketch(spark, SF, depth=3, width=8).collect()
+    }
+    toks = (
+        load_table(spark, SF, "documents")
+        .select(F.explode(tokens(normalized(F.col("text")))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    batch = {tuple(r) for r in cm_sketch(toks, "term", depth=3, width=8).collect()}
+    assert streamed == batch
