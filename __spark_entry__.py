@@ -238,6 +238,36 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return text.bm25_topk(_docs(spark, sf_dir), qdf, topk=10)
 
+    def semantic_decontaminate(spark, sf_dir):
+        """Semantic decontamination: drop training vectors cosine-close
+        (>= 0.9) to ANY benchmark vector. Benchmark = the first 25 corpus
+        vectors (so matches provably exist: each matches itself at cos 1.0,
+        and sign-LSH recall at cos ~1 is exact — identical vectors share
+        every bucket). 500-row corpus in, 475 keepers out."""
+        e = _embs(spark, sf_dir).select("vec_id", "embedding")
+        bench = e.filter(F.col("vec_id") < 25)
+        hits = similarity.lsh_cross_pairs(e, bench, threshold=0.9, n_bands=4)
+        return e.join(
+            F.broadcast(hits.select(F.col("probe_id").alias("vec_id")).distinct()),
+            "vec_id",
+            "left_anti",
+        ).select("vec_id")
+
+    def cluster_best_keep(spark, sf_dir):
+        """Quality-aware dedup: near-dup clusters (minhash LSH) each keep
+        their HIGHEST-quality member (RefinedWeb-style best-copy policy)
+        instead of keep-first's lowest id."""
+        docs = _docs(spark, sf_dir)
+        clusters = dedup.duplicate_clusters(
+            dedup.minhash_lsh_pairs(docs, threshold=0.8)
+        )
+        scored = docs.select(
+            "doc_id", "lang", text.quality_score(F.col("text")).alias("__q")
+        )
+        return dedup.apply_cluster_dedup(scored, clusters, "__q").select(
+            "doc_id", "lang"
+        )
+
     def cm_hh_entry(spark, sf_dir):
         """Count-min heavy hitters: top-16 document terms with exact counts
         AND the CM point estimates from a 3x8 counter matrix — width 8
@@ -440,6 +470,8 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": bm25_entry,
         "dedup_semantic_keep": semantic_keep,
         "dedup_semantic_strict": semantic_keep_strict,
+        "dedup_semantic_decontaminate": semantic_decontaminate,
+        "dedup_cluster_best": cluster_best_keep,
         "sketch_kmv_distinct": kmv_entry,
         "sketch_cm_heavy_hitters": cm_hh_entry,
         "embedding_near_dup": emb_pairs,
@@ -631,6 +663,40 @@ def _northstar_oracles() -> dict[str, str]:
         WITH pairs AS ({out["dedup_minhash_lsh"]})
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+    """
+    from flink_example_spark.operators.text import TEXT_ORACLES as _TX
+
+    out["dedup_cluster_best"] = f"""
+        WITH RECURSIVE pairs AS ({out["dedup_minhash_lsh"]}),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(id, r) AS (
+          SELECT a, a FROM edges
+          UNION SELECT a, b FROM edges
+          UNION SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+        ),
+        clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        q AS ({_TX["text_quality_score"]}),
+        best AS (
+          SELECT d.doc_id, d.lang FROM documents d
+          JOIN clusters USING (doc_id) JOIN q USING (doc_id)
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                     ORDER BY q.quality DESC, d.doc_id) = 1
+        )
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM clusters)
+        UNION ALL SELECT doc_id, lang FROM best
+    """
+    out["dedup_semantic_decontaminate"] = f"""
+        WITH c AS ({_DUCK_VECS}),
+        bench AS (SELECT * FROM c WHERE vec_id < 25),
+        matched AS (
+          SELECT DISTINCT c.vec_id FROM c JOIN bench b
+            ON list_dot_product(c.v, b.v) / (c.nrm * b.nrm) >= 0.9
+        )
+        SELECT vec_id FROM c WHERE vec_id NOT IN (SELECT vec_id FROM matched)
     """
     out["ann_cosine_topk"] = f"""
         WITH scored AS (
@@ -1172,6 +1238,22 @@ def _q_feature_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_versions(feature_history(load_events(spark, sf_dir)), "_entity")
 
 
+# Mid-range instant for the time-travel demo row (events span Jan 2024 at
+# every SF) — keys whose history starts later are absent, as temporal-table
+# semantics dictate.
+_SNAPSHOT_TS = "2024-01-15 00:00:00"
+
+
+def _q_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOR SYSTEM_TIME AS OF read of the versioned feature table."""
+    from flink_example_spark.operators.versioned import snapshot_at
+    from flink_example_spark.plans.events_demo import feature_history, load_events
+
+    return snapshot_at(
+        feature_history(load_events(spark, sf_dir)), "_entity", _SNAPSHOT_TS
+    )
+
+
 def _q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 event-time tumbling window aggregate (daily counts per type)."""
     from pyspark.sql import functions as F
@@ -1293,6 +1375,7 @@ DRIVER_KEYS = [
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "feature_latest": _q_feature_latest,
+        "feature_snapshot_at": _q_feature_snapshot,
         "tumbling_window_counts": _q_tumbling_window,
         "sliding_window_counts": _q_sliding_window,
         "session_window_counts": _q_session_window,
@@ -1548,6 +1631,12 @@ def _core_oracles() -> dict[str, str]:
         """,
         "feature_latest": f"""
             SELECT _entity, _change_time, loss_value FROM ({_FH_SQL})
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY _entity
+                                       ORDER BY _change_time DESC) = 1
+        """,
+        "feature_snapshot_at": f"""
+            SELECT _entity, _change_time, loss_value FROM ({_FH_SQL})
+            WHERE _change_time <= TIMESTAMP '{_SNAPSHOT_TS}'
             QUALIFY ROW_NUMBER() OVER (PARTITION BY _entity
                                        ORDER BY _change_time DESC) = 1
         """,

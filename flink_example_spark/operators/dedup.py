@@ -21,7 +21,7 @@ no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -37,6 +37,42 @@ def apply_pair_dedup(
     """
     drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return documents.join(F.broadcast(drop), id_col, "left_anti")
+
+
+def apply_cluster_dedup(
+    documents: DataFrame,
+    clusters: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware dedup materialization: one representative per duplicate
+    cluster — the member with the HIGHEST ``quality_col`` (ties → lowest id,
+    deterministic), instead of keep-first's arbitrary-id winner. The
+    RefinedWeb/FineWeb-style policy: when near-dups differ (one has
+    boilerplate, one is clean), keep the best copy, not the first one.
+
+    ``clusters`` is :func:`duplicate_clusters` output (id, cluster_id).
+    Docs in no cluster pass through untouched. One left join against the
+    (small) clustered-doc relation + one per-cluster top-1 window over ONLY
+    the clustered docs — the unclustered majority never enters the window.
+    """
+    ranked = (
+        documents.join(F.broadcast(clusters), id_col)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.col(quality_col).desc(), F.col(id_col)
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "cluster_id")
+    )
+    unclustered = documents.join(
+        F.broadcast(clusters.select(id_col)), id_col, "left_anti"
+    )
+    return unclustered.unionByName(ranked)
 
 
 def duplicate_clusters(

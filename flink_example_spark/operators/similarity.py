@@ -366,6 +366,63 @@ def lsh_cosine_pairs(
     )
 
 
+def lsh_cross_pairs(
+    probes: DataFrame,
+    reference: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_bands: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near matches BETWEEN two corpora (probe vs reference) — the
+    cross-relation sibling of :func:`lsh_cosine_pairs`, for semantic
+    decontamination: which probe (training) vectors are cosine-close to any
+    reference (benchmark) vector.
+
+    Same banded sign-LSH shape: both sides bucket under the SAME hyperplane
+    sets, the join keys on (band, bucket), exact cosine verifies. The
+    reference side is benchmark-sized — broadcast — so the probe corpus
+    never shuffles: at 100 TB this is a map-side semi-match, one scan.
+    Output: (probe_id, ref_id, cos) with cos >= threshold.
+    """
+
+    def banded(df: DataFrame, tag: str) -> DataFrame:
+        p = _prep(df, id_col, vec_col, tag).withColumn(
+            "__bands",
+            F.array(
+                *[
+                    lsh_bucket(F.col(f"{tag}_vec"), hyperplanes(dim, n_planes, seed=42 + b))
+                    for b in range(n_bands)
+                ]
+            ),
+        )
+        return p.select(
+            f"{tag}_id",
+            f"{tag}_vec",
+            f"{tag}_norm",
+            F.posexplode("__bands").alias(f"{tag}_band", f"{tag}_bucket"),
+        )
+
+    a = banded(probes, "p")
+    r = banded(reference, "r")
+    cand = a.join(
+        F.broadcast(r),
+        (F.col("p_band") == F.col("r_band")) & (F.col("p_bucket") == F.col("r_bucket")),
+    ).dropDuplicates(["p_id", "r_id"])
+    return (
+        cand.select(
+            F.col("p_id").alias("probe_id"),
+            F.col("r_id").alias("ref_id"),
+            (dot(F.col("p_vec"), F.col("r_vec")) / (F.col("p_norm") * F.col("r_norm"))).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

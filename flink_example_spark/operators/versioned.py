@@ -188,3 +188,26 @@ def latest_versions(history: DataFrame, key: str | Sequence[str], time_col: str 
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def snapshot_at(
+    history: DataFrame,
+    key: str | Sequence[str],
+    ts: str,
+    time_col: str = CHANGE_TIME,
+) -> DataFrame:
+    """Time-travel read: the versioned table AS OF ``ts`` (inclusive) — the
+    ``FOR SYSTEM_TIME AS OF`` query Flink runs against a registered versioned
+    table (App.java:148's head query, generalized to any point in time).
+    Keys whose first version is after ``ts`` are absent, exactly as the
+    temporal-table semantics dictate.
+
+    Plan shape: the time predicate is a plain filter that Catalyst pushes
+    beneath the per-key window (and into the parquet scan when the history
+    is materialized, where it prunes whole files/row-groups by min/max
+    stats) — the window then sorts only the surviving prefix of each key's
+    history. Same single exchange as :func:`latest_versions`.
+    """
+    return latest_versions(
+        history.filter(F.col(time_col) <= F.to_timestamp(F.lit(ts))), key, time_col
+    )

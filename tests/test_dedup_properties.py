@@ -76,3 +76,39 @@ def test_paragraph_dedup_drops_null_text(spark):
     out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
     assert set(out) == {1}
     assert out[1]["n_kept"] == 2 and out[1]["n_removed"] == 0
+
+
+def test_apply_cluster_dedup_keeps_best_quality(spark):
+    """One representative per cluster: the max-quality member wins (ties ->
+    lowest id); unclustered docs pass through."""
+    from flink_example_spark.operators.dedup import apply_cluster_dedup
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (9, 0.1)],
+        "doc_id bigint, q double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id bigint, cluster_id bigint"
+    )
+    kept = sorted(r["doc_id"] for r in apply_cluster_dedup(docs, clusters, "q").collect())
+    # cluster 1: docs 2 and 3 tie at 0.9 -> 2 wins; cluster 4: only member;
+    # doc 9 unclustered
+    assert kept == [2, 4, 9]
+
+
+def test_lsh_cross_pairs_finds_planted_matches(spark):
+    """Cross-relation LSH: identical vectors always collide (every band),
+    dissimilar ones are filtered by the exact-cosine verify."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.similarity import lsh_cross_pairs
+    from flink_example_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    bench = e.filter(F.col("vec_id") < 10)
+    hits = lsh_cross_pairs(e, bench, threshold=0.9, n_bands=4).collect()
+    self_hits = {(r["probe_id"], r["ref_id"]) for r in hits if r["probe_id"] == r["ref_id"]}
+    assert self_hits == {(i, i) for i in range(10)}
+    assert all(r["cos"] >= 0.9 for r in hits)

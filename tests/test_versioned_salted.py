@@ -153,3 +153,29 @@ def test_salted_matches_unsalted_hypothesis(spark):
         assert rows_set(plain) == rows_set(salted)
 
     run()
+
+
+def test_snapshot_at_bounds_and_converges(spark):
+    """snapshot_at(T) == latest version among rows with ts <= T; at the max
+    timestamp it equals the table head; before the first version the key is
+    absent."""
+    from flink_example_spark.operators.versioned import (
+        latest_versions,
+        snapshot_at,
+        version_history,
+    )
+    from flink_example_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").filter(
+        F.col("event_type") == "error"
+    )
+    hist = version_history(ev, "user_id", "ts", {"loss_value": F.sum("value")})
+    head = {tuple(r) for r in latest_versions(hist, "_entity").collect()}
+    at_end = {
+        tuple(r) for r in snapshot_at(hist, "_entity", "2099-01-01 00:00:00").collect()
+    }
+    assert at_end == head
+    early = snapshot_at(hist, "_entity", "2024-01-03 00:00:00")
+    rows = early.collect()
+    assert 0 < len(rows) < len(head)
+    assert all(r["_change_time"].isoformat() <= "2024-01-03T00:00:00" for r in rows)
