@@ -268,6 +268,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "lang"
         )
 
+    def quantile_entry(spark, sf_dir):
+        """Hash-rank-sample quantile sketch: per-language n_chars quartiles
+        from a deterministic 64-row sample (small languages exact, 'en'
+        estimated — both branches exercised at sf0.01)."""
+        from flink_example_spark.operators.sketch import kmv_quantiles
+
+        return kmv_quantiles(
+            _docs(spark, sf_dir), "lang", "n_chars", "doc_id", k=64
+        )
+
     def cm_hh_entry(spark, sf_dir):
         """Count-min heavy hitters: top-16 document terms with exact counts
         AND the CM point estimates from a 3x8 counter matrix — width 8
@@ -474,6 +484,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_best": cluster_best_keep,
         "sketch_kmv_distinct": kmv_entry,
         "sketch_cm_heavy_hitters": cm_hh_entry,
+        "sketch_quantiles": quantile_entry,
         "embedding_near_dup": emb_pairs,
         "embedding_near_dup_lsh": emb_pairs_lsh,
         "embedding_dup_clusters": emb_clusters,
@@ -944,7 +955,14 @@ def _northstar_oracles() -> dict[str, str]:
         "fp",
         k=32,
     )
-    from flink_example_spark.operators.sketch import cm_heavy_hitters_oracle
+    from flink_example_spark.operators.sketch import (
+        cm_heavy_hitters_oracle,
+        kmv_quantiles_oracle,
+    )
+
+    out["sketch_quantiles"] = kmv_quantiles_oracle(
+        "documents", ["lang"], "n_chars", "doc_id", k=64
+    )
 
     _duck_terms = (
         f"SELECT t FROM (SELECT unnest(string_split_regex({_DUCK_NORM}, '\\s+')) AS t"

@@ -360,6 +360,106 @@ def cm_heavy_hitters_oracle(
     """
 
 
+def kmv_quantile_sample(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    sub_buckets: int = 16,
+) -> DataFrame:
+    """Deterministic uniform row sample per group: the k rows whose
+    portable md5 hash of ``key_col`` is smallest. Because the sample is
+    defined by a global order on hashes, samples of disjoint shards MERGE
+    exactly (bottom-k of the union = bottom-k of per-shard bottom-ks) and
+    every engine draws the SAME sample — unlike rand()-based sampling.
+    Same two-phase bottom-k windows as ``kmv_distinct`` (skew-safe, shuffle
+    rows capped at sub_buckets*k per group per phase-1 task)."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    src = df.select(
+        *groups,
+        F.col(value_col).alias("__v"),
+        portable_hash32(F.col(key_col).cast("string")).alias("__h"),
+        F.col(key_col).alias("__k"),
+    ).filter(F.col("__h").isNotNull())
+    w1 = Window.partitionBy(*groups, F.pmod(F.col("__h"), F.lit(sub_buckets))).orderBy(
+        "__h", "__k"
+    )
+    survivors = (
+        src.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+        .drop("__rn1")
+    )
+    w = Window.partitionBy(*groups).orderBy("__h", "__k")
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(*groups, "__v")
+    )
+
+
+def kmv_quantiles(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Per-group approximate quantiles from the deterministic hash-rank
+    sample — the quantile sibling of the KMV cardinality sketch. Groups
+    with <= k rows are EXACT (the sample is the whole group); larger groups
+    carry the usual +-O(1/sqrt(k)) uniform-sampling quantile error.
+
+    Interpolation is Spark ``percentile`` == DuckDB ``quantile_cont``
+    (verified bit-identical linear interpolation — the repo's
+    ``percentile_prices`` row pins it), so the whole sketch is
+    oracle-checkable. Output: group cols + ``n_sample`` + one ``p<nn>``
+    double column per requested quantile (scalar-only, driver-safe).
+
+    Scale: the sample is the only state (k rows/group); the quantile agg
+    runs on sub_buckets*k-capped relations. Unlike percentile_approx's
+    engine-specific digest this sketch is deterministic and mergeable by
+    construction.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    s = kmv_quantile_sample(df, groups, value_col, key_col, k=k)
+    aggs = [F.count(F.lit(1)).alias("n_sample")] + [
+        F.expr(f"percentile(__v, {p!r})").alias(f"p{int(round(p * 100)):02d}")
+        for p in probs
+    ]
+    return s.groupBy(*groups).agg(*aggs)
+
+
+def kmv_quantiles_oracle(
+    table: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+) -> str:
+    """DuckDB twin built from the same hash-rank-sample definition."""
+    gs = ", ".join(group_cols)
+    qs = ", ".join(
+        f"quantile_cont(v, {p!r}) AS p{int(round(p * 100)):02d}" for p in probs
+    )
+    return f"""
+        WITH src AS (
+          SELECT {gs}, {value_col} AS v,
+                 CAST(concat('0x', substr(md5(CAST({key_col} AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS h,
+                 {key_col} AS kk
+          FROM {table} WHERE {key_col} IS NOT NULL
+        ), kept AS (
+          SELECT {gs}, v FROM src
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY {gs} ORDER BY h, kk) <= {k}
+        )
+        SELECT {gs}, CAST(COUNT(*) AS BIGINT) AS n_sample, {qs}
+        FROM kept GROUP BY {gs}
+    """
+
+
 def kmv_distinct_oracle(
     table: str, group_cols: Sequence[str], value_col: str, k: int = 64
 ) -> str:

