@@ -478,6 +478,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": ann_ivf_trained,
         "text_lm_surprisal": lambda spark, sf_dir: text.lm_surprisal(_docs(spark, sf_dir)),
         "text_bm25_topk": bm25_entry,
+        "text_pmi_collocations": lambda spark, sf_dir: text.pmi_collocations(
+            _docs(spark, sf_dir), topk=30, min_count=3
+        ),
+        # temperature-based (alpha=0.5) domain rebalance to ~half the corpus
+        "curation_temperature_mix": lambda spark, sf_dir: curation.temperature_mix(
+            _docs(spark, sf_dir), target_total=250
+        ).select("doc_id", "source", "lang"),
         "dedup_semantic_keep": semantic_keep,
         "dedup_semantic_strict": semantic_keep_strict,
         "dedup_semantic_decontaminate": semantic_decontaminate,
@@ -946,6 +953,8 @@ def _northstar_oracles() -> dict[str, str]:
     out["text_bm25_topk"] = text.bm25_oracle(
         ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES), topk=10
     )
+    out["text_pmi_collocations"] = text.pmi_oracle(topk=30, min_count=3)
+    out["curation_temperature_mix"] = curation.temperature_mix_oracle(target_total=250)
     from flink_example_spark.operators.sketch import kmv_distinct_oracle
     from flink_example_spark.operators.text import _DUCK_NORM
 

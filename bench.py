@@ -61,6 +61,14 @@ HEADLINE = [
     "curation_remove_spans",
     "curation_pack_sequences",
     "curation_chunk_tokens",
+    "text_bm25_topk",
+    "sketch_cm_heavy_hitters",
+    "sketch_quantiles",
+    "dedup_cluster_best",
+    "dedup_semantic_decontaminate",
+    "feature_snapshot_at",
+    "text_pmi_collocations",
+    "curation_temperature_mix",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

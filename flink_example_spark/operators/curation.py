@@ -765,6 +765,79 @@ def stratified_sample(
     return df.filter(_hash_bucket(F.col(key_col), buckets) < thresh)
 
 
+def temperature_mix(
+    df: DataFrame,
+    target_total: int,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based domain rebalancing at T=2 (alpha=0.5): sample the
+    corpus down to ~``target_total`` rows with per-domain keep rates
+    proportional to ``sqrt(n_d)/n_d`` — the multilingual-LM mixing rule
+    (sampling exponent alpha = 1/T) that up-weights small domains and
+    damps head domains.
+
+    Determinism across engines: alpha=0.5 is the one temperature whose
+    power is IEEE-exactly-rounded everywhere (``sqrt``; other alphas need
+    libm ``pow``, which varies in the last ulp). Even so, sqrt(n_d) is
+    QUANTIZED to integer micro-units before the normalizing sum —
+    ``s_d = floor(sqrt(n_d) * 1e6)`` — so the sum is exact integer
+    arithmetic and no cross-engine double-accumulation-order hazard exists
+    (CLAUDE.md: never SUM raw doubles). The per-domain keep threshold is
+    then the integer ``(target_total * s_d * buckets) div (S * n_d)``
+    compared against the portable md5 bucket of the row key — a pure
+    map-side filter after one tiny domain-count aggregate (broadcast back).
+
+    Domains whose computed rate exceeds 1 keep everything (small-domain
+    clamp). Output: the kept rows, original columns.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    s = counts.withColumn(
+        "__s", F.floor(F.sqrt(F.col("__n").cast("double")) * F.lit(1e6)).cast("bigint")
+    )
+    tot = s.agg(F.sum("__s").alias("__tot"))
+    rates = s.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        F.least(
+            F.lit(int(buckets)).cast("bigint"),
+            F.expr(f"({int(target_total)} * __s * {int(buckets)}) div (__tot * __n)"),
+        ).alias("__thresh"),
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(_hash_bucket(F.col(key_col), buckets) < F.col("__thresh"))
+        .drop("__thresh")
+    )
+
+
+def temperature_mix_oracle(
+    target_total: int, domain_col: str = "source", buckets: int = 1_000_000
+) -> str:
+    """DuckDB twin of ``temperature_mix`` over the documents table."""
+    return f"""
+        WITH counts AS (
+          SELECT {domain_col}, CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents GROUP BY {domain_col}
+        ), s AS (
+          SELECT {domain_col}, n,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS s
+          FROM counts
+        ), tot AS (SELECT CAST(SUM(s) AS BIGINT) AS S FROM s),
+        rates AS (
+          SELECT {domain_col},
+                 least(CAST({int(buckets)} AS BIGINT),
+                       ({int(target_total)} * s.s * {int(buckets)}) // (tot.S * s.n))
+                   AS thresh
+          FROM s CROSS JOIN tot
+        )
+        SELECT d.doc_id, d.{domain_col}, d.lang
+        FROM documents d JOIN rates USING ({domain_col})
+        WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % {int(buckets)} < rates.thresh
+    """
+
+
 def domain_cap(
     df: DataFrame,
     cap: int = 10,

@@ -500,3 +500,101 @@ def bm25_oracle(query_values: str, topk: int = 10) -> str:
           FROM contrib GROUP BY query_id, doc_id
         ) WHERE rank <= {topk}
     """
+
+
+def pmi_collocations(
+    documents: DataFrame,
+    topk: int = 30,
+    min_count: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level collocation mining: the top-k adjacent-token bigrams by
+    (quantized) pointwise mutual information — the classic phrase detector
+    (word2vec's phrase pass, NLTK collocations) over the whole corpus.
+
+    PMI = log2( p(ab) / (p(a) p(b)) ) quantized to whole bits the usual
+    way: ``length(bin((c_ab * N) div (c_a * c_b))) - 1``, integer-exact in
+    both engines (N = total bigram instances; unigram counts from the same
+    token stream). Pairs with ratio < 1 (PMI < 0) or count < ``min_count``
+    are dropped. Ranking: (pmi_bits, c_ab, a, b) — fully deterministic.
+
+    Plan: bigrams come from ``zip_with`` over two shifted slices of the
+    per-doc token array (no positional self-join, no window), then one
+    hash-agg per relation; the unigram relation joins twice (broadcast at
+    vocabulary scale). Top-k via one TakeOrderedAndProject.
+    """
+    toks = documents.select(
+        F.col(id_col), tokens(normalized(F.col(text_col))).alias("__t")
+    ).filter(F.size("__t") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                F.slice(F.col("__t"), 2, F.size("__t") - 1),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b")).filter(
+        (F.col("a") != "") & (F.col("b") != "")
+    )
+    c_ab = bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    n_tot = c_ab.agg(F.sum("c_ab").alias("n_bigrams"))
+    uni = (
+        documents.select(F.explode(tokens(normalized(F.col(text_col)))).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        c_ab.filter(F.col("c_ab") >= min_count)
+        .join(F.broadcast(uni.select(F.col("t").alias("a"), F.col("c").alias("c_a"))), "a")
+        .join(F.broadcast(uni.select(F.col("t").alias("b"), F.col("c").alias("c_b"))), "b")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn("__ratio", F.expr("(c_ab * n_bigrams) div (c_a * c_b)"))
+        .filter(F.col("__ratio") >= 1)
+        .withColumn("pmi_bits", (F.length(F.bin(F.col("__ratio"))) - F.lit(1)).cast("int"))
+    )
+    return (
+        scored.orderBy(
+            F.col("pmi_bits").desc(), F.col("c_ab").desc(), F.col("a"), F.col("b")
+        )
+        .limit(topk)
+        .select("a", "b", "c_ab", "pmi_bits")
+    )
+
+
+def pmi_oracle(topk: int = 30, min_count: int = 3) -> str:
+    """DuckDB twin of ``pmi_collocations`` (aligned-unnest zip for the
+    shifted slices — the same device as the kmeans scalar oracle)."""
+    return f"""
+        WITH tl AS (
+          SELECT doc_id, string_split_regex({_DUCK_NORM}, '\\s+') AS l
+          FROM documents
+        ), big AS (
+          SELECT unnest(list_slice(l, 1, len(l) - 1)) AS a,
+                 unnest(list_slice(l, 2, len(l))) AS b
+          FROM tl WHERE len(l) >= 2
+        ), c_ab AS (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM big
+          WHERE a <> '' AND b <> '' GROUP BY a, b
+        ), n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bigrams FROM c_ab),
+        uni AS (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT unnest(string_split_regex({_DUCK_NORM}, '\\s+')) AS t
+            FROM documents
+          ) WHERE t <> '' GROUP BY t
+        ), scored AS (
+          SELECT c_ab.a, c_ab.b, c_ab.c_ab,
+                 (c_ab.c_ab * n.n_bigrams) // (ua.c * ub.c) AS ratio
+          FROM c_ab
+          JOIN uni ua ON c_ab.a = ua.t
+          JOIN uni ub ON c_ab.b = ub.t
+          CROSS JOIN n
+          WHERE c_ab.c_ab >= {min_count}
+        )
+        SELECT a, b, c_ab,
+               CAST(len(bin(ratio)) - 1 AS INTEGER) AS pmi_bits
+        FROM scored WHERE ratio >= 1
+        ORDER BY pmi_bits DESC, c_ab DESC, a, b LIMIT {topk}
+    """

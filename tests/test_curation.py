@@ -279,3 +279,34 @@ def test_chunk_tokens_covers_and_reconstructs(spark):
     assert " ".join(rebuilt) == text
     two = [r for r in rows if r["doc_id"] == 2]
     assert len(two) == 1 and two[0]["chunk_text"] == "short doc"
+
+
+def test_temperature_mix_rebalances_toward_small_domains(spark):
+    """alpha=0.5 mixing: keep rates scale ~ 1/sqrt(n_d), so the head
+    domain's keep FRACTION is strictly below the tail domain's; total lands
+    near the target; the filter is deterministic (same rows twice)."""
+    from flink_example_spark.operators.curation import temperature_mix
+
+    rows = [(i, "head") for i in range(2000)] + [(i + 10_000, "tail") for i in range(125)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = temperature_mix(df, target_total=500)
+    kept = out.groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in kept}
+    # rates: s_head=sqrt(2000)~44.7, s_tail~11.2 -> head thresh ~ 500*0.8/2000=20%,
+    # tail ~ 500*0.2/125=80% (clamped at 100%)
+    assert by["head"] / 2000 < by["tail"] / 125
+    total = sum(by.values())
+    assert abs(total - 500) / 500 < 0.2
+    again = temperature_mix(df, target_total=500)
+    assert {r["doc_id"] for r in out.collect()} == {r["doc_id"] for r in again.collect()}
+
+
+def test_temperature_mix_small_domain_clamp(spark):
+    """A domain whose computed rate exceeds 1 keeps every row."""
+    from flink_example_spark.operators.curation import temperature_mix
+
+    rows = [(i, "big") for i in range(5000)] + [(i + 10_000, "tiny") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = temperature_mix(df, target_total=1000)
+    tiny_kept = out.filter(F.col("source") == "tiny").count()
+    assert tiny_kept == 5

@@ -590,3 +590,18 @@ def test_bm25_length_normalization(spark):
     out = {r["doc_id"]: r["score"] for r in bm25_topk(docs, qs, topk=5).collect()}
     assert set(out) == {1, 2}
     assert out[1] > out[2]
+
+
+def test_pmi_collocations_finds_planted_phrase(spark):
+    """A bigram that always co-occurs outranks independent pairs; tokens
+    that never meet don't appear."""
+    from flink_example_spark.operators.text import pmi_collocations
+
+    # "hong kong" always adjacent (8 docs); filler words mix independently
+    docs = [(i, "hong kong " + " ".join(["the", "of", "data", "row"] * 3)) for i in range(8)]
+    docs += [(100 + i, "the data of row the of data row") for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = pmi_collocations(df, topk=10, min_count=3).collect()
+    assert (out[0]["a"], out[0]["b"]) == ("hong", "kong")
+    assert out[0]["pmi_bits"] > 0
+    assert all(r["c_ab"] >= 3 for r in out)
