@@ -329,8 +329,16 @@ def lsh_cosine_pairs(
     adding bands raises recall (a close pair misses only if it straddles a
     plane in EVERY band) at linear candidate cost, never extra shuffles.
     Duplicate candidates from multiple bands collapse via dropDuplicates on
-    the pair key — value-safe since both carry identical vectors."""
-    p = _prep(embeddings, id_col, vec_col, "n").withColumn(
+    the pair key — value-safe since both carry identical vectors.
+
+    The input is hash-spread on the id first: banding is CPU-heavy per row
+    (n_bands x n_planes 64-dim folds) and the single-file harness parquet
+    scans as ONE partition (CLAUDE.md rule); on a cluster with multi-file
+    tables the same repartition merely balances skew."""
+    _n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
+    p = _prep(
+        embeddings.repartition(_n_parts, F.col(id_col)), id_col, vec_col, "n"
+    ).withColumn(
         "bands",
         F.array(
             *[
@@ -389,7 +397,19 @@ def lsh_cross_pairs(
     """
 
     def banded(df: DataFrame, tag: str) -> DataFrame:
-        p = _prep(df, id_col, vec_col, tag).withColumn(
+        # hash-spread the probe side before the per-row banding folds (the
+        # single-file harness scan is ONE partition, and AQE coalesces a
+        # column-only repartition of small data right back to one — the
+        # explicit core count is never coalesced); the reference side is
+        # benchmark-sized and broadcast, so only probes ("p") need spreading
+        src = (
+            df.repartition(
+                df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+            )
+            if tag == "p"
+            else df
+        )
+        p = _prep(src, id_col, vec_col, tag).withColumn(
             "__bands",
             F.array(
                 *[

@@ -406,19 +406,26 @@ def bm25_topk(
     toks = documents.select(
         F.col(id_col), F.explode(tokens(normalized(F.col(text_col)))).alias("t")
     ).filter(F.col("t") != "")
-    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    dfr = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
     qt = (
         queries.select(
             "query_id", F.explode(tokens(normalized(F.col("query_text")))).alias("t")
         )
         .filter(F.col("t") != "")
         .distinct()
+    )
+    # Broadcast-filter the token stream to QUERY TERMS before any
+    # aggregation: the (doc, term) tf shuffle then carries only the query
+    # terms' postings, not the full corpus vocabulary. df(t) is identical
+    # computed from the filtered stream (a doc contains t or it doesn't).
+    toks_f = toks.join(F.broadcast(qt.select("t").distinct()), "t")
+    tf = toks_f.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    # doc lengths / corpus stats need ALL tokens, but map-side partial
+    # combine reduces the shuffle to one narrow row per doc
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     bits = (F.length(F.bin(F.expr("n_docs div df"))) - F.lit(1)).cast("double")
     w = (bits * (F.col("tf") * F.lit(2.2))) / (
@@ -524,19 +531,22 @@ def pmi_collocations(
     hash-agg per relation; the unigram relation joins twice (broadcast at
     vocabulary scale). Top-k via one TakeOrderedAndProject.
     """
+    # explode(sequence) + element_at: whole-stage codegen bigram rows (the
+    # repo's measured rule — higher-order array lambdas are interpreted and
+    # 10-30x slower in hot paths; same device as exploded_word_ngrams)
     toks = documents.select(
         F.col(id_col), tokens(normalized(F.col(text_col))).alias("__t")
     ).filter(F.size("__t") >= 2)
-    bigrams = toks.select(
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("__t"), 1, F.size("__t") - 1),
-                F.slice(F.col("__t"), 2, F.size("__t") - 1),
-                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
-            )
-        ).alias("bg")
-    ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b")).filter(
-        (F.col("a") != "") & (F.col("b") != "")
+    bigrams = (
+        toks.select(
+            F.col("__t"),
+            F.explode(F.sequence(F.lit(1), F.size("__t") - 1)).alias("__i"),
+        )
+        .select(
+            F.element_at("__t", F.col("__i")).alias("a"),
+            F.element_at("__t", F.col("__i") + 1).alias("b"),
+        )
+        .filter((F.col("a") != "") & (F.col("b") != ""))
     )
     c_ab = bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
     n_tot = c_ab.agg(F.sum("c_ab").alias("n_bigrams"))
