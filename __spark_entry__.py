@@ -229,6 +229,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return kmv_distinct(d, "lang", "fp", k=32)
 
+    def bpe_entry(spark, sf_dir):
+        from flink_example_spark.operators.bpe import bpe_train
+
+        return bpe_train(_docs(spark, sf_dir), n_merges=8)
+
     def bm25_entry(spark, sf_dir):
         """BM25 ranked retrieval of a fixed 4-query set over the corpus
         (quantized idf + integer-accumulated scores — deterministic across
@@ -481,6 +486,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi_collocations": lambda spark, sf_dir: text.pmi_collocations(
             _docs(spark, sf_dir), topk=30, min_count=3
         ),
+        # distributed BPE tokenizer training: 8 merges learned from the
+        # corpus (vocabulary-sized iteration, unrolled-CTE DuckDB twin)
+        "text_bpe_merges": bpe_entry,
         # temperature-based (alpha=0.5) domain rebalance to ~half the corpus
         "curation_temperature_mix": lambda spark, sf_dir: curation.temperature_mix(
             _docs(spark, sf_dir), target_total=250
@@ -954,6 +962,9 @@ def _northstar_oracles() -> dict[str, str]:
         ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES), topk=10
     )
     out["text_pmi_collocations"] = text.pmi_oracle(topk=30, min_count=3)
+    from flink_example_spark.operators.bpe import bpe_oracle
+
+    out["text_bpe_merges"] = bpe_oracle(n_merges=8)
     out["curation_temperature_mix"] = curation.temperature_mix_oracle(target_total=250)
     from flink_example_spark.operators.sketch import kmv_distinct_oracle
     from flink_example_spark.operators.text import _DUCK_NORM
