@@ -283,6 +283,18 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), "lang", "n_chars", "doc_id", k=64
         )
 
+    def fuzzy_words_entry(spark, sf_dir):
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        typos = docs.filter(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), r"(\S)(\s+)", r"$1$1$2"),
+                r"(\S)$",
+                r"$1$1",
+            ).alias("text"),
+        )
+        return dedup.fuzzy_word_pairs(docs.union(typos))
+
     def cm_hh_entry(spark, sf_dir):
         """Count-min heavy hitters: top-16 document terms with exact counts
         AND the CM point estimates from a 3x8 counter matrix — width 8
@@ -489,6 +501,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distributed BPE tokenizer training: 8 merges learned from the
         # corpus (vocabulary-sized iteration, unrolled-CTE DuckDB twin)
         "text_bpe_merges": bpe_entry,
+        # apply a FIXED merge list (this corpus' top-4) corpus-wide:
+        # per-doc BPE symbol counts, the packing pipeline's token counter
+        "text_bpe_tokenize": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.bpe", fromlist=["bpe_tokenize"]
+        ).bpe_tokenize(_docs(spark, sf_dir), list(_BPE_FIXED_MERGES)),
         # temperature-based (alpha=0.5) domain rebalance to ~half the corpus
         "curation_temperature_mix": lambda spark, sf_dir: curation.temperature_mix(
             _docs(spark, sf_dir), target_total=250
@@ -497,6 +514,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_strict": semantic_keep_strict,
         "dedup_semantic_decontaminate": semantic_decontaminate,
         "dedup_cluster_best": cluster_best_keep,
+        # SymSpell deletion-neighborhood typo mining (perfect recall at
+        # distance 1 -> equals the brute-force oracle exactly). The clean
+        # synthetic vocabulary has no distance-1 neighbors, so insertion
+        # typos are planted: docs 0-4 re-enter with every word's last
+        # character doubled ("fast" -> "fastt"), the same device as the
+        # planted twins in dedup_semantic_strict.
+        "dedup_fuzzy_words": fuzzy_words_entry,
         "sketch_kmv_distinct": kmv_entry,
         "sketch_cm_heavy_hitters": cm_hh_entry,
         "sketch_quantiles": quantile_entry,
@@ -589,6 +613,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Corpus-mixing demo weights (per-language keep fractions).
 _MIX_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.75, "es": 0.1}
+
+# Fixed merge list for the bpe_tokenize demo row (this corpus' top-4
+# learned merges; fixing them decouples APPLY from TRAIN in the oracle).
+_BPE_FIXED_MERGES = (("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"))
 
 # BM25 demo query set (terms drawn from the synthetic corpus vocabulary).
 _BM25_QUERIES = (
@@ -715,6 +743,17 @@ def _northstar_oracles() -> dict[str, str]:
         WHERE doc_id NOT IN (SELECT doc_id FROM clusters)
         UNION ALL SELECT doc_id, lang FROM best
     """
+    from flink_example_spark.operators.dedup import fuzzy_word_pairs_oracle
+
+    _typo_src = """(
+        SELECT text FROM documents
+        UNION ALL
+        SELECT regexp_replace(
+                 regexp_replace(text, '(\\S)(\\s+)', '\\1\\1\\2', 'g'),
+                 '(\\S)$', '\\1\\1', 'g') AS text
+        FROM documents WHERE doc_id < 5
+    )"""
+    out["dedup_fuzzy_words"] = fuzzy_word_pairs_oracle(source=_typo_src)
     out["dedup_semantic_decontaminate"] = f"""
         WITH c AS ({_DUCK_VECS}),
         bench AS (SELECT * FROM c WHERE vec_id < 25),
@@ -965,6 +1004,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.bpe import bpe_oracle
 
     out["text_bpe_merges"] = bpe_oracle(n_merges=8)
+    from flink_example_spark.operators.bpe import bpe_tokenize_oracle
+
+    out["text_bpe_tokenize"] = bpe_tokenize_oracle(list(_BPE_FIXED_MERGES))
     out["curation_temperature_mix"] = curation.temperature_mix_oracle(target_total=250)
     from flink_example_spark.operators.sketch import kmv_distinct_oracle
     from flink_example_spark.operators.text import _DUCK_NORM
@@ -1498,6 +1540,11 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # depth*width state rows; converges to batch cm_sketch -> shares
         # its oracle
         "streaming_cm_sketch": _run_streaming_cm,
+        # streaming hash-rank sample: bottom-k-by-hash state (O(k)/group,
+        # no watermark — idempotent monoid merge); final sample == batch
+        # kmv_quantile_sample, quantiles via the same Spark percentile
+        # aggregate -> shares the batch sketch_quantiles oracle
+        "streaming_kmv_quantiles": _run_streaming_kq,
         # streaming ANN: live query stream answered per micro-batch against
         # the static corpus (broadcast query batch, zero corpus shuffle);
         # converges to batch cosine_topk -> shares its oracle
@@ -1549,6 +1596,12 @@ def _run_streaming_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_example_spark.streaming.sketch_stream import run_streaming_cm_sketch
 
     return run_streaming_cm_sketch(spark, sf_dir, depth=3, width=8)
+
+
+def _run_streaming_kq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.sketch_stream import run_streaming_kmv_quantiles
+
+    return run_streaming_kmv_quantiles(spark, sf_dir, k=64)
 
 
 def _run_streaming_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1625,6 +1678,7 @@ def _all_oracles() -> dict[str, str]:
     from flink_example_spark.operators.sketch import cm_sketch_oracle
     from flink_example_spark.operators.text import _DUCK_NORM as _DN
 
+    out["streaming_kmv_quantiles"] = out["sketch_quantiles"]
     out["streaming_cm_sketch"] = cm_sketch_oracle(
         f"SELECT t FROM (SELECT unnest(string_split_regex({_DN}, '\\s+')) AS t"
         " FROM documents) WHERE t <> ''",

@@ -197,3 +197,53 @@ def bpe_oracle(n_merges: int = 8) -> str:
         WITH RECURSIVE {ctes}
         {union}
     """
+
+
+def bpe_tokenize_oracle(merges: list[tuple[str, str]]) -> str:
+    """DuckDB twin of ``bpe_tokenize`` for a FIXED merge list: the merge
+    chain unrolls over the distinct-word relation (recursive leftmost
+    replacement per merge, MATERIALIZED against CTE-inlining blowup), then
+    joins back to the per-document word stream and sums symbol counts."""
+    parts = [
+        """w0 AS MATERIALIZED (
+          SELECT DISTINCT w,
+                 ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS s
+          FROM (
+            SELECT unnest(string_split_regex(
+              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                  ' +', ' ', 'g')), '\\s+')) AS w
+            FROM documents
+          ) WHERE w <> ''
+        )"""
+    ]
+    for m, (a, b) in enumerate(merges, start=1):
+        pat = f"' {a} {b} '"
+        rep = f"' {a}{b} '"
+        plen = len(a) + len(b) + 3
+        parts.append(
+            f"""it{m}(w, s) AS (
+          SELECT w, s FROM w{m - 1}
+          UNION ALL
+          SELECT w, substr(s, 1, position({pat} IN s) - 1) || {rep}
+                     || substr(s, position({pat} IN s) + {plen})
+          FROM it{m} WHERE position({pat} IN s) > 0
+        ), w{m} AS MATERIALIZED (
+          SELECT w, s FROM it{m} WHERE position({pat} IN s) = 0
+        )"""
+        )
+    last = f"w{len(merges)}"
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH RECURSIVE {ctes}
+        SELECT doc_id,
+               CAST(SUM(len(string_split(trim(s), ' '))) AS BIGINT)
+                 AS n_bpe_symbols
+        FROM (
+          SELECT doc_id, unnest(string_split_regex(
+            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                ' +', ' ', 'g')), '\\s+')) AS w
+          FROM documents
+        ) tok JOIN {last} USING (w)
+        WHERE w <> ''
+        GROUP BY doc_id
+    """

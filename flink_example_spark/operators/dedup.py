@@ -648,3 +648,96 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def fuzzy_word_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Typo-cluster mining: pairs of distinct corpus WORDS within edit
+    distance 1 — the vocabulary-cleaning pass (OCR noise, misspellings)
+    a corpus pipeline runs before frequency-based filtering.
+
+    Scale path is the SymSpell deletion-neighborhood join, not brute force:
+    every word emits itself plus each delete-one-character variant, and two
+    words are candidates iff they share a variant. For edit distance 1 this
+    has PERFECT recall (substitution at position i -> deleting i from both
+    yields the same string; insertion -> deleting the inserted char yields
+    the other word), so the levenshtein verify only trims same-variant
+    non-neighbors — the result EQUALS brute force, at
+    O(vocab x avg_len) candidate keys instead of O(vocab^2) pairs. Variant
+    generation is codegen explode(sequence)+substring concat.
+
+    Output: (word_a, word_b, dist=1, count_a, count_b), word_a < word_b.
+    Both engines' levenshtein is the classic integer DP — deterministic.
+    """
+    from flink_example_spark.operators.text import normalized, tokens
+
+    vocab = (
+        documents.select(F.explode(tokens(normalized(F.col(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    variants = vocab.select(
+        "w",
+        F.explode(
+            F.concat(
+                F.array(F.col("w")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.concat(
+                        F.col("w").substr(F.lit(1), i - 1),
+                        F.col("w").substr(i + 1, F.length("w")),
+                    ),
+                ),
+            )
+        ).alias("__v"),
+    ).dropDuplicates(["w", "__v"])
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a.__v") == F.col("b.__v")) & (F.col("a.w") < F.col("b.w")))
+        .select(F.col("a.w").alias("word_a"), F.col("b.w").alias("word_b"))
+        .dropDuplicates(["word_a", "word_b"])
+    )
+    verified = cand.filter(F.levenshtein("word_a", "word_b") <= 1).withColumn(
+        "dist", F.levenshtein("word_a", "word_b").cast("int")
+    )
+    return (
+        verified.join(
+            vocab.select(F.col("w").alias("word_a"), F.col("c").alias("count_a")),
+            "word_a",
+        )
+        .join(
+            vocab.select(F.col("w").alias("word_b"), F.col("c").alias("count_b")),
+            "word_b",
+        )
+        .select("word_a", "word_b", "dist", "count_a", "count_b")
+    )
+
+
+def fuzzy_word_pairs_oracle(min_count: int = 1, source: str = "documents") -> str:
+    """Brute-force DuckDB twin (exact, because the deletion-neighborhood
+    join has perfect recall at distance 1 — see operator docstring).
+    ``source``: relation (or parenthesized subquery) with a ``text``
+    column."""
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+        " ' +', ' ', 'g'))"
+    )
+    return f"""
+        WITH vocab AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT unnest(string_split_regex({norm}, '\\s+')) AS w FROM {source}
+          ) WHERE w <> '' GROUP BY w HAVING COUNT(*) >= {min_count}
+        )
+        SELECT a.w AS word_a, b.w AS word_b,
+               CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist,
+               a.c AS count_a, b.c AS count_b
+        FROM vocab a JOIN vocab b
+          ON a.w < b.w AND abs(len(a.w) - len(b.w)) <= 1
+        WHERE levenshtein(a.w, b.w) <= 1
+    """

@@ -186,3 +186,109 @@ def run_streaming_cm_sketch(
         )
         q.awaitTermination()
     return spark.sql(f"SELECT r, j, cnt FROM {name}")
+
+
+def streaming_kmv_quantile_sample(
+    doc_stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Update-mode per-group hash-rank sample over a stream: state is the
+    k rows with the smallest portable hash of the key — a commutative,
+    idempotent merge (same monoid as the batch sample), so no watermark and
+    any arrival order converges. Emits the full current sample per group
+    per micro-batch with a monotone ``version``; the max-version rows are
+    the current sample (k rows per group, O(k) state)."""
+    import pandas as pd
+
+    output_schema = StructType(
+        [
+            StructField(group_col, StringType()),
+            StructField("version", LongType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+    src = doc_stream.select(
+        F.col(group_col).cast("string").alias("_g"),
+        portable_hash32(F.col(key_col).cast("string")).alias("_h"),
+        F.col(key_col).cast("long").alias("_k"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_h").isNotNull())
+
+    def process(key, pdfs, state: GroupState):
+        if state.exists:
+            version, kept = pickle.loads(state.get[0])
+        else:
+            version, kept = 0, []
+        merged = {(int(h), int(kk)): float(v) for h, kk, v in kept}
+        for pdf in pdfs:
+            for h, kk, v in zip(pdf["_h"], pdf["_k"], pdf["_v"]):
+                merged[(int(h), int(kk))] = float(v)
+        top = sorted(merged.items())[:k]
+        kept = [(h, kk, v) for (h, kk), v in top]
+        version += 1
+        state.update((pickle.dumps((version, kept)),))
+        yield pd.DataFrame(
+            [(key[0], version, v) for _, _, v in kept],
+            columns=[f.name for f in output_schema.fields],
+        )
+
+    return src.groupBy("_g").applyInPandasWithState(
+        process,
+        outputStructType=output_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_kmv_quantiles(
+    spark: SparkSession, sf_dir: str, k: int = 64, chunks: int = 3
+) -> DataFrame:
+    """Bounded replay: per-language n_chars quartiles from the stream-
+    maintained hash-rank sample. The final sample equals the batch
+    ``kmv_quantile_sample`` exactly (bottom-k merge property), and the
+    quantile arithmetic runs as the SAME Spark ``percentile`` aggregate the
+    batch operator uses — so this shares the batch ``kmv_quantiles``
+    oracle."""
+    import os
+    import uuid
+
+    from flink_example_spark.session import shuffle_partitions, tune
+    from flink_example_spark.streaming.dedup_stream import _stage_by_id
+
+    tune(spark)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+        .select("lang", "doc_id", "n_chars")
+    )
+    sample = streaming_kmv_quantile_sample(stream, "lang", "n_chars", "doc_id", k=k)
+    name = f"stream_kq_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            sample.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql(
+        f"""
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sample,
+               percentile(v, 0.25) AS p25,
+               percentile(v, 0.5) AS p50,
+               percentile(v, 0.75) AS p75
+        FROM (
+          SELECT lang, v,
+                 MAX(version) OVER (PARTITION BY lang) AS mx, version
+          FROM {name}
+        ) WHERE version = mx
+        GROUP BY lang
+        """
+    )

@@ -112,3 +112,33 @@ def test_lsh_cross_pairs_finds_planted_matches(spark):
     self_hits = {(r["probe_id"], r["ref_id"]) for r in hits if r["probe_id"] == r["ref_id"]}
     assert self_hits == {(i, i) for i in range(10)}
     assert all(r["cos"] >= 0.9 for r in hits)
+
+
+def test_fuzzy_word_pairs_equals_bruteforce(spark):
+    """SymSpell deletion-neighborhood join finds exactly the distance<=1
+    pairs (substitution, insertion, deletion) — no more, no less."""
+    import itertools
+
+    from flink_example_spark.operators.dedup import fuzzy_word_pairs
+
+    words = ["hello", "hellp", "help", "world", "word", "cat", "cart", "ca"]
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id bigint, text string"
+    )
+    got = {
+        (r["word_a"], r["word_b"])
+        for r in fuzzy_word_pairs(docs).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {
+        tuple(sorted(p)) for p in itertools.combinations(words, 2) if lev(*p) <= 1
+    }
+    assert got == want and len(want) >= 4
