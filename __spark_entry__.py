@@ -283,6 +283,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), "lang", "n_chars", "doc_id", k=64
         )
 
+    def rrf_entry(spark, sf_dir):
+        e = _embs(spark, sf_dir)
+        q = e.filter(F.col("vec_id") < 8)
+        exact = similarity.cosine_topk(e, q, k=5)
+        ivf = similarity.ivf_cosine_topk(e, q, k=5, n_cells=16, n_probe=4)
+        return similarity.rrf_fuse(exact, ivf, k=5)
+
     def fuzzy_words_entry(spark, sf_dir):
         docs = _docs(spark, sf_dir).select("doc_id", "text")
         typos = docs.filter(F.col("doc_id") < 5).select(
@@ -491,6 +498,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_kmeans_centroids": ann_kmeans,
+        # hybrid-retrieval ensemble: reciprocal-rank fusion of the exact
+        # and IVF retrievers' top-5 lists (the RAG-stack combiner)
+        "ann_rrf_fusion": rrf_entry,
         "ann_kmeans_centroids_vec": ann_kmeans_vec,
         "ann_ivf_trained": ann_ivf_trained,
         "text_lm_surprisal": lambda spark, sf_dir: text.lm_surprisal(_docs(spark, sf_dir)),
@@ -510,6 +520,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_temperature_mix": lambda spark, sf_dir: curation.temperature_mix(
             _docs(spark, sf_dir), target_total=250
         ).select("doc_id", "source", "lang"),
+        # distribution-drift gate: chi-square of the odd-doc_id half's
+        # length histogram against the even half (integer-quantized
+        # contributions; current-only buckets surface as null-contrib rows)
+        "curation_drift_chi2": lambda spark, sf_dir: curation.drift_chi2(
+            _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0),
+            _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 1),
+        ),
         "dedup_semantic_keep": semantic_keep,
         "dedup_semantic_strict": semantic_keep_strict,
         "dedup_semantic_decontaminate": semantic_decontaminate,
@@ -946,6 +963,24 @@ def _northstar_oracles() -> dict[str, str]:
     out["dedup_simhash"] = _simhash_md5_oracle()
     out["ann_lsh_topk"] = _lsh_topk_oracle()
     out["ann_ivf_topk"] = _ivf_topk_oracle()
+    out["ann_rrf_fusion"] = f"""
+        WITH ea AS ({out["ann_cosine_topk"]}),
+        eb AS ({_ivf_topk_oracle()}),
+        fused AS (
+          SELECT COALESCE(ea.query_id, eb.query_id) AS query_id,
+                 COALESCE(ea.neighbor_id, eb.neighbor_id) AS neighbor_id,
+                 COALESCE(1.0 / (60.0 + ea.rank), 0.0)
+                   + COALESCE(1.0 / (60.0 + eb.rank), 0.0) AS rrf
+          FROM ea FULL OUTER JOIN eb
+            ON ea.query_id = eb.query_id AND ea.neighbor_id = eb.neighbor_id
+        )
+        SELECT query_id, neighbor_id, rrf, fused_rank FROM (
+          SELECT query_id, neighbor_id, rrf,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY rrf DESC, neighbor_id) AS fused_rank
+          FROM fused
+        ) WHERE fused_rank <= 5
+    """
     out["ann_kmeans_centroids"] = _kmeans_oracle(k=8, iters=2, scalar=True)
     out["ann_kmeans_centroids_vec"] = _kmeans_oracle(k=8, iters=2)
     out["ann_ivf_trained"] = _ivf_trained_oracle(k=8, iters=2, n_probe=4, topk=5)
@@ -1008,6 +1043,9 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["text_bpe_tokenize"] = bpe_tokenize_oracle(list(_BPE_FIXED_MERGES))
     out["curation_temperature_mix"] = curation.temperature_mix_oracle(target_total=250)
+    out["curation_drift_chi2"] = curation.drift_chi2_oracle(
+        "doc_id % 2 = 0", "doc_id % 2 = 1"
+    )
     from flink_example_spark.operators.sketch import kmv_distinct_oracle
     from flink_example_spark.operators.text import _DUCK_NORM
 

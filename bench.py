@@ -69,6 +69,9 @@ HEADLINE = [
     "feature_snapshot_at",
     "text_pmi_collocations",
     "curation_temperature_mix",
+    "curation_drift_chi2",
+    "ann_rrf_fusion",
+    "dedup_fuzzy_words",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

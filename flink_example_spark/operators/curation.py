@@ -925,6 +925,106 @@ def length_histogram(
     )
 
 
+def drift_chi2(
+    reference: DataFrame,
+    current: DataFrame,
+    bucket_chars: int = 50,
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Distribution-drift detection between two corpus snapshots (shards,
+    crawl waves, pipeline versions): per-bucket chi-square contributions of
+    the ``current`` length histogram against the ``reference`` one — the
+    monitoring gate a production ingest pipeline alarms on.
+
+    Per bucket with reference mass: e = n_ref * (N_cur / N_ref) and
+    contrib = (n_cur - e)^2 / e, QUANTIZED to integer micro-units
+    (floor(x*1e6 + 0.5)) so any downstream total is an exact integer sum
+    (CLAUDE.md: never SUM raw doubles across engines). Buckets present only
+    in ``current`` (no expected mass) report null contrib — they are the
+    strongest drift signal and surface as rows, not as division blowups.
+
+    Two map-side-combined histogram aggregations + one broadcast-back of
+    the two scalar totals; the bucket join is histogram-sized.
+    """
+    ref = (
+        reference.groupBy(
+            (F.expr(f"{len_col} DIV {bucket_chars}").cast("long") * bucket_chars).alias(
+                "bucket_lo"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    cur = (
+        current.groupBy(
+            (F.expr(f"{len_col} DIV {bucket_chars}").cast("long") * bucket_chars).alias(
+                "bucket_lo"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    totals = ref.agg(F.sum("n_ref").alias("__nr")).crossJoin(
+        cur.agg(F.sum("n_cur").alias("__nc"))
+    )
+    j = (
+        ref.join(cur, "bucket_lo", "full_outer")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket_lo",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            "__nr",
+            "__nc",
+        )
+    )
+    e = F.col("n_ref").cast("double") * (
+        F.col("__nc").cast("double") / F.col("__nr").cast("double")
+    )
+    contrib = (F.col("n_cur").cast("double") - e) * (
+        F.col("n_cur").cast("double") - e
+    ) / e
+    return j.select(
+        "bucket_lo",
+        "n_ref",
+        "n_cur",
+        F.when(
+            F.col("n_ref") > 0,
+            F.floor(contrib * F.lit(1e6) + F.lit(0.5)).cast("bigint"),
+        ).alias("chi2_q6"),
+    )
+
+
+def drift_chi2_oracle(
+    ref_where: str, cur_where: str, bucket_chars: int = 50
+) -> str:
+    """DuckDB twin over the documents table split by two predicates."""
+    return f"""
+        WITH ref AS (
+          SELECT CAST((n_chars // {bucket_chars}) * {bucket_chars} AS BIGINT)
+                   AS bucket_lo, CAST(COUNT(*) AS BIGINT) AS n_ref
+          FROM documents WHERE {ref_where} GROUP BY 1
+        ), cur AS (
+          SELECT CAST((n_chars // {bucket_chars}) * {bucket_chars} AS BIGINT)
+                   AS bucket_lo, CAST(COUNT(*) AS BIGINT) AS n_cur
+          FROM documents WHERE {cur_where} GROUP BY 1
+        ), totals AS (
+          SELECT (SELECT CAST(SUM(n_ref) AS BIGINT) FROM ref) AS nr,
+                 (SELECT CAST(SUM(n_cur) AS BIGINT) FROM cur) AS nc
+        )
+        SELECT bucket_lo,
+               COALESCE(n_ref, 0) AS n_ref,
+               COALESCE(n_cur, 0) AS n_cur,
+               CASE WHEN COALESCE(n_ref, 0) > 0 THEN CAST(floor(
+                 ((CAST(COALESCE(n_cur, 0) AS DOUBLE)
+                    - CAST(n_ref AS DOUBLE) * (CAST(nc AS DOUBLE) / CAST(nr AS DOUBLE)))
+                  * (CAST(COALESCE(n_cur, 0) AS DOUBLE)
+                    - CAST(n_ref AS DOUBLE) * (CAST(nc AS DOUBLE) / CAST(nr AS DOUBLE)))
+                  / (CAST(n_ref AS DOUBLE) * (CAST(nc AS DOUBLE) / CAST(nr AS DOUBLE))))
+                 * 1e6 + 0.5) AS BIGINT) END AS chi2_q6
+        FROM ref FULL OUTER JOIN cur USING (bucket_lo)
+        CROSS JOIN totals
+    """
+
+
 def length_histogram_oracle(bucket_chars: int = 50) -> str:
     return f"""
         SELECT CAST((n_chars // {bucket_chars}) * {bucket_chars} AS BIGINT)

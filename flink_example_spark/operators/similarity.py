@@ -474,3 +474,40 @@ def cosine_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 5,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two ranked retrieval
+    lists — the standard hybrid-retrieval combiner (e.g. BM25 + dense ANN in
+    a RAG stack). Inputs: (query_id, neighbor_id, rank, ...) relations;
+    output: (query_id, neighbor_id, rrf, fused_rank) top-k per query.
+
+    rrf(d) = 1/(c + rank_a(d)) + 1/(c + rank_b(d)), missing-list terms
+    contribute 0. The two-term sum is a FIXED expression (not an aggregate),
+    so no accumulation-order hazard exists; ties break on neighbor_id.
+
+    Scale: both inputs are already top-k-per-query relations (query-batch
+    sized); the fusion is a full outer join on (query, neighbor) plus one
+    per-query top-k window over <= 2k rows per query.
+    """
+    a = ranked_a.select("query_id", "neighbor_id", F.col("rank").alias("__ra"))
+    b = ranked_b.select("query_id", "neighbor_id", F.col("rank").alias("__rb"))
+    fused = a.join(b, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(float(c)) + F.col("__ra")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(float(c)) + F.col("__rb")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("neighbor_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+        .select("query_id", "neighbor_id", "rrf", "fused_rank")
+    )

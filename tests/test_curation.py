@@ -310,3 +310,47 @@ def test_temperature_mix_small_domain_clamp(spark):
     out = temperature_mix(df, target_total=1000)
     tiny_kept = out.filter(F.col("source") == "tiny").count()
     assert tiny_kept == 5
+
+
+def test_drift_chi2_identical_halves_zero(spark):
+    """Drift of a corpus against itself is exactly zero in every bucket."""
+    from flink_example_spark.operators.curation import drift_chi2
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 * 60 + 30).alias("n_chars")
+    )
+    out = drift_chi2(df, df).collect()
+    assert len(out) > 1
+    assert all(r["chi2_q6"] == 0 for r in out)
+
+
+def test_drift_chi2_flags_shifted_distribution(spark):
+    """A shifted current distribution produces large contributions, and a
+    current-only bucket surfaces as a null-contrib row."""
+    from flink_example_spark.operators.curation import drift_chi2
+
+    ref = spark.range(100).select(F.lit(100).alias("n_chars"))
+    cur = spark.range(100).select(
+        F.when(F.col("id") < 50, 100).otherwise(900).alias("n_chars")
+    )
+    out = {r["bucket_lo"]: r for r in drift_chi2(ref, cur).collect()}
+    assert out[100]["chi2_q6"] > 0          # mass moved away
+    assert out[900]["chi2_q6"] is None      # bucket with no reference mass
+    assert out[900]["n_cur"] == 50 and out[900]["n_ref"] == 0
+
+
+def test_rrf_fusion_properties(spark):
+    """RRF: a doc ranked well by both systems beats single-system docs;
+    ranks are dense 1..k."""
+    from flink_example_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id long, neighbor_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2), (0, 12, 3)], "query_id long, neighbor_id long, rank int"
+    )
+    out = sorted(rrf_fuse(a, b, k=4).collect(), key=lambda r: r["fused_rank"])
+    # doc 11: 1/62 + 1/61 wins over doc 10 (1/61) and doc 12 (2/63)
+    assert [r["neighbor_id"] for r in out] == [11, 12, 10, 13]
+    assert [r["fused_rank"] for r in out] == [1, 2, 3, 4]
