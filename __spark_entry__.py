@@ -501,6 +501,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hybrid-retrieval ensemble: reciprocal-rank fusion of the exact
         # and IVF retrievers' top-5 lists (the RAG-stack combiner)
         "ann_rrf_fusion": rrf_entry,
+        # MMR diversification re-rank of the exact retriever's top-10 pool
+        "ann_mmr_rerank": lambda spark, sf_dir: similarity.mmr_rerank(
+            _embs(spark, sf_dir),
+            _embs(spark, sf_dir).filter(F.col("vec_id") < 8),
+            k=5,
+            pool=10,
+        ),
         "ann_kmeans_centroids_vec": ann_kmeans_vec,
         "ann_ivf_trained": ann_ivf_trained,
         "text_lm_surprisal": lambda spark, sf_dir: text.lm_surprisal(_docs(spark, sf_dir)),
@@ -963,6 +970,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["dedup_simhash"] = _simhash_md5_oracle()
     out["ann_lsh_topk"] = _lsh_topk_oracle()
     out["ann_ivf_topk"] = _ivf_topk_oracle()
+    out["ann_mmr_rerank"] = _mmr_oracle(k=5, pool=10)
     out["ann_rrf_fusion"] = f"""
         WITH ea AS ({out["ann_cosine_topk"]}),
         eb AS ({_ivf_topk_oracle()}),
@@ -1248,6 +1256,66 @@ def _ivf_topk_oracle() -> str:
                                     ORDER BY cos DESC, neighbor_id) AS rank
           FROM scored
         ) WHERE rank <= 5
+    """
+
+
+def _mmr_oracle(k: int = 5, pool: int = 10) -> str:
+    """Unrolled greedy MMR (lambda=0.5): sel{i} CTEs accumulate picks, each
+    step re-ranks the unselected pool by 0.5*rel - 0.5*maxsim (MATERIALIZED
+    per step — DuckDB CTE inlining is exponential otherwise)."""
+    parts = [
+        f"""cand AS MATERIALIZED (
+          SELECT query_id, neighbor_id, cos FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY a.vec_id
+                     ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
+                              b.vec_id) AS rnk
+            FROM c a JOIN c b ON a.vec_id < 8 AND a.vec_id != b.vec_id
+          ) WHERE rnk <= {pool}
+        ), sel1 AS MATERIALIZED (
+          SELECT query_id, neighbor_id, 1 AS pick FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rn
+            FROM cand
+          ) WHERE rn = 1
+        )"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""sel{i} AS MATERIALIZED (
+          SELECT * FROM sel{i - 1}
+          UNION ALL
+          SELECT query_id, neighbor_id, {i} AS pick FROM (
+            SELECT r.query_id, r.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY r.query_id ORDER BY
+                     0.5 * r.cos - 0.5 * mx.maxsim DESC, r.neighbor_id) AS rn
+            FROM cand r
+            JOIN (
+              SELECT r2.query_id, r2.neighbor_id,
+                     MAX(list_dot_product(cv1.v, cv2.v) / (cv1.nrm * cv2.nrm))
+                       AS maxsim
+              FROM cand r2
+              JOIN sel{i - 1} s ON s.query_id = r2.query_id
+              JOIN c cv1 ON cv1.vec_id = r2.neighbor_id
+              JOIN c cv2 ON cv2.vec_id = s.neighbor_id
+              WHERE NOT EXISTS (
+                SELECT 1 FROM sel{i - 1} s2
+                WHERE s2.query_id = r2.query_id
+                  AND s2.neighbor_id = r2.neighbor_id
+              )
+              GROUP BY r2.query_id, r2.neighbor_id
+            ) mx ON mx.query_id = r.query_id AND mx.neighbor_id = r.neighbor_id
+          ) WHERE rn = 1
+        )"""
+        )
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH c AS MATERIALIZED ({_DUCK_VECS}),
+        {ctes}
+        SELECT query_id, neighbor_id, pick FROM sel{k}
     """
 
 
@@ -1583,6 +1651,9 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kmv_quantile_sample, quantiles via the same Spark percentile
         # aggregate -> shares the batch sketch_quantiles oracle
         "streaming_kmv_quantiles": _run_streaming_kq,
+        # streaming drift monitor: live complete-mode histogram vs a frozen
+        # batch reference, chi2 combine shared with batch -> shares oracle
+        "streaming_drift_chi2": _run_streaming_drift,
         # streaming ANN: live query stream answered per micro-batch against
         # the static corpus (broadcast query batch, zero corpus shuffle);
         # converges to batch cosine_topk -> shares its oracle
@@ -1640,6 +1711,12 @@ def _run_streaming_kq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_example_spark.streaming.sketch_stream import run_streaming_kmv_quantiles
 
     return run_streaming_kmv_quantiles(spark, sf_dir, k=64)
+
+
+def _run_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.dedup_stream import run_streaming_drift
+
+    return run_streaming_drift(spark, sf_dir)
 
 
 def _run_streaming_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1717,6 +1794,7 @@ def _all_oracles() -> dict[str, str]:
     from flink_example_spark.operators.text import _DUCK_NORM as _DN
 
     out["streaming_kmv_quantiles"] = out["sketch_quantiles"]
+    out["streaming_drift_chi2"] = out["curation_drift_chi2"]
     out["streaming_cm_sketch"] = cm_sketch_oracle(
         f"SELECT t FROM (SELECT unnest(string_split_regex({_DN}, '\\s+')) AS t"
         " FROM documents) WHERE t <> ''",

@@ -962,6 +962,14 @@ def drift_chi2(
         )
         .agg(F.count(F.lit(1)).alias("n_cur"))
     )
+    return drift_chi2_from_hists(ref, cur)
+
+
+def drift_chi2_from_hists(ref: DataFrame, cur: DataFrame) -> DataFrame:
+    """Chi-square combine of two pre-aggregated histograms —
+    ``(bucket_lo, n_ref)`` vs ``(bucket_lo, n_cur)``. Split out so a
+    stream-maintained current histogram can reuse the exact batch
+    arithmetic (streaming twin shares the batch oracle)."""
     totals = ref.agg(F.sum("n_ref").alias("__nr")).crossJoin(
         cur.agg(F.sum("n_cur").alias("__nc"))
     )

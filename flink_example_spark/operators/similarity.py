@@ -511,3 +511,85 @@ def rrf_fuse(
         .filter(F.col("fused_rank") <= k)
         .select("query_id", "neighbor_id", "rrf", "fused_rank")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 10,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    from each query's top-``pool`` retrieval candidates, greedily select
+    ``k`` results trading relevance against redundancy —
+    ``argmax lam*rel(d) - (1-lam)*max_{s in S} sim(d, s)`` — the
+    diversification pass a RAG stack runs after ANN retrieval.
+
+    The greedy loop unrolls into k DataFrame steps (exactly how the Lloyd
+    trainer unrolls): every step is per-query work over <= pool candidate
+    rows (query-batch sized — the corpus-scale cost is the candidate
+    retrieval, not this). Ties break on neighbor_id; all sims are the
+    deterministic fold cosine, so selection order is engine-exact.
+    Output: (query_id, neighbor_id, pick) with pick in 1..k.
+    """
+    cands = cosine_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
+    cv = _prep(corpus, id_col, vec_col, "n")
+    # candidate pool is consumed by every greedy step (anti-join + score):
+    # cut the lineage once or the retrieval re-runs per step (the
+    # multi-consumer recompute pitfall)
+    c = (
+        cands.join(
+            cv.select(
+                F.col("n_id").alias("neighbor_id"),
+                F.col("n_vec").alias("__v"),
+                F.col("n_norm").alias("__nm"),
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", "cos", "__v", "__nm")
+        .localCheckpoint(eager=True)
+    )
+
+    w1 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    selected = (
+        c.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", "neighbor_id", F.lit(1).alias("pick"), "__v", "__nm")
+    )
+    for i in range(2, k + 1):
+        rem = c.join(
+            selected.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti"
+        )
+        sims = (
+            rem.alias("r")
+            .join(selected.alias("s"), F.col("r.query_id") == F.col("s.query_id"))
+            .select(
+                F.col("r.query_id").alias("query_id"),
+                F.col("r.neighbor_id").alias("neighbor_id"),
+                (
+                    dot(F.col("r.__v"), F.col("s.__v"))
+                    / (F.col("r.__nm") * F.col("s.__nm"))
+                ).alias("__sim"),
+            )
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.max("__sim").alias("__maxsim"))
+        )
+        scored = rem.join(sims, ["query_id", "neighbor_id"]).withColumn(
+            "__score",
+            F.lit(lam) * F.col("cos") - F.lit(1.0 - lam) * F.col("__maxsim"),
+        )
+        wi = Window.partitionBy("query_id").orderBy(
+            F.col("__score").desc(), F.col("neighbor_id")
+        )
+        pick_i = (
+            scored.withColumn("__rn", F.row_number().over(wi))
+            .filter(F.col("__rn") == 1)
+            .select("query_id", "neighbor_id", F.lit(i).alias("pick"), "__v", "__nm")
+        )
+        # selected feeds three consumers next step (anti-join, sim join,
+        # union) — cut per step, relations are query-batch-sized
+        selected = selected.unionByName(pick_i).localCheckpoint(eager=True)
+    return selected.select("query_id", "neighbor_id", "pick")

@@ -260,3 +260,45 @@ def run_streaming_lm_filter(
         q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
         q.awaitTermination()
     return _read_batches(spark, sink)
+
+
+def run_streaming_drift(spark: SparkSession, sf_dir: str, chunks: int = 3) -> DataFrame:
+    """Streaming drift monitor: the CURRENT corpus half's length histogram
+    is maintained live (complete-mode streaming aggregation — pure JVM
+    state, one row per bucket) and chi-squared against a FROZEN reference
+    histogram computed in batch, exactly the alarm loop a production ingest
+    pipeline runs. Converges to the batch ``drift_chi2`` relation — shares
+    its oracle."""
+    from flink_example_spark.operators.curation import drift_chi2_from_hists
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+        .filter(F.col("doc_id") % 2 == 1)
+        .select((F.expr("n_chars DIV 50").cast("long") * 50).alias("bucket_lo"))
+    )
+    counts = stream.groupBy("bucket_lo").agg(F.count(F.lit(1)).alias("n_cur"))
+    name = f"stream_drift_{uuid.uuid4().hex[:8]}"
+    from flink_example_spark.session import shuffle_partitions
+
+    with shuffle_partitions(spark, 8):
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    cur_hist = spark.table(name)
+    ref_hist = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .groupBy((F.expr("n_chars DIV 50").cast("long") * 50).alias("bucket_lo"))
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    return drift_chi2_from_hists(ref_hist, cur_hist)

@@ -605,3 +605,28 @@ def test_pmi_collocations_finds_planted_phrase(spark):
     assert (out[0]["a"], out[0]["b"]) == ("hong", "kong")
     assert out[0]["pmi_bits"] > 0
     assert all(r["c_ab"] >= 3 for r in out)
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR pick 2 skips the near-duplicate of pick 1 in favor of a diverse
+    candidate, even though the duplicate has higher raw relevance."""
+    from flink_example_spark.operators.similarity import mmr_rerank
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),      # query
+        (1, [0.99, 0.1, 0.0]),     # most relevant
+        (2, [0.98, 0.11, 0.0]),    # near-dup of 1, still very relevant
+        (3, [0.6, 0.0, 0.8]),      # diverse, less relevant
+        (4, [0.5, 0.0, 0.9]),      # diverse, least relevant
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["pick"]: r["neighbor_id"]
+        for r in mmr_rerank(df, df.filter(F.col("vec_id") == 0), k=3, pool=4).collect()
+    }
+    assert out[1] == 1          # pure relevance
+    assert out[2] in (3, 4)     # diversification beats the near-dup
+    assert len(set(out.values())) == 3
