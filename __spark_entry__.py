@@ -273,6 +273,22 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "lang"
         )
 
+    def kmv_daily_entry(spark, sf_dir):
+        """Time-hierarchy cardinality profile: per-day distinct users via
+        the KMV sketch — the rolled-up profiling query a 100 TB event store
+        answers from shard-mergeable sketches instead of exact
+        COUNT(DISTINCT) over every day's raw events."""
+        from flink_example_spark.operators.sketch import kmv_distinct
+        from flink_example_spark.plans.events_demo import load_events
+
+        ev = load_events(spark, sf_dir).select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            # md5 of a non-string differs across engines — hash the decimal
+            # string form in both
+            F.col("user_id").cast("string").alias("uid"),
+        )
+        return kmv_distinct(ev, "day", "uid", k=16)
+
     def quantile_entry(spark, sf_dir):
         """Hash-rank-sample quantile sketch: per-language n_chars quartiles
         from a deterministic 64-row sample (small languages exact, 'en'
@@ -291,16 +307,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.rrf_fuse(exact, ivf, k=5)
 
     def fuzzy_words_entry(spark, sf_dir):
-        docs = _docs(spark, sf_dir).select("doc_id", "text")
-        typos = docs.filter(F.col("doc_id") < 5).select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
-            F.regexp_replace(
-                F.regexp_replace(F.col("text"), r"(\S)(\s+)", r"$1$1$2"),
-                r"(\S)$",
-                r"$1$1",
-            ).alias("text"),
-        )
-        return dedup.fuzzy_word_pairs(docs.union(typos))
+        return dedup.fuzzy_word_pairs(_fuzzy_corpus(spark, sf_dir))
 
     def cm_hh_entry(spark, sf_dir):
         """Count-min heavy hitters: top-16 document terms with exact counts
@@ -530,6 +537,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distribution-drift gate: chi-square of the odd-doc_id half's
         # length histogram against the even half (integer-quantized
         # contributions; current-only buckets surface as null-contrib rows)
+        # the FULL raw->shards pipeline: curate -> temperature-mix -> pack
+        "curation_training_shards": lambda spark, sf_dir: curation.training_shards(
+            _docs(spark, sf_dir)
+        ),
         "curation_drift_chi2": lambda spark, sf_dir: curation.drift_chi2(
             _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0),
             _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 1),
@@ -545,9 +556,17 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # character doubled ("fast" -> "fastt"), the same device as the
         # planted twins in dedup_semantic_strict.
         "dedup_fuzzy_words": fuzzy_words_entry,
+        # distance-2 variant: the delete-one expansion applied twice
+        # (recall stays perfect at <=2, see operator docstring)
+        "dedup_fuzzy_words2": lambda spark, sf_dir: dedup.fuzzy_word_pairs(
+            _fuzzy_corpus(spark, sf_dir), max_dist=2
+        ),
         "sketch_kmv_distinct": kmv_entry,
         "sketch_cm_heavy_hitters": cm_hh_entry,
         "sketch_quantiles": quantile_entry,
+        # sketch x event-time windowing: daily distinct-user KMV over the
+        # events stream (k=16 so large days estimate, small days exact)
+        "sketch_kmv_daily": kmv_daily_entry,
         "embedding_near_dup": emb_pairs,
         "embedding_near_dup_lsh": emb_pairs_lsh,
         "embedding_dup_clusters": emb_clusters,
@@ -637,6 +656,23 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Corpus-mixing demo weights (per-language keep fractions).
 _MIX_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.75, "es": 0.1}
+
+def _fuzzy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents plus planted insertion typos (docs 0-4 re-entered with
+    every word's last character doubled) — the fuzzy-pairs demo corpus."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    typos = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), r"(\S)(\s+)", r"$1$1$2"),
+            r"(\S)$",
+            r"$1$1",
+        ).alias("text"),
+    )
+    return docs.union(typos)
+
 
 # Fixed merge list for the bpe_tokenize demo row (this corpus' top-4
 # learned merges; fixing them decouples APPLY from TRAIN in the oracle).
@@ -778,6 +814,7 @@ def _northstar_oracles() -> dict[str, str]:
         FROM documents WHERE doc_id < 5
     )"""
     out["dedup_fuzzy_words"] = fuzzy_word_pairs_oracle(source=_typo_src)
+    out["dedup_fuzzy_words2"] = fuzzy_word_pairs_oracle(source=_typo_src, max_dist=2)
     out["dedup_semantic_decontaminate"] = f"""
         WITH c AS ({_DUCK_VECS}),
         bench AS (SELECT * FROM c WHERE vec_id < 25),
@@ -1051,6 +1088,7 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["text_bpe_tokenize"] = bpe_tokenize_oracle(list(_BPE_FIXED_MERGES))
     out["curation_temperature_mix"] = curation.temperature_mix_oracle(target_total=250)
+    out["curation_training_shards"] = curation.training_shards_oracle()
     out["curation_drift_chi2"] = curation.drift_chi2_oracle(
         "doc_id % 2 = 0", "doc_id % 2 = 1"
     )
@@ -1070,6 +1108,13 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["sketch_quantiles"] = kmv_quantiles_oracle(
         "documents", ["lang"], "n_chars", "doc_id", k=64
+    )
+    out["sketch_kmv_daily"] = kmv_distinct_oracle(
+        "(SELECT date_trunc('day', ts) AS day,"
+        " CAST(user_id AS VARCHAR) AS uid FROM events)",
+        ["day"],
+        "uid",
+        k=16,
     )
 
     _duck_terms = (

@@ -640,7 +640,9 @@ def pack_sequences(
     )
 
 
-def pack_sequences_oracle(ctx_len: int, n_shards: int) -> str:
+def pack_sequences_oracle(
+    ctx_len: int, n_shards: int, source: str = "documents"
+) -> str:
     return f"""
         WITH sized AS (
           SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
@@ -648,7 +650,7 @@ def pack_sequences_oracle(ctx_len: int, n_shards: int) -> str:
                  doc_id,
                  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
                            ELSE len({_DUCK_W}) END AS BIGINT) AS n_tok
-          FROM documents
+          FROM {source}
         ), packed AS (
           SELECT shard, doc_id, n_tok,
                  CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
@@ -812,13 +814,17 @@ def temperature_mix(
 
 
 def temperature_mix_oracle(
-    target_total: int, domain_col: str = "source", buckets: int = 1_000_000
+    target_total: int,
+    domain_col: str = "source",
+    buckets: int = 1_000_000,
+    source: str = "documents",
 ) -> str:
-    """DuckDB twin of ``temperature_mix`` over the documents table."""
+    """DuckDB twin of ``temperature_mix``; ``source`` is the corpus
+    relation (or parenthesized subquery)."""
     return f"""
         WITH counts AS (
           SELECT {domain_col}, CAST(COUNT(*) AS BIGINT) AS n
-          FROM documents GROUP BY {domain_col}
+          FROM {source} GROUP BY {domain_col}
         ), s AS (
           SELECT {domain_col}, n,
                  CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS s
@@ -832,7 +838,7 @@ def temperature_mix_oracle(
           FROM s CROSS JOIN tot
         )
         SELECT d.doc_id, d.{domain_col}, d.lang
-        FROM documents d JOIN rates USING ({domain_col})
+        FROM {source} d JOIN rates USING ({domain_col})
         WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
                    AS BIGINT) % {int(buckets)} < rates.thresh
     """
@@ -1256,4 +1262,60 @@ def curated_corpus_oracle(
                  AS redacted_fp,
                c.n_chars
         FROM clean c JOIN passing USING (doc_id)
+    """
+
+
+def training_shards(
+    documents: DataFrame,
+    bench_mod: int = 7,
+    n: int = 8,
+    pattern: str = r"\b(customer|secret|merge)\b",
+    target_total: int = 250,
+    ctx_len: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """The FULL raw-crawl → training-shards pipeline, composed end to end:
+
+    curated_corpus (exact dedup → decontamination → Gopher filter →
+    redaction) → temperature_mix (alpha=0.5 domain rebalance) →
+    pack_sequences (per-shard context-window packing).
+
+    One lazily-planned relation: the curation stages collapse into the
+    corpus scan, the mix is a broadcast-threshold filter, and packing adds
+    the single per-shard running-sum window — Catalyst prunes and pushes
+    across every stage boundary. Output: pack_sequences' doc → context-
+    window map over the curated, rebalanced corpus.
+    """
+    survivors = curated_corpus(
+        documents, bench_mod=bench_mod, n=n, pattern=pattern
+    ).select("doc_id")
+    rows = documents.join(survivors, "doc_id", "left_semi")
+    mixed = temperature_mix(rows, target_total=target_total)
+    return pack_sequences(mixed, ctx_len=ctx_len, n_shards=n_shards)
+
+
+def training_shards_oracle(
+    bench_mod: int = 7,
+    n: int = 8,
+    pattern: str = r"\b(customer|secret|merge)\b",
+    target_total: int = 250,
+    ctx_len: int = 256,
+    n_shards: int = 8,
+) -> str:
+    """Composed from the per-stage oracle fragments (outer CTEs are in
+    scope inside the packed subquery's own WITH)."""
+    mix_sql = temperature_mix_oracle(target_total=target_total, source="base")
+    pack_sql = pack_sequences_oracle(
+        ctx_len,
+        n_shards,
+        source="(SELECT d2.* FROM documents d2 JOIN mix USING (doc_id))",
+    )
+    return f"""
+        WITH curated AS ({curated_corpus_oracle(bench_mod=bench_mod, n=n, pattern=pattern)}),
+        base AS (
+          SELECT d.* FROM documents d
+          WHERE d.doc_id IN (SELECT doc_id FROM curated)
+        ),
+        mix AS ({mix_sql})
+        SELECT * FROM ({pack_sql})
     """

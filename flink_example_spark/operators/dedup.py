@@ -655,6 +655,7 @@ def fuzzy_word_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 1,
+    max_dist: int = 1,
 ) -> DataFrame:
     """Typo-cluster mining: pairs of distinct corpus WORDS within edit
     distance 1 — the vocabulary-cleaning pass (OCR noise, misspellings)
@@ -670,9 +671,17 @@ def fuzzy_word_pairs(
     O(vocab x avg_len) candidate keys instead of O(vocab^2) pairs. Variant
     generation is codegen explode(sequence)+substring concat.
 
-    Output: (word_a, word_b, dist=1, count_a, count_b), word_a < word_b.
+    ``max_dist=2`` applies the SAME delete-one expansion twice (a deletion
+    of a deletion enumerates every <=2-deletion variant): an alignment
+    argument gives each of <=2 edit ops at most one deletion per side, so
+    recall stays perfect and the result still equals brute force, at
+    O(vocab x len^2) candidate keys.
+
+    Output: (word_a, word_b, dist, count_a, count_b), word_a < word_b.
     Both engines' levenshtein is the classic integer DP — deterministic.
     """
+    if max_dist not in (1, 2):
+        raise ValueError("max_dist must be 1 or 2")
     from flink_example_spark.operators.text import normalized, tokens
 
     vocab = (
@@ -682,28 +691,35 @@ def fuzzy_word_pairs(
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= min_count)
     )
-    variants = vocab.select(
-        "w",
-        F.explode(
-            F.concat(
-                F.array(F.col("w")),
-                F.transform(
-                    F.sequence(F.lit(1), F.length("w")),
-                    lambda i: F.concat(
-                        F.col("w").substr(F.lit(1), i - 1),
-                        F.col("w").substr(i + 1, F.length("w")),
+    def expand(df: DataFrame, col: str) -> DataFrame:
+        # each row -> itself plus every delete-one-character variant
+        return df.select(
+            *[c for c in df.columns if c != col],
+            F.explode(
+                F.concat(
+                    F.array(F.col(col)),
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(col)),
+                        lambda i: F.concat(
+                            F.col(col).substr(F.lit(1), i - 1),
+                            F.col(col).substr(i + 1, F.length(col)),
+                        ),
                     ),
-                ),
-            )
-        ).alias("__v"),
-    ).dropDuplicates(["w", "__v"])
+                )
+            ).alias(col),
+        )
+
+    variants = expand(vocab.select("w", F.col("w").alias("__v")), "__v")
+    for _ in range(max_dist - 1):
+        variants = expand(variants, "__v")
+    variants = variants.dropDuplicates(["w", "__v"])
     a, b = variants.alias("a"), variants.alias("b")
     cand = (
         a.join(b, (F.col("a.__v") == F.col("b.__v")) & (F.col("a.w") < F.col("b.w")))
         .select(F.col("a.w").alias("word_a"), F.col("b.w").alias("word_b"))
         .dropDuplicates(["word_a", "word_b"])
     )
-    verified = cand.filter(F.levenshtein("word_a", "word_b") <= 1).withColumn(
+    verified = cand.filter(F.levenshtein("word_a", "word_b") <= max_dist).withColumn(
         "dist", F.levenshtein("word_a", "word_b").cast("int")
     )
     return (
@@ -719,7 +735,9 @@ def fuzzy_word_pairs(
     )
 
 
-def fuzzy_word_pairs_oracle(min_count: int = 1, source: str = "documents") -> str:
+def fuzzy_word_pairs_oracle(
+    min_count: int = 1, source: str = "documents", max_dist: int = 1
+) -> str:
     """Brute-force DuckDB twin (exact, because the deletion-neighborhood
     join has perfect recall at distance 1 — see operator docstring).
     ``source``: relation (or parenthesized subquery) with a ``text``
@@ -738,6 +756,6 @@ def fuzzy_word_pairs_oracle(min_count: int = 1, source: str = "documents") -> st
                CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist,
                a.c AS count_a, b.c AS count_b
         FROM vocab a JOIN vocab b
-          ON a.w < b.w AND abs(len(a.w) - len(b.w)) <= 1
-        WHERE levenshtein(a.w, b.w) <= 1
+          ON a.w < b.w AND abs(len(a.w) - len(b.w)) <= {max_dist}
+        WHERE levenshtein(a.w, b.w) <= {max_dist}
     """

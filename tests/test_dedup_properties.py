@@ -142,3 +142,33 @@ def test_fuzzy_word_pairs_equals_bruteforce(spark):
         tuple(sorted(p)) for p in itertools.combinations(words, 2) if lev(*p) <= 1
     }
     assert got == want and len(want) >= 4
+
+
+def test_fuzzy_word_pairs_dist2_equals_bruteforce(spark):
+    """Double deletion-expansion: recall stays perfect at distance 2."""
+    import itertools
+
+    from flink_example_spark.operators.dedup import fuzzy_word_pairs
+
+    words = ["kitten", "sitten", "sittin", "mitten", "king", "kin", "k", "zebra"]
+    docs = spark.createDataFrame([(0, " ".join(words))], "doc_id bigint, text string")
+    got = {
+        (r["word_a"], r["word_b"]): r["dist"]
+        for r in fuzzy_word_pairs(docs, max_dist=2).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {
+        tuple(sorted(p)): lev(*p)
+        for p in itertools.combinations(words, 2)
+        if lev(*p) <= 2
+    }
+    assert got == want
+    assert 2 in got.values() and 1 in got.values()
