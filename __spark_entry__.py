@@ -1703,6 +1703,9 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the static corpus (broadcast query batch, zero corpus shuffle);
         # converges to batch cosine_topk -> shares its oracle
         "streaming_ann_topk": _run_streaming_ann,
+        # streaming lexical retrieval: live text queries per micro-batch
+        # against the static corpus -> shares the batch bm25 oracle
+        "streaming_bm25": _run_streaming_bm25,
         # session-window streaming aggregate (state-store session merge):
         # converges to the batch session window counts → shares its oracle
         "streaming_session_windows": run_streaming_session_windows,
@@ -1774,6 +1777,12 @@ def _run_streaming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_example_spark.streaming.ann_stream import run_streaming_ann_topk
 
     return run_streaming_ann_topk(spark, sf_dir, k=5)
+
+
+def _run_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.ann_stream import run_streaming_bm25
+
+    return run_streaming_bm25(spark, sf_dir, list(_BM25_QUERIES), topk=10)
 
 
 def _run_streaming_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1848,6 +1857,7 @@ def _all_oracles() -> dict[str, str]:
         width=8,
     )
     out["streaming_ann_topk"] = out["ann_cosine_topk"]
+    out["streaming_bm25"] = out["text_bm25_topk"]
     out["streaming_lm_filter"] = (
         f"SELECT * FROM ({out['text_lm_surprisal']}) WHERE avg_surprisal_bits <= 4.03"
     )

@@ -202,11 +202,13 @@ def snapshot_at(
     Keys whose first version is after ``ts`` are absent, exactly as the
     temporal-table semantics dictate.
 
-    Plan shape: the time predicate is a plain filter that Catalyst pushes
-    beneath the per-key window (and into the parquet scan when the history
-    is materialized, where it prunes whole files/row-groups by min/max
-    stats) — the window then sorts only the surviving prefix of each key's
-    history. Same single exchange as :func:`latest_versions`.
+    Plan shape: the time predicate evaluates beneath the head
+    (latest-per-key) window, so the head's WindowGroupLimit sorts only each
+    key's surviving prefix (it cannot cross the history window itself —
+    the bound column is that window's ORDER key; against a MATERIALIZED
+    history table the same predicate reaches the parquet scan and prunes
+    files/row-groups by min/max stats). Same single exchange as
+    :func:`latest_versions`. Plan pinned in test_plan_regressions.
     """
     return latest_versions(
         history.filter(F.col(time_col) <= F.to_timestamp(F.lit(ts))), key, time_col

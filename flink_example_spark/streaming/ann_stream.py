@@ -64,3 +64,47 @@ def run_streaming_ann_topk(
     q = q_stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination()
     return _read_batches(spark, sink)
+
+
+def run_streaming_bm25(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: list[tuple[int, str]],
+    topk: int = 10,
+    chunks: int = 2,
+) -> DataFrame:
+    """Streaming BM25 — live text queries answered against the static
+    corpus, the lexical twin of :func:`run_streaming_ann_topk`: each query
+    micro-batch runs the SAME batch ``bm25_topk`` (corpus stats are fixed
+    per batch, so per-query answers never change once emitted) and the
+    bounded replay converges to the batch relation — shares the
+    ``text_bm25_topk`` oracle."""
+    from flink_example_spark.operators.text import bm25_topk
+    from flink_example_spark.streaming.pipeline import _read_batches
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    corpus = load_table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(list(queries), "query_id bigint, query_text string")
+
+    tmpdir = tempfile.mkdtemp(prefix="stream_bm25_")
+    for i in range(chunks):
+        qdf.filter(F.col("query_id") % chunks == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmpdir, f"chunk_{i}"))
+    stamp_chunk_mtimes(tmpdir)
+
+    q_stream = (
+        spark.readStream.schema(qdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    sink = tempfile.mkdtemp(prefix="stream_bm25_out_")
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        out = bm25_topk(corpus, batch, topk=topk)
+        out.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
+
+    q = q_stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return _read_batches(spark, sink)

@@ -234,3 +234,79 @@ def test_kmv_two_phase_windows(spark):
     assert re.search(r"windowspecdefinition\(lang#\d+, _w0#", plan), plan
     # Spark's WindowGroupLimit pushes the k-limit below each shuffle too
     assert "WindowGroupLimit" in plan
+
+
+def test_bm25_broadcasts_query_terms_before_tf(spark):
+    """The query-term set broadcasts and filters the token stream BEFORE
+    the (doc, term) aggregation; no cartesian anywhere."""
+    from flink_example_spark.operators.text import bm25_topk
+    from flink_example_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    qs = spark.createDataFrame(
+        [(0, "fast table scan")], "query_id bigint, query_text string"
+    )
+    plan = physical(bm25_topk(docs, qs))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # top-k per query compiles to the WindowGroupLimit partial/final pair
+    assert "WindowGroupLimit" in plan
+
+
+def test_cm_sketch_reduce_side_is_bounded(spark):
+    """The counter aggregation partially combines map-side (the reduce
+    exchange carries at most depth*width rows), and the estimate join
+    broadcasts the sketch."""
+    from flink_example_spark.operators.sketch import cm_estimate, cm_sketch
+    from flink_example_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        F.col("lang").alias("v")
+    )
+    sketch = cm_sketch(docs, "v", depth=3, width=8)
+    plan = physical(sketch)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    est = cm_estimate(sketch, docs.distinct(), "v", depth=3, width=8)
+    assert "BroadcastHashJoin" in physical(est)
+
+
+def test_snapshot_at_filter_below_head_window(spark):
+    """The time-travel predicate evaluates BENEATH the head (latest-per-key)
+    window — the head sorts only each key's surviving prefix, never the full
+    history. (It cannot cross the history window itself: _change_time is
+    that window's ORDER column.)"""
+    from flink_example_spark.operators.versioned import snapshot_at
+    from flink_example_spark.plans.events_demo import feature_history, load_events
+
+    plan = physical(
+        snapshot_at(
+            feature_history(load_events(spark, SF)), "_entity", "2024-01-15 00:00:00"
+        )
+    )
+    bound_at = plan.index("2024-01-15")
+    head_partial = plan.index("row_number(), 1, Partial")
+    assert bound_at > head_partial  # deeper in the tree than the head window
+
+
+def test_temperature_mix_single_broadcast_no_corpus_shuffle(spark):
+    """The corpus stream is filtered by a broadcast threshold join — the
+    only exchanges belong to the tiny domain-count aggregate."""
+    from flink_example_spark.operators.curation import temperature_mix
+    from flink_example_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = physical(temperature_mix(docs, target_total=100))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_fuzzy_pairs_no_cartesian(spark):
+    """The deletion-neighborhood join is an equi-join on the variant key —
+    never a cartesian/nested-loop over the vocabulary."""
+    from flink_example_spark.operators.dedup import fuzzy_word_pairs
+    from flink_example_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = physical(fuzzy_word_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
