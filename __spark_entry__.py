@@ -431,6 +431,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return resized.select("media_id", "in_w", "in_h", "out_w", "out_h", "out_sum")
 
+    def mm_crop(spark, sf_dir):
+        """REAL center crop over the PGM payloads: decode -> cut the
+        centered (h//2)x(w//2) region -> re-encode -> re-decode; the
+        oracle re-derives every cropped byte from the cycled-md5 scheme."""
+        media = multimodal.encode_codec_media(_docs(spark, sf_dir), formats=("pgm", "aiff"))
+        cropped = multimodal.crop_image(
+            media.filter(F.col("media_type") == "image"), repartition=False
+        )
+        return cropped.select("media_id", "in_w", "in_h", "out_w", "out_h", "out_sum")
+
     def mm_resize_box(spark, sf_dir):
         """Anti-aliased (box-mean) variant: every output byte is the
         integer mean of an f x f block — re-derived per pixel by the
@@ -577,6 +587,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_codec_be": mm_codec_be,
         "multimodal_resize": mm_resize,
         "multimodal_resize_box": mm_resize_box,
+        "multimodal_crop": mm_crop,
         "multimodal_audio_chunks": mm_audio_chunks,
         # corpus curation (operators/curation.py): benchmark = every doc_id
         # divisible by 7 (deterministic holdout), corpus = the rest.
@@ -1045,6 +1056,26 @@ def _northstar_oracles() -> dict[str, str]:
                ow AS out_w, oh AS out_h,
                CAST(SUM(ascii(substr(hh,
                     CAST(((i // ow) * 4 * w + (i % ow) * 4) % 32 AS INTEGER) + 1,
+                    1))) AS BIGINT) AS out_sum
+        FROM px GROUP BY 1, 2, 3, 4, 5
+    """
+
+    out["multimodal_crop"] = """
+        WITH img AS (
+          SELECT doc_id, md5(text) AS hh,
+                 CAST(doc_id % 32 + 8 AS INTEGER) AS w,
+                 CAST(doc_id % 24 + 8 AS INTEGER) AS h
+          FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+        ), px AS (
+          SELECT doc_id, hh, w, h, w // 2 AS cw, h // 2 AS ch,
+                 unnest(range((w // 2) * (h // 2))) AS i
+          FROM img
+        )
+        SELECT doc_id AS media_id, w AS in_w, h AS in_h,
+               cw AS out_w, ch AS out_h,
+               CAST(SUM(ascii(substr(hh,
+                    CAST(((h // 4 + i // cw) * w + (w // 4 + i % cw)) % 32
+                         AS INTEGER) + 1,
                     1))) AS BIGINT) AS out_sum
         FROM px GROUP BY 1, 2, 3, 4, 5
     """

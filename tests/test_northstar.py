@@ -630,3 +630,23 @@ def test_mmr_rerank_diversifies(spark):
     assert out[1] == 1          # pure relevance
     assert out[2] in (3, 4)     # diversification beats the near-dup
     assert len(set(out.values())) == 3
+
+
+def test_crop_image_region_bytes(spark):
+    """Center crop cuts exactly rows h//4..h//4+h//2, cols w//4..w//4+w//2;
+    the re-parsed payload holds those bytes verbatim."""
+    from flink_example_spark.operators import multimodal as mm
+
+    w, h = 8, 6
+    data = bytes(range(w * h))
+    payload = mm._encode_pgm(w, h, data)
+    media = spark.createDataFrame(
+        [(1, "image", payload)], "media_id long, media_type string, payload binary"
+    )
+    r = mm.crop_image(media).first()
+    assert (r["out_w"], r["out_h"]) == (4, 3)
+    x0, y0 = 2, 1
+    want = [data[(y0 + y) * w + x0 + x] for y in range(3) for x in range(4)]
+    _, _, got = mm._parse_pgm(bytes(r["out_payload"]))
+    assert list(got) == want
+    assert r["out_sum"] == sum(want)
