@@ -577,6 +577,21 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch x event-time windowing: daily distinct-user KMV over the
         # events stream (k=16 so large days estimate, small days exact)
         "sketch_kmv_daily": kmv_daily_entry,
+        # custom Python DataSource connector (Spark 4 DataSource API):
+        # deterministic synthetic events, md5-regenerable in DuckDB
+        "source_synth_events": lambda spark, sf_dir: __import__(
+            "flink_example_spark.sources.synthetic", fromlist=["run_synth_batch"]
+        ).run_synth_batch(spark, 2000),
+        # connector-side filter pushdown path (pushFilters applies the
+        # event_type predicate at generation)
+        "source_synth_pushdown": lambda spark, sf_dir: __import__(
+            "flink_example_spark.sources.synthetic", fromlist=["run_synth_batch"]
+        ).run_synth_batch(spark, 2000, where="event_type = 'error'"),
+        # the same connector through its streaming reader (bounded replay
+        # == batch relation)
+        "streaming_synth_source": lambda spark, sf_dir: __import__(
+            "flink_example_spark.sources.synthetic", fromlist=["run_synth_stream"]
+        ).run_synth_stream(spark, 2000),
         "embedding_near_dup": emb_pairs,
         "embedding_near_dup_lsh": emb_pairs_lsh,
         "embedding_dup_clusters": emb_clusters,
@@ -1140,6 +1155,11 @@ def _northstar_oracles() -> dict[str, str]:
     out["sketch_quantiles"] = kmv_quantiles_oracle(
         "documents", ["lang"], "n_chars", "doc_id", k=64
     )
+    from flink_example_spark.sources.synthetic import synth_events_oracle
+
+    out["source_synth_events"] = synth_events_oracle(2000)
+    out["source_synth_pushdown"] = synth_events_oracle(2000, "event_type = 'error'")
+    out["streaming_synth_source"] = out["source_synth_events"]
     out["sketch_kmv_daily"] = kmv_distinct_oracle(
         "(SELECT date_trunc('day', ts) AS day,"
         " CAST(user_id AS VARCHAR) AS uid FROM events)",
