@@ -198,3 +198,99 @@ def synth_events_oracle(n: int, where: str = "TRUE") -> str:
                CAST(h % 10000 AS DOUBLE) / 100.0 AS value
         FROM src WHERE {where}
     """
+
+
+# --- custom sink: manifest-committed text writer -----------------------------
+
+
+class _CommitMsg:
+    def __init__(self, path: str, count: int, checksum: str):
+        self.path, self.count, self.checksum = path, count, checksum
+
+
+def _manifest_writer_cls():
+    """Build the writer class lazily (keeps module import light)."""
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class ManifestCommit(WriterCommitMessage, _CommitMsg):
+        pass
+
+    class ManifestTextWriter(DataSourceWriter):
+        """Task-parallel text writer with a real two-phase commit: each
+        task writes ``part-<uuid>`` and returns (path, count, md5-of-lines)
+        as its commit message; ``commit()`` publishes a MANIFEST listing
+        exactly the committed parts — readers that honor the manifest never
+        see uncommitted/aborted task output (the same protocol file
+        committers and Iceberg-style manifests use). ``abort()`` removes
+        orphan parts."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("manifest_text sink requires path option")
+
+        def write(self, rows):
+            import hashlib
+            import os
+            import uuid
+
+            os.makedirs(self.path, exist_ok=True)
+            name = f"part-{uuid.uuid4().hex}.txt"
+            full = os.path.join(self.path, name)
+            h = hashlib.md5()
+            n = 0
+            with open(full, "w") as fh:
+                for row in rows:
+                    line = "|".join("" if v is None else str(v) for v in row)
+                    fh.write(line + "\n")
+                    h.update(line.encode())
+                    n += 1
+            return ManifestCommit(name, n, h.hexdigest())
+
+        def commit(self, messages):
+            import os
+
+            lines = sorted(
+                f"{m.path}|{m.count}|{m.checksum}" for m in messages if m.count
+            )
+            with open(os.path.join(self.path, "MANIFEST"), "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                try:
+                    os.remove(os.path.join(self.path, m.path))
+                except OSError:
+                    pass
+
+    return ManifestTextWriter
+
+
+class ManifestTextDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_text"
+
+    def schema(self) -> str:  # writer-only source; schema is the input's
+        return "line string"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _manifest_writer_cls()(self.options)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(ManifestTextDataSource)
+
+
+def read_manifest(path: str) -> list[tuple[str, int, str]]:
+    """Parse the committed manifest: (part_file, row_count, md5)."""
+    import os
+
+    out = []
+    with open(os.path.join(path, "MANIFEST")) as fh:
+        for line in fh:
+            p, n, c = line.strip().split("|")
+            out.append((p, int(n), c))
+    return out
