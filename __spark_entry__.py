@@ -306,6 +306,56 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ivf = similarity.ivf_cosine_topk(e, q, k=5, n_cells=16, n_probe=4)
         return similarity.rrf_fuse(exact, ivf, k=5)
 
+    def hybrid_entry(spark, sf_dir):
+        """TRUE sparse+dense hybrid retrieval over ONE corpus: BM25 over
+        documents.text and exact cosine over the SAME items' embeddings
+        (doc_id == vec_id in the fixtures), fused with reciprocal-rank
+        fusion — the production RAG retrieval stack as one Catalyst plan.
+        Queries: the 4 BM25 text queries paired with embedding vectors
+        0..3 as their dense form. Both retriever lists are query-batch
+        sized, so the fusion join is trivially broadcastable; the corpus
+        is touched once per modality (token postings / one vector scan)."""
+        docs = _docs(spark, sf_dir)
+        qdf = spark.createDataFrame(
+            list(_BM25_QUERIES), "query_id bigint, query_text string"
+        )
+        sparse = text.bm25_topk(docs, qdf, topk=10).select(
+            "query_id", F.col("doc_id").alias("neighbor_id"), "rank"
+        )
+        e = _embs(spark, sf_dir)
+        dense = similarity.cosine_topk(e, e.filter(F.col("vec_id") < 4), k=10)
+        return similarity.rrf_fuse(sparse, dense, k=10)
+
+    def textrank_entry(spark, sf_dir):
+        """TextRank keyword extraction: integer-arithmetic PageRank (6
+        rounds, damping 17/20) over the adjacent-bigram co-occurrence
+        graph; top-25 terms. The power iteration never touches floating
+        point (ranks in 1e-12 micro-units, rational damping), so the
+        ranks are bit-exact in any engine (operators/graph.py)."""
+        from flink_example_spark.operators.graph import pagerank, term_graph
+
+        pr = pagerank(
+            term_graph(_docs(spark, sf_dir), min_weight=2),
+            n_iter=6,
+            weight_col="w",
+        )
+        return (
+            pr.orderBy(F.col("rank_micro").desc(), "node")
+            .limit(25)
+            .select("node", "rank_micro", "rank")
+        )
+
+    def tri_entry(spark, sf_dir):
+        """Per-term triangle participation counts over the co-occurrence
+        graph — exact integer counting with the degree-ordered edge
+        orientation (out-degree bounded O(sqrt m): skew-safe wedges)."""
+        from flink_example_spark.operators.graph import term_graph, triangle_counts
+
+        pairs = term_graph(_docs(spark, sf_dir), min_weight=2).filter(
+            F.col("src") < F.col("dst")
+        )
+        return triangle_counts(pairs, "src", "dst")
+
     def fuzzy_words_entry(spark, sf_dir):
         return dedup.fuzzy_word_pairs(_fuzzy_corpus(spark, sf_dir))
 
@@ -518,6 +568,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hybrid-retrieval ensemble: reciprocal-rank fusion of the exact
         # and IVF retrievers' top-5 lists (the RAG-stack combiner)
         "ann_rrf_fusion": rrf_entry,
+        # sparse+dense hybrid: BM25 text lists fused with dense cosine
+        # lists over the same corpus items (doc_id == vec_id)
+        "ann_hybrid_retrieval": hybrid_entry,
+        # graph analytics: TextRank keywords (integer-arithmetic PageRank
+        # over the term co-occurrence graph) + triangle density
+        "graph_textrank_keywords": textrank_entry,
+        "graph_triangle_counts": tri_entry,
         # MMR diversification re-rank of the exact retriever's top-10 pool
         "ann_mmr_rerank": lambda spark, sf_dir: similarity.mmr_rerank(
             _embs(spark, sf_dir),
@@ -1127,6 +1184,61 @@ def _northstar_oracles() -> dict[str, str]:
         ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES), topk=10
     )
     out["text_pmi_collocations"] = text.pmi_oracle(topk=30, min_count=3)
+    # sparse+dense hybrid: BM25 top-10 (query_id 0..3) RRF-fused with the
+    # dense cosine top-10 of the same items' embeddings (doc_id == vec_id)
+    out["ann_hybrid_retrieval"] = f"""
+        WITH sp AS ({text.bm25_oracle(
+            ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES), topk=10
+        )}),
+        de AS (
+          SELECT query_id, neighbor_id, rank FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {_DUCK_COS} DESC, b.vec_id)
+                     AS rank
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < 4 AND a.vec_id != b.vec_id
+          ) WHERE rank <= 10
+        ),
+        fused AS (
+          SELECT COALESCE(sp.query_id, de.query_id) AS query_id,
+                 COALESCE(sp.doc_id, de.neighbor_id) AS neighbor_id,
+                 COALESCE(1.0 / (60.0 + sp.rank), 0.0)
+                   + COALESCE(1.0 / (60.0 + de.rank), 0.0) AS rrf
+          FROM sp FULL OUTER JOIN de
+            ON sp.query_id = de.query_id AND sp.doc_id = de.neighbor_id
+        )
+        SELECT query_id, neighbor_id, rrf, fused_rank FROM (
+          SELECT query_id, neighbor_id, rrf,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY rrf DESC, neighbor_id)
+                   AS fused_rank
+          FROM fused
+        ) WHERE fused_rank <= 10
+    """
+    from flink_example_spark.operators.graph import pagerank_oracle, term_graph_sql
+
+    # integer-arithmetic PageRank: unrolled power iteration, bit-exact
+    out["graph_textrank_keywords"] = pagerank_oracle(
+        term_graph_sql(2),
+        n_iter=6,
+        select_sql=(
+            "SELECT node, r AS rank_micro, CAST(r AS DOUBLE) / 1e12 AS rank "
+            "FROM r{n} ORDER BY r DESC, node LIMIT 25"
+        ),
+    )
+    out["graph_triangle_counts"] = f"""
+        WITH e AS MATERIALIZED ({term_graph_sql(2)}),
+        p AS MATERIALIZED (SELECT src AS a, dst AS b FROM e WHERE src < dst),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM p e1 JOIN p e2 ON e1.b = e2.a
+          JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+        GROUP BY node
+    """
     from flink_example_spark.operators.bpe import bpe_oracle
 
     out["text_bpe_merges"] = bpe_oracle(n_merges=8)

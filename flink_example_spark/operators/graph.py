@@ -1,0 +1,291 @@
+"""Distributed graph analytics over DataFrame ops.
+
+The reference engine (kerinin/flink-example) has no graph operators; these
+extend the engine with the graph primitives a training-data curation
+pipeline runs at corpus scale: PageRank (host/domain quality scoring a la
+Common Crawl, TextRank keyword extraction) and triangle counting (community
+density on near-duplicate graphs). Both are pure DataFrame compositions —
+no Python in the loop — and both are engine-portable by construction:
+
+- ``pagerank`` runs the power iteration ENTIRELY in 64-bit integer
+  arithmetic (ranks in 1e-12 "micro" units, damping as the exact rational
+  num/den), so there is no floating-point accumulation anywhere and any
+  engine reproduces the ranks bit-for-bit.  See CLAUDE.md: never SUM raw
+  doubles across engines.
+- ``triangle_counts`` is exact counting (integers only); the
+  degree-ordered edge orientation bounds per-node fan-out by O(sqrt(m)),
+  the standard device that keeps the wedge join skew-safe on power-law
+  graphs at the 100 TB posture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MICRO = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 6,
+    damping: tuple[int, int] = (17, 20),
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank power iteration, deterministic across engines.
+
+    ``edges``: (src, dst[, weight]) with INTEGER weights (weight 1 when
+    ``weight_col`` is None). ``damping`` is an exact rational (num, den) —
+    the default (17, 20) is the classic 0.85.
+
+    All arithmetic is 64-bit integer: ranks live in micro-units (1e12 ==
+    mass 1.0); each edge contributes ``(num * r_src * w) div (den *
+    out_w_src)`` and every node gets the teleport base ``(micro * (den -
+    num)) div (den * n_nodes)``. Floor losses and dangling-node mass are
+    simply dropped (sub-stochastic iteration) — identically in any engine,
+    which is the point: the output is a deterministic function of the edge
+    multiset. Overflow bound: ``num * micro * max_weight < 2^63`` — fine
+    for weights up to ~5e5 at the default damping.
+
+    Scale shape: the edge relation (with its precomputed out-weight) is
+    shuffled ONCE onto src and kept; each iteration joins the node-sized
+    rank relation to it (ranks are the small side) and aggregates
+    contributions per dst — the Pregel pattern, with per-round
+    ``localCheckpoint`` lineage cuts (CLAUDE.md: multi-consumer branches
+    recompute their upstream DAG per consumer).
+
+    Output: (node, rank_micro BIGINT, rank DOUBLE) — rank is the single
+    exactly-rounded division rank_micro / 1e12.
+    """
+    num, den = damping
+    w_expr = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w_expr.alias("w")
+    )
+    sc = edges.sparkSession.sparkContext
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_micro"),
+            F.lit(0.0).alias("rank"),
+        )
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # one shuffle onto src, then the per-iteration rank join reuses it
+    # (explicit partition count — AQE coalesces column-only repartition
+    # back to 1 on small data, CLAUDE.md round-6 rule)
+    ee = (
+        e.join(out_w, "src")
+        .repartition(sc.defaultParallelism, F.col("src"))
+        .localCheckpoint(eager=True)
+    )
+    base = (MICRO * (den - num)) // (den * n_nodes)
+    ranks = nodes.select(
+        "node", F.lit(MICRO // n_nodes).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+    contrib_expr = F.expr(f"({num} * r * w) div ({den} * out_w)")
+    for _ in range(n_iter):
+        summed = (
+            ee.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), contrib_expr.alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_micro"),
+        (F.col("r").cast("double") / F.lit(1e12)).alias("rank"),
+    )
+
+
+def pagerank_oracle(
+    edges_sql: str,
+    n_iter: int = 6,
+    damping: tuple[int, int] = (17, 20),
+    select_sql: str = "SELECT node, r AS rank_micro, CAST(r AS DOUBLE) / 1e12 AS rank FROM r{n}",
+) -> str:
+    """DuckDB twin of ``pagerank``: the power iteration unrolled as chained
+    MATERIALIZED CTEs (DuckDB inlines non-recursive CTEs per consumer —
+    the shared edge/node relations are read every round, CLAUDE.md).
+    ``edges_sql`` must yield (src, dst, w BIGINT)."""
+    num, den = damping
+    rounds = []
+    for i in range(n_iter):
+        rounds.append(
+            f"""r{i + 1} AS MATERIALIZED (
+          SELECT n.node,
+                 CAST((({MICRO} * {den - num}) // ({den} * nn.n))
+                      + COALESCE(c.s, 0) AS BIGINT) AS r
+          FROM nodes n CROSS JOIN nn
+          LEFT JOIN (
+            SELECT ee.dst AS node,
+                   SUM(({num} * r.r * ee.w) // ({den} * ee.out_w)) AS s
+            FROM ee JOIN r{i} r ON ee.src = r.node GROUP BY 1
+          ) c ON n.node = c.node
+        )"""
+        )
+    chain = ",\n        ".join(rounds)
+    return f"""
+        WITH e AS MATERIALIZED ({edges_sql}),
+        nodes AS MATERIALIZED (
+          SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e
+        ),
+        nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        ee AS MATERIALIZED (
+          SELECT e.src, e.dst, e.w, o.out_w
+          FROM e JOIN (
+            SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e GROUP BY 1
+          ) o USING (src)
+        ),
+        r0 AS MATERIALIZED (
+          SELECT node, CAST({MICRO} // nn.n AS BIGINT) AS r
+          FROM nodes CROSS JOIN nn
+        ),
+        {chain}
+        {select_sql.format(n=n_iter)}
+    """
+
+
+def term_graph(
+    documents: DataFrame,
+    min_weight: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Undirected term co-occurrence graph from adjacent-token bigrams —
+    the TextRank (Mihalcea & Tarau 2004) graph. Edge weight = total count
+    of the unordered adjacent pair across the corpus; both directions are
+    emitted (symmetric directed edges) so ``pagerank`` walks it as an
+    undirected graph. Output: (src, dst, w) with w >= ``min_weight``.
+
+    Bigrams come from exploded per-doc index sequences over the shared
+    tokenizer (same device as ``text.pmi_collocations`` — higher-order
+    array lambdas are interpreted, explode + codegen is 10-30x faster).
+    """
+    from flink_example_spark.operators.text import normalized, tokens
+
+    toks = documents.select(
+        tokens(normalized(F.col(text_col))).alias("__t")
+    ).filter(F.size("__t") >= 2)
+    bigrams = (
+        toks.select(
+            F.col("__t"),
+            F.explode(F.sequence(F.lit(1), F.size("__t") - 1)).alias("__i"),
+        )
+        .select(
+            F.element_at("__t", F.col("__i")).alias("a"),
+            F.element_at("__t", F.col("__i") + 1).alias("b"),
+        )
+        .filter((F.col("a") != "") & (F.col("b") != "") & (F.col("a") != F.col("b")))
+    )
+    und = bigrams.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    )
+    cnt = (
+        und.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .filter(F.col("w") >= min_weight)
+    )
+    return cnt.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).union(cnt.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w"))
+
+
+def term_graph_sql(min_weight: int = 2) -> str:
+    """DuckDB twin of ``term_graph`` (same normalization/bigram CTEs as
+    ``text.pmi_oracle``)."""
+    from flink_example_spark.operators.text import _DUCK_NORM
+
+    return f"""
+        SELECT CASE WHEN dir.d = 0 THEN u ELSE v END AS src,
+               CASE WHEN dir.d = 0 THEN v ELSE u END AS dst, w
+        FROM (
+          SELECT least(a, b) AS u, greatest(a, b) AS v,
+                 CAST(COUNT(*) AS BIGINT) AS w
+          FROM (
+            SELECT unnest(list_slice(l, 1, len(l) - 1)) AS a,
+                   unnest(list_slice(l, 2, len(l))) AS b
+            FROM (
+              SELECT string_split_regex({_DUCK_NORM}, '\\s+') AS l
+              FROM documents
+            ) WHERE len(l) >= 2
+          ) WHERE a <> '' AND b <> '' AND a <> b
+          GROUP BY 1, 2
+        ) CROSS JOIN (VALUES (0), (1)) dir(d)
+        WHERE w >= {min_weight}
+    """
+
+
+def triangle_counts(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected pair set
+    (e.g. a near-duplicate graph) — the local community-density metric.
+    Output: (node, n_triangles) for nodes in >= 1 triangle.
+
+    Algorithm: canonicalize + dedup edges, then orient every edge from the
+    lower (degree, id) endpoint to the higher; wedges are pairs of
+    out-edges at a common source and close against an oriented edge. The
+    degree orientation bounds out-degree by O(sqrt(m)), so the wedge join
+    stays skew-safe on power-law graphs; each triangle is found exactly
+    once. Exact integer counting throughout — trivially engine-portable.
+    """
+    e = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # 3 consumers below — cut once
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = e.join(
+        F.broadcast(deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))), "a"
+    ).join(
+        F.broadcast(deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))), "b"
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).localCheckpoint(eager=True)  # consumed by both wedge sides + closer
+    w1 = o.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    w2 = o.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = w1.join(w2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closer = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closer, ["v1", "v2"])
+    return (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

@@ -1,0 +1,125 @@
+"""Graph analytics operators (operators/graph.py): integer-arithmetic
+PageRank and degree-oriented triangle counting."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from flink_example_spark.operators.graph import (
+    MICRO,
+    pagerank,
+    term_graph,
+    triangle_counts,
+)
+
+
+def _pagerank_reference(edges, n_iter, num=17, den=20):
+    """Pure-Python integer replica of the operator's contract: ranks in
+    micro-units, rational damping, floor divisions, dangling mass dropped."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    base = (MICRO * (den - num)) // (den * n)
+    r = {v: MICRO // n for v in nodes}
+    for _ in range(n_iter):
+        s = {v: 0 for v in nodes}
+        for src, dst, w in edges:
+            s[dst] += (num * r[src] * w) // (den * out_w[src])
+        r = {v: base + s[v] for v in nodes}
+    return r
+
+
+def _run_pagerank(spark, edges, n_iter):
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    out = pagerank(df, n_iter=n_iter, weight_col="w")
+    return {row["node"]: row["rank_micro"] for row in out.collect()}
+
+
+def test_pagerank_matches_integer_reference(spark):
+    # asymmetric weighted digraph with a dangling node (d has no out-edges)
+    edges = [
+        ("a", "b", 3),
+        ("a", "c", 1),
+        ("b", "c", 2),
+        ("c", "a", 1),
+        ("b", "d", 5),
+    ]
+    got = _run_pagerank(spark, edges, n_iter=4)
+    want = _pagerank_reference(edges, n_iter=4)
+    assert got == want
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    # 2-cycle with equal weights: ranks stay identical by symmetry
+    got = _run_pagerank(spark, [("a", "b", 1), ("b", "a", 1)], n_iter=5)
+    assert got["a"] == got["b"]
+    # sub-stochastic: total mass never exceeds 1.0 in micro-units
+    assert got["a"] + got["b"] <= MICRO
+
+
+def test_pagerank_rank_column_is_micro_division(spark):
+    df = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)], "src string, dst string, w long"
+    )
+    row = pagerank(df, n_iter=1, weight_col="w").collect()[0]
+    assert row["rank"] == row["rank_micro"] / 1e12
+
+
+def test_term_graph_is_symmetric(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha beta gamma"), (2, "beta gamma beta gamma")],
+        "doc_id long, text string",
+    )
+    g = term_graph(docs, min_weight=2)
+    rows = {(r["src"], r["dst"]): r["w"] for r in g.collect()}
+    assert rows, "expected edges at min_weight=2"
+    for (s, d), w in rows.items():
+        assert rows[(d, s)] == w
+    # adjacent-pair counting: alpha-beta appears 3x across doc 1
+    assert rows[("alpha", "beta")] == 3
+
+
+def _brute_triangles(pairs):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    count = {v: 0 for v in adj}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                count[v] += 1
+    return {v: c for v, c in count.items() if c}
+
+
+def _run_triangles(spark, pairs):
+    df = spark.createDataFrame(pairs, "a string, b string")
+    out = triangle_counts(df)
+    return {row["node"]: row["n_triangles"] for row in out.collect()}
+
+
+def test_triangles_k4(spark):
+    # complete graph on 4 nodes: every node sits in C(3,2)=3 triangles
+    k4 = [(a, b) for a, b in itertools.combinations("abcd", 2)]
+    assert _run_triangles(spark, k4) == {v: 3 for v in "abcd"}
+
+
+def test_triangles_square_has_none(spark):
+    square = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    assert _run_triangles(spark, square) == {}
+
+
+def test_triangles_match_brute_force_and_dedup_input(spark):
+    # deterministic pseudo-random graph; pairs given unordered + duplicated
+    nodes = [f"n{i}" for i in range(12)]
+    pairs = []
+    for i, a in enumerate(nodes):
+        for j in range(i + 1, len(nodes)):
+            if (i * 7 + j * 13) % 3 == 0:
+                pairs.append((nodes[j], a))  # reversed order on purpose
+    got = _run_triangles(spark, pairs + pairs[:5])  # duplicates must not count
+    assert got == _brute_triangles(pairs)
