@@ -356,6 +356,32 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return triangle_counts(pairs, "src", "dst")
 
+    def linfit_entry(spark, sf_dir):
+        """Distributed OLS calibration fit: per-language chars ≈ a + b·tokens
+        via integer normal-equation sufficient statistics — ONE map-side-
+        combined aggregation, exact BIGINT sums, a fixed sequence of
+        exactly-rounded double ops at the end (operators/ml.py)."""
+        from flink_example_spark.operators.ml import linear_fit
+
+        d = _docs(spark, sf_dir).select(
+            "lang",
+            "n_chars",
+            F.size(
+                F.array_remove(text.tokens(text.normalized(F.col("text"))), "")
+            ).alias("n_tok"),
+        )
+        return linear_fit(d, "lang", "n_tok", "n_chars")
+
+    def zscore_entry(spark, sf_dir):
+        """Per-language z-score outlier gate on document length (sample
+        std from exact integer sums; group stats broadcast back — one
+        corpus scan, one narrow shuffle)."""
+        from flink_example_spark.operators.ml import zscore_outliers
+
+        return zscore_outliers(
+            _docs(spark, sf_dir), "lang", "n_chars", "doc_id", z=1.5
+        )
+
     def fuzzy_words_entry(spark, sf_dir):
         return dedup.fuzzy_word_pairs(_fuzzy_corpus(spark, sf_dir))
 
@@ -575,6 +601,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over the term co-occurrence graph) + triangle density
         "graph_textrank_keywords": textrank_entry,
         "graph_triangle_counts": tri_entry,
+        # distributed model fitting on the corpus (integer normal equations)
+        "ml_linear_fit": linfit_entry,
+        "ml_zscore_outliers": zscore_entry,
         # MMR diversification re-rank of the exact retriever's top-10 pool
         "ann_mmr_rerank": lambda spark, sf_dir: similarity.mmr_rerank(
             _embs(spark, sf_dir),
@@ -1239,6 +1268,23 @@ def _northstar_oracles() -> dict[str, str]:
         FROM (SELECT unnest([x, y, z]) AS node FROM tri)
         GROUP BY node
     """
+    from flink_example_spark.operators.ml import (
+        linear_fit_oracle,
+        zscore_outliers_oracle,
+    )
+
+    _ml_src = (
+        "SELECT lang, n_chars, len(list_filter(string_split_regex("
+        f"{text._DUCK_NORM}, '\\s+'), t -> t <> '')) AS n_tok FROM documents"
+    )
+    out["ml_linear_fit"] = linear_fit_oracle(_ml_src, "lang", "n_tok", "n_chars")
+    out["ml_zscore_outliers"] = zscore_outliers_oracle(
+        "SELECT lang, doc_id, n_chars FROM documents",
+        "lang",
+        "n_chars",
+        "doc_id",
+        z=1.5,
+    )
     from flink_example_spark.operators.bpe import bpe_oracle
 
     out["text_bpe_merges"] = bpe_oracle(n_merges=8)

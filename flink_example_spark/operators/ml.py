@@ -1,0 +1,181 @@
+"""Distributed statistical model fitting over DataFrame ops.
+
+The reference engine (kerinin/flink-example) stops at SQL aggregates; a
+training-data pipeline also fits cheap models ON the corpus itself —
+length-vs-token calibration curves, per-domain drift baselines, z-score
+outlier gates. These operators do that with the engine's determinism
+contract intact:
+
+- ``linear_fit`` is ordinary least squares via NORMAL-EQUATION sufficient
+  statistics: with integer x/y every sufficient statistic (n, Σx, Σy,
+  Σx², Σxy, Σy²) is an exact BIGINT sum — one map-side-combined
+  aggregation per group, no iteration, no floating-point accumulation.
+  slope/intercept/r² are then a FIXED sequence of exactly-rounded double
+  ops on exact integers, bit-identical in any engine (CLAUDE.md: never
+  SUM raw doubles across engines).
+- ``zscore_outliers`` flags |x - mean| > z·std per group from the same
+  integer sufficient statistics; sqrt is the one IEEE exact-rounded
+  non-rational op (CLAUDE.md round 6), so z-scores are portable too.
+
+Scale shape: both are a single groupBy over narrow integer columns —
+the partial aggregation happens map-side, the shuffle carries one row
+per group. Overflow bound: n·Σxy < 2^63 — holds through ~1e9 rows of
+4-digit features per group; beyond that widen to DECIMAL(38,0) sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _suff_stats(df: DataFrame, group_col: str, x_col: str, y_col: str | None):
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(x_col).cast("long")).alias("sx"),
+        F.sum(F.col(x_col).cast("long") * F.col(x_col).cast("long")).alias("sxx"),
+    ]
+    if y_col is not None:
+        aggs += [
+            F.sum(F.col(y_col).cast("long")).alias("sy"),
+            F.sum(F.col(y_col).cast("long") * F.col(y_col).cast("long")).alias("syy"),
+            F.sum(F.col(x_col).cast("long") * F.col(y_col).cast("long")).alias("sxy"),
+        ]
+    return df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+
+
+def linear_fit(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group OLS fit y ≈ intercept + slope·x over INTEGER columns.
+
+    Output: (grp, n, slope, intercept, r2), one row per group with
+    n >= 2 and non-degenerate x. Closed form on exact BIGINT sums:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²)
+        intercept = (Σy − slope·Σx) / n
+        r²        = num² / (den_x · den_y)   (NULL when y is constant)
+
+    num/den are BIGINT (exact); each division/multiplication above is one
+    exactly-rounded double op, so every engine emits identical bits.
+    """
+    s = _suff_stats(df, group_col, x_col, y_col)
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den_x")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("den_y")
+    t = s.select("grp", "n", "sx", "sy", num, den_x, den_y).filter(
+        (F.col("n") >= 2) & (F.col("den_x") > 0)
+    )
+    slope = F.col("num").cast("double") / F.col("den_x")
+    t = t.withColumn("slope", slope)
+    return t.select(
+        "grp",
+        "n",
+        "slope",
+        ((F.col("sy").cast("double") - F.col("slope") * F.col("sx")) / F.col("n")).alias(
+            "intercept"
+        ),
+        F.when(
+            F.col("den_y") > 0,
+            (F.col("num").cast("double") * F.col("num").cast("double"))
+            / (F.col("den_x").cast("double") * F.col("den_y").cast("double")),
+        ).alias("r2"),
+    )
+
+
+def linear_fit_oracle(
+    source_sql: str, group_col: str, x_col: str, y_col: str
+) -> str:
+    """DuckDB twin of ``linear_fit`` — the same sufficient statistics and
+    the same double-op sequence. ``source_sql`` yields the input relation."""
+    return f"""
+        WITH src AS ({source_sql}),
+        s AS (
+          SELECT {group_col} AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST({x_col} AS BIGINT)) AS BIGINT) AS sx,
+                 CAST(SUM(CAST({x_col} AS BIGINT) * CAST({x_col} AS BIGINT)) AS BIGINT) AS sxx,
+                 CAST(SUM(CAST({y_col} AS BIGINT)) AS BIGINT) AS sy,
+                 CAST(SUM(CAST({y_col} AS BIGINT) * CAST({y_col} AS BIGINT)) AS BIGINT) AS syy,
+                 CAST(SUM(CAST({x_col} AS BIGINT) * CAST({y_col} AS BIGINT)) AS BIGINT) AS sxy
+          FROM src GROUP BY 1
+        ), t AS (
+          SELECT grp, n, sx, sy,
+                 n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS den_x,
+                 n * syy - sy * sy AS den_y
+          FROM s WHERE n >= 2 AND n * sxx - sx * sx > 0
+        ), f AS (
+          SELECT grp, n, sx, sy, num, den_x, den_y,
+                 CAST(num AS DOUBLE) / den_x AS slope
+          FROM t
+        )
+        SELECT grp, n, slope,
+               (CAST(sy AS DOUBLE) - slope * sx) / n AS intercept,
+               CASE WHEN den_y > 0 THEN
+                 (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                   / (CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE))
+               END AS r2
+        FROM f
+    """
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    id_col: str,
+    z: float = 2.5,
+) -> DataFrame:
+    """Per-group z-score outlier gate over an INTEGER column: emit rows
+    with |x − mean| > z·std (sample std). Output: (grp, id, x, zscore).
+
+    mean/std come from the same exact BIGINT sufficient statistics as
+    ``linear_fit``; std = sqrt(den_x / (n·(n−1))) uses the one portable
+    non-rational op. The stats relation is group-count sized → broadcast
+    back onto the rows; the corpus is scanned once, no second shuffle.
+    """
+    s = _suff_stats(df, group_col, x_col, None).filter(F.col("n") >= 2)
+    stats = s.select(
+        "grp",
+        (F.col("sx").cast("double") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            / (F.col("n") * (F.col("n") - F.lit(1)))
+        ).alias("std"),
+    ).filter(F.col("std") > 0)
+    rows = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("long").alias("x"),
+    )
+    scored = rows.join(F.broadcast(stats), "grp").select(
+        "grp",
+        "id",
+        "x",
+        ((F.col("x").cast("double") - F.col("mean")) / F.col("std")).alias("zscore"),
+    )
+    return scored.filter(F.abs(F.col("zscore")) > F.lit(float(z)))
+
+
+def zscore_outliers_oracle(
+    source_sql: str, group_col: str, x_col: str, id_col: str, z: float = 2.5
+) -> str:
+    """DuckDB twin of ``zscore_outliers`` (same stats, same op sequence)."""
+    return f"""
+        WITH src AS ({source_sql}),
+        s AS (
+          SELECT {group_col} AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST({x_col} AS BIGINT)) AS BIGINT) AS sx,
+                 CAST(SUM(CAST({x_col} AS BIGINT) * CAST({x_col} AS BIGINT)) AS BIGINT) AS sxx
+          FROM src GROUP BY 1
+        ), stats AS (
+          SELECT grp, CAST(sx AS DOUBLE) / n AS mean,
+                 sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (n * (n - 1))) AS std
+          FROM s WHERE n >= 2
+        )
+        SELECT src.{group_col} AS grp, src.{id_col} AS id,
+               CAST(src.{x_col} AS BIGINT) AS x,
+               (CAST(src.{x_col} AS DOUBLE) - stats.mean) / stats.std AS zscore
+        FROM src JOIN stats ON src.{group_col} = stats.grp
+        WHERE stats.std > 0
+          AND abs((CAST(src.{x_col} AS DOUBLE) - stats.mean) / stats.std) > {z}
+    """

@@ -1,0 +1,75 @@
+"""Model-fitting operators (operators/ml.py)."""
+
+from __future__ import annotations
+
+import math
+
+from flink_example_spark.operators.ml import linear_fit, zscore_outliers
+
+
+def test_linear_fit_exact_line(spark):
+    # y = 2x + 3 exactly -> slope 2.0, intercept 3.0, r2 1.0 (all exact)
+    rows = [("g", x, 2 * x + 3) for x in range(1, 8)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    out = linear_fit(df, "grp", "x", "y").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["slope"], r["intercept"], r["r2"]) == (2.0, 3.0, 1.0)
+    assert r["n"] == 7
+
+
+def test_linear_fit_degenerate_groups(spark):
+    rows = (
+        # constant x: den_x == 0 -> dropped
+        [("cx", 5, v) for v in (1, 2, 3)]
+        # constant y: fit exists, r2 NULL, slope 0
+        + [("cy", x, 7) for x in (1, 2, 3)]
+        # singleton: dropped
+        + [("one", 1, 1)]
+    )
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    out = {r["grp"]: r for r in linear_fit(df, "grp", "x", "y").collect()}
+    assert set(out) == {"cy"}
+    assert out["cy"]["slope"] == 0.0
+    assert out["cy"]["intercept"] == 7.0
+    assert out["cy"]["r2"] is None
+
+
+def test_linear_fit_matches_closed_form(spark):
+    xs = [3, 7, 11, 20, 24, 31]
+    ys = [10, 25, 31, 70, 75, 99]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "grp string, x long, y long"
+    )
+    r = linear_fit(df, "grp", "x", "y").collect()[0]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    num, den_x, den_y = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    assert r["slope"] == num / den_x
+    assert r["intercept"] == (sy - (num / den_x) * sx) / n
+    assert r["r2"] == (float(num) * float(num)) / (float(den_x) * float(den_y))
+
+
+def test_zscore_outliers_known_values(spark):
+    # group g: nine 10s and one 100 -> the 100 is the outlier
+    rows = [("g", i, 10) for i in range(9)] + [("g", 9, 100)]
+    # constant group: std == 0 -> never emits
+    rows += [("c", i, 42) for i in range(5)]
+    df = spark.createDataFrame(rows, "grp string, id long, x long")
+    out = zscore_outliers(df, "grp", "x", "id", z=2.5).collect()
+    assert [(r["grp"], r["id"], r["x"]) for r in out] == [("g", 9, 100)]
+    xs = [10] * 9 + [100]
+    mean = sum(xs) / 10
+    std = math.sqrt((10 * sum(x * x for x in xs) - sum(xs) ** 2) / (10 * 9))
+    assert out[0]["zscore"] == (100 - mean) / std
+
+
+def test_zscore_threshold_is_strict(spark):
+    # symmetric pair: each sits at |z| = 0.707..sample -> below any z>=1
+    df = spark.createDataFrame(
+        [("g", 1, 0), ("g", 2, 10)], "grp string, id long, x long"
+    )
+    assert zscore_outliers(df, "grp", "x", "id", z=1.0).count() == 0
