@@ -382,6 +382,36 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), "lang", "n_chars", "doc_id", z=1.5
         )
 
+    def _events(spark, sf_dir):
+        from flink_example_spark.plans.events_demo import load_events
+
+        return load_events(spark, sf_dir)
+
+    def cep_funnel_entry(spark, sf_dir):
+        """Flink-CEP-style ordered-sequence pattern (skip-till-next-match):
+        view -> click -> purchase within 24h of the first view. Greedy
+        earliest-completion frontier chain, integer-microsecond time
+        arithmetic (operators/cep.py)."""
+        from flink_example_spark.operators.cep import funnel
+
+        return funnel(
+            _events(spark, sf_dir), ["view", "click", "purchase"], 86400
+        )
+
+    def cep_counts_entry(spark, sf_dir):
+        from flink_example_spark.operators.cep import funnel_counts
+
+        return funnel_counts(
+            _events(spark, sf_dir), ["view", "click", "purchase"], 86400
+        )
+
+    def cep_bursts_entry(spark, sf_dir):
+        """times(3).within(12h) CEP burst alert on error events: one
+        range-frame window over integer epoch micros per user."""
+        from flink_example_spark.operators.cep import event_bursts
+
+        return event_bursts(_events(spark, sf_dir), "error", 3, 43200)
+
     def fuzzy_words_entry(spark, sf_dir):
         return dedup.fuzzy_word_pairs(_fuzzy_corpus(spark, sf_dir))
 
@@ -604,6 +634,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distributed model fitting on the corpus (integer normal equations)
         "ml_linear_fit": linfit_entry,
         "ml_zscore_outliers": zscore_entry,
+        # Flink-CEP pattern parity: ordered funnels + count-burst alerts
+        "cep_funnel": cep_funnel_entry,
+        "cep_funnel_counts": cep_counts_entry,
+        "cep_error_bursts": cep_bursts_entry,
         # MMR diversification re-rank of the exact retriever's top-10 pool
         "ann_mmr_rerank": lambda spark, sf_dir: similarity.mmr_rerank(
             _embs(spark, sf_dir),
@@ -1285,6 +1319,16 @@ def _northstar_oracles() -> dict[str, str]:
         "doc_id",
         z=1.5,
     )
+    from flink_example_spark.operators.cep import (
+        event_bursts_oracle,
+        funnel_oracle,
+    )
+
+    out["cep_funnel"] = funnel_oracle(["view", "click", "purchase"], 86400)
+    out["cep_funnel_counts"] = funnel_oracle(
+        ["view", "click", "purchase"], 86400, counts=True
+    )
+    out["cep_error_bursts"] = event_bursts_oracle("error", 3, 43200)
     from flink_example_spark.operators.bpe import bpe_oracle
 
     out["text_bpe_merges"] = bpe_oracle(n_merges=8)

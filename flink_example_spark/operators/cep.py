@@ -1,0 +1,223 @@
+"""Complex-event-processing patterns over DataFrame ops.
+
+The reference engine's ecosystem (Flink) ships a CEP library — `A
+followedBy B followedBy C within T` patterns, `times(n).within(t)`
+bursts — that Spark has no builtin for. These operators re-express the
+two workhorse CEP shapes as pure DataFrame compositions:
+
+- ``funnel`` — the ordered-sequence pattern with greedy
+  earliest-completion semantics (Flink CEP's skip-till-next-match, and
+  the standard product-analytics funnel definition): step 1 matches the
+  key's earliest step-1 event; each later step matches the earliest
+  event STRICTLY after the previous step's match and within
+  ``within_sec`` of the step-1 match.
+- ``event_bursts`` — the count-within-window pattern (`times(n)
+  .within(w)`): emit an alert row for every event that is the n-th or
+  later matching event within the trailing w seconds for its key.
+
+Determinism: all time arithmetic runs on exact INTEGER epoch
+microseconds (Spark ``unix_micros`` ↔ DuckDB ``epoch_us``) — second-
+granular epoch functions round differently across engines (Spark
+truncates, DuckDB keeps the fraction), so they never appear here. The
+only aggregates are MIN/COUNT over exact values.
+
+Scale shape: ``funnel`` is k-1 chained {filtered-join → per-key MIN}
+stages, every shuffle on the key with map-side partial aggregation; the
+frontier relation is one row per surviving key, so each stage joins
+frontier-sized state against one step's events (the step filter pushes
+to the scan). ``event_bursts`` is one per-key range-frame window over
+the filtered event type — a single shuffle on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _prep(events, key_col, ts_col, type_col):
+    # NTZ -> TIMESTAMP cast is exact under the engine's pinned-UTC session
+    # (CLAUDE.md round 5); unix_micros rejects TIMESTAMP_NTZ outright.
+    return events.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+        F.col(type_col).alias("et"),
+    )
+
+
+def _frontier_chain(ev, steps, within_sec):
+    """Yield the frontier DataFrame after each step (greedy semantics)."""
+    frontier = (
+        ev.filter(F.col("et") == steps[0])
+        .groupBy("key")
+        .agg(F.min("ts").alias("t_1"), F.min("__us").alias("u_1"))
+    )
+    yield frontier
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = ev.filter(F.col("et") == step)
+        prev_cols = [f"t_{j}" for j in range(1, i)]
+        frontier = (
+            nxt.join(frontier, "key")
+            .filter(
+                (F.col("__us") > F.col(f"u_{i - 1}"))
+                & (F.col("__us") <= F.col("u_1") + F.lit(within_sec * 1_000_000))
+            )
+            .groupBy("key", "u_1", *prev_cols)
+            .agg(F.min("ts").alias(f"t_{i}"), F.min("__us").alias(f"u_{i}"))
+        )
+        yield frontier
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within_sec: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Greedy earliest-completion funnel: one row per key that completes
+    every step in order within ``within_sec`` of its first-step match.
+
+    Output: (key, t_1 .. t_k, duration_us) where t_i is step i's matched
+    event time and duration_us = micros(t_k) - micros(t_1) (BIGINT).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    ev = _prep(events, key_col, ts_col, type_col)
+    *_, last = _frontier_chain(ev, steps, within_sec)
+    k = len(steps)
+    return last.select(
+        "key",
+        *[f"t_{j}" for j in range(1, k + 1)],
+        (F.col(f"u_{k}") - F.col("u_1")).cast("long").alias("duration_us"),
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    within_sec: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """The funnel chart: per-step surviving-key counts under the same
+    greedy semantics — the frontier after step i is exactly the keys
+    that reached step i. Output: (step_idx, step, n_keys)."""
+    ev = _prep(events, key_col, ts_col, type_col)
+    counts = None
+    for i, frontier in enumerate(_frontier_chain(ev, steps, within_sec), start=1):
+        c = frontier.groupBy().agg(F.count(F.lit(1)).alias("n_keys")).select(
+            F.lit(i).cast("int").alias("step_idx"),
+            F.lit(steps[i - 1]).alias("step"),
+            "n_keys",
+        )
+        counts = c if counts is None else counts.union(c)
+    return counts
+
+
+def funnel_oracle(
+    steps: list[str],
+    within_sec: int,
+    counts: bool = False,
+    table: str = "events",
+) -> str:
+    """DuckDB twin of ``funnel`` / ``funnel_counts`` — the same chained
+    frontier CTEs, MATERIALIZED (each frontier feeds the next stage and,
+    in counts mode, the final union; DuckDB inlines per consumer)."""
+    within_us = within_sec * 1_000_000
+    ctes = [
+        f"""f1 AS MATERIALIZED (
+          SELECT user_id AS key, MIN(ts) AS t_1,
+                 MIN(epoch_us(ts)) AS u_1
+          FROM {table} WHERE event_type = '{steps[0]}' GROUP BY 1
+        )"""
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        prev_ts = ", ".join(f"p.t_{j}" for j in range(1, i))
+        ctes.append(
+            f"""f{i} AS MATERIALIZED (
+          SELECT p.key, p.u_1, {prev_ts},
+                 MIN(e.ts) AS t_{i}, MIN(epoch_us(e.ts)) AS u_{i}
+          FROM {table} e JOIN f{i - 1} p ON e.user_id = p.key
+          WHERE e.event_type = '{step}'
+            AND epoch_us(e.ts) > p.u_{i - 1}
+            AND epoch_us(e.ts) <= p.u_1 + {within_us}
+          GROUP BY ALL
+        )"""
+        )
+    chain = ",\n        ".join(ctes)
+    k = len(steps)
+    if counts:
+        selects = [
+            f"SELECT CAST({i} AS INTEGER) AS step_idx, '{s}' AS step, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_keys FROM f{i}"
+            for i, s in enumerate(steps, start=1)
+        ]
+        body = "\n        UNION ALL\n        ".join(selects)
+        return f"WITH {chain}\n        {body}"
+    ts_cols = ", ".join(f"t_{j}" for j in range(1, k + 1))
+    return f"""WITH {chain}
+        SELECT key, {ts_cols},
+               CAST(u_{k} - u_1 AS BIGINT) AS duration_us
+        FROM f{k}
+    """
+
+
+def event_bursts(
+    events: DataFrame,
+    event_type: str,
+    n: int,
+    within_sec: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """`times(n).within(w)` alert pattern: for each key, emit every
+    ``event_type`` event with >= ``n`` matching events (itself included)
+    in the trailing ``within_sec`` seconds. Output:
+    (key, event_id, ts, n_in_window).
+
+    One range-frame window over integer epoch microseconds per key —
+    ties at identical timestamps fall inside each other's frame, so the
+    count is a deterministic function of the event multiset.
+    """
+    ev = events.filter(F.col(type_col) == event_type).select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("event_id"),
+        F.col(ts_col).alias("ts"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("__us")
+        .rangeBetween(-within_sec * 1_000_000, 0)
+    )
+    return (
+        ev.withColumn("n_in_window", F.count(F.lit(1)).over(w).cast("long"))
+        .filter(F.col("n_in_window") >= n)
+        .select("key", "event_id", "ts", "n_in_window")
+    )
+
+
+def event_bursts_oracle(
+    event_type: str,
+    n: int,
+    within_sec: int,
+    table: str = "events",
+) -> str:
+    """DuckDB twin of ``event_bursts`` (same integer micros range frame)."""
+    return f"""
+        SELECT key, event_id, ts, n_in_window FROM (
+          SELECT user_id AS key, event_id, ts,
+                 CAST(COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN {within_sec * 1_000_000} PRECEDING
+                     AND CURRENT ROW
+                 ) AS BIGINT) AS n_in_window
+          FROM {table} WHERE event_type = '{event_type}'
+        ) WHERE n_in_window >= {n}
+    """

@@ -1,0 +1,108 @@
+"""CEP pattern operators (operators/cep.py): greedy funnels and
+count-burst alerts."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from flink_example_spark.operators.cep import event_bursts, funnel, funnel_counts
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ev(spark, rows):
+    # rows: (user, seconds_offset, type)
+    data = [
+        (int(u), T0 + timedelta(seconds=s), t, i)
+        for i, (u, s, t) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+
+
+def test_funnel_greedy_earliest_completion(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 50, "click"),  # click BEFORE the first view: must not match
+            (1, 100, "view"),
+            (1, 200, "click"),  # earliest click after the view -> matched
+            (1, 300, "click"),
+            (1, 400, "purchase"),
+        ],
+    )
+    out = funnel(ev, ["view", "click", "purchase"], within_sec=3600).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["t_1"], r["t_2"], r["t_3"]) == (
+        T0 + timedelta(seconds=100),
+        T0 + timedelta(seconds=200),
+        T0 + timedelta(seconds=400),
+    )
+    assert r["duration_us"] == 300 * 1_000_000
+
+
+def test_funnel_within_bound_is_from_first_step(spark):
+    # click at +30s ok, purchase at +70s exceeds within=60 of the FIRST view
+    ev = _ev(spark, [(1, 0, "view"), (1, 30, "click"), (1, 70, "purchase")])
+    assert funnel(ev, ["view", "click", "purchase"], within_sec=60).count() == 0
+    assert funnel(ev, ["view", "click", "purchase"], within_sec=120).count() == 1
+
+
+def test_funnel_steps_strictly_ordered(spark):
+    # click exactly at the view's timestamp does NOT satisfy ts > t1
+    ev = _ev(spark, [(1, 0, "view"), (1, 0, "click")])
+    assert funnel(ev, ["view", "click"], within_sec=60).count() == 0
+    ev2 = _ev(spark, [(1, 0, "view"), (1, 1, "click")])
+    assert funnel(ev2, ["view", "click"], within_sec=60).count() == 1
+
+
+def test_funnel_requires_two_steps(spark):
+    ev = _ev(spark, [(1, 0, "view")])
+    with pytest.raises(ValueError):
+        funnel(ev, ["view"], within_sec=60)
+
+
+def test_funnel_counts_shape(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),
+            (2, 0, "view"), (2, 10, "click"),
+            (3, 0, "view"),
+            (4, 5, "click"),  # never viewed: not in any frontier
+        ],
+    )
+    out = {
+        r["step_idx"]: (r["step"], r["n_keys"])
+        for r in funnel_counts(ev, ["view", "click", "purchase"], 3600).collect()
+    }
+    assert out == {1: ("view", 3), 2: ("click", 2), 3: ("purchase", 1)}
+
+
+def test_event_bursts_threshold_and_window(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 0, "error"), (1, 5, "error"), (1, 9, "error"),  # burst of 3
+            (1, 100, "error"),  # isolated
+            (2, 0, "error"), (2, 50, "error"),  # never 3 within 10s
+            (1, 3, "click"),  # other types never counted
+        ],
+    )
+    alerts = event_bursts(ev, "error", n=3, within_sec=10).collect()
+    assert [(r["key"], r["n_in_window"]) for r in alerts] == [(1, 3)]
+    assert alerts[0]["ts"] == T0 + timedelta(seconds=9)
+
+
+def test_event_bursts_trailing_window_inclusive(spark):
+    # exactly within_sec apart: both endpoints inside the trailing frame
+    ev = _ev(spark, [(1, 0, "error"), (1, 10, "error")])
+    alerts = event_bursts(ev, "error", n=2, within_sec=10).collect()
+    assert len(alerts) == 1 and alerts[0]["n_in_window"] == 2
+    # one microsecond beyond would fall out: 11s apart with 10s window
+    ev2 = _ev(spark, [(1, 0, "error"), (1, 11, "error")])
+    assert event_bursts(ev2, "error", n=2, within_sec=10).count() == 0
