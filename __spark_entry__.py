@@ -412,6 +412,17 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return event_bursts(_events(spark, sf_dir), "error", 3, 43200)
 
+    def cep_stream_entry(spark, sf_dir):
+        """The funnel pattern maintained over a LIVE event stream: per-key
+        O(k) automaton state (applyInPandasWithState), completions emitted
+        exactly once; the bounded time-ordered replay converges to the
+        batch funnel and shares its oracle."""
+        from flink_example_spark.streaming.cep_stream import run_streaming_funnel
+
+        return run_streaming_funnel(
+            spark, sf_dir, ["view", "click", "purchase"], 86400
+        )
+
     def fuzzy_words_entry(spark, sf_dir):
         return dedup.fuzzy_word_pairs(_fuzzy_corpus(spark, sf_dir))
 
@@ -638,6 +649,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_funnel": cep_funnel_entry,
         "cep_funnel_counts": cep_counts_entry,
         "cep_error_bursts": cep_bursts_entry,
+        "streaming_cep_funnel": cep_stream_entry,
         # MMR diversification re-rank of the exact retriever's top-10 pool
         "ann_mmr_rerank": lambda spark, sf_dir: similarity.mmr_rerank(
             _embs(spark, sf_dir),
@@ -1329,6 +1341,8 @@ def _northstar_oracles() -> dict[str, str]:
         ["view", "click", "purchase"], 86400, counts=True
     )
     out["cep_error_bursts"] = event_bursts_oracle("error", 3, 43200)
+    # bounded time-ordered replay converges exactly to the batch funnel
+    out["streaming_cep_funnel"] = out["cep_funnel"]
     from flink_example_spark.operators.bpe import bpe_oracle
 
     out["text_bpe_merges"] = bpe_oracle(n_merges=8)
