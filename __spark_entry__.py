@@ -423,6 +423,29 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, ["view", "click", "purchase"], 86400
         )
 
+    def scd2_entry(spark, sf_dir):
+        """SCD Type-2 dimension view of the purchase-count version history:
+        half-open [valid_from, valid_to) intervals + is_current, via one
+        lead() window fused onto the history's existing key shuffle."""
+        from flink_example_spark.operators.versioned import scd2_intervals
+        from flink_example_spark.plans.events_demo import load_events, target_history
+
+        return scd2_intervals(target_history(load_events(spark, sf_dir)), "_entity")
+
+    def snapdiff_entry(spark, sf_dir):
+        """Temporal audit diff between two AS-OF reads of the versioned
+        table: added/removed/changed per key, one snapshot-sized
+        full-outer join."""
+        from flink_example_spark.operators.versioned import snapshot_diff
+        from flink_example_spark.plans.events_demo import load_events, target_history
+
+        return snapshot_diff(
+            target_history(load_events(spark, sf_dir)),
+            "_entity",
+            "2024-01-10 00:00:00",
+            "2024-01-20 00:00:00",
+        )
+
     def fuzzy_words_entry(spark, sf_dir):
         return dedup.fuzzy_word_pairs(_fuzzy_corpus(spark, sf_dir))
 
@@ -650,6 +673,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_funnel_counts": cep_counts_entry,
         "cep_error_bursts": cep_bursts_entry,
         "streaming_cep_funnel": cep_stream_entry,
+        # warehouse temporal-table derivations over the version history
+        "versioned_scd2": scd2_entry,
+        "versioned_snapshot_diff": snapdiff_entry,
         # MMR diversification re-rank of the exact retriever's top-10 pool
         "ann_mmr_rerank": lambda spark, sf_dir: similarity.mmr_rerank(
             _embs(spark, sf_dir),
@@ -1343,6 +1369,37 @@ def _northstar_oracles() -> dict[str, str]:
     out["cep_error_bursts"] = event_bursts_oracle("error", 3, 43200)
     # bounded time-ordered replay converges exactly to the batch funnel
     out["streaming_cep_funnel"] = out["cep_funnel"]
+    out["versioned_scd2"] = f"""
+        SELECT _entity, cnt, _change_time AS valid_from,
+               LEAD(_change_time) OVER w AS valid_to,
+               LEAD(_change_time) OVER w IS NULL AS is_current
+        FROM ({_TH_SQL})
+        WINDOW w AS (PARTITION BY _entity ORDER BY _change_time)
+    """
+    out["versioned_snapshot_diff"] = f"""
+        WITH th AS MATERIALIZED ({_TH_SQL}),
+        a AS (
+          SELECT _entity, cnt FROM th
+          WHERE _change_time <= TIMESTAMP '2024-01-10 00:00:00'
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY _entity
+                                     ORDER BY _change_time DESC) = 1
+        ),
+        b AS (
+          SELECT _entity, cnt FROM th
+          WHERE _change_time <= TIMESTAMP '2024-01-20 00:00:00'
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY _entity
+                                     ORDER BY _change_time DESC) = 1
+        )
+        SELECT * FROM (
+          SELECT COALESCE(a._entity, b._entity) AS _entity,
+                 a.cnt AS cnt_a, b.cnt AS cnt_b,
+                 CASE WHEN a._entity IS NULL THEN 'added'
+                      WHEN b._entity IS NULL THEN 'removed'
+                      WHEN a.cnt = b.cnt THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM a FULL OUTER JOIN b ON a._entity = b._entity
+        ) WHERE status <> 'unchanged'
+    """
     from flink_example_spark.operators.bpe import bpe_oracle
 
     out["text_bpe_merges"] = bpe_oracle(n_merges=8)

@@ -213,3 +213,84 @@ def snapshot_at(
     return latest_versions(
         history.filter(F.col(time_col) <= F.to_timestamp(F.lit(ts))), key, time_col
     )
+
+
+def scd2_intervals(
+    history: DataFrame,
+    key: str | Sequence[str],
+    time_col: str = CHANGE_TIME,
+) -> DataFrame:
+    """SCD Type-2 dimension view of a version history: every version row
+    becomes a validity interval — ``valid_from`` (the version's change
+    time), ``valid_to`` (the NEXT version's change time, NULL while
+    current) and ``is_current`` — the half-open [from, to) convention a
+    warehouse dimension table uses.
+
+    One ``lead()`` window over the same (key, time) partitioning the
+    history relation already carries, so chaining onto
+    :func:`version_history` adds no extra Exchange (both fold into one
+    Window stage over the single key shuffle).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(F.col(time_col))
+    value_cols = [c for c in history.columns if c not in (*keys, time_col)]
+    nxt = F.lead(F.col(time_col)).over(w)
+    return history.select(
+        *keys,
+        *value_cols,
+        F.col(time_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def snapshot_diff(
+    history: DataFrame,
+    key: str | Sequence[str],
+    ts_a: str,
+    ts_b: str,
+    time_col: str = CHANGE_TIME,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Temporal audit diff: what changed between ``AS OF ts_a`` and
+    ``AS OF ts_b``. One row per key present in either snapshot, classified
+    ``added`` / ``removed`` / ``changed`` (and ``unchanged`` when
+    ``include_unchanged``); value columns appear twice with ``_a``/``_b``
+    suffixes.
+
+    The two snapshots derive from the same history scan (Catalyst reuses
+    the exchange under AQE); the diff itself is one full-outer equi-join
+    on the key — snapshot-sized, not history-sized.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    value_cols = [c for c in history.columns if c not in (*keys, time_col)]
+    a = snapshot_at(history, key, ts_a, time_col).drop(time_col)
+    b = snapshot_at(history, key, ts_b, time_col).drop(time_col)
+    for c in value_cols:
+        a = a.withColumnRenamed(c, f"{c}_a")
+        b = b.withColumnRenamed(c, f"{c}_b")
+    # explicit membership markers: value columns may be legitimately NULL
+    a = a.withColumn("__in_a", F.lit(True))
+    b = b.withColumn("__in_b", F.lit(True))
+    joined = a.join(b, keys, "full_outer")
+    in_a = F.col("__in_a").isNotNull()
+    in_b = F.col("__in_b").isNotNull()
+    same = None
+    for c in value_cols:
+        eq = F.col(f"{c}_a").eqNullSafe(F.col(f"{c}_b"))
+        same = eq if same is None else (same & eq)
+    status = (
+        F.when(~in_a, F.lit("added"))
+        .when(~in_b, F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    out = joined.select(
+        *keys,
+        *[F.col(f"{c}_a") for c in value_cols],
+        *[F.col(f"{c}_b") for c in value_cols],
+        status.alias("status"),
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out
