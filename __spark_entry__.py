@@ -446,6 +446,25 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "2024-01-20 00:00:00",
         )
 
+    def zorder_entry(spark, sf_dir):
+        """Z-order (Morton) layout audit: per-z-prefix bounding boxes over
+        (user_id, minute-of-day) — the pure-integer interleave Delta's
+        OPTIMIZE ZORDER BY computes, plus the per-bucket [min,max] spans
+        that make the multi-column pruning claim measurable
+        (operators/layout.py)."""
+        from flink_example_spark.operators.layout import zorder_bucket_stats
+
+        ev = _events(spark, sf_dir)
+        return zorder_bucket_stats(
+            ev,
+            {
+                "uid": F.col("user_id"),
+                "mod": (F.hour("ts") * 60 + F.minute("ts")) % 1024,
+            },
+            bits=10,
+            bucket_bits=6,
+        )
+
     def fuzzy_words_entry(spark, sf_dir):
         return dedup.fuzzy_word_pairs(_fuzzy_corpus(spark, sf_dir))
 
@@ -676,6 +695,8 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # warehouse temporal-table derivations over the version history
         "versioned_scd2": scd2_entry,
         "versioned_snapshot_diff": snapdiff_entry,
+        # write-path layout: Morton-curve bucket bounding boxes
+        "layout_zorder_stats": zorder_entry,
         # MMR diversification re-rank of the exact retriever's top-10 pool
         "ann_mmr_rerank": lambda spark, sf_dir: similarity.mmr_rerank(
             _embs(spark, sf_dir),
@@ -1400,6 +1421,17 @@ def _northstar_oracles() -> dict[str, str]:
           FROM a FULL OUTER JOIN b ON a._entity = b._entity
         ) WHERE status <> 'unchanged'
     """
+    from flink_example_spark.operators.layout import zorder_bucket_stats_sql
+
+    out["layout_zorder_stats"] = zorder_bucket_stats_sql(
+        "SELECT user_id, ts FROM events",
+        {
+            "uid": "user_id",
+            "mod": "(EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) % 1024",
+        },
+        bits=10,
+        bucket_bits=6,
+    )
     from flink_example_spark.operators.bpe import bpe_oracle
 
     out["text_bpe_merges"] = bpe_oracle(n_merges=8)

@@ -227,6 +227,17 @@ def cm_sketch(
     CM the standard distributed frequency profile at 100 TB.
 
     NULL values are skipped (no portable hash), mirroring ``kmv_distinct``.
+
+    Variants deliberately NOT offered: conservative update (increment only
+    the minimum counters) tightens the bound but makes the counter matrix a
+    function of PROCESSING ORDER — it cannot be computed by a commutative
+    aggregation, breaks shard-mergeability, and has no engine-independent
+    oracle. Likewise Misra-Gries / Space-Saving summaries merge via a
+    non-SQL custom reduction (pairwise summary merge with decrement) —
+    their guarantee survives merging but the concrete counter values are
+    merge-tree-dependent, so they fail this engine's bit-exactness
+    contract; ``cm_heavy_hitters`` (exact candidates + dominating CM
+    estimates) covers the same use case deterministically.
     """
     w = F.col(weight_col) if weight_col else F.lit(1)
     coords = (

@@ -1,0 +1,75 @@
+"""Z-order layout operators (operators/layout.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_example_spark.operators.layout import (
+    zorder_bucket_stats,
+    zorder_index,
+    zorder_layout,
+)
+
+
+def _z(spark, x, y, bits):
+    df = spark.createDataFrame([(x, y)], "x long, y long")
+    return df.select(
+        zorder_index([F.col("x"), F.col("y")], bits=bits).alias("z")
+    ).collect()[0]["z"]
+
+
+def _ref_interleave(vals, bits):
+    z = 0
+    for c, v in enumerate(vals):
+        for i in range(bits):
+            z |= ((v >> i) & 1) << (i * len(vals) + c)
+    return z
+
+
+def test_zorder_bit_interleave_known_values(spark):
+    # x=0b11, y=0b01 -> bits: x0->0, y0->1, x1->2, y1->3 => 0b0111 = 7
+    assert _z(spark, 3, 1, bits=2) == 7
+    assert _z(spark, 0, 0, bits=4) == 0
+    for x, y in [(5, 9), (1023, 0), (0, 1023), (700, 300)]:
+        assert _z(spark, x, y, bits=10) == _ref_interleave([x, y], 10)
+
+
+def test_zorder_validation(spark):
+    with pytest.raises(ValueError):
+        zorder_index([F.col("x")], bits=4)
+    with pytest.raises(ValueError):
+        zorder_index([F.col("x"), F.col("y")], bits=32)
+
+
+def test_zorder_layout_partitions_are_disjoint_z_ranges(spark):
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    laid = zorder_layout(df, [F.col("x"), F.col("y")], n_files=8, bits=6)
+    parts = (
+        laid.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("__z").alias("lo"), F.max("__z").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in parts)
+    assert len(spans) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "range partitions must cover disjoint z-ranges"
+
+
+def test_zorder_bucket_stats_boxes(spark):
+    # two clusters far apart in both dims: their buckets must not mix, and
+    # each bucket's bounding box stays inside its cluster
+    rows = [(x, y) for x in range(0, 8) for y in range(0, 8)]
+    rows += [(x, y) for x in range(56, 64) for y in range(56, 64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    stats = zorder_bucket_stats(
+        df, {"x": F.col("x"), "y": F.col("y")}, bits=6, bucket_bits=2
+    ).collect()
+    assert sum(r["n"] for r in stats) == len(rows)
+    for r in stats:
+        lo_cluster = r["x_max"] < 8 and r["y_max"] < 8
+        hi_cluster = r["x_min"] >= 56 and r["y_min"] >= 56
+        assert lo_cluster or hi_cluster, "bucket mixes the two clusters"
