@@ -310,3 +310,82 @@ def test_fuzzy_pairs_no_cartesian(spark):
     plan = physical(fuzzy_word_pairs(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_step_filter_pushed_and_no_python(spark):
+    from flink_example_spark.operators.cep import funnel
+    from flink_example_spark.plans.events_demo import load_events
+
+    plan = physical(
+        funnel(load_events(spark, SF), ["view", "click", "purchase"], 86400)
+    )
+    # each stage's event-type filter reaches the parquet scan, the whole
+    # chain is codegen SQL (no Python workers anywhere)
+    assert "PushedFilters" in plan and "view" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_event_bursts_single_exchange(spark):
+    from flink_example_spark.operators.cep import event_bursts
+    from flink_example_spark.plans.events_demo import load_events
+
+    plan = physical(event_bursts(load_events(spark, SF), "error", 3, 43200))
+    # one key shuffle feeding the range-frame window; type filter pushed
+    assert plan.count("Exchange") == 1
+    assert "error" in plan and "PushedFilters" in plan
+
+
+def test_linear_fit_single_aggregation_no_python(spark):
+    from flink_example_spark.operators.ml import linear_fit
+    from flink_example_spark.tables import load_table
+
+    d = load_table(spark, SF, "documents").select(
+        "lang", "n_chars", F.length("text").alias("n2")
+    )
+    plan = physical(linear_fit(d, "lang", "n2", "n_chars"))
+    # normal equations = ONE partial+final hash aggregate pair (one shuffle)
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_zscore_broadcasts_group_stats(spark):
+    from flink_example_spark.operators.ml import zscore_outliers
+    from flink_example_spark.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    plan = physical(zscore_outliers(d, "lang", "n_chars", "doc_id", z=1.5))
+    # group-count-sized stats broadcast back onto the corpus rows
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_zorder_stats_codegen_single_aggregate(spark):
+    from flink_example_spark.operators.layout import zorder_bucket_stats
+    from flink_example_spark.plans.events_demo import load_events
+
+    ev = load_events(spark, SF)
+    plan = physical(
+        zorder_bucket_stats(
+            ev,
+            {"uid": F.col("user_id"), "mod": (F.hour("ts") * 60 + F.minute("ts")) % 1024},
+            bits=10,
+            bucket_bits=6,
+        )
+    )
+    # the 40-term Morton interleave is plain codegen expression work under
+    # one partial+final aggregate — no UDF, no extra shuffle
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2
+    assert "BatchEvalPython" not in plan and "shiftleft" in plan
+
+
+def test_triangle_counts_broadcasts_degrees(spark):
+    from flink_example_spark.operators.graph import term_graph, triangle_counts
+    from flink_example_spark.tables import load_table
+
+    pairs = term_graph(load_table(spark, SF, "documents"), min_weight=2).filter(
+        F.col("src") < F.col("dst")
+    )
+    plan = physical(triangle_counts(pairs, "src", "dst"))
+    # degree attach is broadcast (node-sized), never a corpus-sized shuffle
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
