@@ -446,6 +446,15 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "2024-01-20 00:00:00",
         )
 
+    def ml_stream_entry(spark, sf_dir):
+        """OLS 'training' over a LIVE document stream: the normal-equation
+        sufficient statistics are commutative sums (one JVM-state grouped
+        aggregation, no watermark, no Python); the closed form projects on
+        top. Bounded replay == batch fit, shared oracle."""
+        from flink_example_spark.streaming.ml_stream import run_streaming_linear_fit
+
+        return run_streaming_linear_fit(spark, sf_dir)
+
     def zorder_entry(spark, sf_dir):
         """Z-order (Morton) layout audit: per-z-prefix bounding boxes over
         (user_id, minute-of-day) — the pure-integer interleave Delta's
@@ -697,6 +706,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_snapshot_diff": snapdiff_entry,
         # write-path layout: Morton-curve bucket bounding boxes
         "layout_zorder_stats": zorder_entry,
+        "streaming_linear_fit": ml_stream_entry,
         # MMR diversification re-rank of the exact retriever's top-10 pool
         "ann_mmr_rerank": lambda spark, sf_dir: similarity.mmr_rerank(
             _embs(spark, sf_dir),
@@ -1371,6 +1381,9 @@ def _northstar_oracles() -> dict[str, str]:
         f"{text._DUCK_NORM}, '\\s+'), t -> t <> '')) AS n_tok FROM documents"
     )
     out["ml_linear_fit"] = linear_fit_oracle(_ml_src, "lang", "n_tok", "n_chars")
+    # monoid sufficient statistics: the bounded stream replay converges
+    # exactly to the batch fit
+    out["streaming_linear_fit"] = out["ml_linear_fit"]
     out["ml_zscore_outliers"] = zscore_outliers_oracle(
         "SELECT lang, doc_id, n_chars FROM documents",
         "lang",

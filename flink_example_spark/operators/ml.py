@@ -58,7 +58,14 @@ def linear_fit(
     num/den are BIGINT (exact); each division/multiplication above is one
     exactly-rounded double op, so every engine emits identical bits.
     """
-    s = _suff_stats(df, group_col, x_col, y_col)
+    return fit_from_stats(_suff_stats(df, group_col, x_col, y_col))
+
+
+def fit_from_stats(s: DataFrame) -> DataFrame:
+    """The normal-equation closed form over a sufficient-statistics
+    relation (grp, n, sx, sxx, sy, syy, sxy) — shared by the batch fit
+    and the streaming twin (the stats are plain commutative sums, so
+    they stream as one JVM-state aggregation)."""
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num")
     den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den_x")
     den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("den_y")

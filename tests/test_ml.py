@@ -73,3 +73,22 @@ def test_zscore_threshold_is_strict(spark):
         [("g", 1, 0), ("g", 2, 10)], "grp string, id long, x long"
     )
     assert zscore_outliers(df, "grp", "x", "id", z=1.0).count() == 0
+
+
+def test_streaming_fit_converges_to_batch(spark):
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.text import normalized, tokens
+    from flink_example_spark.streaming.ml_stream import run_streaming_linear_fit
+    from flink_example_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents").select(
+        "lang",
+        "n_chars",
+        F.size(F.array_remove(tokens(normalized(F.col("text"))), "")).alias("n_tok"),
+    )
+    want = sorted(map(tuple, linear_fit(d, "lang", "n_tok", "n_chars").collect()))
+    for chunks in (1, 3):
+        got = sorted(map(tuple, run_streaming_linear_fit(spark, sf, chunks).collect()))
+        assert got == want, f"chunks={chunks} diverged"
