@@ -707,6 +707,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # write-path layout: Morton-curve bucket bounding boxes
         "layout_zorder_stats": zorder_entry,
         "streaming_linear_fit": ml_stream_entry,
+        # weighted sampling without replacement (two-phase prefix sum,
+        # pure-integer stride selection — portable where pow() is not)
+        "curation_systematic_sample": lambda spark, sf_dir: curation.systematic_sample(
+            _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+            k=100,
+            weight_col="n_chars",
+        ),
         # MMR diversification re-rank of the exact retriever's top-10 pool
         "ann_mmr_rerank": lambda spark, sf_dir: similarity.mmr_rerank(
             _embs(spark, sf_dir),
@@ -1384,6 +1391,7 @@ def _northstar_oracles() -> dict[str, str]:
     # monoid sufficient statistics: the bounded stream replay converges
     # exactly to the batch fit
     out["streaming_linear_fit"] = out["ml_linear_fit"]
+    out["curation_systematic_sample"] = curation.systematic_sample_oracle(k=100)
     out["ml_zscore_outliers"] = zscore_outliers_oracle(
         "SELECT lang, doc_id, n_chars FROM documents",
         "lang",

@@ -1319,3 +1319,91 @@ def training_shards_oracle(
         mix AS ({mix_sql})
         SELECT * FROM ({pack_sql})
     """
+
+
+def systematic_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: systematic
+    (cumulative-weight stride) selection of <= ``k`` rows with inclusion
+    probability proportional to weight — the engine-portable alternative
+    to priority sampling (md5^(1/w)), whose ``pow`` is not exactly
+    rounded across engines and so can never hash-match.
+
+    Rows are laid on the cumulative-weight line in portable md5-of-key
+    order (deterministic, uncorrelated with any data attribute); a row is
+    selected iff its weight interval (cum-w, cum] covers a stride
+    boundary: ``(cum*k) div W > ((cum-w)*k) div W`` — pure BIGINT
+    arithmetic. Heavy rows (w >= W/k) are ALWAYS selected, the classic
+    size-biased guarantee; rows covering multiple strides count once
+    (output then has < k rows). Overflow bound: W*k < 2^63.
+
+    Scale shape: the global prefix sum runs as the standard TWO-PHASE
+    distributed cumsum — a per-bucket window (256 md5-prefix buckets
+    partition the hash line) plus a bucket-offset relation of 256 rows
+    broadcast back. No single-partition pass ever touches row data; the
+    md5 prefix IS the sort prefix, so bucket-local order + bucket offsets
+    reproduce the exact single-line cumsum (what the DuckDB twin
+    computes directly). Weights must be non-negative; NULL weights never
+    select.
+    """
+    from pyspark.sql import Window
+
+    t = df.withColumn("__h", F.md5(F.col(key_col).cast("string"))).withColumn(
+        "__w", F.col(weight_col).cast("long")
+    )
+    t = t.withColumn("__b", F.substring("__h", 1, 2))
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy("__h", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.withColumn("__cum_in", F.sum("__w").over(w_in))
+    bt = t.groupBy("__b").agg(F.sum("__w").alias("__bw"))
+    # 256-row relation: the only single-partition window, bucket-count
+    # sized (never row-count sized)
+    w_off = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = bt.select(
+        "__b", F.coalesce(F.sum("__bw").over(w_off), F.lit(0)).alias("__off")
+    )
+    tot = bt.agg(F.sum("__bw").alias("__tot"))
+    sel = (
+        t.join(F.broadcast(offs), "__b")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__cum", F.col("__off") + F.col("__cum_in"))
+        .filter(
+            F.expr(f"(__cum * {k}) div __tot")
+            > F.expr(f"((__cum - __w) * {k}) div __tot")
+        )
+    )
+    return sel.drop("__h", "__w", "__b", "__cum_in", "__off", "__tot", "__cum")
+
+
+def systematic_sample_oracle(
+    k: int,
+    weight_expr: str = "n_chars",
+    select_cols: str = "doc_id, lang, n_chars",
+) -> str:
+    """DuckDB twin of ``systematic_sample`` — the direct single-line
+    cumulative sum (same order key: md5 hex, then doc_id)."""
+    return f"""
+        WITH t AS (
+          SELECT {select_cols}, CAST({weight_expr} AS BIGINT) AS w,
+                 md5(CAST(doc_id AS VARCHAR)) AS h, doc_id AS kk
+          FROM documents
+        ), c AS (
+          SELECT *,
+                 CAST(SUM(w) OVER (ORDER BY h, kk
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS cum,
+                 CAST(SUM(w) OVER () AS BIGINT) AS tot
+          FROM t
+        )
+        SELECT {select_cols} FROM c
+        WHERE (cum * {k}) // tot > ((cum - w) * {k}) // tot
+    """

@@ -354,3 +354,29 @@ def test_rrf_fusion_properties(spark):
     # doc 11: 1/62 + 1/61 wins over doc 10 (1/61) and doc 12 (2/63)
     assert [r["neighbor_id"] for r in out] == [11, 12, 10, 13]
     assert [r["fused_rank"] for r in out] == [1, 2, 3, 4]
+
+
+def test_systematic_sample_properties(spark):
+    from flink_example_spark.operators.curation import systematic_sample
+
+    rows = [(i, 10) for i in range(200)] + [(999, 5000)]  # one heavy row
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = systematic_sample(df, k=20, weight_col="n")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # <= k rows; the heavy row (w > W/k = 350) is ALWAYS selected
+    assert 0 < len(ids) <= 20
+    assert 999 in ids
+    # deterministic: identical selection on re-run
+    ids2 = sorted(r["doc_id"] for r in systematic_sample(df, 20, "n").collect())
+    assert ids == ids2
+    assert out.columns == ["doc_id", "n"]
+
+
+def test_systematic_sample_zero_weights_never_selected(spark):
+    rows = [(i, 7) for i in range(50)] + [(1000 + i, 0) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    from flink_example_spark.operators.curation import systematic_sample
+
+    ids = [r["doc_id"] for r in systematic_sample(df, k=10, weight_col="n").collect()]
+    assert len(ids) == 10
+    assert all(i < 1000 for i in ids)
