@@ -72,6 +72,18 @@ HEADLINE = [
     "curation_drift_chi2",
     "ann_rrf_fusion",
     "dedup_fuzzy_words",
+    # added round 6 continuation
+    "ann_hybrid_retrieval",
+    "graph_textrank_keywords",
+    "graph_triangle_counts",
+    "ml_linear_fit",
+    "ml_zscore_outliers",
+    "cep_funnel",
+    "cep_error_bursts",
+    "versioned_scd2",
+    "versioned_snapshot_diff",
+    "layout_zorder_stats",
+    "curation_systematic_sample",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

@@ -95,10 +95,18 @@ def bpe_train(
     ``n_merges`` distinct adjacent pairs (true for any real text corpus)."""
     spark = documents.sparkSession
     words = _word_freqs(documents, id_col, text_col)
-    # initial symbol sequence: the word's characters, space-joined
+    # initial symbol sequence: the word's characters, space-joined.
+    # Per-round state uses persist() WITHOUT an eager materialization: the
+    # round's top-pair aggregation fills the cache as a side effect, fusing
+    # what used to be two jobs per merge (agg + eager localCheckpoint) into
+    # one — measured 8.5s -> 3.7s for 8 merges at sf0.01 with identical
+    # merge tables (tools/bpe_probe.py). The logical plan grows by one
+    # interpreted merge-fold per round, but execution short-circuits at the
+    # cached round, so only analysis cost grows (negligible through 8
+    # rounds).
     seqs = words.select(
         F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("s"), "freq"
-    ).localCheckpoint(eager=True)
+    ).persist()
     merges: list[tuple[int, str, str, int]] = []
     for m in range(1, n_merges + 1):
         top = (
@@ -113,9 +121,10 @@ def bpe_train(
             break
         a, b, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["pair_count"]
         merges.append((m, a, b, int(cnt)))
-        seqs = seqs.select(_merge_expr(a, b).alias("s"), "freq").localCheckpoint(
-            eager=True
-        )
+        nxt = seqs.select(_merge_expr(a, b).alias("s"), "freq").persist()
+        seqs.unpersist()
+        seqs = nxt
+    seqs.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
     )
