@@ -108,6 +108,7 @@ def bpe_train(
         F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("s"), "freq"
     ).persist()
     merges: list[tuple[int, str, str, int]] = []
+    prev = None
     for m in range(1, n_merges + 1):
         top = (
             _adjacent_pairs(seqs)
@@ -117,13 +118,17 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        # seqs is now materialized (the collect filled its cache); only
+        # NOW is its parent safe to drop — a one-round unpersist lag, so
+        # no round ever computes against an evicted ancestor.
+        if prev is not None:
+            prev.unpersist()
         if not top:
             break
         a, b, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["pair_count"]
         merges.append((m, a, b, int(cnt)))
         nxt = seqs.select(_merge_expr(a, b).alias("s"), "freq").persist()
-        seqs.unpersist()
-        seqs = nxt
+        prev, seqs = seqs, nxt
     seqs.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
