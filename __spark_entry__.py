@@ -423,6 +423,21 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, ["view", "click", "purchase"], 86400
         )
 
+    def cep_stream_ooo_entry(spark, sf_dir):
+        """OUT-OF-ORDER streaming CEP: chunks interleave by day-of-month
+        (arrival order unrelated to event time); per-key state buffers
+        events above the watermark and event-time TIMERS flush each key
+        when the watermark passes its earliest buffered event — the full
+        Flink-CEP late-data model (buffer + timer + late-drop). Converges
+        exactly to the batch funnel."""
+        from flink_example_spark.streaming.cep_stream import (
+            run_streaming_funnel_unordered,
+        )
+
+        return run_streaming_funnel_unordered(
+            spark, sf_dir, ["view", "click", "purchase"], 86400
+        )
+
     def scd2_entry(spark, sf_dir):
         """SCD Type-2 dimension view of the purchase-count version history:
         half-open [valid_from, valid_to) intervals + is_current, via one
@@ -701,6 +716,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_funnel_counts": cep_counts_entry,
         "cep_error_bursts": cep_bursts_entry,
         "streaming_cep_funnel": cep_stream_entry,
+        "streaming_cep_funnel_ooo": cep_stream_ooo_entry,
         # warehouse temporal-table derivations over the version history
         "versioned_scd2": scd2_entry,
         "versioned_snapshot_diff": snapdiff_entry,
@@ -1411,6 +1427,8 @@ def _northstar_oracles() -> dict[str, str]:
     out["cep_error_bursts"] = event_bursts_oracle("error", 3, 43200)
     # bounded time-ordered replay converges exactly to the batch funnel
     out["streaming_cep_funnel"] = out["cep_funnel"]
+    # ...and so does the out-of-order replay (watermark buffer + timers)
+    out["streaming_cep_funnel_ooo"] = out["cep_funnel"]
     out["versioned_scd2"] = f"""
         SELECT _entity, cnt, _change_time AS valid_from,
                LEAD(_change_time) OVER w AS valid_to,

@@ -43,6 +43,23 @@ from flink_example_spark.streaming.staging import stamp_chunk_mtimes
 _STATE_SCHEMA = StructType([StructField("pkl", BinaryType(), True)])
 
 
+def _advance(frontier, events, steps, step_index, within_us, k):
+    """Run the greedy automaton over time-ordered (us, et) pairs; mutate
+    ``frontier`` in place and return the completed match (or None)."""
+    for us, et in events:
+        us = int(us)
+        j = len(frontier)
+        if j == 0:
+            if et == steps[0]:
+                frontier.append(us)
+        elif step_index.get(et, -1) == j:
+            if us > frontier[-1] and us <= frontier[0] + within_us:
+                frontier.append(us)
+                if len(frontier) == k:
+                    return list(frontier)
+    return None
+
+
 def streaming_funnel(
     event_stream: DataFrame,
     steps: list[str],
@@ -50,10 +67,24 @@ def streaming_funnel(
     key_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """Update-mode funnel completions over a stream. Output: (key,
     u_1..u_k epoch-micros BIGINT, duration_us) — one row per completed
-    key, emitted in the completing micro-batch."""
+    key, emitted in the completing micro-batch.
+
+    Default (``watermark_delay=None``): events must arrive in event-time
+    order across micro-batches (sorted within each batch here).
+
+    With ``watermark_delay``: FULL Flink-CEP out-of-order semantics —
+    events buffer in per-key state and the automaton only consumes the
+    prefix at or below the current watermark (which no later event can
+    precede, as long as disorder stays within the delay). State is then
+    O(k) frontier + the buffered events inside the watermark horizon
+    (delay x per-key rate, the same bound Flink CEP's ListState carries).
+    Events arriving below the watermark are late data and are dropped,
+    exactly like Flink.
+    """
     import pandas as pd
 
     k = len(steps)
@@ -67,13 +98,26 @@ def streaming_funnel(
     cols = [f.name for f in output_schema.fields]
     step_index = {s: i for i, s in enumerate(steps)}
 
-    src = event_stream.select(
+    src = event_stream.withColumn("__ts_ltz", F.col(ts_col).cast("timestamp"))
+    if watermark_delay is not None:
+        src = src.withWatermark("__ts_ltz", watermark_delay)
+    # the watermarked column must SURVIVE into applyInPandasWithState or
+    # GroupState.getCurrentWatermarkMs raises CANNOT_WITHOUT
+    keep_wm = ["__ts_ltz"] if watermark_delay is not None else []
+    src = src.select(
         F.col(key_col).alias("_k"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.unix_micros(F.col("__ts_ltz")).alias("_us"),
         F.col(type_col).alias("_et"),
+        *keep_wm,
     ).filter(F.col("_et").isin(list(steps)))
 
-    def process(
+    def emit(key, completed):
+        if completed is None:
+            return pd.DataFrame([], columns=cols)
+        row = [key[0], *completed, completed[-1] - completed[0]]
+        return pd.DataFrame([row], columns=cols)
+
+    def process_ordered(
         key: tuple[Any, ...],
         pdfs: Iterator["pd.DataFrame"],
         state: GroupState,
@@ -91,33 +135,62 @@ def streaming_funnel(
             return
         ev = pd.concat(list(pdfs), ignore_index=True)
         ev = ev.sort_values("_us", kind="mergesort")
-        completed = None
-        for us, et in zip(ev["_us"], ev["_et"]):
-            us = int(us)
-            j = len(frontier)
-            if j == 0:
-                if et == steps[0]:
-                    frontier.append(us)
-            elif step_index.get(et, -1) == j:
-                if us > frontier[-1] and us <= frontier[0] + within_us:
-                    frontier.append(us)
-                    if len(frontier) == k:
-                        completed = list(frontier)
-                        done = True
-                        break
-        state.update((pickle.dumps((done, frontier)),))
-        if completed is None:
-            yield pd.DataFrame([], columns=cols)
-        else:
-            row = [key[0], *completed, completed[-1] - completed[0]]
-            yield pd.DataFrame([row], columns=cols)
+        completed = _advance(
+            frontier, zip(ev["_us"], ev["_et"]), steps, step_index, within_us, k
+        )
+        state.update((pickle.dumps((completed is not None, frontier)),))
+        yield emit(key, completed)
 
+    def process_buffered(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        # state: (done, frontier, buffered [(us, et), ...] above last wm).
+        # A key is invoked when it has batch data OR its event-time timer
+        # fires — the timer (set to the earliest buffered event) is what
+        # flushes keys whose remaining events arrived in earlier batches,
+        # exactly Flink CEP's event-time timer role.
+        if state.exists:
+            done, frontier, buf = pickle.loads(state.get[0])
+        else:
+            done, frontier, buf = False, [], []
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        if done:
+            for _ in pdfs:
+                pass
+            yield pd.DataFrame([], columns=cols)
+            return
+        for pdf in pdfs:
+            # events below the watermark are LATE: dropped (Flink CEP rule)
+            buf.extend(
+                (int(u), e)
+                for u, e in zip(pdf["_us"], pdf["_et"])
+                if int(u) > wm_us
+            )
+        ready = sorted(e for e in buf if e[0] <= wm_us)
+        buf = [e for e in buf if e[0] > wm_us]
+        completed = _advance(frontier, ready, steps, step_index, within_us, k)
+        state.update((pickle.dumps((completed is not None, frontier, buf)),))
+        if completed is None and buf:
+            # wake this key once the watermark passes its earliest
+            # buffered event (must be strictly above the current wm)
+            state.setTimeoutTimestamp(
+                max(min(u for u, _ in buf) // 1000 + 1, wm_ms + 1)
+            )
+        yield emit(key, completed)
+
+    if watermark_delay is None:
+        process, tconf = process_ordered, GroupStateTimeout.NoTimeout
+    else:
+        process, tconf = process_buffered, GroupStateTimeout.EventTimeTimeout
     return src.groupBy("_k").applyInPandasWithState(
         process,
         outputStructType=output_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=tconf,
     )
 
 
@@ -164,6 +237,74 @@ def run_streaming_funnel(
         )
         q.awaitTermination()
     res = spark.table(name)
+    k = len(steps)
+    ts_cols = [
+        F.timestamp_micros(F.col(f"u_{i}")).cast("timestamp_ntz").alias(f"t_{i}")
+        for i in range(1, k + 1)
+    ]
+    return res.select("key", *ts_cols, "duration_us")
+
+
+def run_streaming_funnel_unordered(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: list[str],
+    within_sec: int,
+    n_chunks: int = 3,
+    delay_days: int = 40,
+) -> DataFrame:
+    """OUT-OF-ORDER bounded replay: chunks interleave by day-of-month, so
+    arrival order bears no relation to event time (maximum disorder); the
+    watermark delay covers the full span, so every event buffers in state
+    and the automaton consumes it only once the watermark passes it — the
+    full Flink-CEP late-data model. Two sentinel waves (far-future events
+    on a negative key, stripped from the output) lift the watermark past
+    max_ts + delay to flush the buffers: wave N's batch runs with the
+    watermark computed from wave N-1 (CLAUDE.md round 2).
+
+    Converges EXACTLY to the batch ``funnel`` — same oracle as the
+    in-order replay."""
+    import datetime
+
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    tmpdir = tempfile.mkdtemp(prefix="stream_cep_ooo_")
+    for i in range(n_chunks):
+        part = ev.filter(F.dayofmonth("ts") % n_chunks == i)
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmpdir, f"chunk_{i}")
+        )
+    mx = ev.agg(F.max("ts")).first()[0]
+    for w in (1, 2):
+        st = mx + datetime.timedelta(days=delay_days + w)
+        sdf = spark.createDataFrame(
+            [(-w, st, -1, steps[0], 0.0, "{}")], ev.schema
+        )
+        sdf.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmpdir, f"chunk_{n_chunks - 1 + w}")
+        )
+    stamp_chunk_mtimes(tmpdir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    out = streaming_funnel(
+        stream, steps, within_sec, watermark_delay=f"{delay_days} days"
+    )
+    name = f"stream_cep_ooo_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    res = spark.table(name).filter(F.col("key") >= 0)
     k = len(steps)
     ts_cols = [
         F.timestamp_micros(F.col(f"u_{i}")).cast("timestamp_ntz").alias(f"t_{i}")

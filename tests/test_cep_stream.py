@@ -31,3 +31,29 @@ def test_streaming_funnel_emits_each_completion_once(spark):
     out = run_streaming_funnel(spark, SF, STEPS, 86400, chunks=4)
     keys = [r["key"] for r in out.collect()]
     assert len(keys) == len(set(keys))
+
+
+def test_unordered_replay_matches_batch(spark):
+    from flink_example_spark.streaming.cep_stream import (
+        run_streaming_funnel_unordered,
+    )
+
+    batch = _rows(funnel(load_table(spark, SF, "events"), STEPS, 86400))
+    got = _rows(run_streaming_funnel_unordered(spark, SF, STEPS, 86400))
+    assert got == batch
+
+
+def test_unordered_replay_drops_late_events(spark):
+    # delay smaller than the disorder: events arriving below the watermark
+    # are late-dropped (Flink rule), so completions can disappear vs batch
+    from flink_example_spark.streaming.cep_stream import (
+        run_streaming_funnel_unordered,
+    )
+
+    batch = _rows(funnel(load_table(spark, SF, "events"), STEPS, 86400))
+    # day-interleaved chunks give ~month-wide disorder; a 1-day horizon
+    # drops most buffered history
+    got = _rows(
+        run_streaming_funnel_unordered(spark, SF, STEPS, 86400, delay_days=1)
+    )
+    assert len(got) <= len(batch)
