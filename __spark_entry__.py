@@ -423,6 +423,14 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, ["view", "click", "purchase"], 86400
         )
 
+    def cep_bursts_stream_entry(spark, sf_dir):
+        """times(n).within(w) alerting over a live stream: per-key trailing
+        window buffer (tie-groups counted like the batch range frame);
+        replay == batch event_bursts."""
+        from flink_example_spark.streaming.cep_stream import run_streaming_bursts
+
+        return run_streaming_bursts(spark, sf_dir, "error", 3, 43200)
+
     def cep_stream_ooo_entry(spark, sf_dir):
         """OUT-OF-ORDER streaming CEP: chunks interleave by day-of-month
         (arrival order unrelated to event time); per-key state buffers
@@ -717,6 +725,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_error_bursts": cep_bursts_entry,
         "streaming_cep_funnel": cep_stream_entry,
         "streaming_cep_funnel_ooo": cep_stream_ooo_entry,
+        "streaming_cep_bursts": cep_bursts_stream_entry,
         # warehouse temporal-table derivations over the version history
         "versioned_scd2": scd2_entry,
         "versioned_snapshot_diff": snapdiff_entry,
@@ -1429,6 +1438,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["streaming_cep_funnel"] = out["cep_funnel"]
     # ...and so does the out-of-order replay (watermark buffer + timers)
     out["streaming_cep_funnel_ooo"] = out["cep_funnel"]
+    out["streaming_cep_bursts"] = out["cep_error_bursts"]
     out["versioned_scd2"] = f"""
         SELECT _entity, cnt, _change_time AS valid_from,
                LEAD(_change_time) OVER w AS valid_to,

@@ -311,3 +311,126 @@ def run_streaming_funnel_unordered(
         for i in range(1, k + 1)
     ]
     return res.select("key", *ts_cols, "duration_us")
+
+
+def streaming_bursts(
+    event_stream: DataFrame,
+    event_type: str,
+    n: int,
+    within_sec: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """`times(n).within(w)` alerting over a live stream: per-key state is
+    the matching events inside the trailing window (bounded by
+    within_sec x per-key rate); each arriving event evicts the expired
+    prefix and alerts when the window holds >= n. Same in-order contract
+    as the ordered funnel; timestamp TIES are processed as a group so the
+    count matches the batch range frame (ties sit in each other's frame).
+    Output: (key, event_id, u epoch-micros, n_in_window)."""
+    import pandas as pd
+
+    within_us = within_sec * 1_000_000
+    output_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("event_id", LongType()),
+            StructField("u", LongType()),
+            StructField("n_in_window", LongType()),
+        ]
+    )
+    cols = [f.name for f in output_schema.fields]
+    src = (
+        event_stream.filter(F.col(type_col) == event_type)
+        .select(
+            F.col(key_col).alias("_k"),
+            F.col(id_col).alias("_id"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        )
+    )
+
+    def process(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        buf = pickle.loads(state.get[0]) if state.exists else []
+        ev = pd.concat(list(pdfs), ignore_index=True)
+        ev = ev.sort_values(["_us", "_id"], kind="mergesort")
+        rows = []
+        # group timestamp ties: every tie member counts every other
+        pending = list(zip(ev["_us"].astype(int), ev["_id"].astype(int)))
+        i = 0
+        while i < len(pending):
+            j = i
+            while j < len(pending) and pending[j][0] == pending[i][0]:
+                j += 1
+            us = pending[i][0]
+            buf = [u for u in buf if u >= us - within_us]
+            count = len(buf) + (j - i)
+            if count >= n:
+                for _, eid in pending[i:j]:
+                    rows.append([key[0], eid, us, count])
+            buf.extend(u for u, _ in pending[i:j])
+            i = j
+        state.update((pickle.dumps(buf),))
+        yield pd.DataFrame(rows, columns=cols)
+
+    return src.groupBy("_k").applyInPandasWithState(
+        process,
+        outputStructType=output_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_bursts(
+    spark: SparkSession,
+    sf_dir: str,
+    event_type: str,
+    n: int,
+    within_sec: int,
+    chunks: int = 3,
+) -> DataFrame:
+    """Bounded time-ordered replay of the burst alerter; converges exactly
+    to the batch ``event_bursts`` (same output shape, shared oracle)."""
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    tmpdir = tempfile.mkdtemp(prefix="stream_burst_")
+    total = ev.count()
+    per = (total + chunks - 1) // chunks
+    for i in range(chunks):
+        part = ev.filter(
+            (F.col("event_id") >= i * per) & (F.col("event_id") < (i + 1) * per)
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmpdir, f"chunk_{i}")
+        )
+    stamp_chunk_mtimes(tmpdir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    out = streaming_bursts(stream, event_type, n, within_sec)
+    name = f"stream_burst_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        "key",
+        "event_id",
+        F.timestamp_micros(F.col("u")).cast("timestamp_ntz").alias("ts"),
+        "n_in_window",
+    )
