@@ -423,6 +423,19 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, ["view", "click", "purchase"], 86400
         )
 
+    def cep_clean_entry(spark, sf_dir):
+        """Negative CEP pattern (Flink notFollowedBy): funnel completions
+        with NO error event strictly between the first and last matched
+        step — one anti range join on the completion-sized relation."""
+        from flink_example_spark.operators.cep import funnel_without
+
+        return funnel_without(
+            _events(spark, sf_dir),
+            ["view", "click", "purchase"],
+            86400,
+            forbidden=["error"],
+        )
+
     def cep_bursts_stream_entry(spark, sf_dir):
         """times(n).within(w) alerting over a live stream: per-key trailing
         window buffer (tie-groups counted like the batch range frame);
@@ -726,6 +739,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cep_funnel": cep_stream_entry,
         "streaming_cep_funnel_ooo": cep_stream_ooo_entry,
         "streaming_cep_bursts": cep_bursts_stream_entry,
+        "cep_funnel_clean": cep_clean_entry,
         # warehouse temporal-table derivations over the version history
         "versioned_scd2": scd2_entry,
         "versioned_snapshot_diff": snapdiff_entry,
@@ -1439,6 +1453,11 @@ def _northstar_oracles() -> dict[str, str]:
     # ...and so does the out-of-order replay (watermark buffer + timers)
     out["streaming_cep_funnel_ooo"] = out["cep_funnel"]
     out["streaming_cep_bursts"] = out["cep_error_bursts"]
+    from flink_example_spark.operators.cep import funnel_without_oracle
+
+    out["cep_funnel_clean"] = funnel_without_oracle(
+        ["view", "click", "purchase"], 86400, forbidden=["error"]
+    )
     out["versioned_scd2"] = f"""
         SELECT _entity, cnt, _change_time AS valid_from,
                LEAD(_change_time) OVER w AS valid_to,

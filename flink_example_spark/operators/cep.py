@@ -221,3 +221,58 @@ def event_bursts_oracle(
           FROM {table} WHERE event_type = '{event_type}'
         ) WHERE n_in_window >= {n}
     """
+
+
+def funnel_without(
+    events: DataFrame,
+    steps: list[str],
+    within_sec: int,
+    forbidden: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Negative CEP pattern — Flink's ``notFollowedBy``: keep only funnel
+    completions with NO forbidden-type event STRICTLY inside (t_1, t_k)
+    (e.g. signup -> purchase with no error in between).
+
+    One left-anti range join of the completion-sized funnel relation
+    against the forbidden events (filter pushed to the scan) — the
+    anti side never shuffles more than the forbidden postings.
+    """
+    f = funnel(events, steps, within_sec, key_col, ts_col, type_col)
+    k = len(steps)
+    bad = events.filter(F.col(type_col).isin(list(forbidden))).select(
+        F.col(key_col).alias("__bk"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__bus"),
+    )
+    lo = F.unix_micros(F.col("t_1").cast("timestamp"))
+    hi = F.unix_micros(F.col(f"t_{k}").cast("timestamp"))
+    return f.join(
+        bad,
+        (F.col("key") == F.col("__bk"))
+        & (F.col("__bus") > lo)
+        & (F.col("__bus") < hi),
+        "left_anti",
+    )
+
+
+def funnel_without_oracle(
+    steps: list[str],
+    within_sec: int,
+    forbidden: list[str],
+    table: str = "events",
+) -> str:
+    """DuckDB twin of ``funnel_without`` (NOT EXISTS over the same strict
+    micros bounds)."""
+    k = len(steps)
+    types = ", ".join(f"'{t}'" for t in forbidden)
+    return f"""
+        WITH fm AS ({funnel_oracle(steps, within_sec, table=table)})
+        SELECT * FROM fm WHERE NOT EXISTS (
+          SELECT 1 FROM {table} e
+          WHERE e.user_id = fm.key AND e.event_type IN ({types})
+            AND epoch_us(e.ts) > epoch_us(fm.t_1)
+            AND epoch_us(e.ts) < epoch_us(fm.t_{k})
+        )
+    """

@@ -106,3 +106,24 @@ def test_event_bursts_trailing_window_inclusive(spark):
     # one microsecond beyond would fall out: 11s apart with 10s window
     ev2 = _ev(spark, [(1, 0, "error"), (1, 11, "error")])
     assert event_bursts(ev2, "error", n=2, within_sec=10).count() == 0
+
+
+def test_funnel_without_negative_pattern(spark):
+    from flink_example_spark.operators.cep import funnel_without
+
+    ev = _ev(
+        spark,
+        [
+            # user 1 completes cleanly
+            (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),
+            # user 2 completes but an error sits strictly inside -> dropped
+            (2, 0, "view"), (2, 10, "click"), (2, 15, "error"), (2, 20, "purchase"),
+            # user 3: errors exactly AT t_1 and t_k are NOT "in between"
+            (3, 0, "error"), (3, 0, "view"), (3, 10, "click"),
+            (3, 20, "purchase"), (3, 20, "error"),
+        ],
+    )
+    out = funnel_without(
+        ev, ["view", "click", "purchase"], 3600, forbidden=["error"]
+    )
+    assert sorted(r["key"] for r in out.collect()) == [1, 3]

@@ -73,3 +73,32 @@ def test_zorder_bucket_stats_boxes(spark):
         lo_cluster = r["x_max"] < 8 and r["y_max"] < 8
         hi_cluster = r["x_min"] >= 56 and r["y_min"] >= 56
         assert lo_cluster or hi_cluster, "bucket mixes the two clusters"
+
+
+def test_zorder_write_prunes_files_on_both_dims(spark, tmp_path):
+    # the actual pay-off claim: a predicate on EITHER dimension of a
+    # z-ordered write touches a small fraction of files; the same data
+    # written hash-distributed touches all of them
+    df = spark.range(8192).select(
+        (F.col("id") % 91).alias("x"), ((F.col("id") * 7) % 89).alias("y")
+    )
+    zdir, rdir = str(tmp_path / "z"), str(tmp_path / "r")
+    zorder_layout(df, [F.col("x"), F.col("y")], n_files=16, bits=7).write.parquet(zdir)
+    df.repartition(16).write.parquet(rdir)
+
+    def files_touched(path, pred):
+        return (
+            spark.read.parquet(path)
+            .filter(pred)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    for pred in (F.col("x") < 8, F.col("y") < 8):
+        z = files_touched(zdir, pred)
+        r = files_touched(rdir, pred)
+        # parquet row-group stats let Spark skip z-files whose bounding
+        # box excludes the predicate; the random layout cannot skip any
+        assert z < r, f"z-order touched {z} files, random {r}"
+        assert z <= 8
