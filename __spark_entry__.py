@@ -740,6 +740,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cep_funnel_ooo": cep_stream_ooo_entry,
         "streaming_cep_bursts": cep_bursts_stream_entry,
         "cep_funnel_clean": cep_clean_entry,
+        # strict contiguity (Flink next()): maximal consecutive error runs
+        "cep_error_runs": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.cep", fromlist=["consecutive_runs"]
+        ).consecutive_runs(_events(spark, sf_dir), "error", min_len=2),
         # warehouse temporal-table derivations over the version history
         "versioned_scd2": scd2_entry,
         "versioned_snapshot_diff": snapdiff_entry,
@@ -1458,6 +1462,9 @@ def _northstar_oracles() -> dict[str, str]:
     out["cep_funnel_clean"] = funnel_without_oracle(
         ["view", "click", "purchase"], 86400, forbidden=["error"]
     )
+    from flink_example_spark.operators.cep import consecutive_runs_oracle
+
+    out["cep_error_runs"] = consecutive_runs_oracle("error", min_len=2)
     out["versioned_scd2"] = f"""
         SELECT _entity, cnt, _change_time AS valid_from,
                LEAD(_change_time) OVER w AS valid_to,

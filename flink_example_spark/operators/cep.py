@@ -276,3 +276,70 @@ def funnel_without_oracle(
             AND epoch_us(e.ts) < epoch_us(fm.t_{k})
         )
     """
+
+
+def consecutive_runs(
+    events: DataFrame,
+    event_type: str,
+    min_len: int = 2,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """STRICT-contiguity pattern — Flink CEP's ``next()`` as opposed to
+    ``followedBy``: maximal runs of >= ``min_len`` CONSECUTIVE
+    ``event_type`` events in each key's event sequence (no other event
+    type in between). The relational islands trick: two ROW_NUMBERs over
+    the same (key, time, id) order differ by a constant inside a run, so
+    the difference is the island id — one shuffle, two window passes in
+    a single Window stage, one aggregate.
+
+    Output: (key, run_start, run_len) per qualifying maximal run, where
+    run_start is the first event's time. Ordering ties break on the
+    event id (unique), so islands are fully deterministic.
+    """
+    ev = events.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+        F.col(id_col).alias("__id"),
+        (F.col(type_col) == event_type).alias("__m"),
+    )
+    w_all = Window.partitionBy("key").orderBy("__us", "__id")
+    w_typ = Window.partitionBy("key", "__m").orderBy("__us", "__id")
+    runs = (
+        ev.withColumn("__island", F.row_number().over(w_all) - F.row_number().over(w_typ))
+        .filter(F.col("__m"))
+        .groupBy("key", "__island")
+        .agg(
+            F.min("ts").alias("run_start"),
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+        )
+    )
+    return runs.filter(F.col("run_len") >= min_len).select(
+        "key", "run_start", "run_len"
+    )
+
+
+def consecutive_runs_oracle(
+    event_type: str, min_len: int = 2, table: str = "events"
+) -> str:
+    """DuckDB twin of ``consecutive_runs`` (same islands construction)."""
+    return f"""
+        WITH seq AS (
+          SELECT user_id AS key, ts,
+                 (event_type = '{event_type}') AS m,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+                 - ROW_NUMBER() OVER (PARTITION BY user_id,
+                                          (event_type = '{event_type}')
+                                      ORDER BY epoch_us(ts), event_id)
+                   AS island
+          FROM {table}
+        )
+        SELECT key, MIN(ts) AS run_start,
+               CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM seq WHERE m GROUP BY key, island
+        HAVING COUNT(*) >= {min_len}
+    """

@@ -127,3 +127,24 @@ def test_funnel_without_negative_pattern(spark):
         ev, ["view", "click", "purchase"], 3600, forbidden=["error"]
     )
     assert sorted(r["key"] for r in out.collect()) == [1, 3]
+
+
+def test_consecutive_runs_strict_contiguity(spark):
+    from flink_example_spark.operators.cep import consecutive_runs
+
+    ev = _ev(
+        spark,
+        [
+            # run of 3, broken by a click, then a lone error
+            (1, 0, "error"), (1, 1, "error"), (1, 2, "error"),
+            (1, 3, "click"),
+            (1, 4, "error"),
+            # user 2: exactly min_len
+            (2, 0, "error"), (2, 1, "error"),
+        ],
+    )
+    out = sorted(
+        (r["key"], r["run_len"]) for r in consecutive_runs(ev, "error", 2).collect()
+    )
+    # the lone error after the click is NOT contiguous with the first run
+    assert out == [(1, 3), (2, 2)]
