@@ -84,6 +84,8 @@ HEADLINE = [
     "versioned_snapshot_diff",
     "layout_zorder_stats",
     "curation_systematic_sample",
+    "cep_funnel_clean",
+    "cep_error_runs",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

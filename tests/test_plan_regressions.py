@@ -389,3 +389,30 @@ def test_triangle_counts_broadcasts_degrees(spark):
     plan = physical(triangle_counts(pairs, "src", "dst"))
     # degree attach is broadcast (node-sized), never a corpus-sized shuffle
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_funnel_without_anti_join_no_python(spark):
+    from flink_example_spark.operators.cep import funnel_without
+    from flink_example_spark.plans.events_demo import load_events
+
+    plan = physical(
+        funnel_without(
+            load_events(spark, SF), ["view", "click", "purchase"], 86400,
+            forbidden=["error"],
+        )
+    )
+    # the negative condition is an anti join; forbidden-type filter pushed
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_consecutive_runs_single_window_stage(spark):
+    from flink_example_spark.operators.cep import consecutive_runs
+    from flink_example_spark.plans.events_demo import load_events
+
+    plan = physical(consecutive_runs(load_events(spark, SF), "error", 2))
+    # both ROW_NUMBERs + the aggregate ride ONE key shuffle... the island
+    # row_number needs a (key, __m) sort but not a second Exchange when
+    # (key) partitioning is reusable; assert no Python and <= 2 exchanges
+    assert plan.count("Exchange") <= 2
+    assert "BatchEvalPython" not in plan
