@@ -1377,8 +1377,14 @@ def systematic_sample(
         .crossJoin(F.broadcast(tot))
         .withColumn("__cum", F.col("__off") + F.col("__cum_in"))
         .filter(
-            F.expr(f"(__cum * {k}) div __tot")
-            > F.expr(f"((__cum - __w) * {k}) div __tot")
+            # CASE WHEN guards evaluation (& does NOT short-circuit in
+            # Spark SQL): an all-zero-weight input selects nothing instead
+            # of raising ANSI division-by-zero
+            F.when(
+                F.col("__tot") > 0,
+                F.expr(f"(__cum * {k}) div __tot")
+                > F.expr(f"((__cum - __w) * {k}) div __tot"),
+            ).otherwise(F.lit(False))
         )
     )
     return sel.drop("__h", "__w", "__b", "__cum_in", "__off", "__tot", "__cum")

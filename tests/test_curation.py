@@ -380,3 +380,10 @@ def test_systematic_sample_zero_weights_never_selected(spark):
     ids = [r["doc_id"] for r in systematic_sample(df, k=10, weight_col="n").collect()]
     assert len(ids) == 10
     assert all(i < 1000 for i in ids)
+
+
+def test_systematic_sample_all_zero_weights(spark):
+    from flink_example_spark.operators.curation import systematic_sample
+
+    df = spark.createDataFrame([(i, 0) for i in range(20)], "doc_id long, n long")
+    assert systematic_sample(df, k=5, weight_col="n").count() == 0
