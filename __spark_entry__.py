@@ -530,6 +530,23 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cm_heavy_hitters(toks, "term", depth=3, width=8, topk=16)
 
+    def hll_entry(spark, sf_dir):
+        """Portable-HLL distinct-term count per language: the O(m)-register
+        complement to the bottom-k KMV row (m=64 here, so per-lang term
+        vocabularies estimate with ~13% error while the register relation —
+        and therefore the hash — is bit-identical in DuckDB)."""
+        from flink_example_spark.operators.sketch import hll_distinct
+
+        toks = (
+            _docs(spark, sf_dir)
+            .select(
+                "lang",
+                F.explode(text.tokens(text.normalized(F.col("text")))).alias("term"),
+            )
+            .filter(F.col("term") != "")
+        )
+        return hll_distinct(toks, "lang", "term", p=6)
+
     def semantic_keep(spark, sf_dir):
         """SemDeDup-style semantic dedup: embedding near-dup pairs (multi-
         band sign-LSH over the docs' embedding vectors, vec_id = doc_id)
@@ -729,6 +746,17 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over the term co-occurrence graph) + triangle density
         "graph_textrank_keywords": textrank_entry,
         "graph_triangle_counts": tri_entry,
+        # multi-hop BFS reachability from the co-occurrence hub term via
+        # Spark 4's RECURSIVE CTE (Catalyst-planned iteration; identical
+        # recursive query text runs in DuckDB)
+        "graph_reachability": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.graph", fromlist=["reachability"]
+        ).reachability(
+            __import__(
+                "flink_example_spark.operators.graph", fromlist=["term_graph"]
+            ).term_graph(_docs(spark, sf_dir), min_weight=2),
+            max_hops=3,
+        ),
         # distributed model fitting on the corpus (integer normal equations)
         "ml_linear_fit": linfit_entry,
         "ml_zscore_outliers": zscore_entry,
@@ -812,6 +840,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "sketch_kmv_distinct": kmv_entry,
         "sketch_cm_heavy_hitters": cm_hh_entry,
+        "sketch_hll_distinct": hll_entry,
         "sketch_quantiles": quantile_entry,
         # sketch x event-time windowing: daily distinct-user KMV over the
         # events stream (k=16 so large days estimate, small days exact)
@@ -1421,6 +1450,9 @@ def _northstar_oracles() -> dict[str, str]:
         FROM (SELECT unnest([x, y, z]) AS node FROM tri)
         GROUP BY node
     """
+    from flink_example_spark.operators.graph import reachability_oracle
+
+    out["graph_reachability"] = reachability_oracle(term_graph_sql(2), max_hops=3)
     from flink_example_spark.operators.ml import (
         linear_fit_oracle,
         zscore_outliers_oracle,
@@ -1554,6 +1586,16 @@ def _northstar_oracles() -> dict[str, str]:
     )
     out["sketch_cm_heavy_hitters"] = cm_heavy_hitters_oracle(
         _duck_terms, "t", depth=3, width=8, topk=16, value_alias="term"
+    )
+    from flink_example_spark.operators.sketch import hll_distinct_oracle
+
+    out["sketch_hll_distinct"] = hll_distinct_oracle(
+        f"SELECT lang, t FROM (SELECT lang,"
+        f" unnest(string_split_regex({_DUCK_NORM}, '\\s+')) AS t"
+        " FROM documents) WHERE t <> ''",
+        ["lang"],
+        "t",
+        p=6,
     )
 
     out["curation_decontaminate"] = curation.decontamination_oracle(n=8, bench_mod=7)
@@ -2122,6 +2164,11 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # depth*width state rows; converges to batch cm_sketch -> shares
         # its oracle
         "streaming_cm_sketch": _run_streaming_cm,
+        # streaming portable-HLL: register-wise max as a plain streaming
+        # groupBy aggregate — pure JVM state, at most m rows per language,
+        # idempotent monoid (no watermark); converges to batch
+        # hll_distinct -> shares its oracle
+        "streaming_hll_distinct": _run_streaming_hll,
         # streaming hash-rank sample: bottom-k-by-hash state (O(k)/group,
         # no watermark — idempotent monoid merge); final sample == batch
         # kmv_quantile_sample, quantiles via the same Spark percentile
@@ -2184,6 +2231,12 @@ def _run_streaming_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_example_spark.streaming.sketch_stream import run_streaming_cm_sketch
 
     return run_streaming_cm_sketch(spark, sf_dir, depth=3, width=8)
+
+
+def _run_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.sketch_stream import run_streaming_hll_distinct
+
+    return run_streaming_hll_distinct(spark, sf_dir, p=6)
 
 
 def _run_streaming_kq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2287,6 +2340,7 @@ def _all_oracles() -> dict[str, str]:
         depth=3,
         width=8,
     )
+    out["streaming_hll_distinct"] = out["sketch_hll_distinct"]
     out["streaming_ann_topk"] = out["ann_cosine_topk"]
     out["streaming_bm25"] = out["text_bm25_topk"]
     out["streaming_lm_filter"] = (

@@ -289,3 +289,80 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+
+
+def reachability(
+    edges: DataFrame,
+    max_hops: int = 3,
+    source: str | None = None,
+) -> DataFrame:
+    """Multi-hop reachability via Spark 4's RECURSIVE CTE — the declarative
+    twin of the imperative ``pagerank`` loop: Catalyst owns the iteration
+    (one self-referencing UNION ALL term), so each round is a planned join
+    against the edge relation instead of a driver-side Python loop.
+
+    BFS from ``source`` (default: the hub — the node with the largest total
+    out-weight, deterministic tie-break on name). Spark does not yet
+    support UNION-distinct recursion (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE,
+    checked on 4.1.2), so termination on cyclic graphs comes from the
+    ``max_hops`` bound on the walk depth; the final aggregate collapses
+    walks to ``hops`` = MIN(dist) per node (true BFS distance for nodes
+    within the bound) and keeps ``n_walks`` as the bounded-walk count.
+
+    Scale shape: each recursion step is frontier JOIN edges — the same
+    shuffle a hand-rolled BFS round would pay, with the edge relation
+    scan-reused across steps. Walk counts grow with hub degree^max_hops;
+    keep max_hops small on dense graphs (the bound is the state cap).
+
+    Output: (node, hops BIGINT, n_walks BIGINT).
+    """
+    import uuid
+
+    name = f"edges_{uuid.uuid4().hex[:8]}"
+    edges.createOrReplaceTempView(name)
+    anchor = (
+        f"SELECT '{source}' AS node, 0 AS dist"
+        if source is not None
+        else f"""SELECT src AS node, 0 AS dist FROM (
+              SELECT src FROM {name} GROUP BY src ORDER BY SUM(w) DESC, src LIMIT 1)"""
+    )
+    return edges.sparkSession.sql(f"""
+        WITH RECURSIVE reach(node, dist) AS (
+          {anchor}
+          UNION ALL
+          SELECT e.dst, r.dist + 1
+          FROM reach r JOIN {name} e ON e.src = r.node
+          WHERE r.dist < {max_hops}
+        )
+        SELECT node, CAST(MIN(dist) AS BIGINT) AS hops,
+               CAST(COUNT(*) AS BIGINT) AS n_walks
+        FROM reach GROUP BY node
+    """)
+
+
+def reachability_oracle(
+    edges_sql: str, max_hops: int = 3, source: str | None = None
+) -> str:
+    """DuckDB twin of ``reachability`` — the SAME recursive query text over
+    the same edge relation (DuckDB needs the recursive block scoped inside
+    the aggregate's subquery when the edge CTE is shared)."""
+    anchor = (
+        f"SELECT '{source}' AS node, 0 AS dist"
+        if source is not None
+        else """SELECT src AS node, 0 AS dist FROM (
+              SELECT src FROM edges_v GROUP BY src ORDER BY SUM(w) DESC, src LIMIT 1)"""
+    )
+    return f"""
+        WITH edges_v AS MATERIALIZED ({edges_sql})
+        SELECT node, CAST(MIN(dist) AS BIGINT) AS hops,
+               CAST(COUNT(*) AS BIGINT) AS n_walks
+        FROM (
+          WITH RECURSIVE reach(node, dist) AS (
+            {anchor}
+            UNION ALL
+            SELECT e.dst, r.dist + 1
+            FROM reach r JOIN edges_v e ON e.src = r.node
+            WHERE r.dist < {max_hops}
+          ) SELECT * FROM reach
+        ) GROUP BY node
+    """

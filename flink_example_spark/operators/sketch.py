@@ -186,6 +186,147 @@ def _kmv_merge(df: DataFrame, groups: list[str], value_col: str, k: int) -> Data
     )
 
 
+def _hll_params(p: int) -> tuple[int, int, int, float]:
+    """(m, rem_bits, q, numerator) for a 2^p-register portable HLL.
+
+    ``numerator`` is alpha_m * m^2 * 2^q as ONE Python float — both engines
+    parse the same shortest-round-trip decimal literal to the same double,
+    so the estimate is a single exactly-rounded IEEE division everywhere.
+    """
+    if not 4 <= p <= 14:
+        raise ValueError(f"p must be in [4, 14], got {p}")
+    m = 1 << p
+    rem_bits = 32 - p
+    q = rem_bits + 1  # max rho: remainder == 0 counts all rem_bits zeros + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return m, rem_bits, q, alpha * (m * m) * float(1 << q)
+
+
+def hll_registers(
+    df: DataFrame, group_cols: str | Sequence[str], value_col: str, p: int = 8
+) -> DataFrame:
+    """Per-group HyperLogLog register relation (Flajolet et al. 2007) built
+    on the engine-portable md5 hash — the fixed-width O(m)-state complement
+    to ``kmv_distinct``'s O(k) bottom-k (see module header for why neither
+    uses Spark's builtin HLL++: portability makes the sketch itself
+    oracle-checkable, not just its error bound).
+
+    The 32-bit hash splits into a ``p``-bit bucket (high bits) and a
+    ``(32-p)``-bit remainder; ``rho`` = leading zeros of the remainder + 1,
+    computed libm-free as ``rem_bits - (length(bin(v)) - 1)`` (the repo's
+    floor(log2) idiom), with the all-zero remainder pinned to ``q``.
+
+    Output: group cols + ``bucket`` + ``max_rho`` — a MERGEABLE relation
+    (register-wise max is a commutative idempotent monoid): union register
+    relations of disjoint shards and re-take the max (``hll_merge``), or
+    maintain it live as a streaming max aggregation with no watermark.
+    At most m rows per group ever leave the partial (map-side) aggregate,
+    regardless of corpus size — the 100 TB profiling shape.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    m, rem_bits, q, _ = _hll_params(p)
+    div = 1 << rem_bits
+    src = df.select(
+        *groups, portable_hash32(F.col(value_col)).alias("__h")
+    ).filter(F.col("__h").isNotNull())
+    v = F.col("__h") % F.lit(div)
+    rho = F.when(v == 0, F.lit(q)).otherwise(
+        F.lit(rem_bits) - (F.length(F.bin(v)) - F.lit(1))
+    )
+    return (
+        src.select(*groups, F.expr(f"__h div {div}").alias("bucket"), rho.alias("__rho"))
+        .groupBy(*groups, "bucket")
+        .agg(F.max("__rho").alias("max_rho"))
+    )
+
+
+def hll_merge(groups: Sequence[str], *registers: DataFrame) -> DataFrame:
+    """Merge register relations of disjoint shards (register-wise max)."""
+    out = registers[0]
+    for r in registers[1:]:
+        out = out.unionByName(r)
+    return out.groupBy(*groups, "bucket").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_finalize(
+    registers: DataFrame, group_cols: str | Sequence[str], p: int = 8
+) -> DataFrame:
+    """Raw-HLL estimate from a register relation. The harmonic mean is kept
+    EXACT: sum of 2^(q - max_rho) over present registers plus 2^q per
+    absent register, all BIGINT (bounded by m * 2^q <= 2^33) — the only
+    floating-point op is the final numerator/denominator division.
+
+    No small-range (linear-counting) correction: it needs ln(), which is
+    not exactly-rounded-portable across engines (CLAUDE.md: sqrt is the one
+    portable non-integer power). Small-cardinality groups belong to
+    ``kmv_distinct``, which is exact below k by construction.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    m, _, q, num = _hll_params(p)
+    agg = registers.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(F.expr(f"CAST(1 AS BIGINT) << ({q} - max_rho)")).alias("__s_present"),
+    )
+    s = F.col("__s_present") + (
+        F.lit(m).cast("bigint") - F.col("n_registers")
+    ) * F.lit(1 << q).cast("bigint")
+    return agg.select(
+        *groups,
+        "n_registers",
+        s.alias("reg_sum"),
+        (F.lit(num) / s.cast("double")).alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: str | Sequence[str], value_col: str, p: int = 8
+) -> DataFrame:
+    """Per-group portable-HLL distinct-count estimate (registers + finalize
+    in one plan). Output: group cols + ``n_registers`` (non-empty
+    registers), ``reg_sum`` (exact scaled harmonic denominator), and
+    ``est_distinct`` (double)."""
+    return hll_finalize(hll_registers(df, group_cols, value_col, p=p), group_cols, p=p)
+
+
+def hll_distinct_oracle(
+    source_sql: str,
+    group_cols: Sequence[str],
+    value_expr: str,
+    p: int = 8,
+) -> str:
+    """DuckDB twin of ``hll_distinct`` built from the same definition.
+    ``source_sql`` must yield the group columns plus the value expression.
+    DuckDB's SUM(BIGINT) widens to HUGEINT, so both sums are cast back
+    (CLAUDE.md rule); ``bin()`` is unpadded in both engines."""
+    m, rem_bits, q, num = _hll_params(p)
+    div = 1 << rem_bits
+    gs = ", ".join(group_cols)
+    return f"""
+        WITH src AS (
+          SELECT {gs},
+                 CAST(concat('0x', substr(md5({value_expr}), 1, 8)) AS BIGINT) AS h
+          FROM ({source_sql}) WHERE {value_expr} IS NOT NULL
+        ), regs AS (
+          SELECT {gs}, h // {div} AS bucket,
+                 MAX(CASE WHEN h % {div} = 0 THEN {q}
+                     ELSE {rem_bits} - (length(bin(h % {div})) - 1) END) AS max_rho
+          FROM src GROUP BY {gs}, bucket
+        ), agg AS (
+          SELECT {gs}, CAST(COUNT(*) AS BIGINT) AS n_registers,
+                 CAST(SUM(CAST(1 AS BIGINT) << ({q} - max_rho)) AS BIGINT) AS s_present
+          FROM regs GROUP BY {gs}
+        )
+        SELECT {gs}, n_registers,
+               s_present + ({m} - n_registers) * CAST({1 << q} AS BIGINT) AS reg_sum,
+               -- bare decimal literals parse as DECIMAL in DuckDB; force the
+               -- same double the Spark side gets from F.lit(num)
+               CAST('{num!r}' AS DOUBLE)
+                 / CAST(s_present + ({m} - n_registers)
+                        * CAST({1 << q} AS BIGINT) AS DOUBLE) AS est_distinct
+        FROM agg
+    """
+
+
 def cm_coords(value: F.Column, depth: int, width: int) -> F.Column:
     """Per-row (r, j) coordinate pairs for a count-min sketch as an array of
     structs — row r uses the engine-portable md5 bucket of ``'r:' || value``

@@ -292,3 +292,51 @@ def run_streaming_kmv_quantiles(
         GROUP BY lang
         """
     )
+
+
+def run_streaming_hll_distinct(
+    spark: SparkSession,
+    sf_dir: str,
+    p: int = 6,
+    chunks: int = 3,
+) -> DataFrame:
+    """Portable-HLL distinct-TERM count per language, maintained live.
+
+    Like the count-min twin this needs no Python state: ``hll_registers``
+    is a plain streaming ``groupBy(lang, bucket).max(rho)`` — register-wise
+    max is a commutative IDEMPOTENT monoid, so Spark's built-in streaming
+    aggregation state (JVM-side, at most m rows per language) maintains it
+    with no watermark, in complete mode, under any arrival order or replay.
+    Bounded replay converges EXACTLY to batch ``hll_distinct`` and shares
+    its oracle; the finalize (exact integer harmonic sum + one division)
+    runs as a batch expression over the sink table.
+    """
+    import os
+    import uuid
+
+    from flink_example_spark.operators.sketch import hll_finalize, hll_registers
+    from flink_example_spark.operators.text import normalized, tokens
+    from flink_example_spark.session import shuffle_partitions, tune
+    from flink_example_spark.streaming.dedup_stream import _stage_by_id
+
+    tune(spark)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+        .select(F.col("lang"), F.explode(tokens(normalized(F.col("text")))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    registers = hll_registers(stream, "lang", "term", p=p)
+    name = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            registers.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return hll_finalize(spark.table(name), "lang", p=p)

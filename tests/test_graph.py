@@ -123,3 +123,35 @@ def test_triangles_match_brute_force_and_dedup_input(spark):
                 pairs.append((nodes[j], a))  # reversed order on purpose
     got = _run_triangles(spark, pairs + pairs[:5])  # duplicates must not count
     assert got == _brute_triangles(pairs)
+
+
+def test_reachability_bfs_hops_and_cycle_termination(spark):
+    """Chain a->b->c->d plus a back-edge d->a (cycle): hops are true BFS
+    distances within the bound and the depth bound terminates the
+    recursion despite the cycle."""
+    from flink_example_spark.operators.graph import reachability
+
+    edges = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 1), ("c", "d", 1), ("d", "a", 1)],
+        "src string, dst string, w long",
+    )
+    got = {r["node"]: r["hops"] for r in reachability(edges, max_hops=3).collect()}
+    # hub = a (largest out-weight); the d->a back-edge re-reaches a at
+    # dist 4 but MIN keeps 0, and the bound stops the walk there
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_reachability_explicit_source_and_walk_counts(spark):
+    """Diamond a->{b,c}->d: two walks reach d, MIN collapses to 2 hops."""
+    from flink_example_spark.operators.graph import reachability
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 1), ("b", "d", 1), ("c", "d", 1)],
+        "src string, dst string, w long",
+    )
+    rows = {
+        r["node"]: (r["hops"], r["n_walks"])
+        for r in reachability(edges, max_hops=4, source="a").collect()
+    }
+    assert rows["d"] == (2, 2)
+    assert rows["a"] == (0, 1)

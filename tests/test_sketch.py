@@ -304,3 +304,77 @@ def test_kmv_quantile_sample_merges_across_shards(spark):
     assert whole == merged
     # and each shard sample is itself a deterministic subset of size k
     assert a.count() == k and b.count() == k
+
+
+# --- portable HLL ----------------------------------------------------------
+
+
+def test_hll_estimate_accuracy(spark):
+    n = 20_000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    from flink_example_spark.operators.sketch import hll_distinct
+
+    row = hll_distinct(df, "g", "v", p=8).first()
+    # raw-HLL relative error ~ 1.04/sqrt(m) = 6.5% at m=256; allow 4 sigma
+    assert abs(row["est_distinct"] - n) / n < 0.26
+    assert row["n_registers"] <= 256
+
+
+def test_hll_duplicates_do_not_inflate(spark):
+    from flink_example_spark.operators.sketch import hll_distinct
+
+    base = spark.range(3_000).select(F.col("id").cast("string").alias("v"))
+    dup = base.union(base).select(F.lit("g").alias("g"), "v")
+    one = hll_distinct(base.select(F.lit("g").alias("g"), "v"), "g", "v").first()
+    two = hll_distinct(dup, "g", "v").first()
+    assert (one["reg_sum"], one["est_distinct"]) == (two["reg_sum"], two["est_distinct"])
+
+
+def test_hll_shard_merge_equals_global(spark):
+    """Register-wise max over shard register relations == registers of the
+    union (the monoid that makes HLL shard-composable and streamable)."""
+    from flink_example_spark.operators.sketch import (
+        hll_finalize,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(8_000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    shard_a = df.filter(F.col("v").cast("long") % 2 == 0)
+    shard_b = df.filter(F.col("v").cast("long") % 2 == 1)
+    merged = hll_finalize(
+        hll_merge(["g"], hll_registers(shard_a, "g", "v"), hll_registers(shard_b, "g", "v")),
+        "g",
+    ).first()
+    whole = hll_finalize(hll_registers(df, "g", "v"), "g").first()
+    assert (merged["n_registers"], merged["reg_sum"], merged["est_distinct"]) == (
+        whole["n_registers"],
+        whole["reg_sum"],
+        whole["est_distinct"],
+    )
+
+
+def test_hll_engine_parity_and_nulls(spark):
+    """The register relation and the estimate must be bit-identical in
+    DuckDB (same md5 bucket, same bin()-based rho, same exact integer
+    harmonic sum, one shared-literal division), with NULLs dropped."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.sketch import hll_distinct, hll_distinct_oracle
+
+    vals = [("a", str(i)) for i in range(900)] + [("b", str(i)) for i in range(40)]
+    with_nulls = vals + [("a", None)] * 5
+    df = spark.createDataFrame(with_nulls, "g string, v string")
+    got = {
+        r["g"]: (r["n_registers"], r["reg_sum"], r["est_distinct"])
+        for r in hll_distinct(df, "g", "v", p=6).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(with_nulls, columns=["g", "v"]))
+    ora = con.execute(hll_distinct_oracle("SELECT g, v FROM t", ["g"], "v", p=6)).fetchall()
+    assert {r[0]: (r[1], r[2], r[3]) for r in ora} == got
