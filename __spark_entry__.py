@@ -822,6 +822,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0),
             _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 1),
         ),
+        # engine-portable MinHash band-level keep-first (the streaming-
+        # maintainable dedup spec: min(id) per band bucket is the only
+        # cross-doc state); whole keep-set hash-checks against DuckDB
+        "dedup_minhash_portable": lambda spark, sf_dir: dedup.minhash_portable_keep(
+            _docs(spark, sf_dir)
+        ).select("doc_id", "lang", "source"),
         "dedup_semantic_keep": semantic_keep,
         "dedup_semantic_strict": semantic_keep_strict,
         "dedup_semantic_decontaminate": semantic_decontaminate,
@@ -1041,6 +1047,9 @@ def _northstar_oracles() -> dict[str, str]:
         WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                  / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.8
     """
+    from flink_example_spark.operators.dedup import minhash_portable_oracle
+
+    out["dedup_minhash_portable"] = minhash_portable_oracle()
     # Brute-force oracle for the LSH path: valid because recall at the
     # observed duplicate structure (j>=0.98 vs next 0.30) is ~1 - 1e-22.
     out["dedup_minhash_lsh"] = f"""
@@ -2155,6 +2164,11 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # threshold filter (foreachBatch) = batch lm_surprisal filtered at
         # the same bound -> shares a filtered form of its oracle
         "streaming_lm_filter": _run_streaming_lm_filter,
+        # streaming near-dup dedup: portable-MinHash band-bucket minima as
+        # ONE pure-JVM streaming min aggregate (idempotent monoid, no
+        # watermark, no Python state); converges to batch
+        # dedup_minhash_portable -> shares its oracle
+        "streaming_minhash_dedup": _run_streaming_minhash_dedup,
         # streaming cardinality: bottom-k KMV sketch maintained per group
         # (O(k) state, no watermark needed — commutative monoid); final
         # sketch equals the batch kmv_distinct -> shares its oracle
@@ -2237,6 +2251,12 @@ def _run_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_example_spark.streaming.sketch_stream import run_streaming_hll_distinct
 
     return run_streaming_hll_distinct(spark, sf_dir, p=6)
+
+
+def _run_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.dedup_stream import run_streaming_minhash_dedup
+
+    return run_streaming_minhash_dedup(spark, sf_dir)
 
 
 def _run_streaming_kq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2341,6 +2361,7 @@ def _all_oracles() -> dict[str, str]:
         width=8,
     )
     out["streaming_hll_distinct"] = out["sketch_hll_distinct"]
+    out["streaming_minhash_dedup"] = out["dedup_minhash_portable"]
     out["streaming_ann_topk"] = out["ann_cosine_topk"]
     out["streaming_bm25"] = out["text_bm25_topk"]
     out["streaming_lm_filter"] = (

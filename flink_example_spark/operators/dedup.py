@@ -759,3 +759,170 @@ def fuzzy_word_pairs_oracle(
           ON a.w < b.w AND abs(len(a.w) - len(b.w)) <= {max_dist}
         WHERE levenshtein(a.w, b.w) <= {max_dist}
     """
+
+
+# --- engine-portable MinHash (streaming-friendly band-level dedup) ---------
+
+MINHASH_P = 2147483647  # Mersenne prime 2^31-1: universal-hash modulus
+
+
+def _portable_perm_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) multiply-shift coefficients for the i-th MinHash
+    permutation, derived from md5 of a fixed tag — generated ONCE in Python
+    and embedded as integer literals in both the Spark plan and the DuckDB
+    oracle, so the permutation family itself is engine-portable (unlike the
+    xxhash64 family in ``minhash_signature_agg``, which is Spark-only and
+    therefore oracle-checked via brute-force Jaccard instead)."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"minhash-perm-{i}".encode()).hexdigest()
+        out.append(((int(d[:8], 16) % (MINHASH_P - 1)) + 1, int(d[8:16], 16) % MINHASH_P))
+    return out
+
+
+def minhash_portable_bands(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, band, key) LSH band rows from an engine-portable MinHash.
+
+    Base hash = the repo's md5 bucket over char-k shingles; permutation i =
+    ``(a_i * base + b_i) mod (2^31-1)`` — pure BIGINT arithmetic (products
+    < 2^63, ANSI-safe), so the signature computation is ONE codegen
+    hash-aggregate with map-side partial mins and zero string re-hashing.
+    Band key = '_'-joined row values (string equi-join key in any engine).
+    """
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    r = num_hashes // bands
+    cs = _portable_perm_coeffs(num_hashes)
+    from flink_example_spark.operators.sketch import portable_hash32
+
+    sh = exploded_char_shingles(documents, id_col, text_col, k=shingle_k)
+    sig = (
+        sh.select(F.col(id_col), portable_hash32(F.col("__s")).alias("__b"))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.min((F.lit(a) * F.col("__b") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                    f"__h{i}"
+                )
+                for i, (a, b) in enumerate(cs)
+            ]
+        )
+    )
+    stack = ", ".join(
+        f"{b}, concat_ws('_', {', '.join(f'__h{b * r + j}' for j in range(r))})"
+        for b in range(bands)
+    )
+    return sig.select(
+        F.col(id_col), F.expr(f"stack({bands}, {stack}) AS (band, key)")
+    )
+
+
+def minhash_portable_keep(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 4,
+    shingle_k: int = 5,
+    band_rows: DataFrame | None = None,
+    bucket_minima: DataFrame | None = None,
+) -> DataFrame:
+    """Keep-first dedup at BAND-COLLISION granularity: a document survives
+    iff it is the smallest id in EVERY band bucket it occupies (docs too
+    short to shingle survive trivially). This is the spec an incremental /
+    streaming pipeline can maintain exactly — the only cross-document state
+    is ``min(id)`` per (band, key), a commutative idempotent monoid — and,
+    because every hash is engine-portable, the whole keep-set (not just a
+    verified-pair approximation) hash-checks against DuckDB.
+
+    Versus ``minhash_lsh_pairs`` + ``apply_pair_dedup``: no exact-Jaccard
+    verification pass, so band false positives drop extra docs; tune
+    rows-per-band to put the S-curve midpoint ((1/bands)^(bands/num_hashes))
+    above the corpus' background similarity. With 32/4 the midpoint is
+    j≈0.84 — twins at j≈0.99 collide w.p. ~0.92 per band (>0.9999 overall).
+
+    ``bucket_minima`` (band, key, keeper) injects externally-maintained
+    state (the streaming twin's sink table); default recomputes in-plan.
+    """
+    bands_df = (
+        band_rows
+        if band_rows is not None
+        else minhash_portable_bands(
+            documents, id_col, text_col, num_hashes, bands, shingle_k
+        )
+    )
+    bmin = (
+        bucket_minima
+        if bucket_minima is not None
+        else bands_df.groupBy("band", "key").agg(F.min(id_col).alias("keeper"))
+    )
+    verdict = (
+        bands_df.join(bmin, ["band", "key"])
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("keeper") == F.col(id_col), 1).otherwise(0)).alias(
+                "__n_first"
+            ),
+            F.count(F.lit(1)).alias("__n_bands"),
+        )
+    )
+    return (
+        documents.join(verdict, id_col, "left")
+        .filter(
+            F.col("__n_bands").isNull() | (F.col("__n_first") == F.col("__n_bands"))
+        )
+        .drop("__n_first", "__n_bands")
+    )
+
+
+def minhash_portable_oracle(
+    num_hashes: int = 32,
+    bands: int = 4,
+    shingle_k: int = 5,
+    select: str = "d.doc_id, d.lang, d.source",
+) -> str:
+    """DuckDB twin of ``minhash_portable_keep`` over ``documents`` — same
+    shingles, same md5 base, same integer permutation literals, same
+    band-minima keep rule."""
+    r = num_hashes // bands
+    cs = _portable_perm_coeffs(num_hashes)
+    mins = ", ".join(
+        f"MIN(({a} * b + {bb}) % {MINHASH_P}) AS h{i}" for i, (a, bb) in enumerate(cs)
+    )
+    bandrows = " UNION ALL ".join(
+        "SELECT doc_id, %d AS band, concat_ws('_', %s) AS key FROM sig"
+        % (b, ", ".join(f"h{b * r + j}" for j in range(r)))
+        for b in range(bands)
+    )
+    hi = shingle_k - 2  # range() end is exclusive: i in 1 .. len-k+1
+    return f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 unnest([substr(lower(text), i, {shingle_k})
+                         FOR i IN range(1, len(text) - {hi})]) AS s
+          FROM documents WHERE len(text) >= {shingle_k}
+        ), based AS (
+          SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS b
+          FROM sh
+        ), sig AS (SELECT doc_id, {mins} FROM based GROUP BY doc_id),
+        bandrows AS ({bandrows}),
+        bmin AS (SELECT band, key, MIN(doc_id) AS keeper FROM bandrows GROUP BY band, key),
+        verdict AS (
+          SELECT b.doc_id,
+                 SUM(CASE WHEN m.keeper = b.doc_id THEN 1 ELSE 0 END) AS n_first,
+                 COUNT(*) AS n_bands
+          FROM bandrows b JOIN bmin m USING (band, key) GROUP BY b.doc_id
+        )
+        SELECT {select} FROM documents d
+        LEFT JOIN verdict v USING (doc_id)
+        WHERE v.doc_id IS NULL OR v.n_first = v.n_bands
+    """

@@ -302,3 +302,93 @@ def run_streaming_drift(spark: SparkSession, sf_dir: str, chunks: int = 3) -> Da
         .agg(F.count(F.lit(1)).alias("n_ref"))
     )
     return drift_chi2_from_hists(ref_hist, cur_hist)
+
+
+def run_streaming_minhash_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 32,
+    bands: int = 4,
+    shingle_k: int = 5,
+    chunks: int = 3,
+) -> DataFrame:
+    """STREAMING near-duplicate dedup: the portable-MinHash band-bucket
+    minima maintained live as a pure-JVM streaming aggregate.
+
+    ``minhash_portable_keep``'s only cross-document state is min(doc_id)
+    per (band, key) — a commutative idempotent monoid — so the stream needs
+    ONE stateful op (groupBy min, complete mode, no watermark) and no
+    Python state; any arrival order / replay converges to the batch
+    minima exactly. A document's signature involves only its own shingles,
+    so it is computed per-ROW (one md5 pass into a base-hash array, then
+    num_hashes interpreted array_min folds — per-batch work, zero state),
+    keeping the stateful op's input rows at bands-per-doc.
+
+    Finalize joins the live minima against the batch band rows — the
+    incremental-ingest shape: the sink table IS the dedup index a resumed
+    ingest would consult. Hash-identical to batch ``minhash_portable_keep``
+    → shares its oracle.
+    """
+    from flink_example_spark.operators.dedup import (
+        MINHASH_P,
+        _portable_perm_coeffs,
+        minhash_portable_keep,
+    )
+    from flink_example_spark.session import shuffle_partitions
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    k = shingle_k
+    r = num_hashes // bands
+    cs = _portable_perm_coeffs(num_hashes)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    t = F.lower(F.col("text"))
+    src = stream.filter(F.char_length(t) >= k).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.char_length(t) - (k - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(F.substr(t, i, F.lit(k))), 1, 8), 16, 10
+            ).cast("bigint"),
+        ).alias("__bs"),
+    )
+    def perm(a: int, b: int):
+        # PySpark inspects the lambda's arity — bind coefficients via a
+        # closure, not default args (those read as extra parameters)
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
+
+    for i, (a, b) in enumerate(cs):
+        src = src.withColumn(
+            f"__h{i}", F.array_min(F.transform(F.col("__bs"), perm(a, b)))
+        )
+    stack = ", ".join(
+        f"{b}, concat_ws('_', {', '.join(f'__h{b * r + j}' for j in range(r))})"
+        for b in range(bands)
+    )
+    band_rows = src.select(
+        "doc_id", F.expr(f"stack({bands}, {stack}) AS (band, key)")
+    )
+    minima = band_rows.groupBy("band", "key").agg(F.min("doc_id").alias("keeper"))
+    name = f"stream_minhash_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            minima.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_portable_keep(
+        docs,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        bucket_minima=spark.table(name),
+    ).select("doc_id", "lang", "source")

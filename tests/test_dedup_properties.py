@@ -172,3 +172,53 @@ def test_fuzzy_word_pairs_dist2_equals_bruteforce(spark):
     }
     assert got == want
     assert 2 in got.values() and 1 in got.values()
+
+
+def test_minhash_portable_keep_first_semantics(spark):
+    """Planted exact twins: the lower id survives, the higher id drops;
+    docs too short to shingle survive trivially."""
+    from flink_example_spark.operators.dedup import minhash_portable_keep
+
+    long_a = "the quick brown fox jumps over the lazy dog " * 20
+    long_b = "a completely different document about spark catalyst plans " * 20
+    docs = spark.createDataFrame(
+        [
+            (1, long_a),
+            (2, long_b),
+            (3, long_a),   # twin of 1 -> dropped
+            (4, "tiny"),   # < shingle_k chars -> kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in minhash_portable_keep(docs).select("doc_id").collect()
+    )
+    assert kept == [1, 2, 4]
+
+
+def test_minhash_portable_bucket_minima_injection(spark):
+    """Injecting externally-maintained minima (the streaming sink shape)
+    reproduces the in-plan result."""
+    from flink_example_spark.operators.dedup import (
+        minhash_portable_bands,
+        minhash_portable_keep,
+    )
+    from pyspark.sql import functions as F
+
+    text = "some repeated corpus sentence for the minhash test " * 15
+    docs = spark.createDataFrame(
+        [(i, text if i % 2 else text + f" unique tail {i} " * 10) for i in range(6)],
+        "doc_id long, text string",
+    )
+    bands = minhash_portable_bands(docs)
+    minima = bands.groupBy("band", "key").agg(F.min("doc_id").alias("keeper"))
+    inplan = sorted(
+        r["doc_id"] for r in minhash_portable_keep(docs).select("doc_id").collect()
+    )
+    injected = sorted(
+        r["doc_id"]
+        for r in minhash_portable_keep(docs, bucket_minima=minima)
+        .select("doc_id")
+        .collect()
+    )
+    assert inplan == injected
