@@ -844,6 +844,30 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fuzzy_words2": lambda spark, sf_dir: dedup.fuzzy_word_pairs(
             _fuzzy_corpus(spark, sf_dir), max_dist=2
         ),
+        # time-series regularization: per-user daily grid over the events
+        # feed with forward-fill + linear interpolation (integer-micros
+        # grid arithmetic, one union+window pass) and the silence report
+        "timeseries_resample": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries", fromlist=["resample"]
+        ).resample(
+            __import__(
+                "flink_example_spark.plans.events_demo", fromlist=["load_events"]
+            ).load_events(spark, sf_dir),
+            "user_id",
+            "ts",
+            "value",
+            step_sec=86400,
+        ),
+        "timeseries_gaps": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries", fromlist=["time_gaps"]
+        ).time_gaps(
+            __import__(
+                "flink_example_spark.plans.events_demo", fromlist=["load_events"]
+            ).load_events(spark, sf_dir),
+            "user_id",
+            "ts",
+            min_gap_sec=36 * 3600,
+        ),
         "sketch_kmv_distinct": kmv_entry,
         "sketch_cm_heavy_hitters": cm_hh_entry,
         "sketch_hll_distinct": hll_entry,
@@ -1558,6 +1582,17 @@ def _northstar_oracles() -> dict[str, str]:
     out["curation_training_shards"] = curation.training_shards_oracle()
     out["curation_drift_chi2"] = curation.drift_chi2_oracle(
         "doc_id % 2 = 0", "doc_id % 2 = 1"
+    )
+    from flink_example_spark.operators.timeseries import (
+        resample_oracle,
+        time_gaps_oracle,
+    )
+
+    out["timeseries_resample"] = resample_oracle(
+        "events", "user_id", "ts", "value", step_sec=86400
+    )
+    out["timeseries_gaps"] = time_gaps_oracle(
+        "events", "user_id", "ts", min_gap_sec=36 * 3600
     )
     from flink_example_spark.operators.sketch import kmv_distinct_oracle
     from flink_example_spark.operators.text import _DUCK_NORM

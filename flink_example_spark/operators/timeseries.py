@@ -1,0 +1,204 @@
+"""Time-series regularization: resample-to-grid with forward-fill and
+linear interpolation, plus gap detection — the feature-store shape for
+turning irregular event streams into fixed-step model inputs.
+
+Reference parity note: the reference engine's temporal surface (event-time
+windows, as-of joins — App.java:143-234) consumes IRREGULAR event times;
+resampling is the complementary op a training pipeline needs to feed
+fixed-step models (RNN features, rolling windows at a constant stride).
+
+Engine portability: ALL time math runs in integer epoch micros
+(``unix_micros`` ↔ DuckDB ``epoch_us``, the CLAUDE.md rule — second-granular
+epoch functions truncate differently across engines), grids are generated
+as ``start + i*step`` integer sequences (never timestamp-interval
+sequences, whose inclusive-end semantics differ), and interpolation uses
+one shared expression tree of exactly-rounded IEEE double ops.
+
+Scale shape: ONE shuffle per key set — the grid is generated from a
+per-key min/max aggregate (map-side combinable) and unioned with the
+observations into a single partition-by-key window; no per-key driver
+loops, no grid×obs join. Grid size is (span/step) rows per key,
+independent of observation count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _obs(df: DataFrame, key_col: str, ts_col: str, value_col: str) -> DataFrame:
+    """One observation per (key, micros): MAX(value) — comparison-only, so
+    deterministic and portable on raw doubles (no accumulation-order
+    hazard; the one aggregate CLAUDE.md's decimal rule doesn't apply to)."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("key", "us")
+        .agg(F.max("v").alias("v"))
+    )
+
+
+def resample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_sec: int,
+) -> DataFrame:
+    """Per-key fixed-step grid from the first to the last observation, with
+    forward-filled and linearly-interpolated values.
+
+    Output per grid point: ``key``, ``grid_ts`` (timestamp), ``v_ffill``
+    (last observation at-or-before), ``v_interp`` (linear between the
+    surrounding observations; equals ``v_ffill`` after the last one),
+    ``staleness_us`` (grid time minus last observation time, BIGINT).
+
+    Mechanics: union the observations (sort tag 0) with the generated grid
+    rows (tag 1, null value) and run ONE partition-by-key window — the
+    as-of union trick, so a grid point at an observation's exact timestamp
+    reads that observation. Forward pass carries (value, obs time);
+    backward pass fetches the next observation for the interpolation
+    weight ``(t - t0) / (t1 - t0)`` in double micros.
+    """
+    step_us = int(step_sec) * 1_000_000
+    obs = _obs(df, key_col, ts_col, value_col)
+    span = obs.groupBy("key").agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    grid = span.select(
+        "key",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.expr(f"(hi - lo) div {step_us}"))
+        ).alias("__i"),
+        "lo",
+    ).select("key", (F.col("lo") + F.col("__i") * F.lit(step_us)).alias("us"))
+    unioned = obs.select(
+        "key", "us", "v", F.lit(0).alias("is_grid"), F.col("us").alias("obs_us")
+    ).unionByName(
+        grid.select(
+            "key",
+            "us",
+            F.lit(None).cast(obs.schema["v"].dataType).alias("v"),
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("bigint").alias("obs_us"),
+        )
+    )
+    wb = (
+        Window.partitionBy("key")
+        .orderBy("us", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("key")
+        .orderBy("us", "is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = unioned.select(
+        "key",
+        "us",
+        "is_grid",
+        F.last("v", ignorenulls=True).over(wb).alias("v0"),
+        F.last("obs_us", ignorenulls=True).over(wb).alias("t0"),
+        F.first("v", ignorenulls=True).over(wf).alias("v1"),
+        F.first("obs_us", ignorenulls=True).over(wf).alias("t1"),
+    )
+    frac = (F.col("us") - F.col("t0")).cast("double") / (
+        F.col("t1") - F.col("t0")
+    ).cast("double")
+    return filled.filter(F.col("is_grid") == 1).select(
+        F.col("key").alias(key_col),
+        F.timestamp_micros(F.col("us")).alias("grid_ts"),
+        F.col("v0").alias("v_ffill"),
+        F.when(F.col("t1").isNull(), F.col("v0"))
+        .otherwise(F.col("v0") + (F.col("v1") - F.col("v0")) * frac)
+        .alias("v_interp"),
+        (F.col("us") - F.col("t0")).alias("staleness_us"),
+    )
+
+
+def resample_oracle(
+    table: str, key_col: str, ts_col: str, value_col: str, step_sec: int
+) -> str:
+    """DuckDB twin of ``resample`` — same union + single-window plan, same
+    integer-micros grid, same interpolation expression tree."""
+    step_us = int(step_sec) * 1_000_000
+    return f"""
+        WITH obs AS (
+          SELECT {key_col} AS key, epoch_us({ts_col}) AS us, MAX({value_col}) AS v
+          FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
+        ), span AS (
+          SELECT key, MIN(us) AS lo, MAX(us) AS hi FROM obs GROUP BY key
+        ), grid AS (
+          SELECT key, lo + i * {step_us} AS us
+          FROM span, unnest(range(0, (hi - lo) // {step_us} + 1)) AS g(i)
+        ), unioned AS (
+          SELECT key, us, v, 0 AS is_grid, us AS obs_us FROM obs
+          UNION ALL
+          SELECT key, us, NULL, 1, NULL FROM grid
+        ), filled AS (
+          SELECT key, us, is_grid,
+                 last_value(v IGNORE NULLS) OVER wb AS v0,
+                 last_value(obs_us IGNORE NULLS) OVER wb AS t0,
+                 first_value(v IGNORE NULLS) OVER wf AS v1,
+                 first_value(obs_us IGNORE NULLS) OVER wf AS t1
+          FROM unioned
+          WINDOW wb AS (PARTITION BY key ORDER BY us, is_grid
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wf AS (PARTITION BY key ORDER BY us, is_grid
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT key AS {key_col}, make_timestamp(us) AS grid_ts,
+               v0 AS v_ffill,
+               CASE WHEN t1 IS NULL THEN v0
+                    ELSE v0 + (v1 - v0) * (CAST(us - t0 AS DOUBLE)
+                                           / CAST(t1 - t0 AS DOUBLE)) END AS v_interp,
+               us - t0 AS staleness_us
+        FROM filled WHERE is_grid = 1
+    """
+
+
+def time_gaps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    min_gap_sec: int,
+) -> DataFrame:
+    """Per-key silence report: consecutive-event pairs more than
+    ``min_gap_sec`` apart. One partition-by-key LAG window — the
+    monitoring complement to resampling (where did the feed go dark).
+
+    Output: ``key``, ``gap_start``/``gap_end`` (timestamps), ``gap_us``.
+    """
+    w = Window.partitionBy("key").orderBy("us")
+    ev = df.select(
+        F.col(key_col).alias("key"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+    ).distinct()
+    return (
+        ev.withColumn("prev_us", F.lag("us").over(w))
+        .filter(F.col("us") - F.col("prev_us") > int(min_gap_sec) * 1_000_000)
+        .select(
+            F.col("key").alias(key_col),
+            F.timestamp_micros(F.col("prev_us")).alias("gap_start"),
+            F.timestamp_micros(F.col("us")).alias("gap_end"),
+            (F.col("us") - F.col("prev_us")).alias("gap_us"),
+        )
+    )
+
+
+def time_gaps_oracle(table: str, key_col: str, ts_col: str, min_gap_sec: int) -> str:
+    """DuckDB twin of ``time_gaps``."""
+    return f"""
+        WITH ev AS (
+          SELECT DISTINCT {key_col} AS key, epoch_us({ts_col}) AS us FROM {table}
+        ), lagged AS (
+          SELECT key, us, LAG(us) OVER (PARTITION BY key ORDER BY us) AS prev_us
+          FROM ev
+        )
+        SELECT key AS {key_col}, make_timestamp(prev_us) AS gap_start,
+               make_timestamp(us) AS gap_end, us - prev_us AS gap_us
+        FROM lagged WHERE us - prev_us > {int(min_gap_sec) * 1_000_000}
+    """
