@@ -844,6 +844,24 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fuzzy_words2": lambda spark, sf_dir: dedup.fuzzy_word_pairs(
             _fuzzy_corpus(spark, sf_dir), max_dist=2
         ),
+        # semi-structured payloads: VARIANT parse + typed path extraction
+        # over the events' props JSON (per-row flatten and per-type profile)
+        "json_props_flatten": lambda spark, sf_dir: __import__(
+            "flink_example_spark.functions.json_ops", fromlist=["flatten_json"]
+        ).flatten_json(
+            __import__(
+                "flink_example_spark.plans.events_demo", fromlist=["load_events"]
+            ).load_events(spark, sf_dir).select("event_id", "event_type", "props"),
+            "props",
+            [("k", "$.k", "bigint")],
+        ),
+        "json_props_stats": lambda spark, sf_dir: __import__(
+            "flink_example_spark.functions.json_ops", fromlist=["props_stats"]
+        ).props_stats(
+            __import__(
+                "flink_example_spark.plans.events_demo", fromlist=["load_events"]
+            ).load_events(spark, sf_dir)
+        ),
         # time-series regularization: per-user daily grid over the events
         # feed with forward-fill + linear interpolation (integer-micros
         # grid arithmetic, one union+window pass) and the silence report
@@ -1583,6 +1601,13 @@ def _northstar_oracles() -> dict[str, str]:
     out["curation_drift_chi2"] = curation.drift_chi2_oracle(
         "doc_id % 2 = 0", "doc_id % 2 = 1"
     )
+    from flink_example_spark.functions.json_ops import (
+        flatten_json_oracle,
+        props_stats_oracle,
+    )
+
+    out["json_props_flatten"] = flatten_json_oracle()
+    out["json_props_stats"] = props_stats_oracle()
     from flink_example_spark.operators.timeseries import (
         resample_oracle,
         time_gaps_oracle,
