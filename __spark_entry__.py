@@ -733,6 +733,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_paragraphs": para_dedup,
         "ann_cosine_topk": ann_topk,
+        # SQ8 scalar-quantized ANN: int8 rescale (4x memory diet), exact
+        # cosine composition — the per-vector scale cancels, so the search
+        # is plain cosine_topk over integral-valued vectors
+        "ann_sq8_topk": lambda spark, sf_dir: similarity.cosine_topk(
+            similarity.quantize_embeddings(_embs(spark, sf_dir)),
+            similarity.quantize_embeddings(
+                _embs(spark, sf_dir).filter(F.col("vec_id") < 8)
+            ),
+            k=5,
+        ),
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_kmeans_centroids": ann_kmeans,
@@ -1182,6 +1192,9 @@ def _northstar_oracles() -> dict[str, str]:
           FROM scored
         ) WHERE rank <= 5
     """
+    from flink_example_spark.operators.similarity import sq8_topk_oracle
+
+    out["ann_sq8_topk"] = sq8_topk_oracle(n_queries=8, k=5)
     out["embedding_near_dup"] = f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_DUCK_COS} AS cos
         FROM embeddings a JOIN embeddings b

@@ -593,3 +593,61 @@ def mmr_rerank(
         # union) — cut per step, relations are query-batch-sized
         selected = selected.unionByName(pick_i).localCheckpoint(eager=True)
     return selected.select("query_id", "neighbor_id", "pick")
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 scalar quantization (SQ8), the standard ANN memory
+    diet: each vector rescales so max|x| -> 127 and components round to
+    integers. Cosine over the quantized vectors needs NO dequantization —
+    the per-vector scale cancels in dot/(norm*norm) — so downstream search
+    is plain ``cosine_topk`` composition over vectors 4x smaller than
+    float32 (and exactly engine-portable: integral values in double make
+    every product/sum IEEE-exact regardless of fold order, and sqrt is the
+    one exactly-rounded non-integer power).
+
+    Values stay integral-valued DOUBLEs rather than casting to tinyint:
+    the exactness argument needs only integrality, and keeping the element
+    type lets every existing vector op compose unchanged. Zero vectors
+    quantize to zero vectors.
+    """
+    v = as_double_vec(F.col(vec_col))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.transform(
+        v,
+        lambda x: F.when(mx == F.lit(0.0), F.lit(0.0)).otherwise(
+            F.round(x * F.lit(127.0) / mx)
+        ),
+    )
+    return df.withColumn(vec_col, q)
+
+
+def sq8_topk_oracle(n_queries: int = 8, k: int = 5) -> str:
+    """DuckDB twin of ``cosine_topk`` over SQ8-quantized embeddings —
+    same quantization expression, same cosine, same ranking."""
+    return f"""
+        WITH qv AS (
+          SELECT vec_id,
+                 list_transform(v, x -> CASE WHEN mx = 0 THEN 0.0
+                                        ELSE round(x * 127.0 / mx) END) AS v
+          FROM (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> abs(x))) AS mx
+            FROM embeddings
+          )
+        ), qn AS (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM qv
+        ), scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+          FROM qn a JOIN qn b ON a.vec_id < {n_queries} AND a.vec_id != b.vec_id
+        )
+        SELECT query_id, neighbor_id, rank, cos FROM (
+          SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """

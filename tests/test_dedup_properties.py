@@ -222,3 +222,31 @@ def test_minhash_portable_bucket_minima_injection(spark):
         .collect()
     )
     assert inplan == injected
+
+
+def test_sq8_quantization_recall_vs_exact(spark):
+    """SQ8 cosine ranking closely tracks the exact ranking: recall@5 over
+    the 8 driver queries must be high (dim-8 int8 is a mild quantization),
+    and quantized components are integral in [-127, 127]."""
+    from flink_example_spark.operators.similarity import (
+        cosine_topk,
+        quantize_embeddings,
+    )
+    from flink_example_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(e, q, k=5)
+    sq8 = cosine_topk(quantize_embeddings(e), quantize_embeddings(q), k=5)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    qz = {(r["query_id"], r["neighbor_id"]) for r in sq8.collect()}
+    assert len(ex & qz) / len(ex) >= 0.8
+    comps = quantize_embeddings(e).select(
+        F.explode("embedding").alias("c")
+    ).agg(
+        F.max(F.abs(F.col("c"))).alias("mx"),
+        F.max(F.abs(F.col("c") - F.round(F.col("c")))).alias("frac"),
+    ).first()
+    assert comps["mx"] <= 127.0
+    assert comps["frac"] == 0.0
