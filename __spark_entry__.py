@@ -229,6 +229,24 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return kmv_distinct(d, "lang", "fp", k=32)
 
+    def kmv_overlap_entry(spark, sf_dir):
+        """Theta-style set-operation sketch: union / Jaccard / intersection
+        estimates between the even- and odd-doc_id corpus halves over the
+        text fingerprint (k=64 so the union estimates while the planted
+        cross-half duplicates surface as common hashes) — the train/test
+        contamination estimator at sketch cost."""
+        from flink_example_spark.operators.sketch import kmv_overlap
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id", text.fingerprint(F.col("text")).alias("fp")
+        )
+        return kmv_overlap(
+            d.filter(F.col("doc_id") % 2 == 0),
+            d.filter(F.col("doc_id") % 2 == 1),
+            "fp",
+            k=64,
+        )
+
     def bpe_entry(spark, sf_dir):
         from flink_example_spark.operators.bpe import bpe_train
 
@@ -899,6 +917,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct": kmv_entry,
         "sketch_cm_heavy_hitters": cm_hh_entry,
         "sketch_hll_distinct": hll_entry,
+        "sketch_overlap": kmv_overlap_entry,
         "sketch_quantiles": quantile_entry,
         # sketch x event-time windowing: daily distinct-user KMV over the
         # events stream (k=16 so large days estimate, small days exact)
@@ -1643,7 +1662,15 @@ def _northstar_oracles() -> dict[str, str]:
     )
     from flink_example_spark.operators.sketch import (
         cm_heavy_hitters_oracle,
+        kmv_overlap_oracle,
         kmv_quantiles_oracle,
+    )
+
+    out["sketch_overlap"] = kmv_overlap_oracle(
+        f"SELECT md5({_DUCK_NORM}) AS fp FROM documents WHERE doc_id % 2 = 0",
+        f"SELECT md5({_DUCK_NORM}) AS fp FROM documents WHERE doc_id % 2 = 1",
+        "fp",
+        k=64,
     )
 
     out["sketch_quantiles"] = kmv_quantiles_oracle(

@@ -634,3 +634,127 @@ def kmv_distinct_oracle(
                          / CAST(MAX(h) AS DOUBLE) END AS est_distinct
         FROM kept GROUP BY {gs}
     """
+
+
+def _bottomk_hashes(df: DataFrame, value_col: str, k: int, sub_buckets: int = 16) -> DataFrame:
+    """The k smallest distinct portable hashes of a column — the KMV sample
+    set itself, via the same skew-safe two-phase window as ``kmv_distinct``."""
+    hashes = (
+        df.select(portable_hash32(F.col(value_col)).alias("__h"))
+        .filter(F.col("__h").isNotNull())
+        .distinct()
+    )
+    w1 = Window.partitionBy(F.pmod(F.col("__h"), F.lit(sub_buckets))).orderBy("__h")
+    survivors = (
+        hashes.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+        .drop("__rn1")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("__h")
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Theta-sketch-style SET-OPERATION estimates between two corpora from
+    their KMV bottom-k samples (Dasgupta et al., "Theta sketches"): union
+    cardinality, Jaccard similarity, and intersection cardinality — the
+    train/test contamination and cross-shard overlap estimator that never
+    materializes either distinct set.
+
+    Method: bottom-k(A), bottom-k(B); the union's bottom-k is contained in
+    their union (the KMV merge property), so ``union_est`` is the standard
+    estimator on merged samples; ``jaccard_est`` is the fraction of the
+    union sample present in BOTH sides (each union-sample hash is a
+    uniform sample of A∪B, and membership in A∩B is exact for sampled
+    hashes); ``intersect_est`` = jaccard * union. Exact when |A∪B| < k.
+
+    Output (ONE row): ``n_union_kept``, ``union_est``, ``n_common``,
+    ``jaccard_est``, ``intersect_est``. Only 2k hashes ever leave the
+    per-side aggregates — sides can be 100 TB corpora.
+    """
+    ka = _bottomk_hashes(df_a, value_col, k).withColumn("__a", F.lit(1))
+    kb = _bottomk_hashes(df_b, value_col, k).withColumn("__b", F.lit(1))
+    merged = (
+        ka.join(kb, "__h", "full")
+        .select(
+            "__h",
+            F.coalesce(F.col("__a"), F.lit(0)).alias("__a"),
+            F.coalesce(F.col("__b"), F.lit(0)).alias("__b"),
+        )
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("__h")
+    ku = merged.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    return ku.agg(
+        F.count(F.lit(1)).alias("n_union_kept"),
+        F.max("__h").alias("__kth"),
+        F.sum(F.col("__a") * F.col("__b")).alias("n_common"),
+    ).select(
+        "n_union_kept",
+        F.when(F.col("n_union_kept") < k, F.col("n_union_kept").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("__kth").cast("double")
+        )
+        .alias("union_est"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        (F.col("n_common").cast("double") / F.col("n_union_kept").cast("double")).alias(
+            "jaccard_est"
+        ),
+        (
+            (F.col("n_common").cast("double") / F.col("n_union_kept").cast("double"))
+            * F.when(F.col("n_union_kept") < k, F.col("n_union_kept").cast("double"))
+            .otherwise(
+                F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("__kth").cast("double")
+            )
+        ).alias("intersect_est"),
+    )
+
+
+def kmv_overlap_oracle(
+    source_a: str, source_b: str, value_expr: str, k: int = 256
+) -> str:
+    """DuckDB twin of ``kmv_overlap`` built from the same definition.
+    ``source_a``/``source_b`` are parenthesizable SELECTs yielding the
+    value column referenced by ``value_expr``."""
+    return f"""
+        WITH ka AS (
+          SELECT DISTINCT CAST(concat('0x', substr(md5({value_expr}), 1, 8)) AS BIGINT) AS h
+          FROM ({source_a}) WHERE {value_expr} IS NOT NULL
+          ORDER BY h LIMIT {k}
+        ), kb AS (
+          SELECT DISTINCT CAST(concat('0x', substr(md5({value_expr}), 1, 8)) AS BIGINT) AS h
+          FROM ({source_b}) WHERE {value_expr} IS NOT NULL
+          ORDER BY h LIMIT {k}
+        ), merged AS (
+          SELECT COALESCE(ka.h, kb.h) AS h,
+                 CASE WHEN ka.h IS NULL THEN 0 ELSE 1 END AS in_a,
+                 CASE WHEN kb.h IS NULL THEN 0 ELSE 1 END AS in_b
+          FROM ka FULL JOIN kb ON ka.h = kb.h
+        ), ku AS (
+          SELECT * FROM merged ORDER BY h LIMIT {k}
+        ), agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_union_kept,
+                 MAX(h) AS kth,
+                 CAST(SUM(in_a * in_b) AS BIGINT) AS n_common
+          FROM ku
+        )
+        SELECT n_union_kept,
+               CASE WHEN n_union_kept < {k} THEN CAST(n_union_kept AS DOUBLE)
+                    ELSE CAST({k - 1} AS DOUBLE) * 4294967296.0
+                         / CAST(kth AS DOUBLE) END AS union_est,
+               n_common,
+               CAST(n_common AS DOUBLE) / CAST(n_union_kept AS DOUBLE) AS jaccard_est,
+               (CAST(n_common AS DOUBLE) / CAST(n_union_kept AS DOUBLE))
+                 * (CASE WHEN n_union_kept < {k} THEN CAST(n_union_kept AS DOUBLE)
+                         ELSE CAST({k - 1} AS DOUBLE) * 4294967296.0
+                              / CAST(kth AS DOUBLE) END) AS intersect_est
+        FROM agg
+    """

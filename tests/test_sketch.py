@@ -378,3 +378,32 @@ def test_hll_engine_parity_and_nulls(spark):
     con.register("t", pd.DataFrame(with_nulls, columns=["g", "v"]))
     ora = con.execute(hll_distinct_oracle("SELECT g, v FROM t", ["g"], "v", p=6)).fetchall()
     assert {r[0]: (r[1], r[2], r[3]) for r in ora} == got
+
+
+# --- KMV set-operation (theta-style) overlap -------------------------------
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    """Disjoint-union small sets: everything exact when |A∪B| < k."""
+    from flink_example_spark.operators.sketch import kmv_overlap
+
+    a = spark.range(0, 30).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(20, 50).select(F.col("id").cast("string").alias("v"))
+    row = kmv_overlap(a, b, "v", k=256).first()
+    assert row["n_union_kept"] == 50
+    assert row["union_est"] == 50.0
+    assert row["n_common"] == 10
+    assert abs(row["intersect_est"] - 10.0) < 1e-9
+
+
+def test_kmv_overlap_estimates_above_k(spark):
+    """A=0..4999, B=2500..7499: true union 7500, jaccard 1/3,
+    intersection 2500 — estimates within sketch error at k=256."""
+    from flink_example_spark.operators.sketch import kmv_overlap
+
+    a = spark.range(0, 5000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(2500, 7500).select(F.col("id").cast("string").alias("v"))
+    row = kmv_overlap(a, b, "v", k=256).first()
+    assert abs(row["union_est"] - 7500) / 7500 < 0.25
+    assert abs(row["jaccard_est"] - 1 / 3) < 0.12
+    assert abs(row["intersect_est"] - 2500) / 2500 < 0.4
