@@ -761,6 +761,20 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             k=5,
         ),
+        # SQ8 -> JL(+-1 signs, dim 8 -> 4) -> cosine: dimensionality-reduced
+        # search; integral inputs keep the projection sums IEEE-exact
+        "ann_jl_topk": lambda spark, sf_dir: similarity.cosine_topk(
+            similarity.jl_project(
+                similarity.quantize_embeddings(_embs(spark, sf_dir)), out_dim=16
+            ),
+            similarity.jl_project(
+                similarity.quantize_embeddings(
+                    _embs(spark, sf_dir).filter(F.col("vec_id") < 8)
+                ),
+                out_dim=16,
+            ),
+            k=5,
+        ),
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_kmeans_centroids": ann_kmeans,
@@ -1211,9 +1225,10 @@ def _northstar_oracles() -> dict[str, str]:
           FROM scored
         ) WHERE rank <= 5
     """
-    from flink_example_spark.operators.similarity import sq8_topk_oracle
+    from flink_example_spark.operators.similarity import jl_topk_oracle, sq8_topk_oracle
 
     out["ann_sq8_topk"] = sq8_topk_oracle(n_queries=8, k=5)
+    out["ann_jl_topk"] = jl_topk_oracle(out_dim=16, in_dim=64, n_queries=8, k=5)
     out["embedding_near_dup"] = f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_DUCK_COS} AS cos
         FROM embeddings a JOIN embeddings b

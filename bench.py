@@ -86,6 +86,15 @@ HEADLINE = [
     "curation_systematic_sample",
     "cep_funnel_clean",
     "cep_error_runs",
+    # added round 6 continuation 2
+    "dedup_minhash_portable",
+    "timeseries_resample",
+    "timeseries_gaps",
+    "sketch_hll_distinct",
+    "sketch_overlap",
+    "json_props_stats",
+    "ann_sq8_topk",
+    "graph_reachability",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

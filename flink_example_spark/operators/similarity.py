@@ -651,3 +651,105 @@ def sq8_topk_oracle(n_queries: int = 8, k: int = 5) -> str:
           FROM scored
         ) WHERE rank <= {k}
     """
+
+
+def jl_project(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a deterministic
+    ±1 sign matrix (Achlioptas 2003: Rademacher entries preserve pairwise
+    distances like Gaussian projections, at add/subtract cost). Output
+    component j = sum_i sign(j,i) * x_i.
+
+    Signs come from the md5-derived bit of (seed, j, i) — reproducible on
+    any executor with no RNG state, and identically derivable in SQL.
+    Composed after ``quantize_embeddings`` the inputs are integral-valued
+    doubles, so every sum is IEEE-exact in ANY summation order — the
+    projection is then bit-portable across engines (raw-double inputs
+    would make the fold order observable).
+    """
+    import hashlib
+
+    signs = []
+    for j in range(out_dim):
+        row = []
+        # one md5 per output dim yields 128 sign bits — enough for any
+        # realistic input dim; byte b, bit k -> input index 8b+k
+        digest = hashlib.md5(f"jl-{seed}-{j}".encode()).digest()
+        for i in range(128):
+            row.append(1 if (digest[i // 8] >> (i % 8)) & 1 else -1)
+        signs.append(row)
+    v = as_double_vec(F.col(vec_col))
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                v,
+                # slice to the vector's size: zip_with pads the shorter side
+                # with NULLs, which would poison the sum
+                F.slice(
+                    F.array(*[F.lit(float(s)) for s in signs[j][:64]]),
+                    F.lit(1),
+                    F.size(v),
+                ),
+                lambda x, sgn: x * sgn,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for j in range(out_dim)
+    ]
+    return df.withColumn(vec_col, F.array(*comps))
+
+
+def jl_signs_sql(out_dim: int, in_dim: int, seed: int = 7) -> list[list[int]]:
+    """The same deterministic sign matrix for oracle construction."""
+    import hashlib
+
+    signs = []
+    for j in range(out_dim):
+        digest = hashlib.md5(f"jl-{seed}-{j}".encode()).digest()
+        signs.append(
+            [1 if (digest[i // 8] >> (i % 8)) & 1 else -1 for i in range(in_dim)]
+        )
+    return signs
+
+
+def jl_topk_oracle(
+    out_dim: int, in_dim: int = 8, n_queries: int = 8, k: int = 5, seed: int = 7
+) -> str:
+    """DuckDB twin of SQ8-quantize -> JL-project -> cosine_topk."""
+    signs = jl_signs_sql(out_dim, in_dim, seed)
+    proj = ", ".join(
+        "(" + " + ".join(f"({s}) * v[{i + 1}]" for i, s in enumerate(signs[j])) + ")"
+        for j in range(out_dim)
+    )
+    return f"""
+        WITH qv AS (
+          SELECT vec_id,
+                 list_transform(v, x -> CASE WHEN mx = 0 THEN 0.0
+                                        ELSE round(x * 127.0 / mx) END) AS v
+          FROM (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> abs(x))) AS mx
+            FROM embeddings
+          )
+        ), pv AS (
+          SELECT vec_id, [{proj}] AS v FROM qv
+        ), pn AS (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM pv
+        ), scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+          FROM pn a JOIN pn b ON a.vec_id < {n_queries} AND a.vec_id != b.vec_id
+        )
+        SELECT query_id, neighbor_id, rank, cos FROM (
+          SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """

@@ -250,3 +250,44 @@ def test_sq8_quantization_recall_vs_exact(spark):
     ).first()
     assert comps["mx"] <= 127.0
     assert comps["frac"] == 0.0
+
+
+def test_jl_projection_properties(spark):
+    """Rademacher-JL invariants: output dim is out_dim; E[||Px||^2] =
+    out_dim * ||x||^2 (norm preservation in expectation, checked as a
+    corpus-average ratio); exact duplicates stay cosine-1 neighbors.
+
+    Top-k recall is NOT asserted here: the synthetic embeddings are
+    near-uniform (neighbor margins ~0), where any 4x reduction scrambles
+    rankings — the driver row's value is the oracle-checked portability
+    of the projection, and real structure (duplicates) IS preserved."""
+    from flink_example_spark.operators.similarity import (
+        cosine_topk,
+        jl_project,
+        quantize_embeddings,
+    )
+    from flink_example_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = quantize_embeddings(load_table(spark, "/root/testdata/sf0.001", "embeddings"))
+    p = jl_project(e, out_dim=16)
+    dims = p.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r["d"] for r in dims] == [16]
+
+    def sumsq(df):
+        return df.select(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda a, x: a + x * x
+            ).alias("n2")
+        ).agg(F.avg("n2")).first()[0]
+
+    ratio = sumsq(p) / (16 * sumsq(e))
+    assert 0.8 < ratio < 1.25
+    # exact twins: re-tag a copy of the corpus with shifted ids; each twin's
+    # nearest projected neighbor is its original at cosine ~1
+    twins = e.withColumn("vec_id", F.col("vec_id") + 100000).filter(
+        F.col("vec_id") < 100005
+    )
+    hits = cosine_topk(p, jl_project(twins, out_dim=16), k=1).collect()
+    assert all(r["neighbor_id"] == r["query_id"] - 100000 for r in hits)
+    assert all(r["cos"] > 0.999999 for r in hits)
