@@ -500,6 +500,40 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "2024-01-20 00:00:00",
         )
 
+    def cdc_apply_entry(spark, sf_dir):
+        """MERGE INTO / CDC changelog apply (the batch form of the
+        reference's changelog bridge, App.java:158-193): base = purchase
+        counts as of Jan 20; changes = later events encoded as Flink
+        RowKind ops (+U upsert / -D delete / +I insert), latest-per-key
+        wins with event_id as the LSN tiebreaker."""
+        from flink_example_spark.operators.versioned import apply_changelog
+        from flink_example_spark.plans.events_demo import load_events
+
+        ev = load_events(spark, sf_dir)
+        split = F.to_timestamp(F.lit("2024-01-20 00:00:00"))
+        base = (
+            ev.filter((F.col("event_type") == "purchase") & (F.col("ts") <= split))
+            .groupBy(F.col("user_id").alias("_entity"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        ch = (
+            ev.filter(
+                (F.col("ts") > split)
+                & F.col("event_type").isin("purchase", "error", "signup")
+            )
+            .select(
+                F.col("user_id").alias("_entity"),
+                "ts",
+                F.col("event_id").alias("seq"),
+                F.when(F.col("event_type") == "purchase", F.lit("+U"))
+                .when(F.col("event_type") == "error", F.lit("-D"))
+                .otherwise(F.lit("+I"))
+                .alias("op"),
+                (F.col("event_id") % 100).alias("cnt"),
+            )
+        )
+        return apply_changelog(base, ch, "_entity", "ts", seq_col="seq")
+
     def ml_stream_entry(spark, sf_dir):
         """OLS 'training' over a LIVE document stream: the normal-equation
         sufficient statistics are commutative sums (one JVM-state grouped
@@ -817,6 +851,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # warehouse temporal-table derivations over the version history
         "versioned_scd2": scd2_entry,
         "versioned_snapshot_diff": snapdiff_entry,
+        # CDC changelog apply: net-effect MERGE of RowKind-coded changes
+        # onto a base snapshot (delete tombstones, latest-change-wins)
+        "versioned_cdc_apply": cdc_apply_entry,
         # write-path layout: Morton-curve bucket bounding boxes
         "layout_zorder_stats": zorder_entry,
         "streaming_linear_fit": ml_stream_entry,
@@ -1626,6 +1663,31 @@ def _northstar_oracles() -> dict[str, str]:
           FROM a FULL OUTER JOIN b ON a._entity = b._entity
         ) WHERE status <> 'unchanged'
     """
+    out["versioned_cdc_apply"] = """
+        WITH base AS (
+          SELECT user_id AS _entity, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events
+          WHERE event_type = 'purchase' AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+          GROUP BY user_id
+        ), ch AS (
+          SELECT user_id AS _entity, ts, event_id AS seq,
+                 CASE event_type WHEN 'purchase' THEN '+U'
+                                 WHEN 'error' THEN '-D'
+                                 ELSE '+I' END AS op,
+                 event_id % 100 AS cnt
+          FROM events
+          WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+            AND event_type IN ('purchase', 'error', 'signup')
+        ), last AS (
+          SELECT _entity, op, cnt FROM ch
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY _entity
+                                     ORDER BY ts DESC, seq DESC) = 1
+        )
+        SELECT COALESCE(b._entity, l._entity) AS _entity,
+               CASE WHEN l.op IS NOT NULL THEN l.cnt ELSE b.cnt END AS cnt
+        FROM base b FULL OUTER JOIN last l ON b._entity = l._entity
+        WHERE l.op IS NULL OR l.op <> '-D'
+    """
     from flink_example_spark.operators.layout import zorder_bucket_stats_sql
 
     out["layout_zorder_stats"] = zorder_bucket_stats_sql(
@@ -2284,6 +2346,11 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # watermark, no Python state); converges to batch
         # dedup_minhash_portable -> shares its oracle
         "streaming_minhash_dedup": _run_streaming_minhash_dedup,
+        # streaming CDC apply: per-key net change maintained as ONE pure-JVM
+        # max_by aggregate over (ts, seq) — semilattice, order/chunking
+        # invariant; final MERGE (shared batch code) onto the base snapshot
+        # converges to batch versioned_cdc_apply -> shares its oracle
+        "streaming_cdc_apply": _run_streaming_cdc_apply,
         # streaming cardinality: bottom-k KMV sketch maintained per group
         # (O(k) state, no watermark needed — commutative monoid); final
         # sketch equals the batch kmv_distinct -> shares its oracle
@@ -2372,6 +2439,12 @@ def _run_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_example_spark.streaming.dedup_stream import run_streaming_minhash_dedup
 
     return run_streaming_minhash_dedup(spark, sf_dir)
+
+
+def _run_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.cdc_stream import run_streaming_cdc_apply
+
+    return run_streaming_cdc_apply(spark, sf_dir)
 
 
 def _run_streaming_kq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2477,6 +2550,7 @@ def _all_oracles() -> dict[str, str]:
     )
     out["streaming_hll_distinct"] = out["sketch_hll_distinct"]
     out["streaming_minhash_dedup"] = out["dedup_minhash_portable"]
+    out["streaming_cdc_apply"] = out["versioned_cdc_apply"]
     out["streaming_ann_topk"] = out["ann_cosine_topk"]
     out["streaming_bm25"] = out["text_bm25_topk"]
     out["streaming_lm_filter"] = (

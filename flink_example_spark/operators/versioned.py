@@ -244,6 +244,104 @@ def scd2_intervals(
     )
 
 
+#: Flink RowKind short strings (org.apache.flink.types.RowKind) — the
+#: changelog encoding the reference's bridge consumes (App.java:158-193).
+INSERT, UPDATE_BEFORE, UPDATE_AFTER, DELETE = "+I", "-U", "+U", "-D"
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str | Sequence[str],
+    time_col: str,
+    op_col: str = "op",
+    seq_col: str | None = None,
+    broadcast_changes: bool = False,
+) -> DataFrame:
+    """MERGE INTO semantics: apply a CDC changelog to a base snapshot and
+    return the new snapshot — the batch form of the changelog bridge the
+    reference builds around Flink's retract streams (App.java:158-193;
+    RowKind ops ``+I``/``-U``/``+U``/``-D``, bare ``I``/``U``/``D``
+    accepted too).
+
+    Net-effect semantics: per key, the LATEST change by ``(time_col,
+    seq_col)`` wins — a delete removes the key, an insert/update upserts its
+    value columns; keys untouched by the changelog keep their base row.
+    ``-U`` (update_before) rows are retractions paired with a ``+U`` at the
+    same instant and never carry net state, so they are dropped up front —
+    exactly how Flink's upsert materializer folds a retract stream.
+
+    ``seq_col`` breaks same-timestamp ties (a changelog's offset/LSN);
+    without one, equal-time changes to one key are rejected as ambiguous
+    rather than resolved arbitrarily.
+
+    Scale: one window shuffle over the CHANGES (usually ≪ base) to take
+    each key's last change, then one equi-join against base — broadcast it
+    with ``broadcast_changes=True`` when the delta fits, sort-merge on the
+    key otherwise. The base is never shuffled beyond that join; no Python.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    value_cols = [c for c in base.columns if c not in keys]
+    missing = [c for c in value_cols if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing base value columns {missing}")
+    op = F.translate(F.col(op_col), "+-", "")  # '+I'/'I' → 'I', '-D'/'D' → 'D'
+    net = changes.filter(F.col(op_col) != UPDATE_BEFORE)
+    order = [F.col(time_col).desc()]
+    if seq_col is not None:
+        order.append(F.col(seq_col).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    last = (
+        net.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__nties", F.count(F.lit(1)).over(
+            Window.partitionBy(*keys, time_col, *( [seq_col] if seq_col else [] ))
+        ))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *keys,
+            op.alias("__op"),
+            F.col("__nties"),
+            *[F.col(c).alias(f"__c_{c}") for c in value_cols],
+        )
+    )
+    if seq_col is None:
+        # equal-(key, time) changes are ambiguous without a sequence column;
+        # fail loudly instead of letting row_number pick one arbitrarily
+        last = last.withColumn(
+            "__op",
+            F.when(F.col("__nties") > 1, F.raise_error(
+                F.lit("apply_changelog: same-timestamp changes for one key need seq_col")
+            ).cast("string")).otherwise(F.col("__op")),
+        )
+    last = last.drop("__nties")
+    if broadcast_changes:
+        last = F.broadcast(last)
+    return merge_net_changes(base, last, keys, value_cols)
+
+
+def merge_net_changes(
+    base: DataFrame, last: DataFrame, keys: list[str], value_cols: list[str]
+) -> DataFrame:
+    """Final MERGE step shared by :func:`apply_changelog` and the streaming
+    CDC twin: ``last`` holds each key's net change as ``(keys…, __op,
+    __c_<col>…)`` with ``__op`` normalized to ``I``/``U``/``D``."""
+    merged = base.join(last, keys, "full_outer")
+    return (
+        merged.filter(F.col("__op").isNull() | (F.col("__op") != "D"))
+        # change rows upsert the WHOLE row (even explicit NULLs — changelog
+        # semantics, not per-column patch); base-only rows keep base values
+        .select(
+            *keys,
+            *[
+                F.when(F.col("__op").isNotNull(), F.col(f"__c_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in value_cols
+            ],
+        )
+    )
+
+
 def snapshot_diff(
     history: DataFrame,
     key: str | Sequence[str],

@@ -62,3 +62,109 @@ def test_snapshot_diff_unchanged_and_removed(spark):
         for r in snapshot_diff(h, "_entity", "2024-01-10", "2024-01-02").collect()
     }
     assert back == {"u1": "changed", "u2": "removed"}
+
+
+# --- CDC changelog apply (MERGE INTO semantics) -----------------------------
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [("u1", 10, "a"), ("u2", 20, "b"), ("u3", 30, "c")],
+        "_entity string, cnt long, tag string",
+    )
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "_entity string, ts timestamp, seq long, op string, cnt long, tag string"
+    )
+
+
+def test_apply_changelog_upsert_delete_insert(spark):
+    from flink_example_spark.operators.versioned import apply_changelog
+
+    ch = _changes(
+        spark,
+        [
+            ("u1", datetime(2024, 1, 2), 1, "+U", 11, "a2"),   # update u1
+            ("u2", datetime(2024, 1, 3), 2, "-D", None, None),  # delete u2
+            ("u4", datetime(2024, 1, 4), 3, "+I", 40, "d"),     # fresh insert
+        ],
+    )
+    out = {
+        r["_entity"]: (r["cnt"], r["tag"])
+        for r in apply_changelog(_base(spark), ch, "_entity", "ts", seq_col="seq").collect()
+    }
+    assert out == {"u1": (11, "a2"), "u3": (30, "c"), "u4": (40, "d")}
+
+
+def test_apply_changelog_latest_wins_and_retractions_ignored(spark):
+    from flink_example_spark.operators.versioned import apply_changelog
+
+    ch = _changes(
+        spark,
+        [
+            # full retract-stream episode on u1: -U old, +U new, then delete,
+            # then a LATER re-insert — net effect is the re-insert
+            ("u1", datetime(2024, 1, 2), 1, "-U", 10, "a"),
+            ("u1", datetime(2024, 1, 2), 2, "+U", 99, "x"),
+            ("u1", datetime(2024, 1, 3), 3, "-D", None, None),
+            ("u1", datetime(2024, 1, 4), 4, "+I", 12, "a3"),
+            # same-timestamp seq tiebreak on u2: seq 6 wins
+            ("u2", datetime(2024, 1, 5), 5, "+U", 21, "b1"),
+            ("u2", datetime(2024, 1, 5), 6, "+U", 22, "b2"),
+        ],
+    )
+    out = {
+        r["_entity"]: (r["cnt"], r["tag"])
+        for r in apply_changelog(_base(spark), ch, "_entity", "ts", seq_col="seq").collect()
+    }
+    assert out == {"u1": (12, "a3"), "u2": (22, "b2"), "u3": (30, "c")}
+
+
+def test_apply_changelog_delete_wins_when_latest(spark):
+    from flink_example_spark.operators.versioned import apply_changelog
+
+    ch = _changes(
+        spark,
+        [
+            ("u3", datetime(2024, 1, 2), 1, "+U", 31, "c1"),
+            ("u3", datetime(2024, 1, 9), 2, "-D", None, None),
+            # delete of a key that never existed: no row, no error
+            ("u9", datetime(2024, 1, 2), 3, "-D", None, None),
+        ],
+    )
+    out = apply_changelog(_base(spark), ch, "_entity", "ts", seq_col="seq")
+    got = {r["_entity"] for r in out.collect()}
+    assert got == {"u1", "u2"}
+
+
+def test_apply_changelog_ambiguous_ties_raise_without_seq(spark):
+    import pytest as _pytest
+    from flink_example_spark.operators.versioned import apply_changelog
+
+    ch = _changes(
+        spark,
+        [
+            ("u1", datetime(2024, 1, 2), 1, "+U", 11, "a1"),
+            ("u1", datetime(2024, 1, 2), 2, "+U", 12, "a2"),
+        ],
+    )
+    with _pytest.raises(Exception, match="seq_col"):
+        apply_changelog(_base(spark), ch, "_entity", "ts").collect()
+
+
+def test_streaming_cdc_apply_converges_to_batch(spark):
+    """Bounded replay of the changelog (any chunking) must equal the batch
+    MERGE exactly — the net-change state is a (ts, seq) max semilattice."""
+    from flink_example_spark.streaming.cdc_stream import run_streaming_cdc_apply
+
+    sf = "/root/testdata/sf0.001"
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("entry_mod", "/root/repo/__spark_entry__.py")
+    entry_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry_mod)
+    batch = entry_mod.extra_queries()["versioned_cdc_apply"](spark, sf)
+    stream = run_streaming_cdc_apply(spark, sf, chunks=2)
+    assert {tuple(r) for r in stream.collect()} == {tuple(r) for r in batch.collect()}
