@@ -874,6 +874,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_kmeans_centroids_vec": ann_kmeans_vec,
         "ann_ivf_trained": ann_ivf_trained,
         "text_lm_surprisal": lambda spark, sf_dir: text.lm_surprisal(_docs(spark, sf_dir)),
+        # bigram LM with stupid backoff, trained on the even-doc_id half so
+        # the backoff path actually fires on the held-out half
+        "text_bigram_surprisal": lambda spark, sf_dir: text.bigram_surprisal(
+            _docs(spark, sf_dir), train_pred=F.col("doc_id") % 2 == 0
+        ),
         "text_bm25_topk": bm25_entry,
         "text_pmi_collocations": lambda spark, sf_dir: text.pmi_collocations(
             _docs(spark, sf_dir), topk=30, min_count=3
@@ -886,6 +891,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokenize": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.bpe", fromlist=["bpe_tokenize"]
         ).bpe_tokenize(_docs(spark, sf_dir), list(_BPE_FIXED_MERGES)),
+        # DSIR importance weights: hashed-token log-likelihood ratio of the
+        # English-doc target model vs the raw corpus model (integer log2)
+        "curation_dsir_weights": lambda spark, sf_dir: curation.dsir_weights(
+            _docs(spark, sf_dir), target_pred=F.col("lang") == "en"
+        ),
         # temperature-based (alpha=0.5) domain rebalance to ~half the corpus
         "curation_temperature_mix": lambda spark, sf_dir: curation.temperature_mix(
             _docs(spark, sf_dir), target_total=250
@@ -1526,6 +1536,8 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators import curation, text
 
     out["text_lm_surprisal"] = text.lm_surprisal_oracle()
+    out["text_bigram_surprisal"] = text.bigram_surprisal_oracle("doc_id % 2 = 0")
+    out["curation_dsir_weights"] = curation.dsir_oracle("lang = 'en'")
     out["text_bm25_topk"] = text.bm25_oracle(
         ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES), topk=10
     )

@@ -1413,3 +1413,104 @@ def systematic_sample_oracle(
         SELECT {select_cols} FROM c
         WHERE (cum * {k}) // tot > ((cum - w) * {k}) // tot
     """
+
+
+def dsir_weights(
+    documents: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document by
+    how target-like its HASHED token-feature distribution is, so a small
+    curated target set can steer selection over a web-scale raw corpus.
+
+    Features are normalized whitespace tokens hashed into ``n_buckets``
+    portable md5 buckets (the fixed-width trick that makes the bag-of-ngrams
+    model corpus-size-independent). Per document the weight is the
+    log-likelihood ratio of target vs raw bucket unigram models,
+
+        dsir_bits = sum over tokens of  [ flog2(ct(b)+1) - flog2(cr(b)+1) ]
+
+    with ``flog2 = length(bin(x)) - 1`` — the repo's integer log2
+    quantization, exact and identical across engines (libm-free). Add-one
+    smoothing keeps unseen-in-target buckets finite; the per-token constant
+    ``log(Tr/Tt)`` is rank-irrelevant at fixed length and omitted, so use
+    ``avg_logratio_bits`` (length-invariant) to rank. Output:
+    ``(id, n_tokens, dsir_bits, avg_logratio_bits)``.
+
+    Scale: one explode, one (doc, bucket) aggregation — the model relations
+    are ``n_buckets`` rows, always broadcastable; the aggregated per-doc
+    bucket relation is localCheckpoint-ed (it feeds both model derivations
+    and the scoring join). Nothing driver-side; raw corpus size only enters
+    through the one explode shuffle.
+    """
+    from flink_example_spark.operators.text import normalized, tokens
+
+    toks = documents.select(
+        F.col(id_col),
+        target_pred.alias("__t"),
+        F.explode(tokens(normalized(F.col(text_col)))).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    b = (
+        F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("bigint") % n_buckets
+    ).alias("__b")
+    dtf = (
+        toks.select(F.col(id_col), "__t", b)
+        .groupBy(id_col, "__t", "__b")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    ct = dtf.filter(F.col("__t")).groupBy("__b").agg(F.sum("tf").alias("__ct"))
+    cr = dtf.groupBy("__b").agg(F.sum("tf").alias("__cr"))
+
+    def flog2(col: Column) -> Column:
+        return F.length(F.bin(col)) - 1
+
+    bits = flog2(F.coalesce(F.col("__ct"), F.lit(0)) + 1) - flog2(F.col("__cr") + 1)
+    scored = (
+        dtf.join(F.broadcast(ct), "__b", "left")
+        .join(F.broadcast(cr), "__b")
+        .select(F.col(id_col), "tf", bits.alias("__bits"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("__bits")).alias("dsir_bits"),
+        (
+            F.sum(F.col("tf") * F.col("__bits")).cast("double") / F.sum("tf")
+        ).alias("avg_logratio_bits"),
+    )
+
+
+def dsir_oracle(target_expr: str = "lang = 'en'", n_buckets: int = 4096) -> str:
+    """DuckDB twin of :func:`dsir_weights` (``target_expr`` over document
+    columns mirrors the Spark ``target_pred``)."""
+    from flink_example_spark.operators.text import _DUCK_NORM
+
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, ({target_expr}) AS is_t,
+                 CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                   % {n_buckets} AS b
+          FROM (SELECT *, unnest(string_split_regex({_DUCK_NORM}, '\\s+')) AS t
+                FROM documents)
+          WHERE t <> ''
+        ), dtf AS MATERIALIZED (
+          SELECT doc_id, is_t, b, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, is_t, b
+        ), ct AS (
+          SELECT b, CAST(SUM(tf) AS BIGINT) AS c FROM dtf WHERE is_t GROUP BY b
+        ), cr AS (
+          SELECT b, CAST(SUM(tf) AS BIGINT) AS c FROM dtf GROUP BY b
+        )
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(tf * ((len(bin(COALESCE(ct.c, 0) + 1)) - 1)
+                              - (len(bin(cr.c + 1)) - 1))) AS BIGINT) AS dsir_bits,
+               CAST(CAST(SUM(tf * ((len(bin(COALESCE(ct.c, 0) + 1)) - 1)
+                              - (len(bin(cr.c + 1)) - 1))) AS BIGINT) AS DOUBLE)
+                 / SUM(tf) AS avg_logratio_bits
+        FROM dtf LEFT JOIN ct USING (b) JOIN cr USING (b)
+        GROUP BY doc_id
+    """

@@ -374,6 +374,131 @@ def lm_surprisal_oracle() -> str:
     """
 
 
+BACKOFF_BITS = 2  # stupid-backoff alpha ~= 0.25, quantized to whole bits
+
+
+def bigram_surprisal(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_pred: Column | None = None,
+) -> DataFrame:
+    """Per-document quantized BIGRAM surprisal with stupid backoff — the
+    next step up from :func:`lm_surprisal`'s unigram filter: fluent word
+    ORDER now matters, so shuffled/templated text scores high even when its
+    vocabulary is common. Output: ``(id, n_bigrams, avg_bigram_bits)``.
+
+    Model (trained on the ``train_pred`` subset; the whole corpus when
+    None): for adjacent normalized tokens (w1, w2),
+
+    - seen bigram:  bits = floor(log2(c1(w1) / c2(w1, w2)))  — the
+      conditional surprisal  -log2 P(w2 | w1);
+    - unseen bigram, known w2: bits = BACKOFF_BITS + floor(log2(N / c1(w2)))
+      — stupid backoff (Brants et al. 2007) to the unigram, with a
+      whole-bit penalty in place of the non-portable log2(1/alpha);
+    - unknown w2: the position is skipped (mirrors ``lm_surprisal``'s
+      frozen-model behavior).
+
+    All counts are exact BIGINTs and every log2 is the ``length(bin(x))-1``
+    integer quantization, so Spark and DuckDB agree bit-for-bit (libm-free,
+    same rationale as ``lm_surprisal``). The one double is the final
+    division.
+
+    Scale: one explode, one per-doc window (lead over token position, one
+    Exchange on the id), pair aggregation to ``(doc, w1, w2, tf)`` BEFORE
+    the model joins — the vocabulary-sized count relations broadcast while
+    they fit. The aggregated pair relation is localCheckpoint-ed: it feeds
+    both the model derivation and the scoring join (multi-consumer cut).
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        documents.select(
+            F.col(id_col),
+            F.posexplode(tokens(normalized(F.col(text_col)))).alias("__p", "t"),
+        ).filter(F.col("t") != "")
+    )
+    w = Window.partitionBy(id_col).orderBy("__p")
+    pr = toks.select(
+        F.col(id_col), F.col("t").alias("w1"), F.lead("t").over(w).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    pairs = (
+        pr.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint()
+    )
+    train_pairs = pairs if train_pred is None else pairs.filter(train_pred)
+    c2 = train_pairs.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    ttoks = toks if train_pred is None else toks.filter(train_pred)
+    c1 = ttoks.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    total = c1.agg(F.sum("c1").alias("n"))
+    flog2 = lambda x: F.length(F.bin(F.expr(x))) - 1
+    scored = (
+        pairs.join(c2, ["w1", "w2"], "left")
+        .join(c1.select(F.col("t").alias("w1"), F.col("c1").alias("c1w1")), "w1", "left")
+        .join(c1.select(F.col("t").alias("w2"), F.col("c1").alias("c1w2")), "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            "tf",
+            F.when(F.col("c2").isNotNull(), flog2("c1w1 div c2"))
+            .when(
+                F.col("c1w2").isNotNull(),
+                F.lit(BACKOFF_BITS) + flog2("n div c1w2"),
+            )
+            .alias("__bits"),
+        )
+        .filter(F.col("__bits").isNotNull())
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_bigrams"),
+        (
+            F.sum(F.col("tf") * F.col("__bits")).cast("double") / F.sum("tf")
+        ).alias("avg_bigram_bits"),
+    )
+
+
+def bigram_surprisal_oracle(train_where: str = "TRUE") -> str:
+    """DuckDB twin of :func:`bigram_surprisal`; ``train_where`` mirrors the
+    Spark ``train_pred`` (a predicate over doc_id)."""
+    return f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id, t, p FROM (
+            SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS p
+            FROM (SELECT doc_id, string_split_regex({_DUCK_NORM}, '\\s+') AS arr
+                  FROM documents)
+          ) WHERE t <> ''
+        ), pr AS (
+          SELECT doc_id, t AS w1,
+                 LEAD(t) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+          FROM tok
+        ), pairs AS MATERIALIZED (
+          SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM pr WHERE w2 IS NOT NULL GROUP BY doc_id, w1, w2
+        ), c2 AS (
+          SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2 FROM pairs
+          WHERE {train_where} GROUP BY w1, w2
+        ), c1 AS MATERIALIZED (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok
+          WHERE {train_where} GROUP BY t
+        ), n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM c1)
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+               CAST(CAST(SUM(tf * bits) AS BIGINT) AS DOUBLE) / SUM(tf)
+                 AS avg_bigram_bits
+        FROM (
+          SELECT pairs.doc_id, pairs.tf,
+                 CASE WHEN c2.c2 IS NOT NULL THEN len(bin(u1.c1 // c2.c2)) - 1
+                      WHEN u2.c1 IS NOT NULL
+                        THEN {BACKOFF_BITS} + len(bin(n.n // u2.c1)) - 1
+                 END AS bits
+          FROM pairs
+          LEFT JOIN c2 ON pairs.w1 = c2.w1 AND pairs.w2 = c2.w2
+          LEFT JOIN c1 u1 ON pairs.w1 = u1.t
+          LEFT JOIN c1 u2 ON pairs.w2 = u2.t
+          CROSS JOIN n
+        ) WHERE bits IS NOT NULL
+        GROUP BY doc_id
+    """
+
+
 def bm25_topk(
     documents: DataFrame,
     queries: DataFrame,

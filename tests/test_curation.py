@@ -387,3 +387,27 @@ def test_systematic_sample_all_zero_weights(spark):
 
     df = spark.createDataFrame([(i, 0) for i in range(20)], "doc_id long, n long")
     assert systematic_sample(df, k=5, weight_col="n").count() == 0
+
+
+def test_dsir_weights_steer_toward_target(spark):
+    """Importance weights must rank target-like docs above the rest — the
+    selection property DSIR exists for. The harness corpus shares one
+    vocabulary across langs (quantized ratios collapse), so the steering
+    property is pinned on a crafted two-vocabulary fixture."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.curation import dsir_weights
+
+    target_text = "alpha beta gamma delta alpha beta"
+    raw_text = "omega psi chi phi omega psi"
+    rows = (
+        [(i, target_text, True) for i in range(8)]
+        + [(100 + i, raw_text, False) for i in range(8)]
+        # held-out docs: 200s look like target, 300s look like raw
+        + [(200, "alpha beta gamma", False), (300, "omega psi chi", False)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    w = dsir_weights(docs, target_pred=F.col("is_t"))
+    got = {r["doc_id"]: r["avg_logratio_bits"] for r in w.collect()}
+    assert got[200] > got[300]
+    assert min(got[i] for i in range(8)) > max(got[100 + i] for i in range(8))

@@ -650,3 +650,27 @@ def test_crop_image_region_bytes(spark):
     _, _, got = mm._parse_pgm(bytes(r["out_payload"]))
     assert list(got) == want
     assert r["out_sum"] == sum(want)
+
+
+def test_bigram_surprisal_backoff_arithmetic(spark):
+    """Hand-checked stupid-backoff arithmetic: seen bigram = conditional
+    bits; unseen bigram with known w2 = penalty + unigram bits; unknown w2
+    skipped. Train doc 0 only."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.text import bigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(0, "a b a c"), (1, "a b x c a")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_bigram_bits"])
+        for r in bigram_surprisal(docs, train_pred=F.col("doc_id") == 0).collect()
+    }
+    # train doc: c1(a)=2 b=1 c=1, N=4; bigrams (a,b)(b,a)(a,c) once each.
+    # doc 1 pairs: (a,b) seen -> flog2(2/1)=1; (b,x) skipped (x unknown);
+    # (x,c) backoff -> 2+flog2(4/1)=4; (c,a) backoff -> 2+flog2(4/2)=3.
+    assert out[1] == (3, (1 + 4 + 3) / 3)
+    # train doc scored against itself: all bigrams seen.
+    # (a,b): flog2(2/1)=1; (b,a): flog2(1/1)=0; (a,c): flog2(2/1)=1
+    assert out[0] == (3, (1 + 0 + 1) / 3)
