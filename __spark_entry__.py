@@ -196,6 +196,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _embs(spark, sf_dir)
         return similarity.ivf_cosine_topk(e, e.filter(F.col("vec_id") < 8), k=5)
 
+    def ann_recall_eval_entry(spark, sf_dir):
+        """IR-metric harness: the LSH retriever's top-5 evaluated against
+        the exact retriever's top-5 as truth — recall@5 / precision@5 /
+        MRR per query, all exact-integer divisions."""
+        e = _embs(spark, sf_dir)
+        q = e.filter(F.col("vec_id") < 8)
+        truth = similarity.cosine_topk(e, q, k=5)
+        got = similarity.lsh_cosine_topk(e, q, k=5)
+        return similarity.retrieval_eval(got, truth, k=5)
+
     def ann_kmeans(spark, sf_dir):
         """Driver-recorded shape: the driver's oracle canonicalizer sorts
         raw pandas columns and cannot hash list cells, so the array-valued
@@ -399,6 +409,14 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return zscore_outliers(
             _docs(spark, sf_dir), "lang", "n_chars", "doc_id", z=1.5
         )
+
+    def mad_entry(spark, sf_dir):
+        """Robust (median/MAD) outlier gate on document length — the
+        contamination-proof twin of the z-score gate; c=1.5 to actually
+        fire on the harness length distribution."""
+        from flink_example_spark.operators.ml import mad_outliers
+
+        return mad_outliers(_docs(spark, sf_dir), "lang", "n_chars", "doc_id", c=1.5)
 
     def _events(spark, sf_dir):
         from flink_example_spark.plans.events_demo import load_events
@@ -811,6 +829,8 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        # retrieval-quality eval: LSH top-5 scored against exact top-5
+        "ann_recall_eval": ann_recall_eval_entry,
         "ann_kmeans_centroids": ann_kmeans,
         # hybrid-retrieval ensemble: reciprocal-rank fusion of the exact
         # and IVF retrievers' top-5 lists (the RAG-stack combiner)
@@ -836,6 +856,8 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distributed model fitting on the corpus (integer normal equations)
         "ml_linear_fit": linfit_entry,
         "ml_zscore_outliers": zscore_entry,
+        # robust median/MAD outlier twin (contamination-resistant)
+        "ml_mad_outliers": mad_entry,
         # Flink-CEP pattern parity: ordered funnels + count-burst alerts
         "cep_funnel": cep_funnel_entry,
         "cep_funnel_counts": cep_counts_entry,
@@ -1446,6 +1468,29 @@ def _northstar_oracles() -> dict[str, str]:
     out["dedup_simhash"] = _simhash_md5_oracle()
     out["ann_lsh_topk"] = _lsh_topk_oracle()
     out["ann_ivf_topk"] = _ivf_topk_oracle()
+    out["ann_recall_eval"] = f"""
+        WITH truth AS MATERIALIZED ({out["ann_cosine_topk"]}),
+        got AS ({_lsh_topk_oracle()}),
+        hits AS (
+          SELECT g.query_id, g.rank
+          FROM got g JOIN truth t
+            ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id
+          WHERE g.rank <= 5
+        ), rel AS (
+          SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+          FROM truth GROUP BY query_id
+        ), per AS (
+          SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nh, MIN(rank) AS frst
+          FROM hits GROUP BY query_id
+        )
+        SELECT rel.query_id, n_rel, COALESCE(nh, 0) AS n_hits,
+               CAST(COALESCE(nh, 0) AS DOUBLE) / n_rel AS recall_at_k,
+               CAST(COALESCE(nh, 0) AS DOUBLE) / 5 AS precision_at_k,
+               frst AS first_hit_rank,
+               CASE WHEN frst IS NOT NULL THEN CAST(1 AS DOUBLE) / frst
+                    ELSE CAST(0 AS DOUBLE) END AS rr
+        FROM rel LEFT JOIN per USING (query_id)
+    """
     out["ann_mmr_rerank"] = _mmr_oracle(k=5, pool=10)
     out["ann_rrf_fusion"] = f"""
         WITH ea AS ({out["ann_cosine_topk"]}),
@@ -1602,6 +1647,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["graph_reachability"] = reachability_oracle(term_graph_sql(2), max_hops=3)
     from flink_example_spark.operators.ml import (
         linear_fit_oracle,
+        mad_outliers_oracle,
         zscore_outliers_oracle,
     )
 
@@ -1620,6 +1666,13 @@ def _northstar_oracles() -> dict[str, str]:
         "n_chars",
         "doc_id",
         z=1.5,
+    )
+    out["ml_mad_outliers"] = mad_outliers_oracle(
+        "SELECT lang, doc_id, n_chars FROM documents",
+        "lang",
+        "n_chars",
+        "doc_id",
+        c=1.5,
     )
     from flink_example_spark.operators.cep import (
         event_bursts_oracle,

@@ -186,3 +186,68 @@ def zscore_outliers_oracle(
         WHERE stats.std > 0
           AND abs((CAST(src.{x_col} AS DOUBLE) - stats.mean) / stats.std) > {z}
     """
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    id_col: str,
+    c: float = 3.0,
+) -> DataFrame:
+    """Per-group MAD (median-absolute-deviation) outlier gate — the robust
+    sibling of :func:`zscore_outliers`: median/MAD shrug off the very
+    outliers that inflate mean/std, so a group where 10% of rows are junk
+    still gets a tight threshold. Emits rows with |x − median| > c·MAD.
+    Output: (grp, id, x, med, mad, dev).
+
+    Both medians are the exact interpolated percentile (Spark PERCENTILE ≡
+    DuckDB QUANTILE_CONT, verified bit-identical by percentile_prices);
+    deviations of integers from a half-integer median are exact doubles, so
+    the second median interpolates exact values and the gate compares two
+    exactly-rounded products — cross-engine hash-stable with no epsilon.
+
+    Scale: the median is holistic (no one-pass sufficient statistic), so
+    this is two group-grain aggregation passes, each broadcast back onto
+    the rows; at petabyte scale substitute pass one with the mergeable KMV
+    quantile sketch (operators/sketch.py) and keep the gate unchanged.
+    """
+    rows = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("long").alias("x"),
+    )
+    med = rows.groupBy("grp").agg(F.percentile(F.col("x"), F.lit(0.5)).alias("med"))
+    dev = rows.join(F.broadcast(med), "grp").withColumn(
+        "dev", F.abs(F.col("x").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("grp").agg(F.percentile(F.col("dev"), F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .filter((F.col("mad") > 0) & (F.col("dev") > F.lit(float(c)) * F.col("mad")))
+        .select("grp", "id", "x", "med", "mad", "dev")
+    )
+
+
+def mad_outliers_oracle(
+    source_sql: str, group_col: str, x_col: str, id_col: str, c: float = 3.0
+) -> str:
+    """DuckDB twin of ``mad_outliers`` (same two-pass medians, same gate)."""
+    return f"""
+        WITH src AS MATERIALIZED (
+          SELECT {group_col} AS grp, {id_col} AS id,
+                 CAST({x_col} AS BIGINT) AS x
+          FROM ({source_sql})
+        ), m AS (
+          SELECT grp, QUANTILE_CONT(x, 0.5) AS med FROM src GROUP BY grp
+        ), d AS MATERIALIZED (
+          SELECT src.grp, src.id, src.x, m.med,
+                 abs(CAST(src.x AS DOUBLE) - m.med) AS dev
+          FROM src JOIN m USING (grp)
+        ), md AS (
+          SELECT grp, QUANTILE_CONT(dev, 0.5) AS mad FROM d GROUP BY grp
+        )
+        SELECT d.grp, d.id, d.x, d.med, md.mad, d.dev
+        FROM d JOIN md USING (grp)
+        WHERE md.mad > 0 AND d.dev > {c} * md.mad
+    """

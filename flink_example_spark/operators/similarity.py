@@ -753,3 +753,52 @@ def jl_topk_oracle(
           FROM scored
         ) WHERE rank <= {k}
     """
+
+
+def retrieval_eval(
+    retrieved: DataFrame,
+    truth: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Offline retrieval-quality evaluation: per-query recall@k,
+    precision@k, and reciprocal rank of ``retrieved`` against a ``truth``
+    relevance set — the metric harness every ANN index (LSH/IVF/SQ8/JL
+    here) is tuned with before a corpus-wide rollout.
+
+    ``truth`` rows are the relevant (query, doc) pairs (e.g. the exact
+    retriever's top-k); ``retrieved`` needs a rank column. Metrics:
+    ``recall_at_k`` = hits / |truth(q)|, ``precision_at_k`` = hits / k,
+    ``rr`` = 1 / rank of the first hit (0.0 when none). All three are one
+    exact-integer division each — IEEE exact-rounded, so cross-engine
+    hash-stable (no accumulated float sums).
+
+    Scale: one equi-join on (query, doc) — rank-bounded, so both sides are
+    queries×k rows regardless of corpus size — plus two query-grain
+    aggregations. Queries with an empty truth set are absent by definition.
+    """
+    hits = retrieved.filter(F.col(rank_col) <= k).join(
+        truth.select(query_col, doc_col), [query_col, doc_col]
+    )
+    rel = truth.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_rel"))
+    per = hits.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("__n_hits"), F.min(rank_col).alias("__first")
+    )
+    n_hits = F.coalesce(F.col("__n_hits"), F.lit(0)).alias("n_hits")
+    return rel.join(per, query_col, "left").select(
+        query_col,
+        F.col("n_rel"),
+        n_hits,
+        (F.coalesce(F.col("__n_hits"), F.lit(0)).cast("double") / F.col("n_rel")).alias(
+            "recall_at_k"
+        ),
+        (F.coalesce(F.col("__n_hits"), F.lit(0)).cast("double") / F.lit(k)).alias(
+            "precision_at_k"
+        ),
+        F.col("__first").alias("first_hit_rank"),
+        F.when(F.col("__first").isNotNull(), F.lit(1.0) / F.col("__first"))
+        .otherwise(F.lit(0.0))
+        .alias("rr"),
+    )

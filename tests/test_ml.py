@@ -92,3 +92,27 @@ def test_streaming_fit_converges_to_batch(spark):
     for chunks in (1, 3):
         got = sorted(map(tuple, run_streaming_linear_fit(spark, sf, chunks).collect()))
         assert got == want, f"chunks={chunks} diverged"
+
+
+def test_mad_outliers_robust_where_zscore_breaks(spark):
+    """A 20% junk cluster inflates mean/std enough that the z-gate misses
+    every junk row; the median/MAD gate flags exactly the junk."""
+    from flink_example_spark.operators.ml import mad_outliers, zscore_outliers
+
+    rows = [("g", i, 10 if i % 2 else 11) for i in range(20)]
+    rows += [("g", 100 + i, 1000) for i in range(5)]
+    df = spark.createDataFrame(rows, "grp string, rid long, x long")
+    z = zscore_outliers(df, "grp", "x", "rid", z=2.5)
+    assert z.count() == 0
+    m = mad_outliers(df, "grp", "x", "rid", c=3.0)
+    assert {r["id"] for r in m.collect()} == {100 + i for i in range(5)}
+
+
+def test_mad_outliers_zero_mad_guard(spark):
+    """All-identical group: MAD = 0 must gate to empty, not flag everything."""
+    from flink_example_spark.operators.ml import mad_outliers
+
+    df = spark.createDataFrame(
+        [("g", i, 7) for i in range(10)], "grp string, rid long, x long"
+    )
+    assert mad_outliers(df, "grp", "x", "rid").count() == 0

@@ -674,3 +674,27 @@ def test_bigram_surprisal_backoff_arithmetic(spark):
     # train doc scored against itself: all bigrams seen.
     # (a,b): flog2(2/1)=1; (b,a): flog2(1/1)=0; (a,c): flog2(2/1)=1
     assert out[0] == (3, (1 + 0 + 1) / 3)
+
+
+def test_retrieval_eval_metrics(spark):
+    """Hand-checked recall@k / precision@k / MRR on a crafted run."""
+    from flink_example_spark.operators.similarity import retrieval_eval
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long",
+    )
+    retrieved = spark.createDataFrame(
+        # q1: first hit at rank 2, two hits in top-3; rank-4 hit excluded at k=3
+        [(1, 99, 1), (1, 10, 2), (1, 11, 3), (1, 12, 4),
+         # q2: no hits at all
+         (2, 98, 1), (2, 97, 2), (2, 96, 3)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    out = {r["query_id"]: r for r in retrieval_eval(retrieved, truth, k=3).collect()}
+    q1, q2 = out[1], out[2]
+    assert (q1["n_rel"], q1["n_hits"], q1["first_hit_rank"]) == (3, 2, 2)
+    assert q1["recall_at_k"] == 2 / 3 and q1["precision_at_k"] == 2 / 3
+    assert q1["rr"] == 0.5
+    assert (q2["n_hits"], q2["first_hit_rank"], q2["rr"]) == (0, None, 0.0)
+    assert q2["recall_at_k"] == 0.0
