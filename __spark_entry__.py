@@ -732,6 +732,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cropped.select("media_id", "in_w", "in_h", "out_w", "out_h", "out_sum")
 
+    def mm_ahash(spark, sf_dir):
+        """Perceptual average-hash per image over the REAL PGM codec path:
+        decode -> 8x8 grid sample -> mean threshold -> 64-bit fingerprint
+        as two 32-bit halves; every bit re-derived analytically by the
+        oracle from the cycled-md5 payload scheme."""
+        media = multimodal.encode_codec_media(_docs(spark, sf_dir), formats=("pgm", "aiff"))
+        return multimodal.image_ahash(
+            media.filter(F.col("media_type") == "image"), repartition=False
+        )
+
     def mm_resize_box(spark, sf_dir):
         """Anti-aliased (box-mean) variant: every output byte is the
         integer mean of an f x f block — re-derived per pixel by the
@@ -901,6 +911,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_surprisal": lambda spark, sf_dir: text.bigram_surprisal(
             _docs(spark, sf_dir), train_pred=F.col("doc_id") % 2 == 0
         ),
+        # conjunctive posting-list retrieval (AND over three terms)
+        "text_boolean_search": lambda spark, sf_dir: text.boolean_search(
+            _docs(spark, sf_dir), ["spark", "merge", "window"]
+        ),
         "text_bm25_topk": bm25_entry,
         "text_pmi_collocations": lambda spark, sf_dir: text.pmi_collocations(
             _docs(spark, sf_dir), topk=30, min_count=3
@@ -1030,6 +1044,8 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_codec_be": mm_codec_be,
         "multimodal_resize": mm_resize,
         "multimodal_resize_box": mm_resize_box,
+        # perceptual image fingerprint (aHash) — the image-dedup primitive
+        "multimodal_ahash": mm_ahash,
         "multimodal_crop": mm_crop,
         "multimodal_audio_chunks": mm_audio_chunks,
         # corpus curation (operators/curation.py): benchmark = every doc_id
@@ -1553,6 +1569,33 @@ def _northstar_oracles() -> dict[str, str]:
         FROM px GROUP BY 1, 2, 3, 4, 5
     """
 
+    out["multimodal_ahash"] = """
+        WITH img AS (
+          SELECT doc_id, md5(text) AS hh,
+                 CAST(doc_id % 32 + 8 AS INTEGER) AS w,
+                 CAST(doc_id % 24 + 8 AS INTEGER) AS h
+          FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+        ), px AS (
+          SELECT doc_id, w, h, y, x,
+                 ascii(substr(hh,
+                       CAST(((y * h // 8) * w + (x * w // 8)) % 32 AS INTEGER) + 1,
+                       1)) AS gray
+          FROM img, range(0, 8) ry(y), range(0, 8) rx(x)
+        ), m AS (
+          SELECT doc_id, CAST(SUM(gray) AS BIGINT) // 64 AS mean
+          FROM px GROUP BY doc_id
+        )
+        SELECT px.doc_id AS media_id, px.w AS in_w, px.h AS in_h,
+               CAST(COALESCE(SUM(CASE WHEN gray > mean AND y * 8 + x >= 32
+                     THEN CAST(1 AS BIGINT) << CAST(y * 8 + x - 32 AS INTEGER) END), 0)
+                 AS BIGINT) AS fp_hi,
+               CAST(COALESCE(SUM(CASE WHEN gray > mean AND y * 8 + x < 32
+                     THEN CAST(1 AS BIGINT) << CAST(y * 8 + x AS INTEGER) END), 0)
+                 AS BIGINT) AS fp_lo,
+               CAST(COUNT(*) FILTER (WHERE gray > mean) AS INTEGER) AS n_bits
+        FROM px JOIN m USING (doc_id)
+        GROUP BY px.doc_id, px.w, px.h
+    """
     out["multimodal_resize_box"] = """
         WITH img AS (
           SELECT doc_id, md5(text) AS hh,
@@ -1583,6 +1626,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["text_lm_surprisal"] = text.lm_surprisal_oracle()
     out["text_bigram_surprisal"] = text.bigram_surprisal_oracle("doc_id % 2 = 0")
     out["curation_dsir_weights"] = curation.dsir_oracle("lang = 'en'")
+    out["text_boolean_search"] = text.boolean_search_oracle(["spark", "merge", "window"])
     out["text_bm25_topk"] = text.bm25_oracle(
         ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES), topk=10
     )

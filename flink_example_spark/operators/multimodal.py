@@ -651,3 +651,120 @@ def crop_image(media: DataFrame, repartition: bool = True) -> DataFrame:
     if repartition:
         media = media.repartition("media_id")
     return media.mapInPandas(crop, schema=RESIZE_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("in_w", IntegerType(), False),
+        StructField("in_h", IntegerType(), False),
+        StructField("fp_hi", LongType(), False),
+        StructField("fp_lo", LongType(), False),
+        StructField("n_bits", IntegerType(), False),
+    ]
+)
+
+
+def image_ahash(media: DataFrame, repartition: bool = True) -> DataFrame:
+    """Perceptual average-hash (aHash) fingerprint per image — the
+    image-dedup primitive of multimodal training pipelines (near-identical
+    frames/thumbnails collapse to the same or nearby 64-bit hash while
+    exact-dedup misses any re-encode).
+
+    REAL decode path: parse each PGM/PPM payload from raw bytes, sample an
+    8×8 grid (grid pixel (y, x) = input pixel (y·h//8, x·w//8); gray =
+    integer channel mean), threshold each cell against the integer mean of
+    the 64 grays, and pack the bits row-major. Pure integer arithmetic end
+    to end, so an external oracle re-derives every bit from the payload
+    scheme. The 64 bits ship as two 32-bit BIGINT halves (``fp_hi`` bits
+    63..32, ``fp_lo`` 31..0) — scalar, sign-safe, engine-portable.
+
+    Scale: hash-spread before the Python stage like the other codec ops;
+    downstream near-dup joins see only (id, fp) rows — 16 bytes per image
+    no matter the pixel count.
+    """
+    import pandas as pd
+
+    def ahash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                if payload[:2] == b"P6":
+                    w, h, data = _parse_ppm(payload)
+                    depth = 3
+                elif payload[:2] == b"P5":
+                    w, h, data = _parse_pgm(payload)
+                    depth = 1
+                else:
+                    continue
+                grays = []
+                for y in range(8):
+                    for x in range(8):
+                        p = ((y * h // 8) * w + (x * w // 8)) * depth
+                        grays.append(sum(data[p : p + depth]) // depth)
+                mean = sum(grays) // 64
+                hi = lo = 0
+                for i, g in enumerate(grays):
+                    if g > mean:
+                        if i >= 32:
+                            hi |= 1 << (i - 32)
+                        else:
+                            lo |= 1 << i
+                rows.append((int(mid), w, h, hi, lo, sum(g > mean for g in grays)))
+            yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA.fields])
+
+    if repartition:
+        media = media.repartition("media_id")
+    return media.mapInPandas(ahash, schema=AHASH_SCHEMA)
+
+
+def ahash_pairs(fps: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs from aHash fingerprints: hamming distance
+    over the 64 bits ≤ ``max_hamming``. Same pigeonhole strategy as
+    ``dedup.simhash_pairs``: split the hash into 8 byte-chunks — any pair
+    within distance 7 shares at least one UNCHANGED chunk — equi-join on
+    (chunk index, chunk value), then verify exactly with bit_count(XOR) on
+    the two halves. Never all-pairs: the join fans out only on chunk
+    collisions. Output: (id_a, id_b, hamming).
+    """
+    if max_hamming > 7:
+        raise ValueError("pigeonhole over 8 chunks guarantees recall only to 7")
+    chunk_structs = [
+        F.struct(
+            F.lit(base * 4 + i).alias("chunk"),
+            F.shiftright(F.col(half), 8 * i).bitwiseAND(F.lit(0xFF)).alias("cval"),
+        )
+        for base, half in enumerate(("fp_lo", "fp_hi"))
+        for i in range(4)
+    ]
+    chunks = fps.select(
+        "media_id",
+        "fp_hi",
+        "fp_lo",
+        F.explode(F.array(*chunk_structs)).alias("__c"),
+    ).select("media_id", "fp_hi", "fp_lo", "__c.chunk", "__c.cval")
+    # materialize once: the self-join would recompute the Python decode
+    # stage on BOTH sides otherwise (multi-consumer DAG recompute)
+    chunks = chunks.localCheckpoint(eager=True)
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(
+        F.col("a.fp_hi").bitwiseXOR(F.col("b.fp_hi"))
+    ) + F.bit_count(F.col("a.fp_lo").bitwiseXOR(F.col("b.fp_lo")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -733,3 +733,52 @@ def pmi_oracle(topk: int = 30, min_count: int = 3) -> str:
         FROM scored WHERE ratio >= 1
         ORDER BY pmi_bits DESC, c_ab DESC, a, b LIMIT {topk}
     """
+
+
+def boolean_search(
+    documents: DataFrame,
+    terms: list[str],
+    mode: str = "and",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted-index boolean retrieval: documents matching ALL (``and``)
+    or ANY (``or``) normalized query terms — the posting-list intersection
+    primitive under every search stack (BM25 ranks what this selects).
+    Output: ``(id, n_matched, n_hits)`` — distinct query terms present and
+    total matching token instances.
+
+    Scale: the explode is pre-filtered by the broadcast literal term set
+    BEFORE any aggregation, so the shuffle carries only matching tokens
+    (posting-list sized, not corpus sized); one (doc, term) distinct-count
+    aggregation. AND is a count == |terms| post-filter — no k-way self-join.
+    """
+    if mode not in ("and", "or"):
+        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+    toks = (
+        documents.select(
+            F.col(id_col), F.explode(tokens(normalized(F.col(text_col)))).alias("t")
+        )
+        .filter(F.col("t").isin(*terms))
+    )
+    out = toks.groupBy(id_col).agg(
+        F.count_distinct(F.col("t")).alias("n_matched"),
+        F.count(F.lit(1)).alias("n_hits"),
+    )
+    if mode == "and":
+        out = out.filter(F.col("n_matched") == len(terms))
+    return out
+
+
+def boolean_search_oracle(terms: list[str], mode: str = "and") -> str:
+    lits = ", ".join(f"'{t}'" for t in terms)
+    gate = f"HAVING COUNT(DISTINCT t) = {len(terms)}" if mode == "and" else ""
+    return f"""
+        SELECT doc_id, CAST(COUNT(DISTINCT t) AS BIGINT) AS n_matched,
+               CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM (
+          SELECT doc_id, unnest(string_split_regex({_DUCK_NORM}, '\\s+')) AS t
+          FROM documents
+        ) WHERE t IN ({lits})
+        GROUP BY doc_id {gate}
+    """

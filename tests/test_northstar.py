@@ -698,3 +698,38 @@ def test_retrieval_eval_metrics(spark):
     assert q1["rr"] == 0.5
     assert (q2["n_hits"], q2["first_hit_rank"], q2["rr"]) == (0, None, 0.0)
     assert q2["recall_at_k"] == 0.0
+
+
+def test_image_ahash_dedup_end_to_end(spark):
+    """Identical text + same dims (doc_ids 96 apart, even) must encode to
+    identical images and pair at hamming 0; a different doc must not."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.multimodal import (
+        ahash_pairs,
+        encode_codec_media,
+        image_ahash,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "same text payload"), (96, "same text payload"), (2, "another image")],
+        "doc_id long, text string",
+    )
+    media = encode_codec_media(docs, formats=("pgm", "aiff"))
+    fps = image_ahash(media.filter(F.col("media_type") == "image"))
+    pairs = {(r["id_a"], r["id_b"], r["hamming"]) for r in ahash_pairs(fps, 0).collect()}
+    assert pairs == {(0, 96, 0)}
+
+
+def test_ahash_pairs_pigeonhole_recall_and_verify(spark):
+    """3 flipped bits across distinct chunks still share untouched chunks
+    (found); 20 flips exceed the verify threshold (dropped)."""
+    from flink_example_spark.operators.multimodal import ahash_pairs
+
+    base_hi, base_lo = 0x12345678, 0x0F0F0F0F
+    near_lo = base_lo ^ 0b111  # 3 bits inside chunk 0
+    far_hi = base_hi ^ 0xFFFFF000  # many bits, several chunks untouched -> candidate
+    rows = [(1, base_hi, base_lo), (2, base_hi, near_lo), (3, far_hi, base_lo)]
+    fps = spark.createDataFrame(rows, "media_id long, fp_hi long, fp_lo long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in ahash_pairs(fps, 6).collect()}
+    assert got == {(1, 2): 3}
