@@ -651,6 +651,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def emb_pairs_lsh(spark, sf_dir):
         return similarity.lsh_cosine_pairs(_embs(spark, sf_dir), threshold=0.4, n_bands=2)
 
+    def lsh_pair_eval_entry(spark, sf_dir):
+        """Honesty meter for the banded-LSH near-dup config: set-level
+        precision/recall/F1 of the 2-band sign-LSH pair set against the
+        blocked exact cosine pairs at the same threshold (the measured
+        low-recall regime PERF.md documents for ~66-degree pairs)."""
+        e = _embs(spark, sf_dir)
+        got = similarity.lsh_cosine_pairs(e, threshold=0.4, n_bands=2)
+        truth = similarity.cosine_pairs(e, threshold=0.4)
+        return similarity.pair_set_eval(got, truth)
+
     def emb_clusters(spark, sf_dir):
         """Connected components over the LSH near-dup graph — the same
         distributed star-contraction operator as document clusters."""
@@ -1011,6 +1021,31 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts",
             min_gap_sec=36 * 3600,
         ),
+        # per-(user, day) OHLC downsampling bars: one hash aggregation,
+        # deterministic open/close via zero-padded micros||seq order key
+        "timeseries_ohlc": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries", fromlist=["ohlc_bars"]
+        ).ohlc_bars(
+            __import__(
+                "flink_example_spark.plans.events_demo", fromlist=["load_events"]
+            ).load_events(spark, sf_dir),
+            "user_id",
+            "ts",
+            "value",
+            seq_col="event_id",
+        ),
+        # hour-of-day seasonal baseline spike detection per event type
+        "timeseries_seasonal_anomalies": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries",
+            fromlist=["seasonal_anomalies"],
+        ).seasonal_anomalies(
+            __import__(
+                "flink_example_spark.plans.events_demo", fromlist=["load_events"]
+            ).load_events(spark, sf_dir),
+            "event_type",
+            "ts",
+            min_count=4,
+        ),
         "sketch_kmv_distinct": kmv_entry,
         "sketch_cm_heavy_hitters": cm_hh_entry,
         "sketch_hll_distinct": hll_entry,
@@ -1035,6 +1070,8 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.sources.synthetic", fromlist=["run_synth_stream"]
         ).run_synth_stream(spark, 2000),
         "embedding_near_dup": emb_pairs,
+        # pair-set precision/recall/F1 of the LSH config vs exact truth
+        "dedup_lsh_pair_eval": lsh_pair_eval_entry,
         "embedding_near_dup_lsh": emb_pairs_lsh,
         "embedding_dup_clusters": emb_clusters,
         "multimodal_stats": mm_stats,
@@ -1321,6 +1358,21 @@ def _northstar_oracles() -> dict[str, str]:
         WHERE {_DUCK_COS} >= 0.4
     """
     out["embedding_near_dup_lsh"] = _lsh_pairs_oracle(threshold=0.4, n_bands=2)
+    out["dedup_lsh_pair_eval"] = f"""
+        WITH got AS ({_lsh_pairs_oracle(threshold=0.4, n_bands=2)}),
+        truth AS ({out["embedding_near_dup"]}),
+        c AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM (SELECT vec_a, vec_b FROM got)
+          JOIN (SELECT vec_a, vec_b FROM truth) USING (vec_a, vec_b)
+        ), g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_got FROM got),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+        SELECT n_got, n_truth, n_common,
+               CAST(n_common AS DOUBLE) / n_got AS precision,
+               CAST(n_common AS DOUBLE) / n_truth AS recall,
+               CAST(2 * n_common AS DOUBLE) / (n_got + n_truth) AS f1
+        FROM g CROSS JOIN t CROSS JOIN c
+    """
     out["dedup_semantic_keep"] = f"""
         WITH pairs AS ({_lsh_pairs_oracle(threshold=0.4, n_bands=2)})
         SELECT doc_id, lang, source, n_chars FROM documents
@@ -1827,7 +1879,9 @@ def _northstar_oracles() -> dict[str, str]:
     out["json_props_flatten"] = flatten_json_oracle()
     out["json_props_stats"] = props_stats_oracle()
     from flink_example_spark.operators.timeseries import (
+        ohlc_oracle,
         resample_oracle,
+        seasonal_anomalies_oracle,
         time_gaps_oracle,
     )
 
@@ -1836,6 +1890,12 @@ def _northstar_oracles() -> dict[str, str]:
     )
     out["timeseries_gaps"] = time_gaps_oracle(
         "events", "user_id", "ts", min_gap_sec=36 * 3600
+    )
+    out["timeseries_ohlc"] = ohlc_oracle(
+        "events", "user_id", "ts", "value", seq_col="event_id"
+    )
+    out["timeseries_seasonal_anomalies"] = seasonal_anomalies_oracle(
+        "events", "event_type", "ts", min_count=4
     )
     from flink_example_spark.operators.sketch import kmv_distinct_oracle
     from flink_example_spark.operators.text import _DUCK_NORM
@@ -2460,6 +2520,10 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # invariant; final MERGE (shared batch code) onto the base snapshot
         # converges to batch versioned_cdc_apply -> shares its oracle
         "streaming_cdc_apply": _run_streaming_cdc_apply,
+        # streaming OHLC downsampling: every bar component is a monoid
+        # (min_by/max_by/min/max/count/decimal-sum) -> ONE pure-JVM
+        # complete-mode aggregation; converges to batch timeseries_ohlc
+        "streaming_ohlc": _run_streaming_ohlc,
         # streaming cardinality: bottom-k KMV sketch maintained per group
         # (O(k) state, no watermark needed — commutative monoid); final
         # sketch equals the batch kmv_distinct -> shares its oracle
@@ -2554,6 +2618,12 @@ def _run_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_example_spark.streaming.cdc_stream import run_streaming_cdc_apply
 
     return run_streaming_cdc_apply(spark, sf_dir)
+
+
+def _run_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.timeseries_stream import run_streaming_ohlc
+
+    return run_streaming_ohlc(spark, sf_dir)
 
 
 def _run_streaming_kq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2660,6 +2730,7 @@ def _all_oracles() -> dict[str, str]:
     out["streaming_hll_distinct"] = out["sketch_hll_distinct"]
     out["streaming_minhash_dedup"] = out["dedup_minhash_portable"]
     out["streaming_cdc_apply"] = out["versioned_cdc_apply"]
+    out["streaming_ohlc"] = out["timeseries_ohlc"]
     out["streaming_ann_topk"] = out["ann_cosine_topk"]
     out["streaming_bm25"] = out["text_bm25_topk"]
     out["streaming_lm_filter"] = (

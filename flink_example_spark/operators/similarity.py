@@ -802,3 +802,44 @@ def retrieval_eval(
         .otherwise(F.lit(0.0))
         .alias("rr"),
     )
+
+
+def pair_set_eval(
+    got: DataFrame,
+    truth: DataFrame,
+    a_col: str = "vec_a",
+    b_col: str = "vec_b",
+) -> DataFrame:
+    """Set-level precision/recall/F1 of a candidate near-duplicate PAIR set
+    against a ground-truth pair set — the honesty meter for every banded
+    LSH configuration (the repo's measured recall curves in PERF.md are
+    exactly this computation). One output row:
+    ``(n_got, n_truth, n_common, precision, recall, f1)``.
+
+    Each metric is a single exact-integer division (``f1`` uses the
+    identity 2·common/(got+truth) — one division, no p·r composition), so
+    the row is cross-engine hash-stable.
+
+    Scale: one equi-join on the pair key plus three count aggregates —
+    pair-set sized, nothing corpus sized; the three 1-row relations
+    broadcast-cross-join into the output row.
+    """
+    common = got.select(a_col, b_col).join(truth.select(a_col, b_col), [a_col, b_col])
+    ng = got.agg(F.count(F.lit(1)).alias("n_got"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = common.agg(F.count(F.lit(1)).alias("n_common"))
+    return (
+        ng.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_got",
+            "n_truth",
+            "n_common",
+            (F.col("n_common").cast("double") / F.col("n_got")).alias("precision"),
+            (F.col("n_common").cast("double") / F.col("n_truth")).alias("recall"),
+            (
+                (F.lit(2) * F.col("n_common")).cast("double")
+                / (F.col("n_got") + F.col("n_truth"))
+            ).alias("f1"),
+        )
+    )

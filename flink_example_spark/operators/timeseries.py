@@ -202,3 +202,134 @@ def time_gaps_oracle(table: str, key_col: str, ts_col: str, min_gap_sec: int) ->
                make_timestamp(us) AS gap_end, us - prev_us AS gap_us
         FROM lagged WHERE us - prev_us > {int(min_gap_sec) * 1_000_000}
     """
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    seq_col: str | None = None,
+    bucket: str = "day",
+) -> DataFrame:
+    """Downsample an irregular value series to per-bucket OHLC bars —
+    open/high/low/close + count + exact volume sum, the canonical
+    time-series rollup (market bars, sensor summaries, metric downsampling
+    before long-horizon storage).
+
+    Open/close are ``min_by``/``max_by`` over a DETERMINISTIC order key:
+    zero-padded epoch-micros (‖ zero-padded ``seq_col`` when ties are
+    possible) as a string — lexicographic equals numeric order, and
+    string-keyed arg-extremes are the one composite-ordered form BOTH
+    engines implement (DuckDB ``arg_min(x, VARCHAR)``; struct order keys
+    are Spark-only). high/low are plain min/max (no accumulation — double-
+    safe); the volume sum follows the house decimal-accumulate /
+    double-output rule.
+
+    Scale: ONE hash aggregation on (key, bucket) — every component is a
+    commutative aggregate with a map-side partial, so this is the same
+    shuffle a grouped count needs; no window, no sort. The same aggregate
+    runs unchanged as a streaming complete-mode query (see
+    streaming/timeseries_stream.py) because each component is a monoid.
+    """
+    t = F.col(ts_col)
+    mic = F.unix_micros(t.cast("timestamp"))
+    ok = F.lpad(mic.cast("string"), 20, "0")
+    if seq_col is not None:
+        ok = F.concat(ok, F.lpad(F.col(seq_col).cast("string"), 12, "0"))
+    v = F.col(value_col)
+    return df.groupBy(
+        F.col(key_col).alias("_entity"), F.date_trunc(bucket, t).alias("bar_ts")
+    ).agg(
+        F.min_by(v, ok).alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(v, ok).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(v.cast("decimal(18,2)")).cast("double").alias("vol_sum"),
+    )
+
+
+def ohlc_oracle(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    seq_col: str | None = None,
+    bucket: str = "day",
+    where: str = "TRUE",
+) -> str:
+    ok = f"lpad(CAST(epoch_us({ts_col}) AS VARCHAR), 20, '0')"
+    if seq_col is not None:
+        ok = f"{ok} || lpad(CAST({seq_col} AS VARCHAR), 12, '0')"
+    return f"""
+        SELECT {key_col} AS _entity, date_trunc('{bucket}', {ts_col}) AS bar_ts,
+               arg_min({value_col}, {ok}) AS open,
+               MAX({value_col}) AS high,
+               MIN({value_col}) AS low,
+               arg_max({value_col}, {ok}) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST({value_col} AS DECIMAL(18,2))) AS DOUBLE) AS vol_sum
+        FROM {table} WHERE {where}
+        GROUP BY 1, 2
+    """
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """Seasonality-aware volume-spike detection: count events per (key,
+    day, hour-of-day) cell, build each key's PER-HOUR-OF-DAY baseline (the
+    median of that hour's counts across observed days — daily seasonality
+    is modeled, not averaged away), and flag cells running at more than
+    double their hour's baseline. A 9am spike is judged against 9am's
+    history, never against the overnight lull.
+
+    Output: ``(key, day, hour, n, med)`` for the flagged cells. The gate
+    ``n > 2·median AND n >= min_count`` compares a BIGINT against one
+    exactly-computed interpolated median (QUANTILE_CONT parity) — no float
+    accumulation, cross-engine exact. Days with zero events for a cell are
+    absent from the baseline (count relations carry no zeros); a
+    production deployment over sparse keys would densify against the grid
+    from :func:`resample` first.
+
+    Scale: one (key, day, hour) count aggregation, one (key, hour) median
+    over it (day-grain, tiny), broadcast back. Same two-pass shape as the
+    MAD gate, with pass two already aggregated.
+    """
+    t = F.col(ts_col)
+    cells = df.groupBy(
+        F.col(key_col).alias("_k"),
+        F.date_trunc("day", t).alias("day"),
+        F.hour(t).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = cells.groupBy("_k", "hour").agg(
+        F.percentile(F.col("n"), F.lit(0.5)).alias("med")
+    )
+    return (
+        cells.join(F.broadcast(base), ["_k", "hour"])
+        .filter((F.col("n") > 2 * F.col("med")) & (F.col("n") >= min_count))
+        .select(F.col("_k").alias(key_col), "day", "hour", "n", "med")
+    )
+
+
+def seasonal_anomalies_oracle(
+    table: str, key_col: str, ts_col: str, min_count: int = 1
+) -> str:
+    return f"""
+        WITH cells AS MATERIALIZED (
+          SELECT {key_col} AS k, date_trunc('day', {ts_col}) AS day,
+                 CAST(EXTRACT(hour FROM {ts_col}) AS INTEGER) AS hour,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM {table} GROUP BY 1, 2, 3
+        ), base AS (
+          SELECT k, hour, QUANTILE_CONT(n, 0.5) AS med
+          FROM cells GROUP BY k, hour
+        )
+        SELECT cells.k AS {key_col}, day, hour, n, med
+        FROM cells JOIN base USING (k, hour)
+        WHERE n > 2 * med AND n >= {min_count}
+    """

@@ -733,3 +733,14 @@ def test_ahash_pairs_pigeonhole_recall_and_verify(spark):
     fps = spark.createDataFrame(rows, "media_id long, fp_hi long, fp_lo long")
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in ahash_pairs(fps, 6).collect()}
     assert got == {(1, 2): 3}
+
+
+def test_pair_set_eval_arithmetic(spark):
+    from flink_example_spark.operators.similarity import pair_set_eval
+
+    got = spark.createDataFrame([(1, 2), (1, 3), (4, 5)], "vec_a long, vec_b long")
+    truth = spark.createDataFrame([(1, 2), (4, 5), (6, 7), (8, 9)], "vec_a long, vec_b long")
+    r = pair_set_eval(got, truth).collect()[0]
+    assert (r["n_got"], r["n_truth"], r["n_common"]) == (3, 4, 2)
+    assert r["precision"] == 2 / 3 and r["recall"] == 0.5
+    assert r["f1"] == 4 / 7

@@ -73,3 +73,53 @@ def test_time_gaps_thresholds(spark):
     assert (g["k"], g["gap_us"]) == ("u", 3_600_000_000)
     assert g["gap_start"] == datetime(2024, 1, 1, 0, 0, 0)
     assert g["gap_end"] == datetime(2024, 1, 1, 1, 0, 0)
+
+
+def test_ohlc_bars_deterministic_ties(spark):
+    """Same-timestamp rows resolve open/close by the seq tiebreaker, and
+    high/low/count/sum are exact."""
+    from datetime import datetime
+
+    from flink_example_spark.operators.timeseries import ohlc_bars
+
+    t = datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        ("u", t, 1, 5.0),   # open (seq 1 at the tied earliest instant)
+        ("u", t, 2, 9.0),
+        ("u", datetime(2024, 3, 1, 13, 0, 0), 3, 2.0),  # low
+        ("u", datetime(2024, 3, 1, 14, 0, 0), 4, 7.5),  # close
+        ("u", datetime(2024, 3, 2, 9, 0, 0), 5, 4.0),   # next-day bar
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, seq long, v double")
+    out = {
+        r["bar_ts"].day: r
+        for r in ohlc_bars(df, "k", "ts", "v", seq_col="seq").collect()
+    }
+    b1 = out[1]
+    assert (b1["open"], b1["high"], b1["low"], b1["close"]) == (5.0, 9.0, 2.0, 7.5)
+    assert (b1["n_events"], b1["vol_sum"]) == (4, 23.5)
+    assert (out[2]["open"], out[2]["close"], out[2]["n_events"]) == (4.0, 4.0, 1)
+
+
+def test_seasonal_anomalies_hour_aware(spark):
+    """A spike is judged against its own hour's baseline: hour 9 runs at 2
+    events/day, hour 23 at 8/day — a 6-event hour-9 day flags while a
+    6-event hour-23 day (below its baseline) must not."""
+    from datetime import datetime
+
+    from flink_example_spark.operators.timeseries import seasonal_anomalies
+
+    rows = []
+    for day in range(1, 6):
+        n9 = 6 if day == 3 else 2   # spike on day 3
+        for i in range(n9):
+            rows.append(("k", datetime(2024, 4, day, 9, i)))
+        n23 = 6 if day == 3 else 8  # day-3 dip at hour 23, not a spike
+        for i in range(n23):
+            rows.append(("k", datetime(2024, 4, day, 23, i)))
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    out = [
+        (r["day"].day, r["hour"], r["n"], r["med"])
+        for r in seasonal_anomalies(df, "key", "ts").collect()
+    ]
+    assert out == [(3, 9, 6, 2.0)]
