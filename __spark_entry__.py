@@ -862,6 +862,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over the term co-occurrence graph) + triangle density
         "graph_textrank_keywords": textrank_entry,
         "graph_triangle_counts": tri_entry,
+        # dense-subgraph extraction: k-core peeling over the term graph
+        "graph_kcore": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.graph", fromlist=["kcore"]
+        ).kcore(
+            __import__(
+                "flink_example_spark.operators.graph", fromlist=["term_graph"]
+            ).term_graph(_docs(spark, sf_dir), min_weight=2),
+            k=29,
+            n_rounds=3,
+        ),
         # multi-hop BFS reachability from the co-occurrence hub term via
         # Spark 4's RECURSIVE CTE (Catalyst-planned iteration; identical
         # recursive query text runs in DuckDB)
@@ -876,10 +886,21 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distributed model fitting on the corpus (integer normal equations)
         "ml_linear_fit": linfit_entry,
         "ml_zscore_outliers": zscore_entry,
+        # collaborative-filtering primitive: user-user cosine kNN over
+        # event-type behavior profiles (relational sparse dot product)
+        "ml_user_knn": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["user_knn"]
+        ).user_knn(_events(spark, sf_dir), k=3),
         # robust median/MAD outlier twin (contamination-resistant)
         "ml_mad_outliers": mad_entry,
         # Flink-CEP pattern parity: ordered funnels + count-burst alerts
         "cep_funnel": cep_funnel_entry,
+        # last-touch conversion attribution (as-of composition + rollup)
+        "cep_attribution": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.cep", fromlist=["last_touch_attribution"]
+        ).last_touch_attribution(
+            _events(spark, sf_dir), "purchase", ["view", "click"], window="3 days"
+        ),
         "cep_funnel_counts": cep_counts_entry,
         "cep_error_bursts": cep_bursts_entry,
         "streaming_cep_funnel": cep_stream_entry,
@@ -920,6 +941,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the backoff path actually fires on the held-out half
         "text_bigram_surprisal": lambda spark, sf_dir: text.bigram_surprisal(
             _docs(spark, sf_dir), train_pred=F.col("doc_id") % 2 == 0
+        ),
+        # positional-index exact-phrase retrieval (adjacent tokens)
+        "text_phrase_search": lambda spark, sf_dir: text.phrase_search(
+            _docs(spark, sf_dir), ["spark", "merge"]
         ),
         # conjunctive posting-list retrieval (AND over three terms)
         "text_boolean_search": lambda spark, sf_dir: text.boolean_search(
@@ -1679,6 +1704,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["text_bigram_surprisal"] = text.bigram_surprisal_oracle("doc_id % 2 = 0")
     out["curation_dsir_weights"] = curation.dsir_oracle("lang = 'en'")
     out["text_boolean_search"] = text.boolean_search_oracle(["spark", "merge", "window"])
+    out["text_phrase_search"] = text.phrase_search_oracle(["spark", "merge"])
     out["text_bm25_topk"] = text.bm25_oracle(
         ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES), topk=10
     )
@@ -1741,6 +1767,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.graph import reachability_oracle
 
     out["graph_reachability"] = reachability_oracle(term_graph_sql(2), max_hops=3)
+    from flink_example_spark.operators.graph import kcore_oracle
+
+    out["graph_kcore"] = kcore_oracle(term_graph_sql(2), k=29, n_rounds=3)
     from flink_example_spark.operators.ml import (
         linear_fit_oracle,
         mad_outliers_oracle,
@@ -1763,6 +1792,9 @@ def _northstar_oracles() -> dict[str, str]:
         "doc_id",
         z=1.5,
     )
+    from flink_example_spark.operators.ml import user_knn_oracle
+
+    out["ml_user_knn"] = user_knn_oracle(k=3)
     out["ml_mad_outliers"] = mad_outliers_oracle(
         "SELECT lang, doc_id, n_chars FROM documents",
         "lang",
@@ -1824,6 +1856,9 @@ def _northstar_oracles() -> dict[str, str]:
           FROM a FULL OUTER JOIN b ON a._entity = b._entity
         ) WHERE status <> 'unchanged'
     """
+    from flink_example_spark.operators.cep import last_touch_oracle
+
+    out["cep_attribution"] = last_touch_oracle("purchase", ["view", "click"])
     out["versioned_cdc_apply"] = """
         WITH base AS (
           SELECT user_id AS _entity, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -95,6 +95,13 @@ HEADLINE = [
     "json_props_stats",
     "ann_sq8_topk",
     "graph_reachability",
+    # added round 6 continuation 3
+    "versioned_cdc_apply",
+    "text_bigram_surprisal",
+    "curation_dsir_weights",
+    "timeseries_ohlc",
+    "multimodal_ahash",
+    "ml_mad_outliers",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

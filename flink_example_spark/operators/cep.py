@@ -343,3 +343,80 @@ def consecutive_runs_oracle(
         FROM seq WHERE m GROUP BY key, island
         HAVING COUNT(*) >= {min_len}
     """
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    window: str = "3 days",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Marketing-style last-touch attribution: credit each conversion event
+    to the user's most recent touch event at-or-before it (within
+    ``window``), then roll up conversions and exact value per channel —
+    the event-time pattern behind every campaign-ROI pipeline, and a
+    direct composition of the repo's as-of join (the touch history IS a
+    versioned relation keyed by user).
+
+    Conversions with no in-window touch credit the ``'direct'`` channel.
+    Output: ``(channel, n_conversions, value_sum)`` with the decimal-
+    accumulate / double-output sum rule. Touch ties at one (user, instant)
+    would be ambiguous; the harness events carry unique (user, ts) pairs —
+    feed a deduplicated touch relation otherwise.
+
+    Scale: exactly the as-of join's cost (one exchange over the
+    union-of-sides) plus a channel-grain aggregation; the tolerance is a
+    post-filter on the matched row, never a second join.
+    """
+    from flink_example_spark.operators.asof import asof_join
+
+    conv = events.filter(F.col("event_type") == conversion_type).select(
+        F.col(key_col).alias("_entity"),
+        F.col(ts_col).alias("_conv_time"),
+        F.col(value_col).alias("_v"),
+    )
+    touches = events.filter(F.col("event_type").isin(*touch_types)).select(
+        F.col(key_col).alias("_entity"),
+        F.col(ts_col).alias("_change_time"),
+        F.col("event_type").alias("_channel"),
+    )
+    joined = asof_join(
+        conv, touches, on="_entity", probe_time="_conv_time", tolerance=window
+    )
+    return (
+        joined.groupBy(F.coalesce(F.col("_channel"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(F.col("_v").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+    )
+
+
+def last_touch_oracle(
+    conversion_type: str,
+    touch_types: list[str],
+    window_sql: str = "INTERVAL 3 DAY",
+) -> str:
+    touches = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+        WITH conv AS (
+          SELECT user_id, ts AS conv_time, value AS v FROM events
+          WHERE event_type = '{conversion_type}'
+        ), touch AS (
+          SELECT user_id, ts AS touch_time, event_type AS channel FROM events
+          WHERE event_type IN ({touches})
+        ), attributed AS (
+          SELECT conv.v,
+                 CASE WHEN touch.touch_time >= conv.conv_time - {window_sql}
+                      THEN touch.channel END AS channel
+          FROM conv ASOF LEFT JOIN touch
+            ON conv.user_id = touch.user_id AND conv.conv_time >= touch.touch_time
+        )
+        SELECT COALESCE(channel, 'direct') AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_conversions,
+               CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM attributed GROUP BY 1
+    """

@@ -366,3 +366,66 @@ def reachability_oracle(
           ) SELECT * FROM reach
         ) GROUP BY node
     """
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    n_rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop nodes of
+    degree < ``k`` (removals lower neighbors' degrees, cascading) until
+    stable — the standard dense-subgraph extractor (community cores,
+    spam-farm detection, graph sparsification before heavier algorithms).
+
+    ``edges`` is symmetric-directed (both directions present, as
+    :func:`term_graph` emits); degree = out-neighbor count. Output: the
+    k-core members ``(node, degree)`` with their IN-CORE degree after
+    ``n_rounds`` peels. The cascade length is bounded by the peel depth,
+    not the graph size — ``n_rounds`` rounds guarantee convergence for
+    cascades up to that depth (assert a fixpoint via one extra round in
+    tests; production would loop on a converged-count check, same per-
+    round plan).
+
+    Scale per round: one degree aggregation + two semi-joins against the
+    (shrinking) survivor set — all equi-joins on the node id, broadcast
+    while survivors fit. localCheckpoint per round caps the plan depth
+    (the iterative-loop rule in CLAUDE.md).
+    """
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    for _ in range(n_rounds):
+        deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("s")
+        e = (
+            e.join(F.broadcast(keep), "s", "left_semi")
+            .join(F.broadcast(keep.select(F.col("s").alias("d"))), "d", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        e.groupBy(F.col("s").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+    )
+
+
+def kcore_oracle(edges_sql: str, k: int, n_rounds: int = 4) -> str:
+    """DuckDB twin: the peel loop unrolled as chained MATERIALIZED CTEs
+    (per-round relations feed two consumers — the CLAUDE.md inlining rule).
+    ``edges_sql`` must yield symmetric (src, dst)."""
+    parts = [f"e0 AS MATERIALIZED (SELECT src AS s, dst AS d FROM ({edges_sql}))"]
+    for i in range(n_rounds):
+        parts.append(
+            f"""k{i} AS MATERIALIZED (
+              SELECT s FROM e{i} GROUP BY s HAVING COUNT(*) >= {k}
+            ), e{i + 1} AS MATERIALIZED (
+              SELECT e.s, e.d FROM e{i} e
+              WHERE e.s IN (SELECT s FROM k{i}) AND e.d IN (SELECT s FROM k{i})
+            )"""
+        )
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM e{n_rounds} GROUP BY s HAVING COUNT(*) >= {k}
+    """

@@ -251,3 +251,90 @@ def mad_outliers_oracle(
         FROM d JOIN md USING (grp)
         WHERE md.mad > 0 AND d.dev > {c} * md.mad
     """
+
+
+def user_knn(
+    events: DataFrame,
+    k: int = 5,
+    key_col: str = "user_id",
+    dim_col: str = "event_type",
+) -> DataFrame:
+    """User-to-user cosine kNN over behavior profiles — the item/user
+    collaborative-filtering primitive: each user's profile is their
+    integer count vector over ``dim_col``, similarity is cosine computed
+    RELATIONALLY (sparse dot product via a self-join on the dimension key,
+    never materialized dense vectors). Output:
+    ``(user_a, user_b, dot, cos, rank)``, top-``k`` neighbors per user.
+
+    Exactness: dots and squared norms are BIGINT sums of integer counts;
+    ``cos = dot / (sqrt(ssa)·sqrt(ssb))`` is three exactly-rounded double
+    ops in a fixed order, so ranks (ties broken by neighbor id) are
+    cross-engine identical.
+
+    Scale: the profile relation is |users|×|dims| NONZERO entries; the
+    dimension-key join shuffles only those (a sparse matrix product, the
+    same shape a distributed similarity join uses). The harness dimension
+    (5 event types) makes every pair collide — at web scale you block
+    first (sign-LSH over profiles, or the minhash band machinery) and feed
+    the blocked pairs through the same scoring tail.
+    """
+    from pyspark.sql.window import Window
+
+    prof = events.groupBy(
+        F.col(key_col).alias("u"), F.col(dim_col).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    prof = prof.localCheckpoint()  # feeds norms AND both join sides
+    ss = prof.groupBy("u").agg(F.sum(F.col("n") * F.col("n")).alias("ss"))
+    a, b = prof.alias("a"), prof.alias("b")
+    dots = (
+        a.join(b, (F.col("a.d") == F.col("b.d")) & (F.col("a.u") != F.col("b.u")))
+        .groupBy(F.col("a.u").alias("user_a"), F.col("b.u").alias("user_b"))
+        .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("dot"))
+    )
+    sa = ss.select(F.col("u").alias("user_a"), F.col("ss").alias("__ssa"))
+    sb = ss.select(F.col("u").alias("user_b"), F.col("ss").alias("__ssb"))
+    scored = (
+        dots.join(F.broadcast(sa), "user_a")
+        .join(F.broadcast(sb), "user_b")
+        .select(
+            "user_a",
+            "user_b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("__ssa").cast("double")) * F.sqrt(F.col("__ssb").cast("double")))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("user_a").orderBy(F.col("cos").desc(), F.col("user_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def user_knn_oracle(k: int = 5, key_col: str = "user_id", dim_col: str = "event_type") -> str:
+    return f"""
+        WITH prof AS MATERIALIZED (
+          SELECT {key_col} AS u, {dim_col} AS d, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ), ss AS (
+          SELECT u, CAST(SUM(n * n) AS BIGINT) AS ss FROM prof GROUP BY u
+        ), dots AS (
+          SELECT a.u AS user_a, b.u AS user_b, CAST(SUM(a.n * b.n) AS BIGINT) AS dot
+          FROM prof a JOIN prof b ON a.d = b.d AND a.u <> b.u
+          GROUP BY 1, 2
+        ), scored AS (
+          SELECT user_a, user_b, dot,
+                 CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(sa.ss AS DOUBLE)) * sqrt(CAST(sb.ss AS DOUBLE))) AS cos
+          FROM dots
+          JOIN ss sa ON dots.user_a = sa.u
+          JOIN ss sb ON dots.user_b = sb.u
+        )
+        SELECT user_a, user_b, dot, cos, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_a
+                                       ORDER BY cos DESC, user_b) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """

@@ -782,3 +782,62 @@ def boolean_search_oracle(terms: list[str], mode: str = "and") -> str:
         ) WHERE t IN ({lits})
         GROUP BY doc_id {gate}
     """
+
+
+def phrase_search(
+    documents: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase retrieval over the POSITIONAL index: a match is the
+    phrase's tokens at consecutive normalized-token positions — what
+    boolean AND (bag-of-words) cannot express and every search engine
+    implements with position-carrying posting lists. Output:
+    ``(id, n_occurrences)`` for documents containing the phrase.
+
+    Implementation is the positional-index join flattened into ONE window
+    stage: explode with position, then length-1 ``lead`` chains per doc
+    compare each slot against the phrase — a single Exchange on the doc
+    id, no self-joins (k-1 joins would shuffle k times).
+    """
+    from pyspark.sql import Window
+
+    if len(phrase) < 2:
+        raise ValueError("use boolean_search for single terms")
+    toks = (
+        documents.select(
+            F.col(id_col),
+            F.posexplode(tokens(normalized(F.col(text_col)))).alias("__p", "t"),
+        ).filter(F.col("t") != "")
+    )
+    w = Window.partitionBy(id_col).orderBy("__p")
+    cond = F.col("t") == phrase[0]
+    for i, term in enumerate(phrase[1:], start=1):
+        cond = cond & (F.lead("t", i).over(w) == term)
+    return (
+        toks.withColumn("__m", cond)
+        .filter(F.col("__m"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+def phrase_search_oracle(phrase: list[str]) -> str:
+    conds = [f"t = '{phrase[0]}'"] + [
+        f"LEAD(t, {i}) OVER (PARTITION BY doc_id ORDER BY p) = '{term}'"
+        for i, term in enumerate(phrase[1:], start=1)
+    ]
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, t, p FROM (
+            SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS p
+            FROM (SELECT doc_id, string_split_regex({_DUCK_NORM}, '\\s+') AS arr
+                  FROM documents)
+          ) WHERE t <> ''
+        ), m AS (
+          SELECT doc_id, ({" AND ".join(conds)}) AS hit FROM tok
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM m WHERE hit GROUP BY doc_id
+    """

@@ -155,3 +155,40 @@ def test_reachability_explicit_source_and_walk_counts(spark):
     }
     assert rows["d"] == (2, 2)
     assert rows["a"] == (0, 1)
+
+
+def test_kcore_cascading_peel(spark):
+    """A tail path hanging off a triangle must peel away COMPLETELY under
+    k=2 (each removal re-exposes the next node — the cascade k-core exists
+    for), leaving exactly the triangle at degree 2."""
+    from flink_example_spark.operators.graph import kcore
+
+    # triangle a-b-c, path c-d-e-f
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"), ("e", "f")]
+    edges = spark.createDataFrame(
+        [(s, d) for s, d in und] + [(d, s) for s, d in und], "src string, dst string"
+    )
+    out = {r["node"]: r["degree"] for r in kcore(edges, k=2, n_rounds=4).collect()}
+    assert out == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_empty_when_k_exceeds_density(spark):
+    from flink_example_spark.operators.graph import kcore
+
+    und = [("a", "b"), ("b", "c"), ("a", "c")]
+    edges = spark.createDataFrame(
+        [(s, d) for s, d in und] + [(d, s) for s, d in und], "src string, dst string"
+    )
+    assert kcore(edges, k=3, n_rounds=3).count() == 0
+
+
+def test_kcore_spark_matches_unrolled_oracle_fixpoint(spark):
+    """One extra round must not change the harness k-core (fixpoint)."""
+    from flink_example_spark.operators.graph import kcore, term_graph
+    from flink_example_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    g = term_graph(docs, min_weight=2).localCheckpoint()
+    a = {tuple(r) for r in kcore(g, k=25, n_rounds=3).collect()}
+    b = {tuple(r) for r in kcore(g, k=25, n_rounds=4).collect()}
+    assert a == b and a
