@@ -895,6 +895,14 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_mad_outliers": mad_entry,
         # Flink-CEP pattern parity: ordered funnels + count-burst alerts
         "cep_funnel": cep_funnel_entry,
+        # first-order Markov transition matrix over event sequences
+        "cep_transitions": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.cep", fromlist=["event_transitions"]
+        ).event_transitions(_events(spark, sf_dir)),
+        # weekly cohort retention matrix (first-event cohorts)
+        "cep_retention_cohorts": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.cep", fromlist=["retention_cohorts"]
+        ).retention_cohorts(_events(spark, sf_dir)),
         # last-touch conversion attribution (as-of composition + rollup)
         "cep_attribution": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.cep", fromlist=["last_touch_attribution"]
@@ -1058,6 +1066,15 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts",
             "value",
             seq_col="event_id",
+        ),
+        # trailing 7-day distinct actives per day (WAU metric)
+        "timeseries_rolling_actives": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries",
+            fromlist=["rolling_active_users"],
+        ).rolling_active_users(
+            __import__(
+                "flink_example_spark.plans.events_demo", fromlist=["load_events"]
+            ).load_events(spark, sf_dir)
         ),
         # hour-of-day seasonal baseline spike detection per event type
         "timeseries_seasonal_anomalies": lambda spark, sf_dir: __import__(
@@ -1856,9 +1873,15 @@ def _northstar_oracles() -> dict[str, str]:
           FROM a FULL OUTER JOIN b ON a._entity = b._entity
         ) WHERE status <> 'unchanged'
     """
-    from flink_example_spark.operators.cep import last_touch_oracle
+    from flink_example_spark.operators.cep import (
+        event_transitions_oracle,
+        last_touch_oracle,
+        retention_cohorts_oracle,
+    )
 
     out["cep_attribution"] = last_touch_oracle("purchase", ["view", "click"])
+    out["cep_transitions"] = event_transitions_oracle()
+    out["cep_retention_cohorts"] = retention_cohorts_oracle()
     out["versioned_cdc_apply"] = """
         WITH base AS (
           SELECT user_id AS _entity, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1916,6 +1939,7 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.timeseries import (
         ohlc_oracle,
         resample_oracle,
+        rolling_active_oracle,
         seasonal_anomalies_oracle,
         time_gaps_oracle,
     )
@@ -1932,6 +1956,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["timeseries_seasonal_anomalies"] = seasonal_anomalies_oracle(
         "events", "event_type", "ts", min_count=4
     )
+    out["timeseries_rolling_actives"] = rolling_active_oracle()
     from flink_example_spark.operators.sketch import kmv_distinct_oracle
     from flink_example_spark.operators.text import _DUCK_NORM
 

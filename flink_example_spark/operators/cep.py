@@ -420,3 +420,152 @@ def last_touch_oracle(
                CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         FROM attributed GROUP BY 1
     """
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over each key's event
+    sequence: count (current type → next type) steps, with the maximum-
+    likelihood transition probability — the clickstream model behind
+    next-action prediction, anomaly scoring, and session simulators.
+    Output: ``(from_type, to_type, n, p)``.
+
+    Ordering is (ts, seq) — the same deterministic LSN tiebreak the CDC
+    operator uses. ``p`` = n / row-total is one exact-integer division per
+    cell. One window stage over the per-key sort (single Exchange), then a
+    type-grain aggregation — the matrix is |types|² rows no matter the
+    event count, so the probability join broadcasts.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(seq_col))
+    steps = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        ).filter(F.col("to_type").isNotNull())
+    )
+    counts = steps.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("__tot"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("__tot")).alias("p"),
+        )
+    )
+
+
+def event_transitions_oracle(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    seq_col: str = "event_id",
+) -> str:
+    return f"""
+        WITH steps AS (
+          SELECT {type_col} AS from_type,
+                 LEAD({type_col}) OVER (PARTITION BY {key_col}
+                                        ORDER BY {ts_col}, {seq_col}) AS to_type
+          FROM {table}
+        ), counts AS MATERIALIZED (
+          SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+        FROM counts
+    """
+
+
+def retention_cohorts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the ``bucket`` of their
+    FIRST event (the cohort), tracked by how many are still active N
+    buckets later — the product-analytics table every growth dashboard is
+    built on. Output: ``(cohort, week_offset, n_active, cohort_size,
+    retention)``; offset-0 rows are each cohort's size by construction.
+
+    ``week_offset`` is the exact integer epoch-micros difference divided by the
+    bucket span (weeks are fixed 604800s — month buckets would need
+    calendar arithmetic, same plan). ``retention`` = n_active/cohort_size
+    is one exact division.
+
+    Scale: one per-key min aggregation (the cohort assignment), one
+    distinct (key, bucket) activity relation, a broadcast of the
+    key→cohort map... which is key-cardinality-sized — at 100 TB swap the
+    broadcast for a shuffled equi-join, same plan otherwise; the output is
+    cohorts × offsets, tiny.
+    """
+    t = F.col(ts_col)
+    wk = F.date_trunc(bucket, t)
+    first = events.groupBy(F.col(key_col).alias("__k")).agg(
+        F.min(wk).alias("cohort")
+    )
+    active = events.select(
+        F.col(key_col).alias("__k"), wk.alias("__w")
+    ).distinct()
+    span = {"week": 604800, "day": 86400}[bucket]
+    off = (
+        (
+            F.unix_micros(F.col("__w").cast("timestamp"))
+            - F.unix_micros(F.col("cohort").cast("timestamp"))
+        )
+        / F.lit(span * 1_000_000)
+    ).cast("long")
+    cells = (
+        active.join(first, "__k")
+        .groupBy("cohort", off.alias("week_offset"))
+        .agg(F.count_distinct("__k").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        cells.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
+        )
+    )
+
+
+def retention_cohorts_oracle(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "week",
+) -> str:
+    span = {"week": 604800, "day": 86400}[bucket]
+    return f"""
+        WITH fc AS MATERIALIZED (
+          SELECT {key_col} AS k, MIN(date_trunc('{bucket}', {ts_col})) AS cohort
+          FROM {table} GROUP BY 1
+        ), active AS (
+          SELECT DISTINCT {key_col} AS k, date_trunc('{bucket}', {ts_col}) AS w
+          FROM {table}
+        ), cells AS (
+          SELECT cohort,
+                 CAST((epoch_us(w) - epoch_us(cohort)) / {span * 1_000_000} AS BIGINT)
+                   AS week_offset,
+                 CAST(COUNT(DISTINCT k) AS BIGINT) AS n_active
+          FROM active JOIN fc USING (k)
+          GROUP BY 1, 2
+        ), sizes AS (
+          SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM fc GROUP BY 1
+        )
+        SELECT cohort, week_offset, n_active, cohort_size,
+               CAST(n_active AS DOUBLE) / cohort_size AS retention
+        FROM cells JOIN sizes USING (cohort)
+    """

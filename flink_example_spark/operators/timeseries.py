@@ -333,3 +333,63 @@ def seasonal_anomalies_oracle(
         FROM cells JOIN base USING (k, hour)
         WHERE n > 2 * med AND n >= {min_count}
     """
+
+
+def rolling_active_users(
+    df: DataFrame,
+    window_days: int = 7,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing-window distinct actives per day (the WAU/DAU product
+    metric): for every report day, how many distinct keys were active in
+    the preceding ``window_days`` days (inclusive). Output:
+    ``(report_day, n_active)``, clipped at the data's last observed day
+    (no partial future windows).
+
+    The trailing window is the explode-to-member-days trick: each (key,
+    active-day) pair — DISTINCT FIRST, so the explode fans out per active
+    day, not per event — contributes to the ``window_days`` report days it
+    falls inside, then one COUNT(DISTINCT) per report day. That turns a
+    sliding distinct-count (which has no merge) into a plain aggregation;
+    at petabyte scale swap the exact distinct for the HLL registers in
+    operators/sketch.py, same fan-out.
+
+    The ascending ``sequence(0, w-1)`` is safe by construction (the
+    Spark 4 descending-sequence trap needs a>b).
+    """
+    d = F.date_trunc("day", F.col(ts_col))
+    ud = df.select(F.col(key_col).alias("__u"), d.alias("__d")).distinct()
+    mx = ud.agg(F.max("__d").alias("__mx"))
+    grid = ud.select(
+        "__u",
+        "__d",
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("__i"),
+    ).select("__u", F.expr("timestampadd(DAY, __i, __d)").alias("report_day"))
+    return (
+        grid.crossJoin(F.broadcast(mx))
+        .filter(F.col("report_day") <= F.col("__mx"))
+        .groupBy("report_day")
+        .agg(F.count_distinct("__u").alias("n_active"))
+    )
+
+
+def rolling_active_oracle(
+    table: str = "events",
+    window_days: int = 7,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    return f"""
+        WITH ud AS MATERIALIZED (
+          SELECT DISTINCT {key_col} AS u, date_trunc('day', {ts_col}) AS d
+          FROM {table}
+        ), mx AS (SELECT MAX(d) AS mx FROM ud),
+        g AS (
+          SELECT u, d + i * INTERVAL 1 DAY AS report_day
+          FROM ud, range(0, {window_days}) r(i)
+        )
+        SELECT report_day, CAST(COUNT(DISTINCT u) AS BIGINT) AS n_active
+        FROM g CROSS JOIN mx WHERE report_day <= mx
+        GROUP BY 1
+    """

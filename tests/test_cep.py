@@ -148,3 +148,45 @@ def test_consecutive_runs_strict_contiguity(spark):
     )
     # the lone error after the click is NOT contiguous with the first run
     assert out == [(1, 3), (2, 2)]
+
+
+def test_event_transitions_probabilities(spark):
+    from datetime import datetime
+
+    from flink_example_spark.operators.cep import event_transitions
+
+    rows = [
+        ("u", datetime(2024, 1, 1, h), h, t)
+        for h, t in enumerate(["view", "click", "view", "click", "purchase"])
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_id long, event_type string")
+    out = {(r["from_type"], r["to_type"]): (r["n"], r["p"]) for r in event_transitions(df).collect()}
+    # view->click twice (p=1); click->view once, click->purchase once (p=.5 each)
+    assert out == {
+        ("view", "click"): (2, 1.0),
+        ("click", "view"): (1, 0.5),
+        ("click", "purchase"): (1, 0.5),
+    }
+
+
+def test_retention_cohorts_matrix(spark):
+    from datetime import datetime
+
+    from flink_example_spark.operators.cep import retention_cohorts
+
+    rows = [
+        # cohort week of Jan 1 (Mon): u1 active weeks 0,1,2; u2 weeks 0,2
+        ("u1", datetime(2024, 1, 2)), ("u1", datetime(2024, 1, 9)), ("u1", datetime(2024, 1, 16)),
+        ("u2", datetime(2024, 1, 3)), ("u2", datetime(2024, 1, 17)),
+        # cohort week of Jan 8: u3 active weeks 0,1
+        ("u3", datetime(2024, 1, 10)), ("u3", datetime(2024, 1, 18)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {
+        (r["cohort"].day, r["week_offset"]): (r["n_active"], r["cohort_size"], r["retention"])
+        for r in retention_cohorts(df).collect()
+    }
+    assert out == {
+        (1, 0): (2, 2, 1.0), (1, 1): (1, 2, 0.5), (1, 2): (2, 2, 1.0),
+        (8, 0): (1, 1, 1.0), (8, 1): (1, 1, 1.0),
+    }

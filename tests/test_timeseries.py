@@ -123,3 +123,23 @@ def test_seasonal_anomalies_hour_aware(spark):
         for r in seasonal_anomalies(df, "key", "ts").collect()
     ]
     assert out == [(3, 9, 6, 2.0)]
+
+
+def test_rolling_active_users_window(spark):
+    from datetime import datetime
+
+    from flink_example_spark.operators.timeseries import rolling_active_users
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 5)),
+        ("b", datetime(2024, 1, 3, 6)),
+        ("a", datetime(2024, 1, 10, 7)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {r["report_day"].day: r["n_active"] for r in rolling_active_users(df).collect()}
+    # day 3..7: both a (day1) and b (day3) inside the trailing 7 days
+    assert out[3] == 2 and out[7] == 2
+    # day 8,9: a's day-1 activity aged out, only b remains
+    assert out[8] == 1 and out[9] == 1
+    # day 10: b (day 3) aged out too; a's return keeps it at 1; clipped at 10
+    assert out[10] == 1 and max(out) == 10
