@@ -2445,7 +2445,9 @@ DRIVER_KEYS = [
     "streaming_pipeline_e2e",
     "streaming_incremental_history",
     "streaming_dedup_exact",
-    "streaming_tumbling_counts",
+    # tumbling stays in extras (same oracle family as session windows);
+    # the slot showcases the streaming CDC net-change MERGE instead
+    "streaming_cdc_apply",
     "streaming_session_windows",
     "streaming_interval_join",
     # relational operator classes
@@ -2464,18 +2466,23 @@ DRIVER_KEYS = [
     "semi_anti_suite",
     "scalar_functions",
     # north-star data-pipeline operators
-    "text_top_terms",
+    # text_top_terms stays in extras; DSIR importance weights take the slot
+    "curation_dsir_weights",
     "text_lm_surprisal",
     "sketch_kmv_distinct",
     "text_features",
-    "dedup_ngram_jaccard",
+    # the O(block^2) jaccard baseline stays in extras; the slot records
+    # the batch CDC changelog apply (MERGE INTO) instead
+    "versioned_cdc_apply",
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",
     "dedup_minhash_keep",
     "dedup_simhash",
     "dedup_paragraphs",
     "ann_cosine_topk",
-    "ann_lsh_topk",
+    # ann_lsh_topk stays in extras; the recall/MRR eval row composes the
+    # LSH retriever AGAINST the exact one, so both stay driver-exercised
+    "ann_recall_eval",
     "ann_ivf_topk",
     "ann_kmeans_centroids",
     "embedding_near_dup",
@@ -2575,6 +2582,14 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # watermark, no Python state); converges to batch
         # dedup_minhash_portable -> shares its oracle
         "streaming_minhash_dedup": _run_streaming_minhash_dedup,
+        # streaming trending terms: live (lang, term) counts (pure-JVM
+        # monoid agg), top-k ranked over the converged vocab-sized table;
+        # converges to batch text_top_terms -> shares its oracle
+        "streaming_trending_terms": _run_streaming_trending,
+        # streaming last-touch attribution: conversion stream as-of joined
+        # per micro-batch vs the static touch index (foreachBatch), channel
+        # rollup at read; converges to batch cep_attribution -> its oracle
+        "streaming_attribution": _run_streaming_attribution,
         # streaming CDC apply: per-key net change maintained as ONE pure-JVM
         # max_by aggregate over (ts, seq) — semilattice, order/chunking
         # invariant; final MERGE (shared batch code) onto the base snapshot
@@ -2672,6 +2687,18 @@ def _run_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_example_spark.streaming.dedup_stream import run_streaming_minhash_dedup
 
     return run_streaming_minhash_dedup(spark, sf_dir)
+
+
+def _run_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.cdc_stream import run_streaming_attribution
+
+    return run_streaming_attribution(spark, sf_dir)
+
+
+def _run_streaming_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.dedup_stream import run_streaming_trending_terms
+
+    return run_streaming_trending_terms(spark, sf_dir)
 
 
 def _run_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2790,6 +2817,8 @@ def _all_oracles() -> dict[str, str]:
     out["streaming_hll_distinct"] = out["sketch_hll_distinct"]
     out["streaming_minhash_dedup"] = out["dedup_minhash_portable"]
     out["streaming_cdc_apply"] = out["versioned_cdc_apply"]
+    out["streaming_trending_terms"] = out["text_top_terms"]
+    out["streaming_attribution"] = out["cep_attribution"]
     out["streaming_ohlc"] = out["timeseries_ohlc"]
     out["streaming_ann_topk"] = out["ann_cosine_topk"]
     out["streaming_bm25"] = out["text_bm25_topk"]

@@ -130,3 +130,68 @@ def run_streaming_cdc_apply(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return merge_net_changes(base, last, ["_entity"], ["cnt"])
+
+
+def run_streaming_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "3 days",
+    chunks: int = 3,
+) -> DataFrame:
+    """STREAMING last-touch attribution: the conversion stream is as-of
+    joined per micro-batch against the static touch history (the
+    ads-server shape — touches are indexed state, conversions arrive
+    live), channels rolled up at read time.
+
+    A conversion's attribution never changes once emitted (the as-of
+    no-temporal-leakage property), so per-micro-batch evaluation with the
+    SAME batch operator is exact under any chunking — converges to batch
+    ``cep_attribution`` and shares its oracle. foreachBatch writes are
+    keyed on batch_id (overwrite per batch dir) for at-least-once safety.
+    """
+    import tempfile
+
+    from flink_example_spark.operators.asof import asof_join
+    from flink_example_spark.streaming.pipeline import _read_batches
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    tmpdir, schema = _stage_events_chunks(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    conv = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_entity"),
+        F.col("ts").alias("_conv_time"),
+        F.col("value").alias("_v"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .select(
+            F.col("user_id").alias("_entity"),
+            F.col("ts").alias("_change_time"),
+            F.col("event_type").alias("_channel"),
+        )
+        .localCheckpoint()  # frozen index, re-joined every micro-batch
+    )
+    outdir = tempfile.mkdtemp(prefix="stream_attr_")
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        out = asof_join(
+            batch, touches, on="_entity", probe_time="_conv_time", tolerance=window
+        )
+        out.write.mode("overwrite").parquet(f"{outdir}/batch={batch_id}")
+
+    q = conv.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+    joined = _read_batches(spark, outdir)
+    return (
+        joined.groupBy(F.coalesce(F.col("_channel"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(F.col("_v").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+    )

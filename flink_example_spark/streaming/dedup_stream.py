@@ -392,3 +392,50 @@ def run_streaming_minhash_dedup(
         shingle_k=shingle_k,
         bucket_minima=spark.table(name),
     ).select("doc_id", "lang", "source")
+
+
+def run_streaming_trending_terms(
+    spark: SparkSession, sf_dir: str, k: int = 5, chunks: int = 3
+) -> DataFrame:
+    """STREAMING trending terms: per-(lang, term) counts maintained live as
+    one pure-JVM streaming aggregation (complete mode — counts are a
+    commutative monoid, no watermark), with the top-``k`` rank applied to
+    the converged table at read time (rank is not incrementally
+    maintainable, but it runs over the |vocab|-sized count table, never
+    the token stream). Converges to the batch ``text_top_terms`` relation
+    → shares its oracle."""
+    from pyspark.sql import Window
+
+    from flink_example_spark.session import shuffle_partitions
+
+    tune(spark)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    tf = (
+        stream.select(
+            "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+        )
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"stream_trending_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            tf.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        spark.table(name)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", "term", "n", "rank")
+    )
