@@ -862,6 +862,18 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over the term co-occurrence graph) + triangle density
         "graph_textrank_keywords": textrank_entry,
         "graph_triangle_counts": tri_entry,
+        # personalized PageRank: random-walk-with-restart relevance to
+        # the 'spark' seed term over the co-occurrence graph
+        "graph_ppr": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.graph", fromlist=["pagerank"]
+        ).pagerank(
+            __import__(
+                "flink_example_spark.operators.graph", fromlist=["term_graph"]
+            ).term_graph(_docs(spark, sf_dir), min_weight=2),
+            n_iter=6,
+            weight_col="w",
+            seeds=["spark"],
+        ),
         # dense-subgraph extraction: k-core peeling over the term graph
         "graph_kcore": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.graph", fromlist=["kcore"]
@@ -1787,6 +1799,7 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.graph import kcore_oracle
 
     out["graph_kcore"] = kcore_oracle(term_graph_sql(2), k=29, n_rounds=3)
+    out["graph_ppr"] = pagerank_oracle(term_graph_sql(2), n_iter=6, seeds=["spark"])
     from flink_example_spark.operators.ml import (
         linear_fit_oracle,
         mad_outliers_oracle,
@@ -2599,6 +2612,11 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (min_by/max_by/min/max/count/decimal-sum) -> ONE pure-JVM
         # complete-mode aggregation; converges to batch timeseries_ohlc
         "streaming_ohlc": _run_streaming_ohlc,
+        # streaming WAU: distinct (user, day) maintained as append-mode
+        # dropDuplicates state (key-only rows -> deterministic); window
+        # fan-out + distinct count at read over the converged table;
+        # converges to batch timeseries_rolling_actives -> its oracle
+        "streaming_rolling_actives": _run_streaming_wau,
         # streaming cardinality: bottom-k KMV sketch maintained per group
         # (O(k) state, no watermark needed — commutative monoid); final
         # sketch equals the batch kmv_distinct -> shares its oracle
@@ -2713,6 +2731,14 @@ def _run_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_ohlc(spark, sf_dir)
 
 
+def _run_streaming_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.timeseries_stream import (
+        run_streaming_rolling_actives,
+    )
+
+    return run_streaming_rolling_actives(spark, sf_dir)
+
+
 def _run_streaming_kq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_example_spark.streaming.sketch_stream import run_streaming_kmv_quantiles
 
@@ -2820,6 +2846,7 @@ def _all_oracles() -> dict[str, str]:
     out["streaming_trending_terms"] = out["text_top_terms"]
     out["streaming_attribution"] = out["cep_attribution"]
     out["streaming_ohlc"] = out["timeseries_ohlc"]
+    out["streaming_rolling_actives"] = out["timeseries_rolling_actives"]
     out["streaming_ann_topk"] = out["ann_cosine_topk"]
     out["streaming_bm25"] = out["text_bm25_topk"]
     out["streaming_lm_filter"] = (

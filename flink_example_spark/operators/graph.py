@@ -32,6 +32,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str | None = None,
+    seeds: list | None = None,
 ) -> DataFrame:
     """Weighted PageRank power iteration, deterministic across engines.
 
@@ -54,6 +55,12 @@ def pagerank(
     contributions per dst — the Pregel pattern, with per-round
     ``localCheckpoint`` lineage cuts (CLAUDE.md: multi-consumer branches
     recompute their upstream DAG per consumer).
+
+    ``seeds``: optional node list for PERSONALIZED PageRank — the
+    teleport mass (and the start vector) concentrates uniformly on the
+    seed set instead of all nodes, so ranks measure proximity to the
+    seeds (the random-walk-with-restart relevance used for related-item
+    retrieval). Same integer arithmetic, seeds inline as literals.
 
     Output: (node, rank_micro BIGINT, rank DOUBLE) — rank is the single
     exactly-rounded division rank_micro / 1e12.
@@ -88,9 +95,18 @@ def pagerank(
         .repartition(sc.defaultParallelism, F.col("src"))
         .localCheckpoint(eager=True)
     )
-    base = (MICRO * (den - num)) // (den * n_nodes)
+    if seeds is None:
+        base_col = F.lit((MICRO * (den - num)) // (den * n_nodes))
+        r0 = F.lit(MICRO // n_nodes)
+    else:
+        n_seeds = len(seeds)
+        is_seed = F.col("node").isin(*seeds)
+        base_col = F.when(
+            is_seed, F.lit((MICRO * (den - num)) // (den * n_seeds))
+        ).otherwise(F.lit(0))
+        r0 = F.when(is_seed, F.lit(MICRO // n_seeds)).otherwise(F.lit(0))
     ranks = nodes.select(
-        "node", F.lit(MICRO // n_nodes).cast("long").alias("r")
+        "node", r0.cast("long").alias("r")
     ).localCheckpoint(eager=True)
     contrib_expr = F.expr(f"({num} * r * w) div ({den} * out_w)")
     for _ in range(n_iter):
@@ -104,7 +120,7 @@ def pagerank(
             nodes.join(summed, "node", "left")
             .select(
                 "node",
-                (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+                (base_col + F.coalesce(F.col("s"), F.lit(0)))
                 .cast("long")
                 .alias("r"),
             )
@@ -122,18 +138,33 @@ def pagerank_oracle(
     n_iter: int = 6,
     damping: tuple[int, int] = (17, 20),
     select_sql: str = "SELECT node, r AS rank_micro, CAST(r AS DOUBLE) / 1e12 AS rank FROM r{n}",
+    seeds: list | None = None,
 ) -> str:
     """DuckDB twin of ``pagerank``: the power iteration unrolled as chained
     MATERIALIZED CTEs (DuckDB inlines non-recursive CTEs per consumer —
     the shared edge/node relations are read every round, CLAUDE.md).
     ``edges_sql`` must yield (src, dst, w BIGINT)."""
     num, den = damping
+    if seeds is None:
+        base_sql = f"(({MICRO} * {den - num}) // ({den} * nn.n))"
+        r0_sql = f"CAST({MICRO} // nn.n AS BIGINT)"
+    else:
+        lits = ", ".join(f"'{s}'" for s in seeds)
+        k = len(seeds)
+        base_sql = (
+            f"(CASE WHEN n.node IN ({lits})"
+            f" THEN ({MICRO} * {den - num}) // ({den} * {k}) ELSE 0 END)"
+        )
+        r0_sql = (
+            f"CAST(CASE WHEN node IN ({lits})"
+            f" THEN {MICRO} // {k} ELSE 0 END AS BIGINT)"
+        )
     rounds = []
     for i in range(n_iter):
         rounds.append(
             f"""r{i + 1} AS MATERIALIZED (
           SELECT n.node,
-                 CAST((({MICRO} * {den - num}) // ({den} * nn.n))
+                 CAST({base_sql}
                       + COALESCE(c.s, 0) AS BIGINT) AS r
           FROM nodes n CROSS JOIN nn
           LEFT JOIN (
@@ -158,7 +189,7 @@ def pagerank_oracle(
           ) o USING (src)
         ),
         r0 AS MATERIALIZED (
-          SELECT node, CAST({MICRO} // nn.n AS BIGINT) AS r
+          SELECT node, {r0_sql} AS r
           FROM nodes CROSS JOIN nn
         ),
         {chain}

@@ -56,3 +56,53 @@ def run_streaming_ohlc(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def run_streaming_rolling_actives(
+    spark: SparkSession, sf_dir: str, window_days: int = 7
+) -> DataFrame:
+    """STREAMING trailing-7-day actives: the distinct (user, day) activity
+    relation is the ONLY state a WAU metric needs — maintained live with
+    ``dropDuplicates`` (first-seen per pair is deterministic BECAUSE the
+    emitted row carries nothing but the key itself, dodging the
+    dropDuplicates-arbitrary-row hazard in CLAUDE.md); the window fan-out
+    and distinct count run over the converged (user, day) table at read
+    time (user·day-sized, not event-sized).
+
+    Production note: unbounded streams bound this state with
+    ``dropDuplicatesWithinWatermark`` on the day column (old days stop
+    accepting late activity) — the bounded replay needs no watermark.
+    Converges to batch ``rolling_active_users`` → shares its oracle.
+    """
+    import uuid
+
+    from flink_example_spark.streaming.pipeline import stream_events
+
+    tune(spark)
+    ev = stream_events(spark, sf_dir)
+    ud = ev.select(
+        F.col("user_id").alias("__u"), F.date_trunc("day", F.col("ts")).alias("__d")
+    ).dropDuplicates(["__u", "__d"])
+    name = f"stream_wau_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            ud.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    t = spark.table(name)
+    mx = t.agg(F.max("__d").alias("__mx"))
+    grid = t.select(
+        "__u",
+        "__d",
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("__i"),
+    ).select("__u", F.expr("timestampadd(DAY, __i, __d)").alias("report_day"))
+    return (
+        grid.crossJoin(F.broadcast(mx))
+        .filter(F.col("report_day") <= F.col("__mx"))
+        .groupBy("report_day")
+        .agg(F.count_distinct("__u").alias("n_active"))
+    )

@@ -192,3 +192,25 @@ def test_kcore_spark_matches_unrolled_oracle_fixpoint(spark):
     a = {tuple(r) for r in kcore(g, k=25, n_rounds=3).collect()}
     b = {tuple(r) for r in kcore(g, k=25, n_rounds=4).collect()}
     assert a == b and a
+
+
+def test_personalized_pagerank_proximity(spark):
+    """With teleport pinned to seed 'a' on a path graph, rank must decay
+    with distance from the seed; a non-seed start gets zero initial mass
+    but accumulates via walks."""
+    from flink_example_spark.operators.graph import pagerank
+
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(
+        [(s, d) for s, d in und] + [(d, s) for s, d in und], "src string, dst string"
+    )
+    r = {x["node"]: x["rank_micro"] for x in pagerank(edges, seeds=["a"]).collect()}
+    # the path is bipartite, so a finite EVEN iteration count carries the
+    # classic parity oscillation (even-distance nodes hold the walk mass);
+    # assert the decay WITHIN each parity class plus seed dominance
+    assert r["a"] == max(r.values())
+    assert r["a"] > r["c"] > r["e"]   # even distances from the seed
+    assert r["b"] > r["d"]            # odd distances
+    # uniform (non-personalized) ranks the path ends LOWEST — different order
+    u = {x["node"]: x["rank_micro"] for x in pagerank(edges).collect()}
+    assert u["c"] > u["a"] and u["c"] > u["e"]
