@@ -206,6 +206,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         got = similarity.lsh_cosine_topk(e, q, k=5)
         return similarity.retrieval_eval(got, truth, k=5)
 
+    def ann_pq_entry(spark, sf_dir):
+        """IVF-PQ building block: product-quantization codebooks (4
+        subspaces x 8 codewords, Lloyd-trained), corpus compressed to 4
+        codes/vector, queries answered via the integer-quantized ADC
+        lookup table — the billion-scale memory-bound ANN pattern."""
+        e = _embs(spark, sf_dir)
+        cb = similarity.pq_codebooks(e, m=4, k_sub=8, iters=2).localCheckpoint()
+        codes = similarity.pq_encode(e, cb)
+        return similarity.pq_topk(codes, cb, e.filter(F.col("vec_id") < 8), k=5)
+
     def ann_kmeans(spark, sf_dir):
         """Driver-recorded shape: the driver's oracle canonicalizer sorts
         raw pandas columns and cannot hash list cells, so the array-valued
@@ -849,6 +859,8 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        # product-quantization ADC search (PQ codebooks + code join)
+        "ann_pq_topk": ann_pq_entry,
         # retrieval-quality eval: LSH top-5 scored against exact top-5
         "ann_recall_eval": ann_recall_eval_entry,
         "ann_kmeans_centroids": ann_kmeans,
@@ -1590,6 +1602,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["dedup_simhash"] = _simhash_md5_oracle()
     out["ann_lsh_topk"] = _lsh_topk_oracle()
     out["ann_ivf_topk"] = _ivf_topk_oracle()
+    out["ann_pq_topk"] = _pq_oracle()
     out["ann_recall_eval"] = f"""
         WITH truth AS MATERIALIZED ({out["ann_cosine_topk"]}),
         got AS ({_lsh_topk_oracle()}),
@@ -2265,40 +2278,44 @@ def _mmr_oracle(k: int = 5, pool: int = 10) -> str:
     """
 
 
-def _kmeans_ctes(k: int, iters: int) -> str:
-    """The unrolled-Lloyd CTE chain (cent0 seeds → cent{iters}), shared by
-    the kmeans oracle and the trained-IVF oracle. Assumes a CTE ``c`` with
+def _kmeans_ctes(k: int, iters: int, src: str = "c", prefix: str = "") -> str:
+    """The unrolled-Lloyd CTE chain ({prefix}cent0 seeds → {prefix}cent{iters}),
+    shared by the kmeans oracle, the trained-IVF oracle, and (per subspace,
+    via ``prefix``) the PQ codebook oracle. Assumes a CTE ``src`` with
     (vec_id, v, nrm) is already in scope."""
     it = """
-        assign{i} AS (
+        {p}assign{i} AS (
           SELECT vec_id, v, cell FROM (
             SELECT c.vec_id, c.v, cent.cell,
                    ROW_NUMBER() OVER (
                      PARTITION BY c.vec_id
                      ORDER BY list_dot_product(c.v, cent.cv) / (c.nrm * cent.cn) DESC,
                               cent.cell) AS rr
-            FROM c CROSS JOIN cent{j} cent
+            FROM {src} c CROSS JOIN {p}cent{j} cent
           ) WHERE rr = 1
         ),
-        dim{i} AS (
+        {p}dim{i} AS (
           SELECT cell, pos,
                  CAST(SUM(CAST(floor(x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
                    / COUNT(*) / 1e12 AS m
           FROM (
-            SELECT cell, unnest(v) AS x, unnest(range(len(v))) AS pos FROM assign{i}
+            SELECT cell, unnest(v) AS x, unnest(range(len(v))) AS pos
+            FROM {p}assign{i}
           ) GROUP BY cell, pos
         ),
-        cent{i} AS (
+        {p}cent{i} AS (
           SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
-            SELECT cell, list(m ORDER BY pos) AS cv FROM dim{i} GROUP BY cell
+            SELECT cell, list(m ORDER BY pos) AS cv FROM {p}dim{i} GROUP BY cell
           )
         )"""
-    rounds = ",".join(it.format(i=i + 1, j=i) for i in range(iters))
+    rounds = ",".join(
+        it.format(i=i + 1, j=i, p=prefix, src=src) for i in range(iters)
+    )
     return f"""
-        cent0 AS (
+        {prefix}cent0 AS (
           SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cell,
                  v AS cv, nrm AS cn
-          FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}
+          FROM {src} ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}
         ),{rounds}"""
 
 
@@ -2357,6 +2374,65 @@ def _ivf_trained_oracle(k: int, iters: int, n_probe: int, topk: int) -> str:
           SELECT query_id, neighbor_id, cos,
                  ROW_NUMBER() OVER (PARTITION BY query_id
                                     ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= {topk}
+    """
+
+
+def _pq_oracle(m: int = 4, k_sub: int = 8, iters: int = 2, topk: int = 5) -> str:
+    """PQ-ADC twin: per-subspace Lloyd chains (prefixed ``_kmeans_ctes``),
+    cosine code assignment, integer-micro LUT partial dots summed as
+    BIGINT — immune to float summation order, like the Spark operator."""
+    d_sub = 64 // m
+    sub_ctes, cb_parts, case_arms = [], [], []
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        sub_ctes.append(
+            f"""s{s} AS (
+              SELECT vec_id, v[{lo}:{hi}] AS v,
+                     sqrt(list_dot_product(v[{lo}:{hi}], v[{lo}:{hi}])) AS nrm
+              FROM c
+            ),{_kmeans_ctes(k_sub, iters, src=f"s{s}", prefix=f"p{s}")}"""
+        )
+        cb_parts.append(f"SELECT {s} AS sub, cell, cv, cn FROM p{s}cent{iters}")
+        case_arms.append(f"WHEN {s} THEN v[{lo}:{hi}]")
+    return f"""
+        WITH c AS ({_DUCK_VECS}),
+        {",".join(sub_ctes)},
+        cb AS MATERIALIZED ({" UNION ALL ".join(cb_parts)}),
+        sl AS MATERIALIZED (
+          SELECT vec_id, CAST(s.sub AS INTEGER) AS sub,
+                 CASE s.sub {" ".join(case_arms)} END AS x
+          FROM c, range(0, {m}) s(sub)
+        ),
+        slx AS (
+          SELECT vec_id, sub, x, sqrt(list_dot_product(x, x)) AS xn FROM sl
+        ),
+        enc AS MATERIALIZED (
+          SELECT vec_id, sub, cell AS code FROM (
+            SELECT slx.vec_id, slx.sub, cb.cell,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY slx.vec_id, slx.sub
+                     ORDER BY list_dot_product(slx.x, cb.cv) / (slx.xn * cb.cn) DESC,
+                              cb.cell) AS rr
+            FROM slx JOIN cb ON slx.sub = cb.sub
+          ) WHERE rr = 1
+        ),
+        lut AS MATERIALIZED (
+          SELECT sl.vec_id AS query_id, cb.sub, cb.cell AS code,
+                 CAST(floor(list_dot_product(sl.x, cb.cv) * 1e12 + 0.5) AS BIGINT) AS d
+          FROM sl JOIN cb ON sl.sub = cb.sub
+          WHERE sl.vec_id < 8
+        ),
+        scored AS (
+          SELECT query_id, enc.vec_id AS neighbor_id, CAST(SUM(d) AS BIGINT) AS adc_micro
+          FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
+          WHERE lut.query_id <> enc.vec_id
+          GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, rank, adc_micro FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc_micro DESC, neighbor_id) AS rank
           FROM scored
         ) WHERE rank <= {topk}
     """

@@ -843,3 +843,145 @@ def pair_set_eval(
             ).alias("f1"),
         )
     )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k_sub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebook trainer (Jégou et al. 2011): split
+    the vector into ``m`` contiguous subspaces and run the SAME Lloyd
+    trainer (:func:`kmeans_centroids`) independently per slice. Output:
+    ``(sub, cell, c_vec, c_norm)`` — m × k_sub codewords whose code pairs
+    compress a vector to m small integers (the 4-16-byte-per-vector
+    memory regime IVF-PQ indexes live in at billion scale).
+
+    Scale: m independent kmeans runs over SLICED projections of one scan —
+    each subspace's shuffle carries 1/m of the components; nothing new
+    beyond the trainer's own posture.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    parts = []
+    for s in range(m):
+        sliced = corpus.select(
+            F.col(id_col), F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias(vec_col)
+        )
+        cb = kmeans_centroids(sliced, k=k_sub, iters=iters, id_col=id_col, vec_col=vec_col)
+        parts.append(cb.select(F.lit(s).alias("sub"), "cell", "c_vec", "c_norm"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoder: per subspace, assign each vector's slice to its nearest
+    codeword (cosine, ties by cell — the trainer's own assignment rule).
+    Output: ``(id, sub, code)`` — m rows per vector, the compressed
+    representation a search joins against.
+
+    Scale: one broadcast of the (m·k_sub)-row codebook against the sliced
+    corpus projection; the per-(vector, sub) argmax is a WindowGroupLimit
+    top-1, never a global sort.
+    """
+    m = codebooks.agg(F.max("sub")).first()[0] + 1
+    dim = len(corpus.select(vec_col).first()[0])
+    d_sub = dim // m
+    sl = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("x"),
+            )
+            for s in range(m)
+        ])
+    )
+    sliced = corpus.select(F.col(id_col).alias("id"), sl.alias("__s")).select(
+        "id", "__s.sub", "__s.x", l2_norm(F.col("__s.x")).alias("__xn")
+    )
+    scored = sliced.join(F.broadcast(codebooks), "sub").select(
+        "id",
+        "sub",
+        "cell",
+        (dot(F.col("x"), F.col("c_vec")) / (F.col("__xn") * F.col("c_norm"))).alias("__sim"),
+    )
+    w = Window.partitionBy("id", "sub").orderBy(F.col("__sim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(F.col("id").alias(id_col), "sub", F.col("cell").alias("code"))
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance search (ADC): the query stays EXACT; each
+    corpus vector is scored from its codes through a per-(query, sub,
+    code) lookup table of partial inner products — the memory-bound
+    billion-scale ANN pattern (corpus vectors never touched at query
+    time, only m small codes each).
+
+    Portability: each LUT entry is quantized to integer micros
+    (floor(dot·1e12 + 0.5), IEEE-exact), so the per-vector score is a
+    BIGINT sum — immune to float summation order across engines — and
+    ranking (score desc, id) is exact. Output: ``(query_id, neighbor_id,
+    rank, adc_micro)`` — inner-product ADC ranking.
+
+    Scale: LUT = |queries|·m·k_sub rows (broadcast); ONE equi-join on
+    (sub, code) against the codes relation and a per-(query, vector) sum;
+    the corpus appears only as its m-codes-per-vector table.
+    """
+    m = codebooks.agg(F.max("sub")).first()[0] + 1
+    dim = len(queries.select(vec_col).first()[0])
+    d_sub = dim // m
+    sl = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("q"),
+            )
+            for s in range(m)
+        ])
+    )
+    qs = queries.select(F.col(id_col).alias("query_id"), sl.alias("__s")).select(
+        "query_id", "__s.sub", "__s.q"
+    )
+    lut = qs.join(F.broadcast(codebooks), "sub").select(
+        "query_id",
+        "sub",
+        F.col("cell").alias("code"),
+        F.floor(dot(F.col("q"), F.col("c_vec")) * F.lit(1e12) + F.lit(0.5))
+        .cast("long")
+        .alias("__d"),
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__d").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_micro").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_micro")
+    )

@@ -744,3 +744,44 @@ def test_pair_set_eval_arithmetic(spark):
     assert (r["n_got"], r["n_truth"], r["n_common"]) == (3, 4, 2)
     assert r["precision"] == 2 / 3 and r["recall"] == 0.5
     assert r["f1"] == 4 / 7
+
+
+def test_pq_codes_complete_and_recall(spark):
+    """Every vector compresses to exactly m codes; on CLUSTERED data (the
+    regime PQ exists for — near-uniform random vectors are its documented
+    adversarial case) ADC retrieval recovers cluster-mates."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+    from flink_example_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = pq_codebooks(e, m=4, k_sub=8, iters=2).localCheckpoint()
+    assert cb.count() == 4 * 8
+    codes = pq_encode(e, cb).localCheckpoint()
+    n = e.count()
+    assert codes.count() == 4 * n
+    assert codes.groupBy("vec_id").count().filter("count != 4").count() == 0
+
+    # clustered fixture: 10 centers x 8 jittered members (deterministic)
+    import math
+
+    rows = []
+    for c in range(10):
+        base = [math.sin(0.7 * c * (d + 1)) for d in range(64)]
+        for j in range(8):
+            vec = [base[d] + 0.01 * math.cos(c + j + d) for d in range(64)]
+            rows.append((c * 8 + j, vec))
+    clustered = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb2 = pq_codebooks(clustered, m=4, k_sub=8, iters=2).localCheckpoint()
+    codes2 = pq_encode(clustered, cb2).localCheckpoint()
+    got = pq_topk(codes2, cb2, clustered.filter(F.col("vec_id") % 8 == 0), k=5)
+    # a query's top-5 must be dominated by its own cluster (same vec_id//8)
+    hits = got.filter(
+        (F.col("neighbor_id") / 8).cast("long") == (F.col("query_id") / 8).cast("long")
+    ).count()
+    assert hits >= 0.8 * got.count(), (hits, got.count())
