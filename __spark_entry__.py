@@ -528,6 +528,27 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "2024-01-20 00:00:00",
         )
 
+    def rule_filter_entry(spark, sf_dir):
+        """Flink broadcast-state parity, done temporally: a weekly adaptive
+        threshold changelog (each week's rule = the previous week's median
+        value per event type) applied to every event AS OF its event time;
+        pre-first-rule events pass through."""
+        from flink_example_spark.operators.versioned import temporal_rule_filter
+        from flink_example_spark.plans.events_demo import load_events
+
+        ev = load_events(spark, sf_dir)
+        rules = (
+            ev.groupBy("event_type", F.date_trunc("week", "ts").alias("__wk"))
+            .agg(F.percentile(F.col("value"), F.lit(0.5)).alias("min_value"))
+            .select(
+                "event_type",
+                F.expr("timestampadd(DAY, 7, __wk)").alias("_change_time"),
+                "min_value",
+            )
+        )
+        probes = ev.select("event_id", "event_type", "ts", "value")
+        return temporal_rule_filter(probes, rules, on="event_type", event_time="ts")
+
     def cdc_apply_entry(spark, sf_dir):
         """MERGE INTO / CDC changelog apply (the batch form of the
         reference's changelog bridge, App.java:158-193): base = purchase
@@ -949,6 +970,8 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CDC changelog apply: net-effect MERGE of RowKind-coded changes
         # onto a base snapshot (delete tombstones, latest-change-wins)
         "versioned_cdc_apply": cdc_apply_entry,
+        # temporal dynamic-rule filtering (broadcast-state pattern, as-of)
+        "versioned_rule_filter": rule_filter_entry,
         # write-path layout: Morton-curve bucket bounding boxes
         "layout_zorder_stats": zorder_entry,
         "streaming_linear_fit": ml_stream_entry,
@@ -1908,6 +1931,20 @@ def _northstar_oracles() -> dict[str, str]:
     out["cep_attribution"] = last_touch_oracle("purchase", ["view", "click"])
     out["cep_transitions"] = event_transitions_oracle()
     out["cep_retention_cohorts"] = retention_cohorts_oracle()
+    out["versioned_rule_filter"] = """
+        WITH rules AS (
+          SELECT event_type, wk + INTERVAL 7 DAY AS rt, min_value
+          FROM (
+            SELECT event_type, date_trunc('week', ts) AS wk,
+                   QUANTILE_CONT(value, 0.5) AS min_value
+            FROM events GROUP BY 1, 2
+          )
+        ), ev AS (SELECT event_id, event_type, ts, value FROM events)
+        SELECT ev.event_id, ev.event_type, ev.ts, ev.value, r.min_value
+        FROM ev ASOF LEFT JOIN rules r
+          ON ev.event_type = r.event_type AND ev.ts >= r.rt
+        WHERE r.min_value IS NULL OR ev.value >= r.min_value
+    """
     out["versioned_cdc_apply"] = """
         WITH base AS (
           SELECT user_id AS _entity, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -2675,6 +2712,10 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # monoid agg), top-k ranked over the converged vocab-sized table;
         # converges to batch text_top_terms -> shares its oracle
         "streaming_trending_terms": _run_streaming_trending,
+        # late-data SIDE OUTPUT (Flink sideOutputLateData parity): rows
+        # behind the carried-over watermark routed to their own sink,
+        # interleaved mod-chunk arrival; classification mirrored by oracle
+        "streaming_late_split": _run_streaming_late_split,
         # streaming last-touch attribution: conversion stream as-of joined
         # per micro-batch vs the static touch index (foreachBatch), channel
         # rollup at read; converges to batch cep_attribution -> its oracle
@@ -2787,6 +2828,12 @@ def _run_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_example_spark.streaming.cdc_stream import run_streaming_attribution
 
     return run_streaming_attribution(spark, sf_dir)
+
+
+def _run_streaming_late_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.late_split import run_streaming_late_split
+
+    return run_streaming_late_split(spark, sf_dir)
 
 
 def _run_streaming_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2920,6 +2967,9 @@ def _all_oracles() -> dict[str, str]:
     out["streaming_minhash_dedup"] = out["dedup_minhash_portable"]
     out["streaming_cdc_apply"] = out["versioned_cdc_apply"]
     out["streaming_trending_terms"] = out["text_top_terms"]
+    from flink_example_spark.streaming.late_split import late_split_oracle
+
+    out["streaming_late_split"] = late_split_oracle(chunks=3)
     out["streaming_attribution"] = out["cep_attribution"]
     out["streaming_ohlc"] = out["timeseries_ohlc"]
     out["streaming_rolling_actives"] = out["timeseries_rolling_actives"]

@@ -392,3 +392,37 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col("status") != "unchanged")
     return out
+
+
+def temporal_rule_filter(
+    events: DataFrame,
+    rules: DataFrame,
+    on: str,
+    event_time: str,
+    rule_time: str = CHANGE_TIME,
+    keep_unmatched: bool = True,
+) -> DataFrame:
+    """Dynamic-configuration filtering — Flink's broadcast-state pattern
+    expressed temporally: ``rules`` is a changelog of per-key thresholds
+    (a versioned relation), and each event is judged by the rule IN EFFECT
+    AT ITS EVENT TIME (as-of join), so replays and live runs agree exactly
+    — the property a broadcast-state operator only gets approximately
+    (whatever rule happened to have arrived). Keeps events whose value
+    meets the as-of threshold; ``keep_unmatched`` retains events from
+    before the first rule.
+
+    ``rules`` columns: key, ``rule_time``, ``min_value`` (double).
+    Output: the surviving events plus the ``min_value`` that admitted them.
+
+    Scale: exactly the as-of join's single exchange; the rules side is the
+    small one in every real deployment.
+    """
+    from flink_example_spark.operators.asof import asof_join
+
+    joined = asof_join(events, rules, on=on, probe_time=event_time)
+    keep = (
+        F.col("min_value").isNull()
+        if keep_unmatched
+        else F.lit(False)
+    ) | (F.col("value") >= F.col("min_value"))
+    return joined.filter(keep)

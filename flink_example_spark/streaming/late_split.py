@@ -1,0 +1,107 @@
+"""Late-data SIDE OUTPUT — Flink's `sideOutputLateData` under Spark's
+micro-batch model (T5 parity, the piece watermark-dropping alone doesn't
+give you: the late rows themselves, routed to their own sink for repair
+or audit instead of silently discarded).
+
+Spark's watermark filter drops late rows inside stateful operators; a
+side output therefore classifies EXPLICITLY: per micro-batch, a row is
+late iff its event time precedes the watermark carried over from prior
+batches (running max event time − delay, zero-delay default — the
+reference's own watermark policy). foreachBatch processes batches
+sequentially, so the running max in the closure is deterministic given
+arrival order; staging chunks by ``event_id % chunks`` makes every chunk
+span the full time range, so later chunks genuinely contain late data
+(the interleaved-arrival regime, exactly what the mod split simulates).
+
+All time math in integer micros (CLAUDE.md rule); the classification is
+reproduced verbatim by the DuckDB oracle from the same mod-chunk rule.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_example_spark.session import tune
+from flink_example_spark.streaming.staging import stamp_chunk_mtimes
+
+
+def _stage_mod_chunks(spark: SparkSession, sf_dir: str, chunks: int) -> tuple[str, object]:
+    """Stage events as ``event_id % chunks`` files: interleaved arrival,
+    each chunk spanning the full event-time range."""
+    from flink_example_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    tmpdir = tempfile.mkdtemp(prefix="stream_late_")
+    for i in range(chunks):
+        ev.filter(F.col("event_id") % chunks == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmpdir, f"chunk_{i}"))
+    stamp_chunk_mtimes(tmpdir)
+    return tmpdir, ev.schema
+
+
+def run_streaming_late_split(
+    spark: SparkSession, sf_dir: str, chunks: int = 3, delay_us: int = 0
+) -> DataFrame:
+    """Bounded replay of the interleaved event stream; returns the LATE
+    side output ``(event_id, lateness_us)`` — rows older than the
+    watermark established by earlier micro-batches. Batch oracle mirrors
+    the mod-chunk staging rule exactly."""
+    tune(spark)
+    tmpdir, schema = _stage_mod_chunks(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    outdir = tempfile.mkdtemp(prefix="stream_late_out_")
+    state = {"wm_us": None}  # foreachBatch runs sequentially on the driver
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        mic = F.unix_micros(F.col("ts").cast("timestamp"))
+        tagged = batch.select(F.col("event_id"), mic.alias("__us"))
+        wm = state["wm_us"]
+        late = (
+            tagged.filter(F.col("__us") < F.lit(wm - delay_us))
+            .select("event_id", (F.lit(wm - delay_us) - F.col("__us")).alias("lateness_us"))
+            if wm is not None
+            else tagged.filter(F.lit(False)).select(
+                "event_id", F.lit(0).cast("long").alias("lateness_us")
+            )
+        )
+        late.write.mode("overwrite").parquet(f"{outdir}/batch={batch_id}")
+        mx = tagged.agg(F.max("__us")).first()[0]
+        if mx is not None:
+            state["wm_us"] = mx if wm is None else max(wm, mx)
+
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+    from flink_example_spark.streaming.pipeline import _read_batches
+
+    return _read_batches(spark, outdir)
+
+
+def late_split_oracle(chunks: int = 3, delay_us: int = 0) -> str:
+    return f"""
+        WITH ch AS (
+          SELECT event_id, epoch_us(ts) AS us,
+                 CAST(event_id % {chunks} AS INTEGER) AS chunk
+          FROM events
+        ), cm AS (
+          SELECT chunk, MAX(us) AS mx FROM ch GROUP BY chunk
+        ), pm AS (
+          SELECT chunk,
+                 MAX(mx) OVER (ORDER BY chunk
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS wm
+          FROM cm
+        )
+        SELECT event_id, (pm.wm - {delay_us}) - ch.us AS lateness_us
+        FROM ch JOIN pm USING (chunk)
+        WHERE pm.wm IS NOT NULL AND ch.us < pm.wm - {delay_us}
+    """

@@ -168,3 +168,52 @@ def test_streaming_cdc_apply_converges_to_batch(spark):
     batch = entry_mod.extra_queries()["versioned_cdc_apply"](spark, sf)
     stream = run_streaming_cdc_apply(spark, sf, chunks=2)
     assert {tuple(r) for r in stream.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_temporal_rule_filter_as_of_semantics(spark):
+    """Events are judged by the rule in effect AT THEIR EVENT TIME: a
+    later rule change must not retro-filter earlier events; pre-first-rule
+    events pass through."""
+    from flink_example_spark.operators.versioned import temporal_rule_filter
+
+    rules = spark.createDataFrame(
+        [("click", datetime(2024, 1, 10), 5.0), ("click", datetime(2024, 1, 20), 50.0)],
+        "event_type string, _change_time timestamp, min_value double",
+    )
+    events = spark.createDataFrame(
+        [
+            (1, "click", datetime(2024, 1, 5), 1.0),    # before any rule -> kept
+            (2, "click", datetime(2024, 1, 15), 10.0),  # rule=5 -> kept
+            (3, "click", datetime(2024, 1, 15), 3.0),   # rule=5 -> dropped
+            (4, "click", datetime(2024, 1, 25), 10.0),  # rule=50 -> dropped
+            (5, "click", datetime(2024, 1, 25), 60.0),  # rule=50 -> kept
+        ],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    out = {r["event_id"] for r in temporal_rule_filter(
+        events, rules, on="event_type", event_time="ts"
+    ).collect()}
+    assert out == {1, 2, 5}
+
+
+def test_streaming_late_split_matches_mod_rule(spark):
+    """The side output must equal the oracle's mod-chunk classification at
+    sf0.001 (first chunk never late; later chunks late behind the carried
+    watermark)."""
+    import duckdb
+
+    from flink_example_spark.streaming.late_split import (
+        late_split_oracle,
+        run_streaming_late_split,
+    )
+
+    got = {
+        (r["event_id"], r["lateness_us"])
+        for r in run_streaming_late_split(spark, "/root/testdata/sf0.001").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM '/root/testdata/sf0.001/events.parquet'"
+    )
+    want = {tuple(r) for r in con.execute(late_split_oracle(chunks=3)).fetchall()}
+    assert got == want and got
