@@ -882,6 +882,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         # product-quantization ADC search (PQ codebooks + code join)
         "ann_pq_topk": ann_pq_entry,
+        # full IVF-PQ: coarse cells prune candidates, PQ codes ADC-score
+        "ann_ivfpq_topk": lambda spark, sf_dir: similarity.ivfpq_topk(
+            _embs(spark, sf_dir),
+            _embs(spark, sf_dir).filter(F.col("vec_id") < 8),
+            k=5,
+        ),
         # retrieval-quality eval: LSH top-5 scored against exact top-5
         "ann_recall_eval": ann_recall_eval_entry,
         "ann_kmeans_centroids": ann_kmeans,
@@ -1626,6 +1632,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["ann_lsh_topk"] = _lsh_topk_oracle()
     out["ann_ivf_topk"] = _ivf_topk_oracle()
     out["ann_pq_topk"] = _pq_oracle()
+    out["ann_ivfpq_topk"] = _pq_oracle(n_cells=8, n_probe=2)
     out["ann_recall_eval"] = f"""
         WITH truth AS MATERIALIZED ({out["ann_cosine_topk"]}),
         got AS ({_lsh_topk_oracle()}),
@@ -2416,11 +2423,52 @@ def _ivf_trained_oracle(k: int, iters: int, n_probe: int, topk: int) -> str:
     """
 
 
-def _pq_oracle(m: int = 4, k_sub: int = 8, iters: int = 2, topk: int = 5) -> str:
+def _pq_oracle(
+    m: int = 4,
+    k_sub: int = 8,
+    iters: int = 2,
+    topk: int = 5,
+    n_cells: int | None = None,
+    n_probe: int = 2,
+) -> str:
     """PQ-ADC twin: per-subspace Lloyd chains (prefixed ``_kmeans_ctes``),
     cosine code assignment, integer-micro LUT partial dots summed as
     BIGINT — immune to float summation order, like the Spark operator."""
     d_sub = 64 // m
+    ivf_ctes, cand_join = "", ""
+    if n_cells is not None:
+        # coarse IVF stage: full-dim Lloyd cells ("g" prefix), corpus cell
+        # assignment, per-query probe list, candidate (query, vector) pairs
+        ivf_ctes = f"""{_kmeans_ctes(n_cells, iters, src="c", prefix="g")},
+        vcell AS MATERIALIZED (
+          SELECT vec_id AS neighbor_id, cell FROM (
+            SELECT c.vec_id, g.cell,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY list_dot_product(c.v, g.cv) / (c.nrm * g.cn) DESC,
+                              g.cell) AS rr
+            FROM c CROSS JOIN gcent{iters} g
+          ) WHERE rr = 1
+        ),
+        probe AS (
+          SELECT query_id, cell FROM (
+            SELECT c.vec_id AS query_id, g.cell,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY list_dot_product(c.v, g.cv) / (c.nrm * g.cn) DESC,
+                              g.cell) AS rr
+            FROM c CROSS JOIN gcent{iters} g
+            WHERE c.vec_id < 8
+          ) WHERE rr <= {n_probe}
+        ),
+        cand AS MATERIALIZED (
+          SELECT probe.query_id, vcell.neighbor_id
+          FROM probe JOIN vcell USING (cell)
+        ),"""
+        cand_join = (
+            "JOIN cand ON cand.query_id = lut.query_id"
+            " AND cand.neighbor_id = enc.vec_id"
+        )
     sub_ctes, cb_parts, case_arms = [], [], []
     for s in range(m):
         lo, hi = s * d_sub + 1, (s + 1) * d_sub
@@ -2435,6 +2483,7 @@ def _pq_oracle(m: int = 4, k_sub: int = 8, iters: int = 2, topk: int = 5) -> str
         case_arms.append(f"WHEN {s} THEN v[{lo}:{hi}]")
     return f"""
         WITH c AS ({_DUCK_VECS}),
+        {ivf_ctes}
         {",".join(sub_ctes)},
         cb AS MATERIALIZED ({" UNION ALL ".join(cb_parts)}),
         sl AS MATERIALIZED (
@@ -2462,8 +2511,10 @@ def _pq_oracle(m: int = 4, k_sub: int = 8, iters: int = 2, topk: int = 5) -> str
           WHERE sl.vec_id < 8
         ),
         scored AS (
-          SELECT query_id, enc.vec_id AS neighbor_id, CAST(SUM(d) AS BIGINT) AS adc_micro
+          SELECT lut.query_id, enc.vec_id AS neighbor_id,
+                 CAST(SUM(d) AS BIGINT) AS adc_micro
           FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
+          {cand_join}
           WHERE lut.query_id <> enc.vec_id
           GROUP BY 1, 2
         )

@@ -932,6 +932,7 @@ def pq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance search (ADC): the query stays EXACT; each
     corpus vector is scored from its codes through a per-(query, sub,
@@ -972,16 +973,82 @@ def pq_topk(
         .cast("long")
         .alias("__d"),
     )
-    scored = (
+    pairs = (
         codes.withColumnRenamed(id_col, "neighbor_id")
         .join(F.broadcast(lut), ["sub", "code"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("__d").alias("adc_micro"))
+    )
+    if candidates is not None:
+        # IVF restriction: only (query, vector) pairs whose vector lives in
+        # one of the query's probed cells get scored (candidate-list sized)
+        pairs = pairs.join(
+            candidates.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+    scored = pairs.groupBy("query_id", "neighbor_id").agg(
+        F.sum("__d").alias("adc_micro")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_micro").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_micro")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k_sub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full IVF-PQ index: a Lloyd-trained COARSE quantizer partitions
+    the corpus into cells; queries probe their ``n_probe`` nearest cells;
+    only the resident vectors' PQ codes are ADC-scored — the two-level
+    billion-scale ANN architecture (coarse pruning bounds candidates,
+    codes bound memory). Output: (query_id, neighbor_id, rank, adc_micro).
+
+    Composition: :func:`kmeans_centroids` (full-dim cells) +
+    :func:`pq_codebooks`/:func:`pq_encode` + the candidate-restricted
+    :func:`pq_topk`. Everything centroid/codebook-sized broadcasts; the
+    scoring join is candidate-list sized, never corpus × queries.
+    """
+    cents = kmeans_centroids(corpus, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
+    cents = cents.localCheckpoint()
+    c = _prep(corpus, id_col, vec_col, "n")
+    assigned = c.crossJoin(F.broadcast(cents)).select(
+        F.col("n_id").alias("neighbor_id"),
+        "cell",
+        (dot(F.col("n_vec"), F.col("c_vec")) / (F.col("n_norm") * F.col("c_norm"))).alias("__s"),
+    )
+    w = Window.partitionBy("neighbor_id").orderBy(F.col("__s").desc(), F.col("cell"))
+    vec_cell = (
+        assigned.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("neighbor_id", "cell")
+    )
+    q = _prep(queries, id_col, vec_col, "q")
+    qs = q.crossJoin(F.broadcast(cents)).select(
+        F.col("q_id").alias("query_id"),
+        "cell",
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("__s"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__s").desc(), F.col("cell"))
+    probe = (
+        qs.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "cell")
+    )
+    cand = probe.join(vec_cell, "cell").select("query_id", "neighbor_id")
+    cb = pq_codebooks(corpus, m=m, k_sub=k_sub, iters=iters, id_col=id_col, vec_col=vec_col)
+    cb = cb.localCheckpoint()
+    codes = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col)
+    return pq_topk(
+        codes, cb, queries, k=k, id_col=id_col, vec_col=vec_col, candidates=cand
     )

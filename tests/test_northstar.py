@@ -785,3 +785,31 @@ def test_pq_codes_complete_and_recall(spark):
         (F.col("neighbor_id") / 8).cast("long") == (F.col("query_id") / 8).cast("long")
     ).count()
     assert hits >= 0.8 * got.count(), (hits, got.count())
+
+
+def test_ivfpq_full_probe_equals_pq(spark):
+    """With n_probe == n_cells every cell is probed, so the IVF restriction
+    admits all pairs and IVF-PQ must equal unrestricted PQ exactly; with
+    n_probe=1 results are a subset of the candidate cells (pruning real)."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+    from flink_example_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    cb = pq_codebooks(e, m=4, k_sub=8, iters=1).localCheckpoint()
+    codes = pq_encode(e, cb).localCheckpoint()
+    full = {tuple(r) for r in pq_topk(codes, cb, q, k=3).collect()}
+    ivf_full = {
+        tuple(r)
+        for r in ivfpq_topk(e, q, k=3, n_cells=4, n_probe=4, m=4, k_sub=8, iters=1).collect()
+    }
+    assert ivf_full == full
+    pruned = ivfpq_topk(e, q, k=3, n_cells=4, n_probe=1, m=4, k_sub=8, iters=1)
+    assert pruned.count() <= len(full)

@@ -93,8 +93,8 @@ def main() -> None:
         "cdc", "ohlc", "trans", "actives", "anomal", "attrib", "cohorts",
         "knn", "mad", "dsir", "bigram", "ahash",
     ]
-    print("| mult | events | docs | " + " | ".join(cols) + " |")
-    print("|" + "---|" * (len(cols) + 3))
+    print("| mult | events | docs | " + " | ".join(cols) + " |", flush=True)
+    print("|" + "---|" * (len(cols) + 3), flush=True)
     for mult in (1, 4, 8):
         ev = replicate(ev0, mult, ["event_id", "user_id"]).localCheckpoint()
         docs = replicate(docs0, mult, ["doc_id"]).localCheckpoint()
@@ -124,7 +124,8 @@ def main() -> None:
         print(
             f"| {mult}x | {n_ev:,} | {n_docs:,} | "
             + " | ".join(f"{t:.1f}s" for t in times)
-            + " |"
+            + " |",
+            flush=True,
         )
     spark.stop()
 
