@@ -509,12 +509,15 @@ def retention_cohorts(
     """
     t = F.col(ts_col)
     wk = F.date_trunc(bucket, t)
-    first = events.groupBy(F.col(key_col).alias("__k")).agg(
-        F.min(wk).alias("cohort")
+    # one events scan: the distinct (key, week) activity relation feeds
+    # BOTH the cohort assignment (min week) and the activity cells — the
+    # multi-consumer recompute cut (CLAUDE.md); key·week-sized, cheap
+    active = (
+        events.select(F.col(key_col).alias("__k"), wk.alias("__w"))
+        .distinct()
+        .localCheckpoint()
     )
-    active = events.select(
-        F.col(key_col).alias("__k"), wk.alias("__w")
-    ).distinct()
+    first = active.groupBy("__k").agg(F.min("__w").alias("cohort"))
     span = {"week": 604800, "day": 86400}[bucket]
     off = (
         (
