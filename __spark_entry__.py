@@ -2767,6 +2767,9 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # behind the carried-over watermark routed to their own sink,
         # interleaved mod-chunk arrival; classification mirrored by oracle
         "streaming_late_split": _run_streaming_late_split,
+        # streaming broadcast-state rules: per-batch as-of vs the frozen
+        # rule changelog; converges to batch versioned_rule_filter
+        "streaming_rule_filter": _run_streaming_rule_filter,
         # streaming last-touch attribution: conversion stream as-of joined
         # per micro-batch vs the static touch index (foreachBatch), channel
         # rollup at read; converges to batch cep_attribution -> its oracle
@@ -2885,6 +2888,12 @@ def _run_streaming_late_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_example_spark.streaming.late_split import run_streaming_late_split
 
     return run_streaming_late_split(spark, sf_dir)
+
+
+def _run_streaming_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.late_split import run_streaming_rule_filter
+
+    return run_streaming_rule_filter(spark, sf_dir)
 
 
 def _run_streaming_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3021,6 +3030,7 @@ def _all_oracles() -> dict[str, str]:
     from flink_example_spark.streaming.late_split import late_split_oracle
 
     out["streaming_late_split"] = late_split_oracle(chunks=3)
+    out["streaming_rule_filter"] = out["versioned_rule_filter"]
     out["streaming_attribution"] = out["cep_attribution"]
     out["streaming_ohlc"] = out["timeseries_ohlc"]
     out["streaming_rolling_actives"] = out["timeseries_rolling_actives"]

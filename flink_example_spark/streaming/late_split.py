@@ -105,3 +105,44 @@ def late_split_oracle(chunks: int = 3, delay_us: int = 0) -> str:
         FROM ch JOIN pm USING (chunk)
         WHERE pm.wm IS NOT NULL AND ch.us < pm.wm - {delay_us}
     """
+
+
+def run_streaming_rule_filter(spark: SparkSession, sf_dir: str, chunks: int = 3) -> DataFrame:
+    """STREAMING dynamic-rule filtering — the broadcast-state pattern live:
+    each event micro-batch is judged by the rule changelog AS OF the
+    event's own time (foreachBatch as-of against the frozen rules index),
+    so replay and live runs agree exactly; a per-event result never
+    changes once emitted (no retraction handling). Converges to batch
+    ``versioned_rule_filter`` → shares its oracle."""
+    from flink_example_spark.operators.versioned import temporal_rule_filter
+    from flink_example_spark.streaming.pipeline import _read_batches
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    ev_b = load_table(spark, sf_dir, "events")
+    rules = (
+        ev_b.groupBy("event_type", F.date_trunc("week", "ts").alias("__wk"))
+        .agg(F.percentile(F.col("value"), F.lit(0.5)).alias("min_value"))
+        .select(
+            "event_type",
+            F.expr("timestampadd(DAY, 7, __wk)").alias("_change_time"),
+            "min_value",
+        )
+        .localCheckpoint()  # the frozen rules index, re-joined per batch
+    )
+    tmpdir, schema = _stage_mod_chunks(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    outdir = tempfile.mkdtemp(prefix="stream_rules_")
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        probes = batch.select("event_id", "event_type", "ts", "value")
+        out = temporal_rule_filter(probes, rules, on="event_type", event_time="ts")
+        out.write.mode("overwrite").parquet(f"{outdir}/batch={batch_id}")
+
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return _read_batches(spark, outdir)
