@@ -102,6 +102,20 @@ HEADLINE = [
     "timeseries_ohlc",
     "multimodal_ahash",
     "ml_mad_outliers",
+    "versioned_rule_filter",
+    "cep_attribution",
+    "cep_transitions",
+    "cep_retention_cohorts",
+    "timeseries_rolling_actives",
+    "timeseries_seasonal_anomalies",
+    "graph_kcore",
+    "graph_ppr",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ml_user_knn",
+    "text_phrase_search",
+    "text_boolean_search",
+    "ann_recall_eval",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite
