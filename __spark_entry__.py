@@ -942,6 +942,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_user_knn": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.ml", fromlist=["user_knn"]
         ).user_knn(_events(spark, sf_dir), k=3),
+        # the kNN SCALE path: banded sign-LSH blocking over profile
+        # vectors, exact-cosine verify, per-user rank — never users^2
+        "ml_user_knn_blocked": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["user_knn_blocked"]
+        ).user_knn_blocked(_events(spark, sf_dir), k=3, threshold=0.9),
         # robust median/MAD outlier twin (contamination-resistant)
         "ml_mad_outliers": mad_entry,
         # Flink-CEP pattern parity: ordered funnels + count-burst alerts
@@ -1868,6 +1873,28 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import user_knn_oracle
 
     out["ml_user_knn"] = user_knn_oracle(k=3)
+    out["ml_user_knn_blocked"] = f"""
+        WITH pairs AS MATERIALIZED (
+          {{_lsh}}
+        ), both_dir AS (
+          SELECT vec_a AS user_a, vec_b AS user_b, cos FROM pairs
+          UNION ALL
+          SELECT vec_b AS user_a, vec_a AS user_b, cos FROM pairs
+        )
+        SELECT user_a, user_b, cos, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_a
+                                       ORDER BY cos DESC, user_b) AS rank
+          FROM both_dir
+        ) WHERE rank <= 3
+    """.format(
+        _lsh=_lsh_pairs_oracle(
+            threshold=0.9,
+            n_bands=2,
+            vecs_sql='''SELECT user_id AS vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM (SELECT user_id, [CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE), CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE), CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE), CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS DOUBLE), CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE)] AS v FROM events GROUP BY user_id)''',
+            dim=5,
+            n_planes=4,
+        )
+    )
     out["ml_mad_outliers"] = mad_outliers_oracle(
         "SELECT lang, doc_id, n_chars FROM documents",
         "lang",
@@ -2189,7 +2216,13 @@ def _lsh_topk_oracle() -> str:
     """
 
 
-def _lsh_pairs_oracle(threshold: float, n_bands: int = 1, vecs_sql: str | None = None) -> str:
+def _lsh_pairs_oracle(
+    threshold: float,
+    n_bands: int = 1,
+    vecs_sql: str | None = None,
+    dim: int = 64,
+    n_planes: int = 8,
+) -> str:
     """Exact replica of the multi-band LSH near-dup pairs: per-band bucket
     joins unioned (UNION dedups pairs), same inlined hyperplane literals as
     the top-k oracle; band b uses seed 42+b. ``vecs_sql`` overrides the
@@ -2201,7 +2234,7 @@ def _lsh_pairs_oracle(threshold: float, n_bands: int = 1, vecs_sql: str | None =
             "CASE WHEN list_dot_product(v, ["
             + ", ".join(repr(x) for x in plane)
             + f"]::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END"
-            for p, plane in enumerate(hyperplanes(64, 8, seed=seed))
+            for p, plane in enumerate(hyperplanes(dim, n_planes, seed=seed))
         )
 
     bucket_cols = ",\n               ".join(

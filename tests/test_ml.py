@@ -116,3 +116,23 @@ def test_mad_outliers_zero_mad_guard(spark):
         [("g", i, 7) for i in range(10)], "grp string, rid long, x long"
     )
     assert mad_outliers(df, "grp", "x", "rid").count() == 0
+
+
+def test_user_knn_blocked_subset_of_exact(spark):
+    """The LSH-blocked kNN only ever returns true >= threshold neighbors,
+    and its top-1 can never beat the exact top-1 (blocking prunes, the
+    verify is exact)."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.ml import user_knn, user_knn_blocked
+    from flink_example_spark.plans.events_demo import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    blocked = user_knn_blocked(ev, k=3, threshold=0.9).localCheckpoint()
+    assert blocked.filter(F.col("cos") < 0.9).count() == 0
+    exact_top1 = {
+        r["user_a"]: r["cos"]
+        for r in user_knn(ev, k=1).withColumnRenamed("dot", "d").collect()
+    }
+    for r in blocked.filter(F.col("rank") == 1).collect():
+        assert r["cos"] <= exact_top1[r["user_a"]] + 1e-12
