@@ -888,6 +888,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _embs(spark, sf_dir).filter(F.col("vec_id") < 8),
             k=5,
         ),
+        # CLASSIC residual IVF-PQ: codebooks quantize (v - coarse centroid);
+        # score = base(q, cell) + residual-LUT sum, all integer micros
+        "ann_ivfpq_residual_topk": lambda spark, sf_dir: similarity.ivfpq_residual_topk(
+            _embs(spark, sf_dir),
+            _embs(spark, sf_dir).filter(F.col("vec_id") < 8),
+            k=5,
+        ),
         # retrieval-quality eval: LSH top-5 scored against exact top-5
         "ann_recall_eval": ann_recall_eval_entry,
         "ann_kmeans_centroids": ann_kmeans,
@@ -1638,6 +1645,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["ann_ivf_topk"] = _ivf_topk_oracle()
     out["ann_pq_topk"] = _pq_oracle()
     out["ann_ivfpq_topk"] = _pq_oracle(n_cells=8, n_probe=2)
+    out["ann_ivfpq_residual_topk"] = _pq_oracle(n_cells=8, n_probe=2, residual=True)
     out["ann_recall_eval"] = f"""
         WITH truth AS MATERIALIZED ({out["ann_cosine_topk"]}),
         got AS ({_lsh_topk_oracle()}),
@@ -2463,11 +2471,13 @@ def _pq_oracle(
     topk: int = 5,
     n_cells: int | None = None,
     n_probe: int = 2,
+    residual: bool = False,
 ) -> str:
     """PQ-ADC twin: per-subspace Lloyd chains (prefixed ``_kmeans_ctes``),
     cosine code assignment, integer-micro LUT partial dots summed as
     BIGINT — immune to float summation order, like the Spark operator."""
     d_sub = 64 // m
+    assert not residual or n_cells is not None
     ivf_ctes, cand_join = "", ""
     if n_cells is not None:
         # coarse IVF stage: full-dim Lloyd cells ("g" prefix), corpus cell
@@ -2498,10 +2508,44 @@ def _pq_oracle(
           SELECT probe.query_id, vcell.neighbor_id
           FROM probe JOIN vcell USING (cell)
         ),"""
+        if residual:
+            # residual vectors (v − coarse centroid) feed the subspace
+            # chains AND the encoder; queries keep their ORIGINAL slices,
+            # plus a per-(query, probed-cell) base term dot(q, c_cell)
+            ivf_ctes += f"""
+        res AS MATERIALIZED (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM (
+            SELECT c.vec_id,
+                   list_transform(range(1, len(c.v) + 1),
+                                  i -> c.v[i] - g.cv[i]) AS v
+            FROM c JOIN vcell ON c.vec_id = vcell.neighbor_id
+            JOIN gcent{iters} g ON vcell.cell = g.cell
+          )
+        ),
+        base AS MATERIALIZED (
+          SELECT p.query_id, p.cell,
+                 CAST(floor(list_dot_product(qc.v, g.cv) * 1e12 + 0.5)
+                      AS BIGINT) AS b
+          FROM probe p JOIN c qc ON p.query_id = qc.vec_id
+          JOIN gcent{iters} g ON p.cell = g.cell
+        ),"""
         cand_join = (
             "JOIN cand ON cand.query_id = lut.query_id"
             " AND cand.neighbor_id = enc.vec_id"
         )
+    code_src = "res" if residual else "c"
+    if residual:
+        final_ctes = """,
+        based AS (
+          SELECT s.query_id, s.neighbor_id,
+                 CAST(b.b + s.adc_micro AS BIGINT) AS adc_micro
+          FROM scored s
+          JOIN vcell ON s.neighbor_id = vcell.neighbor_id
+          JOIN base b ON b.query_id = s.query_id AND b.cell = vcell.cell
+        )"""
+        final_src = "based"
+    else:
+        final_ctes, final_src = "", "scored"
     sub_ctes, cb_parts, case_arms = [], [], []
     for s in range(m):
         lo, hi = s * d_sub + 1, (s + 1) * d_sub
@@ -2509,7 +2553,7 @@ def _pq_oracle(
             f"""s{s} AS (
               SELECT vec_id, v[{lo}:{hi}] AS v,
                      sqrt(list_dot_product(v[{lo}:{hi}], v[{lo}:{hi}])) AS nrm
-              FROM c
+              FROM {code_src}
             ),{_kmeans_ctes(k_sub, iters, src=f"s{s}", prefix=f"p{s}")}"""
         )
         cb_parts.append(f"SELECT {s} AS sub, cell, cv, cn FROM p{s}cent{iters}")
@@ -2524,8 +2568,13 @@ def _pq_oracle(
                  CASE s.sub {" ".join(case_arms)} END AS x
           FROM c, range(0, {m}) s(sub)
         ),
+        csl AS MATERIALIZED (
+          SELECT vec_id, CAST(s.sub AS INTEGER) AS sub,
+                 CASE s.sub {" ".join(case_arms)} END AS x
+          FROM {code_src}, range(0, {m}) s(sub)
+        ),
         slx AS (
-          SELECT vec_id, sub, x, sqrt(list_dot_product(x, x)) AS xn FROM sl
+          SELECT vec_id, sub, x, sqrt(list_dot_product(x, x)) AS xn FROM csl
         ),
         enc AS MATERIALIZED (
           SELECT vec_id, sub, cell AS code FROM (
@@ -2550,11 +2599,11 @@ def _pq_oracle(
           {cand_join}
           WHERE lut.query_id <> enc.vec_id
           GROUP BY 1, 2
-        )
+        ){final_ctes}
         SELECT query_id, neighbor_id, rank, adc_micro FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                        ORDER BY adc_micro DESC, neighbor_id) AS rank
-          FROM scored
+          FROM {final_src}
         ) WHERE rank <= {topk}
     """
 

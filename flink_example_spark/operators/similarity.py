@@ -1052,3 +1052,129 @@ def ivfpq_topk(
     return pq_topk(
         codes, cb, queries, k=k, id_col=id_col, vec_col=vec_col, candidates=cand
     )
+
+
+def _pq_lut(queries, codebooks, m, d_sub, id_col, vec_col):
+    """Per-(query, sub, code) integer-micro partial inner products — the
+    ADC lookup table shared by pq_topk and the residual IVF-PQ scorer."""
+    sl = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("q"),
+            )
+            for s in range(m)
+        ])
+    )
+    qs = queries.select(F.col(id_col).alias("query_id"), sl.alias("__s")).select(
+        "query_id", "__s.sub", "__s.q"
+    )
+    return qs.join(F.broadcast(codebooks), "sub").select(
+        "query_id",
+        "sub",
+        F.col("cell").alias("code"),
+        F.floor(dot(F.col("q"), F.col("c_vec")) * F.lit(1e12) + F.lit(0.5))
+        .cast("long")
+        .alias("__d"),
+    )
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k_sub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """CLASSIC residual IVF-PQ: the PQ codebooks quantize each vector's
+    RESIDUAL from its coarse centroid (Jégou et al. 2011's actual design)
+    — residual magnitudes are much smaller than raw vectors, so the same
+    m×k_sub code budget buys tighter reconstructions. The inner product
+    decomposes exactly:
+
+        dot(q, x) = dot(q, c_cell(x)) + dot(q, r_x)
+                  ≈ base(q, cell)    + Σ_sub LUT(q, sub, code_sub(r_x))
+
+    so scoring stays a BIGINT sum: the per-(query, probed-cell) base term
+    and the residual-codeword LUT entries are each one integer-micro
+    quantization. Output: (query_id, neighbor_id, rank, adc_micro).
+
+    Same plan skeleton as :func:`ivfpq_topk`; the residual subtraction is
+    one broadcast join + ``zip_with`` (component arithmetic, exact in any
+    engine).
+    """
+    cents = kmeans_centroids(corpus, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
+    cents = cents.localCheckpoint()
+    c = _prep(corpus, id_col, vec_col, "n")
+    assigned = c.crossJoin(F.broadcast(cents)).select(
+        F.col("n_id").alias("neighbor_id"),
+        "cell",
+        (dot(F.col("n_vec"), F.col("c_vec")) / (F.col("n_norm") * F.col("c_norm"))).alias("__s"),
+    )
+    w = Window.partitionBy("neighbor_id").orderBy(F.col("__s").desc(), F.col("cell"))
+    vec_cell = (
+        assigned.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("neighbor_id", "cell")
+        .localCheckpoint()
+    )
+    res = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"))
+        .join(vec_cell, "neighbor_id")
+        .join(F.broadcast(cents.select("cell", "c_vec")), "cell")
+        .select(
+            F.col("neighbor_id").alias(id_col),
+            F.zip_with("__v", "c_vec", lambda a, b: a - b).alias(vec_col),
+        )
+    )
+    cb = pq_codebooks(res, m=m, k_sub=k_sub, iters=iters, id_col=id_col, vec_col=vec_col)
+    cb = cb.localCheckpoint()
+    codes = pq_encode(res, cb, id_col=id_col, vec_col=vec_col)
+    q = _prep(queries, id_col, vec_col, "q")
+    qs = q.crossJoin(F.broadcast(cents)).select(
+        F.col("q_id").alias("query_id"),
+        "cell",
+        F.col("q_vec"),
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("__s"),
+        F.floor(dot(F.col("q_vec"), F.col("c_vec")) * F.lit(1e12) + F.lit(0.5))
+        .cast("long")
+        .alias("__b"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__s").desc(), F.col("cell"))
+    probe = (
+        qs.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "cell", "__b")
+        .localCheckpoint()
+    )
+    cand = probe.join(vec_cell, "cell").select("query_id", "neighbor_id")
+    dim = len(queries.select(vec_col).first()[0])
+    lut = _pq_lut(queries, cb, m, dim // m, id_col, vec_col)
+    summed = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(cand.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__d").alias("__sum"))
+    )
+    scored = (
+        summed.join(vec_cell, "neighbor_id")
+        .join(F.broadcast(probe), ["query_id", "cell"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("__b") + F.col("__sum")).alias("adc_micro"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("adc_micro").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_micro")
+    )

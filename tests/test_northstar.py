@@ -813,3 +813,35 @@ def test_ivfpq_full_probe_equals_pq(spark):
     assert ivf_full == full
     pruned = ivfpq_topk(e, q, k=3, n_cells=4, n_probe=1, m=4, k_sub=8, iters=1)
     assert pruned.count() <= len(full)
+
+
+def test_ivfpq_residual_recovers_clusters(spark):
+    """Residual IVF-PQ on clustered data recovers cluster-mates like the
+    raw-vector variant (structure + quality smoke for the classic form)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.similarity import ivfpq_residual_topk
+
+    rows = []
+    for c in range(10):
+        base = [math.sin(0.7 * c * (d + 1)) for d in range(64)]
+        for j in range(8):
+            vec = [base[d] + 0.01 * math.cos(c + j + d) for d in range(64)]
+            rows.append((c * 8 + j, vec))
+    clustered = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = ivfpq_residual_topk(
+        clustered,
+        clustered.filter(F.col("vec_id") % 8 == 0),
+        k=5,
+        n_cells=10,
+        n_probe=2,
+        m=4,
+        k_sub=8,
+        iters=1,
+    )
+    hits = got.filter(
+        (F.col("neighbor_id") / 8).cast("long") == (F.col("query_id") / 8).cast("long")
+    ).count()
+    assert hits >= 0.8 * got.count(), (hits, got.count())
