@@ -165,7 +165,7 @@ def test_streaming_cdc_apply_converges_to_batch(spark):
     spec = importlib.util.spec_from_file_location("entry_mod", "/root/repo/__spark_entry__.py")
     entry_mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(entry_mod)
-    batch = entry_mod.extra_queries()["versioned_cdc_apply"](spark, sf)
+    batch = entry_mod._all_queries()["versioned_cdc_apply"](spark, sf)
     stream = run_streaming_cdc_apply(spark, sf, chunks=2)
     assert {tuple(r) for r in stream.collect()} == {tuple(r) for r in batch.collect()}
 
