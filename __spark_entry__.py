@@ -954,6 +954,14 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_user_knn_blocked": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.ml", fromlist=["user_knn_blocked"]
         ).user_knn_blocked(_events(spark, sf_dir), k=3, threshold=0.9),
+        # two-sample proportion z-test (experimentation primitive)
+        "ml_ab_test": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["ab_proportion_test"]
+        ).ab_proportion_test(_events(spark, sf_dir), min_successes=14),
+        # pairwise Pearson matrix over per-(user, day) type counts
+        "ml_feature_corr": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["feature_corr"]
+        ).feature_corr(_events(spark, sf_dir)),
         # robust median/MAD outlier twin (contamination-resistant)
         "ml_mad_outliers": mad_entry,
         # Flink-CEP pattern parity: ordered funnels + count-burst alerts
@@ -973,6 +981,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(spark, sf_dir), "purchase", ["view", "click"], window="3 days"
         ),
         "cep_funnel_counts": cep_counts_entry,
+        # where the funnel STALLS: per-transition time-to-convert quantiles
+        "cep_funnel_latency": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.cep", fromlist=["funnel_latency"]
+        ).funnel_latency(
+            _events(spark, sf_dir), ["view", "click", "purchase"], 86400
+        ),
         "cep_error_bursts": cep_bursts_entry,
         "streaming_cep_funnel": cep_stream_entry,
         "streaming_cep_funnel_ooo": cep_stream_ooo_entry,
@@ -1878,9 +1892,13 @@ def _northstar_oracles() -> dict[str, str]:
         "doc_id",
         z=1.5,
     )
-    from flink_example_spark.operators.ml import user_knn_oracle
+    from flink_example_spark.operators.ml import feature_corr_oracle, user_knn_oracle
 
     out["ml_user_knn"] = user_knn_oracle(k=3)
+    out["ml_feature_corr"] = feature_corr_oracle()
+    from flink_example_spark.operators.ml import ab_proportion_oracle
+
+    out["ml_ab_test"] = ab_proportion_oracle(min_successes=14)
     out["ml_user_knn_blocked"] = f"""
         WITH pairs AS MATERIALIZED (
           {{_lsh}}
@@ -1918,6 +1936,11 @@ def _northstar_oracles() -> dict[str, str]:
     out["cep_funnel"] = funnel_oracle(["view", "click", "purchase"], 86400)
     out["cep_funnel_counts"] = funnel_oracle(
         ["view", "click", "purchase"], 86400, counts=True
+    )
+    from flink_example_spark.operators.cep import funnel_latency_oracle
+
+    out["cep_funnel_latency"] = funnel_latency_oracle(
+        ["view", "click", "purchase"], 86400
     )
     out["cep_error_bursts"] = event_bursts_oracle("error", 3, 43200)
     # bounded time-ordered replay converges exactly to the batch funnel

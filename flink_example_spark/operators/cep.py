@@ -572,3 +572,65 @@ def retention_cohorts_oracle(
                CAST(n_active AS DOUBLE) / cohort_size AS retention
         FROM cells JOIN sizes USING (cohort)
     """
+
+
+def funnel_latency(
+    events: DataFrame,
+    steps: list[str],
+    within_sec: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert distribution per funnel transition: for keys that
+    COMPLETE the funnel, the exact interpolated p25/p50/p75/p90 of each
+    adjacent-step gap plus the total duration — the "where does the
+    funnel stall" diagnostic next to :func:`funnel_counts`' "where does
+    it leak". Output: ``(transition, n, p25_us, p50_us, p75_us, p90_us)``.
+
+    Gaps are integer micros; the percentiles are the engine-portable
+    interpolated QUANTILE_CONT over exact integers. One stack-explode of
+    the funnel relation (completion-sized) + one transition-grain
+    aggregation on top of the funnel's own plan.
+    """
+    f = funnel(events, steps, within_sec, key_col, ts_col, type_col)
+    k = len(steps)
+    mic = lambda j: F.unix_micros(F.col(f"t_{j}").cast("timestamp"))
+    arms = [
+        F.struct(
+            F.lit(f"{steps[j - 1]}->{steps[j]}").alias("transition"),
+            (mic(j + 1) - mic(j)).alias("gap_us"),
+        )
+        for j in range(1, k)
+    ] + [F.struct(F.lit("total").alias("transition"), F.col("duration_us").alias("gap_us"))]
+    gaps = f.select(F.explode(F.array(*arms)).alias("__g")).select(
+        "__g.transition", "__g.gap_us"
+    )
+    return gaps.groupBy("transition").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile(F.col("gap_us"), F.lit(0.25)).alias("p25_us"),
+        F.percentile(F.col("gap_us"), F.lit(0.5)).alias("p50_us"),
+        F.percentile(F.col("gap_us"), F.lit(0.75)).alias("p75_us"),
+        F.percentile(F.col("gap_us"), F.lit(0.9)).alias("p90_us"),
+    )
+
+
+def funnel_latency_oracle(
+    steps: list[str], within_sec: int, table: str = "events"
+) -> str:
+    base = funnel_oracle(steps, within_sec, table=table)
+    arms = [
+        f"SELECT '{steps[j - 1]}->{steps[j]}' AS transition, "
+        f"epoch_us(t_{j + 1}) - epoch_us(t_{j}) AS gap_us FROM f"
+        for j in range(1, len(steps))
+    ] + ["SELECT 'total' AS transition, duration_us AS gap_us FROM f"]
+    return f"""
+        WITH f AS MATERIALIZED ({base}),
+        gaps AS ({" UNION ALL ".join(arms)})
+        SELECT transition, CAST(COUNT(*) AS BIGINT) AS n,
+               QUANTILE_CONT(gap_us, 0.25) AS p25_us,
+               QUANTILE_CONT(gap_us, 0.5) AS p50_us,
+               QUANTILE_CONT(gap_us, 0.75) AS p75_us,
+               QUANTILE_CONT(gap_us, 0.9) AS p90_us
+        FROM gaps GROUP BY transition
+    """

@@ -404,3 +404,212 @@ def user_knn_blocked(
         both.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def feature_corr(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    dim_col: str = "event_type",
+    dims: tuple[str, ...] = EVENT_TYPES,
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix between per-(key, day) feature
+    counts — the diagnostics table behind feature selection and leakage
+    hunts ("purchases correlate 0.9 with clicks; drop one"). Observation
+    units are (key, day) pairs with ≥1 event; absent types count 0
+    (densified against the fixed ``dims`` alphabet, so zeros are real
+    observations, not missing rows).
+
+    Exactness: every sufficient statistic (n, Σx, Σy, Σxy, Σx², Σy²) is a
+    BIGINT sum of integer counts; the correlation is a fixed sequence of
+    exactly-rounded double ops (one sqrt per marginal — IEEE exact), so
+    the |dims|² matrix is cross-engine bit-identical. Output:
+    ``(type_a, type_b, n, corr)`` for a < b with non-degenerate marginals.
+
+    Scale: one (key, day, type) count aggregation, densified by an
+    explode over the FIXED alphabet (|units|·|dims| rows), one self-join
+    on the unit key, one |dims|²-sized stats aggregation.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local alias clarity)
+
+    unit_day = F.date_trunc("day", F.col(ts_col))
+    cells = events.groupBy(
+        F.col(key_col).alias("__k"), unit_day.alias("__d"), F.col(dim_col).alias("__t")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    units = cells.select("__k", "__d").distinct()
+    dense = (
+        units.select(
+            "__k", "__d", F.explode(F.array(*[F.lit(t) for t in dims])).alias("__t")
+        )
+        .join(cells, ["__k", "__d", "__t"], "left")
+        .select("__k", "__d", "__t", F.coalesce(F.col("__n"), F.lit(0)).alias("x"))
+        .localCheckpoint()  # both self-join sides
+    )
+    a, b = dense.alias("a"), dense.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.__k") == F.col("b.__k"))
+            & (F.col("a.__d") == F.col("b.__d"))
+            & (F.col("a.__t") < F.col("b.__t")),
+        )
+        .groupBy(F.col("a.__t").alias("type_a"), F.col("b.__t").alias("type_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a.x").alias("sx"),
+            F.sum("b.x").alias("sy"),
+            F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"),
+            F.sum(F.col("a.x") * F.col("a.x")).alias("sxx"),
+            F.sum(F.col("b.x") * F.col("b.x")).alias("syy"),
+        )
+    )
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return (
+        s.filter(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n",
+            (num / (F.sqrt(den_x) * F.sqrt(den_y))).alias("corr"),
+        )
+    )
+
+
+def feature_corr_oracle(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    dim_col: str = "event_type",
+    dims: tuple[str, ...] = EVENT_TYPES,
+) -> str:
+    lits = ", ".join(f"'{t}'" for t in dims)
+    return f"""
+        WITH cells AS MATERIALIZED (
+          SELECT {key_col} AS k, date_trunc('day', {ts_col}) AS d,
+                 {dim_col} AS t, CAST(COUNT(*) AS BIGINT) AS n
+          FROM {table} GROUP BY 1, 2, 3
+        ), units AS (
+          SELECT DISTINCT k, d FROM cells
+        ), dense AS MATERIALIZED (
+          SELECT g.k, g.d, g.t, COALESCE(cells.n, 0) AS x
+          FROM (
+            SELECT units.k, units.d, a.t
+            FROM units, unnest([{lits}]) a(t)
+          ) g
+          LEFT JOIN cells ON cells.k = g.k AND cells.d = g.d AND cells.t = g.t
+        ), s AS (
+          SELECT a.t AS type_a, b.t AS type_b,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(a.x) AS BIGINT) AS sx,
+                 CAST(SUM(b.x) AS BIGINT) AS sy,
+                 CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+                 CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
+                 CAST(SUM(b.x * b.x) AS BIGINT) AS syy
+          FROM dense a JOIN dense b
+            ON a.k = b.k AND a.d = b.d AND a.t < b.t
+          GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+        FROM s
+        WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """
+
+
+def ab_proportion_test(
+    events: DataFrame,
+    key_col: str = "user_id",
+    success_type: str = "purchase",
+    type_col: str = "event_type",
+    min_successes: int = 1,
+) -> DataFrame:
+    """Two-sample proportion z-test — the experimentation primitive: unit
+    = user, assignment = the portable parity split ``key % 2`` (stand-in
+    for a real bucketing column), success = the user produced at least
+    ``min_successes`` ``success_type`` events (raise it when base
+    conversion saturates — a 100% rate has zero pooled variance and no
+    testable difference; the z is NULL-guarded either way). One output row:
+    ``(n_a, conv_a, n_b, conv_b, p_a, p_b, z)`` with the pooled-variance
+    z statistic.
+
+    Counts are exact BIGINTs from two aggregations (per-user success
+    flag, then one conditional rollup); the z expression is a FIXED
+    sequence of exactly-rounded double ops (one sqrt), so the statistic
+    is cross-engine bit-identical — the same determinism contract as
+    ``linear_fit``.
+    """
+    per_user = events.groupBy(F.col(key_col).alias("__k")).agg(
+        (
+            F.sum(F.when(F.col(type_col) == success_type, 1).otherwise(0))
+            >= min_successes
+        )
+        .cast("int")
+        .alias("__s")
+    )
+    g = per_user.select((F.col("__k") % 2).alias("__g"), "__s")
+    s = g.agg(
+        F.sum(F.when(F.col("__g") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("__g") == 0, F.col("__s")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("__g") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("__g") == 1, F.col("__s")).otherwise(0)).alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return s.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        F.when(se > 0, (p_a - p_b) / se).alias("z"),
+    )
+
+
+def ab_proportion_oracle(
+    table: str = "events",
+    key_col: str = "user_id",
+    success_type: str = "purchase",
+    type_col: str = "event_type",
+    min_successes: int = 1,
+) -> str:
+    return f"""
+        WITH pu AS (
+          SELECT {key_col} AS k,
+                 CAST(SUM(CASE WHEN {type_col} = '{success_type}' THEN 1 ELSE 0 END)
+                      >= {min_successes} AS INTEGER) AS s
+          FROM {table} GROUP BY 1
+        ), agg AS (
+          SELECT CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN k % 2 = 0 THEN s ELSE 0 END) AS BIGINT) AS conv_a,
+                 CAST(SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(SUM(CASE WHEN k % 2 = 1 THEN s ELSE 0 END) AS BIGINT) AS conv_b
+          FROM pu
+        )
+        SELECT n_a, conv_a, n_b, conv_b,
+               CAST(conv_a AS DOUBLE) / n_a AS p_a,
+               CAST(conv_b AS DOUBLE) / n_b AS p_b,
+               CASE WHEN sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)))
+                        * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) > 0
+               THEN ((CAST(conv_a AS DOUBLE) / n_a) - (CAST(conv_b AS DOUBLE) / n_b))
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)))
+                        * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) END AS z
+        FROM agg
+    """

@@ -190,3 +190,23 @@ def test_retention_cohorts_matrix(spark):
         (1, 0): (2, 2, 1.0), (1, 1): (1, 2, 0.5), (1, 2): (2, 2, 1.0),
         (8, 0): (1, 1, 1.0), (8, 1): (1, 1, 1.0),
     }
+
+
+def test_funnel_latency_totals_match_funnel(spark):
+    """The 'total' transition quantiles are exactly the funnel durations'
+    quantiles, and each key contributes one gap per transition."""
+    from flink_example_spark.operators.cep import funnel, funnel_latency
+    from flink_example_spark.plans.events_demo import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    steps = ["view", "click", "purchase"]
+    f = funnel(ev, steps, 86400)
+    lat = {r["transition"]: r for r in funnel_latency(ev, steps, 86400).collect()}
+    n = f.count()
+    assert {t for t in lat} == {"view->click", "click->purchase", "total"}
+    assert all(lat[t]["n"] == n for t in lat)
+    durs = sorted(r["duration_us"] for r in f.collect())
+    import statistics
+
+    assert lat["total"]["p50_us"] == statistics.median(durs)
+    assert lat["total"]["p25_us"] <= lat["total"]["p50_us"] <= lat["total"]["p90_us"]

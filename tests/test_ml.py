@@ -136,3 +136,48 @@ def test_user_knn_blocked_subset_of_exact(spark):
     }
     for r in blocked.filter(F.col("rank") == 1).collect():
         assert r["cos"] <= exact_top1[r["user_a"]] + 1e-12
+
+
+def test_feature_corr_perfect_and_anti(spark):
+    """Hand-built units: types 'a' and 'b' move together (corr 1), 'a' and
+    'c' move oppositely (corr -1)."""
+    from datetime import datetime
+
+    from flink_example_spark.operators.ml import feature_corr
+
+    rows = []
+    # unit (u, day1): a=1, b=1, c=2 ; unit (u, day2): a=2, b=2, c=1
+    for day, (na, nb, nc) in ((1, (1, 1, 2)), (2, (2, 2, 1))):
+        for t, cnt in (("a", na), ("b", nb), ("c", nc)):
+            for i in range(cnt):
+                rows.append(("u", datetime(2024, 5, day, i), t))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
+    out = {
+        (r["type_a"], r["type_b"]): r["corr"]
+        for r in feature_corr(df, dims=("a", "b", "c")).collect()
+    }
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] == -1.0
+    assert out[("b", "c")] == -1.0
+
+
+def test_ab_proportion_test_arithmetic(spark):
+    """Known conversion split: group A (even ids) 2/3 convert, group B 1/3."""
+    import math
+
+    from datetime import datetime
+
+    from flink_example_spark.operators.ml import ab_proportion_test
+
+    rows = []
+    # 6 users: evens 0,2,4 (A) — 0 and 2 purchase; odds 1,3,5 (B) — only 1
+    for u in range(6):
+        rows.append((u, datetime(2024, 6, 1), "view"))
+        if u in (0, 2, 1):
+            rows.append((u, datetime(2024, 6, 1, 1), "purchase"))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    r = ab_proportion_test(df).collect()[0]
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (3, 2, 3, 1)
+    p = 0.5
+    se = math.sqrt(p * (1 - p) * (1 / 3 + 1 / 3))
+    assert abs(r["z"] - (2 / 3 - 1 / 3) / se) < 1e-12
