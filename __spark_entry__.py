@@ -954,6 +954,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_user_knn_blocked": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.ml", fromlist=["user_knn_blocked"]
         ).user_knn_blocked(_events(spark, sf_dir), k=3, threshold=0.9),
+        # CUPED variance-reduced A/B (pre-period covariate adjustment,
+        # adjusted moments expanded into exact BIGINT sums)
+        "ml_ab_cuped": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["ab_cuped_test"]
+        ).ab_cuped_test(_events(spark, sf_dir), "2024-01-16 00:00:00"),
         # two-sample proportion z-test (experimentation primitive)
         "ml_ab_test": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.ml", fromlist=["ab_proportion_test"]
@@ -1899,6 +1904,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import ab_proportion_oracle
 
     out["ml_ab_test"] = ab_proportion_oracle(min_successes=14)
+    from flink_example_spark.operators.ml import ab_cuped_oracle
+
+    out["ml_ab_cuped"] = ab_cuped_oracle("2024-01-16 00:00:00")
     out["ml_user_knn_blocked"] = f"""
         WITH pairs AS MATERIALIZED (
           {{_lsh}}

@@ -613,3 +613,193 @@ def ab_proportion_oracle(
                         * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) END AS z
         FROM agg
     """
+
+
+def ab_cuped_test(
+    events: DataFrame,
+    split_ts: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    pre_type: str = "view",
+    success_type: str = "purchase",
+) -> DataFrame:
+    """CUPED variance-reduced A/B analysis (Deng et al. 2013) — the
+    modern experimentation stack's workhorse: each user's POST-period
+    outcome (``success_type`` count after ``split_ts``) is adjusted by
+    their PRE-period covariate (``pre_type`` count before it),
+    ``y' = y − θ(x − x̄)`` with θ fit on the pooled data, which strips the
+    between-user variance the covariate explains and shrinks the standard
+    error at the same sample size.
+
+    Portability: summing adjusted doubles per user would be accumulation-
+    order-dependent, so every adjusted moment is EXPANDED ALGEBRAICALLY
+    into θ/x̄-weighted combinations of exact BIGINT sums (n, Σx, Σy, Σxy,
+    Σx², Σy² per group) — a fixed sequence of exactly-rounded double ops,
+    cross-engine bit-identical like ``linear_fit``. One output row:
+    ``(theta, n_a, n_b, mean_adj_a, mean_adj_b, z_adj, z_raw)`` — z_raw
+    (unadjusted difference-in-means) sits beside z_adj so the variance
+    reduction is visible in the row itself.
+
+    Scale: one per-user aggregation + one 2-group rollup; nothing beyond
+    a grouped count's shuffle.
+    """
+    split = F.to_timestamp(F.lit(split_ts))
+    per_user = events.groupBy(F.col(key_col).alias("__k")).agg(
+        F.sum(
+            F.when((F.col(type_col) == pre_type) & (F.col(ts_col) < split), 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(
+                (F.col(type_col) == success_type) & (F.col(ts_col) >= split), 1
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    g = per_user.select((F.col("__k") % 2).alias("__g"), "x", "y")
+
+    def sums(side: int, name: str):
+        c = F.col("__g") == side
+        return [
+            F.sum(F.when(c, 1).otherwise(0)).alias(f"n_{name}"),
+            F.sum(F.when(c, F.col("x")).otherwise(0)).alias(f"sx_{name}"),
+            F.sum(F.when(c, F.col("y")).otherwise(0)).alias(f"sy_{name}"),
+            F.sum(F.when(c, F.col("x") * F.col("y")).otherwise(0)).alias(f"sxy_{name}"),
+            F.sum(F.when(c, F.col("x") * F.col("x")).otherwise(0)).alias(f"sxx_{name}"),
+            F.sum(F.when(c, F.col("y") * F.col("y")).otherwise(0)).alias(f"syy_{name}"),
+        ]
+
+    s = g.agg(*sums(0, "a"), *sums(1, "b"))
+    N = F.col("n_a") + F.col("n_b")
+    SX = F.col("sx_a") + F.col("sx_b")
+    SY = F.col("sy_a") + F.col("sy_b")
+    SXY = F.col("sxy_a") + F.col("sxy_b")
+    SXX = F.col("sxx_a") + F.col("sxx_b")
+    theta = (N * SXY - SX * SY).cast("double") / (N * SXX - SX * SX)
+    xbar = SX.cast("double") / N
+    s = s.withColumn("theta", theta).withColumn("xbar", xbar)
+
+    def adj(name: str):
+        n = F.col(f"n_{name}").cast("double")
+        sx, sy = F.col(f"sx_{name}").cast("double"), F.col(f"sy_{name}").cast("double")
+        sxy, sxx = F.col(f"sxy_{name}").cast("double"), F.col(f"sxx_{name}").cast("double")
+        syy = F.col(f"syy_{name}").cast("double")
+        th, xb = F.col("theta"), F.col("xbar")
+        mean = (sy - th * sx) / n + th * xb
+        # Σ(y')² expanded: y' = y − θx + θx̄
+        ss = (
+            syy
+            - F.lit(2.0) * th * sxy
+            + th * th * sxx
+            + F.lit(2.0) * th * xb * sy
+            - F.lit(2.0) * th * th * xb * sx
+            + n * th * th * xb * xb
+        )
+        var = (ss - n * mean * mean) / (n - F.lit(1.0))
+        return mean, var
+
+    ma, va = adj("a")
+    mb, vb = adj("b")
+    raw_ma = F.col("sy_a").cast("double") / F.col("n_a")
+    raw_mb = F.col("sy_b").cast("double") / F.col("n_b")
+    raw_va = (
+        F.col("syy_a").cast("double") - F.col("n_a") * raw_ma * raw_ma
+    ) / (F.col("n_a") - F.lit(1.0))
+    raw_vb = (
+        F.col("syy_b").cast("double") - F.col("n_b") * raw_mb * raw_mb
+    ) / (F.col("n_b") - F.lit(1.0))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    se_adj = F.sqrt(va / na + vb / nb)
+    se_raw = F.sqrt(raw_va / na + raw_vb / nb)
+    return s.select(
+        F.col("theta"),
+        F.col("n_a"),
+        F.col("n_b"),
+        ma.alias("mean_adj_a"),
+        mb.alias("mean_adj_b"),
+        F.when(se_adj > 0, (ma - mb) / se_adj).alias("z_adj"),
+        F.when(se_raw > 0, (raw_ma - raw_mb) / se_raw).alias("z_raw"),
+    )
+
+
+def ab_cuped_oracle(
+    split_ts: str,
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    pre_type: str = "view",
+    success_type: str = "purchase",
+) -> str:
+    return f"""
+        WITH pu AS (
+          SELECT {key_col} AS k,
+                 CAST(SUM(CASE WHEN {type_col} = '{pre_type}'
+                          AND {ts_col} < TIMESTAMP '{split_ts}'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN {type_col} = '{success_type}'
+                          AND {ts_col} >= TIMESTAMP '{split_ts}'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM {table} GROUP BY 1
+        ), s AS (
+          SELECT
+            CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN k % 2 = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+            CAST(SUM(CASE WHEN k % 2 = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+            CAST(SUM(CASE WHEN k % 2 = 0 THEN x * y ELSE 0 END) AS BIGINT) AS sxy_a,
+            CAST(SUM(CASE WHEN k % 2 = 0 THEN x * x ELSE 0 END) AS BIGINT) AS sxx_a,
+            CAST(SUM(CASE WHEN k % 2 = 0 THEN y * y ELSE 0 END) AS BIGINT) AS syy_a,
+            CAST(SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN k % 2 = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+            CAST(SUM(CASE WHEN k % 2 = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+            CAST(SUM(CASE WHEN k % 2 = 1 THEN x * y ELSE 0 END) AS BIGINT) AS sxy_b,
+            CAST(SUM(CASE WHEN k % 2 = 1 THEN x * x ELSE 0 END) AS BIGINT) AS sxx_b,
+            CAST(SUM(CASE WHEN k % 2 = 1 THEN y * y ELSE 0 END) AS BIGINT) AS syy_b
+          FROM pu
+        ), t AS (
+          SELECT *,
+            CAST((n_a + n_b) * (sxy_a + sxy_b) - (sx_a + sx_b) * (sy_a + sy_b)
+                 AS DOUBLE)
+              / ((n_a + n_b) * (sxx_a + sxx_b) - (sx_a + sx_b) * (sx_a + sx_b))
+              AS theta,
+            CAST(sx_a + sx_b AS DOUBLE) / (n_a + n_b) AS xbar
+          FROM s
+        ), m AS (
+          SELECT *,
+            (CAST(sy_a AS DOUBLE) - theta * CAST(sx_a AS DOUBLE))
+              / CAST(n_a AS DOUBLE) + theta * xbar AS ma,
+            (CAST(sy_b AS DOUBLE) - theta * CAST(sx_b AS DOUBLE))
+              / CAST(n_b AS DOUBLE) + theta * xbar AS mb,
+            CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rma,
+            CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rmb
+          FROM t
+        ), v AS (
+          SELECT *,
+            ((CAST(syy_a AS DOUBLE) - 2.0 * theta * CAST(sxy_a AS DOUBLE)
+              + theta * theta * CAST(sxx_a AS DOUBLE)
+              + 2.0 * theta * xbar * CAST(sy_a AS DOUBLE)
+              - 2.0 * theta * theta * xbar * CAST(sx_a AS DOUBLE)
+              + CAST(n_a AS DOUBLE) * theta * theta * xbar * xbar)
+             - CAST(n_a AS DOUBLE) * ma * ma) / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+            ((CAST(syy_b AS DOUBLE) - 2.0 * theta * CAST(sxy_b AS DOUBLE)
+              + theta * theta * CAST(sxx_b AS DOUBLE)
+              + 2.0 * theta * xbar * CAST(sy_b AS DOUBLE)
+              - 2.0 * theta * theta * xbar * CAST(sx_b AS DOUBLE)
+              + CAST(n_b AS DOUBLE) * theta * theta * xbar * xbar)
+             - CAST(n_b AS DOUBLE) * mb * mb) / (CAST(n_b AS DOUBLE) - 1.0) AS vb,
+            (CAST(syy_a AS DOUBLE) - CAST(n_a AS DOUBLE) * rma * rma)
+              / (CAST(n_a AS DOUBLE) - 1.0) AS rva,
+            (CAST(syy_b AS DOUBLE) - CAST(n_b AS DOUBLE) * rmb * rmb)
+              / (CAST(n_b AS DOUBLE) - 1.0) AS rvb
+          FROM m
+        )
+        SELECT theta, n_a, n_b, ma AS mean_adj_a, mb AS mean_adj_b,
+               CASE WHEN sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)) > 0
+                    THEN (ma - mb)
+                      / sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
+               END AS z_adj,
+               CASE WHEN sqrt(rva / CAST(n_a AS DOUBLE) + rvb / CAST(n_b AS DOUBLE)) > 0
+                    THEN (rma - rmb)
+                      / sqrt(rva / CAST(n_a AS DOUBLE) + rvb / CAST(n_b AS DOUBLE))
+               END AS z_raw
+        FROM v
+    """

@@ -181,3 +181,27 @@ def test_ab_proportion_test_arithmetic(spark):
     p = 0.5
     se = math.sqrt(p * (1 - p) * (1 / 3 + 1 / 3))
     assert abs(r["z"] - (2 / 3 - 1 / 3) / se) < 1e-12
+
+
+def test_ab_cuped_shrinks_variance(spark):
+    """Outcome = covariate + group effect: CUPED strips the covariate
+    variance, so the adjusted z detects the effect far more sharply than
+    the raw difference-in-means."""
+    from datetime import datetime
+
+    from flink_example_spark.operators.ml import ab_cuped_test
+
+    rows = []
+    for u in range(20):
+        x = (u // 2) % 5 + 1          # covariate, balanced across parity groups
+        noise = (u // 4) % 2          # balanced residual noise (keeps var > 0)
+        y = x + noise + (1 if u % 2 == 0 else 0)  # +1 true effect for group A
+        for i in range(x):
+            rows.append((u, datetime(2024, 1, 10, i), "view"))
+        for i in range(y):
+            rows.append((u, datetime(2024, 1, 20, i), "purchase"))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    r = ab_cuped_test(df, "2024-01-16 00:00:00").collect()[0]
+    assert abs(r["theta"] - 1.0) < 0.2            # y tracks x ~one-for-one
+    assert abs((r["mean_adj_a"] - r["mean_adj_b"]) - 1.0) < 0.05
+    assert abs(r["z_adj"]) > 2 * abs(r["z_raw"])  # the variance reduction
