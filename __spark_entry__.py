@@ -549,6 +549,45 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         probes = ev.select("event_id", "event_type", "ts", "value")
         return temporal_rule_filter(probes, rules, on="event_type", event_time="ts")
 
+    def quality_report_entry(spark, sf_dir):
+        """dbt-test-style quality report in one relation: row expectations
+        over events (one shared scan), event_id uniqueness, and two
+        TPC-H referential-integrity checks (one anti-join each)."""
+        from flink_example_spark.operators.quality import (
+            expect,
+            fk_orphans,
+            unique_violations,
+        )
+        from flink_example_spark.tables import load_table
+
+        ev = _events(spark, sf_dir)
+        rules = [
+            ("user_id_not_null", F.col("user_id").isNotNull()),
+            ("value_non_negative", F.col("value") >= 0),
+            (
+                "event_type_in_set",
+                F.col("event_type").isin("click", "error", "purchase", "signup", "view"),
+            ),
+            (
+                "ts_in_2024",
+                (F.col("ts") >= F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+                & (F.col("ts") < F.to_timestamp(F.lit("2025-01-01 00:00:00"))),
+            ),
+        ]
+        li = load_table(spark, sf_dir, "lineitem")
+        od = load_table(spark, sf_dir, "orders")
+        cu = load_table(spark, sf_dir, "customer")
+        return (
+            expect(ev, rules)
+            .unionByName(unique_violations(ev, ["event_id"]))
+            .unionByName(
+                fk_orphans(li, od, "l_orderkey", "o_orderkey", "lineitem->orders")
+            )
+            .unionByName(
+                fk_orphans(od, cu, "o_custkey", "c_custkey", "orders->customer")
+            )
+        )
+
     def cdc_apply_entry(spark, sf_dir):
         """MERGE INTO / CDC changelog apply (the batch form of the
         reference's changelog bridge, App.java:158-193): base = purchase
@@ -1009,6 +1048,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_cdc_apply": cdc_apply_entry,
         # temporal dynamic-rule filtering (broadcast-state pattern, as-of)
         "versioned_rule_filter": rule_filter_entry,
+        # dbt-test-style data-quality report (expectations + uniqueness
+        # + referential integrity, one scan / one anti-join per check set)
+        "quality_report": quality_report_entry,
         # write-path layout: Morton-curve bucket bounding boxes
         "layout_zorder_stats": zorder_entry,
         "streaming_linear_fit": ml_stream_entry,
@@ -2004,6 +2046,51 @@ def _northstar_oracles() -> dict[str, str]:
     out["cep_attribution"] = last_touch_oracle("purchase", ["view", "click"])
     out["cep_transitions"] = event_transitions_oracle()
     out["cep_retention_cohorts"] = retention_cohorts_oracle()
+    out["quality_report"] = """
+        SELECT 'user_id_not_null' AS check, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violations,
+               SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+        FROM events
+        UNION ALL
+        SELECT 'value_non_negative', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) = 0
+        FROM events
+        UNION ALL
+        SELECT 'event_type_in_set', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN event_type NOT IN
+                    ('click', 'error', 'purchase', 'signup', 'view')
+                    THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN event_type NOT IN
+                    ('click', 'error', 'purchase', 'signup', 'view')
+                    THEN 1 ELSE 0 END) = 0
+        FROM events
+        UNION ALL
+        SELECT 'ts_in_2024', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN NOT (ts >= TIMESTAMP '2024-01-01 00:00:00'
+                        AND ts < TIMESTAMP '2025-01-01 00:00:00')
+                    THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN NOT (ts >= TIMESTAMP '2024-01-01 00:00:00'
+                        AND ts < TIMESTAMP '2025-01-01 00:00:00')
+                    THEN 1 ELSE 0 END) = 0
+        FROM events
+        UNION ALL
+        SELECT 'unique(event_id)', CAST(SUM(c) AS BIGINT),
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN c > 1 THEN c ELSE 0 END) = 0
+        FROM (SELECT COUNT(*) AS c FROM events GROUP BY event_id)
+        UNION ALL
+        SELECT 'lineitem->orders',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+               CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+        FROM lineitem ANTI JOIN orders ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT 'orders->customer',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+               CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+        FROM orders ANTI JOIN customer ON o_custkey = c_custkey
+    """
     out["versioned_rule_filter"] = """
         WITH rules AS (
           SELECT event_type, wk + INTERVAL 7 DAY AS rt, min_value

@@ -1,0 +1,94 @@
+"""Data-quality assertions over DataFrame ops — the dbt-test /
+Great-Expectations layer every production pipeline runs before anything
+downstream trusts a table: column expectations (not-null, range,
+membership), key uniqueness, and cross-table referential integrity.
+
+Everything is plain aggregations (counts of violating rows), so the
+report is one scan per table plus one anti-join per relationship —
+exactly the checks' minimum cost at any scale, with map-side partials
+throughout. Violation COUNTS (not violating rows) keep the report
+bounded; a production run would sink sampled offenders separately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def expect(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
+    """Evaluate named row-level expectations in ONE scan: each rule is a
+    boolean Column that should hold for every row. Output per rule:
+    ``(check, n_rows, n_violations, passed)``.
+
+    The single aggregation computes every rule's violation count as a
+    conditional sum (shared scan, map-side combined), then unpivots to
+    one row per check via a literal stack — no per-rule jobs.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.when(~pred, 1).otherwise(0)).alias(f"__v{i}")
+        for i, (_, pred) in enumerate(rules)
+    ]
+    s = df.agg(*aggs)
+    arms = [
+        F.struct(
+            F.lit(name).alias("check"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__v{i}").alias("n_violations"),
+        )
+        for i, (name, _) in enumerate(rules)
+    ]
+    return (
+        s.select(F.explode(F.array(*arms)).alias("__c"))
+        .select("__c.check", "__c.n_rows", "__c.n_violations")
+        .withColumn("passed", F.col("n_violations") == 0)
+    )
+
+
+def unique_violations(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Key-uniqueness check: rows whose key occurs more than once.
+    Output one row: ``(check, n_rows, n_violations, passed)`` where
+    violations = rows carrying a duplicated key (NOT distinct keys —
+    the row count a dedup would have to resolve)."""
+    dup = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.sum("__c").alias("n_rows"),
+            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)).alias(
+                "n_violations"
+            ),
+        )
+    )
+    return dup.select(
+        F.lit("unique(" + ",".join(cols) + ")").alias("check"),
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def fk_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    relation: str,
+) -> DataFrame:
+    """Referential-integrity check (dbt's `relationships` test): child
+    rows whose key has no parent. One anti-join; NULL child keys count as
+    orphans (a FK that points nowhere is broken either way — filter
+    upstream if NULLs are legitimate). Output:
+    ``(check, n_rows, n_violations, passed)``."""
+    n = child.agg(F.count(F.lit(1)).alias("n")).first()[0]
+    orphans = child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key,
+        "left_anti",
+    )
+    return orphans.agg(F.count(F.lit(1)).alias("n_violations")).select(
+        F.lit(relation).alias("check"),
+        F.lit(n).cast("long").alias("n_rows"),
+        F.col("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

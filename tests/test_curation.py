@@ -411,3 +411,32 @@ def test_dsir_weights_steer_toward_target(spark):
     got = {r["doc_id"]: r["avg_logratio_bits"] for r in w.collect()}
     assert got[200] > got[300]
     assert min(got[i] for i in range(8)) > max(got[100 + i] for i in range(8))
+
+
+def test_quality_checks_detect_violations(spark):
+    """Planted violations: a null key, a range breach, a duplicate id, and
+    an orphaned FK must each surface with exact counts."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.quality import (
+        expect,
+        fk_orphans,
+        unique_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, -3), (None, 7), (2, 9)], "id long, v long"
+    )
+    exp = {
+        r["check"]: (r["n_violations"], r["passed"])
+        for r in expect(
+            df, [("id_not_null", F.col("id").isNotNull()), ("v_nonneg", F.col("v") >= 0)]
+        ).collect()
+    }
+    assert exp == {"id_not_null": (1, False), "v_nonneg": (1, False)}
+    u = unique_violations(df, ["id"]).collect()[0]
+    assert (u["n_rows"], u["n_violations"], u["passed"]) == (4, 2, False)
+    parent = spark.createDataFrame([(1,), (2,)], "id long")
+    fk = fk_orphans(df, parent, "id", "id", "child->parent").collect()[0]
+    # the NULL id and no other orphans: 1 violation
+    assert (fk["n_rows"], fk["n_violations"], fk["passed"]) == (4, 1, False)
