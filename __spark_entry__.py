@@ -2970,6 +2970,9 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming broadcast-state rules: per-batch as-of vs the frozen
         # rule changelog; converges to batch versioned_rule_filter
         "streaming_rule_filter": _run_streaming_rule_filter,
+        # streaming data-quality monitor: violation counters are a sum
+        # monoid -> ONE complete-mode JVM aggregation; = batch expect rows
+        "streaming_quality_report": _run_streaming_quality,
         # streaming last-touch attribution: conversion stream as-of joined
         # per micro-batch vs the static touch index (foreachBatch), channel
         # rollup at read; converges to batch cep_attribution -> its oracle
@@ -3094,6 +3097,12 @@ def _run_streaming_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_example_spark.streaming.late_split import run_streaming_rule_filter
 
     return run_streaming_rule_filter(spark, sf_dir)
+
+
+def _run_streaming_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.streaming.late_split import run_streaming_quality
+
+    return run_streaming_quality(spark, sf_dir)
 
 
 def _run_streaming_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3231,6 +3240,38 @@ def _all_oracles() -> dict[str, str]:
 
     out["streaming_late_split"] = late_split_oracle(chunks=3)
     out["streaming_rule_filter"] = out["versioned_rule_filter"]
+    # the expectation subset of the batch quality report (no unique/FK —
+    # those are second stateful ops / static joins, batch-only by design)
+    out["streaming_quality_report"] = """
+        SELECT 'user_id_not_null' AS check, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violations,
+               SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+        FROM events
+        UNION ALL
+        SELECT 'value_non_negative', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) = 0
+        FROM events
+        UNION ALL
+        SELECT 'event_type_in_set', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN event_type NOT IN
+                    ('click', 'error', 'purchase', 'signup', 'view')
+                    THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN event_type NOT IN
+                    ('click', 'error', 'purchase', 'signup', 'view')
+                    THEN 1 ELSE 0 END) = 0
+        FROM events
+        UNION ALL
+        SELECT 'ts_in_2024', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN NOT (ts >= TIMESTAMP '2024-01-01 00:00:00'
+                        AND ts < TIMESTAMP '2025-01-01 00:00:00')
+                    THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN NOT (ts >= TIMESTAMP '2024-01-01 00:00:00'
+                        AND ts < TIMESTAMP '2025-01-01 00:00:00')
+                    THEN 1 ELSE 0 END) = 0
+        FROM events
+    """
     out["streaming_attribution"] = out["cep_attribution"]
     out["streaming_ohlc"] = out["timeseries_ohlc"]
     out["streaming_rolling_actives"] = out["timeseries_rolling_actives"]

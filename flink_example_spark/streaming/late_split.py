@@ -146,3 +146,68 @@ def run_streaming_rule_filter(spark: SparkSession, sf_dir: str, chunks: int = 3)
     q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination()
     return _read_batches(spark, outdir)
+
+
+def run_streaming_quality(spark: SparkSession, sf_dir: str, chunks: int = 3) -> DataFrame:
+    """STREAMING data-quality monitoring: the row-expectation violation
+    counters are plain conditional SUMS — a commutative monoid — so the
+    live report is ONE complete-mode JVM aggregation over the event
+    stream, unpivoted to check rows at read time. Converges to the batch
+    ``expect`` rows exactly (shares the expectation subset of the
+    quality_report oracle)."""
+    from flink_example_spark.tables import normalize_ts
+
+    tune(spark)
+    tmpdir, schema = _stage_mod_chunks(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    ev = normalize_ts(stream, "ts")  # shared ingest guard (both layouts)
+    rules = [
+        ("user_id_not_null", F.col("user_id").isNotNull()),
+        ("value_non_negative", F.col("value") >= 0),
+        (
+            "event_type_in_set",
+            F.col("event_type").isin("click", "error", "purchase", "signup", "view"),
+        ),
+        (
+            "ts_in_2024",
+            (F.col("ts") >= F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+            & (F.col("ts") < F.to_timestamp(F.lit("2025-01-01 00:00:00"))),
+        ),
+    ]
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.when(~pred, 1).otherwise(0)).alias(f"__v{i}")
+        for i, (_, pred) in enumerate(rules)
+    ]
+    import uuid
+
+    from flink_example_spark.session import shuffle_partitions
+
+    name = f"stream_quality_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            ev.agg(*aggs)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    s = spark.table(name)
+    arms = [
+        F.struct(
+            F.lit(rname).alias("check"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__v{i}").alias("n_violations"),
+        )
+        for i, (rname, _) in enumerate(rules)
+    ]
+    return (
+        s.select(F.explode(F.array(*arms)).alias("__c"))
+        .select("__c.check", "__c.n_rows", "__c.n_violations")
+        .withColumn("passed", F.col("n_violations") == 0)
+    )
