@@ -389,7 +389,7 @@ def user_knn_blocked(
         n_planes=n_planes,
         n_bands=n_bands,
         dim=len(EVENT_TYPES),
-    )
+    ).localCheckpoint()  # both direction branches consume it (recompute cut)
     both = pairs.select(
         F.col("vec_a").alias("user_a"), F.col("vec_b").alias("user_b"), "cos"
     ).unionByName(
