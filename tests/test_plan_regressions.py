@@ -487,3 +487,55 @@ def test_ahash_pairs_no_cartesian(spark):
     )
     plan = physical(ahash_pairs(fps, 3))
     assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_broadcasts_lut_and_semi_restricts(spark):
+    """PQ scoring joins the broadcast LUT; the IVF restriction is a
+    left-semi join — never a cartesian over corpus x queries."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+    from flink_example_spark.tables import load_table
+
+    e = load_table(spark, SF, "embeddings")
+    cb = pq_codebooks(e, m=4, k_sub=8, iters=1).localCheckpoint()
+    codes = pq_encode(e, cb).localCheckpoint()
+    plan = physical(pq_topk(codes, cb, e.filter(F.col("vec_id") < 4), k=3))
+    assert "BroadcastHashJoin" in plan
+    plan2 = physical(
+        ivfpq_topk(e, e.filter(F.col("vec_id") < 4), k=3, n_cells=4, n_probe=1,
+                   m=4, k_sub=8, iters=1)
+    )
+    assert "LeftSemi" in plan2
+
+
+def test_boolean_search_filters_before_aggregation(spark):
+    """The broadcast term set prunes the exploded token stream BEFORE the
+    aggregation — the shuffle carries posting-list rows only; one Exchange."""
+    from flink_example_spark.operators.text import boolean_search
+    from flink_example_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = physical(boolean_search(docs, ["spark", "merge"]))
+    # COUNT(DISTINCT term) plans as the standard two-phase expand:
+    # (doc, term) exchange then doc exchange — both posting-list sized
+    assert plan.count("Exchange") == 2
+    assert "Python" not in plan and "Join" not in plan
+
+
+def test_phrase_search_single_window_stage(spark):
+    """Positional phrase matching is ONE window stage (lead chains), not
+    k-1 self-joins — exactly one Exchange on the doc key, no join at all."""
+    from flink_example_spark.operators.text import phrase_search
+    from flink_example_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = physical(phrase_search(docs, ["spark", "merge", "window"]))
+    assert plan.count("Window [") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # doc-key window + final aggregation
