@@ -1008,6 +1008,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).feature_corr(_events(spark, sf_dir)),
         # robust median/MAD outlier twin (contamination-resistant)
         "ml_mad_outliers": mad_entry,
+        # supervised multinomial naive Bayes (fastText-style ingest gate):
+        # train on doc_id % 5 != 0, classify the holdout; integer-log2
+        # Laplace likelihoods, bits||class argmin key
+        "ml_nb_language": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["nb_language_classifier"]
+        ).nb_language_classifier(_docs(spark, sf_dir)),
         # Flink-CEP pattern parity: ordered funnels + count-burst alerts
         "cep_funnel": cep_funnel_entry,
         # first-order Markov transition matrix over event sequences
@@ -1971,6 +1977,9 @@ def _northstar_oracles() -> dict[str, str]:
             n_planes=4,
         )
     )
+    from flink_example_spark.operators.ml import nb_language_oracle
+
+    out["ml_nb_language"] = nb_language_oracle()
     out["ml_mad_outliers"] = mad_outliers_oracle(
         "SELECT lang, doc_id, n_chars FROM documents",
         "lang",

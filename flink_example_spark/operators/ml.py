@@ -803,3 +803,173 @@ def ab_cuped_oracle(
                END AS z_raw
         FROM v
     """
+
+
+def nb_language_classifier(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    holdout_mod: int = 5,
+) -> DataFrame:
+    """Multinomial naive-Bayes classifier trained on the corpus itself —
+    the fastText-style supervised gate real LLM pipelines run at ingest
+    (language ID, quality buckets). Train split = ``id % holdout_mod != 0``,
+    holdout = the rest; label = ``label_col``.
+
+    Reference parity: the reference engine (kerinin/flink-example,
+    App.java:96-150) computes grouped aggregates; this composes the same
+    aggregate machinery into a learned classifier: per-class token counts
+    are ONE map-side-combined aggregation, and scoring is a token join +
+    per-doc aggregation — no Python, no iteration.
+
+    Engine portability: Laplace-smoothed likelihoods are quantized to whole
+    surprisal bits, ``floor(log2((T_k + V) / (c_tk + 1)))`` computed as
+    ``length(bin(x div y)) - 1`` — pure BIGINT both engines evaluate
+    identically (the CLAUDE.md integer-log2 idiom; libm log() differs in
+    the last ulp across engines). Class priors quantize the same way. The
+    argmin over classes uses a zero-padded ``bits || class`` string key, so
+    ties break to the lexicographically smallest class in both engines.
+
+    Output: ``(doc_id, pred_label, true_label, pred_bits, is_correct)``.
+
+    Scale: explode -> (token,class) count shuffle (map-side combined);
+    the model relation is |vocab| x K rows — broadcastable for real
+    vocabularies; scoring is one equi-join on token + two per-doc
+    aggregations. Nothing driver-side.
+    """
+    did, txt, lab = F.col(id_col), F.col(text_col), F.col(label_col)
+    from flink_example_spark.operators.text import normalized, tokens
+
+    train = documents.filter(did % holdout_mod != 0)
+    test = documents.filter(did % holdout_mod == 0)
+
+    tr_tok = train.select(
+        lab.alias("__k"), F.explode(tokens(normalized(txt))).alias("__t")
+    ).filter(F.col("__t") != "")
+    counts = tr_tok.groupBy("__t", "__k").agg(F.count(F.lit(1)).alias("__c"))
+    class_tot = counts.groupBy("__k").agg(F.sum("__c").alias("__tot"))
+    vocab = tr_tok.select("__t").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("__v"))
+    # dense (token, class) grid with Laplace-smoothed surprisal bits;
+    # zero-count cells come from the left join
+    model = (
+        vocab.crossJoin(F.broadcast(class_tot))
+        .crossJoin(F.broadcast(vsize))
+        .join(counts, ["__t", "__k"], "left")
+        .select(
+            "__t",
+            "__k",
+            (
+                F.length(
+                    F.bin(
+                        F.expr("(__tot + __v) div (coalesce(__c, 0) + 1)")
+                    )
+                )
+                - 1
+            ).alias("__bits"),
+        )
+    )
+    class_docs = train.groupBy(lab.alias("__k")).agg(F.count(F.lit(1)).alias("__dk"))
+    total_docs = train.agg(F.count(F.lit(1)).alias("__d"))
+    priors = (
+        class_docs.crossJoin(F.broadcast(total_docs))
+        .select("__k", (F.length(F.bin(F.expr("__d div __dk"))) - 1).alias("__pbits"))
+    )
+
+    te_tf = (
+        test.select(did.alias("__id"), F.explode(tokens(normalized(txt))).alias("__t"))
+        .filter(F.col("__t") != "")
+        .groupBy("__id", "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    tok_bits = (
+        te_tf.join(model, "__t")
+        .groupBy("__id", "__k")
+        .agg(F.sum(F.col("__tf") * F.col("__bits")).alias("__tb"))
+    )
+    scored = (
+        test.select(did.alias("__id"))
+        .crossJoin(F.broadcast(priors))
+        .join(tok_bits, ["__id", "__k"], "left")
+        .select(
+            "__id",
+            F.concat(
+                F.lpad(
+                    (F.col("__pbits") + F.coalesce(F.col("__tb"), F.lit(0))).cast(
+                        "string"
+                    ),
+                    20,
+                    "0",
+                ),
+                F.col("__k"),
+            ).alias("__key"),
+        )
+    )
+    best = scored.groupBy("__id").agg(F.min("__key").alias("__bk"))
+    return (
+        best.join(test.select(did.alias("__id"), lab.alias("true_label")), "__id")
+        .select(
+            F.col("__id").alias(id_col),
+            F.substring(F.col("__bk"), 21, 64).alias("pred_label"),
+            "true_label",
+            F.substring(F.col("__bk"), 1, 20).cast("bigint").alias("pred_bits"),
+            F.when(F.substring(F.col("__bk"), 21, 64) == F.col("true_label"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_correct"),
+        )
+    )
+
+
+def nb_language_oracle(holdout_mod: int = 5) -> str:
+    """DuckDB twin of :func:`nb_language_classifier` (documents table)."""
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+        " ' +', ' ', 'g'))"
+    )
+    m = holdout_mod
+    return f"""
+        WITH tr AS MATERIALIZED (
+          SELECT lang AS k, unnest(string_split_regex({norm}, '\\s+')) AS t
+          FROM documents WHERE doc_id % {m} <> 0
+        ), tr2 AS MATERIALIZED (SELECT * FROM tr WHERE t <> ''),
+        c AS MATERIALIZED (SELECT t, k, CAST(COUNT(*) AS BIGINT) AS c FROM tr2 GROUP BY t, k),
+        tk AS MATERIALIZED (SELECT k, CAST(SUM(c) AS BIGINT) AS tot FROM c GROUP BY k),
+        v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM tr2),
+        model AS MATERIALIZED (
+          SELECT vt.t, tk.k, len(bin((tk.tot + v.v) // (COALESCE(c.c, 0) + 1))) - 1 AS bits
+          FROM (SELECT DISTINCT t FROM tr2) vt CROSS JOIN tk CROSS JOIN v
+          LEFT JOIN c ON c.t = vt.t AND c.k = tk.k
+        ),
+        dk AS (SELECT lang AS k, CAST(COUNT(*) AS BIGINT) AS dk
+               FROM documents WHERE doc_id % {m} <> 0 GROUP BY lang),
+        dtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS d
+                 FROM documents WHERE doc_id % {m} <> 0),
+        prior AS MATERIALIZED (
+          SELECT k, len(bin(d // dk)) - 1 AS pbits FROM dk CROSS JOIN dtot
+        ),
+        tf AS MATERIALIZED (
+          SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, unnest(string_split_regex({norm}, '\\s+')) AS t
+            FROM documents WHERE doc_id % {m} = 0
+          ) WHERE t <> '' GROUP BY doc_id, t
+        ),
+        tok AS MATERIALIZED (
+          SELECT tf.doc_id, m.k, CAST(SUM(tf.tf * m.bits) AS BIGINT) AS tb
+          FROM tf JOIN model m USING (t) GROUP BY tf.doc_id, m.k
+        ),
+        scored AS MATERIALIZED (
+          SELECT te.doc_id,
+                 lpad(CAST(p.pbits + COALESCE(tok.tb, 0) AS VARCHAR), 20, '0') || p.k AS key
+          FROM (SELECT doc_id FROM documents WHERE doc_id % {m} = 0) te
+          CROSS JOIN prior p
+          LEFT JOIN tok ON tok.doc_id = te.doc_id AND tok.k = p.k
+        ),
+        best AS (SELECT doc_id, MIN(key) AS bk FROM scored GROUP BY doc_id)
+        SELECT b.doc_id, substr(b.bk, 21) AS pred_label, d.lang AS true_label,
+               CAST(substr(b.bk, 1, 20) AS BIGINT) AS pred_bits,
+               CAST(CASE WHEN substr(b.bk, 21) = d.lang THEN 1 ELSE 0 END AS BIGINT)
+                 AS is_correct
+        FROM best b JOIN documents d USING (doc_id)
+    """

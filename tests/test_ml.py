@@ -205,3 +205,41 @@ def test_ab_cuped_shrinks_variance(spark):
     assert abs(r["theta"] - 1.0) < 0.2            # y tracks x ~one-for-one
     assert abs((r["mean_adj_a"] - r["mean_adj_b"]) - 1.0) < 0.05
     assert abs(r["z_adj"]) > 2 * abs(r["z_raw"])  # the variance reduction
+
+
+def test_nb_language_classifier_learns_separable_classes(spark):
+    from flink_example_spark.operators.ml import nb_language_classifier
+
+    # ids 1..9 % 3 != 0 train, % 3 == 0 holdout; two trivially separable
+    # vocabularies
+    en = "the cat sat on the mat and the dog ran"
+    de = "der hund lief und die katze sass auf der matte"
+    rows = [(i, en if i % 2 == 0 else de, "en" if i % 2 == 0 else "de")
+            for i in range(1, 13)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in
+           nb_language_classifier(df, holdout_mod=3).collect()}
+    assert set(out) == {3, 6, 9, 12}
+    for r in out.values():
+        assert r["pred_label"] == r["true_label"]
+        assert r["is_correct"] == 1
+        assert r["pred_bits"] > 0
+
+
+def test_nb_classifier_prior_only_doc_breaks_ties_to_min_class(spark):
+    from flink_example_spark.operators.ml import nb_language_classifier
+
+    # holdout doc 10 shares no vocabulary with training -> scored by prior
+    # alone; balanced priors (2 docs each) -> equal bits -> min class wins
+    rows = [
+        (1, "aaa bbb", "en"), (2, "aaa bbb", "en"),
+        (3, "ccc ddd", "de"), (4, "ccc ddd", "de"),
+        (10, "zzz qqq", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = nb_language_classifier(df, holdout_mod=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["doc_id"] == 10
+    assert r["pred_label"] == "de"  # 'de' < 'en' lexicographically
+    assert r["is_correct"] == 0
