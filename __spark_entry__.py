@@ -1208,6 +1208,34 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "flink_example_spark.plans.events_demo", fromlist=["load_events"]
             ).load_events(spark, sf_dir)
         ),
+        # one-sided CUSUM drift detection: the sequential recurrence
+        # rewritten as prefix-sum minus running-min (two stacked windows,
+        # one per-key shuffle); cross-multiplied mean, integer milli-units
+        "timeseries_cusum": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries",
+            fromlist=["cusum_changepoints"],
+        ).cusum_changepoints(
+            __import__(
+                "flink_example_spark.plans.events_demo", fromlist=["load_events"]
+            ).load_events(spark, sf_dir),
+            "event_type",
+            "ts",
+            "value",
+            "event_id",
+            h=2000.0,
+        ),
+        # alpha=1/2 EWMA truncated to 8 power-of-two weights (bit-exact)
+        "timeseries_ewma": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries", fromlist=["ewma_smooth"]
+        ).ewma_smooth(
+            __import__(
+                "flink_example_spark.plans.events_demo", fromlist=["load_events"]
+            ).load_events(spark, sf_dir),
+            "user_id",
+            "ts",
+            "value",
+            "event_id",
+        ),
         # hour-of-day seasonal baseline spike detection per event type
         "timeseries_seasonal_anomalies": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.timeseries",
@@ -2189,6 +2217,14 @@ def _northstar_oracles() -> dict[str, str]:
         "events", "event_type", "ts", min_count=4
     )
     out["timeseries_rolling_actives"] = rolling_active_oracle()
+    from flink_example_spark.operators.timeseries import cusum_oracle, ewma_oracle
+
+    out["timeseries_cusum"] = cusum_oracle(
+        "events", "event_type", "ts", "value", "event_id", h=2000.0
+    )
+    out["timeseries_ewma"] = ewma_oracle(
+        "events", "user_id", "ts", "value", "event_id"
+    )
     from flink_example_spark.operators.sketch import kmv_distinct_oracle
     from flink_example_spark.operators.text import _DUCK_NORM
 

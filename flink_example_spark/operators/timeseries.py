@@ -393,3 +393,206 @@ def rolling_active_oracle(
         FROM g CROSS JOIN mx WHERE report_day <= mx
         GROUP BY 1
     """
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    seq_col: str,
+    h: float = 50.0,
+    scale: int = 1000,
+) -> DataFrame:
+    """One-sided (upward) mean-referenced CUSUM drift detection per key.
+
+    The textbook recurrence ``S_i = max(0, S_{i-1} + (x_i - mean))`` is
+    inherently sequential — useless as written on a cluster. It has an
+    EXACT closed form over prefix sums: ``S_i = P_i - min(0, min_{j<=i}
+    P_j)`` where ``P`` is the running sum of deviations, which is two
+    stacked window functions over ONE per-key shuffle. (Reference parity:
+    the reference engine's window machinery, App.java:170-200, is the
+    same primitive; CUSUM is the composition a monitoring pipeline adds.)
+
+    Engine portability: values quantize to ``floor(value*scale + 0.5)``
+    BIGINT milli-units (IEEE multiply+floor is identical everywhere);
+    the mean reference is CROSS-MULTIPLIED — ``d_i = n*v_i - T`` — so no
+    division ever happens inside the accumulation. The alarm test
+    ``S_i > h*n*scale`` is the classic value-unit threshold in the same
+    integer space. Overflow bound: ``n^2 * v_max * scale < 2^63`` — holds
+    to ~1e6 rows/key of 1e3-magnitude values at scale=1000; shrink
+    ``scale`` past that.
+
+    Output per key: ``n`` observations, ``n_alarms``, ``first_alarm_ts``
+    (timestamp of the first S over threshold, null when none),
+    ``max_stat`` (max S in value units, exact BIGINT/BIGINT double).
+    """
+    src = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("k"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+            F.col(seq_col).alias("seq"),
+            F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("bigint").alias("vq"),
+        )
+    )
+    wk = Window.partitionBy("k")
+    wo = (
+        Window.partitionBy("k")
+        .orderBy("us", "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_p = (
+        src.withColumn("n", F.count(F.lit(1)).over(wk))
+        .withColumn("t", F.sum("vq").over(wk))
+        .withColumn("d", F.col("n") * F.col("vq") - F.col("t"))
+        .withColumn("p", F.sum("d").over(wo))
+    )
+    with_s = with_p.withColumn(
+        "s", F.col("p") - F.least(F.lit(0), F.min("p").over(wo))
+    ).withColumn(
+        "alarm",
+        F.col("s").cast("double")
+        > F.lit(float(h)) * F.col("n").cast("double") * F.lit(float(scale)),
+    )
+    return (
+        with_s.groupBy("k")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.when(F.col("alarm"), 1).otherwise(0)).cast("bigint").alias("n_alarms"),
+            F.timestamp_micros(
+                F.min(F.when(F.col("alarm"), F.col("us")))
+            ).alias("first_alarm_ts"),
+            (
+                F.max("s").cast("double")
+                / (F.max("n").cast("double") * F.lit(float(scale)))
+            ).alias("max_stat"),
+        )
+        .select(F.col("k").alias(key_col), "n", "n_alarms", "first_alarm_ts", "max_stat")
+    )
+
+
+def cusum_oracle(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    seq_col: str,
+    h: float = 50.0,
+    scale: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`cusum_changepoints`."""
+    return f"""
+        WITH src AS (
+          SELECT {key_col} AS k, epoch_us({ts_col}) AS us, {seq_col} AS seq,
+                 CAST(floor({value_col} * {scale} + 0.5) AS BIGINT) AS vq
+          FROM {table} WHERE {value_col} IS NOT NULL
+        ), base AS (
+          SELECT k, us, seq, vq,
+                 CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+                 CAST(SUM(vq) OVER (PARTITION BY k) AS BIGINT) AS t
+          FROM src
+        ), pre AS (
+          SELECT k, us, seq, n,
+                 CAST(SUM(n * vq - t) OVER (
+                   PARTITION BY k ORDER BY us, seq ROWS UNBOUNDED PRECEDING
+                 ) AS BIGINT) AS p
+          FROM base
+        ), stat AS (
+          SELECT k, us, n,
+                 p - least(0, CAST(MIN(p) OVER (
+                   PARTITION BY k ORDER BY us, seq ROWS UNBOUNDED PRECEDING
+                 ) AS BIGINT)) AS s
+          FROM pre
+        ), flagged AS (
+          SELECT k, us, n, s,
+                 CAST(s AS DOUBLE) > {float(h)!r} * CAST(n AS DOUBLE) * {float(scale)!r}
+                   AS alarm
+          FROM stat
+        )
+        SELECT k AS {key_col}, MAX(n) AS n,
+               CAST(SUM(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+               make_timestamp(MIN(CASE WHEN alarm THEN us END)) AS first_alarm_ts,
+               CAST(MAX(s) AS DOUBLE) / (CAST(MAX(n) AS DOUBLE) * {float(scale)!r})
+                 AS max_stat
+        FROM flagged GROUP BY k
+    """
+
+
+_EWMA_H = 7  # truncated horizon: weights 2^7 .. 2^0 over the last 8 points
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    seq_col: str,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-key exponential moving average (alpha = 1/2), truncated to the
+    last ``_EWMA_H + 1`` observations so every weight is an exact power of
+    two: ``y_i = sum_k 2^(H-k) * x_(i-k) / sum_k 2^(H-k)`` over available
+    lags k = 0..H. The geometric tail beyond 8 points carries < 0.4% of
+    the mass; truncation buys BIT-EXACT cross-engine results (the infinite
+    recurrence would accumulate doubles — the CLAUDE.md hazard).
+
+    Values quantize to BIGINT milli-units first; the weighted numerator
+    and denominator are exact integers, and the single double division at
+    the output boundary is IEEE exact-rounded. The unrolled ``lag`` chain
+    is one window over one per-key shuffle — no recurrence, no Python.
+
+    Output: ``(key, ts, value, ewma)`` — one row per observation.
+    """
+    src = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("k"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+            F.col(seq_col).alias("seq"),
+            F.col(value_col).alias("v"),
+            F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("bigint").alias("vq"),
+        )
+    )
+    w = Window.partitionBy("k").orderBy("us", "seq")
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for k in range(_EWMA_H + 1):
+        wt = 1 << (_EWMA_H - k)
+        lagged = F.lag("vq", k).over(w) if k else F.col("vq")
+        num = num + F.coalesce(lagged * wt, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    return src.select(
+        F.col("k").alias(key_col),
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        F.col("v").alias(value_col),
+        (num.cast("double") / (den * scale).cast("double")).alias("ewma"),
+    )
+
+
+def ewma_oracle(
+    table: str, key_col: str, ts_col: str, value_col: str, seq_col: str,
+    scale: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`ewma_smooth` (same unrolled lag chain)."""
+    h = _EWMA_H
+    num_terms = []
+    den_terms = []
+    for k in range(h + 1):
+        wt = 1 << (h - k)
+        lagged = f"lag(vq, {k}) OVER w" if k else "vq"
+        num_terms.append(f"COALESCE({lagged} * {wt}, 0)")
+        den_terms.append(f"CASE WHEN {lagged} IS NOT NULL THEN {wt} ELSE 0 END")
+    return f"""
+        WITH src AS (
+          SELECT {key_col} AS k, epoch_us({ts_col}) AS us, {seq_col} AS seq,
+                 {value_col} AS v,
+                 CAST(floor({value_col} * {scale} + 0.5) AS BIGINT) AS vq
+          FROM {table} WHERE {value_col} IS NOT NULL
+        )
+        SELECT k AS {key_col}, make_timestamp(us) AS ts, v AS {value_col},
+               CAST({' + '.join(num_terms)} AS DOUBLE)
+                 / CAST(({' + '.join(den_terms)}) * {scale} AS DOUBLE) AS ewma
+        FROM src
+        WINDOW w AS (PARTITION BY k ORDER BY us, seq ROWS UNBOUNDED PRECEDING)
+    """

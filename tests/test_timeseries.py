@@ -143,3 +143,64 @@ def test_rolling_active_users_window(spark):
     assert out[8] == 1 and out[9] == 1
     # day 10: b (day 3) aged out too; a's return keeps it at 1; clipped at 10
     assert out[10] == 1 and max(out) == 10
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    from flink_example_spark.operators.timeseries import cusum_changepoints
+    import datetime
+
+    # hand-built series with a level shift halfway
+    vals = [10.0, 11.0, 9.0, 10.0, 10.5, 30.0, 31.0, 29.5, 30.5, 31.5]
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("k", base + datetime.timedelta(minutes=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, seq long, v double")
+    h, scale = 8.0, 1000
+    out = cusum_changepoints(df, "key", "ts", "v", "seq", h=h, scale=scale).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    # sequential reference: S_i = max(0, S_{i-1} + (n*vq_i - T))
+    vq = [int(v * scale + 0.5) for v in vals]
+    n, t = len(vq), sum(vq)
+    s, alarms, first = 0, 0, None
+    max_s = 0
+    for i, q in enumerate(vq):
+        s = max(0, s + n * q - t)
+        max_s = max(max_s, s)
+        if s > h * n * scale:
+            alarms += 1
+            first = first if first is not None else i
+    assert r["n"] == n
+    assert r["n_alarms"] == alarms
+    assert alarms > 0 and first is not None
+    assert r["first_alarm_ts"] == base + datetime.timedelta(minutes=first)
+    assert r["max_stat"] == max_s / (n * scale)
+
+
+def test_ewma_matches_truncated_weights(spark):
+    from flink_example_spark.operators.timeseries import ewma_smooth, _EWMA_H
+    import datetime
+
+    vals = [1.0, 2.0, 4.0, 8.0, 16.0, 5.0, 5.0, 5.0, 5.0, 5.0]
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("k", base + datetime.timedelta(hours=i), i, v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, seq long, v double")
+    out = sorted(
+        ewma_smooth(df, "key", "ts", "v", "seq").collect(), key=lambda r: r["ts"]
+    )
+    scale = 1000
+    vq = [int(v * scale + 0.5) for v in vals]
+    for i, r in enumerate(out):
+        num = den = 0
+        for k in range(min(i, _EWMA_H) + 1):
+            w = 1 << (_EWMA_H - k)
+            num += w * vq[i - k]
+            den += w
+        assert r["ewma"] == num / (den * scale)
+    # steady state: late points converge near 5.0 (weights favor recent)
+    assert abs(out[-1]["ewma"] - 5.0) < 0.25
