@@ -969,6 +969,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=29,
             n_rounds=3,
         ),
+        # synchronous weighted label propagation over the term graph —
+        # near-linear community detection, one edges x labels join/round
+        "graph_label_prop": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.graph", fromlist=["label_propagation"]
+        ).label_propagation(
+            __import__(
+                "flink_example_spark.operators.graph", fromlist=["term_graph"]
+            ).term_graph(_docs(spark, sf_dir), min_weight=2),
+            n_rounds=4,
+        ),
         # multi-hop BFS reachability from the co-occurrence hub term via
         # Spark 4's RECURSIVE CTE (Catalyst-planned iteration; identical
         # recursive query text runs in DuckDB)
@@ -1950,6 +1960,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.graph import kcore_oracle
 
     out["graph_kcore"] = kcore_oracle(term_graph_sql(2), k=29, n_rounds=3)
+    from flink_example_spark.operators.graph import label_propagation_oracle
+
+    out["graph_label_prop"] = label_propagation_oracle(term_graph_sql(2), n_rounds=4)
     out["graph_ppr"] = pagerank_oracle(term_graph_sql(2), n_iter=6, seeds=["spark"])
     from flink_example_spark.operators.ml import (
         linear_fit_oracle,

@@ -460,3 +460,88 @@ def kcore_oracle(edges_sql: str, k: int, n_rounds: int = 4) -> str:
         SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree
         FROM e{n_rounds} GROUP BY s HAVING COUNT(*) >= {k}
     """
+
+
+_LPA_INV = 999_999_999_999  # count inversion constant for the argmax key
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan et al. 2007) —
+    the near-linear community detector. Every node starts labeled with its
+    own id; each round it adopts the label carrying the highest total
+    edge weight among its neighbors, ties broken to the smallest label.
+
+    Determinism: the per-node argmax is a MIN over a zero-padded
+    ``(INV - count) || label`` string key — lexicographic min is the max
+    count then the min label, identically in any engine (the repo's
+    composite arg-extreme idiom; no struct ordering needed). Synchronous
+    updates make the round a pure function of the previous labeling, so
+    the result is exactly reproducible for a fixed ``n_rounds`` even
+    where asynchronous LPA would be order-dependent.
+
+    Scale per round: one equi-join of edges against the (node, label)
+    relation on the neighbor id + two key-sized aggregations — the same
+    shuffle shape as one PageRank iteration; labels localCheckpoint per
+    round to cap plan depth (CLAUDE.md iterative-loop rule).
+
+    ``edges`` must be symmetric-directed (as :func:`term_graph` emits).
+    Output: ``(node, label)`` — nodes sharing a label form a community.
+    """
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    labels = e.select(F.col("s").alias("n")).distinct().select(
+        "n", F.col("n").alias("lab")
+    )
+    for _ in range(n_rounds):
+        nb = (
+            e.join(labels.select(F.col("n").alias("d"), "lab"), "d")
+            .groupBy("s", "lab")
+            .agg(F.sum("w").alias("c"))
+        )
+        labels = (
+            nb.select(
+                "s",
+                F.concat(
+                    F.lpad((F.lit(_LPA_INV) - F.col("c")).cast("string"), 12, "0"),
+                    F.col("lab"),
+                ).alias("k"),
+            )
+            .groupBy("s")
+            .agg(F.min("k").alias("k"))
+            .select(F.col("s").alias("n"), F.substring("k", 13, 1024).alias("lab"))
+            .localCheckpoint()
+        )
+    return labels.select(F.col("n").alias("node"), F.col("lab").alias("label"))
+
+
+def label_propagation_oracle(edges_sql: str, n_rounds: int = 4) -> str:
+    """DuckDB twin: the propagation loop unrolled as chained MATERIALIZED
+    CTEs (each round's labels feed the next — the CLAUDE.md inlining rule)."""
+    parts = [
+        f"e AS MATERIALIZED (SELECT src AS s, dst AS d, CAST(w AS BIGINT) AS w"
+        f" FROM ({edges_sql}))",
+        "l0 AS MATERIALIZED (SELECT DISTINCT s AS n, s AS lab FROM e)",
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f"""l{i + 1} AS MATERIALIZED (
+              SELECT s AS n, substr(MIN(
+                lpad(CAST({_LPA_INV} - c AS VARCHAR), 12, '0') || lab), 13) AS lab
+              FROM (
+                SELECT e.s, l.lab, CAST(SUM(e.w) AS BIGINT) AS c
+                FROM e JOIN l{i} l ON e.d = l.n GROUP BY e.s, l.lab
+              ) GROUP BY s
+            )"""
+        )
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT n AS node, lab AS label FROM l{n_rounds}
+    """

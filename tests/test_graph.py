@@ -214,3 +214,20 @@ def test_personalized_pagerank_proximity(spark):
     # uniform (non-personalized) ranks the path ends LOWEST — different order
     u = {x["node"]: x["rank_micro"] for x in pagerank(edges).collect()}
     assert u["c"] > u["a"] and u["c"] > u["e"]
+
+
+def test_label_propagation_finds_two_cliques(spark):
+    from flink_example_spark.operators.graph import label_propagation
+
+    # two triangles {a,b,c} and {x,y,z} joined by one weak bridge c-x
+    und = [("a", "b", 5), ("a", "c", 5), ("b", "c", 5),
+           ("x", "y", 5), ("x", "z", 5), ("y", "z", 5),
+           ("c", "x", 1)]
+    rows = [(s, d, w) for s, d, w in und] + [(d, s, w) for s, d, w in und]
+    e = spark.createDataFrame(rows, "src string, dst string, w long")
+    out = {r["node"]: r["label"] for r in label_propagation(e, n_rounds=4).collect()}
+    assert set(out) == {"a", "b", "c", "x", "y", "z"}
+    # each triangle converges to one label; the bridge does not merge them
+    assert len({out["a"], out["b"], out["c"]}) == 1
+    assert len({out["x"], out["y"], out["z"]}) == 1
+    assert out["a"] != out["x"]
