@@ -969,6 +969,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=29,
             n_rounds=3,
         ),
+        # a-priori association rules over per-doc token baskets: frequent
+        # items prune the basket self-join; cross-multiplied confidence
+        "mining_assoc_rules": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.mining", fromlist=["assoc_rules"]
+        ).assoc_rules(_docs(spark, sf_dir), min_df=250, min_pair_count=200, min_conf_pct=80),
         # synchronous weighted label propagation over the term graph —
         # near-linear community detection, one edges x labels join/round
         "graph_label_prop": lambda spark, sf_dir: __import__(
@@ -1963,6 +1968,11 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.graph import label_propagation_oracle
 
     out["graph_label_prop"] = label_propagation_oracle(term_graph_sql(2), n_rounds=4)
+    from flink_example_spark.operators.mining import assoc_rules_oracle
+
+    out["mining_assoc_rules"] = assoc_rules_oracle(
+        min_df=250, min_pair_count=200, min_conf_pct=80
+    )
     out["graph_ppr"] = pagerank_oracle(term_graph_sql(2), n_iter=6, seeds=["spark"])
     from flink_example_spark.operators.ml import (
         linear_fit_oracle,
