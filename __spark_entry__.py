@@ -1239,6 +1239,27 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id",
             h=2000.0,
         ),
+        # fixed-target CUSUM (the online form: S = max(0, S + v - target))
+        "timeseries_cusum_target": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries",
+            fromlist=["cusum_changepoints"],
+        ).cusum_changepoints(
+            __import__(
+                "flink_example_spark.plans.events_demo", fromlist=["load_events"]
+            ).load_events(spark, sf_dir),
+            "event_type",
+            "ts",
+            "value",
+            "event_id",
+            h=500.0,
+            target=55.0,
+        ),
+        # the same recurrence folded LIVE per key by a stateful streaming
+        # automaton; final version per key == the batch target-form row
+        "streaming_cusum": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.timeseries_stream",
+            fromlist=["run_streaming_cusum"],
+        ).run_streaming_cusum(spark, sf_dir, h=500.0, target=55.0),
         # alpha=1/2 EWMA truncated to 8 power-of-two weights (bit-exact)
         "timeseries_ewma": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.timeseries", fromlist=["ewma_smooth"]
@@ -2245,6 +2266,11 @@ def _northstar_oracles() -> dict[str, str]:
     out["timeseries_cusum"] = cusum_oracle(
         "events", "event_type", "ts", "value", "event_id", h=2000.0
     )
+    out["timeseries_cusum_target"] = cusum_oracle(
+        "events", "event_type", "ts", "value", "event_id", h=500.0, target=55.0
+    )
+    # live fold converges to the batch target-form relation
+    out["streaming_cusum"] = out["timeseries_cusum_target"]
     out["timeseries_ewma"] = ewma_oracle(
         "events", "user_id", "ts", "value", "event_id"
     )

@@ -403,6 +403,7 @@ def cusum_changepoints(
     seq_col: str,
     h: float = 50.0,
     scale: int = 1000,
+    target: float | None = None,
 ) -> DataFrame:
     """One-sided (upward) mean-referenced CUSUM drift detection per key.
 
@@ -442,19 +443,29 @@ def cusum_changepoints(
         .orderBy("us", "seq")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_p = (
-        src.withColumn("n", F.count(F.lit(1)).over(wk))
-        .withColumn("t", F.sum("vq").over(wk))
-        .withColumn("d", F.col("n") * F.col("vq") - F.col("t"))
-        .withColumn("p", F.sum("d").over(wo))
-    )
+    if target is None:
+        # mean-referenced: d_i = n*v_i - T (cross-multiplied, no division);
+        # alarm and stat scale by n accordingly
+        with_p = (
+            src.withColumn("n", F.count(F.lit(1)).over(wk))
+            .withColumn("t", F.sum("vq").over(wk))
+            .withColumn("d", F.col("n") * F.col("vq") - F.col("t"))
+            .withColumn("p", F.sum("d").over(wo))
+        )
+        denom = F.max("n").cast("double") * F.lit(float(scale))
+        alarm_rhs = F.lit(float(h)) * F.col("n").cast("double") * F.lit(float(scale))
+    else:
+        # fixed-target: d_i = v_i - target, the classic online form (the
+        # streaming twin folds exactly this recurrence)
+        tq = int(target * scale + 0.5)
+        with_p = src.withColumn("n", F.count(F.lit(1)).over(wk)).withColumn(
+            "p", F.sum(F.col("vq") - F.lit(tq)).over(wo)
+        )
+        denom = F.lit(float(scale))
+        alarm_rhs = F.lit(float(h)) * F.lit(float(scale))
     with_s = with_p.withColumn(
         "s", F.col("p") - F.least(F.lit(0), F.min("p").over(wo))
-    ).withColumn(
-        "alarm",
-        F.col("s").cast("double")
-        > F.lit(float(h)) * F.col("n").cast("double") * F.lit(float(scale)),
-    )
+    ).withColumn("alarm", F.col("s").cast("double") > alarm_rhs)
     return (
         with_s.groupBy("k")
         .agg(
@@ -463,10 +474,7 @@ def cusum_changepoints(
             F.timestamp_micros(
                 F.min(F.when(F.col("alarm"), F.col("us")))
             ).alias("first_alarm_ts"),
-            (
-                F.max("s").cast("double")
-                / (F.max("n").cast("double") * F.lit(float(scale)))
-            ).alias("max_stat"),
+            (F.max("s").cast("double") / denom).alias("max_stat"),
         )
         .select(F.col("k").alias(key_col), "n", "n_alarms", "first_alarm_ts", "max_stat")
     )
@@ -480,8 +488,18 @@ def cusum_oracle(
     seq_col: str,
     h: float = 50.0,
     scale: int = 1000,
+    target: float | None = None,
 ) -> str:
-    """DuckDB twin of :func:`cusum_changepoints`."""
+    """DuckDB twin of :func:`cusum_changepoints` (both reference forms)."""
+    if target is None:
+        d_expr = "n * vq - t"
+        alarm_rhs = f"{float(h)!r} * CAST(n AS DOUBLE) * {float(scale)!r}"
+        denom = f"(CAST(MAX(n) AS DOUBLE) * {float(scale)!r})"
+    else:
+        tq = int(target * scale + 0.5)
+        d_expr = f"vq - {tq}"
+        alarm_rhs = f"{float(h)!r} * {float(scale)!r}"
+        denom = f"CAST({scale} AS DOUBLE)"
     return f"""
         WITH src AS (
           SELECT {key_col} AS k, epoch_us({ts_col}) AS us, {seq_col} AS seq,
@@ -494,7 +512,7 @@ def cusum_oracle(
           FROM src
         ), pre AS (
           SELECT k, us, seq, n,
-                 CAST(SUM(n * vq - t) OVER (
+                 CAST(SUM({d_expr}) OVER (
                    PARTITION BY k ORDER BY us, seq ROWS UNBOUNDED PRECEDING
                  ) AS BIGINT) AS p
           FROM base
@@ -506,14 +524,14 @@ def cusum_oracle(
           FROM pre
         ), flagged AS (
           SELECT k, us, n, s,
-                 CAST(s AS DOUBLE) > {float(h)!r} * CAST(n AS DOUBLE) * {float(scale)!r}
+                 CAST(s AS DOUBLE) > {alarm_rhs}
                    AS alarm
           FROM stat
         )
         SELECT k AS {key_col}, MAX(n) AS n,
                CAST(SUM(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
                make_timestamp(MIN(CASE WHEN alarm THEN us END)) AS first_alarm_ts,
-               CAST(MAX(s) AS DOUBLE) / (CAST(MAX(n) AS DOUBLE) * {float(scale)!r})
+               CAST(MAX(s) AS DOUBLE) / {denom}
                  AS max_stat
         FROM flagged GROUP BY k
     """

@@ -106,3 +106,159 @@ def run_streaming_rolling_actives(
         .groupBy("report_day")
         .agg(F.count_distinct("__u").alias("n_active"))
     )
+
+
+def streaming_cusum(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    seq_col: str,
+    h: float,
+    target: float,
+    scale: int = 1000,
+) -> DataFrame:
+    """Live one-sided CUSUM against a FIXED target — the textbook online
+    recurrence ``S = max(0, S + (v - target))`` folded per key by an
+    ``applyInPandasWithState`` automaton (the recurrence is sequential by
+    nature; batch mode rewrites it as prefix sums, a stream just... runs
+    it). State per key is five integers. Rows are folded in event-time
+    order within each micro-batch; exactness across batches needs in-order
+    arrival per key (the bounded replay below stages chunks in id order —
+    out-of-order deployments buffer behind a watermark, the cep_stream
+    pattern).
+
+    Emits one versioned summary row per key per batch (update mode); the
+    max-version row per key equals batch
+    ``cusum_changepoints(target=...)`` exactly — shares its oracle.
+    """
+    import pickle
+    from collections.abc import Iterator
+    from typing import Any
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    tq = int(target * scale + 0.5)
+    state_schema = StructType([StructField("pkl", BinaryType(), True)])
+    output_schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("version", LongType()),
+            StructField("n", LongType()),
+            StructField("n_alarms", LongType()),
+            StructField("first_alarm_us", LongType(), True),
+            StructField("max_s", LongType()),
+        ]
+    )
+    src = stream.select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(seq_col).cast("long").alias("_seq"),
+        F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("bigint").alias("_vq"),
+    ).filter(F.col("_vq").isNotNull())
+
+    def process(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            version, s, n, n_alarms, first_us, max_s = pickle.loads(state.get[0])
+        else:
+            version, s, n, n_alarms, first_us, max_s = 0, 0, 0, 0, None, 0
+        rows = pd.concat(list(pdfs)).sort_values(["_us", "_seq"])
+        for us, vq in zip(rows["_us"], rows["_vq"]):
+            s = max(0, s + int(vq) - tq)
+            n += 1
+            max_s = max(max_s, s)
+            if float(s) > h * scale:
+                n_alarms += 1
+                if first_us is None:
+                    first_us = int(us)
+        version += 1
+        state.update((pickle.dumps((version, s, n, n_alarms, first_us, max_s)),))
+        yield pd.DataFrame(
+            [(key[0], version, n, n_alarms, first_us, max_s)],
+            columns=[f.name for f in output_schema.fields],
+        )
+
+    return src.groupBy("_k").applyInPandasWithState(
+        process,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_cusum(
+    spark: SparkSession,
+    sf_dir: str,
+    h: float,
+    target: float,
+    scale: int = 1000,
+    chunks: int = 3,
+) -> DataFrame:
+    """Bounded in-order replay of the event stream through the live CUSUM
+    fold; the final row per key is hash-identical to batch
+    ``cusum_changepoints(events, 'event_type', ..., target=...)``."""
+    import os
+    import tempfile
+
+    from flink_example_spark.streaming.staging import stamp_chunk_mtimes
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    tmpdir = tempfile.mkdtemp(prefix="stream_cusum_")
+    n = ev.count()
+    per = (n + chunks - 1) // chunks
+    for i in range(chunks):
+        part = ev.filter(
+            (F.col("event_id") >= i * per) & (F.col("event_id") < (i + 1) * per)
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmpdir, f"chunk_{i}")
+        )
+    stamp_chunk_mtimes(tmpdir)
+    stream_src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    out = streaming_cusum(
+        stream_src, "event_type", "ts", "value", "event_id", h=h, target=target,
+        scale=scale,
+    )
+    name = f"stream_cusum_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    final = spark.sql(
+        f"""SELECT k, n, n_alarms, first_alarm_us, max_s FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY version DESC) rn
+              FROM {name}
+            ) WHERE rn = 1"""
+    )
+    return final.select(
+        F.col("k").alias("event_type"),
+        "n",
+        "n_alarms",
+        F.timestamp_micros(F.col("first_alarm_us")).alias("first_alarm_ts"),
+        (F.col("max_s").cast("double") / F.lit(float(scale))).alias("max_stat"),
+    )

@@ -204,3 +204,24 @@ def test_ewma_matches_truncated_weights(spark):
         assert r["ewma"] == num / (den * scale)
     # steady state: late points converge near 5.0 (weights favor recent)
     assert abs(out[-1]["ewma"] - 5.0) < 0.25
+
+
+def test_streaming_cusum_matches_batch_target_form(spark):
+    import os
+
+    from flink_example_spark.operators.timeseries import cusum_changepoints
+    from flink_example_spark.streaming.timeseries_stream import run_streaming_cusum
+    from flink_example_spark.tables import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    batch = cusum_changepoints(
+        load_table(spark, sf, "events"), "event_type", "ts", "value",
+        "event_id", h=500.0, target=55.0,
+    )
+    stream = run_streaming_cusum(spark, sf, h=500.0, target=55.0, chunks=2)
+    b = {r["event_type"]: r for r in batch.collect()}
+    s = {r["event_type"]: r for r in stream.collect()}
+    assert set(b) == set(s)
+    for k in b:
+        for c in ("n", "n_alarms", "first_alarm_ts", "max_stat"):
+            assert b[k][c] == s[k][c], (k, c, b[k][c], s[k][c])
