@@ -822,6 +822,15 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             media.filter(F.col("media_type") == "image"), repartition=False
         )
 
+    def mm_dhash(spark, sf_dir):
+        """Gradient difference-hash per image (9x8 grid, right-neighbor
+        compare) — the brightness-invariant twin of mm_ahash; every bit
+        re-derived analytically by the oracle."""
+        media = multimodal.encode_codec_media(_docs(spark, sf_dir), formats=("pgm", "aiff"))
+        return multimodal.image_dhash(
+            media.filter(F.col("media_type") == "image"), repartition=False
+        )
+
     def mm_resize_box(spark, sf_dir):
         """Anti-aliased (box-mean) variant: every output byte is the
         integer mean of an f x f block — re-derived per pixel by the
@@ -1321,6 +1330,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_box": mm_resize_box,
         # perceptual image fingerprint (aHash) — the image-dedup primitive
         "multimodal_ahash": mm_ahash,
+        "multimodal_dhash": mm_dhash,
         "multimodal_crop": mm_crop,
         "multimodal_audio_chunks": mm_audio_chunks,
         # corpus curation (operators/curation.py): benchmark = every doc_id
@@ -1888,6 +1898,32 @@ def _northstar_oracles() -> dict[str, str]:
                CAST(COUNT(*) FILTER (WHERE gray > mean) AS INTEGER) AS n_bits
         FROM px JOIN m USING (doc_id)
         GROUP BY px.doc_id, px.w, px.h
+    """
+    out["multimodal_dhash"] = """
+        WITH img AS (
+          SELECT doc_id, md5(text) AS hh,
+                 CAST(doc_id % 32 + 8 AS INTEGER) AS w,
+                 CAST(doc_id % 24 + 8 AS INTEGER) AS h
+          FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+        ), bits AS (
+          SELECT doc_id, w, h, y, x,
+                 ascii(substr(hh,
+                       CAST(((y * h // 8) * w + (x * w // 9)) % 32 AS INTEGER) + 1,
+                       1)) >
+                 ascii(substr(hh,
+                       CAST(((y * h // 8) * w + ((x + 1) * w // 9)) % 32 AS INTEGER) + 1,
+                       1)) AS b
+          FROM img, range(0, 8) ry(y), range(0, 8) rx(x)
+        )
+        SELECT doc_id AS media_id, w AS in_w, h AS in_h,
+               CAST(COALESCE(SUM(CASE WHEN b AND y * 8 + x >= 32
+                     THEN CAST(1 AS BIGINT) << CAST(y * 8 + x - 32 AS INTEGER) END), 0)
+                 AS BIGINT) AS fp_hi,
+               CAST(COALESCE(SUM(CASE WHEN b AND y * 8 + x < 32
+                     THEN CAST(1 AS BIGINT) << CAST(y * 8 + x AS INTEGER) END), 0)
+                 AS BIGINT) AS fp_lo,
+               CAST(COUNT(*) FILTER (WHERE b) AS INTEGER) AS n_bits
+        FROM bits GROUP BY doc_id, w, h
     """
     out["multimodal_resize_box"] = """
         WITH img AS (

@@ -768,3 +768,55 @@ def ahash_pairs(fps: DataFrame, max_hamming: int = 6) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def image_dhash(media: DataFrame, repartition: bool = True) -> DataFrame:
+    """Difference-hash (dHash) fingerprint per image — the gradient twin
+    of :func:`image_ahash`: sample a 9-wide x 8-tall gray grid and set bit
+    ``y*8 + x`` when cell (y, x) is strictly brighter than its right
+    neighbor (y, x+1). Gradients survive brightness/contrast shifts that
+    move the aHash mean, so the two fingerprints catch different
+    near-duplicate families; production dedup ANDs both distances.
+
+    Same REAL decode path and bit-packing contract as ``image_ahash``
+    (integer channel means, row-major bits, two 32-bit BIGINT halves) —
+    every bit re-derivable analytically from the payload scheme.
+    """
+    import pandas as pd
+
+    def dhash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                if payload[:2] == b"P6":
+                    w, h, data = _parse_ppm(payload)
+                    depth = 3
+                elif payload[:2] == b"P5":
+                    w, h, data = _parse_pgm(payload)
+                    depth = 1
+                else:
+                    continue
+
+                def gray(y: int, x: int) -> int:
+                    p = ((y * h // 8) * w + (x * w // 9)) * depth
+                    return sum(data[p : p + depth]) // depth
+
+                hi = lo = n = 0
+                for y in range(8):
+                    for x in range(8):
+                        if gray(y, x) > gray(y, x + 1):
+                            i = y * 8 + x
+                            n += 1
+                            if i >= 32:
+                                hi |= 1 << (i - 32)
+                            else:
+                                lo |= 1 << i
+                rows.append((int(mid), w, h, hi, lo, n))
+            yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA.fields])
+
+    if repartition:
+        media = media.repartition("media_id")
+    return media.mapInPandas(dhash, schema=AHASH_SCHEMA)

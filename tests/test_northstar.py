@@ -845,3 +845,27 @@ def test_ivfpq_residual_recovers_clusters(spark):
         (F.col("neighbor_id") / 8).cast("long") == (F.col("query_id") / 8).cast("long")
     ).count()
     assert hits >= 0.8 * got.count(), (hits, got.count())
+
+
+def test_image_dhash_identical_payloads_collide(spark):
+    """dHash mirrors the ahash contract: identical (text, dims) images get
+    identical fingerprints; a 64-bit fp splits into two 32-bit halves."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.multimodal import (
+        encode_codec_media,
+        image_dhash,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "same text payload"), (96, "same text payload"), (2, "another image")],
+        "doc_id long, text string",
+    )
+    media = encode_codec_media(docs, formats=("pgm", "aiff"))
+    fps = {r["media_id"]: r for r in
+           image_dhash(media.filter(F.col("media_type") == "image")).collect()}
+    assert (fps[0]["fp_hi"], fps[0]["fp_lo"]) == (fps[96]["fp_hi"], fps[96]["fp_lo"])
+    assert (fps[2]["fp_hi"], fps[2]["fp_lo"]) != (fps[0]["fp_hi"], fps[0]["fp_lo"])
+    for r in fps.values():
+        assert 0 <= r["fp_hi"] < 2 ** 32 and 0 <= r["fp_lo"] < 2 ** 32
+        assert r["n_bits"] == bin(r["fp_hi"]).count("1") + bin(r["fp_lo"]).count("1")
