@@ -154,6 +154,7 @@ def _relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
     out["pivot_status_counts"] = relational.pivot_status_counts
     out["anti_join_customers"] = relational.anti_join_customers
     out["semi_anti_suite"] = relational.semi_anti_suite
+    out["unpivot_flag_metrics"] = relational.unpivot_flag_metrics
     return out
 
 

@@ -697,6 +697,25 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (melt): per-returnflag count metrics pivoted
+    into (l_returnflag, metric, value) rows via the DataFrame ``unpivot``
+    operator — the inverse of ``pivot_status_counts``. Catalyst expands
+    unpivot to a generator over the value columns, so the plan is the
+    aggregation exchange plus a zero-shuffle expand."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    base = t["lineitem"].groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+    return base.unpivot(
+        ["l_returnflag"], ["n_rows", "n_parts", "n_supps"], "metric", "value"
+    )
+
+
 def semi_anti_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated left_semi + left_anti coverage: one tagged relation so a
     single driver-recorded row covers both DataFrame-API join types."""
@@ -722,6 +741,14 @@ DF_ORACLES = {
         "CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O, "
         "CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P "
         "FROM orders GROUP BY o_orderpriority"
+    ),
+    "unpivot_flag_metrics": (
+        # DuckDB's SQL-standard UNPIVOT over the same wide aggregate
+        "UNPIVOT (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts, "
+        "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps "
+        "FROM lineitem GROUP BY l_returnflag) "
+        "ON n_rows, n_parts, n_supps INTO NAME metric VALUE value"
     ),
     "semi_join_customers": (
         "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
