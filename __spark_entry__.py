@@ -984,6 +984,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mining_assoc_rules": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.mining", fromlist=["assoc_rules"]
         ).assoc_rules(_docs(spark, sf_dir), min_df=250, min_pair_count=200, min_conf_pct=80),
+        # order-aware sequential patterns (a->b, a->b->c journey support)
+        # via per-(key,type) first/last spans — no sequence materialization
+        "mining_seq_patterns": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.mining", fromlist=["seq_patterns"]
+        ).seq_patterns(_events(spark, sf_dir), min_support=25),
         # synchronous weighted label propagation over the term graph —
         # near-linear community detection, one edges x labels join/round
         "graph_label_prop": lambda spark, sf_dir: __import__(
@@ -2026,8 +2031,12 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.graph import label_propagation_oracle
 
     out["graph_label_prop"] = label_propagation_oracle(term_graph_sql(2), n_rounds=4)
-    from flink_example_spark.operators.mining import assoc_rules_oracle
+    from flink_example_spark.operators.mining import (
+        assoc_rules_oracle,
+        seq_patterns_oracle,
+    )
 
+    out["mining_seq_patterns"] = seq_patterns_oracle(min_support=25)
     out["mining_assoc_rules"] = assoc_rules_oracle(
         min_df=250, min_pair_count=200, min_conf_pct=80
     )

@@ -138,3 +138,94 @@ def assoc_rules_oracle(
         CROSS JOIN n
         WHERE 100 * bd.cab >= {min_conf_pct} * ia.c
     """
+
+
+def seq_patterns(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    min_support: int = 1,
+) -> DataFrame:
+    """Order-aware sequential patterns (PrefixSpan-style support counts):
+    how many keys exhibit ``a -> b`` (some a-event strictly before some
+    b-event) and ``a -> b -> c``. The unordered twin is
+    :func:`assoc_rules`; ordering is what turns co-occurrence into a
+    funnel/journey signal.
+
+    The existence tests collapse to per-(key, type) FIRST/LAST timestamps:
+    ``a -> b`` holds iff ``min_ts(a) < max_ts(b)``, and ``a -> b -> c``
+    holds iff some b-event lies strictly inside ``(min_ts(a),
+    max_ts(c))`` — so support needs ONE per-(key, type) aggregate, a
+    type-pair self-join of that (key x K^2 rows, K = observed types), and
+    for triples one join of the raw b-events against the pair relation.
+    No per-key sequence materialization, no Python.
+
+    Output: ``(kind, a, b, c, support)`` — kind 'pair' (c null) or
+    'triple'; support = distinct keys, exact BIGINT.
+    """
+    ev = events.select(
+        F.col(key_col).alias("u"),
+        F.col(type_col).alias("et"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+    )
+    spans = ev.groupBy("u", "et").agg(
+        F.min("us").alias("mn"), F.max("us").alias("mx")
+    )
+    a = spans.select("u", F.col("et").alias("a"), "mn")
+    b = spans.select("u", F.col("et").alias("b"), "mx")
+    pair_keys = a.join(b, "u").filter(F.col("mn") < F.col("mx"))
+    pairs = (
+        pair_keys.groupBy("a", "b")
+        .agg(F.countDistinct("u").alias("support"))
+        .filter(F.col("support") >= min_support)
+        .select(
+            F.lit("pair").alias("kind"), "a", "b",
+            F.lit(None).cast("string").alias("c"), "support",
+        )
+    )
+    c = spans.select("u", F.col("et").alias("c"), "mx")
+    mids = (
+        ev.select("u", F.col("et").alias("b"), "us")
+        .join(a, "u")
+        .join(c, "u")
+        .filter((F.col("mn") < F.col("us")) & (F.col("us") < F.col("mx")))
+    )
+    triples = (
+        mids.groupBy("a", "b", "c")
+        .agg(F.countDistinct("u").alias("support"))
+        .filter(F.col("support") >= min_support)
+        .select(F.lit("triple").alias("kind"), "a", "b", "c", "support")
+    )
+    return pairs.unionByName(triples)
+
+
+def seq_patterns_oracle(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    min_support: int = 1,
+) -> str:
+    """DuckDB twin of :func:`seq_patterns`."""
+    return f"""
+        WITH ev AS MATERIALIZED (
+          SELECT {key_col} AS u, {type_col} AS et, epoch_us({ts_col}) AS us
+          FROM {table}
+        ), spans AS MATERIALIZED (
+          SELECT u, et, MIN(us) AS mn, MAX(us) AS mx FROM ev GROUP BY u, et
+        ), pairs AS (
+          SELECT 'pair' AS kind, a.et AS a, b.et AS b, CAST(NULL AS VARCHAR) AS c,
+                 CAST(COUNT(DISTINCT a.u) AS BIGINT) AS support
+          FROM spans a JOIN spans b ON a.u = b.u AND a.mn < b.mx
+          GROUP BY a.et, b.et HAVING COUNT(DISTINCT a.u) >= {min_support}
+        ), triples AS (
+          SELECT 'triple' AS kind, a.et AS a, m.et AS b, c.et AS c,
+                 CAST(COUNT(DISTINCT m.u) AS BIGINT) AS support
+          FROM ev m
+          JOIN spans a ON a.u = m.u AND a.mn < m.us
+          JOIN spans c ON c.u = m.u AND m.us < c.mx
+          GROUP BY a.et, m.et, c.et HAVING COUNT(DISTINCT m.u) >= {min_support}
+        )
+        SELECT * FROM pairs UNION ALL SELECT * FROM triples
+    """

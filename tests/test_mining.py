@@ -33,3 +33,31 @@ def test_assoc_rules_prunes_infrequent_items(spark):
     # only xx has df >= 6 (df=10); every other item is pruned before the
     # pair join, so no rule survives at all
     assert terms == set()
+
+
+def test_seq_patterns_order_sensitivity(spark):
+    from flink_example_spark.operators.mining import seq_patterns
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(u, et, minute):
+        return (u, et, base + datetime.timedelta(minutes=minute))
+
+    # user 1: A B C in order; user 2: C B A (reversed); user 3: A C only
+    rows = [ev(1, "A", 0), ev(1, "B", 1), ev(1, "C", 2),
+            ev(2, "C", 0), ev(2, "B", 1), ev(2, "A", 2),
+            ev(3, "A", 0), ev(3, "C", 5)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {}
+    for r in seq_patterns(df, min_support=1).collect():
+        out[(r["kind"], r["a"], r["b"], r["c"])] = r["support"]
+    # A->B: user 1 only (user 2 has B before A)
+    assert out[("pair", "A", "B", None)] == 1
+    assert out[("pair", "B", "A", None)] == 1  # user 2
+    assert out[("pair", "A", "C", None)] == 2  # users 1, 3
+    # A->B->C strictly ordered: user 1 only
+    assert out[("triple", "A", "B", "C")] == 1
+    assert ("triple", "C", "B", "A") in out  # user 2's reversed journey
+    # no same-type pair for single occurrences
+    assert ("pair", "A", "A", None) not in out
