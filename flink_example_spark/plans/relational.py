@@ -122,6 +122,18 @@ TEMPLATES: dict[str, str] = {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
+    # Distribution window trio (§2.4 extension): NTILE bucketing,
+    # PERCENT_RANK and CUME_DIST — all exact integer-ratio doubles, and
+    # identical SQL text in both engines.
+    "distribution_windows": """
+        SELECT o_custkey, o_orderkey,
+               NTILE(4) OVER w AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY CAST(o_totalprice AS DOUBLE), o_orderkey)
+    """,
     # ROLLUP grouping sets (§2.3 extension).
     "rollup_revenue": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
