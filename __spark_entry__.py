@@ -1275,6 +1275,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.timeseries_stream",
             fromlist=["run_streaming_cusum"],
         ).run_streaming_cusum(spark, sf_dir, h=500.0, target=55.0),
+        # the same truncated smoother LIVE: per-key state = 8 integers
+        "streaming_ewma": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.timeseries_stream",
+            fromlist=["run_streaming_ewma"],
+        ).run_streaming_ewma(spark, sf_dir),
         # alpha=1/2 EWMA truncated to 8 power-of-two weights (bit-exact)
         "timeseries_ewma": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.timeseries", fromlist=["ewma_smooth"]
@@ -2320,6 +2325,8 @@ def _northstar_oracles() -> dict[str, str]:
     out["timeseries_ewma"] = ewma_oracle(
         "events", "user_id", "ts", "value", "event_id"
     )
+    # live 8-integer-state fold converges row-for-row to the batch smoother
+    out["streaming_ewma"] = out["timeseries_ewma"]
     from flink_example_spark.operators.sketch import kmv_distinct_oracle
     from flink_example_spark.operators.text import _DUCK_NORM
 

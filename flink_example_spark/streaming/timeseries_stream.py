@@ -262,3 +262,128 @@ def run_streaming_cusum(
         F.timestamp_micros(F.col("first_alarm_us")).alias("first_alarm_ts"),
         (F.col("max_s").cast("double") / F.lit(float(scale))).alias("max_stat"),
     )
+
+
+def streaming_ewma(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    seq_col: str,
+    scale: int = 1000,
+) -> DataFrame:
+    """Live truncated EWMA (alpha = 1/2): per-key state is just the last
+    ``_EWMA_H + 1`` quantized observations — the truncation that buys
+    batch/stream bit-exactness also bounds streaming state to 8 integers
+    per key, which is exactly why production smoothers truncate. Each
+    observation is emitted once with its smoothed value; in-order replay
+    converges row-for-row to batch ``ewma_smooth`` (shares its oracle).
+    """
+    import pickle
+    from collections.abc import Iterator
+    from typing import Any
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from flink_example_spark.operators.timeseries import _EWMA_H
+
+    state_schema = StructType([StructField("pkl", BinaryType(), True)])
+    output_schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("us", LongType()),
+            StructField("v", DoubleType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+    src = stream.select(
+        F.col(key_col).cast("long").alias("_k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(seq_col).cast("long").alias("_seq"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("bigint").alias("_vq"),
+    ).filter(F.col("_vq").isNotNull())
+
+    def process(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        hist: list[int] = pickle.loads(state.get[0]) if state.exists else []
+        rows = pd.concat(list(pdfs)).sort_values(["_us", "_seq"])
+        out = []
+        for us, v, vq in zip(rows["_us"], rows["_v"], rows["_vq"]):
+            hist.append(int(vq))
+            hist = hist[-(_EWMA_H + 1):]
+            num = den = 0
+            for idx, q in enumerate(reversed(hist)):
+                w = 1 << (_EWMA_H - idx)
+                num += q * w
+                den += w
+            out.append((key[0], int(us), float(v), num / (den * scale)))
+        state.update((pickle.dumps(hist),))
+        yield pd.DataFrame(out, columns=[f.name for f in output_schema.fields])
+
+    return src.groupBy("_k").applyInPandasWithState(
+        process,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_ewma(
+    spark: SparkSession, sf_dir: str, scale: int = 1000, chunks: int = 3
+) -> DataFrame:
+    """Bounded in-order replay through the live EWMA; row-identical to
+    batch ``ewma_smooth(events, 'user_id', ...)`` — shares its oracle."""
+    import os
+    import tempfile
+
+    from flink_example_spark.streaming.staging import stamp_chunk_mtimes
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    tmpdir = tempfile.mkdtemp(prefix="stream_ewma_")
+    n = ev.count()
+    per = (n + chunks - 1) // chunks
+    for i in range(chunks):
+        part = ev.filter(
+            (F.col("event_id") >= i * per) & (F.col("event_id") < (i + 1) * per)
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmpdir, f"chunk_{i}")
+        )
+    stamp_chunk_mtimes(tmpdir)
+    stream_src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    out = streaming_ewma(stream_src, "user_id", "ts", "value", "event_id", scale=scale)
+    name = f"stream_ewma_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        F.col("k").alias("user_id"),
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        F.col("v").alias("value"),
+        "ewma",
+    )
