@@ -116,6 +116,15 @@ HEADLINE = [
     "text_phrase_search",
     "text_boolean_search",
     "ann_recall_eval",
+    # added round 6 continuation 4
+    "ml_nb_language",
+    "timeseries_cusum",
+    "timeseries_ewma",
+    "graph_label_prop",
+    "mining_assoc_rules",
+    "mining_seq_patterns",
+    "multimodal_dhash",
+    "distribution_windows",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite
