@@ -1012,6 +1012,25 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # distributed model fitting on the corpus (integer normal equations)
         "ml_linear_fit": linfit_entry,
+        # the model-eval loop over the same calibration fit: train on
+        # doc_id % 5 != 0, per-language holdout MAE/RMSE from quantized
+        # residuals (exact integer error sums, sqrt at the boundary)
+        "ml_regression_eval": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["regression_eval"]
+        ).regression_eval(
+            _docs(spark, sf_dir).select(
+                "doc_id",
+                "lang",
+                "n_chars",
+                F.size(
+                    F.array_remove(text.tokens(text.normalized(F.col("text"))), "")
+                ).alias("n_tok"),
+            ),
+            "doc_id",
+            "lang",
+            "n_tok",
+            "n_chars",
+        ),
         "ml_zscore_outliers": zscore_entry,
         # collaborative-filtering primitive: user-user cosine kNN over
         # event-type behavior profiles (relational sparse dot product)
@@ -2057,6 +2076,16 @@ def _northstar_oracles() -> dict[str, str]:
         f"{text._DUCK_NORM}, '\\s+'), t -> t <> '')) AS n_tok FROM documents"
     )
     out["ml_linear_fit"] = linear_fit_oracle(_ml_src, "lang", "n_tok", "n_chars")
+    from flink_example_spark.operators.ml import regression_eval_oracle
+
+    out["ml_regression_eval"] = regression_eval_oracle(
+        "SELECT doc_id, lang, n_chars, len(list_filter(string_split_regex("
+        f"{text._DUCK_NORM}, '\\s+'), t -> t <> '')) AS n_tok FROM documents",
+        "doc_id",
+        "lang",
+        "n_tok",
+        "n_chars",
+    )
     # monoid sufficient statistics: the bounded stream replay converges
     # exactly to the batch fit
     out["streaming_linear_fit"] = out["ml_linear_fit"]

@@ -973,3 +973,101 @@ def nb_language_oracle(holdout_mod: int = 5) -> str:
                  AS is_correct
         FROM best b JOIN documents d USING (doc_id)
     """
+
+
+def regression_eval(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    holdout_mod: int = 5,
+    scale: int = 1000,
+) -> DataFrame:
+    """Train/holdout evaluation harness for :func:`linear_fit` — the
+    model-quality loop a calibration pipeline runs: fit per-group OLS on
+    ``id % holdout_mod != 0``, score the holdout, report per-group MAE and
+    RMSE.
+
+    Portability: the prediction ``intercept + slope*x`` and the residual
+    are a FIXED sequence of exactly-rounded double ops on portable fit
+    outputs; residuals then QUANTIZE to BIGINT milli-units before any sum
+    (the CLAUDE.md rule — never SUM raw doubles), so Σ|e| and Σe² are
+    exact integers, and MAE/RMSE are single double divisions (plus one
+    exact-rounded sqrt) at the output boundary. Overflow bound:
+    n·(err·scale)² < 2^63 — thousands-magnitude residuals at scale=1000
+    hold to ~1e7 holdout rows per group.
+
+    Output: ``(grp, n_test, mae, rmse)``.
+    """
+    did = F.col(id_col)
+    train = df.filter(did % holdout_mod != 0)
+    test = df.filter(did % holdout_mod == 0)
+    # reserved alias so a caller whose group column is itself named "grp"
+    # (the fit's output name) cannot collide after the join
+    model = linear_fit(train, group_col, x_col, y_col).select(
+        F.col("grp").alias("__re_grp"), "slope", "intercept"
+    )
+    scored = test.join(
+        F.broadcast(model), test[group_col] == model["__re_grp"]
+    ).select(
+        F.col("__re_grp").alias("__re_g"),
+        F.floor(
+            (
+                F.col(y_col).cast("double")
+                - (F.col("intercept") + F.col("slope") * F.col(x_col).cast("double"))
+            )
+            * scale
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("eq"),
+    )
+    return scored.groupBy(F.col("__re_g").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        (
+            (F.sum(F.abs(F.col("eq"))).cast("double") / F.count(F.lit(1)))
+            / F.lit(float(scale))
+        ).alias("mae"),
+        (
+            F.sqrt(
+                F.sum(F.col("eq") * F.col("eq")).cast("double") / F.count(F.lit(1))
+            )
+            / F.lit(float(scale))
+        ).alias("rmse"),
+    )
+
+
+def regression_eval_oracle(
+    source_sql: str,
+    id_col: str,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    holdout_mod: int = 5,
+    scale: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`regression_eval`. ``source_sql`` must yield
+    ``id_col``, ``group_col``, ``x_col``, ``y_col``."""
+    fit = linear_fit_oracle(
+        f"SELECT * FROM ({source_sql}) WHERE {id_col} % {holdout_mod} <> 0",
+        group_col,
+        x_col,
+        y_col,
+    )
+    return f"""
+        WITH model AS MATERIALIZED ({fit}),
+        scored AS (
+          SELECT m.grp,
+                 CAST(floor((CAST({y_col} AS DOUBLE)
+                       - (m.intercept + m.slope * CAST({x_col} AS DOUBLE)))
+                      * {scale} + 0.5) AS BIGINT) AS eq
+          FROM ({source_sql}) t
+          JOIN model m ON t.{group_col} = m.grp
+          WHERE t.{id_col} % {holdout_mod} = 0
+        )
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_test,
+               (CAST(SUM(abs(eq)) AS DOUBLE) / COUNT(*)) / {float(scale)!r} AS mae,
+               sqrt(CAST(SUM(eq * eq) AS DOUBLE) / COUNT(*)) / {float(scale)!r} AS rmse
+        FROM scored GROUP BY grp
+    """

@@ -243,3 +243,31 @@ def test_nb_classifier_prior_only_doc_breaks_ties_to_min_class(spark):
     assert r["doc_id"] == 10
     assert r["pred_label"] == "de"  # 'de' < 'en' lexicographically
     assert r["is_correct"] == 0
+
+
+def test_regression_eval_perfect_fit_zero_error(spark):
+    from flink_example_spark.operators.ml import regression_eval
+
+    # y = 3x + 7 exactly on train AND holdout -> mae = rmse = 0
+    rows = [(i, "g", i % 11 + 1, 3 * (i % 11 + 1) + 7) for i in range(1, 31)]
+    df = spark.createDataFrame(rows, "id long, grp string, x long, y long")
+    out = regression_eval(df, "id", "grp", "x", "y", holdout_mod=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_test"] == 6  # ids 5,10,15,20,25,30
+    assert r["mae"] == 0.0 and r["rmse"] == 0.0
+
+
+def test_regression_eval_known_residuals(spark):
+    import math
+
+    from flink_example_spark.operators.ml import regression_eval
+
+    # train: exact line y = 2x; holdout: off by +3 and -1
+    rows = [(1, "g", 1, 2), (2, "g", 2, 4), (3, "g", 3, 6), (4, "g", 4, 8),
+            (5, "g", 10, 23), (10, "g", 20, 39)]
+    df = spark.createDataFrame(rows, "id long, grp string, x long, y long")
+    r = regression_eval(df, "id", "grp", "x", "y", holdout_mod=5).collect()[0]
+    assert r["n_test"] == 2
+    assert abs(r["mae"] - 2.0) < 1e-9          # (|3| + |-1|) / 2
+    assert abs(r["rmse"] - math.sqrt(5.0)) < 1e-9  # sqrt((9 + 1) / 2)
