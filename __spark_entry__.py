@@ -881,6 +881,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_q(text.fingerprint, "fingerprint"),
         "text_lang_id": text_q(text.lang_id, "lang_pred"),
         "text_quality_score": text_q(text.quality_score, "quality"),
+        # per-doc Shannon entropy of the token distribution (integer bits)
+        # — the self-repetitiveness gate complementing lm_surprisal
+        "text_token_entropy": lambda spark, sf_dir: text.token_entropy(
+            _docs(spark, sf_dir)
+        ),
         "dedup_exact": lambda spark, sf_dir: dedup.exact_dedup(_docs(spark, sf_dir)),
         "dedup_ngram_jaccard": lambda spark, sf_dir: dedup.ngram_jaccard_pairs(
             _docs(spark, sf_dir), threshold=0.8
@@ -1983,6 +1988,7 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators import curation, text
 
     out["text_lm_surprisal"] = text.lm_surprisal_oracle()
+    out["text_token_entropy"] = text.token_entropy_oracle()
     out["text_bigram_surprisal"] = text.bigram_surprisal_oracle("doc_id % 2 = 0")
     out["curation_dsir_weights"] = curation.dsir_oracle("lang = 'en'")
     out["text_boolean_search"] = text.boolean_search_oracle(["spark", "merge", "window"])

@@ -15,7 +15,7 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny function-word lists for the lang-id heuristic. The heuristic is the
@@ -840,4 +840,68 @@ def phrase_search_oracle(phrase: list[str]) -> str:
         )
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
         FROM m WHERE hit GROUP BY doc_id
+    """
+
+
+def token_entropy(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution, quantized
+    to whole bits — the repetitiveness/diversity gate (template spam and
+    keyword-stuffed pages score near 0; natural prose scores high). The
+    complement of ``lm_surprisal``: that scores a doc against the CORPUS
+    distribution, this scores it against ITSELF.
+
+    Per distinct token the contribution is ``tf * floor(log2(n / tf))``
+    bits (n = doc token count) via the integer ``length(bin(n div tf)) -
+    1`` idiom — exact BIGINTs both engines agree on; the average is one
+    double division at the boundary.
+
+    Output: ``(id, n_tokens, n_distinct, avg_entropy_bits)``.
+    Scale: explode → one (doc, token) count aggregation → one per-doc
+    aggregation; no joins, no Python.
+    """
+    tf = (
+        documents.select(
+            F.col(id_col), F.explode(tokens(normalized(F.col(text_col)))).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy(id_col)
+    return (
+        tf.withColumn("n", F.sum("tf").over(w))
+        .groupBy(id_col)
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            (
+                F.sum(
+                    F.col("tf") * (F.length(F.bin(F.expr("n div tf"))) - 1)
+                ).cast("double")
+                / F.max("n")
+            ).alias("avg_entropy_bits"),
+        )
+    )
+
+
+def token_entropy_oracle() -> str:
+    """DuckDB twin of :func:`token_entropy` (documents table)."""
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex({_DUCK_NORM}, '\\s+')) AS t
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tok WHERE t <> '' GROUP BY doc_id, t
+        ), wn AS (
+          SELECT doc_id, t, tf,
+                 CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+          FROM tf
+        )
+        SELECT doc_id, MAX(n) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(tf * (len(bin(n // tf)) - 1)) AS DOUBLE) / MAX(n)
+                 AS avg_entropy_bits
+        FROM wn GROUP BY doc_id
     """

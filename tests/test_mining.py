@@ -61,3 +61,19 @@ def test_seq_patterns_order_sensitivity(spark):
     assert ("triple", "C", "B", "A") in out  # user 2's reversed journey
     # no same-type pair for single occurrences
     assert ("pair", "A", "A", None) not in out
+
+
+def test_token_entropy_orders_repetitive_below_diverse(spark):
+    from flink_example_spark.operators.text import token_entropy
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),   # 0 bits
+        (2, "one two three four five six seven eight"),   # 3 bits (8 distinct)
+        (3, "aa aa bb bb cc cc dd dd"),                   # 2 bits (4 x tf2)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert out[1]["avg_entropy_bits"] == 0.0
+    assert out[2]["avg_entropy_bits"] == 3.0
+    assert out[3]["avg_entropy_bits"] == 2.0
+    assert (out[2]["n_tokens"], out[2]["n_distinct"]) == (8, 8)
