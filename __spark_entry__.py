@@ -3012,7 +3012,9 @@ DRIVER_KEYS = [
     # relational operator classes
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q2_min_price_parts",
+    # q2's correlated-MIN stays in extras (orders_above_customer_avg keeps
+    # the correlated-subquery class); the slot records association rules
+    "mining_assoc_rules",
     "q21_sole_returner",
     "orders_above_customer_avg",
     "cte_distinct_counts",
@@ -3046,8 +3048,11 @@ DRIVER_KEYS = [
     "ann_kmeans_centroids",
     "embedding_near_dup",
     "multimodal_stats",
-    "multimodal_decode",
-    "multimodal_frames",
+    # decode/frames (fake-feature paths) stay in extras — stats + the REAL
+    # codec path keep multimodal driver-exercised; the freed slots record
+    # the supervised NB classifier and graph community detection
+    "ml_nb_language",
+    "graph_label_prop",
     "multimodal_codec",
     "curation_decontaminate",
     "curation_shared_spans",
