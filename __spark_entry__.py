@@ -1017,6 +1017,25 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # distributed model fitting on the corpus (integer normal equations)
         "ml_linear_fit": linfit_entry,
+        # k-fold CV in ONE pass: leave-fold-out models by sufficient-
+        # statistic SUBTRACTION (stats are a sum monoid) — per-(lang,fold)
+        # holdout MAE/RMSE without re-scanning per fold
+        "ml_crossval_eval": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["crossval_eval"]
+        ).crossval_eval(
+            _docs(spark, sf_dir).select(
+                "doc_id",
+                "lang",
+                "n_chars",
+                F.size(
+                    F.array_remove(text.tokens(text.normalized(F.col("text"))), "")
+                ).alias("n_tok"),
+            ),
+            "doc_id",
+            "lang",
+            "n_tok",
+            "n_chars",
+        ),
         # the model-eval loop over the same calibration fit: train on
         # doc_id % 5 != 0, per-language holdout MAE/RMSE from quantized
         # residuals (exact integer error sums, sqrt at the boundary)
@@ -2084,6 +2103,16 @@ def _northstar_oracles() -> dict[str, str]:
     out["ml_linear_fit"] = linear_fit_oracle(_ml_src, "lang", "n_tok", "n_chars")
     from flink_example_spark.operators.ml import regression_eval_oracle
 
+    from flink_example_spark.operators.ml import crossval_eval_oracle
+
+    out["ml_crossval_eval"] = crossval_eval_oracle(
+        "SELECT doc_id, lang, n_chars, len(list_filter(string_split_regex("
+        f"{text._DUCK_NORM}, '\\s+'), t -> t <> '')) AS n_tok FROM documents",
+        "doc_id",
+        "lang",
+        "n_tok",
+        "n_chars",
+    )
     out["ml_regression_eval"] = regression_eval_oracle(
         "SELECT doc_id, lang, n_chars, len(list_filter(string_split_regex("
         f"{text._DUCK_NORM}, '\\s+'), t -> t <> '')) AS n_tok FROM documents",

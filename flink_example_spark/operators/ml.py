@@ -1071,3 +1071,160 @@ def regression_eval_oracle(
                sqrt(CAST(SUM(eq * eq) AS DOUBLE) / COUNT(*)) / {float(scale)!r} AS rmse
         FROM scored GROUP BY grp
     """
+
+
+def crossval_eval(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    k: int = 5,
+    scale: int = 1000,
+) -> DataFrame:
+    """K-fold cross-validation of the per-group OLS fit in ONE data pass —
+    no per-fold re-scan. OLS sufficient statistics are a sum monoid, so
+    the leave-fold-out model is GROUP TOTALS MINUS THE FOLD'S OWN STATS
+    (exact BIGINT subtraction): one (group, fold) aggregation, one
+    group-total aggregation, and every fold's model falls out by
+    subtraction — the algebraic trick that makes k-fold CV cost the same
+    as a single fit at any scale.
+
+    Folds are deterministic (``id % k``); residual quantization and
+    MAE/RMSE follow :func:`regression_eval` exactly.
+
+    Output: ``(grp, fold, n_test, mae, rmse)`` — one row per (group,
+    fold) whose leave-out training side is non-degenerate.
+    """
+    did = F.col(id_col)
+    base = df.select(
+        F.col(group_col).alias("g"),
+        (did % k).alias("fold"),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    )
+    fs = base.groupBy("g", "fold").agg(
+        F.count(F.lit(1)).alias("fn"),
+        F.sum("x").alias("fsx"),
+        F.sum(F.col("x") * F.col("x")).alias("fsxx"),
+        F.sum("y").alias("fsy"),
+        F.sum(F.col("y") * F.col("y")).alias("fsyy"),
+        F.sum(F.col("x") * F.col("y")).alias("fsxy"),
+    )
+    tot = fs.groupBy("g").agg(
+        F.sum("fn").alias("tn"),
+        F.sum("fsx").alias("tsx"),
+        F.sum("fsxx").alias("tsxx"),
+        F.sum("fsy").alias("tsy"),
+        F.sum("fsyy").alias("tsyy"),
+        F.sum("fsxy").alias("tsxy"),
+    )
+    loo = (
+        fs.join(F.broadcast(tot), "g")
+        .select(
+            "g",
+            "fold",
+            (F.col("tn") - F.col("fn")).alias("n"),
+            (F.col("tsx") - F.col("fsx")).alias("sx"),
+            (F.col("tsxx") - F.col("fsxx")).alias("sxx"),
+            (F.col("tsy") - F.col("fsy")).alias("sy"),
+            (F.col("tsxy") - F.col("fsxy")).alias("sxy"),
+        )
+        .withColumn("num", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .withColumn("den_x", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .filter((F.col("n") >= 2) & (F.col("den_x") > 0))
+        .withColumn("slope", F.col("num").cast("double") / F.col("den_x"))
+        .withColumn(
+            "intercept",
+            (F.col("sy").cast("double") - F.col("slope") * F.col("sx")) / F.col("n"),
+        )
+        .select("g", "fold", "slope", "intercept")
+    )
+    scored = base.join(F.broadcast(loo), ["g", "fold"]).select(
+        "g",
+        "fold",
+        F.floor(
+            (
+                F.col("y").cast("double")
+                - (F.col("intercept") + F.col("slope") * F.col("x").cast("double"))
+            )
+            * scale
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("eq"),
+    )
+    return scored.groupBy(
+        F.col("g").alias("grp"), "fold"
+    ).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        (
+            (F.sum(F.abs(F.col("eq"))).cast("double") / F.count(F.lit(1)))
+            / F.lit(float(scale))
+        ).alias("mae"),
+        (
+            F.sqrt(
+                F.sum(F.col("eq") * F.col("eq")).cast("double") / F.count(F.lit(1))
+            )
+            / F.lit(float(scale))
+        ).alias("rmse"),
+    )
+
+
+def crossval_eval_oracle(
+    source_sql: str,
+    id_col: str,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    k: int = 5,
+    scale: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`crossval_eval`."""
+    return f"""
+        WITH base AS MATERIALIZED (
+          SELECT {group_col} AS g, {id_col} % {k} AS fold,
+                 CAST({x_col} AS BIGINT) AS x, CAST({y_col} AS BIGINT) AS y
+          FROM ({source_sql})
+        ), fs AS MATERIALIZED (
+          SELECT g, fold, CAST(COUNT(*) AS BIGINT) AS fn,
+                 CAST(SUM(x) AS BIGINT) AS fsx, CAST(SUM(x*x) AS BIGINT) AS fsxx,
+                 CAST(SUM(y) AS BIGINT) AS fsy, CAST(SUM(y*y) AS BIGINT) AS fsyy,
+                 CAST(SUM(x*y) AS BIGINT) AS fsxy
+          FROM base GROUP BY g, fold
+        ), tot AS (
+          SELECT g, SUM(fn) AS tn, SUM(fsx) AS tsx, SUM(fsxx) AS tsxx,
+                 SUM(fsy) AS tsy, SUM(fsyy) AS tsyy, SUM(fsxy) AS tsxy
+          FROM fs GROUP BY g
+        ), loo AS MATERIALIZED (
+          SELECT g, fold, slope,
+                 (CAST(sy AS DOUBLE) - slope * sx) / n AS intercept
+          FROM (
+            SELECT g, fold, n, sx, sy,
+                   CAST(num AS DOUBLE) / den_x AS slope
+            FROM (
+              SELECT fs.g, fs.fold,
+                     CAST(tn - fn AS BIGINT) AS n,
+                     CAST(tsx - fsx AS BIGINT) AS sx,
+                     CAST(tsxx - fsxx AS BIGINT) AS sxx,
+                     CAST(tsy - fsy AS BIGINT) AS sy,
+                     CAST(tsxy - fsxy AS BIGINT) AS sxy,
+                     CAST((tn - fn) * (tsxy - fsxy)
+                          - (tsx - fsx) * (tsy - fsy) AS BIGINT) AS num,
+                     CAST((tn - fn) * (tsxx - fsxx)
+                          - (tsx - fsx) * (tsx - fsx) AS BIGINT) AS den_x
+              FROM fs JOIN tot USING (g)
+            ) WHERE n >= 2 AND den_x > 0
+          )
+        ), scored AS (
+          SELECT b.g, b.fold,
+                 CAST(floor((CAST(b.y AS DOUBLE)
+                       - (m.intercept + m.slope * CAST(b.x AS DOUBLE)))
+                      * {scale} + 0.5) AS BIGINT) AS eq
+          FROM base b JOIN loo m ON b.g = m.g AND b.fold = m.fold
+        )
+        SELECT g AS grp, fold, CAST(COUNT(*) AS BIGINT) AS n_test,
+               (CAST(SUM(abs(eq)) AS DOUBLE) / COUNT(*)) / {float(scale)!r} AS mae,
+               sqrt(CAST(SUM(eq * eq) AS DOUBLE) / COUNT(*)) / {float(scale)!r} AS rmse
+        FROM scored GROUP BY g, fold
+    """

@@ -271,3 +271,42 @@ def test_regression_eval_known_residuals(spark):
     assert r["n_test"] == 2
     assert abs(r["mae"] - 2.0) < 1e-9          # (|3| + |-1|) / 2
     assert abs(r["rmse"] - math.sqrt(5.0)) < 1e-9  # sqrt((9 + 1) / 2)
+
+
+def test_crossval_subtraction_equals_explicit_refit(spark):
+    """The leave-fold-out-by-subtraction model must equal literally
+    refitting on the complement: compare CV residual metrics against
+    regression_eval run per fold with the roles made to match."""
+    from flink_example_spark.operators.ml import crossval_eval, linear_fit
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, "g", x := rng.randint(1, 50), 3 * x + rng.randint(-4, 4))
+        for i in range(1, 61)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, x long, y long")
+    cv = {(r["grp"], r["fold"]): r for r in
+          crossval_eval(df, "id", "grp", "x", "y", k=3).collect()}
+    assert len(cv) == 3
+    from pyspark.sql import functions as F
+
+    for fold in range(3):
+        train = df.filter(F.col("id") % 3 != fold)
+        fit = linear_fit(train, "grp", "x", "y").collect()[0]
+        test = [r for r in rows if r[0] % 3 == fold]
+        scale = 1000
+        # recompute the quantization exactly as the operator does
+        import math
+
+        eqs = [
+            math.floor((y - (fit["intercept"] + fit["slope"] * x)) * scale + 0.5)
+            for _, _, x, y in test
+        ]
+        n = len(eqs)
+        mae = (sum(abs(e) for e in eqs) / n) / scale
+        rmse = math.sqrt(sum(e * e for e in eqs) / n) / scale
+        r = cv[("g", fold)]
+        assert r["n_test"] == n
+        assert abs(r["mae"] - mae) < 1e-12
+        assert abs(r["rmse"] - rmse) < 1e-12
