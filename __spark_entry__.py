@@ -1017,6 +1017,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # distributed model fitting on the corpus (integer normal equations)
         "ml_linear_fit": linfit_entry,
+        # STREAMING NB serving: frozen batch-trained model, stateless
+        # per-micro-batch scoring (foreachBatch) — converges to batch
+        "streaming_nb_inference": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.ml_stream",
+            fromlist=["run_streaming_nb_inference"],
+        ).run_streaming_nb_inference(spark, sf_dir),
         # k-fold CV in ONE pass: leave-fold-out models by sufficient-
         # statistic SUBTRACTION (stats are a sum monoid) — per-(lang,fold)
         # holdout MAE/RMSE without re-scanning per fold
@@ -2167,6 +2173,8 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import nb_language_oracle
 
     out["ml_nb_language"] = nb_language_oracle()
+    # stateless serving converges to the batch classifier relation
+    out["streaming_nb_inference"] = out["ml_nb_language"]
     out["ml_mad_outliers"] = mad_outliers_oracle(
         "SELECT lang, doc_id, n_chars FROM documents",
         "lang",

@@ -838,12 +838,35 @@ def nb_language_classifier(
     vocabularies; scoring is one equi-join on token + two per-doc
     aggregations. Nothing driver-side.
     """
-    did, txt, lab = F.col(id_col), F.col(text_col), F.col(label_col)
-    from flink_example_spark.operators.text import normalized, tokens
-
+    did, lab = F.col(id_col), F.col(label_col)
     train = documents.filter(did % holdout_mod != 0)
     test = documents.filter(did % holdout_mod == 0)
+    model, priors = nb_train(train, text_col, label_col)
+    scored = nb_score(test, model, priors, id_col, text_col)
+    return scored.join(
+        test.select(did.alias("__id"), lab.alias("true_label")), "__id"
+    ).select(
+        F.col("__id").alias(id_col),
+        F.substring(F.col("__bk"), 21, 64).alias("pred_label"),
+        "true_label",
+        F.substring(F.col("__bk"), 1, 20).cast("bigint").alias("pred_bits"),
+        F.when(F.substring(F.col("__bk"), 21, 64) == F.col("true_label"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_correct"),
+    )
 
+
+def nb_train(
+    train: DataFrame, text_col: str = "text", label_col: str = "lang"
+) -> tuple[DataFrame, DataFrame]:
+    """Train the multinomial NB model: returns ``(model, priors)`` — the
+    dense (token, class) surprisal-bit relation and the per-class prior
+    bits. Frozen (localCheckpoint) at a serving boundary, these two
+    relations ARE the deployable model artifact."""
+    from flink_example_spark.operators.text import normalized, tokens
+
+    txt, lab = F.col(text_col), F.col(label_col)
     tr_tok = train.select(
         lab.alias("__k"), F.explode(tokens(normalized(txt))).alias("__t")
     ).filter(F.col("__t") != "")
@@ -876,9 +899,25 @@ def nb_language_classifier(
         class_docs.crossJoin(F.broadcast(total_docs))
         .select("__k", (F.length(F.bin(F.expr("__d div __dk"))) - 1).alias("__pbits"))
     )
+    return model, priors
 
+
+def nb_score(
+    docs: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a trained NB model: returns ``(__id,
+    __bk)`` where ``__bk`` is the zero-padded ``bits || class`` argmin key
+    (the caller unpacks prediction and score). Stateless per document —
+    exactly the model-serving shape a streaming ingest gate runs."""
+    from flink_example_spark.operators.text import normalized, tokens
+
+    did, txt = F.col(id_col), F.col(text_col)
     te_tf = (
-        test.select(did.alias("__id"), F.explode(tokens(normalized(txt))).alias("__t"))
+        docs.select(did.alias("__id"), F.explode(tokens(normalized(txt))).alias("__t"))
         .filter(F.col("__t") != "")
         .groupBy("__id", "__t")
         .agg(F.count(F.lit(1)).alias("__tf"))
@@ -889,7 +928,7 @@ def nb_language_classifier(
         .agg(F.sum(F.col("__tf") * F.col("__bits")).alias("__tb"))
     )
     scored = (
-        test.select(did.alias("__id"))
+        docs.select(did.alias("__id"))
         .crossJoin(F.broadcast(priors))
         .join(tok_bits, ["__id", "__k"], "left")
         .select(
@@ -906,20 +945,7 @@ def nb_language_classifier(
             ).alias("__key"),
         )
     )
-    best = scored.groupBy("__id").agg(F.min("__key").alias("__bk"))
-    return (
-        best.join(test.select(did.alias("__id"), lab.alias("true_label")), "__id")
-        .select(
-            F.col("__id").alias(id_col),
-            F.substring(F.col("__bk"), 21, 64).alias("pred_label"),
-            "true_label",
-            F.substring(F.col("__bk"), 1, 20).cast("bigint").alias("pred_bits"),
-            F.when(F.substring(F.col("__bk"), 21, 64) == F.col("true_label"), 1)
-            .otherwise(0)
-            .cast("bigint")
-            .alias("is_correct"),
-        )
-    )
+    return scored.groupBy("__id").agg(F.min("__key").alias("__bk"))
 
 
 def nb_language_oracle(holdout_mod: int = 5) -> str:

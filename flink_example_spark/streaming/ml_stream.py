@@ -73,3 +73,66 @@ def run_streaming_linear_fit(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def run_streaming_nb_inference(
+    spark: "SparkSession", sf_dir: str, chunks: int = 3
+) -> "DataFrame":
+    """STREAMING NB model serving: the classifier trained in batch on the
+    train split is FROZEN (localCheckpoint — the deployable artifact), and
+    holdout documents stream through a stateless per-micro-batch scoring
+    join. A document's prediction never depends on other holdout docs, so
+    per-batch evaluation is exact under any chunking — converges to batch
+    ``ml_nb_language`` and shares its oracle. foreachBatch writes are
+    batch-id-keyed (overwrite per batch dir) for at-least-once safety.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.ml import nb_score, nb_train
+    from flink_example_spark.session import shuffle_partitions, tune
+    from flink_example_spark.streaming.dedup_stream import _stage_by_id
+    from flink_example_spark.streaming.pipeline import _read_batches
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    model, priors = nb_train(docs.filter(F.col("doc_id") % 5 != 0))
+    model = model.localCheckpoint()
+    priors = priors.localCheckpoint()
+
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    outdir = tempfile.mkdtemp(prefix="stream_nb_")
+
+    def handle(batch: "DataFrame", batch_id: int) -> None:
+        nb_score(batch, model, priors).write.mode("overwrite").parquet(
+            f"{outdir}/batch={batch_id}"
+        )
+
+    with shuffle_partitions(spark, 8):
+        q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+        q.awaitTermination()
+    best = _read_batches(spark, outdir)
+    return best.join(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            F.col("doc_id").alias("__id"), F.col("lang").alias("true_label")
+        ),
+        "__id",
+    ).select(
+        F.col("__id").alias("doc_id"),
+        F.substring(F.col("__bk"), 21, 64).alias("pred_label"),
+        "true_label",
+        F.substring(F.col("__bk"), 1, 20).cast("bigint").alias("pred_bits"),
+        F.when(F.substring(F.col("__bk"), 21, 64) == F.col("true_label"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_correct"),
+    )
