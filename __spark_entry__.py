@@ -1017,6 +1017,17 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # distributed model fitting on the corpus (integer normal equations)
         "ml_linear_fit": linfit_entry,
+        # winsorized robust mean (clip at exact interpolated p5/p95,
+        # quantize clipped values before the sum)
+        "ml_winsorize": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["winsorize_stats"]
+        ).winsorize_stats(_events(spark, sf_dir), "event_type", "value"),
+        # per-(true, pred) confusion matrix of the NB classifier holdout
+        "ml_nb_confusion": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["nb_language_classifier"]
+        ).nb_language_classifier(_docs(spark, sf_dir))
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n")),
         # STREAMING NB serving: frozen batch-trained model, stateless
         # per-micro-batch scoring (foreachBatch) — converges to batch
         "streaming_nb_inference": lambda spark, sf_dir: __import__(
@@ -2175,6 +2186,15 @@ def _northstar_oracles() -> dict[str, str]:
     out["ml_nb_language"] = nb_language_oracle()
     # stateless serving converges to the batch classifier relation
     out["streaming_nb_inference"] = out["ml_nb_language"]
+    out["ml_nb_confusion"] = f"""
+        SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ({nb_language_oracle()}) GROUP BY true_label, pred_label
+    """
+    from flink_example_spark.operators.ml import winsorize_oracle
+
+    out["ml_winsorize"] = winsorize_oracle(
+        "SELECT event_type, value FROM events", "event_type", "value"
+    )
     out["ml_mad_outliers"] = mad_outliers_oracle(
         "SELECT lang, doc_id, n_chars FROM documents",
         "lang",

@@ -1254,3 +1254,88 @@ def crossval_eval_oracle(
                sqrt(CAST(SUM(eq * eq) AS DOUBLE) / COUNT(*)) / {float(scale)!r} AS rmse
         FROM scored GROUP BY g, fold
     """
+
+
+def winsorize_stats(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group winsorized summary: clip values to the exact interpolated
+    [p_lo, p_hi] percentiles and report the robust mean — the standard
+    tail-taming step before feeding heavy-tailed metrics (latencies,
+    revenue) into models or dashboards.
+
+    Portability: percentiles are the interpolated PERCENTILE ≡
+    QUANTILE_CONT pair; clipping is comparison-only (exact); the clipped
+    mean QUANTIZES each clipped value to BIGINT micro-units before the
+    sum (never SUM raw doubles) and divides once at the boundary.
+
+    Output: ``(grp, n, p_lo, p_hi, n_clipped_low, n_clipped_high,
+    winsorized_mean)``.
+    """
+    rows = df.filter(F.col(x_col).isNotNull()).select(
+        F.col(group_col).alias("grp"), F.col(x_col).cast("double").alias("x")
+    )
+    pct = rows.groupBy("grp").agg(
+        F.percentile(F.col("x"), F.lit(lo)).alias("p_lo"),
+        F.percentile(F.col("x"), F.lit(hi)).alias("p_hi"),
+    )
+    clipped = rows.join(F.broadcast(pct), "grp").select(
+        "grp",
+        "p_lo",
+        "p_hi",
+        F.least(F.greatest(F.col("x"), F.col("p_lo")), F.col("p_hi")).alias("cx"),
+        (F.col("x") < F.col("p_lo")).cast("bigint").alias("is_lo"),
+        (F.col("x") > F.col("p_hi")).cast("bigint").alias("is_hi"),
+    )
+    return clipped.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("p_lo").alias("p_lo"),
+        F.max("p_hi").alias("p_hi"),
+        F.sum("is_lo").alias("n_clipped_low"),
+        F.sum("is_hi").alias("n_clipped_high"),
+        (
+            F.sum(F.floor(F.col("cx") * scale + F.lit(0.5)).cast("bigint")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+            / F.lit(float(scale))
+        ).alias("winsorized_mean"),
+    )
+
+
+def winsorize_oracle(
+    source_sql: str,
+    group_col: str,
+    x_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`winsorize_stats`."""
+    return f"""
+        WITH src AS MATERIALIZED (
+          SELECT {group_col} AS grp, CAST({x_col} AS DOUBLE) AS x
+          FROM ({source_sql}) WHERE {x_col} IS NOT NULL
+        ), pct AS (
+          SELECT grp, QUANTILE_CONT(x, {lo}) AS p_lo, QUANTILE_CONT(x, {hi}) AS p_hi
+          FROM src GROUP BY grp
+        ), clipped AS (
+          SELECT src.grp, pct.p_lo, pct.p_hi,
+                 least(greatest(src.x, pct.p_lo), pct.p_hi) AS cx,
+                 CAST(src.x < pct.p_lo AS BIGINT) AS is_lo,
+                 CAST(src.x > pct.p_hi AS BIGINT) AS is_hi
+          FROM src JOIN pct USING (grp)
+        )
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               MAX(p_lo) AS p_lo, MAX(p_hi) AS p_hi,
+               CAST(SUM(is_lo) AS BIGINT) AS n_clipped_low,
+               CAST(SUM(is_hi) AS BIGINT) AS n_clipped_high,
+               CAST(SUM(CAST(floor(cx * {scale} + 0.5) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / {float(scale)!r} AS winsorized_mean
+        FROM clipped GROUP BY grp
+    """

@@ -122,6 +122,20 @@ TEMPLATES: dict[str, str] = {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
+    # Pure theta (non-equi) join against an inline band dimension —
+    # Catalyst plans BroadcastNestedLoopJoin (there is no equi key at
+    # all), the join class equi/range templates never exercise.
+    "theta_band_join": """
+        SELECT b.band_name, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        FROM orders o
+        JOIN (VALUES ('low', 0.0, 50000.0),
+                     ('mid', 50000.0, 150000.0),
+                     ('high', 150000.0, 1000000000.0)) AS b(band_name, lo, hi)
+          ON CAST(o.o_totalprice AS DOUBLE) >= b.lo
+         AND CAST(o.o_totalprice AS DOUBLE) < b.hi
+        GROUP BY b.band_name
+    """,
     # Distribution window trio (§2.4 extension): NTILE bucketing,
     # PERCENT_RANK and CUME_DIST — all exact integer-ratio doubles, and
     # identical SQL text in both engines.
