@@ -1017,6 +1017,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # distributed model fitting on the corpus (integer normal equations)
         "ml_linear_fit": linfit_entry,
+        # RFM segmentation via global quartile BOUNDARIES (broadcast one
+        # percentile row back; no NTILE total sort) -> <=64 segments
+        "cep_rfm_segments": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.cep", fromlist=["rfm_segments"]
+        ).rfm_segments(_events(spark, sf_dir)),
         # winsorized robust mean (clip at exact interpolated p5/p95,
         # quantize clipped values before the sum)
         "ml_winsorize": lambda spark, sf_dir: __import__(
@@ -2190,6 +2195,9 @@ def _northstar_oracles() -> dict[str, str]:
         SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
         FROM ({nb_language_oracle()}) GROUP BY true_label, pred_label
     """
+    from flink_example_spark.operators.cep import rfm_oracle
+
+    out["cep_rfm_segments"] = rfm_oracle()
     from flink_example_spark.operators.ml import winsorize_oracle
 
     out["ml_winsorize"] = winsorize_oracle(

@@ -634,3 +634,117 @@ def funnel_latency_oracle(
                QUANTILE_CONT(gap_us, 0.9) AS p90_us
         FROM gaps GROUP BY transition
     """
+
+
+def rfm_segments(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic product-analytics rollup. Each user scores 1-4 on each axis
+    against the GLOBAL quartile boundaries of that axis, and users
+    aggregate into at most 64 segments.
+
+    Scale note: the naive formulation is ``NTILE(4)`` over all users —
+    an unpartitioned window, i.e. a single-task total sort. This uses
+    quartile BOUNDARIES instead (one global interpolated-percentile
+    aggregate, broadcast back), so scoring is comparison-only and fully
+    parallel — the same result class with no global sort. Ties sit on
+    whichever side the boundary comparison puts them, identically in
+    both engines.
+
+    Portability: recency/frequency are integers; monetary sums in exact
+    DECIMAL cents (BIGINT); boundaries are interpolated percentiles
+    (PERCENTILE ≡ QUANTILE_CONT); every score is a comparison of an exact
+    integer against those doubles.
+
+    Output: ``(r_score, f_score, m_score, n_users, m_sum)``.
+    """
+    per_user = (
+        events.select(
+            F.col(key_col).alias("u"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+            F.col(value_col).cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("u")
+        .agg(
+            F.max("us").alias("last_us"),
+            F.count(F.lit(1)).alias("freq"),
+            (F.sum("v") * 100).cast("bigint").alias("m_cents"),
+        )
+    )
+    bounds = per_user.agg(
+        *[
+            F.percentile(F.col(c), F.lit(q)).alias(f"{c}_{int(q * 100)}")
+            for c in ("last_us", "freq", "m_cents")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def score(c: str) -> F.Column:
+        x = F.col(c).cast("double")
+        return (
+            F.when(x >= F.col(f"{c}_75"), 4)
+            .when(x >= F.col(f"{c}_50"), 3)
+            .when(x >= F.col(f"{c}_25"), 2)
+            .otherwise(1)
+        )
+
+    scored = per_user.crossJoin(F.broadcast(bounds)).select(
+        score("last_us").alias("r_score"),
+        score("freq").alias("f_score"),
+        score("m_cents").alias("m_score"),
+        "m_cents",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (F.sum("m_cents").cast("double") / 100).alias("m_sum"),
+    )
+
+
+def rfm_oracle(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`rfm_segments`."""
+    cases = {
+        c: f"""CASE WHEN CAST({c} AS DOUBLE) >= b.{c}_75 THEN 4
+                    WHEN CAST({c} AS DOUBLE) >= b.{c}_50 THEN 3
+                    WHEN CAST({c} AS DOUBLE) >= b.{c}_25 THEN 2
+                    ELSE 1 END"""
+        for c in ("last_us", "freq", "m_cents")
+    }
+    return f"""
+        WITH per_user AS MATERIALIZED (
+          SELECT {key_col} AS u, MAX(epoch_us({ts_col})) AS last_us,
+                 CAST(COUNT(*) AS BIGINT) AS freq,
+                 CAST(SUM(CAST({value_col} AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS m_cents
+          FROM {table} GROUP BY {key_col}
+        ), b AS (
+          SELECT
+            QUANTILE_CONT(last_us, 0.25) AS last_us_25,
+            QUANTILE_CONT(last_us, 0.50) AS last_us_50,
+            QUANTILE_CONT(last_us, 0.75) AS last_us_75,
+            QUANTILE_CONT(freq, 0.25) AS freq_25,
+            QUANTILE_CONT(freq, 0.50) AS freq_50,
+            QUANTILE_CONT(freq, 0.75) AS freq_75,
+            QUANTILE_CONT(m_cents, 0.25) AS m_cents_25,
+            QUANTILE_CONT(m_cents, 0.50) AS m_cents_50,
+            QUANTILE_CONT(m_cents, 0.75) AS m_cents_75
+          FROM per_user
+        ), scored AS (
+          SELECT {cases['last_us']} AS r_score,
+                 {cases['freq']} AS f_score,
+                 {cases['m_cents']} AS m_score,
+                 m_cents
+          FROM per_user CROSS JOIN b
+        )
+        SELECT r_score, f_score, m_score, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(m_cents) AS DOUBLE) / 100 AS m_sum
+        FROM scored GROUP BY r_score, f_score, m_score
+    """

@@ -210,3 +210,24 @@ def test_funnel_latency_totals_match_funnel(spark):
 
     assert lat["total"]["p50_us"] == statistics.median(durs)
     assert lat["total"]["p25_us"] <= lat["total"]["p50_us"] <= lat["total"]["p90_us"]
+
+
+def test_rfm_segments_boundary_scoring(spark):
+    import datetime
+
+    from flink_example_spark.operators.cep import rfm_segments
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # 4 users with clearly separated recency/frequency/monetary profiles:
+    # user u gets u events on day u, each worth 10*u
+    for u in range(1, 5):
+        for i in range(u):
+            rows.append((u, base + datetime.timedelta(days=u, minutes=i), 10.0 * u))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = rfm_segments(df).collect()
+    # all three axes order users identically -> 4 diagonal segments
+    segs = {(r["r_score"], r["f_score"], r["m_score"]): r for r in out}
+    assert set(segs) == {(1, 1, 1), (2, 2, 2), (3, 3, 3), (4, 4, 4)}
+    assert all(r["n_users"] == 1 for r in out)
+    assert segs[(4, 4, 4)]["m_sum"] == 160.0  # 4 events x 40
