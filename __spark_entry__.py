@@ -890,6 +890,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda spark, sf_dir: dedup.ngram_jaccard_pairs(
             _docs(spark, sf_dir), threshold=0.8
         ),
+        # EXACT set-similarity join with prefix filtering (PPJoin): no
+        # false negatives, no probability — the deterministic scale path
+        "dedup_ppjoin": lambda spark, sf_dir: dedup.ppjoin_pairs(
+            _docs(spark, sf_dir), threshold_num=4, threshold_den=5
+        ),
         "dedup_minhash_lsh": lambda spark, sf_dir: dedup.minhash_lsh_pairs(
             _docs(spark, sf_dir), threshold=0.8
         ),
@@ -1637,6 +1642,9 @@ def _northstar_oracles() -> dict[str, str]:
         WHERE doc_id NOT IN (SELECT doc_id FROM clusters)
         UNION ALL SELECT doc_id, lang FROM best
     """
+    from flink_example_spark.operators.dedup import ppjoin_oracle
+
+    out["dedup_ppjoin"] = ppjoin_oracle(threshold_num=4, threshold_den=5)
     from flink_example_spark.operators.dedup import fuzzy_word_pairs_oracle
 
     _typo_src = """(

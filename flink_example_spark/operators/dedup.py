@@ -926,3 +926,144 @@ def minhash_portable_oracle(
         LEFT JOIN verdict v USING (doc_id)
         WHERE v.doc_id IS NULL OR v.n_first = v.n_bands
     """
+
+
+def ppjoin_pairs(
+    documents: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT token-set similarity join via prefix filtering (PPJoin,
+    Xiao et al. 2008): all pairs with Jaccard >= t, NO false negatives
+    and NO probability — the deterministic sibling of
+    ``minhash_lsh_pairs`` (probabilistic recall) and the scalable
+    replacement for ``ngram_jaccard_pairs`` (the O(block²) baseline).
+
+    Prefix filter: order every document's distinct tokens by GLOBAL
+    rarity (document frequency asc, token asc — the canonical ordering
+    that minimizes collisions); two sets with Jaccard >= t MUST share a
+    token among their first ``|A| - ceil(t|A|) + 1`` rarest tokens, so
+    candidates come from an equi-join on prefix tokens only. A size
+    filter (``t|A| <= |B| <= |A|/t``, cross-multiplied in integers)
+    prunes further before exact verification counts the intersection.
+
+    The threshold is the RATIONAL ``threshold_num/threshold_den``; every
+    gate is an integer cross-multiplication — no float thresholds
+    anywhere; the output jaccard is one exact double division.
+
+    Output: ``(id_a, id_b, inter, size_a, size_b, jaccard)``.
+
+    Scale: token-rank join (vocab-sized dimension), one prefix self-join
+    whose cost is sum of per-token prefix-list squares (rare-first
+    ordering keeps these lists short), one verification join per
+    candidate pair. All equi-joins; no Python.
+    """
+    from flink_example_spark.operators.text import normalized, tokens
+
+    tn, td = threshold_num, threshold_den
+    dt = (
+        documents.select(
+            F.col(id_col).alias("d"),
+            F.explode(tokens(normalized(F.col(text_col)))).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .distinct()
+    )
+    sizes = dt.groupBy("d").agg(F.count(F.lit(1)).alias("sz"))
+    order = dt.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        dt.join(order, "t")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("d").orderBy("df", "t")
+            ),
+        )
+        .join(sizes, "d")
+    )
+    # prefix length L = sz - ceil(t*sz) + 1, ceil via (tn*sz + td - 1) div td
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("sz") - F.expr(f"({tn} * sz + {td} - 1) div {td}") + 1
+    ).select("d", "t", "sz")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "t")
+        .filter(F.col("a.d") < F.col("b.d"))
+        .filter(
+            (F.lit(tn) * F.col("a.sz") <= F.lit(td) * F.col("b.sz"))
+            & (F.lit(tn) * F.col("b.sz") <= F.lit(td) * F.col("a.sz"))
+        )
+        .select(
+            F.col("a.d").alias("id_a"),
+            F.col("b.d").alias("id_b"),
+            F.col("a.sz").alias("size_a"),
+            F.col("b.sz").alias("size_b"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(dt.select(F.col("d").alias("id_a"), "t"), "id_a")
+        .join(dt.select(F.col("d").alias("id_b"), "t"), ["id_b", "t"])
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return inter.filter(
+        F.lit(td) * F.col("inter")
+        >= F.lit(tn) * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    ).select(
+        "id_a",
+        "id_b",
+        "inter",
+        "size_a",
+        "size_b",
+        (
+            F.col("inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double")
+        ).alias("jaccard"),
+    )
+
+
+def ppjoin_oracle(
+    threshold_num: int = 3, threshold_den: int = 5
+) -> str:
+    """DuckDB twin of :func:`ppjoin_pairs` (documents table)."""
+    from flink_example_spark.operators.text import _DUCK_NORM
+
+    tn, td = threshold_num, threshold_den
+    return f"""
+        WITH dt AS MATERIALIZED (
+          SELECT DISTINCT doc_id AS d, t FROM (
+            SELECT doc_id, unnest(string_split_regex({_DUCK_NORM}, '\\s+')) AS t
+            FROM documents
+          ) WHERE t <> ''
+        ), sizes AS MATERIALIZED (
+          SELECT d, CAST(COUNT(*) AS BIGINT) AS sz FROM dt GROUP BY d
+        ), ord AS MATERIALIZED (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY t
+        ), ranked AS MATERIALIZED (
+          SELECT dt.d, dt.t, sizes.sz,
+                 ROW_NUMBER() OVER (PARTITION BY dt.d ORDER BY ord.df, dt.t) AS rk
+          FROM dt JOIN ord USING (t) JOIN sizes USING (d)
+        ), prefix AS MATERIALIZED (
+          SELECT d, t, sz FROM ranked
+          WHERE rk <= sz - (({tn} * sz + {td} - 1) // {td}) + 1
+        ), cand AS MATERIALIZED (
+          SELECT DISTINCT a.d AS id_a, b.d AS id_b, a.sz AS size_a, b.sz AS size_b
+          FROM prefix a JOIN prefix b ON a.t = b.t AND a.d < b.d
+          WHERE {tn} * a.sz <= {td} * b.sz AND {tn} * b.sz <= {td} * a.sz
+        ), inter AS (
+          SELECT c.id_a, c.id_b, c.size_a, c.size_b,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM cand c
+          JOIN dt x ON x.d = c.id_a
+          JOIN dt y ON y.d = c.id_b AND y.t = x.t
+          GROUP BY c.id_a, c.id_b, c.size_a, c.size_b
+        )
+        SELECT id_a, id_b, inter, size_a, size_b,
+               CAST(inter AS DOUBLE) / CAST(size_a + size_b - inter AS DOUBLE)
+                 AS jaccard
+        FROM inter
+        WHERE {td} * inter >= {tn} * (size_a + size_b - inter)
+    """

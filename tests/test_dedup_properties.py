@@ -291,3 +291,36 @@ def test_jl_projection_properties(spark):
     hits = cosine_topk(p, jl_project(twins, out_dim=16), k=1).collect()
     assert all(r["neighbor_id"] == r["query_id"] - 100000 for r in hits)
     assert all(r["cos"] > 0.999999 for r in hits)
+
+
+def test_ppjoin_matches_brute_force_exactly(spark):
+    """Prefix filtering must lose NOTHING: PPJoin output == brute-force
+    all-pairs exact Jaccard at the same threshold."""
+    from itertools import combinations
+
+    from flink_example_spark.operators.dedup import ppjoin_pairs
+    from flink_example_spark.operators.text import normalized
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),       # J(1,2)=4/6
+        (3, "alpha beta gamma delta epsilon"),    # J(1,3)=1
+        (4, "omega psi chi phi"),
+        (5, "omega psi chi phi upsilon"),         # J(4,5)=4/5
+        (6, "totally different words here now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tn, td = 3, 5
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["jaccard"])
+        for r in ppjoin_pairs(df, tn, td).collect()
+    }
+    sets = {i: set(t.split()) for i, t in docs}
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if td * i >= tn * u:
+            want[(a, b)] = (i, i / u)
+    assert got == want
+    assert (1, 2) in got and (4, 5) in got and (1, 3) in got
