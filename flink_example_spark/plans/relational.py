@@ -122,6 +122,23 @@ TEMPLATES: dict[str, str] = {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
+    # 2-D Pareto skyline (maximize price AND recency): the classic
+    # dominance query, NOT a quadratic self-join — sort one dimension
+    # descending and keep rows that beat the running max of the other
+    # (one window pass; exact-duplicate points keep the smallest key).
+    "pareto_orders": """
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price, o_orderdate
+        FROM (
+          SELECT o_orderkey, o_totalprice, o_orderdate, du,
+                 MAX(du) OVER (ORDER BY CAST(o_totalprice AS DOUBLE) DESC, du DESC,
+                               o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS best_prev
+          FROM (SELECT o_orderkey, o_totalprice, o_orderdate,
+                       {EPOCH_US} AS du
+                FROM orders)
+        ) WHERE best_prev IS NULL OR du > best_prev
+    """,
     # Pure theta (non-equi) join against an inline band dimension —
     # Catalyst plans BroadcastNestedLoopJoin (there is no equi key at
     # all), the join class equi/range templates never exercise.
@@ -667,6 +684,11 @@ def render(name: str, dialect: str) -> str:
         TS="TIMESTAMP_NTZ" if dialect == "spark" else "TIMESTAMP",
         STR="STRING" if dialect == "spark" else "VARCHAR",
         PCT="PERCENTILE" if dialect == "spark" else "QUANTILE_CONT",
+        EPOCH_US=(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            if dialect == "spark"
+            else "epoch_us(o_orderdate)"
+        ),
     )
 
 

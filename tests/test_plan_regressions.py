@@ -539,3 +539,48 @@ def test_phrase_search_single_window_stage(spark):
     assert plan.count("Window [") == 1
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # doc-key window + final aggregation
+
+
+def test_pareto_orders_is_true_skyline(spark, tmp_path):
+    """Windowed skyline == brute-force dominance filter."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime
+
+    from flink_example_spark.plans import relational
+
+    base = datetime.datetime(1995, 1, 1)
+    rows = [
+        (1, 100.0, 10), (2, 90.0, 20), (3, 80.0, 5),  # 3 dominated by 2
+        (4, 100.0, 30),                               # dominates 1
+        (5, 50.0, 40), (6, 200.0, 1),
+    ]
+    tbl = pa.table({
+        "o_orderkey": [r[0] for r in rows],
+        "o_custkey": [0] * len(rows),
+        "o_orderstatus": ["F"] * len(rows),
+        "o_totalprice": [r[1] for r in rows],
+        "o_orderdate": [base + datetime.timedelta(days=r[2]) for r in rows],
+        "o_orderpriority": ["1-URGENT"] * len(rows),
+    })
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part", "lineitem",
+              "events", "documents", "embeddings"):
+        pass  # only orders is read by this template
+    import shutil
+
+    for t in ("region", "nation", "customer", "supplier", "part", "lineitem",
+              "events", "documents", "embeddings"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", str(tmp_path / f"{t}.parquet"))
+    out = relational.run_sql(spark, str(tmp_path), "pareto_orders")
+    got = sorted(r["o_orderkey"] for r in out.collect())
+    # brute force: keep points not strictly dominated
+    pts = {k: (p, d) for k, p, d in rows}
+    want = sorted(
+        k for k, (p, d) in pts.items()
+        if not any(
+            (p2 >= p and d2 >= d and (p2 > p or d2 > d))
+            for k2, (p2, d2) in pts.items() if k2 != k
+        )
+    )
+    assert got == want == [4, 5, 6]
