@@ -1022,6 +1022,33 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # distributed model fitting on the corpus (integer normal equations)
         "ml_linear_fit": linfit_entry,
+        # k-anonymity privacy audit over customer quasi-identifiers
+        "quality_k_anonymity": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.quality", fromlist=["k_anonymity"]
+        ).k_anonymity(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "customer"),
+            ["c_mktsegment", "c_nationkey"],
+            k=5,
+        ),
+        # seasonal-naive forecast baseline scored with MASE over the
+        # final week (densified hourly grid, exact integer errors)
+        "timeseries_forecast_eval": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries",
+            fromlist=["seasonal_naive_eval"],
+        ).seasonal_naive_eval(
+            __import__(
+                "flink_example_spark.plans.events_demo", fromlist=["load_events"]
+            ).load_events(spark, sf_dir),
+            "event_type",
+            "ts",
+        ),
+        # difference-in-differences panel estimator (parity treatment,
+        # mid-span cutover; one conditional aggregation per group)
+        "ml_diff_in_diff": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["diff_in_diff"]
+        ).diff_in_diff(_events(spark, sf_dir), "2024-01-16 00:00:00"),
         # RFM segmentation via global quartile BOUNDARIES (broadcast one
         # percentile row back; no NTILE total sort) -> <=64 segments
         "cep_rfm_segments": lambda spark, sf_dir: __import__(
@@ -2203,6 +2230,19 @@ def _northstar_oracles() -> dict[str, str]:
         SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
         FROM ({nb_language_oracle()}) GROUP BY true_label, pred_label
     """
+    from flink_example_spark.operators.quality import k_anonymity_oracle
+
+    out["quality_k_anonymity"] = k_anonymity_oracle(
+        "customer", ["c_mktsegment", "c_nationkey"], k=5
+    )
+    from flink_example_spark.operators.timeseries import seasonal_naive_oracle
+
+    out["timeseries_forecast_eval"] = seasonal_naive_oracle(
+        "events", "event_type", "ts"
+    )
+    from flink_example_spark.operators.ml import diff_in_diff_oracle
+
+    out["ml_diff_in_diff"] = diff_in_diff_oracle("2024-01-16 00:00:00")
     from flink_example_spark.operators.cep import rfm_oracle
 
     out["cep_rfm_segments"] = rfm_oracle()

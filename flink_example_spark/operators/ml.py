@@ -1339,3 +1339,101 @@ def winsorize_oracle(
                  / COUNT(*) / {float(scale)!r} AS winsorized_mean
         FROM clipped GROUP BY grp
     """
+
+
+def diff_in_diff(
+    events: DataFrame,
+    cutover_ts: str,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Difference-in-differences estimator per group — the panel
+    experimentation design beside :func:`ab_proportion_test` (cross-
+    sectional) and :func:`ab_cuped_test` (covariate adjustment): treatment
+    = odd ``key_col`` (the repo's parity split), exposure starts at
+    ``cutover_ts``, and the causal estimate is
+    ``(ΔT_post−pre) − (ΔC_post−pre)``.
+
+    ONE conditional aggregation per group computes all four cell sums in
+    exact DECIMAL cents and four BIGINT counts; the estimate is a fixed
+    sequence of four exactly-rounded double divisions and three
+    subtractions — portable bit-for-bit.
+
+    Output: ``(grp, n_t_pre, n_t_post, n_c_pre, n_c_post, m_t_pre,
+    m_t_post, m_c_pre, m_c_post, did)``.
+    """
+    treat = (F.col(key_col) % 2 == 1)
+    post = F.col(ts_col).cast("timestamp") >= F.lit(cutover_ts).cast("timestamp")
+    v = F.col(value_col).cast("decimal(18,2)")
+
+    def cell(t: bool, p: bool, what: str):
+        cond = (treat == t) & (post == p)
+        if what == "n":
+            return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+        return F.sum(F.when(cond, v).otherwise(F.lit(0).cast("decimal(18,2)")))
+
+    agg = events.groupBy(F.col(group_col).alias("grp")).agg(
+        cell(True, False, "n").alias("n_t_pre"),
+        cell(True, True, "n").alias("n_t_post"),
+        cell(False, False, "n").alias("n_c_pre"),
+        cell(False, True, "n").alias("n_c_post"),
+        cell(True, False, "s").alias("s_t_pre"),
+        cell(True, True, "s").alias("s_t_post"),
+        cell(False, False, "s").alias("s_c_pre"),
+        cell(False, True, "s").alias("s_c_post"),
+    )
+    means = {
+        c: (F.col(f"s_{c}").cast("double") / F.col(f"n_{c}")).alias(f"m_{c}")
+        for c in ("t_pre", "t_post", "c_pre", "c_post")
+    }
+    out = agg.filter(
+        (F.col("n_t_pre") > 0) & (F.col("n_t_post") > 0)
+        & (F.col("n_c_pre") > 0) & (F.col("n_c_post") > 0)
+    ).select("grp", "n_t_pre", "n_t_post", "n_c_pre", "n_c_post", *means.values())
+    return out.withColumn(
+        "did",
+        (F.col("m_t_post") - F.col("m_t_pre"))
+        - (F.col("m_c_post") - F.col("m_c_pre")),
+    )
+
+
+def diff_in_diff_oracle(
+    cutover_ts: str,
+    table: str = "events",
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`diff_in_diff`."""
+    cells = {
+        "t_pre": f"({key_col} % 2 = 1) AND {ts_col} < TIMESTAMP '{cutover_ts}'",
+        "t_post": f"({key_col} % 2 = 1) AND {ts_col} >= TIMESTAMP '{cutover_ts}'",
+        "c_pre": f"({key_col} % 2 = 0) AND {ts_col} < TIMESTAMP '{cutover_ts}'",
+        "c_post": f"({key_col} % 2 = 0) AND {ts_col} >= TIMESTAMP '{cutover_ts}'",
+    }
+    n_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS n_{k}"
+        for k, c in cells.items()
+    )
+    s_cols = ", ".join(
+        f"SUM(CASE WHEN {c} THEN CAST({value_col} AS DECIMAL(18,2))"
+        f" ELSE CAST(0 AS DECIMAL(18,2)) END) AS s_{k}"
+        for k, c in cells.items()
+    )
+    m_cols = ", ".join(
+        f"CAST(s_{k} AS DOUBLE) / n_{k} AS m_{k}" for k in cells
+    )
+    return f"""
+        WITH agg AS (
+          SELECT {group_col} AS grp, {n_cols}, {s_cols}
+          FROM {table} GROUP BY {group_col}
+        ), m AS (
+          SELECT grp, n_t_pre, n_t_post, n_c_pre, n_c_post, {m_cols}
+          FROM agg
+          WHERE n_t_pre > 0 AND n_t_post > 0 AND n_c_pre > 0 AND n_c_post > 0
+        )
+        SELECT *, (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did FROM m
+    """

@@ -92,3 +92,48 @@ def fk_orphans(
         F.col("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Privacy audit: k-anonymity over a quasi-identifier column set —
+    every row must share its quasi-identifier combination with at least
+    ``k-1`` others, or it is re-identifiable. The governance gate a
+    training-data pipeline runs before releasing joined/attribute data.
+
+    One hash aggregation on the quasi-identifier tuple. Output (one row):
+    ``(k, n_rows, n_groups, n_small_groups, n_rows_at_risk,
+    min_group_size)`` — at-risk rows live in groups smaller than k.
+    """
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("gn"))
+    return groups.agg(
+        F.lit(k).cast("bigint").alias("k"),
+        F.sum("gn").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("gn") < k).cast("bigint")).alias("n_small_groups"),
+        F.sum(F.when(F.col("gn") < k, F.col("gn")).otherwise(0)).alias(
+            "n_rows_at_risk"
+        ),
+        F.min("gn").alias("min_group_size"),
+    )
+
+
+def k_anonymity_oracle(table: str, quasi_cols: list[str], k: int = 5) -> str:
+    """DuckDB twin of :func:`k_anonymity`."""
+    qc = ", ".join(quasi_cols)
+    return f"""
+        WITH g AS (
+          SELECT {qc}, CAST(COUNT(*) AS BIGINT) AS gn
+          FROM {table} GROUP BY {qc}
+        )
+        SELECT CAST({k} AS BIGINT) AS k,
+               CAST(SUM(gn) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN gn < {k} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_small_groups,
+               CAST(SUM(CASE WHEN gn < {k} THEN gn ELSE 0 END) AS BIGINT)
+                 AS n_rows_at_risk,
+               CAST(MIN(gn) AS BIGINT) AS min_group_size
+        FROM g
+    """

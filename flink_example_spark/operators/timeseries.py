@@ -614,3 +614,114 @@ def ewma_oracle(
         FROM src
         WINDOW w AS (PARTITION BY k ORDER BY us, seq ROWS UNBOUNDED PRECEDING)
     """
+
+
+_HOUR_US = 3_600_000_000
+
+
+def seasonal_naive_eval(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    horizon_hours: int = 168,
+    season_hours: int = 168,
+) -> DataFrame:
+    """Forecast-quality baseline harness: score the SEASONAL-NAIVE
+    forecaster (predict this hour's event count with the count from one
+    season earlier) against the plain naive forecaster (previous hour) on
+    the final ``horizon_hours`` of each key's span, reporting MAE for both
+    and MASE (their ratio) — the scale-free metric every forecasting
+    pipeline reports before trying anything fancier.
+
+    The hourly series is DENSIFIED onto an integer-micros grid first
+    (missing hours count 0 — same device as :func:`resample`), so the lag
+    offsets are exact hour steps. Counts and absolute errors are exact
+    BIGINTs; MAE/MASE are single double divisions at the boundary.
+
+    Output: ``(key, n_scored, mae_seasonal, mae_naive, mase)`` (mase null
+    when the naive MAE is 0).
+    """
+    hours = df.select(
+        F.col(key_col).alias("k"),
+        # integer `div`, NOT `/`+cast: double division of 1e15-scale micros
+        # can land one ulp under the boundary and truncate differently
+        F.expr(
+            f"unix_micros(cast(`{ts_col}` as timestamp)) div {_HOUR_US}"
+        ).alias("h"),
+    )
+    hc = hours.groupBy("k", "h").agg(F.count(F.lit(1)).alias("n"))
+    span = hc.groupBy("k").agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = span.select(
+        "k",
+        "hi",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h"),
+    )
+    dense = grid.join(hc, ["k", "h"], "left").select(
+        "k", "h", "hi", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy("k").orderBy("h")
+    scored = (
+        dense.withColumn("f_s", F.lag("n", season_hours).over(w))
+        .withColumn("f_n", F.lag("n", 1).over(w))
+        .filter(
+            (F.col("h") > F.col("hi") - horizon_hours)
+            & F.col("f_s").isNotNull()
+            & F.col("f_n").isNotNull()
+        )
+    )
+    return scored.groupBy(F.col("k").alias(key_col)).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        (
+            F.sum(F.abs(F.col("n") - F.col("f_s"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mae_seasonal"),
+        (
+            F.sum(F.abs(F.col("n") - F.col("f_n"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mae_naive"),
+        F.when(
+            F.sum(F.abs(F.col("n") - F.col("f_n"))) > 0,
+            F.sum(F.abs(F.col("n") - F.col("f_s"))).cast("double")
+            / F.sum(F.abs(F.col("n") - F.col("f_n"))).cast("double"),
+        ).alias("mase"),
+    )
+
+
+def seasonal_naive_oracle(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    horizon_hours: int = 168,
+    season_hours: int = 168,
+) -> str:
+    """DuckDB twin of :func:`seasonal_naive_eval`."""
+    return f"""
+        WITH hc AS MATERIALIZED (
+          SELECT {key_col} AS k, epoch_us({ts_col}) // {_HOUR_US} AS h,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM {table} GROUP BY 1, 2
+        ), span AS (
+          SELECT k, MIN(h) AS lo, MAX(h) AS hi FROM hc GROUP BY k
+        ), grid AS (
+          SELECT k, hi, lo + i AS h
+          FROM span, unnest(range(0, hi - lo + 1)) AS g(i)
+        ), dense AS MATERIALIZED (
+          SELECT grid.k, grid.h, grid.hi, COALESCE(hc.n, 0) AS n
+          FROM grid LEFT JOIN hc ON hc.k = grid.k AND hc.h = grid.h
+        ), scored AS (
+          SELECT * FROM (
+            SELECT k, h, hi, n,
+                   lag(n, {season_hours}) OVER w AS f_s,
+                   lag(n, 1) OVER w AS f_n
+            FROM dense
+            WINDOW w AS (PARTITION BY k ORDER BY h)
+          ) WHERE h > hi - {horizon_hours} AND f_s IS NOT NULL AND f_n IS NOT NULL
+        )
+        SELECT k AS {key_col}, CAST(COUNT(*) AS BIGINT) AS n_scored,
+               CAST(SUM(abs(n - f_s)) AS DOUBLE) / COUNT(*) AS mae_seasonal,
+               CAST(SUM(abs(n - f_n)) AS DOUBLE) / COUNT(*) AS mae_naive,
+               CASE WHEN SUM(abs(n - f_n)) > 0 THEN
+                 CAST(SUM(abs(n - f_s)) AS DOUBLE) / CAST(SUM(abs(n - f_n)) AS DOUBLE)
+               END AS mase
+        FROM scored GROUP BY k
+    """

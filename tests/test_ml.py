@@ -310,3 +310,26 @@ def test_crossval_subtraction_equals_explicit_refit(spark):
         assert r["n_test"] == n
         assert abs(r["mae"] - mae) < 1e-12
         assert abs(r["rmse"] - rmse) < 1e-12
+
+
+def test_diff_in_diff_recovers_planted_effect(spark):
+    import datetime
+
+    from flink_example_spark.operators.ml import diff_in_diff
+
+    pre = datetime.datetime(2024, 1, 10)
+    post = datetime.datetime(2024, 1, 20)
+    rows = []
+    # control (even users): 10 pre and post; treated (odd): 10 pre, 17 post
+    for u in (1, 2, 3, 4):
+        for i in range(5):
+            base_v = 10.0
+            rows.append((u, pre, "x", base_v))
+            lift = 7.0 if u % 2 == 1 else 0.0
+            rows.append((u, post, "x", base_v + lift))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, value double")
+    out = diff_in_diff(df, "2024-01-16 00:00:00").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["did"] == 7.0
+    assert r["m_c_post"] - r["m_c_pre"] == 0.0

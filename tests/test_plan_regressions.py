@@ -564,9 +564,6 @@ def test_pareto_orders_is_true_skyline(spark, tmp_path):
         "o_orderpriority": ["1-URGENT"] * len(rows),
     })
     pq.write_table(tbl, str(tmp_path / "orders.parquet"))
-    for t in ("region", "nation", "customer", "supplier", "part", "lineitem",
-              "events", "documents", "embeddings"):
-        pass  # only orders is read by this template
     import shutil
 
     for t in ("region", "nation", "customer", "supplier", "part", "lineitem",
