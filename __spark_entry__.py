@@ -1022,6 +1022,37 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # distributed model fitting on the corpus (integer normal equations)
         "ml_linear_fit": linfit_entry,
+        # ANALYZE-style column profiler over the events table
+        "quality_profile": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.quality", fromlist=["profile_columns"]
+        ).profile_columns(
+            _events(spark, sf_dir),
+            ["event_id", "user_id", "event_type", "value", "props"],
+            "events",
+        ),
+        # GDPR erasure blast-radius: rows per table for forgotten users
+        # (user_id % 97 == 0 is the deterministic forget set)
+        "quality_forget_impact": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.quality", fromlist=["forget_impact"]
+        ).forget_impact(
+            {
+                "events": (_events(spark, sf_dir), "user_id"),
+                "customer": (
+                    __import__(
+                        "flink_example_spark.tables", fromlist=["load_table"]
+                    ).load_table(spark, sf_dir, "customer"),
+                    "c_custkey",
+                ),
+                "orders": (
+                    __import__(
+                        "flink_example_spark.tables", fromlist=["load_table"]
+                    ).load_table(spark, sf_dir, "orders"),
+                    "o_custkey",
+                ),
+            },
+            _events(spark, sf_dir).filter(F.col("user_id") % 97 == 0),
+            "user_id",
+        ),
         # k-anonymity privacy audit over customer quasi-identifiers
         "quality_k_anonymity": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.quality", fromlist=["k_anonymity"]
@@ -2230,7 +2261,19 @@ def _northstar_oracles() -> dict[str, str]:
         SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
         FROM ({nb_language_oracle()}) GROUP BY true_label, pred_label
     """
-    from flink_example_spark.operators.quality import k_anonymity_oracle
+    from flink_example_spark.operators.quality import (
+        forget_impact_oracle,
+        k_anonymity_oracle,
+        profile_oracle,
+    )
+
+    out["quality_profile"] = profile_oracle(
+        "events", ["event_id", "user_id", "event_type", "value", "props"]
+    )
+    out["quality_forget_impact"] = forget_impact_oracle(
+        {"events": "user_id", "customer": "c_custkey", "orders": "o_custkey"},
+        "SELECT DISTINCT user_id AS __fk FROM events WHERE user_id % 97 = 0",
+    )
 
     out["quality_k_anonymity"] = k_anonymity_oracle(
         "customer", ["c_mktsegment", "c_nationkey"], k=5

@@ -137,3 +137,87 @@ def k_anonymity_oracle(table: str, quasi_cols: list[str], k: int = 5) -> str:
                CAST(MIN(gn) AS BIGINT) AS min_group_size
         FROM g
     """
+
+
+def profile_columns(df: DataFrame, cols: list[str], relation: str) -> DataFrame:
+    """Data profiler (ANALYZE-style): per-column row/null/distinct counts —
+    the discovery pass a pipeline runs on unfamiliar data before writing
+    queries. One aggregation per column (each reads ONLY its column from a
+    columnar scan, so the passes are cheap and embarrassingly parallel).
+
+    Output: ``(relation, column, n_rows, n_null, n_distinct)``.
+    """
+    parts = []
+    for c in cols:
+        parts.append(
+            df.agg(
+                F.lit(relation).alias("relation"),
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("bigint")).alias("n_null"),
+                F.countDistinct(F.col(c)).alias("n_distinct"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def profile_oracle(table: str, cols: list[str]) -> str:
+    """DuckDB twin of :func:`profile_columns`."""
+    selects = [
+        f"""SELECT '{table}' AS relation, '{c}' AS "column",
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_null,
+                   CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+            FROM {table}"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(selects)
+
+
+def forget_impact(
+    tables: dict[str, tuple[DataFrame, str]], forget_keys: DataFrame, key_col: str
+) -> DataFrame:
+    """Right-to-be-forgotten impact audit: given a set of subject keys,
+    report how many rows each table would delete — the blast-radius check
+    a GDPR/CCPA erasure pipeline runs before executing the cascade.
+
+    ``tables`` maps relation name -> (DataFrame, its key column). One
+    broadcast semi-join + count per table. Output: ``(relation,
+    n_rows, n_to_delete)``.
+    """
+    keys = forget_keys.select(F.col(key_col).alias("__fk")).distinct()
+    parts = []
+    for name, (df, col) in tables.items():
+        n = df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("relation"), F.col("n").alias("n_rows")
+        )
+        d = (
+            df.join(
+                F.broadcast(keys), df[col] == keys["__fk"], "left_semi"
+            )
+            .agg(F.count(F.lit(1)).alias("n_to_delete"))
+        )
+        parts.append(n.crossJoin(d))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def forget_impact_oracle(
+    tables: dict[str, str], keys_sql: str
+) -> str:
+    """DuckDB twin of :func:`forget_impact`. ``tables`` maps relation name
+    -> key column; ``keys_sql`` yields one column ``__fk``."""
+    selects = [
+        f"""SELECT '{name}' AS relation,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM {name}) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_to_delete
+            FROM {name} WHERE {col} IN (SELECT __fk FROM ({keys_sql}))"""
+        for name, col in tables.items()
+    ]
+    return " UNION ALL ".join(selects)
