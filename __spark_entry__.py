@@ -1080,6 +1080,15 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_diff_in_diff": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.ml", fromlist=["diff_in_diff"]
         ).diff_in_diff(_events(spark, sf_dir), "2024-01-16 00:00:00"),
+        # per-day rate-limit/quota audit (order-free throttle counts)
+        "cep_rate_limit": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.cep", fromlist=["rate_limit_audit"]
+        ).rate_limit_audit(_events(spark, sf_dir), limit=5),
+        # the same relation LIVE: per-(key,day) counts are a sum monoid
+        "streaming_rate_limit": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.timeseries_stream",
+            fromlist=["run_streaming_rate_limit"],
+        ).run_streaming_rate_limit(spark, sf_dir, limit=5),
         # RFM segmentation via global quartile BOUNDARIES (broadcast one
         # percentile row back; no NTILE total sort) -> <=64 segments
         "cep_rfm_segments": lambda spark, sf_dir: __import__(
@@ -2286,7 +2295,10 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import diff_in_diff_oracle
 
     out["ml_diff_in_diff"] = diff_in_diff_oracle("2024-01-16 00:00:00")
-    from flink_example_spark.operators.cep import rfm_oracle
+    from flink_example_spark.operators.cep import rate_limit_oracle, rfm_oracle
+
+    out["cep_rate_limit"] = rate_limit_oracle(limit=5)
+    out["streaming_rate_limit"] = out["cep_rate_limit"]
 
     out["cep_rfm_segments"] = rfm_oracle()
     from flink_example_spark.operators.ml import winsorize_oracle

@@ -748,3 +748,52 @@ def rfm_oracle(
                CAST(SUM(m_cents) AS DOUBLE) / 100 AS m_sum
         FROM scored GROUP BY r_score, f_score, m_score
     """
+
+
+def rate_limit_audit(
+    events: DataFrame,
+    limit: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ingestion quota audit: per (key, day) event counts against a
+    ``limit``-per-day quota, rolled up per day — how much traffic a
+    rate limiter set to N/key/day would drop. The throttled count is
+    ``max(0, n - limit)`` per (key, day): a pure function of counts, so
+    the relation is ORDER-FREE (which specific events get dropped is a
+    policy choice; how many is not) and therefore exactly streamable as
+    one monoid aggregation.
+
+    Output per day: ``(day, n_events, n_throttled, n_keys_over)``.
+    """
+    per_key = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.date_trunc("day", F.col(ts_col).cast("timestamp")).alias("day"),
+        )
+        .groupBy("k", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_key.groupBy("day").agg(
+        F.sum("n").alias("n_events"),
+        F.sum(F.greatest(F.lit(0), F.col("n") - limit)).alias("n_throttled"),
+        F.sum((F.col("n") > limit).cast("bigint")).alias("n_keys_over"),
+    )
+
+
+def rate_limit_oracle(
+    limit: int, table: str = "events", key_col: str = "user_id", ts_col: str = "ts"
+) -> str:
+    """DuckDB twin of :func:`rate_limit_audit`."""
+    return f"""
+        WITH per_key AS (
+          SELECT {key_col} AS k, date_trunc('day', {ts_col}) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM {table} GROUP BY 1, 2
+        )
+        SELECT day, CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(SUM(greatest(0, n - {limit})) AS BIGINT) AS n_throttled,
+               CAST(SUM(CASE WHEN n > {limit} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_keys_over
+        FROM per_key GROUP BY day
+    """

@@ -387,3 +387,63 @@ def run_streaming_ewma(
         F.col("v").alias("value"),
         "ewma",
     )
+
+
+def run_streaming_rate_limit(
+    spark: SparkSession, sf_dir: str, limit: int, chunks: int = 3
+) -> DataFrame:
+    """STREAMING quota audit: the per-(key, day) count is a sum monoid, so
+    the whole rate-limit relation maintains as ONE complete-mode JVM
+    aggregation (no watermark, no Python state); the day rollup runs over
+    the converged key-day table at read time. Converges to batch
+    ``rate_limit_audit`` under any arrival order — shares its oracle."""
+    import os
+    import tempfile
+
+    from flink_example_spark.streaming.staging import stamp_chunk_mtimes
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    tmpdir = tempfile.mkdtemp(prefix="stream_rl_")
+    n = ev.count()
+    per = (n + chunks - 1) // chunks
+    for i in range(chunks):
+        ev.filter(
+            (F.col("event_id") >= i * per) & (F.col("event_id") < (i + 1) * per)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmpdir, f"chunk_{i}")
+        )
+    stamp_chunk_mtimes(tmpdir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    per_key = (
+        stream.select(
+            F.col("user_id").alias("k"),
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        )
+        .groupBy("k", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"stream_rl_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            per_key.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("day")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum(F.greatest(F.lit(0), F.col("n") - limit)).alias("n_throttled"),
+            F.sum((F.col("n") > limit).cast("bigint")).alias("n_keys_over"),
+        )
+    )
