@@ -1464,6 +1464,15 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_synth_source": lambda spark, sf_dir: __import__(
             "flink_example_spark.sources.synthetic", fromlist=["run_synth_stream"]
         ).run_synth_stream(spark, 2000),
+        # top principal component by distributed power iteration: the
+        # covariance shuffle touches data ONCE; the loop is model-sized
+        "ann_pca_power": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.similarity", fromlist=["pca_power"]
+        ).pca_power(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "embeddings")
+        ),
         "embedding_near_dup": emb_pairs,
         # pair-set precision/recall/F1 of the LSH config vs exact truth
         "dedup_lsh_pair_eval": lsh_pair_eval_entry,
@@ -2270,12 +2279,18 @@ def _northstar_oracles() -> dict[str, str]:
         SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
         FROM ({nb_language_oracle()}) GROUP BY true_label, pred_label
     """
+    from flink_example_spark.operators.similarity import pca_power_oracle
+
+    out["ann_pca_power"] = pca_power_oracle()
     from flink_example_spark.operators.quality import (
         forget_impact_oracle,
         k_anonymity_oracle,
         profile_oracle,
     )
 
+    from flink_example_spark.operators.similarity import pca_power_oracle
+
+    out["ann_pca_power"] = pca_power_oracle()
     out["quality_profile"] = profile_oracle(
         "events", ["event_id", "user_id", "event_type", "value", "props"]
     )

@@ -1178,3 +1178,173 @@ def ivfpq_residual_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_micro")
     )
+
+
+def pca_power(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 16,
+) -> DataFrame:
+    """Top principal component of the embedding matrix by distributed
+    POWER ITERATION — the eigen-solver expressed entirely as joins and
+    aggregations: the covariance matrix is one dim²-bounded aggregation
+    of the data (the classic "normal matrix" shuffle), and each iteration
+    is a (dim² cells) × (dim vector) join — data-sized work happens ONCE;
+    the loop touches only model-sized relations.
+
+    Engine portability: every sum of float products quantizes each
+    product to 1e12-scaled BIGINT first (Σ floor(x·y·1e12 + 0.5) — the
+    CLAUDE.md rule; raw double sums are order-dependent), covariance and
+    iteration vectors are then FIXED sequences of exactly-rounded double
+    ops, and each round rescales by max|w| (comparison + one division)
+    instead of an L2 norm so no sqrt enters the loop. The single sqrt
+    (final normalization) is IEEE exact-rounded.
+
+    Output: ``(i, loading, eigenvalue)`` — one row per dimension of the
+    unit top eigenvector, eigenvalue via the Rayleigh quotient.
+    """
+    q12 = lambda col: F.floor(col * F.lit(1e12) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    xi = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    ).select("id", "i", F.col("x").cast("double").alias("x"))
+    dim = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    n = xi.select("id").distinct().count()
+
+    g = (
+        xi.select("id", F.col("i").alias("gi"), F.col("x").alias("xa"))
+        .join(
+            xi.select("id", F.col("i").alias("gj"), F.col("x").alias("xb")), "id"
+        )
+        .groupBy("gi", "gj")
+        .agg(F.sum(q12(F.col("xa") * F.col("xb"))).alias("gq"))
+    )
+    s = xi.groupBy(F.col("i").alias("si")).agg(
+        F.sum(F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5)).cast("bigint")).alias("sq")
+    )
+    nd = float(n)
+    cells = (
+        g.join(s.select(F.col("si").alias("gi"), F.col("sq").alias("sqi")), "gi")
+        .join(s.select(F.col("si").alias("gj"), F.col("sq").alias("sqj")), "gj")
+        .select(
+            F.col("gi").alias("ci"),
+            F.col("gj").alias("cj"),
+            (
+                F.col("gq").cast("double") / F.lit(nd) / F.lit(1e12)
+                - (F.col("sqi").cast("double") / F.lit(nd) / F.lit(1e6))
+                * (F.col("sqj").cast("double") / F.lit(nd) / F.lit(1e6))
+            ).alias("c"),
+        )
+        .localCheckpoint()
+    )
+    spark = embeddings.sparkSession
+    v = spark.createDataFrame([(i, 1.0) for i in range(dim)], "vi long, v double")
+    for _ in range(n_iter):
+        w = (
+            cells.join(v.select(F.col("vi").alias("cj"), "v"), "cj")
+            .groupBy(F.col("ci").alias("wi"))
+            .agg(F.sum(q12(F.col("c") * F.col("v"))).alias("wq"))
+            .select("wi", (F.col("wq").cast("double") / F.lit(1e12)).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(F.col("wi").alias("vi"), (F.col("w") / F.col("m")).alias("v"))
+            .localCheckpoint()
+        )
+    w = (
+        cells.join(v.select(F.col("vi").alias("cj"), "v"), "cj")
+        .groupBy(F.col("ci").alias("wi"))
+        .agg(F.sum(q12(F.col("c") * F.col("v"))).alias("wq"))
+        .select("wi", (F.col("wq").cast("double") / F.lit(1e12)).alias("w"))
+    )
+    vw = v.join(w.select(F.col("wi").alias("vi"), "w"), "vi")
+    rq = vw.agg(
+        F.sum(q12(F.col("v") * F.col("w"))).alias("num"),
+        F.sum(q12(F.col("v") * F.col("v"))).alias("den"),
+    )
+    return (
+        v.crossJoin(F.broadcast(rq))
+        .select(
+            F.col("vi").alias("i"),
+            (
+                F.col("v")
+                / F.sqrt(F.col("den").cast("double") / F.lit(1e12))
+            ).alias("loading"),
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+                "eigenvalue"
+            ),
+        )
+    )
+
+
+def pca_power_oracle(n_iter: int = 16) -> str:
+    """DuckDB twin of :func:`pca_power` — the iteration unrolled as
+    MATERIALIZED CTEs (embeddings table)."""
+    parts = [
+        """xi AS MATERIALIZED (
+          SELECT vec_id AS id, i - 1 AS i, CAST(e AS DOUBLE) AS x FROM (
+            SELECT vec_id, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+          )
+        )""",
+        "nn AS (SELECT CAST(COUNT(DISTINCT id) AS DOUBLE) AS nd FROM xi)",
+        """g AS MATERIALIZED (
+          SELECT a.i AS gi, b.i AS gj,
+                 CAST(SUM(CAST(floor(a.x * b.x * 1e12 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS gq
+          FROM xi a JOIN xi b USING (id) GROUP BY a.i, b.i
+        )""",
+        """s AS MATERIALIZED (
+          SELECT i AS si,
+                 CAST(SUM(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+          FROM xi GROUP BY i
+        )""",
+        """cells AS MATERIALIZED (
+          SELECT g.gi AS ci, g.gj AS cj,
+                 CAST(gq AS DOUBLE) / nd / 1e12
+                 - (CAST(si.sq AS DOUBLE) / nd / 1e6)
+                   * (CAST(sj.sq AS DOUBLE) / nd / 1e6) AS c
+          FROM g
+          JOIN s si ON si.si = g.gi
+          JOIN s sj ON sj.si = g.gj
+          CROSS JOIN nn
+        )""",
+        "v0 AS MATERIALIZED (SELECT DISTINCT ci AS vi, 1.0 AS v FROM cells)",
+    ]
+    for t in range(n_iter):
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+              SELECT ci AS wi,
+                     CAST(CAST(SUM(CAST(floor(c * v * 1e12 + 0.5) AS BIGINT))
+                          AS DOUBLE) / 1e12 AS DOUBLE) AS w
+              FROM cells JOIN v{t} ON cells.cj = v{t}.vi GROUP BY ci
+            ), m{t} AS (SELECT MAX(abs(w)) AS m FROM w{t}),
+            v{t + 1} AS MATERIALIZED (
+              SELECT wi AS vi, w / m AS v FROM w{t} CROSS JOIN m{t}
+            )"""
+        )
+    t = n_iter
+    parts.append(
+        f"""wf AS MATERIALIZED (
+          SELECT ci AS wi,
+                 CAST(CAST(SUM(CAST(floor(c * v * 1e12 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 1e12 AS DOUBLE) AS w
+          FROM cells JOIN v{t} ON cells.cj = v{t}.vi GROUP BY ci
+        ), rq AS (
+          SELECT CAST(SUM(CAST(floor(v * w * 1e12 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS num,
+                 CAST(SUM(CAST(floor(v * v * 1e12 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS den
+          FROM v{t} JOIN wf ON v{t}.vi = wf.wi
+        )"""
+    )
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT vi AS i,
+               v / sqrt(CAST(den AS DOUBLE) / 1e12) AS loading,
+               CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS eigenvalue
+        FROM v{t} CROSS JOIN rq
+    """

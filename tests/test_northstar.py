@@ -869,3 +869,27 @@ def test_image_dhash_identical_payloads_collide(spark):
     for r in fps.values():
         assert 0 <= r["fp_hi"] < 2 ** 32 and 0 <= r["fp_lo"] < 2 ** 32
         assert r["n_bits"] == bin(r["fp_hi"]).count("1") + bin(r["fp_lo"]).count("1")
+
+
+def test_pca_power_recovers_planted_direction(spark):
+    """Vectors spread along e0 with small noise on e1 -> top component
+    ~ +/-e0, unit norm, eigenvalue ~ the e0 variance."""
+    import math
+
+    from flink_example_spark.operators.similarity import pca_power
+
+    rows = []
+    for k in range(40):
+        v = [0.0] * 8
+        v[0] = float(k - 20)          # dominant axis, variance ~ 133
+        v[1] = 0.1 * ((k % 3) - 1)    # tiny noise axis
+        rows.append((k, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["i"]: r for r in pca_power(df, n_iter=12).collect()}
+    assert set(out) == set(range(8))
+    norm = math.sqrt(sum(r["loading"] ** 2 for r in out.values()))
+    assert abs(norm - 1.0) < 1e-6
+    assert abs(abs(out[0]["loading"]) - 1.0) < 1e-3
+    ev = out[0]["eigenvalue"]
+    var0 = sum((k - 20 + 0.5) ** 2 for k in range(40)) / 40
+    assert abs(ev - var0) / var0 < 0.01
