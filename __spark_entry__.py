@@ -1473,6 +1473,15 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "flink_example_spark.tables", fromlist=["load_table"]
             ).load_table(spark, sf_dir, "embeddings")
         ),
+        # top-3 components by Hotelling deflation (one data pass total)
+        "ann_pca_components": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.similarity", fromlist=["pca_components"]
+        ).pca_components(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "embeddings"),
+            n_components=3,
+        ),
         "embedding_near_dup": emb_pairs,
         # pair-set precision/recall/F1 of the LSH config vs exact truth
         "dedup_lsh_pair_eval": lsh_pair_eval_entry,
@@ -2279,18 +2288,26 @@ def _northstar_oracles() -> dict[str, str]:
         SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
         FROM ({nb_language_oracle()}) GROUP BY true_label, pred_label
     """
-    from flink_example_spark.operators.similarity import pca_power_oracle
+    from flink_example_spark.operators.similarity import (
+        pca_components_oracle,
+        pca_power_oracle,
+    )
 
     out["ann_pca_power"] = pca_power_oracle()
+    out["ann_pca_components"] = pca_components_oracle(n_components=3)
     from flink_example_spark.operators.quality import (
         forget_impact_oracle,
         k_anonymity_oracle,
         profile_oracle,
     )
 
-    from flink_example_spark.operators.similarity import pca_power_oracle
+    from flink_example_spark.operators.similarity import (
+        pca_components_oracle,
+        pca_power_oracle,
+    )
 
     out["ann_pca_power"] = pca_power_oracle()
+    out["ann_pca_components"] = pca_components_oracle(n_components=3)
     out["quality_profile"] = profile_oracle(
         "events", ["event_id", "user_id", "event_type", "value", "props"]
     )

@@ -1204,6 +1204,16 @@ def pca_power(
     Output: ``(i, loading, eigenvalue)`` — one row per dimension of the
     unit top eigenvector, eigenvalue via the Rayleigh quotient.
     """
+    cells, dim = _cov_cells(embeddings, id_col, vec_col)
+    spark = embeddings.sparkSession
+    return _power_top(spark, cells, dim, n_iter).select("i", "loading", "eigenvalue")
+
+
+def _cov_cells(
+    embeddings: DataFrame, id_col: str, vec_col: str
+) -> tuple[DataFrame, int]:
+    """The (ci, cj, c) covariance cell relation (quantized-product sums)
+    plus the dimensionality — the one data-sized pass of the PCA family."""
     q12 = lambda col: F.floor(col * F.lit(1e12) + F.lit(0.5)).cast("bigint")  # noqa: E731
     xi = embeddings.select(
         F.col(id_col).alias("id"),
@@ -1238,7 +1248,14 @@ def pca_power(
         )
         .localCheckpoint()
     )
-    spark = embeddings.sparkSession
+    return cells, dim
+
+
+def _power_top(spark, cells: DataFrame, dim: int, n_iter: int) -> DataFrame:
+    """One power-iteration solve over a (ci, cj, c) cell relation; returns
+    ``(i, loading, eigenvalue)`` — loading unit-normalized. Shared by the
+    single-component and deflation paths (identical arithmetic)."""
+    q12 = lambda col: F.floor(col * F.lit(1e12) + F.lit(0.5)).cast("bigint")  # noqa: E731
     v = spark.createDataFrame([(i, 1.0) for i in range(dim)], "vi long, v double")
     for _ in range(n_iter):
         w = (
@@ -1277,6 +1294,48 @@ def pca_power(
             ),
         )
     )
+
+
+def pca_components(
+    embeddings: DataFrame,
+    n_components: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 16,
+) -> DataFrame:
+    """Top-k principal components by power iteration + Hotelling
+    DEFLATION: after extracting (λ, u), the covariance cells update to
+    ``c - λ·u_i·u_j`` (a model-sized join — no second data pass) and the
+    same solver runs again. The data-sized covariance shuffle still
+    happens exactly once regardless of k.
+
+    Output: ``(component, i, loading, eigenvalue)`` — components ordered
+    by extraction (descending eigenvalue).
+    """
+    spark = embeddings.sparkSession
+    cells, dim = _cov_cells(embeddings, id_col, vec_col)
+    outs = []
+    for comp in range(n_components):
+        top = _power_top(spark, cells, dim, n_iter).localCheckpoint()
+        outs.append(top.select(F.lit(comp).alias("component"), "i", "loading", "eigenvalue"))
+        if comp < n_components - 1:
+            cells = (
+                cells.join(
+                    top.select(F.col("i").alias("ci"), F.col("loading").alias("ua"),
+                               F.col("eigenvalue").alias("ev")),
+                    "ci",
+                )
+                .join(top.select(F.col("i").alias("cj"), F.col("loading").alias("ub")), "cj")
+                .select(
+                    "ci", "cj",
+                    (F.col("c") - F.col("ev") * F.col("ua") * F.col("ub")).alias("c"),
+                )
+                .localCheckpoint()
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def pca_power_oracle(n_iter: int = 16) -> str:
@@ -1347,4 +1406,99 @@ def pca_power_oracle(n_iter: int = 16) -> str:
                v / sqrt(CAST(den AS DOUBLE) / 1e12) AS loading,
                CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS eigenvalue
         FROM v{t} CROSS JOIN rq
+    """
+
+
+def pca_components_oracle(n_components: int = 3, n_iter: int = 16) -> str:
+    """DuckDB twin of :func:`pca_components` — the full deflation loop
+    unrolled (k components x n_iter rounds of MATERIALIZED CTEs)."""
+    parts = [
+        """xi AS MATERIALIZED (
+          SELECT vec_id AS id, i - 1 AS i, CAST(e AS DOUBLE) AS x FROM (
+            SELECT vec_id, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+          )
+        )""",
+        "nn AS (SELECT CAST(COUNT(DISTINCT id) AS DOUBLE) AS nd FROM xi)",
+        """g AS MATERIALIZED (
+          SELECT a.i AS gi, b.i AS gj,
+                 CAST(SUM(CAST(floor(a.x * b.x * 1e12 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS gq
+          FROM xi a JOIN xi b USING (id) GROUP BY a.i, b.i
+        )""",
+        """s AS MATERIALIZED (
+          SELECT i AS si,
+                 CAST(SUM(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+          FROM xi GROUP BY i
+        )""",
+        """cells_0 AS MATERIALIZED (
+          SELECT g.gi AS ci, g.gj AS cj,
+                 CAST(gq AS DOUBLE) / nd / 1e12
+                 - (CAST(si.sq AS DOUBLE) / nd / 1e6)
+                   * (CAST(sj.sq AS DOUBLE) / nd / 1e6) AS c
+          FROM g
+          JOIN s si ON si.si = g.gi
+          JOIN s sj ON sj.si = g.gj
+          CROSS JOIN nn
+        )""",
+    ]
+    finals = []
+    for comp in range(n_components):
+        cells = f"cells_{comp}"
+        parts.append(
+            f"v_{comp}_0 AS MATERIALIZED "
+            f"(SELECT DISTINCT ci AS vi, 1.0 AS v FROM cells_0)"
+        )
+        for t in range(n_iter):
+            parts.append(
+                f"""w_{comp}_{t} AS MATERIALIZED (
+                  SELECT ci AS wi,
+                         CAST(CAST(SUM(CAST(floor(c * v * 1e12 + 0.5) AS BIGINT))
+                              AS DOUBLE) / 1e12 AS DOUBLE) AS w
+                  FROM {cells} JOIN v_{comp}_{t} ON {cells}.cj = v_{comp}_{t}.vi
+                  GROUP BY ci
+                ), m_{comp}_{t} AS (SELECT MAX(abs(w)) AS m FROM w_{comp}_{t}),
+                v_{comp}_{t + 1} AS MATERIALIZED (
+                  SELECT wi AS vi, w / m AS v
+                  FROM w_{comp}_{t} CROSS JOIN m_{comp}_{t}
+                )"""
+            )
+        t = n_iter
+        parts.append(
+            f"""wf_{comp} AS MATERIALIZED (
+              SELECT ci AS wi,
+                     CAST(CAST(SUM(CAST(floor(c * v * 1e12 + 0.5) AS BIGINT))
+                          AS DOUBLE) / 1e12 AS DOUBLE) AS w
+              FROM {cells} JOIN v_{comp}_{t} ON {cells}.cj = v_{comp}_{t}.vi
+              GROUP BY ci
+            ), rq_{comp} AS (
+              SELECT CAST(SUM(CAST(floor(v * w * 1e12 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS num,
+                     CAST(SUM(CAST(floor(v * v * 1e12 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS den
+              FROM v_{comp}_{t} JOIN wf_{comp} ON v_{comp}_{t}.vi = wf_{comp}.wi
+            ), top_{comp} AS MATERIALIZED (
+              SELECT vi AS i,
+                     v / sqrt(CAST(den AS DOUBLE) / 1e12) AS loading,
+                     CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS eigenvalue
+              FROM v_{comp}_{t} CROSS JOIN rq_{comp}
+            )"""
+        )
+        finals.append(
+            f"SELECT {comp} AS component, i, loading, eigenvalue FROM top_{comp}"
+        )
+        if comp < n_components - 1:
+            parts.append(
+                f"""cells_{comp + 1} AS MATERIALIZED (
+                  SELECT c.ci, c.cj,
+                         c.c - ua.eigenvalue * ua.loading * ub.loading AS c
+                  FROM {cells} c
+                  JOIN top_{comp} ua ON ua.i = c.ci
+                  JOIN top_{comp} ub ON ub.i = c.cj
+                )"""
+            )
+    return f"""
+        WITH {", ".join(parts)}
+        {" UNION ALL ".join(finals)}
     """

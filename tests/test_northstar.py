@@ -893,3 +893,33 @@ def test_pca_power_recovers_planted_direction(spark):
     ev = out[0]["eigenvalue"]
     var0 = sum((k - 20 + 0.5) ** 2 for k in range(40)) / 40
     assert abs(ev - var0) / var0 < 0.01
+
+
+def test_pca_components_orthogonal_descending(spark):
+    import math
+
+    from flink_example_spark.operators.similarity import pca_components
+
+    rows = []
+    # two planted axes with different variance + small third
+    for k in range(30):
+        v = [0.0] * 6
+        v[0] = float(k - 15)
+        v[1] = 0.5 * ((k * 7) % 11 - 5)
+        v[2] = 0.05 * ((k % 2) * 2 - 1)
+        rows.append((k, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pca_components(df, n_components=2, n_iter=12).collect()
+    comps = {}
+    for r in out:
+        comps.setdefault(r["component"], {})[r["i"]] = r["loading"]
+    evs = {r["component"]: r["eigenvalue"] for r in out}
+    assert evs[0] > evs[1] > 0
+    v0 = [comps[0][i] for i in range(6)]
+    v1 = [comps[1][i] for i in range(6)]
+    dot = sum(a * b for a, b in zip(v0, v1))
+    assert abs(dot) < 1e-3                       # orthogonal
+    assert abs(abs(v0[0]) - 1.0) < 1e-2          # PC1 ~ axis 0
+    assert abs(abs(v1[1]) - 1.0) < 1e-2          # PC2 ~ axis 1
+    for v in (v0, v1):
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-6
