@@ -881,6 +881,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_q(text.fingerprint, "fingerprint"),
         "text_lang_id": text_q(text.lang_id, "lang_pred"),
         "text_quality_score": text_q(text.quality_score, "quality"),
+        # higher-order ARRAY function surface (transform / filter /
+        # exists / aggregate lambdas + array_max) — integer outputs only.
+        # NOTE: lambdas are interpreted (no codegen) — fine for breadth
+        # rows; hot paths use explode + codegen aggregates (CLAUDE.md)
+        "array_functions_suite": _array_suite_entry,
         # per-doc Shannon entropy of the token distribution (integer bits)
         # — the self-repetitiveness gate complementing lm_surprisal
         "text_token_entropy": lambda spark, sf_dir: text.token_entropy(
@@ -2123,6 +2128,23 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["text_lm_surprisal"] = text.lm_surprisal_oracle()
     out["text_token_entropy"] = text.token_entropy_oracle()
+    out["array_functions_suite"] = f"""
+        SELECT doc_id,
+               CAST(len(l) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(l, t -> length(t))) AS BIGINT)
+                 AS sum_token_len,
+               CAST(len(list_filter(l, t -> length(t) > 4)) AS BIGINT)
+                 AS n_long_tokens,
+               list_contains(l, 'spark') AS has_spark,
+               CAST(list_max(list_transform(l, t -> length(t))) AS INTEGER)
+                 AS max_token_len
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split_regex({text._DUCK_NORM}, '\\s+'),
+                             t -> t <> '') AS l
+          FROM documents
+        )
+    """
     out["text_bigram_surprisal"] = text.bigram_surprisal_oracle("doc_id % 2 = 0")
     out["curation_dsir_weights"] = curation.dsir_oracle("lang = 'en'")
     out["text_boolean_search"] = text.boolean_search_oracle(["spark", "merge", "window"])
@@ -3260,6 +3282,34 @@ DRIVER_KEYS = [
     "curation_sample",
     "curation_dist_stats",
 ]
+
+
+def _array_suite_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order ARRAY function surface (PySpark transform / filter /
+    exists / aggregate lambdas + array_max) — integer outputs only.
+    NOTE: lambdas are interpreted (no codegen) — fine for breadth rows;
+    hot paths use explode + codegen aggregates (CLAUDE.md)."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators import text as _t
+
+    toks = F.filter(
+        _t.tokens(_t.normalized(F.col("text"))), lambda t: t != F.lit("")
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("sum_token_len"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4))
+        .cast("bigint")
+        .alias("n_long_tokens"),
+        F.exists(toks, lambda t: t == F.lit("spark")).alias("has_spark"),
+        F.array_max(F.transform(toks, lambda t: F.length(t)))
+        .cast("int")
+        .alias("max_token_len"),
+    )
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
