@@ -1080,6 +1080,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type",
             "ts",
         ),
+        # Poisson-bootstrap CI for per-group means (deterministic md5 ->
+        # Poisson(1) multiplicity; B=32 replicates, percentile CI)
+        "ml_bootstrap_ci": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["bootstrap_ci"]
+        ).bootstrap_ci(_events(spark, sf_dir)),
         # difference-in-differences panel estimator (parity treatment,
         # mid-span cutover; one conditional aggregation per group)
         "ml_diff_in_diff": lambda spark, sf_dir: __import__(
@@ -2346,8 +2351,12 @@ def _northstar_oracles() -> dict[str, str]:
     out["timeseries_forecast_eval"] = seasonal_naive_oracle(
         "events", "event_type", "ts"
     )
-    from flink_example_spark.operators.ml import diff_in_diff_oracle
+    from flink_example_spark.operators.ml import (
+        bootstrap_ci_oracle,
+        diff_in_diff_oracle,
+    )
 
+    out["ml_bootstrap_ci"] = bootstrap_ci_oracle()
     out["ml_diff_in_diff"] = diff_in_diff_oracle("2024-01-16 00:00:00")
     from flink_example_spark.operators.cep import rate_limit_oracle, rfm_oracle
 

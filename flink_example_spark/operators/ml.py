@@ -1437,3 +1437,126 @@ def diff_in_diff_oracle(
         )
         SELECT *, (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did FROM m
     """
+
+
+# Poisson(1) CDF thresholds scaled to 2^32 (floor), for the deterministic
+# hash -> multiplicity map of the Poisson bootstrap. P(X<=k) for k=0..5;
+# hashes past the last threshold draw multiplicity 6.
+_POISSON_THRESHOLDS = [
+    1580030168,  # P(0)   = .36788
+    3160060337,  # P(<=1) = .73576
+    3950075421,  # P(<=2) = .91970
+    4213413783,  # P(<=3) = .98101
+    4279248373,  # P(<=4) = .99634
+    4292415291,  # P(<=5) = .99941
+]
+
+
+def bootstrap_ci(
+    events: DataFrame,
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    n_replicates: int = 32,
+    lo: float = 0.025,
+    hi: float = 0.975,
+) -> DataFrame:
+    """Confidence interval for the per-group mean by POISSON BOOTSTRAP —
+    the resampling scheme that actually works on a cluster (Chamandy et
+    al., Google 2012): instead of sampling n rows with replacement
+    (which needs global coordination), every row independently joins
+    replicate b with multiplicity ~ Poisson(1). Here the multiplicity is
+    DETERMINISTIC: the portable md5 hash of (row id, b) mapped through
+    the exact Poisson(1) CDF thresholds — reproducible bit-for-bit in
+    any engine, no RNG state anywhere.
+
+    Per (group, replicate): mean of the value with multiplicities, sums
+    in exact DECIMAL cents. The CI is the interpolated [lo, hi]
+    percentile over the ``n_replicates`` replicate means (PERCENTILE ≡
+    QUANTILE_CONT).
+
+    Scale: one explode by ``n_replicates`` (narrow integer rows), one
+    (group × replicate)-keyed aggregation, one group-keyed percentile
+    over B points. Output: ``(grp, n_rows, mean, ci_lo, ci_hi)``.
+    """
+    from flink_example_spark.operators.sketch import portable_hash32
+
+    thresholds = _POISSON_THRESHOLDS
+    src = events.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).cast("string").alias("rid"),
+        F.col(value_col).cast("decimal(18,2)").alias("v"),
+    )
+    rep = src.select(
+        "grp",
+        "rid",
+        "v",
+        F.explode(F.sequence(F.lit(1), F.lit(n_replicates))).alias("b"),
+    ).withColumn(
+        "h", portable_hash32(F.concat_ws("|", F.col("rid"), F.col("b")))
+    )
+    mult = F.when(F.col("h") < thresholds[0], 0)
+    for k, t in enumerate(thresholds[1:], start=1):
+        mult = mult.when(F.col("h") < t, k)
+    mult = mult.otherwise(len(thresholds))
+    means = (
+        rep.withColumn("m", mult)
+        .groupBy("grp", "b")
+        .agg(
+            F.sum(F.col("v") * F.col("m")).alias("s"),
+            F.sum("m").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .select("grp", "b", (F.col("s").cast("double") / F.col("n")).alias("mean_b"))
+    )
+    base = src.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean"),
+    )
+    ci = means.groupBy("grp").agg(
+        F.percentile(F.col("mean_b"), F.lit(lo)).alias("ci_lo"),
+        F.percentile(F.col("mean_b"), F.lit(hi)).alias("ci_hi"),
+    )
+    return base.join(ci, "grp").select("grp", "n_rows", "mean", "ci_lo", "ci_hi")
+
+
+def bootstrap_ci_oracle(
+    table: str = "events",
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    n_replicates: int = 32,
+    lo: float = 0.025,
+    hi: float = 0.975,
+) -> str:
+    """DuckDB twin of :func:`bootstrap_ci`."""
+    t = _POISSON_THRESHOLDS
+    mult = "CASE " + " ".join(
+        f"WHEN h < {th} THEN {k}" for k, th in enumerate(t)
+    ) + f" ELSE {len(t)} END"
+    return f"""
+        WITH src AS MATERIALIZED (
+          SELECT {group_col} AS grp, CAST({id_col} AS VARCHAR) AS rid,
+                 CAST({value_col} AS DECIMAL(18,2)) AS v
+          FROM {table}
+        ), rep AS (
+          SELECT grp, v, b,
+                 CAST(concat('0x', substr(md5(rid || '|' || CAST(b AS VARCHAR)),
+                      1, 8)) AS BIGINT) AS h
+          FROM src, unnest(range(1, {n_replicates} + 1)) AS r(b)
+        ), means AS MATERIALIZED (
+          SELECT grp, b, CAST(SUM(v * m) AS DOUBLE) / SUM(m) AS mean_b
+          FROM (SELECT grp, v, b, {mult} AS m FROM rep)
+          GROUP BY grp, b HAVING SUM(m) > 0
+        ), base AS (
+          SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean
+          FROM src GROUP BY grp
+        ), ci AS (
+          SELECT grp, QUANTILE_CONT(mean_b, {lo}) AS ci_lo,
+                 QUANTILE_CONT(mean_b, {hi}) AS ci_hi
+          FROM means GROUP BY grp
+        )
+        SELECT base.grp, n_rows, mean, ci_lo, ci_hi
+        FROM base JOIN ci USING (grp)
+    """

@@ -333,3 +333,39 @@ def test_diff_in_diff_recovers_planted_effect(spark):
     r = out[0]
     assert r["did"] == 7.0
     assert r["m_c_post"] - r["m_c_pre"] == 0.0
+
+
+def test_bootstrap_ci_brackets_mean_and_shrinks(spark):
+    from flink_example_spark.operators.ml import bootstrap_ci
+
+    rows = [(i, "g", 50.0 + (i % 21) - 10) for i in range(1, 401)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    r = bootstrap_ci(df).collect()[0]
+    assert r["n_rows"] == 400
+    # CI must bracket the point estimate and be reasonably tight for n=400
+    assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+    width = r["ci_hi"] - r["ci_lo"]
+    # sd ~ 6.06, se ~ 0.30 -> 95% CI width ~ 1.2; allow generous slack
+    assert 0.3 < width < 3.0
+
+
+def test_bootstrap_multiplicities_are_poisson_like(spark):
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.ml import _POISSON_THRESHOLDS
+    from flink_example_spark.operators.sketch import portable_hash32
+
+    # hash -> multiplicity distribution over many (id, b) draws should be
+    # close to Poisson(1): mean ~ 1
+    ids = spark.range(1, 3001).select(
+        portable_hash32(F.concat_ws("|", F.col("id").cast("string"), F.lit(1))).alias("h")
+    )
+    mult = F.when(F.col("h") < _POISSON_THRESHOLDS[0], 0)
+    for k, t in enumerate(_POISSON_THRESHOLDS[1:], start=1):
+        mult = mult.when(F.col("h") < t, k)
+    mult = mult.otherwise(len(_POISSON_THRESHOLDS))
+    stats = ids.select(mult.alias("m")).agg(
+        F.avg("m").alias("mean"), F.sum((F.col("m") == 0).cast("int")).alias("zeros")
+    ).collect()[0]
+    assert abs(stats["mean"] - 1.0) < 0.06
+    assert abs(stats["zeros"] / 3000 - 0.3679) < 0.03
