@@ -886,6 +886,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE: lambdas are interpreted (no codegen) — fine for breadth
         # rows; hot paths use explode + codegen aggregates (CLAUDE.md)
         "array_functions_suite": _array_suite_entry,
+        # MOSS winnowing fingerprints (min-hash per sliding gram window)
+        "text_winnowing": lambda spark, sf_dir: text.winnowing_fingerprints(
+            _docs(spark, sf_dir)
+        ),
         # per-doc Shannon entropy of the token distribution (integer bits)
         # — the self-repetitiveness gate complementing lm_surprisal
         "text_token_entropy": lambda spark, sf_dir: text.token_entropy(
@@ -2133,6 +2137,7 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["text_lm_surprisal"] = text.lm_surprisal_oracle()
     out["text_token_entropy"] = text.token_entropy_oracle()
+    out["text_winnowing"] = text.winnowing_oracle()
     out["array_functions_suite"] = f"""
         SELECT doc_id,
                CAST(len(l) AS BIGINT) AS n_tokens,

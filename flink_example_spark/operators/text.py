@@ -905,3 +905,91 @@ def token_entropy_oracle() -> str:
                  AS avg_entropy_bits
         FROM wn GROUP BY doc_id
     """
+
+
+def winnowing_fingerprints(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS algorithm): hash every character ``k``-gram of the
+    normalized text, then keep the MINIMUM hash of each sliding window
+    of ``w`` consecutive grams. Winnowing guarantees any shared substring
+    of length >= k + w - 1 contributes a shared fingerprint, while
+    selecting only ~2/(w+1) of the grams — the density/recall tradeoff
+    that makes corpus-scale overlap detection affordable.
+
+    The selected set is the DISTINCT window-minimum values — one ordered
+    window per document (ROWS CURRENT..w-1 FOLLOWING) over md5-derived
+    32-bit integer hashes, so Spark and the oracle agree bit-for-bit.
+
+    Output: ``(id, n_grams, n_fingerprints)``; the distinct (id,
+    fingerprint) relation drives shared-span pair detection exactly like
+    ``shared_spans`` drives n-gram overlap.
+    """
+    from flink_example_spark.operators.sketch import portable_hash32
+
+    norm = normalized(F.col(text_col))
+    grams = (
+        documents.select(F.col(id_col).alias("id"), norm.alias("nt"))
+        .filter(F.length("nt") >= k + w - 1)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("nt") - F.lit(k - 1))
+            ).alias("p"),
+            "nt",
+        )
+        .select(
+            "id", "p", portable_hash32(F.expr(f"substr(nt, p, {k})")).alias("h")
+        )
+    )
+    win = Window.partitionBy("id").orderBy("p").rowsBetween(0, w - 1)
+    sel = (
+        grams.withColumn("n_in_win", F.count(F.lit(1)).over(win))
+        .withColumn("fp", F.min("h").over(win))
+        .filter(F.col("n_in_win") == w)
+    )
+    return (
+        sel.groupBy("id")
+        .agg(
+            (F.max("p") + F.lit(w + k - 2)).alias("__span"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.countDistinct("fp").alias("n_fingerprints"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            (F.col("n_windows") + F.lit(w - 1)).alias("n_grams"),
+            "n_fingerprints",
+        )
+    )
+
+
+def winnowing_oracle(k: int = 8, w: int = 4) -> str:
+    """DuckDB twin of :func:`winnowing_fingerprints` (documents table)."""
+    return f"""
+        WITH grams AS MATERIALIZED (
+          SELECT doc_id AS id, p,
+                 CAST(concat('0x', substr(md5(substr(nt, CAST(p AS INTEGER), {k})),
+                      1, 8)) AS BIGINT) AS h
+          FROM (
+            SELECT doc_id, {_DUCK_NORM} AS nt FROM documents
+          ), unnest(range(1, len(nt) - {k - 1} + 1)) AS r(p)
+          WHERE len(nt) >= {k + w - 1}
+        ), sel AS (
+          SELECT id, p,
+                 COUNT(*) OVER win AS n_in_win,
+                 MIN(h) OVER win AS fp
+          FROM grams
+          WINDOW win AS (PARTITION BY id ORDER BY p
+                         ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+        )
+        SELECT id AS doc_id,
+               CAST(COUNT(*) + {w - 1} AS BIGINT) AS n_grams,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints
+        FROM sel WHERE n_in_win = {w}
+        GROUP BY id
+    """

