@@ -1031,6 +1031,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # distributed model fitting on the corpus (integer normal equations)
         "ml_linear_fit": linfit_entry,
+        # shuffle-skew audit (Gini + top-key shares of key distribution)
+        "quality_key_skew": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.quality", fromlist=["key_skew_report"]
+        ).key_skew_report(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "lineitem"),
+            "l_orderkey",
+            "lineitem",
+        ),
         # ANALYZE-style column profiler over the events table
         "quality_profile": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.quality", fromlist=["profile_columns"]
@@ -1454,6 +1464,20 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type",
             "ts",
             min_count=4,
+        ),
+        # optimizer primitive: |orders JOIN customer| estimated from two
+        # kilobyte CM sketches (min-row inner product) vs the exact size
+        "sketch_join_size": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.sketch", fromlist=["join_size_estimate"]
+        ).join_size_estimate(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "orders"),
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "customer"),
+            "o_custkey",
+            "c_custkey",
         ),
         "sketch_kmv_distinct": kmv_entry,
         "sketch_cm_heavy_hitters": cm_hh_entry,
@@ -2340,6 +2364,9 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["ann_pca_power"] = pca_power_oracle()
     out["ann_pca_components"] = pca_components_oracle(n_components=3)
+    from flink_example_spark.operators.quality import key_skew_oracle
+
+    out["quality_key_skew"] = key_skew_oracle("lineitem", "l_orderkey")
     out["quality_profile"] = profile_oracle(
         "events", ["event_id", "user_id", "event_type", "value", "props"]
     )
@@ -2601,6 +2628,11 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.sketch import kmv_distinct_oracle
     from flink_example_spark.operators.text import _DUCK_NORM
 
+    from flink_example_spark.operators.sketch import join_size_oracle
+
+    out["sketch_join_size"] = join_size_oracle(
+        "orders", "customer", "o_custkey", "c_custkey"
+    )
     out["sketch_kmv_distinct"] = kmv_distinct_oracle(
         f"(SELECT lang, md5({_DUCK_NORM}) AS fp FROM documents)",
         ["lang"],

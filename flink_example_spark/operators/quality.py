@@ -12,7 +12,7 @@ bounded; a production run would sink sampled offenders separately.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -221,3 +221,75 @@ def forget_impact_oracle(
         for name, col in tables.items()
     ]
     return " UNION ALL ".join(selects)
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, relation: str
+) -> DataFrame:
+    """Shuffle-skew audit for a join/aggregation key: the Gini
+    coefficient and top-key concentration of the key's row distribution
+    — the number you check BEFORE a 100 TB shuffle to decide whether a
+    key needs salting (CLAUDE.md's skew rules operationalized as a
+    query).
+
+    Gini over per-key counts ``x_(1..n)`` sorted ascending is
+    ``Σ (2i - n - 1)·x_i / (n · Σx)`` — one window rank over the
+    key-count relation (key-sized, not row-sized), exact BIGINT
+    numerator, one double division. Top-1/top-10 shares are exact
+    integer ratios.
+
+    Output: ``(relation, n_keys, n_rows, gini, top1_share, top10_share,
+    max_key_rows)``.
+    """
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.orderBy("x", "k")
+    wall = Window.partitionBy()
+    ranked = counts.withColumn("i", F.row_number().over(w)).withColumn(
+        "nk", F.count(F.lit(1)).over(wall)
+    )
+    return ranked.agg(
+        F.lit(relation).alias("relation"),
+        F.max("nk").alias("n_keys"),
+        F.sum("x").alias("n_rows"),
+        (
+            F.sum(
+                (F.lit(2) * F.col("i") - F.col("nk") - F.lit(1)) * F.col("x")
+            ).cast("double")
+            / (F.max("nk").cast("double") * F.sum("x").cast("double"))
+        ).alias("gini"),
+        (F.max("x").cast("double") / F.sum("x").cast("double")).alias("top1_share"),
+        (
+            F.sum(
+                F.when(F.col("i") > F.col("nk") - 10, F.col("x")).otherwise(0)
+            ).cast("double")
+            / F.sum("x").cast("double")
+        ).alias("top10_share"),
+        F.max("x").alias("max_key_rows"),
+    )
+
+
+def key_skew_oracle(table: str, key_col: str) -> str:
+    """DuckDB twin of :func:`key_skew_report`."""
+    return f"""
+        WITH counts AS (
+          SELECT {key_col} AS k, CAST(COUNT(*) AS BIGINT) AS x
+          FROM {table} GROUP BY {key_col}
+        ), ranked AS (
+          SELECT k, x,
+                 CAST(ROW_NUMBER() OVER (ORDER BY x, k) AS BIGINT) AS i,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS nk
+          FROM counts
+        )
+        SELECT '{table}' AS relation,
+               CAST(MAX(nk) AS BIGINT) AS n_keys,
+               CAST(SUM(x) AS BIGINT) AS n_rows,
+               CAST(SUM((2 * i - nk - 1) * x) AS DOUBLE)
+                 / (CAST(MAX(nk) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) AS gini,
+               CAST(MAX(x) AS DOUBLE) / CAST(SUM(x) AS DOUBLE) AS top1_share,
+               CAST(SUM(CASE WHEN i > nk - 10 THEN x ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(x) AS DOUBLE) AS top10_share,
+               CAST(MAX(x) AS BIGINT) AS max_key_rows
+        FROM ranked
+    """

@@ -758,3 +758,113 @@ def kmv_overlap_oracle(
                               / CAST(kth AS DOUBLE) END) AS intersect_est
         FROM agg
     """
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Equi-join cardinality estimation from count-min sketches — the
+    optimizer primitive (AMS/CM inner-product estimator, Cormode &
+    Muthukrishnan 2005): ``|A ⋈ B| = Σ_k cA(k)·cB(k)``, estimated as
+    ``min_r Σ_j cmA[r][j]·cmB[r][j]``. Each side is sketched with ONE
+    depth×width-bounded aggregation — at 100 TB you estimate the join
+    size from two kilobyte-sized summaries instead of running the join.
+
+    The exact inner product (the ground truth an optimizer can't afford)
+    is computed alongside for the error report. All counters and products
+    are exact BIGINTs; the relative-error column is one double division.
+
+    Output (one row): ``(n_left, n_right, exact_join_rows,
+    est_join_rows, rel_error)`` with ``est >= exact`` (collisions only
+    ever add).
+    """
+    la = cm_sketch(left, left_key, depth=depth, width=width)
+    rb = cm_sketch(right, right_key, depth=depth, width=width)
+    per_row = (
+        la.join(rb.select(F.col("r"), F.col("j"), F.col("cnt").alias("cnt_b")),
+                ["r", "j"])
+        .groupBy("r")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"))
+    )
+    est = per_row.agg(F.min("ip").alias("est_join_rows"))
+    ca = left.filter(F.col(left_key).isNotNull()).groupBy(
+        F.col(left_key).alias("k")
+    ).agg(F.count(F.lit(1)).alias("na"))
+    cb = right.filter(F.col(right_key).isNotNull()).groupBy(
+        F.col(right_key).alias("k")
+    ).agg(F.count(F.lit(1)).alias("nb"))
+    exact = (
+        ca.join(cb, "k")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("exact_join_rows"))
+    )
+    nl = left.agg(F.count(F.lit(1)).alias("n_left"))
+    nr = right.agg(F.count(F.lit(1)).alias("n_right"))
+    return (
+        nl.crossJoin(nr)
+        .crossJoin(exact)
+        .crossJoin(est)
+        .select(
+            "n_left",
+            "n_right",
+            "exact_join_rows",
+            "est_join_rows",
+            (
+                (F.col("est_join_rows") - F.col("exact_join_rows")).cast("double")
+                / F.col("exact_join_rows").cast("double")
+            ).alias("rel_error"),
+        )
+    )
+
+
+def join_size_oracle(
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+    depth: int = 4,
+    width: int = 256,
+) -> str:
+    """DuckDB twin of :func:`join_size_estimate`."""
+
+    def sketch(table: str, key: str) -> str:
+        rows = " UNION ALL ".join(
+            f"""SELECT {r} AS r,
+                       CAST(CAST(concat('0x', substr(md5('{r}:' ||
+                            CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT)
+                            % {width} AS BIGINT) AS j,
+                       v
+                FROM (SELECT {key}, CAST({key} AS VARCHAR) AS v FROM {table}
+                      WHERE {key} IS NOT NULL)"""
+            for r in range(depth)
+        )
+        return f"SELECT r, j, CAST(COUNT(*) AS BIGINT) AS cnt FROM ({rows}) GROUP BY r, j"
+
+    return f"""
+        WITH la AS MATERIALIZED ({sketch(left_table, left_key)}),
+        rb AS MATERIALIZED ({sketch(right_table, right_key)}),
+        ip AS (
+          SELECT la.r, CAST(SUM(la.cnt * rb.cnt) AS BIGINT) AS ip
+          FROM la JOIN rb ON la.r = rb.r AND la.j = rb.j
+          GROUP BY la.r
+        ), est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_rows FROM ip),
+        exact AS (
+          SELECT CAST(SUM(na * nb) AS BIGINT) AS exact_join_rows FROM (
+            SELECT {left_key} AS k, CAST(COUNT(*) AS BIGINT) AS na
+            FROM {left_table} WHERE {left_key} IS NOT NULL GROUP BY 1
+          ) a JOIN (
+            SELECT {right_key} AS k, CAST(COUNT(*) AS BIGINT) AS nb
+            FROM {right_table} WHERE {right_key} IS NOT NULL GROUP BY 1
+          ) b USING (k)
+        ),
+        nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_left FROM {left_table}),
+        nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_right FROM {right_table})
+        SELECT n_left, n_right, exact_join_rows, est_join_rows,
+               CAST(est_join_rows - exact_join_rows AS DOUBLE)
+                 / CAST(exact_join_rows AS DOUBLE) AS rel_error
+        FROM nl CROSS JOIN nr CROSS JOIN exact CROSS JOIN est
+    """
