@@ -1478,6 +1478,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).load_table(spark, sf_dir, "customer"),
             "o_custkey",
             "c_custkey",
+            width=4096,
         ),
         "sketch_kmv_distinct": kmv_entry,
         "sketch_cm_heavy_hitters": cm_hh_entry,
@@ -2631,7 +2632,7 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.sketch import join_size_oracle
 
     out["sketch_join_size"] = join_size_oracle(
-        "orders", "customer", "o_custkey", "c_custkey"
+        "orders", "customer", "o_custkey", "c_custkey", width=4096
     )
     out["sketch_kmv_distinct"] = kmv_distinct_oracle(
         f"(SELECT lang, md5({_DUCK_NORM}) AS fp FROM documents)",
