@@ -1031,6 +1031,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # distributed model fitting on the corpus (integer normal equations)
         "ml_linear_fit": linfit_entry,
+        # Benford first-digit audit over order totals (fraud smell test)
+        "quality_benford": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.quality", fromlist=["benford_audit"]
+        ).benford_audit(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "orders"),
+            "o_totalprice",
+            "orders",
+        ),
         # shuffle-skew audit (Gini + top-key shares of key distribution)
         "quality_key_skew": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.quality", fromlist=["key_skew_report"]
@@ -1094,6 +1104,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type",
             "ts",
         ),
+        # Wilson score interval for per-group success proportions
+        "ml_wilson_ci": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["wilson_ci"]
+        ).wilson_ci(_events(spark, sf_dir)),
         # Poisson-bootstrap CI for per-group means (deterministic md5 ->
         # Poisson(1) multiplicity; B=32 replicates, percentile CI)
         "ml_bootstrap_ci": lambda spark, sf_dir: __import__(
@@ -1441,6 +1455,19 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.timeseries_stream",
             fromlist=["run_streaming_ewma"],
         ).run_streaming_ewma(spark, sf_dir),
+        # rolling-median robust smoother (rank self-join, exact
+        # interpolated median per +/-3-row window)
+        "timeseries_rolling_median": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries", fromlist=["rolling_median"]
+        ).rolling_median(
+            __import__(
+                "flink_example_spark.plans.events_demo", fromlist=["load_events"]
+            ).load_events(spark, sf_dir),
+            "event_type",
+            "ts",
+            "value",
+            "event_id",
+        ),
         # alpha=1/2 EWMA truncated to 8 power-of-two weights (bit-exact)
         "timeseries_ewma": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.timeseries", fromlist=["ewma_smooth"]
@@ -2365,7 +2392,12 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["ann_pca_power"] = pca_power_oracle()
     out["ann_pca_components"] = pca_components_oracle(n_components=3)
-    from flink_example_spark.operators.quality import key_skew_oracle
+    from flink_example_spark.operators.quality import (
+        benford_oracle,
+        key_skew_oracle,
+    )
+
+    out["quality_benford"] = benford_oracle("orders", "o_totalprice")
 
     out["quality_key_skew"] = key_skew_oracle("lineitem", "l_orderkey")
     out["quality_profile"] = profile_oracle(
@@ -2390,6 +2422,9 @@ def _northstar_oracles() -> dict[str, str]:
     )
 
     out["ml_bootstrap_ci"] = bootstrap_ci_oracle()
+    from flink_example_spark.operators.ml import wilson_ci_oracle
+
+    out["ml_wilson_ci"] = wilson_ci_oracle()
     out["ml_diff_in_diff"] = diff_in_diff_oracle("2024-01-16 00:00:00")
     from flink_example_spark.operators.cep import rate_limit_oracle, rfm_oracle
 
@@ -2621,6 +2656,11 @@ def _northstar_oracles() -> dict[str, str]:
     )
     # live fold converges to the batch target-form relation
     out["streaming_cusum"] = out["timeseries_cusum_target"]
+    from flink_example_spark.operators.timeseries import rolling_median_oracle
+
+    out["timeseries_rolling_median"] = rolling_median_oracle(
+        "events", "event_type", "ts", "value", "event_id"
+    )
     out["timeseries_ewma"] = ewma_oracle(
         "events", "user_id", "ts", "value", "event_id"
     )

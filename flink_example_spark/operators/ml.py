@@ -1560,3 +1560,83 @@ def bootstrap_ci_oracle(
         SELECT base.grp, n_rows, mean, ci_lo, ci_hi
         FROM base JOIN ci USING (grp)
     """
+
+
+def wilson_ci(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    threshold: float = 100.0,
+    z: float = 1.959963984540054,  # Phi^-1(0.975), a fixed shared constant
+) -> DataFrame:
+    """Wilson score interval for a per-group success proportion — the
+    binomial CI that behaves at small n and extreme p (unlike the normal
+    approximation), closed-form:
+
+        center = (p + z²/2n) / (1 + z²/n)
+        half   = z·sqrt(p(1−p)/n + z²/4n²) / (1 + z²/n)
+
+    Success = ``value > threshold``. n and s are exact BIGINTs; the
+    interval is a FIXED sequence of exactly-rounded double ops with one
+    sqrt — portable bit-for-bit. Output: ``(grp, n, successes, p_hat,
+    ci_lo, ci_hi)``.
+    """
+    agg = events.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col(value_col) > threshold).cast("bigint")).alias("s"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("s").cast("double") / nd
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / nd
+    center = (p + z2 / (F.lit(2.0) * nd)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (F.lit(1.0) - p) / nd + z2 / (F.lit(4.0) * nd * nd))
+        / denom
+    )
+    return agg.select(
+        "grp",
+        "n",
+        F.col("s").alias("successes"),
+        p.alias("p_hat"),
+        (center - half).alias("ci_lo"),
+        (center + half).alias("ci_hi"),
+    )
+
+
+def wilson_ci_oracle(
+    table: str = "events",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    threshold: float = 100.0,
+    z: float = 1.959963984540054,
+) -> str:
+    """DuckDB twin of :func:`wilson_ci` (same op sequence)."""
+    return f"""
+        WITH agg AS (
+          SELECT {group_col} AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN {value_col} > {threshold!r} THEN 1 ELSE 0 END)
+                      AS BIGINT) AS s
+          FROM {table} GROUP BY {group_col}
+        )
+        SELECT grp, n, s AS successes,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+               ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 + {z * z!r} / (2.0 * CAST(n AS DOUBLE)))
+                 / (1.0 + {z * z!r} / CAST(n AS DOUBLE))
+               - {z!r} * sqrt((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE)
+                   + {z * z!r} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0 + {z * z!r} / CAST(n AS DOUBLE)) AS ci_lo,
+               ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 + {z * z!r} / (2.0 * CAST(n AS DOUBLE)))
+                 / (1.0 + {z * z!r} / CAST(n AS DOUBLE))
+               + {z!r} * sqrt((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE)
+                   + {z * z!r} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0 + {z * z!r} / CAST(n AS DOUBLE)) AS ci_hi
+        FROM agg
+    """

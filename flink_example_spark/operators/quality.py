@@ -293,3 +293,97 @@ def key_skew_oracle(table: str, key_col: str) -> str:
                CAST(MAX(x) AS BIGINT) AS max_key_rows
         FROM ranked
     """
+
+
+# Benford's-law first-digit probabilities log10(1 + 1/d), d = 1..9 —
+# fixed shared constants so both engines compute identical expectations.
+_BENFORD_P = [
+    0.3010299956639812,
+    0.17609125905568124,
+    0.12493873660829992,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061322,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+]
+
+
+def benford_audit(
+    df: DataFrame, value_col: str, relation: str
+) -> DataFrame:
+    """Benford's-law first-digit audit — the fraud/synthetic-data smell
+    test: naturally-occurring magnitudes follow P(d) = log10(1 + 1/d);
+    fabricated or truncated values don't. Values < 1 are excluded (their
+    leading digit needs decimal-shift logic both engines would have to
+    share; integers-part digits are the standard audit surface).
+
+    Output: one row per digit with observed/expected shares plus the
+    chi-square statistic (each of the 9 terms quantized to 1e12 BIGINT
+    before the sum — never SUM raw doubles — then one division).
+    """
+    digits = (
+        df.filter(F.col(value_col) >= 1)
+        .select(
+            F.substring(
+                F.floor(F.col(value_col)).cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    p_expr = F.element_at(F.array(*[F.lit(p) for p in _BENFORD_P]), F.col("d"))
+    with_p = digits.withColumn("p", p_expr).withColumn(
+        "n", F.sum("obs").over(Window.partitionBy())
+    )
+    term = (
+        (F.col("obs").cast("double") - F.col("n").cast("double") * F.col("p"))
+        * (F.col("obs").cast("double") - F.col("n").cast("double") * F.col("p"))
+        / (F.col("n").cast("double") * F.col("p"))
+    )
+    scored = with_p.withColumn(
+        "tq", F.floor(term * F.lit(1e12) + F.lit(0.5)).cast("bigint")
+    ).withColumn(
+        "chi2",
+        F.sum("tq").over(Window.partitionBy()).cast("double") / F.lit(1e12),
+    )
+    return scored.select(
+        F.lit(relation).alias("relation"),
+        "d",
+        "obs",
+        (F.col("obs").cast("double") / F.col("n").cast("double")).alias("obs_share"),
+        F.col("p").alias("exp_share"),
+        "chi2",
+    )
+
+
+def benford_oracle(table: str, value_col: str) -> str:
+    """DuckDB twin of :func:`benford_audit`."""
+    plist = ", ".join(repr(p) for p in _BENFORD_P)
+    return f"""
+        WITH digits AS (
+          SELECT CAST(substr(CAST(CAST(floor({value_col}) AS BIGINT) AS VARCHAR),
+                      1, 1) AS INTEGER) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS obs
+          FROM {table} WHERE {value_col} >= 1 GROUP BY 1
+        ), with_p AS (
+          SELECT d, obs, ([{plist}])[d] AS p,
+                 CAST(SUM(obs) OVER () AS BIGINT) AS n
+          FROM digits
+        ), scored AS (
+          SELECT *,
+                 CAST(floor(
+                   (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+                   * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+                   / (CAST(n AS DOUBLE) * p) * 1e12 + 0.5) AS BIGINT) AS tq
+          FROM with_p
+        )
+        SELECT '{table}' AS relation, d, obs,
+               CAST(obs AS DOUBLE) / CAST(n AS DOUBLE) AS obs_share,
+               p AS exp_share,
+               CAST(CAST(SUM(tq) OVER () AS BIGINT) AS DOUBLE) / 1e12 AS chi2
+        FROM scored
+    """

@@ -725,3 +725,79 @@ def seasonal_naive_oracle(
                END AS mase
         FROM scored GROUP BY k
     """
+
+
+def rolling_median(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    seq_col: str,
+    half_window: int = 3,
+) -> DataFrame:
+    """Rolling median smoother (±``half_window`` rows) — the robust
+    denoiser that shrugs off the spikes an EWMA chases. Medians are
+    holistic (no frame-incremental aggregate in Spark), so the window is
+    expressed as a bounded rank self-join: row i groups with rows
+    ``rank ∈ [i-h, i+h]`` and takes the exact interpolated percentile —
+    identical grouping, identical interpolation in any engine. Cost is
+    ``(2h+1)·n`` joined rows, linear in n for fixed h.
+
+    Output: ``(key, ts, value, med)`` — one row per observation.
+    """
+    w = Window.partitionBy("k").orderBy("us", "seq")
+    src = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("k"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+            F.col(seq_col).alias("seq"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+    )
+    h = half_window
+    centers = src.select("k", F.col("rn").alias("crn"), F.col("us").alias("cus"),
+                         F.col("v").alias("cv"))
+    joined = centers.alias("c").join(
+        src.select(F.col("k").alias("k2"), "rn", "v").alias("o"),
+        (F.col("c.k") == F.col("o.k2"))
+        & (F.col("o.rn") >= F.col("c.crn") - h)
+        & (F.col("o.rn") <= F.col("c.crn") + h),
+    )
+    return (
+        joined.groupBy(F.col("c.k").alias("k"), "crn", "cus", "cv")
+        .agg(F.percentile(F.col("o.v"), F.lit(0.5)).alias("med"))
+        .select(
+            F.col("k").alias(key_col),
+            F.timestamp_micros(F.col("cus")).alias("ts"),
+            F.col("cv").alias(value_col),
+            "med",
+        )
+    )
+
+
+def rolling_median_oracle(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    seq_col: str,
+    half_window: int = 3,
+) -> str:
+    """DuckDB twin of :func:`rolling_median` (same rank self-join)."""
+    h = half_window
+    return f"""
+        WITH src AS MATERIALIZED (
+          SELECT {key_col} AS k, epoch_us({ts_col}) AS us, {seq_col} AS seq,
+                 CAST({value_col} AS DOUBLE) AS v,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY {key_col}
+                      ORDER BY epoch_us({ts_col}), {seq_col}) AS BIGINT) AS rn
+          FROM {table} WHERE {value_col} IS NOT NULL
+        )
+        SELECT c.k AS {key_col}, make_timestamp(c.us) AS ts, c.v AS {value_col},
+               QUANTILE_CONT(o.v, 0.5) AS med
+        FROM src c JOIN src o
+          ON c.k = o.k AND o.rn >= c.rn - {h} AND o.rn <= c.rn + {h}
+        GROUP BY c.k, c.rn, c.us, c.v
+    """
