@@ -1455,6 +1455,17 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.timeseries_stream",
             fromlist=["run_streaming_ewma"],
         ).run_streaming_ewma(spark, sf_dir),
+        # session-duration stats: native session_window pinned EXACTLY
+        # against the relational gaps-and-islands rewrite in the oracle
+        "timeseries_session_stats": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries", fromlist=["session_stats"]
+        ).session_stats(
+            __import__(
+                "flink_example_spark.plans.events_demo", fromlist=["load_events"]
+            ).load_events(spark, sf_dir),
+            "event_type",
+            "ts",
+        ),
         # rolling-median robust smoother (rank self-join, exact
         # interpolated median per +/-3-row window)
         "timeseries_rolling_median": lambda spark, sf_dir: __import__(
@@ -2656,7 +2667,14 @@ def _northstar_oracles() -> dict[str, str]:
     )
     # live fold converges to the batch target-form relation
     out["streaming_cusum"] = out["timeseries_cusum_target"]
-    from flink_example_spark.operators.timeseries import rolling_median_oracle
+    from flink_example_spark.operators.timeseries import (
+        rolling_median_oracle,
+        session_stats_oracle,
+    )
+
+    out["timeseries_session_stats"] = session_stats_oracle(
+        "events", "event_type", "ts"
+    )
 
     out["timeseries_rolling_median"] = rolling_median_oracle(
         "events", "event_type", "ts", "value", "event_id"

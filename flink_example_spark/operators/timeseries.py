@@ -801,3 +801,81 @@ def rolling_median_oracle(
           ON c.k = o.k AND o.rn >= c.rn - {h} AND o.rn <= c.rn + {h}
         GROUP BY c.k, c.rn, c.us, c.v
     """
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-key session-duration statistics from Spark's native
+    ``session_window`` — counts, mean events/session, and exact
+    interpolated duration percentiles. The DuckDB oracle reimplements
+    sessionization with the classic GAPS-AND-ISLANDS rewrite (lag >
+    gap starts an island, running sum numbers them), pinning that
+    ``session_window`` and the relational rewrite agree EXACTLY —
+    including the window's end = last event + gap convention.
+
+    Output: ``(key, n_sessions, n_events, avg_events, p50_duration_s,
+    max_duration_s)``.
+    """
+    gap = f"{gap_minutes} minutes"
+    sessions = (
+        df.select(
+            F.col(key_col).alias("k"), F.col(ts_col).cast("timestamp").alias("ts")
+        )
+        .groupBy(F.session_window("ts", gap).alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "k",
+            "n",
+            (
+                (
+                    F.unix_micros(F.col("w.end"))
+                    - F.unix_micros(F.col("w.start"))
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("dur_s"),
+        )
+    )
+    return sessions.groupBy(F.col("k").alias(key_col)).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("avg_events"),
+        F.percentile(F.col("dur_s"), F.lit(0.5)).alias("p50_duration_s"),
+        F.max("dur_s").alias("max_duration_s"),
+    )
+
+
+def session_stats_oracle(
+    table: str, key_col: str, ts_col: str, gap_minutes: int = 30
+) -> str:
+    """DuckDB twin of :func:`session_stats` (gaps-and-islands)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+        WITH ev AS (
+          SELECT {key_col} AS k, epoch_us({ts_col}) AS us FROM {table}
+        ), flagged AS (
+          SELECT k, us,
+                 CASE WHEN us - lag(us) OVER (PARTITION BY k ORDER BY us)
+                      > {gap_us} OR lag(us) OVER (PARTITION BY k ORDER BY us)
+                      IS NULL THEN 1 ELSE 0 END AS new_s
+          FROM ev
+        ), ids AS (
+          SELECT k, us,
+                 CAST(SUM(new_s) OVER (PARTITION BY k ORDER BY us
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+          FROM flagged
+        ), sessions AS MATERIALIZED (
+          SELECT k, sid, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(MAX(us) + {gap_us} - MIN(us) AS DOUBLE) / 1e6 AS dur_s
+          FROM ids GROUP BY k, sid
+        )
+        SELECT k AS {key_col}, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_events,
+               QUANTILE_CONT(dur_s, 0.5) AS p50_duration_s,
+               MAX(dur_s) AS max_duration_s
+        FROM sessions GROUP BY k
+    """

@@ -122,6 +122,21 @@ TEMPLATES: dict[str, str] = {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
+    # Metric-layer period-over-period: monthly revenue with MoM delta
+    # and growth ratio (lag window over the month grain).
+    "period_over_period": """
+        SELECT month, revenue,
+               revenue - LAG(revenue) OVER w AS mom_delta,
+               CASE WHEN LAG(revenue) OVER w > 0
+                    THEN revenue / LAG(revenue) OVER w END AS mom_ratio
+        FROM (
+          SELECT date_trunc('month', o_orderdate) AS month,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+          FROM orders GROUP BY date_trunc('month', o_orderdate)
+        )
+        WINDOW w AS (ORDER BY month)
+    """,
     # 2-D Pareto skyline (maximize price AND recency): the classic
     # dominance query, NOT a quadratic self-join — sort one dimension
     # descending and keep rows that beat the running max of the other
