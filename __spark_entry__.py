@@ -1149,6 +1149,31 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.ml_stream",
             fromlist=["run_streaming_nb_inference"],
         ).run_streaming_nb_inference(spark, sf_dir),
+        # two-feature OLS (chars ~ tokens + distinct tokens) by Cramer
+        # over the 3x3 normal equations — exact integer stats, fixed
+        # double solve
+        "ml_linear_fit2": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["linear_fit2"]
+        ).linear_fit2(
+            _docs(spark, sf_dir).select(
+                "lang",
+                "n_chars",
+                F.size(
+                    F.array_remove(text.tokens(text.normalized(F.col("text"))), "")
+                ).alias("n_tok"),
+                F.size(
+                    F.array_distinct(
+                        F.array_remove(
+                            text.tokens(text.normalized(F.col("text"))), ""
+                        )
+                    )
+                ).alias("n_uniq"),
+            ),
+            "lang",
+            "n_tok",
+            "n_uniq",
+            "n_chars",
+        ),
         # k-fold CV in ONE pass: leave-fold-out models by sufficient-
         # statistic SUBTRACTION (stats are a sum monoid) — per-(lang,fold)
         # holdout MAE/RMSE without re-scanning per fold
@@ -2313,6 +2338,18 @@ def _northstar_oracles() -> dict[str, str]:
     out["ml_linear_fit"] = linear_fit_oracle(_ml_src, "lang", "n_tok", "n_chars")
     from flink_example_spark.operators.ml import regression_eval_oracle
 
+    from flink_example_spark.operators.ml import linear_fit2_oracle
+
+    out["ml_linear_fit2"] = linear_fit2_oracle(
+        "SELECT lang, n_chars, len(list_filter(string_split_regex("
+        f"{text._DUCK_NORM}, '\\s+'), t -> t <> '')) AS n_tok, "
+        "len(list_distinct(list_filter(string_split_regex("
+        f"{text._DUCK_NORM}, '\\s+'), t -> t <> ''))) AS n_uniq FROM documents",
+        "lang",
+        "n_tok",
+        "n_uniq",
+        "n_chars",
+    )
     from flink_example_spark.operators.ml import crossval_eval_oracle
 
     out["ml_crossval_eval"] = crossval_eval_oracle(

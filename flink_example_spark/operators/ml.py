@@ -1640,3 +1640,126 @@ def wilson_ci_oracle(
                  / (1.0 + {z * z!r} / CAST(n AS DOUBLE)) AS ci_hi
         FROM agg
     """
+
+
+def linear_fit2(
+    df: DataFrame,
+    group_col: str,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group TWO-feature OLS ``y ≈ b0 + b1·x1 + b2·x2`` by Cramer's
+    rule over the 3×3 normal equations — the multivariate extension of
+    :func:`linear_fit`, still ONE map-side-combined aggregation of
+    integer sufficient statistics.
+
+    Determinant terms like ``n·Σx1²·Σx2²`` overflow BIGINT, so the
+    3×3 expansion runs on DOUBLES of the exact integer sums — a FIXED
+    sequence of exactly-rounded ops, bit-identical in any engine (the
+    statistics themselves stay exact BIGINTs; only the solve is in
+    floating point, same as the one-feature fit's divisions).
+
+    Output: ``(grp, n, b0, b1, b2)``; groups with a singular normal
+    matrix (|det| below 1e-9 of scale) are dropped.
+    """
+    b = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(x1_col).cast("bigint").alias("x1"),
+        F.col(x2_col).cast("bigint").alias("x2"),
+        F.col(y_col).cast("bigint").alias("y"),
+    )
+    s = b.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    d = {c: F.col(c).cast("double") for c in
+         ("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y")}
+
+    def det3(a, bb, c, dd, e, f, g, h, i):
+        return (
+            a * (e * i - f * h) - bb * (dd * i - f * g) + c * (dd * h - e * g)
+        )
+
+    det = det3(d["n"], d["s1"], d["s2"],
+               d["s1"], d["s11"], d["s12"],
+               d["s2"], d["s12"], d["s22"])
+    det0 = det3(d["sy"], d["s1"], d["s2"],
+                d["s1y"], d["s11"], d["s12"],
+                d["s2y"], d["s12"], d["s22"])
+    det1 = det3(d["n"], d["sy"], d["s2"],
+                d["s1"], d["s1y"], d["s12"],
+                d["s2"], d["s2y"], d["s22"])
+    det2 = det3(d["n"], d["s1"], d["sy"],
+                d["s1"], d["s11"], d["s1y"],
+                d["s2"], d["s12"], d["s2y"])
+    return (
+        s.withColumn("det", det)
+        .filter(F.abs(F.col("det")) > 1e-9)
+        .select(
+            "grp",
+            "n",
+            (det0 / F.col("det")).alias("b0"),
+            (det1 / F.col("det")).alias("b1"),
+            (det2 / F.col("det")).alias("b2"),
+        )
+    )
+
+
+def linear_fit2_oracle(
+    source_sql: str, group_col: str, x1_col: str, x2_col: str, y_col: str
+) -> str:
+    """DuckDB twin of :func:`linear_fit2` (same op sequence)."""
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return (
+            f"({a} * ({e} * {i} - {f} * {h})"
+            f" - {b} * ({d} * {i} - {f} * {g})"
+            f" + {c} * ({d} * {h} - {e} * {g}))"
+        )
+
+    cols = {k: f"CAST({k} AS DOUBLE)" for k in
+            ("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y")}
+    det = det3(cols["n"], cols["s1"], cols["s2"],
+               cols["s1"], cols["s11"], cols["s12"],
+               cols["s2"], cols["s12"], cols["s22"])
+    det0 = det3(cols["sy"], cols["s1"], cols["s2"],
+                cols["s1y"], cols["s11"], cols["s12"],
+                cols["s2y"], cols["s12"], cols["s22"])
+    det1 = det3(cols["n"], cols["sy"], cols["s2"],
+                cols["s1"], cols["s1y"], cols["s12"],
+                cols["s2"], cols["s2y"], cols["s22"])
+    det2 = det3(cols["n"], cols["s1"], cols["sy"],
+                cols["s1"], cols["s11"], cols["s1y"],
+                cols["s2"], cols["s12"], cols["s2y"])
+    return f"""
+        WITH s AS (
+          SELECT {group_col} AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST({x1_col} AS BIGINT)) AS BIGINT) AS s1,
+                 CAST(SUM(CAST({x2_col} AS BIGINT)) AS BIGINT) AS s2,
+                 CAST(SUM(CAST({y_col} AS BIGINT)) AS BIGINT) AS sy,
+                 CAST(SUM(CAST({x1_col} AS BIGINT) * CAST({x1_col} AS BIGINT))
+                      AS BIGINT) AS s11,
+                 CAST(SUM(CAST({x1_col} AS BIGINT) * CAST({x2_col} AS BIGINT))
+                      AS BIGINT) AS s12,
+                 CAST(SUM(CAST({x2_col} AS BIGINT) * CAST({x2_col} AS BIGINT))
+                      AS BIGINT) AS s22,
+                 CAST(SUM(CAST({x1_col} AS BIGINT) * CAST({y_col} AS BIGINT))
+                      AS BIGINT) AS s1y,
+                 CAST(SUM(CAST({x2_col} AS BIGINT) * CAST({y_col} AS BIGINT))
+                      AS BIGINT) AS s2y
+          FROM ({source_sql}) GROUP BY 1
+        )
+        SELECT grp, n,
+               {det0} / {det} AS b0,
+               {det1} / {det} AS b1,
+               {det2} / {det} AS b2
+        FROM s WHERE abs({det}) > 1e-9
+    """

@@ -369,3 +369,27 @@ def test_bootstrap_multiplicities_are_poisson_like(spark):
     ).collect()[0]
     assert abs(stats["mean"] - 1.0) < 0.06
     assert abs(stats["zeros"] / 3000 - 0.3679) < 0.03
+
+
+def test_linear_fit2_exact_plane(spark):
+    from flink_example_spark.operators.ml import linear_fit2
+
+    # y = 5 + 2*x1 + 3*x2 exactly, over a non-degenerate grid
+    rows = [("g", x1, x2, 5 + 2 * x1 + 3 * x2)
+            for x1 in range(1, 7) for x2 in range(1, 5)]
+    df = spark.createDataFrame(rows, "grp string, x1 long, x2 long, y long")
+    out = linear_fit2(df, "grp", "x1", "x2", "y").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert abs(r["b0"] - 5.0) < 1e-9
+    assert abs(r["b1"] - 2.0) < 1e-9
+    assert abs(r["b2"] - 3.0) < 1e-9
+
+
+def test_linear_fit2_drops_collinear_groups(spark):
+    from flink_example_spark.operators.ml import linear_fit2
+
+    # x2 = 2*x1 exactly -> singular normal matrix -> dropped
+    rows = [("c", x, 2 * x, x + 1) for x in range(1, 10)]
+    df = spark.createDataFrame(rows, "grp string, x1 long, x2 long, y long")
+    assert linear_fit2(df, "grp", "x1", "x2", "y").count() == 0
