@@ -125,6 +125,14 @@ HEADLINE = [
     "mining_seq_patterns",
     "multimodal_dhash",
     "distribution_windows",
+    "ml_bootstrap_ci",
+    "ml_crossval_eval",
+    "dedup_ppjoin",
+    "ann_pca_power",
+    "cep_rfm_segments",
+    "text_winnowing",
+    "timeseries_session_stats",
+    "sketch_join_size",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

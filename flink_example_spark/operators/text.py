@@ -993,3 +993,56 @@ def winnowing_oracle(k: int = 8, w: int = 4) -> str:
         FROM sel WHERE n_in_win = {w}
         GROUP BY id
     """
+
+
+def zipf_fit(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve: OLS of
+    ``floor(log2 count)`` against ``floor(log2 rank)`` — natural text
+    slopes near −1; template spam and synthetic corpora bend the curve.
+    Composes the corpus term counts (one aggregation + one rank window)
+    with :func:`~flink_example_spark.operators.ml.linear_fit`'s exact
+    integer sufficient statistics; the quantized-log regression keeps
+    every accumulated value a BIGINT (the CLAUDE.md integer-log2 idiom).
+
+    Output: one row ``(grp='zipf', n, slope, intercept, r2)`` where n is
+    the vocabulary size.
+    """
+    from flink_example_spark.operators.ml import linear_fit
+
+    freqs = (
+        documents.select(
+            F.explode(tokens(normalized(F.col(text_col)))).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = freqs.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("c"), F.col("t")))
+    ).select(
+        F.lit("zipf").alias("g"),
+        (F.length(F.bin(F.col("r"))) - 1).alias("lr"),
+        (F.length(F.bin(F.col("c"))) - 1).alias("lc"),
+    )
+    return linear_fit(ranked, "g", "lr", "lc")
+
+
+def zipf_oracle() -> str:
+    """DuckDB twin of :func:`zipf_fit` (documents table)."""
+    from flink_example_spark.operators.ml import linear_fit_oracle
+
+    src = f"""
+        SELECT 'zipf' AS g,
+               len(bin(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, t) AS BIGINT))) - 1
+                 AS lr,
+               len(bin(c)) - 1 AS lc
+        FROM (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT unnest(string_split_regex({_DUCK_NORM}, '\\s+')) AS t
+            FROM documents
+          ) WHERE t <> '' GROUP BY t
+        )
+    """
+    return linear_fit_oracle(src, "g", "lr", "lc")
