@@ -1283,6 +1283,9 @@ def _power_top(spark, cells: DataFrame, dim: int, n_iter: int) -> DataFrame:
     )
     return (
         v.crossJoin(F.broadcast(rq))
+        # rank-deficient residual (vector collapsed to 0) would divide by
+        # zero — drop instead of emitting engine-divergent NaN/inf rows
+        .filter(F.col("den") > 0)
         .select(
             F.col("vi").alias("i"),
             (
@@ -1405,7 +1408,7 @@ def pca_power_oracle(n_iter: int = 16) -> str:
         SELECT vi AS i,
                v / sqrt(CAST(den AS DOUBLE) / 1e12) AS loading,
                CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS eigenvalue
-        FROM v{t} CROSS JOIN rq
+        FROM v{t} CROSS JOIN rq WHERE den > 0
     """
 
 
@@ -1482,7 +1485,7 @@ def pca_components_oracle(n_components: int = 3, n_iter: int = 16) -> str:
               SELECT vi AS i,
                      v / sqrt(CAST(den AS DOUBLE) / 1e12) AS loading,
                      CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS eigenvalue
-              FROM v_{comp}_{t} CROSS JOIN rq_{comp}
+              FROM v_{comp}_{t} CROSS JOIN rq_{comp} WHERE den > 0
             )"""
         )
         finals.append(
