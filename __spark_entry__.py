@@ -1493,6 +1493,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type",
             "ts",
         ),
+        # LIVE session stats: state-store session MERGE, summary at read
+        "streaming_session_stats": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.timeseries_stream",
+            fromlist=["run_streaming_session_stats"],
+        ).run_streaming_session_stats(spark, sf_dir),
         # rolling-median robust smoother (rank self-join, exact
         # interpolated median per +/-3-row window)
         "timeseries_rolling_median": lambda spark, sf_dir: __import__(
@@ -2715,6 +2720,8 @@ def _northstar_oracles() -> dict[str, str]:
     out["timeseries_session_stats"] = session_stats_oracle(
         "events", "event_type", "ts"
     )
+    # live session-merge converges to the islands-pinned batch relation
+    out["streaming_session_stats"] = out["timeseries_session_stats"]
 
     out["timeseries_rolling_median"] = rolling_median_oracle(
         "events", "event_type", "ts", "value", "event_id"

@@ -447,3 +447,56 @@ def run_streaming_rate_limit(
             F.sum((F.col("n") > limit).cast("bigint")).alias("n_keys_over"),
         )
     )
+
+
+def run_streaming_session_stats(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """STREAMING session-duration stats: the state store MERGES adjacent
+    per-key session windows live (complete mode for the bounded replay);
+    the duration/percentile summary runs over the converged session table
+    at read time. Converges to batch ``session_stats`` — shares its
+    gaps-and-islands-pinned oracle."""
+    from flink_example_spark.streaming.pipeline import stream_events
+
+    tune(spark)
+    ev = stream_events(spark, sf_dir)
+    gap = f"{gap_minutes} minutes"
+    sessions = (
+        ev.groupBy(
+            F.session_window("ts", gap).alias("w"),
+            F.col("event_type").alias("k"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "k",
+            "n",
+            (
+                (
+                    F.unix_micros(F.col("w.end")) - F.unix_micros(F.col("w.start"))
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("dur_s"),
+        )
+    )
+    name = f"stream_sess_stats_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            sessions.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(F.col("k").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+            (F.sum("n").cast("double") / F.count(F.lit(1))).alias("avg_events"),
+            F.percentile(F.col("dur_s"), F.lit(0.5)).alias("p50_duration_s"),
+            F.max("dur_s").alias("max_duration_s"),
+        )
+    )
