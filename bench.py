@@ -127,7 +127,10 @@ HEADLINE = [
     "distribution_windows",
     "ml_bootstrap_ci",
     "ml_crossval_eval",
-    "dedup_ppjoin",
+    # dedup_ppjoin excluded: on this corpus nearly every doc pair is
+    # similar, so the EXACT join's output (and thus cost) is inherently
+    # quadratic -- same reason dedup_ngram_jaccard is excluded; the
+    # probabilistic scale path dedup_minhash_lsh IS benched
     "ann_pca_power",
     "cep_rfm_segments",
     "text_winnowing",
