@@ -1582,6 +1582,15 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "flink_example_spark.tables", fromlist=["load_table"]
             ).load_table(spark, sf_dir, "embeddings")
         ),
+        # PCA-reduced ANN: project to top-3 PCs, coarse-score in 3-D,
+        # exact-rerank the shortlist (the data-optimal sibling of jl_topk)
+        "ann_pca_topk": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.similarity", fromlist=["pca_topk"]
+        ).pca_topk(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "embeddings")
+        ),
         # top-3 components by Hotelling deflation (one data pass total)
         "ann_pca_components": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.similarity", fromlist=["pca_components"]
@@ -2435,6 +2444,9 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["ann_pca_power"] = pca_power_oracle()
     out["ann_pca_components"] = pca_components_oracle(n_components=3)
+    from flink_example_spark.operators.similarity import pca_topk_oracle
+
+    out["ann_pca_topk"] = pca_topk_oracle()
     from flink_example_spark.operators.quality import (
         forget_impact_oracle,
         k_anonymity_oracle,
@@ -2448,6 +2460,9 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["ann_pca_power"] = pca_power_oracle()
     out["ann_pca_components"] = pca_components_oracle(n_components=3)
+    from flink_example_spark.operators.similarity import pca_topk_oracle
+
+    out["ann_pca_topk"] = pca_topk_oracle()
     from flink_example_spark.operators.quality import (
         benford_oracle,
         key_skew_oracle,

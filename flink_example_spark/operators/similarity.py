@@ -1415,6 +1415,18 @@ def pca_power_oracle(n_iter: int = 16) -> str:
 def pca_components_oracle(n_components: int = 3, n_iter: int = 16) -> str:
     """DuckDB twin of :func:`pca_components` — the full deflation loop
     unrolled (k components x n_iter rounds of MATERIALIZED CTEs)."""
+    parts, finals = _pca_components_parts(n_components, n_iter)
+    return f"""
+        WITH {", ".join(parts)}
+        {" UNION ALL ".join(finals)}
+    """
+
+
+def _pca_components_parts(
+    n_components: int, n_iter: int
+) -> tuple[list[str], list[str]]:
+    """The shared CTE list + per-component final SELECTs of the deflation
+    oracle (reused by :func:`pca_topk_oracle`)."""
     parts = [
         """xi AS MATERIALIZED (
           SELECT vec_id AS id, i - 1 AS i, CAST(e AS DOUBLE) AS x FROM (
@@ -1501,7 +1513,145 @@ def pca_components_oracle(n_components: int = 3, n_iter: int = 16) -> str:
                   JOIN top_{comp} ub ON ub.i = c.cj
                 )"""
             )
+    return parts, finals
+
+
+def pca_topk(
+    embeddings: DataFrame,
+    n_components: int = 3,
+    shortlist: int = 32,
+    k: int = 5,
+    n_iter: int = 16,
+    n_queries: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via PCA dimensionality reduction: project every vector onto
+    the top ``n_components`` principal directions (the basis
+    :func:`pca_components` learns in one data pass), score candidates in
+    the tiny reduced space, shortlist the top ``shortlist`` per query,
+    and EXACT-rerank only the shortlist in full dimension — the classical
+    optimal-linear-sketch sibling of ``jl_topk`` (random projection):
+    same two-stage shape, but the projection is data-optimal.
+
+    Portability: projections are quantized-product sums (BIGINT,
+    1e12-scaled) over the bit-exact deflation loadings; reduced-space
+    scores quantize each product term the same way; the final cosine is
+    the shared sequential-fold expression every exact ANN row uses, so
+    rerank scores are bit-identical to ``cosine_topk`` on the same pairs.
+
+    Output: ``(query_id, neighbor_id, rank, cos)``.
+    """
+    q12 = lambda col: F.floor(col * F.lit(1e12) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    comps = pca_components(
+        embeddings, n_components=n_components, n_iter=n_iter
+    ).localCheckpoint()
+    xi = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    ).select("id", "i", F.col("x").cast("double").alias("x"))
+    proj = (
+        xi.join(F.broadcast(comps.select("component", "i", "loading")), "i")
+        .groupBy("id", "component")
+        .agg(F.sum(q12(F.col("x") * F.col("loading"))).alias("pq"))
+        .select(
+            "id", "component", (F.col("pq").cast("double") / F.lit(1e12)).alias("p")
+        )
+        .localCheckpoint()
+    )
+    qp = proj.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("q_id"), "component", F.col("p").alias("qp")
+    )
+    coarse = (
+        proj.join(F.broadcast(qp), "component")
+        .filter(F.col("q_id") != F.col("id"))
+        .groupBy("q_id", F.col("id").alias("n_id"))
+        .agg(F.sum(q12(F.col("p") * F.col("qp"))).alias("score"))
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    short = (
+        coarse.withColumn("rs", F.row_number().over(ws))
+        .filter(F.col("rs") <= shortlist)
+        .select("q_id", "n_id")
+    )
+    c = _prep(embeddings, id_col, vec_col, "n")
+    q = _prep(embeddings.filter(F.col(id_col) < n_queries), id_col, vec_col, "q")
+    rer = (
+        short.join(c, "n_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "n_id",
+            (
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm"))
+            ).alias("cos"),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("neighbor_id"),
+            "rank",
+            "cos",
+        )
+    )
+
+
+def pca_topk_oracle(
+    n_components: int = 3,
+    shortlist: int = 32,
+    k: int = 5,
+    n_iter: int = 16,
+    n_queries: int = 8,
+) -> str:
+    """DuckDB twin of :func:`pca_topk` — the deflation prefix plus
+    projection / coarse-shortlist / exact-rerank CTEs."""
+    parts, finals = _pca_components_parts(n_components, n_iter)
+    comps_select = " UNION ALL ".join(finals)
+    duck_cos = (
+        "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),"
+        " CAST(a.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),"
+        " CAST(b.embedding AS DOUBLE[]))))"
+    )
     return f"""
-        WITH {", ".join(parts)}
-        {" UNION ALL ".join(finals)}
+        WITH {", ".join(parts)}, comps AS MATERIALIZED (
+          {comps_select}
+        ), proj AS MATERIALIZED (
+          SELECT xi.id, comps.component,
+                 CAST(CAST(SUM(CAST(floor(xi.x * comps.loading * 1e12 + 0.5)
+                      AS BIGINT)) AS DOUBLE) / 1e12 AS DOUBLE) AS p
+          FROM xi JOIN comps ON xi.i = comps.i
+          GROUP BY xi.id, comps.component
+        ), coarse AS MATERIALIZED (
+          SELECT q.id AS q_id, c.id AS n_id,
+                 CAST(SUM(CAST(floor(c.p * q.p * 1e12 + 0.5) AS BIGINT))
+                      AS BIGINT) AS score
+          FROM proj c JOIN proj q
+            ON c.component = q.component AND q.id < {n_queries} AND q.id <> c.id
+          GROUP BY q.id, c.id
+        ), short AS MATERIALIZED (
+          SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY score DESC, n_id) AS rs
+            FROM coarse
+          ) WHERE rs <= {shortlist}
+        ), rer AS (
+          SELECT s.q_id AS query_id, s.n_id AS neighbor_id, {duck_cos} AS cos
+          FROM short s
+          JOIN embeddings a ON a.vec_id = s.q_id
+          JOIN embeddings b ON b.vec_id = s.n_id
+        )
+        SELECT query_id, neighbor_id, rank, cos FROM (
+          SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM rer
+        ) WHERE rank <= {k}
     """

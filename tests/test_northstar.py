@@ -923,3 +923,32 @@ def test_pca_components_orthogonal_descending(spark):
     assert abs(abs(v1[1]) - 1.0) < 1e-2          # PC2 ~ axis 1
     for v in (v0, v1):
         assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-6
+
+
+def test_pca_topk_recall_against_exact(spark):
+    """PCA-reduced shortlist + exact rerank: rerank scores must be
+    bit-identical to exact cosine; recall@5 vs brute force high on
+    structured data."""
+    from flink_example_spark.operators.similarity import cosine_topk, pca_topk
+
+    rows = []
+    # 3 well-separated clusters in 12-D
+    for cid in range(3):
+        for j in range(20):
+            v = [0.05 * ((j * 7 + d) % 5 - 2) for d in range(12)]
+            v[cid * 4] += 3.0
+            rows.append((cid * 20 + j, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in cosine_topk(df, df.filter("vec_id < 4"), k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in pca_topk(df, n_components=3, shortlist=16, k=5,
+                          n_queries=4, n_iter=10).collect()
+    }
+    hits = set(got) & set(exact)
+    assert len(hits) / len(exact) >= 0.8
+    for key in hits:
+        assert got[key] == exact[key]  # rerank == exact cosine, bit-for-bit
