@@ -3426,7 +3426,9 @@ DRIVER_KEYS = [
     "versioned_cdc_apply",
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",
-    "dedup_minhash_keep",
+    # keep-first materialization stays in extras (one anti-join over the
+    # driver-recorded LSH pairs); the slot records the PCA eigensolver
+    "ann_pca_power",
     "dedup_simhash",
     "dedup_paragraphs",
     "ann_cosine_topk",
