@@ -1110,6 +1110,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_wilson_ci": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.ml", fromlist=["wilson_ci"]
         ).wilson_ci(_events(spark, sf_dir)),
+        # the SAME bootstrap LIVE: per-(group, replicate) weighted sums
+        # are monoids -> one complete-mode aggregation, CI at read time
+        "streaming_bootstrap_ci": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.ml_stream",
+            fromlist=["run_streaming_bootstrap_ci"],
+        ).run_streaming_bootstrap_ci(spark, sf_dir),
         # Poisson-bootstrap CI for per-group means (deterministic md5 ->
         # Poisson(1) multiplicity; B=32 replicates, percentile CI)
         "ml_bootstrap_ci": lambda spark, sf_dir: __import__(
@@ -2493,6 +2499,7 @@ def _northstar_oracles() -> dict[str, str]:
     )
 
     out["ml_bootstrap_ci"] = bootstrap_ci_oracle()
+    out["streaming_bootstrap_ci"] = out["ml_bootstrap_ci"]
     from flink_example_spark.operators.ml import wilson_ci_oracle
 
     out["ml_wilson_ci"] = wilson_ci_oracle()

@@ -136,3 +136,98 @@ def run_streaming_nb_inference(
         .cast("bigint")
         .alias("is_correct"),
     )
+
+
+def run_streaming_bootstrap_ci(
+    spark: "SparkSession", sf_dir: str, n_replicates: int = 32, chunks: int = 3
+) -> "DataFrame":
+    """STREAMING Poisson-bootstrap CI: the per-(group, replicate) weighted
+    sums/counts are sum monoids (each row's deterministic multiplicity
+    depends only on (row id, replicate)), so the whole replicate table
+    maintains as ONE complete-mode JVM aggregation over the exploded
+    stream; the percentile CI runs over the converged (group x B) table
+    at read time. Converges to batch ``bootstrap_ci`` under any arrival
+    order — shares its oracle."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.ml import _POISSON_THRESHOLDS
+    from flink_example_spark.operators.sketch import portable_hash32
+    from flink_example_spark.session import shuffle_partitions, tune
+    from flink_example_spark.streaming.staging import stamp_chunk_mtimes
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    tmpdir = tempfile.mkdtemp(prefix="stream_boot_")
+    n = ev.count()
+    per = (n + chunks - 1) // chunks
+    for i in range(chunks):
+        ev.filter(
+            (F.col("event_id") >= i * per) & (F.col("event_id") < (i + 1) * per)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmpdir, f"chunk_{i}")
+        )
+    stamp_chunk_mtimes(tmpdir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    rep = (
+        stream.select(
+            F.col("event_type").alias("grp"),
+            F.col("event_id").cast("string").alias("rid"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .select(
+            "grp",
+            "rid",
+            "v",
+            F.explode(F.sequence(F.lit(1), F.lit(n_replicates))).alias("b"),
+        )
+        .withColumn("h", portable_hash32(F.concat_ws("|", F.col("rid"), F.col("b"))))
+    )
+    mult = F.when(F.col("h") < _POISSON_THRESHOLDS[0], 0)
+    for k, t in enumerate(_POISSON_THRESHOLDS[1:], start=1):
+        mult = mult.when(F.col("h") < t, k)
+    mult = mult.otherwise(len(_POISSON_THRESHOLDS))
+    agg = (
+        rep.withColumn("m", mult)
+        .groupBy("grp", "b")
+        .agg(
+            F.sum(F.col("v") * F.col("m")).alias("s"),
+            F.sum("m").alias("mn"),
+            F.sum(F.col("v")).alias("sv"),
+            F.count(F.lit(1)).alias("nrep"),
+        )
+    )
+    name = f"stream_boot_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    t = spark.table(name)
+    # ONE aggregation over the converged (grp x B) table: replicate means
+    # feed the percentile CI (null when a replicate drew no rows —
+    # percentile skips nulls, matching the batch filter), and replicate
+    # b=1's unweighted accumulators carry the base mean/count
+    mean_b = F.when(
+        F.col("mn") > 0, F.col("s").cast("double") / F.col("mn")
+    )
+    return t.groupBy("grp").agg(
+        F.max(F.when(F.col("b") == 1, F.col("nrep"))).alias("n_rows"),
+        (
+            F.max(F.when(F.col("b") == 1, F.col("sv"))).cast("double")
+            / F.max(F.when(F.col("b") == 1, F.col("nrep")))
+        ).alias("mean"),
+        F.percentile(mean_b, F.lit(0.025)).alias("ci_lo"),
+        F.percentile(mean_b, F.lit(0.975)).alias("ci_hi"),
+    ).select("grp", "n_rows", "mean", "ci_lo", "ci_hi")
