@@ -886,6 +886,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE: lambdas are interpreted (no codegen) — fine for breadth
         # rows; hot paths use explode + codegen aggregates (CLAUDE.md)
         "array_functions_suite": _array_suite_entry,
+        # Flesch/FK readability (vowel-group syllables, exact counts)
+        "text_readability": lambda spark, sf_dir: text.readability(
+            _docs(spark, sf_dir)
+        ),
         # Zipf rank-frequency OLS fit (integer-log2 regression)
         "text_zipf_fit": lambda spark, sf_dir: text.zipf_fit(_docs(spark, sf_dir)),
         # MOSS winnowing fingerprints (min-hash per sliding gram window)
@@ -2249,6 +2253,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["text_token_entropy"] = text.token_entropy_oracle()
     out["text_winnowing"] = text.winnowing_oracle()
     out["text_zipf_fit"] = text.zipf_oracle()
+    out["text_readability"] = text.readability_oracle()
     out["array_functions_suite"] = f"""
         SELECT doc_id,
                CAST(len(l) AS BIGINT) AS n_tokens,

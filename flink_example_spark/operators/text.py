@@ -1046,3 +1046,101 @@ def zipf_oracle() -> str:
         )
     """
     return linear_fit_oracle(src, "g", "lr", "lc")
+
+
+def readability(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Readability scoring (Flesch reading-ease / FK grade level) — the
+    classic prose-quality features web-corpus filters cut on. Sentences
+    are ``[.!?]+`` runs, words are the shared whitespace tokenization,
+    and syllables use the standard vowel-GROUP approximation (runs of
+    [aeiouy] in the lowercased word), all via one shared regexp per
+    engine — exact integer counts, so both formulas are fixed double-op
+    sequences over exact BIGINTs:
+
+        ease  = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+        grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+
+    Output: ``(id, n_sentences, n_words, n_syllables, flesch_ease,
+    fk_grade)``; empty docs are dropped.
+    """
+    txt = F.col(text_col)
+    n_sent = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.size(
+            F.filter(
+                F.split(txt, r"[.!?]+"),
+                lambda s: F.length(F.trim(s)) > 0,
+            )
+        ).cast("bigint"),
+    )
+    words = F.filter(tokens(normalized(txt)), lambda t: t != F.lit(""))
+    n_words = F.size(words).cast("bigint")
+    # syllables: vowel groups per word, min 1 per word, summed via the
+    # normalized text directly (same tokens, so word-count consistent)
+    n_syll = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1).cast("bigint"),
+            (
+                F.size(F.split(F.regexp_replace(w, "[aeiouy]+", "#"), "#"))
+                - F.lit(1)
+            ).cast("bigint"),
+        ),
+    )
+    base = documents.select(
+        F.col(id_col),
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return base.select(
+        id_col,
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias(
+            "flesch_ease"
+        ),
+        (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).alias("fk_grade"),
+    )
+
+
+def readability_oracle() -> str:
+    """DuckDB twin of :func:`readability` (documents table)."""
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 greatest(1, len(list_filter(
+                   string_split_regex(text, '[.!?]+'),
+                   s -> len(trim(s)) > 0))) AS n_sentences,
+                 CAST(len(w) AS BIGINT) AS n_words,
+                 CAST(list_sum(list_transform(w,
+                   x -> greatest(1, len(string_split(
+                        regexp_replace(x, '[aeiouy]+', '#', 'g'), '#')) - 1)))
+                   AS BIGINT) AS n_syllables
+          FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex({_DUCK_NORM}, '\\s+'),
+                               t -> t <> '') AS w,
+                   text
+            FROM documents
+          )
+          WHERE len(w) > 0
+        )
+        SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+               n_words, n_syllables,
+               206.835 - 1.015 * (CAST(n_words AS DOUBLE)
+                                  / CAST(n_sentences AS DOUBLE))
+                       - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                 / CAST(n_words AS DOUBLE)) AS flesch_ease,
+               0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                 - 15.59 AS fk_grade
+        FROM base
+    """

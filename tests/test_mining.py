@@ -131,3 +131,26 @@ def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark):
         sets.setdefault(r["id"], set()).add(r["fp"])
     assert sets[1] & sets[2]          # shared substring -> shared fingerprint
     assert not (sets[1] & sets[3] and sets[2] & sets[3]) or True
+
+
+def test_readability_counts_and_formulas(spark):
+    from flink_example_spark.operators.text import readability
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),       # 2 sentences, 6 words
+        (2, "incomprehensibilities"),           # 1 word, many syllables
+        (3, "   "),                             # empty -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in readability(df).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert (r1["n_sentences"], r1["n_words"]) == (2, 6)
+    # the cat sat the dog ran -> 1 syllable each
+    assert r1["n_syllables"] == 6
+    wps, spw = 6 / 2, 6 / 6
+    assert r1["flesch_ease"] == 206.835 - 1.015 * wps - 84.6 * spw
+    assert r1["fk_grade"] == 0.39 * wps + 11.8 * spw - 15.59
+    # in-com-pre-hen-si-bi-li-ties: vowel groups i,o,e,e,i,i,i,ie -> 8
+    assert out[2]["n_syllables"] == 8
+    assert out[2]["fk_grade"] > out[1]["fk_grade"]
