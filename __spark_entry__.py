@@ -1592,6 +1592,14 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "flink_example_spark.tables", fromlist=["load_table"]
             ).load_table(spark, sf_dir, "embeddings")
         ),
+        # Mahalanobis-style multivariate outliers on the PCA basis
+        "ann_pca_outliers": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.similarity", fromlist=["pca_outliers"]
+        ).pca_outliers(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "embeddings")
+        ),
         # PCA-reduced ANN: project to top-3 PCs, coarse-score in 3-D,
         # exact-rerank the shortlist (the data-optimal sibling of jl_topk)
         "ann_pca_topk": lambda spark, sf_dir: __import__(
@@ -2458,6 +2466,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.similarity import pca_topk_oracle
 
     out["ann_pca_topk"] = pca_topk_oracle()
+    from flink_example_spark.operators.similarity import pca_outliers_oracle
+
+    out["ann_pca_outliers"] = pca_outliers_oracle()
     from flink_example_spark.operators.quality import (
         forget_impact_oracle,
         k_anonymity_oracle,
@@ -2474,6 +2485,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.similarity import pca_topk_oracle
 
     out["ann_pca_topk"] = pca_topk_oracle()
+    from flink_example_spark.operators.similarity import pca_outliers_oracle
+
+    out["ann_pca_outliers"] = pca_outliers_oracle()
     from flink_example_spark.operators.quality import (
         benford_oracle,
         key_skew_oracle,

@@ -1655,3 +1655,105 @@ def pca_topk_oracle(
           FROM rer
         ) WHERE rank <= {k}
     """
+
+
+def pca_outliers(
+    embeddings: DataFrame,
+    n_components: int = 3,
+    topk: int = 20,
+    n_iter: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multivariate outlier scoring on the learned PCA basis — the
+    scalable Mahalanobis approximation: score(x) = Σ_c ((x−μ)·u_c)²/λ_c
+    over the top components (the exact Mahalanobis distance restricted to
+    the dominant eigenspace, which is the part that matters when the
+    trailing spectrum is noise). The embedding-space sibling of the
+    1-D ``zscore_outliers``/``mad_outliers`` gates.
+
+    Portability: centered projections and squared-score terms all
+    quantize per-product (1e12 BIGINT) before summation; λ and μ come
+    from the bit-exact deflation solve. Output: the ``topk`` highest
+    scores, ``(vec_id, score, rank)``.
+    """
+    q12 = lambda col: F.floor(col * F.lit(1e12) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    comps = pca_components(
+        embeddings, n_components=n_components, n_iter=n_iter
+    ).localCheckpoint()
+    xi = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    ).select("id", "i", F.col("x").cast("double").alias("x"))
+    n = xi.select("id").distinct().count()
+    mu = xi.groupBy("i").agg(
+        (
+            F.sum(F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5)).cast("bigint"))
+            .cast("double")
+            / F.lit(float(n))
+            / F.lit(1e6)
+        ).alias("mu")
+    )
+    proj = (
+        xi.join(F.broadcast(mu), "i")
+        .join(F.broadcast(comps.select("component", "i", "loading", "eigenvalue")), "i")
+        .groupBy("id", "component", "eigenvalue")
+        .agg(
+            F.sum(q12((F.col("x") - F.col("mu")) * F.col("loading"))).alias("pq")
+        )
+        .select(
+            "id",
+            "component",
+            (F.col("pq").cast("double") / F.lit(1e12)).alias("p"),
+            "eigenvalue",
+        )
+    )
+    scored = (
+        proj.filter(F.col("eigenvalue") > 0)
+        .select(
+            "id",
+            q12(F.col("p") * F.col("p") / F.col("eigenvalue")).alias("tq"),
+        )
+        .groupBy("id")
+        .agg((F.sum("tq").cast("double") / F.lit(1e12)).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(F.col("id").alias(id_col), "score", "rank")
+    )
+
+
+def pca_outliers_oracle(
+    n_components: int = 3, topk: int = 20, n_iter: int = 16
+) -> str:
+    """DuckDB twin of :func:`pca_outliers`."""
+    parts, finals = _pca_components_parts(n_components, n_iter)
+    comps_select = " UNION ALL ".join(finals)
+    return f"""
+        WITH {", ".join(parts)}, comps AS MATERIALIZED (
+          {comps_select}
+        ), mu AS MATERIALIZED (
+          SELECT i,
+                 CAST(CAST(SUM(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / nd / 1e6 AS DOUBLE) AS mu
+          FROM xi CROSS JOIN nn GROUP BY i, nd
+        ), proj AS MATERIALIZED (
+          SELECT xi.id, comps.component, comps.eigenvalue,
+                 CAST(CAST(SUM(CAST(floor((xi.x - mu.mu) * comps.loading * 1e12
+                      + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS DOUBLE) AS p
+          FROM xi JOIN mu USING (i) JOIN comps ON comps.i = xi.i
+          GROUP BY xi.id, comps.component, comps.eigenvalue
+        ), scored AS (
+          SELECT id,
+                 CAST(CAST(SUM(CAST(floor(p * p / eigenvalue * 1e12 + 0.5)
+                      AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS score
+          FROM proj WHERE eigenvalue > 0 GROUP BY id
+        )
+        SELECT id AS vec_id, score, rank FROM (
+          SELECT id, score,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rank
+          FROM scored
+        ) WHERE rank <= {topk}
+    """

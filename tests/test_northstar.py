@@ -952,3 +952,22 @@ def test_pca_topk_recall_against_exact(spark):
     assert len(hits) / len(exact) >= 0.8
     for key in hits:
         assert got[key] == exact[key]  # rerank == exact cosine, bit-for-bit
+
+
+def test_pca_outliers_flags_planted_anomaly(spark):
+    from flink_example_spark.operators.similarity import pca_outliers
+
+    rows = []
+    for k in range(40):
+        v = [0.0] * 8
+        v[0] = float(k % 5 - 2)
+        v[1] = 0.3 * ((k * 3) % 7 - 3)
+        rows.append((k, v))
+    # vec 99 lies far along the dominant axis -> extreme PC1 score
+    out_v = [0.0] * 8
+    out_v[0] = 25.0
+    rows.append((99, out_v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pca_outliers(df, n_components=2, topk=3, n_iter=10).collect()
+    assert out[0]["vec_id"] == 99 and out[0]["rank"] == 1
+    assert out[0]["score"] > 5 * out[1]["score"]
