@@ -1110,6 +1110,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type",
             "ts",
         ),
+        # rank-based quantile normalization onto the pooled distribution
+        "ml_quantile_normalize": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["quantile_normalize"]
+        ).quantile_normalize(_events(spark, sf_dir), "event_type", "event_id", "value"),
         # Wilson score interval for per-group success proportions
         "ml_wilson_ci": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.ml", fromlist=["wilson_ci"]
@@ -2522,6 +2526,11 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import wilson_ci_oracle
 
     out["ml_wilson_ci"] = wilson_ci_oracle()
+    from flink_example_spark.operators.ml import quantile_normalize_oracle
+
+    out["ml_quantile_normalize"] = quantile_normalize_oracle(
+        "events", "event_type", "event_id", "value"
+    )
     out["ml_diff_in_diff"] = diff_in_diff_oracle("2024-01-16 00:00:00")
     from flink_example_spark.operators.cep import rate_limit_oracle, rfm_oracle
 

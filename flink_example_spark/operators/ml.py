@@ -25,7 +25,7 @@ per group. Overflow bound: n·Σxy < 2^63 — holds through ~1e9 rows of
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _suff_stats(df: DataFrame, group_col: str, x_col: str, y_col: str | None):
@@ -1762,4 +1762,96 @@ def linear_fit2_oracle(
                {det1} / {det} AS b1,
                {det2} / {det} AS b2
         FROM s WHERE abs({det}) > 1e-9
+    """
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Rank-based quantile normalization: replace each value with the
+    POOLED distribution's value at the same within-group percentile —
+    the transform that puts per-source feature distributions on one
+    scale (bioinformatics' quantile normalization; the heavy-duty
+    sibling of z-scoring that matches the whole CDF, not two moments).
+
+    Per row: within-group ``percent_rank`` → target position
+    ``pr·(N−1)+1`` in the globally sorted pooled values → linear
+    interpolation between the two straddling order statistics (a 2-way
+    join on the integer positions). All arithmetic is a fixed
+    exactly-rounded double sequence over exact integer ranks; ties take
+    the standard PERCENT_RANK semantics identically in both engines.
+
+    Scale: one per-group window, one global sort (rank) of the pooled
+    values — the same cost class as any exact-quantile computation —
+    plus two equi-joins on integer positions. Output: ``(grp, id,
+    value, value_norm)``.
+    """
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    wg = Window.partitionBy("grp").orderBy("v", "id")
+    wgl = Window.orderBy("v", "id")
+    pooled = rows.select("v").withColumn(
+        "rn", F.row_number().over(Window.orderBy("v"))
+    )
+    n_pool = rows.count()
+    ranked = rows.withColumn("pr", F.percent_rank().over(wg))
+    pos = ranked.withColumn(
+        "posd", F.col("pr") * F.lit(float(n_pool - 1)) + F.lit(1.0)
+    ).withColumn("lo", F.floor(F.col("posd")).cast("bigint")).withColumn(
+        "frac", F.col("posd") - F.col("lo").cast("double")
+    ).withColumn(
+        "hi", F.least(F.col("lo") + 1, F.lit(n_pool).cast("bigint"))
+    )
+    out = (
+        pos.join(pooled.select(F.col("rn").alias("lo"), F.col("v").alias("vlo")), "lo")
+        .join(pooled.select(F.col("rn").alias("hi"), F.col("v").alias("vhi")), "hi")
+        .select(
+            "grp",
+            "id",
+            F.col("v").alias(value_col),
+            (
+                F.col("vlo") + (F.col("vhi") - F.col("vlo")) * F.col("frac")
+            ).alias("value_norm"),
+        )
+    )
+    return out
+
+
+def quantile_normalize_oracle(
+    table: str, group_col: str, id_col: str, value_col: str
+) -> str:
+    """DuckDB twin of :func:`quantile_normalize`."""
+    return f"""
+        WITH rows_ AS MATERIALIZED (
+          SELECT {group_col} AS grp, {id_col} AS id,
+                 CAST({value_col} AS DOUBLE) AS v
+          FROM {table} WHERE {value_col} IS NOT NULL
+        ), pooled AS MATERIALIZED (
+          SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v) AS BIGINT) AS rn
+          FROM rows_
+        ), np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rows_),
+        pos AS (
+          SELECT grp, id, v,
+                 PERCENT_RANK() OVER (PARTITION BY grp ORDER BY v, id)
+                   * CAST(n - 1 AS DOUBLE) + 1.0 AS posd,
+                 n
+          FROM rows_ CROSS JOIN np
+        ), pos2 AS (
+          SELECT grp, id, v,
+                 CAST(floor(posd) AS BIGINT) AS lo,
+                 posd - CAST(CAST(floor(posd) AS BIGINT) AS DOUBLE) AS frac,
+                 least(CAST(floor(posd) AS BIGINT) + 1, n) AS hi
+          FROM pos
+        )
+        SELECT p.grp, p.id, p.v AS {value_col},
+               plo.v + (phi.v - plo.v) * p.frac AS value_norm
+        FROM pos2 p
+        JOIN pooled plo ON plo.rn = p.lo
+        JOIN pooled phi ON phi.rn = p.hi
     """

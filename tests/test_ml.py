@@ -393,3 +393,24 @@ def test_linear_fit2_drops_collinear_groups(spark):
     rows = [("c", x, 2 * x, x + 1) for x in range(1, 10)]
     df = spark.createDataFrame(rows, "grp string, x1 long, x2 long, y long")
     assert linear_fit2(df, "grp", "x1", "x2", "y").count() == 0
+
+
+def test_quantile_normalize_matches_pool_and_preserves_order(spark):
+    from flink_example_spark.operators.ml import quantile_normalize
+
+    # group a: 1..5 ; group b: 101..105 — after normalization both map
+    # onto the pooled 10-value distribution at the same rank positions
+    rows = [("a", i, float(i)) for i in range(1, 6)] + [
+        ("b", i + 10, float(100 + i)) for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    out = {(r["grp"], r["id"]): r["value_norm"]
+           for r in quantile_normalize(df, "grp", "id", "v").collect()}
+    # identical within-group ranks -> identical normalized values
+    for i in range(1, 6):
+        assert out[("a", i)] == out[("b", i + 10)]
+    # order preserved within each group
+    a_vals = [out[("a", i)] for i in range(1, 6)]
+    assert a_vals == sorted(a_vals)
+    # extremes hit the pooled min/max
+    assert a_vals[0] == 1.0 and a_vals[-1] == 105.0
