@@ -881,6 +881,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_q(text.fingerprint, "fingerprint"),
         "text_lang_id": text_q(text.lang_id, "lang_pred"),
         "text_quality_score": text_q(text.quality_score, "quality"),
+        # Spark 4 Python UDTF surface: table function in LATERAL position
+        "udtf_sentence_stats": lambda spark, sf_dir: __import__(
+            "flink_example_spark.functions.scalar", fromlist=["sentence_udtf_query"]
+        ).sentence_udtf_query(spark, sf_dir),
+        # GROUPED_AGG pandas UDF surface (Arrow custom aggregate;
+        # integer-cents arithmetic INSIDE the UDF keeps it oracle-exact)
+        "udf_trimmed_mean": lambda spark, sf_dir: __import__(
+            "flink_example_spark.functions.scalar",
+            fromlist=["trimmed_mean_grouped_udf_query"],
+        ).trimmed_mean_grouped_udf_query(spark, sf_dir),
         # higher-order ARRAY function surface (transform / filter /
         # exists / aggregate lambdas + array_max) — integer outputs only.
         # NOTE: lambdas are interpreted (no codegen) — fine for breadth
@@ -2266,6 +2276,13 @@ def _northstar_oracles() -> dict[str, str]:
     out["text_winnowing"] = text.winnowing_oracle()
     out["text_zipf_fit"] = text.zipf_oracle()
     out["text_readability"] = text.readability_oracle()
+    from flink_example_spark.functions.scalar import (
+        SENTENCE_UDTF_ORACLE,
+        TRIMMED_MEAN_ORACLE,
+    )
+
+    out["udtf_sentence_stats"] = SENTENCE_UDTF_ORACLE
+    out["udf_trimmed_mean"] = TRIMMED_MEAN_ORACLE
     out["array_functions_suite"] = f"""
         SELECT doc_id,
                CAST(len(l) AS BIGINT) AS n_tokens,
