@@ -992,6 +992,17 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over the term co-occurrence graph) + triangle density
         "graph_textrank_keywords": textrank_entry,
         "graph_triangle_counts": tri_entry,
+        # local clustering coefficient 2T/(d(d-1)) per term-graph node
+        "graph_clustering_coeff": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.graph",
+            fromlist=["clustering_coefficient"],
+        ).clustering_coefficient(
+            __import__(
+                "flink_example_spark.operators.graph", fromlist=["term_graph"]
+            )
+            .term_graph(_docs(spark, sf_dir), min_weight=2)
+            .select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ),
         # personalized PageRank: random-walk-with-restart relevance to
         # the 'spark' seed term over the co-occurrence graph
         "graph_ppr": lambda spark, sf_dir: __import__(
@@ -2363,6 +2374,9 @@ def _northstar_oracles() -> dict[str, str]:
         FROM (SELECT unnest([x, y, z]) AS node FROM tri)
         GROUP BY node
     """
+    from flink_example_spark.operators.graph import clustering_coefficient_oracle
+
+    out["graph_clustering_coeff"] = clustering_coefficient_oracle(term_graph_sql(2))
     from flink_example_spark.operators.graph import reachability_oracle
 
     out["graph_reachability"] = reachability_oracle(term_graph_sql(2), max_hops=3)

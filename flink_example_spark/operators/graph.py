@@ -545,3 +545,70 @@ def label_propagation_oracle(edges_sql: str, n_rounds: int = 4) -> str:
         WITH {", ".join(parts)}
         SELECT n AS node, lab AS label FROM l{n_rounds}
     """
+
+
+def clustering_coefficient(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Per-node LOCAL clustering coefficient ``2T / (d(d-1))`` — how close
+    each node's neighborhood is to a clique; the standard community-
+    density metric on top of :func:`triangle_counts` (which contributes
+    T) and one degree aggregation (d). Nodes with degree < 2 are
+    undefined and dropped; the coefficient is one exact double division
+    of BIGINTs. Output: ``(node, degree, n_triangles, coeff)``.
+    """
+    e = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(e, "a", "b")
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            (
+                (F.lit(2) * F.coalesce(F.col("n_triangles"), F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+            ).alias("coeff"),
+        )
+    )
+
+
+def clustering_coefficient_oracle(edges_sql: str) -> str:
+    """DuckDB twin of :func:`clustering_coefficient` (``edges_sql`` yields
+    symmetric (src, dst) like :func:`term_graph`)."""
+    return f"""
+        WITH e AS MATERIALIZED ({edges_sql}),
+        p AS MATERIALIZED (SELECT src AS a, dst AS b FROM e WHERE src < dst),
+        deg AS MATERIALIZED (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT a AS node FROM p UNION ALL SELECT b AS node FROM p
+          ) GROUP BY node
+        ), tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM p e1 JOIN p e2 ON e1.b = e2.a
+          JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b
+        ), tcnt AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+          FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+          GROUP BY node
+        )
+        SELECT deg.node, deg.degree,
+               COALESCE(tcnt.n_triangles, 0) AS n_triangles,
+               CAST(2 * COALESCE(tcnt.n_triangles, 0) AS DOUBLE)
+                 / CAST(deg.degree * (deg.degree - 1) AS DOUBLE) AS coeff
+        FROM deg LEFT JOIN tcnt USING (node)
+        WHERE deg.degree >= 2
+    """

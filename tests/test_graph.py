@@ -231,3 +231,16 @@ def test_label_propagation_finds_two_cliques(spark):
     assert len({out["a"], out["b"], out["c"]}) == 1
     assert len({out["x"], out["y"], out["z"]}) == 1
     assert out["a"] != out["x"]
+
+
+def test_clustering_coefficient_known_graph(spark):
+    from flink_example_spark.operators.graph import clustering_coefficient
+
+    # triangle {a,b,c} plus pendant d attached to a
+    und = [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d")]
+    e = spark.createDataFrame(und, "a string, b string")
+    out = {r["node"]: r for r in clustering_coefficient(e).collect()}
+    # a: degree 3, 1 triangle -> 2/(3*2) = 1/3; b,c: degree 2, 1 tri -> 1.0
+    assert out["a"]["coeff"] == 2 / 6
+    assert out["b"]["coeff"] == 1.0 and out["c"]["coeff"] == 1.0
+    assert "d" not in out  # degree 1 undefined
