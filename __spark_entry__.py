@@ -900,6 +900,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": lambda spark, sf_dir: text.readability(
             _docs(spark, sf_dir)
         ),
+        # MOSS containment pairs (asymmetric fingerprint overlap)
+        "text_winnowing_containment": lambda spark, sf_dir: text.winnowing_containment(
+            _docs(spark, sf_dir)
+        ),
         # Zipf rank-frequency OLS fit (integer-log2 regression)
         "text_zipf_fit": lambda spark, sf_dir: text.zipf_fit(_docs(spark, sf_dir)),
         # MOSS winnowing fingerprints (min-hash per sliding gram window)
@@ -1584,6 +1588,27 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "o_custkey",
             "c_custkey",
             width=4096,
+        ),
+        # HLL mergeability: per-lang registers max-merge into the UNION
+        # sketch with no second data pass (exact distincts ride along)
+        "sketch_hll_union": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.sketch", fromlist=["hll_union_estimate"]
+        ).hll_union_estimate(
+            _docs(spark, sf_dir).select(
+                "lang",
+                F.explode(
+                    __import__(
+                        "flink_example_spark.operators.text", fromlist=["tokens"]
+                    ).tokens(
+                        __import__(
+                            "flink_example_spark.operators.text",
+                            fromlist=["normalized"],
+                        ).normalized(F.col("text"))
+                    )
+                ).alias("t"),
+            ).filter(F.col("t") != ""),
+            "lang",
+            "t",
         ),
         "sketch_kmv_distinct": kmv_entry,
         "sketch_cm_heavy_hitters": cm_hh_entry,
@@ -2286,6 +2311,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["text_token_entropy"] = text.token_entropy_oracle()
     out["text_winnowing"] = text.winnowing_oracle()
     out["text_zipf_fit"] = text.zipf_oracle()
+    out["text_winnowing_containment"] = text.winnowing_containment_oracle()
     out["text_readability"] = text.readability_oracle()
     from flink_example_spark.functions.scalar import (
         SENTENCE_UDTF_ORACLE,
@@ -2815,6 +2841,15 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.sketch import kmv_distinct_oracle
     from flink_example_spark.operators.text import _DUCK_NORM
 
+    from flink_example_spark.operators.sketch import hll_union_oracle
+
+    out["sketch_hll_union"] = hll_union_oracle(
+        f"SELECT lang, t FROM (SELECT lang,"
+        f" unnest(string_split_regex({_DUCK_NORM}, '\\s+')) AS t"
+        " FROM documents) WHERE t <> ''",
+        "lang",
+        "t",
+    )
     from flink_example_spark.operators.sketch import join_size_oracle
 
     out["sketch_join_size"] = join_size_oracle(

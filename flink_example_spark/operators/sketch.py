@@ -868,3 +868,85 @@ def join_size_oracle(
                  / CAST(exact_join_rows AS DOUBLE) AS rel_error
         FROM nl CROSS JOIN nr CROSS JOIN exact CROSS JOIN est
     """
+
+
+def hll_union_estimate(
+    df: DataFrame, group_col: str, value_col: str, p: int = 8
+) -> DataFrame:
+    """HLL MERGEABILITY demo — the property that makes HLL the standard
+    distributed distinct-counter: per-group register relations merge by
+    register-wise MAX into the UNION's sketch without touching the data
+    again. Emits one row per group (its own estimate) plus a
+    ``__union__`` row whose estimate comes purely from merging the
+    per-group registers; the exact distinct count rides along for the
+    error report.
+
+    Output: ``(grp, est_distinct, exact_distinct)``.
+    """
+    regs = hll_registers(df, group_col, value_col, p=p).localCheckpoint()
+    per_group = hll_finalize(regs, group_col, p=p)
+    gcol = group_col if isinstance(group_col, str) else group_col[0]
+    merged = regs.groupBy("bucket").agg(F.max("max_rho").alias("max_rho")).select(
+        F.lit("__union__").alias(gcol), "bucket", "max_rho"
+    )
+    union_est = hll_finalize(merged, gcol, p=p)
+    exact_g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(gcol).alias("__g"))
+        .agg(F.countDistinct(value_col).alias("exact_distinct"))
+    )
+    exact_u = (
+        df.filter(F.col(value_col).isNotNull())
+        .agg(F.countDistinct(value_col).alias("exact_distinct"))
+        .select(F.lit("__union__").alias("__g"), "exact_distinct")
+    )
+    exact = exact_g.unionByName(exact_u)
+    ests = per_group.unionByName(union_est)
+    return ests.join(exact, ests[gcol] == exact["__g"]).select(
+        F.col(gcol).alias("grp"),
+        F.col("est_distinct"),
+        F.col("exact_distinct"),
+    )
+
+
+def hll_union_oracle(
+    source_sql: str, group_col: str, value_expr: str, p: int = 8
+) -> str:
+    """DuckDB twin of :func:`hll_union_estimate` — per-group registers,
+    a register-wise-max merged '__union__' sketch, and exact distincts."""
+    m, rem_bits, q, num = _hll_params(p)
+    div = 1 << rem_bits
+    g = group_col
+    return f"""
+        WITH src AS MATERIALIZED (
+          SELECT {g} AS g, {value_expr} AS v,
+                 CAST(concat('0x', substr(md5({value_expr}), 1, 8)) AS BIGINT) AS h
+          FROM ({source_sql}) WHERE {value_expr} IS NOT NULL
+        ), regs AS MATERIALIZED (
+          SELECT g, h // {div} AS bucket,
+                 MAX(CASE WHEN h % {div} = 0 THEN {q}
+                     ELSE {rem_bits} - (length(bin(h % {div})) - 1) END) AS max_rho
+          FROM src GROUP BY g, bucket
+        ), all_regs AS (
+          SELECT g, bucket, max_rho FROM regs
+          UNION ALL
+          SELECT '__union__' AS g, bucket, MAX(max_rho) AS max_rho
+          FROM regs GROUP BY bucket
+        ), agg AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n_registers,
+                 CAST(SUM(CAST(1 AS BIGINT) << ({q} - max_rho)) AS BIGINT)
+                   AS s_present
+          FROM all_regs GROUP BY g
+        ), exact AS (
+          SELECT g, CAST(COUNT(DISTINCT v) AS BIGINT) AS exact_distinct
+          FROM src GROUP BY g
+          UNION ALL
+          SELECT '__union__', CAST(COUNT(DISTINCT v) AS BIGINT) FROM src
+        )
+        SELECT agg.g AS grp,
+               CAST('{num!r}' AS DOUBLE)
+                 / CAST(s_present + ({m} - n_registers)
+                        * CAST({1 << q} AS BIGINT) AS DOUBLE) AS est_distinct,
+               exact.exact_distinct
+        FROM agg JOIN exact USING (g)
+    """

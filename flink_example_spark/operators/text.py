@@ -1144,3 +1144,105 @@ def readability_oracle() -> str:
                  - 15.59 AS fk_grade
         FROM base
     """
+
+
+def winnowing_containment(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Copy/containment detection on winnowing fingerprints: pairs where
+    ``|fp(A) ∩ fp(B)| / |fp(A)|`` meets the rational threshold — the
+    ASYMMETRIC overlap that catches "document A is lifted into B" where
+    symmetric Jaccard stays low because B is much larger (the MOSS use
+    case). Threshold gate is cross-multiplied in integers; the emitted
+    ratio is one exact double division.
+
+    Output: ``(id_a, id_b, n_shared, size_a, containment)`` — directed
+    (id_a is the contained side), both directions evaluated.
+    """
+    from flink_example_spark.operators.sketch import portable_hash32
+
+    norm = normalized(F.col(text_col))
+    grams = (
+        documents.select(F.col(id_col).alias("id"), norm.alias("nt"))
+        .filter(F.length("nt") >= k + w - 1)
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(1), F.length("nt") - F.lit(k - 1))).alias("p"),
+            "nt",
+        )
+        .select("id", "p", portable_hash32(F.expr(f"substr(nt, p, {k})")).alias("h"))
+    )
+    win = Window.partitionBy("id").orderBy("p").rowsBetween(0, w - 1)
+    sel = (
+        grams.withColumn("c", F.count(F.lit(1)).over(win))
+        .withColumn("fp", F.min("h").over(win))
+        .filter(F.col("c") == w)
+        .select("id", "fp")
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = sel.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sel.select(F.col("id").alias("id_a"), "fp")
+        .join(sel.select(F.col("id").alias("id_b"), "fp"), "fp")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), "sz"), "id_a")
+        .filter(
+            F.lit(threshold_den) * F.col("n_shared") >= F.lit(threshold_num) * F.col("sz")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.col("sz").alias("size_a"),
+            (F.col("n_shared").cast("double") / F.col("sz").cast("double")).alias(
+                "containment"
+            ),
+        )
+    )
+
+
+def winnowing_containment_oracle(
+    k: int = 8, w: int = 4, threshold_num: int = 8, threshold_den: int = 10
+) -> str:
+    """DuckDB twin of :func:`winnowing_containment` (documents table)."""
+    return f"""
+        WITH grams AS MATERIALIZED (
+          SELECT doc_id AS id, p,
+                 CAST(concat('0x', substr(md5(substr(nt, CAST(p AS INTEGER), {k})),
+                      1, 8)) AS BIGINT) AS h
+          FROM (
+            SELECT doc_id, {_DUCK_NORM} AS nt FROM documents
+          ), unnest(range(1, len(nt) - {k - 1} + 1)) AS r(p)
+          WHERE len(nt) >= {k + w - 1}
+        ), sel AS MATERIALIZED (
+          SELECT DISTINCT id, fp FROM (
+            SELECT id,
+                   MIN(h) OVER win AS fp,
+                   COUNT(*) OVER win AS c
+            FROM grams
+            WINDOW win AS (PARTITION BY id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+          ) WHERE c = {w}
+        ), sizes AS MATERIALIZED (
+          SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sel GROUP BY id
+        ), inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM sel a JOIN sel b ON a.fp = b.fp AND a.id <> b.id
+          GROUP BY a.id, b.id
+        )
+        SELECT i.id_a, i.id_b, i.n_shared, s.sz AS size_a,
+               CAST(i.n_shared AS DOUBLE) / CAST(s.sz AS DOUBLE) AS containment
+        FROM inter i JOIN sizes s ON s.id = i.id_a
+        WHERE {threshold_den} * i.n_shared >= {threshold_num} * s.sz
+    """

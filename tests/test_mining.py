@@ -154,3 +154,21 @@ def test_readability_counts_and_formulas(spark):
     # in-com-pre-hen-si-bi-li-ties: vowel groups i,o,e,e,i,i,i,ie -> 8
     assert out[2]["n_syllables"] == 8
     assert out[2]["fk_grade"] > out[1]["fk_grade"]
+
+
+def test_winnowing_containment_detects_lifted_document(spark):
+    from flink_example_spark.operators.text import winnowing_containment
+
+    small = "the quick brown fox jumps over the lazy dog again and again"
+    big = ("completely unrelated preamble text here " + small
+           + " plus a long unrelated epilogue that keeps going on and on")
+    rows = [(1, small), (2, big), (3, "nothing in common with either one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in winnowing_containment(
+               df, threshold_num=6, threshold_den=10).collect()}
+    # doc 1 is contained in doc 2: high containment 1->2
+    assert (1, 2) in out and out[(1, 2)] >= 0.6
+    # the reverse direction dilutes (big doc has many extra fingerprints)
+    assert out.get((2, 1), 0.0) < out[(1, 2)]
+    assert not any(3 in k for k in out)
