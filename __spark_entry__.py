@@ -1159,6 +1159,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_diff_in_diff": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.ml", fromlist=["diff_in_diff"]
         ).diff_in_diff(_events(spark, sf_dir), "2024-01-16 00:00:00"),
+        # time-on-page dwell rollup (per-user LEAD gaps, abandonment cap)
+        "cep_dwell_times": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.cep", fromlist=["dwell_times"]
+        ).dwell_times(_events(spark, sf_dir)),
         # per-day rate-limit/quota audit (order-free throttle counts)
         "cep_rate_limit": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.cep", fromlist=["rate_limit_audit"]
@@ -2591,6 +2595,9 @@ def _northstar_oracles() -> dict[str, str]:
     out["ml_diff_in_diff"] = diff_in_diff_oracle("2024-01-16 00:00:00")
     from flink_example_spark.operators.cep import rate_limit_oracle, rfm_oracle
 
+    from flink_example_spark.operators.cep import dwell_times_oracle
+
+    out["cep_dwell_times"] = dwell_times_oracle()
     out["cep_rate_limit"] = rate_limit_oracle(limit=5)
     out["streaming_rate_limit"] = out["cep_rate_limit"]
 

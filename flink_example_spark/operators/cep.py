@@ -797,3 +797,74 @@ def rate_limit_oracle(
                  AS n_keys_over
         FROM per_key GROUP BY day
     """
+
+
+def dwell_times(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    seq_col: str = "event_id",
+    cap_minutes: int = 60,
+) -> DataFrame:
+    """Per-event dwell time (time until the same user's NEXT event),
+    rolled up per event type — the time-on-page metric. Dwell beyond
+    ``cap_minutes`` is treated as session abandonment and excluded
+    (the standard cap, since tail gaps measure absence, not attention).
+
+    One per-key LEAD window in integer micros; percentiles are the
+    interpolated PERCENTILE ≡ QUANTILE_CONT pair over exact BIGINT
+    dwells. Output: ``(event_type, n_dwells, p50_s, p90_s, mean_s)``.
+    """
+    cap_us = cap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("u").orderBy("us", "seq")
+    src = events.select(
+        F.col(key_col).alias("u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(seq_col).alias("seq"),
+        F.col(type_col).alias("et"),
+    )
+    dw = (
+        src.withColumn("next_us", F.lead("us").over(w))
+        .filter(F.col("next_us").isNotNull())
+        .withColumn("dwell_us", F.col("next_us") - F.col("us"))
+        .filter(F.col("dwell_us") <= cap_us)
+    )
+    return dw.groupBy(F.col("et").alias(type_col)).agg(
+        F.count(F.lit(1)).alias("n_dwells"),
+        (F.percentile(F.col("dwell_us"), F.lit(0.5)) / F.lit(1e6)).alias("p50_s"),
+        (F.percentile(F.col("dwell_us"), F.lit(0.9)) / F.lit(1e6)).alias("p90_s"),
+        (
+            F.sum("dwell_us").cast("double") / F.count(F.lit(1)) / F.lit(1e6)
+        ).alias("mean_s"),
+    )
+
+
+def dwell_times_oracle(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    seq_col: str = "event_id",
+    cap_minutes: int = 60,
+) -> str:
+    """DuckDB twin of :func:`dwell_times`."""
+    cap_us = cap_minutes * 60 * 1_000_000
+    return f"""
+        WITH src AS (
+          SELECT {key_col} AS u, epoch_us({ts_col}) AS us, {seq_col} AS seq,
+                 {type_col} AS et
+          FROM {table}
+        ), dw AS (
+          SELECT et, next_us - us AS dwell_us FROM (
+            SELECT et, us,
+                   lead(us) OVER (PARTITION BY u ORDER BY us, seq) AS next_us
+            FROM src
+          ) WHERE next_us IS NOT NULL AND next_us - us <= {cap_us}
+        )
+        SELECT et AS {type_col}, CAST(COUNT(*) AS BIGINT) AS n_dwells,
+               QUANTILE_CONT(dwell_us, 0.5) / 1e6 AS p50_s,
+               QUANTILE_CONT(dwell_us, 0.9) / 1e6 AS p90_s,
+               CAST(SUM(dwell_us) AS DOUBLE) / COUNT(*) / 1e6 AS mean_s
+        FROM dw GROUP BY et
+    """
