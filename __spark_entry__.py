@@ -904,6 +904,8 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnowing_containment": lambda spark, sf_dir: text.winnowing_containment(
             _docs(spark, sf_dir)
         ),
+        # Heaps vocabulary-growth fit (dedup-health signal)
+        "text_heaps_fit": lambda spark, sf_dir: text.heaps_fit(_docs(spark, sf_dir)),
         # Zipf rank-frequency OLS fit (integer-log2 regression)
         "text_zipf_fit": lambda spark, sf_dir: text.zipf_fit(_docs(spark, sf_dir)),
         # MOSS winnowing fingerprints (min-hash per sliding gram window)
@@ -2315,6 +2317,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["text_token_entropy"] = text.token_entropy_oracle()
     out["text_winnowing"] = text.winnowing_oracle()
     out["text_zipf_fit"] = text.zipf_oracle()
+    out["text_heaps_fit"] = text.heaps_oracle()
     out["text_winnowing_containment"] = text.winnowing_containment_oracle()
     out["text_readability"] = text.readability_oracle()
     from flink_example_spark.functions.scalar import (

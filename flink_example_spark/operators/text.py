@@ -1246,3 +1246,77 @@ def winnowing_containment_oracle(
         FROM inter i JOIN sizes s ON s.id = i.id_a
         WHERE {threshold_den} * i.n_shared >= {threshold_num} * s.sz
     """
+
+
+def heaps_fit(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: OLS of ``floor(log2 V(d))``
+    against ``floor(log2 N(d))`` where, scanning docs in id order, N is
+    the running token total and V the running distinct-vocabulary size —
+    natural corpora grow V ≈ K·N^β with β ≈ 0.4-0.6; duplicated or
+    templated corpora flatten early (a dedup-health signal).
+
+    Mechanics: V(d) = count of terms whose FIRST occurrence is at doc
+    ≤ d (one min-aggregate + one cumulative window over per-doc
+    first-occurrence counts); N(d) is a running sum of per-doc token
+    counts — no per-token window. Fit via the shared integer
+    sufficient-statistics OLS.
+
+    Output: one row ``(grp='heaps', n, slope, intercept, r2)``.
+    """
+    from flink_example_spark.operators.ml import linear_fit
+
+    toks = documents.select(
+        F.col(id_col).alias("d"),
+        F.explode(tokens(normalized(F.col(text_col)))).alias("t"),
+    ).filter(F.col("t") != "")
+    per_doc = toks.groupBy("d").agg(F.count(F.lit(1)).alias("ntok"))
+    first = toks.groupBy("t").agg(F.min("d").alias("fd"))
+    new_terms = first.groupBy(F.col("fd").alias("d")).agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve = (
+        per_doc.join(new_terms, "d", "left")
+        .select("d", "ntok", F.coalesce(F.col("nv"), F.lit(0)).alias("nv"))
+        .withColumn("N", F.sum("ntok").over(w))
+        .withColumn("V", F.sum("nv").over(w))
+    )
+    pts = curve.select(
+        F.lit("heaps").alias("g"),
+        (F.length(F.bin(F.col("N"))) - 1).alias("ln"),
+        (F.length(F.bin(F.col("V"))) - 1).alias("lv"),
+    )
+    return linear_fit(pts, "g", "ln", "lv")
+
+
+def heaps_oracle() -> str:
+    """DuckDB twin of :func:`heaps_fit` (documents table)."""
+    from flink_example_spark.operators.ml import linear_fit_oracle
+
+    src = f"""
+        SELECT 'heaps' AS g,
+               len(bin(CAST(SUM(ntok) OVER w AS BIGINT))) - 1 AS ln,
+               len(bin(CAST(SUM(nv) OVER w AS BIGINT))) - 1 AS lv
+        FROM (
+          SELECT pd.d, pd.ntok, COALESCE(nt.nv, 0) AS nv
+          FROM (
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS ntok FROM (
+              SELECT doc_id AS d,
+                     unnest(string_split_regex({_DUCK_NORM}, '\\s+')) AS t
+              FROM documents
+            ) WHERE t <> '' GROUP BY d
+          ) pd LEFT JOIN (
+            SELECT fd AS d, CAST(COUNT(*) AS BIGINT) AS nv FROM (
+              SELECT t, MIN(d) AS fd FROM (
+                SELECT doc_id AS d,
+                       unnest(string_split_regex({_DUCK_NORM}, '\\s+')) AS t
+                FROM documents
+              ) WHERE t <> '' GROUP BY t
+            ) GROUP BY fd
+          ) nt ON nt.d = pd.d
+        )
+        WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)
+    """
+    return linear_fit_oracle(src, "g", "ln", "lv")
