@@ -452,6 +452,23 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(spark, sf_dir), ["view", "click", "purchase"], 86400
         )
 
+    def cep_horizons_entry(spark, sf_dir):
+        """Parameter-sweep composition: the same funnel chart at three
+        completion horizons (1h / 6h / 24h) in one tagged relation — the
+        sensitivity table a growth team reads before fixing a window."""
+        from pyspark.sql import functions as F
+
+        from flink_example_spark.operators.cep import funnel_counts
+
+        steps = ["view", "click", "purchase"]
+        out = None
+        for hours in (1, 6, 24):
+            part = funnel_counts(
+                _events(spark, sf_dir), steps, hours * 3600
+            ).withColumn("horizon_h", F.lit(hours).cast("int"))
+            out = part if out is None else out.unionByName(part)
+        return out
+
     def cep_bursts_entry(spark, sf_dir):
         """times(3).within(12h) CEP burst alert on error events: one
         range-frame window over integer epoch micros per user."""
@@ -1308,6 +1325,8 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(spark, sf_dir), "purchase", ["view", "click"], window="3 days"
         ),
         "cep_funnel_counts": cep_counts_entry,
+        # funnel horizon sensitivity sweep (1h/6h/24h, tagged union)
+        "cep_funnel_horizons": cep_horizons_entry,
         # where the funnel STALLS: per-transition time-to-convert quantiles
         "cep_funnel_latency": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.cep", fromlist=["funnel_latency"]
@@ -2625,6 +2644,12 @@ def _northstar_oracles() -> dict[str, str]:
     out["cep_funnel"] = funnel_oracle(["view", "click", "purchase"], 86400)
     out["cep_funnel_counts"] = funnel_oracle(
         ["view", "click", "purchase"], 86400, counts=True
+    )
+    out["cep_funnel_horizons"] = " UNION ALL ".join(
+        f"SELECT *, CAST({h} AS INTEGER) AS horizon_h FROM ("
+        + funnel_oracle(["view", "click", "purchase"], h * 3600, counts=True)
+        + ")"
+        for h in (1, 6, 24)
     )
     from flink_example_spark.operators.cep import funnel_latency_oracle
 
