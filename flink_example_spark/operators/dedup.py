@@ -970,6 +970,9 @@ def ppjoin_pairs(
         )
         .filter(F.col("t") != "")
         .distinct()
+        # consumed by sizes/order/ranked AND twice by verification —
+        # cut once (CLAUDE.md multi-consumer rule)
+        .localCheckpoint()
     )
     sizes = dt.groupBy("d").agg(F.count(F.lit(1)).alias("sz"))
     order = dt.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
@@ -986,7 +989,7 @@ def ppjoin_pairs(
     # prefix length L = sz - ceil(t*sz) + 1, ceil via (tn*sz + td - 1) div td
     prefix = ranked.filter(
         F.col("rk") <= F.col("sz") - F.expr(f"({tn} * sz + {td} - 1) div {td}") + 1
-    ).select("d", "t", "sz")
+    ).select("d", "t", "sz").localCheckpoint()  # both self-join sides
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "t")

@@ -62,7 +62,8 @@ def assoc_rules(
     n_docs = documents.select(F.col(id_col)).distinct().agg(
         F.count(F.lit(1)).alias("__n")
     )
-    freq = dt.join(F.broadcast(items.select("__t")), "__t")
+    # both sides of the pair self-join read this — checkpoint once
+    freq = dt.join(F.broadcast(items.select("__t")), "__t").localCheckpoint()
     pairs = (
         freq.select("__id", F.col("__t").alias("__ta"))
         .join(freq.select("__id", F.col("__t").alias("__tb")), "__id")
@@ -171,7 +172,7 @@ def seq_patterns(
     )
     spans = ev.groupBy("u", "et").agg(
         F.min("us").alias("mn"), F.max("us").alias("mx")
-    )
+    ).localCheckpoint()  # consumed by a-, b-, and c-side projections
     a = spans.select("u", F.col("et").alias("a"), "mn")
     b = spans.select("u", F.col("et").alias("b"), "mx")
     pair_keys = a.join(b, "u").filter(F.col("mn") < F.col("mx"))
