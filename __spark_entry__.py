@@ -1667,6 +1667,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "flink_example_spark.tables", fromlist=["load_table"]
             ).load_table(spark, sf_dir, "embeddings")
         ),
+        # nearest-centroid (Rocchio) supervised classification over the
+        # labeled embeddings (train/holdout split, quantized distances)
+        "ann_nearest_centroid": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.similarity",
+            fromlist=["nearest_centroid_classifier"],
+        ).nearest_centroid_classifier(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "embeddings")
+        ),
         # Mahalanobis-style multivariate outliers on the PCA basis
         "ann_pca_outliers": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.similarity", fromlist=["pca_outliers"]
@@ -2556,6 +2566,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.similarity import pca_outliers_oracle
 
     out["ann_pca_outliers"] = pca_outliers_oracle()
+    from flink_example_spark.operators.similarity import nearest_centroid_oracle
+
+    out["ann_nearest_centroid"] = nearest_centroid_oracle()
     from flink_example_spark.operators.quality import (
         forget_impact_oracle,
         k_anonymity_oracle,
@@ -2575,6 +2588,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.similarity import pca_outliers_oracle
 
     out["ann_pca_outliers"] = pca_outliers_oracle()
+    from flink_example_spark.operators.similarity import nearest_centroid_oracle
+
+    out["ann_nearest_centroid"] = nearest_centroid_oracle()
     from flink_example_spark.operators.quality import (
         benford_oracle,
         key_skew_oracle,

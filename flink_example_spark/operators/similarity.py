@@ -1757,3 +1757,122 @@ def pca_outliers_oracle(
           FROM scored
         ) WHERE rank <= {topk}
     """
+
+
+def nearest_centroid_classifier(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    holdout_mod: int = 5,
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification over the labeled
+    embedding table: class centroids from the train split (``id %
+    holdout_mod != 0``), holdout vectors assigned to the closest
+    centroid by squared euclidean distance — the supervised twin of the
+    kmeans machinery, and the vector-side sibling of the NB text
+    classifier.
+
+    Portability: centroid components are exact 1e12-quantized BIGINT
+    sums divided once (the kmeans_centroids discipline); per-(vector,
+    class) distances quantize each squared-difference term before the
+    sum; the argmin uses the zero-padded ``dist || label`` string key
+    (ties to the smallest label). Output: ``(vec_id, pred_label,
+    true_label, is_correct)``.
+
+    Scale: one explode, one (label, dim) aggregation (centroids are
+    model-sized and broadcast), one vector x class scoring aggregation.
+
+    Harness note: the synthetic embeddings' labels carry no geometric
+    signal (holdout accuracy ~ the 1/n_classes random baseline), so the
+    driver row verifies PARITY; the separable-cluster unit test pins
+    that the classifier learns when signal exists.
+    """
+    q12 = lambda col: F.floor(col * F.lit(1e12) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    did = F.col(id_col)
+    xi = embeddings.select(
+        did.alias("id"),
+        F.col(label_col).alias("lab"),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    ).select("id", "lab", "i", F.col("x").cast("double").alias("x"))
+    train = xi.filter(F.col("id") % holdout_mod != 0)
+    cents = (
+        train.groupBy("lab", "i")
+        .agg(F.sum(q12(F.col("x"))).alias("sq"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("lab").alias("k"),
+            "i",
+            (F.col("sq").cast("double") / F.col("n") / F.lit(1e12)).alias("c"),
+        )
+    )
+    test = xi.filter(F.col("id") % holdout_mod == 0)
+    dists = (
+        test.join(F.broadcast(cents), "i")
+        .groupBy("id", "k")
+        .agg(
+            F.sum(q12((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))).alias(
+                "dq"
+            )
+        )
+    )
+    best = (
+        dists.select(
+            "id",
+            F.concat(
+                F.lpad(F.col("dq").cast("string"), 20, "0"),
+                F.lpad(F.col("k").cast("string"), 10, "0"),
+            ).alias("key"),
+        )
+        .groupBy("id")
+        .agg(F.min("key").alias("bk"))
+    )
+    truth = embeddings.filter(did % holdout_mod == 0).select(
+        did.alias("id"), F.col(label_col).alias("true_label")
+    )
+    return best.join(truth, "id").select(
+        F.col("id").alias(id_col),
+        F.substring(F.col("bk"), 21, 10).cast("int").alias("pred_label"),
+        "true_label",
+        F.when(
+            F.substring(F.col("bk"), 21, 10).cast("int") == F.col("true_label"), 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_correct"),
+    )
+
+
+def nearest_centroid_oracle(holdout_mod: int = 5) -> str:
+    """DuckDB twin of :func:`nearest_centroid_classifier`."""
+    return f"""
+        WITH xi AS MATERIALIZED (
+          SELECT vec_id AS id, label AS lab, i - 1 AS i, CAST(e AS DOUBLE) AS x
+          FROM (
+            SELECT vec_id, label, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+          )
+        ), cents AS MATERIALIZED (
+          SELECT lab AS k, i,
+                 CAST(CAST(SUM(CAST(floor(x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / COUNT(*) / 1e12 AS DOUBLE) AS c
+          FROM xi WHERE id % {holdout_mod} <> 0 GROUP BY lab, i
+        ), dists AS MATERIALIZED (
+          SELECT xi.id, cents.k,
+                 CAST(SUM(CAST(floor((xi.x - cents.c) * (xi.x - cents.c) * 1e12
+                      + 0.5) AS BIGINT)) AS BIGINT) AS dq
+          FROM xi JOIN cents USING (i)
+          WHERE xi.id % {holdout_mod} = 0
+          GROUP BY xi.id, cents.k
+        ), best AS (
+          SELECT id, MIN(lpad(CAST(dq AS VARCHAR), 20, '0')
+                         || lpad(CAST(k AS VARCHAR), 10, '0')) AS bk
+          FROM dists GROUP BY id
+        )
+        SELECT b.id AS vec_id,
+               CAST(substr(b.bk, 21) AS INTEGER) AS pred_label,
+               e.label AS true_label,
+               CAST(CASE WHEN CAST(substr(b.bk, 21) AS INTEGER) = e.label
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_correct
+        FROM best b JOIN embeddings e ON e.vec_id = b.id
+    """

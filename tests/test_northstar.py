@@ -971,3 +971,19 @@ def test_pca_outliers_flags_planted_anomaly(spark):
     out = pca_outliers(df, n_components=2, topk=3, n_iter=10).collect()
     assert out[0]["vec_id"] == 99 and out[0]["rank"] == 1
     assert out[0]["score"] > 5 * out[1]["score"]
+
+
+def test_nearest_centroid_learns_separable_clusters(spark):
+    from flink_example_spark.operators.similarity import nearest_centroid_classifier
+
+    rows = []
+    for lab in range(3):
+        for j in range(20):
+            v = [0.1 * ((j + d) % 3 - 1) for d in range(6)]
+            v[lab * 2] += 5.0
+            rows.append((lab * 20 + j, v, lab))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = nearest_centroid_classifier(df, holdout_mod=5).collect()
+    assert len(out) == 12  # ids divisible by 5
+    assert all(r["is_correct"] == 1 for r in out)
+    assert {r["pred_label"] for r in out} == {0, 1, 2}
