@@ -1667,6 +1667,15 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "flink_example_spark.tables", fromlist=["load_table"]
             ).load_table(spark, sf_dir, "embeddings")
         ),
+        # embedding-quality probe: kNN label agreement per class
+        "ann_label_knn_agreement": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.similarity",
+            fromlist=["label_knn_agreement"],
+        ).label_knn_agreement(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "embeddings")
+        ),
         # nearest-centroid (Rocchio) supervised classification over the
         # labeled embeddings (train/holdout split, quantized distances)
         "ann_nearest_centroid": lambda spark, sf_dir: __import__(
@@ -2569,6 +2578,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.similarity import nearest_centroid_oracle
 
     out["ann_nearest_centroid"] = nearest_centroid_oracle()
+    from flink_example_spark.operators.similarity import label_knn_agreement_oracle
+
+    out["ann_label_knn_agreement"] = label_knn_agreement_oracle()
     from flink_example_spark.operators.quality import (
         forget_impact_oracle,
         k_anonymity_oracle,
@@ -2591,6 +2603,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.similarity import nearest_centroid_oracle
 
     out["ann_nearest_centroid"] = nearest_centroid_oracle()
+    from flink_example_spark.operators.similarity import label_knn_agreement_oracle
+
+    out["ann_label_knn_agreement"] = label_knn_agreement_oracle()
     from flink_example_spark.operators.quality import (
         benford_oracle,
         key_skew_oracle,

@@ -1876,3 +1876,89 @@ def nearest_centroid_oracle(holdout_mod: int = 5) -> str:
                     THEN 1 ELSE 0 END AS BIGINT) AS is_correct
         FROM best b JOIN embeddings e ON e.vec_id = b.id
     """
+
+
+def label_knn_agreement(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-quality probe: for every vector, how many of its k
+    nearest neighbors (cosine) share its label — the standard
+    label-consistency eval run before trusting an embedding space for
+    retrieval or clustering (random space → 1/n_classes agreement;
+    good space → near 1). Per-label rollup of exact integer agreement
+    counts; one division per label at the boundary.
+
+    The scoring pass is the documented all-pairs baseline (exact);
+    at corpus scale the candidate set comes from the LSH/IVF/PQ/PCA
+    retrievers this module already provides — the eval tail is
+    identical. Output: ``(label, n_vecs, mean_agreement)``.
+    """
+    c = _prep(embeddings, id_col, vec_col, "n")
+    q = _prep(embeddings, id_col, vec_col, "q")
+    labels = embeddings.select(
+        F.col(id_col).alias("lid"), F.col(label_col).alias("lab")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            (
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    agree = (
+        top.join(labels.select(F.col("lid").alias("q_id"), F.col("lab").alias("ql")), "q_id")
+        .join(labels.select(F.col("lid").alias("n_id"), F.col("lab").alias("nl")), "n_id")
+        .groupBy("q_id", "ql")
+        .agg(F.sum((F.col("ql") == F.col("nl")).cast("bigint")).alias("n_agree"))
+    )
+    return agree.groupBy(F.col("ql").alias(label_col)).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.sum("n_agree").cast("double")
+            / (F.count(F.lit(1)) * F.lit(k)).cast("double")
+        ).alias("mean_agreement"),
+    )
+
+
+def label_knn_agreement_oracle(k: int = 5) -> str:
+    """DuckDB twin of :func:`label_knn_agreement` (embeddings table)."""
+    duck_cos = (
+        "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),"
+        " CAST(a.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),"
+        " CAST(b.embedding AS DOUBLE[]))))"
+    )
+    return f"""
+        WITH top AS MATERIALIZED (
+          SELECT q_id, n_id, ql FROM (
+            SELECT a.vec_id AS q_id, b.vec_id AS n_id, a.label AS ql,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {duck_cos} DESC, b.vec_id) AS rank
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+          ) WHERE rank <= {k}
+        ), agree AS (
+          SELECT t.q_id, t.ql,
+                 CAST(SUM(CASE WHEN e.label = t.ql THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree
+          FROM top t JOIN embeddings e ON e.vec_id = t.n_id
+          GROUP BY t.q_id, t.ql
+        )
+        SELECT ql AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(n_agree) AS DOUBLE) / CAST(COUNT(*) * {k} AS DOUBLE)
+                 AS mean_agreement
+        FROM agree GROUP BY ql
+    """
