@@ -581,3 +581,65 @@ def test_pareto_orders_is_true_skyline(spark, tmp_path):
         )
     )
     assert got == want == [4, 5, 6]
+
+
+def test_c4_operators_stay_jvm_side(spark):
+    """Continuation-4 operators must plan with NO Python evaluation nodes
+    — every hot path is Catalyst expressions (the §2.8 UDF rule)."""
+    from flink_example_spark.operators.cep import rfm_segments
+    from flink_example_spark.operators.ml import bootstrap_ci, nb_language_classifier
+    from flink_example_spark.operators.timeseries import (
+        cusum_changepoints,
+        ewma_smooth,
+    )
+    from flink_example_spark.plans.events_demo import load_events
+    from flink_example_spark.tables import load_table
+
+    ev = load_events(spark, SF)
+    docs = load_table(spark, SF, "documents")
+    for df in (
+        cusum_changepoints(ev, "event_type", "ts", "value", "event_id", h=5.0),
+        ewma_smooth(ev, "user_id", "ts", "value", "event_id"),
+        bootstrap_ci(ev),
+        rfm_segments(ev),
+        nb_language_classifier(docs),
+    ):
+        plan = physical(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cusum_two_window_single_shuffle(spark):
+    """The prefix-scan CUSUM rewrite: both window passes share ONE
+    per-key exchange (the whole point of the closed form)."""
+    from flink_example_spark.operators.timeseries import cusum_changepoints
+    from flink_example_spark.plans.events_demo import load_events
+
+    plan = physical(
+        cusum_changepoints(
+            load_events(spark, SF), "event_type", "ts", "value", "event_id", h=5.0
+        )
+    )
+    # one shuffle for the key partitioning + one for the final group-by
+    assert plan.count("Exchange") <= 3
+    assert plan.count("Window") >= 2
+
+
+def test_theta_band_join_is_bnlj(spark):
+    """Pure non-equi join must plan as BroadcastNestedLoopJoin with the
+    tiny band dim on the build side."""
+    from flink_example_spark.plans import relational
+
+    plan = physical(relational.run_sql(spark, SF, "theta_band_join"))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_bootstrap_explode_then_partial_agg(spark):
+    """The Poisson bootstrap must keep partial (map-side) aggregation
+    under the replicate explode — the reduce side carries only
+    (group x B) rows."""
+    from flink_example_spark.operators.ml import bootstrap_ci
+    from flink_example_spark.plans.events_demo import load_events
+
+    plan = physical(bootstrap_ci(load_events(spark, SF)))
+    assert "Generate explode" in plan or "Expand" in plan or "explode" in plan
+    assert "partial" in plan.lower()
