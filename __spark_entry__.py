@@ -1667,6 +1667,20 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "flink_example_spark.tables", fromlist=["load_table"]
             ).load_table(spark, sf_dir, "embeddings")
         ),
+        # STREAMING centroid serving (frozen model, stateless scoring)
+        "streaming_centroid_inference": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.ann_stream",
+            fromlist=["run_streaming_centroid_inference"],
+        ).run_streaming_centroid_inference(spark, sf_dir),
+        # inter-class centroid separability matrix (diagnostics twin)
+        "ann_centroid_separation": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.similarity",
+            fromlist=["centroid_separation"],
+        ).centroid_separation(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "embeddings")
+        ),
         # embedding-quality probe: kNN label agreement per class
         "ann_label_knn_agreement": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.similarity",
@@ -2578,9 +2592,13 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.similarity import nearest_centroid_oracle
 
     out["ann_nearest_centroid"] = nearest_centroid_oracle()
+    out["streaming_centroid_inference"] = out["ann_nearest_centroid"]
     from flink_example_spark.operators.similarity import label_knn_agreement_oracle
 
     out["ann_label_knn_agreement"] = label_knn_agreement_oracle()
+    from flink_example_spark.operators.similarity import centroid_separation_oracle
+
+    out["ann_centroid_separation"] = centroid_separation_oracle()
     from flink_example_spark.operators.quality import (
         forget_impact_oracle,
         k_anonymity_oracle,
@@ -2603,9 +2621,13 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.similarity import nearest_centroid_oracle
 
     out["ann_nearest_centroid"] = nearest_centroid_oracle()
+    out["streaming_centroid_inference"] = out["ann_nearest_centroid"]
     from flink_example_spark.operators.similarity import label_knn_agreement_oracle
 
     out["ann_label_knn_agreement"] = label_knn_agreement_oracle()
+    from flink_example_spark.operators.similarity import centroid_separation_oracle
+
+    out["ann_centroid_separation"] = centroid_separation_oracle()
     from flink_example_spark.operators.quality import (
         benford_oracle,
         key_skew_oracle,

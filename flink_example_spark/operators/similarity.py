@@ -1962,3 +1962,72 @@ def label_knn_agreement_oracle(k: int = 5) -> str:
                  AS mean_agreement
         FROM agree GROUP BY ql
     """
+
+
+def centroid_separation(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Inter-class separability matrix: pairwise euclidean distances
+    between class centroids — the embedding-space diagnostic read next
+    to :func:`label_knn_agreement` (well-separated centroids with low
+    kNN agreement = high within-class variance; both low = labels carry
+    no geometry). Centroids are the quantized means the classifier
+    uses; distances quantize per squared-difference term, one sqrt at
+    the boundary. Output: ``(label_a, label_b, dist)`` for a < b.
+    """
+    q12 = lambda col: F.floor(col * F.lit(1e12) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    xi = embeddings.select(
+        F.col(label_col).alias("lab"),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    ).select("lab", "i", F.col("x").cast("double").alias("x"))
+    cents = (
+        xi.groupBy("lab", "i")
+        .agg(F.sum(q12(F.col("x"))).alias("sq"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "lab",
+            "i",
+            (F.col("sq").cast("double") / F.col("n") / F.lit(1e12)).alias("c"),
+        )
+    )
+    a = cents.select(F.col("lab").alias("label_a"), "i", F.col("c").alias("ca"))
+    b = cents.select(F.col("lab").alias("label_b"), "i", F.col("c").alias("cb"))
+    return (
+        a.join(b, "i")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    q12((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+                ).cast("double")
+                / F.lit(1e12)
+            ).alias("dist")
+        )
+    )
+
+
+def centroid_separation_oracle() -> str:
+    """DuckDB twin of :func:`centroid_separation` (embeddings table)."""
+    return """
+        WITH xi AS MATERIALIZED (
+          SELECT label AS lab, i - 1 AS i, CAST(e AS DOUBLE) AS x
+          FROM (
+            SELECT label, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+          )
+        ), cents AS MATERIALIZED (
+          SELECT lab, i,
+                 CAST(CAST(SUM(CAST(floor(x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / COUNT(*) / 1e12 AS DOUBLE) AS c
+          FROM xi GROUP BY lab, i
+        )
+        SELECT a.lab AS label_a, b.lab AS label_b,
+               sqrt(CAST(CAST(SUM(CAST(floor((a.c - b.c) * (a.c - b.c) * 1e12
+                    + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS dist
+        FROM cents a JOIN cents b ON a.i = b.i AND a.lab < b.lab
+        GROUP BY a.lab, b.lab
+    """

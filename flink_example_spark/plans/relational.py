@@ -122,6 +122,16 @@ TEMPLATES: dict[str, str] = {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
+    # ratio_to_report window: each order's share of its customer's total
+    # (the percent-of-group analytic every BI layer ships).
+    "ratio_to_report": """
+        SELECT o_custkey, o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS price,
+               CAST(o_totalprice AS DOUBLE)
+                 / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER (PARTITION BY o_custkey) AS DOUBLE) AS share
+        FROM orders
+    """,
     # Metric-layer period-over-period: monthly revenue with MoM delta
     # and growth ratio (lag window over the month grain).
     "period_over_period": """

@@ -108,3 +108,108 @@ def run_streaming_bm25(
     q = q_stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination()
     return _read_batches(spark, sink)
+
+
+def run_streaming_centroid_inference(
+    spark: "SparkSession", sf_dir: str, chunks: int = 3
+) -> "DataFrame":
+    """STREAMING nearest-centroid serving: class centroids trained in
+    batch on the train split are FROZEN (localCheckpoint), and holdout
+    vectors stream through a stateless per-micro-batch scoring join —
+    the vector-side twin of the NB text-serving row. Converges to batch
+    ``ann_nearest_centroid`` and shares its oracle."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.session import shuffle_partitions, tune
+    from flink_example_spark.streaming.pipeline import _read_batches
+    from flink_example_spark.streaming.staging import stamp_chunk_mtimes
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q12 = lambda col: F.floor(col * F.lit(1e12) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    xi_train = (
+        emb.filter(F.col("vec_id") % 5 != 0)
+        .select(
+            F.col("label").alias("lab"),
+            F.posexplode(F.col("embedding")).alias("i", "x"),
+        )
+        .select("lab", "i", F.col("x").cast("double").alias("x"))
+    )
+    cents = (
+        xi_train.groupBy("lab", "i")
+        .agg(F.sum(q12(F.col("x"))).alias("sq"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("lab").alias("k"),
+            "i",
+            (F.col("sq").cast("double") / F.col("n") / F.lit(1e12)).alias("c"),
+        )
+        .localCheckpoint()
+    )
+    tmpdir = tempfile.mkdtemp(prefix="stream_nc_")
+    n = emb.count()
+    per = (n + chunks - 1) // chunks
+    for ci in range(chunks):
+        emb.filter(
+            (F.col("vec_id") >= ci * per) & (F.col("vec_id") < (ci + 1) * per)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmpdir, f"chunk_{ci}")
+        )
+    stamp_chunk_mtimes(tmpdir)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+        .filter(F.col("vec_id") % 5 == 0)
+    )
+    outdir = tempfile.mkdtemp(prefix="stream_nc_out_")
+
+    def handle(batch: "DataFrame", batch_id: int) -> None:
+        xi = batch.select(
+            F.col("vec_id").alias("id"),
+            F.posexplode(F.col("embedding")).alias("i", "x"),
+        ).select("id", "i", F.col("x").cast("double").alias("x"))
+        dists = (
+            xi.join(F.broadcast(cents), "i")
+            .groupBy("id", "k")
+            .agg(
+                F.sum(
+                    q12((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+                ).alias("dq")
+            )
+        )
+        best = (
+            dists.select(
+                "id",
+                F.concat(
+                    F.lpad(F.col("dq").cast("string"), 20, "0"),
+                    F.lpad(F.col("k").cast("string"), 10, "0"),
+                ).alias("key"),
+            )
+            .groupBy("id")
+            .agg(F.min("key").alias("bk"))
+        )
+        best.write.mode("overwrite").parquet(f"{outdir}/batch={batch_id}")
+
+    with shuffle_partitions(spark, 8):
+        q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+        q.awaitTermination()
+    best = _read_batches(spark, outdir)
+    truth = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("id"), F.col("label").alias("true_label")
+    )
+    return best.join(truth, "id").select(
+        F.col("id").alias("vec_id"),
+        F.substring(F.col("bk"), 21, 10).cast("int").alias("pred_label"),
+        "true_label",
+        F.when(
+            F.substring(F.col("bk"), 21, 10).cast("int") == F.col("true_label"), 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_correct"),
+    )
