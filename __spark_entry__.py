@@ -1178,6 +1178,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_diff_in_diff": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.ml", fromlist=["diff_in_diff"]
         ).diff_in_diff(_events(spark, sf_dir), "2024-01-16 00:00:00"),
+        # PURE band join made scalable by time bucketization (the
+        # equi-join rewrite of the BNLJ theta shape)
+        "cep_band_join_bucketized": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.cep", fromlist=["bucketized_band_join"]
+        ).bucketized_band_join(_events(spark, sf_dir)),
         # time-on-page dwell rollup (per-user LEAD gaps, abandonment cap)
         "cep_dwell_times": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.cep", fromlist=["dwell_times"]
@@ -2673,6 +2678,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.cep import dwell_times_oracle
 
     out["cep_dwell_times"] = dwell_times_oracle()
+    from flink_example_spark.operators.cep import bucketized_band_oracle
+
+    out["cep_band_join_bucketized"] = bucketized_band_oracle()
     out["cep_rate_limit"] = rate_limit_oracle(limit=5)
     out["streaming_rate_limit"] = out["cep_rate_limit"]
 

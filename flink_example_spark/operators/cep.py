@@ -868,3 +868,86 @@ def dwell_times_oracle(
                CAST(SUM(dwell_us) AS DOUBLE) / COUNT(*) / 1e6 AS mean_s
         FROM dw GROUP BY et
     """
+
+
+def bucketized_band_join(
+    events: DataFrame,
+    probe_type: str = "error",
+    match_type: str = "purchase",
+    band_minutes: int = 30,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """PURE time-band join (no equi key at all) made scalable by TIME
+    BUCKETIZATION: every probe explodes into its bucket and the two
+    adjacent buckets, the join becomes an equi-join on the bucket id,
+    and the exact band predicate verifies — the standard rewrite that
+    turns an O(n·m) nested-loop band join into one shuffle whose
+    candidate mass is the band density. (The theta_band_join template
+    shows the BNLJ plan this avoids; the equi+band range_join template
+    covers the keyed case.)
+
+    Semantics: for every ``probe_type`` event, how many ``match_type``
+    events fall within ±``band_minutes`` ANYWHERE in the stream. All
+    time math in integer micros. Output: ``(event_id, ts, n_nearby)``.
+    """
+    band_us = band_minutes * 60 * 1_000_000
+    src = events.select(
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("et"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+    )
+    probes = src.filter(F.col("et") == probe_type).select(
+        "eid", "us", F.expr(f"us div {band_us}").alias("b0")
+    )
+    probes3 = probes.select(
+        "eid",
+        "us",
+        F.explode(
+            F.array(F.col("b0") - 1, F.col("b0"), F.col("b0") + 1)
+        ).alias("b"),
+    )
+    matches = src.filter(F.col("et") == match_type).select(
+        F.col("us").alias("mus"), F.expr(f"us div {band_us}").alias("b")
+    )
+    pairs = probes3.join(matches, "b").filter(
+        F.abs(F.col("mus") - F.col("us")) <= band_us
+    )
+    return (
+        probes.select("eid", "us")
+        .join(
+            pairs.groupBy("eid").agg(F.count(F.lit(1)).alias("n_nearby")),
+            "eid",
+            "left",
+        )
+        .select(
+            F.col("eid").alias(id_col),
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            F.coalesce(F.col("n_nearby"), F.lit(0)).alias("n_nearby"),
+        )
+    )
+
+
+def bucketized_band_oracle(
+    probe_type: str = "error",
+    match_type: str = "purchase",
+    band_minutes: int = 30,
+    table: str = "events",
+) -> str:
+    """DuckDB twin of :func:`bucketized_band_join` — the PLAIN band join
+    (DuckDB's IEJoin handles it directly; the bucketization is the Spark
+    scale rewrite, the relation is identical)."""
+    band_us = band_minutes * 60 * 1_000_000
+    return f"""
+        WITH src AS (
+          SELECT event_id AS eid, event_type AS et, epoch_us(ts) AS us
+          FROM {table}
+        )
+        SELECT p.eid AS event_id, make_timestamp(p.us) AS ts,
+               CAST(COUNT(m.mus) AS BIGINT) AS n_nearby
+        FROM (SELECT eid, us FROM src WHERE et = '{probe_type}') p
+        LEFT JOIN (SELECT us AS mus FROM src WHERE et = '{match_type}') m
+          ON abs(m.mus - p.us) <= {band_us}
+        GROUP BY p.eid, p.us
+    """
