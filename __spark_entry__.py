@@ -1525,6 +1525,20 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id",
             h=2000.0,
         ),
+        # Bollinger breakout envelope (rolling integer sums, cross-
+        # multiplied test — the sqrt is never evaluated)
+        "timeseries_bollinger": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries",
+            fromlist=["bollinger_breakouts"],
+        ).bollinger_breakouts(
+            __import__(
+                "flink_example_spark.plans.events_demo", fromlist=["load_events"]
+            ).load_events(spark, sf_dir),
+            "event_type",
+            "ts",
+            "value",
+            "event_id",
+        ),
         # fixed-target CUSUM (the online form: S = max(0, S + v - target))
         "timeseries_cusum_target": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.timeseries",
@@ -2909,6 +2923,11 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["timeseries_cusum"] = cusum_oracle(
         "events", "event_type", "ts", "value", "event_id", h=2000.0
+    )
+    from flink_example_spark.operators.timeseries import bollinger_oracle
+
+    out["timeseries_bollinger"] = bollinger_oracle(
+        "events", "event_type", "ts", "value", "event_id"
     )
     out["timeseries_cusum_target"] = cusum_oracle(
         "events", "event_type", "ts", "value", "event_id", h=500.0, target=55.0

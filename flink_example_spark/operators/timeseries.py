@@ -879,3 +879,105 @@ def session_stats_oracle(
                MAX(dur_s) AS max_duration_s
         FROM sessions GROUP BY k
     """
+
+
+def bollinger_breakouts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    seq_col: str,
+    window_rows: int = 20,
+    k_num: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Bollinger-band breakout detection: flag observations falling
+    outside ``mean ± k·std`` of the TRAILING ``window_rows`` window —
+    the rolling volatility envelope. Rolling mean/variance come from
+    exact BIGINT window sums of quantized values (Σv, Σv², n); the
+    breakout test is CROSS-MULTIPLIED so no division happens per row:
+    ``(n·v − Σv)² > k²·(n·Σv² − (Σv)²)`` — pure integer comparison, the
+    sqrt never evaluated at all. Output per key: ``(key, n, n_breakout_up,
+    n_breakout_down, first_breakout_ts)``.
+    """
+    w = (
+        Window.partitionBy("k")
+        .orderBy("us", "seq")
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    src = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("k"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+            F.col(seq_col).alias("seq"),
+            F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("bigint").alias("vq"),
+        )
+    )
+    stats = (
+        src.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("s1", F.sum("vq").over(w))
+        .withColumn("s2", F.sum(F.col("vq") * F.col("vq")).over(w))
+        .filter(F.col("n") == window_rows)
+    )
+    dev = F.col("n") * F.col("vq") - F.col("s1")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    up = (dev > 0) & (dev * dev > F.lit(k_num * k_num) * var_n2)
+    down = (dev < 0) & (dev * dev > F.lit(k_num * k_num) * var_n2)
+    flagged = stats.withColumn("up", up.cast("bigint")).withColumn(
+        "down", down.cast("bigint")
+    )
+    return flagged.groupBy(F.col("k").alias(key_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("up").alias("n_breakout_up"),
+        F.sum("down").alias("n_breakout_down"),
+        F.timestamp_micros(
+            F.min(F.when(F.col("up") + F.col("down") > 0, F.col("us")))
+        ).alias("first_breakout_ts"),
+    )
+
+
+def bollinger_oracle(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    seq_col: str,
+    window_rows: int = 20,
+    k_num: int = 2,
+    scale: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`bollinger_breakouts`."""
+    wr = window_rows
+    return f"""
+        WITH src AS (
+          SELECT {key_col} AS k, epoch_us({ts_col}) AS us, {seq_col} AS seq,
+                 CAST(floor({value_col} * {scale} + 0.5) AS BIGINT) AS vq
+          FROM {table} WHERE {value_col} IS NOT NULL
+        ), stats AS (
+          SELECT * FROM (
+            SELECT k, us, vq,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                   CAST(SUM(vq) OVER w AS BIGINT) AS s1,
+                   CAST(SUM(vq * vq) OVER w AS BIGINT) AS s2
+            FROM src
+            WINDOW w AS (PARTITION BY k ORDER BY us, seq
+                         ROWS BETWEEN {wr - 1} PRECEDING AND CURRENT ROW)
+          ) WHERE n = {wr}
+        ), flagged AS (
+          SELECT k, us,
+                 CAST((n * vq - s1 > 0) AND
+                      ((n * vq - s1) * (n * vq - s1)
+                       > {k_num * k_num} * (n * s2 - s1 * s1)) AS BIGINT) AS up,
+                 CAST((n * vq - s1 < 0) AND
+                      ((n * vq - s1) * (n * vq - s1)
+                       > {k_num * k_num} * (n * s2 - s1 * s1)) AS BIGINT) AS down
+          FROM stats
+        )
+        SELECT k AS {key_col}, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(up) AS BIGINT) AS n_breakout_up,
+               CAST(SUM(down) AS BIGINT) AS n_breakout_down,
+               make_timestamp(MIN(CASE WHEN up + down > 0 THEN us END))
+                 AS first_breakout_ts
+        FROM flagged GROUP BY k
+    """
