@@ -1539,6 +1539,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "value",
             "event_id",
         ),
+        # LIVE Bollinger fold (bounded deque state per key)
+        "streaming_bollinger": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.timeseries_stream",
+            fromlist=["run_streaming_bollinger"],
+        ).run_streaming_bollinger(spark, sf_dir),
         # fixed-target CUSUM (the online form: S = max(0, S + v - target))
         "timeseries_cusum_target": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.timeseries",
@@ -2926,6 +2931,9 @@ def _northstar_oracles() -> dict[str, str]:
     )
     from flink_example_spark.operators.timeseries import bollinger_oracle
 
+    out["streaming_bollinger"] = bollinger_oracle(
+        "events", "event_type", "ts", "value", "event_id"
+    )
     out["timeseries_bollinger"] = bollinger_oracle(
         "events", "event_type", "ts", "value", "event_id"
     )

@@ -500,3 +500,130 @@ def run_streaming_session_stats(
             F.max("dur_s").alias("max_duration_s"),
         )
     )
+
+
+def run_streaming_bollinger(
+    spark: SparkSession,
+    sf_dir: str,
+    window_rows: int = 20,
+    k_num: int = 2,
+    scale: int = 1000,
+    chunks: int = 3,
+) -> DataFrame:
+    """STREAMING Bollinger breakouts: per-key state is the last
+    ``window_rows`` quantized values (a bounded deque — the envelope's
+    natural online form); each arrival evaluates the same cross-
+    multiplied integer test. In-order bounded replay; the max-version
+    row per key equals batch ``bollinger_breakouts`` — shares its
+    oracle."""
+    import os
+    import pickle
+    import tempfile
+    from collections.abc import Iterator
+    from typing import Any
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
+
+    from flink_example_spark.streaming.staging import stamp_chunk_mtimes
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    tmpdir = tempfile.mkdtemp(prefix="stream_boll_")
+    n = ev.count()
+    per = (n + chunks - 1) // chunks
+    for i in range(chunks):
+        ev.filter(
+            (F.col("event_id") >= i * per) & (F.col("event_id") < (i + 1) * per)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmpdir, f"chunk_{i}")
+        )
+    stamp_chunk_mtimes(tmpdir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    state_schema = StructType([StructField("pkl", BinaryType(), True)])
+    output_schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("version", LongType()),
+            StructField("n", LongType()),
+            StructField("n_up", LongType()),
+            StructField("n_down", LongType()),
+            StructField("first_us", LongType(), True),
+        ]
+    )
+    src = stream.select(
+        F.col("event_type").alias("_k"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+        F.col("event_id").cast("long").alias("_seq"),
+        F.floor(F.col("value") * scale + F.lit(0.5)).cast("bigint").alias("_vq"),
+    ).filter(F.col("_vq").isNotNull())
+    k2 = k_num * k_num
+
+    def process(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            version, hist, n_obs, n_up, n_down, first_us = pickle.loads(state.get[0])
+        else:
+            version, hist, n_obs, n_up, n_down, first_us = 0, [], 0, 0, 0, None
+        rows = pd.concat(list(pdfs)).sort_values(["_us", "_seq"])
+        for us, vq in zip(rows["_us"], rows["_vq"]):
+            vq = int(vq)
+            hist.append(vq)
+            hist = hist[-window_rows:]
+            if len(hist) == window_rows:
+                n_obs += 1
+                s1 = sum(hist)
+                s2 = sum(x * x for x in hist)
+                dev = window_rows * vq - s1
+                var_n2 = window_rows * s2 - s1 * s1
+                hit = dev * dev > k2 * var_n2
+                if hit and dev > 0:
+                    n_up += 1
+                elif hit and dev < 0:
+                    n_down += 1
+                if hit and first_us is None:
+                    first_us = int(us)
+        version += 1
+        state.update(
+            (pickle.dumps((version, hist, n_obs, n_up, n_down, first_us)),)
+        )
+        yield pd.DataFrame(
+            [(key[0], version, n_obs, n_up, n_down, first_us)],
+            columns=[f.name for f in output_schema.fields],
+        )
+
+    out = src.groupBy("_k").applyInPandasWithState(
+        process,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_boll_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql(
+        f"""SELECT k AS event_type, n, n_up AS n_breakout_up,
+                   n_down AS n_breakout_down,
+                   timestamp_micros(first_us) AS first_breakout_ts
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY version DESC) rn
+              FROM {name}
+            ) WHERE rn = 1"""
+    )
