@@ -190,23 +190,47 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "common_r2_subtotal_sec": round(
-                    sum(timings[q] for q in COMMON_R2), 3
-                ),
-                "common_r3_subtotal_sec": round(
-                    sum(timings[q] for q in COMMON_R3), 3
-                ),
-                "sf": sf,
-            }
-        )
-    )
+    common_r2 = round(sum(timings[q] for q in COMMON_R2), 3)
+    common_r3 = round(sum(timings[q] for q in COMMON_R3), 3)
+
+    # Full per-query detail goes to a side file: the driver captures only the
+    # LAST 2000 chars of stdout, and a queries dict spanning the whole
+    # ~100-query suite blew past that in round 6 (BENCH_r06 "parsed": null —
+    # the JSON line was truncated at the front). The printed line stays
+    # compact and is asserted under the capture window.
+    full = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "common_r2_subtotal_sec": common_r2,
+        "common_r3_subtotal_sec": common_r3,
+        "n_queries": len(timings),
+        "sf": sf,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+    ) as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+
+    compact = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {q: timings[q] for q in COMMON_R3},
+        "common_r2_subtotal_sec": common_r2,
+        "common_r3_subtotal_sec": common_r3,
+        "n_queries": len(timings),
+        "detail": "BENCH_FULL.json",
+        "sf": sf,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1600:  # stay far inside the driver's 2000-char tail
+        compact.pop("queries")
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 
