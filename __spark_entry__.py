@@ -1053,6 +1053,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mining_assoc_rules": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.mining", fromlist=["assoc_rules"]
         ).assoc_rules(_docs(spark, sf_dir), min_df=250, min_pair_count=200, min_conf_pct=80),
+        # the SAME rules LIVE: batch-refreshed frequent dictionary +
+        # streaming pair-count monoid; rule gates applied at read time
+        "streaming_assoc_rules": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.mining_stream",
+            fromlist=["run_streaming_assoc_rules"],
+        ).run_streaming_assoc_rules(spark, sf_dir),
         # order-aware sequential patterns (a->b, a->b->c journey support)
         # via per-(key,type) first/last spans — no sequence materialization
         "mining_seq_patterns": lambda spark, sf_dir: __import__(
@@ -2504,6 +2510,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["mining_assoc_rules"] = assoc_rules_oracle(
         min_df=250, min_pair_count=200, min_conf_pct=80
     )
+    out["streaming_assoc_rules"] = out["mining_assoc_rules"]
     out["graph_ppr"] = pagerank_oracle(term_graph_sql(2), n_iter=6, seeds=["spark"])
     from flink_example_spark.operators.ml import (
         linear_fit_oracle,

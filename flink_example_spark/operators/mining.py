@@ -70,8 +70,23 @@ def assoc_rules(
         .filter(F.col("__ta") < F.col("__tb"))
         .groupBy("__ta", "__tb")
         .agg(F.count(F.lit(1)).alias("__cab"))
-        .filter(F.col("__cab") >= min_pair_count)
     )
+    return rules_from_counts(pairs, items, n_docs, min_pair_count, min_conf_pct)
+
+
+def rules_from_counts(
+    pairs: DataFrame,
+    items: DataFrame,
+    n_docs: DataFrame,
+    min_pair_count: int,
+    min_conf_pct: int,
+) -> DataFrame:
+    """Rule selection over already-maintained co-occurrence counts: the
+    stateless tail of :func:`assoc_rules`, shared with the streaming twin
+    (which maintains ``pairs`` as a live aggregate and applies this
+    selection at read time). ``pairs`` = (__ta, __tb, __cab) with
+    __ta < __tb; ``items`` = (__t, __c); ``n_docs`` = single-row (__n)."""
+    pairs = pairs.filter(F.col("__cab") >= min_pair_count)
     both = pairs.select("__ta", "__tb", "__cab").union(
         pairs.select(
             F.col("__tb").alias("__ta"), F.col("__ta").alias("__tb"), "__cab"
