@@ -1074,6 +1074,33 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).term_graph(_docs(spark, sf_dir), min_weight=2),
             n_rounds=4,
         ),
+        # Bellman-Ford shortest paths from the hub, integer edge costs
+        # (affinity inverted via cost_scale div w) — exact in any engine
+        "graph_sssp": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.graph", fromlist=["sssp"]
+        ).sssp(
+            __import__(
+                "flink_example_spark.operators.graph", fromlist=["term_graph"]
+            ).term_graph(_docs(spark, sf_dir), min_weight=2),
+            n_rounds=6,
+        ),
+        # Newman modularity Q of the label-propagation communities —
+        # exact BIGINT cross-multiplication, one double division at output
+        "graph_modularity": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.graph", fromlist=["modularity"]
+        ).modularity(
+            __import__(
+                "flink_example_spark.operators.graph", fromlist=["term_graph"]
+            ).term_graph(_docs(spark, sf_dir), min_weight=2),
+            __import__(
+                "flink_example_spark.operators.graph", fromlist=["label_propagation"]
+            ).label_propagation(
+                __import__(
+                    "flink_example_spark.operators.graph", fromlist=["term_graph"]
+                ).term_graph(_docs(spark, sf_dir), min_weight=2),
+                n_rounds=4,
+            ),
+        ),
         # multi-hop BFS reachability from the co-occurrence hub term via
         # Spark 4's RECURSIVE CTE (Catalyst-planned iteration; identical
         # recursive query text runs in DuckDB)
@@ -2501,6 +2528,10 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.graph import label_propagation_oracle
 
     out["graph_label_prop"] = label_propagation_oracle(term_graph_sql(2), n_rounds=4)
+    from flink_example_spark.operators.graph import modularity_oracle, sssp_oracle
+
+    out["graph_sssp"] = sssp_oracle(term_graph_sql(2), n_rounds=6)
+    out["graph_modularity"] = modularity_oracle(term_graph_sql(2), n_rounds=4)
     from flink_example_spark.operators.mining import (
         assoc_rules_oracle,
         seq_patterns_oracle,

@@ -612,3 +612,195 @@ def clustering_coefficient_oracle(edges_sql: str) -> str:
         FROM deg LEFT JOIN tcnt USING (node)
         WHERE deg.degree >= 2
     """
+
+
+def sssp(
+    edges: DataFrame,
+    n_rounds: int = 6,
+    source: str | None = None,
+    cost_scale: int = 1_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Bellman-Ford single-source shortest paths with integer edge costs —
+    the remaining classic Pregel primitive next to :func:`pagerank` /
+    :func:`reachability` (which is the UNWEIGHTED special case).
+
+    Edge cost inverts affinity into distance entirely in BIGINTs:
+    ``cost = greatest(1, cost_scale div w)`` — strong co-occurrence is
+    cheap to traverse; integer division keeps every distance exact in any
+    engine (CLAUDE.md: never SUM raw doubles). Source defaults to the hub
+    (largest total out-weight, smallest name on ties — the same anchor
+    rule as :func:`reachability`).
+
+    Each round relaxes every edge once: dist' = MIN(dist, MIN over
+    in-edges of dist[src] + cost). ``n_rounds`` bounds the path length in
+    edges; output distances are exact for all shortest paths of at most
+    that many hops (Bellman-Ford's invariant), deterministic regardless.
+
+    Scale per round: one equi-join of the node-sized dist relation against
+    the once-checkpointed edge relation + one MIN aggregation — the
+    PageRank shuffle shape; min is a monoid so every round combines
+    map-side. Output: ``(node, dist BIGINT)``.
+    """
+    e = edges.select(
+        F.col(src_col).alias("s"),
+        F.col(dst_col).alias("d"),
+        F.col(weight_col).cast("long").alias("w"),
+        F.greatest(F.lit(1), F.expr(f"{cost_scale} div {weight_col}"))
+        .cast("long")
+        .alias("cost"),
+    ).localCheckpoint()
+    if source is not None:
+        dist = (
+            edges.sparkSession.range(1)
+            .select(F.lit(source).alias("node"), F.lit(0).cast("long").alias("dist"))
+        )
+    else:
+        dist = (
+            e.groupBy("s")
+            .agg(F.sum("w").alias("tw"))
+            .orderBy(F.desc("tw"), F.asc("s"))
+            .limit(1)
+            .select(F.col("s").alias("node"), F.lit(0).cast("long").alias("dist"))
+        )
+    for _ in range(n_rounds):
+        relax = dist.join(
+            e, dist["node"] == e["s"]
+        ).select(F.col("d").alias("node"), (F.col("dist") + F.col("cost")).alias("dist"))
+        dist = (
+            dist.union(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+def sssp_oracle(
+    edges_sql: str, n_rounds: int = 6, source: str | None = None,
+    cost_scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`sssp` — the relaxation loop unrolled as
+    chained MATERIALIZED CTEs (each round's dist feeds the next round's
+    join AND the union — the CLAUDE.md inlining rule)."""
+    anchor = (
+        f"SELECT '{source}' AS node, CAST(0 AS BIGINT) AS dist"
+        if source is not None
+        else """SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM (
+              SELECT s FROM e GROUP BY s ORDER BY SUM(w) DESC, s LIMIT 1)"""
+    )
+    parts = [
+        f"""e AS MATERIALIZED (
+          SELECT src AS s, dst AS d, CAST(w AS BIGINT) AS w,
+                 CAST(greatest(1, {cost_scale} // w) AS BIGINT) AS cost
+          FROM ({edges_sql}))""",
+        f"d0 AS MATERIALIZED ({anchor})",
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f"""d{i + 1} AS MATERIALIZED (
+              SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d{i}
+                UNION ALL
+                SELECT e.d AS node, x.dist + e.cost AS dist
+                FROM d{i} x JOIN e ON e.s = x.node
+              ) GROUP BY node
+            )"""
+        )
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT node, dist FROM d{n_rounds}
+    """
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Newman modularity Q of a node labeling over a weighted graph — the
+    standard quality score for the communities :func:`label_propagation`
+    emits (Newman & Girvan 2004).
+
+    With symmetric-directed edges (both directions present, as
+    :func:`term_graph` emits), ``two_m`` = SUM(w) is exactly 2m of the
+    undirected graph, ``internal_w`` the weight inside communities, and
+    ``deg_c`` each community's total node strength. Everything up to the
+    output boundary is exact BIGINT cross-multiplication:
+    ``q_num = two_m * internal_w - SUM(deg_c^2)`` and
+    ``Q = q_num / two_m^2`` as ONE double division of exact integers
+    (engine-portable; overflow bound w_total < ~3e9).
+
+    Scale: two equi-joins of edges against the node-sized label relation
+    + three aggregations; no driver materialization. Output: one row
+    ``(two_m, internal_w, q_num, modularity)``.
+    """
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    lab = labels.select(F.col("node").alias("n"), F.col("label").alias("lab"))
+    tagged = (
+        e.join(lab.select(F.col("n").alias("s"), F.col("lab").alias("ls")), "s")
+        .join(lab.select(F.col("n").alias("d"), F.col("lab").alias("ld")), "d")
+    )
+    totals = tagged.agg(
+        F.sum("w").alias("two_m"),
+        F.sum(F.when(F.col("ls") == F.col("ld"), F.col("w")).otherwise(0)).alias(
+            "internal_w"
+        ),
+    )
+    degsq = (
+        tagged.groupBy("ls")
+        .agg(F.sum("w").alias("deg_c"))
+        .agg(F.sum(F.col("deg_c") * F.col("deg_c")).alias("sum_degsq"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(degsq))
+        .select(
+            "two_m",
+            "internal_w",
+            (F.col("two_m") * F.col("internal_w") - F.col("sum_degsq")).alias("q_num"),
+            (
+                (F.col("two_m") * F.col("internal_w") - F.col("sum_degsq")).cast("double")
+                / (F.col("two_m") * F.col("two_m")).cast("double")
+            ).alias("modularity"),
+        )
+    )
+
+
+def modularity_oracle(edges_sql: str, n_rounds: int = 4) -> str:
+    """DuckDB twin of ``modularity(term_graph, label_propagation(...))`` —
+    the unrolled LPA chain with the modularity aggregate on top."""
+    lpa = label_propagation_oracle(edges_sql, n_rounds=n_rounds)
+    # reuse the LPA oracle's WITH-chain by nesting its full SELECT
+    return f"""
+        WITH lab AS MATERIALIZED ({lpa}),
+        ew AS MATERIALIZED (
+          SELECT src AS s, dst AS d, CAST(w AS BIGINT) AS w FROM ({edges_sql})
+        ),
+        tagged AS MATERIALIZED (
+          SELECT ew.w, ls.label AS ls, ld.label AS ld
+          FROM ew JOIN lab ls ON ls.node = ew.s JOIN lab ld ON ld.node = ew.d
+        ),
+        tot AS (
+          SELECT CAST(SUM(w) AS BIGINT) AS two_m,
+                 CAST(SUM(CASE WHEN ls = ld THEN w ELSE 0 END) AS BIGINT)
+                   AS internal_w
+          FROM tagged
+        ),
+        dsq AS (
+          SELECT CAST(SUM(deg_c * deg_c) AS BIGINT) AS sum_degsq FROM (
+            SELECT CAST(SUM(w) AS BIGINT) AS deg_c FROM tagged GROUP BY ls
+          )
+        )
+        SELECT two_m, internal_w,
+               two_m * internal_w - sum_degsq AS q_num,
+               CAST(two_m * internal_w - sum_degsq AS DOUBLE)
+                 / CAST(two_m * two_m AS DOUBLE) AS modularity
+        FROM tot CROSS JOIN dsq
+    """
