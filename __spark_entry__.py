@@ -1499,6 +1499,17 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time-series regularization: per-user daily grid over the events
         # feed with forward-fill + linear interpolation (integer-micros
         # grid arithmetic, one union+window pass) and the silence report
+        # per-event-type autocorrelation of hourly value totals at lags
+        # 1..6 — floor-mean centering keeps num/den exact BIGINTs
+        "timeseries_acf": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries", fromlist=["acf"]
+        ).acf(_events(spark, sf_dir), "event_type", "ts", "value"),
+        # classical additive decomposition: centered-MA trend in exact
+        # 48th-units, per-phase (hour-of-day) seasonal profile
+        "timeseries_decompose": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries",
+            fromlist=["seasonal_decompose"],
+        ).seasonal_decompose(_events(spark, sf_dir), "event_type", "ts", "value"),
         "timeseries_resample": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.timeseries", fromlist=["resample"]
         ).resample(
@@ -2960,6 +2971,15 @@ def _northstar_oracles() -> dict[str, str]:
     )
     out["timeseries_seasonal_anomalies"] = seasonal_anomalies_oracle(
         "events", "event_type", "ts", min_count=4
+    )
+    from flink_example_spark.operators.timeseries import (
+        acf_oracle,
+        seasonal_decompose_oracle,
+    )
+
+    out["timeseries_acf"] = acf_oracle("events", "event_type", "ts", "value")
+    out["timeseries_decompose"] = seasonal_decompose_oracle(
+        "events", "event_type", "ts", "value"
     )
     out["timeseries_rolling_actives"] = rolling_active_oracle()
     from flink_example_spark.operators.timeseries import cusum_oracle, ewma_oracle

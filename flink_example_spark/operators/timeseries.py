@@ -981,3 +981,237 @@ def bollinger_oracle(
                  AS first_breakout_ts
         FROM flagged GROUP BY k
     """
+
+
+def acf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 6,
+    step_sec: int = 3600,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key sample autocorrelation at lags 1..``max_lag`` over the
+    ``step_sec``-bucketed value series — the diagnostic every forecasting
+    pipeline runs before picking a model (seasonality shows as peaks at
+    the period, white noise as ~0 everywhere).
+
+    Portability: bucket totals quantize to BIGINT (``floor(v*scale+0.5)``
+    summed exactly); centering subtracts the FLOOR mean (``s div n`` —
+    identical truncation in both engines on non-negative operands), so
+    numerator and denominator are exact BIGINT sums of integer products
+    and ``acf = num/den`` is one double division at the output boundary.
+    Overflow bound: ``n_buckets * dev^2 < 2^63`` (dev = centered bucket
+    total) — holds to ~1e6 buckets of 1e6-unit deviations.
+
+    Pairs come from EXISTING buckets (an empty bucket contributes no
+    pair); lag-k pairing is an equi-join on ``bucket + k`` after a
+    lag-explode — codegen equi-join, one shuffle on (key, bucket), never
+    a band join. Output: ``(key, lag, n_pairs, num, den, acf)``.
+    """
+    step_us = int(step_sec) * 1_000_000
+    hx = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("k"),
+            F.expr(
+                f"unix_micros(cast({ts_col} as timestamp)) div {step_us}"
+            ).alias("b"),
+            F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("bigint").alias("vq"),
+        )
+        .groupBy("k", "b")
+        .agg(F.sum("vq").alias("x"))
+    )
+    st = hx.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    y = hx.join(F.broadcast(st), "k").select(
+        "k", "b", F.expr("x - (s div n)").alias("y")
+    ).localCheckpoint()  # read by the pair join (twice) and the denominator
+    den = y.groupBy("k").agg(F.sum(F.col("y") * F.col("y")).alias("den"))
+    pairs = (
+        y.select(
+            "k",
+            "b",
+            F.col("y").alias("ya"),
+            F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+        )
+        .select("k", (F.col("b") + F.col("lag")).alias("b"), "ya", "lag")
+        .join(y.select("k", "b", F.col("y").alias("yb")), ["k", "b"])
+        .groupBy("k", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("ya") * F.col("yb")).alias("num"),
+        )
+    )
+    return pairs.join(F.broadcast(den), "k").select(
+        F.col("k").alias(key_col),
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        "num",
+        "den",
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias("acf"),
+    )
+
+
+def acf_oracle(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 6,
+    step_sec: int = 3600,
+    scale: int = 100,
+) -> str:
+    """DuckDB twin of :func:`acf` (``//`` == ``div`` on non-negatives)."""
+    step_us = int(step_sec) * 1_000_000
+    return f"""
+        WITH hx AS MATERIALIZED (
+          SELECT {key_col} AS k, epoch_us({ts_col}) // {step_us} AS b,
+                 CAST(SUM(CAST(floor({value_col} * {scale} + 0.5) AS BIGINT))
+                      AS BIGINT) AS x
+          FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
+        ), st AS (
+          SELECT k, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+          FROM hx GROUP BY k
+        ), y AS MATERIALIZED (
+          SELECT hx.k, b, x - (s // n) AS y FROM hx JOIN st USING (k)
+        ), den AS (
+          SELECT k, CAST(SUM(y * y) AS BIGINT) AS den FROM y GROUP BY k
+        ), pairs AS (
+          SELECT a.k, l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(a.y * b2.y) AS BIGINT) AS num
+          FROM y a
+          CROSS JOIN (SELECT unnest(range(1, {max_lag + 1})) AS lag) l
+          JOIN y b2 ON b2.k = a.k AND b2.b = a.b + l.lag
+          GROUP BY 1, 2
+        )
+        SELECT pairs.k AS {key_col}, CAST(lag AS BIGINT) AS lag, n_pairs,
+               num, den, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+        FROM pairs JOIN den USING (k)
+    """
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 24,
+    step_sec: int = 3600,
+    scale: int = 100,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method behind STL's initialization): centered moving-average trend
+    over one full period, then the per-phase mean of the detrended series
+    as the seasonal profile — daily shape extraction for an hourly series
+    at the defaults.
+
+    All arithmetic before the output boundary is exact BIGINT in
+    48TH-UNITS (2*period): the even-period centered MA half-weights the
+    endpoints, so ``trend = T2/(2*period)`` with ``T2 = 2*S - x_{-h} -
+    x_{+h}`` (S the ±h ROWS sum, h = period/2) and the detrended value is
+    the integer ``d = 2*period*x - T2``. The seasonal mean is ONE double
+    division ``sum(d) / (2*period*count)`` per phase. Only complete MA
+    windows contribute (ROWS-frame count == period+1) — the ROWS frame
+    assumes a dense bucket grid, the standard precondition (densify via
+    :func:`resample` first on sparse keys).
+
+    Scale: one (key, bucket) aggregation, ONE per-key window pass
+    (sum+count+lag+lead share the shuffle/sort), one (key, phase)
+    aggregation. Output: ``(key, phase, s_cnt, s_num, seasonal)``.
+    """
+    if period % 2 != 0:
+        raise ValueError("period must be even (half-weighted endpoints)")
+    half = period // 2
+    step_us = int(step_sec) * 1_000_000
+    hx = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("k"),
+            F.expr(
+                f"unix_micros(cast({ts_col} as timestamp)) div {step_us}"
+            ).alias("b"),
+            F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("bigint").alias("vq"),
+        )
+        .groupBy("k", "b")
+        .agg(F.sum("vq").alias("x"))
+    )
+    win = Window.partitionBy("k").orderBy("b").rowsBetween(-half, half)
+    wo = Window.partitionBy("k").orderBy("b")
+    w = hx.select(
+        "k",
+        "b",
+        "x",
+        F.sum("x").over(win).alias("s_ma"),
+        F.count(F.lit(1)).over(win).alias("c_ma"),
+        F.lag("x", half).over(wo).alias("xm"),
+        F.lead("x", half).over(wo).alias("xp"),
+    ).filter(
+        (F.col("c_ma") == period + 1)
+        & F.col("xm").isNotNull()
+        & F.col("xp").isNotNull()
+    )
+    d = w.select(
+        "k",
+        (F.col("b") % period).alias("phase"),
+        (
+            F.lit(2 * period) * F.col("x")
+            - (F.lit(2) * F.col("s_ma") - F.col("xm") - F.col("xp"))
+        ).alias("d"),
+    )
+    return d.groupBy("k", "phase").agg(
+        F.count(F.lit(1)).alias("s_cnt"), F.sum("d").alias("s_num")
+    ).select(
+        F.col("k").alias(key_col),
+        F.col("phase").cast("long").alias("phase"),
+        "s_cnt",
+        "s_num",
+        (
+            F.col("s_num").cast("double")
+            / (F.lit(2 * period) * F.col("s_cnt")).cast("double")
+        ).alias("seasonal"),
+    )
+
+
+def seasonal_decompose_oracle(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 24,
+    step_sec: int = 3600,
+    scale: int = 100,
+) -> str:
+    """DuckDB twin of :func:`seasonal_decompose`."""
+    half = period // 2
+    step_us = int(step_sec) * 1_000_000
+    return f"""
+        WITH hx AS MATERIALIZED (
+          SELECT {key_col} AS k, epoch_us({ts_col}) // {step_us} AS b,
+                 CAST(SUM(CAST(floor({value_col} * {scale} + 0.5) AS BIGINT))
+                      AS BIGINT) AS x
+          FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
+        ), w AS MATERIALIZED (
+          SELECT k, b, x,
+                 SUM(x) OVER win AS s_ma,
+                 COUNT(*) OVER win AS c_ma,
+                 LAG(x, {half}) OVER (PARTITION BY k ORDER BY b) AS xm,
+                 LEAD(x, {half}) OVER (PARTITION BY k ORDER BY b) AS xp
+          FROM hx
+          WINDOW win AS (PARTITION BY k ORDER BY b
+                         ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)
+        ), d AS (
+          SELECT k, b % {period} AS phase,
+                 {2 * period} * x - (2 * s_ma - xm - xp) AS d
+          FROM w
+          WHERE c_ma = {period + 1} AND xm IS NOT NULL AND xp IS NOT NULL
+        )
+        SELECT k AS {key_col}, CAST(phase AS BIGINT) AS phase,
+               CAST(COUNT(*) AS BIGINT) AS s_cnt,
+               CAST(SUM(d) AS BIGINT) AS s_num,
+               CAST(SUM(d) AS DOUBLE)
+                 / CAST({2 * period} * COUNT(*) AS DOUBLE) AS seasonal
+        FROM d GROUP BY 1, 2
+    """
