@@ -1452,6 +1452,32 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_training_shards": lambda spark, sf_dir: curation.training_shards(
             _docs(spark, sf_dir)
         ),
+        # entity resolution over a deterministically-dirtied part-name
+        # registry: exact-group -> SymSpell join on DISTINCT names ->
+        # star-contraction components -> canonical entity table
+        "entity_resolve": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.entity", fromlist=["resolve_entities"]
+        ).resolve_entities(
+            __import__(
+                "flink_example_spark.operators.entity", fromlist=["dirty_registry"]
+            ).dirty_registry(
+                __import__(
+                    "flink_example_spark.tables", fromlist=["load_table"]
+                ).load_table(spark, sf_dir, "part")
+            ),
+        ),
+        # the record->canonical broadcast-back mapping (golden-record join)
+        "entity_record_links": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.entity", fromlist=["record_links"]
+        ).record_links(
+            __import__(
+                "flink_example_spark.operators.entity", fromlist=["dirty_registry"]
+            ).dirty_registry(
+                __import__(
+                    "flink_example_spark.tables", fromlist=["load_table"]
+                ).load_table(spark, sf_dir, "part")
+            ),
+        ),
         "curation_drift_chi2": lambda spark, sf_dir: curation.drift_chi2(
             _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0),
             _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 1),
@@ -2054,6 +2080,13 @@ def _northstar_oracles() -> dict[str, str]:
     )"""
     out["dedup_fuzzy_words"] = fuzzy_word_pairs_oracle(source=_typo_src)
     out["dedup_fuzzy_words2"] = fuzzy_word_pairs_oracle(source=_typo_src, max_dist=2)
+    from flink_example_spark.operators.entity import (
+        record_links_oracle,
+        resolve_entities_oracle,
+    )
+
+    out["entity_resolve"] = resolve_entities_oracle()
+    out["entity_record_links"] = record_links_oracle()
     out["dedup_semantic_decontaminate"] = f"""
         WITH c AS ({_DUCK_VECS}),
         bench AS (SELECT * FROM c WHERE vec_id < 25),

@@ -1,0 +1,282 @@
+"""Entity resolution (record linkage) — canonicalizing a dirty registry.
+
+The classic master-data primitive a curation pipeline runs over scraped
+metadata (author/publisher/domain registries): records whose NAMES differ
+by typos are the same entity and must be collapsed to one canonical id
+before joins. Reference parity: the reference engine (kerinin/
+flink-example, App.java:96-150) supplies grouped aggregation and joins;
+resolution is those primitives composed with the repo's proven SymSpell
+deletion-neighborhood join (operators/dedup.py::fuzzy_word_pairs) and
+star-contraction connected components (operators/dedup.py::
+duplicate_clusters).
+
+Scale shape (the order of operations IS the 100 TB story):
+
+1. EXACT grouping first — one hash aggregate collapses identical
+   normalized names, so the fuzzy stage runs over DISTINCT names only
+   (vocabulary-sized, not record-sized).
+2. SymSpell delete-neighborhood self-join over distinct names — perfect
+   recall at edit distance <= max_dist (the alignment argument in
+   fuzzy_word_pairs' docstring), O(names x len) candidate keys, never
+   O(names^2) pairs; levenshtein verify trims same-variant non-neighbors.
+3. Connected components by alternating star contraction — O(log^2)
+   rounds, nothing edge-sized on the driver.
+4. Canonical mapping broadcast back onto the record-sized relation.
+
+Engine portability: levenshtein is the classic integer DP in both
+engines; ids/counts are BIGINTs; no floats anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' '),"
+    " ' +', ' '))"
+)
+
+
+def _normalized(col: str):
+    return F.expr(_NORM_SQL.format(c=col))
+
+
+def _expand_deletes(df: DataFrame, col: str) -> DataFrame:
+    """Each row -> itself (i=0) plus every delete-one-character variant —
+    the SymSpell neighborhood, generated with codegen explode+substring."""
+    others = [c for c in df.columns if c != col]
+    return df.select(
+        *others,
+        F.explode(F.sequence(F.lit(0), F.length(col))).alias("__i"),
+        F.col(col),
+    ).select(
+        *others,
+        F.when(F.col("__i") == 0, F.col(col))
+        .otherwise(
+            F.concat(
+                F.substring(F.col(col), 1, F.col("__i") - F.lit(1)),
+                F.substring(
+                    F.col(col), F.col("__i") + F.lit(1), F.lit(1_000_000)
+                ),
+            )
+        )
+        .alias(col),
+    )
+
+
+def resolve_entities(
+    records: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Entity table from a dirty registry: one row per resolved entity —
+    ``(canonical_id, canonical_name, n_variants, n_records)`` where
+    canonical_id is the minimum record id transitively reachable through
+    name matches (exact after normalization, or levenshtein <= max_dist).
+    """
+    if max_dist not in (1, 2):
+        raise ValueError("max_dist must be 1 or 2")
+    from flink_example_spark.operators.dedup import duplicate_clusters
+
+    g = (
+        records.select(
+            F.col(id_col).alias("__id"), _normalized(name_col).alias("nm")
+        )
+        .filter(F.col("nm") != "")
+        .groupBy("nm")
+        .agg(F.min("__id").alias("rep_id"), F.count(F.lit(1)).alias("n_rec"))
+        .localCheckpoint()  # read by the expand join (twice) and the final agg
+    )
+    # expand max_dist times on a variant column seeded with the name itself
+    var = g.select(F.col("nm"), F.col("rep_id"), F.col("nm").alias("__v"))
+    for _ in range(max_dist):
+        var = _expand_deletes(var, "__v")
+    var = var.distinct()
+    cand = (
+        var.select(F.col("nm").alias("na"), F.col("rep_id").alias("ra"), "__v")
+        .join(
+            var.select(F.col("nm").alias("nb"), F.col("rep_id").alias("rb"), "__v"),
+            "__v",
+        )
+        .filter(F.col("na") < F.col("nb"))
+        .select("na", "nb", "ra", "rb")
+        .distinct()
+        .filter(F.levenshtein("na", "nb") <= max_dist)
+    )
+    pairs = cand.select(
+        F.least("ra", "rb").alias("doc_a"), F.greatest("ra", "rb").alias("doc_b")
+    ).distinct()
+    clusters = duplicate_clusters(pairs, id_col="doc_id")
+    ent = g.join(
+        clusters.select(F.col("doc_id").alias("rep_id"), "cluster_id"),
+        "rep_id",
+        "left",
+    ).select(
+        "nm",
+        "rep_id",
+        "n_rec",
+        F.coalesce("cluster_id", "rep_id").alias("cid"),
+    )
+    agg = ent.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_variants"), F.sum("n_rec").alias("n_records")
+    )
+    return agg.join(
+        g.select(F.col("rep_id").alias("cid"), F.col("nm").alias("canonical_name")),
+        "cid",
+    ).select(
+        F.col("cid").cast("long").alias("canonical_id"),
+        "canonical_name",
+        F.col("n_variants").cast("long").alias("n_variants"),
+        F.col("n_records").cast("long").alias("n_records"),
+    )
+
+
+def record_links(
+    records: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Per-record canonical assignment ``(id, canonical_id)`` — the
+    broadcast-back mapping stage (what a GDPR blast-radius or golden-record
+    join consumes). Recomputes the entity table's cluster map and joins it
+    onto the record-sized relation by normalized name."""
+    from flink_example_spark.operators.dedup import duplicate_clusters
+
+    g = (
+        records.select(
+            F.col(id_col).alias("__id"), _normalized(name_col).alias("nm")
+        )
+        .filter(F.col("nm") != "")
+    )
+    reps = g.groupBy("nm").agg(F.min("__id").alias("rep_id")).localCheckpoint()
+    var = reps.select("nm", "rep_id", F.col("nm").alias("__v"))
+    for _ in range(max_dist):
+        var = _expand_deletes(var, "__v")
+    var = var.distinct()
+    cand = (
+        var.select(F.col("nm").alias("na"), F.col("rep_id").alias("ra"), "__v")
+        .join(
+            var.select(F.col("nm").alias("nb"), F.col("rep_id").alias("rb"), "__v"),
+            "__v",
+        )
+        .filter(F.col("na") < F.col("nb"))
+        .select("na", "nb", "ra", "rb")
+        .distinct()
+        .filter(F.levenshtein("na", "nb") <= max_dist)
+    )
+    pairs = cand.select(
+        F.least("ra", "rb").alias("doc_a"), F.greatest("ra", "rb").alias("doc_b")
+    ).distinct()
+    clusters = duplicate_clusters(pairs, id_col="doc_id")
+    cmap = reps.join(
+        clusters.select(F.col("doc_id").alias("rep_id"), "cluster_id"),
+        "rep_id",
+        "left",
+    ).select("nm", F.coalesce("cluster_id", "rep_id").alias("cid"))
+    return g.join(F.broadcast(cmap), "nm").select(
+        F.col("__id").cast("long").alias(id_col),
+        F.col("cid").cast("long").alias("canonical_id"),
+    )
+
+
+def dirty_registry(part: DataFrame) -> DataFrame:
+    """Deterministic dirty registry from the part table: every 7th record
+    (mod 3) duplicates its name's last character (an insertion typo),
+    every 7th (mod 5) drops it (a deletion) — the OCR/keyboard noise model
+    the resolver must undo. Pure SQL CASE, identical text in DuckDB."""
+    return part.select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.expr(
+            "CASE WHEN p_partkey % 7 = 3 THEN concat(p_name,"
+            " substring(p_name, length(p_name), 1))"
+            " WHEN p_partkey % 7 = 5 THEN substring(p_name, 1,"
+            " length(p_name) - 1)"
+            " ELSE p_name END"
+        ).alias("name"),
+    )
+
+
+DIRTY_REGISTRY_SQL = """(
+    SELECT CAST(p_partkey AS BIGINT) AS id,
+           CASE WHEN p_partkey % 7 = 3 THEN p_name ||
+                  substring(p_name, length(p_name), 1)
+                WHEN p_partkey % 7 = 5 THEN substring(p_name, 1,
+                  length(p_name) - 1)
+                ELSE p_name END AS name
+    FROM part
+)"""
+
+_DUCK_NORM_NAME = (
+    "trim(regexp_replace(regexp_replace(lower(name), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+_CLOSURE = """
+        edges AS (
+          SELECT ra AS a, rb AS b FROM pairs
+          UNION SELECT rb, ra FROM pairs
+        ),
+        reach(id, r) AS (
+          SELECT a, a FROM edges
+          UNION SELECT a, b FROM edges
+          UNION SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+        ),
+        cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        ent AS (
+          SELECT g.nm, g.rep_id, g.n_rec,
+                 COALESCE(cl.cluster_id, g.rep_id) AS cid
+          FROM g LEFT JOIN cl ON cl.id = g.rep_id
+        )"""
+
+
+def resolve_entities_oracle(source: str = DIRTY_REGISTRY_SQL, max_dist: int = 1) -> str:
+    """Brute-force DuckDB twin of :func:`resolve_entities` — exact, because
+    the deletion-neighborhood join has perfect recall at the configured
+    distance (fuzzy_word_pairs' alignment argument)."""
+    return f"""
+        WITH RECURSIVE g AS MATERIALIZED (
+          SELECT nm, MIN(id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_rec
+          FROM (SELECT id, {_DUCK_NORM_NAME} AS nm FROM {source})
+          WHERE nm <> '' GROUP BY nm
+        ),
+        pairs AS (
+          SELECT least(a.rep_id, b.rep_id) AS ra,
+                 greatest(a.rep_id, b.rep_id) AS rb
+          FROM g a JOIN g b
+            ON a.nm < b.nm AND abs(len(a.nm) - len(b.nm)) <= {max_dist}
+          WHERE levenshtein(a.nm, b.nm) <= {max_dist}
+        ),{_CLOSURE}
+        SELECT ag.cid AS canonical_id, cn.nm AS canonical_name,
+               ag.n_variants, ag.n_records
+        FROM (
+          SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_variants,
+                 CAST(SUM(n_rec) AS BIGINT) AS n_records
+          FROM ent GROUP BY cid
+        ) ag JOIN g cn ON cn.rep_id = ag.cid
+    """
+
+
+def record_links_oracle(source: str = DIRTY_REGISTRY_SQL, max_dist: int = 1) -> str:
+    """Brute-force DuckDB twin of :func:`record_links`."""
+    return f"""
+        WITH RECURSIVE raw AS MATERIALIZED (
+          SELECT id, {_DUCK_NORM_NAME} AS nm FROM {source}
+        ),
+        g AS MATERIALIZED (
+          SELECT nm, MIN(id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_rec
+          FROM raw WHERE nm <> '' GROUP BY nm
+        ),
+        pairs AS (
+          SELECT least(a.rep_id, b.rep_id) AS ra,
+                 greatest(a.rep_id, b.rep_id) AS rb
+          FROM g a JOIN g b
+            ON a.nm < b.nm AND abs(len(a.nm) - len(b.nm)) <= {max_dist}
+          WHERE levenshtein(a.nm, b.nm) <= {max_dist}
+        ),{_CLOSURE}
+        SELECT CAST(raw.id AS BIGINT) AS id,
+               CAST(ent.cid AS BIGINT) AS canonical_id
+        FROM raw JOIN ent ON ent.nm = raw.nm
+    """
