@@ -434,6 +434,70 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return load_events(spark, sf_dir)
 
+    def expectations_entry(spark, sf_dir):
+        """Data-contract validation suite (dbt-test / Great-Expectations
+        shape): row-level rules, key uniqueness, and referential integrity
+        across orders/customer/lineitem in FOUR scans total (one shared
+        conditional-aggregate scan per table + two anti-joins), unioned
+        into one (check_name, n_rows, n_violations, passed) report. The
+        date-bound rule is genuinely violated in the data, exercising the
+        non-zero path."""
+        from functools import reduce
+
+        from flink_example_spark.operators import quality
+        from flink_example_spark.tables import load_table
+
+        orders = load_table(spark, sf_dir, "orders")
+        customer = load_table(spark, sf_dir, "customer")
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        parts = [
+            quality.expect(
+                orders,
+                [
+                    ("orders.o_orderkey_not_null", F.col("o_orderkey").isNotNull()),
+                    ("orders.o_totalprice_nonneg", F.col("o_totalprice") >= 0),
+                    (
+                        "orders.o_orderstatus_accepted",
+                        F.col("o_orderstatus").isin("O", "F", "P"),
+                    ),
+                    (
+                        "orders.o_orderdate_bound",
+                        F.col("o_orderdate")
+                        <= F.lit("1998-12-31").cast("timestamp"),
+                    ),
+                ],
+            ),
+            quality.unique_violations(orders, ["o_orderkey"]),
+            quality.fk_orphans(
+                orders, customer, "o_custkey", "c_custkey",
+                "orders.o_custkey->customer",
+            ),
+            quality.fk_orphans(
+                lineitem, orders, "l_orderkey", "o_orderkey",
+                "lineitem.l_orderkey->orders",
+            ),
+            quality.expect(
+                lineitem,
+                [
+                    (
+                        "lineitem.quantity_range",
+                        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
+                    ),
+                    (
+                        "lineitem.discount_range",
+                        (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.5),
+                    ),
+                ],
+            ),
+        ]
+        rep = reduce(lambda a, b: a.unionByName(b), parts)
+        return rep.select(
+            F.col("check").alias("check_name"),  # CHECK is reserved in DuckDB
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_violations").cast("long").alias("n_violations"),
+            F.col("passed").cast("long").alias("passed"),
+        )
+
     def cep_funnel_entry(spark, sf_dir):
         """Flink-CEP-style ordered-sequence pattern (skip-till-next-match):
         view -> click -> purchase within 24h of the first view. Greedy
@@ -1135,6 +1199,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lineitem",
         ),
         # ANALYZE-style column profiler over the events table
+        # dbt-test-style data-contract suite: row rules + uniqueness +
+        # referential integrity in one unioned report
+        "quality_expectations": expectations_entry,
         "quality_profile": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.quality", fromlist=["profile_columns"]
         ).profile_columns(
@@ -1393,6 +1460,18 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_report": quality_report_entry,
         # write-path layout: Morton-curve bucket bounding boxes
         "layout_zorder_stats": zorder_entry,
+        # balanced range-partition planner over lineitem part keys:
+        # exact rank-based split points + realized bucket sizes
+        "layout_range_plan": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.layout",
+            fromlist=["range_partition_plan"],
+        ).range_partition_plan(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "lineitem"),
+            "l_partkey",
+            n_buckets=16,
+        ),
         "streaming_linear_fit": ml_stream_entry,
         # weighted sampling without replacement (two-phase prefix sum,
         # pure-integer stride selection — portable where pow() is not)
@@ -2742,6 +2821,42 @@ def _northstar_oracles() -> dict[str, str]:
     out["quality_benford"] = benford_oracle("orders", "o_totalprice")
 
     out["quality_key_skew"] = key_skew_oracle("lineitem", "l_orderkey")
+    out["quality_expectations"] = """
+        WITH o AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN NOT (o_orderkey IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+            CAST(SUM(CASE WHEN NOT (o_totalprice >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+            CAST(SUM(CASE WHEN NOT (o_orderstatus IN ('O','F','P')) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+            CAST(SUM(CASE WHEN NOT (o_orderdate <= TIMESTAMP '1998-12-31 00:00:00') THEN 1 ELSE 0 END) AS BIGINT) AS v4
+          FROM orders
+        ), li AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+            CAST(SUM(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 0.5) THEN 1 ELSE 0 END) AS BIGINT) AS v2
+          FROM lineitem
+        ), uq AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS v
+          FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+        ), fk1 AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        ), fk2 AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        )
+        SELECT 'orders.o_orderkey_not_null' AS check_name, n AS n_rows, v1 AS n_violations, CAST(v1 = 0 AS BIGINT) AS passed FROM o
+        UNION ALL SELECT 'orders.o_totalprice_nonneg', n, v2, CAST(v2 = 0 AS BIGINT) FROM o
+        UNION ALL SELECT 'orders.o_orderstatus_accepted', n, v3, CAST(v3 = 0 AS BIGINT) FROM o
+        UNION ALL SELECT 'orders.o_orderdate_bound', n, v4, CAST(v4 = 0 AS BIGINT) FROM o
+        UNION ALL SELECT 'unique(o_orderkey)', n, v, CAST(v = 0 AS BIGINT) FROM uq
+        UNION ALL SELECT 'orders.o_custkey->customer', n, v, CAST(v = 0 AS BIGINT) FROM fk1
+        UNION ALL SELECT 'lineitem.l_orderkey->orders', n, v, CAST(v = 0 AS BIGINT) FROM fk2
+        UNION ALL SELECT 'lineitem.quantity_range', n, v1, CAST(v1 = 0 AS BIGINT) FROM li
+        UNION ALL SELECT 'lineitem.discount_range', n, v2, CAST(v2 = 0 AS BIGINT) FROM li
+    """
     out["quality_profile"] = profile_oracle(
         "events", ["event_id", "user_id", "event_type", "value", "props"]
     )
@@ -2958,6 +3073,11 @@ def _northstar_oracles() -> dict[str, str]:
     """
     from flink_example_spark.operators.layout import zorder_bucket_stats_sql
 
+    from flink_example_spark.operators.layout import range_partition_plan_oracle
+
+    out["layout_range_plan"] = range_partition_plan_oracle(
+        "lineitem", "l_partkey", n_buckets=16
+    )
     out["layout_zorder_stats"] = zorder_bucket_stats_sql(
         "SELECT user_id, ts FROM events",
         {

@@ -143,3 +143,83 @@ def zorder_bucket_stats_sql(
         FROM ({source_sql})
         GROUP BY 1
     """
+
+
+def range_partition_plan(
+    df: DataFrame, key_col: str, n_buckets: int = 16
+) -> DataFrame:
+    """Balanced range-partition planner: split points over ``key_col`` so
+    each contiguous key range holds ~``1/n_buckets`` of the rows — what a
+    100 TB writer feeds into ``repartitionByRange`` / an Iceberg sort
+    order, and what a skew audit reads (a hot key that forces a fat
+    bucket shows up as ``n_rows`` >> N/n, pointing at salting).
+
+    Exact rank-based spec (no sampling, no floats): per-key counts, an
+    exclusive prefix sum in key order, and ``bucket = (cum_excl *
+    n_buckets) div N`` — every row of one key lands in one bucket, bucket
+    boundaries are deterministic in any engine. The prefix sum runs over
+    the DISTINCT-key relation (key-cardinality-sized, one ordered window);
+    a beyond-vocabulary key space would apply the repo's two-phase
+    time-bucket merge device (versioned.salted_version_history) to the
+    cumsum instead.
+
+    Output per planned bucket: ``(bucket, lo_key, hi_key, n_rows,
+    n_keys)``.
+    """
+    from pyspark.sql import Window
+
+    kc = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_excl = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("k").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cm = kc.select(
+        "k",
+        "c",
+        F.coalesce(F.sum("c").over(w_excl), F.lit(0)).alias("ce"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return (
+        cm.select(
+            F.expr(f"(ce * {n_buckets}) div n").alias("bucket"), "k", "c"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("k").alias("lo_key"),
+            F.max("k").alias("hi_key"),
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "lo_key",
+            "hi_key",
+            "n_rows",
+            "n_keys",
+        )
+    )
+
+
+def range_partition_plan_oracle(
+    table: str, key_col: str, n_buckets: int = 16
+) -> str:
+    """DuckDB twin of :func:`range_partition_plan`."""
+    return f"""
+        WITH kc AS (
+          SELECT {key_col} AS k, CAST(COUNT(*) AS BIGINT) AS c
+          FROM {table} GROUP BY 1
+        ), cm AS (
+          SELECT k, c,
+                 COALESCE(CAST(SUM(c) OVER (ORDER BY k ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS ce,
+                 CAST(SUM(c) OVER () AS BIGINT) AS n
+          FROM kc
+        )
+        SELECT CAST((ce * {n_buckets}) // n AS BIGINT) AS bucket,
+               MIN(k) AS lo_key, MAX(k) AS hi_key,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM cm GROUP BY 1
+    """
