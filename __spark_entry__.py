@@ -904,6 +904,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             media.filter(F.col("media_type") == "image"), repartition=False
         )
 
+    def mm_phash(spark, sf_dir):
+        """DCT perceptual hash over the REAL PGM codec path: Python stops
+        at the 8x8 gray grid; the integer 2-D DCT, exact rank-32 median
+        threshold, and bit packing are codegen DataFrame ops against the
+        embedded cosine basis. Every bit re-derived by the oracle."""
+        media = multimodal.encode_codec_media(_docs(spark, sf_dir), formats=("pgm", "aiff"))
+        return multimodal.image_phash(
+            media.filter(F.col("media_type") == "image"), repartition=False
+        )
+
     def mm_dhash(spark, sf_dir):
         """Gradient difference-hash per image (9x8 grid, right-neighbor
         compare) — the brightness-invariant twin of mm_ahash; every bit
@@ -1914,6 +1924,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # perceptual image fingerprint (aHash) — the image-dedup primitive
         "multimodal_ahash": mm_ahash,
         "multimodal_dhash": mm_dhash,
+        "multimodal_phash": mm_phash,
         "multimodal_crop": mm_crop,
         "multimodal_audio_chunks": mm_audio_chunks,
         # corpus curation (operators/curation.py): benchmark = every doc_id
@@ -2492,6 +2503,9 @@ def _northstar_oracles() -> dict[str, str]:
         FROM px JOIN m USING (doc_id)
         GROUP BY px.doc_id, px.w, px.h
     """
+    from flink_example_spark.operators.multimodal import image_phash_oracle
+
+    out["multimodal_phash"] = image_phash_oracle()
     out["multimodal_dhash"] = """
         WITH img AS (
           SELECT doc_id, md5(text) AS hh,
@@ -3846,7 +3860,10 @@ DRIVER_KEYS = [
     "window_suite",
     "time_range_window_sums",
     "grouping_suite",
-    "filtered_aggregates",
+    # FILTER-clause breadth stays in extras (conditional aggregation is
+    # also the device inside the expectations suite, which records the
+    # governance family instead)
+    "quality_expectations",
     "range_join_prior_errors",
     "semi_anti_suite",
     "scalar_functions",
@@ -3883,8 +3900,12 @@ DRIVER_KEYS = [
     "curation_decontaminate",
     "curation_shared_spans",
     "curation_doc_quality",
-    "curation_sample",
-    "curation_dist_stats",
+    # sample/dist_stats stay in extras (portable-hash sampling and the
+    # moment stats are both exercised by other driver rows); the freed
+    # slots record the round-7 families: entity resolution and the
+    # time-series diagnostics' first driver appearance
+    "entity_resolve",
+    "timeseries_acf",
 ]
 
 

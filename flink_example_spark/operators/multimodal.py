@@ -820,3 +820,185 @@ def image_dhash(media: DataFrame, repartition: bool = True) -> DataFrame:
     if repartition:
         media = media.repartition("media_id")
     return media.mapInPandas(dhash, schema=AHASH_SCHEMA)
+
+
+GRID8_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("in_w", IntegerType(), False),
+        StructField("in_h", IntegerType(), False),
+        StructField("gy", IntegerType(), False),
+        StructField("gx", IntegerType(), False),
+        StructField("gray", IntegerType(), False),
+    ]
+)
+
+
+def _phash_k(scale: int = 10_000) -> list[tuple[int, int, int]]:
+    """Integer DCT-II basis, (u, x, round(cos((2x+1)u*pi/16)*scale)) —
+    computed ONCE in Python on the driver and embedded as literals in both
+    the Spark plan and the DuckDB oracle, so libm variance can't split the
+    engines (the ``_portable_perm_coeffs`` device from dedup.py)."""
+    import math
+
+    return [
+        (u, x, round(math.cos((2 * x + 1) * u * math.pi / 16) * scale))
+        for u in range(8)
+        for x in range(8)
+    ]
+
+
+def image_grid8(media: DataFrame, repartition: bool = True) -> DataFrame:
+    """REAL-codec 8x8 luminance grid per image: parse each PGM/PPM payload
+    from raw bytes and emit one row per grid cell — the Python stage stops
+    at decoding; all downstream math stays JVM-side. Grid pixel (gy, gx)
+    = input pixel (gy*h//8, gx*w//8), gray = integer channel mean (the
+    same sampling contract as :func:`image_ahash`)."""
+    import pandas as pd
+
+    def grid(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                if payload[:2] == b"P6":
+                    w, h, data = _parse_ppm(payload)
+                    depth = 3
+                elif payload[:2] == b"P5":
+                    w, h, data = _parse_pgm(payload)
+                    depth = 1
+                else:
+                    continue
+                for y in range(8):
+                    for x in range(8):
+                        p = ((y * h // 8) * w + (x * w // 8)) * depth
+                        g = sum(data[p : p + depth]) // depth
+                        rows.append((int(mid), w, h, y, x, g))
+            yield pd.DataFrame(rows, columns=[f.name for f in GRID8_SCHEMA.fields])
+
+    if repartition:
+        media = media.repartition("media_id")
+    return media.mapInPandas(grid, schema=GRID8_SCHEMA)
+
+
+def image_phash(media: DataFrame, repartition: bool = True) -> DataFrame:
+    """Perceptual DCT hash (pHash) per image — the scale/brightness-robust
+    member of the perceptual-hash family (aHash = mean threshold, dHash =
+    gradient sign, pHash = low-frequency spectrum sign). Near-identical
+    images agree on the sign pattern of their lowest DCT coefficients even
+    after smooth intensity changes that flip many aHash bits.
+
+    Split by execution model: the Python codec stage emits only the 8x8
+    gray grid (:func:`image_grid8`); the 2-D DCT, the exact median
+    threshold, and the bit packing are pure codegen DataFrame ops — two
+    broadcast joins against the 64-row integer cosine basis
+    (:func:`_phash_k`), one aggregation, one 63-row-per-image window.
+    All-integer arithmetic (gray * k_u * k_v products, exact BIGINT sums;
+    the median of 63 BIGINTs is the rank-32 element — no interpolation),
+    so every bit re-derives analytically in the oracle.
+
+    Output: ``(media_id, in_w, in_h, fp_hi, fp_lo, n_bits)`` — 63 AC bits
+    (bit i-1 for coefficient index i = u*8+v, i >= 1; fp_lo bits 0..31,
+    fp_hi 32..62), ``n_bits`` = population count.
+    """
+    from pyspark.sql import Window
+
+    spark = media.sparkSession
+    grid = image_grid8(media, repartition=repartition)
+    k = _phash_k()
+    ku = spark.createDataFrame(k, "u int, gx int, ku long")
+    kv = spark.createDataFrame(
+        [(v, y, c) for (v, y, c) in k], "v int, gy int, kv long"
+    )
+    coef = (
+        grid.join(F.broadcast(ku), "gx")
+        .join(F.broadcast(kv), "gy")
+        .groupBy("media_id", "in_w", "in_h", "u", "v")
+        .agg(
+            F.sum(
+                F.col("gray").cast("long") * F.col("ku") * F.col("kv")
+            ).alias("c")
+        )
+    )
+    ac = coef.filter(~((F.col("u") == 0) & (F.col("v") == 0))).select(
+        "media_id",
+        "in_w",
+        "in_h",
+        (F.col("u") * 8 + F.col("v")).alias("i"),
+        "c",
+    )
+    w = Window.partitionBy("media_id").orderBy("c", "i")
+    med = (
+        ac.select("media_id", "c", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 32)
+        .select("media_id", F.col("c").alias("m"))
+    )
+    bit = F.when(F.col("c") > F.col("m"), 1).otherwise(0)
+    return (
+        ac.join(med, "media_id")
+        .groupBy("media_id", "in_w", "in_h")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("c") > F.col("m")) & (F.col("i") >= 33),
+                    F.expr("shiftleft(cast(1 as bigint), cast(i - 33 as int))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("fp_hi"),
+            F.sum(
+                F.when(
+                    (F.col("c") > F.col("m")) & (F.col("i") <= 32),
+                    F.expr("shiftleft(cast(1 as bigint), cast(i - 1 as int))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("fp_lo"),
+            F.sum(bit).cast("int").alias("n_bits"),
+        )
+        .select("media_id", "in_w", "in_h", "fp_hi", "fp_lo", "n_bits")
+    )
+
+
+def image_phash_oracle() -> str:
+    """DuckDB twin of ``image_phash`` over the cycled-md5 PGM payload
+    scheme (same analytic pixel re-derivation as the aHash oracle), with
+    the IDENTICAL embedded integer cosine basis."""
+    kvals = ", ".join(f"({u}, {x}, {c})" for (u, x, c) in _phash_k())
+    return f"""
+        WITH img AS (
+          SELECT doc_id, md5(text) AS hh,
+                 CAST(doc_id % 32 + 8 AS INTEGER) AS w,
+                 CAST(doc_id % 24 + 8 AS INTEGER) AS h
+          FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+        ), px AS (
+          SELECT doc_id, w, h, y, x,
+                 ascii(substr(hh,
+                       CAST(((y * h // 8) * w + (x * w // 8)) % 32 AS INTEGER) + 1,
+                       1)) AS gray
+          FROM img, range(0, 8) ry(y), range(0, 8) rx(x)
+        ), kb(u, x, k) AS (VALUES {kvals}),
+        coef AS MATERIALIZED (
+          SELECT px.doc_id, px.w, px.h, ku.u, kv.u AS v,
+                 CAST(SUM(CAST(gray AS BIGINT) * ku.k * kv.k) AS BIGINT) AS c
+          FROM px JOIN kb ku ON ku.x = px.x JOIN kb kv ON kv.x = px.y
+          GROUP BY 1, 2, 3, 4, 5
+        ), ac AS MATERIALIZED (
+          SELECT doc_id, w, h, u * 8 + v AS i, c FROM coef
+          WHERE NOT (u = 0 AND v = 0)
+        ), med AS (
+          SELECT doc_id, c AS m FROM (
+            SELECT doc_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c, i) AS rn
+            FROM ac
+          ) WHERE rn = 32
+        )
+        SELECT ac.doc_id AS media_id, w AS in_w, h AS in_h,
+               CAST(COALESCE(SUM(CASE WHEN c > m AND i >= 33
+                     THEN CAST(1 AS BIGINT) << CAST(i - 33 AS INTEGER) END), 0)
+                 AS BIGINT) AS fp_hi,
+               CAST(COALESCE(SUM(CASE WHEN c > m AND i <= 32
+                     THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INTEGER) END), 0)
+                 AS BIGINT) AS fp_lo,
+               CAST(COUNT(*) FILTER (WHERE c > m) AS INTEGER) AS n_bits
+        FROM ac JOIN med USING (doc_id)
+        GROUP BY ac.doc_id, w, h
+    """

@@ -1,0 +1,50 @@
+"""Entity resolution (operators/entity.py): exact-group + SymSpell join +
+transitive clustering, canonical survivor mapping."""
+
+from __future__ import annotations
+
+from flink_example_spark.operators.entity import record_links, resolve_entities
+
+
+def _records(spark, rows):
+    return spark.createDataFrame(rows, "id long, name string")
+
+
+def test_resolve_merges_exact_and_typo_variants(spark):
+    df = _records(
+        spark,
+        [
+            (1, "Acme Corp"),
+            (2, "acme corp"),       # exact after normalization
+            (3, "acme corpp"),      # insertion typo, dist 1
+            (4, "Beta LLC"),
+        ],
+    )
+    ents = {
+        r["canonical_id"]: (r["canonical_name"], r["n_variants"], r["n_records"])
+        for r in resolve_entities(df, max_dist=1).collect()
+    }
+    assert ents[1] == ("acme corp", 2, 3)
+    assert ents[4] == ("beta llc", 1, 1)
+
+
+def test_transitive_chain_clusters_beyond_pair_distance(spark):
+    # abc ~ abcd ~ abcde: ends are dist 2 apart but share one cluster
+    df = _records(spark, [(10, "abc"), (20, "abcd"), (30, "abcde")])
+    ents = resolve_entities(df, max_dist=1).collect()
+    assert len(ents) == 1
+    assert ents[0]["canonical_id"] == 10 and ents[0]["n_variants"] == 3
+
+
+def test_record_links_maps_every_record(spark):
+    df = _records(
+        spark, [(1, "acme corp"), (2, "acme corpp"), (3, "zzz inc"), (4, "ACME corp")]
+    )
+    links = {r["id"]: r["canonical_id"] for r in record_links(df, max_dist=1).collect()}
+    assert links == {1: 1, 2: 1, 3: 3, 4: 1}
+
+
+def test_deletion_typo_requires_dist2_when_doubled(spark):
+    # two edits away with NO bridge record: separate at dist 1, merged at 2
+    df = _records(spark, [(1, "acme corp"), (2, "acme corpppp")])
+    assert resolve_entities(df, max_dist=1).count() == 2

@@ -244,3 +244,58 @@ def test_clustering_coefficient_known_graph(spark):
     assert out["a"]["coeff"] == 2 / 6
     assert out["b"]["coeff"] == 1.0 and out["c"]["coeff"] == 1.0
     assert "d" not in out  # degree 1 undefined
+
+
+def test_sssp_relaxation_and_cost_inversion(spark):
+    # cost = max(1, 1_000_000 div w): strong edges are cheap
+    edges = [
+        ("a", "b", 1_000_000),  # cost 1
+        ("b", "c", 500_000),    # cost 2
+        ("a", "c", 200_000),    # cost 5 (direct is worse than a->b->c = 3)
+        ("c", "d", 250_000),    # cost 4
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    from flink_example_spark.operators.graph import sssp
+
+    got = {r["node"]: r["dist"] for r in sssp(df, n_rounds=3, source="a").collect()}
+    assert got == {"a": 0, "b": 1, "c": 3, "d": 7}
+
+
+def test_sssp_unreachable_nodes_absent_and_hub_default(spark):
+    edges = [("a", "b", 10), ("x", "y", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    from flink_example_spark.operators.graph import sssp
+
+    # default source = hub (largest out-weight) = 'a'; x/y unreachable
+    got = {r["node"]: r["dist"] for r in sssp(df, n_rounds=2).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"] == 0
+
+
+def test_modularity_two_cliques_is_half(spark):
+    # two disconnected triangles, perfectly partitioned: Q = 0.5 exactly
+    tri = lambda ns: [(a, b, 1) for a in ns for b in ns if a != b]
+    edges = tri(["a", "b", "c"]) + tri(["x", "y", "z"])
+    e = spark.createDataFrame(edges, "src string, dst string, w long")
+    labels = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"), ("z", "x")],
+        "node string, label string",
+    )
+    from flink_example_spark.operators.graph import modularity
+
+    row = modularity(e, labels).first()
+    assert row["two_m"] == 12 and row["internal_w"] == 12
+    assert row["q_num"] == 72 and row["modularity"] == 0.5
+
+
+def test_modularity_single_community_is_zero(spark):
+    # everything in one community: Q = 0 by construction
+    edges = [("a", "b", 1), ("b", "a", 1), ("b", "c", 1), ("c", "b", 1)]
+    e = spark.createDataFrame(edges, "src string, dst string, w long")
+    labels = spark.createDataFrame(
+        [("a", "g"), ("b", "g"), ("c", "g")], "node string, label string"
+    )
+    from flink_example_spark.operators.graph import modularity
+
+    row = modularity(e, labels).first()
+    assert row["q_num"] == 0 and row["modularity"] == 0.0

@@ -102,3 +102,26 @@ def test_zorder_write_prunes_files_on_both_dims(spark, tmp_path):
         # box excludes the predicate; the random layout cannot skip any
         assert z < r, f"z-order touched {z} files, random {r}"
         assert z <= 8
+
+
+def test_range_partition_plan_balances_and_exposes_skew(spark):
+    from flink_example_spark.operators.layout import range_partition_plan
+
+    rows = [(k,) for k in [1] * 10 + [2] + [3]]
+    df = spark.createDataFrame(rows, "k long")
+    got = {
+        r["bucket"]: (r["lo_key"], r["hi_key"], r["n_rows"], r["n_keys"])
+        for r in range_partition_plan(df, "k", n_buckets=2).collect()
+    }
+    # hot key 1 fills bucket 0 alone; keys 2,3 share bucket 1
+    assert got == {0: (1, 1, 10, 1), 1: (2, 3, 2, 2)}
+
+
+def test_range_partition_plan_uniform_keys_split_evenly(spark):
+    from flink_example_spark.operators.layout import range_partition_plan
+
+    rows = [(k,) for k in range(1, 5) for _ in range(4)]
+    df = spark.createDataFrame(rows, "k long")
+    got = {r["bucket"]: r["n_rows"] for r in
+           range_partition_plan(df, "k", n_buckets=4).collect()}
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4}

@@ -225,3 +225,85 @@ def test_streaming_cusum_matches_batch_target_form(spark):
     for k in b:
         for c in ("n", "n_alarms", "first_alarm_ts", "max_stat"):
             assert b[k][c] == s[k][c], (k, c, b[k][c], s[k][c])
+
+
+def _brute_acf(xs, max_lag, scale=100):
+    """Pure-Python replica of the acf contract: quantized bucket totals,
+    floor-mean centering, exact integer num/den."""
+    q = [int(x * scale + 0.5) for x in xs]  # positive test values
+    n, s = len(q), sum(q)
+    y = [v - (s // n) for v in q]
+    den = sum(v * v for v in y)
+    out = {}
+    for k in range(1, max_lag + 1):
+        num = sum(y[i] * y[i + k] for i in range(n - k))
+        out[k] = (n - k, num, den)
+    return out
+
+
+def test_acf_matches_integer_reference(spark):
+    from datetime import datetime, timedelta
+
+    from flink_example_spark.operators.timeseries import acf
+
+    xs = [1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 2.0, 8.0]
+    t0 = datetime(2024, 1, 1)
+    rows = [("k", t0 + timedelta(hours=i), x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    got = {
+        r["lag"]: (r["n_pairs"], r["num"], r["den"])
+        for r in acf(df, "g", "ts", "v", max_lag=3).collect()
+    }
+    assert got == _brute_acf(xs, 3)
+
+
+def test_acf_alternating_series_is_negative_at_lag1(spark):
+    from datetime import datetime, timedelta
+
+    from flink_example_spark.operators.timeseries import acf
+
+    xs = [2.0, 0.0] * 6
+    t0 = datetime(2024, 1, 1)
+    rows = [("k", t0 + timedelta(hours=i), x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    got = {r["lag"]: r["acf"] for r in acf(df, "g", "ts", "v", max_lag=2).collect()}
+    assert got[1] < 0 < got[2]
+
+
+def _brute_decompose(xs, period, scale=100):
+    """Pure-Python replica of seasonal_decompose: centered-MA trend in
+    2*period units over complete windows, per-phase sums of detrended."""
+    q = [int(x * scale + 0.5) for x in xs]
+    h = period // 2
+    out = {}
+    for t in range(h, len(q) - h):
+        s = sum(q[t - h : t + h + 1])
+        t2 = 2 * s - q[t - h] - q[t + h]
+        d = 2 * period * q[t] - t2
+        ph = t % period
+        cnt, tot = out.get(ph, (0, 0))
+        out[ph] = (cnt + 1, tot + d)
+    return out
+
+
+def test_seasonal_decompose_matches_reference_and_recovers_shape(spark):
+    from datetime import datetime, timedelta
+
+    from flink_example_spark.operators.timeseries import seasonal_decompose
+
+    # period-4 pattern [4, 0, 0, 0] with no trend, 6 full cycles
+    xs = [4.0, 0.0, 0.0, 0.0] * 6
+    t0 = datetime(2024, 1, 1)
+    rows = [("k", t0 + timedelta(hours=i), x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    res = seasonal_decompose(
+        df, "g", "ts", "v", period=4, step_sec=3600
+    ).collect()
+    got = {r["phase"]: (r["s_cnt"], r["s_num"]) for r in res}
+    want = _brute_decompose(xs, 4)
+    # bucket index = hours since epoch, phase offset is stable mod 4;
+    # compare as multisets of (count, sum) profiles
+    assert sorted(got.values()) == sorted(want.values())
+    # the spike phase dominates: one seasonal value ~ +3, three ~ -1
+    seas = sorted(r["seasonal"] for r in res)
+    assert seas[-1] > 2.5 and all(s < 0 for s in seas[:3])
