@@ -1614,6 +1614,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time-series regularization: per-user daily grid over the events
         # feed with forward-fill + linear interpolation (integer-micros
         # grid arithmetic, one union+window pass) and the silence report
+        # exact binary-segmentation level-shift split per event type
+        "timeseries_changepoint": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries", fromlist=["changepoint"]
+        ).changepoint(_events(spark, sf_dir), "event_type", "ts", "value"),
+        # exact CART stump: is `value` predictive of the error class?
+        "ml_decision_stump": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["decision_stump"]
+        ).decision_stump(
+            _events(spark, sf_dir), "value", F.col("event_type") == "error"
+        ),
         # per-event-type autocorrelation of hourly value totals at lags
         # 1..6 — floor-mean centering keeps num/den exact BIGINTs
         "timeseries_acf": lambda spark, sf_dir: __import__(
@@ -3145,6 +3155,16 @@ def _northstar_oracles() -> dict[str, str]:
     )
 
     out["timeseries_acf"] = acf_oracle("events", "event_type", "ts", "value")
+    from flink_example_spark.operators.timeseries import changepoint_oracle
+
+    out["timeseries_changepoint"] = changepoint_oracle(
+        "events", "event_type", "ts", "value"
+    )
+    from flink_example_spark.operators.ml import decision_stump_oracle
+
+    out["ml_decision_stump"] = decision_stump_oracle(
+        "events", "value", "event_type = 'error'"
+    )
     out["timeseries_decompose"] = seasonal_decompose_oracle(
         "events", "event_type", "ts", "value"
     )

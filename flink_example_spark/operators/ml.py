@@ -1855,3 +1855,156 @@ def quantile_normalize_oracle(
         JOIN pooled plo ON plo.rn = p.lo
         JOIN pooled phi ON phi.rn = p.hi
     """
+
+
+def decision_stump(
+    df: DataFrame,
+    feature_col: str,
+    label_pred: Column,
+    group_col: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Optimal depth-1 decision tree (CART stump) on one numeric feature
+    against a boolean label: the exact threshold minimizing weighted Gini
+    impurity — the base learner of every boosted-tree pipeline, and the
+    classic "is this feature predictive at all" screen.
+
+    Exhaustive and exact, not greedy-sampled: candidate cuts are ALL
+    distinct quantized feature values; per-value (count, positives) are
+    aggregated once, prefix sums over the ordered distinct-value relation
+    give each cut's left/right contingency in one window pass, and the
+    weighted-Gini cost comes out as EXACT integers cross-multiplied —
+    ``cost * n_l * n_r = n_r*(n_l^2 - pos_l^2 - neg_l^2) + n_l*(n_r^2 -
+    pos_r^2 - neg_r^2)`` — divided ONCE into a double per cut (identical
+    IEEE division in any engine), argmin by (cost, cut) row_number.
+
+    Scale: one (group, value) aggregation, one ordered window over the
+    DISTINCT-value relation (value-cardinality-sized — the planner-shape
+    device of layout.range_partition_plan), one top-1 window. Overflow
+    bound: n^2 * n < 2^63 per group -> n to ~2e6 rows/group; quantize
+    coarser past that.
+
+    Output per group: ``(group, cut_q, n_l, pos_l, n_r, pos_r, gini_cost)``
+    where ``cut_q`` is the quantized threshold (x <= cut_q goes left).
+    """
+    from pyspark.sql import Window
+
+    g = F.lit("all") if group_col is None else F.col(group_col)
+    per_v = (
+        df.filter(F.col(feature_col).isNotNull())
+        .select(
+            g.alias("grp"),
+            F.floor(F.col(feature_col) * scale + F.lit(0.5))
+            .cast("bigint")
+            .alias("xq"),
+            F.when(label_pred, 1).otherwise(0).cast("bigint").alias("y"),
+        )
+        .groupBy("grp", "xq")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("y").alias("p"))
+    )
+    w = Window.partitionBy("grp").orderBy("xq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("grp").orderBy("xq").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cuts = per_v.select(
+        "grp",
+        "xq",
+        F.sum("c").over(w).alias("nl"),
+        F.sum("p").over(w).alias("pl"),
+        F.sum("c").over(wt).alias("n"),
+        F.sum("p").over(wt).alias("p_tot"),
+    ).filter(F.col("nl") < F.col("n"))  # a cut must leave a right side
+    scored = cuts.select(
+        "grp",
+        "xq",
+        "nl",
+        "pl",
+        (F.col("n") - F.col("nl")).alias("nr"),
+        (F.col("p_tot") - F.col("pl")).alias("pr"),
+    ).select(
+        "grp",
+        "xq",
+        "nl",
+        "pl",
+        "nr",
+        "pr",
+        (
+            (
+                F.col("nr")
+                * (
+                    F.col("nl") * F.col("nl")
+                    - F.col("pl") * F.col("pl")
+                    - (F.col("nl") - F.col("pl")) * (F.col("nl") - F.col("pl"))
+                )
+                + F.col("nl")
+                * (
+                    F.col("nr") * F.col("nr")
+                    - F.col("pr") * F.col("pr")
+                    - (F.col("nr") - F.col("pr")) * (F.col("nr") - F.col("pr"))
+                )
+            ).cast("double")
+            / (F.col("nl") * F.col("nr")).cast("double")
+        ).alias("gini_cost"),
+    )
+    top = Window.partitionBy("grp").orderBy("gini_cost", "xq")
+    return (
+        scored.withColumn("__rn", F.row_number().over(top))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("grp").alias(group_col or "grp"),
+            F.col("xq").alias("cut_q"),
+            F.col("nl").alias("n_l"),
+            F.col("pl").alias("pos_l"),
+            F.col("nr").alias("n_r"),
+            F.col("pr").alias("pos_r"),
+            "gini_cost",
+        )
+    )
+
+
+def decision_stump_oracle(
+    table: str,
+    feature_col: str,
+    label_sql: str,
+    group_col: str | None = None,
+    scale: int = 100,
+) -> str:
+    """DuckDB twin of :func:`decision_stump`. ``label_sql``: boolean SQL
+    expression over the table's columns."""
+    g = "'all'" if group_col is None else group_col
+    out_g = group_col or "grp"
+    return f"""
+        WITH per_v AS (
+          SELECT {g} AS grp,
+                 CAST(floor({feature_col} * {scale} + 0.5) AS BIGINT) AS xq,
+                 CAST(COUNT(*) AS BIGINT) AS c,
+                 CAST(SUM(CASE WHEN {label_sql} THEN 1 ELSE 0 END) AS BIGINT) AS p
+          FROM {table} WHERE {feature_col} IS NOT NULL GROUP BY 1, 2
+        ), cuts AS (
+          SELECT grp, xq,
+                 CAST(SUM(c) OVER (PARTITION BY grp ORDER BY xq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+                 CAST(SUM(p) OVER (PARTITION BY grp ORDER BY xq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pl,
+                 CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n,
+                 CAST(SUM(p) OVER (PARTITION BY grp) AS BIGINT) AS p_tot
+          FROM per_v
+        ), scored AS (
+          SELECT grp, xq, nl, pl, n - nl AS nr, p_tot - pl AS pr,
+                 CAST(
+                   (n - nl) * (nl * nl - pl * pl - (nl - pl) * (nl - pl))
+                   + nl * ((n - nl) * (n - nl) - (p_tot - pl) * (p_tot - pl)
+                           - ((n - nl) - (p_tot - pl)) * ((n - nl) - (p_tot - pl)))
+                 AS DOUBLE) / CAST(nl * (n - nl) AS DOUBLE) AS gini_cost
+          FROM cuts WHERE nl < n
+        )
+        SELECT grp AS {out_g}, xq AS cut_q, nl AS n_l, pl AS pos_l,
+               nr AS n_r, pr AS pos_r, gini_cost
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+                                       ORDER BY gini_cost, xq) AS rn
+          FROM scored
+        ) WHERE rn = 1
+    """

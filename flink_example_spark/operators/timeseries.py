@@ -1215,3 +1215,131 @@ def seasonal_decompose_oracle(
                  / CAST({2 * period} * COUNT(*) AS DOUBLE) AS seasonal
         FROM d GROUP BY 1, 2
     """
+
+
+def changepoint(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Binary-segmentation level-shift detection per key: the exact split
+    time minimizing total within-segment squared error — the first step of
+    every changepoint pipeline (and the complement of :func:`
+    cusum_changepoints`, which detects drift against a FIXED reference;
+    this finds the single best structural break).
+
+    Exhaustive and exact: every observation boundary is a candidate
+    split. One ordered window pass per key accumulates prefix (count,
+    sum, sum-of-squares) of the quantized values; each side's SSE
+    numerator ``n*Q - S^2`` is an exact BIGINT, divided ONCE into a
+    double, and the two-term cost sum + argmin row_number are fixed
+    double op sequences (engine-portable per the repo's determinism
+    rules). Overflow bound: ``(n * v_max * scale)^2 < 2^63`` per key —
+    quantize coarser or pre-segment beyond ~3e9 value-units.
+
+    Output per key: ``(key, cut_ts, n_l, n_r, mean_l, mean_r, sse_cost)``
+    — the best split, its segment means (exact-integer divisions), and
+    the minimized total SSE in value^2 units.
+    """
+    src = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("k"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+            F.floor(F.col(value_col) * scale + F.lit(0.5))
+            .cast("bigint")
+            .alias("vq"),
+        )
+        .groupBy("k", "us")
+        .agg(F.max("vq").alias("vq"))
+    )
+    wl = Window.partitionBy("k").orderBy("us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("k").orderBy("us").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cuts = src.select(
+        "k",
+        "us",
+        F.count(F.lit(1)).over(wl).alias("nl"),
+        F.sum("vq").over(wl).alias("sl"),
+        F.sum(F.col("vq") * F.col("vq")).over(wl).alias("ql"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum("vq").over(wt).alias("s"),
+        F.sum(F.col("vq") * F.col("vq")).over(wt).alias("q"),
+    ).filter(F.col("nl") < F.col("n"))
+    nr = F.col("n") - F.col("nl")
+    sr = F.col("s") - F.col("sl")
+    qr = F.col("q") - F.col("ql")
+    sse_l = (
+        (F.col("nl") * F.col("ql") - F.col("sl") * F.col("sl")).cast("double")
+        / F.col("nl").cast("double")
+    )
+    sse_r = (nr * qr - sr * sr).cast("double") / nr.cast("double")
+    scored = cuts.select(
+        "k",
+        "us",
+        "nl",
+        nr.alias("nr"),
+        (F.col("sl").cast("double") / F.col("nl").cast("double")).alias("ml"),
+        (sr.cast("double") / nr.cast("double")).alias("mr"),
+        ((sse_l + sse_r) / F.lit(float(scale * scale))).alias("sse_cost"),
+    )
+    top = Window.partitionBy("k").orderBy("sse_cost", "us")
+    return (
+        scored.withColumn("__rn", F.row_number().over(top))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("k").alias(key_col),
+            F.timestamp_micros(F.col("us")).alias("cut_ts"),
+            F.col("nl").alias("n_l"),
+            F.col("nr").alias("n_r"),
+            (F.col("ml") / F.lit(float(scale))).alias("mean_l"),
+            (F.col("mr") / F.lit(float(scale))).alias("mean_r"),
+            "sse_cost",
+        )
+    )
+
+
+def changepoint_oracle(
+    table: str, key_col: str, ts_col: str, value_col: str, scale: int = 100
+) -> str:
+    """DuckDB twin of :func:`changepoint`."""
+    return f"""
+        WITH src AS (
+          SELECT {key_col} AS k, epoch_us({ts_col}) AS us,
+                 MAX(CAST(floor({value_col} * {scale} + 0.5) AS BIGINT)) AS vq
+          FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
+        ), cuts AS (
+          SELECT k, us,
+            CAST(COUNT(*) OVER wl AS BIGINT) AS nl,
+            CAST(SUM(vq) OVER wl AS BIGINT) AS sl,
+            CAST(SUM(vq * vq) OVER wl AS BIGINT) AS ql,
+            CAST(COUNT(*) OVER wt AS BIGINT) AS n,
+            CAST(SUM(vq) OVER wt AS BIGINT) AS s,
+            CAST(SUM(vq * vq) OVER wt AS BIGINT) AS q
+          FROM src
+          WINDOW wl AS (PARTITION BY k ORDER BY us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wt AS (PARTITION BY k)
+        ), scored AS (
+          SELECT k, us, nl, n - nl AS nr,
+            CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) AS ml,
+            CAST(s - sl AS DOUBLE) / CAST(n - nl AS DOUBLE) AS mr,
+            (CAST(nl * ql - sl * sl AS DOUBLE) / CAST(nl AS DOUBLE)
+             + CAST((n - nl) * (q - ql) - (s - sl) * (s - sl) AS DOUBLE)
+               / CAST(n - nl AS DOUBLE)) / {float(scale * scale)} AS sse_cost
+          FROM cuts WHERE nl < n
+        )
+        SELECT k AS {key_col}, make_timestamp(us) AS cut_ts, nl AS n_l,
+               nr AS n_r, ml / {float(scale)} AS mean_l,
+               mr / {float(scale)} AS mean_r, sse_cost
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                       ORDER BY sse_cost, us) AS rn
+          FROM scored
+        ) WHERE rn = 1
+    """
