@@ -1212,6 +1212,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dbt-test-style data-contract suite: row rules + uniqueness +
         # referential integrity in one unioned report
         "quality_expectations": expectations_entry,
+        # the SAME contract LIVE: per-row violation indicators (FK via a
+        # broadcast stream-static join) + ONE global complete-mode count
+        # aggregate; uniqueness stays batch (needs stacked stateful aggs)
+        "streaming_expectations": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.quality_stream",
+            fromlist=["run_streaming_expectations"],
+        ).run_streaming_expectations(spark, sf_dir),
         "quality_profile": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.quality", fromlist=["profile_columns"]
         ).profile_columns(
@@ -2845,6 +2852,25 @@ def _northstar_oracles() -> dict[str, str]:
     out["quality_benford"] = benford_oracle("orders", "o_totalprice")
 
     out["quality_key_skew"] = key_skew_oracle("lineitem", "l_orderkey")
+    out["streaming_expectations"] = """
+        WITH o AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN NOT (o_orderkey IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+            CAST(SUM(CASE WHEN NOT (o_totalprice >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+            CAST(SUM(CASE WHEN NOT (o_orderstatus IN ('O','F','P')) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+            CAST(SUM(CASE WHEN NOT (o_orderdate <= TIMESTAMP '1998-12-31 00:00:00') THEN 1 ELSE 0 END) AS BIGINT) AS v4
+          FROM orders
+        ), fk1 AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        )
+        SELECT 'orders.o_orderkey_not_null' AS check_name, n AS n_rows, v1 AS n_violations, CAST(v1 = 0 AS BIGINT) AS passed FROM o
+        UNION ALL SELECT 'orders.o_totalprice_nonneg', n, v2, CAST(v2 = 0 AS BIGINT) FROM o
+        UNION ALL SELECT 'orders.o_orderstatus_accepted', n, v3, CAST(v3 = 0 AS BIGINT) FROM o
+        UNION ALL SELECT 'orders.o_orderdate_bound', n, v4, CAST(v4 = 0 AS BIGINT) FROM o
+        UNION ALL SELECT 'orders.o_custkey->customer', n, v, CAST(v = 0 AS BIGINT) FROM fk1
+    """
     out["quality_expectations"] = """
         WITH o AS (
           SELECT CAST(COUNT(*) AS BIGINT) AS n,

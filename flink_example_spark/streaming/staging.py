@@ -40,3 +40,41 @@ def stamp_chunk_mtimes(tmpdir: str) -> None:
         ts = base + 1.0 + idx
         for f in os.listdir(d):
             os.utime(os.path.join(d, f), (ts, ts))
+
+
+def stage_table_by_key(spark, sf_dir: str, table: str, key_col: str, chunks: int):
+    """Stage any harness table as key-ordered chunk files for bounded
+    replay (the generalization of ``dedup_stream._stage_by_id``, which
+    predates it and stages the documents table). Range filters only —
+    no row data crosses the driver. Returns (tmpdir, schema)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.tables import load_table
+
+    df = load_table(spark, sf_dir, table)
+    tmpdir = tempfile.mkdtemp(prefix=f"stream_{table}_")
+    cuts = (
+        df.agg(
+            F.percentile_approx(
+                F.col(key_col).cast("double"),
+                [i / chunks for i in range(1, chunks)],
+                10000,
+            )
+        ).first()[0]
+        if chunks > 1
+        else []
+    )
+    bounds = [None, *cuts, None]
+    for i in range(chunks):
+        part = df
+        if bounds[i] is not None:
+            part = part.filter(F.col(key_col).cast("double") >= bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col(key_col).cast("double") < bounds[i + 1])
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmpdir, f"chunk_{i}")
+        )
+    stamp_chunk_mtimes(tmpdir)
+    return tmpdir, df.schema
