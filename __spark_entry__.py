@@ -1250,6 +1250,19 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id",
         ),
         # k-anonymity privacy audit over customer quasi-identifiers
+        # distinct l-diversity of the market segment within
+        # (nation, acctbal-band) quasi-groups — k-anonymity's complement
+        "quality_l_diversity": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.quality", fromlist=["l_diversity"]
+        ).l_diversity(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "customer")
+            .withColumn("bal_band", F.floor(F.col("c_acctbal") / 1000)),
+            ["c_nationkey", "bal_band"],
+            "c_mktsegment",
+            l=3,
+        ),
         "quality_k_anonymity": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.quality", fromlist=["k_anonymity"]
         ).k_anonymity(
@@ -2915,6 +2928,15 @@ def _northstar_oracles() -> dict[str, str]:
         "SELECT DISTINCT user_id AS __fk FROM events WHERE user_id % 97 = 0",
     )
 
+    from flink_example_spark.operators.quality import l_diversity_oracle
+
+    out["quality_l_diversity"] = l_diversity_oracle(
+        "(SELECT *, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band"
+        " FROM customer)",
+        ["c_nationkey", "bal_band"],
+        "c_mktsegment",
+        l=3,
+    )
     out["quality_k_anonymity"] = k_anonymity_oracle(
         "customer", ["c_mktsegment", "c_nationkey"], k=5
     )

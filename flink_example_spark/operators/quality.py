@@ -387,3 +387,57 @@ def benford_oracle(table: str, value_col: str) -> str:
                CAST(CAST(SUM(tq) OVER () AS BIGINT) AS DOUBLE) / 1e12 AS chi2
         FROM scored
     """
+
+
+def l_diversity(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 3
+) -> DataFrame:
+    """Privacy audit: distinct l-diversity over a quasi-identifier set —
+    k-anonymity's complement (a large group whose SENSITIVE attribute is
+    uniform still leaks it; every group must carry >= ``l`` distinct
+    sensitive values). Two hash aggregations: (quasi, sensitive) distinct
+    pairs, then per-group distinct counts rolled into one audit row:
+    ``(l, n_groups, n_undiverse_groups, n_rows_at_risk,
+    min_diversity)``.
+    """
+    pairs = (
+        df.groupBy(*quasi_cols, sensitive_col)
+        .agg(F.count(F.lit(1)).alias("pn"))
+    )
+    groups = pairs.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("ndist"), F.sum("pn").alias("gn")
+    )
+    return groups.agg(
+        F.lit(l).cast("bigint").alias("l"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("ndist") < l).cast("bigint")).alias("n_undiverse_groups"),
+        F.sum(F.when(F.col("ndist") < l, F.col("gn")).otherwise(0)).alias(
+            "n_rows_at_risk"
+        ),
+        F.min("ndist").alias("min_diversity"),
+    )
+
+
+def l_diversity_oracle(
+    table: str, quasi_cols: list[str], sensitive_col: str, l: int = 3
+) -> str:
+    """DuckDB twin of :func:`l_diversity`."""
+    qc = ", ".join(quasi_cols)
+    return f"""
+        WITH p AS (
+          SELECT {qc}, {sensitive_col}, CAST(COUNT(*) AS BIGINT) AS pn
+          FROM {table} GROUP BY {qc}, {sensitive_col}
+        ), g AS (
+          SELECT {qc}, CAST(COUNT(*) AS BIGINT) AS ndist,
+                 CAST(SUM(pn) AS BIGINT) AS gn
+          FROM p GROUP BY {qc}
+        )
+        SELECT CAST({l} AS BIGINT) AS l,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN ndist < {l} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_undiverse_groups,
+               CAST(SUM(CASE WHEN ndist < {l} THEN gn ELSE 0 END) AS BIGINT)
+                 AS n_rows_at_risk,
+               CAST(MIN(ndist) AS BIGINT) AS min_diversity
+        FROM g
+    """
