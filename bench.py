@@ -136,6 +136,18 @@ HEADLINE = [
     "text_winnowing",
     "timeseries_session_stats",
     "sketch_join_size",
+    # added round 7
+    "entity_resolve",
+    "graph_sssp",
+    "graph_modularity",
+    "timeseries_acf",
+    "timeseries_decompose",
+    "timeseries_changepoint",
+    "ml_decision_stump",
+    "multimodal_phash",
+    "quality_expectations",
+    "quality_l_diversity",
+    "layout_range_plan",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

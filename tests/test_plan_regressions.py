@@ -643,3 +643,43 @@ def test_bootstrap_explode_then_partial_agg(spark):
     plan = physical(bootstrap_ci(load_events(spark, SF)))
     assert "Generate explode" in plan or "Expand" in plan or "explode" in plan
     assert "partial" in plan.lower()
+
+
+def test_phash_dct_joins_are_broadcast(spark):
+    # the 64-row cosine-basis joins must broadcast: the corpus-sized grid
+    # relation never shuffles for the DCT
+    from flink_example_spark.operators.multimodal import (
+        encode_codec_media,
+        image_phash,
+    )
+    from flink_example_spark.tables import load_table
+
+    media = encode_codec_media(
+        load_table(spark, SF, "documents"), formats=("pgm", "aiff")
+    ).filter(F.col("media_type") == "image")
+    plan = physical(image_phash(media, repartition=False))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_acf_lag_join_is_equi_not_band(spark):
+    # lag pairing is an explode + equi-join on (key, bucket+k): no
+    # BroadcastNestedLoopJoin / CartesianProduct may appear
+    from flink_example_spark.operators.timeseries import acf
+    from flink_example_spark.plans.events_demo import load_events
+
+    plan = physical(acf(load_events(spark, SF), "event_type", "ts", "value"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_changepoint_single_perkey_window_shuffle(spark):
+    # prefix sums + totals share ONE per-key sort/shuffle; top-1 adds the
+    # only other window
+    from flink_example_spark.operators.timeseries import changepoint
+    from flink_example_spark.plans.events_demo import load_events
+
+    plan = physical(changepoint(load_events(spark, SF), "event_type", "ts", "value"))
+    assert "CartesianProduct" not in plan
+    # both cumulative windows hash-partition on the key alone
+    assert plan.count("hashpartitioning(k#") >= 1
