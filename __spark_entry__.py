@@ -1160,21 +1160,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # Newman modularity Q of the label-propagation communities —
         # exact BIGINT cross-multiplication, one double division at output
-        "graph_modularity": lambda spark, sf_dir: __import__(
-            "flink_example_spark.operators.graph", fromlist=["modularity"]
-        ).modularity(
-            __import__(
-                "flink_example_spark.operators.graph", fromlist=["term_graph"]
-            ).term_graph(_docs(spark, sf_dir), min_weight=2),
-            __import__(
-                "flink_example_spark.operators.graph", fromlist=["label_propagation"]
-            ).label_propagation(
-                __import__(
-                    "flink_example_spark.operators.graph", fromlist=["term_graph"]
-                ).term_graph(_docs(spark, sf_dir), min_weight=2),
-                n_rounds=4,
-            ),
-        ),
+        # (the term graph is built ONCE and checkpointed: LPA and the
+        # modularity aggregate both read it)
+        "graph_modularity": _graph_modularity_entry,
         # multi-hop BFS reachability from the co-occurrence hub term via
         # Spark 4's RECURSIVE CTE (Catalyst-planned iteration; identical
         # recursive query text runs in DuckDB)
@@ -3812,6 +3800,23 @@ def _pq_oracle(
           FROM {final_src}
         ) WHERE rank <= {topk}
     """
+
+
+def _graph_modularity_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity Q of the LPA communities over ONE shared, checkpointed
+    term graph (LPA's rounds and the modularity aggregate both read it —
+    the CLAUDE.md multi-consumer rule)."""
+    from flink_example_spark.operators.graph import (
+        label_propagation,
+        modularity,
+        term_graph,
+    )
+    from flink_example_spark.tables import load_table
+
+    tg = term_graph(
+        load_table(spark, sf_dir, "documents"), min_weight=2
+    ).localCheckpoint()
+    return modularity(tg, label_propagation(tg, n_rounds=4))
 
 
 def _q_feature_latest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -496,7 +496,7 @@ def label_propagation(
     e = edges.select(
         F.col(src_col).alias("s"), F.col(dst_col).alias("d"),
         F.col(weight_col).cast("long").alias("w"),
-    )
+    ).localCheckpoint()  # every round joins e: cut the upstream graph build
     labels = e.select(F.col("s").alias("n")).distinct().select(
         "n", F.col("n").alias("lab")
     )
@@ -744,32 +744,31 @@ def modularity(
         F.col(weight_col).cast("long").alias("w"),
     )
     lab = labels.select(F.col("node").alias("n"), F.col("label").alias("lab"))
-    tagged = (
+    # one pass: per-community strengths carry both totals, so the edge
+    # relation is consumed ONCE (no multi-consumer recompute)
+    per_ls = (
         e.join(lab.select(F.col("n").alias("s"), F.col("lab").alias("ls")), "s")
         .join(lab.select(F.col("n").alias("d"), F.col("lab").alias("ld")), "d")
-    )
-    totals = tagged.agg(
-        F.sum("w").alias("two_m"),
-        F.sum(F.when(F.col("ls") == F.col("ld"), F.col("w")).otherwise(0)).alias(
-            "internal_w"
-        ),
-    )
-    degsq = (
-        tagged.groupBy("ls")
-        .agg(F.sum("w").alias("deg_c"))
-        .agg(F.sum(F.col("deg_c") * F.col("deg_c")).alias("sum_degsq"))
-    )
-    return (
-        totals.crossJoin(F.broadcast(degsq))
-        .select(
-            "two_m",
-            "internal_w",
-            (F.col("two_m") * F.col("internal_w") - F.col("sum_degsq")).alias("q_num"),
-            (
-                (F.col("two_m") * F.col("internal_w") - F.col("sum_degsq")).cast("double")
-                / (F.col("two_m") * F.col("two_m")).cast("double")
-            ).alias("modularity"),
+        .groupBy("ls")
+        .agg(
+            F.sum("w").alias("deg_c"),
+            F.sum(
+                F.when(F.col("ls") == F.col("ld"), F.col("w")).otherwise(0)
+            ).alias("int_c"),
         )
+    )
+    return per_ls.agg(
+        F.sum("deg_c").alias("two_m"),
+        F.sum("int_c").alias("internal_w"),
+        F.sum(F.col("deg_c") * F.col("deg_c")).alias("sum_degsq"),
+    ).select(
+        "two_m",
+        "internal_w",
+        (F.col("two_m") * F.col("internal_w") - F.col("sum_degsq")).alias("q_num"),
+        (
+            (F.col("two_m") * F.col("internal_w") - F.col("sum_degsq")).cast("double")
+            / (F.col("two_m") * F.col("two_m")).cast("double")
+        ).alias("modularity"),
     )
 
 
