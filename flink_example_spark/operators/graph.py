@@ -350,7 +350,9 @@ def reachability(
     import uuid
 
     name = f"edges_{uuid.uuid4().hex[:8]}"
-    edges.createOrReplaceTempView(name)
+    # the recursion scans this view once per step (and the hub anchor once
+    # more): checkpoint so the upstream graph build runs once, not hops+2x
+    edges.localCheckpoint().createOrReplaceTempView(name)
     anchor = (
         f"SELECT '{source}' AS node, 0 AS dist"
         if source is not None
