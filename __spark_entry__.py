@@ -1943,6 +1943,17 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_ahash": mm_ahash,
         "multimodal_dhash": mm_dhash,
         "multimodal_phash": mm_phash,
+        "multimodal_audio_dct": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.multimodal",
+            fromlist=["audio_dct_bands", "encode_codec_media"],
+        ).audio_dct_bands(
+            __import__(
+                "flink_example_spark.operators.multimodal",
+                fromlist=["encode_codec_media"],
+            ).encode_codec_media(_docs(spark, sf_dir), formats=("pgm", "aiff"))
+            .filter(F.col("media_type") == "audio"),
+            repartition=False,
+        ),
         "multimodal_crop": mm_crop,
         "multimodal_audio_chunks": mm_audio_chunks,
         # corpus curation (operators/curation.py): benchmark = every doc_id
@@ -2524,6 +2535,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.multimodal import image_phash_oracle
 
     out["multimodal_phash"] = image_phash_oracle()
+    from flink_example_spark.operators.multimodal import audio_dct_bands_oracle
+
+    out["multimodal_audio_dct"] = audio_dct_bands_oracle()
     out["multimodal_dhash"] = """
         WITH img AS (
           SELECT doc_id, md5(text) AS hh,

@@ -1002,3 +1002,134 @@ def image_phash_oracle() -> str:
         FROM ac JOIN med USING (doc_id)
         GROUP BY ac.doc_id, w, h
     """
+
+
+AUDIO_SAMPLES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_mono", IntegerType(), False),
+        StructField("f", IntegerType(), False),
+        StructField("pos", IntegerType(), False),
+        StructField("s", IntegerType(), False),
+    ]
+)
+
+
+def audio_frames8(media: DataFrame, repartition: bool = True) -> DataFrame:
+    """REAL-codec audio framing: parse each WAV/AIFF payload from raw
+    bytes (endianness per container), take channel 0 of the first 64
+    sample frames, and emit 8-sample analysis frames — the Python stage
+    stops at decoding, like :func:`image_grid8`. Only COMPLETE 8-sample
+    frames are emitted. 16-bit PCM; sample assembly is integer
+    (b_hi*256 + b_lo, big-endian AIFF / little-endian WAV)."""
+    import pandas as pd
+
+    def frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                if payload[:4] == b"FORM":
+                    sr, ch, data = _parse_aiff(payload)
+                    be = True
+                elif payload[:4] == b"RIFF":
+                    sr, ch, data = _parse_wav(payload)
+                    be = False
+                else:
+                    continue
+                n_frames = len(data) // (2 * ch)
+                n_mono = min(64, n_frames)
+                for i in range((n_mono // 8) * 8):
+                    p = 2 * i * ch
+                    b0, b1 = data[p], data[p + 1]
+                    s = b0 * 256 + b1 if be else b1 * 256 + b0
+                    if s >= 32768:
+                        s -= 65536
+                    rows.append((int(mid), int(sr), n_mono, i // 8, i % 8, s))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SAMPLES_SCHEMA.fields]
+            )
+
+    if repartition:
+        media = media.repartition("media_id")
+    return media.mapInPandas(frames, schema=AUDIO_SAMPLES_SCHEMA)
+
+
+def audio_dct_bands(media: DataFrame, repartition: bool = True) -> DataFrame:
+    """Spectral band fingerprint per audio payload — the audio sibling of
+    :func:`image_phash`, reusing the SAME embedded integer DCT-II basis
+    (:func:`_phash_k`): 8-point DCT per analysis frame, per-band energy =
+    the exact BIGINT sum of |coefficient| across frames (abs, not square
+    — keeps every value far inside 2^63 at 16-bit amplitudes). The
+    shape every audio-dedup / silence-detection / genre-bucket pipeline
+    computes first; near-identical clips agree band-wise.
+
+    Python decodes (:func:`audio_frames8`); the DCT is one broadcast join
+    + aggregation JVM-side; the 8 band energies pivot into one wide row
+    via conditional sums. Output: ``(media_id, sample_rate, n_mono,
+    e0..e7)`` — all scalars, all exact integers, analytic in the oracle.
+    """
+    spark = media.sparkSession
+    fr = audio_frames8(media, repartition=repartition)
+    kb = spark.createDataFrame(_phash_k(), "u int, pos int, k long")
+    coef = (
+        fr.join(F.broadcast(kb), "pos")
+        .groupBy("media_id", "sample_rate", "n_mono", "f", "u")
+        .agg(F.sum(F.col("s").cast("long") * F.col("k")).alias("c"))
+    )
+    bands = [
+        F.sum(
+            F.when(F.col("u") == u, F.abs(F.col("c"))).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias(f"e{u}")
+        for u in range(8)
+    ]
+    return (
+        coef.groupBy("media_id", "sample_rate", "n_mono")
+        .agg(*bands)
+    )
+
+
+def audio_dct_bands_oracle() -> str:
+    """DuckDB twin of ``audio_dct_bands`` over the cycled-md5 AIFF payload
+    scheme (odd doc_ids; sr = 8000 + 1000*(id%8), channels = 1 + id%2,
+    n_frames = id%64 + 16; PCM bytes are cycled md5-hex ASCII, so every
+    16-bit sample is b0*256 + b1 < 32768 — always positive)."""
+    kvals = ", ".join(f"({u}, {x}, {c})" for (u, x, c) in _phash_k())
+    band_cols = ",\n               ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN u = {u} THEN abs(c) END), 0) AS BIGINT)"
+        f" AS e{u}"
+        for u in range(8)
+    )
+    return f"""
+        WITH aud AS (
+          SELECT doc_id, md5(text) AS hh,
+                 CAST(8000 + 1000 * (doc_id % 8) AS INTEGER) AS sr,
+                 CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+                 CAST(doc_id % 64 + 16 AS INTEGER) AS n_frames
+          FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1
+        ), meta AS (
+          SELECT *, CAST(least(64, n_frames) AS INTEGER) AS n_mono FROM aud
+        ), samp AS (
+          SELECT doc_id, sr, n_mono, CAST(i // 8 AS INTEGER) AS f,
+                 CAST(i % 8 AS INTEGER) AS pos,
+                 ascii(substr(hh, CAST((2 * i * ch) % 32 AS INTEGER) + 1, 1)) * 256
+                 + ascii(substr(hh, CAST((2 * i * ch + 1) % 32 AS INTEGER) + 1, 1))
+                   AS s
+          FROM meta, range(0, 64) ri(i)
+          WHERE i < (n_mono // 8) * 8
+        ), kb(u, pos, k) AS (VALUES {kvals}),
+        coef AS MATERIALIZED (
+          SELECT samp.doc_id, sr, n_mono, f, kb.u,
+                 CAST(SUM(CAST(s AS BIGINT) * kb.k) AS BIGINT) AS c
+          FROM samp JOIN kb ON kb.pos = samp.pos
+          GROUP BY 1, 2, 3, 4, 5
+        )
+        SELECT doc_id AS media_id, sr AS sample_rate, n_mono,
+               {band_cols}
+        FROM coef GROUP BY 1, 2, 3
+    """
