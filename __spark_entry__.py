@@ -1563,6 +1563,21 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).load_table(spark, sf_dir, "part")
             ),
         ),
+        # token-set (Jaccard >= 1/2) resolution over an abbreviation-dirty
+        # registry: PPJoin prefix filtering on DISTINCT names, zero false
+        # negatives — catches truncations edit distance cannot
+        "entity_resolve_tokens": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.entity",
+            fromlist=["resolve_entities_tokens"],
+        ).resolve_entities_tokens(
+            __import__(
+                "flink_example_spark.operators.entity", fromlist=["abbrev_registry"]
+            ).abbrev_registry(
+                __import__(
+                    "flink_example_spark.tables", fromlist=["load_table"]
+                ).load_table(spark, sf_dir, "part")
+            ),
+        ),
         # the record->canonical broadcast-back mapping (golden-record join)
         "entity_record_links": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.entity", fromlist=["record_links"]
@@ -2205,6 +2220,9 @@ def _northstar_oracles() -> dict[str, str]:
     )
 
     out["entity_resolve"] = resolve_entities_oracle()
+    from flink_example_spark.operators.entity import resolve_entities_tokens_oracle
+
+    out["entity_resolve_tokens"] = resolve_entities_tokens_oracle()
     out["entity_record_links"] = record_links_oracle()
     out["dedup_semantic_decontaminate"] = f"""
         WITH c AS ({_DUCK_VECS}),

@@ -280,3 +280,132 @@ def record_links_oracle(source: str = DIRTY_REGISTRY_SQL, max_dist: int = 1) -> 
                CAST(ent.cid AS BIGINT) AS canonical_id
         FROM raw JOIN ent ON ent.nm = raw.nm
     """
+
+
+def _entity_table(g: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared tail of the resolvers: star-contraction components over rep-id
+    pairs, canonical min-id survivor, per-entity rollup."""
+    from flink_example_spark.operators.dedup import duplicate_clusters
+
+    clusters = duplicate_clusters(pairs, id_col="doc_id")
+    ent = g.join(
+        clusters.select(F.col("doc_id").alias("rep_id"), "cluster_id"),
+        "rep_id",
+        "left",
+    ).select(
+        "nm", "rep_id", "n_rec", F.coalesce("cluster_id", "rep_id").alias("cid")
+    )
+    agg = ent.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_variants"), F.sum("n_rec").alias("n_records")
+    )
+    return agg.join(
+        g.select(F.col("rep_id").alias("cid"), F.col("nm").alias("canonical_name")),
+        "cid",
+    ).select(
+        F.col("cid").cast("long").alias("canonical_id"),
+        "canonical_name",
+        F.col("n_variants").cast("long").alias("n_variants"),
+        F.col("n_records").cast("long").alias("n_records"),
+    )
+
+
+def resolve_entities_tokens(
+    records: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Token-set entity resolution: names match when their TOKEN-SET
+    Jaccard is >= threshold — the abbreviation/reorder-robust complement
+    of :func:`resolve_entities` (edit distance misses "acme corp" vs
+    "acme" entirely; token overlap catches truncated and re-ordered
+    names). Same scale order: exact-group first, then the EXACT PPJoin
+    prefix-filtered similarity join (dedup.ppjoin_pairs — rare-first
+    prefix ordering, integer cross-multiplied gates, zero false
+    negatives) over the DISTINCT-name relation only, then
+    star-contraction components and the canonical min-id survivor.
+    """
+    from flink_example_spark.operators.dedup import ppjoin_pairs
+
+    g = (
+        records.select(
+            F.col(id_col).alias("__id"), _normalized(name_col).alias("nm")
+        )
+        .filter(F.col("nm") != "")
+        .groupBy("nm")
+        .agg(F.min("__id").alias("rep_id"), F.count(F.lit(1)).alias("n_rec"))
+        .localCheckpoint()
+    )
+    pairs = ppjoin_pairs(
+        g.select("rep_id", "nm"),
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        id_col="rep_id",
+        text_col="nm",
+    ).select(
+        F.least("id_a", "id_b").alias("doc_a"),
+        F.greatest("id_a", "id_b").alias("doc_b"),
+    ).distinct()
+    return _entity_table(g, pairs)
+
+
+ABBREV_REGISTRY_SQL = """(
+    SELECT CAST(p_partkey AS BIGINT) AS id,
+           CASE WHEN p_partkey % 5 = 2
+                THEN regexp_replace(p_name, ' [^ ]+$', '')
+                ELSE p_name END AS name
+    FROM part
+)"""
+
+
+def abbrev_registry(part: DataFrame) -> DataFrame:
+    """Deterministic abbreviation-dirty registry: every 5th record (mod 2)
+    drops its name's last token — the truncation noise token-set matching
+    must undo (and edit distance cannot). Identical SQL text in DuckDB."""
+    return part.select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.expr(
+            "CASE WHEN p_partkey % 5 = 2"
+            " THEN regexp_replace(p_name, ' [^ ]+$', '')"
+            " ELSE p_name END"
+        ).alias("name"),
+    )
+
+
+def resolve_entities_tokens_oracle(
+    source: str = ABBREV_REGISTRY_SQL,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> str:
+    """Brute-force DuckDB twin of :func:`resolve_entities_tokens` — exact
+    because PPJoin's prefix filter has zero false negatives, so the
+    candidate-join result EQUALS all-pairs Jaccard at the threshold."""
+    return f"""
+        WITH RECURSIVE g AS MATERIALIZED (
+          SELECT nm, MIN(id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_rec
+          FROM (SELECT id, {_DUCK_NORM_NAME} AS nm FROM {source})
+          WHERE nm <> '' GROUP BY nm
+        ),
+        ts AS MATERIALIZED (
+          SELECT rep_id, nm,
+                 list_distinct(string_split_regex(nm, ' +')) AS tok
+          FROM g
+        ),
+        pairs AS (
+          SELECT least(a.rep_id, b.rep_id) AS ra,
+                 greatest(a.rep_id, b.rep_id) AS rb
+          FROM ts a JOIN ts b ON a.nm < b.nm
+          WHERE {threshold_den} * len(list_intersect(a.tok, b.tok))
+                >= {threshold_num}
+                   * (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)))
+            AND len(list_intersect(a.tok, b.tok)) > 0
+        ),{_CLOSURE}
+        SELECT ag.cid AS canonical_id, cn.nm AS canonical_name,
+               ag.n_variants, ag.n_records
+        FROM (
+          SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_variants,
+                 CAST(SUM(n_rec) AS BIGINT) AS n_records
+          FROM ent GROUP BY cid
+        ) ag JOIN g cn ON cn.rep_id = ag.cid
+    """

@@ -48,3 +48,31 @@ def test_deletion_typo_requires_dist2_when_doubled(spark):
     # two edits away with NO bridge record: separate at dist 1, merged at 2
     df = _records(spark, [(1, "acme corp"), (2, "acme corpppp")])
     assert resolve_entities(df, max_dist=1).count() == 2
+
+
+def test_token_resolution_catches_truncation_edit_distance_cannot(spark):
+    from flink_example_spark.operators.entity import resolve_entities_tokens
+
+    df = _records(
+        spark,
+        [
+            (1, "acme global corp"),
+            (2, "acme global"),       # truncated: J = 2/3 >= 1/2
+            (3, "zenith systems"),
+        ],
+    )
+    ents = {
+        r["canonical_id"]: (r["n_variants"], r["n_records"])
+        for r in resolve_entities_tokens(df).collect()
+    }
+    assert ents == {1: (2, 2), 3: (1, 1)}
+
+
+def test_token_resolution_transitive_via_shared_truncation(spark):
+    from flink_example_spark.operators.entity import resolve_entities_tokens
+
+    # "alpha" bridges "alpha ring" and "alpha bolt" (each J=1/2 with it)
+    # even though the two full names are only J=1/3 with each other
+    df = _records(spark, [(1, "alpha ring"), (2, "alpha bolt"), (3, "alpha")])
+    ents = resolve_entities_tokens(df).collect()
+    assert len(ents) == 1 and ents[0]["canonical_id"] == 1
