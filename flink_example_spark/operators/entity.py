@@ -65,30 +65,12 @@ def _expand_deletes(df: DataFrame, col: str) -> DataFrame:
     )
 
 
-def resolve_entities(
-    records: DataFrame,
-    id_col: str = "id",
-    name_col: str = "name",
-    max_dist: int = 1,
-) -> DataFrame:
-    """Entity table from a dirty registry: one row per resolved entity —
-    ``(canonical_id, canonical_name, n_variants, n_records)`` where
-    canonical_id is the minimum record id transitively reachable through
-    name matches (exact after normalization, or levenshtein <= max_dist).
-    """
+def _edit_pairs(g: DataFrame, max_dist: int) -> DataFrame:
+    """SymSpell candidate generation + levenshtein verify over a
+    (nm, rep_id) relation: rep-id pairs (doc_a < doc_b) of names within
+    the edit distance. Shared by both edit-distance resolvers."""
     if max_dist not in (1, 2):
         raise ValueError("max_dist must be 1 or 2")
-    from flink_example_spark.operators.dedup import duplicate_clusters
-
-    g = (
-        records.select(
-            F.col(id_col).alias("__id"), _normalized(name_col).alias("nm")
-        )
-        .filter(F.col("nm") != "")
-        .groupBy("nm")
-        .agg(F.min("__id").alias("rep_id"), F.count(F.lit(1)).alias("n_rec"))
-        .localCheckpoint()  # read by the expand join (twice) and the final agg
-    )
     # expand max_dist times on a variant column seeded with the name itself
     var = g.select(F.col("nm"), F.col("rep_id"), F.col("nm").alias("__v"))
     for _ in range(max_dist):
@@ -105,32 +87,32 @@ def resolve_entities(
         .distinct()
         .filter(F.levenshtein("na", "nb") <= max_dist)
     )
-    pairs = cand.select(
+    return cand.select(
         F.least("ra", "rb").alias("doc_a"), F.greatest("ra", "rb").alias("doc_b")
     ).distinct()
-    clusters = duplicate_clusters(pairs, id_col="doc_id")
-    ent = g.join(
-        clusters.select(F.col("doc_id").alias("rep_id"), "cluster_id"),
-        "rep_id",
-        "left",
-    ).select(
-        "nm",
-        "rep_id",
-        "n_rec",
-        F.coalesce("cluster_id", "rep_id").alias("cid"),
+
+
+def resolve_entities(
+    records: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Entity table from a dirty registry: one row per resolved entity —
+    ``(canonical_id, canonical_name, n_variants, n_records)`` where
+    canonical_id is the minimum record id transitively reachable through
+    name matches (exact after normalization, or levenshtein <= max_dist).
+    """
+    g = (
+        records.select(
+            F.col(id_col).alias("__id"), _normalized(name_col).alias("nm")
+        )
+        .filter(F.col("nm") != "")
+        .groupBy("nm")
+        .agg(F.min("__id").alias("rep_id"), F.count(F.lit(1)).alias("n_rec"))
+        .localCheckpoint()  # read by the expand join (twice) and the final agg
     )
-    agg = ent.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_variants"), F.sum("n_rec").alias("n_records")
-    )
-    return agg.join(
-        g.select(F.col("rep_id").alias("cid"), F.col("nm").alias("canonical_name")),
-        "cid",
-    ).select(
-        F.col("cid").cast("long").alias("canonical_id"),
-        "canonical_name",
-        F.col("n_variants").cast("long").alias("n_variants"),
-        F.col("n_records").cast("long").alias("n_records"),
-    )
+    return _entity_table(g, _edit_pairs(g, max_dist))
 
 
 def record_links(
@@ -152,25 +134,7 @@ def record_links(
         .filter(F.col("nm") != "")
     )
     reps = g.groupBy("nm").agg(F.min("__id").alias("rep_id")).localCheckpoint()
-    var = reps.select("nm", "rep_id", F.col("nm").alias("__v"))
-    for _ in range(max_dist):
-        var = _expand_deletes(var, "__v")
-    var = var.distinct()
-    cand = (
-        var.select(F.col("nm").alias("na"), F.col("rep_id").alias("ra"), "__v")
-        .join(
-            var.select(F.col("nm").alias("nb"), F.col("rep_id").alias("rb"), "__v"),
-            "__v",
-        )
-        .filter(F.col("na") < F.col("nb"))
-        .select("na", "nb", "ra", "rb")
-        .distinct()
-        .filter(F.levenshtein("na", "nb") <= max_dist)
-    )
-    pairs = cand.select(
-        F.least("ra", "rb").alias("doc_a"), F.greatest("ra", "rb").alias("doc_b")
-    ).distinct()
-    clusters = duplicate_clusters(pairs, id_col="doc_id")
+    clusters = duplicate_clusters(_edit_pairs(reps, max_dist), id_col="doc_id")
     cmap = reps.join(
         clusters.select(F.col("doc_id").alias("rep_id"), "cluster_id"),
         "rep_id",
