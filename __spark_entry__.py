@@ -1578,6 +1578,24 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).load_table(spark, sf_dir, "part")
             ),
         ),
+        # golden-record survivorship: modal brand + price envelope per
+        # resolved entity (the MDM step after record_links)
+        "entity_golden": lambda spark, sf_dir: (lambda ent, tbl: (
+            lambda part: ent.golden_records(
+                part.select(
+                    F.col("p_partkey").cast("long").alias("id"),
+                    F.col("p_brand").alias("cat"),
+                    F.col("p_retailprice").alias("num"),
+                ),
+                ent.record_links(ent.dirty_registry(part)),
+            )
+        )(tbl.load_table(spark, sf_dir, "part")))(
+            __import__(
+                "flink_example_spark.operators.entity",
+                fromlist=["golden_records", "record_links", "dirty_registry"],
+            ),
+            __import__("flink_example_spark.tables", fromlist=["load_table"]),
+        ),
         # the record->canonical broadcast-back mapping (golden-record join)
         "entity_record_links": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.entity", fromlist=["record_links"]
@@ -2224,6 +2242,13 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["entity_resolve_tokens"] = resolve_entities_tokens_oracle()
     out["entity_record_links"] = record_links_oracle()
+    from flink_example_spark.operators.entity import golden_records_oracle
+
+    out["entity_golden"] = golden_records_oracle(
+        record_links_oracle(),
+        "(SELECT p_partkey AS id, p_brand AS cat, p_retailprice AS num"
+        " FROM part)",
+    )
     out["dedup_semantic_decontaminate"] = f"""
         WITH c AS ({_DUCK_VECS}),
         bench AS (SELECT * FROM c WHERE vec_id < 25),

@@ -373,3 +373,106 @@ def resolve_entities_tokens_oracle(
           FROM ent GROUP BY cid
         ) ag JOIN g cn ON cn.rep_id = ag.cid
     """
+
+
+_INV = 999_999_999_999  # count inversion for the modal-value argmax key
+
+
+def golden_records(
+    attrs: DataFrame,
+    links: DataFrame,
+    id_col: str = "id",
+    cat_col: str = "cat",
+    num_col: str = "num",
+) -> DataFrame:
+    """Golden-record survivorship — the step after resolution in an MDM
+    pipeline: merge every record's attributes into one canonical row per
+    entity. Categorical column -> the MODAL value (most frequent across
+    the entity's records, ties to the smallest value — the repo's
+    zero-padded ``(INV - count) || value`` string-min idiom, a
+    streaming-able monoid); numeric column -> min/max envelope
+    (comparison-only, so raw doubles are portable).
+
+    ``links`` is :func:`record_links` output (id, canonical_id). Scale:
+    one record-sized equi-join + two key-sized aggregations.
+
+    Output: ``(canonical_id, n_records, top_cat, top_cat_count, num_min,
+    num_max)``.
+    """
+    j = attrs.select(
+        F.col(id_col).alias("__id"),
+        F.col(cat_col).alias("__cat"),
+        F.col(num_col).alias("__num"),
+    ).join(links.select(F.col(id_col).alias("__id"), "canonical_id"), "__id")
+    j = j.localCheckpoint()  # consumed by the modal agg AND the envelope agg
+    modal = (
+        j.groupBy("canonical_id", "__cat")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(
+            "canonical_id",
+            F.concat(
+                F.lpad((F.lit(_INV) - F.col("__c")).cast("string"), 12, "0"),
+                F.col("__cat"),
+            ).alias("__k"),
+        )
+        .groupBy("canonical_id")
+        .agg(F.min("__k").alias("__k"))
+        .select(
+            "canonical_id",
+            F.substring("__k", 13, 1_000_000).alias("top_cat"),
+            (F.lit(_INV) - F.substring("__k", 1, 12).cast("bigint")).alias(
+                "top_cat_count"
+            ),
+        )
+    )
+    env = j.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.min("__num").alias("num_min"),
+        F.max("__num").alias("num_max"),
+    )
+    return env.join(modal, "canonical_id").select(
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        "n_records",
+        "top_cat",
+        "top_cat_count",
+        "num_min",
+        "num_max",
+    )
+
+
+def golden_records_oracle(
+    links_sql: str,
+    attrs_sql: str,
+    id_col: str = "id",
+    cat_col: str = "cat",
+    num_col: str = "num",
+) -> str:
+    """DuckDB twin of :func:`golden_records`. ``links_sql``: a full SELECT
+    producing (id, canonical_id); ``attrs_sql``: relation with id/cat/num."""
+    return f"""
+        WITH links AS MATERIALIZED ({links_sql}),
+        j AS MATERIALIZED (
+          SELECT links.canonical_id, a.{cat_col} AS cat, a.{num_col} AS num
+          FROM ({attrs_sql}) a JOIN links ON links.{id_col} = a.{id_col}
+        ),
+        modal AS (
+          SELECT canonical_id,
+                 substr(MIN(lpad(CAST({_INV} - c AS VARCHAR), 12, '0') || cat),
+                        13) AS top_cat,
+                 {_INV} - CAST(substr(MIN(
+                   lpad(CAST({_INV} - c AS VARCHAR), 12, '0') || cat), 1, 12)
+                   AS BIGINT) AS top_cat_count
+          FROM (
+            SELECT canonical_id, cat, CAST(COUNT(*) AS BIGINT) AS c
+            FROM j GROUP BY 1, 2
+          ) GROUP BY canonical_id
+        ),
+        env AS (
+          SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS n_records,
+                 MIN(num) AS num_min, MAX(num) AS num_max
+          FROM j GROUP BY canonical_id
+        )
+        SELECT CAST(env.canonical_id AS BIGINT) AS canonical_id, n_records,
+               top_cat, top_cat_count, num_min, num_max
+        FROM env JOIN modal USING (canonical_id)
+    """
