@@ -148,6 +148,9 @@ HEADLINE = [
     "quality_expectations",
     "quality_l_diversity",
     "layout_range_plan",
+    "entity_resolve_tokens",
+    "entity_golden",
+    "multimodal_audio_dct",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite
