@@ -1596,6 +1596,21 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             __import__("flink_example_spark.tables", fromlist=["load_table"]),
         ),
+        # INCREMENTAL resolution: arriving records (every 3rd) probe the
+        # FROZEN entity map of the rest — exact hit, SymSpell fuzzy, or
+        # new-entity assignment; no re-clustering
+        "entity_incremental": lambda spark, sf_dir: (lambda ent, tbl: (
+            lambda reg: ent.incremental_links(
+                reg.filter(F.col("id") % 3 == 0),
+                ent.canonical_name_map(reg.filter(F.col("id") % 3 != 0)),
+            )
+        )(ent.dirty_registry(tbl.load_table(spark, sf_dir, "part"))))(
+            __import__(
+                "flink_example_spark.operators.entity",
+                fromlist=["incremental_links", "canonical_name_map", "dirty_registry"],
+            ),
+            __import__("flink_example_spark.tables", fromlist=["load_table"]),
+        ),
         # the record->canonical broadcast-back mapping (golden-record join)
         "entity_record_links": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.entity", fromlist=["record_links"]
@@ -2244,6 +2259,15 @@ def _northstar_oracles() -> dict[str, str]:
     out["entity_record_links"] = record_links_oracle()
     from flink_example_spark.operators.entity import golden_records_oracle
 
+    from flink_example_spark.operators.entity import (
+        DIRTY_REGISTRY_SQL,
+        incremental_links_oracle,
+    )
+
+    out["entity_incremental"] = incremental_links_oracle(
+        f"(SELECT * FROM {DIRTY_REGISTRY_SQL} WHERE id % 3 <> 0)",
+        f"(SELECT * FROM {DIRTY_REGISTRY_SQL} WHERE id % 3 = 0)",
+    )
     out["entity_golden"] = golden_records_oracle(
         record_links_oracle(),
         "(SELECT p_partkey AS id, p_brand AS cat, p_retailprice AS num"

@@ -476,3 +476,148 @@ def golden_records_oracle(
                top_cat, top_cat_count, num_min, num_max
         FROM env JOIN modal USING (canonical_id)
     """
+
+
+def canonical_name_map(
+    records: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_dist: int = 1,
+) -> DataFrame:
+    """The frozen serving artifact of a resolution run: (nm, canonical_id)
+    for every distinct normalized name — what :func:`incremental_links`
+    probes. Same pipeline as :func:`record_links` up to the name level."""
+    from flink_example_spark.operators.dedup import duplicate_clusters
+
+    reps = (
+        records.select(
+            F.col(id_col).alias("__id"), _normalized(name_col).alias("nm")
+        )
+        .filter(F.col("nm") != "")
+        .groupBy("nm")
+        .agg(F.min("__id").alias("rep_id"))
+        .localCheckpoint()
+    )
+    clusters = duplicate_clusters(_edit_pairs(reps, max_dist), id_col="doc_id")
+    return reps.join(
+        clusters.select(F.col("doc_id").alias("rep_id"), "cluster_id"),
+        "rep_id",
+        "left",
+    ).select("nm", F.coalesce("cluster_id", "rep_id").alias("canonical_id"))
+
+
+def incremental_links(
+    new_records: DataFrame,
+    known: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_dist: int = 1,
+) -> DataFrame:
+    """INCREMENTAL resolution — the serving path: assign arriving records
+    to a FROZEN entity table without re-clustering the corpus. Priority:
+    exact normalized-name hit, else SymSpell fuzzy probe (minimum
+    canonical id among names within ``max_dist`` — deterministic), else a
+    NEW entity anchored at the name's minimum arriving id.
+
+    ``known`` is :func:`canonical_name_map` output. Scale: the probe is
+    one broadcast-able equi-join on delete-variants (both sides
+    vocabulary-sized); arriving records never trigger clustering. The
+    trade vs re-resolving from scratch is the textbook one: two new
+    records that match each other but nothing known become TWO new
+    entities until the next full re-resolution.
+
+    Output per new record: ``(id, canonical_id, method)`` with method in
+    ('exact', 'fuzzy', 'new').
+    """
+    raw = new_records.select(
+        F.col(id_col).alias("__id"), _normalized(name_col).alias("nm")
+    ).filter(F.col("nm") != "")
+    nn = raw.groupBy("nm").agg(F.min("__id").alias("nid")).localCheckpoint()
+    exact = nn.join(known, "nm").select("nm", "canonical_id")
+    open_names = nn.join(exact.select("nm"), "nm", "left_anti")
+    ka = known.select("nm", "canonical_id", F.col("nm").alias("__v"))
+    na = open_names.select("nm", F.col("nm").alias("__v"))
+    for _ in range(max_dist):
+        ka = _expand_deletes(ka, "__v")
+        na = _expand_deletes(na, "__v")
+    fuzzy = (
+        na.distinct()
+        .join(ka.select(F.col("nm").alias("km"), "canonical_id", "__v").distinct(), "__v")
+        .filter(F.levenshtein("nm", "km") <= max_dist)
+        .groupBy("nm")
+        .agg(F.min("canonical_id").alias("canonical_id"))
+    )
+    assigned = (
+        exact.select("nm", "canonical_id", F.lit("exact").alias("method"))
+        .unionByName(
+            fuzzy.select("nm", "canonical_id", F.lit("fuzzy").alias("method"))
+        )
+        .unionByName(
+            open_names.join(fuzzy.select("nm"), "nm", "left_anti")
+            .select(
+                "nm",
+                F.col("nid").alias("canonical_id"),
+                F.lit("new").alias("method"),
+            )
+        )
+    )
+    return raw.join(F.broadcast(assigned), "nm").select(
+        F.col("__id").cast("long").alias(id_col),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        "method",
+    )
+
+
+def incremental_links_oracle(
+    base_source: str,
+    new_source: str,
+    max_dist: int = 1,
+) -> str:
+    """Brute-force DuckDB twin of :func:`incremental_links` with ``known``
+    = the closure over ``base_source`` (exact because the SymSpell probe
+    has perfect recall at the distance)."""
+    return f"""
+        WITH RECURSIVE g AS MATERIALIZED (
+          SELECT nm, MIN(id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_rec
+          FROM (SELECT id, {_DUCK_NORM_NAME} AS nm FROM {base_source})
+          WHERE nm <> '' GROUP BY nm
+        ),
+        pairs AS (
+          SELECT least(a.rep_id, b.rep_id) AS ra,
+                 greatest(a.rep_id, b.rep_id) AS rb
+          FROM g a JOIN g b
+            ON a.nm < b.nm AND abs(len(a.nm) - len(b.nm)) <= {max_dist}
+          WHERE levenshtein(a.nm, b.nm) <= {max_dist}
+        ),{_CLOSURE}
+        , cmap AS MATERIALIZED (SELECT nm, cid AS canonical_id FROM ent),
+        raw AS MATERIALIZED (
+          SELECT id, {_DUCK_NORM_NAME} AS nm FROM {new_source}
+        ),
+        nn AS MATERIALIZED (
+          SELECT nm, MIN(id) AS nid FROM raw WHERE nm <> '' GROUP BY nm
+        ),
+        exact AS MATERIALIZED (
+          SELECT nn.nm, cmap.canonical_id FROM nn JOIN cmap USING (nm)
+        ),
+        fuzzy AS MATERIALIZED (
+          SELECT nn.nm, MIN(c.canonical_id) AS canonical_id
+          FROM nn JOIN cmap c
+            ON abs(len(nn.nm) - len(c.nm)) <= {max_dist}
+           AND levenshtein(nn.nm, c.nm) <= {max_dist}
+          WHERE nn.nm NOT IN (SELECT nm FROM exact)
+          GROUP BY nn.nm
+        ),
+        assigned AS (
+          SELECT nm, canonical_id, 'exact' AS method FROM exact
+          UNION ALL
+          SELECT nm, canonical_id, 'fuzzy' FROM fuzzy
+          UNION ALL
+          SELECT nn.nm, nn.nid, 'new' FROM nn
+          WHERE nn.nm NOT IN (SELECT nm FROM exact)
+            AND nn.nm NOT IN (SELECT nm FROM fuzzy)
+        )
+        SELECT CAST(raw.id AS BIGINT) AS id,
+               CAST(assigned.canonical_id AS BIGINT) AS canonical_id,
+               method
+        FROM raw JOIN assigned ON assigned.nm = raw.nm
+    """

@@ -76,3 +76,32 @@ def test_token_resolution_transitive_via_shared_truncation(spark):
     df = _records(spark, [(1, "alpha ring"), (2, "alpha bolt"), (3, "alpha")])
     ents = resolve_entities_tokens(df).collect()
     assert len(ents) == 1 and ents[0]["canonical_id"] == 1
+
+
+def test_incremental_links_exact_fuzzy_new(spark):
+    from flink_example_spark.operators.entity import (
+        canonical_name_map,
+        incremental_links,
+    )
+
+    base = _records(spark, [(1, "acme corp"), (2, "acme corpp"), (10, "zenith")])
+    known = canonical_name_map(base)
+    new = _records(
+        spark,
+        [
+            (20, "Acme Corp"),    # exact (after normalization) -> cid 1
+            (21, "acme cord"),    # fuzzy dist-1 of "acme corp" -> cid 1
+            (22, "brand new co"), # nothing near -> new entity 22
+            (23, "brand new co"), # same new name -> same new entity 22
+        ],
+    )
+    got = {
+        r["id"]: (r["canonical_id"], r["method"])
+        for r in incremental_links(new, known).collect()
+    }
+    assert got == {
+        20: (1, "exact"),
+        21: (1, "fuzzy"),
+        22: (22, "new"),
+        23: (22, "new"),
+    }
