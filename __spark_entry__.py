@@ -1611,6 +1611,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             __import__("flink_example_spark.tables", fromlist=["load_table"]),
         ),
+        # the SAME serving path LIVE: exact/fuzzy via stream-static
+        # broadcast joins (zero state), new-entity anchors via the
+        # min-id-per-name monoid; converges to batch incremental_links
+        "streaming_entity_links": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.entity_stream",
+            fromlist=["run_streaming_entity_links"],
+        ).run_streaming_entity_links(spark, sf_dir),
         # the record->canonical broadcast-back mapping (golden-record join)
         "entity_record_links": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.entity", fromlist=["record_links"]
@@ -2268,6 +2275,7 @@ def _northstar_oracles() -> dict[str, str]:
         f"(SELECT * FROM {DIRTY_REGISTRY_SQL} WHERE id % 3 <> 0)",
         f"(SELECT * FROM {DIRTY_REGISTRY_SQL} WHERE id % 3 = 0)",
     )
+    out["streaming_entity_links"] = out["entity_incremental"]
     out["entity_golden"] = golden_records_oracle(
         record_links_oracle(),
         "(SELECT p_partkey AS id, p_brand AS cat, p_retailprice AS num"
