@@ -1681,6 +1681,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeseries_changepoint": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.timeseries", fromlist=["changepoint"]
         ).changepoint(_events(spark, sf_dir), "event_type", "ts", "value"),
+        # exact depth-2 CART tree: root stump + optimal child stumps,
+        # learned cut attached via broadcast (one lazy plan, no collect)
+        "ml_tree_depth2": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["tree_depth2"]
+        ).tree_depth2(
+            _events(spark, sf_dir), "value", F.col("event_type") == "error"
+        ),
         # exact CART stump: is `value` predictive of the error class?
         "ml_decision_stump": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.ml", fromlist=["decision_stump"]
@@ -3287,6 +3294,11 @@ def _northstar_oracles() -> dict[str, str]:
     )
     from flink_example_spark.operators.ml import decision_stump_oracle
 
+    from flink_example_spark.operators.ml import tree_depth2_oracle
+
+    out["ml_tree_depth2"] = tree_depth2_oracle(
+        "events", "value", "event_type = 'error'"
+    )
     out["ml_decision_stump"] = decision_stump_oracle(
         "events", "value", "event_type = 'error'"
     )

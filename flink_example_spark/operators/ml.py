@@ -2008,3 +2008,72 @@ def decision_stump_oracle(
           FROM scored
         ) WHERE rn = 1
     """
+
+
+def tree_depth2(
+    df: DataFrame,
+    feature_col: str,
+    label_pred: Column,
+    scale: int = 100,
+) -> DataFrame:
+    """Exact depth-2 decision tree: the optimal root stump, then the
+    optimal stump WITHIN each side — recursive partitioning as pure
+    DataFrame composition (the learned root cut attaches via a broadcast
+    cross join of the one-row stump relation, never a driver collect, so
+    the whole tree is one lazy plan).
+
+    Same exactness/portability contract as :func:`decision_stump`; the
+    child search simply runs the stump machinery with ``group_col`` =
+    side. Output: one row per node ``(node in ('root','L','R'), cut_q,
+    n_l, pos_l, n_r, pos_r, gini_cost)`` — a leaf-degenerate side (all
+    one class or one value) yields no child row, exactly like CART's
+    stopping rule.
+    """
+    root = decision_stump(df, feature_col, label_pred, scale=scale)
+    src = df.filter(F.col(feature_col).isNotNull()).select(
+        F.col(feature_col).alias("__x"),
+        label_pred.alias("__y"),
+        F.floor(F.col(feature_col) * scale + F.lit(0.5))
+        .cast("bigint")
+        .alias("__xq"),
+    )
+    sided = src.crossJoin(
+        F.broadcast(root.select(F.col("cut_q").alias("__root_cut")))
+    ).select(
+        "__x",
+        "__y",
+        F.when(F.col("__xq") <= F.col("__root_cut"), F.lit("L"))
+        .otherwise(F.lit("R"))
+        .alias("side"),
+    )
+    children = decision_stump(sided, "__x", F.col("__y"), group_col="side", scale=scale)
+    out_cols = ["cut_q", "n_l", "pos_l", "n_r", "pos_r", "gini_cost"]
+    return root.select(F.lit("root").alias("node"), *out_cols).unionByName(
+        children.select(F.col("side").alias("node"), *out_cols)
+    )
+
+
+def tree_depth2_oracle(
+    table: str,
+    feature_col: str,
+    label_sql: str,
+    scale: int = 100,
+) -> str:
+    """DuckDB twin of :func:`tree_depth2` (root oracle nested as a CTE,
+    per-side search over the sided relation)."""
+    root = decision_stump_oracle(table, feature_col, label_sql, scale=scale)
+    sided = f"""(
+        SELECT t.*, CASE WHEN CAST(floor(t.{feature_col} * {scale} + 0.5)
+                     AS BIGINT) <= root.cut_q THEN 'L' ELSE 'R' END AS side
+        FROM {table} t CROSS JOIN root
+        WHERE t.{feature_col} IS NOT NULL
+    )"""
+    children = decision_stump_oracle(sided, feature_col, label_sql, group_col="side", scale=scale)
+    return f"""
+        WITH root AS MATERIALIZED ({root})
+        SELECT 'root' AS node, cut_q, n_l, pos_l, n_r, pos_r, gini_cost
+        FROM root
+        UNION ALL
+        SELECT side AS node, cut_q, n_l, pos_l, n_r, pos_r, gini_cost
+        FROM ({children})
+    """

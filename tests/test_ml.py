@@ -414,3 +414,32 @@ def test_quantile_normalize_matches_pool_and_preserves_order(spark):
     assert a_vals == sorted(a_vals)
     # extremes hit the pooled min/max
     assert a_vals[0] == 1.0 and a_vals[-1] == 105.0
+
+
+def test_decision_stump_exact_split(spark):
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.ml import decision_stump
+
+    # positives at x >= 3: the optimal cut is 2 (quantized 200), pure sides
+    rows = [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)]
+    df = spark.createDataFrame(rows, "x double, y int")
+    r = decision_stump(df, "x", F.col("y") == 1).first()
+    assert r["cut_q"] == 200
+    assert (r["n_l"], r["pos_l"], r["n_r"], r["pos_r"]) == (2, 0, 2, 2)
+    assert r["gini_cost"] == 0.0
+
+
+def test_tree_depth2_recovers_interval_class(spark):
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.ml import tree_depth2
+
+    # positives in the middle band (3..4): root splits one boundary, the
+    # child on the impure side splits the other -> all leaves pure
+    rows = [(float(x), 1 if 3 <= x <= 4 else 0) for x in range(1, 7)]
+    df = spark.createDataFrame(rows, "x double, y int")
+    nodes = {r["node"]: r for r in tree_depth2(df, "x", F.col("y") == 1).collect()}
+    assert nodes["root"]["cut_q"] in (200, 400)
+    impure = "R" if nodes["root"]["cut_q"] == 200 else "L"
+    assert nodes[impure]["gini_cost"] == 0.0
