@@ -1383,6 +1383,24 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the model-eval loop over the same calibration fit: train on
         # doc_id % 5 != 0, per-language holdout MAE/RMSE from quantized
         # residuals (exact integer error sums, sqrt at the boundary)
+        # split-conformal intervals around the same fit: rank-picked
+        # calibration quantile, guaranteed-coverage check on test
+        "ml_conformal": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["conformal_eval"]
+        ).conformal_eval(
+            _docs(spark, sf_dir).select(
+                "doc_id",
+                "lang",
+                "n_chars",
+                F.size(
+                    F.array_remove(text.tokens(text.normalized(F.col("text"))), "")
+                ).alias("n_tok"),
+            ),
+            "doc_id",
+            "lang",
+            "n_tok",
+            "n_chars",
+        ),
         "ml_regression_eval": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.ml", fromlist=["regression_eval"]
         ).regression_eval(
@@ -2822,6 +2840,16 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import crossval_eval_oracle
 
     out["ml_crossval_eval"] = crossval_eval_oracle(
+        "SELECT doc_id, lang, n_chars, len(list_filter(string_split_regex("
+        f"{text._DUCK_NORM}, '\\s+'), t -> t <> '')) AS n_tok FROM documents",
+        "doc_id",
+        "lang",
+        "n_tok",
+        "n_chars",
+    )
+    from flink_example_spark.operators.ml import conformal_eval_oracle
+
+    out["ml_conformal"] = conformal_eval_oracle(
         "SELECT doc_id, lang, n_chars, len(list_filter(string_split_regex("
         f"{text._DUCK_NORM}, '\\s+'), t -> t <> '')) AS n_tok FROM documents",
         "doc_id",

@@ -2077,3 +2077,153 @@ def tree_depth2_oracle(
         SELECT side AS node, cut_q, n_l, pos_l, n_r, pos_r, gini_cost
         FROM ({children})
     """
+
+
+def conformal_eval(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    scale: int = 1000,
+) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al.; the
+    distribution-free uncertainty wrapper modern eval pipelines put
+    around any point model): 3-way deterministic split (train id%3==0,
+    calibration ==1, test ==2), per-group OLS fit, calibration quantile
+    ``qhat`` = the k-th smallest absolute residual with
+    ``k = ceil((n_cal+1)(1-alpha))`` (clamped to n_cal), then the
+    guaranteed-coverage check on the test split.
+
+    Portability: residuals quantize to BIGINT milli-units before any
+    comparison (the regression_eval device); the quantile is a pure RANK
+    pick (row_number over (|resid|, id) — no interpolation), alpha is the
+    exact rational ``alpha_num/alpha_den`` and k is integer-ceil'd by
+    cross-multiplication. Output per group:
+    ``(grp, n_calib, n_test, qhat, n_covered, coverage)`` — coverage
+    should be >= 1-alpha in expectation, which the row shows directly.
+    """
+    did = F.col(id_col)
+    train = df.filter(did % 3 == 0)
+    calib = df.filter(did % 3 == 1)
+    test = df.filter(did % 3 == 2)
+    model = linear_fit(train, group_col, x_col, y_col).select(
+        F.col("grp").alias("__cf_grp"), "slope", "intercept"
+    )
+
+    def _score(part: DataFrame) -> DataFrame:
+        return part.join(
+            F.broadcast(model), part[group_col] == model["__cf_grp"]
+        ).select(
+            F.col("__cf_grp").alias("g"),
+            F.col(id_col).alias("rid"),
+            F.abs(
+                F.floor(
+                    (
+                        F.col(y_col).cast("double")
+                        - (
+                            F.col("intercept")
+                            + F.col("slope") * F.col(x_col).cast("double")
+                        )
+                    )
+                    * scale
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("aeq"),
+        )
+
+    cal = _score(calib)
+    ncal = cal.groupBy("g").agg(F.count(F.lit(1)).alias("n_calib"))
+    w = Window.partitionBy("g").orderBy("aeq", "rid")
+    k = F.least(
+        F.col("n_calib"),
+        F.expr(
+            f"((n_calib + 1) * {alpha_den - alpha_num} + {alpha_den} - 1)"
+            f" div {alpha_den}"
+        ),
+    )
+    qhat = (
+        cal.select("g", "aeq", F.row_number().over(w).alias("rn"))
+        .join(F.broadcast(ncal), "g")
+        .filter(F.col("rn") == k)
+        .select("g", "n_calib", F.col("aeq").alias("q"))
+    )
+    cov = (
+        _score(test)
+        .join(F.broadcast(qhat), "g")
+        .groupBy("g", "n_calib", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum((F.col("aeq") <= F.col("q")).cast("bigint")).alias("n_covered"),
+        )
+    )
+    return cov.select(
+        F.col("g").alias("grp"),
+        "n_calib",
+        "n_test",
+        (F.col("q").cast("double") / F.lit(float(scale))).alias("qhat"),
+        "n_covered",
+        (F.col("n_covered").cast("double") / F.col("n_test").cast("double")).alias(
+            "coverage"
+        ),
+    )
+
+
+def conformal_eval_oracle(
+    source_sql: str,
+    id_col: str,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    scale: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`conformal_eval`."""
+    fit = linear_fit_oracle(
+        f"SELECT * FROM ({source_sql}) WHERE {id_col} % 3 = 0",
+        group_col,
+        x_col,
+        y_col,
+    )
+    score = (
+        "abs(CAST(floor((CAST({y} AS DOUBLE)"
+        " - (m.intercept + m.slope * CAST({x} AS DOUBLE)))"
+        " * {s} + 0.5) AS BIGINT))"
+    ).format(y=y_col, x=x_col, s=scale)
+    return f"""
+        WITH model AS MATERIALIZED ({fit}),
+        cal AS MATERIALIZED (
+          SELECT m.grp AS g, t.{id_col} AS rid, {score} AS aeq
+          FROM ({source_sql}) t JOIN model m ON t.{group_col} = m.grp
+          WHERE t.{id_col} % 3 = 1
+        ),
+        ncal AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_calib FROM cal GROUP BY g),
+        qhat AS (
+          SELECT r.g, ncal.n_calib, r.aeq AS q
+          FROM (
+            SELECT g, aeq,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY aeq, rid) AS rn
+            FROM cal
+          ) r JOIN ncal ON ncal.g = r.g
+          WHERE r.rn = least(ncal.n_calib,
+                ((ncal.n_calib + 1) * {alpha_den - alpha_num}
+                 + {alpha_den} - 1) // {alpha_den})
+        ),
+        tst AS (
+          SELECT m.grp AS g, {score} AS aeq
+          FROM ({source_sql}) t JOIN model m ON t.{group_col} = m.grp
+          WHERE t.{id_col} % 3 = 2
+        )
+        SELECT qhat.g AS grp, qhat.n_calib,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(qhat.q AS DOUBLE) / {float(scale)!r} AS qhat,
+               CAST(SUM(CASE WHEN tst.aeq <= qhat.q THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_covered,
+               CAST(SUM(CASE WHEN tst.aeq <= qhat.q THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS coverage
+        FROM tst JOIN qhat ON qhat.g = tst.g
+        GROUP BY qhat.g, qhat.n_calib, qhat.q
+    """
