@@ -1695,6 +1695,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time-series regularization: per-user daily grid over the events
         # feed with forward-fill + linear interpolation (integer-micros
         # grid arithmetic, one union+window pass) and the silence report
+        # discrete survival table over user lifetimes: risk sets +
+        # quantized Nelson-Aalen cumulative hazard
+        "timeseries_survival": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries", fromlist=["survival_table"]
+        ).survival_table(_events(spark, sf_dir), "user_id", "ts"),
         # exact binary-segmentation level-shift split per event type
         "timeseries_changepoint": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.timeseries", fromlist=["changepoint"]
@@ -3317,6 +3322,9 @@ def _northstar_oracles() -> dict[str, str]:
     out["timeseries_acf"] = acf_oracle("events", "event_type", "ts", "value")
     from flink_example_spark.operators.timeseries import changepoint_oracle
 
+    from flink_example_spark.operators.timeseries import survival_table_oracle
+
+    out["timeseries_survival"] = survival_table_oracle("events", "user_id", "ts")
     out["timeseries_changepoint"] = changepoint_oracle(
         "events", "event_type", "ts", "value"
     )

@@ -1343,3 +1343,122 @@ def changepoint_oracle(
           FROM scored
         ) WHERE rn = 1
     """
+
+
+def survival_table(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    horizon_days: int = 7,
+) -> DataFrame:
+    """Discrete survival analysis of user lifetimes — the churn table a
+    retention pipeline derives before any model: per-user lifetime =
+    last activity minus first, a lifetime is an OBSERVED churn when the
+    user has been silent for ``horizon_days`` before the corpus end
+    (otherwise right-CENSORED — still alive at the data boundary, the
+    Kaplan-Meier convention), the risk set at lifetime t is everyone who
+    survived at least t, and the cumulative hazard is the Nelson-Aalen
+    estimator ``H(t) = sum_{t' <= t} d_{t'} / n_{t'}``.
+
+    Portability: lifetimes are integer DAYS (micros div 86400e6); the
+    per-step hazard quantizes to an EXACT integer division
+    ``(d * 1e6) div n_risk`` BEFORE the cumulative sum (the CLAUDE.md
+    never-SUM-raw-doubles rule — a double Σd/n would be
+    accumulation-order-dependent), so ``na_cum_micro`` is an exact
+    BIGINT in any engine; the double ``cum_hazard`` is one division at
+    the output boundary. Risk sets are a reverse-cumulative window over
+    the DISTINCT-lifetime relation (key-cardinality-sized).
+
+    Output per lifetime: ``(t_days, n_risk, d_events, c_censored,
+    na_cum_micro, cum_hazard)``.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    spans = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.min(us).alias("lo"), F.max(us).alias("hi")
+    )
+    end = spans.agg(F.max("hi").alias("span_end"))
+    day_us = 86400 * 1_000_000
+    lt = spans.crossJoin(F.broadcast(end)).select(
+        F.expr(f"(hi - lo) div {day_us}").alias("t_days"),
+        (
+            F.col("hi") <= F.col("span_end") - F.lit(horizon_days * day_us)
+        ).alias("observed"),
+    )
+    per_t = lt.groupBy("t_days").agg(
+        F.sum(F.col("observed").cast("bigint")).alias("d_events"),
+        F.sum((~F.col("observed")).cast("bigint")).alias("c_censored"),
+    )
+    w_rev = Window.orderBy("t_days").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risked = per_t.select(
+        "t_days",
+        "d_events",
+        "c_censored",
+        F.sum(F.col("d_events") + F.col("c_censored")).over(w_rev).alias("n_risk"),
+    ).select(
+        "t_days",
+        "n_risk",
+        "d_events",
+        "c_censored",
+        F.expr("(d_events * 1000000) div n_risk").alias("hz_micro"),
+    )
+    return risked.select(
+        "t_days",
+        "n_risk",
+        "d_events",
+        "c_censored",
+        F.sum("hz_micro").over(w_cum).alias("na_cum_micro"),
+    ).select(
+        "t_days",
+        "n_risk",
+        "d_events",
+        "c_censored",
+        "na_cum_micro",
+        (F.col("na_cum_micro").cast("double") / F.lit(1e6)).alias("cum_hazard"),
+    )
+
+
+def survival_table_oracle(
+    table: str, key_col: str, ts_col: str, horizon_days: int = 7
+) -> str:
+    """DuckDB twin of :func:`survival_table`."""
+    day_us = 86400 * 1_000_000
+    return f"""
+        WITH spans AS (
+          SELECT {key_col} AS k, MIN(epoch_us({ts_col})) AS lo,
+                 MAX(epoch_us({ts_col})) AS hi
+          FROM {table} GROUP BY 1
+        ), e AS (SELECT MAX(hi) AS span_end FROM spans),
+        lt AS (
+          SELECT (hi - lo) // {day_us} AS t_days,
+                 hi <= span_end - {horizon_days * day_us} AS observed
+          FROM spans CROSS JOIN e
+        ),
+        per_t AS (
+          SELECT t_days,
+                 CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d_events,
+                 CAST(SUM(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT)
+                   AS c_censored
+          FROM lt GROUP BY t_days
+        ),
+        risked AS (
+          SELECT t_days, d_events, c_censored,
+                 CAST(SUM(d_events + c_censored) OVER (ORDER BY t_days
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS n_risk
+          FROM per_t
+        )
+        SELECT t_days, n_risk, d_events, c_censored,
+               CAST(SUM((d_events * 1000000) // n_risk) OVER (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS na_cum_micro,
+               CAST(SUM((d_events * 1000000) // n_risk) OVER (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / 1e6 AS cum_hazard
+        FROM risked
+    """
