@@ -1695,6 +1695,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time-series regularization: per-user daily grid over the events
         # feed with forward-fill + linear interpolation (integer-micros
         # grid arithmetic, one union+window pass) and the silence report
+        # the SAME survival table LIVE: span min/max monoids in complete
+        # mode; risk sets + hazard are read-time windows
+        "streaming_survival": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.timeseries_stream",
+            fromlist=["run_streaming_survival"],
+        ).run_streaming_survival(spark, sf_dir),
         # discrete survival table over user lifetimes: risk sets +
         # quantized Nelson-Aalen cumulative hazard
         "timeseries_survival": lambda spark, sf_dir: __import__(
@@ -3325,6 +3331,7 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.timeseries import survival_table_oracle
 
     out["timeseries_survival"] = survival_table_oracle("events", "user_id", "ts")
+    out["streaming_survival"] = out["timeseries_survival"]
     out["timeseries_changepoint"] = changepoint_oracle(
         "events", "event_type", "ts", "value"
     )

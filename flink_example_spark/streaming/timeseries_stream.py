@@ -627,3 +627,65 @@ def run_streaming_bollinger(
               FROM {name}
             ) WHERE rn = 1"""
     )
+
+
+def run_streaming_survival(
+    spark: SparkSession, sf_dir: str, horizon_days: int = 7
+) -> DataFrame:
+    """LIVE survival maintenance: per-user (first, last) activity spans
+    are min/max monoids, so the churn table's ONLY stateful ingredient
+    runs as one complete-mode aggregate (state = two BIGINTs per user);
+    risk sets, censoring against the moving corpus end, and the
+    quantized Nelson-Aalen cumulative hazard are read-time windows over
+    the key-sized span relation. Converges exactly to batch
+    ``survival_table`` (shared oracle)."""
+    from flink_example_spark.streaming.pipeline import stream_events
+
+    tune(spark)
+    ev = stream_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    spans = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.min(us).alias("lo"), F.max(us).alias("hi")
+    )
+    name = f"stream_surv_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            spans.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    day_us = 86400 * 1_000_000
+    return spark.sql(f"""
+        WITH e AS (SELECT MAX(hi) AS span_end FROM {name}),
+        lt AS (
+          SELECT (hi - lo) div {day_us} AS t_days,
+                 hi <= span_end - {horizon_days * day_us} AS observed
+          FROM {name} CROSS JOIN e
+        ),
+        per_t AS (
+          SELECT t_days,
+                 CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d_events,
+                 CAST(SUM(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT)
+                   AS c_censored
+          FROM lt GROUP BY t_days
+        ),
+        risked AS (
+          SELECT t_days, d_events, c_censored,
+                 CAST(SUM(d_events + c_censored) OVER (ORDER BY t_days
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS n_risk
+          FROM per_t
+        )
+        SELECT t_days, n_risk, d_events, c_censored,
+               CAST(SUM((d_events * 1000000) div n_risk) OVER (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS na_cum_micro,
+               CAST(SUM((d_events * 1000000) div n_risk) OVER (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / 1e6 AS cum_hazard
+        FROM risked
+    """)
