@@ -443,3 +443,25 @@ def test_tree_depth2_recovers_interval_class(spark):
     assert nodes["root"]["cut_q"] in (200, 400)
     impure = "R" if nodes["root"]["cut_q"] == 200 else "L"
     assert nodes[impure]["gini_cost"] == 0.0
+
+
+def test_conformal_quantile_rank_and_coverage(spark):
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.ml import conformal_eval
+
+    # y = 2x exactly except a few calibration outliers: qhat is the
+    # rank-picked calibration residual, coverage counts test hits
+    rows = []
+    for i in range(60):
+        x = float(i % 10 + 1)
+        y = 2.0 * x
+        if i % 3 == 1 and i % 9 == 1:  # a few calibration outliers
+            y += 5.0
+        rows.append((i, "g", x, y))
+    df = spark.createDataFrame(rows, "id long, grp string, x double, y double")
+    r = conformal_eval(df, "id", "grp", "x", "y").first()
+    assert r["n_calib"] == 20 and r["n_test"] == 20
+    # alpha=0.1 -> k = ceil(21*0.9) = 19; with <=3 outliers qhat is tiny
+    # or an outlier depending on rank — either way coverage >= 0.9
+    assert r["n_covered"] >= 18

@@ -307,3 +307,27 @@ def test_seasonal_decompose_matches_reference_and_recovers_shape(spark):
     # the spike phase dominates: one seasonal value ~ +3, three ~ -1
     seas = sorted(r["seasonal"] for r in res)
     assert seas[-1] > 2.5 and all(s < 0 for s in seas[:3])
+
+
+def test_survival_table_hand_checked(spark):
+    from datetime import datetime, timedelta
+
+    from flink_example_spark.operators.timeseries import survival_table
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # u1: lifetime 2 days, churned long before end; u2: lifetime 2 days,
+    # churned; u3: lifetime 0, churned; u4: active until the end (censored)
+    for u, (start, life) in {
+        "u1": (0, 2), "u2": (1, 2), "u3": (3, 0), "u4": (0, 30)
+    }.items():
+        rows.append((u, t0 + timedelta(days=start)))
+        rows.append((u, t0 + timedelta(days=start + life)))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {r["t_days"]: r for r in survival_table(df, "user_id", "ts").collect()}
+    # t=0: risk 4, 1 churn -> hazard 1/4; t=2: risk 3, 2 churn; t=30 censored
+    assert out[0]["n_risk"] == 4 and out[0]["d_events"] == 1
+    assert out[2]["n_risk"] == 3 and out[2]["d_events"] == 2
+    assert out[30]["c_censored"] == 1 and out[30]["d_events"] == 0
+    assert out[0]["na_cum_micro"] == 250_000
+    assert out[2]["na_cum_micro"] == 250_000 + (2 * 1_000_000) // 3
