@@ -151,6 +151,10 @@ HEADLINE = [
     "entity_resolve_tokens",
     "entity_golden",
     "multimodal_audio_dct",
+    "entity_incremental",
+    "ml_tree_depth2",
+    "ml_conformal",
+    "timeseries_survival",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite
