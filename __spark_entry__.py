@@ -1636,6 +1636,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.entity_stream",
             fromlist=["run_streaming_entity_links"],
         ).run_streaming_entity_links(spark, sf_dir),
+        # the SAME golden records LIVE: stream-static link join + two
+        # complete-mode monoid aggregates; modal argmax at read time
+        "streaming_golden_records": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.entity_stream",
+            fromlist=["run_streaming_golden_records"],
+        ).run_streaming_golden_records(spark, sf_dir),
         # the record->canonical broadcast-back mapping (golden-record join)
         "entity_record_links": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.entity", fromlist=["record_links"]
@@ -2317,6 +2323,7 @@ def _northstar_oracles() -> dict[str, str]:
         "(SELECT p_partkey AS id, p_brand AS cat, p_retailprice AS num"
         " FROM part)",
     )
+    out["streaming_golden_records"] = out["entity_golden"]
     out["dedup_semantic_decontaminate"] = f"""
         WITH c AS ({_DUCK_VECS}),
         bench AS (SELECT * FROM c WHERE vec_id < 25),

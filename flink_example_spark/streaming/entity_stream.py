@@ -166,3 +166,105 @@ def _restage(spark: SparkSession, src_dir: str, chunks: int):
         )
     stamp_chunk_mtimes(tmpdir)
     return tmpdir, df.schema
+
+
+def run_streaming_golden_records(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """LIVE golden-record maintenance — the MDM serving tail: arriving
+    records join the FROZEN name map (stream-static broadcast), and the
+    survivorship inputs are pure monoids maintained in complete mode —
+    per-(entity, category) counts for the modal pick, per-entity
+    count/min/max for the envelope. The modal argmax (zero-padded
+    string-min) is a read-time projection over the key-sized count
+    relation. Converges exactly to batch ``golden_records`` over the
+    full registry (shared oracle)."""
+    import tempfile
+
+    from flink_example_spark.operators.entity import (
+        _INV,
+        _normalized,
+        canonical_name_map,
+        dirty_registry,
+    )
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    part = load_table(spark, sf_dir, "part")
+    reg = dirty_registry(part)
+    cmap = canonical_name_map(reg).localCheckpoint()
+
+    attrs = part.select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.col("p_brand").alias("cat"),
+        F.col("p_retailprice").alias("num"),
+    )
+    tmpdir = tempfile.mkdtemp(prefix="stream_golden_")
+    src = reg.join(attrs, "id")
+    src.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmpdir, "src"))
+    staged_dir, schema = _restage(spark, os.path.join(tmpdir, "src"), chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(staged_dir, "chunk_*"))
+        .select("id", _normalized("name").alias("nm"), "cat", "num")
+        .join(F.broadcast(cmap), "nm")
+    )
+    n1 = f"stream_gold_cat_{uuid.uuid4().hex[:8]}"
+    n2 = f"stream_gold_env_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q1 = (
+            stream.groupBy("canonical_id", "cat")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(n1)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q1.awaitTermination()
+        q2 = (
+            stream.groupBy("canonical_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_records"),
+                F.min("num").alias("num_min"),
+                F.max("num").alias("num_max"),
+            )
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(n2)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+    modal = (
+        spark.table(n1)
+        .select(
+            "canonical_id",
+            F.concat(
+                F.lpad((F.lit(_INV) - F.col("c")).cast("string"), 12, "0"),
+                F.col("cat"),
+            ).alias("__k"),
+        )
+        .groupBy("canonical_id")
+        .agg(F.min("__k").alias("__k"))
+        .select(
+            "canonical_id",
+            F.substring("__k", 13, 1_000_000).alias("top_cat"),
+            (F.lit(_INV) - F.substring("__k", 1, 12).cast("bigint")).alias(
+                "top_cat_count"
+            ),
+        )
+    )
+    return (
+        spark.table(n2)
+        .join(modal, "canonical_id")
+        .select(
+            F.col("canonical_id").cast("long").alias("canonical_id"),
+            "n_records",
+            "top_cat",
+            "top_cat_count",
+            "num_min",
+            "num_max",
+        )
+    )
