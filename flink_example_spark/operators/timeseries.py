@@ -1051,7 +1051,12 @@ def acf(
         "n_pairs",
         "num",
         "den",
-        (F.col("num").cast("double") / F.col("den").cast("double")).alias("acf"),
+        # a zero-variance series has den=0: acf is undefined -> NULL
+        # (guard both engines identically; ANSI mode errors on the raw /)
+        F.when(
+            F.col("den") != 0,
+            F.col("num").cast("double") / F.col("den").cast("double"),
+        ).alias("acf"),
     )
 
 
@@ -1088,7 +1093,9 @@ def acf_oracle(
           GROUP BY 1, 2
         )
         SELECT pairs.k AS {key_col}, CAST(lag AS BIGINT) AS lag, n_pairs,
-               num, den, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+               num, den,
+               CASE WHEN den <> 0
+                    THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS acf
         FROM pairs JOIN den USING (k)
     """
 
