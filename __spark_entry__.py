@@ -1716,6 +1716,19 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeseries_changepoint": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.timeseries", fromlist=["changepoint"]
         ).changepoint(_events(spark, sf_dir), "event_type", "ts", "value"),
+        # univariate Gini feature screening: exact stump per candidate
+        # feature, ranked by achieved split cost
+        "ml_feature_importance": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["feature_importance"]
+        ).feature_importance(
+            _events(spark, sf_dir),
+            [
+                ("value", F.col("value"), 100),
+                ("hour_of_day", F.hour(F.col("ts")).cast("double"), 1),
+                ("user_bucket", (F.col("user_id") % 16).cast("double"), 1),
+            ],
+            F.col("event_type") == "error",
+        ),
         # exact depth-2 CART tree: root stump + optimal child stumps,
         # learned cut attached via broadcast (one lazy plan, no collect)
         "ml_tree_depth2": lambda spark, sf_dir: __import__(
@@ -3346,6 +3359,17 @@ def _northstar_oracles() -> dict[str, str]:
 
     from flink_example_spark.operators.ml import tree_depth2_oracle
 
+    from flink_example_spark.operators.ml import feature_importance_oracle
+
+    out["ml_feature_importance"] = feature_importance_oracle(
+        "events",
+        [
+            ("value", "value", 100),
+            ("hour_of_day", "CAST(EXTRACT(hour FROM ts) AS DOUBLE)", 1),
+            ("user_bucket", "CAST(user_id % 16 AS DOUBLE)", 1),
+        ],
+        "event_type = 'error'",
+    )
     out["ml_tree_depth2"] = tree_depth2_oracle(
         "events", "value", "event_type = 'error'"
     )

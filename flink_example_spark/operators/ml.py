@@ -2227,3 +2227,68 @@ def conformal_eval_oracle(
         FROM tst JOIN qhat ON qhat.g = tst.g
         GROUP BY qhat.g, qhat.n_calib, qhat.q
     """
+
+
+def feature_importance(
+    df: DataFrame,
+    features: list[tuple[str, "Column", int]],
+    label_pred: Column,
+) -> DataFrame:
+    """Univariate split-quality feature ranking: run the exact CART stump
+    per candidate feature and rank by achieved weighted-Gini cost — the
+    screening pass a feature-engineering pipeline runs before training
+    anything (a feature whose BEST split barely beats the root impurity
+    is noise). ``features``: (name, numeric expression, quantize scale).
+
+    Each stump is the exact exhaustive search of :func:`decision_stump`;
+    ranking is deterministic by (gini_cost, name). Output:
+    ``(feature, cut_q, n_l, pos_l, n_r, pos_r, gini_cost, rank)``.
+    """
+    from functools import reduce
+
+    parts = []
+    for name, expr, scale in features:
+        stump = decision_stump(
+            df.select(expr.alias("__f"), label_pred.alias("__y")),
+            "__f",
+            F.col("__y"),
+            scale=scale,
+        )
+        parts.append(stump.select(F.lit(name).alias("feature"), *stump.columns))
+    allf = reduce(lambda a, b: a.unionByName(b), parts)
+    w = Window.orderBy("gini_cost", "feature")
+    return allf.select(
+        "feature",
+        "cut_q",
+        "n_l",
+        "pos_l",
+        "n_r",
+        "pos_r",
+        "gini_cost",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def feature_importance_oracle(
+    table: str,
+    features: list[tuple[str, str, int]],
+    label_sql: str,
+) -> str:
+    """DuckDB twin of :func:`feature_importance`. ``features``:
+    (name, SQL expression, scale)."""
+    parts = []
+    for name, expr, scale in features:
+        stump = decision_stump_oracle(
+            f"(SELECT ({expr}) AS __f, ({label_sql}) AS __y FROM {table})",
+            "__f",
+            "__y",
+            scale=scale,
+        )
+        parts.append(f"SELECT '{name}' AS feature, s.* FROM ({stump}) s")
+    union = " UNION ALL ".join(parts)
+    return f"""
+        SELECT feature, cut_q, n_l, pos_l, n_r, pos_r, gini_cost,
+               CAST(ROW_NUMBER() OVER (ORDER BY gini_cost, feature)
+                    AS BIGINT) AS rank
+        FROM ({union})
+    """
