@@ -1716,6 +1716,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeseries_changepoint": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.timeseries", fromlist=["changepoint"]
         ).changepoint(_events(spark, sf_dir), "event_type", "ts", "value"),
+        # the stump SERVED live: batch-trained cut broadcast onto the
+        # event stream, per-side outcome counts as one complete-mode agg
+        "streaming_stump_inference": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.ml_stream",
+            fromlist=["run_streaming_stump_inference"],
+        ).run_streaming_stump_inference(spark, sf_dir),
         # univariate Gini feature screening: exact stump per candidate
         # feature, ranked by achieved split cost
         "ml_feature_importance": lambda spark, sf_dir: __import__(
@@ -3361,6 +3367,17 @@ def _northstar_oracles() -> dict[str, str]:
 
     from flink_example_spark.operators.ml import feature_importance_oracle
 
+    _stump_root = decision_stump_oracle("events", "value", "event_type = 'error'")
+    out["streaming_stump_inference"] = f"""
+        WITH root AS MATERIALIZED ({_stump_root})
+        SELECT CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) <= root.cut_q
+                    THEN 'L' ELSE 'R' END AS side,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pos
+        FROM events CROSS JOIN root
+        GROUP BY 1
+    """
     out["ml_feature_importance"] = feature_importance_oracle(
         "events",
         [

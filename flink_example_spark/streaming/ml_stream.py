@@ -231,3 +231,51 @@ def run_streaming_bootstrap_ci(
         F.percentile(mean_b, F.lit(0.025)).alias("ci_lo"),
         F.percentile(mean_b, F.lit(0.975)).alias("ci_hi"),
     ).select("grp", "n_rows", "mean", "ci_lo", "ci_hi")
+
+
+def run_streaming_stump_inference(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE decision-stump serving — the train/serve split for trees
+    (same pattern as the NB serving twin): the exact stump trains batch
+    on the static corpus, its learned cut attaches to the replayed event
+    stream via a broadcast cross join (no driver collect), and the
+    serving-side monitor is ONE complete-mode aggregate of per-side
+    outcome counts — the live confusion the model monitor watches for
+    drift. Converges exactly to the batch crosstab at the same cut."""
+    import uuid
+
+    from flink_example_spark.operators.ml import decision_stump
+    from flink_example_spark.plans.events_demo import load_events
+    from flink_example_spark.session import shuffle_partitions, tune
+    from flink_example_spark.streaming.pipeline import stream_events
+
+    tune(spark)
+    root = decision_stump(
+        load_events(spark, sf_dir), "value", F.col("event_type") == "error"
+    ).select(F.col("cut_q").alias("__cut"))
+    ev = stream_events(spark, sf_dir)
+    sided = ev.crossJoin(F.broadcast(root)).select(
+        F.when(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            <= F.col("__cut"),
+            F.lit("L"),
+        )
+        .otherwise(F.lit("R"))
+        .alias("side"),
+        (F.col("event_type") == "error").cast("bigint").alias("is_err"),
+    )
+    agg = sided.groupBy("side").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_err").alias("n_pos")
+    )
+    name = f"stream_stump_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select("side", "n", "n_pos")
