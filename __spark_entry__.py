@@ -1452,6 +1452,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Flink-CEP pattern parity: ordered funnels + count-burst alerts
         "cep_funnel": cep_funnel_entry,
         # first-order Markov transition matrix over event sequences
+        # held-out Markov next-event eval: integer-surprisal scoring of
+        # holdout transitions against the trained matrix
+        "cep_markov_eval": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.cep", fromlist=["markov_eval"]
+        ).markov_eval(_events(spark, sf_dir)),
         "cep_transitions": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.cep", fromlist=["event_transitions"]
         ).event_transitions(_events(spark, sf_dir)),
@@ -3207,6 +3212,9 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["cep_attribution"] = last_touch_oracle("purchase", ["view", "click"])
     out["cep_transitions"] = event_transitions_oracle()
+    from flink_example_spark.operators.cep import markov_eval_oracle
+
+    out["cep_markov_eval"] = markov_eval_oracle()
     out["cep_retention_cohorts"] = retention_cohorts_oracle()
     out["quality_report"] = """
         SELECT 'user_id_not_null' AS check, CAST(COUNT(*) AS BIGINT) AS n_rows,

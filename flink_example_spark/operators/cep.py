@@ -951,3 +951,113 @@ def bucketized_band_oracle(
           ON abs(m.mus - p.us) <= {band_us}
         GROUP BY p.eid, p.us
     """
+
+
+def markov_eval(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    seq_col: str = "event_id",
+    holdout_mod: int = 2,
+) -> DataFrame:
+    """Held-out evaluation of the first-order Markov model
+    (:func:`event_transitions`): train transition counts on keys with
+    ``key % holdout_mod != 0``, score the holdout keys' transitions by
+    integer surprisal ``log2(c_from / c_pair)`` — the
+    ``length(bin(n div d)) - 1`` device (operators/text.py lm_surprisal),
+    so every bit count is exact in any engine; transitions the training
+    matrix never saw are reported separately (``n_unseen``) instead of
+    being smoothed with a float prior.
+
+    Output one row: ``(n_scored, n_unseen, total_bits, avg_bits)`` —
+    avg_bits is the model's cross-entropy-style score in whole bits, the
+    monitor a next-event predictor watches for drift.
+
+    Scale: one per-key window sort per split, a |types|^2 broadcast join,
+    two count aggregations.
+    """
+    kid = F.col(key_col)
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(seq_col))
+
+    def steps(part: DataFrame) -> DataFrame:
+        return (
+            part.select(
+                F.col(type_col).alias("from_type"),
+                F.lead(type_col).over(w).alias("to_type"),
+            )
+            .filter(F.col("to_type").isNotNull())
+        )
+
+    train = steps(events.filter(kid % holdout_mod != 0))
+    test = steps(events.filter(kid % holdout_mod == 0))
+    counts = train.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("c_pair")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("c_pair").alias("c_from"))
+    model = counts.join(F.broadcast(totals), "from_type")
+    scored = test.join(
+        F.broadcast(model), ["from_type", "to_type"], "left"
+    ).select(
+        F.when(
+            F.col("c_pair").isNotNull(),
+            F.length(F.bin(F.expr("c_from div c_pair"))) - F.lit(1),
+        )
+        .cast("bigint")
+        .alias("bits")
+    )
+    return scored.agg(
+        F.sum(F.col("bits").isNotNull().cast("bigint")).alias("n_scored"),
+        F.sum(F.col("bits").isNull().cast("bigint")).alias("n_unseen"),
+        F.coalesce(F.sum("bits"), F.lit(0).cast("bigint")).alias("total_bits"),
+        (
+            F.coalesce(F.sum("bits"), F.lit(0)).cast("double")
+            / F.sum(F.col("bits").isNotNull().cast("bigint")).cast("double")
+        ).alias("avg_bits"),
+    )
+
+
+def markov_eval_oracle(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    seq_col: str = "event_id",
+    holdout_mod: int = 2,
+) -> str:
+    """DuckDB twin of :func:`markov_eval`."""
+    def steps(pred: str) -> str:
+        return f"""(
+          SELECT from_type, to_type FROM (
+            SELECT {type_col} AS from_type,
+                   LEAD({type_col}) OVER (PARTITION BY {key_col}
+                     ORDER BY {ts_col}, {seq_col}) AS to_type
+            FROM {table} WHERE {key_col} % {holdout_mod} {pred}
+          ) WHERE to_type IS NOT NULL
+        )"""
+
+    return f"""
+        WITH counts AS MATERIALIZED (
+          SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS c_pair
+          FROM {steps("<> 0")} GROUP BY 1, 2
+        ), totals AS (
+          SELECT from_type, CAST(SUM(c_pair) AS BIGINT) AS c_from
+          FROM counts GROUP BY 1
+        ), scored AS (
+          SELECT CASE WHEN c.c_pair IS NOT NULL
+                      THEN CAST(length(bin(t2.c_from // c.c_pair)) - 1
+                                AS BIGINT) END AS bits
+          FROM {steps("= 0")} t
+          LEFT JOIN counts c USING (from_type, to_type)
+          LEFT JOIN totals t2 ON t2.from_type = c.from_type
+        )
+        SELECT CAST(SUM(CASE WHEN bits IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_scored,
+               CAST(SUM(CASE WHEN bits IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unseen,
+               CAST(COALESCE(SUM(bits), 0) AS BIGINT) AS total_bits,
+               CAST(COALESCE(SUM(bits), 0) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN bits IS NOT NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS avg_bits
+        FROM scored
+    """
