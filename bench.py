@@ -155,6 +155,8 @@ HEADLINE = [
     "ml_tree_depth2",
     "ml_conformal",
     "timeseries_survival",
+    "ml_feature_importance",
+    "cep_markov_eval",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite
