@@ -868,17 +868,88 @@ def pq_codebooks(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
-    parts = []
-    for s in range(m):
-        sliced = corpus.select(
-            F.col(id_col), F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias(vec_col)
+    # FUSED grouped Lloyd: all m subspaces train inside ONE iteration chain
+    # keyed by (sub, cell) — identical per-subspace math to m independent
+    # kmeans_centroids runs (same md5-seeds, same cosine assignment, same
+    # integer-quantized mean accumulation) at 1/m the job count. The sliced
+    # relation is checkpointed ONCE so derived inputs (e.g. the residual
+    # join in ivfpq_residual_topk) are not recomputed every iteration.
+    sl = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(as_double_vec(F.col(vec_col)), s * d_sub + 1, d_sub).alias("x"),
+            )
+            for s in range(m)
+        ])
+    )
+    sliced = (
+        corpus.select(F.col(id_col).alias("n_id"), sl.alias("__s"))
+        .select(
+            F.col("__s.sub").alias("sub"),
+            "n_id",
+            F.col("__s.x").alias("n_vec"),
+            l2_norm(F.col("__s.x")).alias("n_norm"),
         )
-        cb = kmeans_centroids(sliced, k=k_sub, iters=iters, id_col=id_col, vec_col=vec_col)
-        parts.append(cb.select(F.lit(s).alias("sub"), "cell", "c_vec", "c_norm"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .localCheckpoint(eager=True)
+    )
+    # seed ids are shared across subspaces (k_sub smallest md5(id), numbered
+    # by hash order — the _seed_centroids rule); seed VECTORS are per-sub
+    # slices picked up by one broadcast join.
+    seed_ids = (
+        corpus.select(F.col(id_col).cast("string").alias("n_id"))
+        .withColumn("__h", F.md5(F.col("n_id")))
+        .orderBy("__h")
+        .limit(k_sub)
+        .agg(F.array_sort(F.collect_list(F.struct("__h", "n_id"))).alias("__a"))
+        .select(F.posexplode("__a").alias("__pos", "__s"))
+        .select((F.col("__pos") + 1).alias("cell"), F.col("__s.n_id").alias("n_id"))
+    )
+    centroids = (
+        sliced.withColumn("n_id", F.col("n_id").cast("string"))
+        .join(F.broadcast(seed_ids), "n_id")
+        .select(
+            "sub", "cell", F.col("n_vec").alias("c_vec"), F.col("n_norm").alias("c_norm")
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        scored = sliced.join(F.broadcast(centroids), "sub").select(
+            "sub",
+            "n_id",
+            "n_vec",
+            "cell",
+            (dot(F.col("n_vec"), F.col("c_vec")) / (F.col("n_norm") * F.col("c_norm"))).alias(
+                "__csim"
+            ),
+        )
+        w = Window.partitionBy("sub", "n_id").orderBy(F.col("__csim").desc(), F.col("cell"))
+        assigned = scored.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") == 1)
+        by_dim = (
+            assigned.select("sub", "cell", F.posexplode("n_vec").alias("pos", "x"))
+            .groupBy("sub", "cell", "pos")
+            .agg(
+                F.sum(F.floor(F.col("x") * F.lit(1e12) + F.lit(0.5)).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        centroids = (
+            by_dim.groupBy("sub", "cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            (F.col("s").cast("double") / F.col("n") / F.lit(1e12)).alias("m"),
+                        )
+                    )
+                ).alias("__pm")
+            )
+            .select("sub", "cell", F.transform("__pm", lambda pm: pm["m"]).alias("c_vec"))
+            .select("sub", "cell", "c_vec", l2_norm(F.col("c_vec")).alias("c_norm"))
+            .localCheckpoint(eager=True)
+        )
+    return centroids
 
 
 def pq_encode(
