@@ -1017,6 +1017,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ppjoin": lambda spark, sf_dir: dedup.ppjoin_pairs(
             _docs(spark, sf_dir), threshold_num=4, threshold_den=5
         ),
+        # TF-IDF-weighted exact similarity join: integer rarity weights
+        # (length(bin(N div df))), weighted prefix filter, zero false
+        # negatives — rare shared tokens outweigh stopword overlap
+        "dedup_ppjoin_weighted": lambda spark, sf_dir: dedup.ppjoin_weighted_pairs(
+            _docs(spark, sf_dir), threshold_num=3, threshold_den=5
+        ),
         "dedup_minhash_lsh": lambda spark, sf_dir: dedup.minhash_lsh_pairs(
             _docs(spark, sf_dir), threshold=0.8
         ),
@@ -1593,6 +1599,21 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.operators.entity",
             fromlist=["resolve_entities_tokens"],
         ).resolve_entities_tokens(
+            __import__(
+                "flink_example_spark.operators.entity", fromlist=["abbrev_registry"]
+            ).abbrev_registry(
+                __import__(
+                    "flink_example_spark.tables", fromlist=["load_table"]
+                ).load_table(spark, sf_dir, "part")
+            ),
+        ),
+        # TF-IDF-weighted (Jaccard_w >= 1/2) resolution over the same
+        # abbreviation-dirty registry: rare tokens dominate the match
+        # score (the long-name matcher; weighted PPJoin, exact)
+        "entity_resolve_weighted": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.entity",
+            fromlist=["resolve_entities_weighted"],
+        ).resolve_entities_weighted(
             __import__(
                 "flink_example_spark.operators.entity", fromlist=["abbrev_registry"]
             ).abbrev_registry(
@@ -2308,6 +2329,11 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.dedup import ppjoin_oracle
 
     out["dedup_ppjoin"] = ppjoin_oracle(threshold_num=4, threshold_den=5)
+    from flink_example_spark.operators.dedup import ppjoin_weighted_oracle
+
+    out["dedup_ppjoin_weighted"] = ppjoin_weighted_oracle(
+        threshold_num=3, threshold_den=5
+    )
     from flink_example_spark.operators.dedup import fuzzy_word_pairs_oracle
 
     _typo_src = """(
@@ -2329,6 +2355,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.entity import resolve_entities_tokens_oracle
 
     out["entity_resolve_tokens"] = resolve_entities_tokens_oracle()
+    from flink_example_spark.operators.entity import resolve_entities_weighted_oracle
+
+    out["entity_resolve_weighted"] = resolve_entities_weighted_oracle()
     out["entity_record_links"] = record_links_oracle()
     from flink_example_spark.operators.entity import golden_records_oracle
 

@@ -375,6 +375,97 @@ def resolve_entities_tokens_oracle(
     """
 
 
+def resolve_entities_weighted(
+    records: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """TF-IDF-WEIGHTED token-set entity resolution: names match when their
+    weighted Jaccard (rarity weight ``length(bin(N div df))`` per token)
+    is >= threshold — the long-name matcher: a shared rare brand token
+    outweighs any amount of stopword overlap, where the unweighted
+    :func:`resolve_entities_tokens` dilutes it. Same scale order:
+    exact-group first, the EXACT weighted-PPJoin prefix join
+    (dedup.ppjoin_weighted_pairs) over the DISTINCT-name relation only,
+    then star-contraction components and the canonical min-id survivor.
+    """
+    from flink_example_spark.operators.dedup import ppjoin_weighted_pairs
+
+    g = (
+        records.select(
+            F.col(id_col).alias("__id"), _normalized(name_col).alias("nm")
+        )
+        .filter(F.col("nm") != "")
+        .groupBy("nm")
+        .agg(F.min("__id").alias("rep_id"), F.count(F.lit(1)).alias("n_rec"))
+        .localCheckpoint()
+    )
+    pairs = ppjoin_weighted_pairs(
+        g.select("rep_id", "nm"),
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        id_col="rep_id",
+        text_col="nm",
+    ).select(
+        F.least("id_a", "id_b").alias("doc_a"),
+        F.greatest("id_a", "id_b").alias("doc_b"),
+    ).distinct()
+    return _entity_table(g, pairs)
+
+
+def resolve_entities_weighted_oracle(
+    source: str = ABBREV_REGISTRY_SQL,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> str:
+    """Brute-force DuckDB twin of :func:`resolve_entities_weighted` —
+    exact because the weighted prefix filter has zero false negatives
+    (ppjoin_weighted_pairs' docstring argument), so the candidate join
+    EQUALS all-pairs weighted Jaccard at the threshold."""
+    tn, td = threshold_num, threshold_den
+    return f"""
+        WITH RECURSIVE g AS MATERIALIZED (
+          SELECT nm, MIN(id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_rec
+          FROM (SELECT id, {_DUCK_NORM_NAME} AS nm FROM {source})
+          WHERE nm <> '' GROUP BY nm
+        ),
+        dt AS MATERIALIZED (
+          SELECT DISTINCT rep_id AS d, t FROM (
+            SELECT rep_id, unnest(string_split_regex(nm, ' +')) AS t FROM g
+          ) WHERE t <> ''
+        ),
+        tot AS (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs FROM dt),
+        wts AS MATERIALIZED (
+          SELECT t, CAST(length(bin(n_docs // df)) AS BIGINT) AS w
+          FROM (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY t), tot
+        ),
+        ws AS MATERIALIZED (
+          SELECT d, CAST(SUM(w) AS BIGINT) AS tw
+          FROM dt JOIN wts USING (t) GROUP BY d
+        ),
+        iw AS MATERIALIZED (
+          SELECT a.d AS da, b.d AS db, CAST(SUM(wts.w) AS BIGINT) AS inter_w
+          FROM dt a JOIN dt b ON a.t = b.t AND a.d < b.d
+          JOIN wts ON wts.t = a.t
+          GROUP BY a.d, b.d
+        ),
+        pairs AS (
+          SELECT least(da, db) AS ra, greatest(da, db) AS rb
+          FROM iw JOIN ws wa ON wa.d = da JOIN ws wb ON wb.d = db
+          WHERE {td} * inter_w >= {tn} * (wa.tw + wb.tw - inter_w)
+        ),{_CLOSURE}
+        SELECT ag.cid AS canonical_id, cn.nm AS canonical_name,
+               ag.n_variants, ag.n_records
+        FROM (
+          SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_variants,
+                 CAST(SUM(n_rec) AS BIGINT) AS n_records
+          FROM ent GROUP BY cid
+        ) ag JOIN g cn ON cn.rep_id = ag.cid
+    """
+
+
 _INV = 999_999_999_999  # count inversion for the modal-value argmax key
 
 

@@ -105,3 +105,94 @@ def test_incremental_links_exact_fuzzy_new(spark):
         22: (22, "new"),
         23: (22, "new"),
     }
+
+
+def test_weighted_resolution_rare_token_dominates(spark):
+    """Both discriminating directions of the rarity weighting at the same
+    1/2 threshold: (a) two names sharing ONLY the rare token 'meridian'
+    (df=2 of N=6 -> w=2) merge weighted (2/4) but not unweighted (1/3);
+    (b) two names sharing three COMMON fillers but each carrying its own
+    unique heavy token stay split weighted (3/9) yet merge unweighted
+    (3/5)."""
+    from flink_example_spark.operators.entity import (
+        resolve_entities_tokens,
+        resolve_entities_weighted,
+    )
+
+    # N=6 names; weights: alpha/beta/gamma w=1 (common), meridian w=2
+    # (len(bin(6//2))), unicorn/dragon w=3 (len(bin(6)))
+    rows = [
+        (1, "meridian alpha"),
+        (2, "meridian beta"),
+        (3, "alpha beta gamma unicorn"),
+        (4, "alpha beta gamma dragon"),
+        (5, "alpha beta gamma"),
+        (6, "alpha gamma"),
+    ]
+    df = _records(spark, rows)
+    weighted = {
+        r["canonical_id"]: r["n_variants"]
+        for r in resolve_entities_weighted(df).collect()
+    }
+    unweighted = {
+        r["canonical_id"]: r["n_variants"]
+        for r in resolve_entities_tokens(df).collect()
+    }
+    # (a) rare-token pair merges weighted only
+    assert weighted[1] == 2
+    assert unweighted[1] == 1 and unweighted[2] == 1
+    # (b) 3~4 share only fillers: direct weighted pair rejected (they
+    # still join transitively through 5); unweighted merges 3~4 AND 3~6
+    # directly — check the direct pair evidence at the pair level
+    from flink_example_spark.operators.dedup import (
+        ppjoin_pairs,
+        ppjoin_weighted_pairs,
+    )
+
+    names = df.selectExpr("id as doc_id", "name as text")
+    wpairs = {
+        (r["id_a"], r["id_b"])
+        for r in ppjoin_weighted_pairs(names, 1, 2).collect()
+    }
+    upairs = {
+        (r["id_a"], r["id_b"]) for r in ppjoin_pairs(names, 1, 2).collect()
+    }
+    assert (3, 4) in upairs and (3, 4) not in wpairs
+    assert (1, 2) in wpairs and (1, 2) not in upairs
+
+
+def test_weighted_ppjoin_equals_bruteforce(spark):
+    """Zero false negatives: prefix-filtered candidates reproduce exactly
+    the all-pairs weighted-Jaccard result on a small corpus."""
+    import itertools
+
+    from flink_example_spark.operators.dedup import ppjoin_weighted_pairs
+
+    rows = [
+        (1, "quick brown fox jumps"),
+        (2, "quick brown fox leaps"),
+        (3, "lazy dog sleeps"),
+        (4, "lazy dog naps quietly"),
+        (5, "quick dog runs"),
+        (6, "brown fox"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter_w"], r["weight_a"], r["weight_b"])
+        for r in ppjoin_weighted_pairs(df, 2, 5).collect()
+    }
+    # brute force in python
+    toks = {i: set(t.split()) for i, t in rows}
+    n = len(rows)
+    df_t = {}
+    for s in toks.values():
+        for t in s:
+            df_t[t] = df_t.get(t, 0) + 1
+    w = {t: len(bin(n // d)) - 2 for t, d in df_t.items()}
+    expect = {}
+    for (a, b) in itertools.combinations(sorted(toks), 2):
+        iw = sum(w[t] for t in toks[a] & toks[b])
+        wa, wb = sum(w[t] for t in toks[a]), sum(w[t] for t in toks[b])
+        if 5 * iw >= 2 * (wa + wb - iw):
+            expect[(a, b)] = (iw, wa, wb)
+    assert got == expect
