@@ -1106,6 +1106,18 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .term_graph(_docs(spark, sf_dir), min_weight=2)
             .select(F.col("src").alias("a"), F.col("dst").alias("b")),
         ),
+        # HITS hubs & authorities over the DIRECTED precedence bigram
+        # graph: integer max-normalized power iteration, bit-exact
+        "graph_hits": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.graph", fromlist=["hits"]
+        ).hits(
+            __import__(
+                "flink_example_spark.operators.graph",
+                fromlist=["directed_term_graph"],
+            ).directed_term_graph(_docs(spark, sf_dir), min_weight=2),
+            n_iter=6,
+            weight_col="w",
+        ),
         # personalized PageRank: random-walk-with-restart relevance to
         # the 'spark' seed term over the co-occurrence graph
         "graph_ppr": lambda spark, sf_dir: __import__(
@@ -2883,6 +2895,12 @@ def _northstar_oracles() -> dict[str, str]:
     )
     out["streaming_assoc_rules"] = out["mining_assoc_rules"]
     out["graph_ppr"] = pagerank_oracle(term_graph_sql(2), n_iter=6, seeds=["spark"])
+    from flink_example_spark.operators.graph import (
+        directed_term_graph_sql,
+        hits_oracle,
+    )
+
+    out["graph_hits"] = hits_oracle(directed_term_graph_sql(2), n_iter=6)
     from flink_example_spark.operators.ml import (
         linear_fit_oracle,
         mad_outliers_oracle,

@@ -197,6 +197,211 @@ def pagerank_oracle(
     """
 
 
+def hits(
+    edges: DataFrame,
+    n_iter: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) as a deterministic integer
+    power iteration over a DIRECTED weighted graph: each round computes
+    ``h(u) = Σ_{u→v} w·a(v)`` then ``a(v) = Σ_{u→v} w·h(u)``, and
+    rescales both vectors back into micro-units by the ceil divisor
+    ``x div ((max + MICRO - 1) div MICRO)`` (two integer divisions, no
+    sqrt, no float — the max lands in [MICRO/2, MICRO] rather than
+    exactly MICRO, which preserves ranking and keeps every op 64-bit),
+    so any engine reproduces every score bit-for-bit.
+    Nodes without out-edges get hub 0; without in-edges authority 0.
+
+    Overflow bound: Σ w·score ≤ total_w · MICRO, so total edge weight must
+    stay below ~9e6 per in/out neighborhood times 1e12 — i.e. total
+    weighted degree < 2^63 / MICRO ≈ 9.2e6 per node, ample for term
+    graphs; shift MICRO down for heavier graphs.
+
+    Scale shape: identical to :func:`pagerank` — the edge relation is
+    shuffled once; each iteration joins the node-sized score relation and
+    aggregates per endpoint; the max is one scalar broadcast per half-step.
+
+    Output: ``(node, hub_micro, auth_micro, hub, auth)`` — doubles are the
+    single exactly-rounded divisions by 1e12.
+    """
+    w_expr = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    sc = edges.sparkSession.sparkContext
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w_expr.alias("w")
+        )
+        .repartition(sc.defaultParallelism, F.col("src"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    auth = nodes.select("node", F.lit(MICRO).cast("long").alias("a"))
+
+    def _rescaled(scores: DataFrame, col: str) -> DataFrame:
+        mx = scores.agg(F.max(col).alias("__mx"))
+        return (
+            scores.crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr(
+                    f"CASE WHEN __mx > 0 THEN {col} div ((__mx + {MICRO} - 1) div {MICRO})"
+                    f" ELSE 0 END"
+                )
+                .cast("long")
+                .alias(col),
+            )
+        )
+
+    for _ in range(n_iter):
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .select("src", (F.col("w") * F.col("a")).alias("__c"))
+            .groupBy("src")
+            .agg(F.sum("__c").alias("h"))
+        )
+        hub = _rescaled(
+            nodes.join(h_raw.withColumnRenamed("src", "node"), "node", "left")
+            .select("node", F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("h")),
+            "h",
+        ).localCheckpoint(eager=True)
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .select("dst", (F.col("w") * F.col("h")).alias("__c"))
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("a"))
+        )
+        auth = _rescaled(
+            nodes.join(a_raw.withColumnRenamed("dst", "node"), "node", "left")
+            .select("node", F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("a")),
+            "a",
+        ).localCheckpoint(eager=True)
+    return (
+        hub.join(auth, "node")
+        .select(
+            "node",
+            F.col("h").alias("hub_micro"),
+            F.col("a").alias("auth_micro"),
+            (F.col("h").cast("double") / F.lit(1e12)).alias("hub"),
+            (F.col("a").cast("double") / F.lit(1e12)).alias("auth"),
+        )
+    )
+
+
+def hits_oracle(edges_sql: str, n_iter: int = 6) -> str:
+    """DuckDB twin of :func:`hits`: the two half-steps unrolled as chained
+    MATERIALIZED CTEs (h{{i}}/a{{i}}), max-rescale as a scalar cross join.
+    ``edges_sql`` must yield (src, dst, w BIGINT)."""
+    resc = (
+        "CASE WHEN mx.m > 0 THEN s // ((mx.m + {M} - 1) // {M}) ELSE 0 END"
+    ).format(M=MICRO)
+    rounds = []
+    prev_a = "a0"
+    for i in range(n_iter):
+        rounds.append(
+            f"""hr{i + 1} AS MATERIALIZED (
+          SELECT n.node, CAST(COALESCE(c.s, 0) AS BIGINT) AS s
+          FROM nodes n LEFT JOIN (
+            SELECT e.src AS node, CAST(SUM(e.w * a.a) AS BIGINT) AS s
+            FROM e JOIN {prev_a} a ON e.dst = a.node GROUP BY 1
+          ) c ON n.node = c.node
+        ),
+        h{i + 1} AS MATERIALIZED (
+          SELECT node, CAST({resc} AS BIGINT) AS h
+          FROM hr{i + 1} CROSS JOIN (SELECT MAX(s) AS m FROM hr{i + 1}) mx
+        ),
+        ar{i + 1} AS MATERIALIZED (
+          SELECT n.node, CAST(COALESCE(c.s, 0) AS BIGINT) AS s
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, CAST(SUM(e.w * h.h) AS BIGINT) AS s
+            FROM e JOIN h{i + 1} h ON e.src = h.node GROUP BY 1
+          ) c ON n.node = c.node
+        ),
+        a{i + 1} AS MATERIALIZED (
+          SELECT node, CAST({resc} AS BIGINT) AS a
+          FROM ar{i + 1} CROSS JOIN (SELECT MAX(s) AS m FROM ar{i + 1}) mx
+        )"""
+        )
+        prev_a = f"a{i + 1}"
+    chain = ",\n        ".join(rounds)
+    return f"""
+        WITH e AS MATERIALIZED ({edges_sql}),
+        nodes AS MATERIALIZED (
+          SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e
+        ),
+        a0 AS MATERIALIZED (
+          SELECT node, CAST({MICRO} AS BIGINT) AS a FROM nodes
+        ),
+        {chain}
+        SELECT h.node, h.h AS hub_micro, a.a AS auth_micro,
+               CAST(h.h AS DOUBLE) / 1e12 AS hub,
+               CAST(a.a AS DOUBLE) / 1e12 AS auth
+        FROM h{n_iter} h JOIN a{n_iter} a USING (node)
+    """
+
+
+def directed_term_graph(
+    documents: DataFrame,
+    min_weight: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DIRECTED adjacent-bigram graph: edge a→b with weight = corpus count
+    of token a immediately preceding token b (order preserved, unlike
+    :func:`term_graph`'s symmetrized edges) — the precedence graph HITS
+    scores: hubs are terms that lead into important terms, authorities
+    terms that many lead-ins point at."""
+    from flink_example_spark.operators.text import normalized, tokens
+
+    toks = documents.select(
+        tokens(normalized(F.col(text_col))).alias("__t")
+    ).filter(F.size("__t") >= 2)
+    bigrams = (
+        toks.select(
+            F.col("__t"),
+            F.explode(F.sequence(F.lit(1), F.size("__t") - 1)).alias("__i"),
+        )
+        .select(
+            F.element_at("__t", F.col("__i")).alias("a"),
+            F.element_at("__t", F.col("__i") + 1).alias("b"),
+        )
+        .filter((F.col("a") != "") & (F.col("b") != "") & (F.col("a") != F.col("b")))
+    )
+    return (
+        bigrams.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .filter(F.col("w") >= min_weight)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+    )
+
+
+def directed_term_graph_sql(min_weight: int = 2) -> str:
+    """DuckDB twin of :func:`directed_term_graph`."""
+    from flink_example_spark.operators.text import _DUCK_NORM
+
+    return f"""
+        SELECT a AS src, b AS dst, CAST(COUNT(*) AS BIGINT) AS w
+        FROM (
+          SELECT unnest(list_slice(l, 1, len(l) - 1)) AS a,
+                 unnest(list_slice(l, 2, len(l))) AS b
+          FROM (
+            SELECT string_split_regex({_DUCK_NORM}, '\\s+') AS l
+            FROM documents
+          ) WHERE len(l) >= 2
+        ) WHERE a <> '' AND b <> '' AND a <> b
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_weight}
+    """
+
+
 def term_graph(
     documents: DataFrame,
     min_weight: int = 2,

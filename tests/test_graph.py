@@ -299,3 +299,23 @@ def test_modularity_single_community_is_zero(spark):
 
     row = modularity(e, labels).first()
     assert row["q_num"] == 0 and row["modularity"] == 0.0
+
+
+def test_hits_star_hub_and_authority(spark):
+    """One spoke node pointing at all others: it is the unique max hub;
+    targets share max authority; pure sinks have hub 0."""
+    from flink_example_spark.operators.graph import MICRO, hits
+
+    edges = spark.createDataFrame(
+        [("s", "a", 1), ("s", "b", 1), ("s", "c", 1), ("a", "b", 1)],
+        "src string, dst string, w long",
+    )
+    r = {x["node"]: (x["hub_micro"], x["auth_micro"]) for x in hits(edges, n_iter=4).collect()}
+    # rescale is ceil-divisor (max bounded by MICRO, within a factor of 2)
+    assert MICRO // 2 <= r["s"][0] <= MICRO          # unique max hub
+    assert r["s"][0] > r["a"][0]
+    assert MICRO // 2 <= r["b"][1] <= MICRO          # two in-edges: max authority
+    assert r["b"][1] > r["a"][1] > 0
+    assert r["b"][0] == 0 and r["c"][0] == 0         # sinks: no out-edges
+    assert r["s"][1] == 0                            # nothing points at s
+    assert 0 < r["a"][0] < r["s"][0]
