@@ -1467,6 +1467,15 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_nb_language": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.ml", fromlist=["nb_language_classifier"]
         ).nb_language_classifier(_docs(spark, sf_dir)),
+        # integer batch perceptron (iterative linear classifier, bit-exact
+        # weight trajectory): final weights + last-round training misses
+        "ml_perceptron": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["perceptron_train"]
+        ).perceptron_train(_docs(spark, sf_dir), n_rounds=6),
+        # its held-out confusion matrix (sign(w.x) on doc_id % 5 == 0)
+        "ml_perceptron_confusion": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["perceptron_confusion"]
+        ).perceptron_confusion(_docs(spark, sf_dir), n_rounds=6),
         # Flink-CEP pattern parity: ordered funnels + count-burst alerts
         "cep_funnel": cep_funnel_entry,
         # first-order Markov transition matrix over event sequences
@@ -3000,6 +3009,13 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import nb_language_oracle
 
     out["ml_nb_language"] = nb_language_oracle()
+    from flink_example_spark.operators.ml import (
+        perceptron_confusion_oracle,
+        perceptron_train_oracle,
+    )
+
+    out["ml_perceptron"] = perceptron_train_oracle(n_rounds=6)
+    out["ml_perceptron_confusion"] = perceptron_confusion_oracle(n_rounds=6)
     # stateless serving converges to the batch classifier relation
     out["streaming_nb_inference"] = out["ml_nb_language"]
     out["ml_nb_confusion"] = f"""

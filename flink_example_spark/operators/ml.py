@@ -2292,3 +2292,244 @@ def feature_importance_oracle(
                     AS BIGINT) AS rank
         FROM ({union})
     """
+
+
+# ---------------------------------------------------------------------------
+# Integer batch perceptron — an iterative linear CLASSIFIER trained wholly
+# in 64-bit integer arithmetic (the learner sibling of graph.pagerank /
+# similarity.pca_power: data-sized work per round is one join + one
+# aggregation; the model relation is dimension-sized).
+
+
+def _perceptron_feats(
+    documents: DataFrame, holdout_mod: int, train: bool
+) -> DataFrame:
+    """(id, y, j, x) exploded integer feature relation for the lang=='en'
+    task: bias, token count, n_chars div 8, count of 'the', distinct
+    tokens. All BIGINT; label y = +1 for 'en' else -1; split on
+    ``doc_id % holdout_mod``."""
+    from flink_example_spark.operators.text import normalized, tokens
+
+    tok = documents.select(
+        F.col("doc_id").alias("id"),
+        F.explode(tokens(normalized(F.col("text")))).alias("t"),
+    ).filter(F.col("t") != "")
+    ta = tok.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.when(F.col("t") == "the", 1).otherwise(0)).alias("n_the"),
+        F.countDistinct("t").alias("n_dist"),
+    )
+    keep = (
+        (F.col("doc_id") % holdout_mod != 0)
+        if train
+        else (F.col("doc_id") % holdout_mod == 0)
+    )
+    base = (
+        documents.filter(keep)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.when(F.col("lang") == "en", 1).otherwise(-1).cast("long").alias("y"),
+            F.expr("CAST(n_chars AS BIGINT) div 8").alias("nc8"),
+        )
+        .join(ta, "id", "left")
+        .select(
+            "id",
+            "y",
+            F.array(
+                F.lit(1).cast("long"),
+                F.coalesce("n_tok", F.lit(0)).cast("long"),
+                F.col("nc8"),
+                F.coalesce("n_the", F.lit(0)).cast("long"),
+                F.coalesce("n_dist", F.lit(0)).cast("long"),
+            ).alias("__xs"),
+        )
+    )
+    return base.select(
+        "id", "y", F.posexplode("__xs").alias("j", "x")
+    )
+
+
+def perceptron_train(
+    documents: DataFrame, n_rounds: int = 6, holdout_mod: int = 5
+) -> DataFrame:
+    """Batch perceptron over integer document features: each round scores
+    every training row with the current weights (one broadcast join + one
+    per-row sum), collects the misclassified set (margin ``y·(w·x) <= 0``),
+    and adds ``Σ y·x`` over it to the weights — the classic batch update,
+    with NO learning rate (perceptron updates are scale-free). Everything
+    is BIGINT: features are counts, weights integer sums of counts, margins
+    integer dot products — any engine reproduces the trajectory bit-for-
+    bit (overflow bound: |w| grows ≤ rounds·Σ|x| ≈ 1e6-ish per feature at
+    harness scale; margins ≤ dims·|w|·|x| ≪ 2^63).
+
+    Output: ``(j, weight, n_miss)`` — the final weight per feature index
+    plus the final round's misclassified count (the training-error
+    signal), dimension-sized.
+
+    Scale: the exploded feature relation shuffles once (checkpointed);
+    each round is one broadcast-weights join + id-grouped margin sum +
+    one dimension-sized aggregation — the Pregel shape, n_rounds barriers.
+    """
+    feats = _perceptron_feats(documents, holdout_mod, train=True).localCheckpoint()
+    spark = documents.sparkSession
+    dims = feats.select("j").distinct()
+    w = dims.select("j", F.lit(0).cast("long").alias("w"))
+    n_miss_col = None
+    for _ in range(n_rounds):
+        margins = (
+            feats.join(F.broadcast(w), "j")
+            .groupBy("id", "y")
+            .agg(F.sum(F.col("w") * F.col("x")).alias("m"))
+            .filter(F.col("y") * F.col("m") <= 0)
+            .select("id", "y")
+        )
+        delta = (
+            feats.join(margins.select("id"), "id", "left_semi")
+            .groupBy("j")
+            .agg(F.sum(F.col("y") * F.col("x")).alias("d"))
+        )
+        n_miss = margins.agg(F.count(F.lit(1)).alias("n_miss"))
+        w = (
+            w.join(delta, "j", "left")
+            .select(
+                "j",
+                (F.col("w") + F.coalesce(F.col("d"), F.lit(0)))
+                .cast("long")
+                .alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_miss_col = n_miss
+    return w.crossJoin(F.broadcast(n_miss_col)).select(
+        "j", F.col("w").alias("weight"), F.col("n_miss").cast("long").alias("n_miss")
+    )
+
+
+def perceptron_confusion(
+    documents: DataFrame, n_rounds: int = 6, holdout_mod: int = 5
+) -> DataFrame:
+    """Held-out confusion matrix of the trained perceptron: prediction is
+    ``sign(w·x)`` (margin 0 predicts -1, deterministically). Output:
+    ``(pred, truth, n)`` — at most 4 rows of BIGINTs."""
+    w = perceptron_train(documents, n_rounds, holdout_mod).select(
+        "j", F.col("weight").alias("w")
+    )
+    feats = _perceptron_feats(documents, holdout_mod, train=False)
+    scored = (
+        feats.join(F.broadcast(w), "j")
+        .groupBy("id", "y")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("m"))
+    )
+    return (
+        scored.select(
+            F.when(F.col("m") > 0, 1).otherwise(-1).cast("long").alias("pred"),
+            F.col("y").alias("truth"),
+        )
+        .groupBy("pred", "truth")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+_PERC_FEATS_SQL = """
+        tok AS MATERIALIZED (
+          SELECT doc_id AS id, t FROM (
+            SELECT doc_id, unnest(string_split_regex({norm}, '\\s+')) AS t
+            FROM documents
+          ) WHERE t <> ''
+        ),
+        ta AS MATERIALIZED (
+          SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+                 CAST(SUM(CASE WHEN t = 'the' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_the,
+                 CAST(COUNT(DISTINCT t) AS BIGINT) AS n_dist
+          FROM tok GROUP BY id
+        ),
+        base{tag} AS MATERIALIZED (
+          SELECT d.doc_id AS id,
+                 CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+                 [CAST(1 AS BIGINT), COALESCE(n_tok, 0),
+                  CAST(n_chars AS BIGINT) // 8, COALESCE(n_the, 0),
+                  COALESCE(n_dist, 0)] AS xs
+          FROM documents d LEFT JOIN ta ON ta.id = d.doc_id
+          WHERE d.doc_id % {hm} {op} 0
+        ),
+        feats{tag} AS MATERIALIZED (
+          SELECT id, y, CAST(j - 1 AS INT) AS j, x FROM (
+            SELECT id, y, unnest(xs) AS x,
+                   generate_subscripts(xs, 1) AS j
+            FROM base{tag}
+          )
+        )"""
+
+
+def _perceptron_rounds_sql(n_rounds: int) -> str:
+    rounds = []
+    for t in range(1, n_rounds + 1):
+        rounds.append(f"""miss{t} AS MATERIALIZED (
+          SELECT f.id, f.y FROM feats_tr f JOIN w{t - 1} w USING (j)
+          GROUP BY f.id, f.y HAVING f.y * SUM(w.w * f.x) <= 0
+        ),
+        w{t} AS MATERIALIZED (
+          SELECT w.j, CAST(w.w + COALESCE(d.s, 0) AS BIGINT) AS w
+          FROM w{t - 1} w LEFT JOIN (
+            SELECT f.j, CAST(SUM(f.y * f.x) AS BIGINT) AS s
+            FROM feats_tr f JOIN miss{t} m USING (id) GROUP BY f.j
+          ) d ON d.j = w.j
+        )""")
+    return ",\n        ".join(rounds)
+
+
+def perceptron_train_oracle(n_rounds: int = 6, holdout_mod: int = 5) -> str:
+    """DuckDB twin of :func:`perceptron_train` — the batch updates unrolled
+    as MATERIALIZED CTEs, all BIGINT."""
+    from flink_example_spark.operators.text import _DUCK_NORM
+
+    feats = _PERC_FEATS_SQL.format(norm=_DUCK_NORM, hm=holdout_mod, op="<>", tag="_tr")
+    return f"""
+        WITH {feats},
+        w0 AS (SELECT DISTINCT j, CAST(0 AS BIGINT) AS w FROM feats_tr),
+        {_perceptron_rounds_sql(n_rounds)}
+        SELECT w.j, w.w AS weight,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM miss{n_rounds}) AS n_miss
+        FROM w{n_rounds} w
+    """
+
+
+def perceptron_confusion_oracle(n_rounds: int = 6, holdout_mod: int = 5) -> str:
+    """DuckDB twin of :func:`perceptron_confusion`."""
+    from flink_example_spark.operators.text import _DUCK_NORM
+
+    feats_tr = _PERC_FEATS_SQL.format(
+        norm=_DUCK_NORM, hm=holdout_mod, op="<>", tag="_tr"
+    )
+    # the holdout split reuses tok/ta from the train CTE chain: only the
+    # base/feats pair differs
+    return f"""
+        WITH {feats_tr},
+        base_ho AS MATERIALIZED (
+          SELECT d.doc_id AS id,
+                 CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+                 [CAST(1 AS BIGINT), COALESCE(n_tok, 0),
+                  CAST(n_chars AS BIGINT) // 8, COALESCE(n_the, 0),
+                  COALESCE(n_dist, 0)] AS xs
+          FROM documents d LEFT JOIN ta ON ta.id = d.doc_id
+          WHERE d.doc_id % {holdout_mod} = 0
+        ),
+        feats_ho AS MATERIALIZED (
+          SELECT id, y, CAST(j - 1 AS INT) AS j, x FROM (
+            SELECT id, y, unnest(xs) AS x,
+                   generate_subscripts(xs, 1) AS j
+            FROM base_ho
+          )
+        ),
+        w0 AS (SELECT DISTINCT j, CAST(0 AS BIGINT) AS w FROM feats_tr),
+        {_perceptron_rounds_sql(n_rounds)},
+        scored AS (
+          SELECT f.id, f.y, CAST(SUM(w.w * f.x) AS BIGINT) AS m
+          FROM feats_ho f JOIN w{n_rounds} w USING (j)
+          GROUP BY f.id, f.y
+        )
+        SELECT CAST(CASE WHEN m > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+               y AS truth, CAST(COUNT(*) AS BIGINT) AS n
+        FROM scored GROUP BY 1, 2
+    """

@@ -465,3 +465,27 @@ def test_conformal_quantile_rank_and_coverage(spark):
     # alpha=0.1 -> k = ceil(21*0.9) = 19; with <=3 outliers qhat is tiny
     # or an outlier depending on rank — either way coverage >= 0.9
     assert r["n_covered"] >= 18
+
+
+def test_perceptron_converges_on_separable_data(spark):
+    """Planted linearly-separable corpus (en docs are long, others short):
+    the batch perceptron must reach zero training misses (the perceptron
+    convergence theorem) and a diagonal holdout confusion."""
+    from flink_example_spark.operators.ml import (
+        perceptron_confusion,
+        perceptron_train,
+    )
+
+    rows = []
+    for i in range(40):
+        en = i % 2 == 0
+        text = ("spark query engine data table " * (8 if en else 1)).strip()
+        rows.append((i, text, "en" if en else "de", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    w = {r["j"]: (r["weight"], r["n_miss"]) for r in perceptron_train(df, n_rounds=8).collect()}
+    assert all(m == 0 for (_, m) in w.values())
+    conf = {(r["pred"], r["truth"]): r["n"] for r in perceptron_confusion(df, n_rounds=8).collect()}
+    assert conf.get((1, -1), 0) == 0 and conf.get((-1, 1), 0) == 0
+    assert conf[(1, 1)] > 0 and conf[(-1, -1)] > 0
