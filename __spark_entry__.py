@@ -1926,6 +1926,18 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.timeseries_stream",
             fromlist=["run_streaming_session_stats"],
         ).run_streaming_session_stats(spark, sf_dir),
+        # Theil-Sen robust trend: median of daily pairwise slopes +
+        # median-residual intercept (29% breakdown point vs OLS)
+        "timeseries_theilsen": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries", fromlist=["theil_sen"]
+        ).theil_sen(
+            __import__(
+                "flink_example_spark.plans.events_demo", fromlist=["load_events"]
+            ).load_events(spark, sf_dir),
+            "event_type",
+            "ts",
+            "value",
+        ),
         # rolling-median robust smoother (rank self-join, exact
         # interpolated median per +/-3-row window)
         "timeseries_rolling_median": lambda spark, sf_dir: __import__(
@@ -3499,6 +3511,11 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["timeseries_rolling_median"] = rolling_median_oracle(
         "events", "event_type", "ts", "value", "event_id"
+    )
+    from flink_example_spark.operators.timeseries import theil_sen_oracle
+
+    out["timeseries_theilsen"] = theil_sen_oracle(
+        "events", "event_type", "ts", "value"
     )
     out["timeseries_ewma"] = ewma_oracle(
         "events", "user_id", "ts", "value", "event_id"

@@ -1469,3 +1469,106 @@ def survival_table_oracle(
                  AS DOUBLE) / 1e6 AS cum_hazard
         FROM risked
     """
+
+
+def theil_sen(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Theil–Sen robust trend per key: the median of all pairwise slopes
+    ``(v_j - v_i) / (day_j - day_i)`` over the DAILY-bucketed series, plus
+    the median-residual intercept — the estimator with a 29% breakdown
+    point that shrugs off the outliers OLS (ml.linear_fit) chases.
+
+    The daily pre-bucketing (MAX per day — comparison-only, portable on
+    raw doubles) bounds the quadratic pair stage: n_days² pairs per key,
+    never n_obs². Every slope is one exactly-rounded double division on
+    exactly-rounded subtractions, and both medians use the same
+    interpolated-percentile device as :func:`rolling_median`
+    (F.percentile ↔ QUANTILE_CONT) — cross-engine identical.
+
+    Output: ``(key, n_days, slope_per_day, intercept)``.
+
+    Scale: one hash-agg to days, one bounded per-key self-join (days²),
+    two percentile aggregations. Keys parallelize independently; for
+    multi-year series bucket to weeks before widening the pair window.
+    """
+    day_us = 86_400_000_000
+    daily = (
+        _obs(df, key_col, ts_col, value_col)
+        .withColumn("day", F.expr(f"us div {day_us}"))
+        .groupBy("key", "day")
+        .agg(F.max("v").alias("v"))
+        .localCheckpoint()  # pairs (both sides) + residual join
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(b, (F.col("a.key") == F.col("b.key")) & (F.col("a.day") < F.col("b.day")))
+        .select(
+            F.col("a.key").alias("key"),
+            (
+                (F.col("b.v") - F.col("a.v"))
+                / (F.col("b.day") - F.col("a.day")).cast("double")
+            ).alias("s"),
+        )
+        .groupBy("key")
+        .agg(F.percentile(F.col("s"), F.lit(0.5)).alias("slope"))
+    )
+    resid = (
+        daily.join(slopes, "key")
+        .select(
+            "key",
+            "slope",
+            (F.col("v") - F.col("slope") * F.col("day").cast("double")).alias("r"),
+        )
+        .groupBy("key", "slope")
+        .agg(
+            F.percentile(F.col("r"), F.lit(0.5)).alias("intercept"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+    return resid.select(
+        "key",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("slope").alias("slope_per_day"),
+        "intercept",
+    )
+
+
+def theil_sen_oracle(
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`theil_sen`."""
+    day_us = 86_400_000_000
+    return f"""
+        WITH obs AS MATERIALIZED (
+          SELECT {key_col} AS key, epoch_us({ts_col}) // {day_us} AS day,
+                 MAX(v) AS v
+          FROM (
+            SELECT {key_col}, {ts_col}, epoch_us({ts_col}) AS us,
+                   {value_col} AS v
+            FROM {table} WHERE {value_col} IS NOT NULL
+          ) GROUP BY 1, 2
+        ),
+        daily AS MATERIALIZED (
+          SELECT key, day, MAX(v) AS v FROM obs GROUP BY 1, 2
+        ),
+        slopes AS MATERIALIZED (
+          SELECT a.key,
+                 QUANTILE_CONT((b.v - a.v) / CAST(b.day - a.day AS DOUBLE), 0.5)
+                   AS slope
+          FROM daily a JOIN daily b ON a.key = b.key AND a.day < b.day
+          GROUP BY a.key
+        )
+        SELECT d.key, CAST(COUNT(*) AS BIGINT) AS n_days,
+               s.slope AS slope_per_day,
+               QUANTILE_CONT(d.v - s.slope * CAST(d.day AS DOUBLE), 0.5)
+                 AS intercept
+        FROM daily d JOIN slopes s ON s.key = d.key
+        GROUP BY d.key, s.slope
+    """

@@ -331,3 +331,21 @@ def test_survival_table_hand_checked(spark):
     assert out[30]["c_censored"] == 1 and out[30]["d_events"] == 0
     assert out[0]["na_cum_micro"] == 250_000
     assert out[2]["na_cum_micro"] == 250_000 + (2 * 1_000_000) // 3
+
+
+def test_theil_sen_ignores_outlier_ols_chases(spark):
+    """A clean unit-slope daily series with one wild spike: Theil-Sen
+    recovers slope 1.0 exactly; the median-residual intercept recovers 0."""
+    from datetime import datetime, timezone
+
+    from flink_example_spark.operators.timeseries import theil_sen
+
+    rows = []
+    for d in range(11):
+        v = 1000.0 if d == 5 else float(d)
+        rows.append(("k", datetime(2024, 1, 1 + d, tzinfo=timezone.utc), v))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    r = theil_sen(df).collect()[0]
+    assert r["n_days"] == 11
+    assert r["slope_per_day"] == 1.0
+    assert r["intercept"] + r["slope_per_day"] * 19723 == 0.0  # day index of 2024-01-01
