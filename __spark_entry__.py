@@ -1467,6 +1467,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_nb_language": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.ml", fromlist=["nb_language_classifier"]
         ).nb_language_classifier(_docs(spark, sf_dir)),
+        # isotonic regression per key (exact PAVA min-max closed form:
+        # quantized prefix sums + two running-extreme windows)
+        "ml_isotonic": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["isotonic_fit"]
+        ).isotonic_fit(_events(spark, sf_dir)),
         # integer batch perceptron (iterative linear classifier, bit-exact
         # weight trajectory): final weights + last-round training misses
         "ml_perceptron": lambda spark, sf_dir: __import__(
@@ -3027,6 +3032,9 @@ def _northstar_oracles() -> dict[str, str]:
     )
 
     out["ml_perceptron"] = perceptron_train_oracle(n_rounds=6)
+    from flink_example_spark.operators.ml import isotonic_fit_oracle
+
+    out["ml_isotonic"] = isotonic_fit_oracle("events", "event_type", "ts", "value")
     out["ml_perceptron_confusion"] = perceptron_confusion_oracle(n_rounds=6)
     # stateless serving converges to the batch classifier relation
     out["streaming_nb_inference"] = out["ml_nb_language"]

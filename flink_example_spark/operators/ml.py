@@ -2533,3 +2533,137 @@ def perceptron_confusion_oracle(n_rounds: int = 6, holdout_mod: int = 5) -> str:
                y AS truth, CAST(COUNT(*) AS BIGINT) AS n
         FROM scored GROUP BY 1, 2
     """
+
+
+def isotonic_fit(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Isotonic (monotone nondecreasing) regression per key over the
+    daily series, via the exact min-max closed form of PAVA:
+    ``fit_i = max_{j<=i} min_{k>=i} avg(y_j..y_k)`` — no sequential
+    pool-adjacent loop, just one bounded self-join and two running
+    window passes, so the whole fit is a Catalyst plan.
+
+    Portability (CLAUDE.md quantize-before-cumsum): values quantize to
+    1e6-scaled BIGINTs BEFORE the prefix sums (window cumsums over
+    doubles are segment-tree-ordered in DuckDB — not portable; integer
+    sums are exact in any order). Each range average is then ONE double
+    division ``(S_k - S_{j-1}) / ((k-j+1)·1e6)``; running MIN/MAX are
+    comparisons. Bit-identical across engines.
+
+    Output: ``(key, day, v, fit)`` — fit is the isotonic value in
+    original units.
+
+    Scale: n_days² pairs per key (the daily bucketing bounds n); keys
+    parallelize independently. For long series, fit per segment and
+    stitch, or bucket coarser.
+    """
+    day_us = 86_400_000_000
+    w_ord = Window.partitionBy("key").orderBy("day")
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {day_us}").alias("day"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .groupBy("key", "day")
+        .agg(F.max("v").alias("v"))
+        .withColumn("vq", F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5)).cast("long"))
+        .withColumn("rn", F.row_number().over(w_ord))
+        .withColumn(
+            "s",
+            F.sum("vq").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .localCheckpoint()
+    )
+    a = daily.select(
+        "key",
+        F.col("rn").alias("j"),
+        (F.col("s") - F.col("vq")).alias("s_prev"),
+    )
+    b = daily.select(
+        "key", F.col("rn").alias("k"), F.col("day").alias("day_k"),
+        F.col("v").alias("v_k"), F.col("s").alias("s_k"),
+    )
+    pairs = a.join(b, "key").filter(F.col("k") >= F.col("j")).select(
+        "key",
+        "j",
+        "k",
+        "day_k",
+        "v_k",
+        (
+            (F.col("s_k") - F.col("s_prev")).cast("double")
+            / ((F.col("k") - F.col("j") + 1).cast("double") * F.lit(1e6))
+        ).alias("a_jk"),
+    )
+    w_min = (
+        Window.partitionBy("key", "j")
+        .orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = pairs.withColumn("m", F.min("a_jk").over(w_min))
+    w_max = (
+        Window.partitionBy("key", "k")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fit = (
+        m.withColumn("fit", F.max("m").over(w_max))
+        .filter(F.col("j") == F.col("k"))
+        .select("key", F.col("day_k").alias("day"), F.col("v_k").alias("v"), "fit")
+    )
+    return fit
+
+
+def isotonic_fit_oracle(
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`isotonic_fit` (same quantized prefix sums,
+    same two running-extreme windows)."""
+    day_us = 86_400_000_000
+    return f"""
+        WITH daily AS MATERIALIZED (
+          SELECT key, day, v,
+                 CAST(floor(v * 1e6 + 0.5) AS BIGINT) AS vq,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY key ORDER BY day)
+                      AS BIGINT) AS rn
+          FROM (
+            SELECT {key_col} AS key, epoch_us({ts_col}) // {day_us} AS day,
+                   MAX(CAST({value_col} AS DOUBLE)) AS v
+            FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
+          )
+        ),
+        pref AS MATERIALIZED (
+          SELECT key, day, v, vq, rn,
+                 CAST(SUM(vq) OVER (PARTITION BY key ORDER BY rn
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+          FROM daily
+        ),
+        pairs AS MATERIALIZED (
+          SELECT a.key, a.rn AS j, b.rn AS k, b.day AS day_k, b.v AS v_k,
+                 CAST(b.s - (a.s - a.vq) AS DOUBLE)
+                   / (CAST(b.rn - a.rn + 1 AS DOUBLE) * 1e6) AS a_jk
+          FROM pref a JOIN pref b ON a.key = b.key AND b.rn >= a.rn
+        ),
+        mm AS MATERIALIZED (
+          SELECT key, j, k, day_k, v_k,
+                 MIN(a_jk) OVER (PARTITION BY key, j ORDER BY k DESC
+                      ROWS UNBOUNDED PRECEDING) AS m
+          FROM pairs
+        )
+        SELECT key, day_k AS day, v_k AS v, fit FROM (
+          SELECT key, j, k, day_k, v_k,
+                 MAX(m) OVER (PARTITION BY key, k ORDER BY j
+                      ROWS UNBOUNDED PRECEDING) AS fit
+          FROM mm
+        ) WHERE j = k
+    """

@@ -489,3 +489,40 @@ def test_perceptron_converges_on_separable_data(spark):
     conf = {(r["pred"], r["truth"]): r["n"] for r in perceptron_confusion(df, n_rounds=8).collect()}
     assert conf.get((1, -1), 0) == 0 and conf.get((-1, 1), 0) == 0
     assert conf[(1, 1)] > 0 and conf[(-1, -1)] > 0
+
+
+def test_isotonic_matches_pava_reference(spark):
+    """The min-max closed form equals classic pool-adjacent-violators on
+    a hand series, is monotone, and preserves the mean."""
+    from datetime import datetime, timezone
+
+    from flink_example_spark.operators.ml import isotonic_fit
+
+    ys = [1.0, 3.0, 2.0, 2.0, 5.0, 4.0]
+
+    def pava(y):
+        # classic PAVA reference implementation
+        blocks = [[v, 1] for v in y]
+        i = 0
+        while i < len(blocks) - 1:
+            if blocks[i][0] / blocks[i][1] > blocks[i + 1][0] / blocks[i + 1][1]:
+                blocks[i][0] += blocks[i + 1][0]
+                blocks[i][1] += blocks[i + 1][1]
+                del blocks[i + 1]
+                i = max(i - 1, 0)
+            else:
+                i += 1
+        out = []
+        for s, n in blocks:
+            out.extend([s / n] * n)
+        return out
+
+    rows = [
+        ("k", datetime(2024, 1, 1 + d, tzinfo=timezone.utc), v)
+        for d, v in enumerate(ys)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = [r["fit"] for r in isotonic_fit(df).orderBy("day").collect()]
+    assert got == pava(ys)
+    assert all(a <= b for a, b in zip(got, got[1:]))
+    assert abs(sum(got) - sum(ys)) < 1e-9
