@@ -1269,6 +1269,20 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c_mktsegment",
             l=3,
         ),
+        # functional-dependency discovery over candidate lhs -> rhs
+        # pairs: violating-group counts + worst fan-out, exact verdict
+        "quality_fd_profile": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.quality", fromlist=["fd_profile"]
+        ).fd_profile(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "orders"),
+            [
+                ("o_orderkey", "o_custkey"),
+                ("o_custkey", "o_orderpriority"),
+                ("o_custkey", "o_orderstatus"),
+            ],
+        ),
         "quality_k_anonymity": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.quality", fromlist=["k_anonymity"]
         ).k_anonymity(
@@ -3176,6 +3190,16 @@ def _northstar_oracles() -> dict[str, str]:
     )
     out["quality_k_anonymity"] = k_anonymity_oracle(
         "customer", ["c_mktsegment", "c_nationkey"], k=5
+    )
+    from flink_example_spark.operators.quality import fd_profile_oracle
+
+    out["quality_fd_profile"] = fd_profile_oracle(
+        "orders",
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_custkey", "o_orderstatus"),
+        ],
     )
     from flink_example_spark.operators.timeseries import seasonal_naive_oracle
 

@@ -441,3 +441,64 @@ def l_diversity_oracle(
                CAST(MIN(ndist) AS BIGINT) AS min_diversity
         FROM g
     """
+
+
+def fd_profile(
+    df: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency profiling (the metadata-discovery pass a
+    warehouse runs before declaring constraints): for each candidate
+    ``lhs -> rhs``, count determinant groups, groups violating the
+    dependency (more than one distinct rhs), and the worst fan-out.
+    ``holds`` is the exact FD verdict. Output one row per candidate:
+    ``(lhs, rhs, n_groups, n_violating, max_rhs_distinct, holds)``.
+
+    Scale: one map-side-combined (lhs, rhs) distinct aggregation per
+    candidate (config-sized list), nothing row-sized beyond the grouped
+    shuffles; candidates are independent Catalyst subplans unioned at
+    the end.
+    """
+    outs = []
+    for lhs, rhs in pairs:
+        per_group = (
+            df.select(F.col(lhs).alias("__l"), F.col(rhs).alias("__r"))
+            .distinct()
+            .groupBy("__l")
+            .agg(F.count(F.lit(1)).alias("__nd"))
+        )
+        outs.append(
+            per_group.agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0)).alias("n_violating"),
+                F.max("__nd").alias("max_rhs_distinct"),
+            ).select(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.col("n_groups").cast("long").alias("n_groups"),
+                F.col("n_violating").cast("long").alias("n_violating"),
+                F.col("max_rhs_distinct").cast("long").alias("max_rhs_distinct"),
+                (F.col("n_violating") == 0).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def fd_profile_oracle(table: str, pairs: list[tuple[str, str]]) -> str:
+    """DuckDB twin of :func:`fd_profile`."""
+    parts = []
+    for lhs, rhs in pairs:
+        parts.append(f"""
+        SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violating,
+               CAST(MAX(nd) AS BIGINT) AS max_rhs_distinct,
+               SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        FROM (
+          SELECT {lhs} AS l, CAST(COUNT(*) AS BIGINT) AS nd
+          FROM (SELECT DISTINCT {lhs}, {rhs} FROM {table}) GROUP BY 1
+        )""")
+    return " UNION ALL ".join(parts)
