@@ -1368,6 +1368,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.ml_stream",
             fromlist=["run_streaming_nb_inference"],
         ).run_streaming_nb_inference(spark, sf_dir),
+        # frozen integer perceptron served over the holdout stream:
+        # stateless per-batch sign(w.x); converges to the batch confusion
+        "streaming_perceptron_inference": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.ml_stream",
+            fromlist=["run_streaming_perceptron_inference"],
+        ).run_streaming_perceptron_inference(spark, sf_dir),
         # two-feature OLS (chars ~ tokens + distinct tokens) by Cramer
         # over the 3x3 normal equations — exact integer stats, fixed
         # double solve
@@ -3052,6 +3058,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["ml_perceptron_confusion"] = perceptron_confusion_oracle(n_rounds=6)
     # stateless serving converges to the batch classifier relation
     out["streaming_nb_inference"] = out["ml_nb_language"]
+    out["streaming_perceptron_inference"] = out["ml_perceptron_confusion"]
     out["ml_nb_confusion"] = f"""
         SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
         FROM ({nb_language_oracle()}) GROUP BY true_label, pred_label

@@ -279,3 +279,66 @@ def run_streaming_stump_inference(
         )
         q.awaitTermination()
     return spark.table(name).select("side", "n", "n_pos")
+
+
+def run_streaming_perceptron_inference(
+    spark: "SparkSession", sf_dir: str, chunks: int = 3
+) -> "DataFrame":
+    """STREAMING perceptron serving: the integer weight vector trained in
+    batch (ml.perceptron_train) is FROZEN as the deployable artifact;
+    holdout documents stream through a stateless per-micro-batch scoring
+    join (features are per-doc only, so any chunking yields identical
+    predictions). The post-replay confusion aggregation converges exactly
+    to batch ``ml_perceptron_confusion`` and shares its oracle."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.ml import (
+        _perceptron_feats,
+        perceptron_train,
+    )
+    from flink_example_spark.session import shuffle_partitions, tune
+    from flink_example_spark.streaming.dedup_stream import _stage_by_id
+    from flink_example_spark.streaming.pipeline import _read_batches
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        perceptron_train(docs, n_rounds=6, holdout_mod=5)
+        .select("j", F.col("weight").alias("w"))
+        .localCheckpoint()
+    )
+
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    outdir = tempfile.mkdtemp(prefix="stream_perc_")
+
+    def handle(batch: "DataFrame", batch_id: int) -> None:
+        feats = _perceptron_feats(batch, 5, train=False)
+        scored = (
+            feats.join(F.broadcast(w), "j")
+            .groupBy("id", "y")
+            .agg(F.sum(F.col("w") * F.col("x")).alias("m"))
+            .select(
+                F.when(F.col("m") > 0, 1).otherwise(-1).cast("long").alias("pred"),
+                F.col("y").alias("truth"),
+            )
+        )
+        scored.write.mode("overwrite").parquet(f"{outdir}/batch={batch_id}")
+
+    with shuffle_partitions(spark, 8):
+        q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+        q.awaitTermination()
+    return (
+        _read_batches(spark, outdir)
+        .groupBy("pred", "truth")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
