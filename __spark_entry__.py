@@ -2038,6 +2038,20 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "sketch_kmv_distinct": kmv_entry,
         "sketch_cm_heavy_hitters": cm_hh_entry,
+        # runtime-bloom-filter shape: per-nation Bloom (bit_or monoid words)
+        # over shipped partkeys, probed by the full part table — measures
+        # exactly the rows a pushed runtime filter would fail to prune
+        "sketch_bloom_filter": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.sketch",
+            fromlist=["bloom_partkey_filter"],
+        ).bloom_partkey_filter(
+            *(
+                __import__(
+                    "flink_example_spark.tables", fromlist=["load_table"]
+                ).load_table(spark, sf_dir, t)
+                for t in ("lineitem", "supplier", "nation", "part")
+            )
+        ),
         "sketch_hll_distinct": hll_entry,
         "sketch_overlap": kmv_overlap_entry,
         "sketch_quantiles": quantile_entry,
@@ -3575,6 +3589,9 @@ def _northstar_oracles() -> dict[str, str]:
     )
     from flink_example_spark.operators.sketch import join_size_oracle
 
+    from flink_example_spark.operators.sketch import bloom_partkey_filter_oracle
+
+    out["sketch_bloom_filter"] = bloom_partkey_filter_oracle()
     out["sketch_join_size"] = join_size_oracle(
         "orders", "customer", "o_custkey", "c_custkey", width=4096
     )
@@ -4454,6 +4471,14 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # depth*width state rows; converges to batch cm_sketch -> shares
         # its oracle
         "streaming_cm_sketch": _run_streaming_cm,
+        # streaming runtime-bloom-filter: per-nation word table as a plain
+        # streaming bit_or aggregate — pure JVM state, idempotent monoid
+        # (no watermark), <= groups x m/62 state rows; converges to batch
+        # sketch_bloom_filter -> shares its oracle
+        "streaming_bloom_filter": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.sketch_stream",
+            fromlist=["run_streaming_bloom_filter"],
+        ).run_streaming_bloom_filter(spark, sf_dir),
         # streaming portable-HLL: register-wise max as a plain streaming
         # groupBy aggregate — pure JVM state, at most m rows per language,
         # idempotent monoid (no watermark); converges to batch
@@ -4687,6 +4712,7 @@ def _all_oracles() -> dict[str, str]:
         width=8,
     )
     out["streaming_hll_distinct"] = out["sketch_hll_distinct"]
+    out["streaming_bloom_filter"] = out["sketch_bloom_filter"]
     out["streaming_minhash_dedup"] = out["dedup_minhash_portable"]
     out["streaming_cdc_apply"] = out["versioned_cdc_apply"]
     out["streaming_trending_terms"] = out["text_top_terms"]

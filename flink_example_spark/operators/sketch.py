@@ -950,3 +950,206 @@ def hll_union_oracle(
                exact.exact_distinct
         FROM agg JOIN exact USING (g)
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: bit_or monoid words, membership probe, runtime-filter framing
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 65536  # m: bits per filter (packed 62 bits per BIGINT word: 1<<63 overflows a signed shift in some engines)
+BLOOM_K = 4  # hash functions
+
+
+def _bloom_coords(value: F.Column, m_bits: int, k: int) -> F.Column:
+    """Array of k ``(word, mask)`` structs for ``value`` — hash j is the
+    engine-portable md5 bucket of ``'j:' || value`` (same device as
+    :func:`cm_coords`), split into a BIGINT word index and a single-bit
+    mask. All codegen; no Python."""
+    coords = []
+    for j in range(k):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), value)), 1, 8), 16, 10
+        ).cast("bigint") % m_bits
+        coords.append(F.struct(h.alias("h")))
+    return F.array(*coords)
+
+
+def bloom_words(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Per-group Bloom filter as ``(groups..., word, bits)`` rows — the
+    sparse representation of an m-bit filter (absent word == all zeros).
+
+    ``bits`` is a ``bit_or`` of single-bit masks: a commutative, IDEMPOTENT
+    monoid, so the same relation is a plain streaming aggregate (no
+    watermark, arbitrary replay/duplication) and per-partition partials
+    combine map-side. State is at most ``m_bits/62`` rows per group
+    regardless of input size — the fixed-width sketch posture that survives
+    100 TB (mirrors the reference's distinct-tracking state bounds,
+    App.java:156 analogues discussed in SURVEY §2.7).
+
+    Scale: explode k hashes (k rows/input), ONE hash aggregation; partial
+    aggregation collapses each partition to ≤ groups × m/64 rows before the
+    shuffle.
+    """
+    exploded = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            F.explode(
+                _bloom_coords(F.col(value_col).cast("string"), m_bits, k)
+            ).alias("__c"),
+        )
+        .select(*group_cols, F.col("__c.h").alias("h"))
+        .withColumn("word", F.expr("h div 62"))
+        .withColumn("mask", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 62 AS INT))"))
+    )
+    return exploded.groupBy(*group_cols, "word").agg(F.bit_or("mask").alias("bits"))
+
+
+def bloom_probe_summary(
+    bloom: DataFrame,
+    probes: DataFrame,
+    actual: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Probe every row of ``probes[value_col]`` against every group's Bloom
+    filter; summarize per group against the ``actual`` membership relation
+    ``(groups..., value_col)`` (distinct). A Bloom filter has NO false
+    negatives, so ``flagged_present >= actual_present`` and
+    ``false_positives = flagged - actual`` exactly.
+
+    Scale: probes explode to k rows and equi-join the (small, broadcast)
+    word table on ``word`` — the exact shape of a runtime bloom filter
+    pushed to the probe side of a distributed join, where it prunes shuffle
+    input before the real equi-join runs.
+    """
+    gcols = list(group_cols)
+    probe_bits = (
+        probes.select(F.col(value_col).cast("string").alias("v"))
+        .distinct()
+        .select(
+            "v",
+            F.explode(_bloom_coords(F.col("v"), m_bits, k)).alias("__c"),
+        )
+        .select("v", F.col("__c.h").alias("h"))
+        .withColumn("word", F.expr("h div 62"))
+        .withColumn("mask", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 62 AS INT))"))
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bloom), on=["word"])
+        .filter(F.expr("(bits & mask) = mask"))
+        .groupBy(*gcols, "v")
+        .agg(F.count(F.lit(1)).alias("nbits"))
+        .filter(F.col("nbits") == k)
+        .groupBy(*gcols)
+        .agg(F.count(F.lit(1)).alias("flagged_present"))
+    )
+    actual_counts = (
+        actual.select(*gcols, F.col(value_col).cast("string").alias("v"))
+        .distinct()
+        .groupBy(*gcols)
+        .agg(F.count(F.lit(1)).alias("actual_present"))
+    )
+    n_probes = probes.select(F.col(value_col).cast("string")).distinct().count()
+    return (
+        hits.join(actual_counts, on=gcols)
+        .select(
+            *gcols,
+            F.lit(n_probes).cast("long").alias("n_probes"),
+            F.col("flagged_present").cast("long").alias("flagged_present"),
+            F.col("actual_present").cast("long").alias("actual_present"),
+            (F.col("flagged_present") - F.col("actual_present"))
+            .cast("long")
+            .alias("false_positives"),
+        )
+    )
+
+
+def bloom_partkey_filter(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Runtime-bloom-filter demo on TPC-H: one Bloom per supplier NATION
+    over the partkeys that nation ever shipped, probed by the full ``part``
+    table — per nation, how many parts the filter would let through vs the
+    exact membership (false positives = wasted probe-side rows a runtime
+    filter would fail to prune)."""
+    shipped = (
+        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(F.col("n_name"), F.col("l_partkey"))
+    )
+    bloom = bloom_words(shipped, ["n_name"], "l_partkey", m_bits, k)
+    probes = part.select(F.col("p_partkey").alias("l_partkey"))
+    return bloom_probe_summary(
+        bloom, probes, shipped, ["n_name"], "l_partkey", m_bits, k
+    ).orderBy("n_name")
+
+
+def bloom_partkey_filter_oracle(
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> str:
+    """DuckDB twin of :func:`bloom_partkey_filter` — same md5 bucket device,
+    ``<<``/``&``/``bit_or`` bitwise algebra."""
+    hash_expr = (
+        "CAST(concat('0x', substr(md5(concat(j, ':', v)), 1, 8)) AS BIGINT)"
+        f" % {m_bits}"
+    )
+    return f"""
+        WITH shipped AS MATERIALIZED (
+          SELECT n_name, CAST(l_partkey AS VARCHAR) AS v
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+        ),
+        ks AS (SELECT CAST(range AS VARCHAR) AS j FROM range(0, {k})),
+        bloom AS MATERIALIZED (
+          SELECT n_name, h // 62 AS word,
+                 bit_or(CAST(1 AS BIGINT) << CAST(h % 62 AS INT)) AS bits
+          FROM (SELECT n_name, {hash_expr} AS h FROM shipped CROSS JOIN ks)
+          GROUP BY 1, 2
+        ),
+        probe_bits AS MATERIALIZED (
+          SELECT v, h // 62 AS word,
+                 CAST(1 AS BIGINT) << CAST(h % 62 AS INT) AS mask
+          FROM (
+            SELECT v, {hash_expr} AS h
+            FROM (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS v FROM part)
+            CROSS JOIN ks
+          )
+        ),
+        flagged AS (
+          SELECT n_name, CAST(COUNT(*) AS BIGINT) AS flagged_present
+          FROM (
+            SELECT b.n_name, p.v
+            FROM probe_bits p JOIN bloom b ON p.word = b.word
+            WHERE (b.bits & p.mask) = p.mask
+            GROUP BY 1, 2 HAVING COUNT(*) = {k}
+          ) GROUP BY 1
+        ),
+        actual AS (
+          SELECT n_name, CAST(COUNT(DISTINCT v) AS BIGINT) AS actual_present
+          FROM shipped GROUP BY 1
+        )
+        SELECT f.n_name,
+               (SELECT CAST(COUNT(DISTINCT p_partkey) AS BIGINT) FROM part)
+                 AS n_probes,
+               f.flagged_present,
+               a.actual_present,
+               f.flagged_present - a.actual_present AS false_positives
+        FROM flagged f JOIN actual a USING (n_name)
+        ORDER BY n_name
+    """

@@ -340,3 +340,75 @@ def run_streaming_hll_distinct(
         )
         q.awaitTermination()
     return hll_finalize(spark.table(name), "lang", p=p)
+
+
+def run_streaming_bloom_filter(
+    spark: SparkSession,
+    sf_dir: str,
+    chunks: int = 3,
+) -> DataFrame:
+    """Per-nation Bloom filter over the live lineitem stream, probed at read.
+
+    The sparse word table is a plain streaming ``groupBy(n_name, word)``
+    ``bit_or`` aggregate — a commutative, IDEMPOTENT monoid, so no
+    watermark, arbitrary replay, pure-JVM state bounded at groups × m/62
+    rows no matter how many lineitems arrive. Dimension lookups are
+    stream-static broadcast joins per micro-batch. After the bounded replay
+    converges, the same probe summary as the batch operator runs over the
+    materialized words — bit-identical to batch ``bloom_partkey_filter``,
+    sharing its oracle.
+
+    This is the live form of a runtime join filter: the build side keeps a
+    fixed-size filter current while data streams in; probe sides consult it
+    to skip shuffle work.
+    """
+    import os
+    import uuid
+
+    from flink_example_spark.operators.sketch import (
+        BLOOM_BITS,
+        BLOOM_K,
+        bloom_probe_summary,
+        bloom_words,
+    )
+    from flink_example_spark.session import shuffle_partitions, tune
+    from flink_example_spark.streaming.staging import stage_table_by_key
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    tmpdir, schema = stage_table_by_key(spark, sf_dir, "lineitem", "l_orderkey", chunks)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    shipped_stream = (
+        stream.join(F.broadcast(supplier), stream.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(F.col("n_name"), F.col("l_partkey"))
+    )
+    words = bloom_words(shipped_stream, ["n_name"], "l_partkey", BLOOM_BITS, BLOOM_K)
+    name = f"stream_bloom_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            words.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    bloom = spark.sql(f"SELECT n_name, word, bits FROM {name}")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    shipped = (
+        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(F.col("n_name"), F.col("l_partkey"))
+    )
+    probes = part.select(F.col("p_partkey").alias("l_partkey"))
+    return bloom_probe_summary(
+        bloom, probes, shipped, ["n_name"], "l_partkey", BLOOM_BITS, BLOOM_K
+    ).orderBy("n_name")

@@ -407,3 +407,34 @@ def test_kmv_overlap_estimates_above_k(spark):
     assert abs(row["union_est"] - 7500) / 7500 < 0.25
     assert abs(row["jaccard_est"] - 1 / 3) < 0.12
     assert abs(row["intersect_est"] - 2500) / 2500 < 0.4
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    from flink_example_spark.operators.sketch import bloom_probe_summary, bloom_words
+
+    members = spark.range(500).select(
+        F.lit("g").alias("g"), (F.col("id") * 2).cast("string").alias("v")
+    )
+    probes = spark.range(1000).select(F.col("id").cast("string").alias("v"))
+    bloom = bloom_words(members, ["g"], "v", m_bits=8192, k=4)
+    row = bloom_probe_summary(
+        bloom, probes, members, ["g"], "v", m_bits=8192, k=4
+    ).first()
+    # every true member flagged (no false negatives)
+    assert row["actual_present"] == 500
+    assert row["flagged_present"] >= 500
+    assert row["false_positives"] == row["flagged_present"] - 500
+    # fill ratio ~ 1-exp(-4*500/8192) = 0.22 -> fp rate ~ 0.22^4 ~ 0.23%
+    assert row["false_positives"] <= 25
+
+
+def test_bloom_words_idempotent_merge(spark):
+    from flink_example_spark.operators.sketch import bloom_words
+
+    base = spark.range(300).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    tripled = base.union(base).union(base)
+    one = {(r["word"], r["bits"]) for r in bloom_words(base, ["g"], "v").collect()}
+    three = {(r["word"], r["bits"]) for r in bloom_words(tripled, ["g"], "v").collect()}
+    assert one == three
