@@ -1963,6 +1963,18 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts",
             "value",
         ),
+        # AR(2) one-step forecast: conditional least squares over the
+        # daily series, pure-integer Cramer solve (ppm coefficients)
+        "timeseries_ar2_forecast": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries", fromlist=["ar2_forecast"]
+        ).ar2_forecast(
+            __import__(
+                "flink_example_spark.plans.events_demo", fromlist=["load_events"]
+            ).load_events(spark, sf_dir),
+            "event_type",
+            "ts",
+            "value",
+        ),
         # rolling-median robust smoother (rank self-join, exact
         # interpolated median per +/-3-row window)
         "timeseries_rolling_median": lambda spark, sf_dir: __import__(
@@ -3568,6 +3580,11 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.timeseries import theil_sen_oracle
 
     out["timeseries_theilsen"] = theil_sen_oracle(
+        "events", "event_type", "ts", "value"
+    )
+    from flink_example_spark.operators.timeseries import ar2_forecast_oracle
+
+    out["timeseries_ar2_forecast"] = ar2_forecast_oracle(
         "events", "event_type", "ts", "value"
     )
     out["timeseries_ewma"] = ewma_oracle(

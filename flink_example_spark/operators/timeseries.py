@@ -1572,3 +1572,186 @@ def theil_sen_oracle(
         FROM daily d JOIN slopes s ON s.key = d.key
         GROUP BY d.key, s.slope
     """
+
+
+def ar2_forecast(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key AR(2) one-step forecast by conditional least squares, in
+    PURE INTEGER arithmetic end to end (zero float risk cross-engine).
+
+    The daily series (MAX per day — comparison-only, portable) is
+    quantized to centi-units ``vq = floor(v*100 + 0.5)`` (one exact
+    double multiply + floor, identical everywhere), then x_t is regressed
+    on (1, x_{t-1}, x_{t-2}) over the lag-aligned triples:
+
+    - sufficient sums are exact BIGINT monoids (products <= 3.2e9/row);
+    - the centered 2x2 normal equations solve by Cramer in DECIMAL(38,0)
+      (operands cast DECIMAL(19,0) first so products stay exact);
+    - coefficients leave as ``phi*_ppm = (N_i * 1e6) div D`` — both Spark
+      ``div`` and DuckDB ``//`` truncate toward zero, so the quotients
+      are bit-identical BIGINTs (quotient magnitude ~1e6, far inside
+      int64);
+    - intercept and the one-step forecast stay in BIGINT ppm-units.
+
+    Output: (key, n_triples, phi1_ppm, phi2_ppm, forecast_centi) — the
+    forecast for the day after the last observation, in centi-units.
+
+    Scale: one day-bucket hash-agg, one per-key window pass, one final
+    group-count-sized aggregation. Keys parallelize independently; the
+    sufficient sums are plain commutative monoids, so the same relation
+    streams as one JVM aggregation (map-side partials everywhere).
+    """
+    day_us = 86_400_000_000
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {day_us}").alias(
+                "day"
+            ),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("key", "day")
+        .agg(F.max("v").alias("v"))
+        .select(
+            "key", "day", F.expr("CAST(floor(v * 100 + 0.5) AS BIGINT)").alias("vq")
+        )
+    )
+    w = Window.partitionBy("key").orderBy("day")
+    triples = (
+        daily.withColumn("rn", F.row_number().over(w))
+        .withColumn("a", F.lag("vq", 1).over(w))
+        .withColumn("b", F.lag("vq", 2).over(w))
+        .filter(F.col("b").isNotNull())
+    )
+    s = triples.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vq").alias("sy"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("vq")).alias("say"),
+        F.sum(F.col("b") * F.col("vq")).alias("sby"),
+        F.max_by("vq", "rn").alias("x_last"),
+        F.max_by("a", "rn").alias("x_prev"),
+    )
+    c = (
+        s.withColumn("caa", F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+        .withColumn("cbb", F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+        .withColumn("cab", F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+        .withColumn("cay", F.col("n") * F.col("say") - F.col("sa") * F.col("sy"))
+        .withColumn("cby", F.col("n") * F.col("sby") - F.col("sb") * F.col("sy"))
+    )
+    dec = "CAST({} AS DECIMAL(19,0))"
+    solved = (
+        c.withColumn(
+            "d",
+            F.expr(
+                f"{dec.format('caa')} * {dec.format('cbb')}"
+                f" - {dec.format('cab')} * {dec.format('cab')}"
+            ),
+        )
+        .filter(F.expr("d > 0") & (F.col("n") >= 3))
+        .withColumn(
+            "phi1_ppm",
+            F.expr(
+                f"CAST((({dec.format('cay')} * {dec.format('cbb')}"
+                f" - {dec.format('cby')} * {dec.format('cab')}) * 1000000)"
+                " div d AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "phi2_ppm",
+            F.expr(
+                f"CAST((({dec.format('cby')} * {dec.format('caa')}"
+                f" - {dec.format('cay')} * {dec.format('cab')}) * 1000000)"
+                " div d AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "c_cppm",
+            F.expr(
+                "(sy * 1000000 - phi1_ppm * sa - phi2_ppm * sb) div n"
+            ),
+        )
+        .withColumn(
+            "forecast_cppm",
+            F.expr("c_cppm + phi1_ppm * x_last + phi2_ppm * x_prev"),
+        )
+    )
+    return solved.select(
+        "key",
+        F.col("n").cast("long").alias("n_triples"),
+        "phi1_ppm",
+        "phi2_ppm",
+        F.expr("forecast_cppm div 1000000").alias("forecast_centi"),
+    )
+
+
+def ar2_forecast_oracle(
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`ar2_forecast` — HUGEINT Cramer solve, ``//``
+    truncation matching Spark's ``div``."""
+    day_us = 86_400_000_000
+    return f"""
+        WITH daily AS MATERIALIZED (
+          SELECT {key_col} AS key, epoch_us({ts_col}) // {day_us} AS day,
+                 CAST(floor(MAX({value_col}) * 100 + 0.5) AS BIGINT) AS vq
+          FROM {table} WHERE {value_col} IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        triples AS MATERIALIZED (
+          SELECT key, vq, rn,
+                 lag(vq, 1) OVER w AS a, lag(vq, 2) OVER w AS b
+          FROM (
+            SELECT key, day, vq,
+                   row_number() OVER (PARTITION BY key ORDER BY day) AS rn
+            FROM daily
+          ) WINDOW w AS (PARTITION BY key ORDER BY rn)
+        ),
+        s AS (
+          SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(vq) AS BIGINT) AS sy,
+                 CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+                 CAST(SUM(a*a) AS BIGINT) AS saa,
+                 CAST(SUM(b*b) AS BIGINT) AS sbb,
+                 CAST(SUM(a*b) AS BIGINT) AS sab,
+                 CAST(SUM(a*vq) AS BIGINT) AS say,
+                 CAST(SUM(b*vq) AS BIGINT) AS sby,
+                 max_by(vq, rn) AS x_last, max_by(a, rn) AS x_prev
+          FROM triples WHERE b IS NOT NULL GROUP BY 1
+        ),
+        ctr AS (
+          SELECT key, n, sy, sa, sb, x_last, x_prev,
+                 CAST(n*saa - sa*sa AS HUGEINT) AS caa,
+                 CAST(n*sbb - sb*sb AS HUGEINT) AS cbb,
+                 CAST(n*sab - sa*sb AS HUGEINT) AS cab,
+                 CAST(n*say - sa*sy AS HUGEINT) AS cay,
+                 CAST(n*sby - sb*sy AS HUGEINT) AS cby
+          FROM s
+        ),
+        solved AS (
+          SELECT key, n, sy, sa, sb, x_last, x_prev,
+                 caa*cbb - cab*cab AS d,
+                 CAST(((cay*cbb - cby*cab) * 1000000)
+                      // (caa*cbb - cab*cab) AS BIGINT) AS phi1_ppm,
+                 CAST(((cby*caa - cay*cab) * 1000000)
+                      // (caa*cbb - cab*cab) AS BIGINT) AS phi2_ppm
+          FROM ctr WHERE caa*cbb - cab*cab > 0 AND n >= 3
+        )
+        SELECT key, n AS n_triples, phi1_ppm, phi2_ppm,
+               (((sy * 1000000 - phi1_ppm * sa - phi2_ppm * sb) // n)
+                + phi1_ppm * x_last + phi2_ppm * x_prev) // 1000000
+                 AS forecast_centi
+        FROM solved
+    """

@@ -349,3 +349,36 @@ def test_theil_sen_ignores_outlier_ols_chases(spark):
     assert r["n_days"] == 11
     assert r["slope_per_day"] == 1.0
     assert r["intercept"] + r["slope_per_day"] * 19723 == 0.0  # day index of 2024-01-01
+
+
+def test_ar2_forecast_matches_lstsq(spark):
+    """AR(2) ppm coefficients agree with numpy least squares on the same
+    quantized daily series (to the 1e-6 truncation the ppm scale implies)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from flink_example_spark.operators.timeseries import ar2_forecast
+
+    rng = [0.0] * 40
+    # deterministic AR(2)-ish series: x_t = 30 + 0.6 x_{t-1} - 0.2 x_{t-2} + bump
+    for t in range(40):
+        prev1 = rng[t - 1] if t >= 1 else 50.0
+        prev2 = rng[t - 2] if t >= 2 else 50.0
+        rng[t] = 30.0 + 0.6 * prev1 - 0.2 * prev2 + ((t * 7919) % 13 - 6) * 1.5
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        Row(event_type="g", ts=base + dt.timedelta(days=t), value=rng[t])
+        for t in range(40)
+    ]
+    out = ar2_forecast(spark.createDataFrame(rows), "event_type", "ts", "value").first()
+    vq = np.floor(np.array(rng) * 100 + 0.5)
+    y, a, b = vq[2:], vq[1:-1], vq[:-2]
+    X = np.column_stack([np.ones_like(a), a, b])
+    coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert out["n_triples"] == 38
+    assert abs(out["phi1_ppm"] / 1e6 - coef[1]) < 2e-6
+    assert abs(out["phi2_ppm"] / 1e6 - coef[2]) < 2e-6
+    pred = coef[0] + coef[1] * vq[-1] + coef[2] * vq[-2]
+    assert abs(out["forecast_centi"] - pred) < 3
