@@ -207,6 +207,15 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         got = similarity.lsh_cosine_topk(e, q, k=5)
         return similarity.retrieval_eval(got, truth, k=5)
 
+    def ann_ndcg_eval_entry(spark, sf_dir):
+        """Graded-ranking eval of the LSH retriever vs the exact top-5 as
+        ideal — integer DCG weights (driver-embedded literals), ppm NDCG."""
+        e = _embs(spark, sf_dir)
+        q = e.filter(F.col("vec_id") < 8)
+        truth = similarity.cosine_topk(e, q, k=5)
+        got = similarity.lsh_cosine_topk(e, q, k=5)
+        return similarity.ndcg_eval(got, truth, k=5)
+
     def ann_pq_entry(spark, sf_dir):
         """IVF-PQ building block: product-quantization codebooks (4
         subspaces x 8 codewords, Lloyd-trained), corpus compressed to 4
@@ -1084,6 +1093,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # retrieval-quality eval: LSH top-5 scored against exact top-5
         "ann_recall_eval": ann_recall_eval_entry,
+        "ann_ndcg_eval": ann_ndcg_eval_entry,
         "ann_kmeans_centroids": ann_kmeans,
         # hybrid-retrieval ensemble: reciprocal-rank fusion of the exact
         # and IVF retrievers' top-5 lists (the RAG-stack combiner)
@@ -2698,6 +2708,11 @@ def _northstar_oracles() -> dict[str, str]:
                     ELSE CAST(0 AS DOUBLE) END AS rr
         FROM rel LEFT JOIN per USING (query_id)
     """
+    from flink_example_spark.operators.similarity import ndcg_eval_oracle_sql
+
+    out["ann_ndcg_eval"] = ndcg_eval_oracle_sql(
+        out["ann_cosine_topk"], _lsh_topk_oracle(), k=5
+    )
     out["ann_mmr_rerank"] = _mmr_oracle(k=5, pool=10)
     out["ann_rrf_fusion"] = f"""
         WITH ea AS ({out["ann_cosine_topk"]}),

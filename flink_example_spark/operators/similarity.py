@@ -2102,3 +2102,115 @@ def centroid_separation_oracle() -> str:
         FROM cents a JOIN cents b ON a.i = b.i AND a.lab < b.lab
         GROUP BY a.lab, b.lab
     """
+
+
+def ndcg_weights(k: int) -> tuple[int, ...]:
+    """Integer DCG position weights ``round(1e9 / log2(i+1))`` for ranks
+    1..k — the driver-embedded-literal device (PERF.md): the one
+    transcendental is evaluated ONCE in Python and the same literals are
+    embedded in both the Spark plan and the DuckDB oracle, so engine math
+    never touches log()."""
+    import math
+
+    return tuple(round(1_000_000_000 / math.log2(i + 1)) for i in range(1, k + 1))
+
+
+def ndcg_eval(
+    retrieved: DataFrame,
+    truth: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Graded-ranking evaluation: NDCG@k of ``retrieved`` against the
+    ``truth`` ranking (e.g. the exact retriever), in PURE INTEGER
+    arithmetic. Relevance of truth-rank r is ``k - r + 1`` (top ideal hit
+    most relevant); discount weights are the integer literals of
+    :func:`ndcg_weights`, so
+
+        dcg  = Σ rel(doc@i) · w_i      (exact BIGINT)
+        ndcg_ppm = (dcg · 1e6) div idcg  (trunc-toward-zero both engines)
+
+    Output: (query_id, n_truth, dcg, idcg, ndcg_ppm).
+
+    Scale: both inputs are queries×k rows regardless of corpus size — the
+    join and aggregations are query-grain, negligible next to retrieval.
+    """
+    w = ndcg_weights(k)
+    w_arr = F.array(*[F.lit(int(x)).cast("bigint") for x in w])
+    t = truth.select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(rank_col).alias("__tr"),
+    )
+    gains = (
+        retrieved.filter(F.col(rank_col) <= k)
+        .select(
+            F.col(query_col).alias("__q"),
+            F.col(doc_col).alias("__d"),
+            F.col(rank_col).alias("__sr"),
+        )
+        .join(t, ["__q", "__d"])
+        .select(
+            "__q",
+            (
+                (F.lit(k) - F.col("__tr") + 1).cast("bigint")
+                * F.element_at(w_arr, F.col("__sr").cast("int"))
+            ).alias("__g"),
+        )
+        .groupBy("__q")
+        .agg(F.sum("__g").alias("__dcg"))
+    )
+    ideal = t.select(
+        "__q",
+        (
+            (F.lit(k) - F.col("__tr") + 1).cast("bigint")
+            * F.element_at(w_arr, F.col("__tr").cast("int"))
+        ).alias("__g"),
+    ).groupBy("__q").agg(
+        F.count(F.lit(1)).alias("n_truth"), F.sum("__g").alias("__idcg")
+    )
+    return (
+        ideal.join(gains, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.coalesce(F.col("__dcg"), F.lit(0)).cast("long").alias("dcg"),
+            F.col("__idcg").cast("long").alias("idcg"),
+            F.expr("(coalesce(__dcg, 0) * 1000000) div __idcg").alias("ndcg_ppm"),
+        )
+    )
+
+
+def ndcg_eval_oracle_sql(
+    truth_sql: str,
+    got_sql: str,
+    k: int,
+) -> str:
+    """DuckDB twin of :func:`ndcg_eval` over inlined retriever SQL — the
+    SAME :func:`ndcg_weights` literals, `//` truncation matching `div`."""
+    w = ndcg_weights(k)
+    values = ", ".join(f"({i + 1}, CAST({x} AS BIGINT))" for i, x in enumerate(w))
+    return f"""
+        WITH truth AS MATERIALIZED ({truth_sql}),
+        got AS ({got_sql}),
+        w AS (SELECT * FROM (VALUES {values}) v(i, wt)),
+        gains AS (
+          SELECT g.query_id, CAST(SUM(({k} - t.rank + 1) * w.wt) AS BIGINT) AS dcg
+          FROM got g
+          JOIN truth t ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id
+          JOIN w ON w.i = g.rank
+          WHERE g.rank <= {k}
+          GROUP BY 1
+        ),
+        ideal AS (
+          SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+                 CAST(SUM(({k} - t.rank + 1) * w.wt) AS BIGINT) AS idcg
+          FROM truth t JOIN w ON w.i = t.rank
+          GROUP BY 1
+        )
+        SELECT i.query_id, i.n_truth, COALESCE(g.dcg, 0) AS dcg, i.idcg,
+               (COALESCE(g.dcg, 0) * 1000000) // i.idcg AS ndcg_ppm
+        FROM ideal i LEFT JOIN gains g USING (query_id)
+    """

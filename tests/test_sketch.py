@@ -438,3 +438,25 @@ def test_bloom_words_idempotent_merge(spark):
     one = {(r["word"], r["bits"]) for r in bloom_words(base, ["g"], "v").collect()}
     three = {(r["word"], r["bits"]) for r in bloom_words(tripled, ["g"], "v").collect()}
     assert one == three
+
+
+def test_ndcg_perfect_and_degraded(spark):
+    from pyspark.sql import Row
+
+    from flink_example_spark.operators.similarity import ndcg_eval
+
+    truth = spark.createDataFrame(
+        [Row(query_id=1, neighbor_id=d, rank=r) for r, d in enumerate([10, 20, 30], 1)]
+    )
+    perfect = ndcg_eval(truth, truth, k=3).first()
+    assert perfect["ndcg_ppm"] == 1_000_000
+    # swap top two: DCG drops below ideal, stays positive
+    swapped = spark.createDataFrame(
+        [Row(query_id=1, neighbor_id=d, rank=r) for r, d in enumerate([20, 10, 30], 1)]
+    )
+    row = ndcg_eval(swapped, truth, k=3).first()
+    assert 0 < row["ndcg_ppm"] < 1_000_000
+    # empty retrieval -> 0
+    empty = swapped.filter("rank > 99")
+    row0 = ndcg_eval(empty, truth, k=3).first()
+    assert row0["ndcg_ppm"] == 0 and row0["dcg"] == 0
