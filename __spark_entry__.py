@@ -1973,6 +1973,19 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts",
             "value",
         ),
+        # interval-union coalescing: overlapping [ts, ts+value min)
+        # intervals merged by the running-max-of-prior-ends device
+        "timeseries_interval_merge": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries", fromlist=["interval_merge"]
+        ).interval_merge(
+            __import__(
+                "flink_example_spark.plans.events_demo", fromlist=["load_events"]
+            ).load_events(spark, sf_dir),
+            "user_id",
+            "ts",
+            "value",
+            "event_id",
+        ),
         # AR(2) one-step forecast: conditional least squares over the
         # daily series, pure-integer Cramer solve (ppm coefficients)
         "timeseries_ar2_forecast": lambda spark, sf_dir: __import__(
@@ -3601,6 +3614,11 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["timeseries_ar2_forecast"] = ar2_forecast_oracle(
         "events", "event_type", "ts", "value"
+    )
+    from flink_example_spark.operators.timeseries import interval_merge_oracle
+
+    out["timeseries_interval_merge"] = interval_merge_oracle(
+        "events", "user_id", "ts", "value", "event_id"
     )
     out["timeseries_ewma"] = ewma_oracle(
         "events", "user_id", "ts", "value", "event_id"

@@ -1755,3 +1755,111 @@ def ar2_forecast_oracle(
                  AS forecast_centi
         FROM solved
     """
+
+
+def interval_merge(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    dur_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Coalesce overlapping per-key intervals ``[ts, ts + dur_col minutes)``
+    into maximal islands — the interval-algebra union underlying uptime /
+    coverage / utilization reports, where plain sessionization (lag-gap)
+    is wrong because a LONG interval can swallow later-starting ones.
+
+    Device: order by (start, id); an interval opens a new island iff its
+    start exceeds the running max of all PRIOR ends (not just the previous
+    row's); island id = running sum of those flags. All arithmetic is
+    integer micros (``unix_micros`` ↔ ``epoch_us``; durations quantized
+    ``floor(v*6e7 + 0.5)``), so both engines hash identically.
+
+    Output: (key, n_intervals, n_islands, covered_us, max_island_us).
+
+    Scale: two window passes + one hash agg, all partitioned by key — keys
+    parallelize independently and nothing leaves the key's partition; a
+    skewed key bounds the sequential portion exactly as in the reference's
+    per-key ordered state (SURVEY §2.7 T6 analogue).
+    """
+    base = df.filter(F.col(dur_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))").alias("s"),
+        (
+            F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))")
+            + F.expr(f"CAST(floor({dur_col} * 60000000 + 0.5) AS BIGINT)")
+        ).alias("e"),
+    )
+    w = Window.partitionBy("key").orderBy("s", "id")
+    prior_max = (
+        F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    flagged = base.withColumn(
+        "new_island",
+        F.when(prior_max.isNull() | (F.col("s") > prior_max), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = flagged.groupBy("key", "island").agg(
+        F.min("s").alias("i_start"),
+        F.max("e").alias("i_end"),
+        F.count(F.lit(1)).alias("i_n"),
+    )
+    return islands.groupBy("key").agg(
+        F.sum("i_n").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start")).cast("long").alias("covered_us"),
+        F.max(F.col("i_end") - F.col("i_start")).cast("long").alias("max_island_us"),
+    )
+
+
+def interval_merge_oracle(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    dur_col: str = "value",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`interval_merge` (running-max-of-prior-ends
+    gaps-and-islands)."""
+    return f"""
+        WITH base AS MATERIALIZED (
+          SELECT {key_col} AS key, {id_col} AS id,
+                 epoch_us({ts_col}) AS s,
+                 epoch_us({ts_col})
+                   + CAST(floor({dur_col} * 60000000 + 0.5) AS BIGINT) AS e
+          FROM {table} WHERE {dur_col} IS NOT NULL
+        ),
+        flagged AS (
+          SELECT key, id, s, e,
+                 CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS new_island
+          FROM (
+            SELECT key, id, s, e,
+                   MAX(e) OVER (PARTITION BY key ORDER BY s, id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pm
+            FROM base
+          )
+        ),
+        numbered AS (
+          SELECT key, s, e,
+                 SUM(new_island) OVER (PARTITION BY key ORDER BY s, id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS island
+          FROM flagged
+        ),
+        islands AS (
+          SELECT key, island, MIN(s) AS i_start, MAX(e) AS i_end,
+                 COUNT(*) AS i_n
+          FROM numbered GROUP BY 1, 2
+        )
+        SELECT key, CAST(SUM(i_n) AS BIGINT) AS n_intervals,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(i_end - i_start) AS BIGINT) AS covered_us,
+               CAST(MAX(i_end - i_start) AS BIGINT) AS max_island_us
+        FROM islands GROUP BY key
+    """

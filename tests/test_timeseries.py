@@ -382,3 +382,35 @@ def test_ar2_forecast_matches_lstsq(spark):
     assert abs(out["phi2_ppm"] / 1e6 - coef[2]) < 2e-6
     pred = coef[0] + coef[1] * vq[-1] + coef[2] * vq[-2]
     assert abs(out["forecast_centi"] - pred) < 3
+
+
+def test_interval_merge_swallows_nested_intervals(spark):
+    """A long interval swallowing later-starting short ones must coalesce
+    into ONE island (the case lag-gap sessionization gets wrong)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from flink_example_spark.operators.timeseries import interval_merge
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def r(eid, start_min, dur_min):
+        return Row(
+            user_id=1,
+            event_id=eid,
+            ts=t0 + dt.timedelta(minutes=start_min),
+            value=float(dur_min),
+        )
+
+    rows = [
+        r(1, 0, 60),   # [0, 60)
+        r(2, 10, 5),   # nested
+        r(3, 50, 20),  # overlaps tail -> extends to 70
+        r(4, 100, 10), # separate island [100, 110)
+    ]
+    out = interval_merge(spark.createDataFrame(rows)).first()
+    assert out["n_intervals"] == 4
+    assert out["n_islands"] == 2
+    assert out["covered_us"] == (70 + 10) * 60_000_000
+    assert out["max_island_us"] == 70 * 60_000_000
