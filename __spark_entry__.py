@@ -1637,6 +1637,19 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entity resolution over a deterministically-dirtied part-name
         # registry: exact-group -> SymSpell join on DISTINCT names ->
         # star-contraction components -> canonical entity table
+        # phonetic blocking: Soundex-coded blocks + levenshtein verify —
+        # the sounds-alike complement to the SymSpell delete neighborhood
+        "entity_phonetic_links": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.entity", fromlist=["phonetic_links"]
+        ).phonetic_links(
+            __import__(
+                "flink_example_spark.operators.entity", fromlist=["dirty_registry"]
+            ).dirty_registry(
+                __import__(
+                    "flink_example_spark.tables", fromlist=["load_table"]
+                ).load_table(spark, sf_dir, "part")
+            ),
+        ),
         "entity_resolve": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.entity", fromlist=["resolve_entities"]
         ).resolve_entities(
@@ -2458,6 +2471,9 @@ def _northstar_oracles() -> dict[str, str]:
         resolve_entities_oracle,
     )
 
+    from flink_example_spark.operators.entity import phonetic_links_oracle
+
+    out["entity_phonetic_links"] = phonetic_links_oracle()
     out["entity_resolve"] = resolve_entities_oracle()
     from flink_example_spark.operators.entity import resolve_entities_tokens_oracle
 

@@ -712,3 +712,103 @@ def incremental_links_oracle(
                method
         FROM raw JOIN assigned ON assigned.nm = raw.nm
     """
+
+
+_SOUNDEX_FROM = "abcdefghijklmnopqrstuvwxyz"
+_SOUNDEX_TO = "01230120022455012623010202"
+
+
+def _soundex_expr(norm_expr: str, dialect: str) -> str:
+    """American-Soundex code of a normalized (lowercase a-z0-9 space) name,
+    spaces removed, as ONE SQL expression — built twice from the same
+    template so Spark and DuckDB compute identical codes. Steps: map
+    letters to digit classes (vowels/h/w/y -> 0), collapse runs of the
+    same digit, drop the first letter's own code, strip zeros, first
+    letter + 3 digits zero-padded. Digits in the name map to themselves
+    past '6' only through 0-collapse (they are rare in registry names and
+    hash consistently either way)."""
+    g = ", 'g'" if dialect == "duckdb" else ""
+    compact = f"replace({norm_expr}, ' ', '')"
+    digits = f"translate({compact}, '{_SOUNDEX_FROM}', '{_SOUNDEX_TO}')"
+    collapsed = digits
+    for d in "0123456":
+        collapsed = f"regexp_replace({collapsed}, '{d}{{2,}}', '{d}'{g})"
+    tail = f"replace(substring({collapsed}, 2), '0', '')"
+    return (
+        f"CASE WHEN {compact} = '' THEN '' ELSE "
+        f"upper(substring({compact}, 1, 1)) || rpad(substring({tail}, 1, 3), 3, '0')"
+        " END"
+    )
+
+
+def phonetic_links(
+    records: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_dist: int = 2,
+) -> DataFrame:
+    """Phonetic blocking matcher: names that sound alike (equal Soundex
+    code) and verify at ``levenshtein <= max_dist`` — the classic
+    complement to the SymSpell delete-neighborhood (which misses phonetic
+    substitutions like widget/wydget that are cheap for a typist's ear).
+
+    Output: one row per verified pair ``(code, rep_a, rep_b, dist)`` with
+    rep ids the min record id per distinct normalized name, rep_a < rep_b.
+
+    Scale: codes are a hash-partition key; each block is tiny by
+    construction (4-char code space), so the within-block pair join is
+    bounded — the standard MDM blocking posture. A pathological block
+    (all names alike) is capped the same way ppjoin's prefix filter is:
+    add a length band on the join (here, |len(a)-len(b)| <= max_dist).
+    """
+    g = (
+        records.select(F.col(id_col).alias("__id"), _normalized(name_col).alias("nm"))
+        .filter(F.col("nm") != "")
+        .groupBy("nm")
+        .agg(F.min("__id").alias("rep_id"))
+        .withColumn("code", F.expr(_soundex_expr("nm", "spark")))
+        .localCheckpoint()  # both sides of the block join
+    )
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.nm") < F.col("b.nm"))
+            & (
+                F.abs(F.length("a.nm") - F.length("b.nm")) <= max_dist
+            ),
+        )
+        .filter(F.levenshtein(F.col("a.nm"), F.col("b.nm")) <= max_dist)
+        .select(
+            F.col("a.code").alias("code"),
+            F.least(F.col("a.rep_id"), F.col("b.rep_id")).cast("long").alias("rep_a"),
+            F.greatest(F.col("a.rep_id"), F.col("b.rep_id"))
+            .cast("long")
+            .alias("rep_b"),
+            F.levenshtein(F.col("a.nm"), F.col("b.nm")).cast("long").alias("dist"),
+        )
+    )
+
+
+def phonetic_links_oracle(
+    source: str = DIRTY_REGISTRY_SQL, max_dist: int = 2
+) -> str:
+    """DuckDB twin of :func:`phonetic_links` — the same Soundex template
+    instantiated for DuckDB's regexp_replace('g') dialect."""
+    code = _soundex_expr("nm", "duckdb")
+    return f"""
+        WITH g AS MATERIALIZED (
+          SELECT nm, MIN(id) AS rep_id, {code} AS code
+          FROM (SELECT id, {_DUCK_NORM_NAME} AS nm FROM {source})
+          WHERE nm <> '' GROUP BY nm
+        )
+        SELECT a.code AS code,
+               CAST(least(a.rep_id, b.rep_id) AS BIGINT) AS rep_a,
+               CAST(greatest(a.rep_id, b.rep_id) AS BIGINT) AS rep_b,
+               CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        FROM g a JOIN g b
+          ON a.code = b.code AND a.nm < b.nm
+         AND abs(len(a.nm) - len(b.nm)) <= {max_dist}
+        WHERE levenshtein(a.nm, b.nm) <= {max_dist}
+    """
