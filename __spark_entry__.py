@@ -1837,6 +1837,15 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).tree_depth2(
             _events(spark, sf_dir), "value", F.col("event_type") == "error"
         ),
+        # bagged stumps (smallest random forest): B deterministic Poisson
+        # replicates -> B exact weighted stumps -> majority-vote confusion
+        "ml_stump_bagging": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["stump_bagging"]
+        ).stump_bagging(
+            __import__(
+                "flink_example_spark.plans.events_demo", fromlist=["load_events"]
+            ).load_events(spark, sf_dir),
+        ),
         # exact CART stump: is `value` predictive of the error class?
         "ml_decision_stump": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.ml", fromlist=["decision_stump"]
@@ -3582,6 +3591,9 @@ def _northstar_oracles() -> dict[str, str]:
     out["ml_tree_depth2"] = tree_depth2_oracle(
         "events", "value", "event_type = 'error'"
     )
+    from flink_example_spark.operators.ml import stump_bagging_oracle
+
+    out["ml_stump_bagging"] = stump_bagging_oracle()
     out["ml_decision_stump"] = decision_stump_oracle(
         "events", "value", "event_type = 'error'"
     )

@@ -2667,3 +2667,225 @@ def isotonic_fit_oracle(
           FROM mm
         ) WHERE j = k
     """
+
+
+def stump_bagging(
+    events: DataFrame,
+    feature_col: str = "value",
+    label_pred: Column | None = None,
+    id_col: str = "event_id",
+    n_replicates: int = 16,
+    scale: int = 100,
+    holdout_mod: int = 5,
+) -> DataFrame:
+    """Bagged decision stumps — the smallest random forest: B Poisson-
+    bootstrap replicates (the deterministic md5-CDF multiplicity device of
+    :func:`bootstrap_ci`) each train an EXACT weighted Gini stump (the
+    prefix-scan split search of :func:`decision_stump`, with replicate as
+    the group key and multiplicities as weights), and the ensemble
+    classifies the ``id % holdout_mod = 0`` holdout by majority vote.
+
+    Output: the holdout confusion matrix ``(predicted_pos, actual_pos,
+    n)`` — variance-reduced vs the single stump's (visible when the two
+    confusion matrices are compared), with every count exact BIGINT.
+
+    Scale: the replicate explode is B narrow integer rows per training
+    row, collapsing in ONE (b, xq) hash aggregation (map-side partials);
+    the split search is per-replicate value-cardinality-sized; inference
+    broadcasts B stump rows. Overflow: weighted n³ per replicate < 2^63
+    holds to ~2e6 weighted rows/replicate.
+    """
+    from pyspark.sql import Window
+
+    if label_pred is None:
+        label_pred = F.col("event_type") == "error"
+    base = events.filter(F.col(feature_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("rid"),
+        F.floor(F.col(feature_col) * scale + F.lit(0.5)).cast("bigint").alias("xq"),
+        F.when(label_pred, 1).otherwise(0).cast("bigint").alias("y"),
+    )
+    train = base.filter(F.col("rid") % holdout_mod != 0)
+    holdout = base.filter(F.col("rid") % holdout_mod == 0)
+
+    from flink_example_spark.operators.sketch import portable_hash32
+
+    thresholds = _POISSON_THRESHOLDS
+    rep = train.select(
+        "rid",
+        "xq",
+        "y",
+        F.explode(F.sequence(F.lit(1), F.lit(n_replicates))).alias("b"),
+    ).withColumn(
+        "h",
+        portable_hash32(F.concat_ws("|", F.col("rid").cast("string"), F.col("b"))),
+    )
+    mult = F.when(F.col("h") < thresholds[0], 0)
+    for k, t in enumerate(thresholds[1:], start=1):
+        mult = mult.when(F.col("h") < t, k)
+    mult = mult.otherwise(len(thresholds))
+    per_v = (
+        rep.withColumn("m", mult.cast("bigint"))
+        .filter(F.col("m") > 0)
+        .groupBy("b", "xq")
+        .agg(F.sum("m").alias("c"), F.sum(F.col("m") * F.col("y")).alias("p"))
+    )
+    w = Window.partitionBy("b").orderBy("xq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("b").orderBy("xq").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cuts = per_v.select(
+        "b",
+        "xq",
+        F.sum("c").over(w).alias("nl"),
+        F.sum("p").over(w).alias("pl"),
+        F.sum("c").over(wt).alias("n"),
+        F.sum("p").over(wt).alias("p_tot"),
+    ).filter(F.col("nl") < F.col("n"))
+    scored = cuts.select(
+        "b",
+        "xq",
+        "nl",
+        "pl",
+        (F.col("n") - F.col("nl")).alias("nr"),
+        (F.col("p_tot") - F.col("pl")).alias("pr"),
+    ).select(
+        "b",
+        "xq",
+        "nl",
+        "pl",
+        "nr",
+        "pr",
+        (
+            (
+                F.col("nr")
+                * (
+                    F.col("nl") * F.col("nl")
+                    - F.col("pl") * F.col("pl")
+                    - (F.col("nl") - F.col("pl")) * (F.col("nl") - F.col("pl"))
+                )
+                + F.col("nl")
+                * (
+                    F.col("nr") * F.col("nr")
+                    - F.col("pr") * F.col("pr")
+                    - (F.col("nr") - F.col("pr")) * (F.col("nr") - F.col("pr"))
+                )
+            ).cast("double")
+            / (F.col("nl") * F.col("nr")).cast("double")
+        ).alias("gini_cost"),
+    )
+    top = Window.partitionBy("b").orderBy("gini_cost", "xq")
+    stumps = (
+        scored.withColumn("__rn", F.row_number().over(top))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "b",
+            F.col("xq").alias("cut_q"),
+            (F.lit(2) * F.col("pl") > F.col("nl")).cast("int").alias("left_pos"),
+            (F.lit(2) * F.col("pr") > F.col("nr")).cast("int").alias("right_pos"),
+        )
+    )
+    votes = (
+        holdout.crossJoin(F.broadcast(stumps))
+        .select(
+            "rid",
+            "y",
+            F.when(F.col("xq") <= F.col("cut_q"), F.col("left_pos"))
+            .otherwise(F.col("right_pos"))
+            .alias("v"),
+        )
+        .groupBy("rid", "y")
+        .agg(F.sum("v").alias("votes"), F.count(F.lit(1)).alias("nb"))
+    )
+    return (
+        votes.select(
+            (F.lit(2) * F.col("votes") > F.col("nb")).cast("bigint").alias(
+                "predicted_pos"
+            ),
+            F.col("y").alias("actual_pos"),
+        )
+        .groupBy("predicted_pos", "actual_pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def stump_bagging_oracle(
+    table: str = "events",
+    feature_col: str = "value",
+    label_sql: str = "event_type = 'error'",
+    id_col: str = "event_id",
+    n_replicates: int = 16,
+    scale: int = 100,
+    holdout_mod: int = 5,
+) -> str:
+    """DuckDB twin of :func:`stump_bagging`."""
+    t = _POISSON_THRESHOLDS
+    mult = (
+        "CASE "
+        + " ".join(f"WHEN h < {th} THEN {k}" for k, th in enumerate(t))
+        + f" ELSE {len(t)} END"
+    )
+    return f"""
+        WITH base AS MATERIALIZED (
+          SELECT CAST({id_col} AS BIGINT) AS rid,
+                 CAST(floor({feature_col} * {scale} + 0.5) AS BIGINT) AS xq,
+                 CASE WHEN {label_sql} THEN 1 ELSE 0 END AS y
+          FROM {table} WHERE {feature_col} IS NOT NULL
+        ),
+        rep AS (
+          SELECT rid, xq, y, b,
+                 CAST(concat('0x', substr(md5(CAST(rid AS VARCHAR) || '|' ||
+                      CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+          FROM base, unnest(range(1, {n_replicates} + 1)) AS r(b)
+          WHERE rid % {holdout_mod} <> 0
+        ),
+        per_v AS MATERIALIZED (
+          SELECT b, xq, CAST(SUM(m) AS BIGINT) AS c,
+                 CAST(SUM(m * y) AS BIGINT) AS p
+          FROM (SELECT rid, xq, y, b, {mult} AS m FROM rep)
+          WHERE m > 0 GROUP BY b, xq
+        ),
+        cuts AS (
+          SELECT b, xq,
+                 SUM(c) OVER (PARTITION BY b ORDER BY xq
+                              ROWS UNBOUNDED PRECEDING) AS nl,
+                 SUM(p) OVER (PARTITION BY b ORDER BY xq
+                              ROWS UNBOUNDED PRECEDING) AS pl,
+                 SUM(c) OVER (PARTITION BY b) AS n,
+                 SUM(p) OVER (PARTITION BY b) AS p_tot
+          FROM per_v
+        ),
+        scored AS (
+          SELECT b, xq, nl, pl, n - nl AS nr, p_tot - pl AS pr,
+                 CAST(
+                   (n - nl) * (nl*nl - pl*pl - (nl-pl)*(nl-pl))
+                   + nl * ((n-nl)*(n-nl) - (p_tot-pl)*(p_tot-pl)
+                           - ((n-nl)-(p_tot-pl))*((n-nl)-(p_tot-pl)))
+                 AS DOUBLE) / CAST(nl * (n - nl) AS DOUBLE) AS gini_cost
+          FROM cuts WHERE nl < n
+        ),
+        stumps AS MATERIALIZED (
+          SELECT b, xq AS cut_q,
+                 CASE WHEN 2*pl > nl THEN 1 ELSE 0 END AS left_pos,
+                 CASE WHEN 2*pr > nr THEN 1 ELSE 0 END AS right_pos
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY b
+                         ORDER BY gini_cost, xq) AS rn
+            FROM scored
+          ) WHERE rn = 1
+        ),
+        votes AS (
+          SELECT h.rid, h.y, CAST(SUM(CASE WHEN h.xq <= s.cut_q
+                      THEN s.left_pos ELSE s.right_pos END) AS BIGINT) AS votes,
+                 CAST(COUNT(*) AS BIGINT) AS nb
+          FROM (SELECT * FROM base WHERE rid % {holdout_mod} = 0) h
+          CROSS JOIN stumps s
+          GROUP BY h.rid, h.y
+        )
+        SELECT CASE WHEN 2*votes > nb THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS predicted_pos,
+               CAST(y AS BIGINT) AS actual_pos,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM votes GROUP BY 1, 2
+    """

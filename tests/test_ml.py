@@ -526,3 +526,28 @@ def test_isotonic_matches_pava_reference(spark):
     assert got == pava(ys)
     assert all(a <= b for a, b in zip(got, got[1:]))
     assert abs(sum(got) - sum(ys)) < 1e-9
+
+
+def test_stump_bagging_separable_signal(spark):
+    """A cleanly separable feature -> the bagged vote recovers the label on
+    the holdout almost perfectly (every bootstrap stump finds the cut)."""
+    from pyspark.sql import Row
+
+    from flink_example_spark.operators.ml import stump_bagging
+
+    rows = [
+        Row(
+            event_id=i,
+            event_type="error" if i % 2 == 0 else "view",
+            value=float(80 + (i % 7)) if i % 2 == 0 else float(10 + (i % 7)),
+        )
+        for i in range(400)
+    ]
+    out = {
+        (r["predicted_pos"], r["actual_pos"]): r["n"]
+        for r in stump_bagging(spark.createDataFrame(rows)).collect()
+    }
+    # holdout = ids % 5 == 0: 40 even (error, high value), 40 odd (view, low)
+    assert out.get((1, 1), 0) == 40
+    assert out.get((0, 0), 0) == 40
+    assert out.get((1, 0), 0) == 0 and out.get((0, 1), 0) == 0
