@@ -1598,6 +1598,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_surprisal": lambda spark, sf_dir: text.bigram_surprisal(
             _docs(spark, sf_dir), train_pred=F.col("doc_id") % 2 == 0
         ),
+        # interpolated Kneser-Ney bigram LM (d=1/2 exact rationals,
+        # continuation-probability backoff), same held-out split
+        "text_kn_surprisal": lambda spark, sf_dir: text.kn_surprisal(
+            _docs(spark, sf_dir), train_pred=F.col("doc_id") % 2 == 0
+        ),
         # positional-index exact-phrase retrieval (adjacent tokens)
         "text_phrase_search": lambda spark, sf_dir: text.phrase_search(
             _docs(spark, sf_dir), ["spark", "merge"]
@@ -2931,6 +2936,7 @@ def _northstar_oracles() -> dict[str, str]:
         )
     """
     out["text_bigram_surprisal"] = text.bigram_surprisal_oracle("doc_id % 2 = 0")
+    out["text_kn_surprisal"] = text.kn_surprisal_oracle("doc_id % 2 = 0")
     out["curation_dsir_weights"] = curation.dsir_oracle("lang = 'en'")
     out["text_boolean_search"] = text.boolean_search_oracle(["spark", "merge", "window"])
     out["text_phrase_search"] = text.phrase_search_oracle(["spark", "merge"])
