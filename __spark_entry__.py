@@ -207,6 +207,20 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         got = similarity.lsh_cosine_topk(e, q, k=5)
         return similarity.retrieval_eval(got, truth, k=5)
 
+    def ann_matryoshka_entry(spark, sf_dir):
+        """Matryoshka-style dimension ablation: retrieval with only the
+        FIRST 16 of 64 dims, evaluated against the full-dim exact top-5 —
+        the truncate-vs-recall tradeoff curve MRL deployments tune."""
+        e = _embs(spark, sf_dir)
+        trunc = e.select(
+            "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+        )
+        truth = similarity.cosine_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+        got = similarity.cosine_topk(
+            trunc, trunc.filter(F.col("vec_id") < 8), k=5
+        )
+        return similarity.retrieval_eval(got, truth, k=5)
+
     def ann_ndcg_eval_entry(spark, sf_dir):
         """Graded-ranking eval of the LSH retriever vs the exact top-5 as
         ideal — integer DCG weights (driver-embedded literals), ppm NDCG."""
@@ -1094,6 +1108,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retrieval-quality eval: LSH top-5 scored against exact top-5
         "ann_recall_eval": ann_recall_eval_entry,
         "ann_ndcg_eval": ann_ndcg_eval_entry,
+        "ann_matryoshka_eval": ann_matryoshka_entry,
         "ann_kmeans_centroids": ann_kmeans,
         # hybrid-retrieval ensemble: reciprocal-rank fusion of the exact
         # and IVF retrievers' top-5 lists (the RAG-stack combiner)
@@ -2731,6 +2746,41 @@ def _northstar_oracles() -> dict[str, str]:
     out["ann_recall_eval"] = f"""
         WITH truth AS MATERIALIZED ({out["ann_cosine_topk"]}),
         got AS ({_lsh_topk_oracle()}),
+        hits AS (
+          SELECT g.query_id, g.rank
+          FROM got g JOIN truth t
+            ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id
+          WHERE g.rank <= 5
+        ), rel AS (
+          SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+          FROM truth GROUP BY query_id
+        ), per AS (
+          SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nh, MIN(rank) AS frst
+          FROM hits GROUP BY query_id
+        )
+        SELECT rel.query_id, n_rel, COALESCE(nh, 0) AS n_hits,
+               CAST(COALESCE(nh, 0) AS DOUBLE) / n_rel AS recall_at_k,
+               CAST(COALESCE(nh, 0) AS DOUBLE) / 5 AS precision_at_k,
+               frst AS first_hit_rank,
+               CASE WHEN frst IS NOT NULL THEN CAST(1 AS DOUBLE) / frst
+                    ELSE CAST(0 AS DOUBLE) END AS rr
+        FROM rel LEFT JOIN per USING (query_id)
+    """
+    _duck_cos_16 = _DUCK_COS.replace("a.embedding", "a.embedding[1:16]").replace(
+        "b.embedding", "b.embedding[1:16]"
+    )
+    out["ann_matryoshka_eval"] = f"""
+        WITH truth AS MATERIALIZED ({out["ann_cosine_topk"]}),
+        got AS (
+          SELECT query_id, neighbor_id, rank FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {_duck_cos_16} DESC, b.vec_id)
+                     AS rank
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < 8 AND a.vec_id != b.vec_id
+          ) WHERE rank <= 5
+        ),
         hits AS (
           SELECT g.query_id, g.rank
           FROM got g JOIN truth t
