@@ -1219,6 +1219,21 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # distributed model fitting on the corpus (integer normal equations)
         "ml_linear_fit": linfit_entry,
+        # ridge shrinkage path over the same sufficient stats (lam=0 == OLS)
+        "ml_ridge_path": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["ridge_path"]
+        ).ridge_path(
+            _docs(spark, sf_dir).select(
+                "lang",
+                "n_chars",
+                F.size(
+                    F.array_remove(text.tokens(text.normalized(F.col("text"))), "")
+                ).alias("n_tok"),
+            ),
+            "lang",
+            "n_tok",
+            "n_chars",
+        ),
         # Benford first-digit audit over order totals (fraud smell test)
         "quality_benford": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.quality", fromlist=["benford_audit"]
@@ -3093,6 +3108,9 @@ def _northstar_oracles() -> dict[str, str]:
         f"{text._DUCK_NORM}, '\\s+'), t -> t <> '')) AS n_tok FROM documents"
     )
     out["ml_linear_fit"] = linear_fit_oracle(_ml_src, "lang", "n_tok", "n_chars")
+    from flink_example_spark.operators.ml import ridge_path_oracle
+
+    out["ml_ridge_path"] = ridge_path_oracle(_ml_src, "lang", "n_tok", "n_chars")
     from flink_example_spark.operators.ml import regression_eval_oracle
 
     from flink_example_spark.operators.ml import linear_fit2_oracle

@@ -2889,3 +2889,100 @@ def stump_bagging_oracle(
                CAST(COUNT(*) AS BIGINT) AS n
         FROM votes GROUP BY 1, 2
     """
+
+
+def ridge_path(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    lambdas: tuple[int, ...] = (0, 4, 16, 64, 256),
+) -> DataFrame:
+    """Per-group ridge-regression coefficient PATH over a grid of integer
+    penalties — the shrinkage curve a feature-calibration pipeline reads
+    before trusting an OLS slope (λ=0 reproduces :func:`linear_fit`
+    exactly; growing λ pulls the slope toward 0 and moves the intercept
+    toward the group mean).
+
+    Closed form on the SAME exact BIGINT sufficient statistics as
+    ``linear_fit``: with num = n·Σxy − Σx·Σy and den = n·Σxx − (Σx)²,
+
+        slope(λ)     = num / (den + n²·λ)
+        intercept(λ) = (Σy − slope·Σx) / n
+
+    The penalty enters as n²·λ so λ is in per-sample variance units
+    (invariant to group size). One double division per (group, λ) —
+    exactly-rounded, cross-engine identical. Output: ``(grp, lam, n,
+    slope, intercept)``.
+
+    Scale: ONE map-side-combined aggregation over the data; the λ grid
+    explodes only the group-count-sized stats relation.
+    """
+    s = _suff_stats(df, group_col, x_col, y_col).filter(F.col("n") >= 2)
+    lam_arr = F.array(*[F.lit(int(v)).cast("bigint") for v in lambdas])
+    t = (
+        s.select(
+            "grp",
+            "n",
+            "sx",
+            "sy",
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+            F.explode(lam_arr).alias("lam"),
+        )
+        .filter(F.col("den") + F.col("n") * F.col("n") * F.col("lam") > 0)
+        .withColumn(
+            "slope",
+            F.col("num").cast("double")
+            / (F.col("den") + F.col("n") * F.col("n") * F.col("lam")).cast("double"),
+        )
+    )
+    return t.select(
+        "grp",
+        F.col("lam").cast("long").alias("lam"),
+        F.col("n").cast("long").alias("n"),
+        "slope",
+        (
+            (F.col("sy").cast("double") - F.col("slope") * F.col("sx")) / F.col("n")
+        ).alias("intercept"),
+    )
+
+
+def ridge_path_oracle(
+    source_sql: str,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    lambdas: tuple[int, ...] = (0, 4, 16, 64, 256),
+) -> str:
+    """DuckDB twin of :func:`ridge_path`."""
+    lam_list = ", ".join(str(int(v)) for v in lambdas)
+    return f"""
+        WITH src AS ({source_sql}),
+        s AS (
+          SELECT {group_col} AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST({x_col} AS BIGINT)) AS BIGINT) AS sx,
+                 CAST(SUM(CAST({x_col} AS BIGINT) * CAST({x_col} AS BIGINT))
+                   AS BIGINT) AS sxx,
+                 CAST(SUM(CAST({y_col} AS BIGINT)) AS BIGINT) AS sy,
+                 CAST(SUM(CAST({x_col} AS BIGINT) * CAST({y_col} AS BIGINT))
+                   AS BIGINT) AS sxy
+          FROM src GROUP BY 1 HAVING COUNT(*) >= 2
+        ),
+        t AS (
+          SELECT grp, n, sx, sy,
+                 n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS den,
+                 lam
+          FROM s, unnest([{lam_list}]) AS l(lam)
+          WHERE n * sxx - sx * sx + n * n * lam > 0
+        ),
+        f AS (
+          SELECT grp, lam, n, sx, sy,
+                 CAST(num AS DOUBLE) / CAST(den + n * n * lam AS DOUBLE) AS slope
+          FROM t
+        )
+        SELECT grp, CAST(lam AS BIGINT) AS lam, n, slope,
+               (CAST(sy AS DOUBLE) - slope * sx) / n AS intercept
+        FROM f
+    """

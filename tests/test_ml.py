@@ -551,3 +551,18 @@ def test_stump_bagging_separable_signal(spark):
     assert out.get((1, 1), 0) == 40
     assert out.get((0, 0), 0) == 40
     assert out.get((1, 0), 0) == 0 and out.get((0, 1), 0) == 0
+
+
+def test_ridge_path_shrinks_toward_zero(spark):
+    from pyspark.sql import Row
+
+    from flink_example_spark.operators.ml import linear_fit, ridge_path
+
+    rows = [Row(g="a", x=i, y=3 * i + 7 + (i % 3)) for i in range(50)]
+    df = spark.createDataFrame(rows)
+    path = {r["lam"]: r for r in ridge_path(df, "g", "x", "y").collect()}
+    ols = linear_fit(df, "g", "x", "y").first()
+    assert path[0]["slope"] == ols["slope"]  # lam=0 bit-identical to OLS
+    slopes = [path[l]["slope"] for l in sorted(path)]
+    assert all(a > b for a, b in zip(slopes, slopes[1:]))  # monotone shrink
+    assert slopes[-1] > 0
