@@ -122,6 +122,19 @@ TEMPLATES: dict[str, str] = {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
+    # Distribution window trio (ntile / percent_rank / cume_dist): the
+    # quantile-bucketing analytics BI layers ship; unique tiebreaker makes
+    # every peer group a singleton, so the rational outputs are one exact
+    # integer division each in both engines.
+    "distribution_ranks": """
+        SELECT c_mktsegment, c_custkey,
+               CAST(c_acctbal AS DOUBLE) AS acctbal,
+               NTILE(4) OVER w AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
     # ratio_to_report window: each order's share of its customer's total
     # (the percent-of-group analytic every BI layer ships).
     "ratio_to_report": """
