@@ -1593,6 +1593,21 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_report": quality_report_entry,
         # write-path layout: Morton-curve bucket bounding boxes
         "layout_zorder_stats": zorder_entry,
+        # sort-order advisor: zone-map clustering ratio per candidate sort
+        # key, current ingest order vs re-sorted (the scan-pruning payoff)
+        "layout_sort_advisor": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.layout", fromlist=["sort_advisor"]
+        ).sort_advisor(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "orders"),
+            "o_orderkey",
+            [
+                ("custkey", "o_custkey"),
+                ("price_cents", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"),
+                ("orderdate_us", "unix_micros(CAST(o_orderdate AS TIMESTAMP))"),
+            ],
+        ),
         # balanced range-partition planner over lineitem part keys:
         # exact rank-based split points + realized bucket sizes
         "layout_range_plan": lambda spark, sf_dir: __import__(
@@ -3571,6 +3586,17 @@ def _northstar_oracles() -> dict[str, str]:
 
     from flink_example_spark.operators.layout import range_partition_plan_oracle
 
+    from flink_example_spark.operators.layout import sort_advisor_oracle
+
+    out["layout_sort_advisor"] = sort_advisor_oracle(
+        "orders",
+        "o_orderkey",
+        [
+            ("custkey", "o_custkey"),
+            ("price_cents", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"),
+            ("orderdate_us", "epoch_us(o_orderdate)"),
+        ],
+    )
     out["layout_range_plan"] = range_partition_plan_oracle(
         "lineitem", "l_partkey", n_buckets=16
     )

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def zorder_index(cols: list[Column], bits: int = 10) -> Column:
@@ -222,4 +222,141 @@ def range_partition_plan_oracle(
                CAST(SUM(c) AS BIGINT) AS n_rows,
                CAST(COUNT(*) AS BIGINT) AS n_keys
         FROM cm GROUP BY 1
+    """
+
+
+def sort_advisor(
+    df: DataFrame,
+    id_expr: str,
+    candidates: list[tuple[str, str]],
+    rows_per_file: int = 1000,
+) -> DataFrame:
+    """Which column should this table be sorted by? For every candidate
+    (an integer-valued SQL expression) the advisor measures the ZONE-MAP
+    CLUSTERING RATIO under (a) the current ingest order (files cut every
+    ``rows_per_file`` rows of ``id_expr`` order) and (b) a layout re-sorted
+    by that candidate:
+
+        ratio_ppm = (Σ_f (max_f − min_f) · 1e6) div (span · n_files)
+
+    — the expected fraction of files a uniform point predicate fails to
+    prune (1e6 = no pruning, ~1e6/n_files = perfect). The gap between the
+    two columns is the scan cost a re-sort would save; on 100 TB this is
+    the difference between touching every row-group and touching one.
+
+    Output: ``(col, n_files, span, ratio_current_ppm, ratio_sorted_ppm)``
+    — pure integers (div truncation identical cross-engine).
+
+    Scale: ONE scan (candidates explode to a tall narrow relation), two
+    window passes (rank by id, rank by value) and two file-grain
+    aggregations; everything downstream of the scan is n_candidates ×
+    n_rows narrow integer rows with map-side partials.
+    """
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col"), F.expr(expr).cast("bigint").alias("v")
+            )
+            for name, expr in candidates
+        ]
+    )
+    tall = (
+        df.select(F.expr(id_expr).cast("bigint").alias("id"), F.explode(structs).alias("c"))
+        .select("id", F.col("c.col").alias("col"), F.col("c.v").alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    w_id = Window.partitionBy("col").orderBy("id")
+    w_v = Window.partitionBy("col").orderBy("v", "id")
+    ranked = tall.select(
+        "col",
+        "v",
+        ((F.row_number().over(w_id) - 1) / rows_per_file).cast("bigint").alias("f_cur"),
+        ((F.row_number().over(w_v) - 1) / rows_per_file).cast("bigint").alias("f_srt"),
+    ).localCheckpoint()  # two aggregation consumers below
+
+    def zone_ratio(file_col: str, out: str) -> DataFrame:
+        zones = ranked.groupBy("col", file_col).agg(
+            (F.max("v") - F.min("v")).alias("w")
+        )
+        return zones.groupBy("col").agg(
+            F.count(F.lit(1)).alias(f"{out}_files"),
+            F.sum("w").alias(f"{out}_sum_w"),
+        )
+
+    cur = zone_ratio("f_cur", "cur")
+    srt = zone_ratio("f_srt", "srt")
+    span = tall.groupBy("col").agg((F.max("v") - F.min("v")).alias("span"))
+    return (
+        span.join(cur, "col")
+        .join(srt, "col")
+        .filter(F.col("span") > 0)
+        .select(
+            "col",
+            F.col("cur_files").cast("long").alias("n_files"),
+            F.col("span").cast("long").alias("span"),
+            F.expr(
+                "CAST((CAST(cur_sum_w AS DECIMAL(19,0)) * 1000000)"
+                " div (CAST(span AS DECIMAL(19,0))"
+                " * CAST(cur_files AS DECIMAL(19,0))) AS BIGINT)"
+            ).alias("ratio_current_ppm"),
+            F.expr(
+                "CAST((CAST(srt_sum_w AS DECIMAL(19,0)) * 1000000)"
+                " div (CAST(span AS DECIMAL(19,0))"
+                " * CAST(srt_files AS DECIMAL(19,0))) AS BIGINT)"
+            ).alias("ratio_sorted_ppm"),
+        )
+    )
+
+
+def sort_advisor_oracle(
+    table: str,
+    id_expr: str,
+    candidates: list[tuple[str, str]],
+    rows_per_file: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`sort_advisor`."""
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({id_expr} AS BIGINT) AS id, '{name}' AS col,"
+        f" CAST({expr} AS BIGINT) AS v FROM {table}"
+        for name, expr in candidates
+    )
+    return f"""
+        WITH tall AS MATERIALIZED (
+          SELECT * FROM ({sel}) WHERE v IS NOT NULL
+        ),
+        ranked AS MATERIALIZED (
+          SELECT col, v,
+                 (ROW_NUMBER() OVER (PARTITION BY col ORDER BY id) - 1)
+                   // {rows_per_file} AS f_cur,
+                 (ROW_NUMBER() OVER (PARTITION BY col ORDER BY v, id) - 1)
+                   // {rows_per_file} AS f_srt
+          FROM tall
+        ),
+        cur AS (
+          SELECT col, CAST(COUNT(*) AS BIGINT) AS cur_files,
+                 CAST(SUM(w) AS BIGINT) AS cur_sum_w
+          FROM (SELECT col, f_cur, MAX(v) - MIN(v) AS w FROM ranked
+                GROUP BY 1, 2)
+          GROUP BY col
+        ),
+        srt AS (
+          SELECT col, CAST(COUNT(*) AS BIGINT) AS srt_files,
+                 CAST(SUM(w) AS BIGINT) AS srt_sum_w
+          FROM (SELECT col, f_srt, MAX(v) - MIN(v) AS w FROM ranked
+                GROUP BY 1, 2)
+          GROUP BY col
+        ),
+        span AS (
+          SELECT col, CAST(MAX(v) - MIN(v) AS BIGINT) AS span
+          FROM tall GROUP BY col
+        )
+        SELECT span.col, cur_files AS n_files, span,
+               CAST((CAST(cur_sum_w AS HUGEINT) * 1000000)
+                    // (CAST(span AS HUGEINT) * cur_files) AS BIGINT)
+                 AS ratio_current_ppm,
+               CAST((CAST(srt_sum_w AS HUGEINT) * 1000000)
+                    // (CAST(span AS HUGEINT) * srt_files) AS BIGINT)
+                 AS ratio_sorted_ppm
+        FROM span JOIN cur USING (col) JOIN srt ON srt.col = span.col
+        WHERE span > 0
     """

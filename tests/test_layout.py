@@ -125,3 +125,29 @@ def test_range_partition_plan_uniform_keys_split_evenly(spark):
     got = {r["bucket"]: r["n_rows"] for r in
            range_partition_plan(df, "k", n_buckets=4).collect()}
     assert got == {0: 4, 1: 4, 2: 4, 3: 4}
+
+
+def test_sort_advisor_detects_presorted_column(spark):
+    """A column already correlated with ingest order shows a LOW current
+    ratio; a shuffled column shows ~1e6 current but near-perfect sorted."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.layout import sort_advisor
+
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.col("id").alias("mono"),
+        ((F.col("id") * 2654435761) % 4000).alias("shuffled"),
+    )
+    rows = {
+        r["col"]: r
+        for r in sort_advisor(
+            df, "id", [("mono", "mono"), ("shuffled", "shuffled")], rows_per_file=500
+        ).collect()
+    }
+    # monotone column: each of 8 files covers ~1/8 of the span either way
+    assert rows["mono"]["ratio_current_ppm"] < 150_000
+    assert rows["mono"]["ratio_sorted_ppm"] < 150_000
+    # shuffled column: current layout prunes nothing, sorted layout does
+    assert rows["shuffled"]["ratio_current_ppm"] > 900_000
+    assert rows["shuffled"]["ratio_sorted_ppm"] < 150_000
