@@ -2033,6 +2033,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.timeseries_stream",
             fromlist=["run_streaming_session_stats"],
         ).run_streaming_session_stats(spark, sf_dir),
+        # LIVE interval-union coverage: disjoint-island state (idempotent
+        # monoid, no watermark), O(islands) per key; = batch interval_merge
+        "streaming_interval_merge": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.timeseries_stream",
+            fromlist=["run_streaming_interval_merge"],
+        ).run_streaming_interval_merge(spark, sf_dir),
         # Theil-Sen robust trend: median of daily pairwise slopes +
         # median-residual intercept (29% breakdown point vs OLS)
         "timeseries_theilsen": lambda spark, sf_dir: __import__(
@@ -3748,6 +3754,8 @@ def _northstar_oracles() -> dict[str, str]:
     out["timeseries_interval_merge"] = interval_merge_oracle(
         "events", "user_id", "ts", "value", "event_id"
     )
+    # live disjoint-island state converges to the batch interval union
+    out["streaming_interval_merge"] = out["timeseries_interval_merge"]
     out["timeseries_ewma"] = ewma_oracle(
         "events", "user_id", "ts", "value", "event_id"
     )

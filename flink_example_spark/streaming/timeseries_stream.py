@@ -689,3 +689,103 @@ def run_streaming_survival(
                  AS DOUBLE) / 1e6 AS cum_hazard
         FROM risked
     """)
+
+
+def streaming_interval_merge(
+    src: DataFrame,
+    key_col: str = "key",
+) -> DataFrame:
+    """Update-mode per-key interval-union state: the disjoint island set is
+    an IDEMPOTENT, commutative monoid under interval union (merging
+    overlaps), so arrival order and duplication don't matter and no
+    watermark is needed — the live form of the uptime/coverage rollup
+    ``operators.timeseries.interval_merge`` computes in batch.
+
+    ``src`` columns: (key, s, e) integer micros. State per key is the
+    pickled (version, n_intervals, [(s, e)...]) disjoint sorted list —
+    O(islands), not O(intervals). Emits one row per key per micro-batch;
+    the max-version row equals the batch operator's output for the data
+    seen so far."""
+    import pickle
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    output_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("version", LongType()),
+            StructField("n_intervals", LongType()),
+            StructField("n_islands", LongType()),
+            StructField("covered_us", LongType()),
+            StructField("max_island_us", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("pkl", BinaryType(), True)])
+
+    def process(key, pdfs, state: GroupState):
+        if state.exists:
+            version, n_int, islands = pickle.loads(state.get[0])
+        else:
+            version, n_int, islands = 0, 0, []
+        new = []
+        for pdf in pdfs:
+            new.extend(zip((int(x) for x in pdf["s"]), (int(x) for x in pdf["e"])))
+        n_int += len(new)
+        merged = []
+        for s, e in sorted(islands + new):
+            if merged and s <= merged[-1][1]:
+                if e > merged[-1][1]:
+                    merged[-1] = (merged[-1][0], e)
+            else:
+                merged.append((s, e))
+        version += 1
+        state.update((pickle.dumps((version, n_int, merged)),))
+        covered = sum(e - s for s, e in merged)
+        mx = max((e - s for s, e in merged), default=0)
+        yield pd.DataFrame(
+            [(key[0], version, n_int, len(merged), covered, mx)],
+            columns=[f.name for f in output_schema.fields],
+        )
+
+    return src.groupBy(key_col).applyInPandasWithState(
+        process,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded replay of the events stream through the interval-union
+    state; the max-version row per user equals batch
+    ``interval_merge(events)`` — shares its oracle."""
+    tune(spark)
+    ev = stream_events(spark, sf_dir)
+    src = ev.filter(F.col("value").isNotNull()).select(
+        F.col("user_id").cast("bigint").alias("key"),
+        F.unix_micros(F.col("ts")).alias("s"),
+        (
+            F.unix_micros(F.col("ts"))
+            + F.expr("CAST(floor(value * 60000000 + 0.5) AS BIGINT)")
+        ).alias("e"),
+    )
+    out = streaming_interval_merge(src, "key")
+    name = f"stream_imerge_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql(
+        "SELECT key, n_intervals, n_islands, covered_us, max_island_us FROM ("
+        f"  SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY version DESC) rn"
+        f"  FROM {name}"
+        ") WHERE rn = 1"
+    )
