@@ -157,6 +157,18 @@ HEADLINE = [
     "timeseries_survival",
     "ml_feature_importance",
     "cep_markov_eval",
+    # added round 7 continuation
+    "sketch_bloom_filter",
+    "timeseries_ar2_forecast",
+    "timeseries_interval_merge",
+    "ann_ndcg_eval",
+    "ann_matryoshka_eval",
+    "entity_phonetic_links",
+    "ml_stump_bagging",
+    "text_kn_surprisal",
+    "ml_ridge_path",
+    "layout_sort_advisor",
+    "distribution_ranks",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite
