@@ -414,3 +414,20 @@ def test_interval_merge_swallows_nested_intervals(spark):
     assert out["n_islands"] == 2
     assert out["covered_us"] == (70 + 10) * 60_000_000
     assert out["max_island_us"] == 70 * 60_000_000
+
+
+def test_ar2_constant_series_is_filtered(spark):
+    """A constant series has zero centered variance -> Cramer determinant 0
+    -> the key is dropped rather than dividing by zero (ANSI-safe)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from flink_example_spark.operators.timeseries import ar2_forecast
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(event_type="flat", ts=t0 + dt.timedelta(days=i), value=42.0)
+        for i in range(10)
+    ]
+    assert ar2_forecast(spark.createDataFrame(rows)).count() == 0
