@@ -4467,7 +4467,10 @@ DRIVER_KEYS = [
     "curation_dsir_weights",
     "text_lm_surprisal",
     "sketch_kmv_distinct",
-    "text_features",
+    # text_features (stateless projection) moves to extras — the class is
+    # exercised by scalar_functions and the streaming twin; the slot
+    # records the Kneser-Ney LM (the principled smoothing upgrade)
+    "text_kn_surprisal",
     # the O(block^2) jaccard baseline stays in extras; the slot records
     # the batch CDC changelog apply (MERGE INTO) instead
     "versioned_cdc_apply",
@@ -4479,9 +4482,10 @@ DRIVER_KEYS = [
     "dedup_simhash",
     "dedup_paragraphs",
     "ann_cosine_topk",
-    # ann_lsh_topk stays in extras; the recall/MRR eval row composes the
-    # LSH retriever AGAINST the exact one, so both stay driver-exercised
-    "ann_recall_eval",
+    # ann_lsh_topk + recall eval stay in extras; the NDCG row composes the
+    # SAME two retrievers with the graded (integer-DCG) metric, so both
+    # stay driver-exercised at strictly more metric coverage
+    "ann_ndcg_eval",
     "ann_ivf_topk",
     "ann_kmeans_centroids",
     "embedding_near_dup",
@@ -4494,7 +4498,10 @@ DRIVER_KEYS = [
     "multimodal_codec",
     "curation_decontaminate",
     "curation_shared_spans",
-    "curation_doc_quality",
+    # curation_doc_quality moves to extras (gopher rules are also the
+    # streaming filter row); the slot records the Bloom runtime-filter
+    # sketch (bit_or monoid words + probe-side pruning measurement)
+    "sketch_bloom_filter",
     # sample/dist_stats stay in extras (portable-hash sampling and the
     # moment stats are both exercised by other driver rows); the freed
     # slots record the round-7 families: entity resolution and the
