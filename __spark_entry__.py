@@ -1234,6 +1234,18 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_tok",
             "n_chars",
         ),
+        # gradient-boosted regression stumps (L2 loss): exact integer
+        # residual boosting, trunc-div leaf shrinkage, per-round SSE
+        "ml_gbm_stumps": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["gbm_stumps"]
+        ).gbm_stumps(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "lineitem"),
+            _GBM_TARGET,
+            list(_GBM_FEATS),
+            rounds=3,
+        ),
         # Benford first-digit audit over order totals (fraud smell test)
         "quality_benford": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.quality", fromlist=["benford_audit"]
@@ -2392,6 +2404,17 @@ _BM25_QUERIES = (
 )
 
 
+# GBM-stumps demo: predict the absolute discount amount (a genuine function
+# of l_discount x price in the synthetic data, so boosting visibly refines
+# successive cuts of the same feature) from four quantized candidates.
+_GBM_TARGET = "l_extendedprice * l_discount / 10"
+_GBM_FEATS = (
+    ("qty", "l_quantity", 1),
+    ("disc", "l_discount", 100),
+    ("tax", "l_tax", 100),
+    ("pbkt", "CAST(l_partkey % 32 AS DOUBLE)", 1),
+)
+
 # Blocklist-redaction demo pattern: the fixture corpus has no synthetic PII,
 # so the driver query scrubs a term blocklist through the same machinery the
 # EMAIL/PHONE defaults use (tests/test_curation.py covers real PII strings).
@@ -3132,6 +3155,11 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import ridge_path_oracle
 
     out["ml_ridge_path"] = ridge_path_oracle(_ml_src, "lang", "n_tok", "n_chars")
+    from flink_example_spark.operators.ml import gbm_stumps_oracle
+
+    out["ml_gbm_stumps"] = gbm_stumps_oracle(
+        "SELECT * FROM lineitem", _GBM_TARGET, list(_GBM_FEATS), rounds=3
+    )
     from flink_example_spark.operators.ml import regression_eval_oracle
 
     from flink_example_spark.operators.ml import linear_fit2_oracle

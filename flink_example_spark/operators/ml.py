@@ -2986,3 +2986,242 @@ def ridge_path_oracle(
                (CAST(sy AS DOUBLE) - slope * sx) / n AS intercept
         FROM f
     """
+
+
+def gbm_stumps(
+    df: DataFrame,
+    target_sql: str,
+    features: list[tuple[str, str, int]],
+    rounds: int = 3,
+    lr_den: int = 2,
+) -> DataFrame:
+    """Gradient-boosted regression stumps under squared loss — the exact
+    integer skeleton of every GBDT pipeline (XGBoost/LightGBM's depth-1
+    special case), learned end-to-end as one lazy plan per round.
+
+    With L2 loss the negative gradient IS the residual, so boosting is:
+    fit the SSE-optimal stump on the current residuals, shrink its leaf
+    means by the learning rate, subtract, repeat. Every step stays in
+    exact integers:
+
+    - target/features quantize via ``floor(x*scale + 0.5)`` BIGINTs;
+    - the base score and both leaf values are truncating divisions
+      (Spark ``div`` == DuckDB ``//``, toward zero — the ar2_forecast
+      device), with learning rate ``1/lr_den`` folded into the divisor:
+      ``leaf = sum_residuals div (lr_den * n_side)``;
+    - the split search is the :func:`decision_stump` /
+      ``timeseries.changepoint`` prefix-scan: per-(feature, value)
+      (count, sum, sum-of-squares) once, windowed prefix sums give every
+      cut's side stats, per-side SSE numerator ``n*Q - S^2`` is an exact
+      BIGINT divided ONCE into a double per side (identical IEEE
+      division in any engine), argmin by (cost, feature, cut).
+
+    The chosen stump attaches to the residual relation via ONE broadcast
+    cross join of a one-row relation — no collect; each round's residual
+    frame is localCheckpoint-ed (tiny state, the pagerank rule) so plan
+    depth stays O(1) per round.
+
+    Output, one row per boosting round: ``(boost_round, feat, cut_q,
+    n_l, n_r, leaf_l, leaf_r, sse_after)`` where sse_after is the exact
+    BIGINT residual sum-of-squares once the round's correction is
+    applied. Overflow bound: per side ``n * (n * y_max^2) < 2^63`` —
+    with y quantized to ~1e3 units that is ~2.9e6 rows; quantize the
+    target coarser past that.
+
+    Scale: per round, one (feature x value)-sized aggregation (the
+    shuffle carries quantized-value cardinality, not rows), one ordered
+    window over that distinct-value relation, one broadcast cross join
+    back onto the row relation. Rows never shuffle on data keys at all.
+    """
+    fnames = [name for name, _, _ in features]
+    sel = [
+        F.expr(f"CAST(floor(({target_sql}) + 0.5) AS BIGINT)").alias("yq")
+    ] + [
+        F.expr(f"CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)").alias(name)
+        for name, expr, scale in features
+    ]
+    base = df.select(*sel).filter(F.col("yq").isNotNull())
+    for n in fnames:
+        base = base.filter(F.col(n).isNotNull())
+    f0 = base.agg(F.expr("sum(yq) div count(1)").alias("f0"))
+    resid = (
+        base.crossJoin(F.broadcast(f0))
+        .select(*fnames, (F.col("yq") - F.col("f0")).alias("r"))
+        .localCheckpoint(eager=False)
+    )
+    stack_expr = (
+        f"stack({len(fnames)}, "
+        + ", ".join(f"'{n}', {n}" for n in fnames)
+        + ") AS (feat, xq)"
+    )
+    wl = Window.partitionBy("feat").orderBy("xq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("feat").orderBy("xq").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out_rows = []
+    for m in range(1, rounds + 1):
+        long = resid.selectExpr(stack_expr, "r")
+        pv = long.groupBy("feat", "xq").agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("r").alias("s0"),
+            F.sum(F.col("r") * F.col("r")).alias("q0"),
+        )
+        cuts = pv.select(
+            "feat",
+            "xq",
+            F.sum("c").over(wl).alias("nl"),
+            F.sum("s0").over(wl).alias("sl"),
+            F.sum("q0").over(wl).alias("ql"),
+            F.sum("c").over(wt).alias("n"),
+            F.sum("s0").over(wt).alias("s"),
+            F.sum("q0").over(wt).alias("q"),
+        ).filter(F.col("nl") < F.col("n"))
+        nr = F.col("n") - F.col("nl")
+        sr = F.col("s") - F.col("sl")
+        qr = F.col("q") - F.col("ql")
+        scored = cuts.select(
+            "feat",
+            "xq",
+            "nl",
+            nr.alias("nr"),
+            F.expr(f"sl div ({lr_den} * nl)").alias("leaf_l"),
+            (
+                (F.col("nl") * F.col("ql") - F.col("sl") * F.col("sl")).cast(
+                    "double"
+                )
+                / F.col("nl").cast("double")
+                + (nr * qr - sr * sr).cast("double") / nr.cast("double")
+            ).alias("cost"),
+            F.expr(f"(s - sl) div ({lr_den} * (n - nl))").alias("leaf_r"),
+        )
+        top = Window.orderBy("cost", "feat", "xq")
+        best = (
+            scored.withColumn("__rn", F.row_number().over(top))
+            .filter(F.col("__rn") == 1)
+            .select("feat", F.col("xq").alias("cut_q"), "nl", "nr", "leaf_l", "leaf_r")
+            .localCheckpoint(eager=False)
+        )
+        chosen = F.coalesce(
+            *[
+                F.when(F.col("feat") == n, F.col(n))
+                for n in fnames
+            ]
+        )
+        resid = (
+            resid.crossJoin(F.broadcast(best))
+            .select(
+                *fnames,
+                (
+                    F.col("r")
+                    - F.when(chosen <= F.col("cut_q"), F.col("leaf_l")).otherwise(
+                        F.col("leaf_r")
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        sse = resid.agg(F.sum(F.col("r") * F.col("r")).alias("sse_after"))
+        out_rows.append(
+            best.crossJoin(F.broadcast(sse)).select(
+                F.lit(m).alias("boost_round"),
+                "feat",
+                "cut_q",
+                F.col("nl").alias("n_l"),
+                F.col("nr").alias("n_r"),
+                "leaf_l",
+                "leaf_r",
+                "sse_after",
+            )
+        )
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def gbm_stumps_oracle(
+    source_sql: str,
+    target_sql: str,
+    features: list[tuple[str, str, int]],
+    rounds: int = 3,
+    lr_den: int = 2,
+) -> str:
+    """DuckDB twin of :func:`gbm_stumps` — unrolled per-round CTE chain,
+    every round MATERIALIZED (each feeds two consumers; the round-6 BPE
+    exponential-inlining rule), ``//`` truncation matching Spark ``div``."""
+    fnames = [name for name, _, _ in features]
+    fsel = ", ".join(
+        f"CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT) AS {name}"
+        for name, expr, scale in features
+    )
+    notnull = " AND ".join([f"({target_sql}) IS NOT NULL"] + [
+        f"({expr}) IS NOT NULL" for _, expr, _ in features
+    ])
+    long_union = " UNION ALL ".join(
+        f"SELECT '{n}' AS feat, {n} AS xq, r FROM r{{m}}" for n in fnames
+    )
+    chosen = "CASE b.feat " + " ".join(
+        f"WHEN '{n}' THEN {n}" for n in fnames
+    ) + " END"
+    parts = [
+        f"""WITH base AS MATERIALIZED (
+          SELECT CAST(floor(({target_sql}) + 0.5) AS BIGINT) AS yq, {fsel}
+          FROM ({source_sql}) WHERE {notnull}
+        ),
+        r0 AS MATERIALIZED (
+          SELECT {', '.join(fnames)},
+                 yq - (SELECT CAST(SUM(yq) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                       FROM base) AS r
+          FROM base
+        )"""
+    ]
+    for m in range(1, rounds + 1):
+        p = m - 1
+        lu = long_union.format(m=p)
+        parts.append(f"""long{m} AS ({lu}),
+        pv{m} AS (
+          SELECT feat, xq, CAST(COUNT(*) AS BIGINT) AS c,
+                 CAST(SUM(r) AS BIGINT) AS s0,
+                 CAST(SUM(r*r) AS BIGINT) AS q0
+          FROM long{m} GROUP BY 1, 2
+        ),
+        cuts{m} AS (
+          SELECT feat, xq,
+                 CAST(SUM(c) OVER w AS BIGINT) AS nl,
+                 CAST(SUM(s0) OVER w AS BIGINT) AS sl,
+                 CAST(SUM(q0) OVER w AS BIGINT) AS ql,
+                 CAST(SUM(c) OVER t AS BIGINT) AS n,
+                 CAST(SUM(s0) OVER t AS BIGINT) AS s,
+                 CAST(SUM(q0) OVER t AS BIGINT) AS q
+          FROM pv{m}
+          WINDOW w AS (PARTITION BY feat ORDER BY xq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 t AS (PARTITION BY feat)
+        ),
+        best{m} AS MATERIALIZED (
+          SELECT feat, xq AS cut_q, nl, n - nl AS nr,
+                 sl // ({lr_den} * nl) AS leaf_l,
+                 (s - sl) // ({lr_den} * (n - nl)) AS leaf_r
+          FROM (
+            SELECT *, CAST(nl*ql - sl*sl AS DOUBLE) / CAST(nl AS DOUBLE)
+                      + CAST((n-nl)*(q-ql) - (s-sl)*(s-sl) AS DOUBLE)
+                        / CAST(n - nl AS DOUBLE) AS cost
+            FROM cuts{m} WHERE nl < n
+          ) ORDER BY cost, feat, xq LIMIT 1
+        ),
+        r{m} AS MATERIALIZED (
+          SELECT {', '.join(fnames)},
+                 r - (CASE WHEN {chosen} <= b.cut_q THEN b.leaf_l
+                           ELSE b.leaf_r END) AS r
+          FROM r{p}, best{m} b
+        ),
+        sse{m} AS (SELECT CAST(SUM(r*r) AS BIGINT) AS sse_after FROM r{m})""")
+    finals = " UNION ALL ".join(
+        f"""SELECT {m} AS boost_round, feat, cut_q, nl AS n_l, nr AS n_r,
+               leaf_l, leaf_r, (SELECT sse_after FROM sse{m}) AS sse_after
+           FROM best{m}"""
+        for m in range(1, rounds + 1)
+    )
+    return ",\n".join(parts) + f"\n{finals}"

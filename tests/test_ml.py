@@ -566,3 +566,72 @@ def test_ridge_path_shrinks_toward_zero(spark):
     slopes = [path[l]["slope"] for l in sorted(path)]
     assert all(a > b for a, b in zip(slopes, slopes[1:]))  # monotone shrink
     assert slopes[-1] > 0
+
+
+def test_gbm_stumps_matches_python_reference(spark):
+    # two features; y is a noisy step in f1 -- the reference below replays
+    # the exact integer algorithm (trunc-div leaves, per-side double SSE)
+    import itertools
+
+    rows = []
+    vals = [3, 7, 11, 19, 23, 31, 41, 53]
+    for i, (a, b) in enumerate(itertools.product(range(8), range(4))):
+        y = 100 + 40 * (a >= 4) + vals[(i * 5) % 8]
+        rows.append((float(a), float(b), float(y)))
+    df = spark.createDataFrame(rows, "f1 double, f2 double, y double")
+    from flink_example_spark.operators.ml import gbm_stumps
+
+    out = {
+        r["boost_round"]: r
+        for r in gbm_stumps(
+            df, "y", [("f1", "f1", 1), ("f2", "f2", 1)], rounds=3
+        ).collect()
+    }
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    data = [(int(a), int(b), int(y)) for a, b, y in rows]
+    f0 = tdiv(sum(y for *_, y in data), len(data))
+    resid = [(a, b, y - f0) for a, b, y in data]
+    for m in range(1, 4):
+        best = None
+        for fi, fname in ((0, "f1"), (1, "f2")):
+            xs = sorted({r[fi] for r in resid})
+            for cut in xs[:-1]:
+                left = [r[2] for r in resid if r[fi] <= cut]
+                right = [r[2] for r in resid if r[fi] > cut]
+                cost = (
+                    (len(left) * sum(v * v for v in left) - sum(left) ** 2)
+                    / len(left)
+                    + (len(right) * sum(v * v for v in right) - sum(right) ** 2)
+                    / len(right)
+                )
+                key = (cost, fname, cut)
+                if best is None or key < best[0]:
+                    best = (
+                        key,
+                        fi,
+                        cut,
+                        tdiv(sum(left), 2 * len(left)),
+                        tdiv(sum(right), 2 * len(right)),
+                        len(left),
+                        len(right),
+                    )
+        (cost, fname, cut), fi, cut_q, ll, lr, nl, nr = best
+        resid = [
+            (a, b, r - (ll if (a, b)[fi] <= cut_q else lr))
+            for a, b, r in resid
+        ]
+        sse = sum(r * r for *_, r in resid)
+        got = out[m]
+        assert (
+            got["feat"],
+            got["cut_q"],
+            got["n_l"],
+            got["n_r"],
+            got["leaf_l"],
+            got["leaf_r"],
+            got["sse_after"],
+        ) == (fname, cut_q, nl, nr, ll, lr, sse), f"round {m}"
