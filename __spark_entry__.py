@@ -1206,6 +1206,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the term graph is built ONCE and checkpointed: LPA and the
         # modularity aggregate both read it)
         "graph_modularity": _graph_modularity_entry,
+        # neighborhood link prediction on the term graph: common-neighbor
+        # / Adamic-Adar / resource-allocation scores for non-adjacent
+        # pairs, wedge join hub-capped (integer log2 device)
+        "graph_link_prediction": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.graph", fromlist=["link_prediction"]
+        ).link_prediction(
+            __import__(
+                "flink_example_spark.operators.graph", fromlist=["term_graph"]
+            ).term_graph(_docs(spark, sf_dir), min_weight=2),
+        ),
         # multi-hop BFS reachability from the co-occurrence hub term via
         # Spark 4's RECURSIVE CTE (Catalyst-planned iteration; identical
         # recursive query text runs in DuckDB)
@@ -3124,6 +3134,9 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["graph_sssp"] = sssp_oracle(term_graph_sql(2), n_rounds=6)
     out["graph_modularity"] = modularity_oracle(term_graph_sql(2), n_rounds=4)
+    from flink_example_spark.operators.graph import link_prediction_oracle
+
+    out["graph_link_prediction"] = link_prediction_oracle(term_graph_sql(2))
     from flink_example_spark.operators.mining import (
         assoc_rules_oracle,
         seq_patterns_oracle,

@@ -1010,3 +1010,91 @@ def modularity_oracle(edges_sql: str, n_rounds: int = 4) -> str:
                  / CAST(two_m * two_m AS DOUBLE) AS modularity
         FROM tot CROSS JOIN dsq
     """
+
+
+def link_prediction(
+    edges: DataFrame,
+    max_hub_degree: int = 64,
+    topn: int = 50,
+) -> DataFrame:
+    """Neighborhood-based link prediction (Liben-Nowell & Kleinberg 2003)
+    over a symmetric edge set: for every NON-adjacent pair (u, v) sharing
+    at least one neighbor, the three classic scores —
+
+    - ``cn``: common-neighbor count (exact integer);
+    - ``aa_micro``: Adamic-Adar ``sum(1/log2 deg(w))`` in exact micro
+      units via the repo's integer-log2 device ``length(bin(deg)) - 1``
+      (a common neighbor has deg >= 2 by construction, so the divisor is
+      never 0);
+    - ``ra_micro``: resource allocation ``sum(1/deg(w))`` in micro units.
+
+    Candidates come from ONE wedge self-join through each center w —
+    never an all-pairs product. Skew posture: a hub center contributes
+    deg(w)^2 wedge rows, so centers with deg(w) > ``max_hub_degree`` are
+    excluded (the standard AA rationale: a hub's 1/log(deg) contribution
+    is negligible while its wedge fan-out is quadratic — dropping it
+    bounds the join at max_hub_degree^2 rows per center at any corpus
+    size). Existing edges leave via one anti-join on the undirected
+    adjacency. Output: top ``topn`` by (aa_micro DESC, cn DESC, u, v).
+    """
+    adj = edges.select("src", "dst").distinct()
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("degw"))
+    centers = deg.filter(
+        (F.col("degw") >= 2) & (F.col("degw") <= max_hub_degree)
+    )
+    e1 = adj.join(centers, "src").select(
+        F.col("src").alias("w"), F.col("dst").alias("u"), "degw"
+    )
+    e2 = adj.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    wedges = e1.join(e2, "w").filter(F.col("u") < F.col("v"))
+    und = adj.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    cand = wedges.join(und, ["u", "v"], "left_anti")
+    scored = cand.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cn"),
+        F.sum(F.expr("1000000 div (length(bin(degw)) - 1)"))
+        .cast("long")
+        .alias("aa_micro"),
+        F.sum(F.expr("1000000 div degw")).cast("long").alias("ra_micro"),
+    )
+    return scored.orderBy(
+        F.col("aa_micro").desc(), F.col("cn").desc(), "u", "v"
+    ).limit(topn)
+
+
+def link_prediction_oracle(
+    edges_sql: str, max_hub_degree: int = 64, topn: int = 50
+) -> str:
+    """DuckDB twin of :func:`link_prediction`."""
+    return f"""
+        WITH adj AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM ({edges_sql})
+        ),
+        deg AS (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS degw FROM adj GROUP BY 1
+        ),
+        centers AS (
+          SELECT src AS w, degw FROM deg
+          WHERE degw >= 2 AND degw <= {max_hub_degree}
+        ),
+        wedges AS (
+          SELECT e1.dst AS u, e2.dst AS v, c.degw
+          FROM centers c
+          JOIN adj e1 ON e1.src = c.w
+          JOIN adj e2 ON e2.src = c.w
+          WHERE e1.dst < e2.dst
+        ),
+        cand AS (
+          SELECT wedges.* FROM wedges
+          ANTI JOIN (SELECT src AS u, dst AS v FROM adj WHERE src < dst) x
+            USING (u, v)
+        )
+        SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+               CAST(SUM(1000000 // (length(bin(degw)) - 1)) AS BIGINT)
+                 AS aa_micro,
+               CAST(SUM(1000000 // degw) AS BIGINT) AS ra_micro
+        FROM cand GROUP BY 1, 2
+        ORDER BY aa_micro DESC, cn DESC, u, v
+        LIMIT {topn}
+    """

@@ -319,3 +319,42 @@ def test_hits_star_hub_and_authority(spark):
     assert r["b"][0] == 0 and r["c"][0] == 0         # sinks: no out-edges
     assert r["s"][1] == 0                            # nothing points at s
     assert 0 < r["a"][0] < r["s"][0]
+
+
+def test_link_prediction_known_scores(spark):
+    # path graph a-b-c-d plus hub h connected to a,c,d:
+    #   deg: a=2(b,h) b=2(a,c) c=3(b,d,h) d=2(c,h) h=3(a,c,d)
+    from flink_example_spark.operators.graph import link_prediction
+
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("h", "a"), ("h", "c"), ("h", "d")]
+    edges = spark.createDataFrame(
+        [(u, v, 1) for u, v in und] + [(v, u, 1) for u, v in und],
+        "src string, dst string, w long",
+    )
+    out = {(r["u"], r["v"]): r for r in link_prediction(edges).collect()}
+    # non-adjacent pairs with common neighbors:
+    #   (a,c): via b(deg2) and h(deg3) -> cn=2, aa = 1e6//1 + 1e6//1 = 2000000
+    #          ra = 1e6//2 + 1e6//3 = 500000+333333
+    #   (a,d): via h(deg3)            -> cn=1, aa = 1e6//1, ra = 333333
+    #   (b,d): via c(deg3)            -> cn=1
+    #   (b,h): via a(deg2), c(deg3)   -> cn=2
+    assert set(out) == {("a", "c"), ("a", "d"), ("b", "d"), ("b", "h")}
+    assert out[("a", "c")]["cn"] == 2
+    assert out[("a", "c")]["aa_micro"] == 2_000_000
+    assert out[("a", "c")]["ra_micro"] == 833_333
+    assert out[("a", "d")]["cn"] == 1
+    assert out[("a", "d")]["ra_micro"] == 333_333
+    assert out[("b", "h")]["cn"] == 2
+
+
+def test_link_prediction_hub_cap_excludes_center(spark):
+    from flink_example_spark.operators.graph import link_prediction
+
+    # star: hub s connected to 5 leaves; every leaf pair shares only s.
+    und = [("s", f"l{i}") for i in range(5)]
+    edges = spark.createDataFrame(
+        [(u, v, 1) for u, v in und] + [(v, u, 1) for u, v in und],
+        "src string, dst string, w long",
+    )
+    assert link_prediction(edges, max_hub_degree=4).count() == 0
+    assert link_prediction(edges, max_hub_degree=5).count() == 10
