@@ -1331,6 +1331,19 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c_mktsegment",
             l=3,
         ),
+        # t-closeness (ordered EMD vs the global sensitive distribution)
+        # completes the k-anonymity / l-diversity privacy trio
+        "quality_t_closeness": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.quality", fromlist=["t_closeness"]
+        ).t_closeness(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "customer")
+            .withColumn("bal_band", F.floor(F.col("c_acctbal") / 1000)),
+            ["c_nationkey"],
+            "bal_band",
+            t_ppm=250_000,
+        ),
         # functional-dependency discovery over candidate lhs -> rhs
         # pairs: violating-group counts + worst fan-out, exact verdict
         "quality_fd_profile": lambda spark, sf_dir: __import__(
@@ -3403,6 +3416,15 @@ def _northstar_oracles() -> dict[str, str]:
 
     from flink_example_spark.operators.quality import l_diversity_oracle
 
+    from flink_example_spark.operators.quality import t_closeness_oracle
+
+    out["quality_t_closeness"] = t_closeness_oracle(
+        "(SELECT *, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band"
+        " FROM customer)",
+        ["c_nationkey"],
+        "bal_band",
+        t_ppm=250_000,
+    )
     out["quality_l_diversity"] = l_diversity_oracle(
         "(SELECT *, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band"
         " FROM customer)",

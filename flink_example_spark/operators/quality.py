@@ -502,3 +502,131 @@ def fd_profile_oracle(table: str, pairs: list[tuple[str, str]]) -> str:
           FROM (SELECT DISTINCT {lhs}, {rhs} FROM {table}) GROUP BY 1
         )""")
     return " UNION ALL ".join(parts)
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_ppm: int = 250_000,
+) -> DataFrame:
+    """Privacy audit #3, completing the k-anonymity / l-diversity trio:
+    t-closeness (Li, Li & Venkatasubramanian, ICDE 2007). A group can be
+    k-large and l-diverse yet still leak — if its SENSITIVE-attribute
+    distribution is far from the table-wide one, membership in the group
+    shifts an attacker's posterior. For an ORDERED sensitive attribute
+    the prescribed distance is the 1-D Earth Mover's Distance
+
+        EMD(p, q) = (1/(m-1)) * sum_j |P_j - Q_j|
+
+    over cumulative distributions at the m ordered values. Everything is
+    exact integers: the cumulative difference at value j is
+    ``|cum_c_j * N - cum_g_j * n| / (n * N)``, so the per-group EMD in
+    ppm is ``sum_j |cum_c_j*N - cum_g_j*n| * 1e6 div (n*N*(m-1))`` — one
+    truncating division per group, identical in any engine. Overflow
+    bound: ``n * N * m < 2^63`` — quantize the sensitive attribute into
+    coarser bands past ~1e8 rows.
+
+    Scale: two hash aggregations (value-dim and group x value-dim), one
+    broadcast of the value-dimension relation (m rows — the sensitive
+    attribute is banded by construction) onto the group list, one window
+    per group over m rows. Nothing row-count-sized shuffles twice.
+
+    Output per group: ``(*quasi_cols, n, emd_ppm, breaches)`` with
+    ``breaches = emd_ppm > t_ppm`` as BIGINT 0/1.
+    """
+    v = F.col(sensitive_col)
+    src = df.filter(v.isNotNull()).select(
+        *[F.col(c) for c in quasi_cols], v.alias("__v")
+    )
+    gv = src.groupBy("__v").agg(F.count(F.lit(1)).cast("long").alias("gj"))
+    wv = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("__v").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gcum = gv.select(
+        "__v",
+        F.sum("gj").over(wv).alias("cum_g"),
+        F.sum("gj").over(wall).alias("n_tot"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    cv = src.groupBy(*quasi_cols, "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("cj")
+    )
+    groups = cv.groupBy(*quasi_cols).agg(F.sum("cj").alias("n"))
+    grid = groups.crossJoin(F.broadcast(gcum.select("__v")))
+    filled = grid.join(cv, [*quasi_cols, "__v"], "left").withColumn(
+        "cj", F.coalesce(F.col("cj"), F.lit(0))
+    )
+    wg = Window.partitionBy(*quasi_cols).orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = filled.withColumn("cum_c", F.sum("cj").over(wg)).join(
+        F.broadcast(gcum), "__v"
+    )
+    per_g = cum.groupBy(*quasi_cols, "n", "n_tot", "m").agg(
+        F.sum(
+            F.abs(F.col("cum_c") * F.col("n_tot") - F.col("cum_g") * F.col("n"))
+        ).alias("S")
+    )
+    emd = F.expr("(S * 1000000) div (n * n_tot * (m - 1))")
+    return per_g.filter(F.col("m") >= 2).select(
+        *quasi_cols,
+        F.col("n").cast("long").alias("n"),
+        emd.cast("long").alias("emd_ppm"),
+        (emd > F.lit(t_ppm)).cast("long").alias("breaches"),
+    )
+
+
+def t_closeness_oracle(
+    table: str,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_ppm: int = 250_000,
+) -> str:
+    """DuckDB twin of :func:`t_closeness`."""
+    qc = ", ".join(quasi_cols)
+    return f"""
+        WITH src AS MATERIALIZED (
+          SELECT {qc}, {sensitive_col} AS v FROM {table}
+          WHERE {sensitive_col} IS NOT NULL
+        ),
+        gcum AS MATERIALIZED (
+          SELECT v,
+                 CAST(SUM(gj) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_g,
+                 CAST(SUM(gj) OVER () AS BIGINT) AS n_tot,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS m
+          FROM (SELECT v, CAST(COUNT(*) AS BIGINT) AS gj FROM src GROUP BY 1)
+        ),
+        cv AS MATERIALIZED (
+          SELECT {qc}, v, CAST(COUNT(*) AS BIGINT) AS cj
+          FROM src GROUP BY {qc}, v
+        ),
+        groups AS (
+          SELECT {qc}, CAST(SUM(cj) AS BIGINT) AS n FROM cv GROUP BY {qc}
+        ),
+        filled AS (
+          SELECT g.*, d.v, COALESCE(cv.cj, 0) AS cj
+          FROM groups g CROSS JOIN (SELECT v FROM gcum) d
+          LEFT JOIN cv USING ({qc}, v)
+        ),
+        cum AS (
+          SELECT f.*, gcum.cum_g, gcum.n_tot, gcum.m,
+                 CAST(SUM(cj) OVER (PARTITION BY {qc} ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_c
+          FROM filled f JOIN gcum USING (v)
+        ),
+        per_g AS (
+          SELECT {qc}, n, n_tot, m,
+                 CAST(SUM(abs(cum_c * n_tot - cum_g * n)) AS BIGINT) AS S
+          FROM cum GROUP BY {qc}, n, n_tot, m
+        )
+        SELECT {qc}, n,
+               CAST((S * 1000000) // (n * n_tot * (m - 1)) AS BIGINT) AS emd_ppm,
+               CAST(CASE WHEN (S * 1000000) // (n * n_tot * (m - 1)) > {t_ppm}
+                    THEN 1 ELSE 0 END AS BIGINT) AS breaches
+        FROM per_g WHERE m >= 2
+    """
