@@ -1331,6 +1331,20 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c_mktsegment",
             l=3,
         ),
+        # compaction planner: deterministic largest-first bin-packing of
+        # a small-file inventory into ~target-byte rewrite tasks
+        "layout_compaction_plan": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.layout", fromlist=["compaction_plan"]
+        ).compaction_plan(
+            _docs(spark, sf_dir)
+            .groupBy(
+                F.expr(
+                    "concat(source, '#', cast(doc_id div 50 as string))"
+                ).alias("file_id")
+            )
+            .agg(F.sum("n_chars").alias("bytes")),
+            target_bytes=32_768,
+        ),
         # t-closeness (ordered EMD vs the global sensitive distribution)
         # completes the k-anonymity / l-diversity privacy trio
         "quality_t_closeness": lambda spark, sf_dir: __import__(
@@ -3416,6 +3430,13 @@ def _northstar_oracles() -> dict[str, str]:
 
     from flink_example_spark.operators.quality import l_diversity_oracle
 
+    from flink_example_spark.operators.layout import compaction_plan_oracle
+
+    out["layout_compaction_plan"] = compaction_plan_oracle(
+        "SELECT source || '#' || CAST(doc_id // 50 AS VARCHAR) AS file_id,"
+        " CAST(SUM(n_chars) AS BIGINT) AS bytes FROM documents GROUP BY 1",
+        target_bytes=32_768,
+    )
     from flink_example_spark.operators.quality import t_closeness_oracle
 
     out["quality_t_closeness"] = t_closeness_oracle(

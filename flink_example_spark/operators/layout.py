@@ -360,3 +360,91 @@ def sort_advisor_oracle(
         FROM span JOIN cur USING (col) JOIN srt ON srt.col = span.col
         WHERE span > 0
     """
+
+
+def compaction_plan(
+    files: DataFrame,
+    id_col: str = "file_id",
+    bytes_col: str = "bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-file compaction planner (the maintenance pass behind Iceberg
+    ``rewrite_data_files`` binpack / Delta OPTIMIZE): group an input file
+    inventory into rewrite tasks of ~``target_bytes`` each.
+
+    Deterministic streaming bin-packing: files order by (bytes DESC,
+    id) — largest first, the classic decreasing heuristic — and a file
+    goes to bin ``floor(exclusive_cumsum / target_bytes)``, i.e. a bin
+    closes once its accumulated bytes reach the target (the same
+    contiguous-cut-at-capacity spec a sorted-listing greedy packer
+    implements; a bin can exceed the target by at most its last file).
+    Exact integers end to end — the same plan comes out of any engine.
+
+    The prefix sum runs over the FILE inventory (metadata-sized, not
+    data-sized — at 100 TB this relation is the table's manifest, maybe
+    1e6 rows, one ordered window). Output per planned task: ``(bin,
+    n_files, total_bytes, min_file_bytes, max_file_bytes)`` plus
+    ``is_full`` = 1 when the bin reached the target (the trailing partial
+    bin is the one a planner defers to the next run).
+    """
+    src = files.select(
+        F.col(id_col).alias("fid"),
+        F.col(bytes_col).cast("long").alias("b"),
+    ).filter(F.col("b").isNotNull() & (F.col("b") > 0))
+    binned = src.select(
+        "fid",
+        "b",
+        F.expr(f"coalesce(sum(b) over (order by b desc, fid rows between"
+               f" unbounded preceding and 1 preceding), 0)"
+               f" div {target_bytes}").alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("b").alias("total_bytes"),
+            F.min("b").alias("min_file_bytes"),
+            F.max("b").alias("max_file_bytes"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n_files",
+            "total_bytes",
+            "min_file_bytes",
+            "max_file_bytes",
+            (F.col("total_bytes") >= F.lit(target_bytes))
+            .cast("long")
+            .alias("is_full"),
+        )
+    )
+
+
+def compaction_plan_oracle(
+    files_sql: str,
+    id_col: str = "file_id",
+    bytes_col: str = "bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> str:
+    """DuckDB twin of :func:`compaction_plan`."""
+    return f"""
+        WITH src AS (
+          SELECT {id_col} AS fid, CAST({bytes_col} AS BIGINT) AS b
+          FROM ({files_sql})
+          WHERE {bytes_col} IS NOT NULL AND {bytes_col} > 0
+        ),
+        binned AS (
+          SELECT fid, b,
+                 COALESCE(CAST(SUM(b) OVER (ORDER BY b DESC, fid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) // {target_bytes} AS bin
+          FROM src
+        )
+        SELECT CAST(bin AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(b) AS BIGINT) AS total_bytes,
+               CAST(MIN(b) AS BIGINT) AS min_file_bytes,
+               CAST(MAX(b) AS BIGINT) AS max_file_bytes,
+               CAST(CASE WHEN SUM(b) >= {target_bytes} THEN 1 ELSE 0 END
+                 AS BIGINT) AS is_full
+        FROM binned GROUP BY 1
+    """

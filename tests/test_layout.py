@@ -151,3 +151,30 @@ def test_sort_advisor_detects_presorted_column(spark):
     # shuffled column: current layout prunes nothing, sorted layout does
     assert rows["shuffled"]["ratio_current_ppm"] > 900_000
     assert rows["shuffled"]["ratio_sorted_ppm"] < 150_000
+
+
+def test_compaction_plan_largest_first_cuts(spark):
+    from flink_example_spark.operators.layout import compaction_plan
+
+    # sizes desc: 90, 60, 40, 30, 10; target 100
+    # excl cumsums: 0, 90, 150, 190, 220 -> bins 0,0,1,1,2
+    files = spark.createDataFrame(
+        [("a", 40), ("b", 90), ("c", 10), ("d", 60), ("e", 30)],
+        "file_id string, bytes long",
+    )
+    out = {r["bin"]: r for r in compaction_plan(files, target_bytes=100).collect()}
+    assert out[0]["n_files"] == 2 and out[0]["total_bytes"] == 150
+    assert out[1]["n_files"] == 2 and out[1]["total_bytes"] == 70
+    assert out[2]["n_files"] == 1 and out[2]["total_bytes"] == 10
+    assert out[0]["is_full"] == 1 and out[1]["is_full"] == 0
+    assert out[0]["max_file_bytes"] == 90 and out[2]["min_file_bytes"] == 10
+
+
+def test_compaction_plan_drops_empty_files(spark):
+    from flink_example_spark.operators.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [("a", 0), ("b", None), ("c", 5)], "file_id string, bytes long"
+    )
+    rows = compaction_plan(files, target_bytes=10).collect()
+    assert len(rows) == 1 and rows[0]["n_files"] == 1
