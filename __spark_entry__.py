@@ -1358,6 +1358,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bal_band",
             t_ppm=250_000,
         ),
+        # referential-integrity audit over the schema's FK graph
+        # (distinct-key anti-joins; includes one unconstrained pair)
+        "quality_ref_integrity": _ref_integrity_entry,
         # functional-dependency discovery over candidate lhs -> rhs
         # pairs: violating-group counts + worst fan-out, exact verdict
         "quality_fd_profile": lambda spark, sf_dir: __import__(
@@ -3437,6 +3440,11 @@ def _northstar_oracles() -> dict[str, str]:
         " CAST(SUM(n_chars) AS BIGINT) AS bytes FROM documents GROUP BY 1",
         target_bytes=32_768,
     )
+    from flink_example_spark.operators.quality import ref_integrity_oracle
+
+    out["quality_ref_integrity"] = ref_integrity_oracle(
+        [(n, c, cc, p, pc) for n, c, cc, p, pc in _REF_INTEGRITY_FKS]
+    )
     from flink_example_spark.operators.quality import t_closeness_oracle
 
     out["quality_t_closeness"] = t_closeness_oracle(
@@ -4406,6 +4414,37 @@ def _pq_oracle(
           FROM {final_src}
         ) WHERE rank <= {topk}
     """
+
+
+# FK audit set: the TPC-H-ish schema's real foreign keys plus one
+# deliberately unconstrained pair (events.user_id -> customer) so the
+# audit exercises the orphan path too.
+_REF_INTEGRITY_FKS = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+)
+
+
+def _ref_integrity_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.operators.quality import ref_integrity
+    from flink_example_spark.tables import load_table
+
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in {x for _, c, _, p, _ in _REF_INTEGRITY_FKS for x in (c, p)}
+    }
+    return ref_integrity(
+        [
+            (name, tables[c], ccol, tables[p], pcol)
+            for name, c, ccol, p, pcol in _REF_INTEGRITY_FKS
+        ]
+    )
 
 
 def _graph_modularity_entry(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -630,3 +630,82 @@ def t_closeness_oracle(
                     THEN 1 ELSE 0 END AS BIGINT) AS breaches
         FROM per_g WHERE m >= 2
     """
+
+
+def ref_integrity(
+    fks: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity profiling — the constraint-audit pass a
+    warehouse runs before declaring (or trusting) foreign keys, and the
+    first thing a 100 TB ingest validates after a backfill. For each
+    candidate FK ``child.col -> parent.col``: total child rows, NULL
+    foreign keys, orphan rows (non-NULL key with no parent), distinct
+    orphan keys, and the exact verdict.
+
+    Scale posture: each child collapses to its DISTINCT key relation
+    first (one map-side-combinable aggregation carrying (key, count)),
+    and only that key-cardinality-sized relation anti-joins the parent's
+    key projection — the parent scan is one column, broadcastable for
+    dimension tables. Nothing row-count-sized crosses a join.
+
+    ``fks``: (fk_name, child_df, child_col, parent_df, parent_col).
+    Output one row per FK: ``(fk_name, n_rows, n_null_fk, n_orphan_rows,
+    n_orphan_keys, holds)``.
+    """
+    outs = []
+    for name, child, ccol, parent, pcol in fks:
+        keyed = child.select(F.col(ccol).alias("k"))
+        totals = keyed.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("k").isNull().cast("long")).alias("n_null_fk"),
+        )
+        ck = (
+            keyed.filter(F.col("k").isNotNull())
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        orphans = ck.join(
+            parent.select(F.col(pcol).alias("k")).distinct(), "k", "left_anti"
+        ).agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_orphan_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_orphan_keys"),
+        )
+        outs.append(
+            totals.crossJoin(orphans).select(
+                F.lit(name).alias("fk_name"),
+                "n_rows",
+                F.coalesce(F.col("n_null_fk"), F.lit(0)).alias("n_null_fk"),
+                "n_orphan_rows",
+                "n_orphan_keys",
+                (F.col("n_orphan_rows") == 0).cast("long").alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def ref_integrity_oracle(
+    fks: list[tuple[str, str, str, str, str]],
+) -> str:
+    """DuckDB twin of :func:`ref_integrity`. ``fks``: (fk_name,
+    child_table_sql, child_col, parent_table_sql, parent_col)."""
+    parts = []
+    for name, child, ccol, parent, pcol in fks:
+        parts.append(f"""
+        SELECT '{name}' AS fk_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}
+                WHERE {ccol} IS NULL) AS n_null_fk,
+               COALESCE(CAST(SUM(c) AS BIGINT), 0) AS n_orphan_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_orphan_keys,
+               CAST(CASE WHEN COALESCE(SUM(c), 0) = 0 THEN 1 ELSE 0 END
+                 AS BIGINT) AS holds
+        FROM (
+          SELECT {ccol} AS k, CAST(COUNT(*) AS BIGINT) AS c FROM {child}
+          WHERE {ccol} IS NOT NULL GROUP BY 1
+        ) ck
+        ANTI JOIN (SELECT DISTINCT {pcol} AS k FROM {parent}) pk USING (k)
+        """)
+    return " UNION ALL ".join(parts)

@@ -29,3 +29,27 @@ def test_t_closeness_skips_single_value_domain(spark):
     # m == 1 -> EMD undefined (division by m-1) -> no rows, no crash
     df = spark.createDataFrame([("a", 5), ("b", 5)], "grp string, s long")
     assert t_closeness(df, ["grp"], "s").count() == 0
+
+
+def test_ref_integrity_counts_orphans_and_nulls(spark):
+    from flink_example_spark.operators.quality import ref_integrity
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (99,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = ref_integrity([("c->p", child, "fk", parent, "pk")]).collect()[0]
+    assert r["n_rows"] == 6
+    assert r["n_null_fk"] == 1
+    assert r["n_orphan_rows"] == 2  # the two 99s
+    assert r["n_orphan_keys"] == 1
+    assert r["holds"] == 0
+
+
+def test_ref_integrity_clean_fk_holds(spark):
+    from flink_example_spark.operators.quality import ref_integrity
+
+    child = spark.createDataFrame([(1,), (2,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    r = ref_integrity([("c->p", child, "fk", parent, "pk")]).collect()[0]
+    assert (r["n_orphan_rows"], r["n_orphan_keys"], r["holds"]) == (0, 0, 1)
