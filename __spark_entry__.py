@@ -1244,6 +1244,20 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_tok",
             "n_chars",
         ),
+        # Wald SPRT per experiment arm: always-valid sequential A/B test,
+        # integer micro-unit LLR with driver-embedded log literals
+        "ml_sprt": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["sprt"]
+        ).sprt(
+            _events(spark, sf_dir).withColumn(
+                "variant",
+                F.when(F.col("user_id") % 2 == 0, "A").otherwise("B"),
+            ),
+            "variant",
+            "ts",
+            "event_id",
+            F.col("event_type") == "purchase",
+        ),
         # gradient-boosted regression stumps (L2 loss): exact integer
         # residual boosting, trunc-div leaf shrinkage, per-round SSE
         "ml_gbm_stumps": lambda spark, sf_dir: __import__(
@@ -3198,6 +3212,16 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import ridge_path_oracle
 
     out["ml_ridge_path"] = ridge_path_oracle(_ml_src, "lang", "n_tok", "n_chars")
+    from flink_example_spark.operators.ml import sprt_oracle
+
+    out["ml_sprt"] = sprt_oracle(
+        "(SELECT *, CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END"
+        " AS variant FROM events)",
+        "variant",
+        "ts",
+        "event_id",
+        "event_type = 'purchase'",
+    )
     from flink_example_spark.operators.ml import gbm_stumps_oracle
 
     out["ml_gbm_stumps"] = gbm_stumps_oracle(

@@ -3225,3 +3225,166 @@ def gbm_stumps_oracle(
         for m in range(1, rounds + 1)
     )
     return ",\n".join(parts) + f"\n{finals}"
+
+
+def _sprt_weights(
+    p0: float, p1: float, alpha: float, beta: float
+) -> tuple[int, int, int, int]:
+    """Integer micro-unit SPRT constants, computed ONCE in Python and
+    embedded as literals in BOTH engines' plans (the repo's
+    driver-embedded-literal device — engine math never touches log)."""
+    import math
+
+    w1 = round(math.log(p1 / p0) * 1_000_000)
+    w0 = round(math.log((1 - p1) / (1 - p0)) * 1_000_000)
+    upper = round(math.log((1 - beta) / alpha) * 1_000_000)
+    lower = round(math.log(beta / (1 - alpha)) * 1_000_000)
+    return w1, w0, upper, lower
+
+
+def sprt(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    id_col: str,
+    success_pred: Column,
+    p0: float = 0.18,
+    p1: float = 0.22,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Wald's sequential probability ratio test (1945) per experiment
+    arm — the always-valid alternative to a fixed-horizon A/B test: the
+    log-likelihood ratio is monitored after EVERY observation and the
+    arm stops the moment it crosses a decision boundary, with guaranteed
+    type-I/II error (alpha, beta) regardless of when you peek.
+
+    For Bernoulli H0: p = p0 vs H1: p = p1 the running LLR after n
+    observations with k successes is ``k*ln(p1/p0) +
+    (n-k)*ln((1-p1)/(1-p0))``; decision bounds are ``ln((1-b)/a)`` /
+    ``ln(b/(1-a))``. All four transcendentals are computed once in
+    Python and embedded as integer micro-unit literals in both engines'
+    plans (:func:`_sprt_weights`), so the running LLR is an exact BIGINT
+    ``k*w1 + (n-k)*w0`` — no engine log, no float accumulation.
+
+    One ordered window per arm builds (n, k) prefix counts; the first
+    boundary crossing is an argmin row_number over flagged rows. Output
+    per arm: ``(group, n_total, k_total, llr_final_micro, decision_n,
+    decision)`` with decision 'accept_h1' / 'accept_h0' at the FIRST
+    crossing (sequential semantics: later data cannot un-decide), or
+    'continue' with decision_n NULL when no boundary was hit.
+
+    Scale: arms are independent window partitions; a hot arm bounds the
+    sequential scan exactly like any per-key ordered state. The flagged
+    relation never leaves the arm's partition.
+    """
+    w1, w0, upper, lower = _sprt_weights(p0, p1, alpha, beta)
+    src = df.select(
+        F.col(group_col).alias("grp"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(id_col).alias("oid"),
+        success_pred.cast("long").alias("y"),
+    )
+    w = Window.partitionBy("grp").orderBy("us", "oid").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = src.select(
+        "grp",
+        "us",
+        "oid",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("y").over(w).alias("k"),
+    ).withColumn(
+        "llr",
+        F.col("k") * F.lit(w1) + (F.col("n") - F.col("k")) * F.lit(w0),
+    )
+    wt = Window.partitionBy("grp").orderBy("us", "oid").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # totals ride along; the first crossing is rn=1 over flagged rows
+    flagged = run.select(
+        "grp",
+        "n",
+        "llr",
+        F.max("n").over(Window.partitionBy("grp")).alias("n_total"),
+        F.max("k").over(Window.partitionBy("grp")).alias("k_total"),
+        F.last("llr").over(wt).alias("llr_final"),
+        F.when(F.col("llr") >= upper, F.lit("accept_h1"))
+        .when(F.col("llr") <= lower, F.lit("accept_h0"))
+        .alias("hit"),
+    )
+    wr = Window.partitionBy("grp").orderBy("n")
+    first_hit = (
+        flagged.filter(F.col("hit").isNotNull())
+        .withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == 1)
+        .select("grp", F.col("n").alias("decision_n"), F.col("hit").alias("decision"))
+    )
+    totals = flagged.groupBy("grp").agg(
+        F.max("n_total").alias("n_total"),
+        F.max("k_total").alias("k_total"),
+        F.max("llr_final").alias("llr_final_micro"),
+    )
+    return totals.join(first_hit, "grp", "left").select(
+        F.col("grp").alias(group_col),
+        "n_total",
+        "k_total",
+        "llr_final_micro",
+        "decision_n",
+        F.coalesce(F.col("decision"), F.lit("continue")).alias("decision"),
+    )
+
+
+def sprt_oracle(
+    table: str,
+    group_col: str,
+    ts_col: str,
+    id_col: str,
+    success_sql: str,
+    p0: float = 0.18,
+    p1: float = 0.22,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> str:
+    """DuckDB twin of :func:`sprt` (same embedded integer literals)."""
+    w1, w0, upper, lower = _sprt_weights(p0, p1, alpha, beta)
+    return f"""
+        WITH src AS (
+          SELECT {group_col} AS grp, epoch_us({ts_col}) AS us,
+                 {id_col} AS oid,
+                 CAST(CASE WHEN {success_sql} THEN 1 ELSE 0 END AS BIGINT) AS y
+          FROM {table}
+        ),
+        run AS (
+          SELECT grp, us, oid,
+                 CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                 CAST(SUM(y) OVER w AS BIGINT) AS k
+          FROM src
+          WINDOW w AS (PARTITION BY grp ORDER BY us, oid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        llrs AS (
+          SELECT grp, n, k, k * {w1} + (n - k) * {w0} AS llr,
+                 CASE WHEN k * {w1} + (n - k) * {w0} >= {upper}
+                        THEN 'accept_h1'
+                      WHEN k * {w1} + (n - k) * {w0} <= {lower}
+                        THEN 'accept_h0' END AS hit
+          FROM run
+        ),
+        totals AS (
+          SELECT grp, MAX(n) AS n_total, max_by(k, n) AS k_total,
+                 max_by(llr, n) AS llr_final_micro
+          FROM llrs GROUP BY 1
+        ),
+        first_hit AS (
+          SELECT grp, n AS decision_n, hit AS decision FROM (
+            SELECT grp, n, hit,
+                   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY n) AS rn
+            FROM llrs WHERE hit IS NOT NULL
+          ) WHERE rn = 1
+        )
+        SELECT t.grp AS {group_col}, t.n_total, t.k_total,
+               t.llr_final_micro, f.decision_n,
+               COALESCE(f.decision, 'continue') AS decision
+        FROM totals t LEFT JOIN first_hit f USING (grp)
+    """

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from flink_example_spark.operators.ml import linear_fit, zscore_outliers
 
 
@@ -635,3 +637,55 @@ def test_gbm_stumps_matches_python_reference(spark):
             got["leaf_r"],
             got["sse_after"],
         ) == (fname, cut_q, nl, nr, ll, lr, sse), f"round {m}"
+
+
+def test_sprt_first_crossing_decides_and_sticks(spark):
+    from datetime import datetime, timezone
+
+    from flink_example_spark.operators.ml import _sprt_weights, sprt
+
+    w1, w0, upper, lower = _sprt_weights(0.18, 0.22, 0.05, 0.2)
+
+    def ts(i):
+        return datetime.fromtimestamp(1000 + i, tz=timezone.utc)
+
+    # arm "hi": all successes -> LLR climbs by w1 each obs, crosses upper
+    # at n = ceil(upper / w1); later failures cannot un-decide
+    import math
+
+    n_hit = math.ceil(upper / w1)
+    rows = [("hi", ts(i), i, 1) for i in range(n_hit)] + [
+        ("hi", ts(100 + i), 100 + i, 0) for i in range(50)
+    ]
+    # arm "lo": all failures -> crosses lower at ceil(lower / w0)
+    n_lo = math.ceil(lower / w0)
+    rows += [("lo", ts(i), i, 0) for i in range(n_lo + 3)]
+    df = spark.createDataFrame(
+        rows, "variant string, ts timestamp, event_id long, y long"
+    )
+    out = {
+        r["variant"]: r
+        for r in sprt(df, "variant", "ts", "event_id", F.col("y") == 1).collect()
+    }
+    assert out["hi"]["decision"] == "accept_h1"
+    assert out["hi"]["decision_n"] == n_hit
+    assert out["lo"]["decision"] == "accept_h0"
+    assert out["lo"]["decision_n"] == n_lo
+    assert out["hi"]["n_total"] == n_hit + 50
+
+
+def test_sprt_indifferent_arm_continues(spark):
+    from datetime import datetime, timezone
+
+    from flink_example_spark.operators.ml import sprt
+
+    def ts(i):
+        return datetime.fromtimestamp(1000 + i, tz=timezone.utc)
+
+    # one success, one failure -> tiny LLR, no boundary
+    df = spark.createDataFrame(
+        [("m", ts(0), 0, 1), ("m", ts(1), 1, 0)],
+        "variant string, ts timestamp, event_id long, y long",
+    )
+    r = sprt(df, "variant", "ts", "event_id", F.col("y") == 1).collect()[0]
+    assert r["decision"] == "continue" and r["decision_n"] is None
