@@ -1933,6 +1933,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.ml_stream",
             fromlist=["run_streaming_stump_inference"],
         ).run_streaming_stump_inference(spark, sf_dir),
+        # LIVE sequential A/B monitor: SPRT evaluated per arrival, first
+        # boundary crossing latched in state (= batch ml_sprt, shared oracle)
+        "streaming_sprt": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.ml_stream",
+            fromlist=["run_streaming_sprt"],
+        ).run_streaming_sprt(spark, sf_dir),
         # univariate Gini feature screening: exact stump per candidate
         # feature, ranked by achieved split cost
         "ml_feature_importance": lambda spark, sf_dir: __import__(
@@ -3222,6 +3228,8 @@ def _northstar_oracles() -> dict[str, str]:
         "event_id",
         "event_type = 'purchase'",
     )
+    # the live monitor converges to the batch test exactly
+    out["streaming_sprt"] = out["ml_sprt"]
     from flink_example_spark.operators.ml import gbm_stumps_oracle
 
     out["ml_gbm_stumps"] = gbm_stumps_oracle(

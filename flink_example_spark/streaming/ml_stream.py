@@ -342,3 +342,134 @@ def run_streaming_perceptron_inference(
         .groupBy("pred", "truth")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def run_streaming_sprt(
+    spark: SparkSession,
+    sf_dir: str,
+    p0: float = 0.18,
+    p1: float = 0.22,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+    chunks: int = 3,
+) -> DataFrame:
+    """LIVE sequential A/B monitor — SPRT is the natively-streaming test
+    (Wald designed it to be evaluated after EVERY observation), so the
+    stream IS the semantics: per-arm state is four integers
+    ``(n, k, decision_n, decision)``; each arrival bumps the prefix
+    counts, re-evaluates the exact BIGINT LLR against the embedded
+    integer bounds, and latches the FIRST crossing (later data cannot
+    un-decide — the sequential guarantee). In-order bounded replay
+    (event_id-chunked; events' ts is monotone in event_id); the
+    max-version row per arm equals batch ``ml.sprt`` and shares its
+    oracle."""
+    import os
+    import pickle
+    import tempfile
+    from collections.abc import Iterator
+    from typing import Any
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from flink_example_spark.operators.ml import _sprt_weights
+    from flink_example_spark.streaming.staging import stamp_chunk_mtimes
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    w1, w0, upper, lower = _sprt_weights(p0, p1, alpha, beta)
+    ev = load_table(spark, sf_dir, "events")
+    tmpdir = tempfile.mkdtemp(prefix="stream_sprt_")
+    n = ev.count()
+    per = (n + chunks - 1) // chunks
+    for i in range(chunks):
+        ev.filter(
+            (F.col("event_id") >= i * per) & (F.col("event_id") < (i + 1) * per)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmpdir, f"chunk_{i}")
+        )
+    stamp_chunk_mtimes(tmpdir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    src = stream.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("_k"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+        F.col("event_id").cast("long").alias("_seq"),
+        (F.col("event_type") == "purchase").cast("long").alias("_y"),
+    )
+    state_schema = StructType([StructField("pkl", BinaryType(), True)])
+    output_schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("version", LongType()),
+            StructField("n", LongType()),
+            StructField("kk", LongType()),
+            StructField("llr", LongType()),
+            StructField("decision_n", LongType(), True),
+            StructField("decision", StringType(), True),
+        ]
+    )
+
+    def process(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            version, n_obs, k_succ, dec_n, dec = pickle.loads(state.get[0])
+        else:
+            version, n_obs, k_succ, dec_n, dec = 0, 0, 0, None, None
+        rows = pd.concat(list(pdfs)).sort_values(["_us", "_seq"])
+        for y in rows["_y"]:
+            n_obs += 1
+            k_succ += int(y)
+            llr = k_succ * w1 + (n_obs - k_succ) * w0
+            if dec is None:
+                if llr >= upper:
+                    dec, dec_n = "accept_h1", n_obs
+                elif llr <= lower:
+                    dec, dec_n = "accept_h0", n_obs
+        version += 1
+        state.update((pickle.dumps((version, n_obs, k_succ, dec_n, dec)),))
+        llr = k_succ * w1 + (n_obs - k_succ) * w0
+        yield pd.DataFrame(
+            [(key[0], version, n_obs, k_succ, llr, dec_n, dec)],
+            columns=[f.name for f in output_schema.fields],
+        )
+
+    out = src.groupBy("_k").applyInPandasWithState(
+        process,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_sprt_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql(
+        f"""SELECT k AS variant, n AS n_total, kk AS k_total,
+                   llr AS llr_final_micro, decision_n,
+                   COALESCE(decision, 'continue') AS decision
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY version DESC) rn
+              FROM {name}
+            ) WHERE rn = 1"""
+    )
