@@ -1301,6 +1301,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.quality_stream",
             fromlist=["run_streaming_expectations"],
         ).run_streaming_expectations(spark, sf_dir),
+        # t-closeness LIVE: the (group x band) count monoid streams as one
+        # complete-mode agg; EMD + verdicts are read-time windows
+        "streaming_t_closeness": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.quality_stream",
+            fromlist=["run_streaming_t_closeness"],
+        ).run_streaming_t_closeness(spark, sf_dir),
         "quality_profile": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.quality", fromlist=["profile_columns"]
         ).profile_columns(
@@ -3486,6 +3492,8 @@ def _northstar_oracles() -> dict[str, str]:
         "bal_band",
         t_ppm=250_000,
     )
+    # the live monitor converges to the batch audit exactly
+    out["streaming_t_closeness"] = out["quality_t_closeness"]
     out["quality_l_diversity"] = l_diversity_oracle(
         "(SELECT *, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band"
         " FROM customer)",

@@ -91,3 +91,87 @@ def run_streaming_expectations(
     return s.select(F.explode(F.array(*rows)).alias("__r")).select(
         "__r.check_name", "__r.n_rows", "__r.n_violations", "__r.passed"
     )
+
+
+def run_streaming_t_closeness(
+    spark: SparkSession,
+    sf_dir: str,
+    t_ppm: int = 250_000,
+    chunks: int = 3,
+) -> DataFrame:
+    """LIVE t-closeness monitor — the privacy-trio audit maintained as a
+    stream: the ONLY stateful ingredient of the ordered-EMD computation
+    is the (group x sensitive-band) count table, a plain commutative
+    monoid, so it runs as ONE complete-mode JVM aggregation (state =
+    groups x bands BIGINTs, no watermark, no Python). The cumulative
+    distributions, the exact integer EMD numerators, and the breach
+    verdicts are read-time windows over that count relation — identical
+    expressions to batch :func:`operators.quality.t_closeness`, so the
+    bounded replay converges to it exactly and shares its oracle."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    tmpdir, schema = stage_table_by_key(
+        spark, sf_dir, "customer", "c_custkey", chunks
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    counts = (
+        stream.withColumn("bal_band", F.floor(F.col("c_acctbal") / 1000))
+        .filter(F.col("bal_band").isNotNull())
+        .groupBy(
+            F.col("c_nationkey").alias("grp"), F.col("bal_band").alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cj"))
+    )
+    name = f"stream_tclose_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # memory-sink tables share expr-ids across spark.table() calls (the
+    # round-6 "Conflicting attributes" trap) — cut to a fresh LogicalRDD
+    # once, then every read-time branch derives from that one frame
+    cv = spark.table(name).localCheckpoint(eager=True)
+    gv = cv.groupBy("v").agg(F.sum("cj").alias("gj"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("v").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gcum = gv.select(
+        "v",
+        F.sum("gj").over(wv).alias("cum_g"),
+        F.sum("gj").over(wall).alias("n_tot"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    groups = cv.groupBy("grp").agg(F.sum("cj").alias("n"))
+    grid = groups.crossJoin(F.broadcast(gcum.select("v")))
+    filled = grid.join(cv, ["grp", "v"], "left").withColumn(
+        "cj", F.coalesce(F.col("cj"), F.lit(0))
+    )
+    wg = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = filled.withColumn("cum_c", F.sum("cj").over(wg)).join(
+        F.broadcast(gcum), "v"
+    )
+    per_g = cum.groupBy("grp", "n", "n_tot", "m").agg(
+        F.sum(
+            F.abs(F.col("cum_c") * F.col("n_tot") - F.col("cum_g") * F.col("n"))
+        ).alias("S")
+    )
+    emd = F.expr("(S * 1000000) div (n * n_tot * (m - 1))")
+    return per_g.filter(F.col("m") >= 2).select(
+        F.col("grp").alias("c_nationkey"),
+        F.col("n").cast("long").alias("n"),
+        emd.cast("long").alias("emd_ppm"),
+        (emd > F.lit(t_ppm)).cast("long").alias("breaches"),
+    )
