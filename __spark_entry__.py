@@ -937,6 +937,15 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             media.filter(F.col("media_type") == "image"), repartition=False
         )
 
+    def mm_sobel(spark, sf_dir):
+        """Sobel gradient-energy stats per image over the REAL PGM codec
+        path: integer 3x3 convolution of the decoded payload interior;
+        the oracle re-derives every gradient from the cycled-md5 scheme."""
+        media = multimodal.encode_codec_media(_docs(spark, sf_dir), formats=("pgm", "aiff"))
+        return multimodal.image_sobel(
+            media.filter(F.col("media_type") == "image"), repartition=False
+        )
+
     def mm_dhash(spark, sf_dir):
         """Gradient difference-hash per image (9x8 grid, right-neighbor
         compare) — the brightness-invariant twin of mm_ahash; every bit
@@ -2346,6 +2355,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_box": mm_resize_box,
         # perceptual image fingerprint (aHash) — the image-dedup primitive
         "multimodal_ahash": mm_ahash,
+        "multimodal_sobel": mm_sobel,
         "multimodal_dhash": mm_dhash,
         "multimodal_phash": mm_phash,
         "multimodal_audio_dct": lambda spark, sf_dir: __import__(
@@ -3023,6 +3033,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.multimodal import image_phash_oracle
 
     out["multimodal_phash"] = image_phash_oracle()
+    from flink_example_spark.operators.multimodal import image_sobel_oracle
+
+    out["multimodal_sobel"] = image_sobel_oracle()
     from flink_example_spark.operators.multimodal import audio_dct_bands_oracle
 
     out["multimodal_audio_dct"] = audio_dct_bands_oracle()

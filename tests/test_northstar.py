@@ -987,3 +987,32 @@ def test_nearest_centroid_learns_separable_clusters(spark):
     assert len(out) == 12  # ids divisible by 5
     assert all(r["is_correct"] == 1 for r in out)
     assert {r["pred_label"] for r in out} == {0, 1, 2}
+
+
+def test_image_sobel_flat_and_step_images(spark):
+    """A constant image has zero gradient everywhere; a vertical step edge
+    has the analytically-known Sobel response on the two columns abutting
+    the step and zero elsewhere."""
+    from flink_example_spark.operators.multimodal import (
+        _encode_pgm,
+        image_sobel,
+    )
+
+    w, h = 8, 6
+    flat = _encode_pgm(w, h, bytes([50] * (w * h)))
+    # left half 0, right half 100 (step between x=3 and x=4)
+    step_row = bytes([0] * 4 + [100] * 4)
+    step = _encode_pgm(w, h, step_row * h)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(flat)), (2, "image", bytearray(step))],
+        "media_id long, media_type string, payload binary",
+    )
+    out = {r["media_id"]: r for r in image_sobel(media, edge_t2=20_000).collect()}
+    assert out[1]["grad_energy"] == 0 and out[1]["n_edges"] == 0
+    assert out[1]["n_interior"] == (w - 2) * (h - 2)
+    # step image: gx = 400 at x in {3, 4} (|sum of kernel col| = 4 * 100),
+    # gy = 0 everywhere; interior rows = h - 2
+    expected = (h - 2) * 2 * 400 * 400
+    assert out[2]["grad_energy"] == expected
+    assert out[2]["max_grad2"] == 400 * 400
+    assert out[2]["n_edges"] == (h - 2) * 2  # 160000 > 20000
