@@ -1305,11 +1305,17 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_expectations": expectations_entry,
         # the SAME contract LIVE: per-row violation indicators (FK via a
         # broadcast stream-static join) + ONE global complete-mode count
-        # aggregate; uniqueness stays batch (needs stacked stateful aggs)
+        # aggregate
         "streaming_expectations": lambda spark, sf_dir: __import__(
             "flink_example_spark.streaming.quality_stream",
             fromlist=["run_streaming_expectations"],
         ).run_streaming_expectations(spark, sf_dir),
+        # key uniqueness LIVE: per-key count monoid in state, the
+        # counts-of-counts rollup at read time over the key-sized relation
+        "streaming_uniqueness": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.quality_stream",
+            fromlist=["run_streaming_uniqueness"],
+        ).run_streaming_uniqueness(spark, sf_dir),
         # t-closeness LIVE: the (group x band) count monoid streams as one
         # complete-mode agg; EMD + verdicts are read-time windows
         "streaming_t_closeness": lambda spark, sf_dir: __import__(
@@ -3507,6 +3513,17 @@ def _northstar_oracles() -> dict[str, str]:
     )
     # the live monitor converges to the batch audit exactly
     out["streaming_t_closeness"] = out["quality_t_closeness"]
+    out["streaming_uniqueness"] = """
+        SELECT 'unique(l_orderkey)' AS check,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                 AS n_violations,
+               SUM(CASE WHEN c > 1 THEN c ELSE 0 END) = 0 AS passed
+        FROM (
+          SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
+          GROUP BY l_orderkey
+        )
+    """
     out["quality_l_diversity"] = l_diversity_oracle(
         "(SELECT *, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band"
         " FROM customer)",

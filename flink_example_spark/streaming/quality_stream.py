@@ -9,9 +9,10 @@ complete-mode aggregate maintains the counts. Unpivoting to the
 projection. The bounded replay converges exactly to the batch conditional
 aggregates and is oracle-checked against the same SQL shapes.
 
-Not covered live (documented): the key-UNIQUENESS check needs counts of
-per-key counts — a second stacked stateful aggregation — so it stays a
-batch/periodic pass (or a transformWithState port once protobuf lands).
+The key-UNIQUENESS check (which naively needs counts-of-counts — a second
+stacked stateful aggregation) runs live too, via ``run_streaming_uniqueness``:
+the stream maintains only the per-key count monoid; the second aggregation
+is a read-time pass over the key-sized count relation.
 
 Scale: zero shuffle for the rule projection (the dimension join is
 broadcast), one constant-size global aggregate; state is six BIGINTs.
@@ -174,4 +175,55 @@ def run_streaming_t_closeness(
         F.col("n").cast("long").alias("n"),
         emd.cast("long").alias("emd_ppm"),
         (emd > F.lit(t_ppm)).cast("long").alias("breaches"),
+    )
+
+
+def run_streaming_uniqueness(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """LIVE key-uniqueness check — the one expectation
+    ``run_streaming_expectations`` documents as not-covered-live, closed
+    WITHOUT stacked stateful aggregations: the stream maintains only the
+    per-key occurrence counts (ONE update-mode JVM aggregation — the
+    counts are a monoid, no watermark); the counts-of-counts rollup that
+    needs a second aggregation runs at READ time over the key-sized
+    count relation (latest version per key), exactly like the golden-
+    records modal argmax. Converges to batch
+    ``quality.unique_violations(lineitem, [l_orderkey])`` and shares its
+    oracle shape."""
+    tune(spark)
+    tmpdir, schema = stage_table_by_key(
+        spark, sf_dir, "lineitem", "l_orderkey", chunks
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    counts = stream.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    name = f"stream_uniq_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            counts.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # update-mode sink holds every emitted version; the key's final count
+    # is its max (counts only grow). Counts-of-counts is read-time batch.
+    latest = spark.table(name).groupBy("k").agg(F.max("c").alias("c"))
+    return latest.agg(
+        F.sum("c").alias("n_rows"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+            "n_violations"
+        ),
+    ).select(
+        F.lit("unique(l_orderkey)").alias("check"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
     )
