@@ -1253,6 +1253,27 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_tok",
             "n_chars",
         ),
+        # stratified ATT (exact subclassification on an activity band):
+        # per-stratum treated/control means + common-support-weighted ATT
+        "ml_att_strata": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["att_strata"]
+        ).att_strata(
+            _events(spark, sf_dir)
+            .groupBy("user_id")
+            .agg(
+                F.max(
+                    F.when(F.col("event_type") == "error", 1).otherwise(0)
+                ).alias("treated"),
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).alias("outcome"),
+                F.count(F.lit(1)).alias("total"),
+            )
+            .withColumn("stratum", F.expr("total div 4")),
+            "stratum",
+            "treated",
+            "outcome",
+        ),
         # Wald SPRT per experiment arm: always-valid sequential A/B test,
         # integer micro-unit LLR with driver-embedded log literals
         "ml_sprt": lambda spark, sf_dir: __import__(
@@ -3243,6 +3264,19 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import ridge_path_oracle
 
     out["ml_ridge_path"] = ridge_path_oracle(_ml_src, "lang", "n_tok", "n_chars")
+    from flink_example_spark.operators.ml import att_strata_oracle
+
+    out["ml_att_strata"] = att_strata_oracle(
+        "SELECT total // 4 AS stratum, treated, outcome FROM ("
+        " SELECT user_id,"
+        "  MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS treated,"
+        "  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS outcome,"
+        "  COUNT(*) AS total"
+        " FROM events GROUP BY user_id)",
+        "stratum",
+        "treated",
+        "outcome",
+    )
     from flink_example_spark.operators.ml import sprt_oracle
 
     out["ml_sprt"] = sprt_oracle(

@@ -3388,3 +3388,111 @@ def sprt_oracle(
                COALESCE(f.decision, 'continue') AS decision
         FROM totals t LEFT JOIN first_hit f USING (grp)
     """
+
+
+def att_strata(
+    units: DataFrame,
+    stratum_col: str,
+    treated_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Stratified treatment-effect estimation (exact matching on a
+    discrete covariate — Cochran 1968, the identification workhorse
+    behind propensity-score SUBCLASSIFICATION): within each stratum the
+    treated/control outcome means are compared apples-to-apples, and the
+    per-stratum differences combine under treated-population weights to
+    the ATT.
+
+    Exact integer arithmetic throughout: outcomes are integer counts, so
+    per-stratum means ship as truncating micro-unit divisions
+    ``(sum * 1e6) div n`` (the ar2 device) and the ATT aggregates the
+    diffs under exact integer weights ``diff_micro * n_t div N_t``. A
+    stratum missing either arm is reported with NULL diff and excluded
+    from the ATT (standard common-support trimming) — its rows are still
+    visible in the output, so the trimmed mass is auditable.
+
+    Output: one row per stratum ``(stratum, n_t, n_c, mean_t_micro,
+    mean_c_micro, diff_micro)`` plus the combined row ``stratum = -1``
+    carrying the ATT over the common support.
+
+    Scale: one (stratum x arm) aggregation over the unit relation, then
+    arithmetic on a strata-sized relation. Unit rows shuffle once.
+    """
+    cells = units.groupBy(
+        F.col(stratum_col).alias("stratum"),
+        F.col(treated_col).cast("long").alias("t"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(outcome_col).cast("long")).alias("s"),
+    )
+    strata = cells.groupBy("stratum").agg(
+        F.sum(F.when(F.col("t") == 1, F.col("n"))).alias("n_t"),
+        F.sum(F.when(F.col("t") == 0, F.col("n"))).alias("n_c"),
+        F.sum(F.when(F.col("t") == 1, F.col("s"))).alias("s_t"),
+        F.sum(F.when(F.col("t") == 0, F.col("s"))).alias("s_c"),
+    )
+    scored = strata.select(
+        "stratum",
+        F.coalesce(F.col("n_t"), F.lit(0)).alias("n_t"),
+        F.coalesce(F.col("n_c"), F.lit(0)).alias("n_c"),
+        F.expr("CASE WHEN n_t > 0 THEN (s_t * 1000000) div n_t END").alias(
+            "mean_t_micro"
+        ),
+        F.expr("CASE WHEN n_c > 0 THEN (s_c * 1000000) div n_c END").alias(
+            "mean_c_micro"
+        ),
+        F.expr(
+            "CASE WHEN n_t > 0 AND n_c > 0 THEN"
+            " (s_t * 1000000) div n_t - (s_c * 1000000) div n_c END"
+        ).alias("diff_micro"),
+    )
+    att = scored.filter(F.col("diff_micro").isNotNull()).agg(
+        F.lit(-1).cast("long").alias("stratum"),
+        F.sum("n_t").alias("n_t"),
+        F.sum("n_c").alias("n_c"),
+        F.lit(None).cast("long").alias("mean_t_micro"),
+        F.lit(None).cast("long").alias("mean_c_micro"),
+        F.expr("sum(diff_micro * n_t) div sum(n_t)").alias("diff_micro"),
+    )
+    return scored.unionByName(att)
+
+
+def att_strata_oracle(
+    units_sql: str,
+    stratum_col: str,
+    treated_col: str,
+    outcome_col: str,
+) -> str:
+    """DuckDB twin of :func:`att_strata`."""
+    return f"""
+        WITH cells AS (
+          SELECT {stratum_col} AS stratum,
+                 CAST({treated_col} AS BIGINT) AS t,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST({outcome_col} AS BIGINT)) AS BIGINT) AS s
+          FROM ({units_sql}) GROUP BY 1, 2
+        ),
+        strata AS (
+          SELECT stratum,
+                 COALESCE(CAST(SUM(CASE WHEN t = 1 THEN n END) AS BIGINT), 0) AS n_t,
+                 COALESCE(CAST(SUM(CASE WHEN t = 0 THEN n END) AS BIGINT), 0) AS n_c,
+                 CAST(SUM(CASE WHEN t = 1 THEN s END) AS BIGINT) AS s_t,
+                 CAST(SUM(CASE WHEN t = 0 THEN s END) AS BIGINT) AS s_c
+          FROM cells GROUP BY 1
+        ),
+        scored AS (
+          SELECT stratum, n_t, n_c,
+                 CASE WHEN n_t > 0 THEN (s_t * 1000000) // n_t END AS mean_t_micro,
+                 CASE WHEN n_c > 0 THEN (s_c * 1000000) // n_c END AS mean_c_micro,
+                 CASE WHEN n_t > 0 AND n_c > 0 THEN
+                   (s_t * 1000000) // n_t - (s_c * 1000000) // n_c
+                 END AS diff_micro
+          FROM strata
+        )
+        SELECT * FROM scored
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), CAST(SUM(n_t) AS BIGINT),
+               CAST(SUM(n_c) AS BIGINT), NULL, NULL,
+               CAST(SUM(diff_micro * n_t) // SUM(n_t) AS BIGINT)
+        FROM scored WHERE diff_micro IS NOT NULL
+    """

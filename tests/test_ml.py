@@ -689,3 +689,24 @@ def test_sprt_indifferent_arm_continues(spark):
     )
     r = sprt(df, "variant", "ts", "event_id", F.col("y") == 1).collect()[0]
     assert r["decision"] == "continue" and r["decision_n"] is None
+
+
+def test_att_strata_known_effect_and_trimming(spark):
+    from flink_example_spark.operators.ml import att_strata
+
+    rows = (
+        # stratum 0: treated mean 3, control mean 1 -> diff 2
+        [(0, 1, 3), (0, 1, 3), (0, 0, 1), (0, 0, 1)]
+        # stratum 1: treated mean 5, control mean 4 -> diff 1
+        + [(1, 1, 5), (1, 0, 4)]
+        # stratum 2: treated only -> off common support, trimmed from ATT
+        + [(2, 1, 100)]
+    )
+    df = spark.createDataFrame(rows, "stratum long, treated long, outcome long")
+    out = {r["stratum"]: r for r in att_strata(df, "stratum", "treated", "outcome").collect()}
+    assert out[0]["diff_micro"] == 2_000_000
+    assert out[1]["diff_micro"] == 1_000_000
+    assert out[2]["diff_micro"] is None and out[2]["n_c"] == 0
+    # ATT = (2e6 * 2 + 1e6 * 1) / 3 treated-on-support
+    assert out[-1]["diff_micro"] == (2_000_000 * 2 + 1_000_000) // 3
+    assert out[-1]["n_t"] == 3
