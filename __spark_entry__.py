@@ -1049,6 +1049,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ppjoin": lambda spark, sf_dir: dedup.ppjoin_pairs(
             _docs(spark, sf_dir), threshold_num=4, threshold_den=5
         ),
+        # the prefix index LIVE: frozen rare-first order broadcast, one
+        # stateful op keyed by prefix token, pairs emitted exactly once
+        "streaming_ppjoin": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.dedup_stream",
+            fromlist=["run_streaming_ppjoin"],
+        ).run_streaming_ppjoin(spark, sf_dir, threshold_num=4, threshold_den=5),
         # TF-IDF-weighted exact similarity join: integer rarity weights
         # (length(bin(N div df))), weighted prefix filter, zero false
         # negatives — rare shared tokens outweigh stopword overlap
@@ -2640,6 +2646,8 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.dedup import ppjoin_oracle
 
     out["dedup_ppjoin"] = ppjoin_oracle(threshold_num=4, threshold_den=5)
+    # the live prefix index converges to the batch join exactly
+    out["streaming_ppjoin"] = out["dedup_ppjoin"]
     from flink_example_spark.operators.dedup import ppjoin_weighted_oracle
 
     out["dedup_ppjoin_weighted"] = ppjoin_weighted_oracle(

@@ -439,3 +439,193 @@ def run_streaming_trending_terms(
         .filter(F.col("rank") <= k)
         .select("lang", "term", "n", "rank")
     )
+
+
+def run_streaming_ppjoin(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    chunks: int = 3,
+) -> DataFrame:
+    """STREAMING exact similarity join — PPJoin's prefix index maintained
+    LIVE (the NEXT-roadmap twin): every arriving document probes the
+    accumulating per-prefix-token posting lists and emits each qualifying
+    pair exactly once, the incremental-ingest shape of
+    ``dedup.ppjoin_pairs``.
+
+    Device: the global rare-first token order is a FROZEN broadcast
+    statistic (document frequencies from the batch corpus — the same
+    batch-trained/stream-served pattern as the NB / stump / perceptron
+    inference twins; production would refresh it periodically). A
+    STATELESS Arrow stage tokenizes with the SHARED Spark tokenizer
+    expressions, ranks each doc's distinct tokens by the frozen (df,
+    token) order in Python (exact integers), and replicates the doc to
+    its prefix tokens ``L = sz - ceil(t*sz) + 1``. ONE stateful op keyed
+    by prefix token keeps the posting list (doc, size, token set, prefix
+    list); a new doc verifies against stored docs with integer
+    cross-multiplied gates, and a pair is emitted ONLY at its minimal
+    common prefix token in the frozen order — each pair exactly once, no
+    cross-bucket dedup pass. Bounded replay equals batch ``ppjoin_pairs``
+    (shared oracle).
+
+    Scale: state is the prefix index (rare tokens -> short lists, the
+    PPJoin guarantee); emission is pair-sized. The frozen-df broadcast is
+    vocabulary-sized.
+    """
+    import pickle
+    from collections.abc import Iterator
+    from typing import Any
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from flink_example_spark.operators.text import normalized, tokens
+    from flink_example_spark.session import shuffle_partitions
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    tn, td = threshold_num, threshold_den
+    docs = load_table(spark, sf_dir, "documents")
+    tok_rel = (
+        docs.select(
+            F.col("doc_id").alias("d"),
+            F.explode(tokens(normalized(F.col("text")))).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .distinct()
+    )
+    # frozen rare-first order: vocabulary-sized, collected once
+    df_map = {
+        r["t"]: r["df"]
+        for r in tok_rel.groupBy("t").agg(F.count(F.lit(1)).alias("df")).collect()
+    }
+
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    toked = stream.select(
+        F.col("doc_id").cast("long").alias("d"),
+        F.array_distinct(tokens(normalized(F.col("text")))).alias("tk"),
+    )
+
+    prefix_schema = StructType(
+        [
+            StructField("t", StringType(), False),
+            StructField("d", LongType(), False),
+            StructField("sz", LongType(), False),
+            StructField("toks", StringType(), False),
+            StructField("pref", StringType(), False),
+        ]
+    )
+
+    def to_prefix(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for d, tk in zip(pdf["d"], pdf["tk"]):
+                ts = sorted(
+                    (t for t in tk if t), key=lambda t: (df_map.get(t, 0), t)
+                )
+                sz = len(ts)
+                if sz == 0:
+                    continue
+                lp = sz - (tn * sz + td - 1) // td + 1
+                pref = ts[:lp]
+                toks_s = " ".join(sorted(ts))
+                pref_s = " ".join(pref)  # frozen-order, rare first
+                for t in pref:
+                    rows.append((t, int(d), sz, toks_s, pref_s))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in prefix_schema.fields]
+            )
+
+    pre = toked.mapInPandas(to_prefix, schema=prefix_schema)
+
+    state_schema = StructType([StructField("pkl", BinaryType(), True)])
+    output_schema = StructType(
+        [
+            StructField("id_a", LongType(), False),
+            StructField("id_b", LongType(), False),
+            StructField("inter", LongType(), False),
+            StructField("size_a", LongType(), False),
+            StructField("size_b", LongType(), False),
+            StructField("jaccard", DoubleType(), False),
+        ]
+    )
+
+    def probe(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        tkn = key[0]
+        stored = pickle.loads(state.get[0]) if state.exists else []
+        out = []
+        batch = pd.concat(list(pdfs)).sort_values("d")
+        for d, sz, toks_s, pref_s in zip(
+            batch["d"], batch["sz"], batch["toks"], batch["pref"]
+        ):
+            d, sz = int(d), int(sz)
+            tset = set(toks_s.split(" "))
+            plist = pref_s.split(" ")
+            for od, osz, otset, oplist in stored:
+                if d == od:
+                    continue
+                a, b = (od, d) if od < d else (d, od)
+                # size filter (integer cross-multiplication)
+                if tn * sz > td * osz or tn * osz > td * sz:
+                    continue
+                # emit only at the minimal common prefix token
+                opset = set(oplist)
+                common = next((t for t in plist if t in opset), None)
+                if common != tkn:
+                    continue
+                inter = len(tset & otset)
+                if td * inter >= tn * (sz + osz - inter):
+                    sa, sb = (osz, sz) if od < d else (sz, osz)
+                    out.append(
+                        (
+                            a,
+                            b,
+                            inter,
+                            sa,
+                            sb,
+                            float(inter) / float(sa + sb - inter),
+                        )
+                    )
+            stored.append((d, sz, tset, plist))
+        state.update((pickle.dumps(stored),))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in output_schema.fields]
+            )
+
+    pairs = pre.groupBy("t").applyInPandasWithState(
+        probe,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_ppjoin_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            pairs.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

@@ -75,3 +75,30 @@ def test_streaming_first_seen_within_watermark(spark):
     assert kept.count() == n_distinct
     holders = docs.select(F.md5("text").alias("content_md5"), "doc_id")
     assert kept.select("content_md5", "doc_id").exceptAll(holders).count() == 0
+
+
+def test_streaming_ppjoin_equals_batch(spark):
+    """The live prefix index replayed over sf0.001 must emit EXACTLY the
+    batch PPJoin pair set (also proves the minimal-common-prefix-token
+    rule emits each pair exactly once: any double emission would show up
+    as a row-count mismatch)."""
+    from flink_example_spark.operators.dedup import ppjoin_pairs
+    from flink_example_spark.streaming.dedup_stream import run_streaming_ppjoin
+    from flink_example_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r["id_a"], r["id_b"], r["inter"], r["size_a"], r["size_b"])
+        for r in ppjoin_pairs(
+            load_table(spark, sf, "documents"), threshold_num=4, threshold_den=5
+        ).collect()
+    }
+    live_rows = run_streaming_ppjoin(
+        spark, sf, threshold_num=4, threshold_den=5
+    ).collect()
+    live = {
+        (r["id_a"], r["id_b"], r["inter"], r["size_a"], r["size_b"])
+        for r in live_rows
+    }
+    assert len(live_rows) == len(live)  # exactly-once emission
+    assert live == batch
