@@ -4676,7 +4676,11 @@ DRIVER_KEYS = [
     # the slot showcases the streaming CDC net-change MERGE instead
     "streaming_cdc_apply",
     "streaming_session_windows",
-    "streaming_interval_join",
+    # the standalone interval-join row moves to extras (the fused e2e
+    # pipeline chains THREE interval joins under watermarks, keeping the
+    # class driver-exercised); the slot records the live PPJoin — the
+    # stateful prefix index with exactly-once pair emission
+    "streaming_ppjoin",
     # relational operator classes
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -4724,7 +4728,10 @@ DRIVER_KEYS = [
     "ann_ivf_topk",
     "ann_kmeans_centroids",
     "embedding_near_dup",
-    "multimodal_stats",
+    # byte-stats row moves to extras (the REAL codec path keeps
+    # multimodal driver-exercised); the slot records the exact-integer
+    # gradient-boosted-stumps trainer
+    "ml_gbm_stumps",
     # decode/frames (fake-feature paths) stay in extras — stats + the REAL
     # codec path keep multimodal driver-exercised; the freed slots record
     # the supervised NB classifier and graph community detection
