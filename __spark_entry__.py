@@ -1259,6 +1259,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_tok",
             "n_chars",
         ),
+        # reliability table of the trained perceptron's holdout margins:
+        # exact quantile bands, observed positive rates, monotonicity audit
+        "ml_calibration_bins": _ml_calibration_entry,
         # stratified ATT (exact subclassification on an activity band):
         # per-stratum treated/control means + common-support-weighted ATT
         "ml_att_strata": lambda spark, sf_dir: __import__(
@@ -3272,6 +3275,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import ridge_path_oracle
 
     out["ml_ridge_path"] = ridge_path_oracle(_ml_src, "lang", "n_tok", "n_chars")
+    from flink_example_spark.operators.ml import perceptron_calibration_oracle
+
+    out["ml_calibration_bins"] = perceptron_calibration_oracle()
     from flink_example_spark.operators.ml import att_strata_oracle
 
     out["ml_att_strata"] = att_strata_oracle(
@@ -4541,6 +4547,26 @@ _REF_INTEGRITY_FKS = (
     ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
     ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
 )
+
+
+def _ml_calibration_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.ml import (
+        _perceptron_feats,
+        calibration_bins,
+        perceptron_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w = perceptron_train(docs).select("j", F.col("weight").alias("w"))
+    feats = _perceptron_feats(docs, 5, train=False)
+    scored = (
+        feats.join(F.broadcast(w), "j")
+        .groupBy("id", "y")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("m"))
+    )
+    return calibration_bins(scored)
 
 
 def _ref_integrity_entry(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3496,3 +3496,127 @@ def att_strata_oracle(
                CAST(SUM(diff_micro * n_t) // SUM(n_t) AS BIGINT)
         FROM scored WHERE diff_micro IS NOT NULL
     """
+
+
+def calibration_bins(
+    scored: DataFrame, n_bins: int = 8
+) -> DataFrame:
+    """Reliability table of a margin-scored binary classifier — the
+    calibration audit that decides whether a model's score can gate data
+    (a score that isn't monotone in the true positive rate cannot be
+    thresholded meaningfully). Input: ``(id, y in {-1, 1}, m)`` with
+    INTEGER margins.
+
+    Holdout rows sort by (margin, id) and split into ``n_bins``
+    equal-count quantile bands via the exact rank device
+    ``(rank - 1) * n_bins div n`` (range_partition_plan's spec — no
+    percentile floats). Per band: count, positives, the observed
+    positive rate in exact micro units, the margin range, and
+    ``mono_break`` = 1 when the band's positive rate fell below the
+    previous band's (a calibration violation; a perfectly score-ranked
+    model has none). Output: ``(bin, n, n_pos, pos_rate_micro, lo_m,
+    hi_m, mono_break)``.
+
+    Scale: one ordered window over the scored relation (holdout-sized),
+    one band aggregation, one lag comparison over n_bins rows.
+    """
+    w = Window.orderBy("m", "id")
+    ranked = scored.select(
+        "y",
+        "m",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n_all"),
+    )
+    bands = (
+        ranked.select(
+            F.expr(f"((rk - 1) * {n_bins}) div n_all").alias("bin"),
+            "y",
+            "m",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.min("m").alias("lo_m"),
+            F.max("m").alias("hi_m"),
+        )
+        .withColumn("pos_rate_micro", F.expr("(n_pos * 1000000) div n"))
+    )
+    wb = Window.orderBy("bin")
+    return bands.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n",
+        "n_pos",
+        "pos_rate_micro",
+        "lo_m",
+        "hi_m",
+        F.when(
+            F.lag("pos_rate_micro").over(wb) > F.col("pos_rate_micro"), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("mono_break"),
+    )
+
+
+def perceptron_calibration_oracle(
+    n_rounds: int = 6, holdout_mod: int = 5, n_bins: int = 8
+) -> str:
+    """DuckDB twin of ``calibration_bins`` over the trained perceptron's
+    holdout margins (same CTE scaffold as the confusion oracle)."""
+    from flink_example_spark.operators.text import _DUCK_NORM
+
+    feats_tr = _PERC_FEATS_SQL.format(
+        norm=_DUCK_NORM, hm=holdout_mod, op="<>", tag="_tr"
+    )
+    return f"""
+        WITH {feats_tr},
+        base_ho AS MATERIALIZED (
+          SELECT d.doc_id AS id,
+                 CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+                 [CAST(1 AS BIGINT), COALESCE(n_tok, 0),
+                  CAST(n_chars AS BIGINT) // 8, COALESCE(n_the, 0),
+                  COALESCE(n_dist, 0)] AS xs
+          FROM documents d LEFT JOIN ta ON ta.id = d.doc_id
+          WHERE d.doc_id % {holdout_mod} = 0
+        ),
+        feats_ho AS MATERIALIZED (
+          SELECT id, y, CAST(j - 1 AS INT) AS j, x FROM (
+            SELECT id, y, unnest(xs) AS x,
+                   generate_subscripts(xs, 1) AS j
+            FROM base_ho
+          )
+        ),
+        w0 AS (SELECT DISTINCT j, CAST(0 AS BIGINT) AS w FROM feats_tr),
+        {_perceptron_rounds_sql(n_rounds)},
+        scored AS (
+          SELECT f.id, f.y, CAST(SUM(w.w * f.x) AS BIGINT) AS m
+          FROM feats_ho f JOIN w{n_rounds} w USING (j)
+          GROUP BY f.id, f.y
+        ),
+        ranked AS (
+          SELECT y, m,
+                 ROW_NUMBER() OVER (ORDER BY m, id) AS rk,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n_all
+          FROM scored
+        ),
+        bands AS (
+          SELECT ((rk - 1) * {n_bins}) // n_all AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos,
+                 CAST(MIN(m) AS BIGINT) AS lo_m,
+                 CAST(MAX(m) AS BIGINT) AS hi_m
+          FROM ranked GROUP BY 1
+        )
+        SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+               (n_pos * 1000000) // n AS pos_rate_micro, lo_m, hi_m,
+               CAST(CASE WHEN LAG((n_pos * 1000000) // n)
+                      OVER (ORDER BY bin) > (n_pos * 1000000) // n
+                    THEN 1 ELSE 0 END AS BIGINT) AS mono_break
+        FROM bands
+    """

@@ -710,3 +710,22 @@ def test_att_strata_known_effect_and_trimming(spark):
     # ATT = (2e6 * 2 + 1e6 * 1) / 3 treated-on-support
     assert out[-1]["diff_micro"] == (2_000_000 * 2 + 1_000_000) // 3
     assert out[-1]["n_t"] == 3
+
+
+def test_calibration_bins_quantile_bands_and_mono(spark):
+    from flink_example_spark.operators.ml import calibration_bins
+
+    # 8 rows, margins 1..8; positives exactly the top half -> with 4 bins
+    # of 2: rates 0, 0, 1e6, 1e6 and no monotonicity break
+    rows = [(i, 1 if i > 4 else -1, i) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "id long, y long, m long")
+    out = {r["bin"]: r for r in calibration_bins(df, n_bins=4).collect()}
+    assert [out[b]["n"] for b in range(4)] == [2, 2, 2, 2]
+    assert [out[b]["pos_rate_micro"] for b in range(4)] == [0, 0, 1_000_000, 1_000_000]
+    assert all(out[b]["mono_break"] == 0 for b in range(4))
+    assert out[0]["lo_m"] == 1 and out[3]["hi_m"] == 8
+    # flip one: a positive in the bottom band and a negative at the top
+    rows2 = [(i, 1 if (i > 4) != (i in (1, 8)) else -1, i) for i in range(1, 9)]
+    df2 = spark.createDataFrame(rows2, "id long, y long, m long")
+    out2 = {r["bin"]: r for r in calibration_bins(df2, n_bins=4).collect()}
+    assert sum(r["mono_break"] for r in out2.values()) >= 1
