@@ -1259,6 +1259,21 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_tok",
             "n_chars",
         ),
+        # learning curve: OLS on nested md5-bucket subsets (one pass via
+        # the sufficient-stats monoid), shared holdout, exact integer SSE
+        "ml_learning_curve": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["learning_curve"]
+        ).learning_curve(
+            _docs(spark, sf_dir).select(
+                F.col("doc_id").alias("id"),
+                "n_chars",
+                F.size(
+                    F.array_remove(text.tokens(text.normalized(F.col("text"))), "")
+                ).alias("n_tok"),
+            ),
+            "n_tok",
+            "n_chars",
+        ),
         # reliability table of the trained perceptron's holdout margins:
         # exact quantile bands, observed positive rates, monotonicity audit
         "ml_calibration_bins": _ml_calibration_entry,
@@ -3268,13 +3283,18 @@ def _northstar_oracles() -> dict[str, str]:
     )
 
     _ml_src = (
-        "SELECT lang, n_chars, len(list_filter(string_split_regex("
+        "SELECT doc_id, lang, n_chars, len(list_filter(string_split_regex("
         f"{text._DUCK_NORM}, '\\s+'), t -> t <> '')) AS n_tok FROM documents"
     )
     out["ml_linear_fit"] = linear_fit_oracle(_ml_src, "lang", "n_tok", "n_chars")
     from flink_example_spark.operators.ml import ridge_path_oracle
 
     out["ml_ridge_path"] = ridge_path_oracle(_ml_src, "lang", "n_tok", "n_chars")
+    from flink_example_spark.operators.ml import learning_curve_oracle
+
+    out["ml_learning_curve"] = learning_curve_oracle(
+        _ml_src, "n_tok", "n_chars", id_col="doc_id"
+    )
     from flink_example_spark.operators.ml import perceptron_calibration_oracle
 
     out["ml_calibration_bins"] = perceptron_calibration_oracle()

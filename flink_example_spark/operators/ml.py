@@ -3620,3 +3620,166 @@ def perceptron_calibration_oracle(
                     THEN 1 ELSE 0 END AS BIGINT) AS mono_break
         FROM bands
     """
+
+
+def learning_curve(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    cuts: tuple[int, ...] = (0, 1, 3, 7),
+    n_buckets: int = 16,
+    id_col: str = "id",
+) -> DataFrame:
+    """Sample-efficiency (learning) curve — "how much data does the model
+    actually need": OLS fit on NESTED training subsets of growing size,
+    each evaluated on the SAME held-out half, in ONE pass over the data.
+
+    Device: units hash into ``n_buckets`` via the repo's engine-portable
+    md5 bucket; buckets ``< n_buckets/2`` are training, the rest holdout.
+    Because OLS sufficient statistics are a sum monoid (the crossval_eval
+    insight), the nested subsets "train ≤ cut" for every cut come from
+    ONE per-bucket aggregation + a cumulative combine over the
+    bucket-sized relation — k curve points cost one fit. Coefficients
+    leave as exact ppm trunc-divisions (the ar2 device); holdout
+    residuals are exact integers quantized to milli BEFORE squaring
+    (quantize-before-cumsum rule), so the reported SSE is a BIGINT any
+    engine reproduces bit-for-bit.
+
+    Output per curve point: ``(train_buckets, n_train, slope_ppm,
+    intercept_ppm, n_holdout, holdout_sse_milli2)``.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    base = df.select(
+        (h % n_buckets).alias("bkt"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    half = n_buckets // 2
+    per_b = (
+        base.filter(F.col("bkt") < half)
+        .groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    cuts_df = per_b.sparkSession.createDataFrame(
+        [(c,) for c in cuts], "cut long"
+    )
+    fits = (
+        per_b.join(F.broadcast(cuts_df), F.col("bkt") <= F.col("cut"))
+        .groupBy("cut")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sx").alias("sx"),
+            F.sum("sy").alias("sy"),
+            F.sum("sxx").alias("sxx"),
+            F.sum("sxy").alias("sxy"),
+        )
+        .filter(F.expr("n * sxx - sx * sx > 0"))
+        .select(
+            "cut",
+            "n",
+            "sx",
+            "sy",
+            F.expr("((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)")
+            .alias("slope_ppm"),
+        )
+        .withColumn(
+            "intercept_ppm",
+            F.expr("(sy * 1000000 - slope_ppm * sx) div n"),
+        )
+        .select("cut", "n", "slope_ppm", "intercept_ppm")
+    )
+    ho = base.filter(F.col("bkt") >= half)
+    scored = ho.crossJoin(F.broadcast(fits)).select(
+        "cut",
+        "n",
+        "slope_ppm",
+        "intercept_ppm",
+        F.expr(
+            "(y * 1000000 - slope_ppm * x - intercept_ppm) div 1000"
+        ).alias("r_milli"),
+    )
+    return (
+        scored.groupBy("cut", "n", "slope_ppm", "intercept_ppm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_holdout"),
+            F.sum(F.col("r_milli") * F.col("r_milli")).alias(
+                "holdout_sse_milli2"
+            ),
+        )
+        .select(
+            F.col("cut").alias("train_buckets"),
+            F.col("n").alias("n_train"),
+            "slope_ppm",
+            "intercept_ppm",
+            "n_holdout",
+            "holdout_sse_milli2",
+        )
+    )
+
+
+def learning_curve_oracle(
+    units_sql: str,
+    x_col: str,
+    y_col: str,
+    cuts: tuple[int, ...] = (0, 1, 3, 7),
+    n_buckets: int = 16,
+    id_col: str = "id",
+) -> str:
+    """DuckDB twin of :func:`learning_curve`."""
+    half = n_buckets // 2
+    cut_list = ", ".join(str(int(c)) for c in cuts)
+    return f"""
+        WITH base AS MATERIALIZED (
+          SELECT CAST(concat('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 8))
+                   AS BIGINT) % {n_buckets} AS bkt,
+                 CAST({x_col} AS BIGINT) AS x, CAST({y_col} AS BIGINT) AS y
+          FROM ({units_sql})
+          WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+        ),
+        per_b AS (
+          SELECT bkt, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x*x) AS BIGINT) AS sxx,
+                 CAST(SUM(x*y) AS BIGINT) AS sxy
+          FROM base WHERE bkt < {half} GROUP BY 1
+        ),
+        fits AS MATERIALIZED (
+          SELECT cut, n, slope_ppm,
+                 (sy * 1000000 - slope_ppm * sx) // n AS intercept_ppm
+          FROM (
+            SELECT cut, CAST(SUM(n) AS BIGINT) AS n,
+                   CAST(SUM(sx) AS BIGINT) AS sx, CAST(SUM(sy) AS BIGINT) AS sy,
+                   CAST(SUM(sxx) AS BIGINT) AS sxx,
+                   CAST(SUM(sxy) AS BIGINT) AS sxy,
+                   ((CAST(SUM(n) AS BIGINT) * CAST(SUM(sxy) AS BIGINT)
+                     - CAST(SUM(sx) AS BIGINT) * CAST(SUM(sy) AS BIGINT))
+                    * 1000000)
+                   // (CAST(SUM(n) AS BIGINT) * CAST(SUM(sxx) AS BIGINT)
+                       - CAST(SUM(sx) AS BIGINT) * CAST(SUM(sx) AS BIGINT))
+                     AS slope_ppm
+            FROM per_b, unnest([{cut_list}]) AS c(cut)
+            WHERE bkt <= cut
+            GROUP BY cut
+            HAVING CAST(SUM(n) AS BIGINT) * CAST(SUM(sxx) AS BIGINT)
+                   - CAST(SUM(sx) AS BIGINT) * CAST(SUM(sx) AS BIGINT) > 0
+          )
+        ),
+        scored AS (
+          SELECT cut, n, slope_ppm, intercept_ppm,
+                 (y * 1000000 - slope_ppm * x - intercept_ppm) // 1000
+                   AS r_milli
+          FROM base, fits WHERE bkt >= {half}
+        )
+        SELECT cut AS train_buckets, n AS n_train, slope_ppm, intercept_ppm,
+               CAST(COUNT(*) AS BIGINT) AS n_holdout,
+               CAST(SUM(r_milli * r_milli) AS BIGINT) AS holdout_sse_milli2
+        FROM scored GROUP BY 1, 2, 3, 4
+    """
