@@ -1863,3 +1863,245 @@ def interval_merge_oracle(
                CAST(MAX(i_end - i_start) AS BIGINT) AS max_island_us
         FROM islands GROUP BY key
     """
+
+
+def granger_screen(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Pairwise Granger-causality screen over the per-key daily series:
+    for every ordered pair (cause x, effect y), does x's lag-1 improve
+    the prediction of y beyond y's own lag-1? The classic lead/lag
+    dependency scan a metrics warehouse runs across KPI pairs.
+
+    Entirely in the repo's exact-integer regression calculus:
+
+    - daily values are SUMS of centi-quantized observations (integer
+      monoid — order-free in any engine);
+    - the pair series aligns on days present in BOTH keys; lag-1 rows
+      come from one ordered window per pair;
+    - the UNRESTRICTED model ``y_t ~ (1, y_{t-1}, x_{t-1})`` solves by
+      the ar2 Cramer device (DECIMAL(38) cross-terms, ppm trunc-div
+      coefficients); the RESTRICTED model ``y_t ~ (1, y_{t-1})`` reuses
+      the same sufficient sums;
+    - per-row residuals are exact cppm integers, quantized back to
+      centi-units BEFORE squaring (quantize-before-cumsum rule), so both
+      SSEs are engine-identical BIGINTs;
+    - ``improve_ppm = (sse_r - sse_u) * 1e6 div sse_r`` is the variance
+      the cause's lag explains — the Granger statistic's numerator in
+      exact ppm (rank pairs by it; the F-test's df scaling is monotone
+      in it at fixed n).
+
+    Output per ordered pair: ``(cause, effect, n, gamma_ppm, sse_r,
+    sse_u, improve_ppm)``.
+
+    Scale: one day-bucket hash-agg, one pair equi-join on (day), one
+    window per pair, two pair-count-sized aggregations. Pairs
+    parallelize independently.
+    """
+    day_us = 86_400_000_000
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {day_us}").alias(
+                "day"
+            ),
+            F.expr(f"CAST(floor({value_col} * 100 + 0.5) AS BIGINT)").alias("vq"),
+        )
+        .groupBy("key", "day")
+        .agg(F.sum("vq").alias("vq"))
+    )
+    a = daily.select(
+        F.col("key").alias("cause"), "day", F.col("vq").alias("xv")
+    )
+    b = daily.select(
+        F.col("key").alias("effect"), "day", F.col("vq").alias("yv")
+    )
+    pair = a.join(b, "day").filter(F.col("cause") != F.col("effect"))
+    w = Window.partitionBy("cause", "effect").orderBy("day")
+    rows = (
+        pair.withColumn("y1", F.lag("yv").over(w))
+        .withColumn("x1", F.lag("xv").over(w))
+        .filter(F.col("y1").isNotNull() & F.col("x1").isNotNull())
+        .select("cause", "effect", "yv", "y1", "x1")
+        .localCheckpoint(eager=False)
+    )
+    s = rows.groupBy("cause", "effect").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yv").alias("sy"),
+        F.sum("y1").alias("sa"),
+        F.sum("x1").alias("sb"),
+        F.sum(F.col("y1") * F.col("y1")).alias("saa"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sbb"),
+        F.sum(F.col("y1") * F.col("x1")).alias("sab"),
+        F.sum(F.col("y1") * F.col("yv")).alias("say"),
+        F.sum(F.col("x1") * F.col("yv")).alias("sby"),
+    )
+    c = (
+        s.withColumn("caa", F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+        .withColumn("cbb", F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+        .withColumn("cab", F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+        .withColumn("cay", F.col("n") * F.col("say") - F.col("sa") * F.col("sy"))
+        .withColumn("cby", F.col("n") * F.col("sby") - F.col("sb") * F.col("sy"))
+    )
+    dec = "CAST({} AS DECIMAL(19,0))"
+    solved = (
+        c.withColumn(
+            "d",
+            F.expr(
+                f"{dec.format('caa')} * {dec.format('cbb')}"
+                f" - {dec.format('cab')} * {dec.format('cab')}"
+            ),
+        )
+        .filter(F.expr("d > 0") & (F.col("n") >= 4) & F.expr("caa > 0"))
+        .withColumn(
+            "phi_ppm",
+            F.expr(
+                f"CAST((({dec.format('cay')} * {dec.format('cbb')}"
+                f" - {dec.format('cby')} * {dec.format('cab')}) * 1000000)"
+                " div d AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "gamma_ppm",
+            F.expr(
+                f"CAST((({dec.format('cby')} * {dec.format('caa')}"
+                f" - {dec.format('cay')} * {dec.format('cab')}) * 1000000)"
+                " div d AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "c_u_cppm",
+            F.expr("(sy * 1000000 - phi_ppm * sa - gamma_ppm * sb) div n"),
+        )
+        .withColumn(
+            "phi_r_ppm",
+            F.expr(
+                f"CAST(({dec.format('cay')} * 1000000)"
+                f" div {dec.format('caa')} AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "c_r_cppm", F.expr("(sy * 1000000 - phi_r_ppm * sa) div n")
+        )
+        .localCheckpoint(eager=False)
+    )
+    fits = solved.select(
+        "cause", "effect", "n", "phi_ppm", "gamma_ppm", "c_u_cppm",
+        "phi_r_ppm", "c_r_cppm",
+    )
+    scored = rows.join(F.broadcast(fits), ["cause", "effect"]).select(
+        "cause",
+        "effect",
+        "n",
+        "gamma_ppm",
+        F.expr(
+            "(yv * 1000000 - c_u_cppm - phi_ppm * y1 - gamma_ppm * x1)"
+            " div 1000000"
+        ).alias("ru"),
+        F.expr(
+            "(yv * 1000000 - c_r_cppm - phi_r_ppm * y1) div 1000000"
+        ).alias("rr"),
+    )
+    sse = scored.groupBy("cause", "effect", "n", "gamma_ppm").agg(
+        F.sum(F.col("rr") * F.col("rr")).alias("sse_r"),
+        F.sum(F.col("ru") * F.col("ru")).alias("sse_u"),
+    )
+    return sse.select(
+        "cause",
+        "effect",
+        F.col("n").cast("long").alias("n"),
+        "gamma_ppm",
+        "sse_r",
+        "sse_u",
+        F.expr(
+            "CASE WHEN sse_r > 0 THEN ((sse_r - sse_u) * 1000000) div sse_r END"
+        ).alias("improve_ppm"),
+    )
+
+
+def granger_screen_oracle(
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`granger_screen` (HUGEINT Cramer, ``//``
+    truncation)."""
+    day_us = 86_400_000_000
+    return f"""
+        WITH daily AS MATERIALIZED (
+          SELECT {key_col} AS key, epoch_us({ts_col}) // {day_us} AS day,
+                 CAST(SUM(CAST(floor({value_col} * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS vq
+          FROM {table} WHERE {value_col} IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        rows_ AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT a.key AS cause, b.key AS effect, a.day, b.vq AS yv,
+                   lag(b.vq) OVER w AS y1, lag(a.vq) OVER w AS x1
+            FROM daily a JOIN daily b USING (day)
+            WHERE a.key <> b.key
+            WINDOW w AS (PARTITION BY a.key, b.key ORDER BY a.day)
+          ) WHERE y1 IS NOT NULL AND x1 IS NOT NULL
+        ),
+        s AS (
+          SELECT cause, effect, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(yv) AS BIGINT) AS sy,
+                 CAST(SUM(y1) AS BIGINT) AS sa,
+                 CAST(SUM(x1) AS BIGINT) AS sb,
+                 CAST(SUM(y1*y1) AS BIGINT) AS saa,
+                 CAST(SUM(x1*x1) AS BIGINT) AS sbb,
+                 CAST(SUM(y1*x1) AS BIGINT) AS sab,
+                 CAST(SUM(y1*yv) AS BIGINT) AS say,
+                 CAST(SUM(x1*yv) AS BIGINT) AS sby
+          FROM rows_ GROUP BY 1, 2
+        ),
+        ctr AS (
+          SELECT *, CAST(n*saa - sa*sa AS HUGEINT) AS caa,
+                 CAST(n*sbb - sb*sb AS HUGEINT) AS cbb,
+                 CAST(n*sab - sa*sb AS HUGEINT) AS cab,
+                 CAST(n*say - sa*sy AS HUGEINT) AS cay,
+                 CAST(n*sby - sb*sy AS HUGEINT) AS cby
+          FROM s
+        ),
+        fits AS MATERIALIZED (
+          SELECT cause, effect, n, sy, sa,
+                 CAST(((cay*cbb - cby*cab) * 1000000)
+                      // (caa*cbb - cab*cab) AS BIGINT) AS phi_ppm,
+                 CAST(((cby*caa - cay*cab) * 1000000)
+                      // (caa*cbb - cab*cab) AS BIGINT) AS gamma_ppm,
+                 CAST((cay * 1000000) // caa AS BIGINT) AS phi_r_ppm
+          FROM ctr
+          WHERE caa*cbb - cab*cab > 0 AND n >= 4 AND caa > 0
+        ),
+        fits2 AS (
+          SELECT *,
+                 (sy * 1000000 - phi_ppm * sa - gamma_ppm * sb) // n
+                   AS c_u_cppm,
+                 (sy * 1000000 - phi_r_ppm * sa) // n AS c_r_cppm
+          FROM (SELECT f.*, s.sb FROM fits f JOIN s USING (cause, effect)) f2
+        ),
+        scored AS (
+          SELECT r.cause, r.effect, f.n, f.gamma_ppm,
+                 (r.yv * 1000000 - f.c_u_cppm - f.phi_ppm * r.y1
+                  - f.gamma_ppm * r.x1) // 1000000 AS ru,
+                 (r.yv * 1000000 - f.c_r_cppm - f.phi_r_ppm * r.y1)
+                   // 1000000 AS rr
+          FROM rows_ r JOIN fits2 f USING (cause, effect)
+        ),
+        sse AS (
+          SELECT cause, effect, n, gamma_ppm,
+                 CAST(SUM(rr*rr) AS BIGINT) AS sse_r,
+                 CAST(SUM(ru*ru) AS BIGINT) AS sse_u
+          FROM scored GROUP BY 1, 2, 3, 4
+        )
+        SELECT cause, effect, n, gamma_ppm, sse_r, sse_u,
+               CASE WHEN sse_r > 0 THEN ((sse_r - sse_u) * 1000000) // sse_r
+               END AS improve_ppm
+        FROM sse
+    """

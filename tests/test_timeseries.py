@@ -431,3 +431,31 @@ def test_ar2_constant_series_is_filtered(spark):
         for i in range(10)
     ]
     assert ar2_forecast(spark.createDataFrame(rows)).count() == 0
+
+
+def test_granger_detects_lagged_dependence(spark):
+    """y literally equals lag-1 of x (plus a level): the unrestricted fit
+    should explain (almost) everything and improve_ppm ~ 1e6, while the
+    reverse direction explains ~nothing."""
+    from datetime import datetime, timezone
+
+    from flink_example_spark.operators.timeseries import granger_screen
+
+    def ts(d):
+        return datetime.fromtimestamp(86400 * d, tz=timezone.utc)
+
+    xs = [3, 9, 1, 7, 5, 8, 2, 6, 4, 10, 1, 9, 3, 7]
+    rows = []
+    for d, x in enumerate(xs):
+        rows.append(("x", ts(d), float(x)))
+        y = 50 + (xs[d - 1] if d > 0 else 5) * 7
+        rows.append(("y", ts(d), float(y)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        (r["cause"], r["effect"]): r
+        for r in granger_screen(df, "event_type", "ts", "value").collect()
+    }
+    fwd, rev = out[("x", "y")], out[("y", "x")]
+    assert fwd["improve_ppm"] > 900_000  # x's lag explains y almost fully
+    assert fwd["sse_u"] < fwd["sse_r"]
+    assert rev["improve_ppm"] < fwd["improve_ppm"]
