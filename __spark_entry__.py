@@ -1681,6 +1681,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_markov_eval": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.cep", fromlist=["markov_eval"]
         ).markov_eval(_events(spark, sf_dir)),
+        # top user journeys: most frequent ordered event-type paths per
+        # user-day session (ordered aggregation in both engines)
+        "cep_top_paths": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.cep", fromlist=["top_paths"]
+        ).top_paths(_events(spark, sf_dir)),
         "cep_transitions": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.cep", fromlist=["event_transitions"]
         ).event_transitions(_events(spark, sf_dir)),
@@ -3736,6 +3741,9 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["cep_attribution"] = last_touch_oracle("purchase", ["view", "click"])
     out["cep_transitions"] = event_transitions_oracle()
+    from flink_example_spark.operators.cep import top_paths_oracle
+
+    out["cep_top_paths"] = top_paths_oracle()
     from flink_example_spark.operators.cep import markov_eval_oracle
 
     out["cep_markov_eval"] = markov_eval_oracle()

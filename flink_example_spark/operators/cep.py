@@ -1061,3 +1061,101 @@ def markov_eval_oracle(
                         AS DOUBLE) AS avg_bits
         FROM scored
     """
+
+
+def top_paths(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    max_len: int = 8,
+    topn: int = 20,
+) -> DataFrame:
+    """Top user journeys: the most frequent ordered event-type PATHS
+    (one per user-day session, truncated to the first ``max_len``
+    events) — the sequence-mining view behind every "common flows"
+    funnel dashboard, and the full-path complement of the bigram
+    ``transitions`` matrix.
+
+    Determinism: events order by (micros, id) inside the session — the
+    repo's total event order — and the path string materializes via an
+    ORDERED aggregation in both engines (Spark: array_sort over
+    (us, seq, type) structs, lexicographic == chronological because the
+    sort key tuple leads; DuckDB: string_agg ORDER BY us, seq).
+    Truncation to ``max_len`` uses a row_number rank, so both engines
+    cut the identical prefix. Top-``topn`` by (n_sessions DESC, path) is
+    a total order.
+
+    Scale: one window pass keyed by session (user x day — bounded
+    sessions by construction), one path-sized hash aggregation, one
+    TakeOrderedAndProject. Path cardinality, not event cardinality,
+    crosses the final shuffle.
+    """
+    day_us = 86_400_000_000
+    src = events.select(
+        F.col(key_col).alias("k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(id_col).alias("seq"),
+        F.col(type_col).alias("et"),
+    ).withColumn("day", F.expr(f"us div {day_us}"))
+    w = Window.partitionBy("k", "day").orderBy("us", "seq")
+    ranked = src.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= max_len
+    )
+    paths = ranked.groupBy("k", "day").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("us", "seq", "et"))),
+                lambda s: s.et,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.countDistinct("k").cast("long").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(topn)
+    )
+
+
+def top_paths_oracle(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    max_len: int = 8,
+    topn: int = 20,
+) -> str:
+    """DuckDB twin of :func:`top_paths`."""
+    day_us = 86_400_000_000
+    return f"""
+        WITH src AS (
+          SELECT {key_col} AS k, epoch_us({ts_col}) AS us,
+                 {id_col} AS seq, {type_col} AS et,
+                 epoch_us({ts_col}) // {day_us} AS day
+          FROM {table}
+        ),
+        ranked AS (
+          SELECT * FROM (
+            SELECT k, day, us, seq, et,
+                   ROW_NUMBER() OVER (PARTITION BY k, day ORDER BY us, seq)
+                     AS rn
+            FROM src
+          ) WHERE rn <= {max_len}
+        ),
+        paths AS (
+          SELECT k, day, string_agg(et, '>' ORDER BY us, seq) AS path
+          FROM ranked GROUP BY 1, 2
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS n_users
+        FROM paths GROUP BY 1
+        ORDER BY n_sessions DESC, path
+        LIMIT {topn}
+    """
