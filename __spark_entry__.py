@@ -2056,6 +2056,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.operators.timeseries",
             fromlist=["seasonal_decompose"],
         ).seasonal_decompose(_events(spark, sf_dir), "event_type", "ts", "value"),
+        # Holt level+trend smoothing as a RECURSIVE CTE (exact micro-unit
+        # state, same query text modulo the trunc-div token in DuckDB)
+        "timeseries_holt": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries",
+            fromlist=["holt_forecast"],
+        ).holt_forecast(_events(spark, sf_dir), "event_type", "ts", "value"),
         # pairwise Granger screen: does x's lag-1 improve y's AR(1) fit?
         # Cramer 2-var solve, exact integer SSE comparison, ppm gain
         "timeseries_granger": lambda spark, sf_dir: __import__(
@@ -3993,6 +3999,11 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.timeseries import granger_screen_oracle
 
     out["timeseries_granger"] = granger_screen_oracle(
+        "events", "event_type", "ts", "value"
+    )
+    from flink_example_spark.operators.timeseries import holt_forecast_oracle
+
+    out["timeseries_holt"] = holt_forecast_oracle(
         "events", "event_type", "ts", "value"
     )
     out["timeseries_ar2_forecast"] = ar2_forecast_oracle(

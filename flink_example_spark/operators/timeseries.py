@@ -2105,3 +2105,101 @@ def granger_screen_oracle(
                END AS improve_ppm
         FROM sse
     """
+
+
+def _holt_sql(series: str, divop: str) -> str:
+    """Shared Holt recursive-CTE text, parameterized ONLY by the
+    truncating-division token (Spark ``div`` vs DuckDB ``//``) — every
+    other character identical in both engines."""
+    lnew = f"(s.vq * 1000000 + 3 * (h.l + h.b)) {divop} 4"
+    return f"""
+        WITH RECURSIVE holt(key, rn, l, b) AS (
+          SELECT key, rn, vq * 1000000, CAST(0 AS BIGINT)
+          FROM {series} WHERE rn = 1
+          UNION ALL
+          SELECT s.key, s.rn,
+                 {lnew},
+                 (({lnew}) - h.l + 3 * h.b) {divop} 4
+          FROM holt h JOIN {series} s ON s.key = h.key AND s.rn = h.rn + 1
+        )
+        SELECT key, CAST(MAX(rn) AS BIGINT) AS n_days,
+               max_by(l, rn) {divop} 1000000 AS level_centi,
+               max_by(b, rn) {divop} 1000000 AS trend_centi,
+               (max_by(l, rn) + max_by(b, rn)) {divop} 1000000
+                 AS forecast_centi
+        FROM holt GROUP BY key
+    """
+
+
+def holt_forecast(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, alpha = beta =
+    1/4) per key over the daily series — the trend-aware upgrade of
+    ``ewma_smooth`` and the workhorse short-horizon forecaster.
+
+    The coupled recurrence ``l_t = alpha*v_t + (1-alpha)(l+b)``,
+    ``b_t = beta*(l_t - l) + (1-beta)*b`` is genuinely sequential, so it
+    runs as a RECURSIVE CTE (the reachability device: Catalyst owns the
+    iteration; one join per step against the rn-indexed series) — the
+    SAME query text modulo the truncating-division token runs in DuckDB,
+    and because state lives in exact micro-unit BIGINTs with rational
+    smoothing (quarters, trunc-div per step), both engines reproduce
+    every step bit-for-bit. No floats anywhere.
+
+    Output per key: ``(key, n_days, level_centi, trend_centi,
+    forecast_centi)`` — the smoothed level/trend after the last day and
+    the one-step-ahead forecast, in centi-units.
+
+    Scale: recursion depth = series length (days), each step a keyed
+    equi-join on the rn-indexed relation; keys advance in parallel
+    within each step.
+    """
+    import uuid
+
+    day_us = 86_400_000_000
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {day_us}").alias(
+                "day"
+            ),
+            F.expr(f"CAST(floor({value_col} * 100 + 0.5) AS BIGINT)").alias("vq"),
+        )
+        .groupBy("key", "day")
+        .agg(F.sum("vq").alias("vq"))
+    )
+    w = Window.partitionBy("key").orderBy("day")
+    series = daily.withColumn("rn", F.row_number().over(w)).select(
+        "key", "rn", "vq"
+    )
+    name = f"holt_series_{uuid.uuid4().hex[:8]}"
+    # the recursion scans the series once per step — checkpoint the build
+    series.localCheckpoint().createOrReplaceTempView(name)
+    return df.sparkSession.sql(_holt_sql(name, "div"))
+
+
+def holt_forecast_oracle(
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`holt_forecast` — same recursive text with
+    ``//`` truncation."""
+    day_us = 86_400_000_000
+    series = f"""(
+        SELECT key, ROW_NUMBER() OVER (PARTITION BY key ORDER BY day) AS rn,
+               vq
+        FROM (
+          SELECT {key_col} AS key, epoch_us({ts_col}) // {day_us} AS day,
+                 CAST(SUM(CAST(floor({value_col} * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS vq
+          FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
+        )
+    )"""
+    return _holt_sql(series, "//")

@@ -459,3 +459,40 @@ def test_granger_detects_lagged_dependence(spark):
     assert fwd["improve_ppm"] > 900_000  # x's lag explains y almost fully
     assert fwd["sse_u"] < fwd["sse_r"]
     assert rev["improve_ppm"] < fwd["improve_ppm"]
+
+
+def test_holt_tracks_linear_trend_exactly_in_limit(spark):
+    """On a perfectly linear series the Holt recurrences converge toward
+    (level = last value, trend = slope); with integer micro state the
+    one-step forecast lands within a centi-unit of the true next point."""
+    from datetime import datetime, timezone
+
+    from flink_example_spark.operators.timeseries import holt_forecast
+
+    def ts(d):
+        return datetime.fromtimestamp(86400 * d, tz=timezone.utc)
+
+    # v_d = 10 + 5d over 40 days (in whole units -> centi 1000 + 500d)
+    rows = [("k", ts(d), float(10 + 5 * d)) for d in range(40)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    r = holt_forecast(df, "event_type", "ts", "value").collect()[0]
+    assert r["n_days"] == 40
+    true_next_centi = (10 + 5 * 40) * 100
+    assert abs(r["forecast_centi"] - true_next_centi) <= 600  # within 6 units
+    assert 400 <= r["trend_centi"] <= 520  # slope 5 units = 500 centi
+
+
+def test_holt_constant_series_flat(spark):
+    from datetime import datetime, timezone
+
+    from flink_example_spark.operators.timeseries import holt_forecast
+
+    def ts(d):
+        return datetime.fromtimestamp(86400 * d, tz=timezone.utc)
+
+    rows = [("k", ts(d), 7.0) for d in range(10)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    r = holt_forecast(df, "event_type", "ts", "value").collect()[0]
+    assert abs(r["level_centi"] - 700) <= 1
+    assert abs(r["trend_centi"]) <= 1
+    assert abs(r["forecast_centi"] - 700) <= 2
