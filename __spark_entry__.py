@@ -2004,6 +2004,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.ml_stream",
             fromlist=["run_streaming_stump_inference"],
         ).run_streaming_stump_inference(spark, sf_dir),
+        # the stratified ATT LIVE: per-user profile monoids in state,
+        # stratum assignment + ATT combine at read time (= batch oracle)
+        "streaming_att_strata": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.ml_stream",
+            fromlist=["run_streaming_att_strata"],
+        ).run_streaming_att_strata(spark, sf_dir),
         # LIVE sequential A/B monitor: SPRT evaluated per arrival, first
         # boundary crossing latched in state (= batch ml_sprt, shared oracle)
         "streaming_sprt": lambda spark, sf_dir: __import__(
@@ -3328,6 +3334,8 @@ def _northstar_oracles() -> dict[str, str]:
         "treated",
         "outcome",
     )
+    # the live causal monitor converges to the batch estimator exactly
+    out["streaming_att_strata"] = out["ml_att_strata"]
     from flink_example_spark.operators.ml import sprt_oracle
 
     out["ml_sprt"] = sprt_oracle(

@@ -169,6 +169,22 @@ HEADLINE = [
     "ml_ridge_path",
     "layout_sort_advisor",
     "distribution_ranks",
+    # added round 7 continuation-2 (streaming twins are not benched --
+    # micro-batch scheduling noise would swamp the signal; streaming_ppjoin
+    # is excluded for the same corpus-quadratic reason as dedup_ppjoin)
+    "ml_gbm_stumps",
+    "graph_link_prediction",
+    "quality_t_closeness",
+    "layout_compaction_plan",
+    "quality_ref_integrity",
+    "ml_sprt",
+    "ml_att_strata",
+    "multimodal_sobel",
+    "ml_calibration_bins",
+    "ml_learning_curve",
+    "timeseries_granger",
+    "cep_top_paths",
+    "timeseries_holt",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

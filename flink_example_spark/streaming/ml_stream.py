@@ -473,3 +473,49 @@ def run_streaming_sprt(
               FROM {name}
             ) WHERE rn = 1"""
     )
+
+
+def run_streaming_att_strata(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE stratified treatment-effect monitor: the causal dashboard
+    updating as events arrive. The per-USER profile (treated flag,
+    outcome count, activity total) is three commutative monoids, so it
+    maintains as ONE complete-mode JVM aggregation (state = three
+    BIGINTs per user, no watermark, no Python); stratum assignment —
+    which DEPENDS on the user's final activity total and therefore
+    cannot be computed at ingest — plus the cell rollup and the
+    common-support ATT combine all run at READ time over the user-sized
+    profile relation, reusing batch :func:`operators.ml.att_strata`
+    verbatim. The bounded replay converges to the batch estimate exactly
+    (shared oracle)."""
+    from flink_example_spark.operators.ml import att_strata
+    from flink_example_spark.streaming.pipeline import stream_events
+
+    tune(spark)
+    ev = stream_events(spark, sf_dir)
+    profile = ev.groupBy(F.col("user_id").alias("u")).agg(
+        F.max(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("treated"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("outcome"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    name = f"stream_att_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            profile.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    units = (
+        spark.table(name)
+        .localCheckpoint(eager=True)
+        .withColumn("stratum", F.expr("total div 4"))
+    )
+    return att_strata(units, "stratum", "treated", "outcome")
