@@ -946,6 +946,15 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             media.filter(F.col("media_type") == "image"), repartition=False
         )
 
+    def mm_silence(spark, sf_dir):
+        """Voice-activity screen per audio over the REAL AIFF codec path:
+        16-bit PCM decode, exact integer window energies; the oracle
+        re-derives every energy from the cycled-md5 scheme."""
+        media = multimodal.encode_codec_media(_docs(spark, sf_dir), formats=("pgm", "aiff"))
+        return multimodal.audio_silence(
+            media.filter(F.col("media_type") == "audio"), repartition=False
+        )
+
     def mm_dhash(spark, sf_dir):
         """Gradient difference-hash per image (9x8 grid, right-neighbor
         compare) — the brightness-invariant twin of mm_ahash; every bit
@@ -2430,6 +2439,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # perceptual image fingerprint (aHash) — the image-dedup primitive
         "multimodal_ahash": mm_ahash,
         "multimodal_sobel": mm_sobel,
+        "multimodal_silence": mm_silence,
         "multimodal_dhash": mm_dhash,
         "multimodal_phash": mm_phash,
         "multimodal_audio_dct": lambda spark, sf_dir: __import__(
@@ -3112,6 +3122,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.multimodal import image_sobel_oracle
 
     out["multimodal_sobel"] = image_sobel_oracle()
+    from flink_example_spark.operators.multimodal import audio_silence_oracle
+
+    out["multimodal_silence"] = audio_silence_oracle()
     from flink_example_spark.operators.multimodal import audio_dct_bands_oracle
 
     out["multimodal_audio_dct"] = audio_dct_bands_oracle()

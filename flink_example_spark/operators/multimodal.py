@@ -1260,3 +1260,139 @@ def image_sobel_oracle(edge_t2: int = 20_000) -> str:
                CAST(MAX(gx*gx + gy*gy) AS BIGINT) AS max_grad2
         FROM grads GROUP BY 1, 2, 3
     """
+
+
+SILENCE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_windows", LongType(), False),
+        StructField("n_active", LongType(), False),
+        StructField("min_energy", LongType(), False),
+        StructField("max_energy", LongType(), False),
+        StructField("total_energy", LongType(), False),
+    ]
+)
+
+
+def audio_silence(
+    media: DataFrame,
+    window_frames: int = 8,
+    threshold: int = 2_500_000_000,
+    repartition: bool = True,
+) -> DataFrame:
+    """Voice-activity / silence screen per audio payload over the REAL
+    codec path — the trim-the-dead-air pass an audio curation pipeline
+    runs before transcription. Decodes each WAV/AIFF from raw bytes
+    (true 16-bit PCM, either endianness), takes channel-0 frames,
+    windows them (``window_frames`` per window, full windows only), and
+    scores each window by exact integer energy ``sum(s^2)``; a window is
+    ACTIVE when energy > ``threshold``.
+
+    Output per audio: ``(media_id, sample_rate, n_windows, n_active,
+    min_energy, max_energy, total_energy)`` — every value re-derivable
+    analytically from the cycled-md5 payload scheme (the fixture's
+    samples are ``b0*256 + b1`` of hex-ASCII bytes, positive by
+    construction, so the oracle needs no sign handling; the DECODER
+    handles signed PCM regardless).
+
+    Scale: hash-spread before the Python stage; 7 scalars out per audio.
+    """
+    import pandas as pd
+
+    def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                if payload[:4] == b"RIFF":
+                    sr, ch, data = _parse_wav(payload)
+                    be = False
+                elif payload[:4] == b"FORM":
+                    sr, ch, data = _parse_aiff(payload)
+                    be = True
+                else:
+                    continue
+                n_frames = len(data) // (2 * ch)
+                samples = []
+                for f in range(n_frames):
+                    p = 2 * f * ch
+                    if be:
+                        v = data[p] * 256 + data[p + 1]
+                    else:
+                        v = data[p + 1] * 256 + data[p]
+                    if v >= 32768:
+                        v -= 65536
+                    samples.append(v)
+                n_win = n_frames // window_frames
+                if n_win == 0:
+                    continue
+                energies = [
+                    sum(
+                        s * s
+                        for s in samples[
+                            w * window_frames : (w + 1) * window_frames
+                        ]
+                    )
+                    for w in range(n_win)
+                ]
+                rows.append(
+                    (
+                        int(mid),
+                        sr,
+                        n_win,
+                        sum(e > threshold for e in energies),
+                        min(energies),
+                        max(energies),
+                        sum(energies),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SILENCE_SCHEMA.fields]
+            )
+
+    if repartition:
+        media = media.repartition("media_id")
+    return media.mapInPandas(score, schema=SILENCE_SCHEMA)
+
+
+def audio_silence_oracle(
+    window_frames: int = 8, threshold: int = 2_500_000_000
+) -> str:
+    """DuckDB twin of :func:`audio_silence` for the cycled-md5 AIFF
+    fixture (odd doc_ids; channel-0 sample of frame f is the big-endian
+    pair at byte offset 2*f*ch of the cycled hex string)."""
+    return f"""
+        WITH aud AS (
+          SELECT doc_id, md5(text) AS hh,
+                 CAST(8000 + 1000 * (doc_id % 8) AS INTEGER) AS sr,
+                 CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+                 CAST(doc_id % 64 + 16 AS INTEGER) AS n_frames
+          FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1
+        ),
+        samp AS (
+          SELECT doc_id, sr,
+                 CAST(i // {window_frames} AS INTEGER) AS w,
+                 CAST(
+                   ascii(substr(hh, CAST((2 * i * ch) % 32 AS INTEGER) + 1, 1))
+                     * 256
+                   + ascii(substr(hh, CAST((2 * i * ch + 1) % 32 AS INTEGER) + 1, 1))
+                 AS BIGINT) AS s
+          FROM aud, range(0, 80) ri(i)
+          WHERE i < (n_frames // {window_frames}) * {window_frames}
+        ),
+        win AS (
+          SELECT doc_id, sr, w, CAST(SUM(s * s) AS BIGINT) AS e
+          FROM samp GROUP BY 1, 2, 3
+        )
+        SELECT doc_id AS media_id, sr AS sample_rate,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(COUNT(*) FILTER (WHERE e > {threshold}) AS BIGINT)
+                 AS n_active,
+               CAST(MIN(e) AS BIGINT) AS min_energy,
+               CAST(MAX(e) AS BIGINT) AS max_energy,
+               CAST(SUM(e) AS BIGINT) AS total_energy
+        FROM win GROUP BY 1, 2
+    """

@@ -1016,3 +1016,46 @@ def test_image_sobel_flat_and_step_images(spark):
     assert out[2]["grad_energy"] == expected
     assert out[2]["max_grad2"] == 400 * 400
     assert out[2]["n_edges"] == (h - 2) * 2  # 160000 > 20000
+
+
+def test_audio_silence_known_energies(spark):
+    """Hand-built WAV: 8 frames of amplitude 100 then 8 of amplitude 0 ->
+    exactly one active and one silent window at window_frames=8."""
+    import struct
+
+    from flink_example_spark.operators.multimodal import (
+        _encode_wav,
+        audio_silence,
+    )
+
+    frames = [100] * 8 + [0] * 8
+    data = b"".join(struct.pack("<h", v) for v in frames)
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(_encode_wav(8000, 1, data)))],
+        "media_id long, media_type string, payload binary",
+    )
+    r = audio_silence(media, window_frames=8, threshold=1000).collect()[0]
+    assert r["n_windows"] == 2
+    assert r["n_active"] == 1
+    assert r["max_energy"] == 8 * 100 * 100
+    assert r["min_energy"] == 0
+    assert r["total_energy"] == 80000
+    assert r["sample_rate"] == 8000
+
+
+def test_audio_silence_negative_samples_energy(spark):
+    """Signed PCM decodes correctly: amplitude -200 contributes 200^2."""
+    import struct
+
+    from flink_example_spark.operators.multimodal import (
+        _encode_wav,
+        audio_silence,
+    )
+
+    data = b"".join(struct.pack("<h", -200) for _ in range(8))
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(_encode_wav(8000, 1, data)))],
+        "media_id long, media_type string, payload binary",
+    )
+    r = audio_silence(media, window_frames=8, threshold=0).collect()[0]
+    assert r["total_energy"] == 8 * 200 * 200
