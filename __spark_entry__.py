@@ -1268,6 +1268,28 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_tok",
             "n_chars",
         ),
+        # exact Shapley split of explained variance between the two
+        # features of the chars model (all 4 subset fits from one pass)
+        "ml_shap_linear": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["shap_linear"]
+        ).shap_linear(
+            _docs(spark, sf_dir).select(
+                "n_chars",
+                F.size(
+                    F.array_remove(text.tokens(text.normalized(F.col("text"))), "")
+                ).alias("n_tok"),
+                F.size(
+                    F.array_distinct(
+                        F.array_remove(
+                            text.tokens(text.normalized(F.col("text"))), ""
+                        )
+                    )
+                ).alias("n_uniq"),
+            ),
+            "n_tok",
+            "n_uniq",
+            "n_chars",
+        ),
         # learning curve: OLS on nested md5-bucket subsets (one pass via
         # the sufficient-stats monoid), shared holdout, exact integer SSE
         "ml_learning_curve": lambda spark, sf_dir: __import__(
@@ -3326,6 +3348,17 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import ridge_path_oracle
 
     out["ml_ridge_path"] = ridge_path_oracle(_ml_src, "lang", "n_tok", "n_chars")
+    from flink_example_spark.operators.ml import shap_linear_oracle
+
+    out["ml_shap_linear"] = shap_linear_oracle(
+        "SELECT n_chars, len(list_filter(string_split_regex("
+        f"{text._DUCK_NORM}, '\\s+'), t -> t <> '')) AS n_tok, "
+        "len(list_distinct(list_filter(string_split_regex("
+        f"{text._DUCK_NORM}, '\\s+'), t -> t <> ''))) AS n_uniq FROM documents",
+        "n_tok",
+        "n_uniq",
+        "n_chars",
+    )
     from flink_example_spark.operators.ml import learning_curve_oracle
 
     out["ml_learning_curve"] = learning_curve_oracle(

@@ -3783,3 +3783,216 @@ def learning_curve_oracle(
                CAST(SUM(r_milli * r_milli) AS BIGINT) AS holdout_sse_milli2
         FROM scored GROUP BY 1, 2, 3, 4
     """
+
+
+def shap_linear(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    y_col: str,
+) -> DataFrame:
+    """EXACT Shapley decomposition of explained variance for the
+    two-feature linear model — "which feature actually carries the fit":
+    each feature's Shapley value averages its marginal R^2 contribution
+    over both insertion orders (the unique fair attribution; LMG /
+    Shapley regression in the stats literature).
+
+    All FOUR subset models ({}, {a}, {b}, {a,b}) come from ONE pass of
+    sufficient statistics (the crossval/learning-curve monoid insight —
+    no refits): 1-var fits close over centered cross-products, the 2-var
+    fit solves by the ar2 Cramer device in DECIMAL(38), coefficients
+    leave as exact ppm trunc-divisions, per-row residuals quantize to
+    milli BEFORE squaring, and every subset's R^2 lands as exact ppm
+    ``((sst - sse) * 1e6) div sst``. The Shapley averages are then
+    half-sums of ppm integers (x2 to stay integral).
+
+    Output one row: ``(n, r2_full_ppm, shap_a_x2ppm, shap_b_x2ppm)``
+    where ``shap_a_x2ppm = (r2_a + r2_ab - r2_b)`` in ppm (twice the
+    Shapley value, exact) — the pair sums to ``2 * r2_ab`` by
+    construction, so the attribution is complete.
+
+    Scale: one aggregation for the stats, one broadcast of the 1-row fit
+    relation back onto the rows for the exact SSEs, one final rollup.
+    """
+    base = df.select(
+        F.col(a_col).cast("long").alias("xa"),
+        F.col(b_col).cast("long").alias("xb"),
+        F.col(y_col).cast("long").alias("yv"),
+    ).filter(
+        F.col("xa").isNotNull()
+        & F.col("xb").isNotNull()
+        & F.col("yv").isNotNull()
+    ).localCheckpoint(eager=False)
+    s = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").alias("sa"),
+        F.sum("xb").alias("sb"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("saa"),
+        F.sum(F.col("xb") * F.col("xb")).alias("sbb"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sab"),
+        F.sum(F.col("xa") * F.col("yv")).alias("say"),
+        F.sum(F.col("xb") * F.col("yv")).alias("sby"),
+    )
+    c = (
+        s.withColumn("caa", F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+        .withColumn("cbb", F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+        .withColumn("cab", F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+        .withColumn("cay", F.col("n") * F.col("say") - F.col("sa") * F.col("sy"))
+        .withColumn("cby", F.col("n") * F.col("sby") - F.col("sb") * F.col("sy"))
+    )
+    dec = "CAST({} AS DECIMAL(19,0))"
+    fits = (
+        c.filter(
+            F.expr("caa > 0 AND cbb > 0")
+            & F.expr(
+                f"{dec.format('caa')} * {dec.format('cbb')}"
+                f" - {dec.format('cab')} * {dec.format('cab')} > 0"
+            )
+        )
+        .withColumn("sl_a_ppm", F.expr(f"CAST(({dec.format('cay')} * 1000000) div {dec.format('caa')} AS BIGINT)"))
+        .withColumn("sl_b_ppm", F.expr(f"CAST(({dec.format('cby')} * 1000000) div {dec.format('cbb')} AS BIGINT)"))
+        .withColumn(
+            "d",
+            F.expr(
+                f"{dec.format('caa')} * {dec.format('cbb')}"
+                f" - {dec.format('cab')} * {dec.format('cab')}"
+            ),
+        )
+        .withColumn(
+            "phi_a_ppm",
+            F.expr(
+                f"CAST((({dec.format('cay')} * {dec.format('cbb')}"
+                f" - {dec.format('cby')} * {dec.format('cab')}) * 1000000)"
+                " div d AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "phi_b_ppm",
+            F.expr(
+                f"CAST((({dec.format('cby')} * {dec.format('caa')}"
+                f" - {dec.format('cay')} * {dec.format('cab')}) * 1000000)"
+                " div d AS BIGINT)"
+            ),
+        )
+        .withColumn("mu_cppm", F.expr("(sy * 1000000) div n"))
+        .withColumn("c_a_cppm", F.expr("(sy * 1000000 - sl_a_ppm * sa) div n"))
+        .withColumn("c_b_cppm", F.expr("(sy * 1000000 - sl_b_ppm * sb) div n"))
+        .withColumn(
+            "c_ab_cppm",
+            F.expr("(sy * 1000000 - phi_a_ppm * sa - phi_b_ppm * sb) div n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    scored = base.crossJoin(
+        F.broadcast(
+            fits.select(
+                "n", "sl_a_ppm", "sl_b_ppm", "phi_a_ppm", "phi_b_ppm",
+                "mu_cppm", "c_a_cppm", "c_b_cppm", "c_ab_cppm",
+            )
+        )
+    ).select(
+        "n",
+        F.expr("(yv * 1000000 - mu_cppm) div 100000").alias("r0"),
+        F.expr("(yv * 1000000 - c_a_cppm - sl_a_ppm * xa) div 100000").alias("ra"),
+        F.expr("(yv * 1000000 - c_b_cppm - sl_b_ppm * xb) div 100000").alias("rb"),
+        F.expr(
+            "(yv * 1000000 - c_ab_cppm - phi_a_ppm * xa - phi_b_ppm * xb)"
+            " div 100000"
+        ).alias("rab"),
+    )
+    sse = scored.groupBy("n").agg(
+        F.sum(F.col("r0") * F.col("r0")).alias("sst"),
+        F.sum(F.col("ra") * F.col("ra")).alias("ssa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("ssb"),
+        F.sum(F.col("rab") * F.col("rab")).alias("ssab"),
+    )
+    r2 = lambda col: f"((sst - {col}) * 1000000) div sst"
+    return sse.filter(F.col("sst") > 0).select(
+        F.col("n").cast("long").alias("n"),
+        F.expr(r2("ssab")).alias("r2_full_ppm"),
+        F.expr(f"({r2('ssa')}) + ({r2('ssab')}) - ({r2('ssb')})").alias(
+            "shap_a_x2ppm"
+        ),
+        F.expr(f"({r2('ssb')}) + ({r2('ssab')}) - ({r2('ssa')})").alias(
+            "shap_b_x2ppm"
+        ),
+    )
+
+
+def shap_linear_oracle(
+    units_sql: str, a_col: str, b_col: str, y_col: str
+) -> str:
+    """DuckDB twin of :func:`shap_linear` (HUGEINT Cramer, ``//``)."""
+    return f"""
+        WITH base AS MATERIALIZED (
+          SELECT CAST({a_col} AS BIGINT) AS xa, CAST({b_col} AS BIGINT) AS xb,
+                 CAST({y_col} AS BIGINT) AS yv
+          FROM ({units_sql})
+          WHERE {a_col} IS NOT NULL AND {b_col} IS NOT NULL
+            AND {y_col} IS NOT NULL
+        ),
+        s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xa) AS BIGINT) AS sa, CAST(SUM(xb) AS BIGINT) AS sb,
+                 CAST(SUM(yv) AS BIGINT) AS sy,
+                 CAST(SUM(xa*xa) AS BIGINT) AS saa,
+                 CAST(SUM(xb*xb) AS BIGINT) AS sbb,
+                 CAST(SUM(xa*xb) AS BIGINT) AS sab,
+                 CAST(SUM(xa*yv) AS BIGINT) AS say,
+                 CAST(SUM(xb*yv) AS BIGINT) AS sby
+          FROM base
+        ),
+        ctr AS (
+          SELECT *, CAST(n*saa - sa*sa AS HUGEINT) AS caa,
+                 CAST(n*sbb - sb*sb AS HUGEINT) AS cbb,
+                 CAST(n*sab - sa*sb AS HUGEINT) AS cab,
+                 CAST(n*say - sa*sy AS HUGEINT) AS cay,
+                 CAST(n*sby - sb*sy AS HUGEINT) AS cby
+          FROM s
+        ),
+        fits AS MATERIALIZED (
+          SELECT n, sa, sb, sy,
+                 CAST((cay * 1000000) // caa AS BIGINT) AS sl_a_ppm,
+                 CAST((cby * 1000000) // cbb AS BIGINT) AS sl_b_ppm,
+                 CAST(((cay*cbb - cby*cab) * 1000000)
+                      // (caa*cbb - cab*cab) AS BIGINT) AS phi_a_ppm,
+                 CAST(((cby*caa - cay*cab) * 1000000)
+                      // (caa*cbb - cab*cab) AS BIGINT) AS phi_b_ppm
+          FROM ctr
+          WHERE caa > 0 AND cbb > 0 AND caa*cbb - cab*cab > 0
+        ),
+        fits2 AS (
+          SELECT *, (sy * 1000000) // n AS mu_cppm,
+                 (sy * 1000000 - sl_a_ppm * sa) // n AS c_a_cppm,
+                 (sy * 1000000 - sl_b_ppm * sb) // n AS c_b_cppm,
+                 (sy * 1000000 - phi_a_ppm * sa - phi_b_ppm * sb) // n
+                   AS c_ab_cppm
+          FROM fits
+        ),
+        scored AS (
+          SELECT f.n,
+                 (yv * 1000000 - mu_cppm) // 100000 AS r0,
+                 (yv * 1000000 - c_a_cppm - sl_a_ppm * xa) // 100000 AS ra,
+                 (yv * 1000000 - c_b_cppm - sl_b_ppm * xb) // 100000 AS rb,
+                 (yv * 1000000 - c_ab_cppm - phi_a_ppm * xa
+                  - phi_b_ppm * xb) // 100000 AS rab
+          FROM base, fits2 f
+        ),
+        sse AS (
+          SELECT n, CAST(SUM(r0*r0) AS BIGINT) AS sst,
+                 CAST(SUM(ra*ra) AS BIGINT) AS ssa,
+                 CAST(SUM(rb*rb) AS BIGINT) AS ssb,
+                 CAST(SUM(rab*rab) AS BIGINT) AS ssab
+          FROM scored GROUP BY 1
+        )
+        SELECT n,
+               ((sst - ssab) * 1000000) // sst AS r2_full_ppm,
+               (((sst - ssa) * 1000000) // sst)
+                 + (((sst - ssab) * 1000000) // sst)
+                 - (((sst - ssb) * 1000000) // sst) AS shap_a_x2ppm,
+               (((sst - ssb) * 1000000) // sst)
+                 + (((sst - ssab) * 1000000) // sst)
+                 - (((sst - ssa) * 1000000) // sst) AS shap_b_x2ppm
+        FROM sse WHERE sst > 0
+    """

@@ -729,3 +729,20 @@ def test_calibration_bins_quantile_bands_and_mono(spark):
     df2 = spark.createDataFrame(rows2, "id long, y long, m long")
     out2 = {r["bin"]: r for r in calibration_bins(df2, n_bins=4).collect()}
     assert sum(r["mono_break"] for r in out2.values()) >= 1
+
+
+def test_shap_linear_attributes_to_the_real_feature(spark):
+    from flink_example_spark.operators.ml import shap_linear
+
+    # y = 3*a exactly; b is a shuffled copy of a's values (same marginal,
+    # no relation to y given a... actually correlated; use b = const+noise
+    # pattern independent of y): a in 1..40, b cycles 0..3
+    rows = [(i, i % 4, 3 * i) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "a long, b long, y long")
+    r = shap_linear(df, "a", "b", "y").collect()[0]
+    # full model explains ~everything; a gets ~all credit
+    assert r["r2_full_ppm"] > 990_000
+    assert r["shap_a_x2ppm"] > 1_900_000  # ~2 * 1e6
+    assert abs(r["shap_b_x2ppm"]) < 100_000
+    # completeness: shap_a + shap_b == 2 * r2_full (exact identity)
+    assert r["shap_a_x2ppm"] + r["shap_b_x2ppm"] == 2 * r["r2_full_ppm"]
