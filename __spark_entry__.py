@@ -1712,6 +1712,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_markov_eval": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.cep", fromlist=["markov_eval"]
         ).markov_eval(_events(spark, sf_dir)),
+        # behavioral anomaly ranking: sessions most improbable under the
+        # corpus's own Markov model (integer-log2 surprisal rate)
+        "cep_session_surprisal": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.cep", fromlist=["session_surprisal"]
+        ).session_surprisal(_events(spark, sf_dir)),
         # top user journeys: most frequent ordered event-type paths per
         # user-day session (ordered aggregation in both engines)
         "cep_top_paths": lambda spark, sf_dir: __import__(
@@ -3804,6 +3809,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.cep import top_paths_oracle
 
     out["cep_top_paths"] = top_paths_oracle()
+    from flink_example_spark.operators.cep import session_surprisal_oracle
+
+    out["cep_session_surprisal"] = session_surprisal_oracle()
     from flink_example_spark.operators.cep import markov_eval_oracle
 
     out["cep_markov_eval"] = markov_eval_oracle()

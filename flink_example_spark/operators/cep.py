@@ -1159,3 +1159,132 @@ def top_paths_oracle(
         ORDER BY n_sessions DESC, path
         LIMIT {topn}
     """
+
+
+def session_surprisal(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    seq_col: str = "event_id",
+    min_steps: int = 3,
+    topn: int = 20,
+) -> DataFrame:
+    """Most-anomalous sessions under the corpus's own first-order Markov
+    model — behavioral anomaly ranking: a session whose transitions are
+    systematically improbable (high average surprisal) is the one a
+    fraud/abuse reviewer opens first.
+
+    The model is the full-corpus transition matrix
+    (:func:`event_transitions` counts); each user-day session's steps
+    score by the integer-log2 surprisal device ``length(bin(c_from div
+    c_pair)) - 1`` (exact bits in any engine), and sessions rank by the
+    integer rate ``(total_bits * 1000) div n_steps``. Sessions shorter
+    than ``min_steps`` transitions are excluded (tiny denominators rank
+    noise). Top-``topn`` by (rate DESC, key, day) is a total order.
+
+    Scale: one per-(key, day) window pass, a |types|^2 broadcast model
+    join, one session aggregation, one TakeOrderedAndProject.
+    """
+    day_us = 86_400_000_000
+    src = events.select(
+        F.col(key_col).alias("k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(seq_col).alias("seq"),
+        F.col(type_col).alias("et"),
+    ).withColumn("day", F.expr(f"us div {day_us}"))
+    w = Window.partitionBy("k", "day").orderBy("us", "seq")
+    steps = (
+        src.select(
+            "k",
+            "day",
+            F.col("et").alias("from_type"),
+            F.lead("et").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .localCheckpoint(eager=False)  # model AND scoring both read it
+    )
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("c_pair")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("c_pair").alias("c_from"))
+    model = counts.join(F.broadcast(totals), "from_type")
+    scored = steps.join(F.broadcast(model), ["from_type", "to_type"]).select(
+        "k",
+        "day",
+        (F.length(F.bin(F.expr("c_from div c_pair"))) - F.lit(1))
+        .cast("bigint")
+        .alias("bits"),
+    )
+    sess = (
+        scored.groupBy("k", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_steps"),
+            F.sum("bits").alias("total_bits"),
+        )
+        .filter(F.col("n_steps") >= min_steps)
+        .withColumn("rate_milli", F.expr("(total_bits * 1000) div n_steps"))
+    )
+    return sess.select(
+        F.col("k").alias(key_col),
+        F.col("day").cast("long").alias("day"),
+        "n_steps",
+        "total_bits",
+        "rate_milli",
+    ).orderBy(F.col("rate_milli").desc(), key_col, "day").limit(topn)
+
+
+def session_surprisal_oracle(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    seq_col: str = "event_id",
+    min_steps: int = 3,
+    topn: int = 20,
+) -> str:
+    """DuckDB twin of :func:`session_surprisal`."""
+    day_us = 86_400_000_000
+    return f"""
+        WITH src AS (
+          SELECT {key_col} AS k, epoch_us({ts_col}) AS us, {seq_col} AS seq,
+                 {type_col} AS et, epoch_us({ts_col}) // {day_us} AS day
+          FROM {table}
+        ),
+        steps AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT k, day, et AS from_type,
+                   lead(et) OVER (PARTITION BY k, day ORDER BY us, seq)
+                     AS to_type
+            FROM src
+          ) WHERE to_type IS NOT NULL
+        ),
+        counts AS (
+          SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS c_pair
+          FROM steps GROUP BY 1, 2
+        ),
+        model AS (
+          SELECT c.from_type, c.to_type, c.c_pair,
+                 t.c_from
+          FROM counts c JOIN (
+            SELECT from_type, CAST(SUM(c_pair) AS BIGINT) AS c_from
+            FROM counts GROUP BY 1
+          ) t USING (from_type)
+        ),
+        scored AS (
+          SELECT s.k, s.day,
+                 CAST(length(bin(c_from // c_pair)) - 1 AS BIGINT) AS bits
+          FROM steps s JOIN model USING (from_type, to_type)
+        ),
+        sess AS (
+          SELECT k, day, CAST(COUNT(*) AS BIGINT) AS n_steps,
+                 CAST(SUM(bits) AS BIGINT) AS total_bits
+          FROM scored GROUP BY 1, 2
+          HAVING COUNT(*) >= {min_steps}
+        )
+        SELECT k AS {key_col}, CAST(day AS BIGINT) AS day, n_steps,
+               total_bits, (total_bits * 1000) // n_steps AS rate_milli
+        FROM sess
+        ORDER BY rate_milli DESC, {key_col}, day
+        LIMIT {topn}
+    """
