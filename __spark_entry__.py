@@ -2098,6 +2098,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.operators.timeseries",
             fromlist=["seasonal_decompose"],
         ).seasonal_decompose(_events(spark, sf_dir), "event_type", "ts", "value"),
+        # the Granger screen LIVE: daily-sum monoid in state, pair scan +
+        # Cramer + SSE comparison at read time (= batch oracle)
+        "streaming_granger": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.timeseries_stream",
+            fromlist=["run_streaming_granger"],
+        ).run_streaming_granger(spark, sf_dir),
         # Holt level+trend smoothing as a RECURSIVE CTE (exact micro-unit
         # state, same query text modulo the trunc-div token in DuckDB)
         "timeseries_holt": lambda spark, sf_dir: __import__(
@@ -4063,6 +4069,8 @@ def _northstar_oracles() -> dict[str, str]:
     out["timeseries_granger"] = granger_screen_oracle(
         "events", "event_type", "ts", "value"
     )
+    # the live screen converges to the batch scan exactly
+    out["streaming_granger"] = out["timeseries_granger"]
     from flink_example_spark.operators.timeseries import holt_forecast_oracle
 
     out["timeseries_holt"] = holt_forecast_oracle(

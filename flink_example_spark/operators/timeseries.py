@@ -1914,6 +1914,14 @@ def granger_screen(
         .groupBy("key", "day")
         .agg(F.sum("vq").alias("vq"))
     )
+    return granger_from_daily(daily)
+
+
+def granger_from_daily(daily: DataFrame) -> DataFrame:
+    """Granger computation over a pre-aggregated ``(key, day, vq)`` daily
+    relation — split out so the LIVE twin (whose only stateful ingredient
+    is exactly this daily-sum monoid) reuses the identical read-time
+    expressions."""
     a = daily.select(
         F.col("key").alias("cause"), "day", F.col("vq").alias("xv")
     )

@@ -789,3 +789,43 @@ def run_streaming_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"  FROM {name}"
         ") WHERE rn = 1"
     )
+
+
+def run_streaming_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE Granger-causality screen: the ONLY stateful ingredient of the
+    pairwise lead/lag scan is the per-(key, day) centi-quantized sum — a
+    plain integer monoid — so the stream is ONE complete-mode JVM
+    aggregation (no watermark, no Python); the pair alignment, lag
+    windows, Cramer solves, and exact-integer SSE comparison run at READ
+    time via the identical batch expressions
+    (:func:`operators.timeseries.granger_from_daily`). Bounded replay
+    converges to batch ``granger_screen`` exactly (shared oracle)."""
+    from flink_example_spark.operators.timeseries import granger_from_daily
+    from flink_example_spark.streaming.pipeline import stream_events
+
+    tune(spark)
+    ev = stream_events(spark, sf_dir)
+    day_us = 86_400_000_000
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("key"),
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {day_us}").alias(
+                "day"
+            ),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vq"),
+        )
+        .groupBy("key", "day")
+        .agg(F.sum("vq").alias("vq"))
+    )
+    name = f"stream_granger_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            daily.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return granger_from_daily(spark.table(name).localCheckpoint(eager=True))
