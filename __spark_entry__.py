@@ -1230,6 +1230,15 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the term graph is built ONCE and checkpointed: LPA and the
         # modularity aggregate both read it)
         "graph_modularity": _graph_modularity_entry,
+        # degree assortativity of the term graph (Newman r): exact
+        # integer sums, one fixed double expression at output
+        "graph_assortativity": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.graph", fromlist=["assortativity"]
+        ).assortativity(
+            __import__(
+                "flink_example_spark.operators.graph", fromlist=["term_graph"]
+            ).term_graph(_docs(spark, sf_dir), min_weight=2),
+        ),
         # neighborhood link prediction on the term graph: common-neighbor
         # / Adamic-Adar / resource-allocation scores for non-adjacent
         # pairs, wedge join hub-capped (integer log2 device)
@@ -3328,6 +3337,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.graph import link_prediction_oracle
 
     out["graph_link_prediction"] = link_prediction_oracle(term_graph_sql(2))
+    from flink_example_spark.operators.graph import assortativity_oracle
+
+    out["graph_assortativity"] = assortativity_oracle(term_graph_sql(2))
     from flink_example_spark.operators.mining import (
         assoc_rules_oracle,
         seq_patterns_oracle,

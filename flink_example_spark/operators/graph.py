@@ -1098,3 +1098,92 @@ def link_prediction_oracle(
         ORDER BY aa_micro DESC, cn DESC, u, v
         LIMIT {topn}
     """
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) — do hubs link to
+    hubs (r > 0, social-network shape) or to leaves (r < 0, hub-and-
+    spoke / core-periphery)? The one-number mixing diagnostic that tells
+    you whether a term/near-dup graph will shatter or percolate under
+    node removal.
+
+    r is EXACTLY the Pearson correlation of endpoint degrees over the
+    directed edge list, so the repo's linear_fit calculus applies
+    verbatim: exact BIGINT sufficient sums over (deg_src, deg_dst)
+    pairs, cross-products, and ONE fixed double expression at the end —
+    bit-identical across engines. Input: symmetric (src, dst[, w]) edges
+    (both directions present, as term_graph emits); degrees count
+    distinct neighbors.
+
+    Output one row: ``(n_edges, n_nodes, r)``.
+
+    Scale: one degree aggregation, two broadcast-or-shuffle equi-joins
+    edge->degree, one global sum rollup. Nothing quadratic.
+    """
+    adj = edges.select("src", "dst").distinct()
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    paired = (
+        adj.join(deg.withColumnRenamed("src", "a").withColumnRenamed("d", "da"),
+                 F.col("src") == F.col("a"))
+        .join(deg.withColumnRenamed("src", "b").withColumnRenamed("d", "db"),
+              F.col("dst") == F.col("b"))
+        .select("da", "db")
+    )
+    s = paired.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("da").alias("sx"),
+        F.sum("db").alias("sy"),
+        F.sum(F.col("da") * F.col("da")).alias("sxx"),
+        F.sum(F.col("db") * F.col("db")).alias("syy"),
+        F.sum(F.col("da") * F.col("db")).alias("sxy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        s.crossJoin(F.broadcast(n_nodes))
+        .filter((dx > 0) & (dy > 0))
+        .select(
+            F.col("m").cast("long").alias("n_edges"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            (
+                num.cast("double")
+                / (
+                    F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))
+                )
+            ).alias("r"),
+        )
+    )
+
+
+def assortativity_oracle(edges_sql: str) -> str:
+    """DuckDB twin of :func:`assortativity` (same fixed double ops)."""
+    return f"""
+        WITH adj AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM ({edges_sql})
+        ),
+        deg AS MATERIALIZED (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1
+        ),
+        paired AS (
+          SELECT a.d AS da, b.d AS db
+          FROM adj JOIN deg a ON a.src = adj.src
+          JOIN deg b ON b.src = adj.dst
+        ),
+        s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(da) AS BIGINT) AS sx, CAST(SUM(db) AS BIGINT) AS sy,
+                 CAST(SUM(da*da) AS BIGINT) AS sxx,
+                 CAST(SUM(db*db) AS BIGINT) AS syy,
+                 CAST(SUM(da*db) AS BIGINT) AS sxy
+          FROM paired
+        )
+        SELECT m AS n_edges,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+               CAST(m * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) AS r
+        FROM s
+        WHERE m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+    """

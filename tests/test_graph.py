@@ -358,3 +358,31 @@ def test_link_prediction_hub_cap_excludes_center(spark):
     )
     assert link_prediction(edges, max_hub_degree=4).count() == 0
     assert link_prediction(edges, max_hub_degree=5).count() == 10
+
+
+def test_assortativity_star_is_negative(spark):
+    """A star graph is maximally disassortative: every edge pairs the hub
+    (deg n) with a leaf (deg 1) -> r = -1."""
+    from flink_example_spark.operators.graph import assortativity
+
+    und = [("s", f"l{i}") for i in range(5)]
+    edges = spark.createDataFrame(
+        [(u, v, 1) for u, v in und] + [(v, u, 1) for u, v in und],
+        "src string, dst string, w long",
+    )
+    r = assortativity(edges).collect()[0]
+    assert r["n_nodes"] == 6 and r["n_edges"] == 10
+    assert abs(r["r"] - (-1.0)) < 1e-12
+
+
+def test_assortativity_regular_graph_degenerate(spark):
+    """A cycle is degree-regular: zero degree variance -> no row (the
+    coefficient is undefined, not NaN)."""
+    from flink_example_spark.operators.graph import assortativity
+
+    cyc = [("a", "b"), ("b", "c"), ("c", "a")]
+    edges = spark.createDataFrame(
+        [(u, v, 1) for u, v in cyc] + [(v, u, 1) for u, v in cyc],
+        "src string, dst string, w long",
+    )
+    assert assortativity(edges).count() == 0
