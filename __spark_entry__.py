@@ -2113,6 +2113,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.timeseries_stream",
             fromlist=["run_streaming_granger"],
         ).run_streaming_granger(spark, sf_dir),
+        # gap-filled daily resample with LOCF (time_bucket_gapfill+locf):
+        # per-key dense grid, auditable is_filled flag
+        "timeseries_locf": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries", fromlist=["locf_fill"]
+        ).locf_fill(_events(spark, sf_dir), "event_type", "ts", "value"),
         # Holt level+trend smoothing as a RECURSIVE CTE (exact micro-unit
         # state, same query text modulo the trunc-div token in DuckDB)
         "timeseries_holt": lambda spark, sf_dir: __import__(
@@ -4083,6 +4088,9 @@ def _northstar_oracles() -> dict[str, str]:
     )
     # the live screen converges to the batch scan exactly
     out["streaming_granger"] = out["timeseries_granger"]
+    from flink_example_spark.operators.timeseries import locf_fill_oracle
+
+    out["timeseries_locf"] = locf_fill_oracle("events", "event_type", "ts", "value")
     from flink_example_spark.operators.timeseries import holt_forecast_oracle
 
     out["timeseries_holt"] = holt_forecast_oracle(

@@ -2211,3 +2211,91 @@ def holt_forecast_oracle(
         )
     )"""
     return _holt_sql(series, "//")
+
+
+def locf_fill(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-filled daily resample with last-observation-carried-forward —
+    the hypertable ``time_bucket_gapfill(..., locf(...))`` staple: missing
+    days materialize explicitly and inherit the most recent observed
+    value, so downstream windows see a dense, honest grid.
+
+    Each key's grid spans ITS OWN [first, last] observed day (explode of
+    an integer sequence — day indices ascend, so the ANSI ``sequence``
+    descending trap cannot fire); observed days carry the centi-quantized
+    daily sum; filled days take ``last(value) IGNORE NULLS`` over the
+    ordered grid (Spark ``F.last(ignorenulls=True)`` == DuckDB
+    ``last_value IGNORE NULLS`` — both engines define it as the most
+    recent non-null in frame order). ``is_filled`` keeps the imputation
+    auditable.
+
+    Output: ``(key, day, value_centi, is_filled)`` — one row per key per
+    grid day.
+
+    Scale: the grid is (keys x span-days)-sized — calendar-sized, not
+    event-sized; one window per key over that grid.
+    """
+    day_us = 86_400_000_000
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {day_us}").alias(
+                "day"
+            ),
+            F.expr(f"CAST(floor({value_col} * 100 + 0.5) AS BIGINT)").alias("vq"),
+        )
+        .groupBy("key", "day")
+        .agg(F.sum("vq").alias("vq"))
+    )
+    spans = daily.groupBy("key").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = spans.select(
+        "key", F.explode(F.expr("sequence(lo, hi)")).alias("day")
+    )
+    joined = grid.join(daily, ["key", "day"], "left")
+    w = Window.partitionBy("key").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return joined.select(
+        "key",
+        F.col("day").cast("long").alias("day"),
+        F.last("vq", ignorenulls=True).over(w).alias("value_centi"),
+        F.col("vq").isNull().cast("long").alias("is_filled"),
+    )
+
+
+def locf_fill_oracle(
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`locf_fill`."""
+    day_us = 86_400_000_000
+    return f"""
+        WITH daily AS MATERIALIZED (
+          SELECT {key_col} AS key, epoch_us({ts_col}) // {day_us} AS day,
+                 CAST(SUM(CAST(floor({value_col} * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS vq
+          FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
+        ),
+        grid AS (
+          SELECT key, unnest(range(lo, hi + 1)) AS day
+          FROM (SELECT key, MIN(day) AS lo, MAX(day) AS hi
+                FROM daily GROUP BY 1)
+        )
+        SELECT g.key, CAST(g.day AS BIGINT) AS day,
+               last_value(d.vq IGNORE NULLS) OVER (
+                 PARTITION BY g.key ORDER BY g.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_centi,
+               CAST(CASE WHEN d.vq IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                 AS is_filled
+        FROM grid g LEFT JOIN daily d ON d.key = g.key AND d.day = g.day
+    """
