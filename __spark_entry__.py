@@ -1871,6 +1871,19 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # star-contraction components -> canonical entity table
         # phonetic blocking: Soundex-coded blocks + levenshtein verify —
         # the sounds-alike complement to the SymSpell delete neighborhood
+        # blocking-recall audit: which true edit-distance matches does
+        # each cheap blocker (soundex / 1-edit symspell) miss
+        "entity_blocking_eval": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.entity", fromlist=["blocking_eval"]
+        ).blocking_eval(
+            __import__(
+                "flink_example_spark.operators.entity", fromlist=["dirty_registry"]
+            ).dirty_registry(
+                __import__(
+                    "flink_example_spark.tables", fromlist=["load_table"]
+                ).load_table(spark, sf_dir, "part")
+            ),
+        ),
         "entity_phonetic_links": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.entity", fromlist=["phonetic_links"]
         ).phonetic_links(
@@ -2771,6 +2784,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.entity import phonetic_links_oracle
 
     out["entity_phonetic_links"] = phonetic_links_oracle()
+    from flink_example_spark.operators.entity import blocking_eval_oracle
+
+    out["entity_blocking_eval"] = blocking_eval_oracle()
     out["entity_resolve"] = resolve_entities_oracle()
     from flink_example_spark.operators.entity import resolve_entities_tokens_oracle
 

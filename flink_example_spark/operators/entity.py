@@ -812,3 +812,102 @@ def phonetic_links_oracle(
          AND abs(len(a.nm) - len(b.nm)) <= {max_dist}
         WHERE levenshtein(a.nm, b.nm) <= {max_dist}
     """
+
+
+def blocking_eval(
+    records: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocking-strategy recall audit — the MDM engineering question
+    "which true matches does each cheap blocker miss": ground truth is
+    the complete levenshtein <= ``max_dist`` pair set over distinct
+    normalized names (SymSpell delete-neighborhood — EXACT recall for
+    the edit metric by construction), compared against
+
+    - ``soundex``: equal-phonetic-code blocking + the same verify
+      (misses typos that change the first letter or the consonant
+      skeleton);
+    - ``symspell_d1``: the one-edit neighborhood (misses all true
+      2-edit pairs) — the cost/recall tradeoff made visible.
+
+    Both candidate sets verify the same predicate, so precision is 1 by
+    construction and the audit is pure RECALL: ``(strategy, n_true,
+    n_found, n_missed, recall_ppm)`` with the exact-ppm trunc division.
+
+    Scale: reuses the production blockers' own relations — nothing here
+    is all-pairs on the record count (the brute force lives only in the
+    DuckDB oracle, documented audit-sized).
+    """
+    g = (
+        records.select(
+            F.col(id_col).alias("__id"), _normalized(name_col).alias("nm")
+        )
+        .filter(F.col("nm") != "")
+        .groupBy("nm")
+        .agg(F.min("__id").alias("rep_id"))
+        .localCheckpoint()
+    )
+    truth = _edit_pairs(g, max_dist).localCheckpoint()
+    phon = phonetic_links(records, id_col, name_col, max_dist).select(
+        F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b")
+    ).distinct()
+    d1 = _edit_pairs(g, 1)
+    n_true = truth.count()
+
+    def arm(name: str, cand: DataFrame) -> DataFrame:
+        found = truth.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_found")
+        )
+        return found.select(
+            F.lit(name).alias("strategy"),
+            F.lit(n_true).cast("long").alias("n_true"),
+            F.col("n_found").cast("long").alias("n_found"),
+            (F.lit(n_true) - F.col("n_found")).cast("long").alias("n_missed"),
+            F.expr(f"(n_found * 1000000) div {max(n_true, 1)}").alias(
+                "recall_ppm"
+            ),
+        )
+
+    return arm("soundex", phon).unionByName(arm("symspell_d1", d1))
+
+
+def blocking_eval_oracle(
+    source: str = DIRTY_REGISTRY_SQL, max_dist: int = 2
+) -> str:
+    """Brute-force DuckDB twin of :func:`blocking_eval`."""
+    code = _soundex_expr("nm", "duckdb")
+    return f"""
+        WITH g AS MATERIALIZED (
+          SELECT nm, MIN(id) AS rep_id, {code} AS code
+          FROM (SELECT id, {_DUCK_NORM_NAME} AS nm FROM {source})
+          WHERE nm <> '' GROUP BY nm
+        ),
+        truth AS MATERIALIZED (
+          SELECT least(a.rep_id, b.rep_id) AS doc_a,
+                 greatest(a.rep_id, b.rep_id) AS doc_b,
+                 levenshtein(a.nm, b.nm) AS dist,
+                 CAST(a.code = b.code AS INTEGER) AS same_code
+          FROM g a JOIN g b ON a.nm < b.nm
+          WHERE levenshtein(a.nm, b.nm) <= {max_dist}
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth)
+        SELECT 'soundex' AS strategy, n_true,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM truth WHERE same_code = 1)
+                 AS n_found,
+               n_true - (SELECT CAST(COUNT(*) AS BIGINT) FROM truth
+                         WHERE same_code = 1) AS n_missed,
+               ((SELECT CAST(COUNT(*) AS BIGINT) FROM truth
+                 WHERE same_code = 1) * 1000000)
+                 // greatest(n_true, 1) AS recall_ppm
+        FROM tot
+        UNION ALL
+        SELECT 'symspell_d1', n_true,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM truth WHERE dist <= 1),
+               n_true - (SELECT CAST(COUNT(*) AS BIGINT) FROM truth
+                         WHERE dist <= 1),
+               ((SELECT CAST(COUNT(*) AS BIGINT) FROM truth WHERE dist <= 1)
+                 * 1000000) // greatest(n_true, 1)
+        FROM tot
+    """
