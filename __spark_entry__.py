@@ -2120,6 +2120,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.operators.timeseries",
             fromlist=["seasonal_decompose"],
         ).seasonal_decompose(_events(spark, sf_dir), "event_type", "ts", "value"),
+        # Holt LIVE: per-key (level, trend) integer state; days close on
+        # the next day's arrival, pending day projected per emission
+        "streaming_holt": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.timeseries_stream",
+            fromlist=["run_streaming_holt"],
+        ).run_streaming_holt(spark, sf_dir),
         # the Granger screen LIVE: daily-sum monoid in state, pair scan +
         # Cramer + SSE comparison at read time (= batch oracle)
         "streaming_granger": lambda spark, sf_dir: __import__(
@@ -4112,6 +4118,8 @@ def _northstar_oracles() -> dict[str, str]:
     out["timeseries_holt"] = holt_forecast_oracle(
         "events", "event_type", "ts", "value"
     )
+    # the live recurrence converges to the batch recursion exactly
+    out["streaming_holt"] = out["timeseries_holt"]
     out["timeseries_ar2_forecast"] = ar2_forecast_oracle(
         "events", "event_type", "ts", "value"
     )

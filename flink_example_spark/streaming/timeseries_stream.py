@@ -829,3 +829,152 @@ def run_streaming_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return granger_from_daily(spark.table(name).localCheckpoint(eager=True))
+
+
+def run_streaming_holt(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """LIVE Holt level+trend smoothing — the sequential recurrence the
+    batch operator runs as a recursive CTE, here maintained as per-key
+    streaming state: (l, b) in exact micro-unit integers over CLOSED
+    days, plus the currently-accumulating day's sum. A day closes when a
+    later day's first event arrives (the daily sum must be complete
+    before it can fold — the watermark-free variant of window closing,
+    valid because the replay is in event-time order); every emission
+    also projects the PENDING day folded in, so the max-version row per
+    key equals batch ``holt_forecast`` exactly (shared oracle).
+
+    Same trunc-div quarters as the batch recurrence — bit-identical
+    state at every step."""
+    import os
+    import pickle
+    import tempfile
+    from collections.abc import Iterator
+    from typing import Any
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from flink_example_spark.streaming.staging import stamp_chunk_mtimes
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    day_us = 86_400_000_000
+    ev = load_table(spark, sf_dir, "events")
+    tmpdir = tempfile.mkdtemp(prefix="stream_holt_")
+    n = ev.count()
+    per = (n + chunks - 1) // chunks
+    for i in range(chunks):
+        ev.filter(
+            (F.col("event_id") >= i * per) & (F.col("event_id") < (i + 1) * per)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmpdir, f"chunk_{i}")
+        )
+    stamp_chunk_mtimes(tmpdir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    src = stream.filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("_k"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+        F.col("event_id").cast("long").alias("_seq"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("_vq"),
+    )
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def fold(l, b, n_closed, s):
+        if n_closed == 0:
+            return s * 1_000_000, 0
+        lnew = tdiv(s * 1_000_000 + 3 * (l + b), 4)
+        return lnew, tdiv((lnew - l) + 3 * b, 4)
+
+    state_schema = StructType([StructField("pkl", BinaryType(), True)])
+    output_schema = StructType(
+        [
+            StructField("k", StringType(), False),
+            StructField("version", LongType(), False),
+            StructField("n_days", LongType(), False),
+            StructField("level_centi", LongType(), False),
+            StructField("trend_centi", LongType(), False),
+            StructField("forecast_centi", LongType(), False),
+        ]
+    )
+
+    def process(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            version, l, b, n_closed, cur_day, cur_sum = pickle.loads(
+                state.get[0]
+            )
+        else:
+            version, l, b, n_closed, cur_day, cur_sum = 0, 0, 0, 0, None, 0
+        rows = pd.concat(list(pdfs)).sort_values(["_us", "_seq"])
+        for us, vq in zip(rows["_us"], rows["_vq"]):
+            day = int(us) // day_us
+            if cur_day is None:
+                cur_day, cur_sum = day, int(vq)
+            elif day == cur_day:
+                cur_sum += int(vq)
+            else:
+                l, b = fold(l, b, n_closed, cur_sum)
+                n_closed += 1
+                cur_day, cur_sum = day, int(vq)
+        version += 1
+        state.update(
+            (pickle.dumps((version, l, b, n_closed, cur_day, cur_sum)),)
+        )
+        if cur_day is not None:
+            lf, bf = fold(l, b, n_closed, cur_sum)
+            yield pd.DataFrame(
+                [
+                    (
+                        key[0],
+                        version,
+                        n_closed + 1,
+                        tdiv(lf, 1_000_000),
+                        tdiv(bf, 1_000_000),
+                        tdiv(lf + bf, 1_000_000),
+                    )
+                ],
+                columns=[f.name for f in output_schema.fields],
+            )
+
+    out = src.groupBy("_k").applyInPandasWithState(
+        process,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_holt_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql(
+        f"""SELECT k AS key, n_days, level_centi, trend_centi, forecast_centi
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY version DESC) rn
+              FROM {name}
+            ) WHERE rn = 1"""
+    )
