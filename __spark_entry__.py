@@ -1314,6 +1314,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_tok",
             "n_chars",
         ),
+        # exact PR operating-point sweep over the perceptron's holdout
+        # margins: every distinct margin a cut, F1-optimal row first
+        "ml_pr_curve": _ml_pr_curve_entry,
         # reliability table of the trained perceptron's holdout margins:
         # exact quantile bands, observed positive rates, monotonicity audit
         "ml_calibration_bins": _ml_calibration_entry,
@@ -3417,6 +3420,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import perceptron_calibration_oracle
 
     out["ml_calibration_bins"] = perceptron_calibration_oracle()
+    from flink_example_spark.operators.ml import perceptron_pr_curve_oracle
+
+    out["ml_pr_curve"] = perceptron_pr_curve_oracle()
     from flink_example_spark.operators.ml import att_strata_oracle
 
     out["ml_att_strata"] = att_strata_oracle(
@@ -4711,6 +4717,26 @@ _REF_INTEGRITY_FKS = (
     ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
     ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
 )
+
+
+def _ml_pr_curve_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.ml import (
+        _perceptron_feats,
+        perceptron_train,
+        pr_curve,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w = perceptron_train(docs).select("j", F.col("weight").alias("w"))
+    feats = _perceptron_feats(docs, 5, train=False)
+    scored = (
+        feats.join(F.broadcast(w), "j")
+        .groupBy("id", "y")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("m"))
+    )
+    return pr_curve(scored)
 
 
 def _ml_calibration_entry(spark: SparkSession, sf_dir: str) -> DataFrame:

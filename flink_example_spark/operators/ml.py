@@ -3996,3 +3996,120 @@ def shap_linear_oracle(
                  - (((sst - ssa) * 1000000) // sst) AS shap_b_x2ppm
         FROM sse WHERE sst > 0
     """
+
+
+def pr_curve(scored: DataFrame, topn: int = 32) -> DataFrame:
+    """Exact precision/recall operating-point sweep — "where do I put the
+    threshold": every DISTINCT margin is a candidate cut (predict
+    positive when ``m >= thresh``), and one descending prefix scan gives
+    each cut's exact confusion counts (the decision-stump prefix-sum
+    device pointed at classifier scores). Precision/recall/F1 leave as
+    exact ppm trunc-divisions; ``f1_ppm = (2*tp*1e6) div (2*tp+fp+fn)``
+    (the harmonic mean's integer closed form). Input: ``(id, y in
+    {-1, 1}, m)`` integer margins.
+
+    Output: the ``topn`` best operating points by (f1_ppm DESC,
+    thresh_m) — ``(thresh_m, tp, fp, fn, precision_ppm, recall_ppm,
+    f1_ppm)``; row 1 is the F1-optimal threshold.
+
+    Scale: one (margin)-grouped aggregation (score-cardinality-sized),
+    one ordered window over the distinct-margin relation, one top-n.
+    """
+    per_m = scored.groupBy("m").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("p"),
+    )
+    w = Window.orderBy(F.col("m").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cuts = per_m.select(
+        "m",
+        F.sum("c").over(w).alias("n_pred"),
+        F.sum("p").over(w).alias("tp"),
+        F.sum("p").over(wall).alias("n_pos"),
+    )
+    scored_cuts = cuts.select(
+        F.col("m").alias("thresh_m"),
+        "tp",
+        (F.col("n_pred") - F.col("tp")).alias("fp"),
+        (F.col("n_pos") - F.col("tp")).alias("fn"),
+        F.expr("(tp * 1000000) div n_pred").alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN n_pos > 0 THEN (tp * 1000000) div n_pos END"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN 2*tp + (n_pred - tp) + (n_pos - tp) > 0 THEN"
+            " (2 * tp * 1000000) div (2*tp + (n_pred - tp) + (n_pos - tp))"
+            " END"
+        ).alias("f1_ppm"),
+    )
+    return scored_cuts.orderBy(
+        F.col("f1_ppm").desc_nulls_last(), "thresh_m"
+    ).limit(topn)
+
+
+def perceptron_pr_curve_oracle(
+    n_rounds: int = 6, holdout_mod: int = 5, topn: int = 32
+) -> str:
+    """DuckDB twin of ``pr_curve`` over the trained perceptron's holdout
+    margins."""
+    from flink_example_spark.operators.text import _DUCK_NORM
+
+    feats_tr = _PERC_FEATS_SQL.format(
+        norm=_DUCK_NORM, hm=holdout_mod, op="<>", tag="_tr"
+    )
+    return f"""
+        WITH {feats_tr},
+        base_ho AS MATERIALIZED (
+          SELECT d.doc_id AS id,
+                 CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+                 [CAST(1 AS BIGINT), COALESCE(n_tok, 0),
+                  CAST(n_chars AS BIGINT) // 8, COALESCE(n_the, 0),
+                  COALESCE(n_dist, 0)] AS xs
+          FROM documents d LEFT JOIN ta ON ta.id = d.doc_id
+          WHERE d.doc_id % {holdout_mod} = 0
+        ),
+        feats_ho AS MATERIALIZED (
+          SELECT id, y, CAST(j - 1 AS INT) AS j, x FROM (
+            SELECT id, y, unnest(xs) AS x,
+                   generate_subscripts(xs, 1) AS j
+            FROM base_ho
+          )
+        ),
+        w0 AS (SELECT DISTINCT j, CAST(0 AS BIGINT) AS w FROM feats_tr),
+        {_perceptron_rounds_sql(n_rounds)},
+        scored AS (
+          SELECT f.id, f.y, CAST(SUM(w.w * f.x) AS BIGINT) AS m
+          FROM feats_ho f JOIN w{n_rounds} w USING (j)
+          GROUP BY f.id, f.y
+        ),
+        per_m AS (
+          SELECT m, CAST(COUNT(*) AS BIGINT) AS c,
+                 CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p
+          FROM scored GROUP BY 1
+        ),
+        cuts AS (
+          SELECT m,
+                 CAST(SUM(c) OVER (ORDER BY m DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_pred,
+                 CAST(SUM(p) OVER (ORDER BY m DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS tp,
+                 CAST(SUM(p) OVER () AS BIGINT) AS n_pos
+          FROM per_m
+        )
+        SELECT m AS thresh_m, tp, n_pred - tp AS fp, n_pos - tp AS fn,
+               (tp * 1000000) // n_pred AS precision_ppm,
+               CASE WHEN n_pos > 0 THEN (tp * 1000000) // n_pos END
+                 AS recall_ppm,
+               CASE WHEN 2*tp + (n_pred - tp) + (n_pos - tp) > 0 THEN
+                 (2 * tp * 1000000) // (2*tp + (n_pred - tp) + (n_pos - tp))
+               END AS f1_ppm
+        FROM cuts
+        ORDER BY f1_ppm DESC NULLS LAST, thresh_m
+        LIMIT {topn}
+    """

@@ -746,3 +746,23 @@ def test_shap_linear_attributes_to_the_real_feature(spark):
     assert abs(r["shap_b_x2ppm"]) < 100_000
     # completeness: shap_a + shap_b == 2 * r2_full (exact identity)
     assert r["shap_a_x2ppm"] + r["shap_b_x2ppm"] == 2 * r["r2_full_ppm"]
+
+
+def test_pr_curve_known_confusions(spark):
+    from flink_example_spark.operators.ml import pr_curve
+
+    # margins: positives at 10, 8; negatives at 9, 1
+    rows = [(1, 1, 10), (2, -1, 9), (3, 1, 8), (4, -1, 1)]
+    df = spark.createDataFrame(rows, "id long, y long, m long")
+    out = {r["thresh_m"]: r for r in pr_curve(df).collect()}
+    # thresh 10: tp=1 fp=0 fn=1 -> P=1e6, R=5e5, F1=2/3
+    assert (out[10]["tp"], out[10]["fp"], out[10]["fn"]) == (1, 0, 1)
+    assert out[10]["precision_ppm"] == 1_000_000
+    assert out[10]["recall_ppm"] == 500_000
+    assert out[10]["f1_ppm"] == 666_666
+    # thresh 8: tp=2 fp=1 fn=0 -> P=2/3, R=1, F1=4/5
+    assert (out[8]["tp"], out[8]["fp"], out[8]["fn"]) == (2, 1, 0)
+    assert out[8]["f1_ppm"] == 800_000
+    # best row first = thresh 8
+    first = pr_curve(df).collect()[0]
+    assert first["thresh_m"] == 8
