@@ -683,3 +683,72 @@ def test_changepoint_single_perkey_window_shuffle(spark):
     assert "CartesianProduct" not in plan
     # both cumulative windows hash-partition on the key alone
     assert plan.count("hashpartitioning(k#") >= 1
+
+
+def test_link_prediction_no_cartesian_hub_capped(spark):
+    from flink_example_spark.operators.graph import link_prediction, term_graph
+    from flink_example_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = physical(link_prediction(term_graph(docs, min_weight=2)))
+    assert "CartesianProduct" not in plan
+    # candidate generation is equi-joins (wedge on w, anti on (u, v))
+    assert "LeftAnti" in plan
+
+
+def test_gbm_broadcasts_the_one_row_stump(spark):
+    from flink_example_spark.operators.ml import gbm_stumps
+    from flink_example_spark.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    plan = physical(
+        gbm_stumps(li, "l_extendedprice / 100", [("qty", "l_quantity", 1)], rounds=1)
+    )
+    # the learned stump attaches via broadcast, never a shuffled join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_compaction_plan_single_window_no_data_shuffle(spark):
+    from flink_example_spark.operators.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [(f"f{i}", 100 + i) for i in range(50)], "file_id string, bytes long"
+    )
+    plan = physical(compaction_plan(files, target_bytes=1000))
+    # one global window (manifest-sized relation) + one hash agg
+    assert plan.count("Window") == 1
+    assert "PythonUDF" not in plan
+
+
+def test_sprt_windows_partition_by_arm(spark):
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.ml import sprt
+    from flink_example_spark.plans.events_demo import load_events
+
+    ev = load_events(spark, SF).withColumn(
+        "variant", F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+    )
+    plan = physical(
+        sprt(ev, "variant", "ts", "event_id", F.col("event_type") == "purchase")
+    )
+    # every window partitions by the arm — no global unpartitioned sort
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_t_closeness_broadcasts_value_dimension(spark):
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.quality import t_closeness
+    from flink_example_spark.tables import load_table
+
+    cust = load_table(spark, SF, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000)
+    )
+    plan = physical(t_closeness(cust, ["c_nationkey"], "bal_band"))
+    # the m-row value dimension broadcasts onto the group list
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
