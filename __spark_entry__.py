@@ -2135,6 +2135,14 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.timeseries_stream",
             fromlist=["run_streaming_granger"],
         ).run_streaming_granger(spark, sf_dir),
+        # two-cohort churn comparison: log-rank score numerator (exact
+        # quantize-before-cumsum expectations over shared risk sets)
+        "timeseries_logrank": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries",
+            fromlist=["logrank_screen"],
+        ).logrank_screen(
+            _events(spark, sf_dir), "user_id", "ts", F.col("user_id") % 2 == 0
+        ),
         # gap-filled daily resample with LOCF (time_bucket_gapfill+locf):
         # per-key dense grid, auditable is_filled flag
         "timeseries_locf": lambda spark, sf_dir: __import__(
@@ -4116,6 +4124,11 @@ def _northstar_oracles() -> dict[str, str]:
     )
     # the live screen converges to the batch scan exactly
     out["streaming_granger"] = out["timeseries_granger"]
+    from flink_example_spark.operators.timeseries import logrank_screen_oracle
+
+    out["timeseries_logrank"] = logrank_screen_oracle(
+        "events", "user_id", "ts", "user_id % 2 = 0"
+    )
     from flink_example_spark.operators.timeseries import locf_fill_oracle
 
     out["timeseries_locf"] = locf_fill_oracle("events", "event_type", "ts", "value")

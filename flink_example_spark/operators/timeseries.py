@@ -2299,3 +2299,127 @@ def locf_fill_oracle(
                  AS is_filled
         FROM grid g LEFT JOIN daily d ON d.key = g.key AND d.day = g.day
     """
+
+
+def logrank_screen(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    group_pred: "F.Column",
+    horizon_days: int = 7,
+) -> DataFrame:
+    """Two-cohort survival comparison — the log-rank score statistic's
+    numerator ``sum_t (O1_t - E1_t)``, the standard "does cohort 1 churn
+    faster" screen on top of :func:`survival_table`'s lifetime/censoring
+    machinery (same day quantization, same risk-set windows, same
+    Kaplan-Meier censoring convention).
+
+    At every distinct event time t: observed cohort-1 deaths ``O1_t``
+    are exact integers; the expectation under the null ``E1_t =
+    d_t * n1_t / n_t`` quantizes to ``(d_t * n1_t * 1e6) div n_t``
+    BEFORE the cumulative sum (the Nelson-Aalen
+    quantize-before-cumsum rule), so the reported score is an exact
+    BIGINT. Sign: positive ``oe_diff_micro`` = cohort 1 died MORE than
+    expected = churns faster.
+
+    Output one row: ``(n_times, d_total, o1_total, e1_total_micro,
+    oe_diff_micro)``.
+
+    Scale: one span aggregation per user, lifetime-cardinality-sized
+    windows — identical posture to ``survival_table``.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    day_us = 86400 * 1_000_000
+    spans = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.min(us).alias("lo"),
+        F.max(us).alias("hi"),
+        F.max(group_pred.cast("bigint")).alias("g1"),
+    )
+    end = spans.agg(F.max("hi").alias("span_end"))
+    lt = spans.crossJoin(F.broadcast(end)).select(
+        F.expr(f"(hi - lo) div {day_us}").alias("t_days"),
+        (
+            F.col("hi") <= F.col("span_end") - F.lit(horizon_days * day_us)
+        ).cast("bigint").alias("obs"),
+        F.col("g1"),
+    )
+    per_t = lt.groupBy("t_days").agg(
+        F.sum("obs").alias("d"),
+        F.sum(F.col("obs") * F.col("g1")).alias("o1"),
+        F.count(F.lit(1)).alias("all_at_t"),
+        F.sum("g1").alias("g1_at_t"),
+    )
+    w_rev = Window.orderBy("t_days").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risked = per_t.select(
+        "t_days",
+        "d",
+        "o1",
+        F.sum("all_at_t").over(w_rev).alias("n"),
+        F.sum("g1_at_t").over(w_rev).alias("n1"),
+    ).filter(F.col("d") > 0)
+    scored = risked.select(
+        "d",
+        "o1",
+        F.expr("(d * n1 * 1000000) div n").alias("e1_micro"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+        F.sum("d").cast("long").alias("d_total"),
+        F.sum("o1").cast("long").alias("o1_total"),
+        F.sum("e1_micro").cast("long").alias("e1_total_micro"),
+        (F.sum(F.expr("o1 * 1000000")) - F.sum("e1_micro"))
+        .cast("long")
+        .alias("oe_diff_micro"),
+    )
+
+
+def logrank_screen_oracle(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    group_sql: str,
+    horizon_days: int = 7,
+) -> str:
+    """DuckDB twin of :func:`logrank_screen`."""
+    day_us = 86400 * 1_000_000
+    return f"""
+        WITH spans AS MATERIALIZED (
+          SELECT {key_col} AS k, MIN(epoch_us({ts_col})) AS lo,
+                 MAX(epoch_us({ts_col})) AS hi,
+                 MAX(CAST(({group_sql}) AS BIGINT)) AS g1
+          FROM {table} GROUP BY 1
+        ),
+        lt AS (
+          SELECT (hi - lo) // {day_us} AS t_days,
+                 CAST(hi <= (SELECT MAX(hi) FROM spans)
+                        - {horizon_days * day_us} AS BIGINT) AS obs,
+                 g1
+          FROM spans
+        ),
+        per_t AS (
+          SELECT t_days, CAST(SUM(obs) AS BIGINT) AS d,
+                 CAST(SUM(obs * g1) AS BIGINT) AS o1,
+                 CAST(COUNT(*) AS BIGINT) AS all_at_t,
+                 CAST(SUM(g1) AS BIGINT) AS g1_at_t
+          FROM lt GROUP BY 1
+        ),
+        risked AS (
+          SELECT t_days, d, o1,
+                 CAST(SUM(all_at_t) OVER (ORDER BY t_days
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS n,
+                 CAST(SUM(g1_at_t) OVER (ORDER BY t_days
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS n1
+          FROM per_t
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+               CAST(SUM(d) AS BIGINT) AS d_total,
+               CAST(SUM(o1) AS BIGINT) AS o1_total,
+               CAST(SUM((d * n1 * 1000000) // n) AS BIGINT) AS e1_total_micro,
+               CAST(SUM(o1 * 1000000) - SUM((d * n1 * 1000000) // n)
+                 AS BIGINT) AS oe_diff_micro
+        FROM risked WHERE d > 0
+    """
