@@ -1320,6 +1320,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reliability table of the trained perceptron's holdout margins:
         # exact quantile bands, observed positive rates, monotonicity audit
         "ml_calibration_bins": _ml_calibration_entry,
+        # one-way ANOVA across event types: exact integer SS partition,
+        # F statistic as one fixed double sequence
+        "ml_anova": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["anova_oneway"]
+        ).anova_oneway(_events(spark, sf_dir), "event_type", "value"),
         # stratified ATT (exact subclassification on an activity band):
         # per-stratum treated/control means + common-support-weighted ATT
         "ml_att_strata": lambda spark, sf_dir: __import__(
@@ -3431,6 +3436,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import perceptron_pr_curve_oracle
 
     out["ml_pr_curve"] = perceptron_pr_curve_oracle()
+    from flink_example_spark.operators.ml import anova_oneway_oracle
+
+    out["ml_anova"] = anova_oneway_oracle("events", "event_type", "value")
     from flink_example_spark.operators.ml import att_strata_oracle
 
     out["ml_att_strata"] = att_strata_oracle(

@@ -4113,3 +4113,99 @@ def perceptron_pr_curve_oracle(
         ORDER BY f1_ppm DESC NULLS LAST, thresh_m
         LIMIT {topn}
     """
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 1,
+) -> DataFrame:
+    """One-way ANOVA — "does the metric differ across groups at all",
+    the k-group generalization of the two-sample test (and the screen
+    run before k pairwise comparisons multiply the false-positive rate).
+
+    Exact integer sums of squares: values quantize to ``floor(v*scale +
+    0.5)``; with per-group BIGINT sums, ``SSW = Q - sum_g S_g^2/n_g``
+    and ``SST = Q - S^2/n`` — each division quantizes to milli units via
+    trunc-div BEFORE the subtraction (quantize-before-accumulate), so
+    ``ssw_milli`` / ``ssb_milli`` are engine-identical BIGINTs. The F
+    statistic ``(ssb/(k-1)) / (ssw/(n-k))`` is a fixed sequence of two
+    double divisions and one ratio at the output boundary. Overflow
+    bound: ``S_g^2 * 1e3 < 2^63`` per group — quantize coarser once a group's value SUM passes ~3e9 units.
+
+    Output one row: ``(k, n, ssb_milli, ssw_milli, f_stat)``.
+
+    Scale: one grouped aggregation; everything after is group-count-
+    sized.
+    """
+    q = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.expr(
+            f"CAST(floor({value_col} * {scale} + 0.5) AS BIGINT)"
+        ).alias("vq"),
+    )
+    per_g = q.groupBy("g").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("vq").alias("sg"),
+        F.sum(F.col("vq") * F.col("vq")).alias("qg"),
+    )
+    tot = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum(F.expr("(sg * sg * 1000) div ng")).alias("within_sub"),
+    )
+    scored = tot.filter((F.col("k") >= 2) & (F.col("n") > F.col("k"))).select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        (F.expr("within_sub - (s * s * 1000) div n")).alias("ssb_milli"),
+        (F.expr("q * 1000 - within_sub")).alias("ssw_milli"),
+    )
+    return scored.select(
+        "k",
+        "n",
+        "ssb_milli",
+        "ssw_milli",
+        (
+            (F.col("ssb_milli").cast("double") / (F.col("k") - 1).cast("double"))
+            / (
+                F.col("ssw_milli").cast("double")
+                / (F.col("n") - F.col("k")).cast("double")
+            )
+        ).alias("f_stat"),
+    )
+
+
+def anova_oneway_oracle(
+    table: str, group_col: str, value_col: str, scale: int = 1
+) -> str:
+    """DuckDB twin of :func:`anova_oneway`."""
+    return f"""
+        WITH q AS (
+          SELECT {group_col} AS g,
+                 CAST(floor({value_col} * {scale} + 0.5) AS BIGINT) AS vq
+          FROM {table} WHERE {value_col} IS NOT NULL
+        ),
+        per_g AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+                 CAST(SUM(vq) AS BIGINT) AS sg,
+                 CAST(SUM(vq*vq) AS BIGINT) AS qg
+          FROM q GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+                 CAST(SUM(sg) AS BIGINT) AS s, CAST(SUM(qg) AS BIGINT) AS q,
+                 CAST(SUM((sg * sg * 1000) // ng) AS BIGINT) AS within_sub
+          FROM per_g
+        )
+        SELECT k, n,
+               within_sub - (s * s * 1000) // n AS ssb_milli,
+               q * 1000 - within_sub AS ssw_milli,
+               (CAST(within_sub - (s * s * 1000) // n AS DOUBLE)
+                  / CAST(k - 1 AS DOUBLE))
+               / (CAST(q * 1000 - within_sub AS DOUBLE)
+                  / CAST(n - k AS DOUBLE)) AS f_stat
+        FROM tot WHERE k >= 2 AND n > k
+    """

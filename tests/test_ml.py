@@ -766,3 +766,24 @@ def test_pr_curve_known_confusions(spark):
     # best row first = thresh 8
     first = pr_curve(df).collect()[0]
     assert first["thresh_m"] == 8
+
+
+def test_anova_matches_closed_form(spark):
+    import math
+
+    from flink_example_spark.operators.ml import anova_oneway
+
+    groups = {"a": [10, 12, 14], "b": [20, 22, 24], "c": [10, 20, 30]}
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "g", "v").collect()[0]
+    vals = [v for vs in groups.values() for v in vs]
+    n, k = len(vals), len(groups)
+    gm = sum(vals) / n
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - gm) ** 2 for vs in groups.values())
+    ssw = sum((v - sum(vs) / len(vs)) ** 2 for vs in groups.values() for v in vs)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r["k"] == k and r["n"] == n
+    assert math.isclose(r["ssb_milli"] / 1000, ssb, rel_tol=1e-6)
+    assert math.isclose(r["ssw_milli"] / 1000, ssw, rel_tol=1e-6)
+    assert math.isclose(r["f_stat"], f, rel_tol=1e-6)
