@@ -1729,6 +1729,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_markov_eval": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.cep", fromlist=["markov_eval"]
         ).markov_eval(_events(spark, sf_dir)),
+        # per-doc n-gram novelty (memorization-risk / diversity metric):
+        # fraction of a doc's 8-grams appearing in no other document
+        "curation_novelty_score": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.curation", fromlist=["novelty_score"]
+        ).novelty_score(_docs(spark, sf_dir)),
         # behavioral anomaly ranking: sessions most improbable under the
         # corpus's own Markov model (integer-log2 surprisal rate)
         "cep_session_surprisal": lambda spark, sf_dir: __import__(
@@ -3876,6 +3881,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.cep import top_paths_oracle
 
     out["cep_top_paths"] = top_paths_oracle()
+    from flink_example_spark.operators.curation import novelty_score_oracle
+
+    out["curation_novelty_score"] = novelty_score_oracle()
     from flink_example_spark.operators.cep import session_surprisal_oracle
 
     out["cep_session_surprisal"] = session_surprisal_oracle()

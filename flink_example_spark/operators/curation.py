@@ -1514,3 +1514,65 @@ def dsir_oracle(target_expr: str = "lang = 'en'", n_buckets: int = 4096) -> str:
         FROM dtf LEFT JOIN ct USING (b) JOIN cr USING (b)
         GROUP BY doc_id
     """
+
+
+def novelty_score(
+    documents: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty — the memorization-risk / diversity
+    metric (Lee et al.'s dedup rationale viewed per document): what
+    fraction of a document's word n-grams appear in NO other document.
+    A low-novelty document is mostly boilerplate the corpus already
+    carries; a pipeline weighting toward novelty reduces verbatim
+    memorization.
+
+    One exploded n-gram pass computes per-gram document frequency; each
+    document then scores by its DISTINCT grams' cross-document privacy:
+    ``novel`` = grams with df == 1. ``novelty_ppm`` is the exact
+    trunc-div ratio. Documents shorter than n words emit no row (no
+    grams — the honest NULL, not a fake 100%).
+
+    Output: ``(doc_id, n_grams, n_novel, novelty_ppm)``.
+
+    Scale: the same one-shuffle n-gram aggregation as ``shared_spans``
+    (the ``hashed=True`` 8-byte diet applies identically if vocabulary
+    bytes ever dominate); the df relation joins back map-side after the
+    gram-keyed aggregation.
+    """
+    g = exploded_word_ngrams(documents, id_col, text_col, n).select(
+        id_col, "__g"
+    ).distinct().localCheckpoint()  # df aggregation + per-doc join both read it
+    df_rel = g.groupBy("__g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        g.join(df_rel, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+        )
+        .withColumn("novelty_ppm", F.expr("(n_novel * 1000000) div n_grams"))
+    )
+
+
+def novelty_score_oracle(n: int = 8) -> str:
+    """DuckDB twin of :func:`novelty_score`."""
+    return f"""
+        WITH w AS (SELECT doc_id, {_DUCK_W} AS w FROM documents),
+        grams AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest({_duck_ngrams(n)}) AS g
+          FROM w WHERE len(w) >= {n}
+        ),
+        dfr AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM grams GROUP BY 1
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_novel,
+               (CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                * 1000000) // CAST(COUNT(*) AS BIGINT) AS novelty_ppm
+        FROM grams JOIN dfr USING (g)
+        GROUP BY doc_id
+    """
