@@ -2133,6 +2133,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.operators.timeseries",
             fromlist=["seasonal_decompose"],
         ).seasonal_decompose(_events(spark, sf_dir), "event_type", "ts", "value"),
+        # LOCF gap-fill LIVE: daily-sum monoid in state, dense grid +
+        # carry-forward at read time (= batch oracle)
+        "streaming_locf": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.timeseries_stream",
+            fromlist=["run_streaming_locf"],
+        ).run_streaming_locf(spark, sf_dir),
         # Holt LIVE: per-key (level, trend) integer state; days close on
         # the next day's arrival, pending day projected per emission
         "streaming_holt": lambda spark, sf_dir: __import__(
@@ -4148,6 +4154,8 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.timeseries import locf_fill_oracle
 
     out["timeseries_locf"] = locf_fill_oracle("events", "event_type", "ts", "value")
+    # the live fill converges to the batch grid exactly
+    out["streaming_locf"] = out["timeseries_locf"]
     from flink_example_spark.operators.timeseries import holt_forecast_oracle
 
     out["timeseries_holt"] = holt_forecast_oracle(

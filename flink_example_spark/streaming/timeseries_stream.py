@@ -978,3 +978,54 @@ def run_streaming_holt(
               FROM {name}
             ) WHERE rn = 1"""
     )
+
+
+def run_streaming_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE gap-filled resample: the daily-sum count monoid is the only
+    stateful ingredient (one complete-mode JVM aggregation); the dense
+    per-key grid, the LOCF carry-forward window, and the is_filled audit
+    column are read-time projections over the key x day relation —
+    identical expressions to batch ``timeseries.locf_fill`` (shared
+    oracle)."""
+    from pyspark.sql import Window
+
+    from flink_example_spark.streaming.pipeline import stream_events
+
+    tune(spark)
+    ev = stream_events(spark, sf_dir)
+    day_us = 86_400_000_000
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("key"),
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {day_us}").alias(
+                "day"
+            ),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vq"),
+        )
+        .groupBy("key", "day")
+        .agg(F.sum("vq").alias("vq"))
+    )
+    name = f"stream_locf_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            daily.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    d = spark.table(name).localCheckpoint(eager=True)
+    spans = d.groupBy("key").agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = spans.select("key", F.explode(F.expr("sequence(lo, hi)")).alias("day"))
+    joined = grid.join(d, ["key", "day"], "left")
+    w = Window.partitionBy("key").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return joined.select(
+        "key",
+        F.col("day").cast("long").alias("day"),
+        F.last("vq", ignorenulls=True).over(w).alias("value_centi"),
+        F.col("vq").isNull().cast("long").alias("is_filled"),
+    )
