@@ -2151,6 +2151,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.timeseries_stream",
             fromlist=["run_streaming_granger"],
         ).run_streaming_granger(spark, sf_dir),
+        # dominant-cycle detector: integer DCT over the last 24 days per
+        # key (embedded cosine literals — no engine-side transcendental)
+        "timeseries_spectral_peak": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries",
+            fromlist=["spectral_peak"],
+        ).spectral_peak(_events(spark, sf_dir), "event_type", "ts", "value"),
         # two-cohort churn comparison: log-rank score numerator (exact
         # quantize-before-cumsum expectations over shared risk sets)
         "timeseries_logrank": lambda spark, sf_dir: __import__(
@@ -4146,6 +4152,11 @@ def _northstar_oracles() -> dict[str, str]:
     )
     # the live screen converges to the batch scan exactly
     out["streaming_granger"] = out["timeseries_granger"]
+    from flink_example_spark.operators.timeseries import spectral_peak_oracle
+
+    out["timeseries_spectral_peak"] = spectral_peak_oracle(
+        "events", "event_type", "ts", "value"
+    )
     from flink_example_spark.operators.timeseries import logrank_screen_oracle
 
     out["timeseries_logrank"] = logrank_screen_oracle(

@@ -2423,3 +2423,147 @@ def logrank_screen_oracle(
                  AS BIGINT) AS oe_diff_micro
         FROM risked WHERE d > 0
     """
+
+
+def _dct_basis(n_points: int, n_freqs: int, scale: int = 10_000):
+    """Integer DCT-II basis (u, i, round(cos((2i+1)u*pi/(2N))*scale)) —
+    the driver-embedded-literal device (multimodal._phash_k): computed
+    once in Python, embedded in BOTH engines' plans, libm never runs
+    inside either engine."""
+    import math
+
+    return [
+        (u, i, round(math.cos((2 * i + 1) * u * math.pi / (2 * n_points)) * scale))
+        for u in range(1, n_freqs + 1)
+        for i in range(n_points)
+    ]
+
+
+def spectral_peak(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_points: int = 24,
+    n_freqs: int = 8,
+) -> DataFrame:
+    """Dominant-cycle detector per key: integer DCT-II over the LAST ``n_points`` observed days of the (mean-centered) daily series — the
+    "is there a weekly rhythm" screen behind seasonality-aware anomaly
+    rules, sharing the spectral machinery of the image/audio
+    fingerprints (the embedded-cosine-literal device, so no engine
+    evaluates a transcendental).
+
+    Exactness: the window is the rank-from-end rows (deterministic);
+    values center by the trunc-div window mean (exact integers), each
+    coefficient is ``sum(vq_centered * k[u][i])`` — an exact BIGINT —
+    and the peak is argmax by (|coef|, u) row_number, a total order.
+    Energy ratio ``peak_ppm = |peak| * 1e6 div sum|coef|`` is one
+    trunc-div.
+
+    Output per key: ``(key, n_used, peak_u, peak_coef_abs, peak_ppm)``
+    (keys with fewer than ``n_points`` days are skipped — a short
+    window would alias).
+
+    Scale: day-bucket agg, one per-key ranking window, one broadcast
+    basis join (n_freqs x n_points literal rows), one argmax.
+    """
+    day_us = 86_400_000_000
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {day_us}").alias(
+                "day"
+            ),
+            F.expr(f"CAST(floor({value_col} * 100 + 0.5) AS BIGINT)").alias("vq"),
+        )
+        .groupBy("key", "day")
+        .agg(F.sum("vq").alias("vq"))
+    )
+    w_end = Window.partitionBy("key").orderBy(F.col("day").desc())
+    tail = (
+        daily.withColumn("rn", F.row_number().over(w_end))
+        .filter(F.col("rn") <= n_points)
+        # i = chronological index 0..n_points-1 within the tail
+        .withColumn("i", F.lit(n_points) - F.col("rn"))
+    )
+    wk = Window.partitionBy("key")
+    centered = (
+        tail.withColumn("n_used", F.count(F.lit(1)).over(wk))
+        .filter(F.col("n_used") == n_points)
+        .withColumn("mu", F.expr("sum(vq) over (partition by key) div " + str(n_points)))
+        .withColumn("cv", F.col("vq") - F.col("mu"))
+    )
+    basis = df.sparkSession.createDataFrame(
+        _dct_basis(n_points, n_freqs), "u int, i int, k long"
+    )
+    coefs = (
+        centered.join(F.broadcast(basis), "i")
+        .groupBy("key", "u")
+        .agg(F.sum(F.col("cv") * F.col("k")).alias("coef"))
+        .withColumn("a", F.abs(F.col("coef")))
+    )
+    wtot = Window.partitionBy("key")
+    ranked = coefs.withColumn("tot", F.sum("a").over(wtot)).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("key").orderBy(F.col("a").desc(), "u")
+        ),
+    )
+    return ranked.filter((F.col("rk") == 1) & (F.col("tot") > 0)).select(
+        "key",
+        F.lit(n_points).cast("long").alias("n_used"),
+        F.col("u").cast("long").alias("peak_u"),
+        F.col("a").alias("peak_coef_abs"),
+        F.expr("(a * 1000000) div tot").alias("peak_ppm"),
+    )
+
+
+def spectral_peak_oracle(
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_points: int = 24,
+    n_freqs: int = 8,
+) -> str:
+    """DuckDB twin of :func:`spectral_peak` (same embedded basis)."""
+    day_us = 86_400_000_000
+    kvals = ", ".join(f"({u}, {i}, {k})" for u, i, k in _dct_basis(n_points, n_freqs))
+    return f"""
+        WITH daily AS MATERIALIZED (
+          SELECT {key_col} AS key, epoch_us({ts_col}) // {day_us} AS day,
+                 CAST(SUM(CAST(floor({value_col} * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS vq
+          FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
+        ),
+        tail AS MATERIALIZED (
+          SELECT key, vq, {n_points} - rn AS i FROM (
+            SELECT key, vq,
+                   ROW_NUMBER() OVER (PARTITION BY key ORDER BY day DESC) AS rn
+            FROM daily
+          ) WHERE rn <= {n_points}
+        ),
+        centered AS (
+          SELECT key, i,
+                 vq - (CAST(SUM(vq) OVER (PARTITION BY key) AS BIGINT)
+                       // {n_points}) AS cv
+          FROM tail
+          QUALIFY COUNT(*) OVER (PARTITION BY key) = {n_points}
+        ),
+        kb(u, i, k) AS (VALUES {kvals}),
+        coefs AS (
+          SELECT key, u,
+                 abs(CAST(SUM(cv * k) AS BIGINT)) AS a
+          FROM centered JOIN kb USING (i)
+          GROUP BY 1, 2
+        )
+        SELECT key, CAST({n_points} AS BIGINT) AS n_used,
+               CAST(u AS BIGINT) AS peak_u, a AS peak_coef_abs,
+               (a * 1000000) // tot AS peak_ppm
+        FROM (
+          SELECT *, CAST(SUM(a) OVER (PARTITION BY key) AS BIGINT) AS tot,
+                 ROW_NUMBER() OVER (PARTITION BY key ORDER BY a DESC, u) AS rk
+          FROM coefs
+        ) WHERE rk = 1 AND tot > 0
+    """
