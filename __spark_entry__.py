@@ -5055,6 +5055,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "features_agg": _q_features_agg,
         "target_agg": _q_target_agg,
         "feature_history": _q_feature_history,
+        # snapshot-expiry dry run over the versioned feature table:
+        # retain-last-3 per entity, auditable reclaim counts
+        "versioned_expiry_plan": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.versioned", fromlist=["expiry_plan"]
+        ).expiry_plan(_q_feature_history(spark, sf_dir)),
         "feature_history_salted": _q_feature_history_salted,
         "target_history": _q_target_history,
         "examples_window": _q_examples,
@@ -5390,6 +5395,9 @@ def _all_oracles() -> dict[str, str]:
     out["streaming_features_agg"] = out["features_agg"]
     out["streaming_training_examples"] = out["training_examples"]
     out["streaming_pipeline_e2e"] = out["training_examples"]
+    from flink_example_spark.operators.versioned import expiry_plan_oracle
+
+    out["versioned_expiry_plan"] = expiry_plan_oracle(_FH_SQL)
     out["streaming_incremental_history"] = out["feature_history"]
     out["feature_history_salted"] = out["feature_history"]
     out["streaming_dedup_exact"] = out["dedup_exact"]

@@ -426,3 +426,74 @@ def temporal_rule_filter(
         else F.lit(False)
     ) | (F.col("value") >= F.col("min_value"))
     return joined.filter(keep)
+
+
+def expiry_plan(
+    history: DataFrame,
+    entity_col: str = "_entity",
+    time_col: str = "_change_time",
+    retain_last: int = 3,
+) -> DataFrame:
+    """Snapshot-expiry maintenance planning (Iceberg ``expire_snapshots``
+    / Delta VACUUM's dry run): for each entity's version chain, keep the
+    newest ``retain_last`` versions and plan the rest for deletion —
+    reported per entity so the reclaim is auditable BEFORE anything is
+    dropped.
+
+    Deterministic: versions rank by (time DESC) with the rank tie-free
+    because ``version_history`` collapses same-timestamp versions.
+    ``oldest_keep_day`` day-truncates the retention watermark the GC
+    would enforce (day-truncated TIMESTAMP, the cross-engine date rule).
+
+    Output per entity: ``(entity, n_versions, n_expire,
+    oldest_keep_day)``.
+
+    Scale: one ranking window per entity over the version chain, one
+    rollup — the history relation's own partitioning, no new shuffle
+    key.
+    """
+    w = Window.partitionBy(entity_col).orderBy(F.col(time_col).desc())
+    ranked = history.select(
+        F.col(entity_col).alias("e"),
+        F.col(time_col).alias("t"),
+        F.row_number().over(w).alias("rk"),
+    )
+    return (
+        ranked.groupBy("e")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_versions"),
+            F.sum((F.col("rk") > retain_last).cast("long")).alias("n_expire"),
+            F.date_trunc(
+                "DAY", F.min(F.when(F.col("rk") <= retain_last, F.col("t")))
+            ).alias("oldest_keep_day"),
+        )
+        .select(
+            F.col("e").alias(entity_col),
+            "n_versions",
+            "n_expire",
+            "oldest_keep_day",
+        )
+    )
+
+
+def expiry_plan_oracle(
+    history_sql: str,
+    entity_col: str = "_entity",
+    time_col: str = "_change_time",
+    retain_last: int = 3,
+) -> str:
+    """DuckDB twin of :func:`expiry_plan`."""
+    return f"""
+        WITH ranked AS (
+          SELECT {entity_col} AS e, {time_col} AS t,
+                 ROW_NUMBER() OVER (PARTITION BY {entity_col}
+                                    ORDER BY {time_col} DESC) AS rk
+          FROM ({history_sql})
+        )
+        SELECT e AS {entity_col}, CAST(COUNT(*) AS BIGINT) AS n_versions,
+               CAST(SUM(CASE WHEN rk > {retain_last} THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_expire,
+               date_trunc('day', MIN(CASE WHEN rk <= {retain_last} THEN t END))
+                 AS oldest_keep_day
+        FROM ranked GROUP BY 1
+    """
