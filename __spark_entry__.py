@@ -1832,6 +1832,20 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_kmeans_centroids_vec": ann_kmeans_vec,
         "ann_ivf_trained": ann_ivf_trained,
+        # cluster-balanced diversity sampling: nearest trained centroid,
+        # per-cell smallest-md5 quota, id checksum pins the selection
+        "ann_cluster_sample": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.similarity",
+            fromlist=["cluster_balanced_sample"],
+        ).cluster_balanced_sample(
+            _embs(spark, sf_dir),
+            __import__(
+                "flink_example_spark.operators.similarity",
+                fromlist=["kmeans_centroids"],
+            ).kmeans_centroids(_embs(spark, sf_dir), k=8, iters=2),
+            quota=8,
+            vec_col="embedding",
+        ),
         "text_lm_surprisal": lambda spark, sf_dir: text.lm_surprisal(_docs(spark, sf_dir)),
         # bigram LM with stupid backoff, trained on the even-doc_id half so
         # the backoff path actually fires on the held-out half
@@ -3151,6 +3165,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["ann_kmeans_centroids"] = _kmeans_oracle(k=8, iters=2, scalar=True)
     out["ann_kmeans_centroids_vec"] = _kmeans_oracle(k=8, iters=2)
     out["ann_ivf_trained"] = _ivf_trained_oracle(k=8, iters=2, n_probe=4, topk=5)
+    out["ann_cluster_sample"] = _cluster_sample_oracle(k=8, iters=2, quota=8)
 
     out["multimodal_resize"] = """
         WITH img AS (
@@ -4605,6 +4620,39 @@ def _ivf_trained_oracle(k: int, iters: int, n_probe: int, topk: int) -> str:
                                     ORDER BY cos DESC, neighbor_id) AS rank
           FROM scored
         ) WHERE rank <= {topk}
+    """
+
+
+def _cluster_sample_oracle(k: int, iters: int, quota: int) -> str:
+    """Cluster-balanced sampling: Lloyd centroids -> nearest-cell
+    assignment (the _ivf_trained_oracle CTEs) -> per-cell smallest-md5
+    quota with an id checksum."""
+    return f"""
+        WITH c AS ({_DUCK_VECS}),{_kmeans_ctes(k, iters)},
+        cent AS (SELECT cell, cv, cn FROM cent{iters}),
+        cass AS (
+          SELECT vec_id, cell FROM (
+            SELECT c.vec_id, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                     ORDER BY list_dot_product(c.v, cent.cv) / (c.nrm * cent.cn) DESC,
+                              cent.cell) AS rr
+            FROM c CROSS JOIN cent
+          ) WHERE rr = 1
+        ),
+        picked AS (
+          SELECT cell, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY cell ORDER BY
+                   CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                     AS BIGINT), vec_id) AS rk
+          FROM cass
+        )
+        SELECT CAST(cell AS BIGINT) AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN rk <= {quota} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_sampled,
+               CAST(SUM(CASE WHEN rk <= {quota} THEN vec_id ELSE 0 END)
+                 AS BIGINT) AS sampled_id_sum
+        FROM picked GROUP BY 1
     """
 
 

@@ -2214,3 +2214,60 @@ def ndcg_eval_oracle_sql(
                (COALESCE(g.dcg, 0) * 1000000) // i.idcg AS ndcg_ppm
         FROM ideal i LEFT JOIN gains g USING (query_id)
     """
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    quota: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Cluster-balanced diversity sampling — the embedding-space
+    counterpart of stratified sampling (DoReMi/SemDeDup-era curation:
+    sample evenly across semantic clusters instead of letting the head
+    cluster dominate the training mix). Every vector assigns to its
+    nearest trained centroid (broadcast argmax — the IVF assignment);
+    within each cell the ``quota`` survivors are the smallest by the
+    repo's engine-portable md5 hash (deterministic, uniform, no RNG
+    state).
+
+    Output per cell: ``(cell, n_total, n_sampled, sampled_id_sum)`` —
+    the id checksum pins the exact selection, not just its size.
+
+    Scale: one broadcast centroid join (k rows), one per-cell top-quota
+    window (WindowGroupLimit pushes the rank cut map-side), one rollup.
+    The corpus never shuffles on anything wider than the cell id.
+    """
+    c = _prep(corpus, id_col, vec_col, "n")
+    scored = c.crossJoin(F.broadcast(centroids)).select(
+        "n_id",
+        "cell",
+        (dot(F.col("n_vec"), F.col("c_vec")) / (F.col("n_norm") * F.col("c_norm"))).alias(
+            "__csim"
+        ),
+    )
+    w = Window.partitionBy("n_id").orderBy(F.col("__csim").desc(), F.col("cell"))
+    assigned = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("n_id", "cell")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("n_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    ws = Window.partitionBy("cell").orderBy("__h", "n_id")
+    picked = assigned.withColumn("__h", h).withColumn(
+        "__rk", F.row_number().over(ws)
+    )
+    return (
+        picked.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum((F.col("__rk") <= quota).cast("long")).alias("n_sampled"),
+            F.sum(
+                F.when(F.col("__rk") <= quota, F.col("n_id")).otherwise(0)
+            ).cast("long").alias("sampled_id_sum"),
+        )
+        .select(F.col("cell").cast("long").alias("cell"), "n_total", "n_sampled", "sampled_id_sum")
+    )
