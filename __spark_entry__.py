@@ -1857,6 +1857,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kn_surprisal": lambda spark, sf_dir: text.kn_surprisal(
             _docs(spark, sf_dir), train_pred=F.col("doc_id") % 2 == 0
         ),
+        # RAKE keyphrase extraction: stopword-island phrases scored by
+        # exact integer degree/frequency ratios
+        "text_rake_keywords": lambda spark, sf_dir: text.rake_keywords(
+            _docs(spark, sf_dir)
+        ),
         # positional-index exact-phrase retrieval (adjacent tokens)
         "text_phrase_search": lambda spark, sf_dir: text.phrase_search(
             _docs(spark, sf_dir), ["spark", "merge"]
@@ -3373,6 +3378,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.graph import pagerank_oracle, term_graph_sql
 
     # integer-arithmetic PageRank: unrolled power iteration, bit-exact
+    from flink_example_spark.operators.text import rake_keywords_oracle
+
+    out["text_rake_keywords"] = rake_keywords_oracle()
     out["graph_textrank_keywords"] = pagerank_oracle(
         term_graph_sql(2),
         n_iter=6,

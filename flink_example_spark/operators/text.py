@@ -1454,3 +1454,143 @@ def kn_surprisal_oracle(train_where: str = "TRUE") -> str:
         ) WHERE num > 0
         GROUP BY doc_id
     """
+
+
+def rake_keywords(
+    documents: DataFrame,
+    lang: str = "en",
+    max_phrase_len: int = 4,
+    topn: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — the PHRASE-level
+    complement of the token-level TextRank: candidate phrases are the
+    maximal stopword-free token runs, and a phrase scores by the sum of
+    its words' ``degree/frequency`` ratios (words that keep company in
+    long phrases beat frequent loners).
+
+    Exact-integer scoring: per corpus word, ``freq`` = occurrences in
+    candidates, ``deg`` = sum of hosting-phrase lengths; the word ratio
+    quantizes to micro units by trunc-div and the phrase score is the
+    exact BIGINT sum of its words' ratios. Top ``topn`` by
+    (score DESC, phrase) — a total order.
+
+    Stopword-island segmentation is one windowed cumulative sum over the
+    exploded token sequence (island id = running count of stopword
+    boundaries); phrases longer than ``max_phrase_len`` drop (RAKE's
+    standard cap — unbounded runs are boilerplate, not keyphrases).
+
+    Scale: explode + two hash aggregations (word-dim and phrase-dim) +
+    one broadcast word-score join back onto phrase words. Vocabulary-
+    sized relations everywhere after the explode.
+    """
+    from pyspark.sql import Window
+
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    toks = documents.select(
+        F.col(id_col).alias("d"),
+        F.posexplode(tokens(normalized(F.col(text_col)))).alias("pos", "t"),
+    ).filter(F.col("t") != "")
+    w = Window.partitionBy("d").orderBy("pos")
+    flagged = toks.withColumn(
+        "stop", F.array_contains(stops, F.col("t")).cast("int")
+    ).withColumn(
+        "island",
+        F.sum("stop").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    phrase_words = flagged.filter(F.col("stop") == 0).select(
+        "d", "island", "pos", "t"
+    )
+    phrases = (
+        phrase_words.groupBy("d", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "t"))),
+                    lambda s: s.t,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .filter(F.col("plen") <= max_phrase_len)
+    ).localCheckpoint(eager=False)  # word stats AND scoring read the words
+    words = phrase_words.join(
+        phrases.select("d", "island", "plen"), ["d", "island"]
+    )
+    word_stats = words.groupBy("t").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    ).withColumn("ratio_micro", F.expr("(deg * 1000000) div freq"))
+    scored = (
+        words.join(F.broadcast(word_stats.select("t", "ratio_micro")), "t")
+        .groupBy("d", "island")
+        .agg(F.sum("ratio_micro").alias("score_micro"))
+        .join(phrases, ["d", "island"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("score_micro").alias("score_micro"),
+        )
+    )
+    return scored.orderBy(F.col("score_micro").desc(), "phrase").limit(topn)
+
+
+def rake_keywords_oracle(
+    lang: str = "en",
+    max_phrase_len: int = 4,
+    topn: int = 20,
+) -> str:
+    """DuckDB twin of :func:`rake_keywords`."""
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"""
+        WITH toks AS (
+          SELECT doc_id AS d, pos, t FROM (
+            SELECT doc_id,
+                   generate_subscripts(string_split_regex({_DUCK_NORM},
+                     '\\s+'), 1) AS pos,
+                   unnest(string_split_regex({_DUCK_NORM}, '\\s+')) AS t
+            FROM documents
+          ) WHERE t <> ''
+        ),
+        flagged AS (
+          SELECT d, pos, t,
+                 CAST(t IN ({stops}) AS INTEGER) AS stop,
+                 SUM(CAST(t IN ({stops}) AS INTEGER)) OVER (
+                   PARTITION BY d ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS island
+          FROM toks
+        ),
+        phrase_words AS MATERIALIZED (
+          SELECT d, island, pos, t FROM flagged WHERE stop = 0
+        ),
+        phrases AS MATERIALIZED (
+          SELECT d, island, string_agg(t, ' ' ORDER BY pos) AS phrase,
+                 CAST(COUNT(*) AS BIGINT) AS plen
+          FROM phrase_words GROUP BY 1, 2
+          HAVING COUNT(*) <= {max_phrase_len}
+        ),
+        words AS (
+          SELECT pw.* , p.plen
+          FROM phrase_words pw JOIN phrases p USING (d, island)
+        ),
+        word_stats AS (
+          SELECT t, (CAST(SUM(plen) AS BIGINT) * 1000000)
+                      // CAST(COUNT(*) AS BIGINT) AS ratio_micro
+          FROM words GROUP BY 1
+        ),
+        scored AS (
+          SELECT w.d, w.island,
+                 CAST(SUM(ws.ratio_micro) AS BIGINT) AS score_micro
+          FROM words w JOIN word_stats ws USING (t)
+          GROUP BY 1, 2
+        )
+        SELECT p.phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MAX(s.score_micro) AS BIGINT) AS score_micro
+        FROM scored s JOIN phrases p USING (d, island)
+        GROUP BY 1
+        ORDER BY score_micro DESC, phrase
+        LIMIT {topn}
+    """
