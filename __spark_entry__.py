@@ -2170,6 +2170,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.timeseries_stream",
             fromlist=["run_streaming_granger"],
         ).run_streaming_granger(spark, sf_dir),
+        # DTW distance matrix between per-key daily series (exact integer
+        # DP; the alignment-tolerant complement of correlation)
+        "timeseries_dtw_matrix": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries", fromlist=["dtw_matrix"]
+        ).dtw_matrix(_events(spark, sf_dir), "event_type", "ts", "value"),
         # dominant-cycle detector: integer DCT over the last 24 days per
         # key (embedded cosine literals — no engine-side transcendental)
         "timeseries_spectral_peak": lambda spark, sf_dir: __import__(
@@ -4175,6 +4180,11 @@ def _northstar_oracles() -> dict[str, str]:
     )
     # the live screen converges to the batch scan exactly
     out["streaming_granger"] = out["timeseries_granger"]
+    from flink_example_spark.operators.timeseries import dtw_matrix_oracle
+
+    out["timeseries_dtw_matrix"] = dtw_matrix_oracle(
+        "events", "event_type", "ts", "value"
+    )
     from flink_example_spark.operators.timeseries import spectral_peak_oracle
 
     out["timeseries_spectral_peak"] = spectral_peak_oracle(

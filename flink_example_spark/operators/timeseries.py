@@ -2567,3 +2567,173 @@ def spectral_peak_oracle(
           FROM coefs
         ) WHERE rk = 1 AND tot > 0
     """
+
+
+def dtw_matrix(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_points: int = 24,
+) -> DataFrame:
+    """Dynamic-time-warping distance between every pair of per-key daily
+    series — the alignment-tolerant similarity behind KPI clustering and
+    "which metrics move together but shifted" diagnostics (a shifted
+    copy that murders Pearson correlation scores near-zero DTW).
+
+    Each key contributes its LAST ``n_points`` observed days
+    (centi-quantized integer sums, mean-centered by trunc-div so level
+    offsets don't dominate); the classic O(n^2) DP with |a_i - b_j|
+    cost runs in exact BIGINT arithmetic, so the distance is
+    engine-identical. Spark side: one ``applyInPandas`` per key pair
+    (the DP is genuinely sequential — the documented Python-state
+    escape hatch); the DuckDB twin unrolls the DP by ANTI-DIAGONAL
+    wavefronts (47 materialized CTEs — dp[i][j] depends only on
+    wavefronts k-1 and k-2, so each wavefront is one set-based join, no
+    within-row recurrence).
+
+    Output per unordered pair: ``(key_a, key_b, n_points, dtw_dist)``.
+
+    Scale: pairs parallelize independently; per-pair cost is n_points^2
+    integer ops in an Arrow batch. The pair count is key-cardinality
+    choose 2 — a METRICS-dimension relation, not a data relation.
+    """
+    import pandas as pd
+
+    day_us = 86_400_000_000
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {day_us}").alias(
+                "day"
+            ),
+            F.expr(f"CAST(floor({value_col} * 100 + 0.5) AS BIGINT)").alias("vq"),
+        )
+        .groupBy("key", "day")
+        .agg(F.sum("vq").alias("vq"))
+    )
+    w_end = Window.partitionBy("key").orderBy(F.col("day").desc())
+    wk = Window.partitionBy("key")
+    tail = (
+        daily.withColumn("rn", F.row_number().over(w_end))
+        .filter(F.col("rn") <= n_points)
+        .withColumn("i", F.lit(n_points) - F.col("rn"))
+        .withColumn("n_used", F.count(F.lit(1)).over(wk))
+        .filter(F.col("n_used") == n_points)
+        .withColumn(
+            "cv",
+            F.col("vq")
+            - F.expr(f"sum(vq) over (partition by key) div {n_points}"),
+        )
+        .select("key", "i", "cv")
+        .localCheckpoint(eager=False)  # both pair sides read it
+    )
+    keys = tail.select("key").distinct()
+    pairs = (
+        keys.alias("a")
+        .join(keys.alias("b"), F.col("a.key") < F.col("b.key"))
+        .select(F.col("a.key").alias("ka"), F.col("b.key").alias("kb"))
+    )
+    side_a = pairs.join(tail.withColumnRenamed("key", "ka"), "ka").select(
+        "ka", "kb", F.lit(0).alias("side"), "i", "cv"
+    )
+    side_b = pairs.join(tail.withColumnRenamed("key", "kb"), "kb").select(
+        "ka", "kb", F.lit(1).alias("side"), "i", "cv"
+    )
+    both = side_a.unionByName(side_b)
+
+    def dp(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ka, kb = pdf["ka"].iloc[0], pdf["kb"].iloc[0]
+        a = pdf[pdf["side"] == 0].sort_values("i")["cv"].tolist()
+        b = pdf[pdf["side"] == 1].sort_values("i")["cv"].tolist()
+        n, m = len(a), len(b)
+        big = 1 << 62
+        prev = [big] * (m + 1)
+        prev[0] = 0
+        for i in range(1, n + 1):
+            cur = [big] * (m + 1)
+            for j in range(1, m + 1):
+                c = abs(a[i - 1] - b[j - 1])
+                cur[j] = c + min(prev[j], cur[j - 1], prev[j - 1])
+            prev = cur
+        return pd.DataFrame(
+            [(ka, kb, n, prev[m])],
+            columns=["key_a", "key_b", "n_points", "dtw_dist"],
+        )
+
+    return both.groupBy("ka", "kb").applyInPandas(
+        dp, schema="key_a string, key_b string, n_points long, dtw_dist long"
+    )
+
+
+def dtw_matrix_oracle(
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_points: int = 24,
+) -> str:
+    """DuckDB twin of :func:`dtw_matrix` — the DP unrolled by
+    anti-diagonal wavefronts (each MATERIALIZED; wavefront k joins only
+    k-1 and k-2, so no within-row recurrence exists to break SQL)."""
+    day_us = 86_400_000_000
+    n = n_points
+    parts = [f"""WITH daily AS MATERIALIZED (
+          SELECT {key_col} AS key, epoch_us({ts_col}) // {day_us} AS day,
+                 CAST(SUM(CAST(floor({value_col} * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS vq
+          FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
+        ),
+        tail AS MATERIALIZED (
+          SELECT key, {n} - rn AS i,
+                 vq - (CAST(SUM(vq) OVER (PARTITION BY key) AS BIGINT) // {n})
+                   AS cv
+          FROM (
+            SELECT key, day, vq,
+                   ROW_NUMBER() OVER (PARTITION BY key ORDER BY day DESC) AS rn
+            FROM daily
+          ) WHERE rn <= {n}
+          QUALIFY COUNT(*) OVER (PARTITION BY key) = {n}
+        ),
+        cells AS MATERIALIZED (
+          SELECT a.key AS ka, b.key AS kb, a.i AS i, b.i AS j,
+                 abs(a.cv - b.cv) AS c
+          FROM tail a JOIN tail b ON a.key < b.key
+        )"""]
+    # wavefront k holds dp for cells with i + j = k (0-indexed)
+    for k in range(0, 2 * n - 1):
+        if k == 0:
+            parts.append(
+                "wf0 AS MATERIALIZED (SELECT ka, kb, i, j, c AS dp"
+                " FROM cells WHERE i + j = 0)"
+            )
+            continue
+        p1, p2 = f"wf{k - 1}", f"wf{k - 2}"
+        diag = (
+            f"LEFT JOIN {p2} d ON d.ka = x.ka AND d.kb = x.kb"
+            f" AND d.i = x.i - 1 AND d.j = x.j - 1"
+            if k >= 2
+            else ""
+        )
+        d_dp = "d.dp" if k >= 2 else "NULL"
+        parts.append(f"""wf{k} AS MATERIALIZED (
+          SELECT x.ka, x.kb, x.i, x.j,
+                 x.c + COALESCE(
+                   least(
+                     COALESCE(u.dp, 4611686018427387904),
+                     COALESCE(l.dp, 4611686018427387904),
+                     COALESCE({d_dp}, 4611686018427387904)
+                   ), 0) AS dp
+          FROM (SELECT * FROM cells WHERE i + j = {k}) x
+          LEFT JOIN {p1} u ON u.ka = x.ka AND u.kb = x.kb
+            AND u.i = x.i - 1 AND u.j = x.j
+          LEFT JOIN {p1} l ON l.ka = x.ka AND l.kb = x.kb
+            AND l.i = x.i AND l.j = x.j - 1
+          {diag}
+        )""")
+    final = f"""
+        SELECT ka AS key_a, kb AS key_b, CAST({n} AS BIGINT) AS n_points,
+               dp AS dtw_dist
+        FROM wf{2 * n - 2}"""
+    return ",\n        ".join(parts) + final

@@ -496,3 +496,46 @@ def test_holt_constant_series_flat(spark):
     assert abs(r["level_centi"] - 700) <= 1
     assert abs(r["trend_centi"]) <= 1
     assert abs(r["forecast_centi"] - 700) <= 2
+
+
+def test_dtw_shifted_copy_beats_unrelated(spark):
+    """A one-day-shifted copy should be MUCH closer under DTW than an
+    unrelated series — the property Pearson correlation lacks."""
+    from datetime import datetime, timezone
+
+    from flink_example_spark.operators.timeseries import dtw_matrix
+
+    def ts(d):
+        return datetime.fromtimestamp(86400 * d, tz=timezone.utc)
+
+    base = [10, 80, 10, 70, 10, 90, 10, 60] * 3  # 24 days, spiky
+    rows = []
+    for d in range(24):
+        rows.append(("a", ts(d), float(base[d])))
+        rows.append(("b", ts(d), float(base[d - 1])))  # shifted copy
+        rows.append(("c", ts(d), float(40 + (d % 3))))  # flat-ish unrelated
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        (r["key_a"], r["key_b"]): r["dtw_dist"]
+        for r in dtw_matrix(df, "event_type", "ts", "value").collect()
+    }
+    assert out[("a", "b")] < out[("a", "c")] / 3
+    assert all(v >= 0 for v in out.values())
+
+
+def test_dtw_identical_series_zero(spark):
+    from datetime import datetime, timezone
+
+    from flink_example_spark.operators.timeseries import dtw_matrix
+
+    def ts(d):
+        return datetime.fromtimestamp(86400 * d, tz=timezone.utc)
+
+    rows = []
+    for d in range(24):
+        v = float(10 + 7 * (d % 5))
+        rows.append(("x", ts(d), v))
+        rows.append(("y", ts(d), v))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    r = dtw_matrix(df, "event_type", "ts", "value").collect()[0]
+    assert r["dtw_dist"] == 0 and r["n_points"] == 24
