@@ -955,6 +955,15 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             media.filter(F.col("media_type") == "audio"), repartition=False
         )
 
+    def mm_equalize(spark, sf_dir):
+        """Histogram equalization per image over the REAL PGM path:
+        integer CDF remap of every pixel; the oracle re-derives the
+        post-equalization checksum from the cycled-md5 scheme."""
+        media = multimodal.encode_codec_media(_docs(spark, sf_dir), formats=("pgm", "aiff"))
+        return multimodal.hist_equalize(
+            media.filter(F.col("media_type") == "image"), repartition=False
+        )
+
     def mm_dhash(spark, sf_dir):
         """Gradient difference-hash per image (9x8 grid, right-neighbor
         compare) — the brightness-invariant twin of mm_ahash; every bit
@@ -2563,6 +2572,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_ahash": mm_ahash,
         "multimodal_sobel": mm_sobel,
         "multimodal_silence": mm_silence,
+        "multimodal_equalize": mm_equalize,
         "multimodal_dhash": mm_dhash,
         "multimodal_phash": mm_phash,
         "multimodal_audio_dct": lambda spark, sf_dir: __import__(
@@ -3252,6 +3262,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.multimodal import audio_silence_oracle
 
     out["multimodal_silence"] = audio_silence_oracle()
+    from flink_example_spark.operators.multimodal import hist_equalize_oracle
+
+    out["multimodal_equalize"] = hist_equalize_oracle()
     from flink_example_spark.operators.multimodal import audio_dct_bands_oracle
 
     out["multimodal_audio_dct"] = audio_dct_bands_oracle()

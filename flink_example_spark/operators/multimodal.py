@@ -1396,3 +1396,131 @@ def audio_silence_oracle(
                CAST(SUM(e) AS BIGINT) AS total_energy
         FROM win GROUP BY 1, 2
     """
+
+
+EQUALIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("in_w", IntegerType(), False),
+        StructField("in_h", IntegerType(), False),
+        StructField("distinct_in", IntegerType(), False),
+        StructField("distinct_out", IntegerType(), False),
+        StructField("out_sum", LongType(), False),
+        StructField("out_min", IntegerType(), False),
+        StructField("out_max", IntegerType(), False),
+    ]
+)
+
+
+def hist_equalize(media: DataFrame, repartition: bool = True) -> DataFrame:
+    """Histogram equalization per image over the REAL codec path — the
+    contrast-normalization preprocessing a vision pipeline applies
+    before feature extraction (and a pure-integer transform, so the
+    whole remap is oracle-checkable).
+
+    Classic integer CDF remap: for each gray level v,
+    ``out(v) = ((cdf(v) - cdf_min) * 255) div (n_pixels - cdf_min)``
+    (truncating division; cdf_min = count of the darkest PRESENT
+    level). Decodes the PGM payload from raw bytes, remaps every pixel,
+    and reports the roundtrip stats: distinct levels in/out, the
+    post-equalization byte sum (the checksum the oracle re-derives
+    analytically from the cycled-md5 scheme), and the stretched range
+    [out_min, out_max] (out_max = 255 whenever more than one level is
+    present).
+
+    Scale: hash-spread before the Python stage; 8 scalars per image.
+    """
+    import pandas as pd
+
+    def eq(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                if payload[:2] != b"P5":
+                    continue
+                w, h, data = _parse_pgm(payload)
+                n = w * h
+                hist = [0] * 256
+                for v in data:
+                    hist[v] += 1
+                cdf = 0
+                cdf_min = None
+                lut = [0] * 256
+                for v in range(256):
+                    if hist[v] == 0:
+                        continue
+                    cdf += hist[v]
+                    if cdf_min is None:
+                        cdf_min = hist[v]
+                    denom = n - cdf_min
+                    lut[v] = ((cdf - cdf_min) * 255) // denom if denom > 0 else 0
+                out = [lut[v] for v in data]
+                rows.append(
+                    (
+                        int(mid),
+                        w,
+                        h,
+                        sum(1 for c in hist if c > 0),
+                        len({lut[v] for v in range(256) if hist[v] > 0}),
+                        sum(out),
+                        min(out),
+                        max(out),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in EQUALIZE_SCHEMA.fields]
+            )
+
+    if repartition:
+        media = media.repartition("media_id")
+    return media.mapInPandas(eq, schema=EQUALIZE_SCHEMA)
+
+
+def hist_equalize_oracle() -> str:
+    """DuckDB twin of :func:`hist_equalize` for the PGM fixture (pixel
+    value at linear offset p = ascii of the cycled md5-hex char)."""
+    return """
+        WITH img AS (
+          SELECT doc_id, md5(text) AS hh,
+                 CAST(doc_id % 32 + 8 AS INTEGER) AS w,
+                 CAST(doc_id % 24 + 8 AS INTEGER) AS h
+          FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+        ),
+        px AS (
+          SELECT doc_id, w, h, CAST(p AS INTEGER) AS p,
+                 ascii(substr(hh, CAST(p % 32 AS INTEGER) + 1, 1)) AS v
+          FROM img, range(0, 39 * 31) rp(p)
+          WHERE p < w * h
+        ),
+        hist AS (
+          SELECT doc_id, w, h, v, CAST(COUNT(*) AS BIGINT) AS c
+          FROM px GROUP BY 1, 2, 3, 4
+        ),
+        lut AS (
+          SELECT doc_id, w, h, v, c,
+                 CAST(SUM(c) OVER (PARTITION BY doc_id ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cdf,
+                 CAST(first_value(c) OVER (PARTITION BY doc_id ORDER BY v)
+                   AS BIGINT) AS cdf_min,
+                 CAST(w AS BIGINT) * h AS n
+          FROM hist
+        ),
+        mapped AS (
+          SELECT doc_id, w, h, v, c,
+                 CASE WHEN n - cdf_min > 0
+                      THEN ((cdf - cdf_min) * 255) // (n - cdf_min)
+                      ELSE 0 END AS o
+          FROM lut
+        )
+        SELECT doc_id AS media_id, w AS in_w, h AS in_h,
+               CAST(COUNT(*) AS INTEGER) AS distinct_in,
+               CAST(COUNT(DISTINCT o) AS INTEGER) AS distinct_out,
+               CAST(SUM(o * c) AS BIGINT) AS out_sum,
+               CAST(MIN(o) AS INTEGER) AS out_min,
+               CAST(MAX(o) AS INTEGER) AS out_max
+        FROM mapped GROUP BY 1, 2, 3
+    """

@@ -1059,3 +1059,38 @@ def test_audio_silence_negative_samples_energy(spark):
     )
     r = audio_silence(media, window_frames=8, threshold=0).collect()[0]
     assert r["total_energy"] == 8 * 200 * 200
+
+
+def test_hist_equalize_stretches_two_level_image(spark):
+    """Two gray levels (dark-heavy) must map to {0, 255} exactly under
+    the integer CDF remap."""
+    from flink_example_spark.operators.multimodal import (
+        _encode_pgm,
+        hist_equalize,
+    )
+
+    w, h = 8, 4
+    data = bytes([50] * 24 + [200] * 8)  # 24 dark, 8 bright
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_encode_pgm(w, h, data)))],
+        "media_id long, media_type string, payload binary",
+    )
+    r = hist_equalize(media).collect()[0]
+    # cdf_min = 24 (darkest level); out(50) = 0; out(200) = (32-24)*255//8 = 255
+    assert r["distinct_in"] == 2 and r["distinct_out"] == 2
+    assert r["out_min"] == 0 and r["out_max"] == 255
+    assert r["out_sum"] == 8 * 255
+
+
+def test_hist_equalize_constant_image_all_zero(spark):
+    from flink_example_spark.operators.multimodal import (
+        _encode_pgm,
+        hist_equalize,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_encode_pgm(4, 4, bytes([99] * 16))))],
+        "media_id long, media_type string, payload binary",
+    )
+    r = hist_equalize(media).collect()[0]
+    assert r["distinct_in"] == 1 and r["out_sum"] == 0 and r["out_max"] == 0
