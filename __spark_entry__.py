@@ -2173,6 +2173,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.timeseries_stream",
             fromlist=["run_streaming_holt"],
         ).run_streaming_holt(spark, sf_dir),
+        # dominant-cycle LIVE (daily-sum monoid; DCT at read time)
+        "streaming_spectral_peak": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.timeseries_stream",
+            fromlist=["run_streaming_spectral_peak"],
+        ).run_streaming_spectral_peak(spark, sf_dir),
+        # DTW matrix LIVE (same monoid; alignment DP at read time)
+        "streaming_dtw_matrix": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.timeseries_stream",
+            fromlist=["run_streaming_dtw_matrix"],
+        ).run_streaming_dtw_matrix(spark, sf_dir),
         # the Granger screen LIVE: daily-sum monoid in state, pair scan +
         # Cramer + SSE comparison at read time (= batch oracle)
         "streaming_granger": lambda spark, sf_dir: __import__(
@@ -4203,6 +4213,9 @@ def _northstar_oracles() -> dict[str, str]:
     out["timeseries_spectral_peak"] = spectral_peak_oracle(
         "events", "event_type", "ts", "value"
     )
+    # the live monitors converge to the batch forms exactly
+    out["streaming_spectral_peak"] = out["timeseries_spectral_peak"]
+    out["streaming_dtw_matrix"] = out["timeseries_dtw_matrix"]
     from flink_example_spark.operators.timeseries import logrank_screen_oracle
 
     out["timeseries_logrank"] = logrank_screen_oracle(

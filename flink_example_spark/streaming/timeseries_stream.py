@@ -1029,3 +1029,71 @@ def run_streaming_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("vq", ignorenulls=True).over(w).alias("value_centi"),
         F.col("vq").isNull().cast("long").alias("is_filled"),
     )
+
+
+def _daily_sum_sink(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
+    """Shared live ingredient of the spectral/DTW/Granger/LOCF family:
+    the per-(key, day) centi-quantized sum monoid as ONE complete-mode
+    aggregation, returned as a read-time (key, day, vq) frame."""
+    from flink_example_spark.streaming.pipeline import stream_events
+
+    tune(spark)
+    ev = stream_events(spark, sf_dir)
+    day_us = 86_400_000_000
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("key"),
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {day_us}").alias(
+                "day"
+            ),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vq"),
+        )
+        .groupBy("key", "day")
+        .agg(F.sum("vq").alias("vq"))
+    )
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            daily.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).localCheckpoint(eager=True)
+
+
+def run_streaming_spectral_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE dominant-cycle monitor: daily-sum monoid in state; the
+    embedded-cosine DCT, centering, and argmax run at read time over the
+    key x day relation via a tiny batch replay of the same expressions
+    (= batch ``spectral_peak``, shared oracle)."""
+    from flink_example_spark.operators.timeseries import spectral_peak
+
+    d = _daily_sum_sink(spark, sf_dir, "stream_spectral")
+    # rebuild a synthetic event-grain frame the batch operator accepts:
+    # one row per (key, day) with the day's sum as the value and the
+    # day-start timestamp (the daily re-aggregation inside the operator
+    # is then the identity)
+    synth = d.select(
+        F.col("key").alias("event_type"),
+        F.timestamp_micros(F.col("day") * 86_400_000_000).alias("ts"),
+        (F.col("vq").cast("double") / 100.0).alias("value"),
+    )
+    return spectral_peak(synth, "event_type", "ts", "value")
+
+
+def run_streaming_dtw_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE KPI-alignment monitor: the same daily-sum monoid feeds the
+    batch DTW at read time (= batch ``dtw_matrix``, shared oracle)."""
+    from flink_example_spark.operators.timeseries import dtw_matrix
+
+    d = _daily_sum_sink(spark, sf_dir, "stream_dtw")
+    synth = d.select(
+        F.col("key").alias("event_type"),
+        F.timestamp_micros(F.col("day") * 86_400_000_000).alias("ts"),
+        (F.col("vq").cast("double") / 100.0).alias("value"),
+    )
+    return dtw_matrix(synth, "event_type", "ts", "value")
