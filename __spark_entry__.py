@@ -1323,6 +1323,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_tok",
             "n_chars",
         ),
+        # Cohen's kappa between the NB language gate and the perceptron
+        # (chance-corrected agreement on the shared holdout)
+        "ml_kappa_agreement": _ml_kappa_entry,
         # exact PR operating-point sweep over the perceptron's holdout
         # margins: every distinct margin a cut, F1-optimal row first
         "ml_pr_curve": _ml_pr_curve_entry,
@@ -3504,6 +3507,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import perceptron_pr_curve_oracle
 
     out["ml_pr_curve"] = perceptron_pr_curve_oracle()
+    from flink_example_spark.operators.ml import nb_perceptron_kappa_oracle
+
+    out["ml_kappa_agreement"] = nb_perceptron_kappa_oracle()
     from flink_example_spark.operators.ml import anova_oneway_oracle
 
     out["ml_anova"] = anova_oneway_oracle("events", "event_type", "value")
@@ -4857,6 +4863,31 @@ _REF_INTEGRITY_FKS = (
     ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
     ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
 )
+
+
+def _ml_kappa_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.ml import (
+        _perceptron_feats,
+        kappa_agreement,
+        nb_language_classifier,
+        perceptron_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    nb = nb_language_classifier(docs).select(
+        F.col("doc_id").alias("id"),
+        (F.col("pred_label") == "en").cast("long").alias("flag"),
+    )
+    w = perceptron_train(docs).select("j", F.col("weight").alias("w"))
+    feats = _perceptron_feats(docs, 5, train=False)
+    perc = (
+        feats.join(F.broadcast(w), "j")
+        .groupBy("id")
+        .agg((F.sum(F.col("w") * F.col("x")) > 0).cast("long").alias("flag"))
+    )
+    return kappa_agreement(nb, perc)
 
 
 def _ml_pr_curve_entry(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4209,3 +4209,108 @@ def anova_oneway_oracle(
                   / CAST(n - k AS DOUBLE)) AS f_stat
         FROM tot WHERE k >= 2 AND n > k
     """
+
+
+def kappa_agreement(
+    preds_a: DataFrame, preds_b: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """Cohen's kappa between two binary raters — the chance-corrected
+    agreement check a pipeline runs before trusting ensemble votes or
+    replacing one quality gate with a cheaper one (raw agreement is
+    inflated whenever both raters share a majority class; kappa is not).
+
+    Inputs: ``(id, flag)`` relations with BIGINT 0/1 flags. Exact
+    integer closed form over the 2x2 table:
+    ``kappa = (a*n - r1*c1 - r0*c0) / (n^2 - r1*c1 - r0*c0)`` with
+    ``a`` = agreements and r/c the raters' marginals — one ppm trunc-div
+    at the boundary. Output one row: ``(n, n_agree, n_both_pos,
+    kappa_ppm)``.
+
+    Scale: one equi-join on the unit id + one global rollup.
+    """
+    j = preds_a.select(F.col(id_col).alias("u"), F.col("flag").alias("fa")).join(
+        preds_b.select(F.col(id_col).alias("u"), F.col("flag").alias("fb")),
+        "u",
+    )
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("fa") == F.col("fb")).cast("long")).alias("a"),
+        F.sum("fa").alias("r1"),
+        F.sum("fb").alias("c1"),
+        F.sum(F.col("fa") * F.col("fb")).alias("bp"),
+    )
+    pe = F.col("r1") * F.col("c1") + (F.col("n") - F.col("r1")) * (
+        F.col("n") - F.col("c1")
+    )
+    return s.filter(F.col("n") * F.col("n") > pe).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("a").cast("long").alias("n_agree"),
+        F.col("bp").cast("long").alias("n_both_pos"),
+        F.expr(
+            "((a * n - (r1 * c1 + (n - r1) * (n - c1))) * 1000000)"
+            " div (n * n - (r1 * c1 + (n - r1) * (n - c1)))"
+        ).alias("kappa_ppm"),
+    )
+
+
+def nb_perceptron_kappa_oracle(
+    n_rounds: int = 6, holdout_mod: int = 5
+) -> str:
+    """DuckDB twin of the NB-vs-perceptron agreement row: both models'
+    oracle scaffolds composed, flags = (NB picks 'en') vs (margin > 0)."""
+    from flink_example_spark.operators.text import _DUCK_NORM
+
+    feats_tr = _PERC_FEATS_SQL.format(
+        norm=_DUCK_NORM, hm=holdout_mod, op="<>", tag="_tr"
+    )
+    # the two scaffolds both name a CTE `tok`; DuckDB rejects the nested
+    # redefinition, so the perceptron's copy is renamed here
+    feats_tr = feats_tr.replace("tok AS MATERIALIZED", "ptok AS MATERIALIZED")
+    feats_tr = feats_tr.replace("FROM tok", "FROM ptok")
+    nb_sql = nb_language_oracle(holdout_mod=holdout_mod)
+    return f"""
+        WITH {feats_tr},
+        base_ho AS MATERIALIZED (
+          SELECT d.doc_id AS id,
+                 CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+                 [CAST(1 AS BIGINT), COALESCE(n_tok, 0),
+                  CAST(n_chars AS BIGINT) // 8, COALESCE(n_the, 0),
+                  COALESCE(n_dist, 0)] AS xs
+          FROM documents d LEFT JOIN ta ON ta.id = d.doc_id
+          WHERE d.doc_id % {holdout_mod} = 0
+        ),
+        feats_ho AS MATERIALIZED (
+          SELECT id, y, CAST(j - 1 AS INT) AS j, x FROM (
+            SELECT id, y, unnest(xs) AS x,
+                   generate_subscripts(xs, 1) AS j
+            FROM base_ho
+          )
+        ),
+        w0 AS (SELECT DISTINCT j, CAST(0 AS BIGINT) AS w FROM feats_tr),
+        {_perceptron_rounds_sql(n_rounds)},
+        perc AS (
+          SELECT f.id AS u,
+                 CAST(CASE WHEN SUM(w.w * f.x) > 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS fb
+          FROM feats_ho f JOIN w{n_rounds} w USING (j)
+          GROUP BY f.id
+        ),
+        nb AS (
+          SELECT doc_id AS u,
+                 CAST(CASE WHEN pred_label = 'en' THEN 1 ELSE 0 END AS BIGINT)
+                   AS fa
+          FROM ({nb_sql})
+        ),
+        s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN fa = fb THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(SUM(fa) AS BIGINT) AS r1,
+                 CAST(SUM(fb) AS BIGINT) AS c1,
+                 CAST(SUM(fa * fb) AS BIGINT) AS bp
+          FROM nb JOIN perc USING (u)
+        )
+        SELECT n, a AS n_agree, bp AS n_both_pos,
+               ((a * n - (r1 * c1 + (n - r1) * (n - c1))) * 1000000)
+                 // (n * n - (r1 * c1 + (n - r1) * (n - c1))) AS kappa_ppm
+        FROM s WHERE n * n > r1 * c1 + (n - r1) * (n - c1)
+    """

@@ -787,3 +787,32 @@ def test_anova_matches_closed_form(spark):
     assert math.isclose(r["ssb_milli"] / 1000, ssb, rel_tol=1e-6)
     assert math.isclose(r["ssw_milli"] / 1000, ssw, rel_tol=1e-6)
     assert math.isclose(r["f_stat"], f, rel_tol=1e-6)
+
+
+def test_kappa_known_values(spark):
+    from flink_example_spark.operators.ml import kappa_agreement
+
+    # 10 units: raters agree on 8 (4 pos, 4 neg), disagree on 2
+    rows_a = [(i, 1 if i < 5 else 0) for i in range(10)]
+    rows_b = [(i, 1 if i < 4 or i == 5 else 0) for i in range(10)]
+    a = spark.createDataFrame(rows_a, "id long, flag long")
+    b = spark.createDataFrame(rows_b, "id long, flag long")
+    r = kappa_agreement(a, b).collect()[0]
+    n, agree = 10, 8
+    r1, c1 = 5, 5
+    pe_num = r1 * c1 + (n - r1) * (n - c1)  # 50
+    expected = ((agree * n - pe_num) * 1_000_000) // (n * n - pe_num)
+    assert r["n"] == n and r["n_agree"] == agree
+    assert r["kappa_ppm"] == expected == 600_000
+
+
+def test_kappa_perfect_and_chance(spark):
+    from flink_example_spark.operators.ml import kappa_agreement
+
+    a = spark.createDataFrame([(i, i % 2) for i in range(8)], "id long, flag long")
+    assert kappa_agreement(a, a).collect()[0]["kappa_ppm"] == 1_000_000
+    # rater b constant -> pe == max -> filtered (kappa undefined) when
+    # rater a is also constant; with a varying, denominator > 0
+    b = spark.createDataFrame([(i, 1) for i in range(8)], "id long, flag long")
+    r = kappa_agreement(a, b).collect()[0]
+    assert r["kappa_ppm"] == 0  # agreement no better than chance
