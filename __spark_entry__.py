@@ -1323,6 +1323,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_tok",
             "n_chars",
         ),
+        # McNemar paired comparison: NB vs perceptron on the SAME holdout
+        # units (discordant-pair chi-square, exact milli quantization)
+        "ml_mcnemar": _ml_mcnemar_entry,
         # Cohen's kappa between the NB language gate and the perceptron
         # (chance-corrected agreement on the shared holdout)
         "ml_kappa_agreement": _ml_kappa_entry,
@@ -3510,6 +3513,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import nb_perceptron_kappa_oracle
 
     out["ml_kappa_agreement"] = nb_perceptron_kappa_oracle()
+    from flink_example_spark.operators.ml import nb_perceptron_mcnemar_oracle
+
+    out["ml_mcnemar"] = nb_perceptron_mcnemar_oracle()
     from flink_example_spark.operators.ml import anova_oneway_oracle
 
     out["ml_anova"] = anova_oneway_oracle("events", "event_type", "value")
@@ -4863,6 +4869,37 @@ _REF_INTEGRITY_FKS = (
     ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
     ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
 )
+
+
+def _ml_mcnemar_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.ml import (
+        _perceptron_feats,
+        mcnemar_test,
+        nb_language_classifier,
+        perceptron_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    nb = nb_language_classifier(docs).select(
+        F.col("doc_id").alias("id"), F.col("is_correct").alias("correct")
+    )
+    w = perceptron_train(docs).select("j", F.col("weight").alias("w"))
+    feats = _perceptron_feats(docs, 5, train=False)
+    perc = (
+        feats.join(F.broadcast(w), "j")
+        .groupBy("id")
+        .agg(
+            (
+                F.when(F.sum(F.col("w") * F.col("x")) > 0, 1).otherwise(-1)
+                == F.max("y")
+            )
+            .cast("long")
+            .alias("correct")
+        )
+    )
+    return mcnemar_test(nb, perc)
 
 
 def _ml_kappa_entry(spark: SparkSession, sf_dir: str) -> DataFrame:

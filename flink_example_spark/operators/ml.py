@@ -4314,3 +4314,108 @@ def nb_perceptron_kappa_oracle(
                  // (n * n - (r1 * c1 + (n - r1) * (n - c1))) AS kappa_ppm
         FROM s WHERE n * n > r1 * c1 + (n - r1) * (n - c1)
     """
+
+
+def mcnemar_test(
+    preds_a: DataFrame, preds_b: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """McNemar's paired comparison — "is model B actually better than
+    model A on the SAME units": only the discordant pairs carry signal
+    (b = A right / B wrong, c = A wrong / B right), and the test
+    statistic ``(b - c)^2 / (b + c)`` is chi-square(1) under the null.
+    The paired design cancels unit difficulty — the error-bar-overlap
+    fallacy the independent-samples comparison commits.
+
+    Inputs: ``(id, correct)`` relations with BIGINT 0/1 correctness
+    flags. Exact integers throughout: b, c, the statistic's milli
+    quantization ``((b-c)^2 * 1000) div (b+c)``, plus the continuity-
+    corrected variant ``((|b-c|-1)^2 * 1000) div (b+c)`` (Edwards) —
+    the chi-square(1) 95% line is 3.841, i.e. 3841 milli. Output one
+    row: ``(n, n_b, n_c, chi2_milli, chi2_cc_milli)``.
+
+    Scale: one equi-join + one rollup.
+    """
+    j = preds_a.select(
+        F.col(id_col).alias("u"), F.col("correct").alias("ca")
+    ).join(
+        preds_b.select(F.col(id_col).alias("u"), F.col("correct").alias("cb")),
+        "u",
+    )
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((F.col("ca") == 1) & (F.col("cb") == 0)).cast("long")).alias("b"),
+        F.sum(((F.col("ca") == 0) & (F.col("cb") == 1)).cast("long")).alias("c"),
+    )
+    return s.filter(F.col("b") + F.col("c") > 0).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("b").cast("long").alias("n_b"),
+        F.col("c").cast("long").alias("n_c"),
+        F.expr("((b - c) * (b - c) * 1000) div (b + c)").alias("chi2_milli"),
+        F.expr(
+            "CASE WHEN abs(b - c) >= 1 THEN"
+            " ((abs(b - c) - 1) * (abs(b - c) - 1) * 1000) div (b + c)"
+            " ELSE 0 END"
+        ).alias("chi2_cc_milli"),
+    )
+
+
+def nb_perceptron_mcnemar_oracle(
+    n_rounds: int = 6, holdout_mod: int = 5
+) -> str:
+    """DuckDB twin of the NB-vs-perceptron McNemar row (same composed
+    scaffolds as the kappa oracle; correctness vs the true 'en' label)."""
+    from flink_example_spark.operators.text import _DUCK_NORM
+
+    feats_tr = _PERC_FEATS_SQL.format(
+        norm=_DUCK_NORM, hm=holdout_mod, op="<>", tag="_tr"
+    )
+    feats_tr = feats_tr.replace("tok AS MATERIALIZED", "ptok AS MATERIALIZED")
+    feats_tr = feats_tr.replace("FROM tok", "FROM ptok")
+    nb_sql = nb_language_oracle(holdout_mod=holdout_mod)
+    return f"""
+        WITH {feats_tr},
+        base_ho AS MATERIALIZED (
+          SELECT d.doc_id AS id,
+                 CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+                 [CAST(1 AS BIGINT), COALESCE(n_tok, 0),
+                  CAST(n_chars AS BIGINT) // 8, COALESCE(n_the, 0),
+                  COALESCE(n_dist, 0)] AS xs
+          FROM documents d LEFT JOIN ta ON ta.id = d.doc_id
+          WHERE d.doc_id % {holdout_mod} = 0
+        ),
+        feats_ho AS MATERIALIZED (
+          SELECT id, y, CAST(j - 1 AS INT) AS j, x FROM (
+            SELECT id, y, unnest(xs) AS x,
+                   generate_subscripts(xs, 1) AS j
+            FROM base_ho
+          )
+        ),
+        w0 AS (SELECT DISTINCT j, CAST(0 AS BIGINT) AS w FROM feats_tr),
+        {_perceptron_rounds_sql(n_rounds)},
+        perc AS (
+          SELECT f.id AS u,
+                 CAST(CASE WHEN (CASE WHEN SUM(w.w * f.x) > 0 THEN 1 ELSE -1
+                                 END) = MAX(f.y)
+                      THEN 1 ELSE 0 END AS BIGINT) AS cb
+          FROM feats_ho f JOIN w{n_rounds} w USING (j)
+          GROUP BY f.id
+        ),
+        nb AS (
+          SELECT doc_id AS u, CAST(is_correct AS BIGINT) AS ca
+          FROM ({nb_sql})
+        ),
+        s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN ca = 1 AND cb = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b,
+                 CAST(SUM(CASE WHEN ca = 0 AND cb = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c
+          FROM nb JOIN perc USING (u)
+        )
+        SELECT n, b AS n_b, c AS n_c,
+               ((b - c) * (b - c) * 1000) // (b + c) AS chi2_milli,
+               CASE WHEN abs(b - c) >= 1 THEN
+                 ((abs(b - c) - 1) * (abs(b - c) - 1) * 1000) // (b + c)
+               ELSE 0 END AS chi2_cc_milli
+        FROM s WHERE b + c > 0
+    """

@@ -816,3 +816,18 @@ def test_kappa_perfect_and_chance(spark):
     b = spark.createDataFrame([(i, 1) for i in range(8)], "id long, flag long")
     r = kappa_agreement(a, b).collect()[0]
     assert r["kappa_ppm"] == 0  # agreement no better than chance
+
+
+def test_mcnemar_discordant_pairs(spark):
+    from flink_example_spark.operators.ml import mcnemar_test
+
+    # 12 units: both right on 5, both wrong on 1, A-only right on 4,
+    # B-only right on 2 -> b=4, c=2, chi2 = 4/6, cc = 1/6
+    ca = [1] * 5 + [0] + [1] * 4 + [0] * 2
+    cb = [1] * 5 + [0] + [0] * 4 + [1] * 2
+    a = spark.createDataFrame(list(enumerate(ca)), "id long, correct long")
+    b = spark.createDataFrame(list(enumerate(cb)), "id long, correct long")
+    r = mcnemar_test(a, b).collect()[0]
+    assert (r["n"], r["n_b"], r["n_c"]) == (12, 4, 2)
+    assert r["chi2_milli"] == (4 - 2) ** 2 * 1000 // 6 == 666
+    assert r["chi2_cc_milli"] == (2 - 1) ** 2 * 1000 // 6 == 166
