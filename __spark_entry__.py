@@ -2483,6 +2483,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 for t in ("lineitem", "supplier", "nation", "part")
             )
         ),
+        # Bloom sizing study: the SAME nation filters at m=4096 vs 65536
+        # bits — the measured fpp/memory tradeoff a planner consults
+        "sketch_bloom_sizing": _bloom_sizing_entry,
         "sketch_hll_distinct": hll_entry,
         "sketch_overlap": kmv_overlap_entry,
         "sketch_quantiles": quantile_entry,
@@ -4277,6 +4280,11 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.sketch import bloom_partkey_filter_oracle
 
     out["sketch_bloom_filter"] = bloom_partkey_filter_oracle()
+    out["sketch_bloom_sizing"] = " UNION ALL ".join(
+        f"SELECT CAST({m} AS BIGINT) AS m_bits, * FROM"
+        f" ({bloom_partkey_filter_oracle(m_bits=m)})"
+        for m in (4096, 65536)
+    )
     out["sketch_join_size"] = join_size_oracle(
         "orders", "customer", "o_custkey", "c_custkey", width=4096
     )
@@ -4981,6 +4989,22 @@ def _ref_integrity_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name, c, ccol, p, pcol in _REF_INTEGRITY_FKS
         ]
     )
+
+
+def _bloom_sizing_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.sketch import bloom_partkey_filter
+    from flink_example_spark.tables import load_table
+
+    tabs = [load_table(spark, sf_dir, t) for t in ("lineitem", "supplier", "nation", "part")]
+    out = None
+    for m in (4096, 65536):
+        part = bloom_partkey_filter(*tabs, m_bits=m).select(
+            F.lit(m).cast("long").alias("m_bits"), "*"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def _graph_modularity_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
