@@ -64,6 +64,24 @@ def _q_target_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.asof import asof_nearest
+    from flink_example_spark.plans.events_demo import feature_history, load_events
+
+    ev = load_events(spark, sf_dir)
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("user_id").alias("_entity"),
+        F.col("ts").alias("_probe_time"),
+    )
+    return asof_nearest(
+        probes, feature_history(ev), on="_entity",
+        probe_time="_probe_time", probe_id="event_id",
+    )
+
+
 def _q_feature_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned feature table (T4): cumulative per-key version history."""
     from flink_example_spark.plans.events_demo import feature_history, load_events
@@ -5239,6 +5257,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "features_agg": _q_features_agg,
         "target_agg": _q_target_agg,
         "feature_history": _q_feature_history,
+        # nearest-in-time as-of (merge_asof direction='nearest'): two
+        # directional as-ofs composed, backward wins distance ties
+        "asof_nearest_labels": _q_asof_nearest,
         # snapshot-expiry dry run over the versioned feature table:
         # retain-last-3 per entity, auditable reclaim counts
         "versioned_expiry_plan": lambda spark, sf_dir: __import__(
@@ -5582,6 +5603,32 @@ def _all_oracles() -> dict[str, str]:
     from flink_example_spark.operators.versioned import expiry_plan_oracle
 
     out["versioned_expiry_plan"] = expiry_plan_oracle(_FH_SQL)
+    out["asof_nearest_labels"] = f"""
+        WITH fh AS MATERIALIZED ({_FH_SQL}),
+        probes AS (
+          SELECT event_id, user_id AS _entity, ts AS _probe_time
+          FROM events WHERE event_type = 'purchase'
+        ),
+        cand AS (
+          SELECT p.event_id, f._change_time, f.loss_value,
+                 abs(epoch_us(p._probe_time) - epoch_us(f._change_time)) AS ad,
+                 CASE WHEN f._change_time <= p._probe_time THEN 0 ELSE 1 END
+                   AS fwd
+          FROM probes p JOIN fh f USING (_entity)
+        ),
+        best AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                         ORDER BY ad, fwd) AS rn
+            FROM cand
+          ) WHERE rn = 1
+        )
+        SELECT p.event_id, p._entity, p._probe_time, b.loss_value,
+               b._change_time AS _matched_time,
+               CASE WHEN b.fwd = 0 THEN 'backward'
+                    WHEN b.fwd = 1 THEN 'forward' END AS _direction
+        FROM probes p LEFT JOIN best b USING (event_id)
+    """
     out["streaming_incremental_history"] = out["feature_history"]
     out["feature_history_salted"] = out["feature_history"]
     out["streaming_dedup_exact"] = out["dedup_exact"]

@@ -291,3 +291,81 @@ def _asof_pandas(probes, versions, keys, probe_time, version_time, vcols, how, d
 
     grouped = probes.groupBy(*keys).cogroup(versions.groupBy(*keys))
     return grouped.applyInPandas(merge, schema=out_schema)
+
+
+def asof_nearest(
+    probes: DataFrame,
+    versions: DataFrame,
+    on: str | Sequence[str],
+    probe_time: str,
+    probe_id: str,
+    version_time: str = "_change_time",
+    strategy: str = "union",
+) -> DataFrame:
+    """Nearest-in-time as-of join (pandas ``merge_asof(direction=
+    'nearest')``) — sensor-fusion semantics: each probe takes whichever
+    version is CLOSEST in event time, before or after. Ties (equal
+    distances) resolve to the backward match (the earlier version —
+    deterministic, and the convention that never peeks later than it
+    must).
+
+    Composed from the two directional as-ofs this module already
+    provides (each the efficient union/rank/pandas strategy, not a
+    brute-force candidate join): the matched version time rides along
+    (the tolerance-path device), and one CASE per probe picks the
+    smaller |delta|. ``probe_id`` must uniquely identify probe rows
+    (the recombination join key).
+
+    Output: probes' columns + versions' value columns +
+    ``_matched_time`` + ``_direction`` ('backward'/'forward', NULL when
+    unmatched).
+    """
+    keys = _as_list(on)
+    matched = "__asof_matched_time"
+    vers = versions.withColumn(
+        matched, F.when(F.col(version_time).isNotNull(), F.col(version_time))
+    )
+    vcols = [c for c in versions.columns if c not in (*keys, version_time)]
+
+    def side(direction: str, tag: str) -> DataFrame:
+        j = asof_join(
+            probes,
+            vers,
+            on=on,
+            probe_time=probe_time,
+            version_time=version_time,
+            how="left",
+            strategy=strategy,
+            direction=direction,
+        )
+        sel = [F.col(probe_id)] + [
+            F.col(c).alias(f"{c}__{tag}") for c in (*vcols, matched)
+        ]
+        return j.select(*sel)
+
+    b = side("backward", "b")
+    f = side("forward", "f")
+    base = probes.join(b, probe_id, "left").join(f, probe_id, "left")
+    mb = F.col(f"{matched}__b")
+    mf = F.col(f"{matched}__f")
+    pt = F.col(probe_time)
+    d_b = F.unix_micros(pt.cast("timestamp")) - F.unix_micros(
+        mb.cast("timestamp")
+    )
+    d_f = F.unix_micros(mf.cast("timestamp")) - F.unix_micros(
+        pt.cast("timestamp")
+    )
+    use_b = mb.isNotNull() & (mf.isNull() | (d_b <= d_f))
+    out_cols = list(probes.columns)
+    picked = [
+        F.when(use_b, F.col(f"{c}__b")).otherwise(F.col(f"{c}__f")).alias(c)
+        for c in vcols
+    ]
+    return base.select(
+        *out_cols,
+        *picked,
+        F.when(use_b, mb).otherwise(mf).alias("_matched_time"),
+        F.when(use_b, F.lit("backward"))
+        .when(mf.isNotNull(), F.lit("forward"))
+        .alias("_direction"),
+    )

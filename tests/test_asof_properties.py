@@ -268,3 +268,39 @@ def test_tolerance_bounds_staleness(spark):
             how="inner", tolerance="6 minutes",
         )
         assert {r["pid"] for r in inner.collect()} == {0, 1}, strategy
+
+
+def test_asof_nearest_picks_closer_side_and_tie_backward(spark):
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from flink_example_spark.operators.asof import asof_nearest
+
+    def ts(s):
+        return datetime.fromtimestamp(1000 + s, tz=timezone.utc)
+
+    versions = spark.createDataFrame(
+        [("u", ts(0), 10.0), ("u", ts(100), 20.0)],
+        "_entity string, _change_time timestamp, loss_value double",
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, "u", ts(10)),   # closer to t=0 -> backward, 10.0
+            (2, "u", ts(90)),   # closer to t=100 -> forward, 20.0
+            (3, "u", ts(50)),   # exact tie -> backward wins
+            (4, "v", ts(50)),   # unknown entity -> unmatched
+        ],
+        "event_id long, _entity string, _probe_time timestamp",
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_nearest(
+            probes, versions, on="_entity",
+            probe_time="_probe_time", probe_id="event_id",
+        ).collect()
+    }
+    assert (out[1]["loss_value"], out[1]["_direction"]) == (10.0, "backward")
+    assert (out[2]["loss_value"], out[2]["_direction"]) == (20.0, "forward")
+    assert (out[3]["loss_value"], out[3]["_direction"]) == (10.0, "backward")
+    assert out[4]["loss_value"] is None and out[4]["_direction"] is None
