@@ -1257,6 +1257,15 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the term graph is built ONCE and checkpointed: LPA and the
         # modularity aggregate both read it)
         "graph_modularity": _graph_modularity_entry,
+        # log2-binned degree distribution of the term graph (power-law
+        # profile + edge-mass skew per bin)
+        "graph_degree_profile": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.graph", fromlist=["degree_profile"]
+        ).degree_profile(
+            __import__(
+                "flink_example_spark.operators.graph", fromlist=["term_graph"]
+            ).term_graph(_docs(spark, sf_dir), min_weight=2),
+        ),
         # degree assortativity of the term graph (Newman r): exact
         # integer sums, one fixed double expression at output
         "graph_assortativity": lambda spark, sf_dir: __import__(
@@ -3475,6 +3484,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.graph import link_prediction_oracle
 
     out["graph_link_prediction"] = link_prediction_oracle(term_graph_sql(2))
+    from flink_example_spark.operators.graph import degree_profile_oracle
+
+    out["graph_degree_profile"] = degree_profile_oracle(term_graph_sql(2))
     from flink_example_spark.operators.graph import assortativity_oracle
 
     out["graph_assortativity"] = assortativity_oracle(term_graph_sql(2))

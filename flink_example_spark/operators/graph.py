@@ -1187,3 +1187,71 @@ def assortativity_oracle(edges_sql: str) -> str:
         FROM s
         WHERE m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
     """
+
+
+def degree_profile(edges: DataFrame) -> DataFrame:
+    """Log2-binned degree distribution — the first thing to look at on
+    any large graph (a straight line across the log bins is the
+    power-law signature; a hump means a characteristic scale). Bins via
+    the integer-log2 device ``length(bin(d)) - 1`` — exact in any
+    engine, and the natural binning for heavy tails.
+
+    Input: symmetric (src, dst[, w]) edges. Output per bin:
+    ``(deg_bin, lo_deg, n_nodes, edge_endpoints, share_ppm)`` where
+    ``edge_endpoints`` sums the bin's degrees (its share of edge mass —
+    the skew number a partitioner cares about) and ``share_ppm`` is the
+    exact node-share trunc-div.
+
+    Scale: one degree aggregation, one bin rollup — both
+    key-cardinality-sized.
+    """
+    from pyspark.sql import Window
+
+    deg = (
+        edges.select("src", "dst")
+        .distinct()
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    binned = deg.withColumn(
+        "deg_bin", F.expr("length(bin(d)) - 1")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        binned.groupBy("deg_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").alias("edge_endpoints"),
+        )
+        .withColumn("lo_deg", F.expr("CAST(pow(2, deg_bin) AS BIGINT)"))
+        .withColumn("n_total", F.sum("n_nodes").over(wall))
+        .select(
+            F.col("deg_bin").cast("long").alias("deg_bin"),
+            "lo_deg",
+            "n_nodes",
+            "edge_endpoints",
+            F.expr("(n_nodes * 1000000) div n_total").alias("share_ppm"),
+        )
+    )
+
+
+def degree_profile_oracle(edges_sql: str) -> str:
+    """DuckDB twin of :func:`degree_profile`."""
+    return f"""
+        WITH deg AS (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+          FROM (SELECT DISTINCT src, dst FROM ({edges_sql})) GROUP BY 1
+        ),
+        binned AS (
+          SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS deg_bin, d FROM deg
+        )
+        SELECT deg_bin,
+               CAST(pow(2, deg_bin) AS BIGINT) AS lo_deg,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(d) AS BIGINT) AS edge_endpoints,
+               (CAST(COUNT(*) AS BIGINT) * 1000000)
+                 // CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS share_ppm
+        FROM binned GROUP BY 1
+    """
