@@ -185,6 +185,28 @@ HEADLINE = [
     "timeseries_granger",
     "cep_top_paths",
     "timeseries_holt",
+    # added round 7 continuation-2, later waves
+    "graph_assortativity",
+    "graph_degree_profile",
+    "timeseries_locf",
+    "timeseries_logrank",
+    "timeseries_spectral_peak",
+    "timeseries_dtw_matrix",
+    "ml_anova",
+    "ml_pr_curve",
+    "ml_kappa_agreement",
+    "ml_mcnemar",
+    "ml_shap_linear",
+    "cep_session_surprisal",
+    "curation_novelty_score",
+    "versioned_expiry_plan",
+    "ann_cluster_sample",
+    "text_rake_keywords",
+    "multimodal_silence",
+    "multimodal_equalize",
+    "sketch_bloom_sizing",
+    "asof_nearest_labels",
+    "entity_blocking_eval",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite
