@@ -1313,6 +1313,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_tok",
             "n_chars",
         ),
+        # permutation feature importance, exactly and RNG-free: the md5
+        # double-rank permutation device; drop in R^2 when each feature
+        # is shuffled against the rest
+        "ml_perm_importance": _ml_perm_importance_entry,
         # exact Shapley split of explained variance between the two
         # features of the chars model (all 4 subset fits from one pass)
         "ml_shap_linear": lambda spark, sf_dir: __import__(
@@ -3532,6 +3536,33 @@ def _northstar_oracles() -> dict[str, str]:
         "n_uniq",
         "n_chars",
     )
+    from flink_example_spark.operators.ml import _permuted_units_sql
+
+    _pi_units = (
+        "SELECT doc_id AS id, n_chars, len(list_filter(string_split_regex("
+        f"{text._DUCK_NORM}, '\\s+'), t -> t <> '')) AS n_tok, "
+        "len(list_distinct(list_filter(string_split_regex("
+        f"{text._DUCK_NORM}, '\\s+'), t -> t <> ''))) AS n_uniq FROM documents"
+    )
+    out["ml_perm_importance"] = " UNION ALL ".join(
+        f"SELECT '{tag}' AS perm, n, r2_full_ppm FROM"
+        f" ({shap_linear_oracle(srcsql, 'n_tok', 'n_uniq', 'n_chars')})"
+        for tag, srcsql in [
+            ("none", _pi_units),
+            (
+                "n_tok",
+                _permuted_units_sql(
+                    _pi_units, "n_tok", "id", ["id", "n_chars", "n_uniq"]
+                ),
+            ),
+            (
+                "n_uniq",
+                _permuted_units_sql(
+                    _pi_units, "n_uniq", "id", ["id", "n_chars", "n_tok"]
+                ),
+            ),
+        ]
+    )
     from flink_example_spark.operators.ml import learning_curve_oracle
 
     out["ml_learning_curve"] = learning_curve_oracle(
@@ -4907,6 +4938,37 @@ _REF_INTEGRITY_FKS = (
     ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
     ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
 )
+
+
+def _ml_perm_importance_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.ml import permuted_column, shap_linear
+    from flink_example_spark.operators import text
+
+    units = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        "n_chars",
+        F.size(
+            F.array_remove(text.tokens(text.normalized(F.col("text"))), "")
+        ).alias("n_tok"),
+        F.size(
+            F.array_distinct(
+                F.array_remove(text.tokens(text.normalized(F.col("text"))), "")
+            )
+        ).alias("n_uniq"),
+    ).localCheckpoint(eager=False)
+
+    def fit(df, tag):
+        return shap_linear(df, "n_tok", "n_uniq", "n_chars").select(
+            F.lit(tag).alias("perm"), "n", "r2_full_ppm"
+        )
+
+    return (
+        fit(units, "none")
+        .unionByName(fit(permuted_column(units, "n_tok", "id"), "n_tok"))
+        .unionByName(fit(permuted_column(units, "n_uniq", "id"), "n_uniq"))
+    )
 
 
 def _ml_mcnemar_entry(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4419,3 +4419,53 @@ def nb_perceptron_mcnemar_oracle(
                ELSE 0 END AS chi2_cc_milli
         FROM s WHERE b + c > 0
     """
+
+
+def permuted_column(
+    df: DataFrame, perm_col: str, id_col: str, salt: str = "p"
+) -> DataFrame:
+    """Deterministic permutation of ONE column against the rest of the
+    relation — the RNG-free shuffle behind exact permutation importance:
+    rows rank by ``(md5(id), id)``; the permuted column's values rank by
+    an INDEPENDENT order ``(md5(salt || id), id)``; pairing the two ranks
+    is a uniform derangement-in-expectation permutation any engine
+    reproduces bit-for-bit (md5 hex ordering is plain lexicographic).
+
+    Scale: two ranking windows + one equi-join on rank — all over the
+    unit relation.
+    """
+    others = [c for c in df.columns if c != perm_col]
+    w1 = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    w2 = Window.orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    r1 = df.select(*others, F.row_number().over(w1).alias("__rk"))
+    r2 = df.select(
+        F.col(perm_col), F.row_number().over(w2).alias("__rk")
+    )
+    return r1.join(r2, "__rk").drop("__rk")
+
+
+def _permuted_units_sql(
+    units_sql: str, perm_col: str, id_col: str, other_cols: list[str],
+    salt: str = "p",
+) -> str:
+    """DuckDB twin of :func:`permuted_column` over a units subquery."""
+    oc = ", ".join(other_cols)
+    return f"""(
+        WITH pbase AS MATERIALIZED (SELECT * FROM ({units_sql})),
+        pr1 AS (
+          SELECT {oc},
+                 ROW_NUMBER() OVER (ORDER BY md5(CAST({id_col} AS VARCHAR)),
+                                    {id_col}) AS rk
+          FROM pbase
+        ),
+        pr2 AS (
+          SELECT {perm_col},
+                 ROW_NUMBER() OVER (ORDER BY
+                   md5('{salt}' || CAST({id_col} AS VARCHAR)), {id_col}) AS rk
+          FROM pbase
+        )
+        SELECT pr1.*, pr2.{perm_col} FROM pr1 JOIN pr2 USING (rk)
+    )"""

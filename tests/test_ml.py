@@ -831,3 +831,39 @@ def test_mcnemar_discordant_pairs(spark):
     assert (r["n"], r["n_b"], r["n_c"]) == (12, 4, 2)
     assert r["chi2_milli"] == (4 - 2) ** 2 * 1000 // 6 == 666
     assert r["chi2_cc_milli"] == (2 - 1) ** 2 * 1000 // 6 == 166
+
+
+def test_permuted_column_is_a_permutation(spark):
+    from flink_example_spark.operators.ml import permuted_column
+
+    rows = [(i, i * 10, i * 100) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    p = permuted_column(df, "a", "id")
+    out = p.collect()
+    # multiset of the permuted column preserved; other columns untouched rows
+    assert sorted(r["a"] for r in out) == sorted(r[1] for r in rows)
+    assert {(r["id"], r["b"]) for r in out} == {(i, b) for i, _, b in rows}
+    # deterministic: same result twice
+    out2 = {(r["id"], r["a"]) for r in permuted_column(df, "a", "id").collect()}
+    assert {(r["id"], r["a"]) for r in out} == out2
+    # and it actually permutes (some value moved)
+    assert any(r["a"] != r["id"] * 10 for r in out)
+
+
+def test_perm_importance_kills_the_real_feature(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from flink_example_spark.operators.ml import permuted_column, shap_linear
+
+    rows = [(i, i % 7, 3 * (i % 7) + 100, 5 + (i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, a long, y long, b long")
+    full = shap_linear(df, "a", "b", "y").collect()[0]["r2_full_ppm"]
+    pa = shap_linear(permuted_column(df, "a", "id"), "a", "b", "y").collect()[0][
+        "r2_full_ppm"
+    ]
+    pb = shap_linear(permuted_column(df, "b", "id"), "a", "b", "y").collect()[0][
+        "r2_full_ppm"
+    ]
+    assert full > 990_000
+    assert full - pa > 500_000  # shuffling the real feature destroys the fit
+    assert full - pb < 100_000  # shuffling the noise feature costs ~nothing
