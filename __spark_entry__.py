@@ -2231,6 +2231,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeseries_dtw_matrix": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.timeseries", fromlist=["dtw_matrix"]
         ).dtw_matrix(_events(spark, sf_dir), "event_type", "ts", "value"),
+        # STL seasonal-strength diagnostic: 1 - Var(remainder)/Var(detrended)
+        # in exact ppm over the decompose arithmetic
+        "timeseries_season_strength": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries",
+            fromlist=["season_strength"],
+        ).season_strength(_events(spark, sf_dir), "event_type", "ts", "value"),
         # dominant-cycle detector: integer DCT over the last 24 days per
         # key (embedded cosine literals — no engine-side transcendental)
         "timeseries_spectral_peak": lambda spark, sf_dir: __import__(
@@ -4279,6 +4285,11 @@ def _northstar_oracles() -> dict[str, str]:
     )
     # the live screen converges to the batch scan exactly
     out["streaming_granger"] = out["timeseries_granger"]
+    from flink_example_spark.operators.timeseries import season_strength_oracle
+
+    out["timeseries_season_strength"] = season_strength_oracle(
+        "events", "event_type", "ts", "value"
+    )
     from flink_example_spark.operators.timeseries import dtw_matrix_oracle
 
     out["timeseries_dtw_matrix"] = dtw_matrix_oracle(

@@ -2737,3 +2737,152 @@ def dtw_matrix_oracle(
                dp AS dtw_dist
         FROM wf{2 * n - 2}"""
     return ",\n        ".join(parts) + final
+
+
+def season_strength(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 24,
+    step_sec: int = 3600,
+    scale: int = 100,
+) -> DataFrame:
+    """Seasonal-strength metric ``F_s = 1 - Var(remainder) /
+    Var(detrended)`` (Hyndman's STL diagnostic) — the one-number answer
+    to "does this series actually have the daily shape
+    ``seasonal_decompose`` extracted, or was that noise".
+
+    Mirrors the decompose arithmetic exactly (same 48th-unit detrend,
+    same complete-window gating); the remainder at each bucket is the
+    exact integer ``d * s_cnt - s_num`` over its phase's profile,
+    truncated back to centi-units BEFORE squaring
+    (quantize-before-accumulate), and the variance ratio leaves as ONE
+    DECIMAL(38) trunc-division in ppm. F_s near 1e6 = strongly
+    seasonal; near 0 = the profile explains nothing.
+
+    Output per key: ``(key, n_buckets, strength_ppm)``.
+    """
+    if period % 2 != 0:
+        raise ValueError("period must be even")
+    half = period // 2
+    step_us = int(step_sec) * 1_000_000
+    hx = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("k"),
+            F.expr(
+                f"unix_micros(cast({ts_col} as timestamp)) div {step_us}"
+            ).alias("b"),
+            F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("bigint").alias("vq"),
+        )
+        .groupBy("k", "b")
+        .agg(F.sum("vq").alias("x"))
+    )
+    win = Window.partitionBy("k").orderBy("b").rowsBetween(-half, half)
+    wo = Window.partitionBy("k").orderBy("b")
+    w = hx.select(
+        "k",
+        "b",
+        "x",
+        F.sum("x").over(win).alias("s_ma"),
+        F.count(F.lit(1)).over(win).alias("c_ma"),
+        F.lag("x", half).over(wo).alias("xm"),
+        F.lead("x", half).over(wo).alias("xp"),
+    ).filter(
+        (F.col("c_ma") == period + 1)
+        & F.col("xm").isNotNull()
+        & F.col("xp").isNotNull()
+    )
+    d = w.select(
+        "k",
+        (F.col("b") % period).alias("phase"),
+        (
+            F.lit(2 * period) * F.col("x")
+            - (F.lit(2) * F.col("s_ma") - F.col("xm") - F.col("xp"))
+        ).alias("d"),
+    ).localCheckpoint(eager=False)  # profile AND remainder both read it
+    prof = d.groupBy("k", "phase").agg(
+        F.count(F.lit(1)).alias("s_cnt"), F.sum("d").alias("s_num")
+    )
+    q = d.join(prof, ["k", "phase"]).select(
+        "k",
+        F.expr(f"d div {2 * period}").alias("dq"),
+        F.expr(f"(d * s_cnt - s_num) div ({2 * period} * s_cnt)").alias("rq"),
+    )
+    s = q.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dq").alias("sd"),
+        F.sum(F.col("dq") * F.col("dq")).alias("qd"),
+        F.sum("rq").alias("sr"),
+        F.sum(F.col("rq") * F.col("rq")).alias("qr"),
+    )
+    dec = "CAST({} AS DECIMAL(19,0))"
+    return (
+        s.withColumn("den", F.col("n") * F.col("qd") - F.col("sd") * F.col("sd"))
+        .withColumn("num", F.col("n") * F.col("qr") - F.col("sr") * F.col("sr"))
+        .filter(F.col("den") > 0)
+        .select(
+            F.col("k").alias(key_col),
+            F.col("n").cast("long").alias("n_buckets"),
+            F.expr(
+                f"1000000 - CAST(({dec.format('num')} * 1000000)"
+                f" div {dec.format('den')} AS BIGINT)"
+            ).alias("strength_ppm"),
+        )
+    )
+
+
+def season_strength_oracle(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 24,
+    step_sec: int = 3600,
+    scale: int = 100,
+) -> str:
+    """DuckDB twin of :func:`season_strength`."""
+    half = period // 2
+    step_us = int(step_sec) * 1_000_000
+    return f"""
+        WITH hx AS MATERIALIZED (
+          SELECT {key_col} AS k, epoch_us({ts_col}) // {step_us} AS b,
+                 CAST(SUM(CAST(floor({value_col} * {scale} + 0.5) AS BIGINT))
+                      AS BIGINT) AS x
+          FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
+        ), w AS MATERIALIZED (
+          SELECT k, b, x,
+                 SUM(x) OVER win AS s_ma,
+                 COUNT(*) OVER win AS c_ma,
+                 LAG(x, {half}) OVER (PARTITION BY k ORDER BY b) AS xm,
+                 LEAD(x, {half}) OVER (PARTITION BY k ORDER BY b) AS xp
+          FROM hx
+          WINDOW win AS (PARTITION BY k ORDER BY b
+                         ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)
+        ), d AS MATERIALIZED (
+          SELECT k, b % {period} AS phase,
+                 {2 * period} * x - (2 * s_ma - xm - xp) AS d
+          FROM w
+          WHERE c_ma = {period + 1} AND xm IS NOT NULL AND xp IS NOT NULL
+        ), prof AS (
+          SELECT k, phase, CAST(COUNT(*) AS BIGINT) AS s_cnt,
+                 CAST(SUM(d) AS BIGINT) AS s_num
+          FROM d GROUP BY 1, 2
+        ), q AS (
+          SELECT d.k, d.d // {2 * period} AS dq,
+                 (d.d * s_cnt - s_num) // ({2 * period} * s_cnt) AS rq
+          FROM d JOIN prof USING (k, phase)
+        ), s AS (
+          SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(dq) AS BIGINT) AS sd,
+                 CAST(SUM(dq*dq) AS BIGINT) AS qd,
+                 CAST(SUM(rq) AS BIGINT) AS sr,
+                 CAST(SUM(rq*rq) AS BIGINT) AS qr
+          FROM q GROUP BY 1
+        )
+        SELECT k AS {key_col}, n AS n_buckets,
+               1000000 - CAST((CAST(n*qr - sr*sr AS HUGEINT) * 1000000)
+                 // CAST(n*qd - sd*sd AS HUGEINT) AS BIGINT) AS strength_ppm
+        FROM s WHERE n*qd - sd*sd > 0
+    """

@@ -539,3 +539,30 @@ def test_dtw_identical_series_zero(spark):
     df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
     r = dtw_matrix(df, "event_type", "ts", "value").collect()[0]
     assert r["dtw_dist"] == 0 and r["n_points"] == 24
+
+
+def test_season_strength_separates_seasonal_from_noise(spark):
+    """A pure daily sine-like profile scores near 1e6; a linear ramp
+    (no daily shape) scores near 0."""
+    from datetime import datetime, timedelta, timezone
+
+    from flink_example_spark.operators.timeseries import season_strength
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = []
+    prof = [10, 40, 90, 140, 180, 190, 170, 130, 80, 30, 5, 0] * 2  # 24h shape
+    for h in range(24 * 6):
+        rows.append(("seasonal", base + timedelta(hours=h), float(prof[h % 24])))
+        # perfect ramp: detrends to a constant -> Var(detrended) = 0 ->
+        # F_s undefined -> key filtered (the honest NULL)
+        rows.append(("ramp", base + timedelta(hours=h), float(h)))
+        # aperiodic pseudo-noise: no 24h structure -> low strength
+        rows.append(("noise", base + timedelta(hours=h), float(h * 37 % 101)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        r["event_type"]: r["strength_ppm"]
+        for r in season_strength(df, "event_type", "ts", "value").collect()
+    }
+    assert out["seasonal"] > 900_000
+    assert "ramp" not in out
+    assert out["noise"] < out["seasonal"] - 300_000
