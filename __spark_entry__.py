@@ -1406,6 +1406,19 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id",
             F.col("event_type") == "purchase",
         ),
+        # the SAME boosting with a held-out generalization curve (md5
+        # bucket split; train + holdout SSE per round)
+        "ml_gbm_holdout": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["gbm_stumps_eval"]
+        ).gbm_stumps_eval(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "lineitem"),
+            _GBM_TARGET,
+            list(_GBM_FEATS),
+            "l_orderkey * 8 + l_linenumber",
+            rounds=3,
+        ),
         # gradient-boosted regression stumps (L2 loss): exact integer
         # residual boosting, trunc-div leaf shrinkage, per-round SSE
         "ml_gbm_stumps": lambda spark, sf_dir: __import__(
@@ -3620,6 +3633,15 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["ml_gbm_stumps"] = gbm_stumps_oracle(
         "SELECT * FROM lineitem", _GBM_TARGET, list(_GBM_FEATS), rounds=3
+    )
+    from flink_example_spark.operators.ml import gbm_stumps_eval_oracle
+
+    out["ml_gbm_holdout"] = gbm_stumps_eval_oracle(
+        "SELECT * FROM lineitem",
+        _GBM_TARGET,
+        list(_GBM_FEATS),
+        "l_orderkey * 8 + l_linenumber",
+        rounds=3,
     )
     from flink_example_spark.operators.ml import regression_eval_oracle
 

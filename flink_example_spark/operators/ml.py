@@ -4469,3 +4469,253 @@ def _permuted_units_sql(
         )
         SELECT pr1.*, pr2.{perm_col} FROM pr1 JOIN pr2 USING (rk)
     )"""
+
+
+def gbm_stumps_eval(
+    df: DataFrame,
+    target_sql: str,
+    features: list[tuple[str, str, int]],
+    id_sql: str,
+    rounds: int = 3,
+    lr_den: int = 2,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """:func:`gbm_stumps` with a HELD-OUT generalization curve — the
+    overfitting monitor every boosting run needs: stumps train on the
+    md5-bucket lower half of the units and the SAME corrections apply to
+    the upper half, so each round reports train AND holdout SSE (exact
+    BIGINTs; the holdout curve turning up is the early-stopping signal).
+
+    Identical split-search/leaf arithmetic to ``gbm_stumps``; the
+    holdout residual frame rides the same broadcast one-row stump join.
+    Output per round: ``(boost_round, feat, cut_q, leaf_l, leaf_r,
+    sse_train, sse_holdout)``.
+    """
+    fnames = [name for name, _, _ in features]
+    h = F.expr(
+        f"CAST(conv(substring(md5(CAST(({id_sql}) AS STRING)), 1, 8), 16, 10)"
+        f" AS BIGINT) % {n_buckets}"
+    )
+    sel = [
+        h.alias("bkt"),
+        F.expr(f"CAST(floor(({target_sql}) + 0.5) AS BIGINT)").alias("yq"),
+    ] + [
+        F.expr(f"CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)").alias(name)
+        for name, expr, scale in features
+    ]
+    base = df.select(*sel).filter(F.col("yq").isNotNull())
+    for n in fnames:
+        base = base.filter(F.col(n).isNotNull())
+    half = n_buckets // 2
+    train = base.filter(F.col("bkt") < half).drop("bkt")
+    ho = base.filter(F.col("bkt") >= half).drop("bkt")
+    f0 = train.agg(F.expr("sum(yq) div count(1)").alias("f0"))
+    resid = (
+        train.crossJoin(F.broadcast(f0))
+        .select(*fnames, (F.col("yq") - F.col("f0")).alias("r"))
+        .localCheckpoint(eager=False)
+    )
+    ho_resid = (
+        ho.crossJoin(F.broadcast(f0))
+        .select(*fnames, (F.col("yq") - F.col("f0")).alias("r"))
+        .localCheckpoint(eager=False)
+    )
+    stack_expr = (
+        f"stack({len(fnames)}, "
+        + ", ".join(f"'{n}', {n}" for n in fnames)
+        + ") AS (feat, xq)"
+    )
+    wl = Window.partitionBy("feat").orderBy("xq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("feat").orderBy("xq").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    chosen = lambda: F.coalesce(
+        *[F.when(F.col("feat") == n, F.col(n)) for n in fnames]
+    )
+    out_rows = []
+    for m in range(1, rounds + 1):
+        long = resid.selectExpr(stack_expr, "r")
+        pv = long.groupBy("feat", "xq").agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("r").alias("s0"),
+            F.sum(F.col("r") * F.col("r")).alias("q0"),
+        )
+        cuts = pv.select(
+            "feat",
+            "xq",
+            F.sum("c").over(wl).alias("nl"),
+            F.sum("s0").over(wl).alias("sl"),
+            F.sum("q0").over(wl).alias("ql"),
+            F.sum("c").over(wt).alias("n"),
+            F.sum("s0").over(wt).alias("s"),
+            F.sum("q0").over(wt).alias("q"),
+        ).filter(F.col("nl") < F.col("n"))
+        nr = F.col("n") - F.col("nl")
+        sr = F.col("s") - F.col("sl")
+        qr = F.col("q") - F.col("ql")
+        scored = cuts.select(
+            "feat",
+            "xq",
+            F.expr(f"sl div ({lr_den} * nl)").alias("leaf_l"),
+            (
+                (F.col("nl") * F.col("ql") - F.col("sl") * F.col("sl")).cast(
+                    "double"
+                )
+                / F.col("nl").cast("double")
+                + (nr * qr - sr * sr).cast("double") / nr.cast("double")
+            ).alias("cost"),
+            F.expr(f"(s - sl) div ({lr_den} * (n - nl))").alias("leaf_r"),
+        )
+        top = Window.orderBy("cost", "feat", "xq")
+        best = (
+            scored.withColumn("__rn", F.row_number().over(top))
+            .filter(F.col("__rn") == 1)
+            .select("feat", F.col("xq").alias("cut_q"), "leaf_l", "leaf_r")
+            .localCheckpoint(eager=False)
+        )
+
+        def apply_round(frame: DataFrame) -> DataFrame:
+            return (
+                frame.crossJoin(F.broadcast(best))
+                .select(
+                    *fnames,
+                    (
+                        F.col("r")
+                        - F.when(
+                            chosen() <= F.col("cut_q"), F.col("leaf_l")
+                        ).otherwise(F.col("leaf_r"))
+                    ).alias("r"),
+                )
+                .localCheckpoint(eager=False)
+            )
+
+        resid = apply_round(resid)
+        ho_resid = apply_round(ho_resid)
+        sse_t = resid.agg(F.sum(F.col("r") * F.col("r")).alias("sse_train"))
+        sse_h = ho_resid.agg(
+            F.sum(F.col("r") * F.col("r")).alias("sse_holdout")
+        )
+        out_rows.append(
+            best.crossJoin(F.broadcast(sse_t))
+            .crossJoin(F.broadcast(sse_h))
+            .select(
+                F.lit(m).alias("boost_round"),
+                "feat",
+                "cut_q",
+                "leaf_l",
+                "leaf_r",
+                "sse_train",
+                "sse_holdout",
+            )
+        )
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def gbm_stumps_eval_oracle(
+    source_sql: str,
+    target_sql: str,
+    features: list[tuple[str, str, int]],
+    id_sql: str,
+    rounds: int = 3,
+    lr_den: int = 2,
+    n_buckets: int = 16,
+) -> str:
+    """DuckDB twin of :func:`gbm_stumps_eval`."""
+    fnames = [name for name, _, _ in features]
+    fsel = ", ".join(
+        f"CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT) AS {name}"
+        for name, expr, scale in features
+    )
+    notnull = " AND ".join([f"({target_sql}) IS NOT NULL"] + [
+        f"({expr}) IS NOT NULL" for _, expr, _ in features
+    ])
+    half = n_buckets // 2
+    long_union = " UNION ALL ".join(
+        f"SELECT '{n}' AS feat, {n} AS xq, r FROM r{{m}}" for n in fnames
+    )
+    chosen = "CASE b.feat " + " ".join(
+        f"WHEN '{n}' THEN {n}" for n in fnames
+    ) + " END"
+    parts = [
+        f"""WITH base AS MATERIALIZED (
+          SELECT CAST(CAST(concat('0x', substr(md5(CAST(({id_sql}) AS VARCHAR)),
+                   1, 8)) AS BIGINT) % {n_buckets} AS BIGINT) AS bkt,
+                 CAST(floor(({target_sql}) + 0.5) AS BIGINT) AS yq, {fsel}
+          FROM ({source_sql}) WHERE {notnull}
+        ),
+        f0 AS (
+          SELECT CAST(SUM(yq) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS f0
+          FROM base WHERE bkt < {half}
+        ),
+        r0 AS MATERIALIZED (
+          SELECT {', '.join(fnames)}, yq - (SELECT f0 FROM f0) AS r
+          FROM base WHERE bkt < {half}
+        ),
+        h0 AS MATERIALIZED (
+          SELECT {', '.join(fnames)}, yq - (SELECT f0 FROM f0) AS r
+          FROM base WHERE bkt >= {half}
+        )"""
+    ]
+    for m in range(1, rounds + 1):
+        p = m - 1
+        lu = long_union.format(m=p)
+        parts.append(f"""long{m} AS ({lu}),
+        pv{m} AS (
+          SELECT feat, xq, CAST(COUNT(*) AS BIGINT) AS c,
+                 CAST(SUM(r) AS BIGINT) AS s0,
+                 CAST(SUM(r*r) AS BIGINT) AS q0
+          FROM long{m} GROUP BY 1, 2
+        ),
+        cuts{m} AS (
+          SELECT feat, xq,
+                 CAST(SUM(c) OVER w AS BIGINT) AS nl,
+                 CAST(SUM(s0) OVER w AS BIGINT) AS sl,
+                 CAST(SUM(q0) OVER w AS BIGINT) AS ql,
+                 CAST(SUM(c) OVER t AS BIGINT) AS n,
+                 CAST(SUM(s0) OVER t AS BIGINT) AS s,
+                 CAST(SUM(q0) OVER t AS BIGINT) AS q
+          FROM pv{m}
+          WINDOW w AS (PARTITION BY feat ORDER BY xq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 t AS (PARTITION BY feat)
+        ),
+        best{m} AS MATERIALIZED (
+          SELECT feat, xq AS cut_q,
+                 sl // ({lr_den} * nl) AS leaf_l,
+                 (s - sl) // ({lr_den} * (n - nl)) AS leaf_r
+          FROM (
+            SELECT *, CAST(nl*ql - sl*sl AS DOUBLE) / CAST(nl AS DOUBLE)
+                      + CAST((n-nl)*(q-ql) - (s-sl)*(s-sl) AS DOUBLE)
+                        / CAST(n - nl AS DOUBLE) AS cost
+            FROM cuts{m} WHERE nl < n
+          ) ORDER BY cost, feat, xq LIMIT 1
+        ),
+        r{m} AS MATERIALIZED (
+          SELECT {', '.join(fnames)},
+                 r - (CASE WHEN {chosen} <= b.cut_q THEN b.leaf_l
+                           ELSE b.leaf_r END) AS r
+          FROM r{p}, best{m} b
+        ),
+        h{m} AS MATERIALIZED (
+          SELECT {', '.join(fnames)},
+                 r - (CASE WHEN {chosen} <= b.cut_q THEN b.leaf_l
+                           ELSE b.leaf_r END) AS r
+          FROM h{p}, best{m} b
+        ),
+        sse{m} AS (
+          SELECT (SELECT CAST(SUM(r*r) AS BIGINT) FROM r{m}) AS sse_train,
+                 (SELECT CAST(SUM(r*r) AS BIGINT) FROM h{m}) AS sse_holdout
+        )""")
+    finals = " UNION ALL ".join(
+        f"""SELECT {m} AS boost_round, feat, cut_q, leaf_l, leaf_r,
+               (SELECT sse_train FROM sse{m}) AS sse_train,
+               (SELECT sse_holdout FROM sse{m}) AS sse_holdout
+           FROM best{m}"""
+        for m in range(1, rounds + 1)
+    )
+    return ",\n".join(parts) + f"\n{finals}"
