@@ -1916,6 +1916,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kn_surprisal": lambda spark, sf_dir: text.kn_surprisal(
             _docs(spark, sf_dir), train_pred=F.col("doc_id") % 2 == 0
         ),
+        # term burstiness (variance-to-mean of per-doc counts): content
+        # words clump, function words spread — exact milli VMR
+        "text_burstiness": lambda spark, sf_dir: text.term_burstiness(
+            _docs(spark, sf_dir)
+        ),
         # RAKE keyphrase extraction: stopword-island phrases scored by
         # exact integer degree/frequency ratios
         "text_rake_keywords": lambda spark, sf_dir: text.rake_keywords(
@@ -3468,6 +3473,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.text import rake_keywords_oracle
 
     out["text_rake_keywords"] = rake_keywords_oracle()
+    from flink_example_spark.operators.text import term_burstiness_oracle
+
+    out["text_burstiness"] = term_burstiness_oracle()
     out["graph_textrank_keywords"] = pagerank_oracle(
         term_graph_sql(2),
         n_iter=6,

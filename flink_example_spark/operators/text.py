@@ -1594,3 +1594,86 @@ def rake_keywords_oracle(
         ORDER BY score_micro DESC, phrase
         LIMIT {topn}
     """
+
+
+def term_burstiness(
+    documents: DataFrame,
+    min_docs: int = 5,
+    topn: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Term burstiness (Church & Gale 1995) — content words CLUMP (a
+    document about sparks mentions them many times), function words
+    spread evenly; the variance-to-mean ratio of per-document counts
+    separates the two better than raw frequency, and feeds stopword
+    discovery and keyword weighting.
+
+    Exact integers: over ALL N docs (zero counts included via the
+    complement), VMR = Var/mean closes to ``(N*Q - S^2) / (N*S)`` with
+    S = sum of tf, Q = sum of tf^2 — one milli trunc-div per term.
+    Terms in fewer than ``min_docs`` documents drop (singleton terms
+    are trivially "bursty"). Top ``topn`` by (vmr_milli DESC, term).
+
+    Scale: one (term, doc) tf aggregation, one term rollup — the
+    standard inverted-index shuffle; N rides along as a broadcast
+    scalar.
+    """
+    toks = documents.select(
+        F.col(id_col).alias("d"),
+        F.explode(tokens(normalized(F.col(text_col)))).alias("t"),
+    ).filter(F.col("t") != "")
+    n_docs = documents.select(
+        F.count(F.lit(1)).cast("long").alias("n_corpus")
+    )
+    tf = toks.groupBy("t", "d").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").alias("s"),
+        F.sum(F.col("tf") * F.col("tf")).alias("q"),
+    )
+    return (
+        stats.filter(F.col("df") >= min_docs)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("t").alias("term"),
+            "df",
+            F.col("s").cast("long").alias("total_tf"),
+            F.expr(
+                "((n_corpus * q - s * s) * 1000) div (n_corpus * s)"
+            ).alias("vmr_milli"),
+        )
+        .orderBy(F.col("vmr_milli").desc(), "term")
+        .limit(topn)
+    )
+
+
+def term_burstiness_oracle(min_docs: int = 5, topn: int = 20) -> str:
+    """DuckDB twin of :func:`term_burstiness`."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id AS d, t FROM (
+            SELECT doc_id, unnest(string_split_regex({_DUCK_NORM},
+              '\\s+')) AS t
+            FROM documents
+          ) WHERE t <> ''
+        ),
+        tf AS (
+          SELECT t, d, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM toks GROUP BY 1, 2
+        ),
+        stats AS (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS df,
+                 CAST(SUM(tf) AS BIGINT) AS s,
+                 CAST(SUM(tf*tf) AS BIGINT) AS q
+          FROM tf GROUP BY 1
+        )
+        SELECT t AS term, df, s AS total_tf,
+               (((SELECT CAST(COUNT(*) AS BIGINT) FROM documents) * q - s * s)
+                * 1000)
+                 // ((SELECT CAST(COUNT(*) AS BIGINT) FROM documents) * s)
+                 AS vmr_milli
+        FROM stats WHERE df >= {min_docs}
+        ORDER BY vmr_milli DESC, term
+        LIMIT {topn}
+    """
