@@ -1216,6 +1216,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=29,
             n_rounds=3,
         ),
+        # core-decomposition profile: surviving nodes/edge-endpoints at
+        # k in {8, 16, 32} — the graph's density ladder in three rows
+        "graph_kcore_profile": _graph_kcore_profile_entry,
         # a-priori association rules over per-doc token baskets: frequent
         # items prune the basket self-join; cross-multiplied confidence
         "mining_assoc_rules": lambda spark, sf_dir: __import__(
@@ -3505,6 +3508,13 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.graph import kcore_oracle
 
     out["graph_kcore"] = kcore_oracle(term_graph_sql(2), k=29, n_rounds=3)
+    out["graph_kcore_profile"] = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS k,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_nodes,"
+        f" COALESCE(CAST(SUM(degree) AS BIGINT), 0) AS edge_endpoints"
+        f" FROM ({kcore_oracle(term_graph_sql(2), k=k, n_rounds=3)})"
+        for k in (8, 16, 32)
+    )
     from flink_example_spark.operators.graph import label_propagation_oracle
 
     out["graph_label_prop"] = label_propagation_oracle(term_graph_sql(2), n_rounds=4)
@@ -5137,6 +5147,25 @@ def _bloom_sizing_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(m).cast("long").alias("m_bits"), "*"
         )
         out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _graph_kcore_profile_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.graph import kcore, term_graph
+
+    g = term_graph(_docs(spark, sf_dir), min_weight=2).localCheckpoint()
+    out = None
+    for k in (8, 16, 32):
+        row = kcore(g, k=k, n_rounds=3).agg(
+            F.lit(k).cast("long").alias("k"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.coalesce(F.sum("degree"), F.lit(0)).cast("long").alias(
+                "edge_endpoints"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
     return out
 
 
