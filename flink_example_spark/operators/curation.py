@@ -1576,3 +1576,77 @@ def novelty_score_oracle(n: int = 8) -> str:
         FROM grams JOIN dfr USING (g)
         GROUP BY doc_id
     """
+
+
+def stratified_sample(
+    documents: DataFrame,
+    stratum_col: str = "lang",
+    rate_num: int = 1,
+    rate_den: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Proportional stratified sampling — the mix-preserving subset (a
+    plain hash sample preserves strata only in expectation; this one
+    preserves them EXACTLY): each stratum contributes its exact quota
+    ``floor(n_s * rate)`` of members, chosen as the smallest md5 hashes
+    within the stratum (deterministic, uniform, no RNG — the
+    cluster_balanced_sample device pointed at strata).
+
+    Output per stratum: ``(stratum, n_total, n_sampled,
+    sampled_id_sum)`` — the id checksum pins the exact selection.
+
+    Scale: one per-stratum ranking window (WindowGroupLimit-friendly) +
+    one rollup; rows shuffle once on the stratum.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    w = Window.partitionBy(stratum_col).orderBy("__h", id_col)
+    wc = Window.partitionBy(stratum_col)
+    ranked = (
+        documents.select(F.col(stratum_col), F.col(id_col))
+        .withColumn("__h", h)
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .withColumn("__quota", F.expr(f"(__n * {rate_num}) div {rate_den}"))
+    )
+    return (
+        ranked.groupBy(stratum_col)
+        .agg(
+            F.max("__n").cast("long").alias("n_total"),
+            F.sum((F.col("__rk") <= F.col("__quota")).cast("long")).alias(
+                "n_sampled"
+            ),
+            F.sum(
+                F.when(F.col("__rk") <= F.col("__quota"), F.col(id_col)).otherwise(0)
+            ).cast("long").alias("sampled_id_sum"),
+        )
+    )
+
+
+def stratified_sample_oracle(
+    stratum_col: str = "lang",
+    rate_num: int = 1,
+    rate_den: int = 10,
+) -> str:
+    """DuckDB twin of :func:`stratified_sample`."""
+    return f"""
+        WITH ranked AS (
+          SELECT {stratum_col} AS stratum, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY {stratum_col} ORDER BY
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT), doc_id) AS rk,
+                 CAST(COUNT(*) OVER (PARTITION BY {stratum_col}) AS BIGINT)
+                   AS n
+          FROM documents
+        )
+        SELECT stratum AS {stratum_col},
+               CAST(MAX(n) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN rk <= (n * {rate_num}) // {rate_den}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               CAST(SUM(CASE WHEN rk <= (n * {rate_num}) // {rate_den}
+                    THEN doc_id ELSE 0 END) AS BIGINT) AS sampled_id_sum
+        FROM ranked GROUP BY 1
+    """
