@@ -1925,6 +1925,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kn_surprisal": lambda spark, sf_dir: text.kn_surprisal(
             _docs(spark, sf_dir), train_pred=F.col("doc_id") % 2 == 0
         ),
+        # burstiness LIVE: (term, doc) tf monoid in state, VMR at read
+        # time (= batch oracle)
+        "streaming_burstiness": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.dedup_stream",
+            fromlist=["run_streaming_burstiness"],
+        ).run_streaming_burstiness(spark, sf_dir),
         # term burstiness (variance-to-mean of per-doc counts): content
         # words clump, function words spread — exact milli VMR
         "text_burstiness": lambda spark, sf_dir: text.term_burstiness(
@@ -3485,6 +3491,8 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.text import term_burstiness_oracle
 
     out["text_burstiness"] = term_burstiness_oracle()
+    # the live monitor converges to the batch stats exactly
+    out["streaming_burstiness"] = out["text_burstiness"]
     out["graph_textrank_keywords"] = pagerank_oracle(
         term_graph_sql(2),
         n_iter=6,

@@ -629,3 +629,75 @@ def run_streaming_ppjoin(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def run_streaming_burstiness(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """LIVE burstiness monitor: the (term, doc) tf counts are the only
+    stateful ingredient — a plain count monoid, ONE update-mode JVM
+    aggregation (term-doc-cardinality-sized state, the same posture as
+    the golden-records name registry); the per-term df/S/Q rollup, the
+    corpus-size complement, and the exact milli VMR run at read time
+    over the sink. Converges to batch ``text.term_burstiness`` exactly
+    (shared oracle)."""
+    from flink_example_spark.operators.text import normalized, tokens
+
+    tune(spark)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    tf = (
+        stream.select(
+            F.col("doc_id").alias("d"),
+            F.explode(tokens(normalized(F.col("text")))).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    name = f"stream_burst_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            tf.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # update-mode sink holds every emitted version; final tf per (t, d)
+    # is the max (counts only grow)
+    latest = (
+        spark.table(name)
+        .groupBy("t", "d")
+        .agg(F.max("tf").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    from flink_example_spark.tables import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").select(
+        F.count(F.lit(1)).cast("long").alias("n_corpus")
+    )
+    stats = latest.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").alias("s"),
+        F.sum(F.col("tf") * F.col("tf")).alias("q"),
+    )
+    return (
+        stats.filter(F.col("df") >= 5)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("t").alias("term"),
+            "df",
+            F.col("s").cast("long").alias("total_tf"),
+            F.expr(
+                "((n_corpus * q - s * s) * 1000) div (n_corpus * s)"
+            ).alias("vmr_milli"),
+        )
+        .orderBy(F.col("vmr_milli").desc(), "term")
+        .limit(20)
+    )
