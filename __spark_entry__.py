@@ -1369,6 +1369,22 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reliability table of the trained perceptron's holdout margins:
         # exact quantile bands, observed positive rates, monotonicity audit
         "ml_calibration_bins": _ml_calibration_entry,
+        # Spearman rank correlation (tokens vs chars): exact integer
+        # ranks, deterministic tiebreak, fixed double rho at the boundary
+        "ml_spearman": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["spearman_corr"]
+        ).spearman_corr(
+            _docs(spark, sf_dir).select(
+                F.col("doc_id").alias("id"),
+                "n_chars",
+                F.size(
+                    F.array_remove(text.tokens(text.normalized(F.col("text"))), "")
+                ).alias("n_tok"),
+            ),
+            "n_tok",
+            "n_chars",
+            "id",
+        ),
         # one-way ANOVA across event types: exact integer SS partition,
         # F statistic as one fixed double sequence
         "ml_anova": lambda spark, sf_dir: __import__(
@@ -3631,6 +3647,15 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import nb_perceptron_mcnemar_oracle
 
     out["ml_mcnemar"] = nb_perceptron_mcnemar_oracle()
+    from flink_example_spark.operators.ml import spearman_corr_oracle
+
+    out["ml_spearman"] = spearman_corr_oracle(
+        "SELECT doc_id AS id, n_chars, len(list_filter(string_split_regex("
+        f"{text._DUCK_NORM}, '\\s+'), t -> t <> '')) AS n_tok FROM documents",
+        "n_tok",
+        "n_chars",
+        "id",
+    )
     from flink_example_spark.operators.ml import anova_oneway_oracle
 
     out["ml_anova"] = anova_oneway_oracle("events", "event_type", "value")

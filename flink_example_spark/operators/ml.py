@@ -4719,3 +4719,76 @@ def gbm_stumps_eval_oracle(
         for m in range(1, rounds + 1)
     )
     return ",\n".join(parts) + f"\n{finals}"
+
+
+def spearman_corr(
+    df: DataFrame, a_col: str, b_col: str, id_col: str
+) -> DataFrame:
+    """Spearman rank correlation — the outlier-robust, monotonicity-
+    sensitive complement of Pearson (a perfect nonlinear monotone
+    relation scores rho = 1 where Pearson underreads). Ranks are exact
+    integer ROW_NUMBERs with the deterministic ``(value, id)`` tiebreak
+    (documented: ties split by id order rather than fractional average
+    ranks, so every quantity stays an exact BIGINT; at the corpus sizes
+    this engine targets the difference is sub-ppm unless a column is
+    mostly ties — use a chi-square association test for those).
+
+    rho then closes over the rank sums via the linear_fit calculus:
+    one fixed double expression at the boundary. Output one row:
+    ``(n, rho)``.
+
+    Scale: two ranking windows + one rollup.
+    """
+    w_a = Window.orderBy(F.col(a_col), F.col(id_col))
+    w_b = Window.orderBy(F.col(b_col), F.col(id_col))
+    ranked = df.filter(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).select(
+        F.row_number().over(w_a).alias("ra"),
+        F.row_number().over(w_b).alias("rb"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+    )
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    da = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    db = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    return s.filter((da > 0) & (db > 0)).select(
+        F.col("n").cast("long").alias("n"),
+        (
+            num.cast("double")
+            / (F.sqrt(da.cast("double")) * F.sqrt(db.cast("double")))
+        ).alias("rho"),
+    )
+
+
+def spearman_corr_oracle(
+    units_sql: str, a_col: str, b_col: str, id_col: str
+) -> str:
+    """DuckDB twin of :func:`spearman_corr`."""
+    return f"""
+        WITH ranked AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY {a_col}, {id_col}) AS ra,
+                 ROW_NUMBER() OVER (ORDER BY {b_col}, {id_col}) AS rb
+          FROM ({units_sql})
+          WHERE {a_col} IS NOT NULL AND {b_col} IS NOT NULL
+        ),
+        s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(ra) AS BIGINT) AS sa, CAST(SUM(rb) AS BIGINT) AS sb,
+                 CAST(SUM(ra*ra) AS BIGINT) AS saa,
+                 CAST(SUM(rb*rb) AS BIGINT) AS sbb,
+                 CAST(SUM(ra*rb) AS BIGINT) AS sab
+          FROM ranked
+        )
+        SELECT n,
+               CAST(n*sab - sa*sb AS DOUBLE)
+                 / (sqrt(CAST(n*saa - sa*sa AS DOUBLE))
+                    * sqrt(CAST(n*sbb - sb*sb AS DOUBLE))) AS rho
+        FROM s WHERE n*saa - sa*sa > 0 AND n*sbb - sb*sb > 0
+    """

@@ -867,3 +867,17 @@ def test_perm_importance_kills_the_real_feature(spark):
     assert full > 990_000
     assert full - pa > 500_000  # shuffling the real feature destroys the fit
     assert full - pb < 100_000  # shuffling the noise feature costs ~nothing
+
+
+def test_spearman_monotone_nonlinear_is_one(spark):
+    from flink_example_spark.operators.ml import spearman_corr
+
+    rows = [(i, i, i * i * i) for i in range(1, 30)]  # cubic: monotone
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    r = spearman_corr(df, "a", "b", "id").collect()[0]
+    assert abs(r["rho"] - 1.0) < 1e-12
+    rows2 = [(i, i, -i) for i in range(1, 30)]
+    r2 = spearman_corr(
+        spark.createDataFrame(rows2, "id long, a long, b long"), "a", "b", "id"
+    ).collect()[0]
+    assert abs(r2["rho"] + 1.0) < 1e-12
