@@ -2292,6 +2292,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.operators.timeseries",
             fromlist=["spectral_peak"],
         ).spectral_peak(_events(spark, sf_dir), "event_type", "ts", "value"),
+        # maximum drawdown of the per-key cumulative series (peak-to-
+        # trough risk metric; exact integer high-water-mark windows)
+        "timeseries_drawdown": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries", fromlist=["max_drawdown"]
+        ).max_drawdown(_events(spark, sf_dir), "event_type", "ts", "value"),
         # two-cohort churn comparison: log-rank score numerator (exact
         # quantize-before-cumsum expectations over shared risk sets)
         "timeseries_logrank": lambda spark, sf_dir: __import__(
@@ -4385,6 +4390,11 @@ def _northstar_oracles() -> dict[str, str]:
     # the live monitors converge to the batch forms exactly
     out["streaming_spectral_peak"] = out["timeseries_spectral_peak"]
     out["streaming_dtw_matrix"] = out["timeseries_dtw_matrix"]
+    from flink_example_spark.operators.timeseries import max_drawdown_oracle
+
+    out["timeseries_drawdown"] = max_drawdown_oracle(
+        "events", "event_type", "ts", "value"
+    )
     from flink_example_spark.operators.timeseries import logrank_screen_oracle
 
     out["timeseries_logrank"] = logrank_screen_oracle(

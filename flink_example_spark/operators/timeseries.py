@@ -2886,3 +2886,95 @@ def season_strength_oracle(
                  // CAST(n*qd - sd*sd AS HUGEINT) AS BIGINT) AS strength_ppm
         FROM s WHERE n*qd - sd*sd > 0
     """
+
+
+def max_drawdown(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Maximum drawdown of the per-key cumulative series — the classic
+    peak-to-trough risk metric (finance P&L, but equally an ops burn
+    counter: the deepest dip of cumulative net events below their
+    high-water mark). Two stacked windows, all exact BIGINTs: running
+    cumulative sum of the centi-quantized daily deltas, its running max
+    (the high-water mark), and the max gap; the trough day is the
+    argmax by (gap DESC, day) — a total order.
+
+    Output per key: ``(key, n_days, final_centi, peak_centi,
+    max_drawdown_centi, trough_day)``.
+
+    Scale: one day-bucket agg + one ordered window pass per key + one
+    argmax — the CUSUM/bollinger posture.
+    """
+    day_us = 86_400_000_000
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {day_us}").alias(
+                "day"
+            ),
+            F.expr(f"CAST(floor({value_col} * 100 + 0.5) AS BIGINT)").alias("vq"),
+        )
+        .groupBy("key", "day")
+        .agg(F.sum("vq").alias("vq"))
+    )
+    w = Window.partitionBy("key").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = daily.withColumn("cum", F.sum("vq").over(w)).withColumn(
+        "hwm", F.max("cum").over(w)
+    )
+    scored = cum.withColumn("dd", F.col("hwm") - F.col("cum"))
+    # argmax by (dd DESC, day ASC) via the zero-padded string key device
+    # (DuckDB arg_max takes no struct ordering; lexicographic == numeric)
+    key_expr = "lpad(CAST(dd AS STRING), 20, '0') || lpad(CAST(1000000000000 - day AS STRING), 13, '0')"
+    return scored.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("max_by(cum, day)").cast("long").alias("final_centi"),
+        F.max("cum").cast("long").alias("peak_centi"),
+        F.max("dd").cast("long").alias("max_drawdown_centi"),
+        F.expr(f"max_by(day, {key_expr})").cast("long").alias("trough_day"),
+    )
+
+
+def max_drawdown_oracle(
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`max_drawdown`."""
+    day_us = 86_400_000_000
+    return f"""
+        WITH daily AS MATERIALIZED (
+          SELECT {key_col} AS key, epoch_us({ts_col}) // {day_us} AS day,
+                 CAST(SUM(CAST(floor({value_col} * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS vq
+          FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
+        ),
+        cum0 AS (
+          SELECT key, day, CAST(SUM(vq) OVER w AS BIGINT) AS cum
+          FROM daily
+          WINDOW w AS (PARTITION BY key ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        cum AS (
+          SELECT key, day, cum,
+                 CAST(MAX(cum) OVER (PARTITION BY key ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS hwm
+          FROM cum0
+        ),
+        scored AS (SELECT *, hwm - cum AS dd FROM cum)
+        SELECT key, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(max_by(cum, day) AS BIGINT) AS final_centi,
+               CAST(MAX(cum) AS BIGINT) AS peak_centi,
+               CAST(MAX(dd) AS BIGINT) AS max_drawdown_centi,
+               CAST(max_by(day, lpad(CAST(dd AS VARCHAR), 20, '0')
+                 || lpad(CAST(1000000000000 - day AS VARCHAR), 13, '0'))
+                 AS BIGINT) AS trough_day
+        FROM scored GROUP BY 1
+    """

@@ -566,3 +566,21 @@ def test_season_strength_separates_seasonal_from_noise(spark):
     assert out["seasonal"] > 900_000
     assert "ramp" not in out
     assert out["noise"] < out["seasonal"] - 300_000
+
+
+def test_max_drawdown_known_path(spark):
+    """Cumulative path 10, 30, 20, 5, 25: peak 30, trough 5 -> dd 25."""
+    from datetime import datetime, timedelta, timezone
+
+    from flink_example_spark.operators.timeseries import max_drawdown
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    deltas = [10, 20, -10, -15, 20]
+    rows = [("k", base + timedelta(days=d), float(v)) for d, v in enumerate(deltas)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    r = max_drawdown(df, "event_type", "ts", "value").collect()[0]
+    assert r["peak_centi"] == 3000
+    assert r["max_drawdown_centi"] == 2500
+    assert r["final_centi"] == 2500
+    assert r["trough_day"] == (base + timedelta(days=3)).timestamp() // 86400
+    assert r["n_days"] == 5
