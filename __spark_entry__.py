@@ -2259,6 +2259,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.timeseries_stream",
             fromlist=["run_streaming_holt"],
         ).run_streaming_holt(spark, sf_dir),
+        # drawdown LIVE (same monoid; high-water-mark path at read time)
+        "streaming_drawdown": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.timeseries_stream",
+            fromlist=["run_streaming_drawdown"],
+        ).run_streaming_drawdown(spark, sf_dir),
         # dominant-cycle LIVE (daily-sum monoid; DCT at read time)
         "streaming_spectral_peak": lambda spark, sf_dir: __import__(
             "flink_example_spark.streaming.timeseries_stream",
@@ -4395,6 +4400,8 @@ def _northstar_oracles() -> dict[str, str]:
     out["timeseries_drawdown"] = max_drawdown_oracle(
         "events", "event_type", "ts", "value"
     )
+    # the live monitor converges to the batch path exactly
+    out["streaming_drawdown"] = out["timeseries_drawdown"]
     from flink_example_spark.operators.timeseries import logrank_screen_oracle
 
     out["timeseries_logrank"] = logrank_screen_oracle(

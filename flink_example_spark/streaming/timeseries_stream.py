@@ -1097,3 +1097,19 @@ def run_streaming_dtw_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vq").cast("double") / 100.0).alias("value"),
     )
     return dtw_matrix(synth, "event_type", "ts", "value")
+
+
+def run_streaming_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE drawdown monitor: the daily-sum monoid streams (shared
+    ``_daily_sum_sink``); the cumulative path, high-water mark, and
+    argmax trough run at read time — identical expressions to batch
+    ``max_drawdown`` (shared oracle)."""
+    from flink_example_spark.operators.timeseries import max_drawdown
+
+    d = _daily_sum_sink(spark, sf_dir, "stream_dd")
+    synth = d.select(
+        F.col("key").alias("event_type"),
+        F.timestamp_micros(F.col("day") * 86_400_000_000).alias("ts"),
+        (F.col("vq").cast("double") / 100.0).alias("value"),
+    )
+    return max_drawdown(synth, "event_type", "ts", "value")
