@@ -1369,6 +1369,17 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reliability table of the trained perceptron's holdout margins:
         # exact quantile bands, observed positive rates, monotonicity audit
         "ml_calibration_bins": _ml_calibration_entry,
+        # Cramér's V association between event type and user bucket
+        # (exact integer chi-square cells, one sqrt at the boundary)
+        "ml_cramers_v": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["cramers_v"]
+        ).cramers_v(
+            _events(spark, sf_dir).withColumn(
+                "user_bucket", F.col("user_id") % 8
+            ),
+            "event_type",
+            "user_bucket",
+        ),
         # Spearman rank correlation (tokens vs chars): exact integer
         # ranks, deterministic tiebreak, fixed double rho at the boundary
         "ml_spearman": lambda spark, sf_dir: __import__(
@@ -3657,6 +3668,13 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import nb_perceptron_mcnemar_oracle
 
     out["ml_mcnemar"] = nb_perceptron_mcnemar_oracle()
+    from flink_example_spark.operators.ml import cramers_v_oracle
+
+    out["ml_cramers_v"] = cramers_v_oracle(
+        "SELECT event_type, user_id % 8 AS user_bucket FROM events",
+        "event_type",
+        "user_bucket",
+    )
     from flink_example_spark.operators.ml import spearman_corr_oracle
 
     out["ml_spearman"] = spearman_corr_oracle(

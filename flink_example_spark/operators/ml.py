@@ -4792,3 +4792,119 @@ def spearman_corr_oracle(
                     * sqrt(CAST(n*sbb - sb*sb AS DOUBLE))) AS rho
         FROM s WHERE n*saa - sa*sa > 0 AND n*sbb - sb*sb > 0
     """
+
+
+def cramers_v(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Cramér's V — the [0, 1] association strength between two
+    CATEGORICAL columns (the correlation question chi-square alone
+    doesn't answer, because raw chi2 grows with n). Exact integer
+    chi-square: per contingency cell the term closes to
+    ``(O*n - r*c)^2 / (n*r*c)``, quantized to micro by ONE DECIMAL(38)
+    trunc-division per cell (quantize-before-accumulate), then
+    ``V = sqrt(chi2 / (n * min(rows-1, cols-1)))`` — one sqrt of one
+    ratio at the output boundary (IEEE exact on identical operands).
+
+    Output one row: ``(n, n_rows_cat, n_cols_cat, chi2_micro, v)``.
+
+    Scale: one (a, b) cell aggregation + two marginal rollups joined
+    back — contingency-table-sized everywhere after the first shuffle.
+    """
+    cells = df.filter(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b")).agg(
+        F.count(F.lit(1)).alias("o")
+    ).localCheckpoint(eager=False)  # marginals AND terms read it
+    ra = cells.groupBy("a").agg(F.sum("o").alias("r"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("c"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("a").alias("ka"),
+        F.countDistinct("b").alias("kb"),
+    )
+    dec = "CAST({} AS DECIMAL(19,0))"
+    terms = (
+        cells.join(ra, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "ka",
+            "kb",
+            F.expr(
+                f"CAST((({dec.format('o * n - r * c')})"
+                f" * ({dec.format('o * n - r * c')}) * 1000000)"
+                f" div ({dec.format('n')} * {dec.format('r')}"
+                f" * {dec.format('c')}) AS BIGINT)"
+            ).alias("t"),
+            (F.col("r") * F.col("c")).alias("rc"),
+        )
+    )
+    # unobserved cells contribute (0 - E)^2 / E = E each; their total is
+    # exactly (n^2 - sum_observed(r*c)) / n
+    s = terms.groupBy("n", "ka", "kb").agg(
+        (
+            F.sum("t")
+            + F.expr(
+                f"CAST((({dec.format('n')} * {dec.format('n')}"
+                f" - {dec.format('sum(rc)')}) * 1000000)"
+                f" div {dec.format('n')} AS BIGINT)"
+            )
+        ).alias("chi2_micro")
+    )
+    return s.filter((F.col("ka") >= 2) & (F.col("kb") >= 2)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("ka").cast("long").alias("n_rows_cat"),
+        F.col("kb").cast("long").alias("n_cols_cat"),
+        "chi2_micro",
+        F.sqrt(
+            F.col("chi2_micro").cast("double")
+            / (
+                F.lit(1_000_000.0)
+                * F.col("n").cast("double")
+                * F.least(F.col("ka") - 1, F.col("kb") - 1).cast("double")
+            )
+        ).alias("v"),
+    )
+
+
+def cramers_v_oracle(units_sql: str, a_col: str, b_col: str) -> str:
+    """DuckDB twin of :func:`cramers_v` (HUGEINT cells)."""
+    return f"""
+        WITH cells AS MATERIALIZED (
+          SELECT {a_col} AS a, {b_col} AS b, CAST(COUNT(*) AS BIGINT) AS o
+          FROM ({units_sql})
+          WHERE {a_col} IS NOT NULL AND {b_col} IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(o) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
+                 CAST(COUNT(DISTINCT b) AS BIGINT) AS kb
+          FROM cells
+        ),
+        terms AS (
+          SELECT n, ka, kb,
+                 CAST((CAST(o * n - r * c AS HUGEINT)
+                       * CAST(o * n - r * c AS HUGEINT) * 1000000)
+                   // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS t,
+                 r * c AS rc
+          FROM cells JOIN ra USING (a) JOIN cb USING (b), tot
+        ),
+        s AS (
+          SELECT n, ka, kb,
+                 CAST(SUM(t)
+                   + (CAST(n AS HUGEINT) * n - CAST(SUM(rc) AS HUGEINT))
+                     * 1000000 // CAST(n AS HUGEINT)
+                   AS BIGINT) AS chi2_micro
+          FROM terms GROUP BY 1, 2, 3
+        )
+        SELECT n, ka AS n_rows_cat, kb AS n_cols_cat, chi2_micro,
+               sqrt(CAST(chi2_micro AS DOUBLE)
+                    / (1000000.0 * CAST(n AS DOUBLE)
+                       * CAST(least(ka - 1, kb - 1) AS DOUBLE))) AS v
+        FROM s WHERE ka >= 2 AND kb >= 2
+    """

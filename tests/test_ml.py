@@ -881,3 +881,22 @@ def test_spearman_monotone_nonlinear_is_one(spark):
         spark.createDataFrame(rows2, "id long, a long, b long"), "a", "b", "id"
     ).collect()[0]
     assert abs(r2["rho"] + 1.0) < 1e-12
+
+
+def test_cramers_v_extremes(spark):
+    import math
+
+    from flink_example_spark.operators.ml import cramers_v
+
+    # perfect association: b == a -> V = 1
+    rows = [(f"x{i % 3}", f"x{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert math.isclose(r["v"], 1.0, rel_tol=1e-6)
+    # exact independence on a balanced grid -> V = 0
+    rows2 = [(f"a{i}", f"b{j}") for i in range(3) for j in range(4) for _ in range(5)]
+    r2 = cramers_v(
+        spark.createDataFrame(rows2, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert r2["chi2_micro"] == 0 and r2["v"] == 0.0
+    assert (r2["n_rows_cat"], r2["n_cols_cat"]) == (3, 4)
