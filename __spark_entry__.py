@@ -1822,8 +1822,8 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # smallest-md5 members, id checksum pins the selection
         "curation_stratified_sample": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.curation",
-            fromlist=["stratified_sample"],
-        ).stratified_sample(_docs(spark, sf_dir)),
+            fromlist=["proportional_stratified_sample"],
+        ).proportional_stratified_sample(_docs(spark, sf_dir)),
         # per-doc n-gram novelty (memorization-risk / diversity metric):
         # fraction of a doc's 8-grams appearing in no other document
         "curation_novelty_score": lambda spark, sf_dir: __import__(
@@ -4133,9 +4133,11 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.cep import top_paths_oracle
 
     out["cep_top_paths"] = top_paths_oracle()
-    from flink_example_spark.operators.curation import stratified_sample_oracle
+    from flink_example_spark.operators.curation import (
+        proportional_stratified_sample_oracle,
+    )
 
-    out["curation_stratified_sample"] = stratified_sample_oracle()
+    out["curation_stratified_sample"] = proportional_stratified_sample_oracle()
     from flink_example_spark.operators.curation import novelty_score_oracle
 
     out["curation_novelty_score"] = novelty_score_oracle()

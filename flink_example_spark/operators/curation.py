@@ -1578,19 +1578,22 @@ def novelty_score_oracle(n: int = 8) -> str:
     """
 
 
-def stratified_sample(
+def proportional_stratified_sample(
     documents: DataFrame,
     stratum_col: str = "lang",
     rate_num: int = 1,
     rate_den: int = 10,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Proportional stratified sampling — the mix-preserving subset (a
+    """EXACT-quota proportional stratified sampling — the mix-preserving subset (a
     plain hash sample preserves strata only in expectation; this one
     preserves them EXACTLY): each stratum contributes its exact quota
     ``floor(n_s * rate)`` of members, chosen as the smallest md5 hashes
     within the stratum (deterministic, uniform, no RNG — the
-    cluster_balanced_sample device pointed at strata).
+    cluster_balanced_sample device pointed at strata). Distinct from this
+    module's fraction-dict ``stratified_sample`` (hash-threshold rates,
+    exact only in expectation): this one hits each stratum's quota
+    EXACTLY.
 
     Output per stratum: ``(stratum, n_total, n_sampled,
     sampled_id_sum)`` — the id checksum pins the exact selection.
@@ -1626,12 +1629,12 @@ def stratified_sample(
     )
 
 
-def stratified_sample_oracle(
+def proportional_stratified_sample_oracle(
     stratum_col: str = "lang",
     rate_num: int = 1,
     rate_den: int = 10,
 ) -> str:
-    """DuckDB twin of :func:`stratified_sample`."""
+    """DuckDB twin of :func:`proportional_stratified_sample`."""
     return f"""
         WITH ranked AS (
           SELECT {stratum_col} AS stratum, doc_id,
