@@ -1784,8 +1784,8 @@ def quantile_normalize(
     exactly-rounded double sequence over exact integer ranks; ties take
     the standard PERCENT_RANK semantics identically in both engines.
 
-    Scale: one per-group window, one global sort (rank) of the pooled
-    values — the same cost class as any exact-quantile computation —
+    Scale: one per-group window, one DISTRIBUTED two-phase rank of the
+    pooled values (range-partitioned; no single-partition window) —
     plus two equi-joins on integer positions. Output: ``(grp, id,
     value, value_norm)``.
     """
@@ -1794,11 +1794,12 @@ def quantile_normalize(
         F.col(id_col).alias("id"),
         F.col(value_col).cast("double").alias("v"),
     )
+    from flink_example_spark.operators.distrank import dist_row_number
+
     wg = Window.partitionBy("grp").orderBy("v", "id")
-    wgl = Window.orderBy("v", "id")
-    pooled = rows.select("v").withColumn(
-        "rn", F.row_number().over(Window.orderBy("v"))
-    )
+    # global pooled rank via the distributed two-phase device (ties in v
+    # are interchangeable: only (rn -> v) is consumed downstream)
+    pooled = dist_row_number(rows.select("v"), ["v"], "rn")
     n_pool = rows.count()
     ranked = rows.withColumn("pr", F.percent_rank().over(wg))
     pos = ranked.withColumn(
@@ -3517,17 +3518,17 @@ def calibration_bins(
     model has none). Output: ``(bin, n, n_pos, pos_rate_micro, lo_m,
     hi_m, mono_break)``.
 
-    Scale: one ordered window over the scored relation (holdout-sized),
-    one band aggregation, one lag comparison over n_bins rows.
+    Scale: one distributed two-phase ranking over the scored relation
+    (range-partitioned — no single-partition window), one band
+    aggregation, one lag comparison over n_bins rows.
     """
-    w = Window.orderBy("m", "id")
-    ranked = scored.select(
-        "y",
-        "m",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("n_all"),
+    from flink_example_spark.operators.distrank import dist_row_number
+
+    n_all = scored.agg(F.count(F.lit(1)).alias("n_all"))
+    ranked = (
+        dist_row_number(scored.select("y", "m", "id"), ["m", "id"], "rk")
+        .crossJoin(F.broadcast(n_all))
+        .select("y", "m", "rk", "n_all")
     )
     bands = (
         ranked.select(
@@ -4431,19 +4432,31 @@ def permuted_column(
     is a uniform derangement-in-expectation permutation any engine
     reproduces bit-for-bit (md5 hex ordering is plain lexicographic).
 
-    Scale: two ranking windows + one equi-join on rank — all over the
-    unit relation.
+    Scale: two distributed two-phase rankings (range-partitioned
+    ``distrank.dist_row_number``) + one equi-join on rank — no
+    single-partition window anywhere.
     """
+    from flink_example_spark.operators.distrank import dist_row_number
+
     others = [c for c in df.columns if c != perm_col]
-    w1 = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-    w2 = Window.orderBy(
-        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
-        F.col(id_col),
-    )
-    r1 = df.select(*others, F.row_number().over(w1).alias("__rk"))
-    r2 = df.select(
-        F.col(perm_col), F.row_number().over(w2).alias("__rk")
-    )
+    r1 = dist_row_number(
+        df.select(
+            *others, F.md5(F.col(id_col).cast("string")).alias("__h1")
+        ),
+        ["__h1", id_col],
+        "__rk",
+    ).drop("__h1")
+    r2 = dist_row_number(
+        df.select(
+            F.col(perm_col),
+            F.md5(
+                F.concat(F.lit(salt), F.col(id_col).cast("string"))
+            ).alias("__h2"),
+            F.col(id_col).alias("__id2"),
+        ),
+        ["__h2", "__id2"],
+        "__rk",
+    ).select(perm_col, "__rk")
     return r1.join(r2, "__rk").drop("__rk")
 
 
@@ -4737,16 +4750,18 @@ def spearman_corr(
     one fixed double expression at the boundary. Output one row:
     ``(n, rho)``.
 
-    Scale: two ranking windows + one rollup.
+    Scale: two distributed two-phase rankings (range-partitioned
+    ``distrank.dist_row_number`` — no single-partition window) + one
+    rollup.
     """
-    w_a = Window.orderBy(F.col(a_col), F.col(id_col))
-    w_b = Window.orderBy(F.col(b_col), F.col(id_col))
-    ranked = df.filter(
+    from flink_example_spark.operators.distrank import dist_row_number
+
+    units = df.filter(
         F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
-    ).select(
-        F.row_number().over(w_a).alias("ra"),
-        F.row_number().over(w_b).alias("rb"),
-    )
+    ).select(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"),
+             F.col(id_col).alias("__id"))
+    ranked = dist_row_number(units, ["__a", "__id"], "ra")
+    ranked = dist_row_number(ranked, ["__b", "__id"], "rb").select("ra", "rb")
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("ra").alias("sa"),

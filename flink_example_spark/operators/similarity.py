@@ -1788,10 +1788,13 @@ def pca_outliers(
         .groupBy("id")
         .agg((F.sum("tq").cast("double") / F.lit(1e12)).alias("score"))
     )
+    # top-k plans as TakeOrderedAndProject (per-partition top-k + k-row
+    # driver merge — never a global sort); the rank window then runs
+    # over the k-row survivor set only
+    top = scored.orderBy(F.col("score").desc(), F.col("id")).limit(topk)
     w = Window.orderBy(F.col("score").desc(), F.col("id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
+        top.withColumn("rank", F.row_number().over(w))
         .select(F.col("id").alias(id_col), "score", "rank")
     )
 

@@ -1019,8 +1019,10 @@ def zipf_fit(
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    ranked = freqs.withColumn(
-        "r", F.row_number().over(Window.orderBy(F.desc("c"), F.col("t")))
+    from flink_example_spark.operators.distrank import dist_row_number
+
+    ranked = dist_row_number(
+        freqs, [F.desc("c"), F.col("t")], "r"
     ).select(
         F.lit("zipf").alias("g"),
         (F.length(F.bin(F.col("r"))) - 1).alias("lr"),
@@ -1276,12 +1278,14 @@ def heaps_fit(
     new_terms = first.groupBy(F.col("fd").alias("d")).agg(
         F.count(F.lit(1)).alias("nv")
     )
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    curve = (
-        per_doc.join(new_terms, "d", "left")
-        .select("d", "ntok", F.coalesce(F.col("nv"), F.lit(0)).alias("nv"))
-        .withColumn("N", F.sum("ntok").over(w))
-        .withColumn("V", F.sum("nv").over(w))
+    from flink_example_spark.operators.distrank import dist_cumsum
+
+    curve = dist_cumsum(
+        per_doc.join(new_terms, "d", "left").select(
+            "d", "ntok", F.coalesce(F.col("nv"), F.lit(0)).alias("nv")
+        ),
+        ["d"],
+        {"N": "ntok", "V": "nv"},
     )
     pts = curve.select(
         F.lit("heaps").alias("g"),

@@ -739,6 +739,64 @@ def test_sprt_windows_partition_by_arm(spark):
     assert "PythonUDF" not in plan
 
 
+def test_global_rank_family_uses_two_phase_device(spark):
+    """The former unpartitioned-Window.orderBy family must now rank via
+    the distributed two-phase device: every data-scaled WindowExec
+    declares the range-bucket partition spec (__dr_pid); the only
+    unpartitioned windows left are bucket-count-sized offset merges
+    (sum over __dr_n) or fixed-small relations (n_bins rows)."""
+    import re
+
+    from flink_example_spark.operators.ml import (
+        calibration_bins,
+        permuted_column,
+        quantile_normalize,
+        spearman_corr,
+    )
+    from flink_example_spark.operators.text import heaps_fit, zipf_fit
+    from flink_example_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    scored = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") % 3 == 0, 1).otherwise(-1).alias("y"),
+        (F.col("n_chars") % 97).alias("m"),
+    )
+    plans = {
+        "spearman": physical(spearman_corr(docs, "n_chars", "doc_id", "doc_id")),
+        "permuted": physical(permuted_column(docs.select("doc_id", "lang"), "lang", "doc_id")),
+        "qnorm": physical(quantile_normalize(ev, "event_type", "event_id", "value")),
+        "calib": physical(calibration_bins(scored)),
+        "zipf": physical(zipf_fit(docs)),
+        "heaps": physical(heaps_fit(docs)),
+    }
+    for name, plan in plans.items():
+        assert "rangepartitioning" in plan, name
+        # every row_number/running-sum window over row data carries the
+        # bucket partition spec
+        for m in re.finditer(r"Window \[(row_number|sum)\(([^)]*)\)[^\n]*windowspecdefinition\(([^,)]*)", plan):
+            spec_head = m.group(3)
+            summed = m.group(2)
+            ok = (
+                spec_head.startswith("__dr_pid")      # phase-1 bucket window
+                or "__dr_n" in summed                  # bucket-offset merge
+                or spec_head.startswith("bin#")        # n_bins-row lag table
+            )
+            assert ok, (name, m.group(0))
+
+
+def test_pca_outliers_topk_is_take_ordered(spark):
+    """pca_outliers' top-k must plan as TakeOrderedAndProject (per-
+    partition top-k, k-row merge) — the rank window runs over the k-row
+    survivor set only, never the corpus."""
+    from flink_example_spark.operators.similarity import pca_outliers
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = physical(pca_outliers(emb, n_components=2, topk=5, n_iter=2))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_t_closeness_broadcasts_value_dimension(spark):
     from pyspark.sql import functions as F
 
