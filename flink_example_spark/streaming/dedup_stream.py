@@ -454,24 +454,28 @@ def run_streaming_ppjoin(
     pair exactly once, the incremental-ingest shape of
     ``dedup.ppjoin_pairs``.
 
-    Device: the global rare-first token order is a FROZEN broadcast
-    statistic (document frequencies from the batch corpus — the same
+    Device: the global rare-first token order is a FROZEN statistic
+    (document frequencies from the batch corpus — the same
     batch-trained/stream-served pattern as the NB / stump / perceptron
-    inference twins; production would refresh it periodically). A
-    STATELESS Arrow stage tokenizes with the SHARED Spark tokenizer
-    expressions, ranks each doc's distinct tokens by the frozen (df,
-    token) order in Python (exact integers), and replicates the doc to
-    its prefix tokens ``L = sz - ceil(t*sz) + 1``. ONE stateful op keyed
-    by prefix token keeps the posting list (doc, size, token set, prefix
-    list); a new doc verifies against stored docs with integer
-    cross-multiplied gates, and a pair is emitted ONLY at its minimal
-    common prefix token in the frozen order — each pair exactly once, no
-    cross-bucket dedup pass. Bounded replay equals batch ``ppjoin_pairs``
-    (shared oracle).
+    inference twins; production would refresh it periodically) kept AS A
+    DATAFRAME and attached to the live token stream by a STREAM-STATIC
+    BROADCAST equi-join on the exploded (doc, token) relation — the
+    vocabulary never funnels through the driver (no ``collect()``; at
+    100 TB the vocabulary is billions of tokens). The Arrow stage then
+    only assembles per-doc prefixes from the already-(df)-tagged rows
+    with vectorized pandas groupbys and replicates the doc to its prefix
+    tokens ``L = sz - ceil(t*sz) + 1`` (a doc's exploded rows cannot
+    span partitions — explode and a broadcast join keep every derived
+    row in its source row's partition). ONE stateful op keyed by prefix
+    token keeps the posting list (doc, size, token set, prefix list); a
+    new doc verifies against stored docs with integer cross-multiplied
+    gates, and a pair is emitted ONLY at its minimal common prefix token
+    in the frozen order — each pair exactly once, no cross-bucket dedup
+    pass. Bounded replay equals batch ``ppjoin_pairs`` (shared oracle).
 
     Scale: state is the prefix index (rare tokens -> short lists, the
-    PPJoin guarantee); emission is pair-sized. The frozen-df broadcast is
-    vocabulary-sized.
+    PPJoin guarantee); emission is pair-sized; the frozen-df relation
+    rides the JVM broadcast, never a Python closure.
     """
     import pickle
     from collections.abc import Iterator
@@ -495,19 +499,20 @@ def run_streaming_ppjoin(
     tune(spark)
     tn, td = threshold_num, threshold_den
     docs = load_table(spark, sf_dir, "documents")
-    tok_rel = (
+    # frozen rare-first order: a vocabulary-sized RELATION (df per token),
+    # broadcast-joined below — never collected to the driver
+    dfr = (
         docs.select(
             F.col("doc_id").alias("d"),
             F.explode(tokens(normalized(F.col("text")))).alias("t"),
         )
         .filter(F.col("t") != "")
         .distinct()
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .persist()
     )
-    # frozen rare-first order: vocabulary-sized, collected once
-    df_map = {
-        r["t"]: r["df"]
-        for r in tok_rel.groupBy("t").agg(F.count(F.lit(1)).alias("df")).collect()
-    }
+    dfr.count()  # materialize once: each micro-batch re-reads the cache
 
     tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
     stream = (
@@ -515,9 +520,19 @@ def run_streaming_ppjoin(
         .option("maxFilesPerTrigger", 1)
         .parquet(os.path.join(tmpdir, "chunk_*"))
     )
-    toked = stream.select(
-        F.col("doc_id").cast("long").alias("d"),
-        F.array_distinct(tokens(normalized(F.col("text")))).alias("tk"),
+    # exploded live token relation; stream-static broadcast join attaches
+    # the frozen order JVM-side (left join: a token unseen at freeze time
+    # sorts first with df=0, same as the batch twin's convention)
+    ex = (
+        stream.select(
+            F.col("doc_id").cast("long").alias("d"),
+            F.explode(
+                F.array_distinct(tokens(normalized(F.col("text"))))
+            ).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .join(F.broadcast(dfr), "t", "left")
+        .select("d", "t", F.coalesce("df", F.lit(0)).alias("df"))
     )
 
     prefix_schema = StructType(
@@ -530,27 +545,37 @@ def run_streaming_ppjoin(
         ]
     )
 
-    def to_prefix(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            rows = []
-            for d, tk in zip(pdf["d"], pdf["tk"]):
-                ts = sorted(
-                    (t for t in tk if t), key=lambda t: (df_map.get(t, 0), t)
-                )
-                sz = len(ts)
-                if sz == 0:
-                    continue
-                lp = sz - (tn * sz + td - 1) // td + 1
-                pref = ts[:lp]
-                toks_s = " ".join(sorted(ts))
-                pref_s = " ".join(pref)  # frozen-order, rare first
-                for t in pref:
-                    rows.append((t, int(d), sz, toks_s, pref_s))
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in prefix_schema.fields]
-            )
+    def _pref_len(sz: int, tn: int, td: int) -> int:
+        return sz - (tn * sz + td - 1) // td + 1
 
-    pre = toked.mapInPandas(to_prefix, schema=prefix_schema)
+    def to_prefix(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # one doc's rows never span partitions; concat the partition's
+        # Arrow batches so a doc split across batch boundaries reunites
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        # frozen rare-first order within each doc: vectorized sort + rank
+        pdf = pdf.sort_values(["d", "df", "t"], kind="mergesort")
+        g = pdf.groupby("d", sort=False)
+        pdf["rk"] = g.cumcount()
+        pdf["sz"] = g["t"].transform("size")
+        pdf["lp"] = pdf["sz"] - (tn * pdf["sz"] + td - 1) // td + 1
+        pref_s = g["t"].apply(
+            lambda s: " ".join(s.iloc[: _pref_len(len(s), tn, td)])
+        )
+        toks_s = g["t"].apply(lambda s: " ".join(sorted(s)))
+        meta = pd.DataFrame({"pref": pref_s, "toks": toks_s})
+        out = (
+            pdf[pdf["rk"] < pdf["lp"]]
+            .merge(meta, left_on="d", right_index=True)
+            .loc[:, ["t", "d", "sz", "toks", "pref"]]
+        )
+        out["d"] = out["d"].astype("int64")
+        out["sz"] = out["sz"].astype("int64")
+        yield out
+
+    pre = ex.mapInPandas(to_prefix, schema=prefix_schema)
 
     state_schema = StructType([StructField("pkl", BinaryType(), True)])
     output_schema = StructType(
@@ -628,6 +653,7 @@ def run_streaming_ppjoin(
             .start()
         )
         q.awaitTermination()
+    dfr.unpersist()
     return spark.table(name)
 
 

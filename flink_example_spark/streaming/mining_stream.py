@@ -15,13 +15,14 @@ Reference parity: kerinin/flink-example runs grouped counts over streams
 (App.java:96-150); this composes the same streaming grouped-count
 machinery with an in-row pair generator.
 
-Scale: per-document work is an array intersect against the broadcast
-frequent dictionary (bounded by construction: df >= min_df tokens only)
-plus |kept|^2/2 pair emissions — the a-priori bound, identical to the
-batch self-join's per-document candidate count. State is one BIGINT per
-observed frequent pair; one shuffle on the pair key per micro-batch. At
-100 TB the dictionary rides a broadcast stream-static join / periodic
-re-literalization, never the driver row-by-row.
+Scale: the frequency gate is a stream-static BROADCAST equi-join of the
+exploded live tokens against the frequent relation (bounded by
+construction: df >= min_df tokens only) — the dictionary never touches
+the driver or the query plan. Pair generation is a vectorized Arrow
+self-merge per doc (|kept|^2/2 emissions — the a-priori bound, identical
+to the batch self-join's per-document candidate count). State is one
+BIGINT per observed frequent pair; one shuffle on the pair key per
+micro-batch.
 """
 
 from __future__ import annotations
@@ -66,10 +67,9 @@ def run_streaming_assoc_rules(
         dt.groupBy("__t")
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter(F.col("__c") >= min_df)
+        .persist()
     )
-    # the dictionary is SMALL by construction (tokens with df >= min_df);
-    # literalizing it keeps the stream side a single stateful operator
-    frequent = sorted(r["__t"] for r in items.select("__t").collect())
+    items.count()  # materialize once: micro-batches re-read the cache
     n_docs = docs.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("__n"))
 
     # ---- live pair-count maintenance over the replayed stream ----
@@ -79,21 +79,41 @@ def run_streaming_assoc_rules(
         .option("maxFilesPerTrigger", 1)
         .parquet(os.path.join(tmpdir, "chunk_*"))
     )
-    kept = F.array_sort(
-        F.array_intersect(
-            F.array_distinct(tokens(normalized(F.col("text")))),
-            F.lit(frequent) if frequent else F.array().cast("array<string>"),
-        )
-    )
-    pair_counts = (
-        stream.select(kept.alias("__kept"))
-        .select(F.explode("__kept").alias("__ta"), F.col("__kept"))
-        .select(
-            "__ta",
+    # frequency gate = stream-static BROADCAST equi-join on the exploded
+    # token relation — the dictionary never rides the driver or the plan
+    # (a literal array scales with corpus vocabulary; a hash join does
+    # not). The a-priori bound survives: only frequent tokens reach the
+    # pair stage.
+    kept_tok = (
+        stream.select(
+            F.col("doc_id").cast("long").alias("__id"),
             F.explode(
-                F.filter(F.col("__kept"), lambda b: b > F.col("__ta"))
-            ).alias("__tb"),
+                F.array_distinct(tokens(normalized(F.col("text"))))
+            ).alias("__t"),
         )
+        .filter(F.col("__t") != "")
+        .join(F.broadcast(items.select("__t")), "__t")
+        .select("__id", "__t")
+    )
+
+    def to_pairs(batches):
+        # a doc's exploded rows never span partitions (explode + broadcast
+        # join preserve the source row's partition); concat the partition's
+        # Arrow batches, then one vectorized self-merge per partition
+        import pandas as pd
+
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        m = pdf.merge(pdf, on="__id")
+        m = m[m["__t_x"] < m["__t_y"]]
+        yield m.rename(columns={"__t_x": "__ta", "__t_y": "__tb"})[
+            ["__ta", "__tb"]
+        ]
+
+    pair_counts = (
+        kept_tok.mapInPandas(to_pairs, schema="__ta string, __tb string")
         .groupBy("__ta", "__tb")
         .agg(F.count(F.lit(1)).alias("__cab"))
     )
