@@ -1053,7 +1053,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # higher-order ARRAY function surface (transform / filter /
         # exists / aggregate lambdas + array_max) — integer outputs only.
         # NOTE: lambdas are interpreted (no codegen) — fine for breadth
-        # rows; hot paths use explode + codegen aggregates (CLAUDE.md)
+        # rows; hot paths use explode + codegen aggregates (DESIGN.md)
         "array_functions_suite": _array_suite_entry,
         # Flesch/FK readability (vowel-group syllables, exact counts)
         "text_readability": lambda spark, sf_dir: text.readability(
@@ -5251,7 +5251,7 @@ def _graph_kcore_profile_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _graph_modularity_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modularity Q of the LPA communities over ONE shared, checkpointed
     term graph (LPA's rounds and the modularity aggregate both read it —
-    the CLAUDE.md multi-consumer rule)."""
+    the DESIGN.md multi-consumer rule)."""
     from flink_example_spark.operators.graph import (
         label_propagation,
         modularity,
@@ -5446,7 +5446,7 @@ def _array_suite_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order ARRAY function surface (PySpark transform / filter /
     exists / aggregate lambdas + array_max) — integer outputs only.
     NOTE: lambdas are interpreted (no codegen) — fine for breadth rows;
-    hot paths use explode + codegen aggregates (CLAUDE.md)."""
+    hot paths use explode + codegen aggregates (DESIGN.md)."""
     from pyspark.sql import functions as F
 
     from flink_example_spark.operators import text as _t

@@ -263,6 +263,10 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     common_r2 = round(sum(timings[q] for q in COMMON_R2), 3)
     common_r3 = round(sum(timings[q] for q in COMMON_R3), 3)
+    # box load at measurement time: readings taken on a loaded machine run
+    # ~2x slow across the board (PERF.md noise protocol) — recording the
+    # 1/5/15-min load averages lets any reader discount such a run
+    loadavg = [round(x, 2) for x in os.getloadavg()]
 
     # Full per-query detail goes to a side file: the driver captures only the
     # LAST 2000 chars of stdout, and a queries dict spanning the whole
@@ -277,6 +281,7 @@ def main() -> None:
         "common_r2_subtotal_sec": common_r2,
         "common_r3_subtotal_sec": common_r3,
         "n_queries": len(timings),
+        "loadavg": loadavg,
         "sf": sf,
     }
     with open(
@@ -294,6 +299,7 @@ def main() -> None:
         "common_r2_subtotal_sec": common_r2,
         "common_r3_subtotal_sec": common_r3,
         "n_queries": len(timings),
+        "loadavg": loadavg,
         "detail": "BENCH_FULL.json",
         "sf": sf,
     }

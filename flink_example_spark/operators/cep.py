@@ -37,7 +37,7 @@ from pyspark.sql.window import Window
 
 def _prep(events, key_col, ts_col, type_col):
     # NTZ -> TIMESTAMP cast is exact under the engine's pinned-UTC session
-    # (CLAUDE.md round 5); unix_micros rejects TIMESTAMP_NTZ outright.
+    # (DESIGN.md round 5); unix_micros rejects TIMESTAMP_NTZ outright.
     return events.select(
         F.col(key_col).alias("key"),
         F.col(ts_col).alias("ts"),
@@ -511,7 +511,7 @@ def retention_cohorts(
     wk = F.date_trunc(bucket, t)
     # one events scan: the distinct (key, week) activity relation feeds
     # BOTH the cohort assignment (min week) and the activity cells — the
-    # multi-consumer recompute cut (CLAUDE.md); key·week-sized, cheap
+    # multi-consumer recompute cut (DESIGN.md); key·week-sized, cheap
     active = (
         events.select(F.col(key_col).alias("__k"), wk.alias("__w"))
         .distinct()

@@ -786,7 +786,7 @@ def temperature_mix(
     QUANTIZED to integer micro-units before the normalizing sum —
     ``s_d = floor(sqrt(n_d) * 1e6)`` — so the sum is exact integer
     arithmetic and no cross-engine double-accumulation-order hazard exists
-    (CLAUDE.md: never SUM raw doubles). The per-domain keep threshold is
+    (DESIGN.md: never SUM raw doubles). The per-domain keep threshold is
     then the integer ``(target_total * s_d * buckets) div (S * n_d)``
     compared against the portable md5 bucket of the row key — a pure
     map-side filter after one tiny domain-count aggregate (broadcast back).
@@ -945,7 +945,7 @@ def drift_chi2(
     Per bucket with reference mass: e = n_ref * (N_cur / N_ref) and
     contrib = (n_cur - e)^2 / e, QUANTIZED to integer micro-units
     (floor(x*1e6 + 0.5)) so any downstream total is an exact integer sum
-    (CLAUDE.md: never SUM raw doubles across engines). Buckets present only
+    (DESIGN.md: never SUM raw doubles across engines). Buckets present only
     in ``current`` (no expected mass) report null contrib — they are the
     strongest drift signal and surface as rows, not as division blowups.
 

@@ -971,7 +971,7 @@ def ppjoin_pairs(
         .filter(F.col("t") != "")
         .distinct()
         # consumed by sizes/order/ranked AND twice by verification —
-        # cut once (CLAUDE.md multi-consumer rule)
+        # cut once (DESIGN.md multi-consumer rule)
         .localCheckpoint()
     )
     sizes = dt.groupBy("d").agg(F.count(F.lit(1)).alias("sz"))
@@ -1083,7 +1083,7 @@ def ppjoin_weighted_pairs(
     Jaccard ``Σ_{{t∈A∩B}} w_t / Σ_{{t∈A∪B}} w_t >= tn/td``, where the
     token weight is the integer rarity ``w_t = length(bin(N div df_t))``
     (= floor(log2(N/df_t)) + 1 — the repo's engine-portable log2 device,
-    CLAUDE.md round 6). Rare tokens dominate the score, so "acme corp
+    DESIGN.md round 6). Rare tokens dominate the score, so "acme corp
     intl" ~ "acme corp" matches on the rare brand token while stopword
     overlap alone cannot reach the threshold — the long-name entity
     matcher unweighted Jaccard dilutes.

@@ -10,7 +10,7 @@ no Python in the loop — and both are engine-portable by construction:
 - ``pagerank`` runs the power iteration ENTIRELY in 64-bit integer
   arithmetic (ranks in 1e-12 "micro" units, damping as the exact rational
   num/den), so there is no floating-point accumulation anywhere and any
-  engine reproduces the ranks bit-for-bit.  See CLAUDE.md: never SUM raw
+  engine reproduces the ranks bit-for-bit.  See DESIGN.md: never SUM raw
   doubles across engines.
 - ``triangle_counts`` is exact counting (integers only); the
   degree-ordered edge orientation bounds per-node fan-out by O(sqrt(m)),
@@ -53,7 +53,7 @@ def pagerank(
     shuffled ONCE onto src and kept; each iteration joins the node-sized
     rank relation to it (ranks are the small side) and aggregates
     contributions per dst — the Pregel pattern, with per-round
-    ``localCheckpoint`` lineage cuts (CLAUDE.md: multi-consumer branches
+    ``localCheckpoint`` lineage cuts (DESIGN.md: multi-consumer branches
     recompute their upstream DAG per consumer).
 
     ``seeds``: optional node list for PERSONALIZED PageRank — the
@@ -89,7 +89,7 @@ def pagerank(
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # one shuffle onto src, then the per-iteration rank join reuses it
     # (explicit partition count — AQE coalesces column-only repartition
-    # back to 1 on small data, CLAUDE.md round-6 rule)
+    # back to 1 on small data, DESIGN.md round-6 rule)
     ee = (
         e.join(out_w, "src")
         .repartition(sc.defaultParallelism, F.col("src"))
@@ -142,7 +142,7 @@ def pagerank_oracle(
 ) -> str:
     """DuckDB twin of ``pagerank``: the power iteration unrolled as chained
     MATERIALIZED CTEs (DuckDB inlines non-recursive CTEs per consumer —
-    the shared edge/node relations are read every round, CLAUDE.md).
+    the shared edge/node relations are read every round, DESIGN.md).
     ``edges_sql`` must yield (src, dst, w BIGINT)."""
     num, den = damping
     if seeds is None:
@@ -630,7 +630,7 @@ def kcore(
     Scale per round: one degree aggregation + two semi-joins against the
     (shrinking) survivor set — all equi-joins on the node id, broadcast
     while survivors fit. localCheckpoint per round caps the plan depth
-    (the iterative-loop rule in CLAUDE.md).
+    (the iterative-loop rule in DESIGN.md).
     """
     e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
     for _ in range(n_rounds):
@@ -650,7 +650,7 @@ def kcore(
 
 def kcore_oracle(edges_sql: str, k: int, n_rounds: int = 4) -> str:
     """DuckDB twin: the peel loop unrolled as chained MATERIALIZED CTEs
-    (per-round relations feed two consumers — the CLAUDE.md inlining rule).
+    (per-round relations feed two consumers — the DESIGN.md inlining rule).
     ``edges_sql`` must yield symmetric (src, dst)."""
     parts = [f"e0 AS MATERIALIZED (SELECT src AS s, dst AS d FROM ({edges_sql}))"]
     for i in range(n_rounds):
@@ -695,7 +695,7 @@ def label_propagation(
     Scale per round: one equi-join of edges against the (node, label)
     relation on the neighbor id + two key-sized aggregations — the same
     shuffle shape as one PageRank iteration; labels localCheckpoint per
-    round to cap plan depth (CLAUDE.md iterative-loop rule).
+    round to cap plan depth (DESIGN.md iterative-loop rule).
 
     ``edges`` must be symmetric-directed (as :func:`term_graph` emits).
     Output: ``(node, label)`` — nodes sharing a label form a community.
@@ -731,7 +731,7 @@ def label_propagation(
 
 def label_propagation_oracle(edges_sql: str, n_rounds: int = 4) -> str:
     """DuckDB twin: the propagation loop unrolled as chained MATERIALIZED
-    CTEs (each round's labels feed the next — the CLAUDE.md inlining rule)."""
+    CTEs (each round's labels feed the next — the DESIGN.md inlining rule)."""
     parts = [
         f"e AS MATERIALIZED (SELECT src AS s, dst AS d, CAST(w AS BIGINT) AS w"
         f" FROM ({edges_sql}))",
@@ -837,7 +837,7 @@ def sssp(
     Edge cost inverts affinity into distance entirely in BIGINTs:
     ``cost = greatest(1, cost_scale div w)`` — strong co-occurrence is
     cheap to traverse; integer division keeps every distance exact in any
-    engine (CLAUDE.md: never SUM raw doubles). Source defaults to the hub
+    engine (DESIGN.md: never SUM raw doubles). Source defaults to the hub
     (largest total out-weight, smallest name on ties — the same anchor
     rule as :func:`reachability`).
 
@@ -891,7 +891,7 @@ def sssp_oracle(
 ) -> str:
     """DuckDB twin of :func:`sssp` — the relaxation loop unrolled as
     chained MATERIALIZED CTEs (each round's dist feeds the next round's
-    join AND the union — the CLAUDE.md inlining rule)."""
+    join AND the union — the DESIGN.md inlining rule)."""
     anchor = (
         f"SELECT '{source}' AS node, CAST(0 AS BIGINT) AS dist"
         if source is not None

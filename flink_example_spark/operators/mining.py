@@ -11,7 +11,7 @@ nothing imperative.
 Engine portability: all counts are exact BIGINTs; the confidence gate is
 CROSS-MULTIPLIED (``100 * c_ab >= pct * c_a``) so no division happens in
 a filter; confidence and lift are single exactly-rounded double divisions
-of exact integer products at the output boundary (CLAUDE.md: never SUM
+of exact integer products at the output boundary (DESIGN.md: never SUM
 raw doubles, one fixed double op sequence is portable).
 
 Scale shape: the a-priori pruning step (frequent items first) bounds the

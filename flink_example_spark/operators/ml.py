@@ -11,11 +11,11 @@ contract intact:
   Σx², Σxy, Σy²) is an exact BIGINT sum — one map-side-combined
   aggregation per group, no iteration, no floating-point accumulation.
   slope/intercept/r² are then a FIXED sequence of exactly-rounded double
-  ops on exact integers, bit-identical in any engine (CLAUDE.md: never
+  ops on exact integers, bit-identical in any engine (DESIGN.md: never
   SUM raw doubles across engines).
 - ``zscore_outliers`` flags |x - mean| > z·std per group from the same
   integer sufficient statistics; sqrt is the one IEEE exact-rounded
-  non-rational op (CLAUDE.md round 6), so z-scores are portable too.
+  non-rational op (DESIGN.md round 6), so z-scores are portable too.
 
 Scale shape: both are a single groupBy over narrow integer columns —
 the partial aggregation happens map-side, the shuffle carries one row
@@ -826,7 +826,7 @@ def nb_language_classifier(
     Engine portability: Laplace-smoothed likelihoods are quantized to whole
     surprisal bits, ``floor(log2((T_k + V) / (c_tk + 1)))`` computed as
     ``length(bin(x div y)) - 1`` — pure BIGINT both engines evaluate
-    identically (the CLAUDE.md integer-log2 idiom; libm log() differs in
+    identically (the DESIGN.md integer-log2 idiom; libm log() differs in
     the last ulp across engines). Class priors quantize the same way. The
     argmin over classes uses a zero-padded ``bits || class`` string key, so
     ties break to the lexicographically smallest class in both engines.
@@ -1018,7 +1018,7 @@ def regression_eval(
     Portability: the prediction ``intercept + slope*x`` and the residual
     are a FIXED sequence of exactly-rounded double ops on portable fit
     outputs; residuals then QUANTIZE to BIGINT milli-units before any sum
-    (the CLAUDE.md rule — never SUM raw doubles), so Σ|e| and Σe² are
+    (the DESIGN.md rule — never SUM raw doubles), so Σ|e| and Σe² are
     exact integers, and MAE/RMSE are single double divisions (plus one
     exact-rounded sqrt) at the output boundary. Overflow bound:
     n·(err·scale)² < 2^63 — thousands-magnitude residuals at scale=1000
@@ -2548,7 +2548,7 @@ def isotonic_fit(
     pool-adjacent loop, just one bounded self-join and two running
     window passes, so the whole fit is a Catalyst plan.
 
-    Portability (CLAUDE.md quantize-before-cumsum): values quantize to
+    Portability (DESIGN.md quantize-before-cumsum): values quantize to
     1e6-scaled BIGINTs BEFORE the prefix sums (window cumsums over
     doubles are segment-tree-ordered in DuckDB — not portable; integer
     sums are exact in any order). Each range average is then ONE double

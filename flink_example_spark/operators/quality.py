@@ -229,7 +229,7 @@ def key_skew_report(
     """Shuffle-skew audit for a join/aggregation key: the Gini
     coefficient and top-key concentration of the key's row distribution
     — the number you check BEFORE a 100 TB shuffle to decide whether a
-    key needs salting (CLAUDE.md's skew rules operationalized as a
+    key needs salting (DESIGN.md's skew rules operationalized as a
     query).
 
     Gini over per-key counts ``x_(1..n)`` sorted ascending is

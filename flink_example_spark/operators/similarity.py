@@ -333,7 +333,7 @@ def lsh_cosine_pairs(
 
     The input is hash-spread on the id first: banding is CPU-heavy per row
     (n_bands x n_planes 64-dim folds) and the single-file harness parquet
-    scans as ONE partition (CLAUDE.md rule); on a cluster with multi-file
+    scans as ONE partition (DESIGN.md rule); on a cluster with multi-file
     tables the same repartition merely balances skew."""
     _n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
     p = _prep(
@@ -1266,7 +1266,7 @@ def pca_power(
 
     Engine portability: every sum of float products quantizes each
     product to 1e12-scaled BIGINT first (Σ floor(x·y·1e12 + 0.5) — the
-    CLAUDE.md rule; raw double sums are order-dependent), covariance and
+    DESIGN.md rule; raw double sums are order-dependent), covariance and
     iteration vectors are then FIXED sequences of exactly-rounded double
     ops, and each round rescales by max|w| (comparison + one division)
     instead of an L2 norm so no sqrt enters the loop. The single sqrt

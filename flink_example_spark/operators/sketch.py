@@ -8,7 +8,7 @@ normalized to (0, 1]. Groups with fewer than k distinct hashes report the
 exact count.
 
 Why KMV and not Spark's HLL++ (``approx_count_distinct``): the hash here is
-the engine-portable md5 bucket (CLAUDE.md: ``conv(substr(md5(v),1,8),16,10)``
+the engine-portable md5 bucket (DESIGN.md: ``conv(substr(md5(v),1,8),16,10)``
 ↔ DuckDB ``CAST(concat('0x', ...) AS BIGINT)``), so the sketch — not just
 its error bound — is DETERMINISTIC and bit-identical in any engine, which
 makes it oracle-checkable and stable across replays/retries. HLL sketches
@@ -257,7 +257,7 @@ def hll_finalize(
     floating-point op is the final numerator/denominator division.
 
     No small-range (linear-counting) correction: it needs ln(), which is
-    not exactly-rounded-portable across engines (CLAUDE.md: sqrt is the one
+    not exactly-rounded-portable across engines (DESIGN.md: sqrt is the one
     portable non-integer power). Small-cardinality groups belong to
     ``kmv_distinct``, which is exact below k by construction.
     """
@@ -297,7 +297,7 @@ def hll_distinct_oracle(
     """DuckDB twin of ``hll_distinct`` built from the same definition.
     ``source_sql`` must yield the group columns plus the value expression.
     DuckDB's SUM(BIGINT) widens to HUGEINT, so both sums are cast back
-    (CLAUDE.md rule); ``bin()`` is unpadded in both engines."""
+    (DESIGN.md rule); ``bin()`` is unpadded in both engines."""
     m, rem_bits, q, num = _hll_params(p)
     div = 1 << rem_bits
     gs = ", ".join(group_cols)

@@ -519,7 +519,7 @@ def bm25_topk(
     ``length(bin(N div df)) - 1``, pure integer arithmetic (the same
     determinism device as ``lm_surprisal``). Per-term contributions are
     doubles quantized to integers (floor(w*1e12 + 0.5)) before the SUM, so
-    accumulation order cannot change the score (CLAUDE.md: never SUM raw
+    accumulation order cannot change the score (DESIGN.md: never SUM raw
     doubles across engines); the final score divides back to a double.
 
     Scale shape: the query-term join hits the (doc, term, tf) relation
@@ -1004,7 +1004,7 @@ def zipf_fit(
     Composes the corpus term counts (one aggregation + one rank window)
     with :func:`~flink_example_spark.operators.ml.linear_fit`'s exact
     integer sufficient statistics; the quantized-log regression keeps
-    every accumulated value a BIGINT (the CLAUDE.md integer-log2 idiom).
+    every accumulated value a BIGINT (the DESIGN.md integer-log2 idiom).
 
     Output: one row ``(grp='zipf', n, slope, intercept, r2)`` where n is
     the vocabulary size.

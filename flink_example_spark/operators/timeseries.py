@@ -8,7 +8,7 @@ resampling is the complementary op a training pipeline needs to feed
 fixed-step models (RNN features, rolling windows at a constant stride).
 
 Engine portability: ALL time math runs in integer epoch micros
-(``unix_micros`` ↔ DuckDB ``epoch_us``, the CLAUDE.md rule — second-granular
+(``unix_micros`` ↔ DuckDB ``epoch_us``, the DESIGN.md rule — second-granular
 epoch functions truncate differently across engines), grids are generated
 as ``start + i*step`` integer sequences (never timestamp-interval
 sequences, whose inclusive-end semantics differ), and interpolation uses
@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 def _obs(df: DataFrame, key_col: str, ts_col: str, value_col: str) -> DataFrame:
     """One observation per (key, micros): MAX(value) — comparison-only, so
     deterministic and portable on raw doubles (no accumulation-order
-    hazard; the one aggregate CLAUDE.md's decimal rule doesn't apply to)."""
+    hazard; the one aggregate DESIGN.md's decimal rule doesn't apply to)."""
     return (
         df.filter(F.col(value_col).isNotNull())
         .select(
@@ -553,7 +553,7 @@ def ewma_smooth(
     two: ``y_i = sum_k 2^(H-k) * x_(i-k) / sum_k 2^(H-k)`` over available
     lags k = 0..H. The geometric tail beyond 8 points carries < 0.4% of
     the mass; truncation buys BIT-EXACT cross-engine results (the infinite
-    recurrence would accumulate doubles — the CLAUDE.md hazard).
+    recurrence would accumulate doubles — the DESIGN.md hazard).
 
     Values quantize to BIGINT milli-units first; the weighted numerator
     and denominator are exact integers, and the single double division at
@@ -1369,7 +1369,7 @@ def survival_table(
 
     Portability: lifetimes are integer DAYS (micros div 86400e6); the
     per-step hazard quantizes to an EXACT integer division
-    ``(d * 1e6) div n_risk`` BEFORE the cumulative sum (the CLAUDE.md
+    ``(d * 1e6) div n_risk`` BEFORE the cumulative sum (the DESIGN.md
     never-SUM-raw-doubles rule — a double Σd/n would be
     accumulation-order-dependent), so ``na_cum_micro`` is an exact
     BIGINT in any engine; the double ``cum_hazard`` is one division at

@@ -260,7 +260,7 @@ def run_streaming_funnel_unordered(
     full Flink-CEP late-data model. Two sentinel waves (far-future events
     on a negative key, stripped from the output) lift the watermark past
     max_ts + delay to flush the buffers: wave N's batch runs with the
-    watermark computed from wave N-1 (CLAUDE.md round 2).
+    watermark computed from wave N-1 (DESIGN.md round 2).
 
     Converges EXACTLY to the batch ``funnel`` — same oracle as the
     in-order replay."""

@@ -34,7 +34,7 @@ only closes a probe's group once the SOURCE watermark passes
 ``p_ts + 3·horizon``. The sentinel waves therefore sit past
 ``max_t + 3·horizon`` and are spaced within one horizon of each other so
 every wave flows through the example self-join (filtered-out rows advance
-no operator's watermark — CLAUDE.md round-2 rule).
+no operator's watermark — DESIGN.md round-2 rule).
 """
 
 from __future__ import annotations

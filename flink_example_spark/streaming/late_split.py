@@ -13,7 +13,7 @@ arrival order; staging chunks by ``event_id % chunks`` makes every chunk
 span the full time range, so later chunks genuinely contain late data
 (the interleaved-arrival regime, exactly what the mod split simulates).
 
-All time math in integer micros (CLAUDE.md rule); the classification is
+All time math in integer micros (DESIGN.md rule); the classification is
 reproduced verbatim by the DuckDB oracle from the same mod-chunk rule.
 """
 

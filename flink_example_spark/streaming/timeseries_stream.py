@@ -65,7 +65,7 @@ def run_streaming_rolling_actives(
     relation is the ONLY state a WAU metric needs — maintained live with
     ``dropDuplicates`` (first-seen per pair is deterministic BECAUSE the
     emitted row carries nothing but the key itself, dodging the
-    dropDuplicates-arbitrary-row hazard in CLAUDE.md); the window fan-out
+    dropDuplicates-arbitrary-row hazard in DESIGN.md); the window fan-out
     and distinct count run over the converged (user, day) table at read
     time (user·day-sized, not event-sized).
 

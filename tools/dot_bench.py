@@ -8,7 +8,7 @@ arrays per joined (query, neighbor) pair.  Candidates:
 - unrolled   lit(0.0)+a[1]*b[1]+...+a[64]*b[64] element_at chain — pure
              whole-stage codegen, same left-fold association order.
 - explode    posexplode corpus vectors, broadcast-join exploded queries on
-             pos, codegen hash-agg SUM(x*y) per (q,n) pair — the CLAUDE.md
+             pos, codegen hash-agg SUM(x*y) per (q,n) pair — the DESIGN.md
              "explode + codegen aggregates" pattern; adds a real shuffle.
 - pandas     Arrow-batched numpy matmul scalar pandas UDF — vectorized
              ceiling reference; numpy pairwise summation changes the fold
