@@ -1396,6 +1396,36 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_chars",
             "id",
         ),
+        # exact ROC-AUC (Mann-Whitney with midrank ties) of doc length as
+        # an English-detector score: distributed two-phase ranking, one
+        # per-score-group aggregation, one double division at the boundary
+        "ml_roc_auc": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["roc_auc"]
+        ).roc_auc(
+            _docs(spark, sf_dir),
+            "n_chars",
+            F.col("lang") == "en",
+            "doc_id",
+        ),
+        # corpus concentration audit: Gini + decile Lorenz curve of doc
+        # sizes (exact BIGINT rank-weighted sums via distrank)
+        "quality_gini_lorenz": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.quality", fromlist=["gini_lorenz"]
+        ).gini_lorenz(_docs(spark, sf_dir), "n_chars", "doc_id"),
+        # EXACT percentiles as order statistics — no global sort, no
+        # percentile_approx: distributed rank + broadcast target-rank join
+        # (centi-quantized event values so the cast is integer-exact)
+        "sketch_exact_order_stats": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.sketch",
+            fromlist=["exact_order_stats"],
+        ).exact_order_stats(
+            _events(spark, sf_dir).select(
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vq"),
+                "event_id",
+            ),
+            "vq",
+            "event_id",
+        ),
         # one-way ANOVA across event types: exact integer SS partition,
         # F statistic as one fixed double sequence
         "ml_anova": lambda spark, sf_dir: __import__(
@@ -3683,6 +3713,27 @@ def _northstar_oracles() -> dict[str, str]:
         "n_tok",
         "n_chars",
         "id",
+    )
+    from flink_example_spark.operators.ml import roc_auc_oracle
+
+    out["ml_roc_auc"] = roc_auc_oracle(
+        "SELECT doc_id, lang, n_chars FROM documents",
+        "n_chars",
+        "lang = 'en'",
+        "doc_id",
+    )
+    from flink_example_spark.operators.quality import gini_lorenz_oracle
+
+    out["quality_gini_lorenz"] = gini_lorenz_oracle(
+        "SELECT doc_id, n_chars FROM documents", "n_chars", "doc_id"
+    )
+    from flink_example_spark.operators.sketch import exact_order_stats_oracle
+
+    out["sketch_exact_order_stats"] = exact_order_stats_oracle(
+        "SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq, event_id"
+        " FROM events",
+        "vq",
+        "event_id",
     )
     from flink_example_spark.operators.ml import anova_oneway_oracle
 

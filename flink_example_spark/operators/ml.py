@@ -4923,3 +4923,93 @@ def cramers_v_oracle(units_sql: str, a_col: str, b_col: str) -> str:
                        * CAST(least(ka - 1, kb - 1) AS DOUBLE))) AS v
         FROM s WHERE ka >= 2 AND kb >= 2
     """
+
+
+def roc_auc(
+    df: DataFrame, score_col: str, label_col, id_col: str
+) -> DataFrame:
+    """Exact ROC-AUC — the threshold-free ranking quality of a score
+    against a binary label (the number every gating score gets judged
+    by: P(score_pos > score_neg) with ties counting half). Computed as
+    the Mann-Whitney rank-sum with MIDRANK tie handling, closed over
+    per-score-value groups so no positives/negatives join is needed:
+
+    with global ``rn`` = ROW_NUMBER over (score, id) and per tied-score
+    group g: 2*midrank_g = min(rn) + max(rn), so
+    ``2*U_sum = sum_g n_pos_g * (min_rn_g + max_rn_g)`` and
+    ``AUC = (2*U_sum - n_pos*(n_pos+1)) / (2 * n_pos * n_neg)`` —
+    every accumulated quantity an exact BIGINT, ONE double division at
+    the output boundary (IEEE-identical across engines; DESIGN.md).
+
+    Output one row: ``(n, n_pos, n_neg, auc)``.
+
+    Scale: one distributed two-phase ranking (``distrank`` — no
+    single-partition window) + one hash aggregation by score value +
+    one rollup.
+    """
+    from flink_example_spark.operators.distrank import dist_row_number
+
+    lab = label_col if not isinstance(label_col, str) else F.col(label_col)
+    rows = df.filter(F.col(score_col).isNotNull()).select(
+        F.col(score_col).alias("s"),
+        F.when(lab, 1).otherwise(0).cast("long").alias("y"),
+        F.col(id_col).alias("id"),
+    )
+    ranked = dist_row_number(rows, ["s", "id"], "rn")
+    grp = ranked.groupBy("s").agg(
+        F.min("rn").alias("m1"),
+        F.max("rn").alias("m2"),
+        F.sum("y").alias("npg"),
+        F.count(F.lit(1)).alias("ng"),
+    )
+    s = grp.agg(
+        F.sum(F.col("npg") * (F.col("m1") + F.col("m2"))).alias("two_u"),
+        F.sum("npg").alias("n_pos"),
+        F.sum(F.col("ng") - F.col("npg")).alias("n_neg"),
+        F.sum("ng").alias("n"),
+    )
+    num = F.col("two_u") - F.col("n_pos") * (F.col("n_pos") + 1)
+    den = F.lit(2) * F.col("n_pos") * F.col("n_neg")
+    return s.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        (num.cast("double") / den.cast("double")).alias("auc"),
+    )
+
+
+def roc_auc_oracle(
+    units_sql: str, score_col: str, label_sql: str, id_col: str
+) -> str:
+    """DuckDB twin of :func:`roc_auc` (same midrank closure)."""
+    return f"""
+        WITH u AS (
+          SELECT {score_col} AS s,
+                 CAST(CASE WHEN {label_sql} THEN 1 ELSE 0 END AS BIGINT) AS y,
+                 {id_col} AS id
+          FROM ({units_sql}) WHERE {score_col} IS NOT NULL
+        ),
+        ranked AS (
+          SELECT s, y,
+                 CAST(ROW_NUMBER() OVER (ORDER BY s, id) AS BIGINT) AS rn
+          FROM u
+        ),
+        grp AS (
+          SELECT s, CAST(MIN(rn) AS BIGINT) AS m1,
+                 CAST(MAX(rn) AS BIGINT) AS m2,
+                 CAST(SUM(y) AS BIGINT) AS npg,
+                 CAST(COUNT(*) AS BIGINT) AS ng
+          FROM ranked GROUP BY s
+        ),
+        agg AS (
+          SELECT CAST(SUM(npg * (m1 + m2)) AS BIGINT) AS two_u,
+                 CAST(SUM(npg) AS BIGINT) AS n_pos,
+                 CAST(SUM(ng - npg) AS BIGINT) AS n_neg,
+                 CAST(SUM(ng) AS BIGINT) AS n
+          FROM grp
+        )
+        SELECT n, n_pos, n_neg,
+               CAST(two_u - n_pos * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+        FROM agg WHERE n_pos > 0 AND n_neg > 0
+    """

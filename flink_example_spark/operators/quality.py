@@ -709,3 +709,106 @@ def ref_integrity_oracle(
         ANTI JOIN (SELECT DISTINCT {pcol} AS k FROM {parent}) pk USING (k)
         """)
     return " UNION ALL ".join(parts)
+
+
+def gini_lorenz(
+    df: DataFrame, value_col: str, id_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Gini coefficient + Lorenz curve of a non-negative size column —
+    the concentration audit for a corpus (is 1% of domains contributing
+    90% of tokens?), the continuous sibling of the domain-cap gate.
+
+    With values ranked ascending (exact global ``i`` = ROW_NUMBER over
+    (value, id) from the distributed two-phase device, DESIGN.md):
+    ``G = (2*sum(i*v) - (n+1)*sum(v)) / (n*sum(v))`` — every
+    accumulated term an exact BIGINT, one double division at the
+    output. The Lorenz curve reports per equal-count bucket
+    (``(i-1)*n_buckets div n``) the row count, bucket value sum, and
+    the cumulative value share in exact micro units.
+
+    Output: ``n_buckets`` rows ``(bucket, n_rows, bucket_value,
+    cum_value, cum_share_micro, gini)`` — gini repeated per row (scalar
+    columns only; DESIGN.md driver-record rules). Overflow bound:
+    ``2*sum(i*v)`` needs ``n * totalv * 2 < 2^63``; quantize the value
+    upstream for corpora beyond that (or widen to DECIMAL(38) as in
+    cramers_v).
+
+    Scale: one distributed ranking + one n_buckets-sized aggregation;
+    the only unpartitioned window runs over n_buckets rows.
+    """
+    from flink_example_spark.operators.distrank import dist_row_number
+
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("long").alias("v"), F.col(id_col).alias("id")
+    )
+    ranked = dist_row_number(rows, ["v", "id"], "i")
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("i") * F.col("v")).alias("wiv"),
+    )
+    bucketed = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("bucket", F.expr(f"((i - 1) * {n_buckets}) div n"))
+        .groupBy("bucket", "n", "sv", "wiv")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("v").alias("bucket_value"),
+        )
+    )
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gini = (
+        (F.lit(2) * F.col("wiv") - (F.col("n") + 1) * F.col("sv"))
+        .cast("double")
+        / (F.col("n") * F.col("sv")).cast("double")
+    )
+    return (
+        bucketed.withColumn("cum_value", F.sum("bucket_value").over(wb))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_rows",
+            F.col("bucket_value").cast("long").alias("bucket_value"),
+            F.col("cum_value").cast("long").alias("cum_value"),
+            F.expr("(cum_value * 1000000) div sv").alias("cum_share_micro"),
+            gini.alias("gini"),
+        )
+    )
+
+
+def gini_lorenz_oracle(
+    units_sql: str, value_col: str, id_col: str, n_buckets: int = 10
+) -> str:
+    """DuckDB twin of :func:`gini_lorenz`."""
+    return f"""
+        WITH u AS (
+          SELECT CAST({value_col} AS BIGINT) AS v, {id_col} AS id
+          FROM ({units_sql}) WHERE {value_col} IS NOT NULL
+        ),
+        ranked AS (
+          SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v, id) AS BIGINT) AS i
+          FROM u
+        ),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+                 CAST(SUM(i * v) AS BIGINT) AS wiv
+          FROM ranked
+        ),
+        bucketed AS (
+          SELECT ((i - 1) * {n_buckets}) // n AS bucket, n, sv, wiv,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(v) AS BIGINT) AS bucket_value
+          FROM ranked, tot GROUP BY 1, 2, 3, 4
+        )
+        SELECT bucket, n_rows, bucket_value,
+               CAST(SUM(bucket_value) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_value,
+               (CAST(SUM(bucket_value) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) * 1000000) // sv AS cum_share_micro,
+               CAST(2 * wiv - (n + 1) * sv AS DOUBLE)
+                 / CAST(n * sv AS DOUBLE) AS gini
+        FROM bucketed
+    """

@@ -1153,3 +1153,65 @@ def bloom_partkey_filter_oracle(
         FROM flagged f JOIN actual a USING (n_name)
         ORDER BY n_name
     """
+
+
+def exact_order_stats(
+    df: DataFrame, value_col: str, id_col: str, pcts: tuple[int, ...] = (25, 50, 75, 90, 99)
+) -> DataFrame:
+    """EXACT percentiles as order statistics — the ground truth the KMV
+    quantile SAMPLE approximates, made scale-safe: no global sort, no
+    single-partition window, no percentile_approx. The global rank comes
+    from the distributed two-phase device (``distrank``, DESIGN.md); the
+    requested percentiles become target ranks ``r_p = ceil(p*n/100)``
+    (= ``(p*n + 99) div 100``, the inclusive lower order statistic) and
+    a broadcast equi-join on the rank column picks the value rows.
+
+    Output per requested percentile: ``(pct, target_rank, value)``.
+
+    Scale: one distributed ranking + one broadcast join against a
+    len(pcts)-row relation.
+    """
+    from flink_example_spark.operators.distrank import dist_row_number
+
+    spark = df.sparkSession
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("long").alias("v"), F.col(id_col).alias("id")
+    )
+    ranked = dist_row_number(rows, ["v", "id"], "rn")
+    n = rows.count()
+    targets = spark.createDataFrame(
+        [(int(p), (int(p) * n + 99) // 100) for p in pcts],
+        "pct long, target_rank long",
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets), F.col("rn") == F.col("target_rank")
+        )
+        .select("pct", "target_rank", F.col("v").alias("value"))
+    )
+
+
+def exact_order_stats_oracle(
+    units_sql: str, value_col: str, id_col: str,
+    pcts: tuple[int, ...] = (25, 50, 75, 90, 99),
+) -> str:
+    """DuckDB twin of :func:`exact_order_stats`."""
+    pcts_rows = ", ".join(f"({int(p)})" for p in pcts)
+    return f"""
+        WITH u AS (
+          SELECT CAST({value_col} AS BIGINT) AS v, {id_col} AS id
+          FROM ({units_sql}) WHERE {value_col} IS NOT NULL
+        ),
+        ranked AS (
+          SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v, id) AS BIGINT) AS rn
+          FROM u
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+        targets AS (
+          SELECT CAST(pct AS BIGINT) AS pct,
+                 (CAST(pct AS BIGINT) * n + 99) // 100 AS target_rank
+          FROM (VALUES {pcts_rows}) t(pct), nn
+        )
+        SELECT pct, target_rank, v AS value
+        FROM ranked JOIN targets ON rn = target_rank
+    """
