@@ -2326,6 +2326,14 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeseries_dtw_matrix": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.timeseries", fromlist=["dtw_matrix"]
         ).dtw_matrix(_events(spark, sf_dir), "event_type", "ts", "value"),
+        # Sakoe-Chiba BANDED alignment: |i-j| <= 4 warp constraint — the
+        # regularized O(n*band) variant for long series; identical
+        # wavefront oracle restricted to in-band cells
+        "timeseries_dtw_band": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries", fromlist=["dtw_matrix"]
+        ).dtw_matrix(
+            _events(spark, sf_dir), "event_type", "ts", "value", band=4
+        ),
         # STL seasonal-strength diagnostic: 1 - Var(remainder)/Var(detrended)
         # in exact ppm over the decompose arithmetic
         "timeseries_season_strength": lambda spark, sf_dir: __import__(
@@ -4457,6 +4465,9 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["timeseries_dtw_matrix"] = dtw_matrix_oracle(
         "events", "event_type", "ts", "value"
+    )
+    out["timeseries_dtw_band"] = dtw_matrix_oracle(
+        "events", "event_type", "ts", "value", band=4
     )
     from flink_example_spark.operators.timeseries import spectral_peak_oracle
 

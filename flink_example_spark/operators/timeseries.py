@@ -2575,6 +2575,7 @@ def dtw_matrix(
     ts_col: str = "ts",
     value_col: str = "value",
     n_points: int = 24,
+    band: int | None = None,
 ) -> DataFrame:
     """Dynamic-time-warping distance between every pair of per-key daily
     series — the alignment-tolerant similarity behind KPI clustering and
@@ -2594,9 +2595,16 @@ def dtw_matrix(
 
     Output per unordered pair: ``(key_a, key_b, n_points, dtw_dist)``.
 
+    ``band`` (Sakoe-Chiba) restricts the warp to ``|i - j| <= band``:
+    the standard constraint that both regularizes the alignment (no
+    pathological all-to-one warps) and cuts per-pair cost from
+    ``n_points^2`` to ``n_points * (2*band + 1)`` — the variant to use
+    when n_points grows past a few hundred.
+
     Scale: pairs parallelize independently; per-pair cost is n_points^2
-    integer ops in an Arrow batch. The pair count is key-cardinality
-    choose 2 — a METRICS-dimension relation, not a data relation.
+    (banded: n_points * (2*band+1)) integer ops in an Arrow batch. The
+    pair count is key-cardinality choose 2 — a METRICS-dimension
+    relation, not a data relation.
     """
     import pandas as pd
 
@@ -2653,7 +2661,9 @@ def dtw_matrix(
         prev[0] = 0
         for i in range(1, n + 1):
             cur = [big] * (m + 1)
-            for j in range(1, m + 1):
+            jlo = 1 if band is None else max(1, i - band)
+            jhi = m if band is None else min(m, i + band)
+            for j in range(jlo, jhi + 1):
                 c = abs(a[i - 1] - b[j - 1])
                 cur[j] = c + min(prev[j], cur[j - 1], prev[j - 1])
             prev = cur
@@ -2673,12 +2683,16 @@ def dtw_matrix_oracle(
     ts_col: str = "ts",
     value_col: str = "value",
     n_points: int = 24,
+    band: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`dtw_matrix` — the DP unrolled by
     anti-diagonal wavefronts (each MATERIALIZED; wavefront k joins only
-    k-1 and k-2, so no within-row recurrence exists to break SQL)."""
+    k-1 and k-2, so no within-row recurrence exists to break SQL). With
+    ``band`` set, only Sakoe-Chiba in-band cells materialize — identical
+    exclusion to the Spark DP's restricted j range."""
     day_us = 86_400_000_000
     n = n_points
+    band_pred = "" if band is None else f" AND abs(a.i - b.i) <= {band}"
     parts = [f"""WITH daily AS MATERIALIZED (
           SELECT {key_col} AS key, epoch_us({ts_col}) // {day_us} AS day,
                  CAST(SUM(CAST(floor({value_col} * 100 + 0.5) AS BIGINT))
@@ -2699,7 +2713,7 @@ def dtw_matrix_oracle(
         cells AS MATERIALIZED (
           SELECT a.key AS ka, b.key AS kb, a.i AS i, b.i AS j,
                  abs(a.cv - b.cv) AS c
-          FROM tail a JOIN tail b ON a.key < b.key
+          FROM tail a JOIN tail b ON a.key < b.key{band_pred}
         )"""]
     # wavefront k holds dp for cells with i + j = k (0-indexed)
     for k in range(0, 2 * n - 1):

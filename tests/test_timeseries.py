@@ -584,3 +584,33 @@ def test_max_drawdown_known_path(spark):
     assert r["final_centi"] == 2500
     assert r["trough_day"] == (base + timedelta(days=3)).timestamp() // 86400
     assert r["n_days"] == 5
+
+
+def test_dtw_band_properties(spark):
+    """Sakoe-Chiba band: band >= n-1 equals the unbanded DP exactly;
+    a narrow band upper-bounds it (restricting paths can only raise the
+    optimum); a one-step-shifted copy still aligns inside band=2."""
+    from datetime import datetime, timezone
+
+    from flink_example_spark.operators.timeseries import dtw_matrix
+
+    def ts(d):
+        return datetime.fromtimestamp(86400 * d, tz=timezone.utc)
+
+    base = [10, 80, 10, 70, 10, 90, 10, 60] * 3
+    rows = []
+    for d in range(24):
+        rows.append(("a", ts(d), float(base[d])))
+        rows.append(("b", ts(d), float(base[d - 1])))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+
+    def dist(**kw):
+        return dtw_matrix(df, "event_type", "ts", "value", **kw).collect()[0][
+            "dtw_dist"
+        ]
+
+    full = dist()
+    assert dist(band=23) == full
+    assert dist(band=2) >= full
+    # the shift-1 alignment lives within |i-j| <= 2, so the band barely hurts
+    assert dist(band=2) <= full + 2 * max(base)
