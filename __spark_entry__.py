@@ -2811,6 +2811,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": lambda spark, sf_dir: curation.curated_corpus(
             _docs(spark, sf_dir), pattern=_BLOCKLIST_PATTERN
         ),
+        # greedy maximum-coverage coreset selection (facility location):
+        # k rounds of broadcast anti-join + top-1, the (1-1/e) submodular
+        # diversity picker
+        "curation_greedy_coverage": lambda spark, sf_dir: curation.greedy_coverage(
+            _docs(spark, sf_dir), k=6, n=3
+        ),
         # per-domain caps (anti-dominance, two-phase skew-safe top-k)
         "curation_domain_cap": lambda spark, sf_dir: curation.domain_cap(
             _docs(spark, sf_dir), cap=10
@@ -4610,6 +4616,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["curation_sample"] = curation.stratified_sample_oracle(_MIX_FRACTIONS)
     out["curation_shards"] = curation.shard_stats_oracle(n_shards=8)
     out["curation_length_histogram"] = curation.length_histogram_oracle()
+    out["curation_greedy_coverage"] = curation.greedy_coverage_oracle(k=6, n=3)
     out["curation_domain_cap"] = curation.domain_cap_oracle(cap=10)
     out["curation_pipeline"] = curation.curated_corpus_oracle(pattern=_BLOCKLIST_PATTERN)
     out["curation_doc_quality"] = curation.doc_quality_oracle(

@@ -1653,3 +1653,117 @@ def proportional_stratified_sample_oracle(
                     THEN doc_id ELSE 0 END) AS BIGINT) AS sampled_id_sum
         FROM ranked GROUP BY 1
     """
+
+
+def greedy_coverage(
+    documents: DataFrame,
+    k: int = 6,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy maximum-coverage data selection (facility location on the
+    doc x n-gram bipartite set) — the classic submodular coreset picker
+    for training-data curation: each round selects the document covering
+    the most NOT-YET-covered distinct word n-grams, the (1 - 1/e)
+    approximation to the NP-hard optimum. The diversity-first complement
+    to score-based sampling: k rounds yield k documents that jointly
+    span the corpus's surface forms.
+
+    Mechanics (the BPE-style bounded iteration): per round, one
+    broadcast anti-join of the corpus gram stream against the covered
+    set (selected docs' grams only — k * per-doc grams, always tiny),
+    one per-doc count, one ``orderBy().limit(1)`` top-1 (ONE collected
+    row per round — the documented driver-held scalar exception). Docs
+    whose grams are fully covered drop out of the aggregate; selection
+    stops early when no positive gain remains. The covered total is the
+    running gain sum (each gain counts new grams by construction).
+
+    Output per round: ``(round, doc_id, gain, covered_total)``.
+
+    Scale: corpus grams never shuffle for the anti-join (covered side
+    broadcasts); the per-round aggregate is the only exchange. Rounds
+    are k, a constant.
+    """
+    spark = documents.sparkSession
+    grams = (
+        exploded_word_ngrams(documents, id_col, text_col, n)
+        .select(F.col(id_col).alias("d"), F.col("__g").alias("g"))
+        .distinct()
+        .persist()
+    )
+    grams.count()
+    covered = None
+    rows: list[tuple[int, int, int, int]] = []
+    total = 0
+    try:
+        for r in range(1, k + 1):
+            cand = (
+                grams
+                if covered is None
+                else grams.join(F.broadcast(covered), "g", "left_anti")
+            )
+            win = (
+                cand.groupBy("d")
+                .agg(F.count(F.lit(1)).alias("gain"))
+                .orderBy(F.desc("gain"), "d")
+                .limit(1)
+                .collect()
+            )
+            if not win or win[0]["gain"] <= 0:
+                break
+            d_win, gain = win[0]["d"], int(win[0]["gain"])
+            total += gain
+            rows.append((r, int(d_win), gain, total))
+            new_cov = grams.filter(F.col("d") == d_win).select("g")
+            covered = (
+                new_cov
+                if covered is None
+                else covered.union(new_cov).distinct()
+            ).localCheckpoint(eager=True)
+    finally:
+        grams.unpersist()
+    return spark.createDataFrame(
+        rows, "round long, doc_id long, gain long, covered_total long"
+    )
+
+
+def greedy_coverage_oracle(k: int = 6, n: int = 3) -> str:
+    """DuckDB twin of :func:`greedy_coverage` — the greedy rounds
+    unrolled as a MATERIALIZED CTE chain (per-round CTEs feed two
+    consumers; DESIGN.md inlining rule)."""
+    parts = [
+        f"""WITH grams AS MATERIALIZED (
+          SELECT DISTINCT doc_id AS d, g FROM ({_duck_gram_rows(n)})
+        )"""
+    ]
+    for r in range(1, k + 1):
+        src = (
+            "grams"
+            if r == 1
+            else f"(SELECT grams.* FROM grams ANTI JOIN cov{r - 1} USING (g))"
+        )
+        parts.append(f"""win{r} AS MATERIALIZED (
+          SELECT d, CAST(COUNT(*) AS BIGINT) AS gain
+          FROM {src} x GROUP BY d
+          HAVING COUNT(*) > 0
+          ORDER BY gain DESC, d LIMIT 1
+        )""")
+        prev = f"SELECT g FROM cov{r - 1} UNION " if r > 1 else ""
+        parts.append(f"""cov{r} AS MATERIALIZED (
+          {prev}SELECT DISTINCT g FROM grams
+          WHERE d = (SELECT d FROM win{r})
+        )""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, d AS doc_id, gain FROM win{r}"
+        for r in range(1, k + 1)
+    )
+    return (
+        ",\n        ".join(parts)
+        + f"""
+        SELECT round, doc_id, gain,
+               CAST(SUM(gain) OVER (ORDER BY round
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS covered_total
+        FROM ({finals})"""
+    )
