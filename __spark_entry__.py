@@ -2817,6 +2817,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_greedy_coverage": lambda spark, sf_dir: curation.greedy_coverage(
             _docs(spark, sf_dir), k=6, n=3
         ),
+        # staged-source parity: documents round-trip through CSV and JSONL
+        # readers; checksum rows must equal the parquet-native read
+        "source_csv_jsonl_roundtrip": lambda spark, sf_dir: __import__(
+            "flink_example_spark.sources.staged",
+            fromlist=["csv_jsonl_roundtrip"],
+        ).csv_jsonl_roundtrip(spark, sf_dir),
         # per-domain caps (anti-dominance, two-phase skew-safe top-k)
         "curation_domain_cap": lambda spark, sf_dir: curation.domain_cap(
             _docs(spark, sf_dir), cap=10
@@ -4617,6 +4623,9 @@ def _northstar_oracles() -> dict[str, str]:
     out["curation_shards"] = curation.shard_stats_oracle(n_shards=8)
     out["curation_length_histogram"] = curation.length_histogram_oracle()
     out["curation_greedy_coverage"] = curation.greedy_coverage_oracle(k=6, n=3)
+    from flink_example_spark.sources.staged import csv_jsonl_roundtrip_oracle
+
+    out["source_csv_jsonl_roundtrip"] = csv_jsonl_roundtrip_oracle()
     out["curation_domain_cap"] = curation.domain_cap_oracle(cap=10)
     out["curation_pipeline"] = curation.curated_corpus_oracle(pattern=_BLOCKLIST_PATTERN)
     out["curation_doc_quality"] = curation.doc_quality_oracle(

@@ -1,0 +1,113 @@
+"""Staged text-format sources — CSV and JSONL ingestion parity.
+
+The reference engine registers sources from collections and files
+(SURVEY.md §2 S1/S5); production corpora additionally arrive as CSV and
+JSONL drops. This module proves the engine ingests both formats
+FAITHFULLY: the documents table round-trips parquet → csv/jsonl → Spark
+reader, and a per-format checksum aggregate (row count + exact integer
+sums + a portable md5-prefix text checksum, DESIGN.md hash-bucket
+device) must come out identical across parquet, CSV, and JSONL — the
+oracle computes the same three rows straight from the parquet table.
+
+CSV notes: documents text embeds newlines and quotes, so the writer
+quotes fields (escape='"', the RFC-4180 doubling convention DuckDB and
+every warehouse reader agree on) and the reader sets multiLine=true
+with an EXPLICIT schema (schema inference is a second corpus scan and a
+type-drift hazard at 100 TB).
+
+Scale: both readers are splittable Spark file sources (JSONL lines and
+quoted-CSV with multiLine parse per-file; at 100 TB you shard into many
+files, which is exactly how the staging writer lays them out — one file
+per input partition).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _checksum(df: DataFrame, fmt: str) -> DataFrame:
+    """One aggregate row proving content equality: exact integer sums
+    plus the portable md5-prefix checksum of (doc_id|text)."""
+    h = F.expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '|', text)),"
+        " 1, 8), 16, 10) AS BIGINT)"
+    )
+    return df.agg(
+        F.lit(fmt).alias("format"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum("n_chars").cast("long").alias("sum_n_chars"),
+        F.sum(h).cast("long").alias("text_checksum"),
+    )
+
+
+def csv_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage documents as CSV and JSONL, read both back, and emit the
+    three per-format checksum rows (parquet / csv / jsonl) — identical
+    iff both text-format ingest paths are lossless."""
+    from flink_example_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="staged_fmt_")
+    try:
+        csv_dir = os.path.join(tmp, "csv")
+        jsonl_dir = os.path.join(tmp, "jsonl")
+        (
+            docs.write.mode("overwrite")
+            .option("header", True)
+            .option("quoteAll", True)
+            .option("escape", '"')
+            .csv(csv_dir)
+        )
+        docs.write.mode("overwrite").json(jsonl_dir)
+        csv_df = (
+            spark.read.schema(DOC_SCHEMA)
+            .option("header", True)
+            .option("multiLine", True)
+            .option("escape", '"')
+            .csv(csv_dir)
+        )
+        jsonl_df = spark.read.schema(DOC_SCHEMA).json(jsonl_dir)
+        out = (
+            _checksum(docs, "parquet")
+            .unionByName(_checksum(csv_df, "csv"))
+            .unionByName(_checksum(jsonl_df, "jsonl"))
+        )
+        # the staged files are temp-dir scratch: materialize before cleanup
+        rows = out.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "format string, n_rows long, sum_doc_id long, sum_n_chars long,"
+        " text_checksum long",
+    )
+
+
+def csv_jsonl_roundtrip_oracle() -> str:
+    """DuckDB twin: the three rows computed straight from the parquet
+    table — equality proves the staged CSV/JSONL reads were lossless."""
+    one = """
+        SELECT '{fmt}' AS format, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+               CAST(SUM(CAST(concat('0x', substr(md5(concat(
+                 CAST(doc_id AS VARCHAR), '|', text)), 1, 8)) AS BIGINT))
+                 AS BIGINT) AS text_checksum
+        FROM documents
+    """
+    return " UNION ALL ".join(
+        one.format(fmt=f) for f in ("parquet", "csv", "jsonl")
+    )
