@@ -1928,6 +1928,28 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ("orderdate_us", "unix_micros(CAST(o_orderdate AS TIMESTAMP))"),
             ],
         ),
+        # shuffle-skew pre-flight audit of the events user_id key:
+        # per-key count distribution (exact order stats via distrank),
+        # hot-key share, 32-task skew factor
+        "layout_skew_audit": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.layout", fromlist=["skew_audit"]
+        ).skew_audit(_events(spark, sf_dir), "user_id", label="user_id"),
+        # exact equi-join cardinality prediction orders x lineitem on
+        # orderkey WITHOUT running the join (sum of per-key count
+        # products + top-5 heaviest keys)
+        "layout_join_cardinality": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.layout",
+            fromlist=["join_cardinality"],
+        ).join_cardinality(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "orders"),
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "lineitem"),
+            "o_orderkey",
+            "l_orderkey",
+        ),
         # balanced range-partition planner over lineitem part keys:
         # exact rank-based split points + realized bucket sizes
         "layout_range_plan": lambda spark, sf_dir: __import__(
@@ -4317,6 +4339,20 @@ def _northstar_oracles() -> dict[str, str]:
             ("price_cents", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"),
             ("orderdate_us", "epoch_us(o_orderdate)"),
         ],
+    )
+    from flink_example_spark.operators.layout import (
+        join_cardinality_oracle,
+        skew_audit_oracle,
+    )
+
+    out["layout_skew_audit"] = skew_audit_oracle(
+        "SELECT user_id FROM events", "user_id", label="user_id"
+    )
+    out["layout_join_cardinality"] = join_cardinality_oracle(
+        "SELECT o_orderkey FROM orders",
+        "SELECT l_orderkey FROM lineitem",
+        "o_orderkey",
+        "l_orderkey",
     )
     out["layout_range_plan"] = range_partition_plan_oracle(
         "lineitem", "l_partkey", n_buckets=16

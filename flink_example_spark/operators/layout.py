@@ -448,3 +448,216 @@ def compaction_plan_oracle(
                  AS BIGINT) AS is_full
         FROM binned GROUP BY 1
     """
+
+
+def skew_audit(
+    df: DataFrame, key_col, label: str = "key"
+) -> DataFrame:
+    """Shuffle-skew audit of a join/aggregation key — the pre-flight
+    check before any 100-TB shuffle: a key whose heaviest value owns a
+    large share of the rows will hot-spot one reducer regardless of
+    partition count (the exact situation the engine's salting/AQE-skew
+    paths exist for; this op tells you WHEN to reach for them).
+
+    Reports: distinct-key count, total rows, the max per-key count and
+    its share in exact micro units, the p50/p90/p99 per-key counts
+    (inclusive lower order statistics over the per-key count
+    distribution — key-cardinality-sized, ranked with the distributed
+    two-phase device), and the hot-key share of an ideal 32-task
+    shuffle expressed as a skew factor ``max_count * 32 * 1e6 / total``
+    (>1e6 means the hottest key alone overflows its fair share).
+
+    Output one row: ``(key_label, n_keys, n_rows, max_count,
+    max_share_micro, p50_count, p90_count, p99_count,
+    skew_factor_micro)``.
+
+    Scale: one hash aggregation to per-key counts (map-side combined) +
+    one distributed ranking over the KEY-cardinality relation + one
+    rollup. Never sorts or re-shuffles the data rows.
+    """
+    from flink_example_spark.operators.distrank import dist_row_number
+
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    counts = (
+        df.select(k.alias("__k"))
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ranked = dist_row_number(counts, ["__c", "__k"], "__rn")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__c").alias("n_rows"),
+        F.max("__c").alias("max_count"),
+    )
+    pct = (
+        ranked.crossJoin(F.broadcast(s))
+        .filter(
+            # keep the three target order statistics (computed per row
+            # against the broadcast n_keys)
+            (F.col("__rn") == F.expr("(50 * n_keys + 99) div 100"))
+            | (F.col("__rn") == F.expr("(90 * n_keys + 99) div 100"))
+            | (F.col("__rn") == F.expr("(99 * n_keys + 99) div 100"))
+        )
+        .groupBy()
+        .agg(
+            F.max(
+                F.when(
+                    F.col("__rn") == F.expr("(50 * n_keys + 99) div 100"),
+                    F.col("__c"),
+                )
+            ).alias("p50_count"),
+            F.max(
+                F.when(
+                    F.col("__rn") == F.expr("(90 * n_keys + 99) div 100"),
+                    F.col("__c"),
+                )
+            ).alias("p90_count"),
+            F.max(
+                F.when(
+                    F.col("__rn") == F.expr("(99 * n_keys + 99) div 100"),
+                    F.col("__c"),
+                )
+            ).alias("p99_count"),
+        )
+    )
+    return (
+        s.crossJoin(F.broadcast(pct))
+        .select(
+            F.lit(label).alias("key_label"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("max_count").cast("long").alias("max_count"),
+            F.expr("(max_count * 1000000) div n_rows").alias(
+                "max_share_micro"
+            ),
+            F.col("p50_count").cast("long").alias("p50_count"),
+            F.col("p90_count").cast("long").alias("p90_count"),
+            F.col("p99_count").cast("long").alias("p99_count"),
+            F.expr("(max_count * 32 * 1000000) div n_rows").alias(
+                "skew_factor_micro"
+            ),
+        )
+    )
+
+
+def skew_audit_oracle(units_sql: str, key_sql: str, label: str = "key") -> str:
+    """DuckDB twin of :func:`skew_audit`."""
+    return f"""
+        WITH counts AS MATERIALIZED (
+          SELECT {key_sql} AS k, CAST(COUNT(*) AS BIGINT) AS c
+          FROM ({units_sql}) GROUP BY 1
+        ),
+        ranked AS (
+          SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c, k) AS BIGINT) AS rn
+          FROM counts
+        ),
+        s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(c) AS BIGINT) AS n_rows,
+                 CAST(MAX(c) AS BIGINT) AS max_count
+          FROM counts
+        ),
+        pct AS (
+          SELECT
+            MAX(CASE WHEN rn = (50 * n_keys + 99) // 100 THEN c END) AS p50_count,
+            MAX(CASE WHEN rn = (90 * n_keys + 99) // 100 THEN c END) AS p90_count,
+            MAX(CASE WHEN rn = (99 * n_keys + 99) // 100 THEN c END) AS p99_count
+          FROM ranked, s
+        )
+        SELECT '{label}' AS key_label, n_keys, n_rows, max_count,
+               (max_count * 1000000) // n_rows AS max_share_micro,
+               CAST(p50_count AS BIGINT) AS p50_count,
+               CAST(p90_count AS BIGINT) AS p90_count,
+               CAST(p99_count AS BIGINT) AS p99_count,
+               (max_count * 32 * 1000000) // n_rows AS skew_factor_micro
+        FROM s, pct
+    """
+
+
+def join_cardinality(
+    a: DataFrame, b: DataFrame, key_a: str, key_b: str, topn: int = 5
+) -> DataFrame:
+    """EXACT equi-join output-size prediction WITHOUT running the join:
+    ``|A join B| = sum_k c_A(k) * c_B(k)`` over the per-key count
+    relations — the planner audit that catches a fan-out join (a
+    many-to-many key that would explode 100 TB into 10 PB) before it
+    runs. Also reports the ``topn`` heaviest key products (the keys to
+    salt) and the share of output owned by the single heaviest key.
+
+    Output: one summary row ``(rank=0, key=NULL, pairs, share_micro)``
+    with pairs = the full join cardinality, then ``topn`` rows
+    ``(rank, key, pairs, share_micro)`` for the heaviest keys.
+
+    Scale: two per-key count aggregations (map-side combined) + one
+    equi-join of the two KEY-cardinality relations + a top-n
+    (TakeOrderedAndProject). Data rows never join.
+    """
+    ca = (
+        a.select(F.col(key_a).cast("string").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    cb = (
+        b.select(F.col(key_b).cast("string").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    prod = ca.join(cb, "k").select(
+        "k", (F.col("ca") * F.col("cb")).alias("pairs")
+    )
+    tot = prod.agg(F.sum("pairs").alias("total")).filter(
+        F.col("total").isNotNull()
+    )
+    top = (
+        prod.orderBy(F.desc("pairs"), "k")
+        .limit(topn)
+        .crossJoin(F.broadcast(tot))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("pairs"), "k")
+    top_rows = top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("k").alias("key"),
+        F.col("pairs").cast("long").alias("pairs"),
+        F.expr("(pairs * 1000000) div total").alias("share_micro"),
+    )
+    summary = tot.select(
+        F.lit(0).cast("long").alias("rank"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("total").cast("long").alias("pairs"),
+        F.lit(1000000).cast("long").alias("share_micro"),
+    )
+    return summary.unionByName(top_rows)
+
+
+def join_cardinality_oracle(
+    a_sql: str, b_sql: str, key_a: str, key_b: str, topn: int = 5
+) -> str:
+    """DuckDB twin of :func:`join_cardinality`."""
+    return f"""
+        WITH ca AS (
+          SELECT CAST({key_a} AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS ca
+          FROM ({a_sql}) GROUP BY 1
+        ),
+        cb AS (
+          SELECT CAST({key_b} AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS cb
+          FROM ({b_sql}) GROUP BY 1
+        ),
+        prod AS MATERIALIZED (
+          SELECT ca.k, ca.ca * cb.cb AS pairs FROM ca JOIN cb USING (k)
+        ),
+        tot AS (SELECT CAST(SUM(pairs) AS BIGINT) AS total FROM prod
+                WHERE pairs IS NOT NULL),
+        top AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY pairs DESC, k) AS BIGINT)
+                   AS rank,
+                 k AS key, pairs, (pairs * 1000000) // total AS share_micro
+          FROM prod, tot ORDER BY pairs DESC, k LIMIT {topn}
+        )
+        SELECT CAST(0 AS BIGINT) AS rank, NULL AS key, total AS pairs,
+               CAST(1000000 AS BIGINT) AS share_micro
+        FROM tot WHERE total IS NOT NULL
+        UNION ALL
+        SELECT rank, key, CAST(pairs AS BIGINT), share_micro FROM top
+    """

@@ -34,9 +34,21 @@ TABLES = (
 
 # --fast trim list: bounded-replay streaming twins ONLY (each shares its
 # batch relation's oracle, so the batch row keeps the oracle coverage);
-# curated from the slowest-rows report of a full quiet sweep. Driver keys
-# are never eligible (asserted in main).
-FAST_SKIP: set[str] = set()
+# curated from the slowest-rows report of the round-8 full sweep
+# (388/388 OK; these nine were the slowest non-driver streaming rows,
+# ~100s of Spark-side wall plus their oracle runs). Driver keys are
+# never eligible (asserted in main).
+FAST_SKIP: set[str] = {
+    "streaming_asof_interval",      # 26.5s
+    "streaming_interval_join",      # 15.2s
+    "streaming_cep_funnel_ooo",     # 13.0s
+    "streaming_bm25",               # 10.1s
+    "streaming_entity_links",       #  7.9s
+    "streaming_golden_records",     #  6.8s
+    "streaming_perceptron_inference",  # 5.3s
+    "streaming_minhash_dedup",      #  5.1s
+    "streaming_bloom_filter",       #  4.4s
+}
 
 
 def normalize(df):
