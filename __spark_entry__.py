@@ -1528,6 +1528,20 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.quality_stream",
             fromlist=["run_streaming_uniqueness"],
         ).run_streaming_uniqueness(spark, sf_dir),
+        # shuffle-skew LIVE: the per-key count monoid streams update-mode;
+        # the order-statistics rollup (distrank) runs at read time —
+        # converges exactly to batch layout_skew_audit (shared oracle)
+        "streaming_skew_audit": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.quality_stream",
+            fromlist=["run_streaming_skew_audit"],
+        ).run_streaming_skew_audit(spark, sf_dir),
+        # ROC-AUC LIVE: per-(score,label) count monoid in state; the
+        # Mann-Whitney midrank closure is read-time algebra — BIT-equal
+        # to batch ml_roc_auc (shared oracle)
+        "streaming_roc_auc": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.ml_stream",
+            fromlist=["run_streaming_roc_auc"],
+        ).run_streaming_roc_auc(spark, sf_dir),
         # t-closeness LIVE: the (group x band) count monoid streams as one
         # complete-mode agg; EMD + verdicts are read-time windows
         "streaming_t_closeness": lambda spark, sf_dir: __import__(
@@ -3807,6 +3821,7 @@ def _northstar_oracles() -> dict[str, str]:
     )
     # the live monitor converges to the batch test exactly
     out["streaming_sprt"] = out["ml_sprt"]
+    out["streaming_roc_auc"] = out["ml_roc_auc"]
     from flink_example_spark.operators.ml import gbm_stumps_oracle
 
     out["ml_gbm_stumps"] = gbm_stumps_oracle(
@@ -4348,6 +4363,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["layout_skew_audit"] = skew_audit_oracle(
         "SELECT user_id FROM events", "user_id", label="user_id"
     )
+    out["streaming_skew_audit"] = out["layout_skew_audit"]
     out["layout_join_cardinality"] = join_cardinality_oracle(
         "SELECT o_orderkey FROM orders",
         "SELECT l_orderkey FROM lineitem",

@@ -475,14 +475,21 @@ def skew_audit(
     one distributed ranking over the KEY-cardinality relation + one
     rollup. Never sorts or re-shuffles the data rows.
     """
-    from flink_example_spark.operators.distrank import dist_row_number
-
     k = F.col(key_col) if isinstance(key_col, str) else key_col
     counts = (
         df.select(k.alias("__k"))
         .groupBy("__k")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+    return skew_rollup(counts, label)
+
+
+def skew_rollup(counts: DataFrame, label: str) -> DataFrame:
+    """The read-time algebra of :func:`skew_audit` over a prepared
+    per-key count relation ``(__k, __c)`` — shared by the batch op and
+    the live streaming monitor (whose state is the count monoid)."""
+    from flink_example_spark.operators.distrank import dist_row_number
+
     ranked = dist_row_number(counts, ["__c", "__k"], "__rn")
     s = ranked.agg(
         F.count(F.lit(1)).alias("n_keys"),

@@ -5013,3 +5013,37 @@ def roc_auc_oracle(
                  / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
         FROM agg WHERE n_pos > 0 AND n_neg > 0
     """
+
+
+def roc_auc_from_counts(counts: DataFrame) -> DataFrame:
+    """:func:`roc_auc` closed over a prepared per-(score, label) count
+    relation ``(s, y, c)`` — the read-time algebra of the live AUC
+    monitor (state = the count monoid) and the sufficient-statistics
+    batch form. With inclusive score-ordered cumulative group sizes
+    ``cum``: the tied group's rank window is ``[cum - ng + 1, cum]``, so
+    ``2*U_sum = sum_s npg * (2*cum - ng + 1)`` — identical to the
+    row-level midrank closure, but ranking only the DISTINCT-score
+    relation (one distributed cumsum via ``distrank``)."""
+    from flink_example_spark.operators.distrank import dist_cumsum
+
+    per_s = counts.groupBy("s").agg(
+        F.sum(F.when(F.col("y") == 1, F.col("c")).otherwise(0)).alias("npg"),
+        F.sum("c").alias("ng"),
+    )
+    cum = dist_cumsum(per_s, ["s"], {"cum": "ng"})
+    s = cum.agg(
+        F.sum(
+            F.col("npg") * (F.lit(2) * F.col("cum") - F.col("ng") + 1)
+        ).alias("two_u"),
+        F.sum("npg").alias("n_pos"),
+        F.sum(F.col("ng") - F.col("npg")).alias("n_neg"),
+        F.sum("ng").alias("n"),
+    )
+    num = F.col("two_u") - F.col("n_pos") * (F.col("n_pos") + 1)
+    den = F.lit(2) * F.col("n_pos") * F.col("n_neg")
+    return s.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        (num.cast("double") / den.cast("double")).alias("auc"),
+    )

@@ -519,3 +519,53 @@ def run_streaming_att_strata(
         .withColumn("stratum", F.expr("total div 4"))
     )
     return att_strata(units, "stratum", "treated", "outcome")
+
+
+def run_streaming_roc_auc(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """LIVE ranking-quality (ROC-AUC) monitor: the per-(score, label)
+    counts are the only stateful ingredient — a count monoid, ONE
+    update-mode JVM aggregation (score-cardinality-sized state); the
+    Mann-Whitney midrank closure runs at read time over the sink via
+    ``ml.roc_auc_from_counts`` (distributed cumsum over the
+    DISTINCT-score relation). Converges to the batch ``ml.roc_auc``
+    BIT-exactly — same BIGINT sufficient statistics, same one double
+    division — so it shares the ``ml_roc_auc`` oracle."""
+    from flink_example_spark.operators.ml import roc_auc_from_counts
+    from flink_example_spark.streaming.dedup_stream import _stage_by_id
+
+    tune(spark)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/chunk_*")
+    )
+    counts = (
+        stream.filter(F.col("n_chars").isNotNull())
+        .select(
+            F.col("n_chars").alias("s"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
+        )
+        .groupBy("s", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    name = f"stream_auc_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            counts.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # update-mode sink holds every emitted version; counts only grow, so
+    # the final value per (s, y) is the max
+    latest = (
+        spark.table(name)
+        .groupBy("s", "y")
+        .agg(F.max("c").alias("c"))
+    )
+    return roc_auc_from_counts(latest)

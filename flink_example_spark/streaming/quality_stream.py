@@ -227,3 +227,43 @@ def run_streaming_uniqueness(
         F.col("n_violations").cast("long").alias("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def run_streaming_skew_audit(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """LIVE shuffle-skew monitor over the arriving event stream: state is
+    the per-key count monoid (ONE update-mode JVM aggregation,
+    key-cardinality-sized); the order-statistics rollup
+    (``layout.skew_rollup`` — distributed ranking of the count
+    distribution, hot-key share, 32-task skew factor) runs at read time
+    over the sink. Converges exactly to the batch ``layout.skew_audit``
+    (shared oracle) — the monitor a 100-TB ingest runs to catch a
+    hot-partition key BEFORE the downstream join does."""
+    from flink_example_spark.operators.layout import skew_rollup
+    from flink_example_spark.streaming.staging import stage_table_by_key
+
+    tune(spark)
+    tmpdir, schema = stage_table_by_key(spark, sf_dir, "events", "event_id", chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/chunk_*")
+    )
+    counts = stream.groupBy(F.col("user_id").alias("__k")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    name = f"stream_skew_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            counts.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = (
+        spark.table(name).groupBy("__k").agg(F.max("__c").alias("__c"))
+    )
+    return skew_rollup(latest, "user_id")
