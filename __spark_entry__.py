@@ -773,6 +773,31 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bucket_bits=6,
         )
 
+    _PRUNE_PREDS = [
+        ("uid_low", "uid", 0, 99),
+        ("uid_mid", "uid", 400, 499),
+        ("morning", "mod", 360, 539),
+        ("evening", "mod", 1020, 1023),
+    ]
+
+    def scan_pruning_entry(spark, sf_dir):
+        """Measured multi-column pruning of the z-order layout: per
+        predicate, buckets pruned by min/max stats and the surviving row
+        fraction (operators/layout.py)."""
+        from flink_example_spark.operators.layout import scan_pruning_eval
+
+        ev = _events(spark, sf_dir)
+        return scan_pruning_eval(
+            ev,
+            {
+                "uid": F.col("user_id"),
+                "mod": (F.hour("ts") * 60 + F.minute("ts")) % 1024,
+            },
+            _PRUNE_PREDS,
+            bits=10,
+            bucket_bits=6,
+        )
+
     def fuzzy_words_entry(spark, sf_dir):
         return dedup.fuzzy_word_pairs(_fuzzy_corpus(spark, sf_dir))
 
@@ -1927,6 +1952,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_report": quality_report_entry,
         # write-path layout: Morton-curve bucket bounding boxes
         "layout_zorder_stats": zorder_entry,
+        # predicate-level pruning effectiveness of the z-order layout:
+        # buckets pruned + scanned row fraction per candidate predicate
+        "layout_scan_pruning": scan_pruning_entry,
         # sort-order advisor: zone-map clustering ratio per candidate sort
         # key, current ingest order vs re-sorted (the scan-pruning payoff)
         "layout_sort_advisor": lambda spark, sf_dir: __import__(
@@ -4379,6 +4407,23 @@ def _northstar_oracles() -> dict[str, str]:
             "uid": "user_id",
             "mod": "(EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) % 1024",
         },
+        bits=10,
+        bucket_bits=6,
+    )
+    from flink_example_spark.operators.layout import scan_pruning_eval_oracle
+
+    out["layout_scan_pruning"] = scan_pruning_eval_oracle(
+        "SELECT user_id, ts FROM events",
+        {
+            "uid": "user_id",
+            "mod": "(EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) % 1024",
+        },
+        [
+            ("uid_low", "uid", 0, 99),
+            ("uid_mid", "uid", 400, 499),
+            ("morning", "mod", 360, 539),
+            ("evening", "mod", 1020, 1023),
+        ],
         bits=10,
         bucket_bits=6,
     )

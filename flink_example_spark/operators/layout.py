@@ -158,28 +158,23 @@ def range_partition_plan(
     exclusive prefix sum in key order, and ``bucket = (cum_excl *
     n_buckets) div N`` — every row of one key lands in one bucket, bucket
     boundaries are deterministic in any engine. The prefix sum runs over
-    the DISTINCT-key relation (key-cardinality-sized, one ordered window);
-    a beyond-vocabulary key space would apply the repo's two-phase
-    time-bucket merge device (versioned.salted_version_history) to the
-    cumsum instead.
+    the DISTINCT-key relation via the DISTRIBUTED two-phase cumsum
+    (``distrank`` — the key space scales with the data, so even the
+    count relation never funnels through one task).
 
     Output per planned bucket: ``(bucket, lo_key, hi_key, n_rows,
     n_keys)``.
     """
-    from pyspark.sql import Window
+    from flink_example_spark.operators.distrank import dist_cumsum
 
     kc = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    w_excl = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy("k").rangeBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cm = kc.select(
-        "k",
-        "c",
-        F.coalesce(F.sum("c").over(w_excl), F.lit(0)).alias("ce"),
-        F.sum("c").over(w_all).alias("n"),
+    tot = kc.agg(F.sum("c").alias("n"))
+    cm = (
+        dist_cumsum(kc, ["k"], {"ci": "c"})
+        .crossJoin(F.broadcast(tot))
+        .select("k", "c", (F.col("ci") - F.col("c")).alias("ce"), "n")
     )
     return (
         cm.select(
@@ -667,4 +662,103 @@ def join_cardinality_oracle(
         FROM tot WHERE total IS NOT NULL
         UNION ALL
         SELECT rank, key, CAST(pairs AS BIGINT), share_micro FROM top
+    """
+
+
+def scan_pruning_eval(
+    df: DataFrame,
+    cols: dict[str, Column],
+    preds: list[tuple[str, str, int, int]],
+    bits: int = 10,
+    bucket_bits: int = 6,
+) -> DataFrame:
+    """Measured file-pruning effectiveness of the Z-order layout: for
+    each candidate predicate ``(query, dim, lo, hi)``, how many z-range
+    buckets ("files") would parquet min/max stats prune, and what row
+    fraction survives the scan — the quantified version of the module
+    header's multi-column-pruning claim, per query, per dimension.
+
+    A bucket is scanned iff its [min, max] box on the predicate's
+    dimension OVERLAPS [lo, hi] (exactly the parquet row-group pruning
+    rule). Output per predicate: ``(query, n_buckets, n_scanned,
+    n_pruned, rows_scanned, rows_total, scan_frac_micro)``.
+
+    Scale: one aggregation builds the bucket-stat relation
+    (2^bucket_bits rows); the evaluation is a broadcast nested-loop of
+    that tiny relation against the literal predicate table.
+    """
+    spark = df.sparkSession
+    stats = zorder_bucket_stats(df, cols, bits, bucket_bits)
+    pred_df = spark.createDataFrame(
+        [(q, d, int(lo), int(hi)) for q, d, lo, hi in preds],
+        "query string, dim string, lo long, hi long",
+    )
+    names = list(cols.keys())
+    dim_min = F.when(F.lit(False), F.lit(None))
+    for k in names:
+        dim_min = F.when(F.col("dim") == k, F.col(f"{k}_min")).otherwise(dim_min)
+    dim_max = F.when(F.lit(False), F.lit(None))
+    for k in names:
+        dim_max = F.when(F.col("dim") == k, F.col(f"{k}_max")).otherwise(dim_max)
+    j = stats.crossJoin(F.broadcast(pred_df)).select(
+        "query",
+        "n",
+        ((dim_max >= F.col("lo")) & (dim_min <= F.col("hi")))
+        .cast("long")
+        .alias("scanned"),
+    )
+    return (
+        j.groupBy("query")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("scanned").cast("long").alias("n_scanned"),
+            (F.count(F.lit(1)) - F.sum("scanned")).cast("long").alias("n_pruned"),
+            F.sum(F.col("n") * F.col("scanned")).cast("long").alias("rows_scanned"),
+            F.sum("n").cast("long").alias("rows_total"),
+        )
+        .withColumn(
+            "scan_frac_micro",
+            F.expr("(rows_scanned * 1000000) div rows_total"),
+        )
+    )
+
+
+def scan_pruning_eval_oracle(
+    source_sql: str,
+    col_exprs: dict[str, str],
+    preds: list[tuple[str, str, int, int]],
+    bits: int = 10,
+    bucket_bits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`scan_pruning_eval`."""
+    stats = zorder_bucket_stats_sql(source_sql, col_exprs, bits, bucket_bits)
+    pred_rows = ", ".join(
+        f"('{q}', '{d}', {int(lo)}, {int(hi)})" for q, d, lo, hi in preds
+    )
+    names = list(col_exprs.keys())
+    dmin = "CASE " + " ".join(
+        f"WHEN dim = '{k}' THEN {k}_min" for k in names
+    ) + " END"
+    dmax = "CASE " + " ".join(
+        f"WHEN dim = '{k}' THEN {k}_max" for k in names
+    ) + " END"
+    return f"""
+        WITH stats AS MATERIALIZED ({stats}),
+        preds AS (
+          SELECT * FROM (VALUES {pred_rows}) p(query, dim, lo, hi)
+        ),
+        j AS (
+          SELECT query, n,
+                 CAST(CASE WHEN ({dmax}) >= lo AND ({dmin}) <= hi
+                      THEN 1 ELSE 0 END AS BIGINT) AS scanned
+          FROM stats CROSS JOIN preds
+        )
+        SELECT query, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(scanned) AS BIGINT) AS n_scanned,
+               CAST(COUNT(*) - SUM(scanned) AS BIGINT) AS n_pruned,
+               CAST(SUM(n * scanned) AS BIGINT) AS rows_scanned,
+               CAST(SUM(n) AS BIGINT) AS rows_total,
+               (CAST(SUM(n * scanned) AS BIGINT) * 1000000)
+                 // CAST(SUM(n) AS BIGINT) AS scan_frac_micro
+        FROM j GROUP BY query
     """

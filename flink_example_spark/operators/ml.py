@@ -4014,24 +4014,20 @@ def pr_curve(scored: DataFrame, topn: int = 32) -> DataFrame:
     f1_ppm)``; row 1 is the F1-optimal threshold.
 
     Scale: one (margin)-grouped aggregation (score-cardinality-sized),
-    one ordered window over the distinct-margin relation, one top-n.
+    one DISTRIBUTED two-phase cumsum over the distinct-margin relation
+    (``distrank`` — no single-partition window), one top-n
+    (TakeOrderedAndProject).
     """
+    from flink_example_spark.operators.distrank import dist_cumsum
+
     per_m = scored.groupBy("m").agg(
         F.count(F.lit(1)).alias("c"),
         F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("p"),
     )
-    w = Window.orderBy(F.col("m").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cuts = per_m.select(
-        "m",
-        F.sum("c").over(w).alias("n_pred"),
-        F.sum("p").over(w).alias("tp"),
-        F.sum("p").over(wall).alias("n_pos"),
-    )
+    tot = per_m.agg(F.sum("p").alias("n_pos"))
+    cuts = dist_cumsum(
+        per_m, [F.desc("m")], {"n_pred": "c", "tp": "p"}
+    ).crossJoin(F.broadcast(tot))
     scored_cuts = cuts.select(
         F.col("m").alias("thresh_m"),
         "tp",
