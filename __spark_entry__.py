@@ -1567,6 +1567,20 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.ml_stream",
             fromlist=["run_streaming_roc_auc"],
         ).run_streaming_roc_auc(spark, sf_dir),
+        # corpus-concentration LIVE: per-value count monoid in state; the
+        # Gini + Lorenz interval-overlap algebra runs at read time —
+        # BIT-equal to batch quality_gini_lorenz (shared oracle)
+        "streaming_gini_lorenz": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.quality_stream",
+            fromlist=["run_streaming_gini_lorenz"],
+        ).run_streaming_gini_lorenz(spark, sf_dir),
+        # exact-quantile LIVE: per-value count monoid; order-statistic
+        # selection is read-time algebra — equals batch
+        # sketch_exact_order_stats (shared oracle)
+        "streaming_order_stats": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.sketch_stream",
+            fromlist=["run_streaming_order_stats"],
+        ).run_streaming_order_stats(spark, sf_dir),
         # t-closeness LIVE: the (group x band) count monoid streams as one
         # complete-mode agg; EMD + verdicts are read-time windows
         "streaming_t_closeness": lambda spark, sf_dir: __import__(
@@ -3819,6 +3833,9 @@ def _northstar_oracles() -> dict[str, str]:
         "vq",
         "event_id",
     )
+    # live twins converge bit-exactly to the batch forms
+    out["streaming_gini_lorenz"] = out["quality_gini_lorenz"]
+    out["streaming_order_stats"] = out["sketch_exact_order_stats"]
     from flink_example_spark.operators.ml import anova_oneway_oracle
 
     out["ml_anova"] = anova_oneway_oracle("events", "event_type", "value")

@@ -812,3 +812,76 @@ def gini_lorenz_oracle(
                  / CAST(n * sv AS DOUBLE) AS gini
         FROM bucketed
     """
+
+
+def gini_lorenz_from_counts(
+    counts: DataFrame, n_buckets: int = 10
+) -> DataFrame:
+    """:func:`gini_lorenz` closed over a per-VALUE count relation
+    ``(v, c)`` — the read-time algebra of the live concentration monitor
+    (state = the value-count monoid). With inclusive cumulative counts
+    ``cum`` the value group occupies ranks ``[cum-c+1, cum]``, so its
+    rank-weighted sum closes to ``v * c * (2*cum - c + 1) / 2`` (always
+    an integer: one factor is even) and its rows split across the
+    equal-count Lorenz buckets by exact interval overlap with each
+    bucket's rank range ``[(b*n) div k + 1, ((b+1)*n) div k]`` — the
+    identical decile assignment the row-level rank makes (tied rows are
+    interchangeable). BIT-equal output to the row-level form."""
+    from flink_example_spark.operators.distrank import dist_cumsum
+
+    spark = counts.sparkSession
+    cum = dist_cumsum(counts, ["v"], {"cum": "c"})
+    tot = cum.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("v") * F.col("c")).alias("sv"),
+        # c*(2*cum-c+1) is always even -> the div-2 is exact BIGINT
+        F.sum(F.expr("(c * (2*cum - c + 1) div 2) * v")).alias("wiv"),
+    )
+    buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    overl = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(buckets))
+        .select(
+            "bucket",
+            "n",
+            "sv",
+            "wiv",
+            "v",
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.col("cum"), F.expr(f"((bucket + 1) * n) div {n_buckets}")
+                )
+                - F.greatest(
+                    F.col("cum") - F.col("c") + 1,
+                    F.expr(f"(bucket * n) div {n_buckets} + 1"),
+                )
+                + 1,
+            ).alias("ov"),
+        )
+        .filter(F.col("ov") > 0)
+    )
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gini = (
+        (F.lit(2) * F.col("wiv") - (F.col("n") + 1) * F.col("sv"))
+        .cast("double")
+        / (F.col("n") * F.col("sv")).cast("double")
+    )
+    return (
+        overl.groupBy("bucket", "n", "sv", "wiv")
+        .agg(
+            F.sum("ov").cast("long").alias("n_rows"),
+            F.sum(F.col("v") * F.col("ov")).alias("bucket_value"),
+        )
+        .withColumn("cum_value", F.sum("bucket_value").over(wb))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_rows",
+            F.col("bucket_value").cast("long").alias("bucket_value"),
+            F.col("cum_value").cast("long").alias("cum_value"),
+            F.expr("(cum_value * 1000000) div sv").alias("cum_share_micro"),
+            gini.alias("gini"),
+        )
+    )

@@ -1215,3 +1215,30 @@ def exact_order_stats_oracle(
         SELECT pct, target_rank, v AS value
         FROM ranked JOIN targets ON rn = target_rank
     """
+
+
+def exact_order_stats_from_counts(
+    counts: DataFrame, pcts: tuple[int, ...] = (25, 50, 75, 90, 99)
+) -> DataFrame:
+    """:func:`exact_order_stats` closed over a per-VALUE count relation
+    ``(v, c)`` — the read-time algebra of the live quantile monitor
+    (state = the value-count monoid). The value group covers ranks
+    ``[cum-c+1, cum]``; the target rank ``r_p = ceil(p*n/100)`` falls in
+    exactly one group — a broadcast interval join against the
+    len(pcts)-row target relation. Identical output to the row-level
+    form (tied rows are interchangeable)."""
+    from flink_example_spark.operators.distrank import dist_cumsum
+
+    spark = counts.sparkSession
+    cum = dist_cumsum(counts, ["v"], {"cum": "c"})
+    n_df = cum.agg(F.sum("c").cast("long").alias("n"))
+    n = n_df.first()["n"]
+    targets = spark.createDataFrame(
+        [(int(p), (int(p) * int(n) + 99) // 100) for p in pcts],
+        "pct long, target_rank long",
+    )
+    return cum.join(
+        F.broadcast(targets),
+        (F.col("target_rank") <= F.col("cum"))
+        & (F.col("target_rank") > F.col("cum") - F.col("c")),
+    ).select("pct", "target_rank", F.col("v").alias("value"))

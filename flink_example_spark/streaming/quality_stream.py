@@ -267,3 +267,41 @@ def run_streaming_skew_audit(
         spark.table(name).groupBy("__k").agg(F.max("__c").alias("__c"))
     )
     return skew_rollup(latest, "user_id")
+
+
+def run_streaming_gini_lorenz(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """LIVE corpus-concentration monitor: per-value (doc size) counts are
+    the only state — a count monoid in ONE update-mode JVM aggregation
+    (value-cardinality-sized); the Gini + Lorenz algebra
+    (``quality.gini_lorenz_from_counts`` — interval-overlap decile split,
+    distributed cumsum) runs at read time. BIT-equal to the batch
+    ``gini_lorenz`` (shared oracle)."""
+    from flink_example_spark.operators.quality import gini_lorenz_from_counts
+    from flink_example_spark.streaming.dedup_stream import _stage_by_id
+
+    tune(spark)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/chunk_*")
+    )
+    counts = (
+        stream.filter(F.col("n_chars").isNotNull())
+        .groupBy(F.col("n_chars").cast("long").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    name = f"stream_gini_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            counts.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = spark.table(name).groupBy("v").agg(F.max("c").alias("c"))
+    return gini_lorenz_from_counts(latest)

@@ -412,3 +412,50 @@ def run_streaming_bloom_filter(
     return bloom_probe_summary(
         bloom, probes, shipped, ["n_name"], "l_partkey", BLOOM_BITS, BLOOM_K
     ).orderBy("n_name")
+
+
+def run_streaming_order_stats(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """LIVE exact-quantile monitor: the per-value count monoid streams in
+    ONE update-mode JVM aggregation; the order-statistic selection
+    (``sketch.exact_order_stats_from_counts`` — distributed cumsum +
+    broadcast interval join on the target ranks) is read-time algebra.
+    Identical output to the batch ``exact_order_stats`` (shared oracle) —
+    exact percentiles, continuously maintained, value-cardinality state."""
+    import uuid
+
+    from flink_example_spark.operators.sketch import (
+        exact_order_stats_from_counts,
+    )
+    from flink_example_spark.session import shuffle_partitions, tune
+    from flink_example_spark.streaming.staging import stage_table_by_key
+
+    tune(spark)
+    tmpdir, schema = stage_table_by_key(
+        spark, sf_dir, "events", "event_id", chunks
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/chunk_*")
+    )
+    counts = (
+        stream.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    name = f"stream_ostats_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            counts.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = spark.table(name).groupBy("v").agg(F.max("c").alias("c"))
+    return exact_order_stats_from_counts(latest)
