@@ -1451,6 +1451,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vq",
             "event_id",
         ),
+        # PSI drift gate: error-event value distribution vs all other
+        # events — exact micro shares, floor-log2 ratio, BIGINT terms
+        "ml_psi_drift": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["psi_drift"]
+        ).psi_drift(
+            _events(spark, sf_dir),
+            F.col("event_type") == "error",
+            "value",
+            width=25,
+        ),
         # one-way ANOVA across event types: exact integer SS partition,
         # F statistic as one fixed double sequence
         "ml_anova": lambda spark, sf_dir: __import__(
@@ -3836,6 +3846,14 @@ def _northstar_oracles() -> dict[str, str]:
     # live twins converge bit-exactly to the batch forms
     out["streaming_gini_lorenz"] = out["quality_gini_lorenz"]
     out["streaming_order_stats"] = out["sketch_exact_order_stats"]
+    from flink_example_spark.operators.ml import psi_drift_oracle
+
+    out["ml_psi_drift"] = psi_drift_oracle(
+        "SELECT event_type, value FROM events",
+        "event_type = 'error'",
+        "value",
+        width=25,
+    )
     from flink_example_spark.operators.ml import anova_oneway_oracle
 
     out["ml_anova"] = anova_oneway_oracle("events", "event_type", "value")

@@ -207,6 +207,16 @@ HEADLINE = [
     "sketch_bloom_sizing",
     "asof_nearest_labels",
     "entity_blocking_eval",
+    # round-8 additions
+    "ml_roc_auc",
+    "quality_gini_lorenz",
+    "sketch_exact_order_stats",
+    "timeseries_dtw_band",
+    "curation_greedy_coverage",
+    "source_csv_jsonl_roundtrip",
+    "layout_skew_audit",
+    "layout_join_cardinality",
+    "layout_scan_pruning",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

@@ -5043,3 +5043,123 @@ def roc_auc_from_counts(counts: DataFrame) -> DataFrame:
         F.col("n_neg").cast("long").alias("n_neg"),
         (num.cast("double") / den.cast("double")).alias("auc"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    slice_pred,
+    value_sql: str,
+    width: int = 500,
+) -> DataFrame:
+    """Population Stability Index between two slices of a metric — the
+    standard production drift gate ("has this feature's distribution
+    moved enough to retrain/alert"): rows split by ``slice_pred`` into
+    REFERENCE (false) and CURRENT (true); values bucket by fixed width;
+    ``PSI = sum_b (p_b - q_b) * log(p_b / q_b)``. Classic bands (with
+    natural log): < 0.1 stable, 0.1-0.25 moderate, > 0.25 shifted.
+
+    Portability: shares are exact micro units (``(cnt * 1e6) div n``,
+    clamped >= 1 so empty buckets behave like the standard epsilon
+    smoothing), and the log ratio uses the integer floor-log2 device
+    (``length(bin(x)) - 1``; DESIGN.md — libm-free), so every term and
+    the total are exact BIGINTs in micro*log2 units (divide by 1.4427
+    to eyeball natural-log PSI).
+
+    Output: one row per observed bucket ``(bucket, n_ref, n_cur,
+    ref_share_micro, cur_share_micro, psi_term)`` plus a summary row
+    ``bucket = -1`` carrying the total in ``psi_term``.
+
+    Scale: one hash aggregation to bucket counts (map-side combined) +
+    one bucket-count-sized projection.
+    """
+    pred = slice_pred if not isinstance(slice_pred, str) else F.expr(slice_pred)
+    vq = F.expr(f"CAST(floor(({value_sql})) AS BIGINT) div {width}")
+    counts = (
+        df.filter(F.expr(f"({value_sql}) IS NOT NULL"))
+        .select(vq.alias("bucket"), pred.cast("int").alias("cur"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.lit(1) - F.col("cur")).cast("long").alias("n_ref"),
+            F.sum("cur").cast("long").alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    terms = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "ref_share_micro",
+            F.greatest(F.expr("(n_ref * 1000000) div tr"), F.lit(1)),
+        )
+        .withColumn(
+            "cur_share_micro",
+            F.greatest(F.expr("(n_cur * 1000000) div tc"), F.lit(1)),
+        )
+        .withColumn(
+            "psi_term",
+            (F.col("ref_share_micro") - F.col("cur_share_micro"))
+            * (
+                (F.length(F.bin(F.col("ref_share_micro"))) - 1)
+                - (F.length(F.bin(F.col("cur_share_micro"))) - 1)
+            ).cast("long"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_ref",
+            "n_cur",
+            F.col("ref_share_micro").cast("long").alias("ref_share_micro"),
+            F.col("cur_share_micro").cast("long").alias("cur_share_micro"),
+            F.col("psi_term").cast("long").alias("psi_term"),
+        )
+    )
+    summary = terms.agg(
+        F.lit(-1).cast("long").alias("bucket"),
+        F.sum("n_ref").cast("long").alias("n_ref"),
+        F.sum("n_cur").cast("long").alias("n_cur"),
+        F.lit(None).cast("long").alias("ref_share_micro"),
+        F.lit(None).cast("long").alias("cur_share_micro"),
+        F.sum("psi_term").cast("long").alias("psi_term"),
+    )
+    return terms.unionByName(summary)
+
+
+def psi_drift_oracle(
+    units_sql: str, slice_sql: str, value_sql: str, width: int = 500
+) -> str:
+    """DuckDB twin of :func:`psi_drift`."""
+    return f"""
+        WITH counts AS MATERIALIZED (
+          SELECT CAST(floor(({value_sql})) AS BIGINT) // {width} AS bucket,
+                 CAST(SUM(CASE WHEN {slice_sql} THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_ref,
+                 CAST(SUM(CASE WHEN {slice_sql} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cur
+          FROM ({units_sql}) WHERE ({value_sql}) IS NOT NULL
+          GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+                 CAST(SUM(n_cur) AS BIGINT) AS tc
+          FROM counts
+        ),
+        terms AS (
+          SELECT bucket, n_ref, n_cur,
+                 greatest((n_ref * 1000000) // tr, 1) AS ref_share_micro,
+                 greatest((n_cur * 1000000) // tc, 1) AS cur_share_micro,
+                 (greatest((n_ref * 1000000) // tr, 1)
+                  - greatest((n_cur * 1000000) // tc, 1))
+                 * CAST(len(bin(greatest((n_ref * 1000000) // tr, 1))) - 1
+                   - (len(bin(greatest((n_cur * 1000000) // tc, 1))) - 1)
+                   AS BIGINT) AS psi_term
+          FROM counts, tot
+        )
+        SELECT bucket, n_ref, n_cur, ref_share_micro, cur_share_micro,
+               psi_term
+        FROM terms
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), CAST(SUM(n_ref) AS BIGINT),
+               CAST(SUM(n_cur) AS BIGINT), NULL, NULL,
+               CAST(SUM(psi_term) AS BIGINT)
+        FROM terms
+    """
