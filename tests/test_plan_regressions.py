@@ -810,3 +810,100 @@ def test_t_closeness_broadcasts_value_dimension(spark):
     # the m-row value dimension broadcasts onto the group list
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_round8_ops_use_two_phase_device(spark):
+    """Round-8 rank-based ops: every data-scaled window declares the
+    range-bucket spec; the only unpartitioned windows are bucket-offset
+    merges or fixed-small relations (Lorenz deciles, n-row lag tables)."""
+    import re
+
+    from flink_example_spark.operators.layout import skew_audit
+    from flink_example_spark.operators.ml import roc_auc
+    from flink_example_spark.operators.quality import gini_lorenz
+    from flink_example_spark.operators.sketch import exact_order_stats
+    from flink_example_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plans = {
+        "roc_auc": physical(roc_auc(docs, "n_chars", F.col("lang") == "en", "doc_id")),
+        "gini": physical(gini_lorenz(docs, "n_chars", "doc_id")),
+        "order_stats": physical(
+            exact_order_stats(
+                ev.select(
+                    F.expr("CAST(floor(value*100+0.5) AS BIGINT)").alias("vq"),
+                    "event_id",
+                ),
+                "vq",
+                "event_id",
+            )
+        ),
+        "skew_audit": physical(skew_audit(ev, "user_id")),
+    }
+    for name, plan in plans.items():
+        assert "rangepartitioning" in plan, name
+        for m in re.finditer(
+            r"Window \[(row_number|sum)\(([^)]*)\)[^\n]*windowspecdefinition\(([^,)]*)",
+            plan,
+        ):
+            spec_head, summed = m.group(3), m.group(2)
+            ok = (
+                spec_head.startswith("__dr_pid")
+                or "__dr_n" in summed
+                or spec_head.startswith("bucket#")  # n_buckets-row Lorenz cumsum
+            )
+            assert ok, (name, m.group(0))
+
+
+def test_join_cardinality_counts_only_no_cartesian(spark):
+    """The cardinality prediction joins KEY-COUNT relations, never data
+    rows: no cartesian, and the top-n is TakeOrderedAndProject."""
+    from flink_example_spark.operators.layout import join_cardinality
+    from flink_example_spark.tables import load_table
+
+    plan = physical(
+        join_cardinality(
+            load_table(spark, SF, "orders"),
+            load_table(spark, SF, "lineitem"),
+            "o_orderkey",
+            "l_orderkey",
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scan_pruning_eval_broadcasts_predicates(spark):
+    """Pruning evaluation: the bucket-stat relation is tiny and the
+    predicate table broadcasts — no sort-merge join anywhere."""
+    from flink_example_spark.operators.layout import scan_pruning_eval
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = physical(
+        scan_pruning_eval(
+            ev,
+            {
+                "uid": F.col("user_id"),
+                "mod": (F.hour("ts") * 60 + F.minute("ts")) % 1024,
+            },
+            [("q1", "uid", 0, 9)],
+            bits=10,
+            bucket_bits=6,
+        )
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_psi_drift_single_bucket_aggregation(spark):
+    """PSI: one map-side-combined bucket aggregation; no Python, no
+    cartesian beyond the one-row totals broadcast."""
+    from flink_example_spark.operators.ml import psi_drift
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = physical(
+        psi_drift(ev, F.col("event_type") == "error", "value", width=25)
+    )
+    assert "partial" in plan.lower()
+    assert "Python" not in plan
