@@ -2439,6 +2439,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeseries_drawdown": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.timeseries", fromlist=["max_drawdown"]
         ).max_drawdown(_events(spark, sf_dir), "event_type", "ts", "value"),
+        # trailing 7-day OLS trend per key (exact BIGINT window sums,
+        # sign-and-magnitude milli division)
+        "timeseries_rolling_slope": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries",
+            fromlist=["rolling_slope"],
+        ).rolling_slope(_events(spark, sf_dir), "event_type", "ts", "value"),
         # two-cohort churn comparison: log-rank score numerator (exact
         # quantize-before-cumsum expectations over shared risk sets)
         "timeseries_logrank": lambda spark, sf_dir: __import__(
@@ -4628,6 +4634,11 @@ def _northstar_oracles() -> dict[str, str]:
     )
     # the live monitor converges to the batch path exactly
     out["streaming_drawdown"] = out["timeseries_drawdown"]
+    from flink_example_spark.operators.timeseries import rolling_slope_oracle
+
+    out["timeseries_rolling_slope"] = rolling_slope_oracle(
+        "events", "event_type", "ts", "value"
+    )
     from flink_example_spark.operators.timeseries import logrank_screen_oracle
 
     out["timeseries_logrank"] = logrank_screen_oracle(

@@ -2992,3 +2992,113 @@ def max_drawdown_oracle(
                  AS BIGINT) AS trough_day
         FROM scored GROUP BY 1
     """
+
+
+def rolling_slope(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_rows: int = 7,
+) -> DataFrame:
+    """Trailing-window OLS trend per key — the "is this metric rising"
+    detector: over each key's daily series, the least-squares slope of
+    the LAST ``window_rows`` days ending at each day (x = day number, an
+    exact integer grid robust to gaps).
+
+    Exact sufficient statistics per frame (``k*Σxy − Σx·Σy`` over
+    ``k*Σxx − (Σx)²``) accumulate as BIGINT window sums; the slope
+    leaves as one exact milli division per row, in sign-and-magnitude
+    form (``sign(num) * (abs(num)*1000 div den)`` — Spark ``div``
+    truncates toward zero but DuckDB ``//`` floors, so a bare negative
+    trunc-div is NOT portable; the denominator is k²·Var(x) > 0). Only
+    full windows emit (the first k−1 days per key are warmup).
+
+    Output: ``(key, day, vq, slope_milli)`` — vq the day's centi-sum.
+
+    Scale: per-key daily aggregation + ONE key-partitioned window stage
+    carrying four running sums (a single exchange on the key; frames are
+    k-bounded so state is O(k) per task).
+    """
+    day_us = 86_400_000_000
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {day_us}"
+            ).alias("day"),
+            F.expr(f"CAST(floor({value_col} * 100 + 0.5) AS BIGINT)").alias(
+                "vq"
+            ),
+        )
+        .groupBy("key", "day")
+        .agg(F.sum("vq").alias("vq"))
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    k = window_rows
+    framed = daily.select(
+        "key",
+        "day",
+        "vq",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("day").over(w).alias("sx"),
+        F.sum("vq").over(w).alias("sy"),
+        F.sum(F.col("day") * F.col("vq")).over(w).alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).over(w).alias("sxx"),
+    )
+    return (
+        framed.filter(F.col("n") == k)
+        .filter(F.expr(f"{k} * sxx - sx * sx != 0"))
+        .select(
+            "key",
+            F.col("day").cast("long").alias("day"),
+            F.col("vq").cast("long").alias("vq"),
+            F.expr(
+                f"CAST(sign({k} * sxy - sx * sy) AS BIGINT)"
+                f" * ((abs({k} * sxy - sx * sy) * 1000)"
+                f" div ({k} * sxx - sx * sx))"
+            ).alias("slope_milli"),
+        )
+    )
+
+
+def rolling_slope_oracle(
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_rows: int = 7,
+) -> str:
+    """DuckDB twin of :func:`rolling_slope`."""
+    day_us = 86_400_000_000
+    k = window_rows
+    return f"""
+        WITH daily AS (
+          SELECT {key_col} AS key, epoch_us({ts_col}) // {day_us} AS day,
+                 CAST(SUM(CAST(floor({value_col} * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS vq
+          FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
+        ),
+        framed AS (
+          SELECT key, day, vq,
+                 CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                 CAST(SUM(day) OVER w AS BIGINT) AS sx,
+                 CAST(SUM(vq) OVER w AS BIGINT) AS sy,
+                 CAST(SUM(day * vq) OVER w AS BIGINT) AS sxy,
+                 CAST(SUM(day * day) OVER w AS BIGINT) AS sxx
+          FROM daily
+          WINDOW w AS (PARTITION BY key ORDER BY day
+                       ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)
+        )
+        SELECT key, day, vq,
+               CAST(sign({k} * sxy - sx * sy) AS BIGINT)
+                 * ((abs({k} * sxy - sx * sy) * 1000)
+                    // ({k} * sxx - sx * sx)) AS slope_milli
+        FROM framed
+        WHERE n = {k} AND {k} * sxx - sx * sx <> 0
+    """
