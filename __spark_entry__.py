@@ -1110,6 +1110,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ppjoin": lambda spark, sf_dir: dedup.ppjoin_pairs(
             _docs(spark, sf_dir), threshold_num=4, threshold_den=5
         ),
+        # LCS alignment explanation of the top PPJoin pairs: does the
+        # overlap occur IN ORDER (copying) or reordered (boilerplate)?
+        "dedup_lcs_explain": lambda spark, sf_dir: dedup.lcs_explain(
+            _docs(spark, sf_dir), threshold_num=4, threshold_den=5
+        ),
         # the prefix index LIVE: frozen rare-first order broadcast, one
         # stateful op keyed by prefix token, pairs emitted exactly once
         "streaming_ppjoin": lambda spark, sf_dir: __import__(
@@ -3102,6 +3107,11 @@ def _northstar_oracles() -> dict[str, str]:
     out["dedup_ppjoin"] = ppjoin_oracle(threshold_num=4, threshold_den=5)
     # the live prefix index converges to the batch join exactly
     out["streaming_ppjoin"] = out["dedup_ppjoin"]
+    from flink_example_spark.operators.dedup import lcs_explain_oracle
+
+    out["dedup_lcs_explain"] = lcs_explain_oracle(
+        threshold_num=4, threshold_den=5
+    )
     from flink_example_spark.operators.dedup import ppjoin_weighted_oracle
 
     out["dedup_ppjoin_weighted"] = ppjoin_weighted_oracle(

@@ -1218,3 +1218,208 @@ def ppjoin_weighted_oracle(
         FROM iw JOIN ws wa ON wa.d = id_a JOIN ws wb ON wb.d = id_b
         WHERE {td} * inter_w >= {tn} * (wa.tw + wb.tw - inter_w)
     """
+
+
+def lcs_explain(
+    documents: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    topn: int = 16,
+    n_tokens: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate ALIGNMENT explanation: for the ``topn``
+    highest-Jaccard PPJoin pairs, the exact longest-common-subsequence
+    over each document's first ``n_tokens`` tokens — the "show me the
+    shared run structure" diff a dedup reviewer wants (set similarity
+    says HOW MUCH overlaps; LCS says whether it overlaps IN ORDER —
+    boilerplate reordering vs true copying).
+
+    Pair selection is deterministic: exact micro Jaccard
+    ``(inter*1e6) div union`` then (id_a, id_b) — an integer order key,
+    TakeOrderedAndProject. The DP is genuinely sequential →
+    ``applyInPandas`` per pair (topn * n_tokens² integer cells); the
+    DuckDB twin unrolls it by anti-diagonal wavefronts exactly like
+    ``timeseries.dtw_matrix_oracle`` (max recurrence, 0 boundary).
+
+    Output per pair: ``(id_a, id_b, jaccard_micro, n_a, n_b, lcs_len,
+    lcs_ratio_milli)`` with ratio = ``(2*lcs*1000) div (n_a+n_b)``.
+
+    Scale: the pair source is the scalable PPJoin; everything after is
+    topn-bounded.
+    """
+    import pandas as pd
+
+    from flink_example_spark.operators.text import normalized, tokens
+
+    top = (
+        ppjoin_pairs(documents, threshold_num, threshold_den, id_col, text_col)
+        .withColumn(
+            "jaccard_micro",
+            F.expr("(inter * 1000000) div (size_a + size_b - inter)"),
+        )
+        .orderBy(F.desc("jaccard_micro"), "id_a", "id_b")
+        .limit(topn)
+        .select("id_a", "id_b", "jaccard_micro")
+    )
+    seqs = documents.select(
+        F.col(id_col).alias("d"),
+        F.slice(
+            F.filter(
+                tokens(normalized(F.col(text_col))), lambda t: t != ""
+            ),
+            1,
+            n_tokens,
+        ).alias("arr"),
+    )
+    both = (
+        top.join(seqs.select(F.col("d").alias("id_a"), F.col("arr").alias("arr_a")), "id_a")
+        .join(seqs.select(F.col("d").alias("id_b"), F.col("arr").alias("arr_b")), "id_b")
+        .filter((F.size("arr_a") > 0) & (F.size("arr_b") > 0))
+    )
+
+    def dp(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        rows = []
+        for r in pdf.itertuples(index=False):
+            a, b = list(r.arr_a), list(r.arr_b)
+            na, nb = len(a), len(b)
+            prev = [0] * (nb + 1)
+            for i in range(1, na + 1):
+                cur = [0] * (nb + 1)
+                for j in range(1, nb + 1):
+                    cur[j] = max(
+                        prev[j],
+                        cur[j - 1],
+                        prev[j - 1] + (1 if a[i - 1] == b[j - 1] else 0),
+                    )
+                prev = cur
+            lcs = prev[nb]
+            rows.append(
+                (
+                    int(r.id_a),
+                    int(r.id_b),
+                    int(r.jaccard_micro),
+                    na,
+                    nb,
+                    lcs,
+                    (2 * lcs * 1000) // (na + nb),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "id_a",
+                "id_b",
+                "jaccard_micro",
+                "n_a",
+                "n_b",
+                "lcs_len",
+                "lcs_ratio_milli",
+            ],
+        )
+
+    return both.groupBy("id_a", "id_b").applyInPandas(
+        lambda key, p: dp(p),
+        schema=(
+            "id_a long, id_b long, jaccard_micro long, n_a long, n_b long,"
+            " lcs_len long, lcs_ratio_milli long"
+        ),
+    )
+
+
+def lcs_explain_oracle(
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    topn: int = 16,
+    n_tokens: int = 24,
+) -> str:
+    """DuckDB twin of :func:`lcs_explain` — PPJoin top-n composed with
+    the LCS DP unrolled by anti-diagonal wavefronts (max recurrence;
+    boundaries are 0, so COALESCE(.., 0) is exact)."""
+    from flink_example_spark.operators.text import _DUCK_NORM
+
+    base = ppjoin_oracle(threshold_num, threshold_den)
+    n = n_tokens
+    parts = [
+        f"""WITH pp AS MATERIALIZED ({base}),
+        top_pairs AS MATERIALIZED (
+          SELECT id_a, id_b,
+                 (inter * 1000000) // (size_a + size_b - inter) AS jaccard_micro
+          FROM pp
+          ORDER BY jaccard_micro DESC, id_a, id_b LIMIT {topn}
+        ),
+        seqs AS MATERIALIZED (
+          SELECT d, generate_subscripts(arr, 1) AS pos, unnest(arr) AS tok,
+                 len(arr) AS nlen
+          FROM (
+            SELECT doc_id AS d,
+                   list_filter(string_split_regex({_DUCK_NORM}, '\\s+'),
+                               t -> t <> '')[1:{n}] AS arr
+            FROM documents
+          )
+          WHERE d IN (SELECT id_a FROM top_pairs UNION
+                      SELECT id_b FROM top_pairs)
+        ),
+        lens AS MATERIALIZED (
+          SELECT t.id_a, t.id_b, t.jaccard_micro,
+                 CAST(sa.nlen AS BIGINT) AS n_a, CAST(sb.nlen AS BIGINT) AS n_b
+          FROM top_pairs t
+          JOIN (SELECT DISTINCT d, nlen FROM seqs) sa ON sa.d = t.id_a
+          JOIN (SELECT DISTINCT d, nlen FROM seqs) sb ON sb.d = t.id_b
+          WHERE sa.nlen > 0 AND sb.nlen > 0
+        ),
+        cells AS MATERIALIZED (
+          SELECT l.id_a, l.id_b, a.pos AS i, b.pos AS j,
+                 CAST(CASE WHEN a.tok = b.tok THEN 1 ELSE 0 END AS BIGINT) AS eq
+          FROM lens l
+          JOIN seqs a ON a.d = l.id_a
+          JOIN seqs b ON b.d = l.id_b
+        )"""
+    ]
+    for k in range(2, 2 * n + 1):
+        p1 = f"wf{k - 1}"
+        diag = (
+            f"LEFT JOIN wf{k - 2} dg ON dg.id_a = x.id_a AND dg.id_b = x.id_b"
+            f" AND dg.i = x.i - 1 AND dg.j = x.j - 1"
+            if k >= 4
+            else ""
+        )
+        d_dp = f"dg.dp" if k >= 4 else "NULL"
+        up = (
+            f"LEFT JOIN {p1} u ON u.id_a = x.id_a AND u.id_b = x.id_b"
+            f" AND u.i = x.i - 1 AND u.j = x.j"
+            if k >= 3
+            else ""
+        )
+        lf = (
+            f"LEFT JOIN {p1} lf ON lf.id_a = x.id_a AND lf.id_b = x.id_b"
+            f" AND lf.i = x.i AND lf.j = x.j - 1"
+            if k >= 3
+            else ""
+        )
+        u_dp = "u.dp" if k >= 3 else "NULL"
+        l_dp = "lf.dp" if k >= 3 else "NULL"
+        parts.append(f"""wf{k} AS MATERIALIZED (
+          SELECT x.id_a, x.id_b, x.i, x.j,
+                 greatest(COALESCE({u_dp}, 0), COALESCE({l_dp}, 0),
+                          COALESCE({d_dp}, 0) + x.eq) AS dp
+          FROM (SELECT * FROM cells WHERE i + j = {k}) x
+          {up}
+          {lf}
+          {diag}
+        )""")
+    finals = " UNION ALL ".join(
+        f"SELECT id_a, id_b, i, j, dp FROM wf{k}" for k in range(2, 2 * n + 1)
+    )
+    parts.append(f"alldp AS MATERIALIZED ({finals})")
+    return (
+        ",\n        ".join(parts)
+        + """
+        SELECT l.id_a, l.id_b, l.jaccard_micro, l.n_a, l.n_b,
+               CAST(d.dp AS BIGINT) AS lcs_len,
+               (2 * d.dp * 1000) // (l.n_a + l.n_b) AS lcs_ratio_milli
+        FROM lens l
+        JOIN alldp d ON d.id_a = l.id_a AND d.id_b = l.id_b
+          AND d.i = l.n_a AND d.j = l.n_b"""
+    )
