@@ -2450,6 +2450,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.operators.timeseries",
             fromlist=["rolling_slope"],
         ).rolling_slope(_events(spark, sf_dir), "event_type", "ts", "value"),
+        # trailing-trend LIVE: per-(key, day) sum monoid in state; the
+        # window OLS algebra runs at read time (shared oracle)
+        "streaming_rolling_slope": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.timeseries_stream",
+            fromlist=["run_streaming_rolling_slope"],
+        ).run_streaming_rolling_slope(spark, sf_dir),
         # two-cohort churn comparison: log-rank score numerator (exact
         # quantize-before-cumsum expectations over shared risk sets)
         "timeseries_logrank": lambda spark, sf_dir: __import__(
@@ -4649,6 +4655,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["timeseries_rolling_slope"] = rolling_slope_oracle(
         "events", "event_type", "ts", "value"
     )
+    out["streaming_rolling_slope"] = out["timeseries_rolling_slope"]
     from flink_example_spark.operators.timeseries import logrank_screen_oracle
 
     out["timeseries_logrank"] = logrank_screen_oracle(

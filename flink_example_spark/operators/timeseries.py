@@ -3035,6 +3035,13 @@ def rolling_slope(
         .groupBy("key", "day")
         .agg(F.sum("vq").alias("vq"))
     )
+    return rolling_slope_from_daily(daily, window_rows)
+
+
+def rolling_slope_from_daily(daily: DataFrame, window_rows: int) -> DataFrame:
+    """The read-time algebra of :func:`rolling_slope` over a prepared
+    per-(key, day) centi-sum relation — shared by the batch op and the
+    live monitor (whose state is the day-sum monoid)."""
     w = (
         Window.partitionBy("key")
         .orderBy("day")

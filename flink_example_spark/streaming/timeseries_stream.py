@@ -1113,3 +1113,67 @@ def run_streaming_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vq").cast("double") / 100.0).alias("value"),
     )
     return max_drawdown(synth, "event_type", "ts", "value")
+
+
+def run_streaming_rolling_slope(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """LIVE trailing-trend monitor: the per-(key, day) centi-sum is the
+    only state — a sum monoid in ONE update-mode JVM aggregation; the
+    trailing-window OLS algebra (exact BIGINT frame sums, sign-safe
+    milli division) runs at read time over the sink. Converges exactly
+    to batch ``timeseries.rolling_slope`` (shared oracle)."""
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from flink_example_spark.session import shuffle_partitions, tune
+    from flink_example_spark.streaming.staging import stage_table_by_key
+
+    tune(spark)
+    day_us = 86_400_000_000
+    k = 7
+    tmpdir, schema = stage_table_by_key(
+        spark, sf_dir, "events", "event_id", chunks
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/chunk_*")
+    )
+    daily = (
+        stream.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("key"),
+            F.expr(
+                f"unix_micros(CAST(ts AS TIMESTAMP)) div {day_us}"
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+            ).alias("vq")
+        )
+    )
+    name = f"stream_rslope_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            daily.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # sums only grow across replayed batches (values are positive):
+    # final per (key, day) = max
+    from flink_example_spark.operators.timeseries import (
+        rolling_slope_from_daily,
+    )
+
+    latest = (
+        spark.table(name)
+        .groupBy("key", "day")
+        .agg(F.max("vq").alias("vq"))
+    )
+    return rolling_slope_from_daily(latest, k)
