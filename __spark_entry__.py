@@ -1466,6 +1466,21 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "value",
             width=25,
         ),
+        # Munro-Paterson deterministic quantile sketch over the same
+        # values as exact_order_stats: per-shard odd-rank halvings,
+        # tiny equal-weight merge — bounded shuffle, auditable rank
+        # error, bit-reproducible in both engines
+        "sketch_mp_quantiles": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.sketch",
+            fromlist=["mp_quantile_sketch"],
+        ).mp_quantile_sketch(
+            _events(spark, sf_dir).select(
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vq"),
+                "event_id",
+            ),
+            "vq",
+            "event_id",
+        ),
         # one-way ANOVA across event types: exact integer SS partition,
         # F statistic as one fixed double sequence
         "ml_anova": lambda spark, sf_dir: __import__(
@@ -3868,6 +3883,14 @@ def _northstar_oracles() -> dict[str, str]:
     # live twins converge bit-exactly to the batch forms
     out["streaming_gini_lorenz"] = out["quality_gini_lorenz"]
     out["streaming_order_stats"] = out["sketch_exact_order_stats"]
+    from flink_example_spark.operators.sketch import mp_quantile_sketch_oracle
+
+    out["sketch_mp_quantiles"] = mp_quantile_sketch_oracle(
+        "SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq, event_id"
+        " FROM events",
+        "vq",
+        "event_id",
+    )
     from flink_example_spark.operators.ml import psi_drift_oracle
 
     out["ml_psi_drift"] = psi_drift_oracle(

@@ -1242,3 +1242,151 @@ def exact_order_stats_from_counts(
         (F.col("target_rank") <= F.col("cum"))
         & (F.col("target_rank") > F.col("cum") - F.col("c")),
     ).select("pct", "target_rank", F.col("v").alias("value"))
+
+
+def mp_quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_shards: int = 16,
+    rounds_local: int = 6,
+    rounds_merge: int = 4,
+    pcts: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Munro-Paterson deterministic quantile SKETCH — the bounded-shuffle
+    approximate-quantile path for when even the per-VALUE count relation
+    is too big to rank exactly: each md5 shard repeatedly sorts its
+    survivors and keeps the odd ranks (a deterministic multilevel
+    sample; every round doubles the implicit weight), the tiny
+    equal-weight survivor union then merges with a few more global
+    halvings. Rank error after R total halvings is <= R * 2^(R-1)
+    positions (each halving displaces a survivor's true rank by at most
+    half its weight) — a fixed, auditable bound, and the whole procedure
+    is deterministic, so the DuckDB twin reproduces it bit-for-bit
+    (unlike randomized KLL/t-digest; the true mergeable STREAMING
+    aggregate remains blocked on a JVM TypedImperativeAggregate,
+    PERF.md).
+
+    Output per requested percentile: ``(pct, est_value, sketch_rows,
+    n_total, weight)``.
+
+    Scale: phase-1 halvings are per-shard windows (hash-partitioned,
+    never global); phase-2 ranks only the survivor set (distributed
+    two-phase device). Shuffle bytes after phase 1 are
+    ``n / 2^rounds_local`` rows regardless of input size.
+    """
+    from flink_example_spark.operators.distrank import dist_row_number
+
+    spark = df.sparkSession
+    shard = F.expr(
+        f"CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 8), 16, 10)"
+        f" AS BIGINT) % {n_shards}"
+    )
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("long").alias("v"),
+        F.col(id_col).alias("id"),
+        shard.alias("sh"),
+    )
+    n_total_df = base.agg(F.count(F.lit(1)).alias("n_total"))
+    cur = base
+    for _ in range(rounds_local):
+        w = Window.partitionBy("sh").orderBy("v", "id")
+        cur = (
+            cur.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") % 2 == 1)
+            .drop("rn")
+        )
+    # phase-1 output is n/2^rounds_local rows; cut here so each merge
+    # round's two-consumer rank device re-reads the survivors, not the
+    # whole per-shard halving chain (which would re-execute 2^rounds
+    # times through the branching lineage)
+    merged = cur.drop("sh").localCheckpoint(eager=True)
+    for _ in range(rounds_merge):
+        merged = (
+            dist_row_number(merged, ["v", "id"], "rn")
+            .filter(F.col("rn") % 2 == 1)
+            .drop("rn")
+        )
+    # the survivor set is sketch-sized (n / 2^rounds): cut lineage once so
+    # the count, the target join, and the final projection don't each
+    # re-run the halving chain (DESIGN.md multi-consumer rule)
+    ranked = dist_row_number(merged, ["v", "id"], "rn").localCheckpoint(
+        eager=True
+    )
+    m = ranked.count()
+    weight = 1 << (rounds_local + rounds_merge)
+    targets = spark.createDataFrame(
+        [(int(p), max(1, (int(p) * int(m) + 99) // 100)) for p in pcts],
+        "pct long, target_rank long",
+    )
+    return (
+        ranked.join(F.broadcast(targets), F.col("rn") == F.col("target_rank"))
+        .crossJoin(F.broadcast(n_total_df))
+        .select(
+            "pct",
+            F.col("v").alias("est_value"),
+            F.lit(int(m)).cast("long").alias("sketch_rows"),
+            F.col("n_total").cast("long").alias("n_total"),
+            F.lit(int(weight)).cast("long").alias("weight"),
+        )
+    )
+
+
+def mp_quantile_sketch_oracle(
+    units_sql: str,
+    value_col: str,
+    id_col: str,
+    n_shards: int = 16,
+    rounds_local: int = 6,
+    rounds_merge: int = 4,
+    pcts: tuple[int, ...] = (50, 90, 99),
+) -> str:
+    """DuckDB twin of :func:`mp_quantile_sketch` (halvings unrolled)."""
+    parts = [
+        f"""WITH l0 AS MATERIALIZED (
+          SELECT CAST({value_col} AS BIGINT) AS v, {id_col} AS id,
+                 CAST(concat('0x', substr(md5(CAST({id_col} AS VARCHAR)),
+                   1, 8)) AS BIGINT) % {n_shards} AS sh
+          FROM ({units_sql}) WHERE {value_col} IS NOT NULL
+        )"""
+    ]
+    for r in range(1, rounds_local + 1):
+        parts.append(f"""l{r} AS MATERIALIZED (
+          SELECT v, id, sh FROM (
+            SELECT v, id, sh,
+                   ROW_NUMBER() OVER (PARTITION BY sh ORDER BY v, id) AS rn
+            FROM l{r - 1}
+          ) WHERE rn % 2 = 1
+        )""")
+    parts.append(
+        f"m0 AS MATERIALIZED (SELECT v, id FROM l{rounds_local})"
+    )
+    for r in range(1, rounds_merge + 1):
+        parts.append(f"""m{r} AS MATERIALIZED (
+          SELECT v, id FROM (
+            SELECT v, id, ROW_NUMBER() OVER (ORDER BY v, id) AS rn
+            FROM m{r - 1}
+          ) WHERE rn % 2 = 1
+        )""")
+    last = f"m{rounds_merge}"
+    pcts_rows = ", ".join(f"({int(p)})" for p in pcts)
+    weight = 1 << (rounds_local + rounds_merge)
+    parts.append(f"""ranked AS MATERIALIZED (
+          SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v, id) AS BIGINT) AS rn
+          FROM {last}
+        ),
+        mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM {last}),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM l0),
+        targets AS (
+          SELECT CAST(pct AS BIGINT) AS pct,
+                 greatest(1, (CAST(pct AS BIGINT) * m + 99) // 100)
+                   AS target_rank
+          FROM (VALUES {pcts_rows}) t(pct), mm
+        )""")
+    return (
+        ",\n        ".join(parts)
+        + f"""
+        SELECT pct, v AS est_value, m AS sketch_rows, n_total,
+               CAST({weight} AS BIGINT) AS weight
+        FROM ranked JOIN targets ON rn = target_rank, mm, nn"""
+    )

@@ -460,3 +460,47 @@ def test_ndcg_perfect_and_degraded(spark):
     empty = swapped.filter("rank > 99")
     row0 = ndcg_eval(empty, truth, k=3).first()
     assert row0["ndcg_ppm"] == 0 and row0["dcg"] == 0
+
+
+def test_mp_quantile_sketch_accuracy_and_determinism(spark):
+    """The deterministic Munro-Paterson sketch: estimated percentiles
+    land within the documented rank-error bound of the exact order
+    statistics, and two runs are identical."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.sketch import (
+        exact_order_stats,
+        mp_quantile_sketch,
+    )
+
+    n = 20000
+    df = spark.range(n).select(
+        ((F.col("id") * 37) % 1000).alias("v"), F.col("id")
+    )
+    R_local, R_merge = 5, 3
+    est = {
+        r["pct"]: r["est_value"]
+        for r in mp_quantile_sketch(
+            df, "v", "id", n_shards=8,
+            rounds_local=R_local, rounds_merge=R_merge,
+        ).collect()
+    }
+    exact = {
+        r["pct"]: r["value"]
+        for r in exact_order_stats(df, "v", "id", pcts=(50, 90, 99)).collect()
+    }
+    # rank error <= R * 2^(R-1); v is uniform over 0..999 with n/1000 rows
+    # per value, so value error <= rank_err / (n/1000) + 1
+    R = R_local + R_merge
+    rank_err = R * (1 << (R - 1))
+    val_err = rank_err / (n / 1000) + 1
+    for p in (50, 90, 99):
+        assert abs(est[p] - exact[p]) <= val_err, (p, est[p], exact[p])
+    est2 = {
+        r["pct"]: r["est_value"]
+        for r in mp_quantile_sketch(
+            df, "v", "id", n_shards=8,
+            rounds_local=R_local, rounds_merge=R_merge,
+        ).collect()
+    }
+    assert est == est2
