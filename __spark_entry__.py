@@ -1456,6 +1456,36 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vq",
             "event_id",
         ),
+        # ranking-fairness audit: per-SOURCE AUC of the length score as
+        # an English detector — slices where AUC sags toward 0.5 are
+        # where a thresholded gate silently biases the corpus
+        "ml_auc_by_group": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["roc_auc_by_group"]
+        ).roc_auc_by_group(
+            _docs(spark, sf_dir),
+            "source",
+            "n_chars",
+            F.col("lang") == "en",
+            "doc_id",
+        ),
+        # selection-gate fairness audit by language: demographic parity,
+        # equalized odds, four-fifths parity ratio — exact micro units
+        "ml_fairness_audit": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["fairness_audit"]
+        ).fairness_audit(
+            _docs(spark, sf_dir).select(
+                "lang",
+                "n_chars",
+                F.size(
+                    F.array_remove(
+                        text.tokens(text.normalized(F.col("text"))), ""
+                    )
+                ).alias("ntok"),
+            ),
+            "lang",
+            F.col("n_chars") >= 800,
+            F.col("ntok") >= 160,
+        ),
         # PSI drift gate: error-event value distribution vs all other
         # events — exact micro shares, floor-log2 ratio, BIGINT terms
         "ml_psi_drift": lambda spark, sf_dir: __import__(
@@ -3890,6 +3920,25 @@ def _northstar_oracles() -> dict[str, str]:
         " FROM events",
         "vq",
         "event_id",
+    )
+    from flink_example_spark.operators.ml import (
+        fairness_audit_oracle,
+        roc_auc_by_group_oracle,
+    )
+
+    out["ml_auc_by_group"] = roc_auc_by_group_oracle(
+        "SELECT doc_id, source, lang, n_chars FROM documents",
+        "source",
+        "n_chars",
+        "lang = 'en'",
+        "doc_id",
+    )
+    out["ml_fairness_audit"] = fairness_audit_oracle(
+        "SELECT lang, n_chars, len(list_filter(string_split_regex("
+        f"{text._DUCK_NORM}, '\\s+'), t -> t <> '')) AS ntok FROM documents",
+        "lang",
+        "n_chars >= 800",
+        "ntok >= 160",
     )
     from flink_example_spark.operators.ml import psi_drift_oracle
 

@@ -5163,3 +5163,183 @@ def psi_drift_oracle(
                CAST(SUM(psi_term) AS BIGINT)
         FROM terms
     """
+
+
+def roc_auc_by_group(
+    df: DataFrame, group_col: str, score_col: str, label_col, id_col: str
+) -> DataFrame:
+    """Per-slice ROC-AUC — the ranking-fairness audit ("does the quality
+    score rank equally well for every language/source?"): the exact
+    Mann-Whitney midrank closure of :func:`roc_auc`, computed WITHIN
+    each group via group-partitioned windows (hash-partitioned on the
+    group key — scale-fine, no global ranking at all). Slices where the
+    score discriminates worse (AUC nearer 0.5) are where a thresholded
+    gate silently biases the corpus.
+
+    Output per group: ``(grp, n, n_pos, n_neg, auc)``.
+
+    Scale: one per-group ranking window + one (group, score) hash
+    aggregation + one group rollup.
+    """
+    lab = label_col if not isinstance(label_col, str) else F.col(label_col)
+    rows = df.filter(F.col(score_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.col(score_col).alias("s"),
+        F.when(lab, 1).otherwise(0).cast("long").alias("y"),
+        F.col(id_col).alias("id"),
+    )
+    w = Window.partitionBy("grp").orderBy("s", "id")
+    ranked = rows.withColumn("rn", F.row_number().over(w))
+    grp = ranked.groupBy("grp", "s").agg(
+        F.min("rn").alias("m1"),
+        F.max("rn").alias("m2"),
+        F.sum("y").alias("npg"),
+        F.count(F.lit(1)).alias("ng"),
+    )
+    s = grp.groupBy("grp").agg(
+        F.sum(F.col("npg") * (F.col("m1") + F.col("m2"))).alias("two_u"),
+        F.sum("npg").alias("n_pos"),
+        F.sum(F.col("ng") - F.col("npg")).alias("n_neg"),
+        F.sum("ng").alias("n"),
+    )
+    num = F.col("two_u") - F.col("n_pos") * (F.col("n_pos") + 1)
+    den = F.lit(2) * F.col("n_pos") * F.col("n_neg")
+    return s.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        (num.cast("double") / den.cast("double")).alias("auc"),
+    )
+
+
+def roc_auc_by_group_oracle(
+    units_sql: str, group_col: str, score_col: str, label_sql: str, id_col: str
+) -> str:
+    """DuckDB twin of :func:`roc_auc_by_group`."""
+    return f"""
+        WITH u AS (
+          SELECT {group_col} AS grp, {score_col} AS s,
+                 CAST(CASE WHEN {label_sql} THEN 1 ELSE 0 END AS BIGINT) AS y,
+                 {id_col} AS id
+          FROM ({units_sql}) WHERE {score_col} IS NOT NULL
+        ),
+        ranked AS (
+          SELECT grp, s, y,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY s, id)
+                   AS BIGINT) AS rn
+          FROM u
+        ),
+        g AS (
+          SELECT grp, s, CAST(MIN(rn) AS BIGINT) AS m1,
+                 CAST(MAX(rn) AS BIGINT) AS m2,
+                 CAST(SUM(y) AS BIGINT) AS npg,
+                 CAST(COUNT(*) AS BIGINT) AS ng
+          FROM ranked GROUP BY grp, s
+        ),
+        agg AS (
+          SELECT grp, CAST(SUM(npg * (m1 + m2)) AS BIGINT) AS two_u,
+                 CAST(SUM(npg) AS BIGINT) AS n_pos,
+                 CAST(SUM(ng - npg) AS BIGINT) AS n_neg,
+                 CAST(SUM(ng) AS BIGINT) AS n
+          FROM g GROUP BY grp
+        )
+        SELECT grp, n, n_pos, n_neg,
+               CAST(two_u - n_pos * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+        FROM agg WHERE n_pos > 0 AND n_neg > 0
+    """
+
+
+def fairness_audit(
+    df: DataFrame, group_col: str, select_pred, label_col
+) -> DataFrame:
+    """Group-fairness audit of a selection gate — the three standard
+    disparity readings a curation filter owes its audit log: per slice,
+    the selection rate (demographic parity), the true-positive rate and
+    false-positive rate (equalized odds), all in exact micro units, plus
+    each slice's parity RATIO against the most-selected slice
+    (the four-fifths rule reads ``parity_ratio_micro < 800000``).
+
+    Output per group: ``(grp, n, n_sel, sel_rate_micro, tpr_micro,
+    fpr_micro, parity_ratio_micro)``. TPR/FPR are NULL for slices with
+    no positives/negatives (honest, not 0).
+
+    Scale: ONE hash aggregation by group (map-side combined) + a
+    broadcast one-row max join. No windows.
+    """
+    pred = select_pred if not isinstance(select_pred, str) else F.expr(select_pred)
+    lab = label_col if not isinstance(label_col, str) else F.col(label_col)
+    per = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            pred.cast("int").alias("sel"),
+            lab.cast("int").alias("y"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("sel").alias("n_sel"),
+            F.sum(F.col("sel") * F.col("y")).alias("tp"),
+            F.sum("y").alias("n_pos"),
+            F.sum(F.col("sel") * (1 - F.col("y"))).alias("fp"),
+            F.sum(F.lit(1) - F.col("y")).alias("n_neg"),
+        )
+        .withColumn("sel_rate_micro", F.expr("(n_sel * 1000000) div n"))
+    )
+    mx = per.agg(F.max("sel_rate_micro").alias("max_rate"))
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .select(
+            "grp",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_sel").cast("long").alias("n_sel"),
+            F.col("sel_rate_micro").cast("long").alias("sel_rate_micro"),
+            F.expr(
+                "CASE WHEN n_pos > 0 THEN (tp * 1000000) div n_pos END"
+            ).alias("tpr_micro"),
+            F.expr(
+                "CASE WHEN n_neg > 0 THEN (fp * 1000000) div n_neg END"
+            ).alias("fpr_micro"),
+            F.expr(
+                "CASE WHEN max_rate > 0 THEN"
+                " (sel_rate_micro * 1000000) div max_rate END"
+            ).alias("parity_ratio_micro"),
+        )
+    )
+
+
+def fairness_audit_oracle(
+    units_sql: str, group_col: str, select_sql: str, label_sql: str
+) -> str:
+    """DuckDB twin of :func:`fairness_audit`."""
+    return f"""
+        WITH per AS MATERIALIZED (
+          SELECT {group_col} AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN {select_sql} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_sel,
+                 CAST(SUM(CASE WHEN ({select_sql}) AND ({label_sql})
+                   THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(SUM(CASE WHEN {label_sql} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_pos,
+                 CAST(SUM(CASE WHEN ({select_sql}) AND NOT ({label_sql})
+                   THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(SUM(CASE WHEN {label_sql} THEN 0 ELSE 1 END)
+                   AS BIGINT) AS n_neg
+          FROM ({units_sql}) GROUP BY 1
+        ),
+        withr AS (
+          SELECT *, (n_sel * 1000000) // n AS sel_rate_micro FROM per
+        ),
+        mx AS (SELECT CAST(MAX(sel_rate_micro) AS BIGINT) AS max_rate
+               FROM withr)
+        SELECT grp, n, n_sel, sel_rate_micro,
+               CASE WHEN n_pos > 0 THEN (tp * 1000000) // n_pos END
+                 AS tpr_micro,
+               CASE WHEN n_neg > 0 THEN (fp * 1000000) // n_neg END
+                 AS fpr_micro,
+               CASE WHEN max_rate > 0 THEN
+                 (sel_rate_micro * 1000000) // max_rate END
+                 AS parity_ratio_micro
+        FROM withr, mx
+    """
