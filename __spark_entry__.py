@@ -2131,6 +2131,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_burstiness": lambda spark, sf_dir: text.term_burstiness(
             _docs(spark, sf_dir)
         ),
+        # boilerplate-template mining: same first-k AND last-k tokens =
+        # one template frame (mail merges, scraped listings)
+        "text_template_clusters": lambda spark, sf_dir: text.template_clusters(
+            _docs(spark, sf_dir), k=8
+        ),
+        # serving prefix-cache potential: share of docs whose k-token
+        # prefix repeats (the prompt-dedup / prefix-cache hit rate)
+        "text_prefix_cache": lambda spark, sf_dir: text.prefix_cache_stats(
+            _docs(spark, sf_dir), k=8
+        ),
         # RAKE keyphrase extraction: stopword-island phrases scored by
         # exact integer degree/frequency ratios
         "text_rake_keywords": lambda spark, sf_dir: text.rake_keywords(
@@ -3733,6 +3743,8 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.text import term_burstiness_oracle
 
     out["text_burstiness"] = term_burstiness_oracle()
+    out["text_template_clusters"] = text.template_clusters_oracle(k=8)
+    out["text_prefix_cache"] = text.prefix_cache_stats_oracle(k=8)
     # the live monitor converges to the batch stats exactly
     out["streaming_burstiness"] = out["text_burstiness"]
     out["graph_textrank_keywords"] = pagerank_oracle(

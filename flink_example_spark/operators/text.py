@@ -1681,3 +1681,137 @@ def term_burstiness_oracle(min_docs: int = 5, topn: int = 20) -> str:
         ORDER BY vmr_milli DESC, term
         LIMIT {topn}
     """
+
+
+def template_clusters(
+    documents: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate-template detection (the C4-style "same frame, different
+    filler" miner): documents OPENING with the same ``k`` normalized
+    tokens form a template cluster — the shape mail merges, scraped
+    listings, and generated spam take, which n-gram dedup under-catches
+    when the filler diverges. Per cluster, the distinct-ending count
+    diagnoses how templated the frame is: ``n_suffixes`` << ``n_docs``
+    means the documents also CLOSE alike (a full frame), ``n_suffixes``
+    = ``n_docs`` means only the opening is boilerplate. Docs with fewer
+    than ``2k`` tokens are skipped (head and tail would overlap).
+
+    Output per cluster (>= 2 docs): ``(prefix_key, n_docs, n_suffixes,
+    min_doc_id, total_chars)``.
+
+    Scale: one projection (head/tail slices are per-row array ops) +
+    one hash aggregation on the prefix key. No joins.
+    """
+    toks = F.filter(tokens(normalized(F.col(text_col))), lambda t: t != "")
+    base = documents.select(
+        F.col(id_col).alias("d"),
+        F.col("n_chars"),
+        toks.alias("w"),
+    ).filter(F.size("w") >= 2 * k)
+    keyed = base.select(
+        "d",
+        "n_chars",
+        F.concat_ws(" ", F.slice("w", 1, k)).alias("prefix_key"),
+        F.concat_ws(" ", F.slice("w", -k, k)).alias("suffix_key"),
+    )
+    return (
+        keyed.groupBy("prefix_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("suffix_key").cast("long").alias("n_suffixes"),
+            F.min("d").cast("long").alias("min_doc_id"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def template_clusters_oracle(k: int = 8) -> str:
+    """DuckDB twin of :func:`template_clusters` (documents table)."""
+    return f"""
+        WITH base AS (
+          SELECT doc_id AS d, n_chars,
+                 list_filter(string_split_regex({_DUCK_NORM}, '\\s+'),
+                             t -> t <> '') AS w
+          FROM documents
+        ),
+        keyed AS (
+          SELECT d, n_chars,
+                 array_to_string(w[1:{k}], ' ') AS prefix_key,
+                 array_to_string(w[-{k}:], ' ') AS suffix_key
+          FROM base WHERE len(w) >= {2 * k}
+        )
+        SELECT prefix_key, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT suffix_key) AS BIGINT) AS n_suffixes,
+               CAST(MIN(d) AS BIGINT) AS min_doc_id,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM keyed GROUP BY 1
+        HAVING COUNT(*) >= 2
+    """
+
+
+def prefix_cache_stats(
+    documents: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Serving prefix-cache potential: how much of the corpus shares a
+    ``k``-token prefix with another document — the number an LLM-serving
+    prefix cache (or a prompt-dedup layer) would actually hit. ``hit``
+    counts every doc beyond the first in its prefix group.
+
+    Output one row: ``(k, n_docs, n_prefixes, n_docs_in_shared,
+    n_shared_prefixes, hit_rate_micro)`` with
+    ``hit_rate_micro = ((n_docs - n_prefixes) * 1e6) div n_docs``.
+
+    Scale: one projection + one hash aggregation + one rollup.
+    """
+    toks = F.filter(tokens(normalized(F.col(text_col))), lambda t: t != "")
+    pre = documents.select(
+        F.concat_ws(" ", F.slice(toks, 1, k)).alias("p")
+    ).filter(F.length("p") > 0)
+    per = pre.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    return per.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_prefixes"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_docs_in_shared"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_shared_prefixes"),
+    ).withColumn(
+        "hit_rate_micro",
+        F.expr("((n_docs - n_prefixes) * 1000000) div n_docs"),
+    )
+
+
+def prefix_cache_stats_oracle(k: int = 8) -> str:
+    """DuckDB twin of :func:`prefix_cache_stats` (documents table)."""
+    return f"""
+        WITH pre AS (
+          SELECT array_to_string(
+                   list_filter(string_split_regex({_DUCK_NORM}, '\\s+'),
+                               t -> t <> '')[1:{k}], ' ') AS p
+          FROM documents
+        ),
+        per AS (
+          SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM pre
+          WHERE len(p) > 0 GROUP BY p
+        )
+        SELECT CAST({k} AS BIGINT) AS k,
+               CAST(SUM(c) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+               CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                 AS n_docs_in_shared,
+               CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_shared_prefixes,
+               ((CAST(SUM(c) AS BIGINT) - CAST(COUNT(*) AS BIGINT)) * 1000000)
+                 // CAST(SUM(c) AS BIGINT) AS hit_rate_micro
+        FROM per
+    """
