@@ -1115,6 +1115,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lcs_explain": lambda spark, sf_dir: dedup.lcs_explain(
             _docs(spark, sf_dir), threshold_num=4, threshold_den=5
         ),
+        # per-source duplication audit: in-feed dup share + cross-feed
+        # mirroring share (only 32-char digests ever shuffle)
+        "dedup_rate_by_source": lambda spark, sf_dir: dedup.dup_rate_by_source(
+            _docs(spark, sf_dir)
+        ),
         # the prefix index LIVE: frozen rare-first order broadcast, one
         # stateful op keyed by prefix token, pairs emitted exactly once
         "streaming_ppjoin": lambda spark, sf_dir: __import__(
@@ -3173,6 +3178,9 @@ def _northstar_oracles() -> dict[str, str]:
     out["dedup_lcs_explain"] = lcs_explain_oracle(
         threshold_num=4, threshold_den=5
     )
+    from flink_example_spark.operators.dedup import dup_rate_by_source_oracle
+
+    out["dedup_rate_by_source"] = dup_rate_by_source_oracle()
     from flink_example_spark.operators.dedup import ppjoin_weighted_oracle
 
     out["dedup_ppjoin_weighted"] = ppjoin_weighted_oracle(

@@ -1423,3 +1423,80 @@ def lcs_explain_oracle(
         JOIN alldp d ON d.id_a = l.id_a AND d.id_b = l.id_b
           AND d.i = l.n_a AND d.j = l.n_b"""
     )
+
+
+def dup_rate_by_source(
+    documents: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source duplication audit — "which feeds are dirty": for each
+    source, exact-content duplicate share (md5 identity within the
+    source) and the share of its docs whose content also appears in
+    ANOTHER source (cross-feed mirroring — the syndication signal that
+    decides which feed to keep).
+
+    Output per group: ``(grp, n_docs, n_distinct, dup_rate_micro,
+    n_cross, cross_rate_micro)``.
+
+    Scale: one (group, hash) aggregation + one hash-grain aggregation
+    joined back broadcast-ably (content-hash dimension); no text ever
+    shuffles — only 32-char digests.
+    """
+    h = documents.select(
+        F.col(group_col).alias("grp"), F.md5(F.col(text_col)).alias("h")
+    )
+    per_gh = h.groupBy("grp", "h").agg(F.count(F.lit(1)).alias("c"))
+    spread = per_gh.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+    j = per_gh.join(spread, "h")
+    return (
+        j.groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("n_groups") >= 2, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_cross"),
+        )
+        .select(
+            "grp",
+            "n_docs",
+            "n_distinct",
+            F.expr(
+                "((n_docs - n_distinct) * 1000000) div n_docs"
+            ).alias("dup_rate_micro"),
+            "n_cross",
+            F.expr("(n_cross * 1000000) div n_docs").alias(
+                "cross_rate_micro"
+            ),
+        )
+    )
+
+
+def dup_rate_by_source_oracle(
+    group_col: str = "source", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`dup_rate_by_source` (documents table)."""
+    return f"""
+        WITH per_gh AS MATERIALIZED (
+          SELECT {group_col} AS grp, md5({text_col}) AS h,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2
+        ),
+        spread AS (
+          SELECT h, CAST(COUNT(*) AS BIGINT) AS n_groups
+          FROM per_gh GROUP BY h
+        )
+        SELECT grp, CAST(SUM(c) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               ((CAST(SUM(c) AS BIGINT) - CAST(COUNT(*) AS BIGINT)) * 1000000)
+                 // CAST(SUM(c) AS BIGINT) AS dup_rate_micro,
+               CAST(SUM(CASE WHEN n_groups >= 2 THEN c ELSE 0 END) AS BIGINT)
+                 AS n_cross,
+               (CAST(SUM(CASE WHEN n_groups >= 2 THEN c ELSE 0 END) AS BIGINT)
+                 * 1000000) // CAST(SUM(c) AS BIGINT) AS cross_rate_micro
+        FROM per_gh JOIN spread USING (h)
+        GROUP BY grp
+    """
