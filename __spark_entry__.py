@@ -1501,6 +1501,21 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "value",
             width=25,
         ),
+        # exact per-event-type percentiles (per-group windows — no
+        # global ordering; each group pays only its own size)
+        "sketch_grouped_order_stats": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.sketch",
+            fromlist=["grouped_order_stats"],
+        ).grouped_order_stats(
+            _events(spark, sf_dir).select(
+                "event_type",
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vq"),
+                "event_id",
+            ),
+            "event_type",
+            "vq",
+            "event_id",
+        ),
         # Munro-Paterson deterministic quantile sketch over the same
         # values as exact_order_stats: per-shard odd-rank halvings,
         # tiny equal-weight merge — bounded shuffle, auditable rank
@@ -3933,6 +3948,15 @@ def _northstar_oracles() -> dict[str, str]:
     # live twins converge bit-exactly to the batch forms
     out["streaming_gini_lorenz"] = out["quality_gini_lorenz"]
     out["streaming_order_stats"] = out["sketch_exact_order_stats"]
+    from flink_example_spark.operators.sketch import grouped_order_stats_oracle
+
+    out["sketch_grouped_order_stats"] = grouped_order_stats_oracle(
+        "SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq,"
+        " event_id FROM events",
+        "event_type",
+        "vq",
+        "event_id",
+    )
     from flink_example_spark.operators.sketch import mp_quantile_sketch_oracle
 
     out["sketch_mp_quantiles"] = mp_quantile_sketch_oracle(

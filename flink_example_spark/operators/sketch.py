@@ -1390,3 +1390,83 @@ def mp_quantile_sketch_oracle(
                CAST({weight} AS BIGINT) AS weight
         FROM ranked JOIN targets ON rn = target_rank, mm, nn"""
     )
+
+
+def grouped_order_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    pcts: tuple[int, ...] = (25, 50, 75, 90, 99),
+) -> DataFrame:
+    """EXACT per-group percentiles as order statistics — the grouped
+    sibling of :func:`exact_order_stats`: ranks come from per-GROUP
+    windows (hash-partitioned on the group key — scale-fine, no global
+    ordering anywhere), each group's target ranks derive from its own
+    count, and a row survives when its rank hits any requested
+    percentile's target.
+
+    Output: ``(grp, pct, target_rank, n, value)`` per (group,
+    percentile).
+
+    Scale: one per-group ranking window + a broadcast |pcts|-row
+    fan-out filter. Groups compute independently; a skewed group costs
+    its own size, nothing global.
+    """
+    spark = df.sparkSession
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(id_col).alias("id"),
+    )
+    w = Window.partitionBy("grp").orderBy("v", "id")
+    wn = Window.partitionBy("grp")
+    ranked = rows.select(
+        "grp",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pcts_df = spark.createDataFrame(
+        [(int(p),) for p in pcts], "pct long"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(pcts_df))
+        .filter(F.col("rn") == F.expr("(pct * n + 99) div 100"))
+        .select(
+            "grp",
+            "pct",
+            F.col("rn").cast("long").alias("target_rank"),
+            F.col("n").cast("long").alias("n"),
+            F.col("v").alias("value"),
+        )
+    )
+
+
+def grouped_order_stats_oracle(
+    units_sql: str,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    pcts: tuple[int, ...] = (25, 50, 75, 90, 99),
+) -> str:
+    """DuckDB twin of :func:`grouped_order_stats`."""
+    pcts_rows = ", ".join(f"({int(p)})" for p in pcts)
+    return f"""
+        WITH u AS (
+          SELECT {group_col} AS grp, CAST({value_col} AS BIGINT) AS v,
+                 {id_col} AS id
+          FROM ({units_sql}) WHERE {value_col} IS NOT NULL
+        ),
+        ranked AS (
+          SELECT grp, v,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, id)
+                   AS BIGINT) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+          FROM u
+        )
+        SELECT grp, CAST(pct AS BIGINT) AS pct, rn AS target_rank, n,
+               v AS value
+        FROM ranked CROSS JOIN (VALUES {pcts_rows}) p(pct)
+        WHERE rn = (CAST(pct AS BIGINT) * n + 99) // 100
+    """
