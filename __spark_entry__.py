@@ -1447,6 +1447,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gini_lorenz": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.quality", fromlist=["gini_lorenz"]
         ).gini_lorenz(_docs(spark, sf_dir), "n_chars", "doc_id"),
+        # per-source Gini: which feeds are dominated by a few huge docs
+        # (per-group ranking windows — no global ordering)
+        "quality_gini_by_source": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.quality", fromlist=["gini_by_group"]
+        ).gini_by_group(_docs(spark, sf_dir), "source", "n_chars", "doc_id"),
         # EXACT percentiles as order statistics — no global sort, no
         # percentile_approx: distributed rank + broadcast target-rank join
         # (centi-quantized event values so the cast is integer-exact)
@@ -3936,6 +3941,14 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["quality_gini_lorenz"] = gini_lorenz_oracle(
         "SELECT doc_id, n_chars FROM documents", "n_chars", "doc_id"
+    )
+    from flink_example_spark.operators.quality import gini_by_group_oracle
+
+    out["quality_gini_by_source"] = gini_by_group_oracle(
+        "SELECT source, doc_id, n_chars FROM documents",
+        "source",
+        "n_chars",
+        "doc_id",
     )
     from flink_example_spark.operators.sketch import exact_order_stats_oracle
 

@@ -885,3 +885,70 @@ def gini_lorenz_from_counts(
             gini.alias("gini"),
         )
     )
+
+
+def gini_by_group(
+    df: DataFrame, group_col: str, value_col: str, id_col: str
+) -> DataFrame:
+    """Per-slice Gini concentration — "which sources are dominated by a
+    few huge documents": the :func:`gini_lorenz` coefficient computed
+    within each group via per-GROUP ranking windows (hash-partitioned,
+    no global ordering; a skewed group costs only its own size).
+
+    Output per group (>= 2 rows, positive mass): ``(grp, n, total_value,
+    gini)``.
+
+    Scale: one per-group window + one group rollup.
+    """
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(id_col).alias("id"),
+    )
+    w = Window.partitionBy("grp").orderBy("v", "id")
+    ranked = rows.withColumn("i", F.row_number().over(w))
+    s = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("i") * F.col("v")).alias("wiv"),
+    )
+    gini = (
+        (F.lit(2) * F.col("wiv") - (F.col("n") + 1) * F.col("sv"))
+        .cast("double")
+        / (F.col("n") * F.col("sv")).cast("double")
+    )
+    return s.filter((F.col("n") >= 2) & (F.col("sv") > 0)).select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("sv").cast("long").alias("total_value"),
+        gini.alias("gini"),
+    )
+
+
+def gini_by_group_oracle(
+    units_sql: str, group_col: str, value_col: str, id_col: str
+) -> str:
+    """DuckDB twin of :func:`gini_by_group`."""
+    return f"""
+        WITH u AS (
+          SELECT {group_col} AS grp, CAST({value_col} AS BIGINT) AS v,
+                 {id_col} AS id
+          FROM ({units_sql}) WHERE {value_col} IS NOT NULL
+        ),
+        ranked AS (
+          SELECT grp, v,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, id)
+                   AS BIGINT) AS i
+          FROM u
+        ),
+        s AS (
+          SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(v) AS BIGINT) AS sv,
+                 CAST(SUM(i * v) AS BIGINT) AS wiv
+          FROM ranked GROUP BY grp
+        )
+        SELECT grp, n, sv AS total_value,
+               CAST(2 * wiv - (n + 1) * sv AS DOUBLE)
+                 / CAST(n * sv AS DOUBLE) AS gini
+        FROM s WHERE n >= 2 AND sv > 0
+    """
