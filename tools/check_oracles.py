@@ -137,6 +137,7 @@ def main() -> int:
         assert not clash, f"--fast may not skip driver keys: {sorted(clash)}"
     failures = 0
     row_secs: dict[str, float] = {}
+    duck_secs: dict[str, float] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -156,12 +157,14 @@ def main() -> int:
         if osql is None:
             print(f"rows-only  {name}: {len(sdf)} rows  ({spark_s:.1f}s)")
             continue
+        t1 = time.time()
         try:
             odf = con.execute(osql).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
             continue
+        duck_secs[name] = time.time() - t1
         problems = []
         if len(sdf) != len(odf):
             problems.append(f"rowcount spark={len(sdf)} duck={len(odf)}")
@@ -188,7 +191,15 @@ def main() -> int:
         print("slowest Spark-side rows (candidates for FAST_SKIP curation):")
         for n, s in slow:
             print(f"  {s:7.1f}s  {n}")
-        print(f"total spark-side: {sum(row_secs.values()):.0f}s over {len(row_secs)} rows")
+        slow_d = sorted(duck_secs.items(), key=lambda kv: -kv[1])[:10]
+        print("slowest DuckDB-side oracles:")
+        for n, s in slow_d:
+            print(f"  {s:7.1f}s  {n}")
+        print(
+            f"total spark-side: {sum(row_secs.values()):.0f}s,"
+            f" duck-side: {sum(duck_secs.values()):.0f}s"
+            f" over {len(row_secs)} rows"
+        )
     spark.stop()
     return 1 if failures else 0
 
