@@ -1466,6 +1466,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vq",
             "event_id",
         ),
+        # mutual information lang x source in quantized log2 units (the
+        # info-theoretic sibling of cramers_v, with marginal entropies)
+        "ml_mutual_info": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["mutual_info"]
+        ).mutual_info(_docs(spark, sf_dir), "lang", "source"),
         # ranking-fairness audit: per-SOURCE AUC of the length score as
         # an English detector — slices where AUC sags toward 0.5 are
         # where a thresholded gate silently biases the corpus
@@ -3980,7 +3985,12 @@ def _northstar_oracles() -> dict[str, str]:
     )
     from flink_example_spark.operators.ml import (
         fairness_audit_oracle,
+        mutual_info_oracle,
         roc_auc_by_group_oracle,
+    )
+
+    out["ml_mutual_info"] = mutual_info_oracle(
+        "SELECT lang, source FROM documents", "lang", "source"
     )
 
     out["ml_auc_by_group"] = roc_auc_by_group_oracle(

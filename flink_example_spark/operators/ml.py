@@ -5343,3 +5343,131 @@ def fairness_audit_oracle(
                  AS parity_ratio_micro
         FROM withr, mx
     """
+
+
+def mutual_info(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Mutual information between two CATEGORICAL columns, in quantized
+    log2 units — the information-theoretic sibling of :func:`cramers_v`
+    ("how many bits does knowing the source tell you about the
+    language"), with the marginal entropies for normalization
+    (``MI <= min(H_a, H_b)``).
+
+    Portability: cell and marginal shares are exact micro units; every
+    log is the integer floor-log2 device (``length(bin(x)) - 1``,
+    DESIGN.md — libm-free), applied to the integer products ``o*n`` and
+    ``r*c`` whose RATIO is the pointwise MI argument, so each term is an
+    exact BIGINT in micro*log2 units. Coarse (floor-log2 quantization)
+    but deterministic and monotone-comparable across column pairs — the
+    screening statistic, with cramers_v as the exact-chi2 counterpart.
+
+    Output one row: ``(n, n_a_cats, n_b_cats, mi_micro, ha_micro,
+    hb_micro)``.
+
+    Scale: one contingency aggregation (map-side combined) + two
+    marginal rollups joined back on the category keys.
+    """
+    cells = (
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    ra = cells.groupBy("a").agg(F.sum("o").alias("r"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("c"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("a").alias("ka"),
+        F.countDistinct("b").alias("kb"),
+    )
+    lg = lambda x: F.length(F.bin(F.expr(x))) - 1  # noqa: E731
+    terms = (
+        cells.join(ra, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "ka",
+            "kb",
+            (
+                F.expr("(o * 1000000) div n")
+                * (lg("o * n") - lg("r * c")).cast("long")
+            ).alias("mi_t"),
+        )
+    )
+    mi = terms.groupBy("n", "ka", "kb").agg(
+        F.sum("mi_t").cast("long").alias("mi_micro")
+    )
+    ha = (
+        ra.crossJoin(F.broadcast(tot.select("n")))
+        .select(
+            (
+                F.expr("(r * 1000000) div n")
+                * (lg("n") - lg("r")).cast("long")
+            ).alias("t")
+        )
+        .agg(F.sum("t").cast("long").alias("ha_micro"))
+    )
+    hb = (
+        cb.crossJoin(F.broadcast(tot.select("n")))
+        .select(
+            (
+                F.expr("(c * 1000000) div n")
+                * (lg("n") - lg("c")).cast("long")
+            ).alias("t")
+        )
+        .agg(F.sum("t").cast("long").alias("hb_micro"))
+    )
+    return (
+        mi.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("ka").cast("long").alias("n_a_cats"),
+            F.col("kb").cast("long").alias("n_b_cats"),
+            "mi_micro",
+            "ha_micro",
+            "hb_micro",
+        )
+    )
+
+
+def mutual_info_oracle(units_sql: str, a_col: str, b_col: str) -> str:
+    """DuckDB twin of :func:`mutual_info`."""
+    return f"""
+        WITH cells AS MATERIALIZED (
+          SELECT {a_col} AS a, {b_col} AS b, CAST(COUNT(*) AS BIGINT) AS o
+          FROM ({units_sql})
+          WHERE {a_col} IS NOT NULL AND {b_col} IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(o) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
+                 CAST(COUNT(DISTINCT b) AS BIGINT) AS kb
+          FROM cells
+        ),
+        mi AS (
+          SELECT n, ka, kb,
+                 CAST(SUM(((o * 1000000) // n)
+                   * CAST(len(bin(o * n)) - len(bin(r * c)) AS BIGINT))
+                   AS BIGINT) AS mi_micro
+          FROM cells JOIN ra USING (a) JOIN cb USING (b), tot
+          GROUP BY n, ka, kb
+        ),
+        ha AS (
+          SELECT CAST(SUM(((r * 1000000) // n)
+                   * CAST(len(bin(n)) - len(bin(r)) AS BIGINT)) AS BIGINT)
+                   AS ha_micro
+          FROM ra, tot
+        ),
+        hb AS (
+          SELECT CAST(SUM(((c * 1000000) // n)
+                   * CAST(len(bin(n)) - len(bin(c)) AS BIGINT)) AS BIGINT)
+                   AS hb_micro
+          FROM cb, tot
+        )
+        SELECT n, ka AS n_a_cats, kb AS n_b_cats, mi_micro, ha_micro,
+               hb_micro
+        FROM mi, ha, hb
+    """
