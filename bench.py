@@ -217,6 +217,19 @@ HEADLINE = [
     "layout_skew_audit",
     "layout_join_cardinality",
     "layout_scan_pruning",
+    # round-8 second wave
+    "ml_psi_drift",
+    "timeseries_rolling_slope",
+    "dedup_lcs_explain",
+    "sketch_mp_quantiles",
+    "sketch_grouped_order_stats",
+    "ml_auc_by_group",
+    "ml_fairness_audit",
+    "ml_mutual_info",
+    "text_template_clusters",
+    "text_prefix_cache",
+    "dedup_rate_by_source",
+    "quality_gini_by_source",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite
