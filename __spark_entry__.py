@@ -1120,6 +1120,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": lambda spark, sf_dir: dedup.dup_rate_by_source(
             _docs(spark, sf_dir)
         ),
+        # cluster-transitivity audit: are dedup clusters cliques or CHAINS?
+        # exact density + chained-member counts per cluster, wedge closure
+        # over capped lowest-id neighborhoods (sum-of-deg² guard)
+        "dedup_transitivity_audit": lambda spark, sf_dir: dedup.transitivity_audit(
+            _docs(spark, sf_dir), threshold_num=4, threshold_den=5
+        ),
         # the prefix index LIVE: frozen rare-first order broadcast, one
         # stateful op keyed by prefix token, pairs emitted exactly once
         "streaming_ppjoin": lambda spark, sf_dir: __import__(
@@ -1657,6 +1663,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.ml_stream",
             fromlist=["run_streaming_roc_auc"],
         ).run_streaming_roc_auc(spark, sf_dir),
+        # PSI drift gate LIVE: bucket-count monoid in state; exact micro
+        # shares + floor-log2 PSI terms at read time — BIT-equal to batch
+        # ml_psi_drift (shared oracle)
+        "streaming_psi_drift": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.ml_stream",
+            fromlist=["run_streaming_psi"],
+        ).run_streaming_psi(spark, sf_dir),
         # corpus-concentration LIVE: per-value count monoid in state; the
         # Gini + Lorenz interval-overlap algebra runs at read time —
         # BIT-equal to batch quality_gini_lorenz (shared oracle)
@@ -3206,6 +3219,11 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.dedup import dup_rate_by_source_oracle
 
     out["dedup_rate_by_source"] = dup_rate_by_source_oracle()
+    from flink_example_spark.operators.dedup import transitivity_audit_oracle
+
+    out["dedup_transitivity_audit"] = transitivity_audit_oracle(
+        threshold_num=4, threshold_den=5
+    )
     from flink_example_spark.operators.dedup import ppjoin_weighted_oracle
 
     out["dedup_ppjoin_weighted"] = ppjoin_weighted_oracle(
@@ -4046,6 +4064,8 @@ def _northstar_oracles() -> dict[str, str]:
     # the live monitor converges to the batch test exactly
     out["streaming_sprt"] = out["ml_sprt"]
     out["streaming_roc_auc"] = out["ml_roc_auc"]
+    # the live PSI monitor converges to the batch drift gate exactly
+    out["streaming_psi_drift"] = out["ml_psi_drift"]
     from flink_example_spark.operators.ml import gbm_stumps_oracle
 
     out["ml_gbm_stumps"] = gbm_stumps_oracle(

@@ -1500,3 +1500,224 @@ def dup_rate_by_source_oracle(
         FROM per_gh JOIN spread USING (h)
         GROUP BY grp
     """
+
+
+def transitivity_audit(
+    documents: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    neighbor_cap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cluster-transitivity audit of the near-dup pair graph — the dedup
+    governance question "are my duplicate clusters real cliques, or
+    CHAINS glued by bridge documents?" Cluster-canonical dedup
+    (``duplicate_clusters`` + keep-best) silently merges A..Z when only
+    consecutive pairs matched; a low closure / density / high
+    chained-member count is the signal that a threshold or a banding
+    config is over-merging.
+
+    Per duplicate cluster (exact unless noted):
+
+    - ``size``, ``n_edges``, ``density_milli`` — edge density vs the
+      clique bound, ``(2000 * e) div (n * (n-1))`` (exact integers).
+    - ``chained_members`` — members with NO direct pair edge to the
+      cluster keeper (min id): exactly the docs dropped on transitive
+      evidence alone.
+    - ``wedges`` / ``closed_wedges`` / ``closure_milli`` — wedge closure
+      over each node's ``neighbor_cap`` LOWEST-id neighbors (deterministic
+      truncation; the full wedge count is sum-of-degree-squares and a
+      single templated near-clique makes it quadratic — the probe graph
+      at sf0.01 has 13.9M uncapped wedges vs 149k capped). Biased toward
+      low ids, documented estimator, identical truncation both engines.
+    - ``hub_members`` — members whose degree exceeds ``neighbor_cap``
+      (how much of the cluster the truncation touched).
+
+    Scale: pairs come from :func:`ppjoin_pairs` (prefix-filtered exact
+    join); clusters from star-contraction (O(log²) rounds); the wedge
+    fan-out is bounded at ``cap*(cap-1)/2`` per node by a per-key window
+    (hash-partitioned on the node — no global ordering); everything else
+    is equi-joins + hash aggregates. Nothing reaches the driver.
+    """
+    pairs = ppjoin_pairs(
+        documents, threshold_num, threshold_den, id_col, text_col
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return pair_graph_stats(pairs, neighbor_cap=neighbor_cap, id_col=id_col)
+
+
+def pair_graph_stats(
+    pairs: DataFrame, neighbor_cap: int = 32, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-cluster structure stats of a near-dup pair graph (the compute
+    core of :func:`transitivity_audit`; ``pairs`` is any ``(doc_a <
+    doc_b)`` edge relation, so MinHash / SimHash pair sets audit the
+    same way)."""
+    cap = neighbor_cap
+    # consumed by clusters, sym (twice), ecnt and the closure probe —
+    # cut once (DESIGN.md multi-consumer rule)
+    pairs = pairs.localCheckpoint()
+    clusters = duplicate_clusters(pairs).localCheckpoint()  # five consumers
+    edges = pairs
+    sym = edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
+        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("dg"))
+    trunc = (
+        sym.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("u").orderBy("v"))
+        )
+        .filter(F.col("rn") <= cap)
+        .select("u", "v")
+        .localCheckpoint()  # both wedge self-join sides
+    )
+    wedge = (
+        trunc.alias("s1")
+        .join(trunc.alias("s2"), "u")
+        .filter(F.col("s1.v") < F.col("s2.v"))
+        .select(
+            F.col("u").alias("mid"),
+            F.col("s1.v").alias("x"),
+            F.col("s2.v").alias("y"),
+        )
+    )
+    closed = (
+        wedge.join(clusters.withColumnRenamed(id_col, "mid"), "mid")
+        .join(
+            edges.select(
+                F.col("doc_a").alias("x"),
+                F.col("doc_b").alias("y"),
+                F.lit(1).alias("hit"),
+            ),
+            ["x", "y"],
+            "left",
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("wedges"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("closed_wedges"),
+        )
+    )
+    memb = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    ecnt = (
+        edges.join(clusters.withColumnRenamed(id_col, "doc_a"), "doc_a")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    direct = (
+        sym.join(clusters.withColumnRenamed(id_col, "u"), "u")
+        .filter(F.col("v") == F.col("cluster_id"))
+        .select("u")
+        .distinct()
+    )
+    chained = (
+        clusters.filter(F.col(id_col) != F.col("cluster_id"))
+        .join(direct.withColumnRenamed("u", id_col), id_col, "left_anti")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("chained_members"))
+    )
+    hubs = (
+        deg.join(clusters.withColumnRenamed(id_col, "u"), "u")
+        .filter(F.col("dg") > cap)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hub_members"))
+    )
+    return (
+        memb.join(ecnt, "cluster_id")
+        .join(chained, "cluster_id", "left")
+        .join(hubs, "cluster_id", "left")
+        .join(closed, "cluster_id", "left")
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "size",
+            "n_edges",
+            # all terms positive — plain div is floor in both engines here
+            F.expr("(2000 * n_edges) div (size * (size - 1))").alias(
+                "density_milli"
+            ),
+            F.coalesce("chained_members", F.lit(0))
+            .cast("long")
+            .alias("chained_members"),
+            F.coalesce("hub_members", F.lit(0)).cast("long").alias("hub_members"),
+            F.coalesce("wedges", F.lit(0)).cast("long").alias("wedges"),
+            F.coalesce("closed_wedges", F.lit(0))
+            .cast("long")
+            .alias("closed_wedges"),
+            F.expr(
+                "CASE WHEN coalesce(wedges, 0) > 0"
+                "     THEN (1000 * closed_wedges) div wedges END"
+            )
+            .cast("long")
+            .alias("closure_milli"),
+        )
+    )
+
+
+def transitivity_audit_oracle(
+    threshold_num: int = 4, threshold_den: int = 5, neighbor_cap: int = 32
+) -> str:
+    """DuckDB twin of :func:`transitivity_audit` (documents table)."""
+    cap = neighbor_cap
+    return f"""
+        WITH RECURSIVE
+        pairs AS MATERIALIZED ({ppjoin_oracle(threshold_num, threshold_den)}),
+        edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs),
+        sym AS MATERIALIZED (
+          SELECT a AS u, b AS v FROM edges
+          UNION ALL SELECT b AS u, a AS v FROM edges),
+        reach(id, r) AS (
+          SELECT u, u FROM sym UNION SELECT u, v FROM sym
+          UNION SELECT reach.id, sym.v FROM reach JOIN sym ON reach.r = sym.u),
+        clusters AS MATERIALIZED (
+          SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        deg AS MATERIALIZED (
+          SELECT u, CAST(COUNT(*) AS BIGINT) AS dg FROM sym GROUP BY u),
+        trunc AS MATERIALIZED (
+          SELECT u, v FROM (
+            SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rn
+            FROM sym) WHERE rn <= {cap}),
+        wedge AS MATERIALIZED (
+          SELECT s1.u AS mid, s1.v AS x, s2.v AS y
+          FROM trunc s1 JOIN trunc s2 ON s1.u = s2.u AND s1.v < s2.v),
+        wst AS MATERIALIZED (
+          SELECT c.cluster_id,
+                 CAST(COUNT(*) AS BIGINT) AS wedges,
+                 CAST(SUM(CASE WHEN e.a IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS closed_wedges
+          FROM wedge w JOIN clusters c ON w.mid = c.doc_id
+          LEFT JOIN edges e ON e.a = w.x AND e.b = w.y
+          GROUP BY 1),
+        memb AS (
+          SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+          FROM clusters GROUP BY 1),
+        ecnt AS (
+          SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+          FROM edges e JOIN clusters c ON e.a = c.doc_id GROUP BY 1),
+        direct AS (
+          SELECT DISTINCT s.u FROM sym s JOIN clusters c ON s.u = c.doc_id
+          WHERE s.v = c.cluster_id),
+        chained AS (
+          SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS chained_members
+          FROM clusters
+          WHERE doc_id <> cluster_id AND doc_id NOT IN (SELECT u FROM direct)
+          GROUP BY 1),
+        hubs AS (
+          SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS hub_members
+          FROM deg d JOIN clusters c ON d.u = c.doc_id
+          WHERE d.dg > {cap} GROUP BY 1)
+        SELECT CAST(m.cluster_id AS BIGINT) AS cluster_id, m.size, ecnt.n_edges,
+               (2000 * ecnt.n_edges) // (m.size * (m.size - 1)) AS density_milli,
+               COALESCE(chained.chained_members, 0) AS chained_members,
+               COALESCE(hubs.hub_members, 0) AS hub_members,
+               COALESCE(wst.wedges, 0) AS wedges,
+               COALESCE(wst.closed_wedges, 0) AS closed_wedges,
+               CASE WHEN COALESCE(wst.wedges, 0) > 0
+                    THEN (1000 * wst.closed_wedges) // wst.wedges
+               END AS closure_milli
+        FROM memb m JOIN ecnt USING (cluster_id)
+        LEFT JOIN chained USING (cluster_id)
+        LEFT JOIN hubs USING (cluster_id)
+        LEFT JOIN wst USING (cluster_id)
+    """

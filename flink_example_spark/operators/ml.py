@@ -5083,6 +5083,15 @@ def psi_drift(
             F.sum("cur").cast("long").alias("n_cur"),
         )
     )
+    return psi_from_counts(counts)
+
+
+def psi_from_counts(counts: DataFrame) -> DataFrame:
+    """The read-time algebra of :func:`psi_drift` over a ``(bucket,
+    n_ref, n_cur)`` count relation — split out so the live monitor
+    (``streaming/ml_stream.py::run_streaming_psi``) can keep the bucket
+    counts as its only streaming state (count monoid) and apply the
+    share/log algebra when the sink is read."""
     tot = counts.agg(
         F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
     )

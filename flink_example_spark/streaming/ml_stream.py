@@ -569,3 +569,53 @@ def run_streaming_roc_auc(
         .agg(F.max("c").alias("c"))
     )
     return roc_auc_from_counts(latest)
+
+
+def run_streaming_psi(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """LIVE drift gate: the PSI bucket counts ``(bucket, n_ref, n_cur)``
+    are the only streaming state — a count monoid in ONE update-mode JVM
+    aggregation (bucket-cardinality-sized); the share / floor-log2 PSI
+    algebra (``ml.psi_from_counts``) runs at read time over the sink.
+    BIT-equal to the batch ``ml_psi_drift`` (shared oracle) — the alarm
+    a production scorer keeps hot so a distribution shift pages before
+    the next batch job would have noticed."""
+    from flink_example_spark.operators.ml import psi_from_counts
+    from flink_example_spark.streaming.staging import stage_table_by_key
+
+    tune(spark)
+    tmpdir, schema = stage_table_by_key(spark, sf_dir, "events", "event_id", chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/chunk_*")
+    )
+    counts = (
+        stream.filter(F.col("value").isNotNull())
+        .select(
+            F.expr("CAST(floor(value) AS BIGINT) div 25").alias("bucket"),
+            (F.col("event_type") == "error").cast("int").alias("cur"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.lit(1) - F.col("cur")).cast("long").alias("n_ref"),
+            F.sum("cur").cast("long").alias("n_cur"),
+        )
+    )
+    name = f"stream_psi_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            counts.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # update-mode sink keeps every emitted version; counts only grow, so
+    # a bucket's final state is its max per component
+    latest = spark.table(name).groupBy("bucket").agg(
+        F.max("n_ref").alias("n_ref"), F.max("n_cur").alias("n_cur")
+    )
+    return psi_from_counts(latest)

@@ -324,3 +324,49 @@ def test_ppjoin_matches_brute_force_exactly(spark):
             want[(a, b)] = (i, i / u)
     assert got == want
     assert (1, 2) in got and (4, 5) in got and (1, 3) in got
+
+
+def test_pair_graph_stats_chain_vs_clique(spark):
+    """A 4-chain (1-2-3-4), a triangle (10,11,12), and one isolated pair
+    (20,21): every output column is hand-checkable."""
+    from flink_example_spark.operators.dedup import pair_graph_stats
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    rows = {r["cluster_id"]: r.asDict() for r in pair_graph_stats(pairs).collect()}
+    chain = rows[1]
+    # 4 members, 3 edges, density 2*3000/12 = 500
+    assert (chain["size"], chain["n_edges"], chain["density_milli"]) == (4, 3, 500)
+    # 3 and 4 have no direct edge to keeper 1
+    assert chain["chained_members"] == 2
+    # wedges: mid 2 -> (1,3); mid 3 -> (2,4); both open
+    assert (chain["wedges"], chain["closed_wedges"]) == (2, 0)
+    assert chain["closure_milli"] == 0
+    assert chain["hub_members"] == 0
+    tri = rows[10]
+    assert (tri["size"], tri["n_edges"], tri["density_milli"]) == (3, 3, 1000)
+    assert tri["chained_members"] == 0
+    # each of the 3 mids closes its single wedge
+    assert (tri["wedges"], tri["closed_wedges"], tri["closure_milli"]) == (3, 3, 1000)
+    pair = rows[20]
+    assert (pair["size"], pair["n_edges"], pair["density_milli"]) == (2, 1, 1000)
+    assert pair["wedges"] == 0 and pair["closure_milli"] is None
+
+
+def test_pair_graph_stats_neighbor_cap_counts_hubs(spark):
+    """A star center with degree 3 and cap=2: the hub is counted and the
+    truncated wedge set only sees the 2 lowest-id leaves."""
+    from flink_example_spark.operators.dedup import pair_graph_stats
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    row = pair_graph_stats(pairs, neighbor_cap=2).collect()[0]
+    assert row["size"] == 4 and row["n_edges"] == 3
+    assert row["hub_members"] == 1  # the center (degree 3 > cap)
+    # leaves keep their single neighbor; the center is truncated to (2,3)
+    # -> ONE wedge (2,3), open
+    assert (row["wedges"], row["closed_wedges"]) == (1, 0)
+    assert row["chained_members"] == 0  # every leaf touches the keeper=1
