@@ -1101,6 +1101,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_entropy": lambda spark, sf_dir: text.token_entropy(
             _docs(spark, sf_dir)
         ),
+        # zlib redundancy gate — DEFLATE isn't SQL-expressible, so this is
+        # the registry's ONE rows-only row (no DuckDB twin; exact values
+        # pinned against direct zlib in tests/test_quality.py)
+        "text_compression_signal": lambda spark, sf_dir: text.compression_signal(
+            _docs(spark, sf_dir)
+        ),
         "dedup_exact": lambda spark, sf_dir: dedup.exact_dedup(_docs(spark, sf_dir)),
         "dedup_ngram_jaccard": lambda spark, sf_dir: dedup.ngram_jaccard_pairs(
             _docs(spark, sf_dir), threshold=0.8

@@ -1815,3 +1815,65 @@ def prefix_cache_stats_oracle(k: int = 8) -> str:
                  // CAST(SUM(c) AS BIGINT) AS hit_rate_micro
         FROM per
     """
+
+
+def compression_signal(
+    documents: DataFrame,
+    level: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """zlib compression-ratio quality signal — the classic redundancy
+    gate (used alongside Gopher/C4 rules): templated, boilerplate or
+    keyword-stuffed text DEFLATEs far below natural prose, so a low
+    ``ratio_milli`` flags low-information documents and a very high one
+    flags near-random payloads (both are curation drop candidates).
+
+    Output per doc: ``n_bytes`` (UTF-8), ``n_compressed`` (zlib at
+    ``level``), ``ratio_milli = 1000 * n_compressed div n_bytes``.
+
+    NO DuckDB twin: DEFLATE isn't SQL-expressible, so this row is
+    rows-only at the driver gate (the one such row in the registry —
+    everything else is oracle-paired); tests/test_quality.py pins exact
+    values against a direct zlib computation on the same parquet, and
+    the output is deterministic for a fixed zlib build + level.
+
+    Scale: Arrow-batched ``mapInPandas`` (zlib releases the GIL; C-speed
+    per batch), hash-spread into ``defaultParallelism`` partitions first
+    (explicit count — AQE never coalesces REPARTITION_BY_NUM; DESIGN.md
+    single-file-scan rule). State-free, embarrassingly parallel.
+    """
+    import zlib
+
+    spark = documents.sparkSession
+    nparts = spark.sparkContext.defaultParallelism
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            n_bytes = raw.str.len().astype("int64")
+            n_comp = raw.map(lambda b: len(zlib.compress(b, level))).astype(
+                "int64"
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": n_bytes,
+                    "n_compressed": n_comp,
+                    "ratio_milli": (n_comp * 1000) // n_bytes.clip(lower=1),
+                }
+            )
+
+    return (
+        documents.select(id_col, text_col)
+        .repartition(nparts, F.col(id_col))
+        .mapInPandas(
+            score,
+            schema=(
+                "doc_id long, n_bytes long, n_compressed long, "
+                "ratio_milli long"
+            ),
+        )
+    )

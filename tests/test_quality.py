@@ -53,3 +53,38 @@ def test_ref_integrity_clean_fk_holds(spark):
     parent = spark.createDataFrame([(1,), (2,)], "pk long")
     r = ref_integrity([("c->p", child, "fk", parent, "pk")]).collect()[0]
     assert (r["n_orphan_rows"], r["n_orphan_keys"], r["holds"]) == (0, 0, 1)
+
+
+def test_compression_signal_matches_direct_zlib(spark):
+    """The rows-only registry row: pin the Spark mapInPandas path against a
+    direct pandas+zlib computation over the same parquet (independent of
+    the Spark plumbing — same zlib build, so this checks the distribution
+    path: repartition, Arrow batching, schema, integer division)."""
+    import zlib
+
+    import pandas as pd
+
+    from flink_example_spark.operators.text import compression_signal
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    got = (
+        compression_signal(docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pdf = pd.read_parquet(path, columns=["doc_id", "text"]).sort_values(
+        "doc_id"
+    )
+    raw = pdf["text"].fillna("").str.encode("utf-8")
+    want_bytes = raw.str.len().astype("int64").tolist()
+    want_comp = [len(zlib.compress(b, 6)) for b in raw]
+    assert got["doc_id"].tolist() == pdf["doc_id"].astype("int64").tolist()
+    assert got["n_bytes"].tolist() == want_bytes
+    assert got["n_compressed"].tolist() == want_comp
+    assert got["ratio_milli"].tolist() == [
+        (c * 1000) // max(b, 1) for c, b in zip(want_comp, want_bytes)
+    ]
+    # the signal separates: ratios are non-trivial (not all equal)
+    assert got["ratio_milli"].nunique() > 1
