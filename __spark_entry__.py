@@ -2185,6 +2185,14 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_template_clusters": lambda spark, sf_dir: text.template_clusters(
             _docs(spark, sf_dir), k=8
         ),
+        # template miner LIVE: (prefix, suffix) count/min/sum monoid in
+        # state (countDistinct is NOT a monoid — counting the state rows
+        # is); per-frame rollup at read time — BIT-equal to the batch
+        # text_template_clusters (shared oracle)
+        "streaming_template_mining": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.dedup_stream",
+            fromlist=["run_streaming_template_mining"],
+        ).run_streaming_template_mining(spark, sf_dir, k=8),
         # serving prefix-cache potential: share of docs whose k-token
         # prefix repeats (the prompt-dedup / prefix-cache hit rate)
         "text_prefix_cache": lambda spark, sf_dir: text.prefix_cache_stats(
@@ -3801,6 +3809,8 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["text_burstiness"] = term_burstiness_oracle()
     out["text_template_clusters"] = text.template_clusters_oracle(k=8)
+    # the live miner converges to the batch template relation exactly
+    out["streaming_template_mining"] = out["text_template_clusters"]
     out["text_prefix_cache"] = text.prefix_cache_stats_oracle(k=8)
     # the live monitor converges to the batch stats exactly
     out["streaming_burstiness"] = out["text_burstiness"]

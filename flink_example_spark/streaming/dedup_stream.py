@@ -727,3 +727,69 @@ def run_streaming_burstiness(
         .orderBy(F.col("vmr_milli").desc(), "term")
         .limit(20)
     )
+
+
+def run_streaming_template_mining(
+    spark: SparkSession, sf_dir: str, k: int = 8, chunks: int = 3
+) -> DataFrame:
+    """LIVE boilerplate-template miner: the only streaming state is the
+    ``(prefix_key, suffix_key)`` count/min/sum monoid (ONE update-mode
+    JVM aggregation, frame-cardinality-sized); the per-template rollup
+    (n_docs, distinct endings, keeper id, bytes) is read-time algebra
+    over the sink — countDistinct itself is NOT a monoid, but counting
+    the (prefix, suffix) state rows IS. BIT-equal to the batch
+    ``text_template_clusters`` (shared oracle): the miner an ingest
+    pipeline keeps hot so a new mail-merge/spam frame alarms while the
+    crawl is still running."""
+    from flink_example_spark.operators.text import normalized, tokens
+
+    tune(spark)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    toks = F.filter(tokens(normalized(F.col("text"))), lambda t: t != "")
+    keyed = (
+        stream.select(
+            F.col("doc_id").alias("d"), "n_chars", toks.alias("w")
+        )
+        .filter(F.size("w") >= 2 * k)
+        .select(
+            "d",
+            "n_chars",
+            F.concat_ws(" ", F.slice("w", 1, k)).alias("prefix_key"),
+            F.concat_ws(" ", F.slice("w", -k, k)).alias("suffix_key"),
+        )
+    )
+    state = keyed.groupBy("prefix_key", "suffix_key").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.min("d").cast("long").alias("mn"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    name = f"stream_tmpl_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            state.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # update-mode sink keeps every emitted version; c/chars only grow and
+    # mn only shrinks — take the per-key envelope, then roll up per frame
+    latest = spark.table(name).groupBy("prefix_key", "suffix_key").agg(
+        F.max("c").alias("c"), F.min("mn").alias("mn"), F.max("chars").alias("chars")
+    )
+    return (
+        latest.groupBy("prefix_key")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_suffixes"),
+            F.min("mn").cast("long").alias("min_doc_id"),
+            F.sum("chars").cast("long").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
