@@ -1676,6 +1676,20 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.ml_stream",
             fromlist=["run_streaming_psi"],
         ).run_streaming_psi(spark, sf_dir),
+        # Benford audit LIVE: 9 first-digit counts in state; expected
+        # shares + quantized chi-square at read time — BIT-equal to batch
+        # quality_benford (shared oracle)
+        "streaming_benford": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.quality_stream",
+            fromlist=["run_streaming_benford"],
+        ).run_streaming_benford(spark, sf_dir),
+        # mutual information LIVE: contingency-cell count monoid in
+        # state; marginals/entropies/MI terms at read time — BIT-equal
+        # to batch ml_mutual_info (shared oracle)
+        "streaming_mutual_info": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.ml_stream",
+            fromlist=["run_streaming_mutual_info"],
+        ).run_streaming_mutual_info(spark, sf_dir),
         # corpus-concentration LIVE: per-value count monoid in state; the
         # Gini + Lorenz interval-overlap algebra runs at read time —
         # BIT-equal to batch quality_gini_lorenz (shared oracle)
@@ -4082,6 +4096,8 @@ def _northstar_oracles() -> dict[str, str]:
     out["streaming_roc_auc"] = out["ml_roc_auc"]
     # the live PSI monitor converges to the batch drift gate exactly
     out["streaming_psi_drift"] = out["ml_psi_drift"]
+    # live MI converges to the batch contingency relation exactly
+    out["streaming_mutual_info"] = out["ml_mutual_info"]
     from flink_example_spark.operators.ml import gbm_stumps_oracle
 
     out["ml_gbm_stumps"] = gbm_stumps_oracle(
@@ -4259,6 +4275,8 @@ def _northstar_oracles() -> dict[str, str]:
     )
 
     out["quality_benford"] = benford_oracle("orders", "o_totalprice")
+    # the live digit-count monitor converges to the batch audit exactly
+    out["streaming_benford"] = out["quality_benford"]
 
     out["quality_key_skew"] = key_skew_oracle("lineitem", "l_orderkey")
     out["streaming_expectations"] = """

@@ -5380,6 +5380,15 @@ def mutual_info(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         .groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
         .agg(F.count(F.lit(1)).alias("o"))
     )
+    return mutual_info_from_cells(cells)
+
+
+def mutual_info_from_cells(cells: DataFrame) -> DataFrame:
+    """The read-time algebra of :func:`mutual_info` over an ``(a, b, o)``
+    contingency-cell count relation — split out so the live monitor
+    (``streaming/ml_stream.py::run_streaming_mutual_info``) can keep the
+    cell counts as its only streaming state (count monoid; marginals,
+    entropies and the MI terms are all derived at read time)."""
     ra = cells.groupBy("a").agg(F.sum("o").alias("r"))
     cb = cells.groupBy("b").agg(F.sum("o").alias("c"))
     tot = cells.agg(

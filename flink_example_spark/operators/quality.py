@@ -335,6 +335,14 @@ def benford_audit(
         .groupBy("d")
         .agg(F.count(F.lit(1)).alias("obs"))
     )
+    return benford_from_counts(digits, relation)
+
+
+def benford_from_counts(digits: DataFrame, relation: str) -> DataFrame:
+    """The read-time algebra of :func:`benford_audit` over a ``(d, obs)``
+    first-digit count relation — split out so the live monitor
+    (``streaming/quality_stream.py::run_streaming_benford``) can keep the
+    9 digit counts as its only streaming state."""
     p_expr = F.element_at(F.array(*[F.lit(p) for p in _BENFORD_P]), F.col("d"))
     with_p = digits.withColumn("p", p_expr).withColumn(
         "n", F.sum("obs").over(Window.partitionBy())

@@ -619,3 +619,45 @@ def run_streaming_psi(
         F.max("n_ref").alias("n_ref"), F.max("n_cur").alias("n_cur")
     )
     return psi_from_counts(latest)
+
+
+def run_streaming_mutual_info(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """LIVE dependence screen between two categorical columns: the only
+    streaming state is the (lang, source) contingency-cell count monoid
+    (ONE update-mode JVM aggregation, cell-cardinality-sized); marginals,
+    entropies and the quantized-log2 MI terms
+    (``ml.mutual_info_from_cells``) are read-time algebra over the sink.
+    BIT-equal to the batch ``ml_mutual_info`` (shared oracle)."""
+    from flink_example_spark.operators.ml import mutual_info_from_cells
+    from flink_example_spark.streaming.dedup_stream import _stage_by_id
+
+    tune(spark)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/chunk_*")
+    )
+    cells = (
+        stream.filter(F.col("lang").isNotNull() & F.col("source").isNotNull())
+        .groupBy(F.col("lang").alias("a"), F.col("source").alias("b"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    name = f"stream_mi_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            cells.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = spark.table(name).groupBy("a", "b").agg(F.max("o").alias("o"))
+    # the algebra joins `cells` against its own aggregates; memory-sink
+    # branches share expr-ids (DESIGN.md "Conflicting attributes") — mint
+    # fresh attributes with an RDD round-trip (cell-cardinality-sized)
+    latest = spark.createDataFrame(latest.rdd, latest.schema)
+    return mutual_info_from_cells(latest)

@@ -305,3 +305,52 @@ def run_streaming_gini_lorenz(
         q.awaitTermination()
     latest = spark.table(name).groupBy("v").agg(F.max("c").alias("c"))
     return gini_lorenz_from_counts(latest)
+
+
+def run_streaming_benford(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """LIVE Benford first-digit audit over arriving order totals: the
+    only streaming state is the 9 first-digit counts (ONE update-mode
+    JVM aggregation); the expected-share / chi-square algebra
+    (``quality.benford_from_counts``) runs at read time over the sink.
+    BIT-equal to the batch ``quality_benford`` (shared oracle) — the
+    fraud/synthetic-feed smell test running while the feed ingests."""
+    from flink_example_spark.operators.quality import benford_from_counts
+    from flink_example_spark.streaming.staging import stage_table_by_key
+
+    tune(spark)
+    tmpdir, schema = stage_table_by_key(
+        spark, sf_dir, "orders", "o_orderkey", chunks
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/chunk_*")
+    )
+    digits = (
+        stream.filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    name = f"stream_benford_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            digits.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = spark.table(name).groupBy("d").agg(F.max("obs").alias("obs"))
+    return benford_from_counts(latest, "orders")
