@@ -3180,20 +3180,29 @@ def _northstar_oracles() -> dict[str, str]:
     out["dedup_minhash_portable"] = minhash_portable_oracle()
     # Brute-force oracle for the LSH path: valid because recall at the
     # observed duplicate structure (j>=0.98 vs next 0.30) is ~1 - 1e-22.
+    # The size bound in the join is LOSSLESS at t=4/5 (J >= t implies
+    # t*max(|A|,|B|) <= min(|A|,|B|) since inter <= min, union >= max) and
+    # prunes most of the O(n^2) list_intersect work: measured 29.7s ->
+    # 12.3s at sf0.01, same 25 rows. MATERIALIZED so composing oracles
+    # (clusters/cluster_best/keep) evaluate the pair join ONCE (DuckDB
+    # re-inlines plain CTEs per consumer; DESIGN.md).
     out["dedup_minhash_lsh"] = f"""
-        WITH sh AS (
-          SELECT doc_id, {_DUCK_SHINGLES} AS g FROM documents WHERE len(text) >= 5
+        WITH sh AS MATERIALIZED (
+          SELECT doc_id, g, CAST(len(g) AS BIGINT) AS sz FROM (
+            SELECT doc_id, {_DUCK_SHINGLES} AS g FROM documents WHERE len(text) >= 5
+          )
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                  / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jaccard
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          AND 4 * a.sz <= 5 * b.sz AND 4 * b.sz <= 5 * a.sz
         WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                  / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.8
     """
     out["dedup_minhash_clusters"] = f"""
-        WITH RECURSIVE pairs AS ({out["dedup_minhash_lsh"]}),
-        edges AS (
+        WITH RECURSIVE pairs AS MATERIALIZED ({out["dedup_minhash_lsh"]}),
+        edges AS MATERIALIZED (
           SELECT doc_a AS a, doc_b AS b FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs
         ),
@@ -3205,15 +3214,15 @@ def _northstar_oracles() -> dict[str, str]:
         SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
     """
     out["dedup_minhash_keep"] = f"""
-        WITH pairs AS ({out["dedup_minhash_lsh"]})
+        WITH pairs AS MATERIALIZED ({out["dedup_minhash_lsh"]})
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
     """
     from flink_example_spark.operators.text import TEXT_ORACLES as _TX
 
     out["dedup_cluster_best"] = f"""
-        WITH RECURSIVE pairs AS ({out["dedup_minhash_lsh"]}),
-        edges AS (
+        WITH RECURSIVE pairs AS MATERIALIZED ({out["dedup_minhash_lsh"]}),
+        edges AS MATERIALIZED (
           SELECT doc_a AS a, doc_b AS b FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs
         ),
@@ -3222,7 +3231,7 @@ def _northstar_oracles() -> dict[str, str]:
           UNION SELECT a, b FROM edges
           UNION SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
         ),
-        clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        clusters AS MATERIALIZED (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
         q AS ({_TX["text_quality_score"]}),
         best AS (
           SELECT d.doc_id, d.lang FROM documents d
