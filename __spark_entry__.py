@@ -1263,6 +1263,19 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=29,
             n_rounds=3,
         ),
+        # k-truss core of the near-dup pair graph: edge-support peeling
+        # cuts the bridge edges the transitivity audit counts, leaving
+        # the clique-like duplication core (fixpoint in 3 rounds here,
+        # asserted with a 4th in tests)
+        "graph_ktruss": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.graph", fromlist=["ktruss"]
+        ).ktruss(
+            dedup.ppjoin_pairs(
+                _docs(spark, sf_dir), threshold_num=4, threshold_den=5
+            ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b")),
+            k=150,
+            n_rounds=3,
+        ),
         # core-decomposition profile: surviving nodes/edge-endpoints at
         # k in {8, 16, 32} — the graph's density ladder in three rows
         "graph_kcore_profile": _graph_kcore_profile_entry,
@@ -3866,6 +3879,12 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.graph import kcore_oracle
 
     out["graph_kcore"] = kcore_oracle(term_graph_sql(2), k=29, n_rounds=3)
+    from flink_example_spark.operators.dedup import ppjoin_oracle as _ppo
+    from flink_example_spark.operators.graph import ktruss_oracle
+
+    out["graph_ktruss"] = ktruss_oracle(
+        f"SELECT id_a AS a, id_b AS b FROM ({_ppo(4, 5)})", k=150, n_rounds=3
+    )
     out["graph_kcore_profile"] = " UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS k,"
         f" CAST(COUNT(*) AS BIGINT) AS n_nodes,"

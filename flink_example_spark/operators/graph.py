@@ -1255,3 +1255,136 @@ def degree_profile_oracle(edges_sql: str) -> str:
                  // CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS share_ppm
         FROM binned GROUP BY 1
     """
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Exact per-EDGE triangle counts ("support") over a canonical
+    ``(a < b)`` distinct edge relation — the edge-level sibling of
+    :func:`triangle_counts`, same degree-oriented wedge device (out-degree
+    bounded by O(sqrt(m)), skew-safe on power-law graphs, every triangle
+    enumerated exactly once), with the triangle exploded back onto its
+    three canonical edges. Output: ``(a, b, s)``; edges in no triangle
+    are absent (support 0)."""
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = e.join(
+        F.broadcast(deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))),
+        "a",
+    ).join(
+        F.broadcast(deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))),
+        "b",
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).localCheckpoint(eager=True)  # both wedge sides + the closer
+    w1 = o.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    w2 = o.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = w1.join(w2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closer = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closer, ["v1", "v2"]).select("u", "v1", "v2")
+    sides = (
+        tri.select(F.col("u").alias("x"), F.col("v1").alias("y"))
+        .union(tri.select(F.col("u").alias("x"), F.col("v2").alias("y")))
+        .union(tri.select(F.col("v1").alias("x"), F.col("v2").alias("y")))
+    )
+    return (
+        sides.select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
+    )
+
+
+def ktruss(
+    pairs: DataFrame, k: int, n_rounds: int = 3, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """k-truss extraction by iterative support peeling: repeatedly drop
+    edges in fewer than ``k - 2`` triangles (removals lower neighboring
+    edges' support, cascading) — the EDGE-cohesion complement of
+    :func:`kcore` (a k-core can still be a chain of loosely-glued hubs; a
+    k-truss edge is wedged into k-2 common-neighbor triangles, the
+    standard "is this cluster a real clique-like core or bridged
+    chains?" extractor — directly answering what
+    ``dedup.transitivity_audit`` measures, by CUTTING the bridges).
+
+    Like :func:`kcore`, the peel depth is the bounded contract:
+    ``n_rounds`` rounds guarantee convergence for cascades up to that
+    depth (fixpoint asserted via one extra round in tests; the probe
+    graph converges in 3). Output: per-node truss membership ``(node,
+    truss_degree)`` — nodes of the surviving edge relation with their
+    in-truss degree.
+
+    Scale per round: one degree-oriented triangle enumeration (wedge
+    join bounded by O(sqrt(m)) out-degree — never raw deg² on hubs) +
+    one equi-join back to the edge set; edges localCheckpoint per round
+    (DESIGN.md iterative-loop rule).
+    """
+    e = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_rounds):
+        sup = _edge_support(e)
+        e = (
+            e.join(sup, ["a", "b"])
+            .filter(F.col("s") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("truss_degree"))
+        .select(F.col("node").cast("long").alias("node"), "truss_degree")
+    )
+
+
+def ktruss_oracle(pairs_sql: str, k: int, n_rounds: int = 3) -> str:
+    """DuckDB twin of :func:`ktruss`: the peel loop unrolled as chained
+    MATERIALIZED CTEs (each round's edge set feeds the three-way triangle
+    self-join AND the survivor join — the DESIGN.md inlining rule).
+    ``pairs_sql`` must yield canonical ``(a, b)`` with ``a < b``."""
+    parts = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM ({pairs_sql}) WHERE a <> b)"
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f"""sup{i} AS MATERIALIZED (
+              SELECT a, b, CAST(COUNT(*) AS BIGINT) AS s FROM (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e{i} e1 JOIN e{i} e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN e{i} e3 ON e3.a = e1.b AND e3.b = e2.b
+              ) tri, LATERAL (VALUES (tri.x, tri.y), (tri.x, tri.z),
+                              (tri.y, tri.z)) sides(a, b)
+              GROUP BY 1, 2
+            ), e{i + 1} AS MATERIALIZED (
+              SELECT e.a, e.b FROM e{i} e
+              JOIN sup{i} s ON e.a = s.a AND e.b = s.b AND s.s >= {k - 2}
+            )"""
+        )
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(COUNT(*) AS BIGINT) AS truss_degree
+        FROM (
+          SELECT a AS node FROM e{n_rounds}
+          UNION ALL SELECT b FROM e{n_rounds}
+        ) GROUP BY node
+    """

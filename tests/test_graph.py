@@ -386,3 +386,32 @@ def test_assortativity_regular_graph_degenerate(spark):
         "src string, dst string, w long",
     )
     assert assortativity(edges).count() == 0
+
+
+def test_ktruss_cuts_pendant_triangle_keeps_clique(spark):
+    """K4 on {1,2,3,4} + a triangle (3,4,5): K4 edges sit in >= 2
+    triangles, the pendant triangle's outer edges in exactly 1 — a
+    4-truss (support >= 2) keeps exactly the K4."""
+    from flink_example_spark.operators.graph import ktruss
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (3, 5), (4, 5)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["truss_degree"] for r in ktruss(pairs, k=4, n_rounds=2).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_ktruss_cascade_and_fixpoint(spark):
+    """k=5 (support >= 3) cascades on the same graph: round 1 leaves only
+    the (3,4) edge (its K4+pendant support was 3), round 2 kills it
+    (support 0) — empty truss. And for k=4 an extra round changes
+    nothing (fixpoint)."""
+    from flink_example_spark.operators.graph import ktruss
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (3, 5), (4, 5)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    assert ktruss(pairs, k=5, n_rounds=2).count() == 0
+    two = sorted(map(tuple, ktruss(pairs, k=4, n_rounds=2).collect()))
+    three = sorted(map(tuple, ktruss(pairs, k=4, n_rounds=3).collect()))
+    assert two == three
