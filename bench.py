@@ -230,6 +230,9 @@ HEADLINE = [
     "text_prefix_cache",
     "dedup_rate_by_source",
     "quality_gini_by_source",
+    "dedup_transitivity_audit",
+    "graph_ktruss",
+    "text_compression_signal",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite
