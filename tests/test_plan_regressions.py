@@ -907,3 +907,48 @@ def test_psi_drift_single_bucket_aggregation(spark):
     )
     assert "partial" in plan.lower()
     assert "Python" not in plan
+
+
+def test_pair_graph_stats_no_cartesian_partitioned_windows(spark):
+    """Transitivity audit: the neighbor-truncation window partitions by
+    the node (never a global ordering), and nothing plans cartesian or
+    drops into Python."""
+    from flink_example_spark.operators.dedup import pair_graph_stats
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12)],
+        "doc_a long, doc_b long",
+    )
+    plan = physical(pair_graph_stats(pairs))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^,)]*)", plan):
+        assert m.group(1).startswith("u#"), m.group(0)
+
+
+def test_ktruss_broadcasts_degrees_no_cartesian(spark):
+    """k-truss: per-round degree attachment broadcasts (node-sized dims);
+    the wedge join is an equi-join on the oriented source — no cartesian,
+    no Python."""
+    from flink_example_spark.operators.graph import ktruss
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "a long, b long"
+    )
+    plan = physical(ktruss(pairs, k=3, n_rounds=1))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_compression_signal_spreads_before_python(spark):
+    """The zlib stage must be preceded by the explicit-count hash
+    repartition (AQE never coalesces REPARTITION_BY_NUM) so a single-file
+    scan cannot serialize the per-row work."""
+    from flink_example_spark.operators.text import compression_signal
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical(compression_signal(docs))
+    assert "MapInPandas" in plan
+    assert "REPARTITION_BY_NUM" in plan or "hashpartitioning(doc_id" in plan
