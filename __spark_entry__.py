@@ -1265,16 +1265,19 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # k-truss core of the near-dup pair graph: edge-support peeling
         # cuts the bridge edges the transitivity audit counts, leaving
-        # the clique-like duplication core (fixpoint in 3 rounds here,
-        # asserted with a 4th in tests)
+        # the clique-like duplication core. neighbor_cap=32 mutual
+        # truncation first — exact truss is cubic on a near-clique
+        # (sf0.1 OOM, measured); the capped subgraph bounds wedges at
+        # m*(cap-1)/2 (fixpoint in 3 rounds, asserted with a 4th in tests)
         "graph_ktruss": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.graph", fromlist=["ktruss"]
         ).ktruss(
             dedup.ppjoin_pairs(
                 _docs(spark, sf_dir), threshold_num=4, threshold_den=5
             ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b")),
-            k=150,
+            k=16,
             n_rounds=3,
+            neighbor_cap=32,
         ),
         # core-decomposition profile: surviving nodes/edge-endpoints at
         # k in {8, 16, 32} — the graph's density ladder in three rows
@@ -3883,7 +3886,10 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.graph import ktruss_oracle
 
     out["graph_ktruss"] = ktruss_oracle(
-        f"SELECT id_a AS a, id_b AS b FROM ({_ppo(4, 5)})", k=150, n_rounds=3
+        f"SELECT id_a AS a, id_b AS b FROM ({_ppo(4, 5)})",
+        k=16,
+        n_rounds=3,
+        neighbor_cap=32,
     )
     out["graph_kcore_profile"] = " UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS k,"

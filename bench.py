@@ -230,8 +230,10 @@ HEADLINE = [
     "text_prefix_cache",
     "dedup_rate_by_source",
     "quality_gini_by_source",
-    "dedup_transitivity_audit",
-    "graph_ktruss",
+    # dedup_transitivity_audit (46.9s) and graph_ktruss (51.8s) are NOT
+    # benched: each embeds the exact ppjoin join (~38s at sf0.1 — same
+    # exclusion precedent as dedup_ppjoin); both remain fully
+    # oracle-gated at sf0.01 and scale-probed in PERF.md
     "text_compression_signal",
 ]
 

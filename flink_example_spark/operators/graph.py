@@ -20,7 +20,7 @@ no Python in the loop — and both are engine-portable by construction:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 MICRO = 10**12
 
@@ -1309,7 +1309,12 @@ def _edge_support(e: DataFrame) -> DataFrame:
 
 
 def ktruss(
-    pairs: DataFrame, k: int, n_rounds: int = 3, a_col: str = "a", b_col: str = "b"
+    pairs: DataFrame,
+    k: int,
+    n_rounds: int = 3,
+    neighbor_cap: int | None = None,
+    a_col: str = "a",
+    b_col: str = "b",
 ) -> DataFrame:
     """k-truss extraction by iterative support peeling: repeatedly drop
     edges in fewer than ``k - 2`` triangles (removals lower neighboring
@@ -1319,6 +1324,17 @@ def ktruss(
     standard "is this cluster a real clique-like core or bridged
     chains?" extractor — directly answering what
     ``dedup.transitivity_audit`` measures, by CUTTING the bridges).
+
+    ``neighbor_cap`` bounds the graph BEFORE peeling: keep an edge only
+    when each endpoint lists the other among its ``cap`` lowest-id
+    neighbors (mutual truncation — max degree <= cap by construction).
+    Exact triangle enumeration is inherently cubic on a near-clique (the
+    sf0.1 near-dup cluster is ~3.4k docs: ~10^9 oriented wedges, OOM —
+    measured), and a templated corpus at 100 TB always contains one;
+    the capped subgraph bounds wedges at ``m * (cap-1)/2`` while keeping
+    the cohesion structure (same deterministic-truncation contract as
+    ``dedup.pair_graph_stats``). ``None`` = exact truss, for graphs
+    already degree-bounded.
 
     Like :func:`kcore`, the peel depth is the bounded contract:
     ``n_rounds`` rounds guarantee convergence for cascades up to that
@@ -1337,8 +1353,29 @@ def ktruss(
         .filter(F.col("x") != F.col("y"))
         .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if neighbor_cap is not None:
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        tr = (
+            sym.withColumn(
+                "rn", F.row_number().over(Window.partitionBy("u").orderBy("v"))
+            )
+            .filter(F.col("rn") <= neighbor_cap)
+            .select("u", "v")
+            .localCheckpoint(eager=True)  # both sides of the mutual join
+        )
+        e = (
+            tr.alias("t1")
+            .join(
+                tr.alias("t2"),
+                (F.col("t1.u") == F.col("t2.v")) & (F.col("t1.v") == F.col("t2.u")),
+            )
+            .filter(F.col("t1.u") < F.col("t1.v"))
+            .select(F.col("t1.u").alias("a"), F.col("t1.v").alias("b"))
+        )
+    e = e.localCheckpoint(eager=True)
     for _ in range(n_rounds):
         sup = _edge_support(e)
         e = (
@@ -1356,14 +1393,27 @@ def ktruss(
     )
 
 
-def ktruss_oracle(pairs_sql: str, k: int, n_rounds: int = 3) -> str:
+def ktruss_oracle(
+    pairs_sql: str, k: int, n_rounds: int = 3, neighbor_cap: int | None = None
+) -> str:
     """DuckDB twin of :func:`ktruss`: the peel loop unrolled as chained
     MATERIALIZED CTEs (each round's edge set feeds the three-way triangle
     self-join AND the survivor join — the DESIGN.md inlining rule).
     ``pairs_sql`` must yield canonical ``(a, b)`` with ``a < b``."""
-    parts = [
-        f"e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM ({pairs_sql}) WHERE a <> b)"
-    ]
+    if neighbor_cap is None:
+        e0 = f"SELECT DISTINCT a, b FROM ({pairs_sql}) WHERE a <> b"
+    else:
+        e0 = f"""
+          WITH raw AS (SELECT DISTINCT a, b FROM ({pairs_sql}) WHERE a <> b),
+          sym AS (SELECT a AS u, b AS v FROM raw UNION ALL SELECT b, a FROM raw),
+          tr AS MATERIALIZED (
+            SELECT u, v FROM (
+              SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rn
+              FROM sym) WHERE rn <= {neighbor_cap})
+          SELECT t1.u AS a, t1.v AS b
+          FROM tr t1 JOIN tr t2 ON t1.u = t2.v AND t1.v = t2.u
+          WHERE t1.u < t1.v"""
+    parts = [f"e0 AS MATERIALIZED ({e0})"]
     for i in range(n_rounds):
         parts.append(
             f"""sup{i} AS MATERIALIZED (

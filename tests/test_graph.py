@@ -415,3 +415,18 @@ def test_ktruss_cascade_and_fixpoint(spark):
     two = sorted(map(tuple, ktruss(pairs, k=4, n_rounds=2).collect()))
     three = sorted(map(tuple, ktruss(pairs, k=4, n_rounds=3).collect()))
     assert two == three
+
+
+def test_ktruss_neighbor_cap_bounds_degree(spark):
+    """Mutual truncation at cap=2: node 1 keeps neighbors (2,3); nodes
+    4,5 each keep 1 but are NOT kept back -> their edges drop. The K3 on
+    {1,2,3} survives a 3-truss intact."""
+    from flink_example_spark.operators.graph import ktruss
+
+    edges = [(1, 2), (1, 3), (1, 4), (1, 5), (2, 3)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["truss_degree"]
+        for r in ktruss(pairs, k=3, n_rounds=1, neighbor_cap=2).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
