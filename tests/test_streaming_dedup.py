@@ -102,3 +102,26 @@ def test_streaming_ppjoin_equals_batch(spark):
     }
     assert len(live_rows) == len(live)  # exactly-once emission
     assert live == batch
+
+
+def test_fourth_wave_twins_chunk_invariant(spark):
+    """The four fourth-wave monoid twins converge to identical results
+    under different replay chunkings (chunks=1: one micro-batch; 2:
+    arbitrary split) — the arrival-order-invariance claim behind sharing
+    the batch oracles."""
+    from flink_example_spark.streaming.dedup_stream import (
+        run_streaming_template_mining,
+    )
+    from flink_example_spark.streaming.ml_stream import run_streaming_psi
+
+    sf = "/root/testdata/sf0.001"
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(run_streaming_psi(spark, sf, chunks=1)) == rows(
+        run_streaming_psi(spark, sf, chunks=2)
+    )
+    assert rows(run_streaming_template_mining(spark, sf, chunks=1)) == rows(
+        run_streaming_template_mining(spark, sf, chunks=2)
+    )
