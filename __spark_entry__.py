@@ -1499,6 +1499,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_mutual_info": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.ml", fromlist=["mutual_info"]
         ).mutual_info(_docs(spark, sf_dir), "lang", "source"),
+        # bit-reproducible logistic regression: BIGINT logit-micros,
+        # embedded quantized-sigmoid table (no libm), sign-safe update
+        # division, fixed full-batch rounds
+        "ml_logistic_fit": _ml_logistic_fit,
         # ranking-fairness audit: per-SOURCE AUC of the length score as
         # an English detector — slices where AUC sags toward 0.5 are
         # where a thresholded gate silently biases the corpus
@@ -4071,6 +4075,24 @@ def _northstar_oracles() -> dict[str, str]:
         roc_auc_by_group_oracle,
     )
 
+    from flink_example_spark.operators.ml import logistic_fit_oracle
+    from flink_example_spark.operators.text import _DUCK_NORM as _DN
+
+    _en_list = "[" + ",".join(f"'{w}'" for w in __import__(
+        "flink_example_spark.operators.text", fromlist=["STOPWORDS"]
+    ).STOPWORDS["en"]) + "]"
+    out["ml_logistic_fit"] = logistic_fit_oracle(
+        "SELECT lang, text, n_chars FROM documents",
+        "lang = 'en'",
+        [
+            (
+                "en_hits",
+                f"len(list_distinct(list_intersect("
+                f"string_split_regex({_DN}, '\\s+'), {_en_list})))",
+            ),
+            ("len_b", "least(n_chars // 100, 15)"),
+        ],
+    )
     out["ml_mutual_info"] = mutual_info_oracle(
         "SELECT lang, source FROM documents", "lang", "source"
     )
@@ -5660,6 +5682,24 @@ def _ml_calibration_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("w") * F.col("x")).alias("m"))
     )
     return calibration_bins(scored)
+
+
+def _ml_logistic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.ml import logistic_fit
+    from flink_example_spark.operators.text import STOPWORDS, normalized, tokens
+
+    docs = _docs(spark, sf_dir)
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    feats = docs.select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        F.size(F.array_intersect(tokens(normalized(F.col("text"))), en)).alias(
+            "en_hits"
+        ),
+        F.least(F.expr("n_chars div 100"), F.lit(15)).cast("long").alias("len_b"),
+    )
+    return logistic_fit(feats, "y", ["en_hits", "len_b"])
 
 
 def _ref_integrity_entry(spark: SparkSession, sf_dir: str) -> DataFrame:

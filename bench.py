@@ -235,6 +235,7 @@ HEADLINE = [
     # exclusion precedent as dedup_ppjoin); both remain fully
     # oracle-gated at sf0.01 and scale-probed in PERF.md
     "text_compression_signal",
+    "ml_logistic_fit",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

@@ -5489,3 +5489,151 @@ def mutual_info_oracle(units_sql: str, a_col: str, b_col: str) -> str:
                hb_micro
         FROM mi, ha, hb
     """
+
+
+# Embedded quantized-sigmoid table (the driver-literal device, DESIGN.md):
+# 128 buckets of 0.125 logit units covering [-8, 8), value at the bucket
+# midpoint in micro units. Computed ONCE in Python; engine math never
+# touches exp() — both plans share these integers verbatim.
+_SIGMOID_TABLE = [
+    round(1_000_000 / (1 + __import__("math").exp(-((i + 0.5) * 0.125))))
+    for i in range(-64, 64)
+]
+_SIG_STEP = 125_000      # bucket width in logit micros
+_SIG_CLAMP = 8_000_000   # |logit| clamp: beyond ±8 the sigmoid saturates
+
+
+def _sig_bucket_sql(z_sql: str) -> str:
+    """1-based sigmoid-table index for a BIGINT logit-micros expression.
+    The logit can be NEGATIVE, and negative integer division is not
+    portable (Spark div truncates toward zero, DuckDB // floors) — so
+    clamp to the covered range FIRST, shift non-negative, then divide:
+    identical buckets in both engines by construction."""
+    zc = f"greatest(least({z_sql}, {_SIG_CLAMP - 1}), -{_SIG_CLAMP})"
+    return f"((({zc}) + {_SIG_CLAMP}) div {_SIG_STEP}) + 1"
+
+
+def logistic_fit(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    n_steps: int = 8,
+    scale_den: int = 16,
+) -> DataFrame:
+    """Logistic regression by full-batch gradient descent, BIT-REPRODUCIBLE
+    across engines: weights live in BIGINT logit-micros, every per-row
+    sigmoid is an embedded-table lookup (``_SIGMOID_TABLE`` — libm-free),
+    every gradient is an exact BIGINT sum, and the update divides
+    sign-and-magnitude (``w += sign(g) * (|g| div (scale_den * n))`` —
+    the portable negative-division form). Fixed ``n_steps`` full-batch
+    rounds make the result a pure function of the data.
+
+    ``df`` must carry ``y_col`` in {0,1} and SMALL-INTEGER feature
+    columns (clamp upstream; the lr bound assumes |x| <= scale_den). An
+    intercept feature is added internally.
+
+    Output (tall, scalar): one row per weight ``(feature, w_micro)``
+    — 'intercept' first, then ``x_cols`` — plus audit rows ``__n`` and
+    ``__n_correct`` (training accuracy of the final iterate at the
+    z >= 0 decision boundary) carried in the same column.
+
+    Scale: one localCheckpoint'd pass over the feature projection;
+    each step is ONE map-side-combined aggregation producing a k-row
+    gradient (k = features — parameter-sized, the only thing the driver
+    ever sees; the BPE one-row-per-round precedent). 100 TB posture:
+    n_steps scans, zero shuffles beyond the final partial-agg merge.
+    """
+    names = ["intercept"] + list(x_cols)
+    data = df.select(
+        F.col(y_col).cast("long").alias("y"),
+        F.lit(1).cast("long").alias("x0"),
+        *[F.col(c).cast("long").alias(f"x{i + 1}") for i, c in enumerate(x_cols)],
+    ).localCheckpoint()  # reused by every step + the final audit
+    n = data.count()
+    arr = F.array(*[F.lit(v) for v in _SIGMOID_TABLE])
+    w = [0] * len(names)
+
+    def z_sql(ws: list[int]) -> str:
+        return " + ".join(f"x{i} * CAST({wi} AS BIGINT)" for i, wi in enumerate(ws))
+
+    for _ in range(n_steps):
+        sig = F.element_at(arr, F.expr(_sig_bucket_sql(z_sql(w))).cast("int"))
+        r = (F.col("y") * F.lit(1_000_000) - sig).cast("long")
+        g = data.agg(
+            *[F.sum(F.col(f"x{i}") * r).alias(f"g{i}") for i in range(len(names))]
+        ).first()
+        w = [
+            wi + (1 if gi >= 0 else -1) * (abs(int(gi)) // (scale_den * n))
+            for wi, gi in zip(w, g)
+        ]
+    correct = data.agg(
+        F.sum(
+            (
+                (F.expr(z_sql(w)) >= 0).cast("long") == F.col("y")
+            ).cast("long")
+        )
+    ).first()[0]
+    rows = (
+        [(nm, int(wi)) for nm, wi in zip(names, w)]
+        + [("__n", int(n)), ("__n_correct", int(correct))]
+    )
+    return df.sparkSession.createDataFrame(rows, "feature string, w_micro long")
+
+
+def logistic_fit_oracle(
+    units_sql: str,
+    y_sql: str,
+    x_sqls: list[tuple[str, str]],
+    n_steps: int = 8,
+    scale_den: int = 16,
+) -> str:
+    """DuckDB twin of :func:`logistic_fit`: the descent unrolled as a
+    chained MATERIALIZED CTE per step (each weight row feeds the next
+    gradient AND the update — the DESIGN.md inlining rule).
+    ``x_sqls`` is ``[(feature_name, sql_expr)]``."""
+    lit = "[" + ",".join(str(v) for v in _SIGMOID_TABLE) + "]"
+    names = ["intercept"] + [nm for nm, _ in x_sqls]
+    k = len(names)
+    feat = ", ".join(
+        ["CAST(1 AS BIGINT) AS x0"]
+        + [f"CAST(({sql}) AS BIGINT) AS x{i + 1}" for i, (_, sql) in enumerate(x_sqls)]
+    )
+    parts = [
+        f"""d AS MATERIALIZED (
+          SELECT CAST(({y_sql}) AS BIGINT) AS y, {feat} FROM ({units_sql})),
+        meta AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+        w0 AS (SELECT {", ".join(f"CAST(0 AS BIGINT) AS w{i}" for i in range(k))})"""
+    ]
+    for s in range(n_steps):
+        z = " + ".join(f"d.x{i} * w{s}.w{i}" for i in range(k))
+        zc = f"greatest(least({z}, {_SIG_CLAMP - 1}), -{_SIG_CLAMP})"
+        sig = f"({lit})[((({zc}) + {_SIG_CLAMP}) // {_SIG_STEP}) + 1]"
+        gs = ", ".join(
+            f"CAST(SUM(d.x{i} * (d.y * 1000000 - {sig})) AS BIGINT) AS g{i}"
+            for i in range(k)
+        )
+        ws = ", ".join(
+            f"w{s}.w{i} + (CASE WHEN g{s}.g{i} >= 0 THEN 1 ELSE -1 END)"
+            f" * (abs(g{s}.g{i}) // ({scale_den} * meta.n)) AS w{i}"
+            for i in range(k)
+        )
+        parts.append(
+            f"g{s} AS MATERIALIZED (SELECT {gs} FROM d, w{s})"
+        )
+        parts.append(
+            f"w{s + 1} AS MATERIALIZED (SELECT {ws} FROM w{s}, g{s}, meta)"
+        )
+    zf = " + ".join(f"d.x{i} * w{n_steps}.w{i}" for i in range(k))
+    weight_rows = " UNION ALL ".join(
+        f"SELECT '{nm}' AS feature, w{i} AS w_micro FROM w{n_steps}"
+        for i, nm in enumerate(names)
+    )
+    return f"""
+        WITH {", ".join(parts)}
+        {weight_rows}
+        UNION ALL SELECT '__n', n FROM meta
+        UNION ALL SELECT '__n_correct',
+          CAST(SUM(CASE WHEN (({zf}) >= 0) = (d.y = 1) THEN 1 ELSE 0 END)
+            AS BIGINT)
+        FROM d, w{n_steps}
+    """

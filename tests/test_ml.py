@@ -900,3 +900,23 @@ def test_cramers_v_extremes(spark):
     ).collect()[0]
     assert r2["chi2_micro"] == 0 and r2["v"] == 0.0
     assert (r2["n_rows_cat"], r2["n_cols_cat"]) == (3, 4)
+
+
+def test_logistic_fit_separates_and_is_deterministic(spark):
+    """On a linearly separable set the fixed-round descent must reach
+    100% training accuracy, and rerunning must reproduce identical
+    weights (bit-determinism is the contract)."""
+    from flink_example_spark.operators.ml import logistic_fit
+
+    rows = [(1, 8), (1, 7), (1, 8), (0, 0), (0, 1), (0, 0)] * 20
+    df = spark.createDataFrame(rows, "y long, x long")
+    fit = lambda: {  # noqa: E731
+        r["feature"]: r["w_micro"]
+        for r in logistic_fit(df, "y", ["x"], n_steps=48).collect()
+    }
+    out1, out2 = fit(), fit()
+    assert out1 == out2
+    assert out1["__n"] == 120
+    assert out1["__n_correct"] == 120  # separable -> perfect at z >= 0
+    assert out1["x"] > 0  # positive class has the larger feature
+    assert out1["intercept"] < 0  # all-zero features must predict 0
