@@ -1279,6 +1279,19 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_rounds=3,
             neighbor_cap=32,
         ),
+        # densest subgraph by batched greedy peeling (Bahmani et al. 2012):
+        # remove all nodes below 2(1+eps)*density per round, answer = the
+        # best-density round (integer cross-multiplied threshold, micro-
+        # quantized density argmax); same capped dup-graph input
+        "graph_densest": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.graph", fromlist=["densest_subgraph"]
+        ).densest_subgraph(
+            dedup.ppjoin_pairs(
+                _docs(spark, sf_dir), threshold_num=4, threshold_den=5
+            ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b")),
+            n_rounds=5,
+            neighbor_cap=32,
+        ),
         # core-decomposition profile: surviving nodes/edge-endpoints at
         # k in {8, 16, 32} — the graph's density ladder in three rows
         "graph_kcore_profile": _graph_kcore_profile_entry,
@@ -3893,6 +3906,13 @@ def _northstar_oracles() -> dict[str, str]:
         f"SELECT id_a AS a, id_b AS b FROM ({_ppo(4, 5)})",
         k=16,
         n_rounds=3,
+        neighbor_cap=32,
+    )
+    from flink_example_spark.operators.graph import densest_subgraph_oracle
+
+    out["graph_densest"] = densest_subgraph_oracle(
+        f"SELECT id_a AS a, id_b AS b FROM ({_ppo(4, 5)})",
+        n_rounds=5,
         neighbor_cap=32,
     )
     out["graph_kcore_profile"] = " UNION ALL ".join(

@@ -1355,26 +1355,7 @@ def ktruss(
         .distinct()
     )
     if neighbor_cap is not None:
-        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
-            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
-        )
-        tr = (
-            sym.withColumn(
-                "rn", F.row_number().over(Window.partitionBy("u").orderBy("v"))
-            )
-            .filter(F.col("rn") <= neighbor_cap)
-            .select("u", "v")
-            .localCheckpoint(eager=True)  # both sides of the mutual join
-        )
-        e = (
-            tr.alias("t1")
-            .join(
-                tr.alias("t2"),
-                (F.col("t1.u") == F.col("t2.v")) & (F.col("t1.v") == F.col("t2.u")),
-            )
-            .filter(F.col("t1.u") < F.col("t1.v"))
-            .select(F.col("t1.u").alias("a"), F.col("t1.v").alias("b"))
-        )
+        e = _mutual_truncate(e, neighbor_cap)
     e = e.localCheckpoint(eager=True)
     for _ in range(n_rounds):
         sup = _edge_support(e)
@@ -1437,4 +1418,175 @@ def ktruss_oracle(
           SELECT a AS node FROM e{n_rounds}
           UNION ALL SELECT b FROM e{n_rounds}
         ) GROUP BY node
+    """
+
+
+def _mutual_truncate(e: DataFrame, cap: int) -> DataFrame:
+    """Degree-bounding sparsifier: keep a canonical ``(a < b)`` edge only
+    when EACH endpoint lists the other among its ``cap`` lowest-id
+    neighbors — max degree <= cap by construction (deterministic, same
+    truncation both engines; the device behind bounded k-truss and
+    densest-subgraph peeling on templated corpora whose dup graphs
+    always contain one giant near-clique)."""
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    tr = (
+        sym.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("u").orderBy("v"))
+        )
+        .filter(F.col("rn") <= cap)
+        .select("u", "v")
+        .localCheckpoint(eager=True)  # both sides of the mutual join
+    )
+    return (
+        tr.alias("t1")
+        .join(
+            tr.alias("t2"),
+            (F.col("t1.u") == F.col("t2.v")) & (F.col("t1.v") == F.col("t2.u")),
+        )
+        .filter(F.col("t1.u") < F.col("t1.v"))
+        .select(F.col("t1.u").alias("a"), F.col("t1.v").alias("b"))
+    )
+
+
+_MUTUAL_TRUNCATE_SQL = """
+  WITH raw AS (SELECT DISTINCT a, b FROM ({pairs_sql}) WHERE a <> b),
+  sym AS (SELECT a AS u, b AS v FROM raw UNION ALL SELECT b, a FROM raw),
+  tr AS MATERIALIZED (
+    SELECT u, v FROM (
+      SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rn
+      FROM sym) WHERE rn <= {cap})
+  SELECT t1.u AS a, t1.v AS b
+  FROM tr t1 JOIN tr t2 ON t1.u = t2.v AND t1.v = t2.u
+  WHERE t1.u < t1.v"""
+
+
+def densest_subgraph(
+    pairs: DataFrame,
+    n_rounds: int = 5,
+    eps_num: int = 1,
+    eps_den: int = 10,
+    neighbor_cap: int | None = None,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Densest-subgraph extraction by batched greedy peeling (Bahmani,
+    Kumar & Vassilvitskii 2012, "Densest Subgraph in Streaming and
+    MapReduce"): each round removes EVERY node whose degree is below
+    ``2(1+eps)`` times the current average density rho = |E|/|S| —
+    O(log n) rounds instead of Charikar's n sequential min-degree peels,
+    with a 2(1+eps)-approximation guarantee. The answer is the ROUND
+    with the best density, not the last survivor set.
+
+    Portability: the peel threshold is the integer cross-multiplication
+    ``deg * |S| * eps_den >= 2 * (eps_den + eps_num) * |E|``; round
+    densities compare as floor-quantized micros ``(|E| * 1e6) div |S|``
+    (ties -> earliest round) — no rational ever becomes a double.
+
+    Output: the best round's members ``(node, degree)`` with their
+    in-subgraph degree.
+
+    Scale per round: one degree aggregation + two semi-joins against the
+    (shrinking) survivor set (the :func:`kcore` shape); the per-round
+    (|S|, |E|) summary is the only thing the driver sees (one row per
+    round — the BPE precedent). ``neighbor_cap`` applies
+    :func:`_mutual_truncate` first where the input may contain a giant
+    near-clique.
+    """
+    e = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+    )
+    if neighbor_cap is not None:
+        e = _mutual_truncate(e, neighbor_cap)
+    e = e.localCheckpoint(eager=True)
+    spark = pairs.sparkSession
+    rounds: list[tuple[int, DataFrame]] = []  # (dens_micro, edges)
+    for _ in range(n_rounds):
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("dg"))
+        row = deg.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dg").alias("dd")
+        ).first()
+        n, n_edges = int(row["n"] or 0), int(row["dd"] or 0) // 2
+        if n == 0:
+            break  # every later round is empty too — cannot win the argmax
+        rounds.append(((n_edges * 1_000_000) // n, e))
+        keep = deg.filter(
+            F.col("dg") * F.lit(n * eps_den)
+            >= F.lit(2 * (eps_den + eps_num) * n_edges)
+        ).select(F.col("u"))
+        e = (
+            e.join(F.broadcast(keep.withColumnRenamed("u", "a")), "a", "left_semi")
+            .join(F.broadcast(keep.withColumnRenamed("u", "b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    if not rounds:
+        return spark.createDataFrame([], "node long, degree long")
+    best = max(range(len(rounds)), key=lambda i: (rounds[i][0], -i))
+    eb = rounds[best][1]
+    return (
+        eb.select(F.col("a").alias("node"))
+        .union(eb.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .select(F.col("node").cast("long").alias("node"), "degree")
+    )
+
+
+def densest_subgraph_oracle(
+    pairs_sql: str,
+    n_rounds: int = 5,
+    eps_num: int = 1,
+    eps_den: int = 10,
+    neighbor_cap: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`densest_subgraph`: the peel unrolled as
+    MATERIALIZED CTE rounds with a per-round (n, e) summary; the best
+    round is the earliest floor-quantized density argmax."""
+    if neighbor_cap is None:
+        e0 = f"SELECT DISTINCT a, b FROM ({pairs_sql}) WHERE a <> b"
+    else:
+        e0 = _MUTUAL_TRUNCATE_SQL.format(pairs_sql=pairs_sql, cap=neighbor_cap)
+    parts = [f"e0 AS MATERIALIZED ({e0})"]
+    summaries = []
+    degs = []
+    for i in range(n_rounds):
+        parts.append(
+            f"""deg{i} AS MATERIALIZED (
+              SELECT u, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+                SELECT a AS u FROM e{i} UNION ALL SELECT b FROM e{i}
+              ) GROUP BY u),
+            s{i} AS MATERIALIZED (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     COALESCE(CAST(SUM(dg) AS BIGINT), 0) // 2 AS e
+              FROM deg{i}),
+            e{i + 1} AS MATERIALIZED (
+              SELECT x.a, x.b FROM e{i} x, s{i}
+              WHERE x.a IN (SELECT u FROM deg{i}
+                            WHERE dg * s{i}.n * {eps_den}
+                                  >= 2 * {eps_den + eps_num} * s{i}.e)
+                AND x.b IN (SELECT u FROM deg{i}
+                            WHERE dg * s{i}.n * {eps_den}
+                                  >= 2 * {eps_den + eps_num} * s{i}.e))"""
+        )
+        summaries.append(
+            f"SELECT {i} AS r, n, e FROM s{i} WHERE n > 0"
+        )
+        degs.append(f"SELECT {i} AS r, u AS node, dg AS degree FROM deg{i}")
+    parts.append(
+        f"""summary AS MATERIALIZED ({" UNION ALL ".join(summaries)}),
+        best AS (
+          SELECT r FROM summary
+          ORDER BY (e * 1000000) // n DESC, r ASC LIMIT 1)"""
+    )
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT CAST(d.node AS BIGINT) AS node, CAST(d.degree AS BIGINT) AS degree
+        FROM ({" UNION ALL ".join(degs)}) d JOIN best ON d.r = best.r
     """

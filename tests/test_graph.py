@@ -430,3 +430,25 @@ def test_ktruss_neighbor_cap_bounds_degree(spark):
         for r in ktruss(pairs, k=3, n_rounds=1, neighbor_cap=2).collect()
     }
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_densest_subgraph_picks_best_round(spark):
+    """K4 + a pendant path (4-5, 5-6): round 0 peels the path (density
+    8/6), round 1 is the K4 (density 6/4 — the argmax), round 2 empties.
+    The answer must be the K4 with in-subgraph degrees 3."""
+    from flink_example_spark.operators.graph import densest_subgraph
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["degree"]
+        for r in densest_subgraph(pairs, n_rounds=5).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_densest_subgraph_empty_input(spark):
+    from flink_example_spark.operators.graph import densest_subgraph
+
+    pairs = spark.createDataFrame([], "a long, b long")
+    assert densest_subgraph(pairs).count() == 0
