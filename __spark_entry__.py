@@ -1516,6 +1516,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedded quantized-sigmoid table (no libm), sign-safe update
         # division, fixed full-batch rounds
         "ml_logistic_fit": _ml_logistic_fit,
+        # serve the trained model: exact integer logits, table-lookup
+        # probabilities, z>=0 decision — per-doc, stateless
+        "ml_logistic_score": _ml_logistic_score,
+        # the same scoring LIVE: frozen integer weights, stateless
+        # append-mode projection over the arriving stream — row-for-row
+        # equal to the batch scoring (shared oracle)
+        "streaming_logistic_inference": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.ml_stream",
+            fromlist=["run_streaming_logistic_inference"],
+        ).run_streaming_logistic_inference(spark, sf_dir),
         # ranking-fairness audit: per-SOURCE AUC of the length score as
         # an English detector — slices where AUC sags toward 0.5 are
         # where a thresholded gate silently biases the corpus
@@ -4101,18 +4111,24 @@ def _northstar_oracles() -> dict[str, str]:
     _en_list = "[" + ",".join(f"'{w}'" for w in __import__(
         "flink_example_spark.operators.text", fromlist=["STOPWORDS"]
     ).STOPWORDS["en"]) + "]"
-    out["ml_logistic_fit"] = logistic_fit_oracle(
-        "SELECT lang, text, n_chars FROM documents",
-        "lang = 'en'",
-        [
-            (
-                "en_hits",
-                f"len(list_distinct(list_intersect("
-                f"string_split_regex({_DN}, '\\s+'), {_en_list})))",
-            ),
-            ("len_b", "least(n_chars // 100, 15)"),
-        ],
+    _logit_units = "SELECT doc_id, lang, text, n_chars FROM documents"
+    _logit_y = "lang = 'en'"
+    _logit_xs = [
+        (
+            "en_hits",
+            f"len(list_distinct(list_intersect("
+            f"string_split_regex({_DN}, '\\s+'), {_en_list})))",
+        ),
+        ("len_b", "least(n_chars // 100, 15)"),
+    ]
+    out["ml_logistic_fit"] = logistic_fit_oracle(_logit_units, _logit_y, _logit_xs)
+    from flink_example_spark.operators.ml import logistic_score_oracle
+
+    out["ml_logistic_score"] = logistic_score_oracle(
+        _logit_units, _logit_y, _logit_xs, "doc_id", id_name="doc_id"
     )
+    # frozen-weight serving converges row-for-row to batch scoring
+    out["streaming_logistic_inference"] = out["ml_logistic_score"]
     out["ml_mutual_info"] = mutual_info_oracle(
         "SELECT lang, source FROM documents", "lang", "source"
     )
@@ -5704,22 +5720,53 @@ def _ml_calibration_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(scored)
 
 
-def _ml_logistic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _logistic_feats(docs: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from flink_example_spark.operators.ml import logistic_fit
     from flink_example_spark.operators.text import STOPWORDS, normalized, tokens
 
-    docs = _docs(spark, sf_dir)
     en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    feats = docs.select(
+    return docs.select(
+        F.col("doc_id"),
         (F.col("lang") == "en").cast("long").alias("y"),
         F.size(F.array_intersect(tokens(normalized(F.col("text"))), en)).alias(
             "en_hits"
         ),
         F.least(F.expr("n_chars div 100"), F.lit(15)).cast("long").alias("len_b"),
     )
-    return logistic_fit(feats, "y", ["en_hits", "len_b"])
+
+
+def _ml_logistic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.operators.ml import logistic_fit
+
+    return logistic_fit(
+        _logistic_feats(_docs(spark, sf_dir)), "y", ["en_hits", "len_b"]
+    )
+
+
+def _logistic_trained_weights(spark: SparkSession, sf_dir: str) -> list[int]:
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.ml import _logistic_weights
+
+    feats = _logistic_feats(_docs(spark, sf_dir))
+    data = feats.select(
+        F.col("y"),
+        F.lit(1).cast("long").alias("x0"),
+        F.col("en_hits").cast("long").alias("x1"),
+        F.col("len_b").cast("long").alias("x2"),
+    ).localCheckpoint()
+    w, _ = _logistic_weights(data, 3, 8, 16)
+    return w
+
+
+def _ml_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.operators.ml import logistic_score
+
+    w = _logistic_trained_weights(spark, sf_dir)
+    return logistic_score(
+        _logistic_feats(_docs(spark, sf_dir)), w, ["en_hits", "len_b"], "doc_id"
+    )
 
 
 def _ref_integrity_entry(spark: SparkSession, sf_dir: str) -> DataFrame:

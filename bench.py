@@ -236,6 +236,7 @@ HEADLINE = [
     # oracle-gated at sf0.01 and scale-probed in PERF.md
     "text_compression_signal",
     "ml_logistic_fit",
+    "ml_logistic_score",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

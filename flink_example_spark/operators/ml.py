@@ -5503,6 +5503,30 @@ _SIG_STEP = 125_000      # bucket width in logit micros
 _SIG_CLAMP = 8_000_000   # |logit| clamp: beyond ±8 the sigmoid saturates
 
 
+def _logistic_weights(
+    data: DataFrame, k: int, n_steps: int, scale_den: int
+) -> tuple[list[int], int]:
+    """The descent loop over a prepared ``(y, x0..x{k-1})`` relation:
+    returns (weights in logit-micros, n). One map-side-combined
+    aggregation per step; the driver only ever sees the k-value gradient
+    row (the BPE one-row-per-round precedent)."""
+    n = data.count()
+    arr = F.array(*[F.lit(v) for v in _SIGMOID_TABLE])
+    w = [0] * k
+    for _ in range(n_steps):
+        z = " + ".join(f"x{i} * CAST({wi} AS BIGINT)" for i, wi in enumerate(w))
+        sig = F.element_at(arr, F.expr(_sig_bucket_sql(z)).cast("int"))
+        r = (F.col("y") * F.lit(1_000_000) - sig).cast("long")
+        g = data.agg(
+            *[F.sum(F.col(f"x{i}") * r).alias(f"g{i}") for i in range(k)]
+        ).first()
+        w = [
+            wi + (1 if gi >= 0 else -1) * (abs(int(gi)) // (scale_den * n))
+            for wi, gi in zip(w, g)
+        ]
+    return w, n
+
+
 def _sig_bucket_sql(z_sql: str) -> str:
     """1-based sigmoid-table index for a BIGINT logit-micros expression.
     The logit can be NEGATIVE, and negative integer division is not
@@ -5549,23 +5573,11 @@ def logistic_fit(
         F.lit(1).cast("long").alias("x0"),
         *[F.col(c).cast("long").alias(f"x{i + 1}") for i, c in enumerate(x_cols)],
     ).localCheckpoint()  # reused by every step + the final audit
-    n = data.count()
-    arr = F.array(*[F.lit(v) for v in _SIGMOID_TABLE])
-    w = [0] * len(names)
+    w, n = _logistic_weights(data, len(names), n_steps, scale_den)
 
     def z_sql(ws: list[int]) -> str:
         return " + ".join(f"x{i} * CAST({wi} AS BIGINT)" for i, wi in enumerate(ws))
 
-    for _ in range(n_steps):
-        sig = F.element_at(arr, F.expr(_sig_bucket_sql(z_sql(w))).cast("int"))
-        r = (F.col("y") * F.lit(1_000_000) - sig).cast("long")
-        g = data.agg(
-            *[F.sum(F.col(f"x{i}") * r).alias(f"g{i}") for i in range(len(names))]
-        ).first()
-        w = [
-            wi + (1 if gi >= 0 else -1) * (abs(int(gi)) // (scale_den * n))
-            for wi, gi in zip(w, g)
-        ]
     correct = data.agg(
         F.sum(
             (
@@ -5586,17 +5598,20 @@ def logistic_fit_oracle(
     x_sqls: list[tuple[str, str]],
     n_steps: int = 8,
     scale_den: int = 16,
+    carry_sqls: list[tuple[str, str]] = (),
 ) -> str:
     """DuckDB twin of :func:`logistic_fit`: the descent unrolled as a
     chained MATERIALIZED CTE per step (each weight row feeds the next
     gradient AND the update — the DESIGN.md inlining rule).
-    ``x_sqls`` is ``[(feature_name, sql_expr)]``."""
+    ``x_sqls`` is ``[(feature_name, sql_expr)]``; ``carry_sqls`` adds
+    pass-through columns to the ``d`` CTE (for the scoring twin)."""
     lit = "[" + ",".join(str(v) for v in _SIGMOID_TABLE) + "]"
     names = ["intercept"] + [nm for nm, _ in x_sqls]
     k = len(names)
     feat = ", ".join(
         ["CAST(1 AS BIGINT) AS x0"]
         + [f"CAST(({sql}) AS BIGINT) AS x{i + 1}" for i, (_, sql) in enumerate(x_sqls)]
+        + [f"CAST(({sql}) AS BIGINT) AS {nm}" for nm, sql in carry_sqls]
     )
     parts = [
         f"""d AS MATERIALIZED (
@@ -5635,5 +5650,64 @@ def logistic_fit_oracle(
         UNION ALL SELECT '__n_correct',
           CAST(SUM(CASE WHEN (({zf}) >= 0) = (d.y = 1) THEN 1 ELSE 0 END)
             AS BIGINT)
+        FROM d, w{n_steps}
+    """
+
+
+def logistic_score(
+    df: DataFrame,
+    weights: list[int],
+    x_cols: list[str],
+    id_col: str,
+) -> DataFrame:
+    """Serve a :func:`logistic_fit` model: per-row logit (BIGINT micros,
+    exact), table-lookup probability, and the z >= 0 decision — the same
+    embedded sigmoid table as training, so scoring is bit-reproducible
+    anywhere the integer weights travel. Stateless projection (no
+    shuffle); ``weights`` = [intercept, w(x_cols[0]), ...] in micros."""
+    z = F.lit(int(weights[0])).cast("long")
+    for wi, c in zip(weights[1:], x_cols):
+        z = z + F.col(c).cast("long") * F.lit(int(wi)).cast("long")
+    arr = F.array(*[F.lit(v) for v in _SIGMOID_TABLE])
+    df = df.withColumn("__z", z)
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col("__z").alias("z_micro"),
+        F.element_at(arr, F.expr(_sig_bucket_sql("__z")).cast("int"))
+        .cast("long")
+        .alias("p_micro"),
+        (F.col("__z") >= 0).cast("long").alias("pred"),
+    )
+
+
+def logistic_score_oracle(
+    units_sql: str,
+    y_sql: str,
+    x_sqls: list[tuple[str, str]],
+    id_sql: str,
+    id_name: str = "doc_id",
+    n_steps: int = 8,
+    scale_den: int = 16,
+) -> str:
+    """DuckDB twin of train-then-serve: re-derives the weights via the
+    unrolled :func:`logistic_fit_oracle` CTE chain, then scores every
+    row with the same table lookup."""
+    lit = "[" + ",".join(str(v) for v in _SIGMOID_TABLE) + "]"
+    k = len(x_sqls) + 1
+    train = logistic_fit_oracle(
+        units_sql, y_sql, x_sqls, n_steps, scale_den,
+        carry_sqls=[(id_name, id_sql)],
+    )
+    # reuse the training CTE chain: strip its final SELECT, keep the WITH
+    head, _, _ = train.partition("SELECT 'intercept'")
+    zf = " + ".join(f"d.x{i} * w{n_steps}.w{i}" for i in range(k))
+    zc = f"greatest(least({zf}, {_SIG_CLAMP - 1}), -{_SIG_CLAMP})"
+    return f"""
+        {head}
+        SELECT d.{id_name},
+               CAST({zf} AS BIGINT) AS z_micro,
+               CAST(({lit})[((({zc}) + {_SIG_CLAMP}) // {_SIG_STEP}) + 1]
+                 AS BIGINT) AS p_micro,
+               CAST(CASE WHEN ({zf}) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
         FROM d, w{n_steps}
     """

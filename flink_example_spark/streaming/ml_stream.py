@@ -661,3 +661,41 @@ def run_streaming_mutual_info(
     # fresh attributes with an RDD round-trip (cell-cardinality-sized)
     latest = spark.createDataFrame(latest.rdd, latest.schema)
     return mutual_info_from_cells(latest)
+
+
+def run_streaming_logistic_inference(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """STREAMING logistic serving: the model trained in batch is FROZEN
+    as three integer weights (the deployable artifact — no state at
+    all), and arriving documents flow through the stateless scoring
+    projection (exact BIGINT logits, embedded-table sigmoid) in append
+    mode. A doc's score never depends on other docs, so any chunking is
+    row-for-row equal to the batch ``ml_logistic_score`` — shares its
+    oracle."""
+    import __spark_entry__ as entry
+    from flink_example_spark.operators.ml import logistic_score
+    from flink_example_spark.streaming.dedup_stream import _stage_by_id
+
+    tune(spark)
+    w = entry._logistic_trained_weights(spark, sf_dir)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/chunk_*")
+    )
+    scored = logistic_score(
+        entry._logistic_feats(stream), w, ["en_hits", "len_b"], "doc_id"
+    )
+    name = f"stream_logit_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            scored.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
