@@ -952,3 +952,34 @@ def test_compression_signal_spreads_before_python(spark):
     plan = physical(compression_signal(docs))
     assert "MapInPandas" in plan
     assert "REPARTITION_BY_NUM" in plan or "hashpartitioning(doc_id" in plan
+
+
+def test_logistic_scoring_is_stateless_projection(spark):
+    """Serving must not shuffle: the scored relation plans as a pure
+    projection over the scan (plus the feature expressions) — no
+    exchange, no Python."""
+    from flink_example_spark.operators.ml import logistic_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.lit(3).cast("long").alias("en_hits"),
+        F.lit(2).cast("long").alias("len_b"),
+    )
+    plan = physical(
+        logistic_score(docs, [-100000, 50000, 20000], ["en_hits", "len_b"], "doc_id")
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_densest_subgraph_broadcasts_survivors(spark):
+    """Each peel round semi-joins the edge set against the (shrinking)
+    survivor list via broadcast; no cartesian, no Python."""
+    from flink_example_spark.operators.graph import densest_subgraph
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "a long, b long"
+    )
+    plan = physical(densest_subgraph(pairs, n_rounds=1))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
