@@ -3093,6 +3093,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # staged-source parity: documents round-trip through CSV and JSONL
         # readers; checksum rows must equal the parquet-native read
+        "source_orc_roundtrip": lambda spark, sf_dir: __import__(
+            "flink_example_spark.sources.staged", fromlist=["orc_roundtrip"]
+        ).orc_roundtrip(spark, sf_dir),
         "source_csv_jsonl_roundtrip": lambda spark, sf_dir: __import__(
             "flink_example_spark.sources.staged",
             fromlist=["csv_jsonl_roundtrip"],
@@ -5071,6 +5074,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.sources.staged import csv_jsonl_roundtrip_oracle
 
     out["source_csv_jsonl_roundtrip"] = csv_jsonl_roundtrip_oracle()
+    from flink_example_spark.sources.staged import orc_roundtrip_oracle
+
+    out["source_orc_roundtrip"] = orc_roundtrip_oracle()
     out["curation_domain_cap"] = curation.domain_cap_oracle(cap=10)
     out["curation_pipeline"] = curation.curated_corpus_oracle(pattern=_BLOCKLIST_PATTERN)
     out["curation_doc_quality"] = curation.doc_quality_oracle(

@@ -111,3 +111,44 @@ def csv_jsonl_roundtrip_oracle() -> str:
     return " UNION ALL ".join(
         one.format(fmt=f) for f in ("parquet", "csv", "jsonl")
     )
+
+
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage documents as ORC (Spark-native columnar sibling of parquet),
+    read it back, and emit the two per-format checksum rows — identical
+    iff the ORC ingest path is lossless. Avro is NOT exercised: the
+    spark-avro module is an external jar absent from this environment
+    (verified; gate documented here rather than stubbed)."""
+    from flink_example_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="staged_orc_")
+    try:
+        orc_dir = os.path.join(tmp, "orc")
+        docs.write.mode("overwrite").orc(orc_dir)
+        orc_df = spark.read.schema(DOC_SCHEMA).orc(orc_dir)
+        out = _checksum(docs, "parquet").unionByName(_checksum(orc_df, "orc"))
+        rows = out.collect()  # temp-dir scratch: materialize before cleanup
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "format string, n_rows long, sum_doc_id long, sum_n_chars long,"
+        " text_checksum long",
+    )
+
+
+def orc_roundtrip_oracle() -> str:
+    """DuckDB twin: both rows computed straight from the parquet table."""
+    one = """
+        SELECT '{fmt}' AS format, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+               CAST(SUM(CAST(concat('0x', substr(md5(concat(
+                 CAST(doc_id AS VARCHAR), '|', text)), 1, 8)) AS BIGINT))
+                 AS BIGINT) AS text_checksum
+        FROM documents
+    """
+    return " UNION ALL ".join(one.format(fmt=f) for f in ("parquet", "orc"))
