@@ -237,6 +237,7 @@ HEADLINE = [
     "text_compression_signal",
     "ml_logistic_fit",
     "ml_logistic_score",
+    "source_orc_roundtrip",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite
