@@ -1519,6 +1519,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # serve the trained model: exact integer logits, table-lookup
         # probabilities, z>=0 decision — per-doc, stateless
         "ml_logistic_score": _ml_logistic_score,
+        # linear QUANTILE regression (pinball subgradient): p90 doc
+        # length vs token bucket — pure-integer descent, no table at all
+        "ml_quantile_fit": _ml_quantile_fit,
         # the same scoring LIVE: frozen integer weights, stateless
         # append-mode projection over the arriving stream — row-for-row
         # equal to the batch scoring (shared oracle)
@@ -4132,6 +4135,22 @@ def _northstar_oracles() -> dict[str, str]:
     )
     # frozen-weight serving converges row-for-row to batch scoring
     out["streaming_logistic_inference"] = out["ml_logistic_score"]
+    from flink_example_spark.operators.ml import quantile_fit_oracle
+
+    out["ml_quantile_fit"] = quantile_fit_oracle(
+        "SELECT text, n_chars FROM documents",
+        "n_chars // 50",
+        [
+            (
+                "tok_b",
+                f"least(len(list_filter(string_split_regex({_DN}, '\\s+'),"
+                f" t -> t <> '')) // 10, 15)",
+            )
+        ],
+        tau_num=9,
+        tau_den=10,
+        n_steps=12,
+    )
     out["ml_mutual_info"] = mutual_info_oracle(
         "SELECT lang, source FROM documents", "lang", "source"
     )
@@ -5764,6 +5783,28 @@ def _logistic_trained_weights(spark: SparkSession, sf_dir: str) -> list[int]:
     ).localCheckpoint()
     w, _ = _logistic_weights(data, 3, 8, 16)
     return w
+
+
+def _ml_quantile_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.ml import quantile_fit
+    from flink_example_spark.operators.text import normalized, tokens
+
+    docs = _docs(spark, sf_dir)
+    feats = docs.select(
+        F.expr("n_chars div 50").cast("long").alias("y_b"),
+        F.least(
+            F.floor(
+                F.size(F.filter(tokens(normalized(F.col("text"))), lambda t: t != ""))
+                / F.lit(10)
+            ),
+            F.lit(15),
+        )
+        .cast("long")
+        .alias("tok_b"),
+    )
+    return quantile_fit(feats, "y_b", ["tok_b"], tau_num=9, tau_den=10, n_steps=12)
 
 
 def _ml_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:

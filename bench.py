@@ -238,6 +238,7 @@ HEADLINE = [
     "ml_logistic_fit",
     "ml_logistic_score",
     "source_orc_roundtrip",
+    "ml_quantile_fit",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

@@ -5711,3 +5711,124 @@ def logistic_score_oracle(
                CAST(CASE WHEN ({zf}) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
         FROM d, w{n_steps}
     """
+
+
+def quantile_fit(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    tau_num: int = 9,
+    tau_den: int = 10,
+    n_steps: int = 12,
+    scale_den: int = 16,
+) -> DataFrame:
+    """Linear QUANTILE regression (pinball / check loss) by full-batch
+    subgradient descent — "fit the p90 of y given x", the tail-budget
+    estimator OLS cannot give. Entirely integer and libm-free: the
+    pinball subgradient per row is ``tau - 1{y < yhat}``, so each step
+    is ``w_j += sign(g_j) * (|g_j| div (scale_den * n))`` with
+    ``g_j = sum x_j * (tau_micro - 1e6 * 1{y*1e6 < z})`` — exact BIGINTs
+    end to end, no sigmoid table even needed. ``tau = tau_num/tau_den``.
+
+    ``df`` carries integer ``y_col`` and SMALL-INTEGER features (clamp
+    upstream); intercept added internally; weights are micro-y units.
+
+    Output (tall, scalar): ``(feature, w_micro)`` rows plus ``__n`` and
+    ``__n_below`` (rows with y*1e6 < final fit — the empirical coverage;
+    ~tau*n when converged).
+
+    Scale: identical shape to :func:`logistic_fit` — one checkpointed
+    feature pass, one map-side-combined aggregation per step, only
+    parameter-sized rows ever reach the driver.
+    """
+    names = ["intercept"] + list(x_cols)
+    k = len(names)
+    tau_micro = (tau_num * 1_000_000) // tau_den
+    data = df.select(
+        (F.col(y_col).cast("long") * F.lit(1_000_000)).alias("ym"),
+        F.lit(1).cast("long").alias("x0"),
+        *[F.col(c).cast("long").alias(f"x{i + 1}") for i, c in enumerate(x_cols)],
+    ).localCheckpoint()
+    n = data.count()
+    w = [0] * k
+
+    def z(ws: list[int]):
+        return F.expr(
+            " + ".join(f"x{i} * CAST({wi} AS BIGINT)" for i, wi in enumerate(ws))
+        )
+
+    for _ in range(n_steps):
+        coef = (
+            F.lit(tau_micro)
+            - F.when(F.col("ym") < z(w), F.lit(1_000_000)).otherwise(F.lit(0))
+        ).cast("long")
+        g = data.agg(
+            *[F.sum(F.col(f"x{i}") * coef).alias(f"g{i}") for i in range(k)]
+        ).first()
+        w = [
+            wi + (1 if gi >= 0 else -1) * (abs(int(gi)) // (scale_den * n))
+            for wi, gi in zip(w, g)
+        ]
+    below = data.agg(
+        F.sum((F.col("ym") < z(w)).cast("long")).alias("b")
+    ).first()["b"]
+    rows = (
+        [(nm, int(wi)) for nm, wi in zip(names, w)]
+        + [("__n", int(n)), ("__n_below", int(below))]
+    )
+    return df.sparkSession.createDataFrame(rows, "feature string, w_micro long")
+
+
+def quantile_fit_oracle(
+    units_sql: str,
+    y_sql: str,
+    x_sqls: list[tuple[str, str]],
+    tau_num: int = 9,
+    tau_den: int = 10,
+    n_steps: int = 12,
+    scale_den: int = 16,
+) -> str:
+    """DuckDB twin of :func:`quantile_fit`: the subgradient descent
+    unrolled as MATERIALIZED CTE steps."""
+    names = ["intercept"] + [nm for nm, _ in x_sqls]
+    k = len(names)
+    tau_micro = (tau_num * 1_000_000) // tau_den
+    feat = ", ".join(
+        ["CAST(1 AS BIGINT) AS x0"]
+        + [f"CAST(({sql}) AS BIGINT) AS x{i + 1}" for i, (_, sql) in enumerate(x_sqls)]
+    )
+    parts = [
+        f"""d AS MATERIALIZED (
+          SELECT CAST(({y_sql}) AS BIGINT) * 1000000 AS ym, {feat}
+          FROM ({units_sql})),
+        meta AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+        w0 AS (SELECT {", ".join(f"CAST(0 AS BIGINT) AS w{i}" for i in range(k))})"""
+    ]
+    for s in range(n_steps):
+        zf = " + ".join(f"d.x{i} * w{s}.w{i}" for i in range(k))
+        coef = f"({tau_micro} - CASE WHEN d.ym < ({zf}) THEN 1000000 ELSE 0 END)"
+        gs = ", ".join(
+            f"CAST(SUM(d.x{i} * {coef}) AS BIGINT) AS g{i}" for i in range(k)
+        )
+        ws = ", ".join(
+            f"w{s}.w{i} + (CASE WHEN g{s}.g{i} >= 0 THEN 1 ELSE -1 END)"
+            f" * (abs(g{s}.g{i}) // ({scale_den} * meta.n)) AS w{i}"
+            for i in range(k)
+        )
+        parts.append(f"g{s} AS MATERIALIZED (SELECT {gs} FROM d, w{s})")
+        parts.append(
+            f"w{s + 1} AS MATERIALIZED (SELECT {ws} FROM w{s}, g{s}, meta)"
+        )
+    zf = " + ".join(f"d.x{i} * w{n_steps}.w{i}" for i in range(k))
+    weight_rows = " UNION ALL ".join(
+        f"SELECT '{nm}' AS feature, w{i} AS w_micro FROM w{n_steps}"
+        for i, nm in enumerate(names)
+    )
+    return f"""
+        WITH {", ".join(parts)}
+        {weight_rows}
+        UNION ALL SELECT '__n', n FROM meta
+        UNION ALL SELECT '__n_below',
+          CAST(SUM(CASE WHEN d.ym < ({zf}) THEN 1 ELSE 0 END) AS BIGINT)
+        FROM d, w{n_steps}
+    """

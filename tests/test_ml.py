@@ -920,3 +920,23 @@ def test_logistic_fit_separates_and_is_deterministic(spark):
     assert out1["__n_correct"] == 120  # separable -> perfect at z >= 0
     assert out1["x"] > 0  # positive class has the larger feature
     assert out1["intercept"] < 0  # all-zero features must predict 0
+
+
+def test_quantile_fit_intercept_only_hits_p90(spark):
+    """y = 0..9 each once, no features: the pinball subgradient walks the
+    intercept to the 90th percentile neighborhood and the empirical
+    coverage lands at tau*n; rerunning reproduces identical weights."""
+    from flink_example_spark.operators.ml import quantile_fit
+
+    df = spark.createDataFrame([(y,) for y in range(10)], "y long")
+    fit = lambda: {  # noqa: E731
+        r["feature"]: r["w_micro"]
+        for r in quantile_fit(
+            df, "y", [], tau_num=9, tau_den=10, n_steps=40, scale_den=1
+        ).collect()
+    }
+    out1, out2 = fit(), fit()
+    assert out1 == out2
+    assert out1["__n"] == 10
+    assert 8_000_000 <= out1["intercept"] <= 10_000_000
+    assert out1["__n_below"] in (8, 9)
