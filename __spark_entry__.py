@@ -1522,6 +1522,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # linear QUANTILE regression (pinball subgradient): p90 doc
         # length vs token bucket — pure-integer descent, no table at all
         "ml_quantile_fit": _ml_quantile_fit,
+        # Huber ROBUST regression (clipped-residual gradient): the
+        # fit-level counterpart of mad_outliers — junk rows pull the
+        # trend by at most delta each
+        "ml_huber_fit": _ml_huber_fit,
         # the same scoring LIVE: frozen integer weights, stateless
         # append-mode projection over the arriving stream — row-for-row
         # equal to the batch scoring (shared oracle)
@@ -4137,6 +4141,20 @@ def _northstar_oracles() -> dict[str, str]:
     out["streaming_logistic_inference"] = out["ml_logistic_score"]
     from flink_example_spark.operators.ml import quantile_fit_oracle
 
+    from flink_example_spark.operators.ml import huber_fit_oracle
+
+    out["ml_huber_fit"] = huber_fit_oracle(
+        "SELECT text, n_chars FROM documents",
+        "n_chars // 50",
+        [
+            (
+                "tok_b",
+                f"least(len(list_filter(string_split_regex({_DN}, '\\s+'),"
+                f" t -> t <> '')) // 10, 15)",
+            )
+        ],
+        n_steps=12,
+    )
     out["ml_quantile_fit"] = quantile_fit_oracle(
         "SELECT text, n_chars FROM documents",
         "n_chars // 50",
@@ -5805,6 +5823,28 @@ def _ml_quantile_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tok_b"),
     )
     return quantile_fit(feats, "y_b", ["tok_b"], tau_num=9, tau_den=10, n_steps=12)
+
+
+def _ml_huber_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.ml import huber_fit
+    from flink_example_spark.operators.text import normalized, tokens
+
+    docs = _docs(spark, sf_dir)
+    feats = docs.select(
+        F.expr("n_chars div 50").cast("long").alias("y_b"),
+        F.least(
+            F.floor(
+                F.size(F.filter(tokens(normalized(F.col("text"))), lambda t: t != ""))
+                / F.lit(10)
+            ),
+            F.lit(15),
+        )
+        .cast("long")
+        .alias("tok_b"),
+    )
+    return huber_fit(feats, "y_b", ["tok_b"], n_steps=12)
 
 
 def _ml_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5832,3 +5832,121 @@ def quantile_fit_oracle(
           CAST(SUM(CASE WHEN d.ym < ({zf}) THEN 1 ELSE 0 END) AS BIGINT)
         FROM d, w{n_steps}
     """
+
+
+def huber_fit(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    delta_micro: int = 2_000_000,
+    n_steps: int = 12,
+    scale_den: int = 16,
+) -> DataFrame:
+    """Robust (Huber) linear regression by full-batch gradient descent —
+    OLS whose influence is CLIPPED at ``delta``: junk rows pull the fit
+    by at most delta each, so a contaminated corpus keeps a sane trend
+    where least squares chases the outliers (:func:`mad_outliers` is the
+    row-level gate; this is the fit-level counterpart). Pure integers:
+    the Huber gradient per row is ``clamp(y - yhat, ±delta)`` — one
+    greatest/least, exact BIGINT sums, the sign-safe division update.
+    No table, no libm. y enters in micro units; clamp upstream to small
+    integer features (the lr bound assumes |x| <= scale_den).
+
+    Output (tall, scalar): ``(feature, w_micro)`` + ``__n`` +
+    ``__n_clipped`` (rows at the clip boundary under the final fit —
+    the outlier mass the fit refused to chase).
+
+    Scale: the :func:`logistic_fit` shape — one checkpointed pass, one
+    map-side-combined aggregation per step, parameter-sized driver rows.
+    """
+    names = ["intercept"] + list(x_cols)
+    k = len(names)
+    data = df.select(
+        (F.col(y_col).cast("long") * F.lit(1_000_000)).alias("ym"),
+        F.lit(1).cast("long").alias("x0"),
+        *[F.col(c).cast("long").alias(f"x{i + 1}") for i, c in enumerate(x_cols)],
+    ).localCheckpoint()
+    n = data.count()
+    w = [0] * k
+
+    def z(ws: list[int]):
+        return F.expr(
+            " + ".join(f"x{i} * CAST({wi} AS BIGINT)" for i, wi in enumerate(ws))
+        )
+
+    for _ in range(n_steps):
+        r = F.greatest(
+            F.least(F.col("ym") - z(w), F.lit(delta_micro)),
+            F.lit(-delta_micro),
+        ).cast("long")
+        g = data.agg(
+            *[F.sum(F.col(f"x{i}") * r).alias(f"g{i}") for i in range(k)]
+        ).first()
+        w = [
+            wi + (1 if gi >= 0 else -1) * (abs(int(gi)) // (scale_den * n))
+            for wi, gi in zip(w, g)
+        ]
+    clipped = data.agg(
+        F.sum(
+            (F.abs(F.col("ym") - z(w)) >= F.lit(delta_micro)).cast("long")
+        ).alias("c")
+    ).first()["c"]
+    rows = (
+        [(nm, int(wi)) for nm, wi in zip(names, w)]
+        + [("__n", int(n)), ("__n_clipped", int(clipped))]
+    )
+    return df.sparkSession.createDataFrame(rows, "feature string, w_micro long")
+
+
+def huber_fit_oracle(
+    units_sql: str,
+    y_sql: str,
+    x_sqls: list[tuple[str, str]],
+    delta_micro: int = 2_000_000,
+    n_steps: int = 12,
+    scale_den: int = 16,
+) -> str:
+    """DuckDB twin of :func:`huber_fit`: the clipped-gradient descent
+    unrolled as MATERIALIZED CTE steps."""
+    names = ["intercept"] + [nm for nm, _ in x_sqls]
+    k = len(names)
+    feat = ", ".join(
+        ["CAST(1 AS BIGINT) AS x0"]
+        + [f"CAST(({sql}) AS BIGINT) AS x{i + 1}" for i, (_, sql) in enumerate(x_sqls)]
+    )
+    parts = [
+        f"""d AS MATERIALIZED (
+          SELECT CAST(({y_sql}) AS BIGINT) * 1000000 AS ym, {feat}
+          FROM ({units_sql})),
+        meta AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+        w0 AS (SELECT {", ".join(f"CAST(0 AS BIGINT) AS w{i}" for i in range(k))})"""
+    ]
+    for s in range(n_steps):
+        zf = " + ".join(f"d.x{i} * w{s}.w{i}" for i in range(k))
+        r = f"greatest(least(d.ym - ({zf}), {delta_micro}), -{delta_micro})"
+        gs = ", ".join(
+            f"CAST(SUM(d.x{i} * {r}) AS BIGINT) AS g{i}" for i in range(k)
+        )
+        ws = ", ".join(
+            f"w{s}.w{i} + (CASE WHEN g{s}.g{i} >= 0 THEN 1 ELSE -1 END)"
+            f" * (abs(g{s}.g{i}) // ({scale_den} * meta.n)) AS w{i}"
+            for i in range(k)
+        )
+        parts.append(f"g{s} AS MATERIALIZED (SELECT {gs} FROM d, w{s})")
+        parts.append(
+            f"w{s + 1} AS MATERIALIZED (SELECT {ws} FROM w{s}, g{s}, meta)"
+        )
+    zf = " + ".join(f"d.x{i} * w{n_steps}.w{i}" for i in range(k))
+    weight_rows = " UNION ALL ".join(
+        f"SELECT '{nm}' AS feature, w{i} AS w_micro FROM w{n_steps}"
+        for i, nm in enumerate(names)
+    )
+    return f"""
+        WITH {", ".join(parts)}
+        {weight_rows}
+        UNION ALL SELECT '__n', n FROM meta
+        UNION ALL SELECT '__n_clipped',
+          CAST(SUM(CASE WHEN abs(d.ym - ({zf})) >= {delta_micro}
+                   THEN 1 ELSE 0 END) AS BIGINT)
+        FROM d, w{n_steps}
+    """

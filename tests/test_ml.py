@@ -940,3 +940,26 @@ def test_quantile_fit_intercept_only_hits_p90(spark):
     assert out1["__n"] == 10
     assert 8_000_000 <= out1["intercept"] <= 10_000_000
     assert out1["__n_below"] in (8, 9)
+
+
+def test_huber_fit_resists_outliers(spark):
+    """y = x trend plus 10% wild outliers: the clipped gradient keeps the
+    slope near 1e6 micros where the outliers would drag an unclipped fit
+    far upward; deterministic across reruns."""
+    from flink_example_spark.operators.ml import huber_fit
+
+    rows = [(x, x) for x in range(10)] * 9 + [(100, x) for x in range(10)]
+    df = spark.createDataFrame(rows, "y long, x long")
+    fit = lambda: {  # noqa: E731
+        r["feature"]: r["w_micro"]
+        for r in huber_fit(df, "y", ["x"], n_steps=30, scale_den=4).collect()
+    }
+    out1, out2 = fit(), fit()
+    assert out1 == out2
+    assert out1["__n"] == 100
+    # the 10 wild rows stay clipped; the slope heads to the true 1.0 and
+    # the intercept stays far below the +10 the contaminated mean would
+    # drag an unclipped fit toward
+    assert out1["__n_clipped"] >= 10
+    assert 400_000 <= out1["x"] <= 1_600_000
+    assert out1["intercept"] < 3_000_000
