@@ -220,7 +220,6 @@ HEADLINE = [
     # round-8 second wave
     "ml_psi_drift",
     "timeseries_rolling_slope",
-    "dedup_lcs_explain",
     "sketch_mp_quantiles",
     "sketch_grouped_order_stats",
     "ml_auc_by_group",
@@ -230,10 +229,10 @@ HEADLINE = [
     "text_prefix_cache",
     "dedup_rate_by_source",
     "quality_gini_by_source",
-    # dedup_transitivity_audit (46.9s) and graph_ktruss (51.8s) are NOT
-    # benched: each embeds the exact ppjoin join (~38s at sf0.1 — same
-    # exclusion precedent as dedup_ppjoin); both remain fully
-    # oracle-gated at sf0.01 and scale-probed in PERF.md
+    # dedup_transitivity_audit (46.9s), graph_ktruss (51.8s), graph_densest
+    # and dedup_lcs_explain (44.7s) are NOT benched: each embeds the exact
+    # ppjoin join (~38s at sf0.1 — same exclusion precedent as dedup_ppjoin);
+    # all remain fully oracle-gated at sf0.01 and scale-probed in PERF.md
     "text_compression_signal",
     "ml_logistic_fit",
     "ml_logistic_score",
