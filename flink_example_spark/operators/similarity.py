@@ -1596,6 +1596,7 @@ def pca_topk(
     n_queries: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """ANN via PCA dimensionality reduction: project every vector onto
     the top ``n_components`` principal directions (the basis
@@ -1614,9 +1615,14 @@ def pca_topk(
     Output: ``(query_id, neighbor_id, rank, cos)``.
     """
     q12 = lambda col: F.floor(col * F.lit(1e12) + F.lit(0.5)).cast("bigint")  # noqa: E731
-    comps = pca_components(
-        embeddings, n_components=n_components, n_iter=n_iter
-    ).localCheckpoint()
+    # `components` lets callers share one basis solve (the registry memo)
+    comps = (
+        components
+        if components is not None
+        else pca_components(
+            embeddings, n_components=n_components, n_iter=n_iter
+        ).localCheckpoint()
+    )
     xi = embeddings.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col)).alias("i", "x"),
@@ -1735,6 +1741,7 @@ def pca_outliers(
     n_iter: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Multivariate outlier scoring on the learned PCA basis — the
     scalable Mahalanobis approximation: score(x) = Σ_c ((x−μ)·u_c)²/λ_c
@@ -1749,9 +1756,15 @@ def pca_outliers(
     scores, ``(vec_id, score, rank)``.
     """
     q12 = lambda col: F.floor(col * F.lit(1e12) + F.lit(0.5)).cast("bigint")  # noqa: E731
-    comps = pca_components(
-        embeddings, n_components=n_components, n_iter=n_iter
-    ).localCheckpoint()
+    # `components` lets callers share one basis solve across the PCA rows
+    # (the registry memo); content-identical to solving here
+    comps = (
+        components
+        if components is not None
+        else pca_components(
+            embeddings, n_components=n_components, n_iter=n_iter
+        ).localCheckpoint()
+    )
     xi = embeddings.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col)).alias("i", "x"),
