@@ -1564,6 +1564,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fit-level counterpart of mad_outliers — junk rows pull the
         # trend by at most delta each
         "ml_huber_fit": _ml_huber_fit,
+        # Poisson (log-link) rate model: daily per-user event count vs
+        # weekend — embedded exp table clamped to [-8,4) so gradient
+        # sums stay far inside BIGINT
+        "ml_poisson_fit": _ml_poisson_fit,
         # the same scoring LIVE: frozen integer weights, stateless
         # append-mode projection over the arriving stream — row-for-row
         # equal to the batch scoring (shared oracle)
@@ -4176,6 +4180,16 @@ def _northstar_oracles() -> dict[str, str]:
     out["streaming_logistic_inference"] = out["ml_logistic_score"]
     from flink_example_spark.operators.ml import quantile_fit_oracle
 
+    from flink_example_spark.operators.ml import poisson_fit_oracle
+
+    out["ml_poisson_fit"] = poisson_fit_oracle(
+        """SELECT least(COUNT(*), 15) AS c,
+                  CASE WHEN dayofweek(date_trunc('day', ts)) IN (0, 6)
+                       THEN 1 ELSE 0 END AS wknd
+           FROM events GROUP BY user_id, date_trunc('day', ts)""",
+        "c",
+        [("wknd", "wknd")],
+    )
     from flink_example_spark.operators.ml import huber_fit_oracle
 
     out["ml_huber_fit"] = huber_fit_oracle(
@@ -5880,6 +5894,29 @@ def _ml_huber_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tok_b"),
     )
     return huber_fit(feats, "y_b", ["tok_b"], n_steps=12)
+
+
+def _ml_poisson_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.ml import poisson_fit
+    from flink_example_spark.plans.events_demo import load_events
+
+    ev = load_events(spark, sf_dir)
+    units = (
+        ev.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.least(F.col("c"), F.lit(15)).cast("long").alias("y"),
+            # Spark dayofweek: 1=Sunday..7=Saturday
+            F.expr("CAST(dayofweek(d) IN (1, 7) AS INT)")
+            .cast("long")
+            .alias("wknd"),
+        )
+    )
+    return poisson_fit(units, "y", ["wknd"])
 
 
 def _ml_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:

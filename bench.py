@@ -239,6 +239,7 @@ HEADLINE = [
     "source_orc_roundtrip",
     "ml_quantile_fit",
     "ml_huber_fit",
+    "ml_poisson_fit",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

@@ -5950,3 +5950,124 @@ def huber_fit_oracle(
                    THEN 1 ELSE 0 END) AS BIGINT)
         FROM d, w{n_steps}
     """
+
+
+# Embedded quantized-exp table for the log-link (Poisson) GLM: 96
+# buckets of 0.125 covering logits [-8, 4) — the UPPER clamp is tighter
+# than the sigmoid's on purpose: exp(8) in count-micros would push the
+# gradient sums toward BIGINT range; exp(4) ~ 54.6 caps any fitted rate
+# at 54.6 per unit, ample for small-integer counts (clamp y upstream).
+_EXP_TABLE = [
+    round(1_000_000 * __import__("math").exp((i + 0.5) * 0.125))
+    for i in range(-64, 32)
+]
+_EXP_CLAMP_LO = -8_000_000
+_EXP_CLAMP_HI = 4_000_000
+
+
+def _exp_bucket_sql(z_sql: str) -> str:
+    """1-based exp-table index; same clamp-shift-divide device as the
+    sigmoid bucket (negative division portability)."""
+    zc = f"greatest(least({z_sql}, {_EXP_CLAMP_HI - 1}), {_EXP_CLAMP_LO})"
+    return f"((({zc}) + {-_EXP_CLAMP_LO}) div {_SIG_STEP}) + 1"
+
+
+def poisson_fit(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    n_steps: int = 20,
+    scale_den: int = 64,
+) -> DataFrame:
+    """Poisson (log-link) regression by full-batch gradient descent —
+    "model the event RATE": ``E[y] = exp(w.x)``, the count-data member
+    of the GLM trio (logistic for labels, quantile/Huber for robust
+    location, Poisson for rates). Same bit-reproducible machinery as
+    :func:`logistic_fit`: BIGINT logit-micros, per-row ``exp`` as an
+    embedded-table lookup (``_EXP_TABLE``, clamped to [-8, 4) so every
+    gradient sum stays far inside BIGINT), gradient
+    ``g_j = sum x_j * (y*1e6 - exp_micro(w.x))``, sign-safe division
+    update. Clamp ``y`` upstream to small integers; lr bound assumes
+    ``y <= 16`` and ``|x| <= scale_den/4``.
+
+    Output (tall, scalar): ``(feature, w_micro)`` + ``__n`` +
+    ``__sum_y`` (total observed count — with an intercept the converged
+    fit matches it in expectation).
+    """
+    names = ["intercept"] + list(x_cols)
+    k = len(names)
+    data = df.select(
+        F.col(y_col).cast("long").alias("y"),
+        F.lit(1).cast("long").alias("x0"),
+        *[F.col(c).cast("long").alias(f"x{i + 1}") for i, c in enumerate(x_cols)],
+    ).localCheckpoint()
+    n = data.count()
+    arr = F.array(*[F.lit(v) for v in _EXP_TABLE])
+    w = [0] * k
+    for _ in range(n_steps):
+        z = " + ".join(f"x{i} * CAST({wi} AS BIGINT)" for i, wi in enumerate(w))
+        mu = F.element_at(arr, F.expr(_exp_bucket_sql(z)).cast("int"))
+        r = (F.col("y") * F.lit(1_000_000) - mu).cast("long")
+        g = data.agg(
+            *[F.sum(F.col(f"x{i}") * r).alias(f"g{i}") for i in range(k)]
+        ).first()
+        w = [
+            wi + (1 if gi >= 0 else -1) * (abs(int(gi)) // (scale_den * n))
+            for wi, gi in zip(w, g)
+        ]
+    sum_y = data.agg(F.sum("y")).first()[0]
+    rows = (
+        [(nm, int(wi)) for nm, wi in zip(names, w)]
+        + [("__n", int(n)), ("__sum_y", int(sum_y))]
+    )
+    return df.sparkSession.createDataFrame(rows, "feature string, w_micro long")
+
+
+def poisson_fit_oracle(
+    units_sql: str,
+    y_sql: str,
+    x_sqls: list[tuple[str, str]],
+    n_steps: int = 20,
+    scale_den: int = 64,
+) -> str:
+    """DuckDB twin of :func:`poisson_fit` (unrolled MATERIALIZED CTEs)."""
+    lit = "[" + ",".join(str(v) for v in _EXP_TABLE) + "]"
+    names = ["intercept"] + [nm for nm, _ in x_sqls]
+    k = len(names)
+    feat = ", ".join(
+        ["CAST(1 AS BIGINT) AS x0"]
+        + [f"CAST(({sql}) AS BIGINT) AS x{i + 1}" for i, (_, sql) in enumerate(x_sqls)]
+    )
+    parts = [
+        f"""d AS MATERIALIZED (
+          SELECT CAST(({y_sql}) AS BIGINT) AS y, {feat} FROM ({units_sql})),
+        meta AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+        w0 AS (SELECT {", ".join(f"CAST(0 AS BIGINT) AS w{i}" for i in range(k))})"""
+    ]
+    for s in range(n_steps):
+        zf = " + ".join(f"d.x{i} * w{s}.w{i}" for i in range(k))
+        zc = f"greatest(least({zf}, {_EXP_CLAMP_HI - 1}), {_EXP_CLAMP_LO})"
+        mu = f"({lit})[((({zc}) + {-_EXP_CLAMP_LO}) // {_SIG_STEP}) + 1]"
+        gs = ", ".join(
+            f"CAST(SUM(d.x{i} * (d.y * 1000000 - {mu})) AS BIGINT) AS g{i}"
+            for i in range(k)
+        )
+        ws = ", ".join(
+            f"w{s}.w{i} + (CASE WHEN g{s}.g{i} >= 0 THEN 1 ELSE -1 END)"
+            f" * (abs(g{s}.g{i}) // ({scale_den} * meta.n)) AS w{i}"
+            for i in range(k)
+        )
+        parts.append(f"g{s} AS MATERIALIZED (SELECT {gs} FROM d, w{s})")
+        parts.append(
+            f"w{s + 1} AS MATERIALIZED (SELECT {ws} FROM w{s}, g{s}, meta)"
+        )
+    weight_rows = " UNION ALL ".join(
+        f"SELECT '{nm}' AS feature, w{i} AS w_micro FROM w{n_steps}"
+        for i, nm in enumerate(names)
+    )
+    return f"""
+        WITH {", ".join(parts)}
+        {weight_rows}
+        UNION ALL SELECT '__n', n FROM meta
+        UNION ALL SELECT '__sum_y', CAST(SUM(y) AS BIGINT) FROM d
+    """

@@ -963,3 +963,22 @@ def test_huber_fit_resists_outliers(spark):
     assert out1["__n_clipped"] >= 10
     assert 400_000 <= out1["x"] <= 1_600_000
     assert out1["intercept"] < 3_000_000
+
+
+def test_poisson_fit_recovers_rate(spark):
+    """Constant-rate counts y ~ 3: with an intercept only, the converged
+    rate exp(w0) must sit in the table bucket containing ln(3) (~1.0986);
+    deterministic across reruns."""
+    from flink_example_spark.operators.ml import poisson_fit
+
+    df = spark.createDataFrame([(3,)] * 60, "y long")
+    fit = lambda: {  # noqa: E731
+        r["feature"]: r["w_micro"]
+        for r in poisson_fit(df, "y", [], n_steps=40, scale_den=16).collect()
+    }
+    out1, out2 = fit(), fit()
+    assert out1 == out2
+    assert out1["__n"] == 60 and out1["__sum_y"] == 180
+    # ln(3) = 1.0986; the 0.125-bucket table makes the fixed point land
+    # within one bucket of it
+    assert 950_000 <= out1["intercept"] <= 1_250_000
