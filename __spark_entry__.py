@@ -3139,6 +3139,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # staged-source parity: documents round-trip through CSV and JSONL
         # readers; checksum rows must equal the parquet-native read
+        "source_partitioned_pruning": lambda spark, sf_dir: __import__(
+            "flink_example_spark.sources.staged",
+            fromlist=["partitioned_pruning_roundtrip"],
+        ).partitioned_pruning_roundtrip(spark, sf_dir),
         "source_orc_roundtrip": lambda spark, sf_dir: __import__(
             "flink_example_spark.sources.staged", fromlist=["orc_roundtrip"]
         ).orc_roundtrip(spark, sf_dir),
@@ -5163,6 +5167,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.sources.staged import orc_roundtrip_oracle
 
     out["source_orc_roundtrip"] = orc_roundtrip_oracle()
+    from flink_example_spark.sources.staged import partitioned_pruning_oracle
+
+    out["source_partitioned_pruning"] = partitioned_pruning_oracle()
     out["curation_domain_cap"] = curation.domain_cap_oracle(cap=10)
     out["curation_pipeline"] = curation.curated_corpus_oracle(pattern=_BLOCKLIST_PATTERN)
     out["curation_doc_quality"] = curation.doc_quality_oracle(

@@ -240,6 +240,7 @@ HEADLINE = [
     "ml_quantile_fit",
     "ml_huber_fit",
     "ml_poisson_fit",
+    "source_partitioned_pruning",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

@@ -152,3 +152,58 @@ def orc_roundtrip_oracle() -> str:
         FROM documents
     """
     return " UNION ALL ".join(one.format(fmt=f) for f in ("parquet", "orc"))
+
+
+def partitioned_pruning_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + partition-pruned read parity: stage
+    documents partitioned by ``lang``, read back with a partition filter,
+    and emit per-slice checksum rows (full corpus, lang='en' via the
+    partition column, lang='en' from the flat parquet) — the middle row
+    proves the partition-encoded path reproduces the data EXACTLY (the
+    partition value round-trips through directory names, not file
+    contents). The pruned scan is also plan-pinned in
+    tests/test_plan_regressions.py (PartitionFilters, one directory)."""
+    from flink_example_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="staged_part_")
+    try:
+        pdir = os.path.join(tmp, "bylang")
+        docs.write.mode("overwrite").partitionBy("lang").parquet(pdir)
+        back = spark.read.schema(DOC_SCHEMA).parquet(pdir)
+        out = (
+            _checksum(docs, "flat_all")
+            .unionByName(_checksum(back.filter(F.col("lang") == "en"), "part_en"))
+            .unionByName(_checksum(docs.filter(F.col("lang") == "en"), "flat_en"))
+        )
+        rows = out.collect()  # temp-dir scratch: materialize before cleanup
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "format string, n_rows long, sum_doc_id long, sum_n_chars long,"
+        " text_checksum long",
+    )
+
+
+def partitioned_pruning_oracle() -> str:
+    """DuckDB twin: all three rows straight from the parquet table."""
+    one = """
+        SELECT '{fmt}' AS format, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+               CAST(SUM(CAST(concat('0x', substr(md5(concat(
+                 CAST(doc_id AS VARCHAR), '|', text)), 1, 8)) AS BIGINT))
+                 AS BIGINT) AS text_checksum
+        FROM documents {where}
+    """
+    return " UNION ALL ".join(
+        one.format(fmt=f, where=w)
+        for f, w in (
+            ("flat_all", ""),
+            ("part_en", "WHERE lang = 'en'"),
+            ("flat_en", "WHERE lang = 'en'"),
+        )
+    )

@@ -983,3 +983,28 @@ def test_densest_subgraph_broadcasts_survivors(spark):
     plan = physical(densest_subgraph(pairs, n_rounds=1))
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_partitioned_read_prunes_directories(spark):
+    """A lang filter on a lang-partitioned table must reach the scan as a
+    partition filter (directory pruning), not a post-scan filter."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    tmp = tempfile.mkdtemp(prefix="plan_part_")
+    try:
+        docs.write.mode("overwrite").partitionBy("lang").parquet(tmp + "/p")
+        back = spark.read.parquet(tmp + "/p").filter(F.col("lang") == "en")
+        plan = physical(back)
+        assert "PartitionFilters: [isnotnull(lang" in plan or (
+            "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+        )
+        # only the en directory is listed
+        listed = [d for d in os.listdir(tmp + "/p") if d.startswith("lang=")]
+        assert "lang=en" in listed
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
