@@ -2593,6 +2593,17 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeseries_acf": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.timeseries", fromlist=["acf"]
         ).acf(_events(spark, sf_dir), "event_type", "ts", "value"),
+        # lead-lag cross-correlation: error rate vs purchase rate by hour
+        # (the ACF device on two series; sqrt is the one portable
+        # non-integer power at the output boundary)
+        "timeseries_ccf": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries", fromlist=["ccf"]
+        ).ccf(
+            _events(spark, sf_dir),
+            "ts",
+            "event_type = 'error'",
+            "event_type = 'purchase'",
+        ),
         # classical additive decomposition: centered-MA trend in exact
         # 48th-units, per-phase (hour-of-day) seasonal profile
         "timeseries_decompose": lambda spark, sf_dir: __import__(
@@ -4906,6 +4917,11 @@ def _northstar_oracles() -> dict[str, str]:
     )
 
     out["timeseries_acf"] = acf_oracle("events", "event_type", "ts", "value")
+    from flink_example_spark.operators.timeseries import ccf_oracle
+
+    out["timeseries_ccf"] = ccf_oracle(
+        "events", "ts", "event_type = 'error'", "event_type = 'purchase'"
+    )
     from flink_example_spark.operators.timeseries import changepoint_oracle
 
     from flink_example_spark.operators.timeseries import survival_table_oracle

@@ -241,6 +241,7 @@ HEADLINE = [
     "ml_huber_fit",
     "ml_poisson_fit",
     "source_partitioned_pruning",
+    "timeseries_ccf",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

@@ -3109,3 +3109,123 @@ def rolling_slope_oracle(
         FROM framed
         WHERE n = {k} AND {k} * sxx - sx * sx <> 0
     """
+
+
+def ccf(
+    df: DataFrame,
+    ts_col: str,
+    a_pred: str,
+    b_pred: str,
+    max_lag: int = 6,
+    step_sec: int = 3600,
+) -> DataFrame:
+    """Lagged CROSS-correlation between two event series — "does series A
+    lead series B?" (the lead-lag diagnostic behind alerting rules and
+    Granger pre-screens; :func:`acf`'s two-series sibling). Series are
+    ``step_sec``-bucketed event COUNTS of the two predicates; correlation
+    at lag L pairs ``a(t)`` with ``b(t+L)`` for L in ``-max_lag..max_lag``
+    (positive L = A leads B).
+
+    Portability (the ACF device): bucket counts are exact BIGINTs;
+    centering subtracts the floor mean (non-negative operands — ``div``
+    == ``//``); numerator and the two denominators are exact BIGINT sums
+    of integer products; the output boundary is
+    ``num / sqrt(den_a * den_b)`` — one product, one sqrt (IEEE
+    exact-rounded, the repo's one portable non-integer power), one
+    division, identically shaped in both engines. Pairs come from
+    EXISTING buckets on both sides.
+
+    Output: ``(lag, n_pairs, num, den_a, den_b, ccf)``.
+
+    Scale: two hash aggregations to bucket counts + a lag-explode
+    equi-join (never a band join) + key-sized rollups.
+    """
+    step_us = int(step_sec) * 1_000_000
+    b_expr = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {step_us}")
+
+    def centered(pred: str) -> DataFrame:
+        h = (
+            df.filter(F.expr(pred))
+            .select(b_expr.alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        )
+        st = h.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+        return h.crossJoin(F.broadcast(st)).select(
+            "b", F.expr("x - (s div n)").alias("y")
+        )
+
+    ya = centered(a_pred).localCheckpoint()  # pair join + denominator
+    yb = centered(b_pred).localCheckpoint()
+    da = ya.agg(F.sum(F.col("y") * F.col("y")).alias("den_a"))
+    db = yb.agg(F.sum(F.col("y") * F.col("y")).alias("den_b"))
+    lags = F.explode(
+        F.array(*[F.lit(i) for i in range(-max_lag, max_lag + 1)])
+    ).alias("lag")
+    num = (
+        ya.select(F.col("b"), F.col("y").alias("yx"))
+        .select("b", "yx", lags)
+        .select((F.col("b") + F.col("lag")).alias("b"), "lag", "yx")
+        .join(yb.select("b", F.col("y").alias("yy")), "b")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("yx") * F.col("yy")).cast("long").alias("num"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(da))
+        .crossJoin(F.broadcast(db))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            "num",
+            F.col("den_a").cast("long").alias("den_a"),
+            F.col("den_b").cast("long").alias("den_b"),
+            (
+                F.col("num").cast("double")
+                / F.sqrt(F.col("den_a").cast("double") * F.col("den_b").cast("double"))
+            ).alias("ccf"),
+        )
+    )
+
+
+def ccf_oracle(
+    table: str,
+    ts_col: str,
+    a_pred: str,
+    b_pred: str,
+    max_lag: int = 6,
+    step_sec: int = 3600,
+) -> str:
+    """DuckDB twin of :func:`ccf`."""
+    step_us = int(step_sec) * 1_000_000
+
+    def centered(pred: str, name: str) -> str:
+        return f"""{name}_h AS MATERIALIZED (
+          SELECT epoch_us({ts_col}) // {step_us} AS b,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM {table} WHERE {pred} GROUP BY 1
+        ), {name} AS MATERIALIZED (
+          SELECT b, x - (SELECT CAST(SUM(x) AS BIGINT)
+                                // CAST(COUNT(*) AS BIGINT) FROM {name}_h) AS y
+          FROM {name}_h
+        )"""
+
+    lag_list = ", ".join(f"({i})" for i in range(-max_lag, max_lag + 1))
+    return f"""
+        WITH {centered(a_pred, "ya")}, {centered(b_pred, "yb")},
+        da AS (SELECT CAST(SUM(y * y) AS BIGINT) AS den_a FROM ya),
+        db AS (SELECT CAST(SUM(y * y) AS BIGINT) AS den_b FROM yb),
+        num AS (
+          SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(ya.y * yb.y) AS BIGINT) AS num
+          FROM ya CROSS JOIN (VALUES {lag_list}) l(lag)
+          JOIN yb ON yb.b = ya.b + l.lag
+          GROUP BY l.lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, n_pairs, num, den_a, den_b,
+               CAST(num AS DOUBLE)
+                 / sqrt(CAST(den_a AS DOUBLE) * CAST(den_b AS DOUBLE)) AS ccf
+        FROM num, da, db
+    """

@@ -614,3 +614,30 @@ def test_dtw_band_properties(spark):
     assert dist(band=2) >= full
     # the shift-1 alignment lives within |i-j| <= 2, so the band barely hurts
     assert dist(band=2) <= full + 2 * max(base)
+
+
+def test_ccf_detects_known_lead(spark):
+    """Series B is series A shifted by +2 buckets: the cross-correlation
+    must peak (exactly 1.0) at lag +2 and be symmetric-degraded away
+    from it."""
+    from datetime import datetime, timedelta
+
+    from flink_example_spark.operators.timeseries import ccf
+
+    base = datetime(2024, 3, 1)
+    rows = []
+    # A fires k times in hour t; B fires the same k times in hour t+2
+    pattern = [1, 3, 1, 5, 2, 4, 1, 2, 6, 1, 3, 2]
+    for t, k in enumerate(pattern):
+        for j in range(k):
+            rows.append((base + timedelta(hours=t, minutes=j), "a"))
+            rows.append((base + timedelta(hours=t + 2, minutes=j), "b"))
+    df = spark.createDataFrame(rows, "ts timestamp, kind string")
+    out = {
+        r["lag"]: r for r in ccf(
+            df, "ts", "kind = 'a'", "kind = 'b'", max_lag=3
+        ).collect()
+    }
+    assert out[2]["ccf"] == 1.0  # exact: identical centered series
+    assert out[2]["n_pairs"] == len(pattern)
+    assert all(out[lag]["ccf"] < 1.0 for lag in out if lag != 2)
