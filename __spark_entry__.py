@@ -2604,6 +2604,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type = 'error'",
             "event_type = 'purchase'",
         ),
+        # lead-lag LIVE: tagged bucket-count monoid in state; centering,
+        # lag pairing and the sqrt boundary at read time — BIT-equal to
+        # batch timeseries_ccf (shared oracle)
+        "streaming_ccf": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.timeseries_stream",
+            fromlist=["run_streaming_ccf"],
+        ).run_streaming_ccf(spark, sf_dir),
         # classical additive decomposition: centered-MA trend in exact
         # 48th-units, per-phase (hour-of-day) seasonal profile
         "timeseries_decompose": lambda spark, sf_dir: __import__(
@@ -4922,6 +4929,8 @@ def _northstar_oracles() -> dict[str, str]:
     out["timeseries_ccf"] = ccf_oracle(
         "events", "ts", "event_type = 'error'", "event_type = 'purchase'"
     )
+    # the live monitor converges to the batch cross-correlation exactly
+    out["streaming_ccf"] = out["timeseries_ccf"]
     from flink_example_spark.operators.timeseries import changepoint_oracle
 
     from flink_example_spark.operators.timeseries import survival_table_oracle

@@ -3135,28 +3135,43 @@ def ccf(
     division, identically shaped in both engines. Pairs come from
     EXISTING buckets on both sides.
 
-    Output: ``(lag, n_pairs, num, den_a, den_b, ccf)``.
+    Output: ``(lag, n_pairs, num, den_a, den_b, ccf)``. Predicates are
+    expected DISJOINT (a row matching both counts toward series A only).
 
-    Scale: two hash aggregations to bucket counts + a lag-explode
+    Scale: one hash aggregation to tagged bucket counts + a lag-explode
     equi-join (never a band join) + key-sized rollups.
     """
     step_us = int(step_sec) * 1_000_000
     b_expr = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {step_us}")
-
-    def centered(pred: str) -> DataFrame:
-        h = (
-            df.filter(F.expr(pred))
-            .select(b_expr.alias("b"))
-            .groupBy("b")
-            .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    counts = (
+        df.select(
+            b_expr.alias("b"),
+            F.when(F.expr(a_pred), F.lit("a"))
+            .when(F.expr(b_pred), F.lit("b"))
+            .alias("series"),
         )
+        .filter(F.col("series").isNotNull())
+        .groupBy("series", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    return ccf_from_counts(counts, max_lag=max_lag)
+
+
+def ccf_from_counts(counts: DataFrame, max_lag: int = 6) -> DataFrame:
+    """The read-time algebra of :func:`ccf` over a ``(series 'a'|'b', b,
+    x)`` bucket-count relation — split out so the live monitor
+    (``streaming/timeseries_stream.py::run_streaming_ccf``) can keep the
+    two count monoids as its only streaming state."""
+
+    def centered(tag: str) -> DataFrame:
+        h = counts.filter(F.col("series") == tag).select("b", "x")
         st = h.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
         return h.crossJoin(F.broadcast(st)).select(
             "b", F.expr("x - (s div n)").alias("y")
         )
 
-    ya = centered(a_pred).localCheckpoint()  # pair join + denominator
-    yb = centered(b_pred).localCheckpoint()
+    ya = centered("a").localCheckpoint()  # pair join + denominator
+    yb = centered("b").localCheckpoint()
     da = ya.agg(F.sum(F.col("y") * F.col("y")).alias("den_a"))
     db = yb.agg(F.sum(F.col("y") * F.col("y")).alias("den_b"))
     lags = F.explode(

@@ -1177,3 +1177,45 @@ def run_streaming_rolling_slope(
         .agg(F.max("vq").alias("vq"))
     )
     return rolling_slope_from_daily(latest, k)
+
+
+def run_streaming_ccf(
+    spark: SparkSession, sf_dir: str, max_lag: int = 6
+) -> DataFrame:
+    """LIVE lead-lag monitor: the only streaming state is the tagged
+    hourly bucket-count monoid for the two series (ONE update-mode JVM
+    aggregation); centering, the lag-explode pairing and the
+    num/sqrt(da*db) boundary (``timeseries.ccf_from_counts``) run at
+    read time over the sink. BIT-equal to the batch ``timeseries_ccf``
+    (shared oracle) — the "are errors leading purchase drops?" alarm
+    kept hot at ingest."""
+    from flink_example_spark.operators.timeseries import ccf_from_counts
+
+    tune(spark)
+    ev = stream_events(spark, sf_dir)
+    step_us = 3600 * 1_000_000
+    counts = (
+        ev.select(
+            F.expr(f"unix_micros(cast(ts as timestamp)) div {step_us}").alias("b"),
+            F.when(F.expr("event_type = 'error'"), F.lit("a"))
+            .when(F.expr("event_type = 'purchase'"), F.lit("b"))
+            .alias("series"),
+        )
+        .filter(F.col("series").isNotNull())
+        .groupBy("series", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    name = f"stream_ccf_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            counts.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = spark.table(name).groupBy("series", "b").agg(
+        F.max("x").alias("x")
+    )
+    return ccf_from_counts(latest, max_lag=max_lag)
