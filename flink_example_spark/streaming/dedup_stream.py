@@ -106,9 +106,14 @@ def run_streaming_text_features(spark: SparkSession, sf_dir: str, chunks: int = 
 def _stage_by_id(spark: SparkSession, sf_dir: str, chunks: int) -> tuple[str, object]:
     """Stage the documents table as id-ordered chunk files so arrival order
     follows doc_id (first-seen == min-id). Range filters only — no row data
-    crosses the driver."""
+    crosses the driver. Session-memoized (immutable once stamped) — see
+    ``staging.stage_table_by_key``."""
+    from flink_example_spark.streaming.staging import _STAGE_MEMO
     from flink_example_spark.tables import load_table
 
+    memo_key = (spark.sparkContext.applicationId, sf_dir, "documents", "doc_id", chunks)
+    if memo_key in _STAGE_MEMO:
+        return _STAGE_MEMO[memo_key]
     docs = load_table(spark, sf_dir, "documents")
     tmpdir = tempfile.mkdtemp(prefix="stream_dedup_")
     cuts = (
@@ -130,6 +135,7 @@ def _stage_by_id(spark: SparkSession, sf_dir: str, chunks: int) -> tuple[str, ob
         part.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmpdir, f"chunk_{i}"))
     # arrival order = chunk index via explicit mtimes (not write timing)
     stamp_chunk_mtimes(tmpdir)
+    _STAGE_MEMO[memo_key] = (tmpdir, docs.schema)
     return tmpdir, docs.schema
 
 

@@ -42,17 +42,30 @@ def stamp_chunk_mtimes(tmpdir: str) -> None:
             os.utime(os.path.join(d, f), (ts, ts))
 
 
+_STAGE_MEMO: dict = {}
+
+
 def stage_table_by_key(spark, sf_dir: str, table: str, key_col: str, chunks: int):
     """Stage any harness table as key-ordered chunk files for bounded
     replay (the generalization of ``dedup_stream._stage_by_id``, which
     predates it and stages the documents table). Range filters only —
-    no row data crosses the driver. Returns (tmpdir, schema)."""
+    no row data crosses the driver. Returns (tmpdir, schema).
+
+    Session-memoized: a sweep runs dozens of bounded-replay twins, and
+    re-staging the same deterministic chunk files per twin is pure
+    waste — the staged dir is immutable once stamped, so every
+    identically-parameterized caller shares it."""
     import tempfile
 
     from pyspark.sql import functions as F
 
     from flink_example_spark.tables import load_table
 
+    memo_key = (
+        spark.sparkContext.applicationId, sf_dir, table, key_col, chunks
+    )
+    if memo_key in _STAGE_MEMO:
+        return _STAGE_MEMO[memo_key]
     df = load_table(spark, sf_dir, table)
     tmpdir = tempfile.mkdtemp(prefix=f"stream_{table}_")
     cuts = (
@@ -77,4 +90,5 @@ def stage_table_by_key(spark, sf_dir: str, table: str, key_col: str, chunks: int
             os.path.join(tmpdir, f"chunk_{i}")
         )
     stamp_chunk_mtimes(tmpdir)
+    _STAGE_MEMO[memo_key] = (tmpdir, df.schema)
     return tmpdir, df.schema
