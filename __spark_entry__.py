@@ -2593,6 +2593,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeseries_acf": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.timeseries", fromlist=["acf"]
         ).acf(_events(spark, sf_dir), "event_type", "ts", "value"),
+        # Cox proportional hazards: does ERROR exposure raise the churn
+        # hazard? Breslow score over per-time at-risk counts (computed
+        # once, beta-independent); exp via the embedded table
+        "timeseries_cox": _timeseries_cox,
         # lead-lag cross-correlation: error rate vs purchase rate by hour
         # (the ACF device on two series; sqrt is the one portable
         # non-integer power at the output boundary)
@@ -4924,6 +4928,26 @@ def _northstar_oracles() -> dict[str, str]:
     )
 
     out["timeseries_acf"] = acf_oracle("events", "event_type", "ts", "value")
+    from flink_example_spark.operators.timeseries import cox_fit_oracle
+
+    out["timeseries_cox"] = cox_fit_oracle(
+        """WITH per AS (
+             SELECT user_id,
+                    MIN(epoch_us(ts)) AS first_us,
+                    MAX(epoch_us(ts)) AS last_us,
+                    CASE WHEN SUM(CASE WHEN event_type = 'error' THEN 1
+                                  ELSE 0 END) * 5 >= COUNT(*)
+                         THEN 1 ELSE 0 END AS x
+             FROM events GROUP BY user_id
+           ), cm AS (SELECT MAX(last_us) AS cm FROM per)
+           SELECT (last_us - first_us) // 3600000000 AS dur_h,
+                  CASE WHEN last_us <= cm - 86400000000 THEN 1 ELSE 0 END AS d,
+                  x
+           FROM per, cm""",
+        "dur_h",
+        "d",
+        "x",
+    )
     from flink_example_spark.operators.timeseries import ccf_oracle
 
     out["timeseries_ccf"] = ccf_oracle(
@@ -5926,6 +5950,36 @@ def _ml_huber_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tok_b"),
     )
     return huber_fit(feats, "y_b", ["tok_b"], n_steps=12)
+
+
+def _timeseries_cox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.timeseries import cox_fit
+    from flink_example_spark.plans.events_demo import load_events
+
+    ev = load_events(spark, sf_dir)
+    per = ev.groupBy("user_id").agg(
+        F.expr("min(unix_micros(cast(ts as timestamp)))").alias("first_us"),
+        F.expr("max(unix_micros(cast(ts as timestamp)))").alias("last_us"),
+        # exposure = error share >= 20% (every user has SOME errors, so
+        # presence alone is a degenerate covariate)
+        F.expr(
+            "CAST(sum(CAST(event_type = 'error' AS INT)) * 5 >= count(*) AS INT)"
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    cmax = per.agg(F.max("last_us").alias("cm"))
+    units = per.crossJoin(F.broadcast(cmax)).select(
+        F.expr("(last_us - first_us) div 3600000000").alias("dur_h"),
+        # censored if still active in the corpus's final 24h
+        F.expr("CAST(last_us <= cm - 86400000000 AS INT)")
+        .cast("long")
+        .alias("d"),
+        "x",
+    )
+    return cox_fit(units, "dur_h", "d", "x")
 
 
 def _ml_poisson_fit(spark: SparkSession, sf_dir: str) -> DataFrame:

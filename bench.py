@@ -242,6 +242,7 @@ HEADLINE = [
     "ml_poisson_fit",
     "source_partitioned_pruning",
     "timeseries_ccf",
+    "timeseries_cox",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

@@ -3244,3 +3244,212 @@ def ccf_oracle(
                  / sqrt(CAST(den_a AS DOUBLE) * CAST(den_b AS DOUBLE)) AS ccf
         FROM num, da, db
     """
+
+
+def cox_fit(
+    units: DataFrame,
+    dur_col: str,
+    event_col: str,
+    x_col: str,
+    n_steps: int = 12,
+    scale_den: int = 4,
+) -> DataFrame:
+    """Cox proportional-hazards regression with ONE binary covariate —
+    "does exposure raise the churn hazard, controlling for time at
+    risk?" (the survival-analysis sibling of :func:`logistic fit
+    <flink_example_spark.operators.ml.logistic_fit>`; the log-rank row
+    tests the same question, this ESTIMATES the effect size as a hazard
+    ratio ``exp(beta)``).
+
+    Breslow partial likelihood, binary ``x``: the score collapses onto
+    per-distinct-time counts — ``g(beta) = sum_t [d1(t) - (d1+d0)(t) *
+    n1(t)*E / (n0(t)*1e6 + n1(t)*E)]`` with ``E = exp_micro(beta)`` from
+    the embedded exp table — so the at-risk structure ``(t, d0, d1, n0,
+    n1)`` is computed ONCE (beta-independent) and every descent step
+    aggregates only the bounded distinct-time relation. All integers:
+    the ratio is one non-negative BIGINT division, the update is the
+    sign-safe division form.
+
+    ``units``: one row per subject with integer ``dur_col`` (time at
+    risk), ``event_col`` in {0,1} (1 = event, 0 = censored) and binary
+    ``x_col``. Output (tall, scalar): ``('beta', beta_micro)`` +
+    ``('hazard_ratio_micro', exp-table value at beta)`` + audit rows
+    ``__n_units``, ``__n_events``, ``__n_treated``.
+
+    Scale: one pass to (dur, x) counts; at-risk cumsums are per-x-group
+    windows over the DISTINCT-duration relation (value-cardinality, not
+    row-cardinality); the step loop never touches row data again.
+    """
+    u = units.select(
+        F.col(dur_col).cast("long").alias("t"),
+        F.col(event_col).cast("long").alias("d"),
+        F.col(x_col).cast("long").alias("x"),
+    ).localCheckpoint()
+    per = u.groupBy("t", "x").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("d").alias("de"),
+    )
+    w = Window.partitionBy("x").orderBy(F.col("t").desc())
+    ar = per.select(
+        "t", "x", "de", F.sum("c").over(w).alias("at_risk")
+    )
+    risk = (
+        ar.groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("x") == 1, F.col("de")).otherwise(0)).alias("d1"),
+            F.sum(F.when(F.col("x") == 0, F.col("de")).otherwise(0)).alias("d0"),
+            F.sum(F.when(F.col("x") == 1, F.col("at_risk")).otherwise(0)).alias("n1r"),
+            F.sum(F.when(F.col("x") == 0, F.col("at_risk")).otherwise(0)).alias("n0r"),
+        )
+        # at_risk is per-(t,x) of EXISTING rows; a time with no x-group row
+        # still has that group at risk — fill from the next-lower existing
+        # row via a running max over descending t of the per-group value
+        .withColumn(
+            "n1",
+            F.max("n1r").over(Window.orderBy(F.col("t").desc()).rowsBetween(
+                Window.unboundedPreceding, 0
+            )),
+        )
+        .withColumn(
+            "n0",
+            F.max("n0r").over(Window.orderBy(F.col("t").desc()).rowsBetween(
+                Window.unboundedPreceding, 0
+            )),
+        )
+        .filter((F.col("d1") + F.col("d0")) > 0)
+        .select("t", "d1", "d0", F.coalesce("n1", F.lit(0)).alias("n1"),
+                F.coalesce("n0", F.lit(0)).alias("n0"))
+        .localCheckpoint()  # the step loop re-reads this tiny relation
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("ev"),
+        F.sum("x").alias("tr"),
+    ).first()
+    n_ev = int(tot["ev"] or 0)
+    beta = 0
+    for _ in range(n_steps):
+        # beta is parameter-sized and driver-known each step, so its exp
+        # lookup happens in Python with the SAME clamp-shift bucket
+        # arithmetic (_exp_val) and lands in the plan as a literal — the
+        # DuckDB twin evaluates the identical expression over its weight
+        # CTE and hits the same table cell
+        ratio = F.expr(
+            f"(n1 * {_exp_val(beta)} * 1000000)"
+            f" div (n0 * 1000000 + n1 * {_exp_val(beta)})"
+        )
+        g = risk.agg(
+            F.sum(
+                F.col("d1") * F.lit(1_000_000)
+                - (F.col("d1") + F.col("d0")) * ratio
+            ).alias("g")
+        ).first()["g"]
+        g = int(g or 0)
+        beta = beta + (1 if g >= 0 else -1) * (abs(g) // (scale_den * max(n_ev, 1)))
+    rows = [
+        ("beta", int(beta)),
+        ("hazard_ratio_micro", int(_exp_val(beta))),
+        ("__n_units", int(tot["n"])),
+        ("__n_events", n_ev),
+        ("__n_treated", int(tot["tr"] or 0)),
+    ]
+    return units.sparkSession.createDataFrame(rows, "feature string, w_micro long")
+
+
+def _exp_val(beta_micro: int) -> int:
+    """Driver-side exp-table lookup for a WEIGHT (parameter-sized, known
+    on the driver each step) — the same clamp-shift bucket arithmetic as
+    the in-plan `_exp_bucket_sql`, evaluated in Python so the step's
+    DuckDB twin (which inlines the identical integer expression over its
+    weight CTE) lands on the same table cell."""
+    from flink_example_spark.operators.ml import (
+        _EXP_CLAMP_HI,
+        _EXP_CLAMP_LO,
+        _EXP_TABLE,
+        _SIG_STEP,
+    )
+
+    zc = max(min(int(beta_micro), _EXP_CLAMP_HI - 1), _EXP_CLAMP_LO)
+    return _EXP_TABLE[(zc - _EXP_CLAMP_LO) // _SIG_STEP]
+
+
+def cox_fit_oracle(
+    units_sql: str,
+    dur_sql: str,
+    event_sql: str,
+    x_sql: str,
+    n_steps: int = 12,
+    scale_den: int = 4,
+) -> str:
+    """DuckDB twin of :func:`cox_fit` (unrolled MATERIALIZED CTE steps;
+    the exp lookup indexes the same embedded table with the same
+    clamp-shift arithmetic over the weight CTE)."""
+    from flink_example_spark.operators.ml import (
+        _EXP_CLAMP_HI,
+        _EXP_CLAMP_LO,
+        _EXP_TABLE,
+        _SIG_STEP,
+    )
+
+    lit = "[" + ",".join(str(v) for v in _EXP_TABLE) + "]"
+
+    def exp_of(bexpr: str) -> str:
+        zc = f"greatest(least({bexpr}, {_EXP_CLAMP_HI - 1}), {_EXP_CLAMP_LO})"
+        return f"({lit})[((({zc}) + {-_EXP_CLAMP_LO}) // {_SIG_STEP}) + 1]"
+
+    parts = [
+        f"""u AS MATERIALIZED (
+          SELECT CAST(({dur_sql}) AS BIGINT) AS t,
+                 CAST(({event_sql}) AS BIGINT) AS d,
+                 CAST(({x_sql}) AS BIGINT) AS x
+          FROM ({units_sql})),
+        per AS MATERIALIZED (
+          SELECT t, x, CAST(COUNT(*) AS BIGINT) AS c,
+                 CAST(SUM(d) AS BIGINT) AS de
+          FROM u GROUP BY 1, 2),
+        ar AS MATERIALIZED (
+          SELECT t, x, de,
+                 CAST(SUM(c) OVER (PARTITION BY x ORDER BY t DESC) AS BIGINT)
+                   AS at_risk
+          FROM per),
+        risk AS MATERIALIZED (
+          SELECT t, d1, d0, COALESCE(n1, 0) AS n1, COALESCE(n0, 0) AS n0
+          FROM (
+            SELECT t,
+                   CAST(SUM(CASE WHEN x = 1 THEN de ELSE 0 END) AS BIGINT) AS d1,
+                   CAST(SUM(CASE WHEN x = 0 THEN de ELSE 0 END) AS BIGINT) AS d0,
+                   MAX(CAST(SUM(CASE WHEN x = 1 THEN at_risk ELSE 0 END) AS BIGINT))
+                     OVER (ORDER BY t DESC) AS n1,
+                   MAX(CAST(SUM(CASE WHEN x = 0 THEN at_risk ELSE 0 END) AS BIGINT))
+                     OVER (ORDER BY t DESC) AS n0
+            FROM ar GROUP BY t
+          ) WHERE d1 + d0 > 0),
+        meta AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(d) AS BIGINT) AS ev,
+                 CAST(SUM(x) AS BIGINT) AS tr
+          FROM u),
+        b0 AS (SELECT CAST(0 AS BIGINT) AS beta)"""
+    ]
+    for s in range(n_steps):
+        e = exp_of(f"b{s}.beta")
+        parts.append(
+            f"""g{s} AS MATERIALIZED (
+              SELECT CAST(SUM(d1 * 1000000 - (d1 + d0) *
+                ((n1 * {e} * 1000000) // (n0 * 1000000 + n1 * {e})))
+                AS BIGINT) AS g
+              FROM risk, b{s}),
+            b{s + 1} AS MATERIALIZED (
+              SELECT b{s}.beta + (CASE WHEN g{s}.g >= 0 THEN 1 ELSE -1 END)
+                     * (abs(g{s}.g) // ({scale_den} * greatest(meta.ev, 1)))
+                AS beta
+              FROM b{s}, g{s}, meta)"""
+        )
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT 'beta' AS feature, beta AS w_micro FROM b{n_steps}
+        UNION ALL SELECT 'hazard_ratio_micro', {exp_of(f"b{n_steps}.beta")}
+          FROM b{n_steps}
+        UNION ALL SELECT '__n_units', n FROM meta
+        UNION ALL SELECT '__n_events', ev FROM meta
+        UNION ALL SELECT '__n_treated', tr FROM meta
+    """

@@ -641,3 +641,35 @@ def test_ccf_detects_known_lead(spark):
     assert out[2]["ccf"] == 1.0  # exact: identical centered series
     assert out[2]["n_pairs"] == len(pattern)
     assert all(out[lag]["ccf"] < 1.0 for lag in out if lag != 2)
+
+
+def test_cox_fit_detects_planted_hazard(spark):
+    """Exposed units churn twice as fast (durations 1..10 vs 2..20): the
+    fitted beta must be positive (hazard ratio > 1), and a rerun is
+    bit-identical. A constant covariate yields a zero score and beta 0."""
+    from flink_example_spark.operators.timeseries import cox_fit
+
+    rows = [(d, 1, 1) for d in range(1, 11)] * 4 + [
+        (2 * d, 1, 0) for d in range(1, 11)
+    ] * 4
+    df = spark.createDataFrame(rows, "dur long, d long, x long")
+    out1 = {
+        r["feature"]: r["w_micro"]
+        for r in cox_fit(df, "dur", "d", "x", n_steps=20).collect()
+    }
+    out2 = {
+        r["feature"]: r["w_micro"]
+        for r in cox_fit(df, "dur", "d", "x", n_steps=20).collect()
+    }
+    assert out1 == out2
+    assert out1["__n_units"] == 80 and out1["__n_events"] == 80
+    assert out1["beta"] > 0
+    assert out1["hazard_ratio_micro"] > 1_000_000
+    const = spark.createDataFrame(
+        [(d, 1, 1) for d in range(1, 11)], "dur long, d long, x long"
+    )
+    cz = {
+        r["feature"]: r["w_micro"]
+        for r in cox_fit(const, "dur", "d", "x", n_steps=5).collect()
+    }
+    assert cz["beta"] == 0
