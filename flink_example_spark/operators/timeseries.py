@@ -3276,49 +3276,43 @@ def cox_fit(
     ``('hazard_ratio_micro', exp-table value at beta)`` + audit rows
     ``__n_units``, ``__n_events``, ``__n_treated``.
 
-    Scale: one pass to (dur, x) counts; at-risk cumsums are per-x-group
-    windows over the DISTINCT-duration relation (value-cardinality, not
-    row-cardinality); the step loop never touches row data again.
+    Scale: one pass to per-time group counts; the at-risk closure is a
+    distributed running sum over the distinct-time relation (the
+    two-phase dist_cumsum device — no unpartitioned window anywhere);
+    the step loop never touches row data again.
     """
+    from flink_example_spark.operators.distrank import dist_cumsum
+
     u = units.select(
         F.col(dur_col).cast("long").alias("t"),
         F.col(event_col).cast("long").alias("d"),
         F.col(x_col).cast("long").alias("x"),
     ).localCheckpoint()
-    per = u.groupBy("t", "x").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.sum("d").alias("de"),
+    # one row per distinct time with BOTH groups' unit/event counts as
+    # columns, so the at-risk closure is a single distributed running sum
+    # (dist_cumsum — never an unpartitioned window):
+    # n_x(t) = total_x - #{x-units with dur < t}
+    cnt = u.groupBy("t").agg(
+        F.sum(F.when(F.col("x") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("x") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("x") == 1, F.col("d")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("x") == 0, F.col("d")).otherwise(0)).alias("d0"),
     )
-    w = Window.partitionBy("x").orderBy(F.col("t").desc())
-    ar = per.select(
-        "t", "x", "de", F.sum("c").over(w).alias("at_risk")
+    cum = dist_cumsum(cnt, ["t"], {"cum1": "c1", "cum0": "c0"})
+    tots = u.agg(
+        F.sum("x").alias("tot1"),
+        F.sum(F.lit(1) - F.col("x")).alias("tot0"),
     )
     risk = (
-        ar.groupBy("t")
-        .agg(
-            F.sum(F.when(F.col("x") == 1, F.col("de")).otherwise(0)).alias("d1"),
-            F.sum(F.when(F.col("x") == 0, F.col("de")).otherwise(0)).alias("d0"),
-            F.sum(F.when(F.col("x") == 1, F.col("at_risk")).otherwise(0)).alias("n1r"),
-            F.sum(F.when(F.col("x") == 0, F.col("at_risk")).otherwise(0)).alias("n0r"),
-        )
-        # at_risk is per-(t,x) of EXISTING rows; a time with no x-group row
-        # still has that group at risk — fill from the next-lower existing
-        # row via a running max over descending t of the per-group value
-        .withColumn(
-            "n1",
-            F.max("n1r").over(Window.orderBy(F.col("t").desc()).rowsBetween(
-                Window.unboundedPreceding, 0
-            )),
-        )
-        .withColumn(
-            "n0",
-            F.max("n0r").over(Window.orderBy(F.col("t").desc()).rowsBetween(
-                Window.unboundedPreceding, 0
-            )),
-        )
+        cum.crossJoin(F.broadcast(tots))
         .filter((F.col("d1") + F.col("d0")) > 0)
-        .select("t", "d1", "d0", F.coalesce("n1", F.lit(0)).alias("n1"),
-                F.coalesce("n0", F.lit(0)).alias("n0"))
+        .select(
+            "t",
+            "d1",
+            "d0",
+            (F.col("tot1") - (F.col("cum1") - F.col("c1"))).alias("n1"),
+            (F.col("tot0") - (F.col("cum0") - F.col("c0"))).alias("n0"),
+        )
         .localCheckpoint()  # the step loop re-reads this tiny relation
     )
     tot = u.agg(
