@@ -3281,40 +3281,13 @@ def cox_fit(
     two-phase dist_cumsum device — no unpartitioned window anywhere);
     the step loop never touches row data again.
     """
-    from flink_example_spark.operators.distrank import dist_cumsum
-
     u = units.select(
         F.col(dur_col).cast("long").alias("t"),
         F.col(event_col).cast("long").alias("d"),
         F.col(x_col).cast("long").alias("x"),
     ).localCheckpoint()
-    # one row per distinct time with BOTH groups' unit/event counts as
-    # columns, so the at-risk closure is a single distributed running sum
-    # (dist_cumsum — never an unpartitioned window):
-    # n_x(t) = total_x - #{x-units with dur < t}
-    cnt = u.groupBy("t").agg(
-        F.sum(F.when(F.col("x") == 1, 1).otherwise(0)).alias("c1"),
-        F.sum(F.when(F.col("x") == 0, 1).otherwise(0)).alias("c0"),
-        F.sum(F.when(F.col("x") == 1, F.col("d")).otherwise(0)).alias("d1"),
-        F.sum(F.when(F.col("x") == 0, F.col("d")).otherwise(0)).alias("d0"),
-    )
-    cum = dist_cumsum(cnt, ["t"], {"cum1": "c1", "cum0": "c0"})
-    tots = u.agg(
-        F.sum("x").alias("tot1"),
-        F.sum(F.lit(1) - F.col("x")).alias("tot0"),
-    )
-    risk = (
-        cum.crossJoin(F.broadcast(tots))
-        .filter((F.col("d1") + F.col("d0")) > 0)
-        .select(
-            "t",
-            "d1",
-            "d0",
-            (F.col("tot1") - (F.col("cum1") - F.col("c1"))).alias("n1"),
-            (F.col("tot0") - (F.col("cum0") - F.col("c0"))).alias("n0"),
-        )
-        .localCheckpoint()  # the step loop re-reads this tiny relation
-    )
+    # the step loop re-reads this tiny relation — cut once
+    risk = _cox_risk(u).localCheckpoint()
     tot = u.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("d").alias("ev"),
@@ -3348,6 +3321,39 @@ def cox_fit(
         ("__n_treated", int(tot["tr"] or 0)),
     ]
     return units.sparkSession.createDataFrame(rows, "feature string, w_micro long")
+
+
+def _cox_risk(u: DataFrame) -> DataFrame:
+    """Breslow at-risk structure ``(t, d1, d0, n1, n0)`` over a ``(t, d,
+    x)`` unit relation: one row per distinct time with BOTH groups'
+    unit/event counts as columns, so the at-risk closure is a single
+    distributed running sum (dist_cumsum, the two-phase device — never
+    an unpartitioned window): ``n_x(t) = total_x - #{x-units, dur < t}``
+    (exclusive prefix — at-risk includes dur >= t)."""
+    from flink_example_spark.operators.distrank import dist_cumsum
+
+    cnt = u.groupBy("t").agg(
+        F.sum(F.when(F.col("x") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("x") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("x") == 1, F.col("d")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("x") == 0, F.col("d")).otherwise(0)).alias("d0"),
+    )
+    cum = dist_cumsum(cnt, ["t"], {"cum1": "c1", "cum0": "c0"})
+    tots = u.agg(
+        F.sum("x").alias("tot1"),
+        F.sum(F.lit(1) - F.col("x")).alias("tot0"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tots))
+        .filter((F.col("d1") + F.col("d0")) > 0)
+        .select(
+            "t",
+            "d1",
+            "d0",
+            (F.col("tot1") - (F.col("cum1") - F.col("c1"))).alias("n1"),
+            (F.col("tot0") - (F.col("cum0") - F.col("c0"))).alias("n0"),
+        )
+    )
 
 
 def _exp_val(beta_micro: int) -> int:

@@ -1014,10 +1014,10 @@ def test_cox_risk_uses_two_phase_cumsum(spark):
     """The Cox at-risk closure must rank via the distributed two-phase
     device (range-bucketed cumsum), not an unpartitioned window over the
     time relation; no cartesian beyond the one-row totals broadcast."""
-    from flink_example_spark.operators.timeseries import cox_fit
+    from flink_example_spark.operators.timeseries import _cox_risk
 
     rows = [(d, 1, d % 2) for d in range(1, 40)]
-    units = spark.createDataFrame(rows, "dur long, d long, x long")
-    plan = physical(cox_fit(units, "dur", "d", "x", n_steps=1))
+    u = spark.createDataFrame(rows, "t long, d long, x long")
+    plan = physical(_cox_risk(u))
     assert "rangepartitioning" in plan
     assert "CartesianProduct" not in plan
