@@ -2613,6 +2613,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hazard? Breslow score over per-time at-risk counts (computed
         # once, beta-independent); exp via the embedded table
         "timeseries_cox": _timeseries_cox,
+        # churn-hazard LIVE: per-user first/last/error-count monoid in
+        # state; censoring + at-risk closure + Breslow descent at read
+        # time — BIT-equal to batch timeseries_cox (shared oracle)
+        "streaming_cox": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.timeseries_stream",
+            fromlist=["run_streaming_cox"],
+        ).run_streaming_cox(spark, sf_dir),
         # lead-lag cross-correlation: error rate vs purchase rate by hour
         # (the ACF device on two series; sqrt is the one portable
         # non-integer power at the output boundary)
@@ -4971,6 +4978,8 @@ def _northstar_oracles() -> dict[str, str]:
     )
     # the live monitor converges to the batch cross-correlation exactly
     out["streaming_ccf"] = out["timeseries_ccf"]
+    # the live hazard monitor converges to the batch Cox fit exactly
+    out["streaming_cox"] = out["timeseries_cox"]
     from flink_example_spark.operators.timeseries import changepoint_oracle
 
     from flink_example_spark.operators.timeseries import survival_table_oracle

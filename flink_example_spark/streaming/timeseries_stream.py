@@ -1219,3 +1219,59 @@ def run_streaming_ccf(
         F.max("x").alias("x")
     )
     return ccf_from_counts(latest, max_lag=max_lag)
+
+
+def run_streaming_cox(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """LIVE churn-hazard monitor: the only streaming state is the
+    per-user ``(first_ts, last_ts, error-share counts)`` min/max/sum
+    monoid (ONE update-mode JVM aggregation, user-cardinality-sized);
+    censoring, durations, the at-risk closure and the Breslow descent
+    (``timeseries.cox_fit``) all run at read time over the sink.
+    BIT-equal to the batch ``timeseries_cox`` (shared oracle) — the
+    hazard-ratio estimate a retention dashboard keeps hot as events
+    arrive."""
+    from flink_example_spark.operators.timeseries import cox_fit
+    from flink_example_spark.streaming.staging import stage_table_by_key
+
+    tune(spark)
+    tmpdir, schema = stage_table_by_key(
+        spark, sf_dir, "events", "event_id", chunks
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/chunk_*")
+    )
+    per = stream.groupBy("user_id").agg(
+        F.expr("min(unix_micros(cast(ts as timestamp)))").alias("first_us"),
+        F.expr("max(unix_micros(cast(ts as timestamp)))").alias("last_us"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("ne"),
+        F.count(F.lit(1)).alias("nt"),
+    )
+    name = f"stream_cox_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            per.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # update-mode sink keeps every emitted version; first only shrinks,
+    # the rest only grow — take the per-user envelope
+    latest = spark.table(name).groupBy("user_id").agg(
+        F.min("first_us").alias("first_us"),
+        F.max("last_us").alias("last_us"),
+        F.max("ne").alias("ne"),
+        F.max("nt").alias("nt"),
+    )
+    cmax = latest.agg(F.max("last_us").alias("cm"))
+    units = latest.crossJoin(F.broadcast(cmax)).select(
+        F.expr("(last_us - first_us) div 3600000000").alias("dur_h"),
+        F.expr("CAST(last_us <= cm - 86400000000 AS INT)").cast("long").alias("d"),
+        F.expr("CAST(ne * 5 >= nt AS INT)").cast("long").alias("x"),
+    )
+    return cox_fit(units, "dur_h", "d", "x")
