@@ -1684,6 +1684,15 @@ def greedy_coverage(
     Scale: corpus grams never shuffle for the anti-join (covered side
     broadcasts); the per-round aggregate is the only exchange. Rounds
     are k, a constant.
+
+    k-BOUNDED CONTRACT: greedy max-coverage is inherently sequential —
+    the operator makes exactly k driver round-trips, each collecting ONE
+    winner row while all per-round work (anti-join + count) stays
+    distributed. This is the right shape for coreset-sized k (tens);
+    for k in the thousands use a lazy-submodular/stochastic-greedy
+    variant (sample candidate pool per round) instead of this exact
+    form. The covered-set broadcast is k * per-doc grams — bounded by
+    the selection, never corpus-sized.
     """
     spark = documents.sparkSession
     grams = (

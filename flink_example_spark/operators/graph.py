@@ -1347,7 +1347,15 @@ def ktruss(
     join bounded by O(sqrt(m)) out-degree — never raw deg² on hubs) +
     one equi-join back to the edge set; edges localCheckpoint per round
     (DESIGN.md iterative-loop rule).
+
+    Requires ``k >= 3``: the support relation comes from an inner join
+    against per-edge triangle counts, which drops triangle-free edges —
+    correct for any real truss (k-2 >= 1) but a k<=2 "truss" would have
+    to KEEP them, so that regime is rejected rather than silently
+    deviating from the definition.
     """
+    if k < 3:
+        raise ValueError("ktruss requires k >= 3 (k<=2 is the raw edge set)")
     e = (
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
         .filter(F.col("x") != F.col("y"))
@@ -1381,6 +1389,8 @@ def ktruss_oracle(
     MATERIALIZED CTEs (each round's edge set feeds the three-way triangle
     self-join AND the survivor join — the DESIGN.md inlining rule).
     ``pairs_sql`` must yield canonical ``(a, b)`` with ``a < b``."""
+    if k < 3:
+        raise ValueError("ktruss requires k >= 3 (k<=2 is the raw edge set)")
     if neighbor_cap is None:
         e0 = f"SELECT DISTINCT a, b FROM ({pairs_sql}) WHERE a <> b"
     else:

@@ -2257,6 +2257,9 @@ def feature_importance(
         )
         parts.append(stump.select(F.lit(name).alias("feature"), *stump.columns))
     allf = reduce(lambda a, b: a.unionByName(b), parts)
+    # Unpartitioned window is safe here: the ranked relation has exactly
+    # len(features) rows (one best stump per screened feature), bounded by
+    # the caller's feature list — never data-scaled.
     w = Window.orderBy("gini_cost", "feature")
     return allf.select(
         "feature",
@@ -2989,6 +2992,15 @@ def ridge_path_oracle(
     """
 
 
+def _argmin1(scored: DataFrame, order_cols: list, keep_cols: list) -> DataFrame:
+    """Global deterministic argmin as ``orderBy().limit(1)`` —
+    TakeOrderedAndProject keeps a 1-row heap per partition and merges on
+    the driver, never a single-task sort over the candidate relation
+    (which scales with feature/value cardinality in the split searches).
+    ``order_cols`` must be a total order for a deterministic winner."""
+    return scored.orderBy(*order_cols).limit(1).select(*keep_cols)
+
+
 def gbm_stumps(
     df: DataFrame,
     target_sql: str,
@@ -3097,13 +3109,11 @@ def gbm_stumps(
             ).alias("cost"),
             F.expr(f"(s - sl) div ({lr_den} * (n - nl))").alias("leaf_r"),
         )
-        top = Window.orderBy("cost", "feat", "xq")
-        best = (
-            scored.withColumn("__rn", F.row_number().over(top))
-            .filter(F.col("__rn") == 1)
-            .select("feat", F.col("xq").alias("cut_q"), "nl", "nr", "leaf_l", "leaf_r")
-            .localCheckpoint(eager=False)
-        )
+        best = _argmin1(
+            scored,
+            ["cost", "feat", "xq"],
+            ["feat", F.col("xq").alias("cut_q"), "nl", "nr", "leaf_l", "leaf_r"],
+        ).localCheckpoint(eager=False)
         chosen = F.coalesce(
             *[
                 F.when(F.col("feat") == n, F.col(n))
@@ -4577,13 +4587,11 @@ def gbm_stumps_eval(
             ).alias("cost"),
             F.expr(f"(s - sl) div ({lr_den} * (n - nl))").alias("leaf_r"),
         )
-        top = Window.orderBy("cost", "feat", "xq")
-        best = (
-            scored.withColumn("__rn", F.row_number().over(top))
-            .filter(F.col("__rn") == 1)
-            .select("feat", F.col("xq").alias("cut_q"), "leaf_l", "leaf_r")
-            .localCheckpoint(eager=False)
-        )
+        best = _argmin1(
+            scored,
+            ["cost", "feat", "xq"],
+            ["feat", F.col("xq").alias("cut_q"), "leaf_l", "leaf_r"],
+        ).localCheckpoint(eager=False)
 
         def apply_round(frame: DataFrame) -> DataFrame:
             return (
@@ -5073,10 +5081,23 @@ def psi_drift(
     one bucket-count-sized projection.
     """
     pred = slice_pred if not isinstance(slice_pred, str) else F.expr(slice_pred)
-    vq = F.expr(f"CAST(floor(({value_sql})) AS BIGINT) div {width}")
+    # Sign-and-magnitude bucket index: Spark `div` truncates toward zero
+    # while DuckDB `//` floors, so a bare `fv div width` assigns negative
+    # values to different buckets per engine. `sign * (abs div w)` keeps
+    # the divided numerator non-negative (where div and // agree) and is
+    # mirrored verbatim in the oracle. A NULL slice_pred coalesces to the
+    # REFERENCE side, matching the oracle's CASE ELSE arm.
+    vq = F.expr(
+        f"CASE WHEN CAST(floor(({value_sql})) AS BIGINT) < 0"
+        f" THEN -((-CAST(floor(({value_sql})) AS BIGINT)) div {width})"
+        f" ELSE CAST(floor(({value_sql})) AS BIGINT) div {width} END"
+    )
     counts = (
         df.filter(F.expr(f"({value_sql}) IS NOT NULL"))
-        .select(vq.alias("bucket"), pred.cast("int").alias("cur"))
+        .select(
+            vq.alias("bucket"),
+            F.coalesce(pred.cast("int"), F.lit(0)).alias("cur"),
+        )
         .groupBy("bucket")
         .agg(
             F.sum(F.lit(1) - F.col("cur")).cast("long").alias("n_ref"),
@@ -5139,11 +5160,14 @@ def psi_drift_oracle(
     """DuckDB twin of :func:`psi_drift`."""
     return f"""
         WITH counts AS MATERIALIZED (
-          SELECT CAST(floor(({value_sql})) AS BIGINT) // {width} AS bucket,
-                 CAST(SUM(CASE WHEN {slice_sql} THEN 0 ELSE 1 END) AS BIGINT)
-                   AS n_ref,
-                 CAST(SUM(CASE WHEN {slice_sql} THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_cur
+          SELECT CASE WHEN CAST(floor(({value_sql})) AS BIGINT) < 0
+                      THEN -((-CAST(floor(({value_sql})) AS BIGINT)) // {width})
+                      ELSE CAST(floor(({value_sql})) AS BIGINT) // {width}
+                 END AS bucket,
+                 CAST(SUM(CASE WHEN COALESCE({slice_sql}, FALSE) THEN 0 ELSE 1
+                     END) AS BIGINT) AS n_ref,
+                 CAST(SUM(CASE WHEN COALESCE({slice_sql}, FALSE) THEN 1 ELSE 0
+                     END) AS BIGINT) AS n_cur
           FROM ({units_sql}) WHERE ({value_sql}) IS NOT NULL
           GROUP BY 1
         ),
@@ -5279,11 +5303,14 @@ def fairness_audit(
     """
     pred = select_pred if not isinstance(select_pred, str) else F.expr(select_pred)
     lab = label_col if not isinstance(label_col, str) else F.col(label_col)
+    # NULL pred -> not-selected, NULL label -> negative, coalesced
+    # EXPLICITLY on both sides (the oracle wraps the same COALESCE) so the
+    # engines agree by construction instead of by three-valued-logic luck.
     per = (
         df.select(
             F.col(group_col).alias("grp"),
-            pred.cast("int").alias("sel"),
-            lab.cast("int").alias("y"),
+            F.coalesce(pred.cast("int"), F.lit(0)).alias("sel"),
+            F.coalesce(lab.cast("int"), F.lit(0)).alias("y"),
         )
         .groupBy("grp")
         .agg(
@@ -5325,16 +5352,18 @@ def fairness_audit_oracle(
     return f"""
         WITH per AS MATERIALIZED (
           SELECT {group_col} AS grp, CAST(COUNT(*) AS BIGINT) AS n,
-                 CAST(SUM(CASE WHEN {select_sql} THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_sel,
-                 CAST(SUM(CASE WHEN ({select_sql}) AND ({label_sql})
+                 CAST(SUM(CASE WHEN COALESCE({select_sql}, FALSE)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+                 CAST(SUM(CASE WHEN COALESCE({select_sql}, FALSE)
+                   AND COALESCE({label_sql}, FALSE)
                    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-                 CAST(SUM(CASE WHEN {label_sql} THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_pos,
-                 CAST(SUM(CASE WHEN ({select_sql}) AND NOT ({label_sql})
+                 CAST(SUM(CASE WHEN COALESCE({label_sql}, FALSE)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                 CAST(SUM(CASE WHEN COALESCE({select_sql}, FALSE)
+                   AND NOT COALESCE({label_sql}, FALSE)
                    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-                 CAST(SUM(CASE WHEN {label_sql} THEN 0 ELSE 1 END)
-                   AS BIGINT) AS n_neg
+                 CAST(SUM(CASE WHEN COALESCE({label_sql}, FALSE)
+                   THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
           FROM ({units_sql}) GROUP BY 1
         ),
         withr AS (

@@ -233,36 +233,42 @@ def key_skew_report(
     query).
 
     Gini over per-key counts ``x_(1..n)`` sorted ascending is
-    ``Σ (2i - n - 1)·x_i / (n · Σx)`` — one window rank over the
-    key-count relation (key-sized, not row-sized), exact BIGINT
-    numerator, one double division. Top-1/top-10 shares are exact
-    integer ratios.
+    ``Σ (2i - n - 1)·x_i / (n · Σx)``. The rank runs on the two-phase
+    distributed rank device (``operators/distrank.py``) — keys scale
+    with data (users, domains), so a bare ``Window.orderBy`` here would
+    be the 100-TB single-task sort this report exists to prevent. One
+    DESCENDING rank suffices: with ``i_desc = n + 1 - i`` the Gini
+    numerator rewrites to ``(n+1)·Σx - 2·Σ(i_desc·x)`` and the top-10
+    predicate to ``i_desc <= 10`` — identical exact BIGINT arithmetic,
+    one double division at the end.
 
     Output: ``(relation, n_keys, n_rows, gini, top1_share, top10_share,
     max_key_rows)``.
     """
+    from .distrank import dist_row_number
+
     counts = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count(F.lit(1)).alias("x")
     )
-    w = Window.orderBy("x", "k")
-    wall = Window.partitionBy()
-    ranked = counts.withColumn("i", F.row_number().over(w)).withColumn(
-        "nk", F.count(F.lit(1)).over(wall)
+    ranked = dist_row_number(
+        counts, [F.col("x").desc(), F.col("k").desc()], out_col="i_desc"
     )
+    nk = F.count(F.lit(1))
     return ranked.agg(
         F.lit(relation).alias("relation"),
-        F.max("nk").alias("n_keys"),
+        nk.alias("n_keys"),
         F.sum("x").alias("n_rows"),
         (
-            F.sum(
-                (F.lit(2) * F.col("i") - F.col("nk") - F.lit(1)) * F.col("x")
+            (
+                (nk + F.lit(1)) * F.sum("x")
+                - F.lit(2) * F.sum(F.col("i_desc") * F.col("x"))
             ).cast("double")
-            / (F.max("nk").cast("double") * F.sum("x").cast("double"))
+            / (nk.cast("double") * F.sum("x").cast("double"))
         ).alias("gini"),
         (F.max("x").cast("double") / F.sum("x").cast("double")).alias("top1_share"),
         (
             F.sum(
-                F.when(F.col("i") > F.col("nk") - 10, F.col("x")).otherwise(0)
+                F.when(F.col("i_desc") <= 10, F.col("x")).otherwise(0)
             ).cast("double")
             / F.sum("x").cast("double")
         ).alias("top10_share"),

@@ -3270,6 +3270,15 @@ def cox_fit(
     the ratio is one non-negative BIGINT division, the update is the
     sign-safe division form.
 
+    Overflow bound (documented like ``gini_lorenz``): the ratio
+    numerator ``n1 * E * 1e6`` with the exp table clamped at
+    ``E <= e^4 * 1e6 ~= 5.46e7`` stays inside BIGINT while the at-risk
+    treated count ``n1 <= ~1.68e5``. Above that (100-TB user
+    cardinality), pre-aggregate subjects into strata or rescale ``n0``
+    and ``n1`` by a common factor before calling — the score ratio only
+    ever reads ``n1/(n0 + n1·e^beta)``, which is invariant to common
+    rescaling of the two counts.
+
     ``units``: one row per subject with integer ``dur_col`` (time at
     risk), ``event_col`` in {0,1} (1 = event, 0 = censored) and binary
     ``x_col``. Output (tall, scalar): ``('beta', beta_micro)`` +

@@ -452,3 +452,18 @@ def test_densest_subgraph_empty_input(spark):
 
     pairs = spark.createDataFrame([], "a long, b long")
     assert densest_subgraph(pairs).count() == 0
+
+
+def test_ktruss_rejects_k_below_3(spark):
+    """k<=2 would have to KEEP triangle-free edges, which the inner-join
+    support peel drops — rejected explicitly instead of silently deviating
+    (ADVICE r8)."""
+    import pytest
+
+    from flink_example_spark.operators.graph import ktruss, ktruss_oracle
+
+    e = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError):
+        ktruss(e, k=2)
+    with pytest.raises(ValueError):
+        ktruss_oracle("SELECT 1 AS a, 2 AS b", k=2)

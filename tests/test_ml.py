@@ -982,3 +982,73 @@ def test_poisson_fit_recovers_rate(spark):
     # ln(3) = 1.0986; the 0.125-bucket table makes the fixed point land
     # within one bucket of it
     assert 950_000 <= out1["intercept"] <= 1_250_000
+
+
+def test_psi_drift_negative_values_match_oracle(spark):
+    """Negative metric values must land in the SAME bucket in both engines:
+    Spark `div` truncates toward zero, DuckDB `//` floors, so the bucket
+    index uses the sign-and-magnitude form mirrored in the oracle (ADVICE
+    r8). NULL slice predicates coalesce to the REFERENCE side."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.ml import psi_drift, psi_drift_oracle
+
+    rows = [(float(v), s) for v in range(-1300, 1300, 7) for s in (0, 1, None)]
+    df = spark.createDataFrame(rows, "value double, cur int")
+    got = (
+        psi_drift(df, F.col("cur") == 1, "value", width=500)
+        .orderBy("bucket")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["value", "cur"]))
+    ora = con.execute(
+        psi_drift_oracle("SELECT * FROM t", "cur = 1", "value", width=500)
+        + " ORDER BY bucket"
+    ).fetchall()
+    assert len(got) == len(ora) and len(got) > 3
+    for g, o in zip(got, ora):
+        assert (g["bucket"], g["n_ref"], g["n_cur"], g["psi_term"]) == (
+            o[0],
+            o[1],
+            o[2],
+            o[5],
+        ), (g, o)
+    # the NULL-pred rows landed on the reference side (n_ref counts them)
+    total = [g for g in got if g["bucket"] == -1][0]
+    assert total["n_ref"] == 2 * total["n_cur"]
+
+
+def test_fairness_audit_null_pred_and_label_match_oracle(spark):
+    """NULL select-pred -> not selected; NULL label -> negative — coalesced
+    identically in the Spark op and the DuckDB oracle (ADVICE r8)."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.ml import (
+        fairness_audit,
+        fairness_audit_oracle,
+    )
+
+    rows = [
+        ("a", True, True), ("a", True, False), ("a", None, True),
+        ("a", False, None), ("b", True, None), ("b", None, None),
+        ("b", False, False), ("b", True, True),
+    ]
+    df = spark.createDataFrame(rows, "grp string, sel boolean, y boolean")
+    got = {
+        r["grp"]: r
+        for r in fairness_audit(df, "grp", F.col("sel"), F.col("y")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["grp", "sel", "y"]))
+    ora = con.execute(
+        fairness_audit_oracle("SELECT * FROM t", "grp", "sel", "y")
+    ).fetchall()
+    assert len(ora) == 2
+    for row in ora:
+        g = got[row[0]]
+        assert (g["n"], g["n_sel"], g["sel_rate_micro"], g["tpr_micro"],
+                g["fpr_micro"]) == (row[1], row[2], row[3], row[4], row[5]), (
+            g, row)

@@ -1021,3 +1021,57 @@ def test_cox_risk_uses_two_phase_cumsum(spark):
     plan = physical(_cox_risk(u))
     assert "rangepartitioning" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_key_skew_uses_two_phase_device(spark):
+    """quality.key_skew_report ranks a DATA-SCALED relation (one row per
+    key); the rank must ride the distrank range-bucket device — the only
+    unpartitioned window allowed is the bucket-offset merge."""
+    import re
+
+    from flink_example_spark.operators.quality import key_skew_report
+    from flink_example_spark.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    plan = physical(key_skew_report(ev, "user_id", "events"))
+    assert "rangepartitioning" in plan
+    for m in re.finditer(
+        r"Window \[(row_number|sum)\(([^)]*)\)[^\n]*windowspecdefinition\(([^,)]*)",
+        plan,
+    ):
+        spec_head, summed = m.group(3), m.group(2)
+        ok = spec_head.startswith("__dr_pid") or "__dr_n" in summed
+        assert ok, m.group(0)
+
+
+def test_gbm_argmin_is_take_ordered(spark):
+    """The GBM split-search argmin (the shared ``_argmin1`` helper both
+    gbm_stumps and gbm_stumps_eval call per round) compiles to
+    TakeOrderedAndProject (a 1-row heap per partition), never a
+    single-task row_number sort over the candidate-cut relation. The
+    returned round tables hide the argmin behind per-round
+    localCheckpoints, so the helper is pinned directly; that both GBM
+    sites use it is a source-level fact (no Window.orderBy remains in
+    either loop)."""
+    import inspect
+
+    from flink_example_spark.operators import ml
+    from flink_example_spark.operators.ml import _argmin1
+    from flink_example_spark.tables import load_table
+
+    scored = (
+        load_table(spark, SF, "documents")
+        .select(
+            F.col("n_chars").cast("double").alias("cost"),
+            F.col("lang").alias("feat"),
+            F.col("doc_id").alias("xq"),
+        )
+    )
+    plan = physical(_argmin1(scored, ["cost", "feat", "xq"], ["feat", "xq"]))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Window [row_number" not in plan
+    # and the GBM loops actually route through the helper
+    for fn in (ml.gbm_stumps, ml.gbm_stumps_eval):
+        src = inspect.getsource(fn)
+        assert "_argmin1(" in src
+        assert "Window.orderBy" not in src
