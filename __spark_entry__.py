@@ -2613,6 +2613,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hazard? Breslow score over per-time at-risk counts (computed
         # once, beta-independent); exp via the embedded table
         "timeseries_cox": _timeseries_cox,
+        # multivariate Cox: error-share exposure CONTROLLING for
+        # purchase-share engagement (2 binary covariates, 4 strata)
+        "timeseries_cox_multi": _timeseries_cox_multi,
         # churn-hazard LIVE: per-user first/last/error-count monoid in
         # state; censoring + at-risk closure + Breslow descent at read
         # time — BIT-equal to batch timeseries_cox (shared oracle)
@@ -4971,6 +4974,29 @@ def _northstar_oracles() -> dict[str, str]:
         "d",
         "x",
     )
+    from flink_example_spark.operators.timeseries import cox_fit_multi_oracle
+
+    out["timeseries_cox_multi"] = cox_fit_multi_oracle(
+        """WITH per AS (
+             SELECT user_id,
+                    MIN(epoch_us(ts)) AS first_us,
+                    MAX(epoch_us(ts)) AS last_us,
+                    CASE WHEN SUM(CASE WHEN event_type = 'error' THEN 1
+                                  ELSE 0 END) * 5 >= COUNT(*)
+                         THEN 1 ELSE 0 END AS x_err,
+                    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+                                  ELSE 0 END) * 5 >= COUNT(*)
+                         THEN 1 ELSE 0 END AS x_buy
+             FROM events GROUP BY user_id
+           ), cm AS (SELECT MAX(last_us) AS cm FROM per)
+           SELECT (last_us - first_us) // 3600000000 AS dur_h,
+                  CASE WHEN last_us <= cm - 86400000000 THEN 1 ELSE 0 END AS d,
+                  x_err, x_buy
+           FROM per, cm""",
+        "dur_h",
+        "d",
+        [("x_err", "x_err"), ("x_buy", "x_buy")],
+    )
     from flink_example_spark.operators.timeseries import ccf_oracle
 
     out["timeseries_ccf"] = ccf_oracle(
@@ -6005,6 +6031,40 @@ def _timeseries_cox(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
     )
     return cox_fit(units, "dur_h", "d", "x")
+
+
+def _timeseries_cox_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.timeseries import cox_fit_multi
+    from flink_example_spark.plans.events_demo import load_events
+
+    ev = load_events(spark, sf_dir)
+    per = ev.groupBy("user_id").agg(
+        F.expr("min(unix_micros(cast(ts as timestamp)))").alias("first_us"),
+        F.expr("max(unix_micros(cast(ts as timestamp)))").alias("last_us"),
+        F.expr(
+            "CAST(sum(CAST(event_type = 'error' AS INT)) * 5 >= count(*) AS INT)"
+        )
+        .cast("long")
+        .alias("x_err"),
+        F.expr(
+            "CAST(sum(CAST(event_type = 'purchase' AS INT)) * 5 >= count(*)"
+            " AS INT)"
+        )
+        .cast("long")
+        .alias("x_buy"),
+    )
+    cmax = per.agg(F.max("last_us").alias("cm"))
+    units = per.crossJoin(F.broadcast(cmax)).select(
+        F.expr("(last_us - first_us) div 3600000000").alias("dur_h"),
+        F.expr("CAST(last_us <= cm - 86400000000 AS INT)")
+        .cast("long")
+        .alias("d"),
+        "x_err",
+        "x_buy",
+    )
+    return cox_fit_multi(units, "dur_h", "d", ["x_err", "x_buy"])
 
 
 def _ml_poisson_fit(spark: SparkSession, sf_dir: str) -> DataFrame:

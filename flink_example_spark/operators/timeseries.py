@@ -3462,3 +3462,275 @@ def cox_fit_oracle(
         UNION ALL SELECT '__n_events', ev FROM meta
         UNION ALL SELECT '__n_treated', tr FROM meta
     """
+
+
+def cox_fit_multi(
+    units: DataFrame,
+    dur_col: str,
+    event_col: str,
+    x_cols: list[str],
+    n_steps: int = 12,
+    scale_den: int = 4,
+) -> DataFrame:
+    """Cox proportional hazards with SEVERAL binary covariates — the
+    multivariate generalization of :func:`cox_fit` ("does exposure raise
+    the churn hazard CONTROLLING for the other exposures?"). The
+    single-covariate Breslow collapse generalizes by STRATUM: with p
+    binary covariates there are 2^p strata ``s`` (bit pattern of the
+    covariate vector), and the partial-likelihood score for coefficient
+    j needs only per-(time, stratum) counts::
+
+        g_j(beta) = sum_t [ dx_j(t) - D(t) *
+                            (sum_{s: bit_j(s)} n_s(t) E_s)
+                          / (sum_s          n_s(t) E_s) ]
+
+    with ``E_s = exp_micro(sum_{j in s} beta_j)`` from the embedded exp
+    table, ``dx_j`` = events in bit-j strata, ``D`` = all events. Beta
+    is parameter-sized and driver-known each step, so every ``E_s`` is a
+    Python-computed literal (the ``_exp_val`` device) and one bounded
+    aggregation per step yields ALL p gradients.
+
+    Determinism: the at-risk closure is one :func:`dist_cumsum` pass
+    over the distinct-time relation with the 2^p strata PIVOTED to
+    columns (never a per-stratum partitioned window over times); the
+    score ratio is one non-negative BIGINT division per (time, coeff);
+    the update is the sign-safe division form. Same overflow bound as
+    :func:`cox_fit` (at-risk count <= ~1.68e5 per stratum; rescale
+    counts by a common factor past that — the ratio is invariant).
+
+    Note vs :func:`cox_fit` at p=1: the stratum-0 weight here is the
+    TABLE-BUCKETED ``exp_micro(0)`` (the bucket value, not exactly 1e6),
+    where cox_fit hard-codes ``n0 * 1e6``; a common factor cancels in
+    the score ratio only while all betas share a bucket, so per-step
+    beta trajectories may differ from cox_fit by exp-table quantization
+    (hazard-ratio CELLS typically coincide). Both engines evaluate the
+    identical table arithmetic, so determinism is unaffected.
+
+    ``x_cols``: 1-4 binary columns (2^p <= 16 pivoted columns). Output
+    (tall, scalar): per covariate ``('beta_<name>', beta_micro)`` and
+    ``('hazard_ratio_micro_<name>', exp-table value)``, plus audit rows
+    ``__n_units``, ``__n_events`` and per-covariate
+    ``__n_treated_<name>``.
+
+    Scale: one pass to per-(time, stratum) counts (map-side combined),
+    one dist_cumsum over distinct times, then ``n_steps`` aggregations
+    of the bounded event-time relation. Rows never shuffle on data keys.
+    """
+    from flink_example_spark.operators.distrank import dist_cumsum
+
+    p = len(x_cols)
+    if not 1 <= p <= 4:
+        raise ValueError("cox_fit_multi takes 1-4 binary covariates")
+    ns = 1 << p
+    s_expr = None
+    for j, c in enumerate(x_cols):
+        term = F.col(c).cast("long") * F.lit(1 << j)
+        s_expr = term if s_expr is None else s_expr + term
+    u = units.select(
+        F.col(dur_col).cast("long").alias("t"),
+        F.col(event_col).cast("long").alias("d"),
+        s_expr.alias("s"),
+    ).localCheckpoint()
+    cnt = u.groupBy("t").agg(
+        *[
+            F.sum(F.when(F.col("s") == sv, 1).otherwise(0)).alias(f"c{sv}")
+            for sv in range(ns)
+        ],
+        *[
+            F.sum(F.when(F.col("s") == sv, F.col("d")).otherwise(0)).alias(
+                f"de{sv}"
+            )
+            for sv in range(ns)
+        ],
+    )
+    cum = dist_cumsum(cnt, ["t"], {f"cum{sv}": f"c{sv}" for sv in range(ns)})
+    tots = u.agg(
+        *[
+            F.sum(F.when(F.col("s") == sv, 1).otherwise(0)).alias(f"tot{sv}")
+            for sv in range(ns)
+        ]
+    )
+    d_all = sum((F.col(f"de{sv}") for sv in range(ns)), F.lit(0))
+    risk = (
+        cum.crossJoin(F.broadcast(tots))
+        .filter(d_all > 0)
+        .select(
+            "t",
+            *[F.col(f"de{sv}") for sv in range(ns)],
+            *[
+                (
+                    F.col(f"tot{sv}") - (F.col(f"cum{sv}") - F.col(f"c{sv}"))
+                ).alias(f"n{sv}")
+                for sv in range(ns)
+            ],
+        )
+        .localCheckpoint()
+    )
+    meta = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("ev"),
+        *[
+            F.sum(((F.col("s").bitwiseAND(1 << j)) > 0).cast("long")).alias(
+                f"tr{j}"
+            )
+            for j in range(p)
+        ],
+    ).first()
+    n_ev = int(meta["ev"] or 0)
+    betas = [0] * p
+    for _ in range(n_steps):
+        ev_s = [
+            _exp_val(sum(betas[j] for j in range(p) if sv & (1 << j)))
+            for sv in range(ns)
+        ]
+        den = " + ".join(f"n{sv} * {ev_s[sv]}" for sv in range(ns))
+        aggs = []
+        for j in range(p):
+            bit = [sv for sv in range(ns) if sv & (1 << j)]
+            num = " + ".join(f"n{sv} * {ev_s[sv]}" for sv in bit)
+            dx = " + ".join(f"de{sv}" for sv in bit)
+            ratio = f"(({num}) * 1000000) div ({den})"
+            dd = " + ".join(f"de{sv}" for sv in range(ns))
+            aggs.append(
+                F.expr(
+                    f"sum(({dx}) * 1000000 - ({dd}) * ({ratio}))"
+                ).alias(f"g{j}")
+            )
+        g = risk.agg(*aggs).first()
+        for j in range(p):
+            gj = int(g[f"g{j}"] or 0)
+            betas[j] = betas[j] + (1 if gj >= 0 else -1) * (
+                abs(gj) // (scale_den * max(n_ev, 1))
+            )
+    rows: list[tuple[str, int]] = []
+    for j, name in enumerate(x_cols):
+        rows.append((f"beta_{name}", int(betas[j])))
+        rows.append((f"hazard_ratio_micro_{name}", int(_exp_val(betas[j]))))
+    rows.append(("__n_units", int(meta["n"])))
+    rows.append(("__n_events", n_ev))
+    for j, name in enumerate(x_cols):
+        rows.append((f"__n_treated_{name}", int(meta[f"tr{j}"] or 0)))
+    return units.sparkSession.createDataFrame(
+        rows, "feature string, w_micro long"
+    )
+
+
+def cox_fit_multi_oracle(
+    units_sql: str,
+    dur_sql: str,
+    event_sql: str,
+    x_sqls: list[tuple[str, str]],
+    n_steps: int = 12,
+    scale_den: int = 4,
+) -> str:
+    """DuckDB twin of :func:`cox_fit_multi` (unrolled MATERIALIZED CTE
+    steps; per-stratum exp lookups index the same embedded table with
+    the same clamp-shift arithmetic over the beta CTE). ``x_sqls``:
+    ``(name, binary SQL expression)`` pairs, order matching the Spark
+    call's ``x_cols``."""
+    from flink_example_spark.operators.ml import (
+        _EXP_CLAMP_HI,
+        _EXP_CLAMP_LO,
+        _EXP_TABLE,
+        _SIG_STEP,
+    )
+
+    p = len(x_sqls)
+    if not 1 <= p <= 4:
+        raise ValueError("cox_fit_multi_oracle takes 1-4 binary covariates")
+    ns = 1 << p
+    lit = "[" + ",".join(str(v) for v in _EXP_TABLE) + "]"
+
+    def exp_of(bexpr: str) -> str:
+        zc = f"greatest(least({bexpr}, {_EXP_CLAMP_HI - 1}), {_EXP_CLAMP_LO})"
+        return f"({lit})[((({zc}) + {-_EXP_CLAMP_LO}) // {_SIG_STEP}) + 1]"
+
+    s_sql = " + ".join(
+        f"CAST(({x}) AS BIGINT) * {1 << j}" for j, (_, x) in enumerate(x_sqls)
+    )
+    c_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN s = {sv} THEN 1 ELSE 0 END) AS BIGINT) AS c{sv}"
+        for sv in range(ns)
+    )
+    de_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN s = {sv} THEN d ELSE 0 END) AS BIGINT) AS de{sv}"
+        for sv in range(ns)
+    )
+    n_cols = ", ".join(
+        f"CAST(SUM(c{sv}) OVER (ORDER BY t DESC) AS BIGINT) AS n{sv}"
+        for sv in range(ns)
+    )
+    de_all = " + ".join(f"de{sv}" for sv in range(ns))
+    tr_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN s & {1 << j} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tr{j}"
+        for j in range(p)
+    )
+    parts = [
+        f"""u AS MATERIALIZED (
+          SELECT CAST(({dur_sql}) AS BIGINT) AS t,
+                 CAST(({event_sql}) AS BIGINT) AS d,
+                 {s_sql} AS s
+          FROM ({units_sql})),
+        per AS MATERIALIZED (
+          SELECT t, {c_cols}, {de_cols} FROM u GROUP BY t),
+        riskall AS MATERIALIZED (
+          SELECT t, {", ".join(f"de{sv}" for sv in range(ns))}, {n_cols}
+          FROM per),
+        risk AS MATERIALIZED (
+          SELECT * FROM riskall WHERE {de_all} > 0),
+        meta AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(d) AS BIGINT) AS ev,
+                 {tr_cols}
+          FROM u),
+        b0 AS (SELECT {", ".join(f"CAST(0 AS BIGINT) AS beta{j}" for j in range(p))})"""
+    ]
+    for st in range(n_steps):
+        e_s = [
+            exp_of(
+                " + ".join(
+                    [f"b{st}.beta{j}" for j in range(p) if sv & (1 << j)]
+                    or ["0"]
+                )
+            )
+            for sv in range(ns)
+        ]
+        den = " + ".join(f"n{sv} * ({e_s[sv]})" for sv in range(ns))
+        g_cols = []
+        for j in range(p):
+            bit = [sv for sv in range(ns) if sv & (1 << j)]
+            num = " + ".join(f"n{sv} * ({e_s[sv]})" for sv in bit)
+            dx = " + ".join(f"de{sv}" for sv in bit)
+            g_cols.append(
+                f"CAST(SUM(({dx}) * 1000000 - ({de_all}) *"
+                f" ((({num}) * 1000000) // ({den}))) AS BIGINT) AS g{j}"
+            )
+        upd = ", ".join(
+            f"b{st}.beta{j} + (CASE WHEN g{st}.g{j} >= 0 THEN 1 ELSE -1 END)"
+            f" * (abs(g{st}.g{j}) // ({scale_den} * greatest(meta.ev, 1)))"
+            f" AS beta{j}"
+            for j in range(p)
+        )
+        parts.append(
+            f"""g{st} AS MATERIALIZED (
+              SELECT {", ".join(g_cols)} FROM risk, b{st}),
+            b{st + 1} AS MATERIALIZED (
+              SELECT {upd} FROM b{st}, g{st}, meta)"""
+        )
+    selects = []
+    for j, (name, _) in enumerate(x_sqls):
+        selects.append(
+            f"SELECT 'beta_{name}' AS feature, beta{j} AS w_micro"
+            f" FROM b{n_steps}"
+        )
+        selects.append(
+            f"SELECT 'hazard_ratio_micro_{name}',"
+            f" {exp_of(f'b{n_steps}.beta{j}')} FROM b{n_steps}"
+        )
+    selects.append("SELECT '__n_units', n FROM meta")
+    selects.append("SELECT '__n_events', ev FROM meta")
+    for j, (name, _) in enumerate(x_sqls):
+        selects.append(f"SELECT '__n_treated_{name}', tr{j} FROM meta")
+    return (
+        "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(selects)
+    )

@@ -673,3 +673,81 @@ def test_cox_fit_detects_planted_hazard(spark):
         for r in cox_fit(const, "dur", "d", "x", n_steps=5).collect()
     }
     assert cz["beta"] == 0
+
+
+def test_cox_multi_separates_real_from_null_covariate(spark):
+    """Two binary covariates, one doubling the hazard and one independent
+    of it: beta for the real exposure lands positive, the null covariate
+    stays at (or near) zero, and the output is deterministic."""
+    from flink_example_spark.operators.timeseries import cox_fit_multi
+
+    rows = []
+    for a in (0, 1):
+        for b in (0, 1):
+            for k in range(30):
+                dur = 5 + (k % 17) * (1 if a else 2)
+                d = 1 if (k % 5) != 0 else 0
+                rows.append((dur, d, a, b))
+    u = spark.createDataFrame(rows, "dur long, d long, a long, b long")
+    out1 = {
+        r["feature"]: r["w_micro"]
+        for r in cox_fit_multi(u, "dur", "d", ["a", "b"]).collect()
+    }
+    out2 = {
+        r["feature"]: r["w_micro"]
+        for r in cox_fit_multi(u, "dur", "d", ["a", "b"]).collect()
+    }
+    assert out1 == out2
+    assert out1["beta_a"] > 300_000  # exp(0.3) ~ 1.35: clearly positive
+    assert abs(out1["beta_b"]) <= 100_000
+    assert out1["__n_units"] == 120 and out1["__n_treated_a"] == 60
+
+
+def test_cox_multi_matches_duckdb_oracle(spark):
+    """The unrolled-CTE oracle evaluates the identical integer descent:
+    every output row (betas, hazard cells, audits) is bit-equal."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.timeseries import (
+        cox_fit_multi,
+        cox_fit_multi_oracle,
+    )
+
+    rows = []
+    for a in (0, 1):
+        for b in (0, 1):
+            for k in range(25):
+                dur = 3 + ((k * 7 + a * 3 + b) % 23) * (2 - a)
+                d = 1 if (k % 4) != 0 else 0
+                rows.append((dur, d, a, b))
+    u = spark.createDataFrame(rows, "dur long, d long, a long, b long")
+    got = {
+        r["feature"]: r["w_micro"]
+        for r in cox_fit_multi(u, "dur", "d", ["a", "b"]).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["dur", "d", "a", "b"]))
+    ora = dict(
+        con.execute(
+            cox_fit_multi_oracle(
+                "SELECT * FROM t", "dur", "d", [("a", "a"), ("b", "b")]
+            )
+        ).fetchall()
+    )
+    assert got == ora
+
+
+def test_cox_multi_rejects_bad_arity(spark):
+    import pytest
+
+    from flink_example_spark.operators.timeseries import (
+        cox_fit_multi,
+        cox_fit_multi_oracle,
+    )
+
+    u = spark.createDataFrame([(1, 1, 0)], "dur long, d long, x long")
+    with pytest.raises(ValueError):
+        cox_fit_multi(u, "dur", "d", [])
+    with pytest.raises(ValueError):
+        cox_fit_multi_oracle("t", "dur", "d", [("a", "a")] * 5)

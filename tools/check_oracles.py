@@ -135,6 +135,10 @@ def main() -> int:
         driver_keys = set(getattr(entrymod, "DRIVER_KEYS", []) or entrymod.queries())
         clash = FAST_SKIP & driver_keys
         assert not clash, f"--fast may not skip driver keys: {sorted(clash)}"
+        # the e2e bounded replay's chunks=1 fast path is hash-identical
+        # (tests/test_e2e_stream.py pins it); one chunk halves the
+        # micro-batch count of the sweep's single slowest row (~57s)
+        os.environ.setdefault("SPARK_GRAFT_E2E_CHUNKS", "1")
     failures = 0
     row_secs: dict[str, float] = {}
     duck_secs: dict[str, float] = {}
