@@ -1283,6 +1283,23 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .term_graph(_docs(spark, sf_dir), min_weight=2)
             .select(F.col("src").alias("a"), F.col("dst").alias("b")),
         ),
+        # truss decomposition: max-k-per-edge cohesion depth over the
+        # collocation graph (min_weight=3 + mutual cap=32 bound the
+        # triangle work; survivors of the k_max peel carry the floor)
+        "graph_truss_decomp": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.graph",
+            fromlist=["truss_decomposition"],
+        ).truss_decomposition(
+            __import__(
+                "flink_example_spark.operators.graph", fromlist=["term_graph"]
+            )
+            .term_graph(_docs(spark, sf_dir), min_weight=3)
+            .filter(F.col("src") < F.col("dst"))
+            .select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            k_max=6,
+            n_rounds=3,
+            neighbor_cap=32,
+        ),
         # HITS hubs & authorities over the DIRECTED precedence bigram
         # graph: integer max-normalized power iteration, bit-exact
         "graph_hits": lambda spark, sf_dir: __import__(
@@ -2619,6 +2636,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # churn-hazard LIVE: per-user first/last/error-count monoid in
         # state; censoring + at-risk closure + Breslow descent at read
         # time — BIT-equal to batch timeseries_cox (shared oracle)
+        # live multivariate hazard monitor: same envelope monoid plus a
+        # purchase count — BIT-equal to batch timeseries_cox_multi
+        "streaming_cox_multi": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.timeseries_stream",
+            fromlist=["run_streaming_cox_multi"],
+        ).run_streaming_cox_multi(spark, sf_dir),
         "streaming_cox": lambda spark, sf_dir: __import__(
             "flink_example_spark.streaming.timeseries_stream",
             fromlist=["run_streaming_cox"],
@@ -4040,6 +4063,14 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["graph_sssp"] = sssp_oracle(term_graph_sql(2), n_rounds=6)
     out["graph_modularity"] = modularity_oracle(term_graph_sql(2), n_rounds=4)
+    from flink_example_spark.operators.graph import truss_decomposition_oracle
+
+    out["graph_truss_decomp"] = truss_decomposition_oracle(
+        f"SELECT src AS a, dst AS b FROM ({term_graph_sql(3)}) WHERE src < dst",
+        k_max=6,
+        n_rounds=3,
+        neighbor_cap=32,
+    )
     from flink_example_spark.operators.graph import link_prediction_oracle
 
     out["graph_link_prediction"] = link_prediction_oracle(term_graph_sql(2))
@@ -5006,6 +5037,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["streaming_ccf"] = out["timeseries_ccf"]
     # the live hazard monitor converges to the batch Cox fit exactly
     out["streaming_cox"] = out["timeseries_cox"]
+    out["streaming_cox_multi"] = out["timeseries_cox_multi"]
     from flink_example_spark.operators.timeseries import changepoint_oracle
 
     from flink_example_spark.operators.timeseries import survival_table_oracle

@@ -1600,3 +1600,155 @@ def densest_subgraph_oracle(
         SELECT CAST(d.node AS BIGINT) AS node, CAST(d.degree AS BIGINT) AS degree
         FROM ({" UNION ALL ".join(degs)}) d JOIN best ON d.r = best.r
     """
+
+
+def truss_decomposition(
+    pairs: DataFrame,
+    k_max: int = 6,
+    n_rounds: int = 3,
+    neighbor_cap: int | None = None,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Truss decomposition — the MAX-k-per-edge generalization of
+    :func:`ktruss`: each edge's trussness is the largest ``k`` such that
+    it survives the k-truss peel ("how deep into the cohesion hierarchy
+    does this relationship sit" — the edge-level analogue of k-core's
+    node coreness, the standard community-strength score). Bounded
+    unroll: peel at k = 3, 4, ..., ``k_max`` in sequence; edges dropped
+    by the k-peel are labeled trussness k-1 (an edge-sized anti-join at
+    each peel boundary), survivors of the final peel are labeled
+    ``k_max`` (a floor: their true trussness is >= k_max — the bounded
+    contract, like n_rounds).
+
+    Each peel reuses the :func:`ktruss` machinery: ``n_rounds`` support/
+    filter rounds (fixpoint for cascades up to that depth), edge sets
+    localCheckpoint-ed per round (iterative-loop rule), and the
+    ``neighbor_cap`` mutual lowest-id truncation applied ONCE up front
+    (every triangle/wedge operator carries the degree bound — the sf0.1
+    near-clique OOM lesson).
+
+    Output: ``(a, b, trussness)`` with trussness in [2, k_max]; 2 means
+    the edge is in no 3-truss (dropped by the first peel, including
+    triangle-free edges).
+
+    Scale: (k_max - 2) peels x n_rounds rounds, each one degree-oriented
+    triangle enumeration over a shrinking capped edge set plus an
+    edge-sized equi/anti join — the same per-round cost envelope as
+    ktruss, k_max - 2 times.
+    """
+    if k_max < 3:
+        raise ValueError("truss_decomposition requires k_max >= 3")
+    e = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+    )
+    if neighbor_cap is not None:
+        e = _mutual_truncate(e, neighbor_cap)
+    cur = e.localCheckpoint(eager=True)
+    n_cur = cur.count()
+    # Early-exit device (bit-identical to the full unroll): peeling only
+    # REMOVES edges, so a round that removes nothing makes every further
+    # round at that k a no-op, and an unchanged edge set keeps the
+    # support relation valid across k (the next k just filters the SAME
+    # support at a higher threshold). Counts compare checkpointed sets,
+    # so set-shrink == count-drop. The DuckDB twin unrolls the full
+    # round grid — no-op rounds are no-ops there too, same fixpoint.
+    sup = None
+    parts: list[DataFrame] = []
+    for k in range(3, k_max + 1):
+        nxt = cur
+        for _ in range(n_rounds):
+            if sup is None:
+                sup = _edge_support(nxt)
+            cand = (
+                nxt.join(sup, ["a", "b"])
+                .filter(F.col("s") >= k - 2)
+                .select("a", "b")
+                .localCheckpoint(eager=True)
+            )
+            n_nxt = cand.count()
+            if n_nxt == n_cur:
+                nxt = cand
+                break  # fixpoint at this k; support stays valid
+            nxt, n_cur, sup = cand, n_nxt, None
+        parts.append(
+            cur.join(nxt, ["a", "b"], "left_anti").select(
+                "a", "b", F.lit(k - 1).cast("long").alias("trussness")
+            )
+        )
+        cur = nxt
+    parts.append(
+        cur.select("a", "b", F.lit(k_max).cast("long").alias("trussness"))
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def truss_decomposition_oracle(
+    pairs_sql: str,
+    k_max: int = 6,
+    n_rounds: int = 3,
+    neighbor_cap: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`truss_decomposition`: (k_max - 2) peels
+    unrolled as chained MATERIALIZED CTEs (every round's edge set feeds
+    the triangle self-join, the survivor join AND a peel-boundary
+    anti-join — the DESIGN.md inlining rule). ``pairs_sql`` must yield
+    ``(a, b)`` rows (any orientation; canonicalized here)."""
+    if k_max < 3:
+        raise ValueError("truss_decomposition requires k_max >= 3")
+    base = f"""
+      SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+      FROM ({pairs_sql}) WHERE a <> b"""
+    if neighbor_cap is not None:
+        base = f"""
+          WITH raw AS ({base}),
+          sym AS (SELECT a AS u, b AS v FROM raw UNION ALL SELECT b, a FROM raw),
+          tr AS MATERIALIZED (
+            SELECT u, v FROM (
+              SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rn
+              FROM sym) WHERE rn <= {neighbor_cap})
+          SELECT t1.u AS a, t1.v AS b
+          FROM tr t1 JOIN tr t2 ON t1.u = t2.v AND t1.v = t2.u
+          WHERE t1.u < t1.v"""
+    parts = [f"p3_0 AS MATERIALIZED ({base})"]
+    for k in range(3, k_max + 1):
+        for r in range(n_rounds):
+            src = f"p{k}_{r}"
+            parts.append(
+                f"""sup{k}_{r} AS MATERIALIZED (
+                  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS s FROM (
+                    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM {src} e1 JOIN {src} e2 ON e1.a = e2.a AND e1.b < e2.b
+                    JOIN {src} e3 ON e3.a = e1.b AND e3.b = e2.b
+                  ) tri, LATERAL (VALUES (tri.x, tri.y), (tri.x, tri.z),
+                                  (tri.y, tri.z)) sides(a, b)
+                  GROUP BY 1, 2
+                ), p{k}_{r + 1} AS MATERIALIZED (
+                  SELECT e.a, e.b FROM {src} e
+                  JOIN sup{k}_{r} s
+                    ON e.a = s.a AND e.b = s.b AND s.s >= {k - 2}
+                )"""
+            )
+        if k < k_max:
+            parts.append(
+                f"p{k + 1}_0 AS MATERIALIZED"
+                f" (SELECT a, b FROM p{k}_{n_rounds})"
+            )
+    selects = []
+    for k in range(3, k_max + 1):
+        selects.append(
+            f"""SELECT c.a, c.b, CAST({k - 1} AS BIGINT) AS trussness
+                FROM p{k}_0 c ANTI JOIN p{k}_{n_rounds} n
+                  ON c.a = n.a AND c.b = n.b"""
+        )
+    selects.append(
+        f"SELECT a, b, CAST({k_max} AS BIGINT) AS trussness"
+        f" FROM p{k_max}_{n_rounds}"
+    )
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(selects)

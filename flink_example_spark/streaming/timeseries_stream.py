@@ -1275,3 +1275,59 @@ def run_streaming_cox(
         F.expr("CAST(ne * 5 >= nt AS INT)").cast("long").alias("x"),
     )
     return cox_fit(units, "dur_h", "d", "x")
+
+
+def run_streaming_cox_multi(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """LIVE multivariate churn-hazard monitor: same per-user envelope
+    monoid as :func:`run_streaming_cox` with one extra count (purchase
+    share) in the SAME update-mode aggregation, feeding the stratified
+    :func:`~flink_example_spark.operators.timeseries.cox_fit_multi`
+    descent at read time — "is error exposure raising churn hazard,
+    controlling for engagement, live". BIT-equal to the batch
+    ``timeseries_cox_multi`` (shared oracle)."""
+    from flink_example_spark.operators.timeseries import cox_fit_multi
+    from flink_example_spark.streaming.staging import stage_table_by_key
+
+    tune(spark)
+    tmpdir, schema = stage_table_by_key(
+        spark, sf_dir, "events", "event_id", chunks
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/chunk_*")
+    )
+    per = stream.groupBy("user_id").agg(
+        F.expr("min(unix_micros(cast(ts as timestamp)))").alias("first_us"),
+        F.expr("max(unix_micros(cast(ts as timestamp)))").alias("last_us"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("ne"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("np"),
+        F.count(F.lit(1)).alias("nt"),
+    )
+    name = f"stream_coxm_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            per.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = spark.table(name).groupBy("user_id").agg(
+        F.min("first_us").alias("first_us"),
+        F.max("last_us").alias("last_us"),
+        F.max("ne").alias("ne"),
+        F.max("np").alias("np"),
+        F.max("nt").alias("nt"),
+    )
+    cmax = latest.agg(F.max("last_us").alias("cm"))
+    units = latest.crossJoin(F.broadcast(cmax)).select(
+        F.expr("(last_us - first_us) div 3600000000").alias("dur_h"),
+        F.expr("CAST(last_us <= cm - 86400000000 AS INT)").cast("long").alias("d"),
+        F.expr("CAST(ne * 5 >= nt AS INT)").cast("long").alias("x_err"),
+        F.expr("CAST(np * 5 >= nt AS INT)").cast("long").alias("x_buy"),
+    )
+    return cox_fit_multi(units, "dur_h", "d", ["x_err", "x_buy"])

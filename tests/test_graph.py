@@ -467,3 +467,53 @@ def test_ktruss_rejects_k_below_3(spark):
         ktruss(e, k=2)
     with pytest.raises(ValueError):
         ktruss_oracle("SELECT 1 AS a, 2 AS b", k=2)
+
+
+def test_truss_decomposition_layers_and_oracle(spark):
+    """5-clique edges decompose to trussness 5, the attached triangle to
+    3, the pendant edge to 2; the early-exit peel is bit-equal to the
+    DuckDB full-grid unroll."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.graph import (
+        truss_decomposition,
+        truss_decomposition_oracle,
+    )
+
+    edges = [(i, j) for i in range(5) for j in range(5) if i < j]
+    edges += [(4, 10), (4, 11), (10, 11), (11, 20)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = sorted(tuple(r) for r in truss_decomposition(df, k_max=6).collect())
+    by_k = {}
+    for _, _, t in got:
+        by_k[t] = by_k.get(t, 0) + 1
+    assert by_k == {5: 10, 3: 3, 2: 1}
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(edges, columns=["a", "b"]))
+    ora = sorted(
+        con.execute(
+            truss_decomposition_oracle("SELECT * FROM t", k_max=6)
+        ).fetchall()
+    )
+    assert got == ora
+
+
+def test_truss_decomposition_floor_label_and_guard(spark):
+    """Survivors of the k_max peel carry the k_max FLOOR label (a 6-clique
+    at k_max=4 labels every edge 4), and k_max < 3 is rejected."""
+    import pytest
+
+    from flink_example_spark.operators.graph import (
+        truss_decomposition,
+        truss_decomposition_oracle,
+    )
+
+    edges = [(i, j) for i in range(6) for j in range(6) if i < j]
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = truss_decomposition(df, k_max=4).collect()
+    assert all(r["trussness"] == 4 for r in out) and len(out) == 15
+    with pytest.raises(ValueError):
+        truss_decomposition(df, k_max=2)
+    with pytest.raises(ValueError):
+        truss_decomposition_oracle("t", k_max=2)
