@@ -243,6 +243,10 @@ HEADLINE = [
     "source_partitioned_pruning",
     "timeseries_ccf",
     "timeseries_cox",
+    # round-9 additions (sf0.1 probes: 10.6s / 9.1s / 6.3s)
+    "timeseries_cox_multi",
+    "streaming_cox_multi",
+    "graph_truss_decomp",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite
@@ -275,6 +279,12 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from flink_example_spark.session import get_spark
 
+    # box load BEFORE the run: this is the quiet-box gate (readings from a
+    # loaded machine run ~2x slow — PERF.md noise protocol). Sampled up
+    # front because the bench's own 32-thread execution drives the 1-min
+    # average to ~4 regardless of how quiet the box was.
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
+
     spark = get_spark("flink-example-spark-bench")
     # merged driver + extra view: HEADLINE is stable round-over-round even
     # though queries() itself is consolidated to the driver's 50-entry cap.
@@ -299,10 +309,10 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     common_r2 = round(sum(timings[q] for q in COMMON_R2), 3)
     common_r3 = round(sum(timings[q] for q in COMMON_R3), 3)
-    # box load at measurement time: readings taken on a loaded machine run
-    # ~2x slow across the board (PERF.md noise protocol) — recording the
-    # 1/5/15-min load averages lets any reader discount such a run
-    loadavg = [round(x, 2) for x in os.getloadavg()]
+    # the pre-run sample is the protocol number; the end-of-run sample
+    # (self-load included) goes to the side file for transparency
+    loadavg = loadavg_start
+    loadavg_end = [round(x, 2) for x in os.getloadavg()]
 
     # Full per-query detail goes to a side file: the driver captures only the
     # LAST 2000 chars of stdout, and a queries dict spanning the whole
@@ -318,6 +328,7 @@ def main() -> None:
         "common_r3_subtotal_sec": common_r3,
         "n_queries": len(timings),
         "loadavg": loadavg,
+        "loadavg_end": loadavg_end,
         "sf": sf,
     }
     with open(
