@@ -2410,14 +2410,19 @@ def perceptron_train(
 
 
 def perceptron_confusion(
-    documents: DataFrame, n_rounds: int = 6, holdout_mod: int = 5
+    documents: DataFrame,
+    n_rounds: int = 6,
+    holdout_mod: int = 5,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """Held-out confusion matrix of the trained perceptron: prediction is
     ``sign(w·x)`` (margin 0 predicts -1, deterministically). Output:
-    ``(pred, truth, n)`` — at most 4 rows of BIGINTs."""
-    w = perceptron_train(documents, n_rounds, holdout_mod).select(
-        "j", F.col("weight").alias("w")
-    )
+    ``(pred, truth, n)`` — at most 4 rows of BIGINTs. Pass a precomputed
+    ``perceptron_train`` result as ``weights`` to reuse a shared solve
+    (content-identical; the registry's perceptron memo does)."""
+    if weights is None:
+        weights = perceptron_train(documents, n_rounds, holdout_mod)
+    w = weights.select("j", F.col("weight").alias("w"))
     feats = _perceptron_feats(documents, holdout_mod, train=False)
     scored = (
         feats.join(F.broadcast(w), "j")
