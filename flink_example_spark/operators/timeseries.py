@@ -3531,41 +3531,7 @@ def cox_fit_multi(
         F.col(event_col).cast("long").alias("d"),
         s_expr.alias("s"),
     ).localCheckpoint()
-    cnt = u.groupBy("t").agg(
-        *[
-            F.sum(F.when(F.col("s") == sv, 1).otherwise(0)).alias(f"c{sv}")
-            for sv in range(ns)
-        ],
-        *[
-            F.sum(F.when(F.col("s") == sv, F.col("d")).otherwise(0)).alias(
-                f"de{sv}"
-            )
-            for sv in range(ns)
-        ],
-    )
-    cum = dist_cumsum(cnt, ["t"], {f"cum{sv}": f"c{sv}" for sv in range(ns)})
-    tots = u.agg(
-        *[
-            F.sum(F.when(F.col("s") == sv, 1).otherwise(0)).alias(f"tot{sv}")
-            for sv in range(ns)
-        ]
-    )
-    d_all = sum((F.col(f"de{sv}") for sv in range(ns)), F.lit(0))
-    risk = (
-        cum.crossJoin(F.broadcast(tots))
-        .filter(d_all > 0)
-        .select(
-            "t",
-            *[F.col(f"de{sv}") for sv in range(ns)],
-            *[
-                (
-                    F.col(f"tot{sv}") - (F.col(f"cum{sv}") - F.col(f"c{sv}"))
-                ).alias(f"n{sv}")
-                for sv in range(ns)
-            ],
-        )
-        .localCheckpoint()
-    )
+    risk = _cox_multi_risk(u, ns).localCheckpoint()
     meta = u.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("d").alias("ev"),
@@ -3612,6 +3578,51 @@ def cox_fit_multi(
         rows.append((f"__n_treated_{name}", int(meta[f"tr{j}"] or 0)))
     return units.sparkSession.createDataFrame(
         rows, "feature string, w_micro long"
+    )
+
+
+def _cox_multi_risk(u: DataFrame, ns: int) -> DataFrame:
+    """Stratified Breslow at-risk structure over a ``(t, d, s)`` unit
+    relation (``s`` = covariate bit pattern < ``ns``): one row per
+    distinct EVENT time with all 2^p strata's event counts ``de*`` and
+    at-risk counts ``n*`` as columns, so every closure is one
+    dist_cumsum pass (the two-phase device — never an unpartitioned or
+    per-stratum window over the time relation)."""
+    from flink_example_spark.operators.distrank import dist_cumsum
+
+    cnt = u.groupBy("t").agg(
+        *[
+            F.sum(F.when(F.col("s") == sv, 1).otherwise(0)).alias(f"c{sv}")
+            for sv in range(ns)
+        ],
+        *[
+            F.sum(F.when(F.col("s") == sv, F.col("d")).otherwise(0)).alias(
+                f"de{sv}"
+            )
+            for sv in range(ns)
+        ],
+    )
+    cum = dist_cumsum(cnt, ["t"], {f"cum{sv}": f"c{sv}" for sv in range(ns)})
+    tots = u.agg(
+        *[
+            F.sum(F.when(F.col("s") == sv, 1).otherwise(0)).alias(f"tot{sv}")
+            for sv in range(ns)
+        ]
+    )
+    d_all = sum((F.col(f"de{sv}") for sv in range(ns)), F.lit(0))
+    return (
+        cum.crossJoin(F.broadcast(tots))
+        .filter(d_all > 0)
+        .select(
+            "t",
+            *[F.col(f"de{sv}") for sv in range(ns)],
+            *[
+                (
+                    F.col(f"tot{sv}") - (F.col(f"cum{sv}") - F.col(f"c{sv}"))
+                ).alias(f"n{sv}")
+                for sv in range(ns)
+            ],
+        )
     )
 
 

@@ -1075,3 +1075,24 @@ def test_gbm_argmin_is_take_ordered(spark):
         src = inspect.getsource(fn)
         assert "_argmin1(" in src
         assert "Window.orderBy" not in src
+
+
+def test_cox_multi_risk_uses_two_phase_cumsum(spark):
+    """cox_fit_multi's at-risk closure must ride the range-bucketed
+    dist_cumsum (ONE pass for ALL strata columns), never an
+    unpartitioned or per-stratum window over distinct times."""
+    import re
+
+    from flink_example_spark.operators.timeseries import _cox_multi_risk
+
+    rows = [(d % 19 + 1, (d % 3 != 0) * 1, d % 4) for d in range(80)]
+    u = spark.createDataFrame(rows, "t long, d long, s long")
+    plan = physical(_cox_multi_risk(u, 4))
+    assert "rangepartitioning" in plan
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(
+        r"Window \[(row_number|sum)\(([^)]*)\)[^\n]*windowspecdefinition\(([^,)]*)",
+        plan,
+    ):
+        spec_head, summed = m.group(3), m.group(2)
+        assert spec_head.startswith("__dr_pid") or "__dr_n" in summed, m.group(0)

@@ -751,3 +751,30 @@ def test_cox_multi_rejects_bad_arity(spark):
         cox_fit_multi(u, "dur", "d", [])
     with pytest.raises(ValueError):
         cox_fit_multi_oracle("t", "dur", "d", [("a", "a")] * 5)
+
+
+def test_cox_multi_zero_covariate_is_inert(spark):
+    """Appending an all-zero covariate doubles the stratum space with
+    EMPTY strata, which contribute nothing to any sum: the real
+    covariate's trajectory is unchanged and the zero covariate's beta
+    stays exactly 0."""
+    from flink_example_spark.operators.timeseries import cox_fit_multi
+
+    rows = []
+    for a in (0, 1):
+        for k in range(40):
+            dur = 4 + (k % 13) * (1 if a else 2)
+            d = 1 if (k % 3) != 0 else 0
+            rows.append((dur, d, a, 0))
+    u = spark.createDataFrame(rows, "dur long, d long, a long, z long")
+    solo = {
+        r["feature"]: r["w_micro"]
+        for r in cox_fit_multi(u, "dur", "d", ["a"]).collect()
+    }
+    both = {
+        r["feature"]: r["w_micro"]
+        for r in cox_fit_multi(u, "dur", "d", ["a", "z"]).collect()
+    }
+    assert both["beta_a"] == solo["beta_a"]
+    assert both["beta_z"] == 0
+    assert both["__n_treated_z"] == 0
