@@ -517,3 +517,36 @@ def test_truss_decomposition_floor_label_and_guard(spark):
         truss_decomposition(df, k_max=2)
     with pytest.raises(ValueError):
         truss_decomposition_oracle("t", k_max=2)
+
+
+def test_truss_decomposition_consistent_with_ktruss(spark):
+    """Cross-operator invariant on a random-ish graph: the node degrees
+    over edges with trussness >= k must equal ktruss(k)'s output (same
+    peel, different bookkeeping)."""
+    from flink_example_spark.operators.graph import ktruss, truss_decomposition
+
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                ((i * 7 + 3) % 23, (i * 11 + 5) % 23) for i in range(60)
+            )
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    dec = truss_decomposition(df, k_max=5, n_rounds=4)
+    for k in (3, 4, 5):
+        surv = dec.filter(F.col("trussness") >= k)
+        deg = (
+            surv.select(F.col("a").alias("node"))
+            .union(surv.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .count()
+        )
+        got = sorted((r["node"], r["count"]) for r in deg.collect())
+        want = sorted(
+            (r["node"], r["truss_degree"])
+            for r in ktruss(df, k=k, n_rounds=4).collect()
+        )
+        assert got == want, k
