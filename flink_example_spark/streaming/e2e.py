@@ -85,7 +85,12 @@ def run_streaming_pipeline_e2e(
     final = build_pipeline_stream(stream, horizon_days, label_delay_hours)
 
     name = f"pipeline_e2e_{uuid.uuid4().hex[:8]}"
-    with shuffle_partitions(spark, 8):
+    # 4 partitions: the 6-operator stateful chain pays per-partition
+    # state-store overhead EVERY micro-batch; measured 49.5/33.7/31.3s at
+    # 8/4/2 partitions (chunks=1, sf0.01) with IDENTICAL result hashes —
+    # 4 keeps parallelism headroom for larger SFs while shedding most of
+    # the overhead
+    with shuffle_partitions(spark, 4):
         q = (
             final.writeStream.format("memory")
             .queryName(name)
