@@ -3428,8 +3428,10 @@ def att_strata(
     visible in the output, so the trimmed mass is auditable.
 
     Output: one row per stratum ``(stratum, n_t, n_c, mean_t_micro,
-    mean_c_micro, diff_micro)`` plus the combined row ``stratum = -1``
-    carrying the ATT over the common support.
+    mean_c_micro, diff_micro)`` plus the combined row ``stratum IS
+    NULL`` carrying the ATT over the common support (NULL, not an
+    integer sentinel — a caller-provided stratum value would collide
+    with any integer chosen here; same lesson as psi_drift's summary).
 
     Scale: one (stratum x arm) aggregation over the unit relation, then
     arithmetic on a strata-sized relation. Unit rows shuffle once.
@@ -3463,7 +3465,7 @@ def att_strata(
         ).alias("diff_micro"),
     )
     att = scored.filter(F.col("diff_micro").isNotNull()).agg(
-        F.lit(-1).cast("long").alias("stratum"),
+        F.lit(None).cast("long").alias("stratum"),
         F.sum("n_t").alias("n_t"),
         F.sum("n_c").alias("n_c"),
         F.lit(None).cast("long").alias("mean_t_micro"),
@@ -3507,7 +3509,7 @@ def att_strata_oracle(
         )
         SELECT * FROM scored
         UNION ALL
-        SELECT CAST(-1 AS BIGINT), CAST(SUM(n_t) AS BIGINT),
+        SELECT CAST(NULL AS BIGINT), CAST(SUM(n_t) AS BIGINT),
                CAST(SUM(n_c) AS BIGINT), NULL, NULL,
                CAST(SUM(diff_micro * n_t) // SUM(n_t) AS BIGINT)
         FROM scored WHERE diff_micro IS NOT NULL
@@ -5080,7 +5082,10 @@ def psi_drift(
 
     Output: one row per observed bucket ``(bucket, n_ref, n_cur,
     ref_share_micro, cur_share_micro, psi_term)`` plus a summary row
-    ``bucket = -1`` carrying the total in ``psi_term``.
+    ``bucket IS NULL`` carrying the total in ``psi_term`` (NULL, not a
+    sentinel integer: with negative values any integer sentinel would
+    COLLIDE with a genuine bucket — -1 did, nondeterministically
+    reordering the tied rows between engines).
 
     Scale: one hash aggregation to bucket counts (map-side combined) +
     one bucket-count-sized projection.
@@ -5149,7 +5154,7 @@ def psi_from_counts(counts: DataFrame) -> DataFrame:
         )
     )
     summary = terms.agg(
-        F.lit(-1).cast("long").alias("bucket"),
+        F.lit(None).cast("long").alias("bucket"),
         F.sum("n_ref").cast("long").alias("n_ref"),
         F.sum("n_cur").cast("long").alias("n_cur"),
         F.lit(None).cast("long").alias("ref_share_micro"),
@@ -5196,7 +5201,7 @@ def psi_drift_oracle(
                psi_term
         FROM terms
         UNION ALL
-        SELECT CAST(-1 AS BIGINT), CAST(SUM(n_ref) AS BIGINT),
+        SELECT CAST(NULL AS BIGINT), CAST(SUM(n_ref) AS BIGINT),
                CAST(SUM(n_cur) AS BIGINT), NULL, NULL,
                CAST(SUM(psi_term) AS BIGINT)
         FROM terms

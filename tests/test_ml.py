@@ -707,9 +707,11 @@ def test_att_strata_known_effect_and_trimming(spark):
     assert out[0]["diff_micro"] == 2_000_000
     assert out[1]["diff_micro"] == 1_000_000
     assert out[2]["diff_micro"] is None and out[2]["n_c"] == 0
-    # ATT = (2e6 * 2 + 1e6 * 1) / 3 treated-on-support
-    assert out[-1]["diff_micro"] == (2_000_000 * 2 + 1_000_000) // 3
-    assert out[-1]["n_t"] == 3
+    # ATT = (2e6 * 2 + 1e6 * 1) / 3 treated-on-support; the combined row
+    # carries stratum NULL (an integer sentinel would collide with a
+    # caller-provided stratum value)
+    assert out[None]["diff_micro"] == (2_000_000 * 2 + 1_000_000) // 3
+    assert out[None]["n_t"] == 3
 
 
 def test_calibration_bins_quantile_bands_and_mono(spark):
@@ -996,28 +998,33 @@ def test_psi_drift_negative_values_match_oracle(spark):
 
     rows = [(float(v), s) for v in range(-1300, 1300, 7) for s in (0, 1, None)]
     df = spark.createDataFrame(rows, "value double, cur int")
-    got = (
-        psi_drift(df, F.col("cur") == 1, "value", width=500)
-        .orderBy("bucket")
-        .collect()
+    key = lambda t: (t[0] is None, t[0] if t[0] is not None else 0)
+    got = sorted(
+        (
+            (g["bucket"], g["n_ref"], g["n_cur"], g["psi_term"])
+            for g in psi_drift(
+                df, F.col("cur") == 1, "value", width=500
+            ).collect()
+        ),
+        key=key,
     )
     con = duckdb.connect()
     con.register("t", pd.DataFrame(rows, columns=["value", "cur"]))
-    ora = con.execute(
-        psi_drift_oracle("SELECT * FROM t", "cur = 1", "value", width=500)
-        + " ORDER BY bucket"
-    ).fetchall()
-    assert len(got) == len(ora) and len(got) > 3
-    for g, o in zip(got, ora):
-        assert (g["bucket"], g["n_ref"], g["n_cur"], g["psi_term"]) == (
-            o[0],
-            o[1],
-            o[2],
-            o[5],
-        ), (g, o)
+    ora = sorted(
+        (
+            (o[0], o[1], o[2], o[5])
+            for o in con.execute(
+                psi_drift_oracle("SELECT * FROM t", "cur = 1", "value", width=500)
+            ).fetchall()
+        ),
+        key=key,
+    )
+    assert len(got) > 3 and got == ora
+    # negative buckets genuinely present; summary is the NULL-bucket row
+    assert any(b is not None and b < 0 for b, *_ in got)
     # the NULL-pred rows landed on the reference side (n_ref counts them)
-    total = [g for g in got if g["bucket"] == -1][0]
-    assert total["n_ref"] == 2 * total["n_cur"]
+    total = [g for g in got if g[0] is None][0]
+    assert total[1] == 2 * total[2]
 
 
 def test_fairness_audit_null_pred_and_label_match_oracle(spark):
