@@ -3745,3 +3745,196 @@ def cox_fit_multi_oracle(
     return (
         "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(selects)
     )
+
+
+def cox_fit_banded(
+    units: DataFrame,
+    dur_col: str,
+    event_col: str,
+    x_col: str,
+    lo: int,
+    width: int,
+    n_bands: int = 8,
+    n_steps: int = 12,
+    scale_den: int | None = None,
+) -> DataFrame:
+    """Cox proportional hazards with one CONTINUOUS covariate, banded —
+    the dose-response completion of the survival family ("does MORE
+    exposure raise the churn hazard monotonically?"): the covariate is
+    quantized into ``n_bands`` fixed-width bands (portable integer
+    bucketing from caller-provided ``lo``/``width``; values clamp into
+    the edge bands) and the band INDEX b in [0, n_bands) is the
+    regressor, so ``exp(beta)`` is the hazard ratio per band step.
+
+    The stratified Breslow collapse of :func:`cox_fit_multi` applies
+    with strata = bands and per-stratum covariate VALUE b: the score is
+
+        g(beta) = sum_t [ sum_b de_b(t)*b - D(t) *
+                          (sum_b n_b(t)*b*E_b) / (sum_b n_b(t)*E_b) ]
+
+    with ``E_b = exp_micro(beta*b)`` — beta is driver-known per step,
+    so every E_b is an embedded-table literal; one bounded aggregation
+    per step. Update uses the sign-safe division with the default
+    ``scale_den = 4 * (n_bands - 1)`` (the extra factor tames the
+    larger score scale of a 0..B-1 regressor vs the binary 0/1 case).
+    The exp table clamps at |beta*b| <= 4, so per-step hazard cells are
+    exact and the top band's TOTAL effect saturates at e^4 — band
+    coarser (smaller n_bands) for stronger exposures.
+
+    Output (tall, scalar): ``('beta', beta_micro)``, per-band
+    ``('hazard_ratio_micro_b<i>', exp-table cell at beta*i)``, audits
+    ``__n_units``, ``__n_events``, per-band ``__n_band_<i>``.
+
+    Scale: identical envelope to cox_fit_multi — one pass to
+    per-(time, band) counts, one dist_cumsum over distinct times,
+    n_steps bounded aggregations.
+    """
+    if not 2 <= n_bands <= 16:
+        raise ValueError("cox_fit_banded takes 2-16 bands")
+    if scale_den is None:
+        scale_den = 4 * (n_bands - 1)
+    band = F.expr(
+        f"least(greatest((CAST({x_col} AS BIGINT) - {lo}) div {width}, 0),"
+        f" {n_bands - 1})"
+    )
+    u = units.select(
+        F.col(dur_col).cast("long").alias("t"),
+        F.col(event_col).cast("long").alias("d"),
+        band.alias("s"),
+    ).localCheckpoint()
+    risk = _cox_multi_risk(u, n_bands).localCheckpoint()
+    meta = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("ev"),
+        *[
+            F.sum((F.col("s") == b).cast("long")).alias(f"nb{b}")
+            for b in range(n_bands)
+        ],
+    ).first()
+    n_ev = int(meta["ev"] or 0)
+    beta = 0
+    for _ in range(n_steps):
+        ev_b = [
+            _exp_val((beta * b)) for b in range(n_bands)
+        ]
+        den = " + ".join(f"n{b} * {ev_b[b]}" for b in range(n_bands))
+        num = " + ".join(f"n{b} * {b} * {ev_b[b]}" for b in range(n_bands))
+        dx = " + ".join(f"de{b} * {b}" for b in range(1, n_bands))
+        dd = " + ".join(f"de{b}" for b in range(n_bands))
+        g = risk.agg(
+            F.expr(
+                f"sum(({dx}) * 1000000 - ({dd}) *"
+                f" ((({num}) * 1000000) div ({den})))"
+            ).alias("g")
+        ).first()["g"]
+        g = int(g or 0)
+        beta = beta + (1 if g >= 0 else -1) * (
+            abs(g) // (scale_den * max(n_ev, 1))
+        )
+    rows: list[tuple[str, int]] = [("beta", int(beta))]
+    for b in range(n_bands):
+        rows.append((f"hazard_ratio_micro_b{b}", int(_exp_val(beta * b))))
+    rows.append(("__n_units", int(meta["n"])))
+    rows.append(("__n_events", n_ev))
+    for b in range(n_bands):
+        rows.append((f"__n_band_{b}", int(meta[f"nb{b}"] or 0)))
+    return units.sparkSession.createDataFrame(
+        rows, "feature string, w_micro long"
+    )
+
+
+def cox_fit_banded_oracle(
+    units_sql: str,
+    dur_sql: str,
+    event_sql: str,
+    x_sql: str,
+    lo: int,
+    width: int,
+    n_bands: int = 8,
+    n_steps: int = 12,
+    scale_den: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`cox_fit_banded` (unrolled MATERIALIZED CTE
+    steps; per-band exp lookups index the same embedded table over the
+    beta CTE with the identical integer product)."""
+    from flink_example_spark.operators.ml import (
+        _EXP_CLAMP_HI,
+        _EXP_CLAMP_LO,
+        _EXP_TABLE,
+        _SIG_STEP,
+    )
+
+    if not 2 <= n_bands <= 16:
+        raise ValueError("cox_fit_banded takes 2-16 bands")
+    if scale_den is None:
+        scale_den = 4 * (n_bands - 1)
+    lit = "[" + ",".join(str(v) for v in _EXP_TABLE) + "]"
+
+    def exp_of(bexpr: str) -> str:
+        zc = f"greatest(least({bexpr}, {_EXP_CLAMP_HI - 1}), {_EXP_CLAMP_LO})"
+        return f"({lit})[((({zc}) + {-_EXP_CLAMP_LO}) // {_SIG_STEP}) + 1]"
+
+    c_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN s = {b} THEN 1 ELSE 0 END) AS BIGINT) AS c{b}"
+        for b in range(n_bands)
+    )
+    de_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN s = {b} THEN d ELSE 0 END) AS BIGINT) AS de{b}"
+        for b in range(n_bands)
+    )
+    n_cols = ", ".join(
+        f"CAST(SUM(c{b}) OVER (ORDER BY t DESC) AS BIGINT) AS n{b}"
+        for b in range(n_bands)
+    )
+    de_all = " + ".join(f"de{b}" for b in range(n_bands))
+    nb_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN s = {b} THEN 1 ELSE 0 END) AS BIGINT) AS nb{b}"
+        for b in range(n_bands)
+    )
+    parts = [
+        f"""u AS MATERIALIZED (
+          SELECT CAST(({dur_sql}) AS BIGINT) AS t,
+                 CAST(({event_sql}) AS BIGINT) AS d,
+                 least(greatest((CAST(({x_sql}) AS BIGINT) - {lo}) // {width},
+                   0), {n_bands - 1}) AS s
+          FROM ({units_sql})),
+        per AS MATERIALIZED (
+          SELECT t, {c_cols}, {de_cols} FROM u GROUP BY t),
+        riskall AS MATERIALIZED (
+          SELECT t, {", ".join(f"de{b}" for b in range(n_bands))}, {n_cols}
+          FROM per),
+        risk AS MATERIALIZED (
+          SELECT * FROM riskall WHERE {de_all} > 0),
+        meta AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(d) AS BIGINT) AS ev,
+                 {nb_cols}
+          FROM u),
+        b0 AS (SELECT CAST(0 AS BIGINT) AS beta)"""
+    ]
+    for st in range(n_steps):
+        e_b = [exp_of(f"b{st}.beta * {b}") for b in range(n_bands)]
+        den = " + ".join(f"n{b} * ({e_b[b]})" for b in range(n_bands))
+        num = " + ".join(f"n{b} * {b} * ({e_b[b]})" for b in range(n_bands))
+        dx = " + ".join(f"de{b} * {b}" for b in range(1, n_bands))
+        parts.append(
+            f"""g{st} AS MATERIALIZED (
+              SELECT CAST(SUM(({dx}) * 1000000 - ({de_all}) *
+                ((({num}) * 1000000) // ({den}))) AS BIGINT) AS g
+              FROM risk, b{st}),
+            b{st + 1} AS MATERIALIZED (
+              SELECT b{st}.beta + (CASE WHEN g{st}.g >= 0 THEN 1 ELSE -1 END)
+                     * (abs(g{st}.g) // ({scale_den} * greatest(meta.ev, 1)))
+                AS beta
+              FROM b{st}, g{st}, meta)"""
+        )
+    selects = [f"SELECT 'beta' AS feature, beta AS w_micro FROM b{n_steps}"]
+    for b in range(n_bands):
+        selects.append(
+            f"SELECT 'hazard_ratio_micro_b{b}',"
+            f" {exp_of(f'b{n_steps}.beta * {b}')} FROM b{n_steps}"
+        )
+    selects.append("SELECT '__n_units', n FROM meta")
+    selects.append("SELECT '__n_events', ev FROM meta")
+    for b in range(n_bands):
+        selects.append(f"SELECT '__n_band_{b}', nb{b} FROM meta")
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(selects)

@@ -778,3 +778,81 @@ def test_cox_multi_zero_covariate_is_inert(spark):
     assert both["beta_a"] == solo["beta_a"]
     assert both["beta_z"] == 0
     assert both["__n_treated_z"] == 0
+
+
+def test_cox_banded_dose_response_and_oracle(spark):
+    """A hazard that grows with dose yields positive beta (monotone band
+    hazard ratios); a shuffled (null) dose stays near 0; the unrolled
+    oracle is bit-equal."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.timeseries import (
+        cox_fit_banded,
+        cox_fit_banded_oracle,
+    )
+
+    rows = []
+    for dose in range(0, 71, 10):
+        for k in range(25):
+            dur = 3 + ((k * 5 + 7) % 19) * (8 - dose // 10)
+            d = 1 if (k % 4) != 0 else 0
+            rows.append((dur, d, dose))
+    u = spark.createDataFrame(rows, "dur long, d long, dose long")
+    got = {
+        r["feature"]: r["w_micro"]
+        for r in cox_fit_banded(
+            u, "dur", "d", "dose", lo=0, width=10, n_bands=8
+        ).collect()
+    }
+    assert got["beta"] > 150_000  # clearly positive per-band effect
+    hrs = [got[f"hazard_ratio_micro_b{b}"] for b in range(8)]
+    assert hrs == sorted(hrs) and hrs[0] == got["hazard_ratio_micro_b0"]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["dur", "d", "dose"]))
+    ora = dict(
+        con.execute(
+            cox_fit_banded_oracle(
+                "SELECT * FROM t", "dur", "d", "dose", lo=0, width=10, n_bands=8
+            )
+        ).fetchall()
+    )
+    assert got == ora
+    # null dose: no relation between dose and duration
+    rows2 = [
+        (3 + ((k * 5 + 7) % 19), 1 if k % 4 else 0, (k * 13) % 70)
+        for k in range(200)
+    ]
+    u2 = spark.createDataFrame(rows2, "dur long, d long, dose long")
+    g2 = {
+        r["feature"]: r["w_micro"]
+        for r in cox_fit_banded(
+            u2, "dur", "d", "dose", lo=0, width=10, n_bands=8
+        ).collect()
+    }
+    assert abs(g2["beta"]) < 20_000
+
+
+def test_cox_banded_clamps_out_of_range_and_guards(spark):
+    """Values below lo / above the top band clamp into the edge bands
+    (identical expression both engines); band-count guard raises."""
+    import pytest
+
+    from flink_example_spark.operators.timeseries import (
+        cox_fit_banded,
+        cox_fit_banded_oracle,
+    )
+
+    rows = [(5 + k % 7, 1, v) for k, v in enumerate((-100, -1, 0, 39, 40, 999))]
+    u = spark.createDataFrame(rows, "dur long, d long, x long")
+    got = {
+        r["feature"]: r["w_micro"]
+        for r in cox_fit_banded(
+            u, "dur", "d", "x", lo=0, width=10, n_bands=4
+        ).collect()
+    }
+    assert got["__n_band_0"] == 3 and got["__n_band_3"] == 3
+    with pytest.raises(ValueError):
+        cox_fit_banded(u, "dur", "d", "x", lo=0, width=10, n_bands=1)
+    with pytest.raises(ValueError):
+        cox_fit_banded_oracle("t", "dur", "d", "x", lo=0, width=10, n_bands=99)
