@@ -2683,6 +2683,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # churn-hazard LIVE: per-user first/last/error-count monoid in
         # state; censoring + at-risk closure + Breslow descent at read
         # time — BIT-equal to batch timeseries_cox (shared oracle)
+        # live dose-response hazard monitor: envelope monoid + error
+        # count, banded descent at read — BIT-equal to the batch row
+        "streaming_cox_banded": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.timeseries_stream",
+            fromlist=["run_streaming_cox_banded"],
+        ).run_streaming_cox_banded(spark, sf_dir),
         # live multivariate hazard monitor: same envelope monoid plus a
         # purchase count — BIT-equal to batch timeseries_cox_multi
         "streaming_cox_multi": lambda spark, sf_dir: __import__(
@@ -5107,6 +5113,7 @@ def _northstar_oracles() -> dict[str, str]:
     # the live hazard monitor converges to the batch Cox fit exactly
     out["streaming_cox"] = out["timeseries_cox"]
     out["streaming_cox_multi"] = out["timeseries_cox_multi"]
+    out["streaming_cox_banded"] = out["timeseries_cox_banded"]
     from flink_example_spark.operators.timeseries import changepoint_oracle
 
     from flink_example_spark.operators.timeseries import survival_table_oracle

@@ -1331,3 +1331,53 @@ def run_streaming_cox_multi(
         F.expr("CAST(np * 5 >= nt AS INT)").cast("long").alias("x_buy"),
     )
     return cox_fit_multi(units, "dur_h", "d", ["x_err", "x_buy"])
+
+
+def run_streaming_cox_banded(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """LIVE dose-response hazard monitor: the per-user envelope monoid
+    (first/last timestamp + error count) feeds the banded stratified
+    descent (:func:`~flink_example_spark.operators.timeseries
+    .cox_fit_banded`) at read time — "is the churn hazard rising with
+    error COUNT, live". BIT-equal to batch ``timeseries_cox_banded``
+    (shared oracle)."""
+    from flink_example_spark.operators.timeseries import cox_fit_banded
+    from flink_example_spark.streaming.staging import stage_table_by_key
+
+    tune(spark)
+    tmpdir, schema = stage_table_by_key(
+        spark, sf_dir, "events", "event_id", chunks
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/chunk_*")
+    )
+    per = stream.groupBy("user_id").agg(
+        F.expr("min(unix_micros(cast(ts as timestamp)))").alias("first_us"),
+        F.expr("max(unix_micros(cast(ts as timestamp)))").alias("last_us"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("ne"),
+    )
+    name = f"stream_coxb_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            per.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = spark.table(name).groupBy("user_id").agg(
+        F.min("first_us").alias("first_us"),
+        F.max("last_us").alias("last_us"),
+        F.max("ne").alias("n_err"),
+    )
+    cmax = latest.agg(F.max("last_us").alias("cm"))
+    units = latest.crossJoin(F.broadcast(cmax)).select(
+        F.expr("(last_us - first_us) div 3600000000").alias("dur_h"),
+        F.expr("CAST(last_us <= cm - 86400000000 AS INT)").cast("long").alias("d"),
+        "n_err",
+    )
+    return cox_fit_banded(units, "dur_h", "d", "n_err", lo=0, width=5, n_bands=8)
