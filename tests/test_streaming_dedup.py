@@ -117,7 +117,11 @@ def test_fourth_wave_twins_chunk_invariant(spark):
     sf = "/root/testdata/sf0.001"
 
     def rows(df):
-        return sorted(map(tuple, df.collect()))
+        # NULL-safe sort: the psi summary row carries a NULL bucket
+        return sorted(
+            map(tuple, df.collect()),
+            key=lambda t: tuple((v is None, v if v is not None else 0) for v in t),
+        )
 
     assert rows(run_streaming_psi(spark, sf, chunks=1)) == rows(
         run_streaming_psi(spark, sf, chunks=2)
