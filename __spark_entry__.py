@@ -2680,6 +2680,9 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dose-response Cox: per-user error COUNT banded (width 5, 8
         # bands); exp(beta) = hazard ratio per band step
         "timeseries_cox_banded": _timeseries_cox_banded,
+        # ADJUSTED dose-response: the same banded exposure controlling
+        # for purchase-share engagement (16 strata, 2 coefficients)
+        "timeseries_cox_adj": _timeseries_cox_adj,
         # churn-hazard LIVE: per-user first/last/error-count monoid in
         # state; censoring + at-risk closure + Breslow descent at read
         # time — BIT-equal to batch timeseries_cox (shared oracle)
@@ -5103,6 +5106,32 @@ def _northstar_oracles() -> dict[str, str]:
         width=5,
         n_bands=8,
     )
+    from flink_example_spark.operators.timeseries import cox_fit_banded_adj_oracle
+
+    out["timeseries_cox_adj"] = cox_fit_banded_adj_oracle(
+        """WITH per AS (
+             SELECT user_id,
+                    MIN(epoch_us(ts)) AS first_us,
+                    MAX(epoch_us(ts)) AS last_us,
+                    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_err,
+                    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+                                  ELSE 0 END) * 5 >= COUNT(*)
+                         THEN 1 ELSE 0 END AS x_buy
+             FROM events GROUP BY user_id
+           ), cm AS (SELECT MAX(last_us) AS cm FROM per)
+           SELECT (last_us - first_us) // 3600000000 AS dur_h,
+                  CASE WHEN last_us <= cm - 86400000000 THEN 1 ELSE 0 END AS d,
+                  n_err, x_buy
+           FROM per, cm""",
+        "dur_h",
+        "d",
+        "n_err",
+        lo=0,
+        width=5,
+        z_sqls=[("x_buy", "x_buy")],
+        n_bands=8,
+    )
     from flink_example_spark.operators.timeseries import ccf_oracle
 
     out["timeseries_ccf"] = ccf_oracle(
@@ -6206,6 +6235,41 @@ def _timeseries_cox_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_err",
     )
     return cox_fit_banded(units, "dur_h", "d", "n_err", lo=0, width=5, n_bands=8)
+
+
+def _timeseries_cox_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.timeseries import cox_fit_banded_adj
+    from flink_example_spark.plans.events_demo import load_events
+
+    ev = load_events(spark, sf_dir)
+    per = ev.groupBy("user_id").agg(
+        F.expr("min(unix_micros(cast(ts as timestamp)))").alias("first_us"),
+        F.expr("max(unix_micros(cast(ts as timestamp)))").alias("last_us"),
+        F.expr("sum(CAST(event_type = 'error' AS INT))")
+        .cast("long")
+        .alias("n_err"),
+        F.expr(
+            "CAST(sum(CAST(event_type = 'purchase' AS INT)) * 5 >= count(*)"
+            " AS INT)"
+        )
+        .cast("long")
+        .alias("x_buy"),
+    )
+    cmax = per.agg(F.max("last_us").alias("cm"))
+    units = per.crossJoin(F.broadcast(cmax)).select(
+        F.expr("(last_us - first_us) div 3600000000").alias("dur_h"),
+        F.expr("CAST(last_us <= cm - 86400000000 AS INT)")
+        .cast("long")
+        .alias("d"),
+        "n_err",
+        "x_buy",
+    )
+    return cox_fit_banded_adj(
+        units, "dur_h", "d", "n_err", lo=0, width=5, z_cols=["x_buy"],
+        n_bands=8,
+    )
 
 
 def _ml_poisson_fit(spark: SparkSession, sf_dir: str) -> DataFrame:

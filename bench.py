@@ -180,6 +180,10 @@ HEADLINE = [
     "ml_sprt",
     "ml_att_strata",
     "multimodal_sobel",
+    # the perceptron FIT runs before its eval consumers so the shared
+    # solve (memoized) is attributed to the fit row, and each eval row
+    # shows its true marginal cost
+    "ml_perceptron",
     "ml_calibration_bins",
     "ml_learning_curve",
     "timeseries_granger",

@@ -3938,3 +3938,264 @@ def cox_fit_banded_oracle(
     for b in range(n_bands):
         selects.append(f"SELECT '__n_band_{b}', nb{b} FROM meta")
     return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+def cox_fit_banded_adj(
+    units: DataFrame,
+    dur_col: str,
+    event_col: str,
+    x_col: str,
+    lo: int,
+    width: int,
+    z_cols: list[str],
+    n_bands: int = 8,
+    n_steps: int = 12,
+    scale_den: int = 4,
+) -> DataFrame:
+    """ADJUSTED dose-response Cox — the banded continuous exposure of
+    :func:`cox_fit_banded` CONTROLLING for binary confounders ("does
+    more exposure raise the hazard, holding engagement fixed?" — the
+    estimator an observational churn study actually needs). Strata are
+    the cross product band x confounder-bits (``n_bands * 2^q <= 32``,
+    all pivoted to columns, one dist_cumsum pass); the coefficient
+    vector is (beta_dose per band step, one beta per confounder), and
+    every per-stratum weight ``E_s = exp_micro(beta_dose*band(s) +
+    sum_j beta_j z_j(s))`` is a driver-known embedded-table literal per
+    step. One bounded aggregation per step yields ALL gradients.
+
+    Same integer discipline as the siblings: band clamp identical in
+    both engines, non-negative BIGINT score ratios, sign-safe updates
+    (dose step divides by an extra ``n_bands - 1`` factor, matching
+    cox_fit_banded's default).
+
+    Output (tall, scalar): ``('beta_dose', ...)``, per confounder
+    ``('beta_<z>', ...)``, per band the ADJUSTED dose hazard cell
+    ``('hazard_ratio_micro_b<i>', exp-table at beta_dose*i)``, audits
+    ``__n_units``, ``__n_events``, ``__n_band_<i>``,
+    ``__n_treated_<z>``.
+    """
+    q = len(z_cols)
+    ns = n_bands << q
+    if not 2 <= n_bands <= 16 or q < 1 or ns > 32:
+        raise ValueError("cox_fit_banded_adj: need 2<=n_bands<=16, 1+ "
+                         "confounders, n_bands * 2^len(z_cols) <= 32")
+    band = F.expr(
+        f"least(greatest((CAST({x_col} AS BIGINT) - {lo}) div {width}, 0),"
+        f" {n_bands - 1})"
+    )
+    s_expr = band
+    for j, c in enumerate(z_cols):
+        s_expr = s_expr + F.col(c).cast("long") * F.lit(n_bands << j)
+    u = units.select(
+        F.col(dur_col).cast("long").alias("t"),
+        F.col(event_col).cast("long").alias("d"),
+        s_expr.alias("s"),
+    ).localCheckpoint()
+    risk = _cox_multi_risk(u, ns).localCheckpoint()
+
+    # covariate value vectors over strata: dose band + each confounder bit
+    vals = [[sv % n_bands for sv in range(ns)]] + [
+        [((sv // n_bands) >> j) & 1 for sv in range(ns)] for j in range(q)
+    ]
+    meta = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("ev"),
+        *[
+            F.sum((F.col("s") % n_bands == b).cast("long")).alias(f"nb{b}")
+            for b in range(n_bands)
+        ],
+        *[
+            F.sum(
+                ((F.col("s") / F.lit(n_bands)).cast("long").bitwiseAND(1 << j) > 0)
+                .cast("long")
+            ).alias(f"tz{j}")
+            for j in range(q)
+        ],
+    ).first()
+    n_ev = int(meta["ev"] or 0)
+    dens = [scale_den * (n_bands - 1)] + [scale_den] * q
+    betas = [0] * (1 + q)
+    for _ in range(n_steps):
+        ev_s = [
+            _exp_val(sum(betas[i] * vals[i][sv] for i in range(1 + q)))
+            for sv in range(ns)
+        ]
+        den = " + ".join(f"n{sv} * {ev_s[sv]}" for sv in range(ns))
+        dd = " + ".join(f"de{sv}" for sv in range(ns))
+        aggs = []
+        for i in range(1 + q):
+            pos = [sv for sv in range(ns) if vals[i][sv]]
+            num = " + ".join(f"n{sv} * {vals[i][sv]} * {ev_s[sv]}" for sv in pos)
+            dx = " + ".join(f"de{sv} * {vals[i][sv]}" for sv in pos)
+            if not pos:
+                aggs.append(F.expr("CAST(0 AS BIGINT)").alias(f"g{i}"))
+                continue
+            aggs.append(
+                F.expr(
+                    f"sum(({dx}) * 1000000 - ({dd}) *"
+                    f" ((({num}) * 1000000) div ({den})))"
+                ).alias(f"g{i}")
+            )
+        g = risk.agg(*aggs).first()
+        for i in range(1 + q):
+            gi = int(g[f"g{i}"] or 0)
+            betas[i] = betas[i] + (1 if gi >= 0 else -1) * (
+                abs(gi) // (dens[i] * max(n_ev, 1))
+            )
+    rows: list[tuple[str, int]] = [("beta_dose", int(betas[0]))]
+    for j, name in enumerate(z_cols):
+        rows.append((f"beta_{name}", int(betas[1 + j])))
+    for b in range(n_bands):
+        rows.append((f"hazard_ratio_micro_b{b}", int(_exp_val(betas[0] * b))))
+    rows.append(("__n_units", int(meta["n"])))
+    rows.append(("__n_events", n_ev))
+    for b in range(n_bands):
+        rows.append((f"__n_band_{b}", int(meta[f"nb{b}"] or 0)))
+    for j, name in enumerate(z_cols):
+        rows.append((f"__n_treated_{name}", int(meta[f"tz{j}"] or 0)))
+    return units.sparkSession.createDataFrame(
+        rows, "feature string, w_micro long"
+    )
+
+
+def cox_fit_banded_adj_oracle(
+    units_sql: str,
+    dur_sql: str,
+    event_sql: str,
+    x_sql: str,
+    lo: int,
+    width: int,
+    z_sqls: list[tuple[str, str]],
+    n_bands: int = 8,
+    n_steps: int = 12,
+    scale_den: int = 4,
+) -> str:
+    """DuckDB twin of :func:`cox_fit_banded_adj` (unrolled MATERIALIZED
+    CTE steps; identical stratum encoding, exp-table arithmetic and
+    sign-safe updates over the multi-coefficient beta CTE)."""
+    from flink_example_spark.operators.ml import (
+        _EXP_CLAMP_HI,
+        _EXP_CLAMP_LO,
+        _EXP_TABLE,
+        _SIG_STEP,
+    )
+
+    q = len(z_sqls)
+    ns = n_bands << q
+    if not 2 <= n_bands <= 16 or q < 1 or ns > 32:
+        raise ValueError("cox_fit_banded_adj: need 2<=n_bands<=16, 1+ "
+                         "confounders, n_bands * 2^len(z_sqls) <= 32")
+    lit = "[" + ",".join(str(v) for v in _EXP_TABLE) + "]"
+
+    def exp_of(bexpr: str) -> str:
+        zc = f"greatest(least({bexpr}, {_EXP_CLAMP_HI - 1}), {_EXP_CLAMP_LO})"
+        return f"({lit})[((({zc}) + {-_EXP_CLAMP_LO}) // {_SIG_STEP}) + 1]"
+
+    vals = [[sv % n_bands for sv in range(ns)]] + [
+        [((sv // n_bands) >> j) & 1 for sv in range(ns)] for j in range(q)
+    ]
+    s_sql = (
+        f"least(greatest((CAST(({x_sql}) AS BIGINT) - {lo}) // {width}, 0),"
+        f" {n_bands - 1})"
+        + "".join(
+            f" + CAST(({z}) AS BIGINT) * {n_bands << j}"
+            for j, (_, z) in enumerate(z_sqls)
+        )
+    )
+    c_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN s = {sv} THEN 1 ELSE 0 END) AS BIGINT) AS c{sv}"
+        for sv in range(ns)
+    )
+    de_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN s = {sv} THEN d ELSE 0 END) AS BIGINT) AS de{sv}"
+        for sv in range(ns)
+    )
+    n_cols = ", ".join(
+        f"CAST(SUM(c{sv}) OVER (ORDER BY t DESC) AS BIGINT) AS n{sv}"
+        for sv in range(ns)
+    )
+    de_all = " + ".join(f"de{sv}" for sv in range(ns))
+    nb_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN s % {n_bands} = {b} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS nb{b}"
+        for b in range(n_bands)
+    )
+    tz_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN ((s // {n_bands}) >> {j}) & 1 = 1 THEN 1 ELSE 0"
+        f" END) AS BIGINT) AS tz{j}"
+        for j in range(q)
+    )
+    bnames = ["beta_dose"] + [f"beta{j}" for j in range(q)]
+    dens = [scale_den * (n_bands - 1)] + [scale_den] * q
+    parts = [
+        f"""u AS MATERIALIZED (
+          SELECT CAST(({dur_sql}) AS BIGINT) AS t,
+                 CAST(({event_sql}) AS BIGINT) AS d,
+                 {s_sql} AS s
+          FROM ({units_sql})),
+        per AS MATERIALIZED (
+          SELECT t, {c_cols}, {de_cols} FROM u GROUP BY t),
+        riskall AS MATERIALIZED (
+          SELECT t, {", ".join(f"de{sv}" for sv in range(ns))}, {n_cols}
+          FROM per),
+        risk AS MATERIALIZED (
+          SELECT * FROM riskall WHERE {de_all} > 0),
+        meta AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(d) AS BIGINT) AS ev,
+                 {nb_cols}, {tz_cols}
+          FROM u),
+        b0 AS (SELECT {", ".join(f"CAST(0 AS BIGINT) AS {b}" for b in bnames)})"""
+    ]
+    for st in range(n_steps):
+        w_s = [
+            " + ".join(
+                [f"b{st}.{bnames[i]} * {vals[i][sv]}" for i in range(1 + q)
+                 if vals[i][sv]]
+                or ["0"]
+            )
+            for sv in range(ns)
+        ]
+        e_s = [exp_of(w) for w in w_s]
+        den = " + ".join(f"n{sv} * ({e_s[sv]})" for sv in range(ns))
+        g_cols = []
+        for i in range(1 + q):
+            pos = [sv for sv in range(ns) if vals[i][sv]]
+            num = " + ".join(
+                f"n{sv} * {vals[i][sv]} * ({e_s[sv]})" for sv in pos
+            )
+            dx = " + ".join(f"de{sv} * {vals[i][sv]}" for sv in pos)
+            g_cols.append(
+                f"CAST(SUM(({dx}) * 1000000 - ({de_all}) *"
+                f" ((({num}) * 1000000) // ({den}))) AS BIGINT) AS g{i}"
+            )
+        upd = ", ".join(
+            f"b{st}.{bnames[i]} + (CASE WHEN g{st}.g{i} >= 0 THEN 1 ELSE -1"
+            f" END) * (abs(g{st}.g{i}) // ({dens[i]} * greatest(meta.ev, 1)))"
+            f" AS {bnames[i]}"
+            for i in range(1 + q)
+        )
+        parts.append(
+            f"""g{st} AS MATERIALIZED (
+              SELECT {", ".join(g_cols)} FROM risk, b{st}),
+            b{st + 1} AS MATERIALIZED (
+              SELECT {upd} FROM b{st}, g{st}, meta)"""
+        )
+    selects = [
+        f"SELECT 'beta_dose' AS feature, beta_dose AS w_micro FROM b{n_steps}"
+    ]
+    for j, (name, _) in enumerate(z_sqls):
+        selects.append(
+            f"SELECT 'beta_{name}', beta{j} FROM b{n_steps}"
+        )
+    for b in range(n_bands):
+        selects.append(
+            f"SELECT 'hazard_ratio_micro_b{b}',"
+            f" {exp_of(f'b{n_steps}.beta_dose * {b}')} FROM b{n_steps}"
+        )
+    selects.append("SELECT '__n_units', n FROM meta")
+    selects.append("SELECT '__n_events', ev FROM meta")
+    for b in range(n_bands):
+        selects.append(f"SELECT '__n_band_{b}', nb{b} FROM meta")
+    for j, (name, _) in enumerate(z_sqls):
+        selects.append(f"SELECT '__n_treated_{name}', tz{j} FROM meta")
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(selects)

@@ -856,3 +856,53 @@ def test_cox_banded_clamps_out_of_range_and_guards(spark):
         cox_fit_banded(u, "dur", "d", "x", lo=0, width=10, n_bands=1)
     with pytest.raises(ValueError):
         cox_fit_banded_oracle("t", "dur", "d", "x", lo=0, width=10, n_bands=99)
+
+
+def test_cox_adj_deconfounds_the_dose_effect(spark):
+    """A confounded design (engaged users have HIGH dose AND long
+    survival) where the adjusted fit must recover a positive dose
+    effect and a negative engagement effect; oracle bit-equal; guard
+    raises on an over-wide stratum space."""
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    from flink_example_spark.operators.timeseries import (
+        cox_fit_banded_adj,
+        cox_fit_banded_adj_oracle,
+    )
+
+    rows = []
+    for z in (0, 1):
+        for dose_step in range(8):
+            dose = dose_step * 10 + z * 5
+            for k in range(12):
+                base = 40 if z else 16
+                dur = max(1, base - 2 * dose_step + ((k * 7) % 5))
+                d = 1 if (k % 4) != 0 else 0
+                rows.append((dur, d, dose, z))
+    u = spark.createDataFrame(rows, "dur long, d long, dose long, z long")
+    got = {
+        r["feature"]: r["w_micro"]
+        for r in cox_fit_banded_adj(
+            u, "dur", "d", "dose", lo=0, width=10, z_cols=["z"], n_bands=8
+        ).collect()
+    }
+    assert got["beta_dose"] > 150_000
+    assert got["beta_z"] < -400_000
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["dur", "d", "dose", "z"]))
+    ora = dict(
+        con.execute(
+            cox_fit_banded_adj_oracle(
+                "SELECT * FROM t", "dur", "d", "dose",
+                lo=0, width=10, z_sqls=[("z", "z")], n_bands=8,
+            )
+        ).fetchall()
+    )
+    assert got == ora
+    with pytest.raises(ValueError):
+        cox_fit_banded_adj(
+            u, "dur", "d", "dose", lo=0, width=10,
+            z_cols=["z", "z", "z"], n_bands=8,  # 64 strata > 32
+        )
