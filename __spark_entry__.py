@@ -2686,6 +2686,12 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # churn-hazard LIVE: per-user first/last/error-count monoid in
         # state; censoring + at-risk closure + Breslow descent at read
         # time — BIT-equal to batch timeseries_cox (shared oracle)
+        # live ADJUSTED dose-response monitor (error count banded,
+        # engagement confounder) — BIT-equal to batch timeseries_cox_adj
+        "streaming_cox_adj": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.timeseries_stream",
+            fromlist=["run_streaming_cox_adj"],
+        ).run_streaming_cox_adj(spark, sf_dir),
         # live dose-response hazard monitor: envelope monoid + error
         # count, banded descent at read — BIT-equal to the batch row
         "streaming_cox_banded": lambda spark, sf_dir: __import__(
@@ -5143,6 +5149,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["streaming_cox"] = out["timeseries_cox"]
     out["streaming_cox_multi"] = out["timeseries_cox_multi"]
     out["streaming_cox_banded"] = out["timeseries_cox_banded"]
+    out["streaming_cox_adj"] = out["timeseries_cox_adj"]
     from flink_example_spark.operators.timeseries import changepoint_oracle
 
     from flink_example_spark.operators.timeseries import survival_table_oracle

@@ -247,11 +247,12 @@ HEADLINE = [
     "source_partitioned_pruning",
     "timeseries_ccf",
     "timeseries_cox",
-    # round-9 additions (sf0.1 probes: 10.6s / 9.1s / 6.3s / 9.5s)
+    # round-9 additions (sf0.1 warm probes: 10.6 / 9.1 / 6.3 / 3.6 / 4.9s)
     "timeseries_cox_multi",
     "streaming_cox_multi",
     "graph_truss_decomp",
     "timeseries_cox_banded",
+    "timeseries_cox_adj",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

@@ -1381,3 +1381,60 @@ def run_streaming_cox_banded(
         "n_err",
     )
     return cox_fit_banded(units, "dur_h", "d", "n_err", lo=0, width=5, n_bands=8)
+
+
+def run_streaming_cox_adj(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """LIVE adjusted dose-response monitor: one envelope monoid carrying
+    first/last timestamps, error count AND purchase share, feeding the
+    stratified :func:`~flink_example_spark.operators.timeseries
+    .cox_fit_banded_adj` descent at read time. BIT-equal to the batch
+    ``timeseries_cox_adj`` (shared oracle)."""
+    from flink_example_spark.operators.timeseries import cox_fit_banded_adj
+    from flink_example_spark.streaming.staging import stage_table_by_key
+
+    tune(spark)
+    tmpdir, schema = stage_table_by_key(
+        spark, sf_dir, "events", "event_id", chunks
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/chunk_*")
+    )
+    per = stream.groupBy("user_id").agg(
+        F.expr("min(unix_micros(cast(ts as timestamp)))").alias("first_us"),
+        F.expr("max(unix_micros(cast(ts as timestamp)))").alias("last_us"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("ne"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("np"),
+        F.count(F.lit(1)).alias("nt"),
+    )
+    name = f"stream_coxa_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            per.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = spark.table(name).groupBy("user_id").agg(
+        F.min("first_us").alias("first_us"),
+        F.max("last_us").alias("last_us"),
+        F.max("ne").alias("n_err"),
+        F.max("np").alias("np"),
+        F.max("nt").alias("nt"),
+    )
+    cmax = latest.agg(F.max("last_us").alias("cm"))
+    units = latest.crossJoin(F.broadcast(cmax)).select(
+        F.expr("(last_us - first_us) div 3600000000").alias("dur_h"),
+        F.expr("CAST(last_us <= cm - 86400000000 AS INT)").cast("long").alias("d"),
+        "n_err",
+        F.expr("CAST(np * 5 >= nt AS INT)").cast("long").alias("x_buy"),
+    )
+    return cox_fit_banded_adj(
+        units, "dur_h", "d", "n_err", lo=0, width=5, z_cols=["x_buy"],
+        n_bands=8,
+    )
