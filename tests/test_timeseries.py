@@ -906,3 +906,44 @@ def test_cox_adj_deconfounds_the_dose_effect(spark):
             u, "dur", "d", "dose", lo=0, width=10,
             z_cols=["z", "z", "z"], n_bands=8,  # 64 strata > 32
         )
+
+
+def test_cox_family_duration_scale_invariance(spark):
+    """Cox partial likelihood depends only on the ORDER of event times:
+    rescaling every duration by a constant leaves the risk sets, hence
+    every beta trajectory, exactly unchanged — across all three
+    round-9 estimators."""
+    from flink_example_spark.operators.timeseries import (
+        cox_fit_banded,
+        cox_fit_banded_adj,
+        cox_fit_multi,
+    )
+
+    rows = []
+    for z in (0, 1):
+        for k in range(35):
+            dur = 2 + ((k * 11 + 3 * z) % 17) * (2 - z)
+            d = 1 if (k % 3) != 0 else 0
+            dose = (k * 9) % 60
+            rows.append((dur, d, z, dose))
+    u1 = spark.createDataFrame(rows, "dur long, d long, z long, dose long")
+    u7 = u1.selectExpr("dur * 7 AS dur", "d", "z", "dose")
+
+    def tall(df):
+        return sorted((r["feature"], r["w_micro"]) for r in df.collect())
+
+    assert tall(cox_fit_multi(u1, "dur", "d", ["z"])) == tall(
+        cox_fit_multi(u7, "dur", "d", ["z"])
+    )
+    assert tall(
+        cox_fit_banded(u1, "dur", "d", "dose", lo=0, width=10, n_bands=6)
+    ) == tall(cox_fit_banded(u7, "dur", "d", "dose", lo=0, width=10, n_bands=6))
+    assert tall(
+        cox_fit_banded_adj(
+            u1, "dur", "d", "dose", lo=0, width=10, z_cols=["z"], n_bands=6
+        )
+    ) == tall(
+        cox_fit_banded_adj(
+            u7, "dur", "d", "dose", lo=0, width=10, z_cols=["z"], n_bands=6
+        )
+    )
