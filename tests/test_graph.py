@@ -550,3 +550,36 @@ def test_truss_decomposition_consistent_with_ktruss(spark):
             for r in ktruss(df, k=k, n_rounds=4).collect()
         )
         assert got == want, k
+
+
+def test_truss_decomposition_label_invariant(spark):
+    """Trussness is a structural property: relabeling nodes by any
+    order-changing injection leaves the (uncapped) trussness multiset
+    unchanged, with edges mapping 1:1."""
+    from flink_example_spark.operators.graph import truss_decomposition
+
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (((i * 5 + 1) % 17, (i * 3 + 7) % 17) for i in range(45))
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    base = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in truss_decomposition(df, k_max=5).collect()
+    }
+    relabel = lambda n: (n * 131 + 7) % 1009  # injective on 0..16, reorders
+    df2 = spark.createDataFrame(
+        [(relabel(a), relabel(b)) for a, b in edges], "a long, b long"
+    )
+    got = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in truss_decomposition(df2, k_max=5).collect()
+    }
+    want = {
+        (min(relabel(a), relabel(b)), max(relabel(a), relabel(b))): t
+        for (a, b), t in base.items()
+    }
+    assert got == want
