@@ -3443,9 +3443,9 @@ def cox_fit_oracle(
         e = exp_of(f"b{s}.beta")
         parts.append(
             f"""g{s} AS MATERIALIZED (
-              SELECT CAST(SUM(d1 * 1000000 - (d1 + d0) *
+              SELECT COALESCE(CAST(SUM(d1 * 1000000 - (d1 + d0) *
                 ((n1 * {e} * 1000000) // (n0 * 1000000 + n1 * {e})))
-                AS BIGINT) AS g
+                AS BIGINT), 0) AS g
               FROM risk, b{s}),
             b{s + 1} AS MATERIALIZED (
               SELECT b{s}.beta + (CASE WHEN g{s}.g >= 0 THEN 1 ELSE -1 END)
@@ -3494,9 +3494,15 @@ def cox_fit_multi(
     over the distinct-time relation with the 2^p strata PIVOTED to
     columns (never a per-stratum partitioned window over times); the
     score ratio is one non-negative BIGINT division per (time, coeff);
-    the update is the sign-safe division form. Same overflow bound as
-    :func:`cox_fit` (at-risk count <= ~1.68e5 per stratum; rescale
-    counts by a common factor past that — the ratio is invariant).
+    the update is the sign-safe division form. Overflow bound: the
+    score numerator/denominator SUM ``n_s * E_s * 1e6`` ACROSS the
+    ``2^p`` strata, so the BIGINT-safe limit is on the SUMMED at-risk
+    count across strata (total at-risk <= ~1.68e5 — i.e. ~1.68e5 / 2^p
+    per stratum in the worst single-stratum case; the banded forms
+    tighten it by their extra band factor — divide by ``n_bands - 1``).
+    Overflow raises loudly in both engines (ANSI / DuckDB) rather than
+    corrupting results; rescale counts by a common factor BEFORE the
+    limit — the score ratio is invariant.
 
     Note vs :func:`cox_fit` at p=1: the stratum-0 weight here is the
     TABLE-BUCKETED ``exp_micro(0)`` (the bucket value, not exactly 1e6),
@@ -3516,8 +3522,6 @@ def cox_fit_multi(
     one dist_cumsum over distinct times, then ``n_steps`` aggregations
     of the bounded event-time relation. Rows never shuffle on data keys.
     """
-    from flink_example_spark.operators.distrank import dist_cumsum
-
     p = len(x_cols)
     if not 1 <= p <= 4:
         raise ValueError("cox_fit_multi takes 1-4 binary covariates")
@@ -3713,8 +3717,8 @@ def cox_fit_multi_oracle(
             num = " + ".join(f"n{sv} * ({e_s[sv]})" for sv in bit)
             dx = " + ".join(f"de{sv}" for sv in bit)
             g_cols.append(
-                f"CAST(SUM(({dx}) * 1000000 - ({de_all}) *"
-                f" ((({num}) * 1000000) // ({den}))) AS BIGINT) AS g{j}"
+                f"COALESCE(CAST(SUM(({dx}) * 1000000 - ({de_all}) *"
+                f" ((({num}) * 1000000) // ({den}))) AS BIGINT), 0) AS g{j}"
             )
         upd = ", ".join(
             f"b{st}.beta{j} + (CASE WHEN g{st}.g{j} >= 0 THEN 1 ELSE -1 END)"
@@ -3918,8 +3922,8 @@ def cox_fit_banded_oracle(
         dx = " + ".join(f"de{b} * {b}" for b in range(1, n_bands))
         parts.append(
             f"""g{st} AS MATERIALIZED (
-              SELECT CAST(SUM(({dx}) * 1000000 - ({de_all}) *
-                ((({num}) * 1000000) // ({den}))) AS BIGINT) AS g
+              SELECT COALESCE(CAST(SUM(({dx}) * 1000000 - ({de_all}) *
+                ((({num}) * 1000000) // ({den}))) AS BIGINT), 0) AS g
               FROM risk, b{st}),
             b{st + 1} AS MATERIALIZED (
               SELECT b{st}.beta + (CASE WHEN g{st}.g >= 0 THEN 1 ELSE -1 END)
@@ -4165,8 +4169,8 @@ def cox_fit_banded_adj_oracle(
             )
             dx = " + ".join(f"de{sv} * {vals[i][sv]}" for sv in pos)
             g_cols.append(
-                f"CAST(SUM(({dx}) * 1000000 - ({de_all}) *"
-                f" ((({num}) * 1000000) // ({den}))) AS BIGINT) AS g{i}"
+                f"COALESCE(CAST(SUM(({dx}) * 1000000 - ({de_all}) *"
+                f" ((({num}) * 1000000) // ({den}))) AS BIGINT), 0) AS g{i}"
             )
         upd = ", ".join(
             f"b{st}.{bnames[i]} + (CASE WHEN g{st}.g{i} >= 0 THEN 1 ELSE -1"

@@ -947,3 +947,82 @@ def test_cox_family_duration_scale_invariance(spark):
             u7, "dur", "d", "dose", lo=0, width=10, z_cols=["z"], n_bands=6
         )
     )
+
+
+def test_cox_family_zero_events_fixed_point_matches_oracle(spark):
+    """Degenerate input with ZERO events empties the risk relation: the
+    Spark side coerces the NULL gradient to 0 so every beta stays at
+    the 0 fixed point. The oracles must agree — their gradient CTEs
+    wrap the empty-relation SUM in COALESCE(.., 0) rather than
+    propagating NULL through the beta chain (ADVICE r9)."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.timeseries import (
+        cox_fit,
+        cox_fit_banded,
+        cox_fit_banded_adj,
+        cox_fit_banded_adj_oracle,
+        cox_fit_banded_oracle,
+        cox_fit_multi,
+        cox_fit_multi_oracle,
+        cox_fit_oracle,
+    )
+
+    rows = [
+        (2 + (k % 9), 0, k % 2, (k * 7) % 40, (k // 2) % 2)
+        for k in range(30)
+    ]
+    u = spark.createDataFrame(
+        rows, "dur long, d long, x long, dose long, z long"
+    )
+    con = duckdb.connect()
+    con.register(
+        "t", pd.DataFrame(rows, columns=["dur", "d", "x", "dose", "z"])
+    )
+
+    def tall(df):
+        return sorted((r["feature"], r["w_micro"]) for r in df.collect())
+
+    def ora(sql):
+        return sorted((f, int(w)) for f, w in con.execute(sql).fetchall())
+
+    pairs = [
+        (
+            cox_fit(u, "dur", "d", "x", n_steps=4),
+            cox_fit_oracle("SELECT * FROM t", "dur", "d", "x", n_steps=4),
+        ),
+        (
+            cox_fit_multi(u, "dur", "d", ["x", "z"], n_steps=4),
+            cox_fit_multi_oracle(
+                "SELECT * FROM t", "dur", "d",
+                [("x", "x"), ("z", "z")], n_steps=4,
+            ),
+        ),
+        (
+            cox_fit_banded(
+                u, "dur", "d", "dose", lo=0, width=10, n_bands=4, n_steps=4
+            ),
+            cox_fit_banded_oracle(
+                "SELECT * FROM t", "dur", "d", "dose",
+                lo=0, width=10, n_bands=4, n_steps=4,
+            ),
+        ),
+        (
+            cox_fit_banded_adj(
+                u, "dur", "d", "dose", lo=0, width=10,
+                z_cols=["z"], n_bands=4, n_steps=4,
+            ),
+            cox_fit_banded_adj_oracle(
+                "SELECT * FROM t", "dur", "d", "dose",
+                lo=0, width=10, z_sqls=[("z", "z")],
+                n_bands=4, n_steps=4,
+            ),
+        ),
+    ]
+    for spark_df, oracle_sql in pairs:
+        got, exp = tall(spark_df), ora(oracle_sql)
+        assert got == exp
+        betas = {f: w for f, w in got if f.startswith("beta")}
+        assert betas and all(w == 0 for w in betas.values())
+        assert dict(got)["__n_events"] == 0
