@@ -288,7 +288,15 @@ def main() -> None:
     # box load BEFORE the run: this is the quiet-box gate (readings from a
     # loaded machine run ~2x slow — PERF.md noise protocol). Sampled up
     # front because the bench's own 32-thread execution drives the 1-min
-    # average to ~4 regardless of how quiet the box was.
+    # average to ~4 regardless of how quiet the box was. If the box is
+    # still draining a prior job, WAIT for quiet (bounded) so the recorded
+    # artifact matches the graded quiet bands; the final sample is what
+    # lands in the JSON either way — an impatient box is still visible.
+    quiet_deadline = time.time() + float(
+        os.environ.get("SPARK_GRAFT_QUIET_WAIT_S", "240")
+    )
+    while os.getloadavg()[0] >= 1.5 and time.time() < quiet_deadline:
+        time.sleep(5)
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
 
     spark = get_spark("flink-example-spark-bench")
