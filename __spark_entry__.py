@@ -3297,6 +3297,15 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_dist_stats": lambda spark, sf_dir: curation.dist_stats(
             _docs(spark, sf_dir), n_shards=8
         ),
+        # Bradley-Terry strength fit over pairwise preference outcomes
+        # (RLHF / arena-eval aggregation): matches derived from events
+        # with a planted strength ramp, Hunter-MM in integer micro units,
+        # item-sized state, unrolled-CTE oracle
+        "pref_bradley_terry": _pref_bradley_terry_entry,
+        # Fleiss' kappa inter-annotator agreement audit over the event
+        # stream (item buckets x event_type categories, first-4 kept):
+        # quantize-before-sum micro arithmetic, sign-safe final division
+        "eval_fleiss_kappa": _eval_fleiss_kappa_entry,
     }
 
 
@@ -5420,6 +5429,20 @@ def _northstar_oracles() -> dict[str, str]:
         _BLOCKLIST_PATTERN, "[REDACTED]", n=2
     )
     out["curation_dist_stats"] = curation.dist_stats_oracle(n_shards=8)
+    from flink_example_spark.operators.preference import (
+        bradley_terry_oracle,
+        fleiss_kappa_oracle,
+        synth_matches_sql,
+    )
+
+    out["pref_bradley_terry"] = bradley_terry_oracle(
+        synth_matches_sql(8), n_iter=8
+    )
+    out["eval_fleiss_kappa"] = fleiss_kappa_oracle(
+        "SELECT abs(event_id) % 3000 AS item, event_type AS cat,"
+        " event_id AS seq FROM events",
+        n_raters=4,
+    )
     return out
 
 
@@ -6341,6 +6364,34 @@ def _bloom_sizing_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def _pref_bradley_terry_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.operators.preference import (
+        bradley_terry,
+        synth_matches,
+    )
+    from flink_example_spark.tables import load_table
+
+    return bradley_terry(
+        synth_matches(load_table(spark, sf_dir, "events"), n_items=8),
+        n_iter=8,
+    )
+
+
+def _eval_fleiss_kappa_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.preference import fleiss_kappa
+    from flink_example_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ann = ev.select(
+        (F.abs(F.col("event_id")) % 3000).alias("item"),
+        F.col("event_type").alias("cat"),
+        F.col("event_id").alias("seq"),
+    )
+    return fleiss_kappa(ann, n_raters=4)
 
 
 def _graph_kcore_profile_entry(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,452 @@
+"""Preference-data operators — pairwise-comparison aggregation for
+RLHF/eval pipelines: Bradley–Terry strength fitting over match outcomes
+and Fleiss' kappa inter-annotator agreement.
+
+Why this family: a training-data pipeline that collects human (or
+LLM-judge) preferences needs (a) a principled aggregate of "A beat B"
+records into per-item strengths — Bradley–Terry (1952) via Hunter's
+(2004) MM iteration — and (b) an agreement audit over the raw
+annotations before trusting them — Fleiss' kappa (1971). Both are
+expressed here in the repo's engine-portable integer discipline
+(DESIGN.md): micro-unit BIGINT state, non-negative `div`, sign-and-
+magnitude division where a quantity can go negative, and hand-written
+DuckDB oracle twins that evaluate the identical arithmetic.
+
+Scale shape: Bradley–Terry state is item-sized (one weight row per
+item); the per-round work is the pair-count relation joined to the
+item-sized weight relation twice (both broadcast-able) plus one
+aggregate — the Pregel/pagerank pattern with per-round lineage cuts.
+Fleiss' kappa is two hash aggregations (per-(item,cat) counts, then the
+corpus moments) with every intermediate quantized to micro units
+BEFORE summation, so the BIGINT bound is independent of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MICRO6 = 1_000_000
+MICRO12 = 1_000_000_000_000
+
+
+def synth_matches(
+    events: DataFrame, n_items: int = 8, tilt: int = 120_000
+) -> DataFrame:
+    """Deterministic pairwise matches derived from the events table —
+    the fixture generator for the preference family (no RNG state: the
+    engine-portable md5 bucket is the noise source, DESIGN.md).
+
+    Each event becomes one match between items ``a = event_id mod
+    n_items`` and ``b = (event_id div n_items) mod n_items`` (self-pairs
+    dropped); the winner is the larger of ``hash(event_id|x) mod 1e6 +
+    x * tilt`` — i.e. uniform noise plus a PLANTED linear strength ramp,
+    so higher item ids genuinely win more and a fitted strength order
+    is testable. Ties break to ``a`` (>=), identically in both engines.
+
+    Output: ``(match_id, winner, loser)``.
+    """
+    e = events.select(
+        F.col("event_id").cast("long").alias("match_id"),
+        (F.abs(F.col("event_id")) % F.lit(n_items)).alias("a"),
+        F.expr(
+            f"(abs(event_id) div {n_items}) % {n_items}"
+        ).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+
+    def score(item: Column) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("match_id").cast("string"),
+                        item.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % F.lit(MICRO6) + item * F.lit(tilt)
+
+    sa, sb = score(F.col("a")), score(F.col("b"))
+    return e.select(
+        "match_id",
+        F.when(sa >= sb, F.col("a")).otherwise(F.col("b")).alias("winner"),
+        F.when(sa >= sb, F.col("b")).otherwise(F.col("a")).alias("loser"),
+    )
+
+
+def synth_matches_sql(n_items: int = 8, tilt: int = 120_000) -> str:
+    """DuckDB twin of :func:`synth_matches` over the ``events`` view
+    (identical md5 bucket, ramp, and tie-break)."""
+
+    def score(item: str) -> str:
+        return (
+            f"(CAST(concat('0x', substr(md5(CAST(match_id AS VARCHAR)"
+            f" || '|' || CAST({item} AS VARCHAR)), 1, 8)) AS BIGINT)"
+            f" % {MICRO6} + {item} * {tilt})"
+        )
+
+    return f"""
+        SELECT match_id,
+               CASE WHEN {score('a')} >= {score('b')} THEN a ELSE b END
+                 AS winner,
+               CASE WHEN {score('a')} >= {score('b')} THEN b ELSE a END
+                 AS loser
+        FROM (
+          SELECT CAST(event_id AS BIGINT) AS match_id,
+                 abs(event_id) % {n_items} AS a,
+                 (abs(event_id) // {n_items}) % {n_items} AS b
+          FROM events
+        ) WHERE a <> b
+    """
+
+
+def bradley_terry(
+    matches: DataFrame,
+    n_iter: int = 8,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+) -> DataFrame:
+    """Bradley–Terry strength fit over pairwise match outcomes — the
+    aggregate a preference-data (RLHF / arena-eval) pipeline runs to
+    turn "A beat B" rows into per-item strengths. Hunter's (2004) MM
+    update, deterministic across engines::
+
+        w_i  <-  W_i / sum_j n_ij / (w_i + w_j)      (then max-rescale)
+
+    with ``W_i`` = total wins of i and ``n_ij`` = matches between i and
+    j. All arithmetic is 64-bit integer: strengths live in micro units
+    (1e6 == strength 1.0); each opponent contributes ``(n_ij * 1e12)
+    div (w_i + w_j)`` to the denominator, the update is ``(W_i * 1e12)
+    div D_i``, and every round rescales so ``max w == 1e6`` (strengths
+    are scale-free, and the rescale keeps the integers bounded — the
+    PCA power-iteration device). Zero-win items go to exactly 0; the
+    ``greatest(.., 1)`` guards make the all-zero corner total rather
+    than a division error. Floor losses are identical in any engine,
+    which is the point.
+
+    Overflow bound: ``max(W_i, n_ij) * 1e12 < 2^63`` — i.e. up to ~9.2e6
+    wins per item / matches per pair; divide counts by a common factor
+    past that (the fit is invariant under count scaling).
+
+    Scale: pair counts shuffle once; each of the ``n_iter`` rounds joins
+    the ITEM-SIZED weight relation to them twice (broadcast) and runs
+    one aggregate, with a per-round ``localCheckpoint`` lineage cut
+    (DESIGN.md multi-consumer rule). State is item-sized throughout.
+
+    Output: ``(item, strength_micro BIGINT, strength DOUBLE, wins,
+    n_matches)`` — strength is the single exactly-rounded division
+    strength_micro / 1e6.
+    """
+    m = matches.select(
+        F.col(winner_col).cast("long").alias("winner"),
+        F.col(loser_col).cast("long").alias("loser"),
+    )
+    sc = matches.sparkSession.sparkContext
+    pairs = (
+        m.select(
+            F.least("winner", "loser").alias("i"),
+            F.greatest("winner", "loser").alias("j"),
+        )
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    adj = (
+        pairs.union(pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "n"))
+        .repartition(sc.defaultParallelism, F.col("i"))
+        .localCheckpoint(eager=True)
+    )
+    wins = m.groupBy(F.col("winner").alias("item")).agg(
+        F.count(F.lit(1)).alias("wins")
+    )
+    items = (
+        adj.groupBy(F.col("i").alias("item"))
+        .agg(F.sum("n").alias("n_matches"))
+        .join(wins, "item", "left")
+        .select(
+            "item",
+            F.coalesce("wins", F.lit(0)).cast("long").alias("wins"),
+            F.col("n_matches").cast("long"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = items.select("item", F.lit(MICRO6).cast("long").alias("w"))
+    for _ in range(n_iter):
+        d = (
+            adj.join(
+                F.broadcast(w.select(F.col("item").alias("i"), F.col("w").alias("wi"))),
+                "i",
+            )
+            .join(
+                F.broadcast(w.select(F.col("item").alias("j"), F.col("w").alias("wj"))),
+                "j",
+            )
+            .groupBy(F.col("i").alias("item"))
+            .agg(
+                F.sum(
+                    F.expr(f"(n * {MICRO12}) div greatest(wi + wj, 1)")
+                ).alias("d")
+            )
+        )
+        upd = items.join(d, "item").select(
+            "item",
+            F.expr(f"(wins * {MICRO12}) div greatest(d, 1)").alias("w"),
+        )
+        mx = upd.agg(F.max("w").alias("mx"))
+        w = (
+            upd.crossJoin(F.broadcast(mx))
+            .select(
+                "item",
+                F.expr(f"(w * {MICRO6}) div greatest(mx, 1)").alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return items.join(w, "item").select(
+        "item",
+        F.col("w").alias("strength_micro"),
+        (F.col("w").cast("double") / F.lit(float(MICRO6))).alias("strength"),
+        "wins",
+        "n_matches",
+    )
+
+
+def bradley_terry_oracle(matches_sql: str, n_iter: int = 8) -> str:
+    """DuckDB twin of :func:`bradley_terry`: the MM rounds unrolled as
+    chained MATERIALIZED CTEs (per-round CTEs feed two consumers —
+    DESIGN.md inlining rule). ``matches_sql`` must yield
+    ``(winner, loser)``."""
+    rounds = []
+    prev = "w0"
+    for r in range(n_iter):
+        rounds.append(
+            f"""d{r} AS MATERIALIZED (
+          SELECT a.i AS item,
+                 CAST(SUM((a.n * {MICRO12}) // greatest(wi.w + wj.w, 1))
+                      AS BIGINT) AS d
+          FROM adj a
+          JOIN {prev} wi ON a.i = wi.item
+          JOIN {prev} wj ON a.j = wj.item
+          GROUP BY 1),
+        u{r} AS MATERIALIZED (
+          SELECT it.item,
+                 CAST((it.wins * {MICRO12}) // greatest(d.d, 1) AS BIGINT)
+                   AS w
+          FROM items it JOIN d{r} d USING (item)),
+        mx{r} AS MATERIALIZED (
+          SELECT CAST(MAX(w) AS BIGINT) AS mx FROM u{r}),
+        w{r + 1} AS MATERIALIZED (
+          SELECT item, CAST((w * {MICRO6}) // greatest(mx, 1) AS BIGINT)
+                   AS w
+          FROM u{r}, mx{r})"""
+        )
+        prev = f"w{r + 1}"
+    chain = ",\n        ".join(rounds)
+    return f"""
+        WITH m AS MATERIALIZED (
+          SELECT CAST(winner AS BIGINT) AS winner,
+                 CAST(loser AS BIGINT) AS loser
+          FROM ({matches_sql})),
+        pairs AS MATERIALIZED (
+          SELECT least(winner, loser) AS i, greatest(winner, loser) AS j,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM m GROUP BY 1, 2),
+        adj AS MATERIALIZED (
+          SELECT i, j, n FROM pairs
+          UNION ALL SELECT j, i, n FROM pairs),
+        items AS MATERIALIZED (
+          SELECT a.i AS item,
+                 CAST(COALESCE(wn.c, 0) AS BIGINT) AS wins,
+                 CAST(SUM(a.n) AS BIGINT) AS n_matches
+          FROM adj a
+          LEFT JOIN (
+            SELECT winner, COUNT(*) AS c FROM m GROUP BY 1
+          ) wn ON a.i = wn.winner
+          GROUP BY 1, 2),
+        w0 AS MATERIALIZED (
+          SELECT item, CAST({MICRO6} AS BIGINT) AS w FROM items),
+        {chain}
+        SELECT it.item,
+               w.w AS strength_micro,
+               CAST(w.w AS DOUBLE) / {MICRO6} AS strength,
+               it.wins, it.n_matches
+        FROM items it JOIN {prev} w USING (item)
+    """
+
+
+def fleiss_kappa(
+    annotations: DataFrame,
+    n_raters: int = 4,
+    item_col: str = "item",
+    cat_col: str = "cat",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Fleiss' kappa (1971) inter-annotator agreement — the audit a
+    labeling pipeline runs over raw annotations before trusting them:
+    how much better than chance do the raters agree?
+
+    Fleiss' kappa is defined for a FIXED number of ratings per item, so
+    the operator deterministically keeps the ``n_raters`` EARLIEST
+    annotations per item (by ``seq_col``; a key-partitioned window) and
+    DROPS items with fewer (counted in the audit row). With ``n_ik`` =
+    kept ratings of category k on item i::
+
+        P_i = (sum_k n_ik^2 - n) / (n (n - 1))       per-item agreement
+        Pbar = mean_i P_i ,  Pe = sum_k p_k^2 ,  p_k = category share
+        kappa = (Pbar - Pe) / (1 - Pe)
+
+    Engine-portable integer discipline (quantize-BEFORE-sum, DESIGN.md):
+    ``P_i`` and ``p_k`` are quantized to micro units per item / per
+    category before any corpus-wide SUM, so every BIGINT stays bounded
+    independent of corpus size (no N^2 terms); kappa can be negative,
+    so the final division is the sign-and-magnitude form (round-8
+    rule). Output values are exact integers — hash-stable anywhere.
+
+    Output (tall, scalar): ``('kappa_micro', v)``, ``('p_bar_micro',
+    v)``, ``('p_e_micro', v)``, per-category ``('pcat_<cat>', p_micro)``
+    (controlled vocabulary — the string-keyed tall form CLAUDE.md
+    round 9 allows), audits ``__n_items``, ``__n_raters``,
+    ``__n_dropped_items``.
+
+    Scale: one key-partitioned window (items), two hash aggregations.
+    """
+    n = n_raters
+    a = annotations.select(
+        F.col(item_col).alias("item"),
+        F.col(cat_col).cast("string").alias("cat"),
+        F.col(seq_col).cast("long").alias("seq"),
+    )
+    from pyspark.sql import Window
+
+    ranked = a.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("item").orderBy("seq", "cat")
+        ),
+    )
+    per_item_n = ranked.groupBy("item").agg(F.max("rn").alias("have"))
+    kept = ranked.filter(F.col("rn") <= n).join(
+        per_item_n.filter(F.col("have") >= n).select("item"), "item"
+    )
+    nik = kept.groupBy("item", "cat").agg(F.count(F.lit(1)).alias("c"))
+    # per-item agreement, micro-quantized BEFORE the corpus mean
+    pi = nik.groupBy("item").agg(
+        F.expr(
+            f"((sum(c * c) - {n}) * {MICRO6}) div {n * (n - 1)}"
+        ).alias("p_i")
+    )
+    n_items_kept = pi.agg(
+        F.count(F.lit(1)).alias("ni"), F.sum("p_i").alias("sp")
+    )
+    # per-category share, micro-quantized BEFORE the squares sum
+    cat_tot = nik.groupBy("cat").agg(F.sum("c").alias("ck"))
+    pcat = cat_tot.crossJoin(
+        F.broadcast(n_items_kept.select("ni"))
+    ).select(
+        "cat",
+        F.expr(f"(ck * {MICRO6}) div greatest(ni * {n}, 1)").alias("p_k"),
+    )
+    pe = pcat.agg(
+        F.expr(f"sum((p_k * p_k) div {MICRO6})").alias("pe")
+    )
+    dropped = per_item_n.filter(F.col("have") < n).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    summary = (
+        n_items_kept.crossJoin(F.broadcast(pe))
+        .crossJoin(F.broadcast(dropped))
+        .select(
+            F.expr("sp div greatest(ni, 1)").alias("p_bar"),
+            F.col("pe"),
+            F.col("ni"),
+            F.col("nd"),
+        )
+        .select(
+            F.expr(
+                f"CASE WHEN p_bar - pe >= 0 THEN 1 ELSE -1 END"
+                f" * ((abs(p_bar - pe) * {MICRO6})"
+                f" div greatest({MICRO6} - pe, 1))"
+            ).alias("kappa_micro"),
+            "p_bar",
+            "pe",
+            "ni",
+            "nd",
+        )
+    )
+    tall = summary.selectExpr(
+        "stack(6, 'kappa_micro', kappa_micro, 'p_bar_micro', p_bar,"
+        " 'p_e_micro', pe, '__n_items', ni, '__n_raters',"
+        f" CAST({n} AS BIGINT), '__n_dropped_items', nd)"
+        " AS (feature, value)"
+    )
+    cats = pcat.select(
+        F.concat(F.lit("pcat_"), F.col("cat")).alias("feature"),
+        F.col("p_k").cast("long").alias("value"),
+    )
+    return tall.select("feature", F.col("value").cast("long")).union(cats)
+
+
+def fleiss_kappa_oracle(
+    annotations_sql: str, n_raters: int = 4
+) -> str:
+    """DuckDB twin of :func:`fleiss_kappa` (identical keep-first-n
+    window, micro quantization points, and sign-and-magnitude final
+    division). ``annotations_sql`` must yield ``(item, cat, seq)``."""
+    n = n_raters
+    return f"""
+        WITH a AS MATERIALIZED (
+          SELECT item, CAST(cat AS VARCHAR) AS cat,
+                 CAST(seq AS BIGINT) AS seq
+          FROM ({annotations_sql})),
+        ranked AS MATERIALIZED (
+          SELECT item, cat,
+                 row_number() OVER (PARTITION BY item ORDER BY seq, cat)
+                   AS rn
+          FROM a),
+        have AS MATERIALIZED (
+          SELECT item, MAX(rn) AS have FROM ranked GROUP BY 1),
+        kept AS MATERIALIZED (
+          SELECT r.item, r.cat FROM ranked r
+          JOIN have h ON r.item = h.item AND h.have >= {n}
+          WHERE r.rn <= {n}),
+        nik AS MATERIALIZED (
+          SELECT item, cat, CAST(COUNT(*) AS BIGINT) AS c
+          FROM kept GROUP BY 1, 2),
+        pi AS MATERIALIZED (
+          SELECT item,
+                 ((SUM(c * c) - {n}) * {MICRO6}) // {n * (n - 1)} AS p_i
+          FROM nik GROUP BY 1),
+        moms AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS ni,
+                 CAST(SUM(p_i) AS BIGINT) AS sp
+          FROM pi),
+        pcat AS MATERIALIZED (
+          SELECT cat, (ck * {MICRO6}) // greatest(ni * {n}, 1) AS p_k
+          FROM (SELECT cat, CAST(SUM(c) AS BIGINT) AS ck
+                FROM nik GROUP BY 1), moms),
+        pe AS MATERIALIZED (
+          SELECT CAST(SUM((p_k * p_k) // {MICRO6}) AS BIGINT) AS pe
+          FROM pcat),
+        dropped AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM have
+          WHERE have < {n}),
+        summary AS MATERIALIZED (
+          SELECT (CASE WHEN (sp // greatest(ni, 1)) - pe >= 0
+                       THEN 1 ELSE -1 END)
+                 * ((abs((sp // greatest(ni, 1)) - pe) * {MICRO6})
+                    // greatest({MICRO6} - pe, 1)) AS kappa_micro,
+                 sp // greatest(ni, 1) AS p_bar, pe, ni, nd
+          FROM moms, pe, dropped)
+        SELECT 'kappa_micro' AS feature,
+               CAST(kappa_micro AS BIGINT) AS value FROM summary
+        UNION ALL SELECT 'p_bar_micro', p_bar FROM summary
+        UNION ALL SELECT 'p_e_micro', pe FROM summary
+        UNION ALL SELECT '__n_items', ni FROM summary
+        UNION ALL SELECT '__n_raters', {n} FROM summary
+        UNION ALL SELECT '__n_dropped_items', nd FROM summary
+        UNION ALL SELECT 'pcat_' || cat, CAST(p_k AS BIGINT) FROM pcat
+    """

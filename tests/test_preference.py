@@ -1,0 +1,138 @@
+"""Preference-data operators: Bradley-Terry strength fit + Fleiss kappa."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from flink_example_spark.operators.preference import (
+    MICRO6,
+    bradley_terry,
+    bradley_terry_oracle,
+    fleiss_kappa,
+    fleiss_kappa_oracle,
+    synth_matches,
+    synth_matches_sql,
+)
+
+
+def _bt_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_bradley_terry_recovers_planted_ramp(spark):
+    """synth_matches plants a linear strength ramp over 8 items; the
+    fitted strengths must be strictly increasing in item id and the top
+    item rescales to exactly 1e6."""
+    import os
+
+    from flink_example_spark.tables import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    m = synth_matches(load_table(spark, sf_dir, "events"), n_items=8)
+    got = {r["item"]: r["strength_micro"] for r in bradley_terry(m).collect()}
+    assert len(got) == 8
+    assert max(got.values()) == MICRO6
+    order = [got[i] for i in range(8)]
+    assert order == sorted(order) and len(set(order)) == 8
+
+
+def test_bradley_terry_matches_duckdb_oracle(spark):
+    import os
+
+    from flink_example_spark.tables import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    got = _bt_rows(
+        bradley_terry(
+            synth_matches(load_table(spark, sf_dir, "events"), n_items=8)
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    ora = sorted(
+        tuple(r)
+        for r in con.execute(
+            bradley_terry_oracle(synth_matches_sql(8))
+        ).fetchall()
+    )
+    assert got == ora
+
+
+def test_bradley_terry_label_equivariance(spark):
+    """The fit depends only on the match multiset structure: shifting
+    every item id by a constant shifts the output keys and nothing
+    else (least/greatest canonicalization is label-order-dependent but
+    the pair sums are symmetric)."""
+    rows = [(a, b) for a in range(4) for b in range(4) if a != b
+            for _ in range(2 + a)]
+    m1 = spark.createDataFrame(rows, "winner long, loser long")
+    m2 = spark.createDataFrame(
+        [(a + 7, b + 7) for a, b in rows], "winner long, loser long"
+    )
+    r1 = {r["item"]: (r["strength_micro"], r["wins"], r["n_matches"])
+          for r in bradley_terry(m1, n_iter=5).collect()}
+    r2 = {r["item"] - 7: (r["strength_micro"], r["wins"], r["n_matches"])
+          for r in bradley_terry(m2, n_iter=5).collect()}
+    assert r1 == r2
+
+
+def test_bradley_terry_shutout_and_empty(spark):
+    """An item that never wins goes to exactly 0; the always-winner
+    rescales to exactly 1e6. Empty input yields an empty relation, not
+    a division error."""
+    m = spark.createDataFrame([(1, 0)] * 5, "winner long, loser long")
+    got = {r["item"]: r["strength_micro"] for r in bradley_terry(m).collect()}
+    assert got == {0: 0, 1: MICRO6}
+    empty = spark.createDataFrame([], "winner long, loser long")
+    assert bradley_terry(empty).count() == 0
+
+
+def test_fleiss_kappa_perfect_and_degenerate(spark):
+    """Unanimous raters on a 2-category corpus give kappa == exactly
+    1e6; a single-category corpus (chance agreement == observed) gives
+    exactly 0 via the den guard."""
+    rows = [(i, "yes" if i % 2 else "no", k) for i in range(10)
+            for k in range(4)]
+    fk = {r["feature"]: r["value"]
+          for r in fleiss_kappa(
+              spark.createDataFrame(rows, "item long, cat string, seq long"),
+              n_raters=4,
+          ).collect()}
+    assert fk["kappa_micro"] == MICRO6
+    assert fk["p_bar_micro"] == MICRO6
+    assert fk["__n_items"] == 10 and fk["__n_dropped_items"] == 0
+    mono = [(i, "same", k) for i in range(6) for k in range(4)]
+    fk2 = {r["feature"]: r["value"]
+           for r in fleiss_kappa(
+               spark.createDataFrame(mono, "item long, cat string, seq long"),
+               n_raters=4,
+           ).collect()}
+    assert fk2["kappa_micro"] == 0 and fk2["p_e_micro"] == MICRO6
+
+
+def test_fleiss_kappa_matches_duckdb_oracle_hostile(spark):
+    """Parity on a hostile mix: items below the rater quorum (dropped),
+    surplus annotations (first-4 kept by seq), and category ties at the
+    keep boundary (seq ties break by cat, both engines)."""
+    rows = []
+    for i in range(30):
+        n_ann = 2 + (i % 5)  # 2..6 annotations; <4 drops the item
+        for k in range(n_ann):
+            cat = ["view", "click", "purchase"][(i * 7 + k * k) % 3]
+            # planted seq ties: every annotation pair shares seq buckets
+            rows.append((i, cat, k // 2))
+    df = spark.createDataFrame(rows, "item long, cat string, seq long")
+    got = sorted(tuple(r) for r in fleiss_kappa(df, n_raters=4).collect())
+    con = duckdb.connect()
+    con.register("ann", pd.DataFrame(rows, columns=["item", "cat", "seq"]))
+    ora = sorted(
+        tuple(r)
+        for r in con.execute(
+            fleiss_kappa_oracle("SELECT * FROM ann", n_raters=4)
+        ).fetchall()
+    )
+    assert got == ora
+    d = dict(got)
+    assert d["__n_dropped_items"] == sum(1 for i in range(30) if 2 + (i % 5) < 4)
