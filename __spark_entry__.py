@@ -3306,6 +3306,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream (item buckets x event_type categories, first-4 kept):
         # quantize-before-sum micro arithmetic, sign-safe final division
         "eval_fleiss_kappa": _eval_fleiss_kappa_entry,
+        # IPW (Hajek) average treatment effect: logistic propensity via
+        # the bit-reproducible integer descent, sigmoid-table scoring,
+        # clipped integer inverse weights — completes the causal family
+        # (att_strata = subclassification, this = model-based weighting)
+        "causal_ipw_ate": _causal_ipw_entry,
     }
 
 
@@ -5443,6 +5448,22 @@ def _northstar_oracles() -> dict[str, str]:
         " event_id AS seq FROM events",
         n_raters=4,
     )
+    from flink_example_spark.operators.ml import ipw_ate_oracle
+
+    out["causal_ipw_ate"] = ipw_ate_oracle(
+        """SELECT user_id,
+                  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       * 5 >= COUNT(*) AS BIGINT) AS treated,
+                  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS y,
+                  least(COUNT(*) // 8, 15) AS act_b,
+                  least(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                            END), 15) AS err_b
+           FROM events GROUP BY user_id""",
+        "treated",
+        "y",
+        [("act_b", "act_b"), ("err_b", "err_b")],
+    )
     return out
 
 
@@ -6377,6 +6398,33 @@ def _pref_bradley_terry_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_matches(load_table(spark, sf_dir, "events"), n_items=8),
         n_iter=8,
     )
+
+
+def _causal_ipw_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observational churn-style question over per-user event rollups:
+    does heavy clicking (click share >= 1/5 — a ~50/50 split in the
+    synthetic data) raise the purchase count, adjusting for activity
+    volume and error exposure via a logistic propensity?"""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.ml import ipw_ate
+    from flink_example_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    units = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 5"
+            " >= count(1) AS LONG)"
+        ).alias("treated"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+        F.expr("least(count(1) div 8, 15)").alias("act_b"),
+        F.expr(
+            "least(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END), 15)"
+        ).alias("err_b"),
+    )
+    return ipw_ate(units, "treated", "y", ["act_b", "err_b"])
 
 
 def _eval_fleiss_kappa_entry(spark: SparkSession, sf_dir: str) -> DataFrame:

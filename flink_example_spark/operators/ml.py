@@ -3516,6 +3516,197 @@ def att_strata_oracle(
     """
 
 
+_IPW_INV = 1_000_000_000  # inverse-propensity weights in 1e9/e units
+
+
+def ipw_ate(
+    units: DataFrame,
+    treated_col: str,
+    outcome_col: str,
+    x_cols: list[str],
+    n_steps: int = 8,
+    scale_den: int = 16,
+    clip_micro: int = 10_000,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect (Hájek
+    estimator) — the model-based complement to :func:`att_strata`'s
+    exact subclassification: fit a logistic propensity ``e(x) = P(T=1 |
+    x)`` with :func:`logistic_fit`'s bit-reproducible integer descent,
+    clip it to ``[clip_micro, 1e6 - clip_micro]`` (standard overlap
+    trimming — the clipped count is an audit row), and reweight each
+    arm by the inverse (clipped) propensity::
+
+        ATE = sum_T y/e / sum_T 1/e  -  sum_C y/(1-e) / sum_C 1/(1-e)
+
+    Integer discipline end-to-end: the fitted weights are logit-micro
+    BIGINTs (driver-known literals — the shared-solve memo shape), each
+    unit's propensity is an embedded sigmoid-table lookup, the inverse
+    weights are ``1e9 div e`` BIGINTs (non-negative division — portable),
+    the four Hájek sums are exact BIGINT aggregates, and the two final
+    mean divisions floor identically in Python and DuckDB. An empty arm
+    reports mean 0 via the ``max(den, 1)`` guard (arm sizes are audit
+    rows, so the degenerate case is visible). Overflow bound: ``sum_arm
+    y * (1e9 div clip_micro) * 1e6 < 2^63`` — with the default clip,
+    total outcome mass per arm up to ~9.2e7; rescale outcomes or raise
+    the clip past that.
+
+    Output (tall, scalar): ``('ate_micro', v)`` (can be negative — it is
+    a subtraction of two non-negative divisions, never a negative
+    division), ``mean_t_micro``, ``mean_c_micro``, per-weight
+    ``('prop_<feature>', w_micro)``, audits ``__n``, ``__n_treated``,
+    ``__n_clipped``.
+
+    Scale: one localCheckpoint'd pass over the unit projection;
+    ``n_steps`` map-side-combined gradient aggregations (parameter-sized
+    results), then ONE scoring aggregation. No shuffle beyond the
+    partial-agg merges; state is parameter-sized throughout.
+    """
+    names = ["intercept"] + list(x_cols)
+    k = len(names)
+    data = units.select(
+        F.col(treated_col).cast("long").alias("y"),
+        F.lit(1).cast("long").alias("x0"),
+        *[
+            F.col(c).cast("long").alias(f"x{i + 1}")
+            for i, c in enumerate(x_cols)
+        ],
+        F.col(outcome_col).cast("long").alias("yout"),
+    ).localCheckpoint()
+    w, n = _logistic_weights(data, k, n_steps, scale_den)
+    arr = F.array(*[F.lit(v) for v in _SIGMOID_TABLE])
+    z = " + ".join(f"x{i} * CAST({wi} AS BIGINT)" for i, wi in enumerate(w))
+    e_raw = F.element_at(arr, F.expr(_sig_bucket_sql(z)).cast("int"))
+    lo, hi = clip_micro, 1_000_000 - clip_micro
+    scored = data.select(
+        "y",
+        "yout",
+        F.greatest(F.least(e_raw, F.lit(hi)), F.lit(lo))
+        .cast("long")
+        .alias("e"),
+        ((e_raw < F.lit(lo)) | (e_raw > F.lit(hi)))
+        .cast("long")
+        .alias("clip"),
+    )
+    agg = scored.agg(
+        F.sum("y").alias("nt"),
+        F.sum("clip").alias("nclip"),
+        F.sum(
+            F.expr(f"CASE WHEN y = 1 THEN yout * ({_IPW_INV} div e) ELSE 0 END")
+        ).alias("st_num"),
+        F.sum(
+            F.expr(f"CASE WHEN y = 1 THEN {_IPW_INV} div e ELSE 0 END")
+        ).alias("st_den"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN y = 0 THEN yout * ({_IPW_INV} div (1000000 - e))"
+                f" ELSE 0 END"
+            )
+        ).alias("sc_num"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN y = 0 THEN {_IPW_INV} div (1000000 - e) ELSE 0 END"
+            )
+        ).alias("sc_den"),
+    ).first()
+    st_num, st_den = int(agg["st_num"] or 0), int(agg["st_den"] or 0)
+    sc_num, sc_den = int(agg["sc_num"] or 0), int(agg["sc_den"] or 0)
+    # Python // floors like DuckDB // — identical even for negative
+    # outcome sums, so the mirror is exact
+    mean_t = (st_num * 1_000_000) // max(st_den, 1)
+    mean_c = (sc_num * 1_000_000) // max(sc_den, 1)
+    rows = (
+        [
+            ("ate_micro", mean_t - mean_c),
+            ("mean_t_micro", mean_t),
+            ("mean_c_micro", mean_c),
+        ]
+        + [(f"prop_{nm}", int(wi)) for nm, wi in zip(names, w)]
+        + [
+            ("__n", int(n)),
+            ("__n_treated", int(agg["nt"] or 0)),
+            ("__n_clipped", int(agg["nclip"] or 0)),
+        ]
+    )
+    return units.sparkSession.createDataFrame(
+        rows, "feature string, value long"
+    )
+
+
+def ipw_ate_oracle(
+    units_sql: str,
+    treated_sql: str,
+    outcome_sql: str,
+    x_sqls: list[tuple[str, str]],
+    n_steps: int = 8,
+    scale_den: int = 16,
+    clip_micro: int = 10_000,
+) -> str:
+    """DuckDB twin of :func:`ipw_ate`: the propensity descent unrolled
+    via the shared :func:`_descent_parts` chain, then one scoring CTE
+    evaluating the identical sigmoid-lookup / clip / integer-inverse
+    arithmetic."""
+    parts, names, k = _descent_parts(
+        units_sql,
+        treated_sql,
+        x_sqls,
+        n_steps,
+        scale_den,
+        carry_sqls=[("yout", outcome_sql)],
+    )
+    lit = "[" + ",".join(str(v) for v in _SIGMOID_TABLE) + "]"
+    zf = " + ".join(f"d.x{i} * w.w{i}" for i in range(k))
+    zc = f"greatest(least({zf}, {_SIG_CLAMP - 1}), -{_SIG_CLAMP})"
+    sig = f"({lit})[((({zc}) + {_SIG_CLAMP}) // {_SIG_STEP}) + 1]"
+    lo, hi = clip_micro, 1_000_000 - clip_micro
+    parts.append(
+        f"""score AS MATERIALIZED (
+          SELECT d.y, d.yout,
+                 CAST(greatest(least({sig}, {hi}), {lo}) AS BIGINT) AS e,
+                 CASE WHEN {sig} < {lo} OR {sig} > {hi} THEN 1 ELSE 0 END
+                   AS clip
+          FROM d, w{n_steps} w),
+        sums AS MATERIALIZED (
+          SELECT CAST(SUM(y) AS BIGINT) AS nt,
+                 CAST(SUM(clip) AS BIGINT) AS nclip,
+                 CAST(SUM(CASE WHEN y = 1
+                           THEN yout * ({_IPW_INV} // e) ELSE 0 END)
+                   AS BIGINT) AS st_num,
+                 CAST(SUM(CASE WHEN y = 1
+                           THEN {_IPW_INV} // e ELSE 0 END)
+                   AS BIGINT) AS st_den,
+                 CAST(SUM(CASE WHEN y = 0
+                           THEN yout * ({_IPW_INV} // (1000000 - e))
+                           ELSE 0 END)
+                   AS BIGINT) AS sc_num,
+                 CAST(SUM(CASE WHEN y = 0
+                           THEN {_IPW_INV} // (1000000 - e) ELSE 0 END)
+                   AS BIGINT) AS sc_den
+          FROM score),
+        means AS MATERIALIZED (
+          SELECT (COALESCE(st_num, 0) * 1000000)
+                   // greatest(COALESCE(st_den, 0), 1) AS mean_t,
+                 (COALESCE(sc_num, 0) * 1000000)
+                   // greatest(COALESCE(sc_den, 0), 1) AS mean_c,
+                 COALESCE(nt, 0) AS nt, COALESCE(nclip, 0) AS nclip
+          FROM sums)"""
+    )
+    weight_rows = " UNION ALL ".join(
+        f"SELECT 'prop_{nm}' AS feature, w{i} AS value FROM w{n_steps}"
+        for i, nm in enumerate(names)
+    )
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT 'ate_micro' AS feature,
+               CAST(mean_t - mean_c AS BIGINT) AS value FROM means
+        UNION ALL SELECT 'mean_t_micro', CAST(mean_t AS BIGINT) FROM means
+        UNION ALL SELECT 'mean_c_micro', CAST(mean_c AS BIGINT) FROM means
+        UNION ALL {weight_rows}
+        UNION ALL SELECT '__n', n FROM meta
+        UNION ALL SELECT '__n_treated', nt FROM means
+        UNION ALL SELECT '__n_clipped', nclip FROM means
+    """
+
+
 def calibration_bins(
     scored: DataFrame, n_bins: int = 8
 ) -> DataFrame:
@@ -5631,19 +5822,18 @@ def logistic_fit(
     return df.sparkSession.createDataFrame(rows, "feature string, w_micro long")
 
 
-def logistic_fit_oracle(
+def _descent_parts(
     units_sql: str,
     y_sql: str,
     x_sqls: list[tuple[str, str]],
-    n_steps: int = 8,
-    scale_den: int = 16,
+    n_steps: int,
+    scale_den: int,
     carry_sqls: list[tuple[str, str]] = (),
-) -> str:
-    """DuckDB twin of :func:`logistic_fit`: the descent unrolled as a
-    chained MATERIALIZED CTE per step (each weight row feeds the next
-    gradient AND the update — the DESIGN.md inlining rule).
-    ``x_sqls`` is ``[(feature_name, sql_expr)]``; ``carry_sqls`` adds
-    pass-through columns to the ``d`` CTE (for the scoring twin)."""
+) -> tuple[list[str], list[str], int]:
+    """Shared unrolled-descent CTE chain (``d``/``meta``/``w0..w{n}``)
+    for the logistic-propensity oracles (:func:`logistic_fit_oracle`,
+    :func:`ipw_ate_oracle`) — identical SQL text either caller emits.
+    Returns ``(parts, feature_names, k)``."""
     lit = "[" + ",".join(str(v) for v in _SIGMOID_TABLE) + "]"
     names = ["intercept"] + [nm for nm, _ in x_sqls]
     k = len(names)
@@ -5677,6 +5867,25 @@ def logistic_fit_oracle(
         parts.append(
             f"w{s + 1} AS MATERIALIZED (SELECT {ws} FROM w{s}, g{s}, meta)"
         )
+    return parts, names, k
+
+
+def logistic_fit_oracle(
+    units_sql: str,
+    y_sql: str,
+    x_sqls: list[tuple[str, str]],
+    n_steps: int = 8,
+    scale_den: int = 16,
+    carry_sqls: list[tuple[str, str]] = (),
+) -> str:
+    """DuckDB twin of :func:`logistic_fit`: the descent unrolled as a
+    chained MATERIALIZED CTE per step (each weight row feeds the next
+    gradient AND the update — the DESIGN.md inlining rule).
+    ``x_sqls`` is ``[(feature_name, sql_expr)]``; ``carry_sqls`` adds
+    pass-through columns to the ``d`` CTE (for the scoring twin)."""
+    parts, names, k = _descent_parts(
+        units_sql, y_sql, x_sqls, n_steps, scale_den, carry_sqls
+    )
     zf = " + ".join(f"d.x{i} * w{n_steps}.w{i}" for i in range(k))
     weight_rows = " UNION ALL ".join(
         f"SELECT '{nm}' AS feature, w{i} AS w_micro FROM w{n_steps}"

@@ -1059,3 +1059,76 @@ def test_fairness_audit_null_pred_and_label_match_oracle(spark):
         assert (g["n"], g["n_sel"], g["sel_rate_micro"], g["tpr_micro"],
                 g["fpr_micro"]) == (row[1], row[2], row[3], row[4], row[5]), (
             g, row)
+
+
+def test_ipw_ate_corrects_confounding(spark):
+    """Planted design: treatment probability rises with covariate x, and
+    the outcome baseline ALSO rises with x (classic confounding), with a
+    constant additive treatment effect of 5. The naive treated-control
+    difference is inflated by the confounder; the IPW estimate must land
+    strictly closer to the truth."""
+    from flink_example_spark.operators.ml import ipw_ate
+
+    rows = []
+    for x in range(6):
+        n_t = 5 + 2 * x      # more treated units at high x
+        n_c = 14 - 2 * x     # more control units at low x
+        for i in range(n_t):
+            rows.append((1, 10 * x + 5 + (i % 2), x))
+        for i in range(n_c):
+            rows.append((0, 10 * x + (i % 2), x))
+    df = spark.createDataFrame(rows, "treated long, y long, x long")
+    out = {r["feature"]: r["value"]
+           for r in ipw_ate(
+               df, "treated", "y", ["x"], n_steps=64, scale_den=2
+           ).collect()}
+    naive_t = sum(y for t, y, _ in rows if t) / sum(1 for t, _, _ in rows if t)
+    naive_c = (sum(y for t, y, _ in rows if not t)
+               / sum(1 for t, _, _ in rows if not t))
+    naive_err = abs((naive_t - naive_c) - 5.0)
+    ipw_err = abs(out["ate_micro"] / 1e6 - 5.0)
+    assert naive_err > 10.0          # the confounding is real
+
+    assert ipw_err < naive_err / 3   # and IPW strips most of it
+    assert out["__n"] == len(rows)
+    assert out["__n_treated"] == sum(1 for t, _, _ in rows if t)
+
+
+def test_ipw_ate_matches_duckdb_oracle_hostile(spark):
+    """Parity on a hostile mix: an empty control arm in one run (mean 0
+    via the den guard) and saturated propensities (clip audit > 0) in
+    another."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.ml import ipw_ate, ipw_ate_oracle
+
+    con = duckdb.connect()
+    # saturated design: x separates treatment almost perfectly
+    rows = [(1 if x > 2 else 0, x * 3 + (i % 4), x)
+            for x in range(6) for i in range(12)]
+    # flip a few so the fit does not diverge entirely
+    rows += [(0, 9, 5), (1, 2, 0)]
+    con.register("u", pd.DataFrame(rows, columns=["treated", "y", "x"]))
+    df = spark.createDataFrame(rows, "treated long, y long, x long")
+    got = sorted(tuple(r)
+                 for r in ipw_ate(
+                     df, "treated", "y", ["x"], clip_micro=300_000
+                 ).collect())
+    ora = sorted(tuple(r) for r in con.execute(
+        ipw_ate_oracle("SELECT * FROM u", "treated", "y", [("x", "x")],
+                       clip_micro=300_000)
+    ).fetchall())
+    assert got == ora
+    assert dict(got)["__n_clipped"] > 0
+
+    only_t = [(1, 3 + i % 2, i % 3) for i in range(10)]
+    con.register("u2", pd.DataFrame(only_t, columns=["treated", "y", "x"]))
+    df2 = spark.createDataFrame(only_t, "treated long, y long, x long")
+    got2 = sorted(tuple(r)
+                  for r in ipw_ate(df2, "treated", "y", ["x"]).collect())
+    ora2 = sorted(tuple(r) for r in con.execute(
+        ipw_ate_oracle("SELECT * FROM u2", "treated", "y", [("x", "x")])
+    ).fetchall())
+    assert got2 == ora2
+    assert dict(got2)["mean_c_micro"] == 0
