@@ -3311,6 +3311,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clipped integer inverse weights — completes the causal family
         # (att_strata = subclassification, this = model-based weighting)
         "causal_ipw_ate": _causal_ipw_entry,
+        # UNCAPPED exact truss decomposition on the provably-sparse term
+        # graph: the measured wedge-work certificate gates the exact
+        # path (no mutual-truncation cap), true trussness to k_max=8
+        "graph_truss_exact": _graph_truss_exact_entry,
     }
 
 
@@ -5464,6 +5468,13 @@ def _northstar_oracles() -> dict[str, str]:
         "y",
         [("act_b", "act_b"), ("err_b", "err_b")],
     )
+    out["graph_truss_exact"] = truss_decomposition_oracle(
+        f"SELECT src AS a, dst AS b FROM ({term_graph_sql(2)})"
+        f" WHERE src < dst",
+        k_max=8,
+        n_rounds=3,
+        neighbor_cap=None,
+    )
     return out
 
 
@@ -6397,6 +6408,20 @@ def _pref_bradley_terry_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bradley_terry(
         synth_matches(load_table(spark, sf_dir, "events"), n_items=8),
         n_iter=8,
+    )
+
+
+def _graph_truss_exact_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.operators.graph import (
+        term_graph,
+        truss_decomposition_certified,
+    )
+
+    g = term_graph(_docs(spark, sf_dir), min_weight=2)
+    return truss_decomposition_certified(
+        g.selectExpr("src AS a", "dst AS b").filter("a < b"),
+        k_max=8,
+        n_rounds=3,
     )
 
 

@@ -583,3 +583,59 @@ def test_truss_decomposition_label_invariant(spark):
         for (a, b), t in base.items()
     }
     assert got == want
+
+
+def test_wedge_certificate_exact_counts(spark):
+    """Hand-checked certificate on a 4-path plus a triangle: the
+    degree-oriented wedge count must equal the enumeration's actual
+    join work exactly."""
+    from flink_example_spark.operators.graph import wedge_certificate
+
+    # path 0-1-2-3 plus triangle 4-5-6
+    edges = [(0, 1), (1, 2), (2, 3), (4, 5), (4, 6), (5, 6)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    cert = wedge_certificate(df)
+    assert cert["m"] == 6
+    # path: degrees 1,2,2,1 -> orientation by (deg, id): 0->1, 3->2,
+    # 1->2 (tie by id); d_out: 0:1, 1:1, 3:1 -> no wedges.
+    # triangle: all deg 2, ties by id: 4->5, 4->6, 5->6 -> d_out 4:2,
+    # 5:1 -> one wedge.
+    assert cert["wedge_work"] == 1
+    assert cert["max_dout"] == 2
+
+
+def test_truss_certified_matches_uncapped_and_rejects_dense(spark):
+    """The certified path is bit-equal to truss_decomposition with no
+    cap on a sparse graph, and raises (naming the capped fallback) when
+    the planted clique blows the wedge budget."""
+    import pytest
+
+    from flink_example_spark.operators.graph import (
+        truss_decomposition,
+        truss_decomposition_certified,
+    )
+
+    # sparse: two triangles sharing an edge + a tail
+    edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = sorted(
+        tuple(r)
+        for r in truss_decomposition_certified(df, k_max=5).collect()
+    )
+    ref = sorted(
+        tuple(r)
+        for r in truss_decomposition(
+            df, k_max=5, neighbor_cap=None
+        ).collect()
+    )
+    assert got == ref
+    t = dict(((a, b), v) for a, b, v in got)
+    # both triangles are 3-trusses; the k=4 peel drops the side edges
+    # (support 1) and the shared edge's support cascades to 0
+    assert t[(1, 2)] == 3 and t[(0, 1)] == 3
+    assert t[(3, 4)] == 2  # triangle-free tail
+
+    clique = [(i, j) for i in range(30) for j in range(i + 1, 30)]
+    dense = spark.createDataFrame(clique, "a long, b long")
+    with pytest.raises(ValueError, match="sparsity certificate"):
+        truss_decomposition_certified(dense, wedge_budget=100)
