@@ -3315,6 +3315,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph: the measured wedge-work certificate gates the exact
         # path (no mutual-truncation cap), true trussness to k_max=8
         "graph_truss_exact": _graph_truss_exact_entry,
+        # LIVE preference leaderboard: per-pair win-count monoid in
+        # update-mode state, Bradley-Terry MM algebra at read — BIT-equal
+        # to the batch fit (shares its oracle)
+        "streaming_bradley_terry": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.preference_stream",
+            fromlist=["run_streaming_bradley_terry"],
+        ).run_streaming_bradley_terry(spark, sf_dir),
+        # preference-consistency QA: majority tournament + circular-triad
+        # count (Kendall) — the gate to run before trusting a BT fit
+        "pref_transitivity": _pref_transitivity_entry,
     }
 
 
@@ -5475,6 +5485,15 @@ def _northstar_oracles() -> dict[str, str]:
         n_rounds=3,
         neighbor_cap=None,
     )
+    # live preference monitor converges to the batch fit exactly
+    out["streaming_bradley_terry"] = out["pref_bradley_terry"]
+    from flink_example_spark.operators.preference import (
+        transitivity_audit_oracle,
+    )
+
+    out["pref_transitivity"] = transitivity_audit_oracle(
+        synth_matches_sql(8)
+    )
     return out
 
 
@@ -6422,6 +6441,18 @@ def _graph_truss_exact_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.selectExpr("src AS a", "dst AS b").filter("a < b"),
         k_max=8,
         n_rounds=3,
+    )
+
+
+def _pref_transitivity_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.operators.preference import (
+        synth_matches,
+        transitivity_audit,
+    )
+    from flink_example_spark.tables import load_table
+
+    return transitivity_audit(
+        synth_matches(load_table(spark, sf_dir, "events"), n_items=8)
     )
 
 

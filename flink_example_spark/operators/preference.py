@@ -143,26 +143,63 @@ def bradley_terry(
     n_matches)`` — strength is the single exactly-rounded division
     strength_micro / 1e6.
     """
+    wc = match_wincounts(matches, winner_col, loser_col)
+    return bradley_terry_from_wincounts(wc, n_iter=n_iter)
+
+
+def match_wincounts(
+    matches: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+) -> DataFrame:
+    """Per-pair win-count monoid over match rows: canonical ``(i < j)``
+    pair with ``(wi, wj)`` directional win counts — ONE hash aggregation,
+    mergeable (sums), so it is also the state a live preference monitor
+    keeps (streaming twin: same aggregation in update mode, MM algebra
+    at read)."""
     m = matches.select(
         F.col(winner_col).cast("long").alias("winner"),
         F.col(loser_col).cast("long").alias("loser"),
     )
-    sc = matches.sparkSession.sparkContext
-    pairs = (
+    return (
         m.select(
             F.least("winner", "loser").alias("i"),
             F.greatest("winner", "loser").alias("j"),
+            (F.col("winner") < F.col("loser")).cast("long").alias("w_is_i"),
         )
         .groupBy("i", "j")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("w_is_i").alias("wi"),
+            F.sum(F.lit(1) - F.col("w_is_i")).alias("wj"),
+        )
     )
+
+
+def bradley_terry_from_wincounts(
+    wc: DataFrame, n_iter: int = 8
+) -> DataFrame:
+    """The MM iteration of :func:`bradley_terry` over an already-
+    aggregated win-count relation ``(i, j, wi, wj)`` (canonical i < j —
+    :func:`match_wincounts`'s output, or a streaming monitor's merged
+    state). Identical arithmetic, identical result."""
+    sc = wc.sparkSession.sparkContext
+    wc = wc.select(
+        F.col("i").cast("long"),
+        F.col("j").cast("long"),
+        F.col("wi").cast("long"),
+        F.col("wj").cast("long"),
+    )
+    pairs = wc.select("i", "j", (F.col("wi") + F.col("wj")).alias("n"))
     adj = (
         pairs.union(pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "n"))
         .repartition(sc.defaultParallelism, F.col("i"))
         .localCheckpoint(eager=True)
     )
-    wins = m.groupBy(F.col("winner").alias("item")).agg(
-        F.count(F.lit(1)).alias("wins")
+    wins = (
+        wc.select(F.col("i").alias("item"), F.col("wi").alias("w"))
+        .union(wc.select(F.col("j").alias("item"), F.col("wj").alias("w")))
+        .groupBy("item")
+        .agg(F.sum("w").alias("wins"))
     )
     items = (
         adj.groupBy(F.col("i").alias("item"))
@@ -449,4 +486,139 @@ def fleiss_kappa_oracle(
         UNION ALL SELECT '__n_raters', {n} FROM summary
         UNION ALL SELECT '__n_dropped_items', nd FROM summary
         UNION ALL SELECT 'pcat_' || cat, CAST(p_k AS BIGINT) FROM pcat
+    """
+
+
+def transitivity_audit(
+    matches: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+) -> DataFrame:
+    """Preference-consistency audit: build the MAJORITY tournament (per
+    pair, the direction with more wins; exact ties are undecided and
+    excluded) and count CIRCULAR TRIADS — item triples where the
+    majority preferences cycle (i beats j beats k beats i), Kendall's
+    classic inconsistency evidence. A preference corpus whose circular
+    share is high cannot be explained by ANY strength ordering, so this
+    is the QA gate to run before fitting :func:`bradley_terry` (which
+    assumes one).
+
+    Exact integer counting throughout: decided-pair relation from the
+    :func:`match_wincounts` monoid, directed 3-cycles enumerated once
+    each by anchoring at the smallest item id (in a tournament each
+    cyclic triple carries exactly one directed cycle), triad universe
+    counted as triples with all three pairs decided (same cycle-join
+    shape on the undirected relation).
+
+    ITEM-BOUNDED CONTRACT: the tournament is pair-dense in the ITEM
+    count (models/annotator arms — tens, not data-sized); the cycle
+    join is cubic in items and linear in nothing else. For data-sized
+    item sets, block first.
+
+    Output (tall, scalar): ``('n_items', v)``, ``('n_pairs_decided',
+    v)``, ``('n_ties', v)``, ``('n_triads_decided', v)``,
+    ``('n_circular', v)`` — all exact BIGINTs.
+    """
+    wc = match_wincounts(matches, winner_col, loser_col).localCheckpoint(
+        eager=True
+    )
+    dec = wc.filter(F.col("wi") != F.col("wj")).select(
+        F.when(F.col("wi") > F.col("wj"), F.col("i"))
+        .otherwise(F.col("j"))
+        .alias("src"),
+        F.when(F.col("wi") > F.col("wj"), F.col("j"))
+        .otherwise(F.col("i"))
+        .alias("dst"),
+    ).localCheckpoint(eager=True)
+    # undirected decided pairs, canonical
+    und = dec.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    )
+    # triad universe: triples x<y<z with all three pairs decided
+    exy = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    exz = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    eyz = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    triads = (
+        exy.join(exz, "x")
+        .filter(F.col("y") < F.col("z"))
+        .join(eyz, ["y", "z"])
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # directed 3-cycles, anchored at the smallest id: x->y->z->x or
+    # x->z->y->x with x < y and x < z (exactly one per cyclic triple)
+    d1 = dec.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    d2 = dec.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    d3 = dec.select(F.col("src").alias("z"), F.col("dst").alias("x"))
+    cyc = (
+        d1.join(d2, "y")
+        .join(d3, ["z", "x"])
+        .filter((F.col("x") < F.col("y")) & (F.col("x") < F.col("z")))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    items = wc.select(F.col("i").alias("item")).union(
+        wc.select(F.col("j").alias("item"))
+    ).distinct().agg(F.count(F.lit(1)).alias("n"))
+    pairs = wc.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum((F.col("wi") == F.col("wj")).cast("long")).alias("nt"),
+    )
+    out = (
+        items.crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(triads.withColumnRenamed("n", "n3")))
+        .crossJoin(F.broadcast(cyc.withColumnRenamed("n", "nc")))
+        .selectExpr(
+            "stack(5, 'n_items', n, 'n_pairs_decided', np - nt,"
+            " 'n_ties', nt, 'n_triads_decided', n3, 'n_circular', nc)"
+            " AS (feature, value)"
+        )
+    )
+    return out.select("feature", F.col("value").cast("long"))
+
+
+def transitivity_audit_oracle(matches_sql: str) -> str:
+    """DuckDB twin of :func:`transitivity_audit` (identical majority
+    direction, tie exclusion, and smallest-id cycle anchoring)."""
+    return f"""
+        WITH m AS MATERIALIZED (
+          SELECT CAST(winner AS BIGINT) AS winner,
+                 CAST(loser AS BIGINT) AS loser
+          FROM ({matches_sql})),
+        wc AS MATERIALIZED (
+          SELECT least(winner, loser) AS i, greatest(winner, loser) AS j,
+                 CAST(SUM(CASE WHEN winner < loser THEN 1 ELSE 0 END)
+                   AS BIGINT) AS wi,
+                 CAST(SUM(CASE WHEN winner > loser THEN 1 ELSE 0 END)
+                   AS BIGINT) AS wj
+          FROM m GROUP BY 1, 2),
+        dec AS MATERIALIZED (
+          SELECT CASE WHEN wi > wj THEN i ELSE j END AS src,
+                 CASE WHEN wi > wj THEN j ELSE i END AS dst
+          FROM wc WHERE wi <> wj),
+        und AS MATERIALIZED (
+          SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM dec),
+        triads AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n3
+          FROM (SELECT a AS x, b AS y FROM und) e1
+          JOIN (SELECT a AS x, b AS z FROM und) e2 USING (x)
+          JOIN (SELECT a AS y, b AS z FROM und) e3 USING (y, z)
+          WHERE e1.y < e2.z),
+        cyc AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nc
+          FROM (SELECT src AS x, dst AS y FROM dec) d1
+          JOIN (SELECT src AS y, dst AS z FROM dec) d2 USING (y)
+          JOIN (SELECT src AS z, dst AS x FROM dec) d3 USING (z, x)
+          WHERE d1.x < d1.y AND d1.x < d2.z),
+        its AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT i AS item FROM wc UNION SELECT j FROM wc)),
+        prs AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS np,
+                 CAST(SUM(CASE WHEN wi = wj THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nt
+          FROM wc)
+        SELECT 'n_items' AS feature, n AS value FROM its
+        UNION ALL SELECT 'n_pairs_decided', np - nt FROM prs
+        UNION ALL SELECT 'n_ties', nt FROM prs
+        UNION ALL SELECT 'n_triads_decided', n3 FROM triads
+        UNION ALL SELECT 'n_circular', nc FROM cyc
     """

@@ -1,0 +1,81 @@
+"""STREAMING preference monitor: the per-pair win-count monoid
+(:func:`~flink_example_spark.operators.preference.match_wincounts`)
+maintained live over the match stream, with the Bradley–Terry MM
+algebra run at read time over the merged state — "monoid-in-state,
+algebra-at-read" (DESIGN.md), the same shape as the live Cox hazard
+monitors.
+
+Why this shape at scale: the state is PAIR-sized (arena arms x arms —
+tens of rows), every update is a commutative count merge (update mode,
+no watermark, no Python state), and the read-time fit touches only the
+state relation, so an RLHF preference dashboard gets a live
+leaderboard whose numbers are BIT-equal to the batch fit over the same
+matches (shared oracle).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_example_spark.session import shuffle_partitions, tune
+
+
+def run_streaming_bradley_terry(
+    spark: SparkSession, sf_dir: str, chunks: int = 3, n_iter: int = 8
+) -> DataFrame:
+    """Bounded replay of the events-derived match stream through the
+    live win-count aggregate, MM fit at read; hash-identical to batch
+    ``pref_bradley_terry`` (shares its oracle)."""
+    from flink_example_spark.operators.preference import (
+        bradley_terry_from_wincounts,
+        synth_matches,
+    )
+    from flink_example_spark.streaming.staging import stage_table_by_key
+
+    tune(spark)
+    tmpdir, schema = stage_table_by_key(
+        spark, sf_dir, "events", "event_id", chunks
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/chunk_*")
+    )
+    # synth_matches is a stateless projection — streams as-is; the
+    # win-count monoid is the ONE stateful aggregation
+    wc = (
+        synth_matches(stream, n_items=8)
+        .select(
+            F.least("winner", "loser").alias("i"),
+            F.greatest("winner", "loser").alias("j"),
+            (F.col("winner") < F.col("loser")).cast("long").alias("w_is_i"),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("w_is_i").alias("wi"),
+            F.sum(F.lit(1) - F.col("w_is_i")).alias("wj"),
+        )
+    )
+    name = f"stream_bt_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            wc.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # update mode re-emits a pair's row per batch with the cumulative
+    # counts — max per key is the final state
+    latest = spark.table(name).groupBy("i", "j").agg(
+        F.max("wi").alias("wi"), F.max("wj").alias("wj")
+    )
+    # the MM algebra reads the state relation through several consumers
+    # (adj both directions, item rollup, per-round joins): mint fresh
+    # expr-ids off the memory sink first (DESIGN.md memory-sink rule)
+    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    return bradley_terry_from_wincounts(fresh, n_iter=n_iter)

@@ -136,3 +136,39 @@ def test_fleiss_kappa_matches_duckdb_oracle_hostile(spark):
     assert got == ora
     d = dict(got)
     assert d["__n_dropped_items"] == sum(1 for i in range(30) if 2 + (i % 5) < 4)
+
+
+def test_transitivity_audit_planted_cycle_and_ties(spark):
+    """Rock-paper-scissors plus a consistent fourth item: exactly one
+    circular triad among the four decided triples; a perfectly tied
+    pair is excluded from the tournament (and from triads through it)."""
+    from flink_example_spark.operators.preference import (
+        transitivity_audit,
+        transitivity_audit_oracle,
+    )
+
+    rows = []
+    rows += [(0, 1)] * 3 + [(1, 0)]       # 0 beats 1
+    rows += [(1, 2)] * 3 + [(2, 1)]       # 1 beats 2
+    rows += [(2, 0)] * 3 + [(0, 2)]       # 2 beats 0  -> cycle 0>1>2>0
+    for x in (0, 1, 2):
+        rows += [(x, 3)] * 2              # 3 loses to everyone
+    rows += [(3, 4), (4, 3)]              # tied pair: undecided
+    df = spark.createDataFrame(rows, "winner long, loser long")
+    got = {r["feature"]: r["value"]
+           for r in transitivity_audit(df).collect()}
+    assert got == {
+        "n_items": 5,
+        "n_pairs_decided": 6,
+        "n_ties": 1,
+        "n_triads_decided": 4,   # {0,1,2},{0,1,3},{0,2,3},{1,2,3}
+        "n_circular": 1,
+    }
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("mt", pd.DataFrame(rows, columns=["winner", "loser"]))
+    ora = dict(con.execute(
+        transitivity_audit_oracle("SELECT * FROM mt")).fetchall())
+    assert got == {k: int(v) for k, v in ora.items()}
