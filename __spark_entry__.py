@@ -3325,6 +3325,10 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # preference-consistency QA: majority tournament + circular-triad
         # count (Kendall) — the gate to run before trusting a BT fit
         "pref_transitivity": _pref_transitivity_entry,
+        # DPO chosen/rejected pair assembly: best-vs-worst completion
+        # per prompt bucket via the zero-padded arg-extreme monoid,
+        # strict-margin filter (ties yield no pair)
+        "pref_dpo_pairs": _pref_dpo_pairs_entry,
     }
 
 
@@ -5494,6 +5498,13 @@ def _northstar_oracles() -> dict[str, str]:
     out["pref_transitivity"] = transitivity_audit_oracle(
         synth_matches_sql(8)
     )
+    from flink_example_spark.operators.preference import dpo_pairs_oracle
+    from flink_example_spark.operators.text import _DUCK_NTOK
+
+    out["pref_dpo_pairs"] = dpo_pairs_oracle(
+        f"SELECT doc_id % 100 AS prompt, doc_id AS c,"
+        f" {_DUCK_NTOK} AS sc FROM documents"
+    )
     return out
 
 
@@ -6442,6 +6453,20 @@ def _graph_truss_exact_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_max=8,
         n_rounds=3,
     )
+
+
+def _pref_dpo_pairs_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.preference import dpo_pairs
+    from flink_example_spark.operators.text import token_count
+
+    scored = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 100).alias("prompt_id"),
+        F.col("doc_id").alias("completion_id"),
+        token_count(F.col("text")).cast("long").alias("score"),
+    )
+    return dpo_pairs(scored)
 
 
 def _pref_transitivity_entry(spark: SparkSession, sf_dir: str) -> DataFrame:

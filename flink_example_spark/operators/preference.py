@@ -622,3 +622,85 @@ def transitivity_audit_oracle(matches_sql: str) -> str:
         UNION ALL SELECT 'n_triads_decided', n3 FROM triads
         UNION ALL SELECT 'n_circular', nc FROM cyc
     """
+
+
+def dpo_pairs(
+    scored: DataFrame,
+    prompt_col: str = "prompt_id",
+    completion_col: str = "completion_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Chosen/rejected pair assembly for preference-tuning (DPO/RLHF
+    reward data): per prompt, pair the HIGHEST-scored completion with
+    the LOWEST-scored one — the standard best-vs-worst construction
+    over scored candidate pools. Scores must be NON-NEGATIVE integers
+    (quantize upstream); a prompt yields a pair only when it has >= 2
+    candidates and a STRICT margin (chosen score > rejected score —
+    DPO is undefined on ties).
+
+    Determinism: arg-extremes ride the zero-padded composite STRING key
+    (DESIGN.md round-6: lexicographic == numeric, min_by/max_by stays a
+    streaming-able monoid; DuckDB arg_min/arg_max accept no struct
+    order). Ties break to the SMALLEST completion id on both sides
+    (max side via the complement pad), identically in both engines.
+
+    Output: ``(prompt, chosen, rejected, margin, n_candidates)``.
+
+    Scale: ONE hash aggregation over the scored relation — the pair
+    relation is prompt-sized. min_by/max_by merge as monoids, so the
+    same aggregation is the live-monitor state shape.
+    """
+    _id_hi = 999_999_999_999
+    s = scored.select(
+        F.col(prompt_col).alias("prompt"),
+        F.col(completion_col).cast("long").alias("c"),
+        F.col(score_col).cast("long").alias("sc"),
+    )
+    # max side: higher score first, then SMALLER id (complement pad);
+    # min side: lower score first, then smaller id
+    g = s.groupBy("prompt").agg(
+        F.expr(
+            f"max_by(c, concat(lpad(CAST(sc AS STRING), 20, '0'),"
+            f" lpad(CAST({_id_hi} - c AS STRING), 12, '0')))"
+        ).alias("chosen"),
+        F.expr(
+            "min_by(c, concat(lpad(CAST(sc AS STRING), 20, '0'),"
+            " lpad(CAST(c AS STRING), 12, '0')))"
+        ).alias("rejected"),
+        F.max("sc").alias("s_hi"),
+        F.min("sc").alias("s_lo"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    return g.filter(
+        (F.col("n_candidates") >= 2) & (F.col("s_hi") > F.col("s_lo"))
+    ).select(
+        "prompt",
+        "chosen",
+        "rejected",
+        (F.col("s_hi") - F.col("s_lo")).alias("margin"),
+        "n_candidates",
+    )
+
+
+def dpo_pairs_oracle(scored_sql: str) -> str:
+    """DuckDB twin of :func:`dpo_pairs` (identical zero-padded composite
+    keys and strict-margin filter). ``scored_sql`` must yield
+    ``(prompt, c, sc)``."""
+    _id_hi = 999_999_999_999
+    return f"""
+        WITH s AS MATERIALIZED (
+          SELECT prompt, CAST(c AS BIGINT) AS c, CAST(sc AS BIGINT) AS sc
+          FROM ({scored_sql})),
+        g AS MATERIALIZED (
+          SELECT prompt,
+                 arg_max(c, concat(lpad(CAST(sc AS VARCHAR), 20, '0'),
+                   lpad(CAST({_id_hi} - c AS VARCHAR), 12, '0'))) AS chosen,
+                 arg_min(c, concat(lpad(CAST(sc AS VARCHAR), 20, '0'),
+                   lpad(CAST(c AS VARCHAR), 12, '0'))) AS rejected,
+                 MAX(sc) AS s_hi, MIN(sc) AS s_lo,
+                 CAST(COUNT(*) AS BIGINT) AS n_candidates
+          FROM s GROUP BY prompt)
+        SELECT prompt, chosen, rejected,
+               CAST(s_hi - s_lo AS BIGINT) AS margin, n_candidates
+        FROM g WHERE n_candidates >= 2 AND s_hi > s_lo
+    """

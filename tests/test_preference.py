@@ -2,7 +2,6 @@
 
 import duckdb
 import pandas as pd
-import pytest
 
 from flink_example_spark.operators.preference import (
     MICRO6,
@@ -172,3 +171,37 @@ def test_transitivity_audit_planted_cycle_and_ties(spark):
     ora = dict(con.execute(
         transitivity_audit_oracle("SELECT * FROM mt")).fetchall())
     assert got == {k: int(v) for k, v in ora.items()}
+
+
+def test_dpo_pairs_extremes_ties_and_margin(spark):
+    """Best-vs-worst per prompt with deterministic tie-breaks: ties at
+    the max break to the SMALLEST completion id (complement pad), a
+    prompt whose candidates all tie yields NO pair (strict margin), and
+    singletons are dropped. Parity with the DuckDB twin."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.preference import (
+        dpo_pairs,
+        dpo_pairs_oracle,
+    )
+
+    rows = [
+        # prompt 0: clear winner 12 (score 9), loser 10 (score 1)
+        (0, 10, 1), (0, 11, 5), (0, 12, 9),
+        # prompt 1: max tie (score 7 on ids 21, 22 -> chosen 21),
+        # min tie (score 2 on ids 23, 24 -> rejected 23)
+        (1, 22, 7), (1, 21, 7), (1, 24, 2), (1, 23, 2),
+        # prompt 2: all tied -> no pair
+        (2, 30, 4), (2, 31, 4),
+        # prompt 3: singleton -> no pair
+        (3, 40, 8),
+    ]
+    df = spark.createDataFrame(rows, "prompt_id long, completion_id long, score long")
+    got = sorted(tuple(r) for r in dpo_pairs(df).collect())
+    assert got == [(0, 12, 10, 8, 3), (1, 21, 23, 5, 4)]
+    con = duckdb.connect()
+    con.register("sc", pd.DataFrame(rows, columns=["prompt", "c", "sc"]))
+    ora = sorted(tuple(r) for r in con.execute(
+        dpo_pairs_oracle("SELECT * FROM sc")).fetchall())
+    assert got == ora
