@@ -365,11 +365,23 @@ def fleiss_kappa(
             Window.partitionBy("item").orderBy("seq", "cat")
         ),
     )
-    per_item_n = ranked.groupBy("item").agg(F.max("rn").alias("have"))
+    # lineage cuts at the two ITEM-SIZED relations (DESIGN.md
+    # multi-consumer rule: the moments below read each of these twice+,
+    # and without the cuts the annotation scan re-executes per consumer
+    # — measured 7x on the plan audit)
+    per_item_n = (
+        ranked.groupBy("item")
+        .agg(F.max("rn").alias("have"))
+        .localCheckpoint(eager=True)
+    )
     kept = ranked.filter(F.col("rn") <= n).join(
         per_item_n.filter(F.col("have") >= n).select("item"), "item"
     )
-    nik = kept.groupBy("item", "cat").agg(F.count(F.lit(1)).alias("c"))
+    nik = (
+        kept.groupBy("item", "cat")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     # per-item agreement, micro-quantized BEFORE the corpus mean
     pi = nik.groupBy("item").agg(
         F.expr(
