@@ -253,6 +253,16 @@ HEADLINE = [
     "graph_truss_decomp",
     "timeseries_cox_banded",
     "timeseries_cox_adj",
+    # round-10 additions (sf0.1 warm probes: 5.5 / 3.0 / 5.9 / 15.0 /
+    # 1.2 / 0.6 / 9.0s — truss_exact is 6 uncapped peels x 3 rounds on
+    # the certified-sparse term graph, job-overhead-dominated)
+    "pref_bradley_terry",
+    "eval_fleiss_kappa",
+    "causal_ipw_ate",
+    "graph_truss_exact",
+    "pref_transitivity",
+    "pref_dpo_pairs",
+    "streaming_bradley_terry",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

@@ -212,37 +212,45 @@ def bradley_terry_from_wincounts(
         )
         .localCheckpoint(eager=True)
     )
+    from flink_example_spark.session import shuffle_partitions
+
     w = items.select("item", F.lit(MICRO6).cast("long").alias("w"))
-    for _ in range(n_iter):
-        d = (
-            adj.join(
-                F.broadcast(w.select(F.col("item").alias("i"), F.col("w").alias("wi"))),
-                "i",
+    # the per-round relations are ITEM-sized; the ambient 32-partition
+    # shuffle pays per-partition job overhead 8x per round for nothing
+    # (measured 6.8s -> ~5s warm at sf0.1 under 4) — the pair/item
+    # checkpoints above already materialized the data-sized aggregation
+    # at ambient parallelism, so this narrows only the tiny state loop
+    with shuffle_partitions(wc.sparkSession, 4):
+        for _ in range(n_iter):
+            d = (
+                adj.join(
+                    F.broadcast(w.select(F.col("item").alias("i"), F.col("w").alias("wi"))),
+                    "i",
+                )
+                .join(
+                    F.broadcast(w.select(F.col("item").alias("j"), F.col("w").alias("wj"))),
+                    "j",
+                )
+                .groupBy(F.col("i").alias("item"))
+                .agg(
+                    F.sum(
+                        F.expr(f"(n * {MICRO12}) div greatest(wi + wj, 1)")
+                    ).alias("d")
+                )
             )
-            .join(
-                F.broadcast(w.select(F.col("item").alias("j"), F.col("w").alias("wj"))),
-                "j",
-            )
-            .groupBy(F.col("i").alias("item"))
-            .agg(
-                F.sum(
-                    F.expr(f"(n * {MICRO12}) div greatest(wi + wj, 1)")
-                ).alias("d")
-            )
-        )
-        upd = items.join(d, "item").select(
-            "item",
-            F.expr(f"(wins * {MICRO12}) div greatest(d, 1)").alias("w"),
-        )
-        mx = upd.agg(F.max("w").alias("mx"))
-        w = (
-            upd.crossJoin(F.broadcast(mx))
-            .select(
+            upd = items.join(d, "item").select(
                 "item",
-                F.expr(f"(w * {MICRO6}) div greatest(mx, 1)").alias("w"),
+                F.expr(f"(wins * {MICRO12}) div greatest(d, 1)").alias("w"),
             )
-            .localCheckpoint(eager=True)
-        )
+            mx = upd.agg(F.max("w").alias("mx"))
+            w = (
+                upd.crossJoin(F.broadcast(mx))
+                .select(
+                    "item",
+                    F.expr(f"(w * {MICRO6}) div greatest(mx, 1)").alias("w"),
+                )
+                .localCheckpoint(eager=True)
+            )
     return items.join(w, "item").select(
         "item",
         F.col("w").alias("strength_micro"),
