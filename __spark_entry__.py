@@ -3329,6 +3329,24 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per prompt bucket via the zero-padded arg-extreme monoid,
         # strict-margin filter (ties yield no pair)
         "pref_dpo_pairs": _pref_dpo_pairs_entry,
+        # BT goodness-of-fit: per-pair expected-vs-observed wins under
+        # the fitted strengths (residual table; read with
+        # pref_transitivity — large residuals are unrepresentable
+        # matchups)
+        "pref_bt_fit_audit": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.preference",
+            fromlist=["bt_fit_audit"],
+        ).bt_fit_audit(
+            __import__(
+                "flink_example_spark.operators.preference",
+                fromlist=["synth_matches"],
+            ).synth_matches(
+                __import__(
+                    "flink_example_spark.tables", fromlist=["load_table"]
+                ).load_table(spark, sf_dir, "events"),
+                n_items=8,
+            )
+        ),
     }
 
 
@@ -5505,6 +5523,9 @@ def _northstar_oracles() -> dict[str, str]:
         f"SELECT doc_id % 100 AS prompt, doc_id AS c,"
         f" {_DUCK_NTOK} AS sc FROM documents"
     )
+    from flink_example_spark.operators.preference import bt_fit_audit_oracle
+
+    out["pref_bt_fit_audit"] = bt_fit_audit_oracle(synth_matches_sql(8))
     return out
 
 

@@ -260,11 +260,15 @@ def bradley_terry_from_wincounts(
     )
 
 
-def bradley_terry_oracle(matches_sql: str, n_iter: int = 8) -> str:
+def bradley_terry_oracle(
+    matches_sql: str, n_iter: int = 8, select_sql: str | None = None
+) -> str:
     """DuckDB twin of :func:`bradley_terry`: the MM rounds unrolled as
     chained MATERIALIZED CTEs (per-round CTEs feed two consumers —
     DESIGN.md inlining rule). ``matches_sql`` must yield
-    ``(winner, loser)``."""
+    ``(winner, loser)``. ``select_sql`` replaces the final projection
+    (``{w}`` = final weight CTE name) — the fit-audit twin reads the
+    same chain with a different head."""
     rounds = []
     prev = "w0"
     for r in range(n_iter):
@@ -291,6 +295,13 @@ def bradley_terry_oracle(matches_sql: str, n_iter: int = 8) -> str:
         )
         prev = f"w{r + 1}"
     chain = ",\n        ".join(rounds)
+    if select_sql is None:
+        select_sql = f"""SELECT it.item,
+               w.w AS strength_micro,
+               CAST(w.w AS DOUBLE) / {MICRO6} AS strength,
+               it.wins, it.n_matches
+        FROM items it JOIN {{w}} w USING (item)"""
+    final = select_sql.format(w=prev)
     return f"""
         WITH m AS MATERIALIZED (
           SELECT CAST(winner AS BIGINT) AS winner,
@@ -315,11 +326,7 @@ def bradley_terry_oracle(matches_sql: str, n_iter: int = 8) -> str:
         w0 AS MATERIALIZED (
           SELECT item, CAST({MICRO6} AS BIGINT) AS w FROM items),
         {chain}
-        SELECT it.item,
-               w.w AS strength_micro,
-               CAST(w.w AS DOUBLE) / {MICRO6} AS strength,
-               it.wins, it.n_matches
-        FROM items it JOIN {prev} w USING (item)
+        {final}
     """
 
 
@@ -724,3 +731,100 @@ def dpo_pairs_oracle(scored_sql: str) -> str:
                CAST(s_hi - s_lo AS BIGINT) AS margin, n_candidates
         FROM g WHERE n_candidates >= 2 AND s_hi > s_lo
     """
+
+
+def bt_fit_audit(
+    matches: DataFrame,
+    n_iter: int = 8,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+) -> DataFrame:
+    """Goodness-of-fit audit for :func:`bradley_terry`: per pair, the
+    EXPECTED wins of the lower-id item under the fitted strengths
+    (``n_ij * w_i / (w_i + w_j)``) against the observed count — the
+    residual table that answers "is one strength scale adequate, or do
+    intransitive matchups hide inside the fit?" (read together with
+    :func:`transitivity_audit`; a pair with a large residual is a
+    matchup the model cannot represent).
+
+    Integer discipline: expected wins in micro units via ``(n * w_i *
+    1e6) div (w_i + w_j)`` (non-negative — portable div; the 1e18-scale
+    product needs ``n_ij <= ~9.2e3`` at strength 1e6 — tighter than the
+    fit's own bound; rescale match counts past that), residual a plain
+    subtraction. One extra join pass over the pair-sized win-count
+    relation — the fit itself is shared work (memo shape).
+
+    Output: ``(i, j, n, wins_i, expected_wins_i_micro, residual_micro)``
+    — pair-sized, scalar.
+    """
+    wc = match_wincounts(matches, winner_col, loser_col).localCheckpoint(
+        eager=True
+    )
+    s = bradley_terry_from_wincounts(wc, n_iter=n_iter).select(
+        "item", "strength_micro"
+    )
+    return (
+        wc.join(
+            F.broadcast(
+                s.select(F.col("item").alias("i"), F.col("strength_micro").alias("si"))
+            ),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                s.select(F.col("item").alias("j"), F.col("strength_micro").alias("sj"))
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            (F.col("wi") + F.col("wj")).alias("n"),
+            F.col("wi").alias("wins_i"),
+            F.expr(
+                f"((wi + wj) * si * {MICRO6}) div greatest(si + sj, 1)"
+            ).alias("expected_wins_i_micro"),
+            F.expr(
+                f"wi * {MICRO6} - ((wi + wj) * si * {MICRO6})"
+                f" div greatest(si + sj, 1)"
+            ).alias("residual_micro"),
+        )
+    )
+
+
+def bt_fit_audit_oracle(matches_sql: str, n_iter: int = 8) -> str:
+    """DuckDB twin of :func:`bt_fit_audit`: the full MM chain from
+    :func:`bradley_terry_oracle` with the residual projection as the
+    head (identical integer expected-wins arithmetic)."""
+    head = f"""SELECT wc.i, wc.j,
+               CAST(wc.wi + wc.wj AS BIGINT) AS n,
+               wc.wi AS wins_i,
+               CAST(((wc.wi + wc.wj) * si.w * {MICRO6})
+                    // greatest(si.w + sj.w, 1) AS BIGINT)
+                 AS expected_wins_i_micro,
+               CAST(wc.wi * {MICRO6} - ((wc.wi + wc.wj) * si.w * {MICRO6})
+                    // greatest(si.w + sj.w, 1) AS BIGINT)
+                 AS residual_micro
+        FROM wc
+        JOIN {{w}} si ON wc.i = si.item
+        JOIN {{w}} sj ON wc.j = sj.item"""
+    # the audit reads the win-count relation the fit itself aggregates:
+    # expose it as one more MATERIALIZED CTE by aliasing pairs' source
+    head = (
+        "SELECT * FROM (" + head + ") _audit"
+    )
+    base = bradley_terry_oracle(matches_sql, n_iter=n_iter, select_sql=head)
+    # bradley_terry_oracle's chain has `pairs` (i, j, n) and `items`
+    # (wins) but not the directional (wi, wj) — inject the wc CTE after m
+    return base.replace(
+        "pairs AS MATERIALIZED (",
+        f"""wc AS MATERIALIZED (
+          SELECT least(winner, loser) AS i, greatest(winner, loser) AS j,
+                 CAST(SUM(CASE WHEN winner < loser THEN 1 ELSE 0 END)
+                   AS BIGINT) AS wi,
+                 CAST(SUM(CASE WHEN winner > loser THEN 1 ELSE 0 END)
+                   AS BIGINT) AS wj
+          FROM m GROUP BY 1, 2),
+        pairs AS MATERIALIZED (""",
+        1,
+    )

@@ -205,3 +205,24 @@ def test_dpo_pairs_extremes_ties_and_margin(spark):
     ora = sorted(tuple(r) for r in con.execute(
         dpo_pairs_oracle("SELECT * FROM sc")).fetchall())
     assert got == ora
+
+
+def test_bt_fit_audit_residuals_sum_and_shutout(spark):
+    """Residual structure: on a two-item corpus the fit saturates to the
+    observed win rate's direction (shutout -> expected == n, residual
+    0-ish at the quantization floor); on rock-paper-scissors the
+    STRENGTHS tie so every pair's expected wins are n/2 and residuals
+    expose the cycle the scale cannot represent."""
+    from flink_example_spark.operators.preference import bt_fit_audit
+
+    rps = []
+    rps += [(0, 1)] * 4 + [(1, 2)] * 4 + [(2, 0)] * 4
+    df = spark.createDataFrame(rps, "winner long, loser long")
+    rows = {(r["i"], r["j"]): r for r in bt_fit_audit(df).collect()}
+    assert set(rows) == {(0, 1), (1, 2), (0, 2)}
+    for (i, j), r in rows.items():
+        # symmetric cycle -> equal strengths -> expected = n/2 exactly
+        assert r["expected_wins_i_micro"] == r["n"] * 500_000
+    # (0,1): 0 won all 4 -> residual +2e6; (0,2): 0 lost all -> -2e6
+    assert rows[(0, 1)]["residual_micro"] == 2_000_000
+    assert rows[(0, 2)]["residual_micro"] == -2_000_000
