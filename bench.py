@@ -263,6 +263,7 @@ HEADLINE = [
     "pref_transitivity",
     "pref_dpo_pairs",
     "streaming_bradley_terry",
+    "pref_bt_fit_audit",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite
