@@ -1096,3 +1096,35 @@ def test_cox_multi_risk_uses_two_phase_cumsum(spark):
     ):
         spec_head, summed = m.group(3), m.group(2)
         assert spec_head.startswith("__dr_pid") or "__dr_n" in summed, m.group(0)
+
+
+def test_dpo_pairs_is_one_aggregation(spark):
+    """dpo_pairs must compile to a single partial-aggregated hash
+    aggregation — no window (the arg-extremes are min_by/max_by monoids
+    on the composite string key) and no join."""
+    from flink_example_spark.operators.preference import dpo_pairs
+
+    rows = [(i % 5, i, (i * 7) % 40) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, completion_id long, score long"
+    )
+    plan = physical(dpo_pairs(df))
+    assert "WindowExec" not in plan and "Window [" not in plan
+    assert "Join" not in plan
+    assert "partial_" in plan  # map-side combine of the monoid
+
+
+def test_fleiss_windows_are_item_partitioned(spark):
+    """fleiss_kappa's only window is the keep-first-n row_number, and it
+    must be partitioned by item (never a single-task global sort); the
+    moment branches read the checkpointed item-sized relations, so the
+    final DAG carries no recomputed windows at all."""
+    from flink_example_spark.operators.preference import fleiss_kappa
+
+    rows = [(i % 9, ["a", "b", "c"][i % 3], i) for i in range(90)]
+    df = spark.createDataFrame(rows, "item long, cat string, seq long")
+    plan = physical(fleiss_kappa(df, n_raters=4))
+    # the two localCheckpoints already materialized the windowed scan:
+    # nothing window-shaped may survive into the read-time plan
+    assert "Window [" not in plan
+    assert "CartesianProduct" not in plan
