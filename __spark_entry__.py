@@ -3329,6 +3329,21 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per prompt bucket via the zero-padded arg-extreme monoid,
         # strict-margin filter (ties yield no pair)
         "pref_dpo_pairs": _pref_dpo_pairs_entry,
+        # Fleming-Harrington survival curve + restricted mean survival
+        # time (the censoring-robust retention KPI): S = exp(-H) via the
+        # embedded table capped at 1.0, exact micro-day step integral
+        "timeseries_rmst": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries",
+            fromlist=["rmst_table"],
+        ).rmst_table(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "events"),
+            "user_id",
+            "ts",
+            horizon_days=7,
+            tau_days=30,
+        ),
         # BT goodness-of-fit: per-pair expected-vs-observed wins under
         # the fitted strengths (residual table; read with
         # pref_transitivity — large residuals are unrepresentable
@@ -5526,6 +5541,11 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.preference import bt_fit_audit_oracle
 
     out["pref_bt_fit_audit"] = bt_fit_audit_oracle(synth_matches_sql(8))
+    from flink_example_spark.operators.timeseries import rmst_table_oracle
+
+    out["timeseries_rmst"] = rmst_table_oracle(
+        "events", "user_id", "ts", horizon_days=7, tau_days=30
+    )
     return out
 
 

@@ -1429,6 +1429,145 @@ def survival_table(
     )
 
 
+def rmst_table(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    horizon_days: int = 7,
+    tau_days: int = 30,
+) -> DataFrame:
+    """Survival curve + restricted mean survival time (RMST) on top of
+    :func:`survival_table` — "how many of the first ``tau_days`` days
+    does an average user survive?", the retention KPI that (unlike a
+    median lifetime) is defined even under heavy censoring. The curve is
+    the Fleming–Harrington estimator ``S(t) = exp(-H(t))`` over the
+    Nelson–Aalen cumulative hazard — the exp is the embedded integer
+    table (``ml._EXP_TABLE``, the same clamp-shift bucket the Cox/
+    Poisson fits index, CAPPED at exactly 1e6 because the table is
+    midpoint-valued and would otherwise read S(0) ~ 1.064; hazards
+    past the -8 clamp floor at the table edge ~335 micro), and RMST is
+    the exact integral of the step curve truncated at ``tau_days``::
+
+        RMST(tau) = t_min + sum_i S(t_i) * (min(t_{i+1}, tau) - min(t_i, tau))
+
+    (the initial ``[0, t_min)`` segment survives at exactly 1.0; after
+    the last observed lifetime S stays constant to tau — the standard
+    truncated-integral convention). All terms are micro-day BIGINTs —
+    quantize-before-sum, no double accumulation anywhere.
+
+    Output per distinct lifetime: ``(t_days, n_risk, d_events,
+    na_cum_micro, s_micro, rmst_cum_micro_days)`` — the LAST row's
+    ``rmst_cum_micro_days`` is RMST(tau) in micro-days.
+
+    Scale: inherits :func:`survival_table`'s posture (one unit rollup,
+    windows over the DISTINCT-lifetime relation — bounded by the day
+    span, the documented benign-window class).
+    """
+    from flink_example_spark.operators.ml import _EXP_TABLE, _exp_bucket_sql
+
+    st = survival_table(df, key_col, ts_col, horizon_days)
+    arr = F.array(*[F.lit(v) for v in _EXP_TABLE])
+    s = st.select(
+        "t_days",
+        "n_risk",
+        "d_events",
+        "na_cum_micro",
+        # the exp table is MIDPOINT-valued (the round-9 _exp_val(0)
+        # lesson: bucket at z=0 reads ~1.0645e6) — cap at exactly 1e6 so
+        # the survival curve is a genuine probability and RMST <= tau
+        F.least(
+            F.element_at(
+                arr, F.expr(_exp_bucket_sql("-na_cum_micro")).cast("int")
+            ),
+            F.lit(1_000_000),
+        ).alias("s_micro"),
+    )
+    w = Window.orderBy("t_days")
+    w_cum = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tau = int(tau_days)
+    seg = s.select(
+        "t_days",
+        "n_risk",
+        "d_events",
+        "na_cum_micro",
+        "s_micro",
+        (
+            F.least(
+                F.lead("t_days", default=tau).over(w), F.lit(tau)
+            )
+            - F.least(F.col("t_days"), F.lit(tau))
+        ).alias("__seg"),
+        F.min("t_days").over(
+            Window.orderBy("t_days").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__t0"),
+    )
+    return seg.select(
+        "t_days",
+        "n_risk",
+        "d_events",
+        "na_cum_micro",
+        "s_micro",
+        (
+            F.least(F.col("__t0"), F.lit(tau)) * F.lit(1_000_000)
+            + F.sum(F.col("s_micro") * F.col("__seg")).over(w_cum)
+        ).alias("rmst_cum_micro_days"),
+    )
+
+
+def rmst_table_oracle(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    horizon_days: int = 7,
+    tau_days: int = 30,
+) -> str:
+    """DuckDB twin of :func:`rmst_table` (identical exp-table lookup,
+    segment capping, and micro-day accumulation over the
+    survival_table twin)."""
+    from flink_example_spark.operators.ml import (
+        _EXP_CLAMP_HI,
+        _EXP_CLAMP_LO,
+        _EXP_TABLE,
+        _SIG_STEP,
+    )
+
+    lit = "[" + ",".join(str(v) for v in _EXP_TABLE) + "]"
+    zc = (
+        f"greatest(least(-na_cum_micro, {_EXP_CLAMP_HI - 1}),"
+        f" {_EXP_CLAMP_LO})"
+    )
+    s_expr = f"({lit})[((({zc}) + {-_EXP_CLAMP_LO}) // {_SIG_STEP}) + 1]"
+    tau = int(tau_days)
+    return f"""
+        WITH st AS MATERIALIZED (
+          {survival_table_oracle(table, key_col, ts_col, horizon_days)}
+        ),
+        s AS MATERIALIZED (
+          SELECT t_days, n_risk, d_events, na_cum_micro,
+                 CAST(least({s_expr}, 1000000) AS BIGINT) AS s_micro
+          FROM st
+        ),
+        seg AS MATERIALIZED (
+          SELECT t_days, n_risk, d_events, na_cum_micro, s_micro,
+                 least(lead(t_days, 1, {tau}) OVER (ORDER BY t_days),
+                       {tau})
+                   - least(t_days, {tau}) AS __seg,
+                 MIN(t_days) OVER () AS __t0
+          FROM s
+        )
+        SELECT t_days, n_risk, d_events, na_cum_micro, s_micro,
+               CAST(least(__t0, {tau}) * 1000000
+                    + SUM(s_micro * __seg) OVER (ORDER BY t_days
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS rmst_cum_micro_days
+        FROM seg
+    """
+
+
 def survival_table_oracle(
     table: str, key_col: str, ts_col: str, horizon_days: int = 7
 ) -> str:

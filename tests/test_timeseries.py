@@ -1026,3 +1026,62 @@ def test_cox_family_zero_events_fixed_point_matches_oracle(spark):
         betas = {f: w for f, w in got if f.startswith("beta")}
         assert betas and all(w == 0 for w in betas.values())
         assert dict(got)["__n_events"] == 0
+
+
+def test_rmst_planted_churn_curve(spark):
+    """Planted cohort: 20 users churn on day 2 (observed — silent well
+    before the corpus end), 10 survive to the boundary (censored).
+    The hazard at t=2 is 20/30, S drops to the exp(-2/3) table cell,
+    and RMST(10) = 2 full days + 8 days at that S — exactly, in both
+    engines. Also: S is capped at exactly 1e6 before the first event
+    (midpoint-table lesson) so RMST can never exceed tau."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.ml import _exp_bucket_sql  # noqa: F401
+    from flink_example_spark.operators.timeseries import (
+        rmst_table,
+        rmst_table_oracle,
+    )
+    from flink_example_spark.operators.timeseries import _exp_val
+
+    day = 86_400
+    rows = []
+    for u in range(20):  # churners: first day 0, last day 2
+        rows.append((u, 0))
+        rows.append((u, 2 * day))
+    for u in range(20, 30):  # survivors: active at the corpus end
+        rows.append((u, 0))
+        rows.append((u, 30 * day))
+    df = spark.createDataFrame(
+        [(u, t) for u, t in rows], "user_id long, secs long"
+    ).selectExpr("user_id", "timestamp_seconds(secs) AS ts")
+    out = sorted(
+        tuple(r)
+        for r in rmst_table(df, "user_id", "ts", 7, tau_days=10).collect()
+    )
+    by_t = {r[0]: r for r in out}
+    assert by_t[2][2] == 20 and by_t[2][1] == 30  # d=20 of n_risk=30
+    s2 = by_t[2][4]
+    assert s2 == min(_exp_val(-((20 * 1_000_000) // 30)), 1_000_000)
+    assert by_t[30][4] <= s2
+    # RMST(10): [0,2) at S=1 contributes 2e6; [2,10) contributes 8*s2
+    assert by_t[2][5] == 2_000_000 + 8 * s2
+    rmst = max(r[5] for r in out)
+    assert rmst == 2_000_000 + 8 * s2  # t=30 row adds nothing past tau
+    assert rmst <= 10_000_000
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["user_id", "secs"])
+    con.register("raw", pdf)
+    con.execute(
+        "CREATE VIEW ue AS SELECT user_id,"
+        " to_timestamp(secs)::TIMESTAMP AS ts FROM raw"
+    )
+    ora = sorted(
+        tuple(r)
+        for r in con.execute(
+            rmst_table_oracle("ue", "user_id", "ts", 7, tau_days=10)
+        ).fetchall()
+    )
+    assert out == ora
