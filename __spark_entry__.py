@@ -3311,6 +3311,11 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clipped integer inverse weights — completes the causal family
         # (att_strata = subclassification, this = model-based weighting)
         "causal_ipw_ate": _causal_ipw_entry,
+        # AIPW doubly-robust ATE: nonparametric per-stratum outcome
+        # means + the IPW correction — consistent if EITHER model is
+        # right; sign-safe per-unit corrections, global-mean fallback
+        # for single-arm strata (audited)
+        "causal_aipw_ate": _causal_aipw_entry,
         # UNCAPPED exact truss decomposition on the provably-sparse term
         # graph: the measured wedge-work certificate gates the exact
         # path (no mutual-truncation cap), true trussness to k_max=8
@@ -5499,10 +5504,12 @@ def _northstar_oracles() -> dict[str, str]:
         " event_id AS seq FROM events",
         n_raters=4,
     )
-    from flink_example_spark.operators.ml import ipw_ate_oracle
+    from flink_example_spark.operators.ml import (
+        aipw_ate_oracle,
+        ipw_ate_oracle,
+    )
 
-    out["causal_ipw_ate"] = ipw_ate_oracle(
-        """SELECT user_id,
+    _causal_units_sql = """SELECT user_id,
                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
                        * 5 >= COUNT(*) AS BIGINT) AS treated,
                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -5510,7 +5517,15 @@ def _northstar_oracles() -> dict[str, str]:
                   least(COUNT(*) // 8, 15) AS act_b,
                   least(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
                             END), 15) AS err_b
-           FROM events GROUP BY user_id""",
+           FROM events GROUP BY user_id"""
+    out["causal_ipw_ate"] = ipw_ate_oracle(
+        _causal_units_sql,
+        "treated",
+        "y",
+        [("act_b", "act_b"), ("err_b", "err_b")],
+    )
+    out["causal_aipw_ate"] = aipw_ate_oracle(
+        _causal_units_sql,
         "treated",
         "y",
         [("act_b", "act_b"), ("err_b", "err_b")],
@@ -6522,18 +6537,16 @@ def _pref_transitivity_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _causal_ipw_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Observational churn-style question over per-user event rollups:
-    does heavy clicking (click share >= 1/5 — a ~50/50 split in the
-    synthetic data) raise the purchase count, adjusting for activity
-    volume and error exposure via a logistic propensity?"""
+def _causal_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user observational rollup shared by the causal rows:
+    click-share treatment (~50/50 in the synthetic data), purchase-count
+    outcome, activity/error covariates."""
     from pyspark.sql import functions as F
 
-    from flink_example_spark.operators.ml import ipw_ate
     from flink_example_spark.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    units = ev.groupBy("user_id").agg(
+    return ev.groupBy("user_id").agg(
         F.expr(
             "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 5"
             " >= count(1) AS LONG)"
@@ -6546,7 +6559,26 @@ def _causal_ipw_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
             "least(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END), 15)"
         ).alias("err_b"),
     )
-    return ipw_ate(units, "treated", "y", ["act_b", "err_b"])
+
+
+def _causal_aipw_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_example_spark.operators.ml import aipw_ate
+
+    return aipw_ate(
+        _causal_units(spark, sf_dir), "treated", "y", ["act_b", "err_b"]
+    )
+
+
+def _causal_ipw_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observational churn-style question over per-user event rollups:
+    does heavy clicking (click share >= 1/5 — a ~50/50 split in the
+    synthetic data) raise the purchase count, adjusting for activity
+    volume and error exposure via a logistic propensity?"""
+    from flink_example_spark.operators.ml import ipw_ate
+
+    return ipw_ate(
+        _causal_units(spark, sf_dir), "treated", "y", ["act_b", "err_b"]
+    )
 
 
 def _eval_fleiss_kappa_entry(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3632,6 +3632,262 @@ def ipw_ate(
     )
 
 
+def aipw_ate(
+    units: DataFrame,
+    treated_col: str,
+    outcome_col: str,
+    x_cols: list[str],
+    n_steps: int = 8,
+    scale_den: int = 16,
+    clip_micro: int = 10_000,
+) -> DataFrame:
+    """Doubly-robust (AIPW) average treatment effect — the estimator
+    that completes the causal triad (:func:`att_strata` =
+    subclassification, :func:`ipw_ate` = weighting, this = BOTH): an
+    outcome model plus an inverse-propensity correction, consistent if
+    EITHER is right::
+
+        ATE = mean[ m1(x) - m0(x)
+                    + t (y - m1(x)) / e(x)
+                    - (1-t)(y - m0(x)) / (1 - e(x)) ]
+
+    The propensity is :func:`logistic_fit`'s bit-reproducible integer
+    descent (clipped sigmoid-table lookup, as in :func:`ipw_ate`); the
+    outcome models are NONPARAMETRIC per-stratum arm means over the
+    exact small-integer covariate vector (strata are bounded by the
+    feature-value space — the |x| <= scale_den contract), with the
+    GLOBAL arm mean as the fallback for strata missing an arm (counted
+    in the ``__n_fallback_units`` audit row).
+
+    Integer discipline: arm means are ``(sum*1e6) div n`` micros; each
+    unit's correction is the SIGN-AND-MAGNITUDE division
+    ``sign(num) * ((|num| * 1e6) div e)`` (num = y*1e6 - m can be
+    negative — the round-8 portable-negative-division rule); the final
+    mean is one sign-safe division of the exact BIGINT term sum.
+    Overflow bound: ``n * y_max * 1e12 / clip_micro < 2^63`` — with the
+    default clip, total outcome mass up to ~9.2e10.
+
+    Output (tall, scalar): ``ate_micro``, ``mean_m1_micro``,
+    ``mean_m0_micro`` (population-averaged outcome-model predictions),
+    per-weight ``prop_<feature>``, audits ``__n``, ``__n_treated``,
+    ``__n_clipped``, ``__n_fallback_units``.
+
+    Scale: one checkpointed unit projection; n_steps gradient
+    aggregations; ONE bounded stratum aggregation broadcast back; ONE
+    scoring aggregation. No data-sized shuffle beyond partial-agg
+    merges.
+    """
+    names = ["intercept"] + list(x_cols)
+    k = len(names)
+    data = units.select(
+        F.col(treated_col).cast("long").alias("y"),
+        F.lit(1).cast("long").alias("x0"),
+        *[
+            F.col(c).cast("long").alias(f"x{i + 1}")
+            for i, c in enumerate(x_cols)
+        ],
+        F.col(outcome_col).cast("long").alias("yout"),
+    ).localCheckpoint()
+    w, n = _logistic_weights(data, k, n_steps, scale_den)
+    xs = [f"x{i + 1}" for i in range(len(x_cols))]
+    strat = data.groupBy(*xs).agg(
+        F.sum(F.expr("CASE WHEN y = 1 THEN yout ELSE 0 END")).alias("s1"),
+        F.sum(F.expr("CASE WHEN y = 1 THEN 1 ELSE 0 END")).alias("n1"),
+        F.sum(F.expr("CASE WHEN y = 0 THEN yout ELSE 0 END")).alias("s0"),
+        F.sum(F.expr("CASE WHEN y = 0 THEN 1 ELSE 0 END")).alias("n0"),
+    ).select(
+        *xs,
+        F.expr("CASE WHEN n1 > 0 THEN (s1 * 1000000) div n1 END").alias(
+            "m1_s"
+        ),
+        F.expr("CASE WHEN n0 > 0 THEN (s0 * 1000000) div n0 END").alias(
+            "m0_s"
+        ),
+    )
+    g = data.agg(
+        F.expr(
+            "(sum(CASE WHEN y = 1 THEN yout ELSE 0 END) * 1000000)"
+            " div greatest(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END), 1)"
+        ).alias("m1_g"),
+        F.expr(
+            "(sum(CASE WHEN y = 0 THEN yout ELSE 0 END) * 1000000)"
+            " div greatest(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END), 1)"
+        ).alias("m0_g"),
+    )
+    arr = F.array(*[F.lit(v) for v in _SIGMOID_TABLE])
+    z = " + ".join(f"x{i} * CAST({wi} AS BIGINT)" for i, wi in enumerate(w))
+    e_raw = F.element_at(arr, F.expr(_sig_bucket_sql(z)).cast("int"))
+    lo, hi = clip_micro, 1_000_000 - clip_micro
+    scored = (
+        data.join(F.broadcast(strat), xs)
+        .crossJoin(F.broadcast(g))
+        .select(
+            "y",
+            "yout",
+            F.greatest(F.least(e_raw, F.lit(hi)), F.lit(lo))
+            .cast("long")
+            .alias("e"),
+            ((e_raw < F.lit(lo)) | (e_raw > F.lit(hi)))
+            .cast("long")
+            .alias("clip"),
+            (F.col("m1_s").isNull() | F.col("m0_s").isNull())
+            .cast("long")
+            .alias("fb"),
+            F.coalesce("m1_s", "m1_g").alias("m1"),
+            F.coalesce("m0_s", "m0_g").alias("m0"),
+        )
+    )
+    corr = (
+        "CASE WHEN y = 1 THEN"
+        " (CASE WHEN yout * 1000000 - m1 >= 0 THEN 1 ELSE -1 END)"
+        " * ((abs(yout * 1000000 - m1) * 1000000) div e)"
+        " ELSE"
+        " -(CASE WHEN yout * 1000000 - m0 >= 0 THEN 1 ELSE -1 END)"
+        " * ((abs(yout * 1000000 - m0) * 1000000) div (1000000 - e))"
+        " END"
+    )
+    agg = scored.agg(
+        F.sum("y").alias("nt"),
+        F.sum("clip").alias("nclip"),
+        F.sum("fb").alias("nfb"),
+        F.sum(F.expr(f"m1 - m0 + ({corr})")).alias("s_terms"),
+        F.sum("m1").alias("s_m1"),
+        F.sum("m0").alias("s_m0"),
+    ).first()
+    s_terms = int(agg["s_terms"] or 0)
+
+    def _sdiv(a: int, b: int) -> int:
+        # sign-and-magnitude division — the portable form both the SQL
+        # twin and this mirror use (Python // would FLOOR negatives)
+        return (1 if a >= 0 else -1) * (abs(a) // max(b, 1))
+
+    rows = (
+        [
+            ("ate_micro", _sdiv(s_terms, n)),
+            ("mean_m1_micro", _sdiv(int(agg["s_m1"] or 0), n)),
+            ("mean_m0_micro", _sdiv(int(agg["s_m0"] or 0), n)),
+        ]
+        + [(f"prop_{nm}", int(wi)) for nm, wi in zip(names, w)]
+        + [
+            ("__n", int(n)),
+            ("__n_treated", int(agg["nt"] or 0)),
+            ("__n_clipped", int(agg["nclip"] or 0)),
+            ("__n_fallback_units", int(agg["nfb"] or 0)),
+        ]
+    )
+    return units.sparkSession.createDataFrame(
+        rows, "feature string, value long"
+    )
+
+
+def aipw_ate_oracle(
+    units_sql: str,
+    treated_sql: str,
+    outcome_sql: str,
+    x_sqls: list[tuple[str, str]],
+    n_steps: int = 8,
+    scale_den: int = 16,
+    clip_micro: int = 10_000,
+) -> str:
+    """DuckDB twin of :func:`aipw_ate`: the shared descent chain, the
+    stratum/global arm-mean CTEs, and the identical sign-safe per-unit
+    correction arithmetic."""
+    parts, names, k = _descent_parts(
+        units_sql,
+        treated_sql,
+        x_sqls,
+        n_steps,
+        scale_den,
+        carry_sqls=[("yout", outcome_sql)],
+    )
+    lit = "[" + ",".join(str(v) for v in _SIGMOID_TABLE) + "]"
+    zf = " + ".join(f"d.x{i} * w.w{i}" for i in range(k))
+    zc = f"greatest(least({zf}, {_SIG_CLAMP - 1}), -{_SIG_CLAMP})"
+    sig = f"({lit})[((({zc}) + {_SIG_CLAMP}) // {_SIG_STEP}) + 1]"
+    lo, hi = clip_micro, 1_000_000 - clip_micro
+    xs = [f"x{i + 1}" for i in range(len(x_sqls))]
+    xl = ", ".join(xs)
+    on = " AND ".join(f"d.{c} = strat.{c}" for c in xs)
+    parts.append(
+        f"""strat AS MATERIALIZED (
+          SELECT {xl},
+                 CASE WHEN SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) > 0
+                      THEN (SUM(CASE WHEN y = 1 THEN yout ELSE 0 END)
+                            * 1000000)
+                           // SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) END
+                   AS m1_s,
+                 CASE WHEN SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) > 0
+                      THEN (SUM(CASE WHEN y = 0 THEN yout ELSE 0 END)
+                            * 1000000)
+                           // SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) END
+                   AS m0_s
+          FROM d GROUP BY {xl}),
+        gmeans AS MATERIALIZED (
+          SELECT (SUM(CASE WHEN y = 1 THEN yout ELSE 0 END) * 1000000)
+                   // greatest(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END), 1)
+                   AS m1_g,
+                 (SUM(CASE WHEN y = 0 THEN yout ELSE 0 END) * 1000000)
+                   // greatest(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END), 1)
+                   AS m0_g
+          FROM d),
+        score AS MATERIALIZED (
+          SELECT d.y, d.yout,
+                 CAST(greatest(least({sig}, {hi}), {lo}) AS BIGINT) AS e,
+                 CASE WHEN {sig} < {lo} OR {sig} > {hi} THEN 1 ELSE 0 END
+                   AS clip,
+                 CASE WHEN strat.m1_s IS NULL OR strat.m0_s IS NULL
+                      THEN 1 ELSE 0 END AS fb,
+                 COALESCE(strat.m1_s, gmeans.m1_g) AS m1,
+                 COALESCE(strat.m0_s, gmeans.m0_g) AS m0
+          FROM d JOIN strat ON {on} CROSS JOIN gmeans,
+               w{n_steps} w),
+        sums AS MATERIALIZED (
+          SELECT CAST(SUM(y) AS BIGINT) AS nt,
+                 CAST(SUM(clip) AS BIGINT) AS nclip,
+                 CAST(SUM(fb) AS BIGINT) AS nfb,
+                 CAST(SUM(m1 - m0
+                   + (CASE WHEN y = 1 THEN
+                        (CASE WHEN yout * 1000000 - m1 >= 0
+                              THEN 1 ELSE -1 END)
+                        * ((abs(yout * 1000000 - m1) * 1000000) // e)
+                      ELSE
+                        -(CASE WHEN yout * 1000000 - m0 >= 0
+                               THEN 1 ELSE -1 END)
+                        * ((abs(yout * 1000000 - m0) * 1000000)
+                           // (1000000 - e))
+                      END)) AS BIGINT) AS s_terms,
+                 CAST(SUM(m1) AS BIGINT) AS s_m1,
+                 CAST(SUM(m0) AS BIGINT) AS s_m0
+          FROM score)"""
+    )
+    weight_rows = " UNION ALL ".join(
+        f"SELECT 'prop_{nm}' AS feature, w{i} AS value FROM w{n_steps}"
+        for i, nm in enumerate(names)
+    )
+
+    def sdiv(a: str) -> str:
+        return (
+            f"(CASE WHEN {a} >= 0 THEN 1 ELSE -1 END)"
+            f" * (abs({a}) // greatest(meta.n, 1))"
+        )
+
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT 'ate_micro' AS feature,
+               CAST({sdiv("COALESCE(s_terms, 0)")} AS BIGINT) AS value
+        FROM sums, meta
+        UNION ALL SELECT 'mean_m1_micro',
+          CAST({sdiv("COALESCE(s_m1, 0)")} AS BIGINT) FROM sums, meta
+        UNION ALL SELECT 'mean_m0_micro',
+          CAST({sdiv("COALESCE(s_m0, 0)")} AS BIGINT) FROM sums, meta
+        UNION ALL {weight_rows}
+        UNION ALL SELECT '__n', n FROM meta
+        UNION ALL SELECT '__n_treated', COALESCE(nt, 0) FROM sums
+        UNION ALL SELECT '__n_clipped', COALESCE(nclip, 0) FROM sums
+        UNION ALL SELECT '__n_fallback_units', COALESCE(nfb, 0) FROM sums
+    """
+
+
 def ipw_ate_oracle(
     units_sql: str,
     treated_sql: str,

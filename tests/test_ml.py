@@ -1132,3 +1132,55 @@ def test_ipw_ate_matches_duckdb_oracle_hostile(spark):
     ).fetchall())
     assert got2 == ora2
     assert dict(got2)["mean_c_micro"] == 0
+
+
+def test_aipw_is_doubly_robust_to_a_bad_propensity(spark):
+    """The doubly-robust property, concretely: on the planted confounded
+    design the outcome strata on x are EXACTLY the true outcome model,
+    so even with a crippled propensity fit (n_steps=1 — essentially
+    e = 0.5 everywhere) AIPW lands within quantization of the true
+    effect 5, while plain IPW with the same crippled fit stays far off."""
+    from flink_example_spark.operators.ml import aipw_ate, ipw_ate
+
+    rows = []
+    for x in range(6):
+        n_t = 5 + 2 * x
+        n_c = 14 - 2 * x
+        for i in range(n_t):
+            rows.append((1, 10 * x + 5 + (i % 2), x))
+        for i in range(n_c):
+            rows.append((0, 10 * x + (i % 2), x))
+    df = spark.createDataFrame(rows, "treated long, y long, x long")
+    aipw = {r["feature"]: r["value"]
+            for r in aipw_ate(df, "treated", "y", ["x"], n_steps=1).collect()}
+    ipw = {r["feature"]: r["value"]
+           for r in ipw_ate(df, "treated", "y", ["x"], n_steps=1).collect()}
+    aipw_err = abs(aipw["ate_micro"] / 1e6 - 5.0)
+    ipw_err = abs(ipw["ate_micro"] / 1e6 - 5.0)
+    assert aipw_err < 1.0      # outcome model alone carries it
+    assert ipw_err > 3.0       # the crippled propensity does not
+    assert aipw["__n_fallback_units"] == 0  # every stratum has both arms
+
+
+def test_aipw_matches_duckdb_oracle_with_fallback_strata(spark):
+    """Parity including the global-mean fallback path: one stratum is
+    treated-only and one control-only, so their units count in
+    __n_fallback_units and read the global arm means."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.ml import aipw_ate, aipw_ate_oracle
+
+    rows = [(1 if (x + i) % 2 else 0, x * 4 + i % 3, x)
+            for x in range(4) for i in range(10)]
+    rows += [(1, 30, 8)] * 3 + [(0, 2, 9)] * 3  # single-arm strata
+    con = duckdb.connect()
+    con.register("u3", pd.DataFrame(rows, columns=["treated", "y", "x"]))
+    df = spark.createDataFrame(rows, "treated long, y long, x long")
+    got = sorted(tuple(r)
+                 for r in aipw_ate(df, "treated", "y", ["x"]).collect())
+    ora = sorted(tuple(r) for r in con.execute(
+        aipw_ate_oracle("SELECT * FROM u3", "treated", "y", [("x", "x")])
+    ).fetchall())
+    assert got == ora
+    assert dict(got)["__n_fallback_units"] == 6
