@@ -3306,6 +3306,19 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream (item buckets x event_type categories, first-4 kept):
         # quantize-before-sum micro arithmetic, sign-safe final division
         "eval_fleiss_kappa": _eval_fleiss_kappa_entry,
+        # Krippendorff's alpha (nominal): varying raters per item — no
+        # quorum drop (the case Fleiss excludes); coincidence form,
+        # per-item micro quantization, sign-safe division
+        "eval_kripp_alpha": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.preference",
+            fromlist=["kripp_alpha"],
+        ).kripp_alpha(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "events").selectExpr(
+                "abs(event_id) % 3000 AS item", "event_type AS cat"
+            )
+        ),
         # IPW (Hajek) average treatment effect: logistic propensity via
         # the bit-reproducible integer descent, sigmoid-table scoring,
         # clipped integer inverse weights — completes the causal family
@@ -5503,6 +5516,12 @@ def _northstar_oracles() -> dict[str, str]:
         "SELECT abs(event_id) % 3000 AS item, event_type AS cat,"
         " event_id AS seq FROM events",
         n_raters=4,
+    )
+    from flink_example_spark.operators.preference import kripp_alpha_oracle
+
+    out["eval_kripp_alpha"] = kripp_alpha_oracle(
+        "SELECT abs(event_id) % 3000 AS item, event_type AS cat"
+        " FROM events"
     )
     from flink_example_spark.operators.ml import (
         aipw_ate_oracle,

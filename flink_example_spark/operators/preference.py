@@ -828,3 +828,157 @@ def bt_fit_audit_oracle(matches_sql: str, n_iter: int = 8) -> str:
         pairs AS MATERIALIZED (""",
         1,
     )
+
+
+def kripp_alpha(
+    annotations: DataFrame,
+    item_col: str = "item",
+    cat_col: str = "cat",
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) — the agreement
+    coefficient for annotation corpora with a VARYING number of ratings
+    per item, exactly the case :func:`fleiss_kappa`'s fixed-quorum
+    design drops: every item with >= 2 ratings contributes (singletons
+    carry no pairing information and are only counted). Coincidence
+    form::
+
+        D_o = sum_i (n_i^2 - sum_c n_ic^2) / (n_i - 1)     observed
+        D_e = (n^2 - sum_c n_c^2) / (n - 1)                 expected
+        alpha = 1 - D_o / D_e
+
+    Integer discipline: each item's disagreement quantizes to micro
+    BEFORE the corpus sum (per-item denominators vary — the
+    quantize-before-cumsum rule); D_e is one global expression whose
+    ``n^2`` bound (total ratings <= ~3e9) is documented rather than
+    hidden; alpha can be negative (systematic disagreement), so the
+    final division is sign-and-magnitude. All-one-category corpora
+    have D_e = 0 (agreement indistinguishable from chance) — reported
+    as alpha 0 via the guard, with the audit rows exposing the
+    degeneracy.
+
+    Output (tall, scalar): ``alpha_micro``, ``d_o_micro``,
+    ``d_e_micro``, audits ``__n_items``, ``__n_ratings``,
+    ``__n_singleton_items``, per-category marginals ``ncat_<cat>``.
+
+    Scale: two hash aggregations (per-(item,cat) counts, then moments)
+    — no window at all.
+    """
+    a = annotations.select(
+        F.col(item_col).alias("item"),
+        F.col(cat_col).cast("string").alias("cat"),
+    )
+    nic = a.groupBy("item", "cat").agg(F.count(F.lit(1)).alias("c"))
+    per_item = nic.groupBy("item").agg(
+        F.sum("c").alias("ni"), F.sum(F.expr("c * c")).alias("sq")
+    ).localCheckpoint(eager=True)
+    do = per_item.filter(F.col("ni") >= 2).agg(
+        F.sum(
+            F.expr(f"((ni * ni - sq) * {MICRO6}) div (ni - 1)")
+        ).alias("do_micro"),
+        F.sum("ni").alias("n"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    singles = per_item.filter(F.col("ni") < 2).agg(
+        F.count(F.lit(1)).alias("n_single")
+    )
+    # category marginals over INCLUDED items only
+    ncat = (
+        nic.join(
+            per_item.filter(F.col("ni") >= 2).select("item"), "item"
+        )
+        .groupBy("cat")
+        .agg(F.sum("c").alias("nc"))
+        .localCheckpoint(eager=True)
+    )
+    moments = ncat.agg(F.sum(F.expr("nc * nc")).alias("sq_c"))
+    summary = (
+        do.crossJoin(F.broadcast(moments))
+        .crossJoin(F.broadcast(singles))
+        .select(
+            F.coalesce("do_micro", F.lit(0)).alias("do_micro"),
+            F.expr(
+                f"CASE WHEN n >= 2 THEN ((n * n - coalesce(sq_c, 0))"
+                f" * {MICRO6}) div (n - 1) ELSE 0 END"
+            ).alias("de_micro"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("n_items", F.lit(0)).alias("n_items"),
+            F.coalesce("n_single", F.lit(0)).alias("n_single"),
+        )
+        .select(
+            F.expr(
+                f"CASE WHEN de_micro - do_micro >= 0 THEN 1 ELSE -1 END"
+                f" * ((abs(de_micro - do_micro) * {MICRO6})"
+                f" div greatest(de_micro, 1))"
+            ).alias("alpha_micro"),
+            "do_micro",
+            "de_micro",
+            "n",
+            "n_items",
+            "n_single",
+        )
+    )
+    tall = summary.selectExpr(
+        "stack(6, 'alpha_micro', alpha_micro, 'd_o_micro', do_micro,"
+        " 'd_e_micro', de_micro, '__n_items', n_items,"
+        " '__n_ratings', n, '__n_singleton_items', n_single)"
+        " AS (feature, value)"
+    )
+    cats = ncat.select(
+        F.concat(F.lit("ncat_"), F.col("cat")).alias("feature"),
+        F.col("nc").cast("long").alias("value"),
+    )
+    return tall.select("feature", F.col("value").cast("long")).union(cats)
+
+
+def kripp_alpha_oracle(annotations_sql: str) -> str:
+    """DuckDB twin of :func:`kripp_alpha` (identical per-item micro
+    quantization, inclusion rule, and sign-safe final division).
+    ``annotations_sql`` must yield ``(item, cat)``."""
+    return f"""
+        WITH a AS MATERIALIZED (
+          SELECT item, CAST(cat AS VARCHAR) AS cat
+          FROM ({annotations_sql})),
+        nic AS MATERIALIZED (
+          SELECT item, cat, CAST(COUNT(*) AS BIGINT) AS c
+          FROM a GROUP BY 1, 2),
+        per_item AS MATERIALIZED (
+          SELECT item, CAST(SUM(c) AS BIGINT) AS ni,
+                 CAST(SUM(c * c) AS BIGINT) AS sq
+          FROM nic GROUP BY 1),
+        dobs AS MATERIALIZED (
+          SELECT CAST(COALESCE(SUM(((ni * ni - sq) * {MICRO6})
+                   // (ni - 1)), 0) AS BIGINT) AS do_micro,
+                 CAST(COALESCE(SUM(ni), 0) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS n_items
+          FROM per_item WHERE ni >= 2),
+        singles AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_single
+          FROM per_item WHERE ni < 2),
+        ncat AS MATERIALIZED (
+          SELECT nic.cat, CAST(SUM(nic.c) AS BIGINT) AS nc
+          FROM nic JOIN per_item p ON nic.item = p.item AND p.ni >= 2
+          GROUP BY 1),
+        moments AS MATERIALIZED (
+          SELECT CAST(COALESCE(SUM(nc * nc), 0) AS BIGINT) AS sq_c
+          FROM ncat),
+        summary AS MATERIALIZED (
+          SELECT do_micro,
+                 CASE WHEN n >= 2 THEN ((n * n - sq_c) * {MICRO6})
+                      // (n - 1) ELSE 0 END AS de_micro,
+                 n, n_items, n_single
+          FROM dobs, moments, singles),
+        final AS MATERIALIZED (
+          SELECT (CASE WHEN de_micro - do_micro >= 0 THEN 1 ELSE -1 END)
+                 * ((abs(de_micro - do_micro) * {MICRO6})
+                    // greatest(de_micro, 1)) AS alpha_micro,
+                 do_micro, de_micro, n, n_items, n_single
+          FROM summary)
+        SELECT 'alpha_micro' AS feature,
+               CAST(alpha_micro AS BIGINT) AS value FROM final
+        UNION ALL SELECT 'd_o_micro', do_micro FROM final
+        UNION ALL SELECT 'd_e_micro', de_micro FROM final
+        UNION ALL SELECT '__n_items', n_items FROM final
+        UNION ALL SELECT '__n_ratings', n FROM final
+        UNION ALL SELECT '__n_singleton_items', n_single FROM final
+        UNION ALL SELECT 'ncat_' || cat, nc FROM ncat
+    """

@@ -226,3 +226,73 @@ def test_bt_fit_audit_residuals_sum_and_shutout(spark):
     # (0,1): 0 won all 4 -> residual +2e6; (0,2): 0 lost all -> -2e6
     assert rows[(0, 1)]["residual_micro"] == 2_000_000
     assert rows[(0, 2)]["residual_micro"] == -2_000_000
+
+
+def test_kripp_alpha_rational_reference_and_corners(spark):
+    """alpha matches an exact Fraction-arithmetic reference to the
+    quantization digit on a varying-rater corpus (singletons excluded,
+    counted); perfect agreement gives exactly 1e6; an all-one-category
+    corpus has D_e = 0 and reports 0 through the guard. DuckDB parity
+    throughout."""
+    from fractions import Fraction
+    from collections import Counter, defaultdict
+
+    from flink_example_spark.operators.preference import (
+        kripp_alpha,
+        kripp_alpha_oracle,
+    )
+
+    rows = []
+    for i in range(40):
+        for k in range(1 + (i % 4)):  # 1..4 raters; ni=1 items dropped
+            rows.append((i, ["a", "b", "c"][(i + k * k) % 3]))
+    df = spark.createDataFrame(rows, "item long, cat string")
+    got = dict(
+        (r["feature"], r["value"]) for r in kripp_alpha(df).collect()
+    )
+    per = defaultdict(Counter)
+    for i, c in rows:
+        per[i][c] += 1
+    Do, n, nc = Fraction(0), 0, Counter()
+    for cnt in per.values():
+        ni = sum(cnt.values())
+        if ni < 2:
+            continue
+        n += ni
+        for c, v in cnt.items():
+            nc[c] += v
+        Do += Fraction(ni * ni - sum(v * v for v in cnt.values()), ni - 1)
+    De = Fraction(n * n - sum(v * v for v in nc.values()), n - 1)
+    ref = float(1 - Do / De)
+    assert abs(got["alpha_micro"] / 1e6 - ref) < 2e-5
+    assert got["__n_singleton_items"] == 10 and got["__n_ratings"] == n
+
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("ann2", pd.DataFrame(rows, columns=["item", "cat"]))
+    ora = sorted(
+        (f, int(v))
+        for f, v in con.execute(
+            kripp_alpha_oracle("SELECT * FROM ann2")
+        ).fetchall()
+    )
+    assert sorted(got.items()) == ora
+
+    perfect = [(i, "y" if i % 2 else "n") for i in range(8) for _ in range(3)]
+    gp = dict(
+        (r["feature"], r["value"])
+        for r in kripp_alpha(
+            spark.createDataFrame(perfect, "item long, cat string")
+        ).collect()
+    )
+    assert gp["alpha_micro"] == 1_000_000 and gp["d_o_micro"] == 0
+    mono = [(i, "same") for i in range(6) for _ in range(3)]
+    gm = dict(
+        (r["feature"], r["value"])
+        for r in kripp_alpha(
+            spark.createDataFrame(mono, "item long, cat string")
+        ).collect()
+    )
+    assert gm["alpha_micro"] == 0 and gm["d_e_micro"] == 0
