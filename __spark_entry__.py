@@ -3340,6 +3340,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.preference_stream",
             fromlist=["run_streaming_bradley_terry"],
         ).run_streaming_bradley_terry(spark, sf_dir),
+        # LIVE annotation-agreement monitor: (item, cat) count monoid in
+        # update-mode state, Krippendorff alpha algebra at read —
+        # BIT-equal to the batch audit (shares its oracle)
+        "streaming_kripp_alpha": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.preference_stream",
+            fromlist=["run_streaming_kripp_alpha"],
+        ).run_streaming_kripp_alpha(spark, sf_dir),
         # preference-consistency QA: majority tournament + circular-triad
         # count (Kendall) — the gate to run before trusting a BT fit
         "pref_transitivity": _pref_transitivity_entry,
@@ -5558,6 +5565,8 @@ def _northstar_oracles() -> dict[str, str]:
     )
     # live preference monitor converges to the batch fit exactly
     out["streaming_bradley_terry"] = out["pref_bradley_terry"]
+    # live agreement monitor converges to the batch audit exactly
+    out["streaming_kripp_alpha"] = out["eval_kripp_alpha"]
     from flink_example_spark.operators.preference import (
         transitivity_audit_oracle,
     )

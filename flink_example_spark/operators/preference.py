@@ -868,6 +868,18 @@ def kripp_alpha(
         F.col(cat_col).cast("string").alias("cat"),
     )
     nic = a.groupBy("item", "cat").agg(F.count(F.lit(1)).alias("c"))
+    return kripp_alpha_from_counts(nic)
+
+
+def kripp_alpha_from_counts(nic: DataFrame) -> DataFrame:
+    """The alpha algebra of :func:`kripp_alpha` over an already-
+    aggregated per-(item, cat) count relation ``(item, cat, c)`` — the
+    state a live annotation monitor keeps (counts are a pure sum
+    monoid: same aggregation in update mode, this algebra at read).
+    Identical arithmetic, identical result."""
+    nic = nic.select(
+        "item", F.col("cat").cast("string"), F.col("c").cast("long")
+    )
     per_item = nic.groupBy("item").agg(
         F.sum("c").alias("ni"), F.sum(F.expr("c * c")).alias("sq")
     ).localCheckpoint(eager=True)

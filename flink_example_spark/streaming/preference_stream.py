@@ -79,3 +79,50 @@ def run_streaming_bradley_terry(
     # expr-ids off the memory sink first (DESIGN.md memory-sink rule)
     fresh = spark.createDataFrame(latest.rdd, latest.schema)
     return bradley_terry_from_wincounts(fresh, n_iter=n_iter)
+
+
+def run_streaming_kripp_alpha(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """LIVE annotation-agreement monitor: the per-(item, category)
+    count monoid maintained in ONE update-mode aggregation (state is
+    item x category — bounded by the vocabulary), Krippendorff's alpha
+    algebra at read; hash-identical to batch ``eval_kripp_alpha``
+    (shares its oracle)."""
+    from flink_example_spark.operators.preference import (
+        kripp_alpha_from_counts,
+    )
+    from flink_example_spark.streaming.staging import stage_table_by_key
+
+    tune(spark)
+    tmpdir, schema = stage_table_by_key(
+        spark, sf_dir, "events", "event_id", chunks
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/chunk_*")
+    )
+    nic = (
+        stream.selectExpr(
+            "abs(event_id) % 3000 AS item", "event_type AS cat"
+        )
+        .groupBy("item", "cat")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    name = f"stream_ka_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            nic.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = spark.table(name).groupBy("item", "cat").agg(
+        F.max("c").alias("c")
+    )
+    # fresh expr-ids before the multi-consumer algebra (memory-sink rule)
+    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    return kripp_alpha_from_counts(fresh)
