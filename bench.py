@@ -264,6 +264,11 @@ HEADLINE = [
     "pref_dpo_pairs",
     "streaming_bradley_terry",
     "pref_bt_fit_audit",
+    # round-10 wave 2 (sf0.1 cold probes: 7.8 / 1.9 / 6.8 / 1.2s)
+    "causal_aipw_ate",
+    "eval_kripp_alpha",
+    "streaming_kripp_alpha",
+    "timeseries_rmst",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite
