@@ -3369,6 +3369,23 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             horizon_days=7,
             tau_days=30,
         ),
+        # Per-arm RMST + contrast (causal retention KPI): arm-partitioned
+        # FH curves under a SHARED censoring boundary, NULL-arm diff row
+        "timeseries_rmst_by_arm": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.timeseries",
+            fromlist=["rmst_by_arm"],
+        ).rmst_by_arm(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "events").selectExpr(
+                "user_id", "ts", "user_id % 2 AS arm"
+            ),
+            "user_id",
+            "ts",
+            "arm",
+            horizon_days=7,
+            tau_days=30,
+        ),
         # BT goodness-of-fit: per-pair expected-vs-observed wins under
         # the fitted strengths (residual table; read with
         # pref_transitivity — large residuals are unrepresentable
@@ -5588,6 +5605,12 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["timeseries_rmst"] = rmst_table_oracle(
         "events", "user_id", "ts", horizon_days=7, tau_days=30
+    )
+    from flink_example_spark.operators.timeseries import rmst_by_arm_oracle
+
+    out["timeseries_rmst_by_arm"] = rmst_by_arm_oracle(
+        "events", "user_id", "ts", "user_id % 2",
+        horizon_days=7, tau_days=30,
     )
     return out
 

@@ -879,7 +879,7 @@ def kripp_alpha_from_counts(nic: DataFrame) -> DataFrame:
     Identical arithmetic, identical result."""
     nic = nic.select(
         "item", F.col("cat").cast("string"), F.col("c").cast("long")
-    )
+    ).localCheckpoint(eager=True)  # feeds per_item AND the ncat join
     per_item = nic.groupBy("item").agg(
         F.sum("c").alias("ni"), F.sum(F.expr("c * c")).alias("sq")
     ).localCheckpoint(eager=True)

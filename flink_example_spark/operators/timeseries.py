@@ -4342,3 +4342,237 @@ def cox_fit_banded_adj_oracle(
     for j, (name, _) in enumerate(z_sqls):
         selects.append(f"SELECT '__n_treated_{name}', tz{j} FROM meta")
     return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+def rmst_by_arm(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    arm_col: str,
+    horizon_days: int = 7,
+    tau_days: int = 30,
+) -> DataFrame:
+    """Per-arm restricted mean survival time + the between-arm contrast
+    — the causal-retention KPI on top of :func:`rmst_table` ("did the
+    treated cohort survive more of the first tau days?"): each arm gets
+    its own Nelson-Aalen/Fleming-Harrington curve (windows PARTITIONED
+    by arm — key-partitioned, never global) under a SHARED censoring
+    boundary (the corpus-wide last timestamp, so both arms are censored
+    identically), and the summary row carries ``rmst(arm 1) - rmst(arm
+    0)`` in micro-days. The unit's arm is ``min(arm)`` over its rows
+    (deterministic if the caller's arm is constant per key, still
+    well-defined if not).
+
+    Same integer discipline as :func:`rmst_table` (quantized hazards,
+    capped exp-table survival, exact micro-day step integral). The
+    contrast row uses a NULL arm key (never an in-band integer — the
+    psi_drift sentinel lesson) and appears only when both arms 0 and 1
+    are present.
+
+    Output: per arm ``(arm, n_units, d_events, rmst_micro_days)`` plus
+    the NULL-arm contrast row (n_units/d_events = totals, rmst =
+    difference).
+    """
+    from flink_example_spark.operators.ml import _EXP_TABLE, _exp_bucket_sql
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    day_us = 86400 * 1_000_000
+    spans = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.min(us).alias("lo"),
+        F.max(us).alias("hi"),
+        F.min(F.col(arm_col).cast("long")).alias("arm"),
+    )
+    end = spans.agg(F.max("hi").alias("span_end"))
+    lt = spans.crossJoin(F.broadcast(end)).select(
+        "arm",
+        F.expr(f"(hi - lo) div {day_us}").alias("t_days"),
+        (
+            F.col("hi") <= F.col("span_end") - F.lit(horizon_days * day_us)
+        ).alias("observed"),
+    )
+    per_t = lt.groupBy("arm", "t_days").agg(
+        F.sum(F.col("observed").cast("bigint")).alias("d_events"),
+        F.sum((~F.col("observed")).cast("bigint")).alias("c_censored"),
+    )
+    w_rev = (
+        Window.partitionBy("arm")
+        .orderBy("t_days")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_cum = (
+        Window.partitionBy("arm")
+        .orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("arm").orderBy("t_days")
+    arr = F.array(*[F.lit(v) for v in _EXP_TABLE])
+    tau = int(tau_days)
+    curve = (
+        per_t.select(
+            "arm",
+            "t_days",
+            "d_events",
+            "c_censored",
+            F.sum(F.col("d_events") + F.col("c_censored"))
+            .over(w_rev)
+            .alias("n_risk"),
+        )
+        .select(
+            "arm",
+            "t_days",
+            "d_events",
+            "c_censored",
+            F.expr("(d_events * 1000000) div n_risk").alias("hz_micro"),
+        )
+        .select(
+            "arm",
+            "t_days",
+            "d_events",
+            "c_censored",
+            F.sum("hz_micro").over(w_cum).alias("na_cum_micro"),
+        )
+        .select(
+            "arm",
+            "t_days",
+            "d_events",
+            "c_censored",
+            F.least(
+                F.element_at(
+                    arr,
+                    F.expr(_exp_bucket_sql("-na_cum_micro")).cast("int"),
+                ),
+                F.lit(1_000_000),
+            ).alias("s_micro"),
+        )
+        .select(
+            "arm",
+            "t_days",
+            "d_events",
+            "c_censored",
+            "s_micro",
+            (
+                F.least(
+                    F.lead("t_days", default=tau).over(w_all), F.lit(tau)
+                )
+                - F.least(F.col("t_days"), F.lit(tau))
+            ).alias("__seg"),
+        )
+    )
+    per_arm = curve.groupBy("arm").agg(
+        F.sum(F.col("d_events") + F.col("c_censored")).alias("n_units"),
+        F.sum("d_events").alias("d_events"),
+        (
+            F.least(F.min("t_days"), F.lit(tau)) * F.lit(1_000_000)
+            + F.sum(F.col("s_micro") * F.col("__seg"))
+        ).alias("rmst_micro_days"),
+    ).localCheckpoint(eager=True)
+    both = per_arm.filter(F.col("arm").isin(0, 1)).agg(
+        F.count(F.lit(1)).alias("n_arms")
+    )
+    diff = (
+        per_arm.crossJoin(F.broadcast(both))
+        .filter(F.col("n_arms") == 2)
+        .agg(
+            F.lit(None).cast("long").alias("arm"),
+            F.sum("n_units").alias("n_units"),
+            F.sum("d_events").alias("d_events"),
+            F.sum(
+                F.when(F.col("arm") == 1, F.col("rmst_micro_days"))
+                .when(F.col("arm") == 0, -F.col("rmst_micro_days"))
+                .otherwise(F.lit(0))
+            ).alias("rmst_micro_days"),
+        )
+        .filter(F.col("n_units").isNotNull())
+    )
+    return per_arm.unionByName(diff)
+
+
+def rmst_by_arm_oracle(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    arm_sql: str,
+    horizon_days: int = 7,
+    tau_days: int = 30,
+) -> str:
+    """DuckDB twin of :func:`rmst_by_arm` (identical shared censoring
+    boundary, arm-partitioned windows, capped exp lookup, and NULL-arm
+    contrast row)."""
+    from flink_example_spark.operators.ml import (
+        _EXP_CLAMP_HI,
+        _EXP_CLAMP_LO,
+        _EXP_TABLE,
+        _SIG_STEP,
+    )
+
+    lit = "[" + ",".join(str(v) for v in _EXP_TABLE) + "]"
+    zc = (
+        f"greatest(least(-na_cum_micro, {_EXP_CLAMP_HI - 1}),"
+        f" {_EXP_CLAMP_LO})"
+    )
+    s_expr = f"({lit})[((({zc}) + {-_EXP_CLAMP_LO}) // {_SIG_STEP}) + 1]"
+    day_us = 86400 * 1_000_000
+    tau = int(tau_days)
+    return f"""
+        WITH spans AS MATERIALIZED (
+          SELECT {key_col} AS k, MIN(epoch_us({ts_col})) AS lo,
+                 MAX(epoch_us({ts_col})) AS hi,
+                 MIN(CAST(({arm_sql}) AS BIGINT)) AS arm
+          FROM {table} GROUP BY 1
+        ), e AS (SELECT MAX(hi) AS span_end FROM spans),
+        per_t AS MATERIALIZED (
+          SELECT arm, (hi - lo) // {day_us} AS t_days,
+                 CAST(SUM(CASE WHEN hi <= span_end
+                   - {horizon_days * day_us} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d_events,
+                 CAST(SUM(CASE WHEN hi <= span_end
+                   - {horizon_days * day_us} THEN 0 ELSE 1 END) AS BIGINT)
+                   AS c_censored
+          FROM spans CROSS JOIN e GROUP BY 1, 2
+        ),
+        risked AS MATERIALIZED (
+          SELECT arm, t_days, d_events, c_censored,
+                 CAST(SUM(d_events + c_censored) OVER (PARTITION BY arm
+                   ORDER BY t_days ROWS BETWEEN CURRENT ROW AND
+                   UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+          FROM per_t
+        ),
+        haz AS MATERIALIZED (
+          SELECT arm, t_days, d_events, c_censored,
+                 CAST(SUM((d_events * 1000000) // n_risk) OVER (
+                   PARTITION BY arm ORDER BY t_days ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS na_cum_micro
+          FROM risked
+        ),
+        curve AS MATERIALIZED (
+          SELECT arm, t_days, d_events, c_censored,
+                 CAST(least({s_expr}, 1000000) AS BIGINT) AS s_micro,
+                 least(lead(t_days, 1, {tau}) OVER (PARTITION BY arm
+                   ORDER BY t_days), {tau}) - least(t_days, {tau})
+                   AS __seg
+          FROM haz
+        ),
+        per_arm AS MATERIALIZED (
+          SELECT arm,
+                 CAST(SUM(d_events + c_censored) AS BIGINT) AS n_units,
+                 CAST(SUM(d_events) AS BIGINT) AS d_events,
+                 CAST(least(MIN(t_days), {tau}) * 1000000
+                      + SUM(s_micro * __seg) AS BIGINT)
+                   AS rmst_micro_days
+          FROM curve GROUP BY 1
+        ),
+        barms AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_arms FROM per_arm
+          WHERE arm IN (0, 1)
+        )
+        SELECT arm, n_units, d_events, rmst_micro_days FROM per_arm
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT),
+               CAST(SUM(n_units) AS BIGINT),
+               CAST(SUM(d_events) AS BIGINT),
+               CAST(SUM(CASE WHEN arm = 1 THEN rmst_micro_days
+                             WHEN arm = 0 THEN -rmst_micro_days
+                             ELSE 0 END) AS BIGINT)
+        FROM per_arm, barms WHERE barms.n_arms = 2
+    """

@@ -1085,3 +1085,51 @@ def test_rmst_planted_churn_curve(spark):
         ).fetchall()
     )
     assert out == ora
+
+
+def test_rmst_by_arm_planted_contrast(spark):
+    """Arm 1 churns on day 1, arm 0 on day 5 (both observed under the
+    shared boundary held open by a censored straggler per arm): arm 0's
+    RMST is strictly larger, the contrast row (NULL arm) carries exactly
+    rmst(1) - rmst(0) < 0, and both engines agree bit-for-bit."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.timeseries import (
+        rmst_by_arm,
+        rmst_by_arm_oracle,
+    )
+
+    day = 86_400
+    rows = []
+    for u in range(12):  # arm 1 churners: lifetime 1 day
+        rows += [(u, 0, 1), (u, 1 * day, 1)]
+    for u in range(100, 112):  # arm 0 churners: lifetime 5 days
+        rows += [(u, 0, 0), (u, 5 * day, 0)]
+    rows += [(50, 0, 1), (50, 30 * day, 1)]   # stragglers keep the
+    rows += [(51, 0, 0), (51, 30 * day, 0)]   # boundary at day 30
+    df = spark.createDataFrame(
+        rows, "user_id long, secs long, arm long"
+    ).selectExpr("user_id", "timestamp_seconds(secs) AS ts", "arm")
+    got = sorted(
+        (tuple(r) for r in rmst_by_arm(df, "user_id", "ts", "arm",
+                                       7, tau_days=10).collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    by = {r[0]: r for r in got}
+    assert by[0][1] == 13 and by[1][1] == 13
+    assert by[0][3] > by[1][3]
+    assert by[None][3] == by[1][3] - by[0][3] < 0
+    assert by[None][1] == 26
+
+    con = duckdb.connect()
+    con.register("raw3", pd.DataFrame(rows, columns=["user_id", "secs", "arm"]))
+    con.execute("CREATE VIEW ue3 AS SELECT user_id,"
+                " to_timestamp(secs)::TIMESTAMP AS ts, arm FROM raw3")
+    ora = sorted(
+        (tuple(r) for r in con.execute(
+            rmst_by_arm_oracle("ue3", "user_id", "ts", "arm", 7, 10)
+        ).fetchall()),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert got == ora
