@@ -3369,6 +3369,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             horizon_days=7,
             tau_days=30,
         ),
+        # LIVE RMST monitor: the streaming survival span monoid + the
+        # read-time FH curve/integral — BIT-equal to batch
+        # timeseries_rmst (shares its oracle)
+        "streaming_rmst": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.timeseries_stream",
+            fromlist=["run_streaming_rmst"],
+        ).run_streaming_rmst(spark, sf_dir),
         # Per-arm RMST + contrast (causal retention KPI): arm-partitioned
         # FH curves under a SHARED censoring boundary, NULL-arm diff row
         "timeseries_rmst_by_arm": lambda spark, sf_dir: __import__(
@@ -5612,6 +5619,8 @@ def _northstar_oracles() -> dict[str, str]:
         "events", "user_id", "ts", "user_id % 2",
         horizon_days=7, tau_days=30,
     )
+    # live RMST monitor converges to the batch KPI exactly
+    out["streaming_rmst"] = out["timeseries_rmst"]
     return out
 
 

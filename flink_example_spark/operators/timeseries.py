@@ -1463,9 +1463,17 @@ def rmst_table(
     windows over the DISTINCT-lifetime relation — bounded by the day
     span, the documented benign-window class).
     """
+    st = survival_table(df, key_col, ts_col, horizon_days)
+    return _rmst_from_survival(st, tau_days)
+
+
+def _rmst_from_survival(st: DataFrame, tau_days: int) -> DataFrame:
+    """The curve/integral algebra of :func:`rmst_table` over any
+    relation with :func:`survival_table`'s columns — also consumed by
+    the live twin (the streaming survival monitor's read-time relation
+    has the same shape)."""
     from flink_example_spark.operators.ml import _EXP_TABLE, _exp_bucket_sql
 
-    st = survival_table(df, key_col, ts_col, horizon_days)
     arr = F.array(*[F.lit(v) for v in _EXP_TABLE])
     s = st.select(
         "t_days",

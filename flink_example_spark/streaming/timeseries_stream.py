@@ -1438,3 +1438,19 @@ def run_streaming_cox_adj(
         units, "dur_h", "d", "n_err", lo=0, width=5, z_cols=["x_buy"],
         n_bands=8,
     )
+
+
+def run_streaming_rmst(
+    spark: SparkSession, sf_dir: str, tau_days: int = 30
+) -> DataFrame:
+    """LIVE restricted-mean-survival monitor: the per-user span monoid
+    of :func:`run_streaming_survival` plus the read-time
+    Fleming-Harrington curve + RMST integral
+    (:func:`~flink_example_spark.operators.timeseries._rmst_from_survival`)
+    — the retention KPI a dashboard keeps hot as events arrive.
+    Converges exactly to batch ``timeseries_rmst`` (shared oracle)."""
+    from flink_example_spark.operators.timeseries import _rmst_from_survival
+
+    return _rmst_from_survival(
+        run_streaming_survival(spark, sf_dir), tau_days
+    )
