@@ -3329,6 +3329,14 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # right; sign-safe per-unit corrections, global-mean fallback
         # for single-arm strata (audited)
         "causal_aipw_ate": _causal_aipw_entry,
+        # positivity/overlap diagnostic: propensity histogram by arm,
+        # one-armed bins flagged — the QA gate before IPW/AIPW
+        "causal_overlap_report": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml",
+            fromlist=["overlap_report"],
+        ).overlap_report(
+            _causal_units(spark, sf_dir), "treated", ["act_b", "err_b"]
+        ),
         # UNCAPPED exact truss decomposition on the provably-sparse term
         # graph: the measured wedge-work certificate gates the exact
         # path (no mutual-truncation cap), true trussness to k_max=8
@@ -5578,6 +5586,13 @@ def _northstar_oracles() -> dict[str, str]:
         _causal_units_sql,
         "treated",
         "y",
+        [("act_b", "act_b"), ("err_b", "err_b")],
+    )
+    from flink_example_spark.operators.ml import overlap_report_oracle
+
+    out["causal_overlap_report"] = overlap_report_oracle(
+        _causal_units_sql,
+        "treated",
         [("act_b", "act_b"), ("err_b", "err_b")],
     )
     out["graph_truss_exact"] = truss_decomposition_oracle(

@@ -3780,6 +3780,98 @@ def aipw_ate(
     )
 
 
+def overlap_report(
+    units: DataFrame,
+    treated_col: str,
+    x_cols: list[str],
+    n_steps: int = 8,
+    scale_den: int = 16,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Propensity overlap (positivity) diagnostic — the QA gate before
+    trusting :func:`ipw_ate` / :func:`aipw_ate`: histogram the fitted
+    propensity by arm. Identification needs BOTH arms represented
+    wherever units live; a bin holding only one arm is mass the
+    weighting estimators can only reach through clipping (read next to
+    their ``__n_clipped`` audit).
+
+    Same propensity machinery as the estimators (integer descent,
+    sigmoid-table scoring); bins are ``e_micro * n_bins div 1e6``
+    (saturated e = 1e6 clamps into the top bin). One aggregation.
+
+    Output per bin: ``(bin, e_lo_micro, n_treated, n_control,
+    one_armed)`` — ``one_armed`` flags the positivity violations.
+    """
+    names = ["intercept"] + list(x_cols)
+    k = len(names)
+    data = units.select(
+        F.col(treated_col).cast("long").alias("y"),
+        F.lit(1).cast("long").alias("x0"),
+        *[
+            F.col(c).cast("long").alias(f"x{i + 1}")
+            for i, c in enumerate(x_cols)
+        ],
+    ).localCheckpoint()
+    w, _ = _logistic_weights(data, k, n_steps, scale_den)
+    arr = F.array(*[F.lit(v) for v in _SIGMOID_TABLE])
+    z = " + ".join(f"x{i} * CAST({wi} AS BIGINT)" for i, wi in enumerate(w))
+    e = F.element_at(arr, F.expr(_sig_bucket_sql(z)).cast("int"))
+    b = int(n_bins)
+    return (
+        data.select("y", (e * F.lit(b)).cast("long").alias("eb"))
+        .selectExpr("y", f"least(eb div 1000000, {b - 1}) AS bin")
+        .groupBy("bin")
+        .agg(
+            F.sum("y").alias("n_treated"),
+            F.sum(F.lit(1) - F.col("y")).alias("n_control"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * F.lit(1_000_000 // b)).alias("e_lo_micro"),
+            "n_treated",
+            "n_control",
+            (
+                (F.col("n_treated") == 0) | (F.col("n_control") == 0)
+            ).alias("one_armed"),
+        )
+    )
+
+
+def overlap_report_oracle(
+    units_sql: str,
+    treated_sql: str,
+    x_sqls: list[tuple[str, str]],
+    n_steps: int = 8,
+    scale_den: int = 16,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB twin of :func:`overlap_report` (shared descent chain,
+    identical binning)."""
+    parts, _, k = _descent_parts(
+        units_sql, treated_sql, x_sqls, n_steps, scale_den
+    )
+    lit = "[" + ",".join(str(v) for v in _SIGMOID_TABLE) + "]"
+    zf = " + ".join(f"d.x{i} * w.w{i}" for i in range(k))
+    zc = f"greatest(least({zf}, {_SIG_CLAMP - 1}), -{_SIG_CLAMP})"
+    sig = f"({lit})[((({zc}) + {_SIG_CLAMP}) // {_SIG_STEP}) + 1]"
+    b = int(n_bins)
+    parts.append(
+        f"""bins AS MATERIALIZED (
+          SELECT least(({sig} * {b}) // 1000000, {b - 1}) AS bin,
+                 CAST(SUM(d.y) AS BIGINT) AS n_treated,
+                 CAST(SUM(1 - d.y) AS BIGINT) AS n_control
+          FROM d, w{n_steps} w GROUP BY 1)"""
+    )
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT CAST(bin AS BIGINT) AS bin,
+               CAST(bin * {1_000_000 // b} AS BIGINT) AS e_lo_micro,
+               n_treated, n_control,
+               (n_treated = 0 OR n_control = 0) AS one_armed
+        FROM bins
+    """
+
+
 def aipw_ate_oracle(
     units_sql: str,
     treated_sql: str,

@@ -1184,3 +1184,31 @@ def test_aipw_matches_duckdb_oracle_with_fallback_strata(spark):
     ).fetchall())
     assert got == ora
     assert dict(got)["__n_fallback_units"] == 6
+
+
+def test_overlap_report_flags_one_armed_bins(spark):
+    """On the near-separable design the extreme propensity bins hold a
+    single arm (flagged one_armed) while mid bins hold both; bin edges
+    are exact integer tenths, counts total to n, and DuckDB agrees."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.ml import (
+        overlap_report,
+        overlap_report_oracle,
+    )
+
+    rows = [(1 if x > 2 else 0, x) for x in range(6) for _ in range(12)]
+    rows += [(0, 5), (1, 0)]  # two crossovers
+    df = spark.createDataFrame(rows, "treated long, x long")
+    got = sorted(tuple(r) for r in overlap_report(
+        df, "treated", ["x"], n_steps=48, scale_den=4).collect())
+    assert sum(r[2] + r[3] for r in got) == len(rows)
+    assert any(r[4] for r in got)          # separation shows up
+    assert all(r[1] == r[0] * 100_000 for r in got)
+    con = duckdb.connect()
+    con.register("u4", pd.DataFrame(rows, columns=["treated", "x"]))
+    ora = sorted(tuple(r) for r in con.execute(overlap_report_oracle(
+        "SELECT * FROM u4", "treated", [("x", "x")],
+        n_steps=48, scale_den=4)).fetchall())
+    assert got == ora
