@@ -269,6 +269,10 @@ HEADLINE = [
     "eval_kripp_alpha",
     "streaming_kripp_alpha",
     "timeseries_rmst",
+    # round-10 wave 3 (sf0.1 warm probes: 2.8 / 2.9 / 2.3s)
+    "timeseries_rmst_by_arm",
+    "streaming_rmst",
+    "causal_overlap_report",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite
