@@ -3306,6 +3306,22 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream (item buckets x event_type categories, first-4 kept):
         # quantize-before-sum micro arithmetic, sign-safe final division
         "eval_fleiss_kappa": _eval_fleiss_kappa_entry,
+        # Krippendorff's alpha, INTERVAL metric: agreement over integer
+        # rating scales (disagreeing by 1 step < by 4); moment form,
+        # shift-invariant, planted item-base + jitter fixture
+        "eval_kripp_interval": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.preference",
+            fromlist=["kripp_alpha_interval"],
+        ).kripp_alpha_interval(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "events").selectExpr(
+                "abs(event_id) % 3000 AS item",
+                "(abs(event_id) % 3000) % 5 +"
+                " CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8),"
+                " 16, 10) AS BIGINT) % 3 AS val",
+            )
+        ),
         # Krippendorff's alpha (nominal): varying raters per item — no
         # quorum drop (the case Fleiss excludes); coincidence form,
         # per-item micro quantization, sign-safe division
@@ -5561,6 +5577,16 @@ def _northstar_oracles() -> dict[str, str]:
     out["eval_kripp_alpha"] = kripp_alpha_oracle(
         "SELECT abs(event_id) % 3000 AS item, event_type AS cat"
         " FROM events"
+    )
+    from flink_example_spark.operators.preference import (
+        kripp_alpha_interval_oracle,
+    )
+
+    out["eval_kripp_interval"] = kripp_alpha_interval_oracle(
+        "SELECT abs(event_id) % 3000 AS item,"
+        " (abs(event_id) % 3000) % 5 +"
+        " CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))"
+        " AS BIGINT) % 3 AS val FROM events"
     )
     from flink_example_spark.operators.ml import (
         aipw_ate_oracle,

@@ -994,3 +994,146 @@ def kripp_alpha_oracle(annotations_sql: str) -> str:
         UNION ALL SELECT '__n_singleton_items', n_single FROM final
         UNION ALL SELECT 'ncat_' || cat, nc FROM ncat
     """
+
+
+def kripp_alpha_interval(
+    annotations: DataFrame,
+    item_col: str = "item",
+    val_col: str = "val",
+) -> DataFrame:
+    """Krippendorff's alpha with the INTERVAL metric — agreement over
+    integer RATING SCALES (1-5 stars, 0-10 quality scores), where
+    disagreeing by one step should cost less than disagreeing by four:
+    ``delta(c, k) = (v_c - v_k)^2``. The per-item coincidence sums
+    collapse to moment arithmetic (no category pivot at all)::
+
+        sum_{c,k} n_c n_k (v_c - v_k)^2  =  2 (n_i * S2_i - S1_i^2)
+
+    with S1/S2 the per-item value sum / sum of squares, so::
+
+        D_o = sum_i 2 (n_i S2_i - S1_i^2) / (n_i - 1)
+        D_e = 2 (n S2 - S1^2) / (n - 1)        over included ratings
+        alpha = 1 - D_o / D_e
+
+    Integer discipline: per-item D_o quantizes to micro BEFORE the
+    corpus sum; D_e scales in TWO x1000 stages around the (n-1) and n
+    divisions (one x1e6 stage would overflow 100x sooner, one integer
+    floor would cost ~1e-3 relative precision on small corpora — the
+    split keeps both bounds); both normalize to PER-RATING units before
+    the final sign-safe division, so the alpha arithmetic is
+    corpus-size-independent. ``n_i S2_i - S1_i^2`` is EXACTLY
+    shift-invariant (v -> v + c), so the coefficient depends only on
+    rating differences — pinned by test. Overflow bounds: per item
+    ``(n_i * max|v|)^2 * 2e6 < 2^63`` (n_i * max|v| <= ~6.7e4); corpus
+    ``2 n S2 * 1e3 < 2^63`` (~2e7 ratings at a 1-10 scale; values scale
+    down past that — alpha is scale-invariant up to quantization).
+
+    Output (tall, scalar): ``alpha_micro``, ``d_o_bar_micro``,
+    ``d_e_bar_micro`` (per-rating disagreements), audits ``__n_items``,
+    ``__n_ratings``, ``__n_singleton_items``.
+    """
+    a = annotations.select(
+        F.col(item_col).alias("item"),
+        F.col(val_col).cast("long").alias("v"),
+    )
+    per_item = a.groupBy("item").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum("v").alias("s1"),
+        F.sum(F.expr("v * v")).alias("s2"),
+    ).localCheckpoint(eager=True)
+    inc = per_item.filter(F.col("ni") >= 2).agg(
+        F.sum(
+            F.expr(f"((2 * (ni * s2 - s1 * s1)) * {MICRO6}) div (ni - 1)")
+        ).alias("do_sum_micro"),
+        F.sum("ni").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    singles = per_item.filter(F.col("ni") < 2).agg(
+        F.count(F.lit(1)).alias("n_single")
+    )
+    summary = (
+        inc.crossJoin(F.broadcast(singles))
+        .select(
+            F.expr(
+                "CASE WHEN n >= 2 THEN"
+                " ((coalesce(do_sum_micro, 0)) div n) ELSE 0 END"
+            ).alias("do_bar"),
+            F.expr(
+                "CASE WHEN n >= 2 THEN"
+                " ((((2 * (n * s2 - s1 * s1)) * 1000) div (n - 1))"
+                " * 1000) div n ELSE 0 END"
+            ).alias("de_bar"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("n_items", F.lit(0)).alias("n_items"),
+            F.coalesce("n_single", F.lit(0)).alias("n_single"),
+        )
+        .select(
+            F.expr(
+                f"CASE WHEN de_bar - do_bar >= 0 THEN 1 ELSE -1 END"
+                f" * ((abs(de_bar - do_bar) * {MICRO6})"
+                f" div greatest(de_bar, 1))"
+            ).alias("alpha_micro"),
+            "do_bar",
+            "de_bar",
+            "n",
+            "n_items",
+            "n_single",
+        )
+    )
+    return summary.selectExpr(
+        "stack(6, 'alpha_micro', alpha_micro, 'd_o_bar_micro', do_bar,"
+        " 'd_e_bar_micro', de_bar, '__n_items', n_items,"
+        " '__n_ratings', n, '__n_singleton_items', n_single)"
+        " AS (feature, value)"
+    ).select("feature", F.col("value").cast("long"))
+
+
+def kripp_alpha_interval_oracle(annotations_sql: str) -> str:
+    """DuckDB twin of :func:`kripp_alpha_interval` (identical moment
+    arithmetic and quantization points). ``annotations_sql`` must yield
+    ``(item, val)``."""
+    return f"""
+        WITH a AS MATERIALIZED (
+          SELECT item, CAST(val AS BIGINT) AS v
+          FROM ({annotations_sql})),
+        per_item AS MATERIALIZED (
+          SELECT item, CAST(COUNT(*) AS BIGINT) AS ni,
+                 CAST(SUM(v) AS BIGINT) AS s1,
+                 CAST(SUM(v * v) AS BIGINT) AS s2
+          FROM a GROUP BY 1),
+        inc AS MATERIALIZED (
+          SELECT CAST(COALESCE(SUM(((2 * (ni * s2 - s1 * s1)) * {MICRO6})
+                   // (ni - 1)), 0) AS BIGINT) AS do_sum_micro,
+                 CAST(COALESCE(SUM(ni), 0) AS BIGINT) AS n,
+                 CAST(COALESCE(SUM(s1), 0) AS BIGINT) AS s1,
+                 CAST(COALESCE(SUM(s2), 0) AS BIGINT) AS s2,
+                 CAST(COUNT(*) AS BIGINT) AS n_items
+          FROM per_item WHERE ni >= 2),
+        singles AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_single
+          FROM per_item WHERE ni < 2),
+        summary AS MATERIALIZED (
+          SELECT CASE WHEN n >= 2 THEN do_sum_micro // n ELSE 0 END
+                   AS do_bar,
+                 CASE WHEN n >= 2 THEN
+                   ((((2 * (n * s2 - s1 * s1)) * 1000) // (n - 1))
+                    * 1000) // n
+                 ELSE 0 END AS de_bar,
+                 n, n_items, n_single
+          FROM inc, singles),
+        final AS MATERIALIZED (
+          SELECT (CASE WHEN de_bar - do_bar >= 0 THEN 1 ELSE -1 END)
+                 * ((abs(de_bar - do_bar) * {MICRO6})
+                    // greatest(de_bar, 1)) AS alpha_micro,
+                 do_bar, de_bar, n, n_items, n_single
+          FROM summary)
+        SELECT 'alpha_micro' AS feature,
+               CAST(alpha_micro AS BIGINT) AS value FROM final
+        UNION ALL SELECT 'd_o_bar_micro', do_bar FROM final
+        UNION ALL SELECT 'd_e_bar_micro', de_bar FROM final
+        UNION ALL SELECT '__n_items', n_items FROM final
+        UNION ALL SELECT '__n_ratings', n FROM final
+        UNION ALL SELECT '__n_singleton_items', n_single FROM final
+    """

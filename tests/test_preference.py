@@ -296,3 +296,75 @@ def test_kripp_alpha_rational_reference_and_corners(spark):
         ).collect()
     )
     assert gm["alpha_micro"] == 0 and gm["d_e_micro"] == 0
+
+
+def test_kripp_interval_reference_shift_invariance_and_ordering(spark):
+    """Interval alpha matches exact Fraction arithmetic; shifting every
+    rating by a constant leaves every output row EXACTLY unchanged
+    (n S2 - S1^2 is algebraically shift-invariant); and a one-step
+    disagreement corpus scores strictly higher than a four-step one
+    (the whole point of the interval metric over the nominal one)."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from flink_example_spark.operators.preference import (
+        kripp_alpha_interval,
+        kripp_alpha_interval_oracle,
+    )
+
+    rows = []
+    for i in range(30):
+        base = i % 5
+        for k in range(2 + (i % 3)):
+            rows.append((i, base + (k % 2)))  # one-step jitter
+    df = spark.createDataFrame(rows, "item long, val long")
+    got = dict(
+        (r["feature"], r["value"])
+        for r in kripp_alpha_interval(df).collect()
+    )
+    per = defaultdict(list)
+    for i, v in rows:
+        per[i].append(v)
+    Do, n, S1, S2 = Fraction(0), 0, 0, 0
+    for vs in per.values():
+        if len(vs) < 2:
+            continue
+        ni, s1, s2 = len(vs), sum(vs), sum(v * v for v in vs)
+        n, S1, S2 = n + ni, S1 + s1, S2 + s2
+        Do += Fraction(2 * (ni * s2 - s1 * s1), ni - 1)
+    De = Fraction(2 * (n * S2 - S1 * S1), n - 1)
+    ref = float(1 - Do / De)
+    assert abs(got["alpha_micro"] / 1e6 - ref) < 2e-5
+
+    shifted = spark.createDataFrame(
+        [(i, v + 37) for i, v in rows], "item long, val long"
+    )
+    got_s = dict(
+        (r["feature"], r["value"])
+        for r in kripp_alpha_interval(shifted).collect()
+    )
+    assert got == got_s
+
+    wide = spark.createDataFrame(
+        [(i, (i % 5) + 4 * (k % 2)) for i in range(30)
+         for k in range(2 + (i % 3))],
+        "item long, val long",
+    )
+    got_w = dict(
+        (r["feature"], r["value"])
+        for r in kripp_alpha_interval(wide).collect()
+    )
+    assert got["alpha_micro"] > got_w["alpha_micro"]
+
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("annv", pd.DataFrame(rows, columns=["item", "val"]))
+    ora = sorted(
+        (f, int(v))
+        for f, v in con.execute(
+            kripp_alpha_interval_oracle("SELECT * FROM annv")
+        ).fetchall()
+    )
+    assert sorted(got.items()) == ora
