@@ -3378,6 +3378,22 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per prompt bucket via the zero-padded arg-extreme monoid,
         # strict-margin filter (ties yield no pair)
         "pref_dpo_pairs": _pref_dpo_pairs_entry,
+        # Wilson-interval win rates (z=2): rank by the LOWER bound —
+        # integer radicand + floored IEEE sqrt (the one portable power)
+        "pref_win_ci": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.preference",
+            fromlist=["win_ci"],
+        ).win_ci(
+            __import__(
+                "flink_example_spark.operators.preference",
+                fromlist=["synth_matches"],
+            ).synth_matches(
+                __import__(
+                    "flink_example_spark.tables", fromlist=["load_table"]
+                ).load_table(spark, sf_dir, "events"),
+                n_items=8,
+            )
+        ),
         # Fleming-Harrington survival curve + restricted mean survival
         # time (the censoring-robust retention KPI): S = exp(-H) via the
         # embedded table capped at 1.0, exact micro-day step integral
@@ -5649,6 +5665,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.preference import bt_fit_audit_oracle
 
     out["pref_bt_fit_audit"] = bt_fit_audit_oracle(synth_matches_sql(8))
+    from flink_example_spark.operators.preference import win_ci_oracle
+
+    out["pref_win_ci"] = win_ci_oracle(synth_matches_sql(8))
     from flink_example_spark.operators.timeseries import rmst_table_oracle
 
     out["timeseries_rmst"] = rmst_table_oracle(

@@ -1137,3 +1137,92 @@ def kripp_alpha_interval_oracle(annotations_sql: str) -> str:
         UNION ALL SELECT '__n_ratings', n FROM final
         UNION ALL SELECT '__n_singleton_items', n_single FROM final
     """
+
+
+def win_ci(
+    matches: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+) -> DataFrame:
+    """Confidence-adjusted win-rate leaderboard: per item, the Wilson
+    score interval (z = 2, i.e. ~95.4%) around the raw win rate — the
+    standard fix for "3 wins out of 3 ranks above 95 out of 100": rank
+    by the LOWER bound, not the point estimate. With W wins of n
+    matches and z^2 = 4 exactly::
+
+        LB, UB = ( (W + 2) -/+ 2 sqrt( W(n-W)/n + 1 ) ) / (n + 4)
+
+    Portability: sqrt is the one IEEE-exact portable non-integer power
+    (DESIGN.md) — the radicand quantizes to an INTEGER in milli^2 units
+    first (``(W(n-W) * 1e6) div n + 1e6`` — exact below 2^53 for up to
+    ~3.6e10 matches per item), the root floors to integer millis, and
+    the bounds are single non-negative integer divisions (the exact
+    Wilson bound is >= 0 and the floor only widens downward). z is
+    FIXED at 2 so z^2, z^2/2, z^2/4 are the integers 4, 2, 1 — no
+    transcendental constants anywhere.
+
+    Output per item: ``(item, wins, n_matches, win_rate_micro,
+    wilson_lb_micro, wilson_ub_micro)``. One aggregation over the
+    win-count monoid; item-sized output.
+    """
+    wc = match_wincounts(matches, winner_col, loser_col)
+    items = (
+        wc.select(F.col("i").alias("item"), F.col("wi").alias("w"),
+                  (F.col("wi") + F.col("wj")).alias("n"))
+        .union(
+            wc.select(F.col("j").alias("item"), F.col("wj").alias("w"),
+                      (F.col("wi") + F.col("wj")).alias("n"))
+        )
+        .groupBy("item")
+        .agg(F.sum("w").alias("wins"), F.sum("n").alias("n_matches"))
+    )
+    return items.selectExpr(
+        "item",
+        "wins",
+        "n_matches",
+        "(wins * 1000000) div n_matches AS win_rate_micro",
+        "(((wins + 2) * 1000 - 2 * CAST(floor(sqrt(CAST("
+        "(wins * (n_matches - wins) * 1000000) div n_matches + 1000000"
+        " AS DOUBLE))) AS BIGINT)) * 1000000)"
+        " div ((n_matches + 4) * 1000) AS wilson_lb_micro",
+        "(((wins + 2) * 1000 + 2 * CAST(floor(sqrt(CAST("
+        "(wins * (n_matches - wins) * 1000000) div n_matches + 1000000"
+        " AS DOUBLE))) AS BIGINT)) * 1000000)"
+        " div ((n_matches + 4) * 1000) AS wilson_ub_micro",
+    )
+
+
+def win_ci_oracle(matches_sql: str) -> str:
+    """DuckDB twin of :func:`win_ci` (identical integer radicand,
+    floored IEEE sqrt, and bound divisions)."""
+    s = (
+        "CAST(floor(sqrt(CAST((w * (n - w) * 1000000) // n + 1000000"
+        " AS DOUBLE))) AS BIGINT)"
+    )
+    return f"""
+        WITH m AS MATERIALIZED (
+          SELECT CAST(winner AS BIGINT) AS winner,
+                 CAST(loser AS BIGINT) AS loser
+          FROM ({matches_sql})),
+        wc AS MATERIALIZED (
+          SELECT least(winner, loser) AS i, greatest(winner, loser) AS j,
+                 CAST(SUM(CASE WHEN winner < loser THEN 1 ELSE 0 END)
+                   AS BIGINT) AS wi,
+                 CAST(SUM(CASE WHEN winner > loser THEN 1 ELSE 0 END)
+                   AS BIGINT) AS wj
+          FROM m GROUP BY 1, 2),
+        items AS MATERIALIZED (
+          SELECT item, CAST(SUM(w) AS BIGINT) AS w,
+                 CAST(SUM(n) AS BIGINT) AS n
+          FROM (
+            SELECT i AS item, wi AS w, wi + wj AS n FROM wc
+            UNION ALL SELECT j, wj, wi + wj FROM wc
+          ) GROUP BY 1)
+        SELECT item, w AS wins, n AS n_matches,
+               (w * 1000000) // n AS win_rate_micro,
+               (((w + 2) * 1000 - 2 * {s}) * 1000000)
+                 // ((n + 4) * 1000) AS wilson_lb_micro,
+               (((w + 2) * 1000 + 2 * {s}) * 1000000)
+                 // ((n + 4) * 1000) AS wilson_ub_micro
+        FROM items
+    """

@@ -368,3 +368,34 @@ def test_kripp_interval_reference_shift_invariance_and_ordering(spark):
         ).fetchall()
     )
     assert sorted(got.items()) == ora
+
+
+def test_win_ci_exact_values_and_small_sample_humility(spark):
+    """Hand-computed Wilson (z=2) cells: a perfect 96/96 scores LB
+    exactly 960000 (rad = 1e6 -> sqrt 1000); 3/3 scores LB 3e6/7e3 =
+    428571 — far BELOW the 96-win item even though both are 100%, which is
+    the entire point of ranking by the lower bound. DuckDB parity."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.preference import (
+        win_ci,
+        win_ci_oracle,
+    )
+
+    rows = [(1, 0)] * 96 + [(3, 2)] * 3
+    df = spark.createDataFrame(rows, "winner long, loser long")
+    got = {r["item"]: r for r in win_ci(df).collect()}
+    r96, r3 = got[1], got[3]
+    assert r96["win_rate_micro"] == r3["win_rate_micro"] == 1_000_000
+    assert r96["wilson_lb_micro"] == 960_000      # ((98*1e3-2e3)*1e6)/(100e3)
+    assert r3["wilson_lb_micro"] == 428_571       # ((5e3-2e3)*1e6)//(7e3)
+    assert r96["wilson_lb_micro"] > r3["wilson_lb_micro"]
+    for r in got.values():
+        assert r["wilson_lb_micro"] <= r["win_rate_micro"] <= r["wilson_ub_micro"]
+
+    con = duckdb.connect()
+    con.register("m5", pd.DataFrame(rows, columns=["winner", "loser"]))
+    ora = sorted(tuple(r) for r in con.execute(
+        win_ci_oracle("SELECT * FROM m5")).fetchall())
+    assert sorted(tuple(r) for r in win_ci(df).collect()) == ora
