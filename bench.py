@@ -273,6 +273,9 @@ HEADLINE = [
     "timeseries_rmst_by_arm",
     "streaming_rmst",
     "causal_overlap_report",
+    # round-10 wave 4 (sf0.1 warm probes: 2.2 / 1.5s)
+    "eval_kripp_interval",
+    "pref_win_ci",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite
