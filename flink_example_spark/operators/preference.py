@@ -661,9 +661,12 @@ def dpo_pairs(
     reward data): per prompt, pair the HIGHEST-scored completion with
     the LOWEST-scored one — the standard best-vs-worst construction
     over scored candidate pools. Scores must be NON-NEGATIVE integers
-    (quantize upstream); a prompt yields a pair only when it has >= 2
-    candidates and a STRICT margin (chosen score > rejected score —
-    DPO is undefined on ties).
+    (quantize upstream) — ENFORCED: a negative score raises loudly in
+    both engines (a negative's '-' would break the zero-padded key's
+    lexicographic == numeric property, so silence is not an option).
+    A prompt yields a pair only when it has >= 2 candidates and a
+    STRICT margin (chosen score > rejected score — DPO is undefined on
+    ties).
 
     Determinism: arg-extremes ride the zero-padded composite STRING key
     (DESIGN.md round-6: lexicographic == numeric, min_by/max_by stays a
@@ -678,10 +681,19 @@ def dpo_pairs(
     same aggregation is the live-monitor state shape.
     """
     _id_hi = 999_999_999_999
+    sc_raw = F.col(score_col).cast("long")
     s = scored.select(
         F.col(prompt_col).alias("prompt"),
         F.col(completion_col).cast("long").alias("c"),
-        F.col(score_col).cast("long").alias("sc"),
+        F.when(
+            sc_raw < 0,
+            F.raise_error(
+                "dpo_pairs: negative score — scores must be"
+                " non-negative integers (quantize upstream)"
+            ).cast("long"),
+        )
+        .otherwise(sc_raw)
+        .alias("sc"),
     )
     # max side: higher score first, then SMALLER id (complement pad);
     # min side: lower score first, then smaller id
@@ -716,7 +728,11 @@ def dpo_pairs_oracle(scored_sql: str) -> str:
     _id_hi = 999_999_999_999
     return f"""
         WITH s AS MATERIALIZED (
-          SELECT prompt, CAST(c AS BIGINT) AS c, CAST(sc AS BIGINT) AS sc
+          SELECT prompt, CAST(c AS BIGINT) AS c,
+                 CASE WHEN CAST(sc AS BIGINT) < 0
+                      THEN error('dpo_pairs: negative score — scores'
+                                 ' must be non-negative integers')
+                      ELSE CAST(sc AS BIGINT) END AS sc
           FROM ({scored_sql})),
         g AS MATERIALIZED (
           SELECT prompt,
@@ -748,9 +764,9 @@ def bt_fit_audit(
     matchup the model cannot represent).
 
     Integer discipline: expected wins in micro units via ``(n * w_i *
-    1e6) div (w_i + w_j)`` (non-negative — portable div; the 1e18-scale
-    product needs ``n_ij <= ~9.2e3`` at strength 1e6 — tighter than the
-    fit's own bound; rescale match counts past that), residual a plain
+    1e6) div (w_i + w_j)`` (non-negative — portable div; the product
+    ``n_ij * s_i * 1e6 < 2^63`` needs ``n_ij <= ~9.2e6`` at strength
+    1e6; rescale match counts past that), residual a plain
     subtraction. One extra join pass over the pair-sized win-count
     relation — the fit itself is shared work (memo shape).
 
@@ -1154,8 +1170,13 @@ def win_ci(
 
     Portability: sqrt is the one IEEE-exact portable non-integer power
     (DESIGN.md) — the radicand quantizes to an INTEGER in milli^2 units
-    first (``(W(n-W) * 1e6) div n + 1e6`` — exact below 2^53 for up to
-    ~3.6e10 matches per item), the root floors to integer millis, and
+    first via the exact split form ``(a div n)*1e6 + ((a % n)*1e6) div
+    n + 1e6`` with ``a = W(n-W)`` (identical to ``(a*1e6) div n + 1e6``
+    for every non-negative input, but the largest intermediate is
+    ``a < 2^63`` rather than ``a*1e6`` — exact for up to ~6.0e9 matches
+    per item, where ``W(n-W) <= n^2/4`` itself reaches int64; the
+    radicand ``<= (n/4)*1e6 + 1e6`` stays far below 2^53 there, so the
+    double conversion is lossless), the root floors to integer millis, and
     the bounds are single non-negative integer divisions (the exact
     Wilson bound is >= 0 and the floor only widens downward). z is
     FIXED at 2 so z^2, z^2/2, z^2/4 are the integers 4, 2, 1 — no
@@ -1182,11 +1203,15 @@ def win_ci(
         "n_matches",
         "(wins * 1000000) div n_matches AS win_rate_micro",
         "(((wins + 2) * 1000 - 2 * CAST(floor(sqrt(CAST("
-        "(wins * (n_matches - wins) * 1000000) div n_matches + 1000000"
+        "((wins * (n_matches - wins)) div n_matches) * 1000000"
+        " + (((wins * (n_matches - wins)) % n_matches) * 1000000)"
+        " div n_matches + 1000000"
         " AS DOUBLE))) AS BIGINT)) * 1000000)"
         " div ((n_matches + 4) * 1000) AS wilson_lb_micro",
         "(((wins + 2) * 1000 + 2 * CAST(floor(sqrt(CAST("
-        "(wins * (n_matches - wins) * 1000000) div n_matches + 1000000"
+        "((wins * (n_matches - wins)) div n_matches) * 1000000"
+        " + (((wins * (n_matches - wins)) % n_matches) * 1000000)"
+        " div n_matches + 1000000"
         " AS DOUBLE))) AS BIGINT)) * 1000000)"
         " div ((n_matches + 4) * 1000) AS wilson_ub_micro",
     )
@@ -1196,7 +1221,8 @@ def win_ci_oracle(matches_sql: str) -> str:
     """DuckDB twin of :func:`win_ci` (identical integer radicand,
     floored IEEE sqrt, and bound divisions)."""
     s = (
-        "CAST(floor(sqrt(CAST((w * (n - w) * 1000000) // n + 1000000"
+        "CAST(floor(sqrt(CAST(((w * (n - w)) // n) * 1000000"
+        " + (((w * (n - w)) % n) * 1000000) // n + 1000000"
         " AS DOUBLE))) AS BIGINT)"
     )
     return f"""

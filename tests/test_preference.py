@@ -399,3 +399,79 @@ def test_win_ci_exact_values_and_small_sample_humility(spark):
     ora = sorted(tuple(r) for r in con.execute(
         win_ci_oracle("SELECT * FROM m5")).fetchall())
     assert sorted(tuple(r) for r in win_ci(df).collect()) == ora
+
+
+def test_dpo_pairs_negative_score_raises_both_engines(spark):
+    """ADVICE-r10: the non-negative-score contract is ENFORCED, not
+    docstring-only — a negative score would silently corrupt the
+    zero-padded arg-extreme key identically in both engines (oracle
+    parity could never catch it), so both sides raise loudly instead.
+    Non-negative inputs are untouched (hash-preservation is covered by
+    test_dpo_pairs_extremes_ties_and_margin)."""
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    from flink_example_spark.operators.preference import (
+        dpo_pairs,
+        dpo_pairs_oracle,
+    )
+
+    rows = [(0, 10, 3), (0, 11, -1)]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, completion_id long, score long"
+    )
+    with pytest.raises(Exception, match="negative score"):
+        dpo_pairs(df).collect()
+    con = duckdb.connect()
+    con.register("scneg", pd.DataFrame(rows, columns=["prompt", "c", "sc"]))
+    with pytest.raises(Exception, match="negative score"):
+        con.execute(dpo_pairs_oracle("SELECT * FROM scneg")).fetchall()
+
+
+def test_win_ci_past_old_overflow_bound(spark):
+    """ADVICE-r10: the split radicand form ((a div n)*1e6 +
+    ((a %% n)*1e6) div n) is exact-identical to (a*1e6) div n but keeps
+    every intermediate below 2^63 up to ~6.0e9 matches per item. Fixture:
+    ONE pair with 7e6 matches (3.5e6 wins each side) — the pre-fix form's
+    product w*(n-w)*1e6 = 1.225e19 > 2^63 would raise under ANSI; the
+    split form matches an exact big-int Python reference and DuckDB."""
+    import duckdb
+    import math
+
+    from pyspark.sql import functions as F
+    from flink_example_spark.operators.preference import (
+        win_ci,
+        win_ci_oracle,
+    )
+
+    n = 7_000_000
+    matches = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(1)).otherwise(F.lit(2)).alias("winner"),
+        F.when(F.col("id") % 2 == 0, F.lit(2)).otherwise(F.lit(1)).alias("loser"),
+    )
+    got = {r["item"]: r for r in win_ci(matches).collect()}
+    assert set(got) == {1, 2}
+
+    def ref(w, nm):
+        a = w * (nm - w)
+        assert a * 1_000_000 > 2**63  # the old form WOULD overflow here
+        rad = (a // nm) * 1_000_000 + ((a % nm) * 1_000_000) // nm + 1_000_000
+        assert rad == (a * 1_000_000) // nm + 1_000_000  # exact identity
+        s = math.isqrt(rad)  # rad << 2^53 -> floor(sqrt(double)) == isqrt
+        lb = (((w + 2) * 1000 - 2 * s) * 1_000_000) // ((nm + 4) * 1000)
+        ub = (((w + 2) * 1000 + 2 * s) * 1_000_000) // ((nm + 4) * 1000)
+        return (w * 1_000_000) // nm, lb, ub
+
+    for item in (1, 2):
+        r = got[item]
+        wr, lb, ub = ref(r["wins"], r["n_matches"])
+        assert r["n_matches"] == n
+        assert (r["win_rate_micro"], r["wilson_lb_micro"], r["wilson_ub_micro"]) == (wr, lb, ub)
+
+    con = duckdb.connect()
+    ora = sorted(tuple(r) for r in con.execute(win_ci_oracle(
+        "SELECT CASE WHEN i % 2 = 0 THEN 1 ELSE 2 END AS winner,"
+        "       CASE WHEN i % 2 = 0 THEN 2 ELSE 1 END AS loser"
+        f" FROM range({n}) t(i)")).fetchall())
+    assert sorted(tuple(r) for r in win_ci(matches).collect()) == ora
