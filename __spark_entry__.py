@@ -6880,8 +6880,17 @@ DRIVER_KEYS = [
     # north-star data-pipeline operators
     # text_top_terms stays in extras; DSIR importance weights take the slot
     "curation_dsir_weights",
-    "text_lm_surprisal",
-    "sketch_kmv_distinct",
+    # round-11 rotation (VERDICT-r10 task 1): point slots at the round-10
+    # families so the driver records them first-hand. text_lm_surprisal
+    # moves to extras (text_kn_surprisal keeps the LM-surprisal class,
+    # strictly stronger smoothing); the slot records Krippendorff alpha —
+    # the annotation-agreement family's representative
+    "eval_kripp_alpha",
+    # sketch_kmv_distinct moves to extras (sketch_bloom_filter keeps the
+    # mergeable-sketch class driver-exercised); the slot records the
+    # Bradley-Terry MM fit — the preference/RLHF family's centerpiece,
+    # whose live twin shares the identical hash
+    "pref_bradley_terry",
     # text_features (stateless projection) moves to extras — the class is
     # exercised by scalar_functions and the streaming twin; the slot
     # records the Kneser-Ney LM (the principled smoothing upgrade)
@@ -6894,14 +6903,17 @@ DRIVER_KEYS = [
     # keep-first materialization stays in extras (one anti-join over the
     # driver-recorded LSH pairs); the slot records the PCA eigensolver
     "ann_pca_power",
-    "dedup_simhash",
     "dedup_paragraphs",
     "ann_cosine_topk",
     # ann_lsh_topk + recall eval stay in extras; the NDCG row composes the
     # SAME two retrievers with the graded (integer-DCG) metric, so both
     # stay driver-exercised at strictly more metric coverage
     "ann_ndcg_eval",
-    "ann_ivf_topk",
+    # ann_ivf_topk moves to extras (cosine/ndcg/kmeans/pca keep ANN
+    # driver-exercised 4-deep); the slot records the IPW average-treatment-
+    # effect estimator — the causal triad's representative (AIPW + overlap
+    # stay locally swept)
+    "causal_ipw_ate",
     "ann_kmeans_centroids",
     "embedding_near_dup",
     # byte-stats row moves to extras (the REAL codec path keeps
@@ -6913,9 +6925,17 @@ DRIVER_KEYS = [
     # the supervised NB classifier and graph community detection
     "ml_nb_language",
     "graph_label_prop",
+    # dedup_simhash moves to extras (minhash_lsh / minhash_clusters /
+    # paragraphs / embedding_near_dup keep dedup driver-exercised 4-deep);
+    # the slot records the certificate-gated UNCAPPED exact truss
+    # decomposition — the round-10 graph residual closure
+    "graph_truss_exact",
     "multimodal_codec",
     "curation_decontaminate",
-    "curation_shared_spans",
+    # curation_shared_spans moves to extras (decontaminate + dsir keep
+    # curation driver-exercised); the slot records the Fleming-Harrington
+    # RMST survival KPI — the round-10 time-series family head
+    "timeseries_rmst",
     # curation_doc_quality moves to extras (gopher rules are also the
     # streaming filter row); the slot records the Bloom runtime-filter
     # sketch (bit_or monoid words + probe-side pruning measurement)
