@@ -1685,14 +1685,19 @@ def greedy_coverage(
     broadcasts); the per-round aggregate is the only exchange. Rounds
     are k, a constant.
 
-    k-BOUNDED CONTRACT: greedy max-coverage is inherently sequential —
-    the operator makes exactly k driver round-trips, each collecting ONE
-    winner row while all per-round work (anti-join + count) stays
-    distributed. This is the right shape for coreset-sized k (tens);
-    for k in the thousands use a lazy-submodular/stochastic-greedy
-    variant (sample candidate pool per round) instead of this exact
-    form. The covered-set broadcast is k * per-doc grams — bounded by
-    the selection, never corpus-sized.
+    k-BOUNDED CONTRACT: greedy max-coverage is inherently sequential,
+    but the LAZY-SUBMODULAR batching below (ADVICE-r8/VERDICT-r10 task)
+    cuts driver round-trips from ~2 per PICK to ~2 per distributed
+    round while keeping the picks EXACT: each round collects the top
+    ``batch`` candidates WITH their remaining gram sets (batch *
+    per-doc grams — tiny), then greedily picks locally under the
+    submodular certificate — a local pick is provably the global
+    argmax while its exact marginal gain strictly exceeds the
+    (batch+1)-th candidate's stale gain, because marginal gains only
+    shrink as coverage grows. The first pick after a fresh round is
+    unconditionally exact (stale == current for every candidate). The
+    covered set lives on the driver (k * per-doc grams, bounded by the
+    selection, never corpus-sized) and broadcasts into the anti-join.
     """
     spark = documents.sparkSession
     grams = (
@@ -1702,36 +1707,68 @@ def greedy_coverage(
         .persist()
     )
     grams.count()
-    covered = None
+    batch = max(4, min(k, 64))
+    covered_set: set = set()
     rows: list[tuple[int, int, int, int]] = []
     total = 0
+    n_dist_rounds = 0
     try:
-        for r in range(1, k + 1):
-            cand = (
-                grams
-                if covered is None
-                else grams.join(F.broadcast(covered), "g", "left_anti")
-            )
-            win = (
+        while len(rows) < k:
+            n_dist_rounds += 1
+            if covered_set:
+                cov_df = spark.createDataFrame(
+                    [(g,) for g in sorted(covered_set)], "g string"
+                )
+                cand = grams.join(F.broadcast(cov_df), "g", "left_anti")
+            else:
+                cand = grams
+            top = (
                 cand.groupBy("d")
                 .agg(F.count(F.lit(1)).alias("gain"))
                 .orderBy(F.desc("gain"), "d")
-                .limit(1)
+                .limit(batch + 1)
                 .collect()
             )
-            if not win or win[0]["gain"] <= 0:
+            if not top or top[0]["gain"] <= 0:
                 break
-            d_win, gain = win[0]["d"], int(win[0]["gain"])
-            total += gain
-            rows.append((r, int(d_win), gain, total))
-            new_cov = grams.filter(F.col("d") == d_win).select("g")
-            covered = (
-                new_cov
-                if covered is None
-                else covered.union(new_cov).distinct()
-            ).localCheckpoint(eager=True)
+            # stale upper bound for every NON-collected candidate
+            bound = int(top[batch]["gain"]) if len(top) > batch else 0
+            ids = [int(r["d"]) for r in top[:batch]]
+            pool: dict[int, set] = {d: set() for d in ids}
+            for rec in cand.filter(F.col("d").isin(ids)).collect():
+                pool[int(rec["d"])].add(rec["g"])
+            first = True
+            while len(rows) < k and pool:
+                # local argmax under the SAME (gain desc, d asc) order
+                best_d = min(pool, key=lambda d: (-len(pool[d]), d))
+                best_gain = len(pool[best_d])
+                if best_gain <= 0:
+                    break  # local gains spent; refresh or finish below
+                # certificate: strictly beats every non-collected
+                # candidate's upper bound (a TIE could hide a smaller id
+                # outside the pool) — except the round's first pick,
+                # where stale == exact for the whole pool and the local
+                # argmax IS the global one
+                if not first and best_gain <= bound:
+                    break
+                picked = pool.pop(best_d)
+                total += best_gain
+                rows.append((len(rows) + 1, best_d, best_gain, total))
+                covered_set |= picked
+                for d in pool:
+                    pool[d] -= picked
+                first = False
+            if len(rows) >= k:
+                break
+            if bound <= 0:
+                # the pool was exhaustive (no candidate exists beyond
+                # it); local gains <= 0 means nothing remains globally
+                break
     finally:
         grams.unpersist()
+    # measurement hook (tests/probes): distributed rounds this call —
+    # the lazy batch makes this ~k/batch, vs k for one-pick-per-round
+    greedy_coverage._last_distributed_rounds = n_dist_rounds  # type: ignore[attr-defined]
     return spark.createDataFrame(
         rows, "round long, doc_id long, gain long, covered_total long"
     )

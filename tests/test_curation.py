@@ -440,3 +440,48 @@ def test_quality_checks_detect_violations(spark):
     fk = fk_orphans(df, parent, "id", "id", "child->parent").collect()[0]
     # the NULL id and no other orphans: 1 violation
     assert (fk["n_rows"], fk["n_violations"], fk["passed"]) == (4, 1, False)
+
+
+def test_greedy_coverage_lazy_batching_matches_naive_greedy(spark):
+    """VERDICT-r10 task 7: the lazy-submodular batch keeps EXACT greedy
+    semantics. Overlap-heavy 30-doc fixture (unigram sets, deterministic)
+    where batched local picks must survive the certificate-failure path
+    (ties and collapsing marginal gains): the picks equal a naive
+    one-at-a-time Python greedy under the (gain desc, doc_id asc)
+    tie-break, and the distributed-round counter records the round-trip
+    reduction (< number of picks)."""
+    from flink_example_spark.operators.curation import greedy_coverage
+
+    # deterministic overlapping unigram sets: doc i holds words
+    # {(i*7 + j*j) % 41 for j in range(3 + i % 9)} — heavy collisions
+    docs = []
+    sets = {}
+    for i in range(1, 31):
+        words = sorted({(i * 7 + j * j) % 41 for j in range(3 + i % 9)})
+        sets[i] = {f"w{w}" for w in words}
+        docs.append((i, " ".join(f"w{w}" for w in words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # naive exact greedy reference
+    k = 20
+    covered: set = set()
+    expect = []
+    tot = 0
+    for r in range(1, k + 1):
+        best_d, best_gain = None, 0
+        for d in sorted(sets):
+            g = len(sets[d] - covered)
+            if g > best_gain:
+                best_d, best_gain = d, g
+        if best_d is None:
+            break
+        tot += best_gain
+        expect.append((r, best_d, best_gain, tot))
+        covered |= sets[best_d]
+
+    got = sorted(
+        tuple(r) for r in greedy_coverage(df, k=k, n=1).collect()
+    )
+    assert got == expect
+    n_rounds = greedy_coverage._last_distributed_rounds
+    assert n_rounds < len(expect), (n_rounds, len(expect))
