@@ -3374,6 +3374,45 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.preference_stream",
             fromlist=["run_streaming_kripp_alpha"],
         ).run_streaming_kripp_alpha(spark, sf_dir),
+        # off-policy evaluation: clipped IPS + SNIPS + Kish-ESS over the
+        # deterministic logged-bandit fixture — ONE map-side-combined
+        # five-sum monoid aggregation, algebra at read (policy.py)
+        "policy_ips_eval": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.policy",
+            fromlist=["ips_snips", "synth_policy_logs"],
+        ).ips_snips(
+            __import__(
+                "flink_example_spark.operators.policy",
+                fromlist=["synth_policy_logs"],
+            ).synth_policy_logs(
+                __import__(
+                    "flink_example_spark.tables", fromlist=["load_table"]
+                ).load_table(spark, sf_dir, "events")
+            )
+        ),
+        # doubly-robust off-policy value: per-context outcome model +
+        # clipped-IPS residual correction — consistent if EITHER side is
+        # right (the OPE analogue of causal_aipw_ate)
+        "policy_dr_eval": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.policy",
+            fromlist=["dr_value", "synth_policy_logs"],
+        ).dr_value(
+            __import__(
+                "flink_example_spark.operators.policy",
+                fromlist=["synth_policy_logs"],
+            ).synth_policy_logs(
+                __import__(
+                    "flink_example_spark.tables", fromlist=["load_table"]
+                ).load_table(spark, sf_dir, "events")
+            )
+        ),
+        # LIVE off-policy monitor: the five-sum OPE monoid in ONE
+        # update-mode global aggregation, IPS/SNIPS/ESS algebra at read
+        # — BIT-equal to the batch estimate (shares its oracle)
+        "streaming_policy_ips": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.policy_stream",
+            fromlist=["run_streaming_ips"],
+        ).run_streaming_ips(spark, sf_dir),
         # preference-consistency QA: majority tournament + circular-triad
         # count (Kendall) — the gate to run before trusting a BT fit
         "pref_transitivity": _pref_transitivity_entry,
@@ -5684,6 +5723,16 @@ def _northstar_oracles() -> dict[str, str]:
     )
     # live RMST monitor converges to the batch KPI exactly
     out["streaming_rmst"] = out["timeseries_rmst"]
+    from flink_example_spark.operators.policy import (
+        dr_value_oracle,
+        ips_snips_oracle,
+        synth_policy_logs_sql,
+    )
+
+    out["policy_ips_eval"] = ips_snips_oracle(synth_policy_logs_sql())
+    out["policy_dr_eval"] = dr_value_oracle(synth_policy_logs_sql())
+    # live OPE monitor converges to the batch estimate exactly
+    out["streaming_policy_ips"] = out["policy_ips_eval"]
     return out
 
 
