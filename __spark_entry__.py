@@ -3413,6 +3413,48 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.policy_stream",
             fromlist=["run_streaming_ips"],
         ).run_streaming_ips(spark, sf_dir),
+        # per-rater annotation scorecard: leave-one-out strict-majority
+        # agreement per rating, singleton items excluded + audited — the
+        # actionable per-annotator complement to kripp/fleiss
+        "eval_rater_quality": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.preference",
+            fromlist=["rater_quality"],
+        ).rater_quality(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "events").selectExpr(
+                "abs(event_id) % 3000 AS item",
+                "abs(user_id) % 7 AS rater",
+                "event_type AS cat",
+            )
+        ),
+        # Copeland pairwise-majority leaderboard: x2 integer points over
+        # the SAME win-count monoid as the live BT state — the voting-
+        # theory ranking that survives intransitive matchups
+        "pref_copeland": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.preference",
+            fromlist=["copeland_scores", "synth_matches"],
+        ).copeland_scores(
+            __import__(
+                "flink_example_spark.operators.preference",
+                fromlist=["synth_matches"],
+            ).synth_matches(
+                __import__(
+                    "flink_example_spark.tables", fromlist=["load_table"]
+                ).load_table(spark, sf_dir, "events"),
+                n_items=8,
+            )
+        ),
+        # sample-ratio-mismatch guard: exact split-form 1-df chi-square
+        # on the 50/50 unit split vs the embedded 3.841459 critical
+        # value — the gate before ab_proportion/ab_cuped
+        "ab_srm_check": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["srm_check"]
+        ).srm_check(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "events")
+        ),
         # preference-consistency QA: majority tournament + circular-triad
         # count (Kendall) — the gate to run before trusting a BT fit
         "pref_transitivity": _pref_transitivity_entry,
@@ -5733,6 +5775,21 @@ def _northstar_oracles() -> dict[str, str]:
     out["policy_dr_eval"] = dr_value_oracle(synth_policy_logs_sql())
     # live OPE monitor converges to the batch estimate exactly
     out["streaming_policy_ips"] = out["policy_ips_eval"]
+    from flink_example_spark.operators.preference import (
+        copeland_scores_oracle,
+        rater_quality_oracle,
+    )
+
+    out["eval_rater_quality"] = rater_quality_oracle(
+        "SELECT abs(event_id) % 3000 AS item,"
+        " abs(user_id) % 7 AS rater, event_type AS cat FROM events"
+    )
+    out["pref_copeland"] = copeland_scores_oracle(synth_matches_sql(8))
+    from flink_example_spark.operators.ml import srm_check_oracle
+
+    out["ab_srm_check"] = srm_check_oracle(
+        "SELECT user_id AS k FROM events"
+    )
     return out
 
 

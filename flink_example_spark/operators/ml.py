@@ -6667,3 +6667,81 @@ def poisson_fit_oracle(
         UNION ALL SELECT '__n', n FROM meta
         UNION ALL SELECT '__sum_y', CAST(SUM(y) AS BIGINT) FROM d
     """
+
+
+def srm_check(
+    events: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Sample-ratio-mismatch guard for a 50/50 two-arm experiment — the
+    FIRST check an experimentation pipeline runs, before any lift test
+    (``ab_proportion_test`` / ``ab_cuped_test``): if the randomizer
+    delivered arms whose sizes a fair coin would essentially never
+    produce, the assignment is broken and every downstream statistic is
+    garbage. Unit = distinct key; arm = the same portable parity split
+    ``key % 2`` the lift tests use.
+
+    The 1-df chi-square against equal expected counts collapses exactly
+    to ``(n_a - n_b)^2 / n``, computed in micro units with the exact
+    split form ``(d^2 div n)*1e6 + ((d^2 % n)*1e6) div n`` — every
+    intermediate fits int64 for ``n`` up to ~3.0e9 units (``d^2 <
+    2^63``). The flag compares against the embedded critical value
+    3.841459 (chi2_{0.05, 1} — driver-embedded literal, DESIGN.md: no
+    engine transcendental).
+
+    Output (tall): ``(n_a, n_b, chi2_micro, srm_flag)``.
+
+    Scale: one distinct-key aggregation + one two-group rollup; the
+    monoid is two counts, so a live twin is one update-mode aggregation.
+    """
+    per_unit = events.select(
+        F.col(key_col).cast("long").alias("__k")
+    ).distinct()
+    s = per_unit.agg(
+        F.sum(F.expr("CAST(__k % 2 = 0 AS BIGINT)")).alias("n_a"),
+        F.sum(F.expr("CAST(__k % 2 = 1 AS BIGINT)")).alias("n_b"),
+    )
+    return s.selectExpr(
+        "stack(4,"
+        " 'n_a', n_a,"
+        " 'n_b', n_b,"
+        " 'chi2_micro', CASE WHEN n_a + n_b > 0 THEN"
+        "   (((n_a - n_b) * (n_a - n_b)) div (n_a + n_b)) * 1000000"
+        "   + ((((n_a - n_b) * (n_a - n_b)) % (n_a + n_b)) * 1000000)"
+        "     div (n_a + n_b) ELSE 0 END,"
+        " 'srm_flag', CASE WHEN n_a + n_b > 0 AND"
+        "   (((n_a - n_b) * (n_a - n_b)) div (n_a + n_b)) * 1000000"
+        "   + ((((n_a - n_b) * (n_a - n_b)) % (n_a + n_b)) * 1000000)"
+        "     div (n_a + n_b) > 3841459"
+        "   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        ") AS (feature, value)"
+    ).select("feature", F.col("value").cast("long"))
+
+
+def srm_check_oracle(units_sql: str) -> str:
+    """DuckDB twin of :func:`srm_check` (identical split-form chi2 and
+    embedded critical value). ``units_sql`` must yield one ``k`` per
+    row (pre-distinct or not — the dedupe is inside)."""
+    return f"""
+        WITH per_unit AS MATERIALIZED (
+          SELECT DISTINCT CAST(k AS BIGINT) AS k FROM ({units_sql})),
+        s AS MATERIALIZED (
+          SELECT CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_b
+          FROM per_unit),
+        c AS MATERIALIZED (
+          SELECT n_a, n_b,
+                 CASE WHEN n_a + n_b > 0 THEN
+                   (((n_a - n_b) * (n_a - n_b)) // (n_a + n_b)) * 1000000
+                   + ((((n_a - n_b) * (n_a - n_b)) % (n_a + n_b)) * 1000000)
+                     // (n_a + n_b)
+                 ELSE 0 END AS chi2_micro
+          FROM s)
+        SELECT 'n_a' AS feature, CAST(n_a AS BIGINT) AS value FROM c
+        UNION ALL SELECT 'n_b', n_b FROM c
+        UNION ALL SELECT 'chi2_micro', chi2_micro FROM c
+        UNION ALL SELECT 'srm_flag',
+          CASE WHEN chi2_micro > 3841459 THEN 1 ELSE 0 END FROM c
+    """

@@ -1252,3 +1252,229 @@ def win_ci_oracle(matches_sql: str) -> str:
                  // ((n + 4) * 1000) AS wilson_ub_micro
         FROM items
     """
+
+
+def rater_quality(
+    annotations: DataFrame,
+    item_col: str = "item",
+    rater_col: str = "rater",
+    cat_col: str = "cat",
+) -> DataFrame:
+    """Per-rater annotation-quality scorecard — the audit that turns the
+    corpus-level agreement coefficients (:func:`kripp_alpha`,
+    :func:`fleiss_kappa`) into an actionable per-annotator table: for
+    each rating, does it agree with the LEAVE-ONE-OUT consensus (the
+    strict majority among the item's OTHER ratings)? Raters who
+    systematically diverge from consensus are relabel/retrain
+    candidates; the coefficient alone cannot point at them.
+
+    Mechanics (all integer, one window): dedupe to one rating per
+    ``(item, rater)`` (deterministic ``min(cat)`` — the dropDuplicates
+    rule, DESIGN.md round-2); per-(item, cat) counts; per item the top-2
+    (count DESC, cat ASC) category rows via an item-partitioned window
+    (vocabulary-bounded — the benign-window class); a rating with
+    category ``c`` agrees iff ``cnt(c) - 1 > max_{c' != c} cnt(c')`` —
+    its own vote removed, STRICT majority (ties are non-consensus,
+    identically in both engines). Ratings on SINGLETON items (one rater)
+    have no LOO consensus: excluded from both numerator and denominator,
+    audited per rater.
+
+    Output per rater: ``(rater, n_ratings, n_scored, n_agree,
+    agree_micro, n_cats_used)`` — rater-sized, scalar.
+
+    Scale: two hash aggregations + one vocabulary-bounded window; the
+    scoring join broadcasts the item-consensus relation only if small —
+    it is item-sized, so at corpus scale it shuffles on item, the same
+    key the counts already partitioned by.
+    """
+    from pyspark.sql import Window
+
+    a = (
+        annotations.select(
+            F.col(item_col).alias("item"),
+            F.col(rater_col).cast("long").alias("rater"),
+            F.col(cat_col).cast("string").alias("cat"),
+        )
+        .groupBy("item", "rater")
+        .agg(F.min("cat").alias("cat"))
+    )
+    counts = (
+        a.groupBy("item", "cat")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # (item x cat)-sized, three consumers (top2 / ni / the scoring
+        # join) — cut lineage (DESIGN.md multi-consumer rule)
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("c"), F.asc("cat"))
+    top2 = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("item")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("cat"))).alias("c1_cat"),
+            F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("c1_cnt"),
+            F.coalesce(
+                F.max(F.when(F.col("rn") == 2, F.col("c"))), F.lit(0)
+            ).alias("c2_cnt"),
+        )
+    )
+    ni = counts.groupBy("item").agg(F.sum("c").cast("long").alias("ni"))
+    scored = (
+        a.join(top2.select("item", "c1_cat", "c1_cnt", "c2_cnt"), "item")
+        .join(ni, "item")
+        .join(counts, ["item", "cat"])
+        .select(
+            "rater",
+            (F.col("ni") >= 2).cast("long").alias("scored"),
+            F.when(
+                (F.col("ni") >= 2)
+                & (
+                    F.col("c") - 1
+                    > F.when(
+                        F.col("cat") == F.col("c1_cat"), F.col("c2_cnt")
+                    ).otherwise(F.col("c1_cnt"))
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("agree"),
+            "cat",
+        )
+    )
+    return scored.groupBy("rater").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ratings"),
+        F.sum("scored").cast("long").alias("n_scored"),
+        F.sum("agree").cast("long").alias("n_agree"),
+        F.expr(
+            "CASE WHEN sum(scored) > 0 THEN"
+            " (sum(agree) * 1000000) div sum(scored) ELSE 0 END"
+        ).cast("long").alias("agree_micro"),
+        F.countDistinct("cat").cast("long").alias("n_cats_used"),
+    )
+
+
+def rater_quality_oracle(annotations_sql: str) -> str:
+    """DuckDB twin of :func:`rater_quality` (identical dedupe, top-2
+    window, strict LOO majority, singleton exclusion).
+    ``annotations_sql`` must yield ``(item, rater, cat)``."""
+    return f"""
+        WITH a AS MATERIALIZED (
+          SELECT item, CAST(rater AS BIGINT) AS rater,
+                 MIN(CAST(cat AS VARCHAR)) AS cat
+          FROM ({annotations_sql}) GROUP BY 1, 2),
+        counts AS MATERIALIZED (
+          SELECT item, cat, CAST(COUNT(*) AS BIGINT) AS c
+          FROM a GROUP BY 1, 2),
+        ranked AS MATERIALIZED (
+          SELECT item, cat, c,
+                 row_number() OVER (PARTITION BY item
+                                    ORDER BY c DESC, cat ASC) AS rn
+          FROM counts),
+        top2 AS MATERIALIZED (
+          SELECT item,
+                 MAX(CASE WHEN rn = 1 THEN cat END) AS c1_cat,
+                 MAX(CASE WHEN rn = 1 THEN c END) AS c1_cnt,
+                 COALESCE(MAX(CASE WHEN rn = 2 THEN c END), 0) AS c2_cnt
+          FROM ranked WHERE rn <= 2 GROUP BY 1),
+        ni AS MATERIALIZED (
+          SELECT item, CAST(SUM(c) AS BIGINT) AS ni
+          FROM counts GROUP BY 1),
+        scored AS MATERIALIZED (
+          SELECT a.rater,
+                 CAST(ni.ni >= 2 AS BIGINT) AS scored,
+                 CASE WHEN ni.ni >= 2 AND counts.c - 1 >
+                   (CASE WHEN a.cat = top2.c1_cat THEN top2.c2_cnt
+                         ELSE top2.c1_cnt END)
+                   THEN 1 ELSE 0 END AS agree,
+                 a.cat
+          FROM a
+          JOIN top2 ON a.item = top2.item
+          JOIN ni ON a.item = ni.item
+          JOIN counts ON a.item = counts.item AND a.cat = counts.cat)
+        SELECT rater,
+               CAST(COUNT(*) AS BIGINT) AS n_ratings,
+               CAST(SUM(scored) AS BIGINT) AS n_scored,
+               CAST(SUM(agree) AS BIGINT) AS n_agree,
+               CAST(CASE WHEN SUM(scored) > 0 THEN
+                 (SUM(agree) * 1000000) // SUM(scored) ELSE 0 END
+                 AS BIGINT) AS agree_micro,
+               CAST(COUNT(DISTINCT cat) AS BIGINT) AS n_cats_used
+        FROM scored GROUP BY 1
+    """
+
+
+def copeland_scores(
+    matches: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+) -> DataFrame:
+    """Copeland pairwise-majority leaderboard — the voting-theory
+    complement to :func:`bradley_terry`: an item scores 1 point per
+    opponent it beats on pairwise majority, 1/2 per tie (kept in x2
+    integer units — no halves). Where BT fits a latent strength scale,
+    Copeland asks only "who wins the head-to-head?" — immune to match-
+    count imbalance between pairs, and the standard tournament ranking
+    when intransitivity makes a single scale suspect (read with
+    :func:`transitivity_audit`).
+
+    Output per item: ``(item, copeland_x2, n_opponents, n_beaten,
+    n_tied)`` — item-sized, read-time algebra over the SAME win-count
+    monoid the live BT leaderboard keeps, so a streaming twin is the
+    identical update-mode aggregation.
+    """
+    wc = match_wincounts(matches, winner_col, loser_col)
+    both = wc.select(
+        F.col("i").alias("item"),
+        F.expr(
+            "CASE WHEN wi > wj THEN 2 WHEN wi = wj THEN 1 ELSE 0 END"
+        ).alias("pts"),
+    ).union(
+        wc.select(
+            F.col("j").alias("item"),
+            F.expr(
+                "CASE WHEN wj > wi THEN 2 WHEN wi = wj THEN 1 ELSE 0 END"
+            ).alias("pts"),
+        )
+    )
+    return both.groupBy("item").agg(
+        F.sum("pts").cast("long").alias("copeland_x2"),
+        F.count(F.lit(1)).cast("long").alias("n_opponents"),
+        F.sum(F.expr("CAST(pts = 2 AS BIGINT)")).cast("long").alias("n_beaten"),
+        F.sum(F.expr("CAST(pts = 1 AS BIGINT)")).cast("long").alias("n_tied"),
+    )
+
+
+def copeland_scores_oracle(matches_sql: str) -> str:
+    """DuckDB twin of :func:`copeland_scores` (identical win-count
+    monoid and x2 point algebra)."""
+    return f"""
+        WITH m AS MATERIALIZED (
+          SELECT CAST(winner AS BIGINT) AS winner,
+                 CAST(loser AS BIGINT) AS loser
+          FROM ({matches_sql})),
+        wc AS MATERIALIZED (
+          SELECT least(winner, loser) AS i, greatest(winner, loser) AS j,
+                 CAST(SUM(CASE WHEN winner < loser THEN 1 ELSE 0 END)
+                   AS BIGINT) AS wi,
+                 CAST(SUM(CASE WHEN winner > loser THEN 1 ELSE 0 END)
+                   AS BIGINT) AS wj
+          FROM m GROUP BY 1, 2),
+        pts AS MATERIALIZED (
+          SELECT i AS item,
+                 CASE WHEN wi > wj THEN 2 WHEN wi = wj THEN 1 ELSE 0 END
+                   AS pts
+          FROM wc
+          UNION ALL
+          SELECT j,
+                 CASE WHEN wj > wi THEN 2 WHEN wi = wj THEN 1 ELSE 0 END
+          FROM wc)
+        SELECT item,
+               CAST(SUM(pts) AS BIGINT) AS copeland_x2,
+               CAST(COUNT(*) AS BIGINT) AS n_opponents,
+               CAST(SUM(CASE WHEN pts = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_beaten,
+               CAST(SUM(CASE WHEN pts = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_tied
+        FROM pts GROUP BY 1
+    """

@@ -1212,3 +1212,40 @@ def test_overlap_report_flags_one_armed_bins(spark):
         "SELECT * FROM u4", "treated", [("x", "x")],
         n_steps=48, scale_den=4)).fetchall())
     assert got == ora
+
+
+def test_srm_check_exact_chi2_and_flag(spark):
+    """SRM guard: a 70/30 split of 100 units reads chi2 EXACTLY 16.0
+    (split-form integer arithmetic) and flags; 50/50 reads 0 and
+    passes; the embedded 3.841459 critical value is the boundary.
+    DuckDB parity on both fixtures."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.ml import srm_check, srm_check_oracle
+
+    bad = [(i * 2,) for i in range(70)] + [(i * 2 + 1,) for i in range(30)]
+    df = spark.createDataFrame(bad, "user_id long")
+    got = dict((r["feature"], r["value"]) for r in srm_check(df).collect())
+    assert got == {
+        "n_a": 70, "n_b": 30, "chi2_micro": 16_000_000, "srm_flag": 1,
+    }
+    con = duckdb.connect()
+    con.register("srm_u", pd.DataFrame(bad, columns=["k"]))
+    ora = dict(con.execute(
+        srm_check_oracle("SELECT k FROM srm_u")).fetchall())
+    assert got == {k: int(v) for k, v in ora.items()}
+
+    ok = [(i,) for i in range(100)]
+    got2 = dict(
+        (r["feature"], r["value"])
+        for r in srm_check(spark.createDataFrame(ok, "user_id long")).collect()
+    )
+    assert got2 == {"n_a": 50, "n_b": 50, "chi2_micro": 0, "srm_flag": 0}
+    # boundary: 60/40 of 100 -> chi2 = 4.0 > 3.841459 -> flags
+    edge = [(i * 2,) for i in range(60)] + [(i * 2 + 1,) for i in range(40)]
+    got3 = dict(
+        (r["feature"], r["value"])
+        for r in srm_check(spark.createDataFrame(edge, "user_id long")).collect()
+    )
+    assert got3["chi2_micro"] == 4_000_000 and got3["srm_flag"] == 1

@@ -475,3 +475,90 @@ def test_win_ci_past_old_overflow_bound(spark):
         "       CASE WHEN i % 2 = 0 THEN 2 ELSE 1 END AS loser"
         f" FROM range({n}) t(i)")).fetchall())
     assert sorted(tuple(r) for r in win_ci(matches).collect()) == ora
+
+
+def test_rater_quality_loo_strict_majority(spark):
+    """LOO semantics pinned: on [A,A,B] NOBODY agrees (each A rater sees
+    a 1-1 tie among the others; strict majority fails), on [A,A,A,B] the
+    A raters agree (2 > 1) and the B rater doesn't; singleton items are
+    excluded from scoring but counted in n_ratings. A systematically
+    contrarian rater scores agree_micro 0. DuckDB parity."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.preference import (
+        rater_quality,
+        rater_quality_oracle,
+    )
+
+    rows = [
+        # item 1: A,A,B — zero agreements by strictness
+        (1, 10, "A"), (1, 11, "A"), (1, 12, "B"),
+        # item 2: A,A,A,B — raters 10,11,13 agree; 12 (B) doesn't
+        (2, 10, "A"), (2, 11, "A"), (2, 13, "A"), (2, 12, "B"),
+        # item 3: singleton — rater 10 unscored
+        (3, 10, "A"),
+        # item 4: both agree (2-0)
+        (4, 11, "C"), (4, 13, "C"),
+    ]
+    df = spark.createDataFrame(rows, "item long, rater long, cat string")
+    got = {r["rater"]: r for r in rater_quality(df).collect()}
+    assert got[10]["n_ratings"] == 3 and got[10]["n_scored"] == 2
+    assert got[10]["n_agree"] == 1  # item 2 only
+    assert got[10]["agree_micro"] == 500_000
+    assert got[12]["n_agree"] == 0 and got[12]["agree_micro"] == 0
+    assert got[11]["n_agree"] == 2  # items 2 and 4
+    assert got[13]["n_agree"] == 2
+    assert got[11]["n_cats_used"] == 2
+
+    con = duckdb.connect()
+    con.register("ann_rq", pd.DataFrame(rows, columns=["item", "rater", "cat"]))
+    ora = sorted(tuple(r) for r in con.execute(
+        rater_quality_oracle("SELECT * FROM ann_rq")).fetchall())
+    assert sorted(tuple(r) for r in rater_quality(df).collect()) == ora
+
+
+def test_rater_quality_dedupes_repeat_ratings(spark):
+    """A rater rating the same item twice counts ONCE (deterministic
+    min(cat) kept), so nobody self-inflates consensus."""
+    from flink_example_spark.operators.preference import rater_quality
+
+    rows = [
+        (1, 10, "B"), (1, 10, "A"),  # dedupes to A
+        (1, 11, "A"),
+    ]
+    df = spark.createDataFrame(rows, "item long, rater long, cat string")
+    got = {r["rater"]: r for r in rater_quality(df).collect()}
+    # both hold A after dedupe: each sees the other agree (1 > 0)
+    assert got[10]["n_ratings"] == 1 and got[10]["n_agree"] == 1
+    assert got[11]["n_agree"] == 1
+
+
+def test_copeland_cycle_and_ties(spark):
+    """Rock-paper-scissors: every item beats one and loses one —
+    copeland_x2 == 2 across the board (the cycle BT cannot express is
+    perfectly representable here); a tied pair yields 1 point each.
+    DuckDB parity."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.preference import (
+        copeland_scores,
+        copeland_scores_oracle,
+    )
+
+    rows = [(0, 1)] * 3 + [(1, 2)] * 3 + [(2, 0)] * 3  # cycle
+    rows += [(3, 4), (4, 3)]  # tied pair
+    df = spark.createDataFrame(rows, "winner long, loser long")
+    got = {r["item"]: r for r in copeland_scores(df).collect()}
+    for i in (0, 1, 2):
+        assert got[i]["copeland_x2"] == 2
+        assert got[i]["n_beaten"] == 1 and got[i]["n_tied"] == 0
+    assert got[3]["copeland_x2"] == 1 and got[3]["n_tied"] == 1
+    assert got[4]["copeland_x2"] == 1
+
+    con = duckdb.connect()
+    con.register("mcp", pd.DataFrame(rows, columns=["winner", "loser"]))
+    ora = sorted(tuple(r) for r in con.execute(
+        copeland_scores_oracle("SELECT * FROM mcp")).fetchall())
+    assert sorted(tuple(r) for r in copeland_scores(df).collect()) == ora
