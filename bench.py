@@ -276,6 +276,14 @@ HEADLINE = [
     # round-10 wave 4 (sf0.1 warm probes: 2.2 / 1.5s)
     "eval_kripp_interval",
     "pref_win_ci",
+    # round-11 additions (sf0.1 warm probes: 1.6 / 2.6 / 6.9 / 1.7 /
+    # 0.8 / 0.4s — streaming_policy_ips is the bounded 3-chunk replay)
+    "policy_ips_eval",
+    "policy_dr_eval",
+    "streaming_policy_ips",
+    "eval_rater_quality",
+    "pref_copeland",
+    "ab_srm_check",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite
