@@ -3455,6 +3455,24 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "flink_example_spark.tables", fromlist=["load_table"]
             ).load_table(spark, sf_dir, "events")
         ),
+        # design-stage power analysis: minimum detectable effect at the
+        # current arm sizes and pooled base rate (embedded z sum, per-arm
+        # radicand, floored IEEE sqrt) — completes the experimentation
+        # arc: design (this) -> SRM -> test -> CUPED -> SPRT
+        "ab_power_mde": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["ab_power_mde"]
+        ).ab_power_mde(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "events")
+        ),
+        # LIVE Copeland board: the SAME win-count monoid as the BT
+        # leaderboard, majority-point algebra at read — BIT-equal to
+        # batch pref_copeland (shares its oracle)
+        "streaming_copeland": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.preference_stream",
+            fromlist=["run_streaming_copeland"],
+        ).run_streaming_copeland(spark, sf_dir),
         # preference-consistency QA: majority tournament + circular-triad
         # count (Kendall) — the gate to run before trusting a BT fit
         "pref_transitivity": _pref_transitivity_entry,
@@ -5790,6 +5808,11 @@ def _northstar_oracles() -> dict[str, str]:
     out["ab_srm_check"] = srm_check_oracle(
         "SELECT user_id AS k FROM events"
     )
+    from flink_example_spark.operators.ml import ab_power_mde_oracle
+
+    out["ab_power_mde"] = ab_power_mde_oracle("events")
+    # live Copeland board converges to the batch tournament exactly
+    out["streaming_copeland"] = out["pref_copeland"]
     return out
 
 

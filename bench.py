@@ -284,6 +284,9 @@ HEADLINE = [
     "eval_rater_quality",
     "pref_copeland",
     "ab_srm_check",
+    # round-11 wave 2 (sf0.1 warm probes: 1.4 / 8.5s)
+    "ab_power_mde",
+    "streaming_copeland",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

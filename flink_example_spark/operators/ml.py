@@ -6745,3 +6745,114 @@ def srm_check_oracle(units_sql: str) -> str:
         UNION ALL SELECT 'srm_flag',
           CASE WHEN chi2_micro > 3841459 THEN 1 ELSE 0 END FROM c
     """
+
+
+def ab_power_mde(
+    events: DataFrame,
+    key_col: str = "user_id",
+    success_type: str = "purchase",
+    type_col: str = "event_type",
+    min_successes: int = 1,
+) -> DataFrame:
+    """Design-stage power analysis for the 50/50 two-proportion test —
+    the question to answer BEFORE reading ``ab_proportion_test``: at the
+    current sample sizes and pooled base rate, what absolute lift is
+    detectable at alpha = 0.05 (two-sided) with power = 0.8? The
+    standard closed form::
+
+        MDE = (z_{a/2} + z_b) * sqrt( p(1-p) * (1/n_a + 1/n_b) )
+
+    with the z sum EMBEDDED as the integer literal 2.801586e6 micro
+    (1.959964 + 0.841621 — driver-embedded constants, DESIGN.md: no
+    engine transcendental). Unit/arm/success definitions are exactly
+    ``ab_proportion_test``'s, so the two rows read the same experiment.
+
+    Integer contract: the variance radicand is accumulated PER ARM
+    (``pm(1e6-pm) div n_a + pm(1e6-pm) div n_b``, micro^2 units) — the
+    per-side-division rule; each floor loses < 1 micro^2 and the form
+    is overflow-free for ANY arm size (pm(1e6-pm) <= 2.5e11). The root
+    is floor(sqrt(double)) — lossless below 2^53, and the radicand is
+    <= 5e11. Output (tall): ``n_a, n_b, p_pool_micro, mde_abs_micro,
+    mde_rel_micro``.
+    """
+    z_sum_micro = 2_801_586  # 1.959964 + 0.841621, in micro
+    per_unit = events.groupBy(F.col(key_col).alias("__k")).agg(
+        (
+            F.sum(F.when(F.col(type_col) == success_type, 1).otherwise(0))
+            >= min_successes
+        )
+        .cast("long")
+        .alias("__s")
+    )
+    s = per_unit.agg(
+        F.sum(F.expr("CAST(__k % 2 = 0 AS BIGINT)")).alias("n_a"),
+        F.sum(F.expr("CAST(__k % 2 = 1 AS BIGINT)")).alias("n_b"),
+        F.sum("__s").alias("conv"),
+    )
+    return s.selectExpr(
+        "n_a",
+        "n_b",
+        "CASE WHEN n_a + n_b > 0 THEN (conv * 1000000) div (n_a + n_b)"
+        " ELSE 0 END AS pm",
+    ).selectExpr(
+        "stack(5,"
+        " 'n_a', n_a,"
+        " 'n_b', n_b,"
+        " 'p_pool_micro', pm,"
+        " 'mde_abs_micro', CASE WHEN n_a > 0 AND n_b > 0 THEN"
+        f"   ({z_sum_micro} * CAST(floor(sqrt(CAST("
+        "     (pm * (1000000 - pm)) div n_a"
+        "     + (pm * (1000000 - pm)) div n_b AS DOUBLE))) AS BIGINT))"
+        "   div 1000000 ELSE 0 END,"
+        " 'mde_rel_micro', CASE WHEN n_a > 0 AND n_b > 0 AND pm > 0 THEN"
+        f"   ((({z_sum_micro} * CAST(floor(sqrt(CAST("
+        "     (pm * (1000000 - pm)) div n_a"
+        "     + (pm * (1000000 - pm)) div n_b AS DOUBLE))) AS BIGINT))"
+        "   div 1000000) * 1000000) div pm ELSE 0 END"
+        ") AS (feature, value)"
+    ).select("feature", F.col("value").cast("long"))
+
+
+def ab_power_mde_oracle(
+    events_table: str = "events",
+    key_col: str = "user_id",
+    success_type: str = "purchase",
+    min_successes: int = 1,
+) -> str:
+    """DuckDB twin of :func:`ab_power_mde` (identical per-arm radicand,
+    floored IEEE sqrt, embedded z sum)."""
+    z = 2_801_586
+    mde = (
+        f"({z} * CAST(floor(sqrt(CAST("
+        "  (pm * (1000000 - pm)) // n_a"
+        "  + (pm * (1000000 - pm)) // n_b AS DOUBLE))) AS BIGINT))"
+        " // 1000000"
+    )
+    return f"""
+        WITH per_unit AS MATERIALIZED (
+          SELECT CAST({key_col} AS BIGINT) AS k,
+                 CAST(SUM(CASE WHEN event_type = '{success_type}'
+                          THEN 1 ELSE 0 END) >= {min_successes}
+                   AS BIGINT) AS s
+          FROM {events_table} GROUP BY 1),
+        tot AS MATERIALIZED (
+          SELECT CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_b,
+                 CAST(SUM(s) AS BIGINT) AS conv
+          FROM per_unit),
+        base AS MATERIALIZED (
+          SELECT n_a, n_b,
+                 CASE WHEN n_a + n_b > 0 THEN
+                   (conv * 1000000) // (n_a + n_b) ELSE 0 END AS pm
+          FROM tot)
+        SELECT 'n_a' AS feature, CAST(n_a AS BIGINT) AS value FROM base
+        UNION ALL SELECT 'n_b', n_b FROM base
+        UNION ALL SELECT 'p_pool_micro', pm FROM base
+        UNION ALL SELECT 'mde_abs_micro',
+          CASE WHEN n_a > 0 AND n_b > 0 THEN {mde} ELSE 0 END FROM base
+        UNION ALL SELECT 'mde_rel_micro',
+          CASE WHEN n_a > 0 AND n_b > 0 AND pm > 0 THEN
+            (({mde}) * 1000000) // pm ELSE 0 END FROM base
+    """

@@ -1420,10 +1420,21 @@ def copeland_scores(
 
     Output per item: ``(item, copeland_x2, n_opponents, n_beaten,
     n_tied)`` — item-sized, read-time algebra over the SAME win-count
-    monoid the live BT leaderboard keeps, so a streaming twin is the
-    identical update-mode aggregation.
+    monoid the live BT leaderboard keeps
+    (:func:`copeland_from_wincounts` is the shared core; the streaming
+    twin reads it over its merged state, hash-identical by
+    construction).
     """
-    wc = match_wincounts(matches, winner_col, loser_col)
+    return copeland_from_wincounts(
+        match_wincounts(matches, winner_col, loser_col)
+    )
+
+
+def copeland_from_wincounts(wc: DataFrame) -> DataFrame:
+    """The Copeland point algebra over an already-aggregated win-count
+    relation ``(i, j, wi, wj)`` (:func:`match_wincounts` output or a
+    live monitor's merged state) — the ``<op>_from_counts`` factor
+    shape (DESIGN.md round-10)."""
     both = wc.select(
         F.col("i").alias("item"),
         F.expr(

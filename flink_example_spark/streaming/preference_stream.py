@@ -126,3 +126,59 @@ def run_streaming_kripp_alpha(
     # fresh expr-ids before the multi-consumer algebra (memory-sink rule)
     fresh = spark.createDataFrame(latest.rdd, latest.schema)
     return kripp_alpha_from_counts(fresh)
+
+
+def run_streaming_copeland(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """LIVE Copeland tournament board: the SAME per-pair win-count
+    monoid the BT leaderboard keeps, with the pairwise-majority x2
+    point algebra at read — hash-identical to batch ``pref_copeland``
+    (shares its oracle). Demonstrates the monoid's fan-out: one state
+    shape serves two leaderboards."""
+    from flink_example_spark.operators.preference import (
+        copeland_from_wincounts,
+        synth_matches,
+    )
+    from flink_example_spark.streaming.staging import stage_table_by_key
+
+    tune(spark)
+    tmpdir, schema = stage_table_by_key(
+        spark, sf_dir, "events", "event_id", chunks
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/chunk_*")
+    )
+    wc = (
+        synth_matches(stream, n_items=8)
+        .select(
+            F.least("winner", "loser").alias("i"),
+            F.greatest("winner", "loser").alias("j"),
+            (F.col("winner") < F.col("loser")).cast("long").alias("w_is_i"),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("w_is_i").alias("wi"),
+            F.sum(F.lit(1) - F.col("w_is_i")).alias("wj"),
+        )
+    )
+    name = f"stream_cope_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            wc.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = spark.table(name).groupBy("i", "j").agg(
+        F.max("wi").alias("wi"), F.max("wj").alias("wj")
+    )
+    # the point algebra reads the state through a two-branch union —
+    # mint fresh expr-ids off the memory sink (DESIGN.md), then the
+    # SHARED batch core
+    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    return copeland_from_wincounts(fresh)

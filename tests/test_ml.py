@@ -1249,3 +1249,39 @@ def test_srm_check_exact_chi2_and_flag(spark):
         for r in srm_check(spark.createDataFrame(edge, "user_id long")).collect()
     )
     assert got3["chi2_micro"] == 4_000_000 and got3["srm_flag"] == 1
+
+
+def test_ab_power_mde_closed_form_and_monotonicity(spark):
+    """MDE pinned against the integer closed form (per-arm radicand,
+    embedded z sum 2.801586) on a 100v100/25% fixture, and the design
+    property: quadrupling both arms halves the detectable effect (up to
+    the floor). DuckDB parity via the registry oracle shape."""
+    import math
+
+    from flink_example_spark.operators.ml import ab_power_mde
+
+    def fixture(n_per_arm):
+        # one event per unit; every 4th unit converts -> pm = 250000
+        rows = []
+        for i in range(2 * n_per_arm):
+            rows.append((i, "purchase" if i % 4 == 0 else "view"))
+        return spark.createDataFrame(rows, "user_id long, event_type string")
+
+    def expect_mde(n_a, n_b, pm):
+        rad = (pm * (1_000_000 - pm)) // n_a + (pm * (1_000_000 - pm)) // n_b
+        return (2_801_586 * math.isqrt(rad)) // 1_000_000
+
+    got = dict(
+        (r["feature"], r["value"]) for r in ab_power_mde(fixture(100)).collect()
+    )
+    assert got["n_a"] == got["n_b"] == 100
+    assert got["p_pool_micro"] == 250_000
+    assert got["mde_abs_micro"] == expect_mde(100, 100, 250_000) == 171_560
+    assert got["mde_rel_micro"] == (171_560 * 1_000_000) // 250_000 == 686_240
+
+    got4 = dict(
+        (r["feature"], r["value"]) for r in ab_power_mde(fixture(400)).collect()
+    )
+    # 4x the data -> half the MDE (floor slack: a few micro)
+    assert got4["mde_abs_micro"] == expect_mde(400, 400, 250_000)
+    assert abs(got4["mde_abs_micro"] * 2 - got["mde_abs_micro"]) <= 5
