@@ -1128,3 +1128,35 @@ def test_fleiss_windows_are_item_partitioned(spark):
     # nothing window-shaped may survive into the read-time plan
     assert "Window [" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ips_snips_is_one_aggregation(spark):
+    """The OPE report must compile to a single partial-aggregated hash
+    aggregation — all five sums are one monoid pass; no window, no
+    join, no second scan."""
+    from flink_example_spark.operators.policy import ips_snips
+
+    rows = [(i % 4, i % 3, 250_000, (i + 1) % 3, i % 2) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "x long, a long, p_micro long, a_target long, reward long"
+    )
+    plan = physical(ips_snips(df))
+    assert "WindowExec" not in plan and "Window [" not in plan
+    assert "Join" not in plan
+    assert "partial_" in plan  # map-side combine of the five sums
+
+
+def test_rater_quality_windows_are_item_partitioned(spark):
+    """rater_quality's only window is the per-item top-2 rank — it must
+    stay item-partitioned (vocabulary-bounded), never a global sort, and
+    the scoring joins must not degenerate to a cartesian product."""
+    from flink_example_spark.operators.preference import rater_quality
+
+    rows = [(i % 7, i % 5, ["a", "b", "c"][i % 3]) for i in range(70)]
+    df = spark.createDataFrame(rows, "item long, rater long, cat string")
+    plan = physical(rater_quality(df))
+    assert "CartesianProduct" not in plan
+    import re
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start():m.start() + 400]
+        assert "item" in seg  # partitioned, not global
