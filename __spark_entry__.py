@@ -3413,6 +3413,38 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.policy_stream",
             fromlist=["run_streaming_ips"],
         ).run_streaming_ips(spark, sf_dir),
+        # z=2 CI around the IPS value: variance-extended monoid (n, sum
+        # y, sum y^2), floored per-sample SE — "is the candidate policy
+        # actually better" in one aggregation
+        "policy_ips_ci": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.policy",
+            fromlist=["ips_ci", "synth_policy_logs"],
+        ).ips_ci(
+            __import__(
+                "flink_example_spark.operators.policy",
+                fromlist=["synth_policy_logs"],
+            ).synth_policy_logs(
+                __import__(
+                    "flink_example_spark.tables", fromlist=["load_table"]
+                ).load_table(spark, sf_dir, "events")
+            )
+        ),
+        # per-segment OPE drill-down: the five-sum monoid under ROLLUP
+        # (NULL-key total row — the summary-sentinel rule) with SNIPS +
+        # ESS per context
+        "policy_ips_by_context": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.policy",
+            fromlist=["ips_by_context", "synth_policy_logs"],
+        ).ips_by_context(
+            __import__(
+                "flink_example_spark.operators.policy",
+                fromlist=["synth_policy_logs"],
+            ).synth_policy_logs(
+                __import__(
+                    "flink_example_spark.tables", fromlist=["load_table"]
+                ).load_table(spark, sf_dir, "events")
+            )
+        ),
         # per-rater annotation scorecard: leave-one-out strict-majority
         # agreement per rating, singleton items excluded + audited — the
         # actionable per-annotator complement to kripp/fleiss
@@ -5793,6 +5825,15 @@ def _northstar_oracles() -> dict[str, str]:
     out["policy_dr_eval"] = dr_value_oracle(synth_policy_logs_sql())
     # live OPE monitor converges to the batch estimate exactly
     out["streaming_policy_ips"] = out["policy_ips_eval"]
+    from flink_example_spark.operators.policy import (
+        ips_by_context_oracle,
+        ips_ci_oracle,
+    )
+
+    out["policy_ips_ci"] = ips_ci_oracle(synth_policy_logs_sql())
+    out["policy_ips_by_context"] = ips_by_context_oracle(
+        synth_policy_logs_sql()
+    )
     from flink_example_spark.operators.preference import (
         copeland_scores_oracle,
         rater_quality_oracle,

@@ -287,6 +287,9 @@ HEADLINE = [
     # round-11 wave 2 (sf0.1 warm probes: 1.4 / 8.5s)
     "ab_power_mde",
     "streaming_copeland",
+    # round-11 wave 3 (sf0.1 warm probes: 1.4 / 0.7s)
+    "policy_ips_ci",
+    "policy_ips_by_context",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

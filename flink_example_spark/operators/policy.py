@@ -422,3 +422,182 @@ def dr_value_oracle(
         UNION ALL SELECT '__n', n FROM scored
         UNION ALL SELECT '__n_fallback_ctx', n_fb FROM scored, nf
     """
+
+
+def ips_ci(
+    logs: DataFrame,
+    p_col: str = "p_micro",
+    r_col: str = "reward",
+    a_col: str = "a",
+    target_col: str = "a_target",
+    w_cap_milli: int = 100_000,
+) -> DataFrame:
+    """z = 2 confidence interval around the clipped-IPS value — the
+    "is the candidate policy actually better?" answer: the per-sample
+    values are ``y_i = w_i r_i`` (zero off-match), so the plain variance
+    of the mean applies. Extended monoid (one aggregation): ``(n, m1 =
+    sum y, m2 = sum y^2)`` with y in milli units; read algebra::
+
+        se^2 ~ ( m2/n - (m1/n)^2 ) / n        (floored, clamped >= 0)
+        CI    = v_ips -/+ 2 * se
+
+    All floors are identical in both engines (the estimator's contract);
+    the bounds are plain subtractions/additions of non-negative
+    integers, so no sign-safe division is needed. Overflow: ``m2 <= n *
+    (cap * max_r)^2`` — ~2.3e8 rows at the default cap and reward <= 2;
+    lower the cap or pre-scale rewards past that.
+
+    Output (tall): ``v_ips_micro, se_micro, ci_lo_micro, ci_hi_micro,
+    __n``.
+    """
+    w = F.expr(
+        f"CASE WHEN {a_col} = {target_col} THEN"
+        f" least(1000000000 div greatest({p_col}, 1),"
+        f" CAST({w_cap_milli} AS BIGINT)) ELSE 0 END"
+    )
+    y = w * F.col(r_col).cast("long")
+    sums = logs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("long").alias("m1"),
+        F.sum(y * y).cast("long").alias("m2"),
+    )
+    return sums.selectExpr(
+        "stack(5,"
+        " 'v_ips_micro', CASE WHEN n > 0 THEN (m1 * 1000) div n"
+        "   ELSE 0 END,"
+        " 'se_micro', CASE WHEN n > 0 THEN 1000 * CAST(floor(sqrt(CAST("
+        "   greatest(m2 div n - (m1 div n) * (m1 div n), 0) div n"
+        "   AS DOUBLE))) AS BIGINT) ELSE 0 END,"
+        " 'ci_lo_micro', CASE WHEN n > 0 THEN (m1 * 1000) div n"
+        "   - 2000 * CAST(floor(sqrt(CAST("
+        "   greatest(m2 div n - (m1 div n) * (m1 div n), 0) div n"
+        "   AS DOUBLE))) AS BIGINT) ELSE 0 END,"
+        " 'ci_hi_micro', CASE WHEN n > 0 THEN (m1 * 1000) div n"
+        "   + 2000 * CAST(floor(sqrt(CAST("
+        "   greatest(m2 div n - (m1 div n) * (m1 div n), 0) div n"
+        "   AS DOUBLE))) AS BIGINT) ELSE 0 END,"
+        " '__n', n"
+        ") AS (feature, value)"
+    ).select("feature", F.col("value").cast("long"))
+
+
+def ips_ci_oracle(logs_sql: str, w_cap_milli: int = 100_000) -> str:
+    """DuckDB twin of :func:`ips_ci` (identical monoid, floors, and z=2
+    bounds)."""
+    se = (
+        "1000 * CAST(floor(sqrt(CAST("
+        "greatest(m2 // n - (m1 // n) * (m1 // n), 0) // n"
+        " AS DOUBLE))) AS BIGINT)"
+    )
+    return f"""
+        WITH ys AS MATERIALIZED (
+          SELECT CASE WHEN a = a_target THEN
+                   least(1000000000 // greatest(p_micro, 1),
+                         CAST({w_cap_milli} AS BIGINT)) * CAST(reward AS BIGINT)
+                 ELSE 0 END AS y
+          FROM ({logs_sql})),
+        sums AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COALESCE(SUM(y), 0) AS BIGINT) AS m1,
+                 CAST(COALESCE(SUM(y * y), 0) AS BIGINT) AS m2
+          FROM ys)
+        SELECT 'v_ips_micro' AS feature,
+               CAST(CASE WHEN n > 0 THEN (m1 * 1000) // n ELSE 0 END
+                 AS BIGINT) AS value FROM sums
+        UNION ALL SELECT 'se_micro',
+          CASE WHEN n > 0 THEN {se} ELSE 0 END FROM sums
+        UNION ALL SELECT 'ci_lo_micro',
+          CASE WHEN n > 0 THEN (m1 * 1000) // n - 2 * ({se}) ELSE 0 END
+          FROM sums
+        UNION ALL SELECT 'ci_hi_micro',
+          CASE WHEN n > 0 THEN (m1 * 1000) // n + 2 * ({se}) ELSE 0 END
+          FROM sums
+        UNION ALL SELECT '__n', n FROM sums
+    """
+
+
+def ips_by_context(
+    logs: DataFrame,
+    ctx_col: str = "x",
+    p_col: str = "p_micro",
+    r_col: str = "reward",
+    a_col: str = "a",
+    target_col: str = "a_target",
+    w_cap_milli: int = 100_000,
+) -> DataFrame:
+    """Per-segment off-policy report — the drill-down after
+    :func:`ips_snips`: a candidate policy that wins overall can still
+    lose a segment, and the per-context SNIPS/ESS table is where that
+    shows. The five-sum monoid grouped by context, plus one TOTAL row
+    under a NULL context key (the NULL summary-sentinel rule, DESIGN.md
+    round-9 — never an in-band integer).
+
+    Output per context (+ the NULL total): ``(ctx, n, n_match,
+    v_snips_micro, ess_floor)`` — context-sized, scalar.
+
+    Scale: one map-side-combined aggregation (grouping sets expand at
+    the MAP side, so the shuffle carries context+1 rows per task).
+    """
+    m = F.expr(f"CAST({a_col} = {target_col} AS BIGINT)")
+    w = F.expr(
+        f"CASE WHEN {a_col} = {target_col} THEN"
+        f" least(1000000000 div greatest({p_col}, 1),"
+        f" CAST({w_cap_milli} AS BIGINT)) ELSE 0 END"
+    )
+    r = F.col(r_col).cast("long")
+    base = logs.select(
+        F.col(ctx_col).cast("long").alias("ctx"),
+        m.alias("__m"),
+        w.alias("__w"),
+        (w * r).alias("__wr"),
+        (w * w).alias("__w2"),
+    )
+    g = base.rollup("ctx").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__m").cast("long").alias("n_match"),
+        F.sum("__w").cast("long").alias("s_w"),
+        F.sum("__wr").cast("long").alias("s_wr"),
+        F.sum("__w2").cast("long").alias("s_w2"),
+    )
+    return g.selectExpr(
+        "ctx",
+        "n",
+        "n_match",
+        "CASE WHEN s_w > 0 THEN (s_wr * 1000000) div s_w ELSE 0 END"
+        " AS v_snips_micro",
+        "CASE WHEN s_w2 > 0 THEN s_w div greatest(s_w2 div s_w, 1)"
+        " ELSE 0 END AS ess_floor",
+    )
+
+
+def ips_by_context_oracle(
+    logs_sql: str, w_cap_milli: int = 100_000
+) -> str:
+    """DuckDB twin of :func:`ips_by_context` (ROLLUP with the same NULL
+    total row)."""
+    return f"""
+        WITH base AS MATERIALIZED (
+          SELECT CAST(x AS BIGINT) AS ctx,
+                 CASE WHEN a = a_target THEN 1 ELSE 0 END AS m,
+                 CASE WHEN a = a_target THEN
+                   least(1000000000 // greatest(p_micro, 1),
+                         CAST({w_cap_milli} AS BIGINT))
+                 ELSE 0 END AS w,
+                 CAST(reward AS BIGINT) AS r
+          FROM ({logs_sql})),
+        g AS MATERIALIZED (
+          SELECT ctx,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(m) AS BIGINT) AS n_match,
+                 CAST(SUM(w) AS BIGINT) AS s_w,
+                 CAST(SUM(w * r) AS BIGINT) AS s_wr,
+                 CAST(SUM(w * w) AS BIGINT) AS s_w2
+          FROM base GROUP BY ROLLUP (ctx))
+        SELECT ctx, n, n_match,
+               CAST(CASE WHEN s_w > 0 THEN (s_wr * 1000000) // s_w
+                 ELSE 0 END AS BIGINT) AS v_snips_micro,
+               CAST(CASE WHEN s_w2 > 0 THEN
+                 s_w // greatest(s_w2 // s_w, 1) ELSE 0 END AS BIGINT)
+                 AS ess_floor
+        FROM g
+    """

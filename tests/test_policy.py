@@ -146,3 +146,87 @@ def test_streaming_ips_converges_to_batch(spark):
     )
     live = sorted(tuple(r) for r in run_streaming_ips(spark, sf).collect())
     assert live == batch
+
+
+def test_ips_ci_width_and_degeneracy(spark):
+    """CI sanity: the bounds bracket the point estimate symmetrically;
+    4x the same data halves the SE (up to floors); a zero-variance log
+    (every row matched, same weight and reward) reads SE exactly 0.
+    DuckDB parity on the biased fixture."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.policy import ips_ci, ips_ci_oracle
+
+    rows = _biased_rows()
+    got = {r["feature"]: r["value"] for r in ips_ci(_logs_df(spark, rows)).collect()}
+    assert got["v_ips_micro"] == 5_000_000
+    assert got["ci_lo_micro"] == got["v_ips_micro"] - 2 * got["se_micro"]
+    assert got["ci_hi_micro"] == got["v_ips_micro"] + 2 * got["se_micro"]
+    assert got["se_micro"] > 0
+
+    got4 = {
+        r["feature"]: r["value"]
+        for r in ips_ci(_logs_df(spark, rows * 4)).collect()
+    }
+    assert got4["v_ips_micro"] == 5_000_000
+    assert abs(got4["se_micro"] * 2 - got["se_micro"]) <= 2000  # milli floor
+
+    const = [(0, 1, 500_000, 1, 3)] * 40  # all matched, same y
+    gc = {r["feature"]: r["value"] for r in ips_ci(_logs_df(spark, const)).collect()}
+    assert gc["se_micro"] == 0 and gc["ci_lo_micro"] == gc["ci_hi_micro"]
+
+    con = duckdb.connect()
+    con.register(
+        "plogs_ci",
+        pd.DataFrame(rows, columns=["x", "a", "p_micro", "a_target", "reward"]),
+    )
+    ora = dict(con.execute(ips_ci_oracle("SELECT * FROM plogs_ci")).fetchall())
+    assert got == {k: int(v) for k, v in ora.items()}
+
+
+def test_ips_by_context_total_row_and_losing_segment(spark):
+    """The NULL-ctx rollup row carries the corpus totals (SNIPS equal to
+    the global report), and the per-segment table exposes the losing
+    context the overall number hides (ctx 0 pays off at 10, ctx 1 at
+    0). DuckDB parity."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.policy import (
+        ips_by_context,
+        ips_by_context_oracle,
+        ips_snips,
+    )
+
+    rows = _biased_rows()
+    df = _logs_df(spark, rows)
+    got = {
+        (None if r["ctx"] is None else int(r["ctx"])): r
+        for r in ips_by_context(df).collect()
+    }
+    glob = {r["feature"]: r["value"] for r in ips_snips(df).collect()}
+    assert got[None]["v_snips_micro"] == glob["v_snips_micro"] == 5_000_000
+    assert got[None]["n"] == 200 and got[None]["n_match"] == 60
+    assert got[0]["v_snips_micro"] == 10_000_000  # the winning segment
+    assert got[1]["v_snips_micro"] == 0           # the losing one
+
+    con = duckdb.connect()
+    con.register(
+        "plogs_bc",
+        pd.DataFrame(rows, columns=["x", "a", "p_micro", "a_target", "reward"]),
+    )
+    ora = sorted(
+        (
+            tuple(r)
+            for r in con.execute(
+                ips_by_context_oracle("SELECT * FROM plogs_bc")
+            ).fetchall()
+        ),
+        key=lambda t: ((t[0] is not None, t[0] if t[0] is not None else 0),) + t[1:],
+    )
+    spk = sorted(
+        (tuple(r) for r in ips_by_context(df).collect()),
+        key=lambda t: ((t[0] is not None, t[0] if t[0] is not None else 0),) + t[1:],
+    )
+    assert spk == ora
