@@ -3505,6 +3505,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.preference_stream",
             fromlist=["run_streaming_copeland"],
         ).run_streaming_copeland(spark, sf_dir),
+        # LIVE annotator scorecard: the (item, rater) -> min(cat) dedupe
+        # MONOID in one update-mode aggregation, LOO-consensus algebra
+        # at read — BIT-equal to batch eval_rater_quality (shared oracle)
+        "streaming_rater_quality": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.preference_stream",
+            fromlist=["run_streaming_rater_quality"],
+        ).run_streaming_rater_quality(spark, sf_dir),
         # preference-consistency QA: majority tournament + circular-triad
         # count (Kendall) — the gate to run before trusting a BT fit
         "pref_transitivity": _pref_transitivity_entry,
@@ -5844,6 +5851,8 @@ def _northstar_oracles() -> dict[str, str]:
         " abs(user_id) % 7 AS rater, event_type AS cat FROM events"
     )
     out["pref_copeland"] = copeland_scores_oracle(synth_matches_sql(8))
+    # live annotator scorecard converges to the batch audit exactly
+    out["streaming_rater_quality"] = out["eval_rater_quality"]
     from flink_example_spark.operators.ml import srm_check_oracle
 
     out["ab_srm_check"] = srm_check_oracle(

@@ -290,6 +290,9 @@ HEADLINE = [
     # round-11 wave 3 (sf0.1 warm probes: 1.4 / 0.7s)
     "policy_ips_ci",
     "policy_ips_by_context",
+    # round-11 wave 4 (sf0.1 warm probe: 9.4s — bounded 3-chunk replay
+    # with the item x rater min-monoid state)
+    "streaming_rater_quality",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

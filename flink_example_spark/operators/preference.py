@@ -1287,8 +1287,6 @@ def rater_quality(
     it is item-sized, so at corpus scale it shuffles on item, the same
     key the counts already partitioned by.
     """
-    from pyspark.sql import Window
-
     a = (
         annotations.select(
             F.col(item_col).alias("item"),
@@ -1298,6 +1296,17 @@ def rater_quality(
         .groupBy("item", "rater")
         .agg(F.min("cat").alias("cat"))
     )
+    return rater_quality_from_dedup(a)
+
+
+def rater_quality_from_dedup(a: DataFrame) -> DataFrame:
+    """The scoring algebra of :func:`rater_quality` over an already-
+    deduped ``(item, rater, cat)`` relation — the ``<op>_from_counts``
+    factor shape (DESIGN.md round-10): the dedupe is a ``min(cat)``
+    MONOID, so a live monitor keeps it in one update-mode aggregation
+    and reads this identical algebra."""
+    from pyspark.sql import Window
+
     counts = (
         a.groupBy("item", "cat")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))

@@ -182,3 +182,56 @@ def run_streaming_copeland(
     # SHARED batch core
     fresh = spark.createDataFrame(latest.rdd, latest.schema)
     return copeland_from_wincounts(fresh)
+
+
+def run_streaming_rater_quality(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """LIVE annotator scorecard: the ``(item, rater) -> min(cat)``
+    dedupe is itself a commutative MONOID, kept in ONE update-mode
+    aggregation (state is item x rater); the leave-one-out consensus
+    algebra (:func:`~flink_example_spark.operators.preference.
+    rater_quality_from_dedup`) runs at read over the merged state —
+    hash-identical to batch ``eval_rater_quality`` (shares its
+    oracle)."""
+    from flink_example_spark.operators.preference import (
+        rater_quality_from_dedup,
+    )
+    from flink_example_spark.streaming.staging import stage_table_by_key
+
+    tune(spark)
+    tmpdir, schema = stage_table_by_key(
+        spark, sf_dir, "events", "event_id", chunks
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/chunk_*")
+    )
+    dedup = (
+        stream.selectExpr(
+            "abs(event_id) % 3000 AS item",
+            "CAST(abs(user_id) % 7 AS LONG) AS rater",
+            "CAST(event_type AS STRING) AS cat",
+        )
+        .groupBy("item", "rater")
+        .agg(F.min("cat").alias("cat"))
+    )
+    name = f"stream_rq_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            dedup.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # update mode re-emits a key's row per batch with the cumulative
+    # min — the per-key MIN over the sink is the final state
+    latest = spark.table(name).groupBy("item", "rater").agg(
+        F.min("cat").alias("cat")
+    )
+    # multi-consumer algebra over the memory sink: fresh expr-ids
+    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    return rater_quality_from_dedup(fresh)
