@@ -3498,6 +3498,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "flink_example_spark.tables", fromlist=["load_table"]
             ).load_table(spark, sf_dir, "events")
         ),
+        # winsorized-mean lift (pooled p99 cap via the value-count rank
+        # scan — the robust metric companion for heavy-tailed counts)
+        "ab_winsorized_lift": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml",
+            fromlist=["ab_winsorized_lift"],
+        ).ab_winsorized_lift(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "events")
+        ),
         # LIVE Copeland board: the SAME win-count monoid as the BT
         # leaderboard, majority-point algebra at read — BIT-equal to
         # batch pref_copeland (shares its oracle)
@@ -5861,6 +5871,9 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import ab_power_mde_oracle
 
     out["ab_power_mde"] = ab_power_mde_oracle("events")
+    from flink_example_spark.operators.ml import ab_winsorized_lift_oracle
+
+    out["ab_winsorized_lift"] = ab_winsorized_lift_oracle("events")
     # live Copeland board converges to the batch tournament exactly
     out["streaming_copeland"] = out["pref_copeland"]
     return out

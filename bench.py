@@ -293,6 +293,8 @@ HEADLINE = [
     # round-11 wave 4 (sf0.1 warm probe: 9.4s — bounded 3-chunk replay
     # with the item x rater min-monoid state)
     "streaming_rater_quality",
+    # round-11 wave 5 (sf0.1 warm probe: 2.6s)
+    "ab_winsorized_lift",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

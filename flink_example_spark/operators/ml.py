@@ -6856,3 +6856,139 @@ def ab_power_mde_oracle(
           CASE WHEN n_a > 0 AND n_b > 0 AND pm > 0 THEN
             (({mde}) * 1000000) // pm ELSE 0 END FROM base
     """
+
+
+def ab_winsorized_lift(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_type: str = "purchase",
+    type_col: str = "event_type",
+    pct: int = 99,
+) -> DataFrame:
+    """Winsorized-mean lift for a heavy-tailed per-unit metric — the
+    robust companion to ``ab_proportion_test`` when the metric is a
+    COUNT/amount rather than a flag: a single whale unit can swamp a
+    raw mean diff, so both arms are capped at the POOLED ``pct``-th
+    percentile (shared threshold — capping each arm at its own
+    percentile would bias the diff) before the means are compared.
+
+    Exact integer mechanics (round-8 rank-statistics device): per-unit
+    metric ``y`` (one aggregation), then the VALUE-COUNT monoid — the
+    per-value relation is metric-cardinality-sized, so the rank scan is
+    a bounded window (benign class): threshold = min value whose
+    cumulative count reaches ``ceil(pct/100 * n)``; winsorized sums are
+    ``sum(min(y, thr))`` per arm, exact BIGINTs, means in micro via one
+    div each, lift a plain subtraction (can be negative — no division
+    involved, so no sign-safety needed).
+
+    Output (tall): ``(thr, n_a, n_b, wmean_a_micro, wmean_b_micro,
+    lift_micro)``.
+
+    Scale: two hash aggregations + one bounded window over the distinct
+    metric values; state never exceeds the value cardinality.
+    """
+    from pyspark.sql import Window
+
+    per_unit = events.groupBy(F.col(key_col).alias("__k")).agg(
+        F.sum(
+            F.when(F.col(type_col) == value_type, 1).otherwise(0)
+        ).cast("long").alias("y")
+    )
+    # value-count monoid + total
+    vc = per_unit.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vc.select(
+        "y", "c", F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(
+            Window.orderBy("y").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    thr = ranked.filter(
+        F.expr(f"cum >= ((({pct}) * n) + 99) div 100")
+    ).agg(F.min("y").alias("thr"))
+    arms = (
+        per_unit.crossJoin(F.broadcast(thr))
+        .select(
+            (F.col("__k") % 2).alias("__g"),
+            F.least(F.col("y"), F.col("thr")).alias("__wy"),
+            "thr",
+        )
+        .groupBy()
+        .agg(
+            F.max("thr").alias("thr"),
+            F.sum(F.expr("CAST(__g = 0 AS BIGINT)")).alias("n_a"),
+            F.sum(F.expr("CAST(__g = 1 AS BIGINT)")).alias("n_b"),
+            F.sum(F.expr("CASE WHEN __g = 0 THEN __wy ELSE 0 END")).alias("s_a"),
+            F.sum(F.expr("CASE WHEN __g = 1 THEN __wy ELSE 0 END")).alias("s_b"),
+        )
+    )
+    return arms.selectExpr(
+        "stack(6,"
+        " 'thr', thr,"
+        " 'n_a', n_a,"
+        " 'n_b', n_b,"
+        " 'wmean_a_micro', CASE WHEN n_a > 0 THEN (s_a * 1000000) div n_a"
+        "   ELSE 0 END,"
+        " 'wmean_b_micro', CASE WHEN n_b > 0 THEN (s_b * 1000000) div n_b"
+        "   ELSE 0 END,"
+        " 'lift_micro',"
+        "   (CASE WHEN n_a > 0 THEN (s_a * 1000000) div n_a ELSE 0 END)"
+        "   - (CASE WHEN n_b > 0 THEN (s_b * 1000000) div n_b ELSE 0 END)"
+        ") AS (feature, value)"
+    ).select("feature", F.col("value").cast("long"))
+
+
+def ab_winsorized_lift_oracle(
+    events_table: str = "events",
+    key_col: str = "user_id",
+    value_type: str = "purchase",
+    pct: int = 99,
+) -> str:
+    """DuckDB twin of :func:`ab_winsorized_lift` (identical value-count
+    rank scan, shared pooled threshold, floored micro means)."""
+    return f"""
+        WITH per_unit AS MATERIALIZED (
+          SELECT CAST({key_col} AS BIGINT) AS k,
+                 CAST(SUM(CASE WHEN event_type = '{value_type}'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM {events_table} GROUP BY 1),
+        vc AS MATERIALIZED (
+          SELECT y, CAST(COUNT(*) AS BIGINT) AS c
+          FROM per_unit GROUP BY 1),
+        ranked AS MATERIALIZED (
+          SELECT y, c,
+                 CAST(SUM(c) OVER (ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+                 CAST(SUM(c) OVER () AS BIGINT) AS n
+          FROM vc),
+        t AS MATERIALIZED (
+          SELECT CAST(MIN(y) AS BIGINT) AS thr
+          FROM ranked WHERE cum >= ((({pct}) * n) + 99) // 100),
+        arms AS MATERIALIZED (
+          SELECT MAX(thr) AS thr,
+                 CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_b,
+                 CAST(SUM(CASE WHEN k % 2 = 0 THEN least(y, thr)
+                          ELSE 0 END) AS BIGINT) AS s_a,
+                 CAST(SUM(CASE WHEN k % 2 = 1 THEN least(y, thr)
+                          ELSE 0 END) AS BIGINT) AS s_b
+          FROM per_unit, t)
+        SELECT 'thr' AS feature, CAST(thr AS BIGINT) AS value FROM arms
+        UNION ALL SELECT 'n_a', n_a FROM arms
+        UNION ALL SELECT 'n_b', n_b FROM arms
+        UNION ALL SELECT 'wmean_a_micro',
+          CASE WHEN n_a > 0 THEN (s_a * 1000000) // n_a ELSE 0 END
+          FROM arms
+        UNION ALL SELECT 'wmean_b_micro',
+          CASE WHEN n_b > 0 THEN (s_b * 1000000) // n_b ELSE 0 END
+          FROM arms
+        UNION ALL SELECT 'lift_micro',
+          (CASE WHEN n_a > 0 THEN (s_a * 1000000) // n_a ELSE 0 END)
+          - (CASE WHEN n_b > 0 THEN (s_b * 1000000) // n_b ELSE 0 END)
+          FROM arms
+    """

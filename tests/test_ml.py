@@ -1285,3 +1285,61 @@ def test_ab_power_mde_closed_form_and_monotonicity(spark):
     # 4x the data -> half the MDE (floor slack: a few micro)
     assert got4["mde_abs_micro"] == expect_mde(400, 400, 250_000)
     assert abs(got4["mde_abs_micro"] * 2 - got["mde_abs_micro"]) <= 5
+
+
+def test_ab_winsorized_lift_caps_the_whale(spark):
+    """The quality property: one whale unit (y=1000) in arm A swings the
+    RAW mean lift to ~ +20; the pooled-p99 winsorized lift caps it and
+    reads the arms as equal-ish. Threshold semantics pinned (min value
+    whose cumulative count reaches ceil(.99 n)); DuckDB parity."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.ml import (
+        ab_winsorized_lift,
+        ab_winsorized_lift_oracle,
+    )
+
+    # 50 units per arm, y=2 everywhere; unit 0 (arm A) is a whale
+    rows = []
+    for i in range(100):
+        y = 1000 if i == 0 else 2
+        rows += [(i, "purchase")] * y
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = dict(
+        (r["feature"], r["value"]) for r in ab_winsorized_lift(df).collect()
+    )
+    # rank ceil(.99*100)=99 -> the 99th ordered unit still has y=2;
+    # the whale occupies rank 100, so thr = 2 and the lift vanishes
+    assert got["thr"] == 2
+    assert got["n_a"] == got["n_b"] == 50
+    assert got["wmean_a_micro"] == got["wmean_b_micro"] == 2_000_000
+    assert got["lift_micro"] == 0
+    raw_lift = (1000 + 49 * 2) / 50 - 2  # what the naive mean would say
+    assert raw_lift > 19
+
+    con = duckdb.connect()
+    con.register("wl_ev", pd.DataFrame(rows, columns=["user_id", "event_type"]))
+    ora = dict(con.execute(
+        ab_winsorized_lift_oracle("wl_ev")).fetchall())
+    assert got == {k: int(v) for k, v in ora.items()}
+
+
+def test_ab_winsorized_lift_negative_and_threshold_rank(spark):
+    """Lift is a plain subtraction and goes negative when arm B leads;
+    with 10 units the ceil(.99*10)=10th rank IS the max, so nothing is
+    capped and the winsorized means equal the raw ones."""
+    from flink_example_spark.operators.ml import ab_winsorized_lift
+
+    rows = []
+    for i in range(10):
+        y = 3 if i % 2 == 1 else 1  # arm B (odd) leads
+        rows += [(i, "purchase")] * y
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = dict(
+        (r["feature"], r["value"]) for r in ab_winsorized_lift(df).collect()
+    )
+    assert got["thr"] == 3  # rank 10 of 10 -> max value: uncapped
+    assert got["wmean_a_micro"] == 1_000_000
+    assert got["wmean_b_micro"] == 3_000_000
+    assert got["lift_micro"] == -2_000_000
