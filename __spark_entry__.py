@@ -3498,6 +3498,25 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "flink_example_spark.tables", fromlist=["load_table"]
             ).load_table(spark, sf_dir, "events")
         ),
+        # difference-in-differences: treated post-pre change net of the
+        # control group's shared time trend (2x2 cell monoids, micro
+        # means, subtraction algebra) — completes the causal family
+        # with the panel/time identification
+        "causal_did": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["did_estimate"]
+        ).did_estimate(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "events"),
+            cutoff_ts=_SNAPSHOT_TS,
+        ),
+        # LIVE DiD monitor: the four static-keyed cells in one
+        # update-mode aggregation, did_from_cells at read — BIT-equal
+        # to batch causal_did (shares its oracle)
+        "streaming_did": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.ml_stream",
+            fromlist=["run_streaming_did"],
+        ).run_streaming_did(spark, sf_dir, cutoff_ts=_SNAPSHOT_TS),
         # winsorized-mean lift (pooled p99 cap via the value-count rank
         # scan — the robust metric companion for heavy-tailed counts)
         "ab_winsorized_lift": lambda spark, sf_dir: __import__(
@@ -5874,6 +5893,11 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import ab_winsorized_lift_oracle
 
     out["ab_winsorized_lift"] = ab_winsorized_lift_oracle("events")
+    from flink_example_spark.operators.ml import did_estimate_oracle
+
+    out["causal_did"] = did_estimate_oracle("events", cutoff_ts=_SNAPSHOT_TS)
+    # live DiD monitor converges to the batch estimate exactly
+    out["streaming_did"] = out["causal_did"]
     # live Copeland board converges to the batch tournament exactly
     out["streaming_copeland"] = out["pref_copeland"]
     return out

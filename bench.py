@@ -295,6 +295,9 @@ HEADLINE = [
     "streaming_rater_quality",
     # round-11 wave 5 (sf0.1 warm probe: 2.6s)
     "ab_winsorized_lift",
+    # round-11 wave 6 (sf0.1 warm probes: 1.5 / 6.4s)
+    "causal_did",
+    "streaming_did",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

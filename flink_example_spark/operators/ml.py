@@ -6992,3 +6992,154 @@ def ab_winsorized_lift_oracle(
           - (CASE WHEN n_b > 0 THEN (s_b * 1000000) // n_b ELSE 0 END)
           FROM arms
     """
+
+
+def did_from_cells(cells: DataFrame) -> DataFrame:
+    """The difference-in-differences algebra over an already-aggregated
+    2x2 cell relation ``(g, p, n, s)`` (g: 1 = treated, p: 1 = post;
+    one count + outcome-sum monoid row per cell) — the
+    ``<op>_from_counts`` factor shape (DESIGN.md round-10): a live DiD
+    monitor keeps the four cells in one update-mode aggregation and
+    reads this identical algebra. Missing cells read as n = 0 and their
+    mean contributes 0 (audited via the cell counts in the output).
+
+    All means in micro via one non-negative div per cell; the DiD
+    itself is plain subtractions of micro means (no division — no
+    sign-safety needed).
+    """
+    pivot = cells.groupBy().agg(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("g") == g) & (F.col("p") == p), F.col(c)
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"{c}_{'t' if g else 'c'}_{'post' if p else 'pre'}")
+            for g in (0, 1)
+            for p in (0, 1)
+            for c in ("n", "s")
+        ]
+    )
+    m = {
+        cell: (
+            f"CASE WHEN n_{cell} > 0 THEN (s_{cell} * 1000000)"
+            f" div n_{cell} ELSE 0 END"
+        )
+        for cell in ("t_pre", "t_post", "c_pre", "c_post")
+    }
+    return pivot.selectExpr(
+        "stack(9,"
+        f" 'm_t_pre_micro', {m['t_pre']},"
+        f" 'm_t_post_micro', {m['t_post']},"
+        f" 'm_c_pre_micro', {m['c_pre']},"
+        f" 'm_c_post_micro', {m['c_post']},"
+        f" 'did_micro', ({m['t_post']}) - ({m['t_pre']})"
+        f"   - (({m['c_post']}) - ({m['c_pre']})),"
+        " '__n_t_pre', n_t_pre,"
+        " '__n_t_post', n_t_post,"
+        " '__n_c_pre', n_c_pre,"
+        " '__n_c_post', n_c_post"
+        ") AS (feature, value)"
+    ).select("feature", F.col("value").cast("long"))
+
+
+def did_estimate(
+    events: DataFrame,
+    cutoff_ts: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    outcome_type: str = "purchase",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Difference-in-differences over event-level outcomes — the
+    quasi-experimental estimator when there was no randomization but
+    there IS a before/after boundary: the treated group's post-pre
+    change, net of the control group's (which absorbs any shared time
+    trend). Completes the causal family: att_strata
+    (subclassification), ipw/aipw (weighting), overlap (positivity),
+    this (panel/time identification).
+
+    Group = the portable parity split ``key % 2`` (treated = 1); period
+    = ``ts >= cutoff_ts`` (post = 1); outcome = the event being an
+    ``outcome_type`` (0/1 per event — repeated cross-section form, so
+    the four cells are pure count/sum monoids and the live twin is ONE
+    update-mode aggregation reading :func:`did_from_cells`).
+
+    Identification caveat (documented, not enforced): DiD is only as
+    good as the parallel-trends assumption; read with the pre-period
+    means this emits.
+    """
+    cells = events.select(
+        F.expr(f"CAST({key_col} % 2 = 1 AS BIGINT)").alias("g"),
+        F.expr(
+            f"CAST({ts_col} >= TIMESTAMP '{cutoff_ts}' AS BIGINT)"
+        ).alias("p"),
+        F.expr(
+            f"CAST({type_col} = '{outcome_type}' AS BIGINT)"
+        ).alias("y"),
+    ).groupBy("g", "p").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    return did_from_cells(cells)
+
+
+def did_estimate_oracle(
+    events_table: str = "events",
+    cutoff_ts: str = "2024-01-15 00:00:00",
+    key_col: str = "user_id",
+    outcome_type: str = "purchase",
+) -> str:
+    """DuckDB twin of :func:`did_estimate` (identical cells, micro
+    means, and subtraction algebra)."""
+    m = {
+        cell: (
+            f"CASE WHEN n_{cell} > 0 THEN (s_{cell} * 1000000)"
+            f" // n_{cell} ELSE 0 END"
+        )
+        for cell in ("t_pre", "t_post", "c_pre", "c_post")
+    }
+    return f"""
+        WITH cells AS MATERIALIZED (
+          SELECT CAST({key_col} % 2 = 1 AS BIGINT) AS g,
+                 CAST(ts >= TIMESTAMP '{cutoff_ts}' AS BIGINT) AS p,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN event_type = '{outcome_type}'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS s
+          FROM {events_table} GROUP BY 1, 2),
+        cellw AS MATERIALIZED (
+          SELECT
+            CAST(COALESCE(MAX(CASE WHEN g = 1 AND p = 0 THEN n END), 0)
+              AS BIGINT) AS n_t_pre,
+            CAST(COALESCE(MAX(CASE WHEN g = 1 AND p = 0 THEN s END), 0)
+              AS BIGINT) AS s_t_pre,
+            CAST(COALESCE(MAX(CASE WHEN g = 1 AND p = 1 THEN n END), 0)
+              AS BIGINT) AS n_t_post,
+            CAST(COALESCE(MAX(CASE WHEN g = 1 AND p = 1 THEN s END), 0)
+              AS BIGINT) AS s_t_post,
+            CAST(COALESCE(MAX(CASE WHEN g = 0 AND p = 0 THEN n END), 0)
+              AS BIGINT) AS n_c_pre,
+            CAST(COALESCE(MAX(CASE WHEN g = 0 AND p = 0 THEN s END), 0)
+              AS BIGINT) AS s_c_pre,
+            CAST(COALESCE(MAX(CASE WHEN g = 0 AND p = 1 THEN n END), 0)
+              AS BIGINT) AS n_c_post,
+            CAST(COALESCE(MAX(CASE WHEN g = 0 AND p = 1 THEN s END), 0)
+              AS BIGINT) AS s_c_post
+          FROM cells)
+        SELECT 'm_t_pre_micro' AS feature,
+               CAST({m['t_pre']} AS BIGINT) AS value FROM cellw
+        UNION ALL SELECT 'm_t_post_micro', {m['t_post']} FROM cellw
+        UNION ALL SELECT 'm_c_pre_micro', {m['c_pre']} FROM cellw
+        UNION ALL SELECT 'm_c_post_micro', {m['c_post']} FROM cellw
+        UNION ALL SELECT 'did_micro',
+          ({m['t_post']}) - ({m['t_pre']})
+          - (({m['c_post']}) - ({m['c_pre']})) FROM cellw
+        UNION ALL SELECT '__n_t_pre', n_t_pre FROM cellw
+        UNION ALL SELECT '__n_t_post', n_t_post FROM cellw
+        UNION ALL SELECT '__n_c_pre', n_c_pre FROM cellw
+        UNION ALL SELECT '__n_c_post', n_c_post FROM cellw
+    """

@@ -699,3 +699,63 @@ def run_streaming_logistic_inference(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def run_streaming_did(
+    spark: SparkSession,
+    sf_dir: str,
+    cutoff_ts: str = "2024-01-15 00:00:00",
+    chunks: int = 3,
+) -> DataFrame:
+    """LIVE difference-in-differences monitor: the four (group, period)
+    count/outcome-sum cells are pure monoids keyed by STATIC attributes
+    — ONE update-mode aggregation holds them, and the subtraction
+    algebra (:func:`~flink_example_spark.operators.ml.did_from_cells`)
+    runs at read; hash-identical to batch ``causal_did`` (shares its
+    oracle)."""
+    from flink_example_spark.operators.ml import did_from_cells
+    from flink_example_spark.streaming.staging import stage_table_by_key
+
+    tune(spark)
+    tmpdir, schema = stage_table_by_key(
+        spark, sf_dir, "events", "event_id", chunks
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/chunk_*")
+    )
+    from flink_example_spark.tables import normalize_ts
+
+    cells = (
+        normalize_ts(stream, "ts")
+        .select(
+            F.expr("CAST(user_id % 2 = 1 AS BIGINT)").alias("g"),
+            F.expr(
+                f"CAST(ts >= TIMESTAMP '{cutoff_ts}' AS BIGINT)"
+            ).alias("p"),
+            F.expr("CAST(event_type = 'purchase' AS BIGINT)").alias("y"),
+        )
+        .groupBy("g", "p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("s"),
+        )
+    )
+    name = f"stream_did_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            cells.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # cumulative counts re-emitted per batch: col-wise max per cell is
+    # the final state (both n and s are non-decreasing)
+    latest = spark.table(name).groupBy("g", "p").agg(
+        F.max("n").alias("n"), F.max("s").alias("s")
+    )
+    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    return did_from_cells(fresh)

@@ -1343,3 +1343,59 @@ def test_ab_winsorized_lift_negative_and_threshold_rank(spark):
     assert got["wmean_a_micro"] == 1_000_000
     assert got["wmean_b_micro"] == 3_000_000
     assert got["lift_micro"] == -2_000_000
+
+
+def test_did_strips_the_shared_time_trend(spark):
+    """Estimator quality (round-10 lesson): plant a time trend BOTH
+    groups share (post rates double) plus a treatment effect only in
+    treated-post; the naive post-pre diff on the treated group reads
+    trend+effect, DiD reads the effect alone. Missing-cell audit and
+    DuckDB parity."""
+    import duckdb
+    import pandas as pd
+    from datetime import datetime
+
+    from flink_example_spark.operators.ml import (
+        did_estimate,
+        did_estimate_oracle,
+    )
+
+    pre, post = datetime(2024, 1, 10), datetime(2024, 1, 20)
+    cutoff = "2024-01-15 00:00:00"
+    rows = []
+    # control: 10% pre -> 20% post (pure trend)
+    rows += [(0, pre, "purchase")] * 10 + [(0, pre, "view")] * 90
+    rows += [(0, post, "purchase")] * 20 + [(0, post, "view")] * 80
+    # treated: 10% pre -> 20% trend + 30% effect = 50% post
+    rows += [(1, pre, "purchase")] * 10 + [(1, pre, "view")] * 90
+    rows += [(1, post, "purchase")] * 50 + [(1, post, "view")] * 50
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = dict((r["feature"], r["value"]) for r in did_estimate(df, cutoff).collect())
+    naive_post_pre = got["m_t_post_micro"] - got["m_t_pre_micro"]
+    assert naive_post_pre == 400_000          # trend + effect
+    assert got["did_micro"] == 300_000        # the effect alone
+    assert got["__n_t_pre"] == got["__n_c_post"] == 100
+
+    con = duckdb.connect()
+    con.register("did_ev", pd.DataFrame(rows, columns=["user_id", "ts", "event_type"]))
+    ora = dict(con.execute(
+        did_estimate_oracle("did_ev", cutoff_ts=cutoff)).fetchall())
+    assert got == {k: int(v) for k, v in ora.items()}
+
+
+def test_did_missing_cell_reads_zero_and_audits(spark):
+    """An empty cell (no control-post data) contributes mean 0 and its
+    count audits 0 — no division error, deterministic both engines."""
+    from datetime import datetime
+
+    from flink_example_spark.operators.ml import did_estimate
+
+    pre = datetime(2024, 1, 10)
+    rows = [(0, pre, "purchase")] * 3 + [(1, pre, "view")] * 3
+    rows += [(1, datetime(2024, 1, 20), "purchase")] * 2
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = dict(
+        (r["feature"], r["value"])
+        for r in did_estimate(df, "2024-01-15 00:00:00").collect()
+    )
+    assert got["__n_c_post"] == 0 and got["m_c_post_micro"] == 0
