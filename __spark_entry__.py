@@ -3517,6 +3517,17 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.ml_stream",
             fromlist=["run_streaming_did"],
         ).run_streaming_did(spark, sf_dir, cutoff_ts=_SNAPSHOT_TS),
+        # exposure-gated lift: a unit's clock starts at FIRST exposure,
+        # pre-exposure outcomes excluded, never-exposed units out of the
+        # denominator — the activation-correctness guard for lift reads
+        "ab_exposure_lift": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml",
+            fromlist=["ab_exposure_lift"],
+        ).ab_exposure_lift(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "events")
+        ),
         # winsorized-mean lift (pooled p99 cap via the value-count rank
         # scan — the robust metric companion for heavy-tailed counts)
         "ab_winsorized_lift": lambda spark, sf_dir: __import__(
@@ -5898,6 +5909,9 @@ def _northstar_oracles() -> dict[str, str]:
     out["causal_did"] = did_estimate_oracle("events", cutoff_ts=_SNAPSHOT_TS)
     # live DiD monitor converges to the batch estimate exactly
     out["streaming_did"] = out["causal_did"]
+    from flink_example_spark.operators.ml import ab_exposure_lift_oracle
+
+    out["ab_exposure_lift"] = ab_exposure_lift_oracle("events")
     # live Copeland board converges to the batch tournament exactly
     out["streaming_copeland"] = out["pref_copeland"]
     return out

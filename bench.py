@@ -298,6 +298,8 @@ HEADLINE = [
     # round-11 wave 6 (sf0.1 warm probes: 1.5 / 6.4s)
     "causal_did",
     "streaming_did",
+    # round-11 wave 7 (sf0.1 warm probe: 2.0s)
+    "ab_exposure_lift",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

@@ -7143,3 +7143,143 @@ def did_estimate_oracle(
         UNION ALL SELECT '__n_c_pre', n_c_pre FROM cellw
         UNION ALL SELECT '__n_c_post', n_c_post FROM cellw
     """
+
+
+def ab_exposure_lift(
+    events: DataFrame,
+    key_col: str = "user_id",
+    exposure_type: str = "click",
+    outcome_type: str = "purchase",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Exposure-gated conversion lift — the A/B correctness guard the
+    raw lift tests skip: a unit's clock starts at its FIRST exposure
+    event, outcomes BEFORE exposure must not count (they predate the
+    treatment and dilute/bias the diff), and never-exposed units leave
+    the denominator entirely (they never saw either variant).
+
+    Mechanics: one per-unit aggregation for the first-exposure
+    timestamp (a conditional MIN monoid), one broadcast-or-shuffled
+    equi-join back to the event stream, one conditional rollup —
+    outcomes count iff ``ts >= expo_ts`` (inclusive: an outcome at the
+    exposure instant counts, identically in both engines). Post-
+    exposure outcome counts are exact BIGINTs; means in micro via one
+    div per arm; lift a plain subtraction.
+
+    Output (tall): ``(n_exposed_a, n_exposed_b, n_units,
+    post_mean_a_micro, post_mean_b_micro, lift_micro,
+    exposure_rate_micro)``.
+
+    Scale: two hash aggregations + one equi-join on the unit key (the
+    same key both sides already partition by — co-located shuffle).
+    """
+    per_unit = events.groupBy(F.col(key_col).alias("__k")).agg(
+        F.min(
+            F.when(F.col(type_col) == exposure_type, F.col(ts_col))
+        ).alias("expo_ts")
+    )
+    expo = per_unit.filter(F.col("expo_ts").isNotNull())
+    n_units = per_unit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(
+            F.expr("CAST(expo_ts IS NOT NULL AS BIGINT)")
+        ).cast("long").alias("n_exposed"),
+    )
+    post = (
+        events.select(
+            F.col(key_col).alias("__k"),
+            F.col(ts_col).alias("__ts"),
+            F.col(type_col).alias("__ty"),
+        )
+        .join(expo, "__k")
+        .groupBy("__k", "expo_ts")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("__ty") == outcome_type)
+                    & (F.col("__ts") >= F.col("expo_ts")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("y")
+        )
+    )
+    arms = post.groupBy().agg(
+        F.sum(F.expr("CAST(__k % 2 = 0 AS BIGINT)")).alias("n_a"),
+        F.sum(F.expr("CAST(__k % 2 = 1 AS BIGINT)")).alias("n_b"),
+        F.sum(F.expr("CASE WHEN __k % 2 = 0 THEN y ELSE 0 END")).alias("s_a"),
+        F.sum(F.expr("CASE WHEN __k % 2 = 1 THEN y ELSE 0 END")).alias("s_b"),
+    )
+    return arms.crossJoin(F.broadcast(n_units)).selectExpr(
+        "stack(7,"
+        " 'n_exposed_a', n_a,"
+        " 'n_exposed_b', n_b,"
+        " 'n_units', n_units,"
+        " 'post_mean_a_micro', CASE WHEN n_a > 0 THEN"
+        "   (s_a * 1000000) div n_a ELSE 0 END,"
+        " 'post_mean_b_micro', CASE WHEN n_b > 0 THEN"
+        "   (s_b * 1000000) div n_b ELSE 0 END,"
+        " 'lift_micro',"
+        "   (CASE WHEN n_a > 0 THEN (s_a * 1000000) div n_a ELSE 0 END)"
+        "   - (CASE WHEN n_b > 0 THEN (s_b * 1000000) div n_b ELSE 0 END),"
+        " 'exposure_rate_micro', CASE WHEN n_units > 0 THEN"
+        "   (n_exposed * 1000000) div n_units ELSE 0 END"
+        ") AS (feature, value)"
+    ).select("feature", F.col("value").cast("long"))
+
+
+def ab_exposure_lift_oracle(
+    events_table: str = "events",
+    key_col: str = "user_id",
+    exposure_type: str = "click",
+    outcome_type: str = "purchase",
+) -> str:
+    """DuckDB twin of :func:`ab_exposure_lift` (identical first-
+    exposure min, inclusive gate, floored micro means)."""
+    return f"""
+        WITH per_unit AS MATERIALIZED (
+          SELECT CAST({key_col} AS BIGINT) AS k,
+                 MIN(CASE WHEN event_type = '{exposure_type}'
+                     THEN ts END) AS expo_ts
+          FROM {events_table} GROUP BY 1),
+        units AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+                 CAST(SUM(CASE WHEN expo_ts IS NOT NULL THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_exposed
+          FROM per_unit),
+        post AS MATERIALIZED (
+          SELECT e.k, CAST(SUM(CASE WHEN ev.event_type =
+                   '{outcome_type}' AND ev.ts >= e.expo_ts THEN 1
+                   ELSE 0 END) AS BIGINT) AS y
+          FROM (SELECT k, expo_ts FROM per_unit
+                WHERE expo_ts IS NOT NULL) e
+          JOIN {events_table} ev ON CAST(ev.{key_col} AS BIGINT) = e.k
+          GROUP BY 1),
+        arms AS MATERIALIZED (
+          SELECT CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_b,
+                 CAST(SUM(CASE WHEN k % 2 = 0 THEN y ELSE 0 END)
+                   AS BIGINT) AS s_a,
+                 CAST(SUM(CASE WHEN k % 2 = 1 THEN y ELSE 0 END)
+                   AS BIGINT) AS s_b
+          FROM post)
+        SELECT 'n_exposed_a' AS feature, CAST(n_a AS BIGINT) AS value
+        FROM arms
+        UNION ALL SELECT 'n_exposed_b', n_b FROM arms
+        UNION ALL SELECT 'n_units', n_units FROM units
+        UNION ALL SELECT 'post_mean_a_micro',
+          CASE WHEN n_a > 0 THEN (s_a * 1000000) // n_a ELSE 0 END
+          FROM arms
+        UNION ALL SELECT 'post_mean_b_micro',
+          CASE WHEN n_b > 0 THEN (s_b * 1000000) // n_b ELSE 0 END
+          FROM arms
+        UNION ALL SELECT 'lift_micro',
+          (CASE WHEN n_a > 0 THEN (s_a * 1000000) // n_a ELSE 0 END)
+          - (CASE WHEN n_b > 0 THEN (s_b * 1000000) // n_b ELSE 0 END)
+          FROM arms
+        UNION ALL SELECT 'exposure_rate_micro',
+          CASE WHEN n_units > 0 THEN (n_exposed * 1000000) // n_units
+          ELSE 0 END FROM units
+    """

@@ -1399,3 +1399,48 @@ def test_did_missing_cell_reads_zero_and_audits(spark):
         for r in did_estimate(df, "2024-01-15 00:00:00").collect()
     )
     assert got["__n_c_post"] == 0 and got["m_c_post_micro"] == 0
+
+
+def test_ab_exposure_lift_gates_pre_exposure_outcomes(spark):
+    """The correctness guard pinned: purchases BEFORE a unit's first
+    click never count; a purchase AT the click instant counts
+    (inclusive gate); never-exposed units leave the denominator but
+    stay in n_units. DuckDB parity."""
+    import duckdb
+    import pandas as pd
+    from datetime import datetime
+
+    from flink_example_spark.operators.ml import (
+        ab_exposure_lift,
+        ab_exposure_lift_oracle,
+    )
+
+    t = lambda d: datetime(2024, 1, d)  # noqa: E731
+    rows = [
+        # unit 0 (arm A): purchase BEFORE click (excluded), click d5,
+        # purchase AT the click instant (counts), purchase after (counts)
+        (0, t(2), "purchase"), (0, t(5), "click"),
+        (0, t(5), "purchase"), (0, t(9), "purchase"),
+        # unit 2 (arm A): click, no post purchases -> y = 0
+        (2, t(3), "click"),
+        # unit 1 (arm B): click d4, one post purchase
+        (1, t(4), "click"), (1, t(6), "purchase"),
+        # unit 3 (arm B): NEVER exposed; its purchase must not count
+        (3, t(7), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = dict(
+        (r["feature"], r["value"]) for r in ab_exposure_lift(df).collect()
+    )
+    assert got["n_units"] == 4
+    assert got["n_exposed_a"] == 2 and got["n_exposed_b"] == 1
+    assert got["exposure_rate_micro"] == 750_000
+    # arm A: units 0 (y=2) and 2 (y=0) -> mean 1.0; arm B: unit 1 -> 1.0
+    assert got["post_mean_a_micro"] == 1_000_000
+    assert got["post_mean_b_micro"] == 1_000_000
+    assert got["lift_micro"] == 0
+
+    con = duckdb.connect()
+    con.register("exp_ev", pd.DataFrame(rows, columns=["user_id", "ts", "event_type"]))
+    ora = dict(con.execute(ab_exposure_lift_oracle("exp_ev")).fetchall())
+    assert got == {k: int(v) for k, v in ora.items()}
