@@ -2270,6 +2270,22 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_report": quality_report_entry,
         # write-path layout: Morton-curve bucket bounding boxes
         "layout_zorder_stats": zorder_entry,
+        # Hilbert-curve layout audit: the jump-free locality upgrade
+        # over Morton — same per-prefix bounding-box claim, tighter
+        # boxes (state-machine integer index, no UDF; layout.py)
+        "layout_hilbert_stats": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.layout",
+            fromlist=["hilbert_bucket_stats"],
+        ).hilbert_bucket_stats(
+            _events(spark, sf_dir),
+            {
+                "uid": "user_id % 256",
+                "mod": "(EXTRACT(hour FROM ts) * 60"
+                " + EXTRACT(minute FROM ts)) % 256",
+            },
+            bits=8,
+            bucket_bits=6,
+        ),
         # predicate-level pruning effectiveness of the z-order layout:
         # buckets pruned + scanned row fraction per candidate predicate
         "layout_scan_pruning": scan_pruning_entry,
@@ -5334,6 +5350,18 @@ def _northstar_oracles() -> dict[str, str]:
     )
     out["layout_range_plan"] = range_partition_plan_oracle(
         "lineitem", "l_partkey", n_buckets=16
+    )
+    from flink_example_spark.operators.layout import hilbert_bucket_stats_sql
+
+    out["layout_hilbert_stats"] = hilbert_bucket_stats_sql(
+        "SELECT user_id, ts FROM events",
+        {
+            "uid": "user_id % 256",
+            "mod": "(EXTRACT(hour FROM ts) * 60"
+            " + EXTRACT(minute FROM ts)) % 256",
+        },
+        bits=8,
+        bucket_bits=6,
     )
     out["layout_zorder_stats"] = zorder_bucket_stats_sql(
         "SELECT user_id, ts FROM events",

@@ -303,6 +303,8 @@ HEADLINE = [
     # round-11 wave 8 (sf0.1 warm probes: 2.2 / 1.0s)
     "causal_qte",
     "causal_did_placebo",
+    # round-11 wave 9 (sf0.1 warm probe: 2.4s)
+    "layout_hilbert_stats",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

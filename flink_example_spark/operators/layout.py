@@ -762,3 +762,229 @@ def scan_pruning_eval_oracle(
                  // CAST(SUM(n) AS BIGINT) AS scan_frac_micro
         FROM j GROUP BY query
     """
+
+
+def _hilbert_tables():
+    """Derive the 2-D Hilbert xy->d state machine by composing the
+    classic loop's rotations (public algorithm; e.g. the Wikipedia
+    "Hilbert curve" xy2d form). A state is the transform the remaining
+    lower bits still need — closed over (swap?, invert_x?, invert_y?)
+    triples — so each level reads ONE digit and one next-state from a
+    16-entry table keyed by (state, raw_rx, raw_ry). Returns
+    ``(digit[state*4+q], next_state[state*4+q], n_states)`` with
+    ``q = rx*2 + ry``."""
+
+    def apply(t, a, b):
+        swap, ix, iy = t
+        a1, b1 = a ^ ix, b ^ iy
+        return (b1, a1) if swap else (a1, b1)
+
+    def compose(rot, t):
+        outs = {
+            (a, b): apply(rot, *apply(t, a, b))
+            for a in (0, 1)
+            for b in (0, 1)
+        }
+        for cand in (
+            (s, i, j) for s in (0, 1) for i in (0, 1) for j in (0, 1)
+        ):
+            if all(
+                apply(cand, a, b) == outs[(a, b)]
+                for a in (0, 1)
+                for b in (0, 1)
+            ):
+                return cand
+        raise AssertionError("transform group not closed")
+
+    ident = (0, 0, 0)
+    states = [ident]
+    idx = {ident: 0}
+    digit: dict = {}
+    nxt: dict = {}
+    pending = [ident]
+    while pending:
+        t = pending.pop()
+        for rx_raw in (0, 1):
+            for ry_raw in (0, 1):
+                rx, ry = apply(t, rx_raw, ry_raw)
+                d = (3 * rx) ^ ry
+                if ry == 0:
+                    rot = (1, 1, 1) if rx == 1 else (1, 0, 0)
+                else:
+                    rot = ident
+                t2 = compose(rot, t)
+                if t2 not in idx:
+                    idx[t2] = len(states)
+                    states.append(t2)
+                    pending.append(t2)
+                key = idx[t] * 4 + rx_raw * 2 + ry_raw
+                digit[key] = d
+                nxt[key] = idx[t2]
+    return digit, nxt, len(states)
+
+
+_H_DIGIT, _H_NEXT, _H_STATES = _hilbert_tables()
+
+
+def hilbert_index_df(
+    df: DataFrame,
+    x_expr: str,
+    y_expr: str,
+    bits: int = 8,
+    out: str = "__h",
+) -> DataFrame:
+    """Hilbert-curve index over two non-negative integer expressions —
+    the locality UPGRADE over :func:`zorder_index`: consecutive Hilbert
+    cells are always grid-ADJACENT (the curve never jumps), so per-file
+    bounding boxes are tighter than Morton's at the same bit budget
+    (Morton jumps across the grid at every power-of-two boundary).
+    The same device Delta/Iceberg expose as OPTIMIZE ... HILBERT.
+
+    Pure integer state machine, one level per bit from the top: each
+    level reads two raw bits, one 16-entry digit CASE and one 16-entry
+    next-state CASE (tables derived in ``_hilbert_tables``) — expressed
+    as CHAINED NAMED PROJECTIONS so the expression tree stays linear in
+    ``bits`` (each level references the previous state column, which
+    Catalyst keeps as an attribute — multi-referenced non-cheap
+    expressions are not inlined). Values must fit ``bits`` bits; output
+    has ``2 * bits`` bits.
+    """
+    if bits < 1 or bits > 16:
+        raise ValueError("hilbert_index_df supports 1..16 bits")
+
+    def case(tbl, key_col):
+        return (
+            "CASE "
+            + " ".join(
+                f"WHEN {key_col} = {k} THEN {tbl[k]}"
+                for k in range(4 * _H_STATES)
+                if k in tbl
+            )
+            + " ELSE 0 END"
+        )
+
+    cur = (
+        df.withColumn("__hx", F.expr(x_expr).cast("long"))
+        .withColumn("__hy", F.expr(y_expr).cast("long"))
+        .withColumn("__hs", F.lit(0).cast("long"))
+        .withColumn(out, F.lit(0).cast("long"))
+    )
+    for i in range(bits):
+        sh = bits - 1 - i
+        cur = cur.withColumn(
+            "__hq",
+            F.expr(
+                f"__hs * 4 + ((__hx >> {sh}) & 1) * 2"
+                f" + ((__hy >> {sh}) & 1)"
+            ),
+        )
+        cur = cur.withColumn(
+            out,
+            F.expr(
+                f"{out} + (CAST({case(_H_DIGIT, '__hq')} AS BIGINT)"
+                f" << {2 * sh})"
+            ),
+        ).withColumn("__hs", F.expr(case(_H_NEXT, "__hq")).cast("long"))
+    return cur.drop("__hx", "__hy", "__hs", "__hq")
+
+
+def hilbert_sql(
+    source_sql: str, x_expr: str, y_expr: str, bits: int = 8
+) -> str:
+    """DuckDB twin of :func:`hilbert_index_df` — the identical state
+    machine unrolled as a MATERIALIZED CTE chain; yields the source
+    columns plus ``__h``."""
+
+    def case(tbl, key_col):
+        return (
+            "CASE "
+            + " ".join(
+                f"WHEN {key_col} = {k} THEN {tbl[k]}"
+                for k in range(4 * _H_STATES)
+                if k in tbl
+            )
+            + " ELSE 0 END"
+        )
+
+    parts = [
+        f"""h0 AS MATERIALIZED (
+          SELECT *, CAST({x_expr} AS BIGINT) AS __hx,
+                 CAST({y_expr} AS BIGINT) AS __hy,
+                 CAST(0 AS BIGINT) AS __hs, CAST(0 AS BIGINT) AS __h
+          FROM ({source_sql}))"""
+    ]
+    for i in range(bits):
+        sh = bits - 1 - i
+        q = (
+            f"(__hs * 4 + ((__hx >> {sh}) & 1) * 2"
+            f" + ((__hy >> {sh}) & 1))"
+        )
+        parts.append(
+            f"""hq{i} AS MATERIALIZED (
+          SELECT *, {q} AS __hq{i} FROM h{i})"""
+        )
+        parts.append(
+            f"""h{i + 1} AS MATERIALIZED (
+          SELECT * EXCLUDE (__h, __hs),
+                 __h + (CAST({case(_H_DIGIT, f'__hq{i}')} AS BIGINT)
+                        << {2 * sh}) AS __h,
+                 CAST({case(_H_NEXT, f'__hq{i}')} AS BIGINT) AS __hs
+          FROM hq{i})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT * EXCLUDE (__hx, __hy, __hs"
+        + "".join(f", __hq{i}" for i in range(bits))
+        + f") FROM h{bits}"
+    )
+
+
+def hilbert_bucket_stats(
+    df: DataFrame,
+    cols: dict[str, str],
+    bits: int = 8,
+    bucket_bits: int = 6,
+) -> DataFrame:
+    """Per-Hilbert-prefix bounding boxes — the same measurable pruning
+    claim as :func:`zorder_bucket_stats`, on the jump-free curve.
+    ``cols`` maps output names to the two integer SQL expressions.
+    Output: ``(bucket, n, <name>_min, <name>_max ...)``."""
+    (nx, xe), (ny, ye) = list(cols.items())
+    h = hilbert_index_df(df, xe, ye, bits=bits)
+    return (
+        h.select(
+            F.expr(f"__h >> {2 * bits - bucket_bits}").alias("bucket"),
+            F.expr(xe).cast("long").alias(f"__{nx}"),
+            F.expr(ye).cast("long").alias(f"__{ny}"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(f"__{nx}").alias(f"{nx}_min"),
+            F.max(f"__{nx}").alias(f"{nx}_max"),
+            F.min(f"__{ny}").alias(f"{ny}_min"),
+            F.max(f"__{ny}").alias(f"{ny}_max"),
+        )
+    )
+
+
+def hilbert_bucket_stats_sql(
+    source_sql: str,
+    cols: dict[str, str],
+    bits: int = 8,
+    bucket_bits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`hilbert_bucket_stats`."""
+    (nx, xe), (ny, ye) = list(cols.items())
+    inner = hilbert_sql(source_sql, xe, ye, bits=bits)
+    return f"""
+        SELECT (__h >> {2 * bits - bucket_bits}) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(CAST({xe} AS BIGINT)) AS BIGINT) AS {nx}_min,
+               CAST(MAX(CAST({xe} AS BIGINT)) AS BIGINT) AS {nx}_max,
+               CAST(MIN(CAST({ye} AS BIGINT)) AS BIGINT) AS {ny}_min,
+               CAST(MAX(CAST({ye} AS BIGINT)) AS BIGINT) AS {ny}_max
+        FROM ({inner})
+        GROUP BY 1
+    """

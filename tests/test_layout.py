@@ -178,3 +178,128 @@ def test_compaction_plan_drops_empty_files(spark):
     )
     rows = compaction_plan(files, target_bytes=10).collect()
     assert len(rows) == 1 and rows[0]["n_files"] == 1
+
+
+def _xy2d_ref(order, x, y):
+    """Classic public xy2d loop — the reference for the state machine."""
+    d = 0
+    s = order // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def _sm(bits, x, y):
+    from flink_example_spark.operators.layout import _H_DIGIT, _H_NEXT
+
+    st = out = 0
+    for i in range(bits):
+        sh = bits - 1 - i
+        q = st * 4 + ((x >> sh) & 1) * 2 + ((y >> sh) & 1)
+        out += _H_DIGIT[q] << (2 * sh)
+        st = _H_NEXT[q]
+    return out
+
+
+def test_hilbert_state_machine_matches_reference_and_is_adjacent():
+    """The derived 4-state machine equals the classic xy2d loop on the
+    full 16x16 grid, and consecutive Hilbert indices are always
+    grid-ADJACENT (Manhattan distance 1) — the defining jump-free
+    property Morton lacks."""
+    bits = 4
+    inv = {}
+    for x in range(16):
+        for y in range(16):
+            d = _sm(bits, x, y)
+            assert d == _xy2d_ref(1 << bits, x, y)
+            inv[d] = (x, y)
+    assert len(inv) == 256  # bijection
+    for i in range(255):
+        (x0, y0), (x1, y1) = inv[i], inv[i + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1
+
+
+def test_hilbert_spark_matches_state_machine_and_duckdb(spark):
+    """The chained-projection Spark build and the CTE-chain DuckDB twin
+    both equal the Python state machine on an 8x8 grid (bits=3), and on
+    a small random-ish fixture at bits=8."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.layout import (
+        hilbert_index_df,
+        hilbert_sql,
+    )
+
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["__h"]
+        for r in hilbert_index_df(df, "x", "y", bits=3).collect()
+    }
+    assert got == {(x, y): _sm(3, x, y) for x, y in rows}
+
+    con = duckdb.connect()
+    con.register("hgrid", pd.DataFrame(rows, columns=["x", "y"]))
+    ora = {
+        (x, y): h
+        for x, y, h in con.execute(
+            hilbert_sql("SELECT * FROM hgrid", "x", "y", bits=3)
+        ).fetchall()
+    }
+    assert got == {k: int(v) for k, v in ora.items()}
+
+    pts = [((i * 37) % 256, (i * 101) % 256) for i in range(50)]
+    df8 = spark.createDataFrame(pts, "x long, y long")
+    got8 = {
+        (r["x"], r["y"]): r["__h"]
+        for r in hilbert_index_df(df8, "x", "y", bits=8).collect()
+    }
+    assert got8 == {(x, y): _sm(8, x, y) for x, y in pts}
+
+
+def test_hilbert_boxes_tighter_than_morton_on_unaligned_segments():
+    """The locality claim, measured where it actually bites: on
+    power-of-two-ALIGNED buckets both curves give perfect rectangles
+    (they tie), but real files are arbitrary curve segments — bucketing
+    the full 64x64 grid into 100-cell segments (d div 100), Morton's
+    quadrant jumps blow some bounding boxes across the grid while
+    Hilbert segments stay compact. Average AND worst-case half-perimeter
+    must be strictly smaller for Hilbert. (Pure-curve property — runs on
+    the verified state machine, no Spark session needed.)"""
+    from collections import defaultdict
+
+    bits = 6
+
+    def morton(x, y):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i + 1)
+            z |= ((y >> i) & 1) << (2 * i)
+        return z
+
+    def boxes(index_fn):
+        seg = defaultdict(list)
+        for x in range(64):
+            for y in range(64):
+                seg[index_fn(x, y) // 100].append((x, y))
+        out = []
+        for pts in seg.values():
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            out.append((max(xs) - min(xs)) + (max(ys) - min(ys)))
+        return out
+
+    hb = boxes(lambda x, y: _sm(bits, x, y))
+    zb = boxes(morton)
+    assert len(hb) == len(zb)
+    assert sum(hb) / len(hb) < sum(zb) / len(zb)
+    assert max(hb) < max(zb)
