@@ -2289,6 +2289,27 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # predicate-level pruning effectiveness of the z-order layout:
         # buckets pruned + scanned row fraction per candidate predicate
         "layout_scan_pruning": scan_pruning_entry,
+        # the SAME pruning evaluation over the Hilbert layout — the
+        # measured payoff of the jump-free curve's tighter boxes
+        "layout_hilbert_pruning": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.layout",
+            fromlist=["scan_pruning_hilbert"],
+        ).scan_pruning_hilbert(
+            _events(spark, sf_dir),
+            {
+                "uid": "user_id % 256",
+                "mod": "(EXTRACT(hour FROM ts) * 60"
+                " + EXTRACT(minute FROM ts)) % 256",
+            },
+            [
+                ("uid_low", "uid", 0, 63),
+                ("uid_hi", "uid", 192, 255),
+                ("mod_mid", "mod", 96, 159),
+                ("mod_edge", "mod", 250, 255),
+            ],
+            bits=8,
+            bucket_bits=6,
+        ),
         # sort-order advisor: zone-map clustering ratio per candidate sort
         # key, current ingest order vs re-sorted (the scan-pruning payoff)
         "layout_sort_advisor": lambda spark, sf_dir: __import__(
@@ -5351,8 +5372,27 @@ def _northstar_oracles() -> dict[str, str]:
     out["layout_range_plan"] = range_partition_plan_oracle(
         "lineitem", "l_partkey", n_buckets=16
     )
-    from flink_example_spark.operators.layout import hilbert_bucket_stats_sql
+    from flink_example_spark.operators.layout import (
+        hilbert_bucket_stats_sql,
+        scan_pruning_hilbert_oracle,
+    )
 
+    out["layout_hilbert_pruning"] = scan_pruning_hilbert_oracle(
+        "SELECT user_id, ts FROM events",
+        {
+            "uid": "user_id % 256",
+            "mod": "(EXTRACT(hour FROM ts) * 60"
+            " + EXTRACT(minute FROM ts)) % 256",
+        },
+        [
+            ("uid_low", "uid", 0, 63),
+            ("uid_hi", "uid", 192, 255),
+            ("mod_mid", "mod", 96, 159),
+            ("mod_edge", "mod", 250, 255),
+        ],
+        bits=8,
+        bucket_bits=6,
+    )
     out["layout_hilbert_stats"] = hilbert_bucket_stats_sql(
         "SELECT user_id, ts FROM events",
         {

@@ -305,6 +305,8 @@ HEADLINE = [
     "causal_did_placebo",
     # round-11 wave 9 (sf0.1 warm probe: 2.4s)
     "layout_hilbert_stats",
+    # round-11 wave 10 (sf0.1 warm probe: ~2s)
+    "layout_hilbert_pruning",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

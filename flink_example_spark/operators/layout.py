@@ -687,13 +687,21 @@ def scan_pruning_eval(
     (2^bucket_bits rows); the evaluation is a broadcast nested-loop of
     that tiny relation against the literal predicate table.
     """
-    spark = df.sparkSession
     stats = zorder_bucket_stats(df, cols, bits, bucket_bits)
+    return _pruning_from_stats(
+        df.sparkSession, stats, list(cols.keys()), preds
+    )
+
+
+def _pruning_from_stats(spark, stats, names, preds) -> DataFrame:
+    """The min/max-overlap pruning evaluation over any bucket-stat
+    relation ``(bucket, n, <name>_min, <name>_max ...)`` — shared by the
+    Morton and Hilbert layouts (identical arithmetic; the zorder row's
+    hash is unchanged by this factor)."""
     pred_df = spark.createDataFrame(
         [(q, d, int(lo), int(hi)) for q, d, lo, hi in preds],
         "query string, dim string, lo long, hi long",
     )
-    names = list(cols.keys())
     dim_min = F.when(F.lit(False), F.lit(None))
     for k in names:
         dim_min = F.when(F.col("dim") == k, F.col(f"{k}_min")).otherwise(dim_min)
@@ -987,4 +995,65 @@ def hilbert_bucket_stats_sql(
                CAST(MAX(CAST({ye} AS BIGINT)) AS BIGINT) AS {ny}_max
         FROM ({inner})
         GROUP BY 1
+    """
+
+
+def scan_pruning_hilbert(
+    df: DataFrame,
+    cols: dict[str, str],
+    preds: list[tuple[str, str, int, int]],
+    bits: int = 8,
+    bucket_bits: int = 6,
+) -> DataFrame:
+    """:func:`scan_pruning_eval` over the HILBERT layout — the measured
+    payoff comparison: same predicates, same bucket count, the jump-free
+    curve's tighter per-bucket boxes prune at least as many buckets.
+    ``cols`` maps the two names to integer SQL expressions (the Hilbert
+    builder's contract). Output schema identical to the Morton form."""
+    stats = hilbert_bucket_stats(df, cols, bits, bucket_bits)
+    return _pruning_from_stats(
+        df.sparkSession, stats, list(cols.keys()), preds
+    )
+
+
+def scan_pruning_hilbert_oracle(
+    source_sql: str,
+    col_exprs: dict[str, str],
+    preds: list[tuple[str, str, int, int]],
+    bits: int = 8,
+    bucket_bits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`scan_pruning_hilbert`."""
+    stats = hilbert_bucket_stats_sql(
+        source_sql, col_exprs, bits, bucket_bits
+    )
+    pred_rows = ", ".join(
+        f"('{q}', '{d}', {int(lo)}, {int(hi)})" for q, d, lo, hi in preds
+    )
+    names = list(col_exprs.keys())
+    dmin = "CASE " + " ".join(
+        f"WHEN dim = '{k}' THEN {k}_min" for k in names
+    ) + " END"
+    dmax = "CASE " + " ".join(
+        f"WHEN dim = '{k}' THEN {k}_max" for k in names
+    ) + " END"
+    return f"""
+        WITH stats AS MATERIALIZED ({stats}),
+        preds AS (
+          SELECT * FROM (VALUES {pred_rows}) p(query, dim, lo, hi)
+        ),
+        j AS (
+          SELECT query, n,
+                 CAST(CASE WHEN ({dmax}) >= lo AND ({dmin}) <= hi
+                      THEN 1 ELSE 0 END AS BIGINT) AS scanned
+          FROM stats CROSS JOIN preds
+        )
+        SELECT query, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(scanned) AS BIGINT) AS n_scanned,
+               CAST(COUNT(*) - SUM(scanned) AS BIGINT) AS n_pruned,
+               CAST(SUM(n * scanned) AS BIGINT) AS rows_scanned,
+               CAST(SUM(n) AS BIGINT) AS rows_total,
+               (CAST(SUM(n * scanned) AS BIGINT) * 1000000)
+                 // CAST(SUM(n) AS BIGINT) AS scan_frac_micro
+        FROM j GROUP BY query
     """
