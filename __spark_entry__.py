@@ -296,6 +296,45 @@ def _term_graph_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _TERM_GRAPH_MEMO[key]
 
 
+_SYNTH_MATCHES_MEMO: dict = {}
+
+
+def _synth_matches_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped memo of ``synth_matches(events, n_items=8)`` —
+    FIVE preference rows (BT fit, transitivity, Copeland, fit audit,
+    win-CI) project the identical md5-scored match relation; one
+    localCheckpoint serves them all. Content-identical to per-row
+    builds."""
+    from flink_example_spark.operators.preference import synth_matches
+    from flink_example_spark.tables import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SYNTH_MATCHES_MEMO:
+        _SYNTH_MATCHES_MEMO[key] = synth_matches(
+            load_table(spark, sf_dir, "events"), n_items=8
+        ).localCheckpoint()
+    return _SYNTH_MATCHES_MEMO[key]
+
+
+_OPE_LOGS_MEMO: dict = {}
+
+
+def _ope_logs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped memo of ``synth_policy_logs(events)`` — FOUR OPE
+    rows (point report, CI, by-context, DR) project the identical
+    logged-bandit relation; one localCheckpoint serves them all.
+    Content-identical to per-row builds."""
+    from flink_example_spark.operators.policy import synth_policy_logs
+    from flink_example_spark.tables import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _OPE_LOGS_MEMO:
+        _OPE_LOGS_MEMO[key] = synth_policy_logs(
+            load_table(spark, sf_dir, "events")
+        ).localCheckpoint()
+    return _OPE_LOGS_MEMO[key]
+
+
 _NB_MEMO: dict = {}
 
 
@@ -2289,6 +2328,14 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # predicate-level pruning effectiveness of the z-order layout:
         # buckets pruned + scanned row fraction per candidate predicate
         "layout_scan_pruning": scan_pruning_entry,
+        # LIVE Hilbert layout monitor: the curve index is a stateless
+        # projection, so the bucket boxes are ONE update-mode
+        # count/min/max monoid aggregation — BIT-equal to the batch
+        # audit (shares its oracle)
+        "streaming_hilbert_stats": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.layout_stream",
+            fromlist=["run_streaming_hilbert_stats"],
+        ).run_streaming_hilbert_stats(spark, sf_dir),
         # the SAME pruning evaluation over the Hilbert layout — the
         # measured payoff of the jump-free curve's tighter boxes
         "layout_hilbert_pruning": lambda spark, sf_dir: __import__(
@@ -3417,32 +3464,14 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "policy_ips_eval": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.policy",
             fromlist=["ips_snips", "synth_policy_logs"],
-        ).ips_snips(
-            __import__(
-                "flink_example_spark.operators.policy",
-                fromlist=["synth_policy_logs"],
-            ).synth_policy_logs(
-                __import__(
-                    "flink_example_spark.tables", fromlist=["load_table"]
-                ).load_table(spark, sf_dir, "events")
-            )
-        ),
+        ).ips_snips(_ope_logs_cached(spark, sf_dir)),
         # doubly-robust off-policy value: per-context outcome model +
         # clipped-IPS residual correction — consistent if EITHER side is
         # right (the OPE analogue of causal_aipw_ate)
         "policy_dr_eval": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.policy",
             fromlist=["dr_value", "synth_policy_logs"],
-        ).dr_value(
-            __import__(
-                "flink_example_spark.operators.policy",
-                fromlist=["synth_policy_logs"],
-            ).synth_policy_logs(
-                __import__(
-                    "flink_example_spark.tables", fromlist=["load_table"]
-                ).load_table(spark, sf_dir, "events")
-            )
-        ),
+        ).dr_value(_ope_logs_cached(spark, sf_dir)),
         # LIVE off-policy monitor: the five-sum OPE monoid in ONE
         # update-mode global aggregation, IPS/SNIPS/ESS algebra at read
         # — BIT-equal to the batch estimate (shares its oracle)
@@ -3456,32 +3485,14 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "policy_ips_ci": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.policy",
             fromlist=["ips_ci", "synth_policy_logs"],
-        ).ips_ci(
-            __import__(
-                "flink_example_spark.operators.policy",
-                fromlist=["synth_policy_logs"],
-            ).synth_policy_logs(
-                __import__(
-                    "flink_example_spark.tables", fromlist=["load_table"]
-                ).load_table(spark, sf_dir, "events")
-            )
-        ),
+        ).ips_ci(_ope_logs_cached(spark, sf_dir)),
         # per-segment OPE drill-down: the five-sum monoid under ROLLUP
         # (NULL-key total row — the summary-sentinel rule) with SNIPS +
         # ESS per context
         "policy_ips_by_context": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.policy",
             fromlist=["ips_by_context", "synth_policy_logs"],
-        ).ips_by_context(
-            __import__(
-                "flink_example_spark.operators.policy",
-                fromlist=["synth_policy_logs"],
-            ).synth_policy_logs(
-                __import__(
-                    "flink_example_spark.tables", fromlist=["load_table"]
-                ).load_table(spark, sf_dir, "events")
-            )
-        ),
+        ).ips_by_context(_ope_logs_cached(spark, sf_dir)),
         # per-rater annotation scorecard: leave-one-out strict-majority
         # agreement per rating, singleton items excluded + audited — the
         # actionable per-annotator complement to kripp/fleiss
@@ -3503,17 +3514,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pref_copeland": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.preference",
             fromlist=["copeland_scores", "synth_matches"],
-        ).copeland_scores(
-            __import__(
-                "flink_example_spark.operators.preference",
-                fromlist=["synth_matches"],
-            ).synth_matches(
-                __import__(
-                    "flink_example_spark.tables", fromlist=["load_table"]
-                ).load_table(spark, sf_dir, "events"),
-                n_items=8,
-            )
-        ),
+        ).copeland_scores(_synth_matches_cached(spark, sf_dir)),
         # sample-ratio-mismatch guard: exact split-form 1-df chi-square
         # on the 50/50 unit split vs the embedded 3.841459 critical
         # value — the gate before ab_proportion/ab_cuped
@@ -3624,17 +3625,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pref_win_ci": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.preference",
             fromlist=["win_ci"],
-        ).win_ci(
-            __import__(
-                "flink_example_spark.operators.preference",
-                fromlist=["synth_matches"],
-            ).synth_matches(
-                __import__(
-                    "flink_example_spark.tables", fromlist=["load_table"]
-                ).load_table(spark, sf_dir, "events"),
-                n_items=8,
-            )
-        ),
+        ).win_ci(_synth_matches_cached(spark, sf_dir)),
         # Fleming-Harrington survival curve + restricted mean survival
         # time (the censoring-robust retention KPI): S = exp(-H) via the
         # embedded table capped at 1.0, exact micro-day step integral
@@ -3681,17 +3672,7 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pref_bt_fit_audit": lambda spark, sf_dir: __import__(
             "flink_example_spark.operators.preference",
             fromlist=["bt_fit_audit"],
-        ).bt_fit_audit(
-            __import__(
-                "flink_example_spark.operators.preference",
-                fromlist=["synth_matches"],
-            ).synth_matches(
-                __import__(
-                    "flink_example_spark.tables", fromlist=["load_table"]
-                ).load_table(spark, sf_dir, "events"),
-                n_items=8,
-            )
-        ),
+        ).bt_fit_audit(_synth_matches_cached(spark, sf_dir)),
     }
 
 
@@ -5393,6 +5374,8 @@ def _northstar_oracles() -> dict[str, str]:
         bits=8,
         bucket_bits=6,
     )
+    # the live layout monitor below shares this oracle (boxes converge
+    # to the batch audit exactly)
     out["layout_hilbert_stats"] = hilbert_bucket_stats_sql(
         "SELECT user_id, ts FROM events",
         {
@@ -5403,6 +5386,7 @@ def _northstar_oracles() -> dict[str, str]:
         bits=8,
         bucket_bits=6,
     )
+    out["streaming_hilbert_stats"] = out["layout_hilbert_stats"]
     out["layout_zorder_stats"] = zorder_bucket_stats_sql(
         "SELECT user_id, ts FROM events",
         {
@@ -6940,16 +6924,9 @@ def _bloom_sizing_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pref_bradley_terry_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_example_spark.operators.preference import (
-        bradley_terry,
-        synth_matches,
-    )
-    from flink_example_spark.tables import load_table
+    from flink_example_spark.operators.preference import bradley_terry
 
-    return bradley_terry(
-        synth_matches(load_table(spark, sf_dir, "events"), n_items=8),
-        n_iter=8,
-    )
+    return bradley_terry(_synth_matches_cached(spark, sf_dir), n_iter=8)
 
 
 def _graph_truss_exact_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6980,15 +6957,9 @@ def _pref_dpo_pairs_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pref_transitivity_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_example_spark.operators.preference import (
-        synth_matches,
-        transitivity_audit,
-    )
-    from flink_example_spark.tables import load_table
+    from flink_example_spark.operators.preference import transitivity_audit
 
-    return transitivity_audit(
-        synth_matches(load_table(spark, sf_dir, "events"), n_items=8)
-    )
+    return transitivity_audit(_synth_matches_cached(spark, sf_dir))
 
 
 def _causal_units(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -307,6 +307,8 @@ HEADLINE = [
     "layout_hilbert_stats",
     # round-11 wave 10 (sf0.1 warm probe: ~2s)
     "layout_hilbert_pruning",
+    # round-11 wave 11 (sf0.1 warm probe: 7.7s — bounded 3-chunk replay)
+    "streaming_hilbert_stats",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite
