@@ -1057,3 +1057,24 @@ def scan_pruning_hilbert_oracle(
                  // CAST(SUM(n) AS BIGINT) AS scan_frac_micro
         FROM j GROUP BY query
     """
+
+
+def hilbert_layout(
+    df: DataFrame,
+    x_expr: str,
+    y_expr: str,
+    n_files: int,
+    bits: int = 8,
+    h_col: str = "__h",
+) -> DataFrame:
+    """Cluster ``df`` for writing on the Hilbert index — the
+    :func:`zorder_layout` sibling: range-partition on ``__h`` so each
+    of the ``n_files`` output partitions covers one contiguous curve
+    segment (= one tight bounding box per dimension in the parquet
+    min/max stats; tighter than Morton's on unaligned segments — see
+    the locality test). Same caveat as zorder_layout: range
+    partitioning samples split points, so file CONTENTS are
+    deterministic only per partition count; the oracle-checked relation
+    is :func:`hilbert_bucket_stats`."""
+    return hilbert_index_df(df, x_expr, y_expr, bits=bits, out=h_col)\
+        .repartitionByRange(n_files, F.col(h_col))

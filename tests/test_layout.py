@@ -303,3 +303,39 @@ def test_hilbert_boxes_tighter_than_morton_on_unaligned_segments():
     assert len(hb) == len(zb)
     assert sum(hb) / len(hb) < sum(zb) / len(zb)
     assert max(hb) < max(zb)
+
+
+def test_hilbert_index_sixteen_bit_levels(spark):
+    """The chained-projection build stays correct (and the plan stays
+    tractable) at the full 16-bit depth: spot points match the state
+    machine, output is 32 bits."""
+    from flink_example_spark.operators.layout import hilbert_index_df
+
+    pts = [(0, 0), (65535, 65535), (12345, 54321), (40000, 1)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["__h"]
+        for r in hilbert_index_df(df, "x", "y", bits=16).collect()
+    }
+    assert got == {(x, y): _sm(16, x, y) for x, y in pts}
+    assert all(0 <= h < (1 << 32) for h in got.values())
+
+
+def test_hilbert_layout_partitions_are_contiguous_segments(spark):
+    """Each written partition covers one contiguous Hilbert range: the
+    per-partition [min __h, max __h] intervals do not overlap."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.layout import hilbert_layout
+
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = hilbert_layout(df, "x", "y", n_files=8, bits=5)
+    spans = (
+        out.select(F.spark_partition_id().alias("pid"), "__h")
+        .groupBy("pid")
+        .agg(F.min("__h").alias("lo"), F.max("__h").alias("hi"))
+        .collect()
+    )
+    ivs = sorted((r["lo"], r["hi"]) for r in spans)
+    assert all(ivs[i][1] < ivs[i + 1][0] for i in range(len(ivs) - 1))
