@@ -7204,11 +7204,22 @@ def ab_exposure_lift(
             ).cast("long").alias("y")
         )
     )
+    # COALESCE: zero exposed units must read counts 0, not NULLs
     arms = post.groupBy().agg(
-        F.sum(F.expr("CAST(__k % 2 = 0 AS BIGINT)")).alias("n_a"),
-        F.sum(F.expr("CAST(__k % 2 = 1 AS BIGINT)")).alias("n_b"),
-        F.sum(F.expr("CASE WHEN __k % 2 = 0 THEN y ELSE 0 END")).alias("s_a"),
-        F.sum(F.expr("CASE WHEN __k % 2 = 1 THEN y ELSE 0 END")).alias("s_b"),
+        F.coalesce(
+            F.sum(F.expr("CAST(__k % 2 = 0 AS BIGINT)")), F.lit(0)
+        ).alias("n_a"),
+        F.coalesce(
+            F.sum(F.expr("CAST(__k % 2 = 1 AS BIGINT)")), F.lit(0)
+        ).alias("n_b"),
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN __k % 2 = 0 THEN y ELSE 0 END")),
+            F.lit(0),
+        ).alias("s_a"),
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN __k % 2 = 1 THEN y ELSE 0 END")),
+            F.lit(0),
+        ).alias("s_b"),
     )
     return arms.crossJoin(F.broadcast(n_units)).selectExpr(
         "stack(7,"
@@ -7256,14 +7267,14 @@ def ab_exposure_lift_oracle(
           JOIN {events_table} ev ON CAST(ev.{key_col} AS BIGINT) = e.k
           GROUP BY 1),
         arms AS MATERIALIZED (
-          SELECT CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_a,
-                 CAST(SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_b,
-                 CAST(SUM(CASE WHEN k % 2 = 0 THEN y ELSE 0 END)
-                   AS BIGINT) AS s_a,
-                 CAST(SUM(CASE WHEN k % 2 = 1 THEN y ELSE 0 END)
-                   AS BIGINT) AS s_b
+          SELECT CAST(COALESCE(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0
+                   END), 0) AS BIGINT) AS n_a,
+                 CAST(COALESCE(SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0
+                   END), 0) AS BIGINT) AS n_b,
+                 CAST(COALESCE(SUM(CASE WHEN k % 2 = 0 THEN y ELSE 0
+                   END), 0) AS BIGINT) AS s_a,
+                 CAST(COALESCE(SUM(CASE WHEN k % 2 = 1 THEN y ELSE 0
+                   END), 0) AS BIGINT) AS s_b
           FROM post)
         SELECT 'n_exposed_a' AS feature, CAST(n_a AS BIGINT) AS value
         FROM arms

@@ -153,3 +153,130 @@ def test_winsorized_lift_matches_python_winsorizer(spark, ys):
     mb = (s_b * 1_000_000) // n_b if n_b else 0
     assert got["wmean_a_micro"] == ma and got["wmean_b_micro"] == mb
     assert got["lift_micro"] == ma - mb
+
+
+@settings(**_SETTINGS)
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(0, 1),   # g (unit parity -> arm)
+            st.integers(0, 1),   # p (pre/post day)
+            st.integers(0, 1),   # outcome event?
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_did_matches_fraction_reference(spark, cells):
+    from collections import Counter
+    from datetime import datetime
+
+    from flink_example_spark.operators.ml import did_estimate
+
+    pre, post = datetime(2024, 1, 10), datetime(2024, 1, 20)
+    rows = [
+        (g, post if p else pre, "purchase" if y else "view")
+        for g, p, y in cells
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = dict(
+        (r["feature"], r["value"])
+        for r in did_estimate(df, "2024-01-15 00:00:00").collect()
+    )
+    n = Counter((g, p) for g, p, _ in cells)
+    s = Counter((g, p) for g, p, y in cells if y)
+
+    def mean(g, p):
+        return (s[(g, p)] * 1_000_000) // n[(g, p)] if n[(g, p)] else 0
+
+    assert got["m_t_pre_micro"] == mean(1, 0)
+    assert got["m_t_post_micro"] == mean(1, 1)
+    assert got["m_c_pre_micro"] == mean(0, 0)
+    assert got["m_c_post_micro"] == mean(0, 1)
+    assert got["did_micro"] == (mean(1, 1) - mean(1, 0)) - (
+        mean(0, 1) - mean(0, 0)
+    )
+    assert got["__n_t_post"] == n[(1, 1)] and got["__n_c_pre"] == n[(0, 0)]
+
+
+@settings(**_SETTINGS)
+@given(
+    units=st.lists(
+        st.tuples(
+            st.integers(0, 9),                     # exposure day (0 = never)
+            st.lists(st.integers(1, 9), max_size=4),  # purchase days
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_exposure_lift_matches_python_reference(spark, units):
+    from datetime import datetime
+
+    from flink_example_spark.operators.ml import ab_exposure_lift
+
+    rows = []
+    for i, (expo_day, buys) in enumerate(units):
+        if expo_day > 0:
+            rows.append((i, datetime(2024, 1, expo_day), "click"))
+        for d in buys:
+            rows.append((i, datetime(2024, 1, d), "purchase"))
+        rows.append((i, datetime(2024, 1, 1), "view"))  # every unit exists
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = dict(
+        (r["feature"], r["value"]) for r in ab_exposure_lift(df).collect()
+    )
+    n_units = len(units)
+    exposed = {
+        i: e for i, (e, _) in enumerate(units) if e > 0
+    }
+    y = {
+        i: sum(1 for d in units[i][1] if d >= exposed[i]) for i in exposed
+    }
+    n_a = sum(1 for i in exposed if i % 2 == 0)
+    n_b = len(exposed) - n_a
+    s_a = sum(v for i, v in y.items() if i % 2 == 0)
+    s_b = sum(v for i, v in y.items() if i % 2 == 1)
+    assert got["n_units"] == n_units
+    assert got["n_exposed_a"] == n_a and got["n_exposed_b"] == n_b
+    assert got["exposure_rate_micro"] == (
+        (len(exposed) * 1_000_000) // n_units
+    )
+    ma = (s_a * 1_000_000) // n_a if n_a else 0
+    mb = (s_b * 1_000_000) // n_b if n_b else 0
+    assert got["post_mean_a_micro"] == ma
+    assert got["post_mean_b_micro"] == mb
+    assert got["lift_micro"] == ma - mb
+
+
+@settings(**_SETTINGS)
+@given(
+    ys=st.lists(st.integers(0, 12), min_size=2, max_size=30),
+)
+def test_qte_matches_python_order_statistics(spark, ys):
+    from flink_example_spark.operators.ml import causal_qte
+
+    rows = []
+    for i, y in enumerate(ys):
+        rows += [(i, "purchase")] * y + [(i, "view")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = dict((r["feature"], r["value"]) for r in causal_qte(df).collect())
+
+    def q(vals, p):
+        if not vals:
+            return 0
+        srt = sorted(vals)
+        rank = (p * len(vals) + 99) // 100
+        return srt[max(rank, 1) - 1]
+
+    arm_a = [y for i, y in enumerate(ys) if i % 2 == 0]
+    arm_b = [y for i, y in enumerate(ys) if i % 2 == 1]
+    assert got["n_a"] == len(arm_a) and got["n_b"] == len(arm_b)
+    for p in (50, 90):
+        assert got[f"q{p}_a"] == q(arm_a, p)
+        assert got[f"q{p}_b"] == q(arm_b, p)
+        assert got[f"qte{p}"] == q(arm_b, p) - q(arm_a, p)
