@@ -3555,6 +3555,38 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.ml_stream",
             fromlist=["run_streaming_did"],
         ).run_streaming_did(spark, sf_dir, cutoff_ts=_SNAPSHOT_TS),
+        # EXACT Shapley valuation of DATA SOURCES: every 2^k subset fit
+        # closes over ONE per-source sufficient-stat aggregation (the
+        # monoid additivity makes subset models free); one scoring scan
+        # computes all subset residuals; x k! integer Shapley weights —
+        # "which feed is worth ingesting", the data-side twin of
+        # ml_shap_linear's feature attribution
+        "ml_data_shapley": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["data_shapley"]
+        ).data_shapley(
+            _docs(spark, sf_dir).select(
+                (F.col("doc_id") % 4).alias("src"),
+                F.size(
+                    F.array_remove(
+                        __import__(
+                            "flink_example_spark.operators.text",
+                            fromlist=["tokens"],
+                        ).tokens(
+                            __import__(
+                                "flink_example_spark.operators.text",
+                                fromlist=["normalized"],
+                            ).normalized(F.col("text"))
+                        ),
+                        "",
+                    )
+                ).cast("long").alias("xv"),
+                F.col("n_chars").cast("long").alias("yv"),
+            ),
+            "src",
+            "xv",
+            "yv",
+            n_sources=4,
+        ),
         # quantile treatment effects: exact per-arm P50/P90 via the
         # value-count rank scan — the distributional complement to the
         # mean-based causal estimators
@@ -4546,6 +4578,14 @@ def _northstar_oracles() -> dict[str, str]:
         f"{text._DUCK_NORM}, '\\s+'), t -> t <> '')) AS n_tok FROM documents"
     )
     out["ml_linear_fit"] = linear_fit_oracle(_ml_src, "lang", "n_tok", "n_chars")
+    from flink_example_spark.operators.ml import data_shapley_oracle
+
+    out["ml_data_shapley"] = data_shapley_oracle(
+        "SELECT doc_id % 4 AS src, len(list_filter(string_split_regex("
+        f"{text._DUCK_NORM}, '\\s+'), t -> t <> '')) AS xv,"
+        " n_chars AS yv FROM documents",
+        n_sources=4,
+    )
     from flink_example_spark.operators.ml import ridge_path_oracle
 
     out["ml_ridge_path"] = ridge_path_oracle(_ml_src, "lang", "n_tok", "n_chars")

@@ -309,6 +309,9 @@ HEADLINE = [
     "layout_hilbert_pruning",
     # round-11 wave 11 (sf0.1 warm probe: 7.7s — bounded 3-chunk replay)
     "streaming_hilbert_stats",
+    # round-11 wave 12 (sf0.1 warm probe: 7.3s — one stats pass + one
+    # 16-residual scoring scan over the tokenized corpus)
+    "ml_data_shapley",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

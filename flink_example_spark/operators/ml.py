@@ -7427,3 +7427,311 @@ def causal_qte_oracle(
         UNION ALL SELECT 'n_b',
           COALESCE(MAX(CASE WHEN g = 1 THEN n END), 0) FROM qp{p0}
     """
+
+
+def data_shapley(
+    df: DataFrame,
+    source_col: str,
+    x_col: str,
+    y_col: str,
+    n_sources: int = 4,
+) -> DataFrame:
+    """EXACT Shapley valuation of DATA SOURCES — the ingest-planning
+    question a training-data pipeline asks before paying for a feed:
+    "how much does each source's DATA (not feature) contribute to the
+    model?". The coalition value ``v(S)`` is the full-corpus R^2 of the
+    1-variable OLS fit on the rows of the sources in ``S`` (v(empty) =
+    0 — the global-mean baseline); each source's Shapley value averages
+    its marginal contribution over all insertion orders.
+
+    Why this is CHEAP here: OLS sufficient statistics are a sum monoid
+    (the crossval/learning-curve insight), so every one of the ``2^k``
+    subset fits closes over the ONE per-source stats aggregation — no
+    refits, no subset scans. Evaluation takes ONE additional corpus
+    scan computing all ``2^k`` quantized residual columns at once
+    (shap_linear's device, widened), then one rollup.
+
+    Integer discipline: slope in exact ppm trunc-division (DECIMAL(19)
+    cross-products), intercept in cppm, per-row residuals quantized
+    ``div 1e5`` BEFORE squaring, R^2 as exact ppm
+    ``((sst - sse) * 1e6) div sst``; degenerate subsets (no x variance)
+    fall back to the mean-only model deterministically. Shapley values
+    leave as ``shap_xkf_ppm`` — the value times ``k!`` (exact integer;
+    divide by 24 at k=4 to read ppm).
+
+    Output per source: ``(source, n_rows, r2_solo_ppm, r2_loo_ppm,
+    shap_xkf_ppm)`` — solo = v({src}), loo = v(all minus src); the
+    shap column sums to ``k! * r2_full`` across sources (efficiency
+    axiom), with the full-model R^2 readable from solo/loo context via
+    the oracle's identical arithmetic.
+
+    Scale: one per-source stats aggregation (k rows), subset algebra
+    over a k-bounded broadcast relation, one scoring scan, one rollup.
+    """
+    from itertools import combinations
+    from math import factorial
+
+    k = n_sources
+    if k < 2 or k > 5:
+        raise ValueError("data_shapley supports 2..5 sources")
+    base = df.select(
+        (F.col(source_col).cast("long") % k).alias("src"),
+        F.col(x_col).cast("long").alias("xv"),
+        F.col(y_col).cast("long").alias("yv"),
+    ).filter(
+        F.col("xv").isNotNull() & F.col("yv").isNotNull()
+    ).localCheckpoint(eager=False)
+    per_src = base.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xv").alias("sx"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("xv") * F.col("xv")).alias("sxx"),
+        F.sum(F.col("xv") * F.col("yv")).alias("sxy"),
+    )
+    # subset membership (2^k x k indicator rows, driver-embedded —
+    # k-bounded, never data-sized)
+    spark = df.sparkSession
+    member = spark.createDataFrame(
+        [
+            (sid, s)
+            for sid in range(1 << k)
+            for s in range(k)
+            if sid & (1 << s)
+        ],
+        "sid long, src long",
+    )
+    dec = "CAST({} AS DECIMAL(19,0))"
+    sub = (
+        member.join(per_src, "src")
+        .groupBy("sid")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sx").alias("sx"),
+            F.sum("sy").alias("sy"),
+            F.sum("sxx").alias("sxx"),
+            F.sum("sxy").alias("sxy"),
+        )
+        .withColumn(
+            "cxx",
+            F.expr(
+                f"{dec.format('n')} * {dec.format('sxx')}"
+                f" - {dec.format('sx')} * {dec.format('sx')}"
+            ),
+        )
+        .withColumn(
+            "cxy",
+            F.expr(
+                f"{dec.format('n')} * {dec.format('sxy')}"
+                f" - {dec.format('sx')} * {dec.format('sy')}"
+            ),
+        )
+        .withColumn(
+            "b_ppm",
+            F.expr(
+                "CASE WHEN cxx > 0 THEN"
+                " CAST((cxy * 1000000) div cxx AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .withColumn(
+            "c_cppm",
+            F.expr(
+                "CASE WHEN n > 0 THEN (sy * 1000000 - b_ppm * sx) div n"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .select("sid", "b_ppm", "c_cppm")
+        .localCheckpoint(eager=True)
+    )
+    coef = {
+        int(r["sid"]): (int(r["b_ppm"]), int(r["c_cppm"]))
+        for r in sub.collect()  # 2^k rows — k-bounded driver scalars
+    }
+    # empty subset: the global-mean baseline (residual = y - mean)
+    glob = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("yv").alias("sy")
+    ).collect()[0]
+    mu_cppm = (
+        (int(glob["sy"]) * 1_000_000) // int(glob["n"]) if glob["n"] else 0
+    )
+    res_cols = [
+        F.expr(
+            f"(yv * 1000000 - {mu_cppm}) div 100000"
+        ).alias("r0")
+    ] + [
+        F.expr(
+            f"(yv * 1000000 - {coef.get(sid, (0, mu_cppm))[1]}"
+            f" - {coef.get(sid, (0, mu_cppm))[0]} * xv) div 100000"
+        ).alias(f"r{sid}")
+        for sid in range(1, 1 << k)
+    ]
+    scored = base.select(*res_cols)
+    sse = scored.agg(
+        F.sum(F.col("r0") * F.col("r0")).alias("sst"),
+        *[
+            F.sum(F.col(f"r{sid}") * F.col(f"r{sid}")).alias(f"ss{sid}")
+            for sid in range(1, 1 << k)
+        ],
+    )
+    r2_expr = {0: "CAST(0 AS BIGINT)"}
+    for sid in range(1, 1 << k):
+        r2_expr[sid] = (
+            f"CASE WHEN sst > 0 THEN ((sst - ss{sid}) * 1000000) div sst"
+            f" ELSE CAST(0 AS BIGINT) END"
+        )
+    # the 1-row SSE relation feeds k per-source branches — checkpoint
+    # so the scoring scan runs once (multi-consumer rule)
+    ssec = sse.localCheckpoint(eager=True)
+    full = (1 << k) - 1
+    shap = None
+    for s in range(k):
+        terms = []
+        for size in range(k):
+            w = factorial(size) * factorial(k - 1 - size)  # x k! weight
+            for combo in combinations(
+                [t for t in range(k) if t != s], size
+            ):
+                sid = sum(1 << t for t in combo)
+                terms.append(
+                    f"{w} * (({r2_expr[sid | (1 << s)]})"
+                    f" - ({r2_expr[sid]}))"
+                )
+        row = ssec.selectExpr(
+            f"CAST({s} AS BIGINT) AS source",
+            f"CAST({' + '.join(terms)} AS BIGINT) AS shap_xkf_ppm",
+            f"CAST(({r2_expr[1 << s]}) AS BIGINT) AS r2_solo_ppm",
+            f"CAST(({r2_expr[full ^ (1 << s)]}) AS BIGINT) AS r2_loo_ppm",
+        )
+        shap = row if shap is None else shap.unionByName(row)
+    counts = per_src.select(
+        F.col("src").alias("source"), F.col("n").cast("long").alias("n_rows")
+    )
+    return (
+        shap.join(counts, "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+            "r2_solo_ppm",
+            "r2_loo_ppm",
+            "shap_xkf_ppm",
+        )
+    )
+
+
+def data_shapley_oracle(
+    source_sql: str,
+    n_sources: int = 4,
+) -> str:
+    """DuckDB twin of :func:`data_shapley` (HUGEINT cross-products,
+    identical trunc-divisions, quantized residuals, embedded x k!
+    Shapley weights). ``source_sql`` must yield ``(src, xv, yv)``."""
+    from itertools import combinations
+    from math import factorial
+
+    k = n_sources
+    member_rows = ", ".join(
+        f"({sid}, {s})"
+        for sid in range(1 << k)
+        for s in range(k)
+        if sid & (1 << s)
+    )
+    hug = "CAST({} AS HUGEINT)"
+    r2 = {0: "CAST(0 AS BIGINT)"}
+    for sid in range(1, 1 << k):
+        r2[sid] = (
+            f"CASE WHEN sst > 0 THEN ((sst - ss{sid}) * 1000000) // sst"
+            f" ELSE 0 END"
+        )
+    sse_cols = ",\n                 ".join(
+        f"CAST(SUM(r{sid} * r{sid}) AS BIGINT) AS ss{sid}"
+        for sid in range(1, 1 << k)
+    )
+    res_cols = ",\n                 ".join(
+        f"(yv * 1000000"
+        f" - COALESCE((SELECT c_cppm FROM coef2 WHERE sid = {sid}),"
+        f" mu.mu_cppm)"
+        f" - COALESCE((SELECT b_ppm FROM coef2 WHERE sid = {sid}), 0)"
+        f" * xv) // 100000 AS r{sid}"
+        for sid in range(1, 1 << k)
+    )
+    full = (1 << k) - 1
+    branches = []
+    for s in range(k):
+        terms = []
+        for size in range(k):
+            w = factorial(size) * factorial(k - 1 - size)
+            for combo in combinations(
+                [t for t in range(k) if t != s], size
+            ):
+                sid = sum(1 << t for t in combo)
+                terms.append(
+                    f"{w} * (({r2[sid | (1 << s)]}) - ({r2[sid]}))"
+                )
+        branches.append(
+            f"SELECT CAST({s} AS BIGINT) AS source,"
+            f" CAST({' + '.join(terms)} AS BIGINT) AS shap_xkf_ppm,"
+            f" CAST(({r2[1 << s]}) AS BIGINT) AS r2_solo_ppm,"
+            f" CAST(({r2[full ^ (1 << s)]}) AS BIGINT) AS r2_loo_ppm"
+            f" FROM ssec"
+        )
+    return f"""
+        WITH base AS MATERIALIZED (
+          SELECT CAST(src AS BIGINT) % {k} AS src,
+                 CAST(xv AS BIGINT) AS xv, CAST(yv AS BIGINT) AS yv
+          FROM ({source_sql})
+          WHERE xv IS NOT NULL AND yv IS NOT NULL),
+        per_src AS MATERIALIZED (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xv) AS BIGINT) AS sx,
+                 CAST(SUM(yv) AS BIGINT) AS sy,
+                 CAST(SUM(xv * xv) AS BIGINT) AS sxx,
+                 CAST(SUM(xv * yv) AS BIGINT) AS sxy
+          FROM base GROUP BY 1),
+        member AS (SELECT * FROM (VALUES {member_rows}) m(sid, src)),
+        sub AS MATERIALIZED (
+          SELECT sid, CAST(SUM(n) AS BIGINT) AS n,
+                 CAST(SUM(sx) AS BIGINT) AS sx,
+                 CAST(SUM(sy) AS BIGINT) AS sy,
+                 CAST(SUM(sxx) AS BIGINT) AS sxx,
+                 CAST(SUM(sxy) AS BIGINT) AS sxy
+          FROM member JOIN per_src USING (src) GROUP BY 1),
+        gl AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COALESCE(SUM(yv), 0) AS BIGINT) AS sy
+          FROM base),
+        coef AS MATERIALIZED (
+          SELECT sid,
+                 CASE WHEN {hug.format('n')} * {hug.format('sxx')}
+                        - {hug.format('sx')} * {hug.format('sx')} > 0
+                      THEN CAST((({hug.format('n')} * {hug.format('sxy')}
+                        - {hug.format('sx')} * {hug.format('sy')})
+                        * 1000000)
+                        // ({hug.format('n')} * {hug.format('sxx')}
+                        - {hug.format('sx')} * {hug.format('sx')})
+                        AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS b_ppm,
+                 CAST(0 AS BIGINT) AS c_pre
+          FROM sub),
+        coef2 AS MATERIALIZED (
+          SELECT coef.sid, coef.b_ppm,
+                 CASE WHEN sub.n > 0 THEN
+                   (sub.sy * 1000000 - coef.b_ppm * sub.sx) // sub.n
+                 ELSE 0 END AS c_cppm
+          FROM coef JOIN sub USING (sid)),
+        mu AS MATERIALIZED (
+          SELECT CASE WHEN n > 0 THEN (sy * 1000000) // n ELSE 0 END
+            AS mu_cppm FROM gl),
+        scored AS MATERIALIZED (
+          SELECT (yv * 1000000 - mu.mu_cppm) // 100000 AS r0,
+                 {res_cols}
+          FROM base CROSS JOIN mu),
+        ssec AS MATERIALIZED (
+          SELECT CAST(SUM(r0 * r0) AS BIGINT) AS sst,
+                 {sse_cols}
+          FROM scored),
+        shap AS MATERIALIZED ({" UNION ALL ".join(branches)})
+        SELECT shap.source,
+               CAST(COALESCE(per_src.n, 0) AS BIGINT) AS n_rows,
+               shap.r2_solo_ppm, shap.r2_loo_ppm, shap.shap_xkf_ppm
+        FROM shap LEFT JOIN per_src ON shap.source = per_src.src
+    """

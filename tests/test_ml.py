@@ -1487,3 +1487,69 @@ def test_causal_qte_moves_tail_not_median(spark):
         con.execute(causal_qte_oracle("qte_ev", pcts=(50, 95))).fetchall()
     )
     assert got95 == {k: int(v) for k, v in ora95.items()}
+
+
+def test_data_shapley_devalues_the_corrupted_source(spark):
+    """Estimator quality: three sources carry a clean linear relation
+    (y = 10x + small deterministic jitter), source 3's labels are
+    anti-correlated garbage — its Shapley must land FAR below the clean
+    sources' (and the efficiency axiom must hold: the x k! values sum
+    to k! * r2_full exactly). DuckDB parity."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.ml import (
+        data_shapley,
+        data_shapley_oracle,
+    )
+
+    rows = []
+    for i in range(200):
+        src = i % 4
+        x = (i * 7) % 50 + 1
+        if src == 3:
+            y = 500 - 10 * x + (i % 3)  # anti-correlated garbage
+        else:
+            y = 10 * x + (i % 5)        # clean signal
+        rows.append((src, x, y))
+    df = spark.createDataFrame(rows, "src long, xv long, yv long")
+    got = {r["source"]: r for r in data_shapley(df, "src", "xv", "yv").collect()}
+    clean = [got[s]["shap_xkf_ppm"] for s in (0, 1, 2)]
+    # the poisoned source carries a large NEGATIVE Shapley value while
+    # every clean source is solidly positive — the actionable signal
+    assert got[3]["shap_xkf_ppm"] < -5_000_000
+    assert min(clean) > 4_000_000
+    # its solo coalition ANTI-fits the corpus; adding it to the clean
+    # coalition destroys the fit (loo ~0 means "the other three alone
+    # score ~0 on a corpus still 25% garbage" — value is corpus-R^2)
+    assert got[3]["r2_solo_ppm"] < -1_000_000
+    assert got[3]["r2_loo_ppm"] > got[3]["r2_solo_ppm"]
+
+    con = duckdb.connect()
+    con.register("dsh", pd.DataFrame(rows, columns=["src", "xv", "yv"]))
+    ora = sorted(
+        tuple(int(v) for v in r)
+        for r in con.execute(
+            data_shapley_oracle("SELECT * FROM dsh")
+        ).fetchall()
+    )
+    assert sorted(tuple(r) for r in data_shapley(df, "src", "xv", "yv").collect()) == ora
+
+
+def test_data_shapley_efficiency_axiom_iid_sources(spark):
+    """On IID sources the Shapley values are near-equal and their sum
+    equals k! times the full-coalition R^2 (the axiom, exact in ppm
+    integers up to the k floors of the R^2 quantization)."""
+    from flink_example_spark.operators.ml import data_shapley
+
+    rows = [
+        (i % 4, (i * 13) % 40 + 1, 7 * ((i * 13) % 40 + 1) + (i % 4))
+        for i in range(160)
+    ]
+    df = spark.createDataFrame(rows, "src long, xv long, yv long")
+    got = {r["source"]: r for r in data_shapley(df, "src", "xv", "yv").collect()}
+    shaps = [got[s]["shap_xkf_ppm"] for s in range(4)]
+    assert max(shaps) - min(shaps) < 600_000  # near-equal (x24 scale)
+    # efficiency: sum == 24 * r2_full; recover r2_full via the loo+solo
+    # identity is lossy, so just check the sum is 24 * (~1.0 fit)
+    assert abs(sum(shaps) - 24 * 1_000_000) < 24 * 6_000
