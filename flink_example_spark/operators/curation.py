@@ -1661,6 +1661,7 @@ def greedy_coverage(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Greedy maximum-coverage data selection (facility location on the
     doc x n-gram bipartite set) — the classic submodular coreset picker
@@ -1767,8 +1768,11 @@ def greedy_coverage(
     finally:
         grams.unpersist()
     # measurement hook (tests/probes): distributed rounds this call —
-    # the lazy batch makes this ~k/batch, vs k for one-pick-per-round
-    greedy_coverage._last_distributed_rounds = n_dist_rounds  # type: ignore[attr-defined]
+    # the lazy batch makes this ~k/batch, vs k for one-pick-per-round.
+    # Reported through the caller-owned ``stats`` dict (no process-
+    # global function attribute — it raced under concurrent callers).
+    if stats is not None:
+        stats["distributed_rounds"] = n_dist_rounds
     return spark.createDataFrame(
         rows, "round long, doc_id long, gain long, covered_total long"
     )

@@ -28,6 +28,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _sm_div(num: str, den: int | str, div: str = "div") -> str:
+    """Sign-and-magnitude integer division for a possibly-negative
+    numerator (the DESIGN.md round-8 rule): truncation-toward-zero by
+    construction in BOTH engines, independent of how a future engine
+    version rounds a bare negative integer division. The pinned DuckDB
+    integer ``//`` already truncates toward zero like Spark ``div``
+    (the flooring behavior the round-8 rule was written against is
+    float ``//``), so this form is value-identical today — parity
+    hashes unchanged; it exists as belt-and-braces portability.
+    ``div`` is the engine token (Spark ``div``, DuckDB ``//``)."""
+    return (
+        f"(CASE WHEN ({num}) >= 0 THEN 1 ELSE -1 END)"
+        f" * (abs({num}) {div} ({den}))"
+    )
+
+
 def _suff_stats(df: DataFrame, group_col: str, x_col: str, y_col: str | None):
     aggs = [
         F.count(F.lit(1)).alias("n"),
@@ -4450,12 +4466,19 @@ def shap_linear(
         )
     ).select(
         "n",
-        F.expr("(yv * 1000000 - mu_cppm) div 100000").alias("r0"),
-        F.expr("(yv * 1000000 - c_a_cppm - sl_a_ppm * xa) div 100000").alias("ra"),
-        F.expr("(yv * 1000000 - c_b_cppm - sl_b_ppm * xb) div 100000").alias("rb"),
+        F.expr(_sm_div("yv * 1000000 - mu_cppm", 100000)).alias("r0"),
         F.expr(
-            "(yv * 1000000 - c_ab_cppm - phi_a_ppm * xa - phi_b_ppm * xb)"
-            " div 100000"
+            _sm_div("yv * 1000000 - c_a_cppm - sl_a_ppm * xa", 100000)
+        ).alias("ra"),
+        F.expr(
+            _sm_div("yv * 1000000 - c_b_cppm - sl_b_ppm * xb", 100000)
+        ).alias("rb"),
+        F.expr(
+            _sm_div(
+                "yv * 1000000 - c_ab_cppm - phi_a_ppm * xa"
+                " - phi_b_ppm * xb",
+                100000,
+            )
         ).alias("rab"),
     )
     sse = scored.groupBy("n").agg(
@@ -4529,11 +4552,13 @@ def shap_linear_oracle(
         ),
         scored AS (
           SELECT f.n,
-                 (yv * 1000000 - mu_cppm) // 100000 AS r0,
-                 (yv * 1000000 - c_a_cppm - sl_a_ppm * xa) // 100000 AS ra,
-                 (yv * 1000000 - c_b_cppm - sl_b_ppm * xb) // 100000 AS rb,
-                 (yv * 1000000 - c_ab_cppm - phi_a_ppm * xa
-                  - phi_b_ppm * xb) // 100000 AS rab
+                 {_sm_div("yv * 1000000 - mu_cppm", 100000, "//")} AS r0,
+                 {_sm_div("yv * 1000000 - c_a_cppm - sl_a_ppm * xa",
+                          100000, "//")} AS ra,
+                 {_sm_div("yv * 1000000 - c_b_cppm - sl_b_ppm * xb",
+                          100000, "//")} AS rb,
+                 {_sm_div("yv * 1000000 - c_ab_cppm - phi_a_ppm * xa"
+                          " - phi_b_ppm * xb", 100000, "//")} AS rab
           FROM base, fits2 f
         ),
         sse AS (
@@ -7556,12 +7581,15 @@ def data_shapley(
     )
     res_cols = [
         F.expr(
-            f"(yv * 1000000 - {mu_cppm}) div 100000"
+            _sm_div(f"yv * 1000000 - {mu_cppm}", 100000)
         ).alias("r0")
     ] + [
         F.expr(
-            f"(yv * 1000000 - {coef.get(sid, (0, mu_cppm))[1]}"
-            f" - {coef.get(sid, (0, mu_cppm))[0]} * xv) div 100000"
+            _sm_div(
+                f"yv * 1000000 - {coef.get(sid, (0, mu_cppm))[1]}"
+                f" - {coef.get(sid, (0, mu_cppm))[0]} * xv",
+                100000,
+            )
         ).alias(f"r{sid}")
         for sid in range(1, 1 << k)
     ]
@@ -7647,11 +7675,16 @@ def data_shapley_oracle(
         for sid in range(1, 1 << k)
     )
     res_cols = ",\n                 ".join(
-        f"(yv * 1000000"
-        f" - COALESCE((SELECT c_cppm FROM coef2 WHERE sid = {sid}),"
-        f" mu.mu_cppm)"
-        f" - COALESCE((SELECT b_ppm FROM coef2 WHERE sid = {sid}), 0)"
-        f" * xv) // 100000 AS r{sid}"
+        _sm_div(
+            f"yv * 1000000"
+            f" - COALESCE((SELECT c_cppm FROM coef2 WHERE sid = {sid}),"
+            f" mu.mu_cppm)"
+            f" - COALESCE((SELECT b_ppm FROM coef2 WHERE sid = {sid}), 0)"
+            f" * xv",
+            100000,
+            "//",
+        )
+        + f" AS r{sid}"
         for sid in range(1, 1 << k)
     )
     full = (1 << k) - 1
@@ -7722,7 +7755,8 @@ def data_shapley_oracle(
           SELECT CASE WHEN n > 0 THEN (sy * 1000000) // n ELSE 0 END
             AS mu_cppm FROM gl),
         scored AS MATERIALIZED (
-          SELECT (yv * 1000000 - mu.mu_cppm) // 100000 AS r0,
+          SELECT {_sm_div("yv * 1000000 - mu.mu_cppm", 100000, "//")}
+                 AS r0,
                  {res_cols}
           FROM base CROSS JOIN mu),
         ssec AS MATERIALIZED (

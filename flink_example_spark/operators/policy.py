@@ -28,10 +28,13 @@ aggregation + the same read-time algebra (``ope_from_sums``).
 
 Scale: one pass over the log relation; per-context model state is
 context-sized (broadcast). Overflow bounds are documented per output
-(default cap: ~9.2e8 matched rows for the ``sum w^2`` diagnostic,
-~9.2e7 for the DR correction at max reward 2 — divide the weight cap
-or pre-scale rewards past that; the ESTIMATES themselves are
-n-invariant ratios).
+(default cap: ~9.2e8 matched rows — the ``sum w^2`` diagnostic is the
+binding term now that the SNIPS read uses the two-stage split form
+(:func:`_split_micro_div`; the bare ``(s_wr * 1e6) div s_w`` form
+capped out ~20x earlier, at ~4.6e7 rows at reward 2) — and ~4.6e7
+matched rows for the DR residual correction at max reward 2 (cap *
+2e6 per row). Divide the weight cap or pre-scale rewards past those;
+the ESTIMATES themselves are n-invariant ratios).
 """
 
 from __future__ import annotations
@@ -40,6 +43,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MICRO6 = 1_000_000
+
+
+def _split_micro_div(num: str, den: str, div: str = "div") -> str:
+    """Exact ``(num * 1e6) div den`` for non-negative ``num`` and
+    ``den > 0``, as a TWO-STAGE kilo split so no intermediate exceeds
+    ``den * 1000`` (DESIGN.md split-form rule, extended one stage: the
+    single split's remainder term ``rem * 1e6`` is still bounded only
+    by ``den * 1e6``, which grows with n here since ``den = s_w``).
+    Identity: with ``num = q*den + rem``, ``(num*1e6) div den =
+    q*1e6 + ((rem*1e3) div den)*1e3 + (((rem*1e3) % den)*1e3) div den``
+    — every term exact, so results (and parity hashes) are unchanged.
+    Lifts the SNIPS read's envelope past the s_w2 monoid bound
+    (~9.2e8 matched rows at the default cap), which is now binding.
+    ``div`` is the engine's integer-division token (Spark ``div``,
+    DuckDB ``//``)."""
+    r1 = f"(({num}) % ({den}))"
+    return (
+        f"(({num}) {div} ({den})) * 1000000"
+        f" + (({r1} * 1000) {div} ({den})) * 1000"
+        f" + ((({r1} * 1000) % ({den})) * 1000) {div} ({den})"
+    )
 
 # logging-policy propensity table for the synthetic fixture:
 # _P_TABLE[context][action] in micro units, each row sums to 1e6
@@ -188,7 +212,9 @@ def ope_from_sums(sums: DataFrame) -> DataFrame:
     (driver-record rule): ``(feature, value)`` with
 
     - ``v_ips_micro``   = ``(s_wr * 1000) div n`` (w is milli)
-    - ``v_snips_micro`` = ``(s_wr * 1e6) div s_w``
+    - ``v_snips_micro`` = exact ``(s_wr * 1e6) div s_w`` via the
+      two-stage split form (:func:`_split_micro_div` — no intermediate
+      exceeds ``s_w * 1000``, so the s_w2 monoid bound is binding)
     - ``ess_floor``     = ``s_w div (s_w2 div s_w)`` — the floored Kish
       ``(sum w)^2 / sum w^2`` computed divisions-first so no
       intermediate exceeds the sums themselves (the per-side-division
@@ -196,12 +222,12 @@ def ope_from_sums(sums: DataFrame) -> DataFrame:
     - ``match_rate_micro``, plus the raw ``n / n_match / s_w_milli``
       audit counters.
     """
+    snips = _split_micro_div("s_wr", "s_w")
     return sums.selectExpr(
         "stack(7,"
         " 'v_ips_micro',   CASE WHEN n > 0 THEN (s_wr * 1000) div n"
         "                  ELSE 0 END,"
-        " 'v_snips_micro', CASE WHEN s_w > 0 THEN (s_wr * 1000000)"
-        "                  div s_w ELSE 0 END,"
+        f" 'v_snips_micro', CASE WHEN s_w > 0 THEN {snips} ELSE 0 END,"
         " 'ess_floor',     CASE WHEN s_w2 > 0 THEN"
         "                  s_w div greatest(s_w2 div s_w, 1)"
         "                  ELSE 0 END,"
@@ -264,7 +290,9 @@ def ips_snips_oracle(
                CAST(CASE WHEN n > 0 THEN (s_wr * 1000) // n ELSE 0 END
                  AS BIGINT) AS value FROM sums
         UNION ALL SELECT 'v_snips_micro',
-               CASE WHEN s_w > 0 THEN (s_wr * 1000000) // s_w ELSE 0 END
+               CASE WHEN s_w > 0
+                 THEN {_split_micro_div("s_wr", "s_w", "//")}
+                 ELSE 0 END
                FROM sums
         UNION ALL SELECT 'ess_floor',
                CASE WHEN s_w2 > 0 THEN s_w // greatest(s_w2 // s_w, 1)
@@ -304,8 +332,9 @@ def dr_value(
     context; the residual term is the exact product ``w_milli *
     (r*1e6 - q_micro)`` summed as BIGINT (can be negative — the final
     division is sign-and-magnitude per DESIGN.md). Overflow:
-    ``|term| <= cap * max(r)*1e6`` per row — ~9.2e7 matched rows at the
-    default cap and reward <= 2; lower the cap past that.
+    ``|term| <= cap * max(r)*1e6`` per row — at the default cap and
+    reward <= 2 that is 2e11 per row, so ~4.6e7 matched rows; lower
+    the cap past that.
 
     Output (tall): ``v_dr_micro, v_dm_micro`` (direct method = model
     only), ``__n, __n_fallback_ctx``.
@@ -563,8 +592,8 @@ def ips_by_context(
         "ctx",
         "n",
         "n_match",
-        "CASE WHEN s_w > 0 THEN (s_wr * 1000000) div s_w ELSE 0 END"
-        " AS v_snips_micro",
+        f"CASE WHEN s_w > 0 THEN {_split_micro_div('s_wr', 's_w')}"
+        " ELSE 0 END AS v_snips_micro",
         "CASE WHEN s_w2 > 0 THEN s_w div greatest(s_w2 div s_w, 1)"
         " ELSE 0 END AS ess_floor",
     )
@@ -594,7 +623,8 @@ def ips_by_context_oracle(
                  CAST(SUM(w * w) AS BIGINT) AS s_w2
           FROM base GROUP BY ROLLUP (ctx))
         SELECT ctx, n, n_match,
-               CAST(CASE WHEN s_w > 0 THEN (s_wr * 1000000) // s_w
+               CAST(CASE WHEN s_w > 0
+                 THEN {_split_micro_div("s_wr", "s_w", "//")}
                  ELSE 0 END AS BIGINT) AS v_snips_micro,
                CAST(CASE WHEN s_w2 > 0 THEN
                  s_w // greatest(s_w2 // s_w, 1) ELSE 0 END AS BIGINT)

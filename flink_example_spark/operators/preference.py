@@ -360,8 +360,8 @@ def fleiss_kappa(
 
     Output (tall, scalar): ``('kappa_micro', v)``, ``('p_bar_micro',
     v)``, ``('p_e_micro', v)``, per-category ``('pcat_<cat>', p_micro)``
-    (controlled vocabulary — the string-keyed tall form CLAUDE.md
-    round 9 allows), audits ``__n_items``, ``__n_raters``,
+    (controlled vocabulary — the string-keyed tall form the DESIGN.md
+    round-9 rule allows), audits ``__n_items``, ``__n_raters``,
     ``__n_dropped_items``.
 
     Scale: one key-partitioned window (items), two hash aggregations.

@@ -479,9 +479,10 @@ def test_greedy_coverage_lazy_batching_matches_naive_greedy(spark):
         expect.append((r, best_d, best_gain, tot))
         covered |= sets[best_d]
 
+    stats: dict = {}
     got = sorted(
-        tuple(r) for r in greedy_coverage(df, k=k, n=1).collect()
+        tuple(r) for r in greedy_coverage(df, k=k, n=1, stats=stats).collect()
     )
     assert got == expect
-    n_rounds = greedy_coverage._last_distributed_rounds
+    n_rounds = stats["distributed_rounds"]
     assert n_rounds < len(expect), (n_rounds, len(expect))
