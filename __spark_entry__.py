@@ -7236,9 +7236,15 @@ DRIVER_KEYS = [
     # exercised by scalar_functions and the streaming twin; the slot
     # records the Kneser-Ney LM (the principled smoothing upgrade)
     "text_kn_surprisal",
-    # the O(block^2) jaccard baseline stays in extras; the slot records
-    # the batch CDC changelog apply (MERGE INTO) instead
-    "versioned_cdc_apply",
+    # round-12 rotation (VERDICT-r11 task 1): six slots point at the
+    # round-11 families so the driver records them first-hand; every
+    # displaced row keeps its class driver-exercised elsewhere and stays
+    # locally swept in extras.
+    # batch CDC apply moves to extras (T4 stays exercised by
+    # feature_latest + the streaming MERGE row streaming_cdc_apply); the
+    # slot records the exposure-gated experiment lift (first-exposure
+    # MIN monoid, pre-exposure outcomes excluded)
+    "ab_exposure_lift",
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",
     # keep-first materialization stays in extras (one anti-join over the
@@ -7255,17 +7261,33 @@ DRIVER_KEYS = [
     # effect estimator — the causal triad's representative (AIPW + overlap
     # stay locally swept)
     "causal_ipw_ate",
-    "ann_kmeans_centroids",
-    "embedding_near_dup",
+    # kmeans centroids move to extras (ANN stays 3-deep via
+    # cosine/ndcg/pca, and the PQ/IVF rows ride the same Lloyd core,
+    # locally swept); the slot records difference-in-differences — the
+    # experimentation arc's causal head (2x2 cell monoids, planted
+    # shared trend stripped; placebo QA stays in extras)
+    "causal_did",
+    # embedding_near_dup moves to extras (dedup stays 3-deep via
+    # minhash_lsh/minhash_clusters/paragraphs); the slot records the
+    # leave-one-out rater-quality scorecard — the annotator-QA family
+    # head, whose live twin shares the identical hash
+    "eval_rater_quality",
     # byte-stats row moves to extras (the REAL codec path keeps
     # multimodal driver-exercised); the slot records the exact-integer
     # gradient-boosted-stumps trainer
     "ml_gbm_stumps",
     # decode/frames (fake-feature paths) stay in extras — stats + the REAL
-    # codec path keep multimodal driver-exercised; the freed slots record
-    # the supervised NB classifier and graph community detection
-    "ml_nb_language",
-    "graph_label_prop",
+    # codec path keep multimodal driver-exercised.
+    # ml_nb_language moves to extras (supervised ML stays driver-exercised
+    # by gbm_stumps + ipw + the new did/shapley/exposure rows); the slot
+    # records the Hilbert-curve layout stats — the write-path family head
+    # (pure-integer 4-state machine, chained projections, no UDF)
+    "layout_hilbert_stats",
+    # graph_label_prop moves to extras (graph stays driver-exercised by
+    # the certificate-gated uncapped truss row); the slot records the
+    # exact data-source Shapley valuation — all 2^k subset OLS fits from
+    # ONE per-source sufficient-stat aggregation
+    "ml_data_shapley",
     # dedup_simhash moves to extras (minhash_lsh / minhash_clusters /
     # paragraphs / embedding_near_dup keep dedup driver-exercised 4-deep);
     # the slot records the certificate-gated UNCAPPED exact truss
@@ -7282,11 +7304,14 @@ DRIVER_KEYS = [
     # sketch (bit_or monoid words + probe-side pruning measurement)
     "sketch_bloom_filter",
     # sample/dist_stats stay in extras (portable-hash sampling and the
-    # moment stats are both exercised by other driver rows); the freed
-    # slots record the round-7 families: entity resolution and the
-    # time-series diagnostics' first driver appearance
+    # moment stats are both exercised by other driver rows); the slot
+    # records the round-7 entity-resolution family
     "entity_resolve",
-    "timeseries_acf",
+    # timeseries_acf moves to extras (time series stays driver-exercised
+    # by the RMST survival KPI); the slot records clipped IPS + SNIPS +
+    # Kish-ESS — the off-policy-evaluation family head, whose live twin
+    # shares the identical hash (streaming_policy_ips, locally swept)
+    "policy_ips_eval",
 ]
 
 
