@@ -91,22 +91,35 @@ def _multiply(df, mult: int, stride: int = 10_000_000):
         out = out.unionByName(
             df.withColumn("_entity", F.col("_entity") + F.lit(i * stride))
         )
-    return out.localCheckpoint()
+    # the harness's single-file parquet scan arrives in 1-2 partitions
+    # (DESIGN.md rule) — spread like cluster input before timing
+    return out.repartition(32).localCheckpoint()
 
 
 def _run(probes, versions, meter: ShuffleMeter, **kw) -> tuple[float, float, int]:
     meter.start()
     t0 = time.perf_counter()
-    n = asof_join(
+    out = asof_join(
         probes,
         versions,
         on="_entity",
         probe_time="_probe_time",
         version_time="_version_time",
         **kw,
-    ).count()
+    )
+    # checksum workload: materializes every matched value (a bare
+    # count() lets column pruning skip most of the join's output)
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.pmod(
+                F.xxhash64("_entity", "_probe_time", "state"),
+                F.lit(1_000_000_000),
+            )
+        ).alias("h"),
+    ).collect()[0]
     wall = time.perf_counter() - t0
-    return wall, meter.peak_mb(), n
+    return wall, meter.peak_mb(), int(row["n"])
 
 
 def main() -> None:
@@ -129,6 +142,8 @@ def main() -> None:
         .localCheckpoint()
     )
 
+    _run(probes, versions, meter, strategy="union")  # session warmup
+
     for mult in (1, 4, 8):
         p, v = _multiply(probes, mult), _multiply(versions, mult)
         for strat in ("union", "rank"):
@@ -140,28 +155,44 @@ def main() -> None:
                 flush=True,
             )
 
-    # skew variant at x4: 50 keys, ~60% of BOTH sides on key 0
-    skew = "CASE WHEN pmod(xxhash64(_entity), 10) < 6 THEN 0 ELSE pmod(_entity, 50) END"
-    p4 = (
-        _multiply(probes, 4)
-        .withColumn("_entity", F.expr(skew))
-        .localCheckpoint()
+    # Skew variants, 50-key space. The salt's documented regime is hot
+    # PROBES over a history whose TOTAL size is small next to the hot
+    # key's probe volume: the salted path replicates the WHOLE version
+    # relation salt times (asof.py::_asof_union_salted explodes every
+    # version row), so salt x |versions| must be cheaper than the
+    # serialized hot-partition work it removes. Both the winning regime
+    # (probes x64 with 90% on one key, history x1) and the anti-regime
+    # (history itself hot and x8) are probed, so the trade is measured,
+    # not asserted.
+    hot_probe = (
+        "CASE WHEN pmod(xxhash64(_entity), 10) < 9 THEN 0"
+        " ELSE pmod(_entity, 50) END"
     )
-    v4 = (
-        _multiply(versions, 4)
-        .withColumn("_entity", F.expr(skew))
-        .localCheckpoint()
-    )
-    for label, kw in (
-        ("unsalted", {"strategy": "union"}),
-        ("salt=8", {"strategy": "union", "salt": 8}),
+    uniform = "pmod(_entity, 50)"
+    for name, pmult, pexpr, vmult, vexpr in (
+        ("hot-probes/small-history x64", 64, hot_probe, 1, uniform),
+        ("hot-both x8", 8, hot_probe, 8, hot_probe),
     ):
-        wall, peak, n = _run(p4, v4, meter, **kw)
-        print(
-            f"skew x4 {label}: rows={n} wall={wall:.2f}s "
-            f"peak_shuffle={peak:.1f}MB",
-            flush=True,
+        ps = (
+            _multiply(probes, pmult)
+            .withColumn("_entity", F.expr(pexpr))
+            .localCheckpoint()
         )
+        vs = (
+            _multiply(versions, vmult)
+            .withColumn("_entity", F.expr(vexpr))
+            .localCheckpoint()
+        )
+        for label, kw in (
+            ("unsalted", {"strategy": "union"}),
+            ("salt=8", {"strategy": "union", "salt": 8}),
+        ):
+            wall, peak, n = _run(ps, vs, meter, **kw)
+            print(
+                f"skew {name} {label}: rows={n} wall={wall:.2f}s "
+                f"peak_shuffle={peak:.1f}MB",
+                flush=True,
+            )
     spark.stop()
 
 
