@@ -1256,6 +1256,7 @@ def pca_power(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_iter: int = 16,
+    solver: str = "driver",
 ) -> DataFrame:
     """Top principal component of the embedding matrix by distributed
     POWER ITERATION — the eigen-solver expressed entirely as joins and
@@ -1274,9 +1275,25 @@ def pca_power(
 
     Output: ``(i, loading, eigenvalue)`` — one row per dimension of the
     unit top eigenvector, eigenvalue via the Rayleigh quotient.
+
+    ``solver``: ``"driver"`` (default) collects the dim²-bounded cell
+    relation ONCE and runs the iteration as exact driver math — the
+    same integer-quantized sums (order-independent) and the same fixed
+    sequence of IEEE double ops, so the output is BIT-IDENTICAL to the
+    ``"distributed"`` join-based loop (pinned by
+    tests/test_similarity.py; the documented model-sized-collect
+    exception — dim² ≤ 4096 rows, vs 16 Spark jobs per component for
+    the distributed loop). The data-sized covariance shuffle stays
+    distributed in both.
     """
     cells, dim = _cov_cells(embeddings, id_col, vec_col)
     spark = embeddings.sparkSession
+    if solver == "driver":
+        cm = _collect_cells(cells)
+        rows = _power_top_rows(cm, dim, n_iter)
+        return spark.createDataFrame(
+            rows, "i long, loading double, eigenvalue double"
+        )
     return _power_top(spark, cells, dim, n_iter).select("i", "loading", "eigenvalue")
 
 
@@ -1320,6 +1337,53 @@ def _cov_cells(
         .localCheckpoint()
     )
     return cells, dim
+
+
+def _collect_cells(cells: DataFrame) -> dict[tuple[int, int], float]:
+    """Collect the (ci, cj, c) cell relation to the driver — dim²-bounded
+    (≤ 4096 rows at dim 64), the documented model-sized-collect
+    exception (BPE / Shapley precedent)."""
+    return {(int(r["ci"]), int(r["cj"])): float(r["c"]) for r in cells.collect()}
+
+
+def _q12(x: float) -> int:
+    """floor(x·1e12 + 0.5) — the exact Python mirror of the Spark/DuckDB
+    quantization (IEEE multiply, exact floor; true floor for negatives,
+    matching F.floor)."""
+    import math
+
+    return math.floor(x * 1e12 + 0.5)
+
+
+def _power_top_rows(
+    cm: dict[tuple[int, int], float], dim: int, n_iter: int
+) -> list[tuple[int, float, float]]:
+    """Driver-math power iteration over collected covariance cells —
+    arithmetic-identical to :func:`_power_top`: per-term 1e12 integer
+    quantization (sums order-independent), max-|w| rescale, Rayleigh
+    quotient; Python doubles ARE IEEE doubles and the op sequence is the
+    same, so outputs are bit-identical (pinned by test)."""
+    import math
+
+    v = [1.0] * dim
+
+    def w_of(v: list[float]) -> list[float]:
+        wq = [0] * dim
+        for (ci, cj), c in cm.items():
+            wq[ci] += _q12(c * v[cj])
+        return [q / 1e12 for q in wq]
+
+    for _ in range(n_iter):
+        w = w_of(v)
+        m = max(abs(x) for x in w)
+        v = [x / m for x in w]
+    w = w_of(v)
+    num = sum(_q12(v[i] * w[i]) for i in range(dim))
+    den = sum(_q12(v[i] * v[i]) for i in range(dim))
+    if den <= 0:
+        return []
+    nrm = math.sqrt(den / 1e12)
+    return [(i, v[i] / nrm, num / den) for i in range(dim)]
 
 
 def _power_top(spark, cells: DataFrame, dim: int, n_iter: int) -> DataFrame:
@@ -1376,6 +1440,7 @@ def pca_components(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_iter: int = 16,
+    solver: str = "driver",
 ) -> DataFrame:
     """Top-k principal components by power iteration + Hotelling
     DEFLATION: after extracting (λ, u), the covariance cells update to
@@ -1385,9 +1450,38 @@ def pca_components(
 
     Output: ``(component, i, loading, eigenvalue)`` — components ordered
     by extraction (descending eigenvalue).
+
+    ``solver="driver"`` (default): the dim²-bounded cells collect once
+    and the k × n_iter solve + deflation run as exact driver math,
+    bit-identical to the distributed join loop (see :func:`pca_power`;
+    pinned by tests/test_similarity.py). Cuts the solve from
+    ~k·n_iter Spark jobs to zero — the sweep's former single-row wall.
     """
     spark = embeddings.sparkSession
     cells, dim = _cov_cells(embeddings, id_col, vec_col)
+    if solver == "driver":
+        cm = _collect_cells(cells)
+        out_rows: list[tuple[int, int, float, float]] = []
+        for comp in range(n_components):
+            rows = _power_top_rows(cm, dim, n_iter)
+            out_rows.extend((comp, i, lo, ev) for i, lo, ev in rows)
+            if comp < n_components - 1:
+                if not rows:
+                    cm = {}
+                else:
+                    u = {i: lo for i, lo, _ in rows}
+                    ev = rows[0][2]
+                    # mirror the Spark deflation exactly: the join drops
+                    # cells whose ci/cj fell out of a rank-deficient top
+                    cm = {
+                        (ci, cj): c - ev * u[ci] * u[cj]
+                        for (ci, cj), c in cm.items()
+                        if ci in u and cj in u
+                    }
+        return spark.createDataFrame(
+            out_rows,
+            "component long, i long, loading double, eigenvalue double",
+        )
     outs = []
     for comp in range(n_components):
         top = _power_top(spark, cells, dim, n_iter).localCheckpoint()

@@ -925,6 +925,45 @@ def test_pca_components_orthogonal_descending(spark):
         assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-6
 
 
+def test_pca_driver_solver_bit_identical(spark):
+    """solver='driver' (collected dim²-cells + exact driver math) must
+    reproduce the distributed join-loop solver BIT-FOR-BIT — same
+    per-term 1e12 integer quantization (order-independent sums), same
+    fixed IEEE double op sequence. This equality is the hash-preserving
+    certificate for defaulting PCA rows to the driver solve."""
+    from flink_example_spark.operators.similarity import (
+        pca_components,
+        pca_power,
+    )
+
+    rows = []
+    for k in range(60):
+        v = [float(((k * 7 + d * 13) % 11) - 5) + 0.25 * d for d in range(12)]
+        rows.append((k, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(
+        tuple(r)
+        for r in pca_components(
+            df, n_components=3, n_iter=10, solver="driver"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in pca_components(
+            df, n_components=3, n_iter=10, solver="distributed"
+        ).collect()
+    )
+    assert a == b  # exact float equality, not approx
+    pa = sorted(
+        tuple(r) for r in pca_power(df, n_iter=10, solver="driver").collect()
+    )
+    pb = sorted(
+        tuple(r)
+        for r in pca_power(df, n_iter=10, solver="distributed").collect()
+    )
+    assert pa == pb
+
+
 def test_pca_topk_recall_against_exact(spark):
     """PCA-reduced shortlist + exact rerank: rerank scores must be
     bit-identical to exact cosine; recall@5 vs brute force high on
