@@ -3472,6 +3472,14 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.operators.policy",
             fromlist=["dr_value", "synth_policy_logs"],
         ).dr_value(_ope_logs_cached(spark, sf_dir)),
+        # SELF-NORMALIZED doubly-robust value: dr_value's residual
+        # correction normalized by the weight mass (the SNIPS idea
+        # applied to DR) — keeps double robustness, inherits SNIPS's
+        # variance discipline under noisy logged propensities
+        "policy_sndr_eval": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.policy",
+            fromlist=["sndr_value", "synth_policy_logs"],
+        ).sndr_value(_ope_logs_cached(spark, sf_dir)),
         # LIVE off-policy monitor: the five-sum OPE monoid in ONE
         # update-mode global aggregation, IPS/SNIPS/ESS algebra at read
         # — BIT-equal to the batch estimate (shares its oracle)
@@ -3617,6 +3625,35 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.operators.ml",
             fromlist=["ab_exposure_lift"],
         ).ab_exposure_lift(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "events")
+        ),
+        # switchback (time-randomized) experiment: md5-hash bucket arms,
+        # washout-head exclusion against carryover interference, both
+        # row-weighted and bucket-weighted (randomization-unit) reads
+        "ab_switchback": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml",
+            fromlist=["ab_switchback"],
+        ).ab_switchback(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "events")
+        ),
+        # LIVE switchback monitor: the per-(bucket, arm) monoid in ONE
+        # complete-mode aggregation, switchback_from_buckets at read —
+        # BIT-equal to batch ab_switchback (shares its oracle)
+        "streaming_switchback": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.ml_stream",
+            fromlist=["run_streaming_switchback"],
+        ).run_streaming_switchback(spark, sf_dir),
+        # cluster-randomized lift: per-cluster assignment, cluster-mean
+        # vs per-row reads side by side with chi-square-gated
+        # significance flags — the interference-aware SE discipline
+        "ab_cluster_lift": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml",
+            fromlist=["ab_cluster_lift"],
+        ).ab_cluster_lift(
             __import__(
                 "flink_example_spark.tables", fromlist=["load_table"]
             ).load_table(spark, sf_dir, "events")
@@ -5985,6 +6022,9 @@ def _northstar_oracles() -> dict[str, str]:
 
     out["policy_ips_eval"] = ips_snips_oracle(synth_policy_logs_sql())
     out["policy_dr_eval"] = dr_value_oracle(synth_policy_logs_sql())
+    from flink_example_spark.operators.policy import sndr_value_oracle
+
+    out["policy_sndr_eval"] = sndr_value_oracle(synth_policy_logs_sql())
     # live OPE monitor converges to the batch estimate exactly
     out["streaming_policy_ips"] = out["policy_ips_eval"]
     from flink_example_spark.operators.policy import (
@@ -6027,6 +6067,15 @@ def _northstar_oracles() -> dict[str, str]:
     from flink_example_spark.operators.ml import ab_exposure_lift_oracle
 
     out["ab_exposure_lift"] = ab_exposure_lift_oracle("events")
+    from flink_example_spark.operators.ml import (
+        ab_cluster_lift_oracle,
+        ab_switchback_oracle,
+    )
+
+    out["ab_switchback"] = ab_switchback_oracle("events")
+    # live switchback monitor converges to the batch estimate exactly
+    out["streaming_switchback"] = out["ab_switchback"]
+    out["ab_cluster_lift"] = ab_cluster_lift_oracle("events")
     from flink_example_spark.operators.ml import (
         causal_qte_oracle,
         did_estimate_oracle as _did_o,

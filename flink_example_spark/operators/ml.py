@@ -7321,6 +7321,426 @@ def ab_exposure_lift_oracle(
     """
 
 
+def switchback_buckets(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_minutes: int = 60,
+    washout_minutes: int = 10,
+) -> DataFrame:
+    """The switchback monoid: per-(time-bucket, arm) counters for a
+    TIME-randomized experiment — the design used when treating one unit
+    treats its neighbors too (marketplace pricing, ranking, dispatch),
+    so unit-randomization is invalid and whole time slices alternate
+    arms instead.
+
+    Mechanics: bucket = integer micros div bucket span (the round-6
+    portable time rule: ``unix_micros(cast ts)`` ↔ ``epoch_us``); arm =
+    md5 hash bucket % 2 (the portable-hash device — deterministic
+    time-slice randomization, no RNG state); rows inside the first
+    ``washout_minutes`` of each bucket are EXCLUDED from the counters
+    (they still carry the previous slice's treatment — the carryover
+    interference the design exists to contain) but counted in ``n_exc``.
+    Outcomes quantize to micro BEFORE summation (quantize-before-sum).
+
+    Output per (bucket, arm): ``(bucket, arm, n_inc, s_inc, n_exc)`` —
+    commutative sums, so this IS the live-twin state shape.
+
+    Scale: ONE map-side-combined aggregation keyed by time bucket
+    (bounded by the observation span, never data-sized).
+    """
+    b_us = bucket_minutes * 60_000_000
+    w_us = washout_minutes * 60_000_000
+    return (
+        events.select(
+            F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))").alias("__us"),
+            F.expr(
+                f"CAST(floor({value_col} * 1000000 + 0.5) AS BIGINT)"
+            ).alias("__yq"),
+        )
+        .select(
+            F.expr(f"__us div {b_us}").alias("bucket"),
+            F.expr(
+                "CAST(conv(substr(md5(CAST(__us div "
+                f"{b_us} AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"
+            ).alias("arm"),
+            F.expr(f"CAST(__us % {b_us} >= {w_us} AS BIGINT)").alias("__inc"),
+            F.col("__yq"),
+        )
+        .groupBy("bucket", "arm")
+        .agg(
+            F.sum("__inc").cast("long").alias("n_inc"),
+            F.sum(F.col("__inc") * F.col("__yq")).cast("long").alias("s_inc"),
+            F.sum(1 - F.col("__inc")).cast("long").alias("n_exc"),
+        )
+    )
+
+
+def switchback_from_buckets(buckets: DataFrame) -> DataFrame:
+    """Read-time algebra over the :func:`switchback_buckets` monoid —
+    the shared core of the batch row and the live twin. Two estimates
+    per arm pair: ROW-weighted (plain mean over included rows) and
+    BUCKET-weighted (mean of per-bucket means — each randomization unit
+    counts once, the switchback-correct read; buckets with zero
+    included rows drop out). All divisions sign-and-magnitude
+    (:func:`_sm_div` — outcome sums may be negative).
+
+    Output (tall): bucket/row counts per arm, ``n_rows_excluded``,
+    row-weighted means + lift, bucket-weighted means + lift (micro).
+    """
+    bm = buckets.select(
+        "arm",
+        "n_inc",
+        "s_inc",
+        "n_exc",
+        F.expr(
+            "CASE WHEN n_inc > 0 THEN "
+            + _sm_div("s_inc", "n_inc")
+            + " ELSE 0 END"
+        ).alias("bm"),
+        F.expr("CAST(n_inc > 0 AS BIGINT)").alias("live"),
+    )
+    g = bm.agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN arm = {a} THEN {c} ELSE 0 END"))
+            .cast("long")
+            .alias(f"{n}_{t}")
+            for a, t in ((0, "a"), (1, "b"))
+            for n, c in (
+                ("nb", "live"),
+                ("nr", "n_inc"),
+                ("sr", "s_inc"),
+                ("sbm", "bm"),
+            )
+        ],
+        F.sum("n_exc").cast("long").alias("n_exc"),
+    )
+    mr = lambda t: (  # noqa: E731
+        f"CASE WHEN nr_{t} > 0 THEN "
+        + _sm_div(f"sr_{t}", f"nr_{t}")
+        + " ELSE 0 END"
+    )
+    mb = lambda t: (  # noqa: E731
+        f"CASE WHEN nb_{t} > 0 THEN "
+        + _sm_div(f"sbm_{t}", f"nb_{t}")
+        + " ELSE 0 END"
+    )
+    return g.selectExpr(
+        "stack(11,"
+        " 'n_buckets_a', nb_a,"
+        " 'n_buckets_b', nb_b,"
+        " 'n_rows_a', nr_a,"
+        " 'n_rows_b', nr_b,"
+        " 'n_rows_excluded', n_exc,"
+        f" 'mean_rows_a_micro', {mr('a')},"
+        f" 'mean_rows_b_micro', {mr('b')},"
+        f" 'lift_rows_micro', ({mr('a')}) - ({mr('b')}),"
+        f" 'mean_buckets_a_micro', {mb('a')},"
+        f" 'mean_buckets_b_micro', {mb('b')},"
+        f" 'lift_buckets_micro', ({mb('a')}) - ({mb('b')})"
+        ") AS (feature, value)"
+    ).select("feature", F.col("value").cast("long"))
+
+
+def ab_switchback(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_minutes: int = 60,
+    washout_minutes: int = 10,
+) -> DataFrame:
+    """Switchback (time-randomized) experiment analysis — see
+    :func:`switchback_buckets` for the design and
+    :func:`switchback_from_buckets` for the read. Estimator-quality
+    pin (tests/test_ml.py): with a planted carryover effect bleeding
+    into each bucket's head, washout=0 is biased toward zero and the
+    washout read recovers the exact planted lift."""
+    return switchback_from_buckets(
+        switchback_buckets(
+            events, ts_col, value_col, bucket_minutes, washout_minutes
+        )
+    )
+
+
+def ab_switchback_oracle(
+    events_table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_minutes: int = 60,
+    washout_minutes: int = 10,
+) -> str:
+    """DuckDB twin of :func:`ab_switchback` (identical bucket hash,
+    washout gate, micro quantization, sign-and-magnitude reads)."""
+    b_us = bucket_minutes * 60_000_000
+    w_us = washout_minutes * 60_000_000
+    mr = lambda t: (  # noqa: E731
+        f"CASE WHEN nr_{t} > 0 THEN "
+        + _sm_div(f"sr_{t}", f"nr_{t}", "//")
+        + " ELSE 0 END"
+    )
+    mb = lambda t: (  # noqa: E731
+        f"CASE WHEN nb_{t} > 0 THEN "
+        + _sm_div(f"sbm_{t}", f"nb_{t}", "//")
+        + " ELSE 0 END"
+    )
+    arm_sums = ",\n                 ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN arm = {a} THEN {c} ELSE 0 END), 0)"
+        f" AS BIGINT) AS {n}_{t}"
+        for a, t in ((0, "a"), (1, "b"))
+        for n, c in (
+            ("nb", "live"),
+            ("nr", "n_inc"),
+            ("sr", "s_inc"),
+            ("sbm", "bm"),
+        )
+    )
+    return f"""
+        WITH rows_q AS MATERIALIZED (
+          SELECT epoch_us({ts_col}) // {b_us} AS bucket,
+                 CAST(concat('0x', substr(md5(CAST(epoch_us({ts_col})
+                   // {b_us} AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS arm,
+                 CASE WHEN epoch_us({ts_col}) % {b_us} >= {w_us}
+                   THEN 1 ELSE 0 END AS inc,
+                 CAST(floor({value_col} * 1000000 + 0.5) AS BIGINT) AS yq
+          FROM {events_table}),
+        buckets AS MATERIALIZED (
+          SELECT bucket, arm,
+                 CAST(SUM(inc) AS BIGINT) AS n_inc,
+                 CAST(SUM(inc * yq) AS BIGINT) AS s_inc,
+                 CAST(SUM(1 - inc) AS BIGINT) AS n_exc
+          FROM rows_q GROUP BY 1, 2),
+        bm AS MATERIALIZED (
+          SELECT arm, n_inc, s_inc, n_exc,
+                 CASE WHEN n_inc > 0 THEN
+                   {_sm_div("s_inc", "n_inc", "//")} ELSE 0 END AS bm,
+                 CASE WHEN n_inc > 0 THEN 1 ELSE 0 END AS live
+          FROM buckets),
+        g AS MATERIALIZED (
+          SELECT {arm_sums},
+                 CAST(COALESCE(SUM(n_exc), 0) AS BIGINT) AS n_exc
+          FROM bm)
+        SELECT 'n_buckets_a' AS feature, CAST(nb_a AS BIGINT) AS value
+        FROM g
+        UNION ALL SELECT 'n_buckets_b', nb_b FROM g
+        UNION ALL SELECT 'n_rows_a', nr_a FROM g
+        UNION ALL SELECT 'n_rows_b', nr_b FROM g
+        UNION ALL SELECT 'n_rows_excluded', n_exc FROM g
+        UNION ALL SELECT 'mean_rows_a_micro', CAST({mr('a')} AS BIGINT)
+          FROM g
+        UNION ALL SELECT 'mean_rows_b_micro', CAST({mr('b')} AS BIGINT)
+          FROM g
+        UNION ALL SELECT 'lift_rows_micro',
+          CAST(({mr('a')}) - ({mr('b')}) AS BIGINT) FROM g
+        UNION ALL SELECT 'mean_buckets_a_micro',
+          CAST({mb('a')} AS BIGINT) FROM g
+        UNION ALL SELECT 'mean_buckets_b_micro',
+          CAST({mb('b')} AS BIGINT) FROM g
+        UNION ALL SELECT 'lift_buckets_micro',
+          CAST(({mb('a')}) - ({mb('b')}) AS BIGINT) FROM g
+    """
+
+
+def ab_cluster_lift(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cluster-randomized lift — the interference-aware counterpart of
+    the per-row A/B read: when treatment assigns at the CLUSTER level
+    (user, store, region), rows within a cluster are correlated and the
+    per-row standard error is falsely tight. Reports BOTH reads so the
+    design effect is visible, plus chi-square-style significance flags
+    from each: with strong intra-cluster correlation the naive flag
+    fires on pure noise while the cluster flag (the valid one) does not
+    (pinned by tests/test_ml.py).
+
+    Integer discipline: outcomes quantize to MILLI before any sum
+    (squares must fit: ``m2 <= n * ym^2`` — ~9.2e6 rows at |value| <=
+    1000; drop to centi past that). Variances use the overflow-free
+    per-term form ``m2 div n - mean^2`` (floored — the contract, both
+    engines); cluster means, arm means and lifts are sign-and-magnitude
+    (:func:`_sm_div`). SE^2 of the lift is the per-side-division form;
+    the significance gate is ``lift^2 * 1e6 > 3841459 * se2`` (embedded
+    chi-square(1) critical value — the srm_check device).
+
+    Output (tall): ``n_clusters_a/b, n_rows_a/b, lift_cluster_milli,
+    lift_naive_milli, se2_cluster_milli2, se2_naive_milli2,
+    sig_cluster, sig_naive``.
+
+    Scale: one per-cluster aggregation (key-partitioned) + one
+    arm-level rollup — two map-side-combined shuffles, state
+    cluster-sized then O(1).
+    """
+    per = (
+        events.select(
+            F.col(key_col).cast("long").alias("__k"),
+            F.expr(
+                f"CAST(floor({value_col} * 1000 + 0.5) AS BIGINT)"
+            ).alias("__ym"),
+        )
+        .groupBy("__k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__ym").cast("long").alias("s"),
+            F.sum(F.col("__ym") * F.col("__ym")).cast("long").alias("s2"),
+        )
+        .select(
+            F.expr("__k % 2").alias("arm"),
+            "n",
+            "s",
+            "s2",
+            F.expr(_sm_div("s", "n")).alias("vm"),
+        )
+    )
+    g = per.agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN arm = {a} THEN {c} ELSE 0 END"))
+            .cast("long")
+            .alias(f"{nm}_{t}")
+            for a, t in ((0, "a"), (1, "b"))
+            for nm, c in (
+                ("nc", "1"),
+                ("nr", "n"),
+                ("sr", "s"),
+                ("sr2", "s2"),
+                ("svm", "vm"),
+                ("svm2", "vm * vm"),
+            )
+        ]
+    )
+    cm = lambda t: (  # noqa: E731
+        f"CASE WHEN nc_{t} > 0 THEN "
+        + _sm_div(f"svm_{t}", f"nc_{t}")
+        + " ELSE 0 END"
+    )
+    rm = lambda t: (  # noqa: E731
+        f"CASE WHEN nr_{t} > 0 THEN "
+        + _sm_div(f"sr_{t}", f"nr_{t}")
+        + " ELSE 0 END"
+    )
+    var_c = lambda t: (  # noqa: E731
+        f"CASE WHEN nc_{t} > 0 THEN greatest("
+        f"svm2_{t} div nc_{t} - ({cm(t)}) * ({cm(t)}), 0) ELSE 0 END"
+    )
+    var_r = lambda t: (  # noqa: E731
+        f"CASE WHEN nr_{t} > 0 THEN greatest("
+        f"sr2_{t} div nr_{t} - ({rm(t)}) * ({rm(t)}), 0) ELSE 0 END"
+    )
+    lift_c = f"({cm('a')}) - ({cm('b')})"
+    lift_r = f"({rm('a')}) - ({rm('b')})"
+    se2_c = (
+        f"(CASE WHEN nc_a > 0 THEN ({var_c('a')}) div nc_a ELSE 0 END)"
+        f" + (CASE WHEN nc_b > 0 THEN ({var_c('b')}) div nc_b ELSE 0 END)"
+    )
+    se2_r = (
+        f"(CASE WHEN nr_a > 0 THEN ({var_r('a')}) div nr_a ELSE 0 END)"
+        f" + (CASE WHEN nr_b > 0 THEN ({var_r('b')}) div nr_b ELSE 0 END)"
+    )
+    return g.selectExpr(
+        "stack(10,"
+        " 'n_clusters_a', nc_a,"
+        " 'n_clusters_b', nc_b,"
+        " 'n_rows_a', nr_a,"
+        " 'n_rows_b', nr_b,"
+        f" 'lift_cluster_milli', {lift_c},"
+        f" 'lift_naive_milli', {lift_r},"
+        f" 'se2_cluster_milli2', {se2_c},"
+        f" 'se2_naive_milli2', {se2_r},"
+        f" 'sig_cluster', CAST(({lift_c}) * ({lift_c}) * 1000000"
+        f"   > 3841459 * ({se2_c}) AS BIGINT),"
+        f" 'sig_naive', CAST(({lift_r}) * ({lift_r}) * 1000000"
+        f"   > 3841459 * ({se2_r}) AS BIGINT)"
+        ") AS (feature, value)"
+    ).select("feature", F.col("value").cast("long"))
+
+
+def ab_cluster_lift_oracle(
+    events_table: str = "events",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`ab_cluster_lift` (identical milli
+    quantization, per-term variance form, sign-and-magnitude reads,
+    embedded chi-square gate)."""
+    arm_sums = ",\n                 ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN arm = {a} THEN {c} ELSE 0 END), 0)"
+        f" AS BIGINT) AS {nm}_{t}"
+        for a, t in ((0, "a"), (1, "b"))
+        for nm, c in (
+            ("nc", "1"),
+            ("nr", "n"),
+            ("sr", "s"),
+            ("sr2", "s2"),
+            ("svm", "vm"),
+            ("svm2", "vm * vm"),
+        )
+    )
+    cm = lambda t: (  # noqa: E731
+        f"CASE WHEN nc_{t} > 0 THEN "
+        + _sm_div(f"svm_{t}", f"nc_{t}", "//")
+        + " ELSE 0 END"
+    )
+    rm = lambda t: (  # noqa: E731
+        f"CASE WHEN nr_{t} > 0 THEN "
+        + _sm_div(f"sr_{t}", f"nr_{t}", "//")
+        + " ELSE 0 END"
+    )
+    var_c = lambda t: (  # noqa: E731
+        f"CASE WHEN nc_{t} > 0 THEN greatest("
+        f"svm2_{t} // nc_{t} - ({cm(t)}) * ({cm(t)}), 0) ELSE 0 END"
+    )
+    var_r = lambda t: (  # noqa: E731
+        f"CASE WHEN nr_{t} > 0 THEN greatest("
+        f"sr2_{t} // nr_{t} - ({rm(t)}) * ({rm(t)}), 0) ELSE 0 END"
+    )
+    lift_c = f"({cm('a')}) - ({cm('b')})"
+    lift_r = f"({rm('a')}) - ({rm('b')})"
+    se2_c = (
+        f"(CASE WHEN nc_a > 0 THEN ({var_c('a')}) // nc_a ELSE 0 END)"
+        f" + (CASE WHEN nc_b > 0 THEN ({var_c('b')}) // nc_b ELSE 0 END)"
+    )
+    se2_r = (
+        f"(CASE WHEN nr_a > 0 THEN ({var_r('a')}) // nr_a ELSE 0 END)"
+        f" + (CASE WHEN nr_b > 0 THEN ({var_r('b')}) // nr_b ELSE 0 END)"
+    )
+    return f"""
+        WITH per AS MATERIALIZED (
+          SELECT k % 2 AS arm,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(ym) AS BIGINT) AS s,
+                 CAST(SUM(ym * ym) AS BIGINT) AS s2,
+                 {_sm_div("CAST(SUM(ym) AS BIGINT)",
+                          "CAST(COUNT(*) AS BIGINT)", "//")} AS vm
+          FROM (SELECT CAST({key_col} AS BIGINT) AS k,
+                       CAST(floor({value_col} * 1000 + 0.5) AS BIGINT)
+                         AS ym
+                FROM {events_table})
+          GROUP BY k),
+        g AS MATERIALIZED (
+          SELECT {arm_sums}
+          FROM per)
+        SELECT 'n_clusters_a' AS feature, CAST(nc_a AS BIGINT) AS value
+        FROM g
+        UNION ALL SELECT 'n_clusters_b', nc_b FROM g
+        UNION ALL SELECT 'n_rows_a', nr_a FROM g
+        UNION ALL SELECT 'n_rows_b', nr_b FROM g
+        UNION ALL SELECT 'lift_cluster_milli',
+          CAST({lift_c} AS BIGINT) FROM g
+        UNION ALL SELECT 'lift_naive_milli',
+          CAST({lift_r} AS BIGINT) FROM g
+        UNION ALL SELECT 'se2_cluster_milli2',
+          CAST({se2_c} AS BIGINT) FROM g
+        UNION ALL SELECT 'se2_naive_milli2',
+          CAST({se2_r} AS BIGINT) FROM g
+        UNION ALL SELECT 'sig_cluster',
+          CAST(CASE WHEN ({lift_c}) * ({lift_c}) * 1000000
+            > 3841459 * ({se2_c}) THEN 1 ELSE 0 END AS BIGINT) FROM g
+        UNION ALL SELECT 'sig_naive',
+          CAST(CASE WHEN ({lift_r}) * ({lift_r}) * 1000000
+            > 3841459 * ({se2_r}) THEN 1 ELSE 0 END AS BIGINT) FROM g
+    """
+
+
 def causal_qte(
     events: DataFrame,
     key_col: str = "user_id",

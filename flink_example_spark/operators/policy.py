@@ -306,6 +306,38 @@ def ips_snips_oracle(
     """
 
 
+def _ctx_outcome_model(logs: DataFrame, ctx_col: str, m, r) -> DataFrame:
+    """The per-context direct-method outcome model shared by
+    :func:`dr_value` and :func:`sndr_value`: ``q(x)`` = mean reward
+    (micro) over the on-policy slice (rows where the logged action
+    already equals the target), with contexts lacking any matched row
+    falling back to the global matched mean (``is_fallback`` audits
+    how many). Context-sized; lineage cut (multi-consumer rule)."""
+    per_ctx = (
+        logs.select(F.col(ctx_col).alias("__x"), m.alias("__m"), r.alias("__r"))
+        .groupBy("__x")
+        .agg(
+            F.sum("__m").alias("nm"),
+            F.sum(F.col("__m") * F.col("__r")).alias("sr"),
+        )
+        # context-sized; cut lineage — it feeds glob, q, AND the
+        # fallback audit (the multi-consumer rule)
+        .localCheckpoint(eager=True)
+    )
+    glob = per_ctx.agg(
+        F.sum("nm").alias("g_nm"), F.sum("sr").alias("g_sr")
+    )
+    return per_ctx.crossJoin(F.broadcast(glob)).select(
+        "__x",
+        F.expr(
+            "CASE WHEN nm > 0 THEN (sr * 1000000) div nm"
+            " WHEN g_nm > 0 THEN (g_sr * 1000000) div g_nm"
+            " ELSE 0 END"
+        ).alias("q_micro"),
+        F.expr("CAST(nm = 0 AS BIGINT)").alias("is_fallback"),
+    )
+
+
 def dr_value(
     logs: DataFrame,
     ctx_col: str = "x",
@@ -349,29 +381,7 @@ def dr_value(
         f" CAST({w_cap_milli} AS BIGINT)) ELSE 0 END"
     )
     r = F.col(r_col).cast("long")
-    per_ctx = (
-        logs.select(F.col(ctx_col).alias("__x"), m.alias("__m"), r.alias("__r"))
-        .groupBy("__x")
-        .agg(
-            F.sum("__m").alias("nm"),
-            F.sum(F.col("__m") * F.col("__r")).alias("sr"),
-        )
-        # context-sized; cut lineage — it feeds glob, q, AND the
-        # fallback audit (the multi-consumer rule)
-        .localCheckpoint(eager=True)
-    )
-    glob = per_ctx.agg(
-        F.sum("nm").alias("g_nm"), F.sum("sr").alias("g_sr")
-    )
-    q = per_ctx.crossJoin(F.broadcast(glob)).select(
-        "__x",
-        F.expr(
-            "CASE WHEN nm > 0 THEN (sr * 1000000) div nm"
-            " WHEN g_nm > 0 THEN (g_sr * 1000000) div g_nm"
-            " ELSE 0 END"
-        ).alias("q_micro"),
-        F.expr("CAST(nm = 0 AS BIGINT)").alias("is_fallback"),
-    )
+    q = _ctx_outcome_model(logs, ctx_col, m, r)
     scored = (
         logs.select(
             F.col(ctx_col).alias("__x"),
@@ -449,6 +459,144 @@ def dr_value_oracle(
         UNION ALL SELECT 'v_dm_micro',
                CASE WHEN n > 0 THEN s_q // n ELSE 0 END FROM scored
         UNION ALL SELECT '__n', n FROM scored
+        UNION ALL SELECT '__n_fallback_ctx', n_fb FROM scored, nf
+    """
+
+
+def sndr_value(
+    logs: DataFrame,
+    ctx_col: str = "x",
+    p_col: str = "p_micro",
+    r_col: str = "reward",
+    a_col: str = "a",
+    target_col: str = "a_target",
+    w_cap_milli: int = 100_000,
+) -> DataFrame:
+    """SELF-NORMALIZED doubly-robust off-policy value — :func:`dr_value`
+    with the IPS residual correction normalized by the weight mass
+    instead of n (the SNIPS idea applied to the DR correction)::
+
+        V_SNDR = (1/n) sum_i q(x_i)  +  sum_i w_i (r_i - q(x_i))
+                                        ---------------------------
+                                              sum_i w_i
+
+    Keeps DR's double robustness (consistent if EITHER the model or
+    the propensities are right) while inheriting SNIPS's variance
+    discipline: a handful of huge weights can no longer swing the
+    correction term's scale, only its direction — the production
+    default when logged propensities are noisy.
+
+    Integer discipline: shares :func:`_ctx_outcome_model` with
+    dr_value (identical q table + fallback audit); the correction sum
+    is the same exact BIGINT ``w_milli * (r*1e6 - q_micro)`` products,
+    divided once by ``s_w`` (milli / milli -> micro) in
+    sign-and-magnitude form (the numerator can be negative). Overflow:
+    same ~4.6e7-matched-rows bound as dr_value's correction at the
+    default cap and reward <= 2.
+
+    Output (tall): ``v_sndr_micro`` (= v_dm + corr), ``v_dm_micro``,
+    ``corr_sn_micro``, ``__n``, ``__s_w_milli``, ``__n_fallback_ctx``.
+
+    Scale: one context-sized aggregation (broadcast back) + one scoring
+    pass — two shuffles total, state context-sized (dr_value's shape).
+    """
+    m = F.expr(f"CAST({a_col} = {target_col} AS BIGINT)")
+    w = F.expr(
+        f"CASE WHEN {a_col} = {target_col} THEN"
+        f" least(1000000000 div greatest({p_col}, 1),"
+        f" CAST({w_cap_milli} AS BIGINT)) ELSE 0 END"
+    )
+    r = F.col(r_col).cast("long")
+    q = _ctx_outcome_model(logs, ctx_col, m, r)
+    scored = (
+        logs.select(
+            F.col(ctx_col).alias("__x"),
+            w.alias("__w"),
+            r.alias("__r"),
+        )
+        .join(F.broadcast(q.select("__x", "q_micro")), "__x")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__w").cast("long").alias("s_w"),
+            F.sum("q_micro").cast("long").alias("s_q"),
+            F.sum(
+                F.col("__w") * (F.col("__r") * F.lit(MICRO6) - F.col("q_micro"))
+            ).cast("long").alias("s_corr"),
+        )
+    )
+    nf = q.agg(F.sum("is_fallback").cast("long").alias("n_fb"))
+    dm = "CASE WHEN n > 0 THEN s_q div n ELSE 0 END"
+    corr = (
+        "CASE WHEN s_w > 0 THEN"
+        " (CASE WHEN s_corr >= 0 THEN 1 ELSE -1 END)"
+        " * (abs(s_corr) div s_w) ELSE 0 END"
+    )
+    return scored.crossJoin(F.broadcast(nf)).selectExpr(
+        "stack(6,"
+        f" 'v_sndr_micro', ({dm}) + ({corr}),"
+        f" 'v_dm_micro', {dm},"
+        f" 'corr_sn_micro', {corr},"
+        " '__n', n,"
+        " '__s_w_milli', s_w,"
+        " '__n_fallback_ctx', n_fb"
+        ") AS (feature, value)"
+    ).select("feature", F.col("value").cast("long"))
+
+
+def sndr_value_oracle(
+    logs_sql: str, w_cap_milli: int = 100_000
+) -> str:
+    """DuckDB twin of :func:`sndr_value` (identical q table, residual
+    products, sign-and-magnitude weight-mass division)."""
+    dm = "CASE WHEN n > 0 THEN s_q // n ELSE 0 END"
+    corr = (
+        "CASE WHEN s_w > 0 THEN"
+        " (CASE WHEN s_corr >= 0 THEN 1 ELSE -1 END)"
+        " * (abs(s_corr) // s_w) ELSE 0 END"
+    )
+    return f"""
+        WITH logs AS MATERIALIZED (
+          SELECT x, a, p_micro, a_target, CAST(reward AS BIGINT) AS r,
+                 CASE WHEN a = a_target THEN
+                   least(1000000000 // greatest(p_micro, 1),
+                         CAST({w_cap_milli} AS BIGINT))
+                 ELSE 0 END AS w
+          FROM ({logs_sql})),
+        per_ctx AS MATERIALIZED (
+          SELECT x AS cx,
+                 CAST(SUM(CASE WHEN a = a_target THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nm,
+                 CAST(SUM(CASE WHEN a = a_target THEN r ELSE 0 END)
+                   AS BIGINT) AS sr
+          FROM logs GROUP BY 1),
+        gtot AS MATERIALIZED (
+          SELECT CAST(SUM(nm) AS BIGINT) AS g_nm,
+                 CAST(SUM(sr) AS BIGINT) AS g_sr
+          FROM per_ctx),
+        q AS MATERIALIZED (
+          SELECT cx,
+                 CASE WHEN nm > 0 THEN (sr * 1000000) // nm
+                      WHEN g_nm > 0 THEN (g_sr * 1000000) // g_nm
+                      ELSE 0 END AS q_micro,
+                 CASE WHEN nm = 0 THEN 1 ELSE 0 END AS is_fallback
+          FROM per_ctx, gtot),
+        scored AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COALESCE(SUM(w), 0) AS BIGINT) AS s_w,
+                 CAST(COALESCE(SUM(q_micro), 0) AS BIGINT) AS s_q,
+                 CAST(COALESCE(SUM(w * (r * 1000000 - q_micro)), 0)
+                   AS BIGINT) AS s_corr
+          FROM logs JOIN q ON logs.x = q.cx),
+        nf AS MATERIALIZED (
+          SELECT CAST(COALESCE(SUM(is_fallback), 0) AS BIGINT) AS n_fb
+          FROM q)
+        SELECT 'v_sndr_micro' AS feature,
+               CAST(({dm}) + ({corr}) AS BIGINT) AS value FROM scored
+        UNION ALL SELECT 'v_dm_micro', {dm} FROM scored
+        UNION ALL SELECT 'corr_sn_micro', CAST({corr} AS BIGINT)
+          FROM scored
+        UNION ALL SELECT '__n', n FROM scored
+        UNION ALL SELECT '__s_w_milli', s_w FROM scored
         UNION ALL SELECT '__n_fallback_ctx', n_fb FROM scored, nf
     """
 

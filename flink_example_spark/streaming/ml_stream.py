@@ -701,6 +701,51 @@ def run_streaming_logistic_inference(
     return spark.table(name)
 
 
+def run_streaming_switchback(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """LIVE switchback monitor: the per-(time-bucket, arm) counters of
+    :func:`~flink_example_spark.operators.ml.switchback_buckets` are
+    commutative sums keyed by static bucket attributes — ONE
+    COMPLETE-mode aggregation holds them (complete, not update+max:
+    ``s_inc`` is not monotone when outcomes can be negative, and the
+    complete-mode memory sink replaces the table with the final state),
+    and the shared read algebra
+    (:func:`~flink_example_spark.operators.ml.switchback_from_buckets`)
+    runs on top — hash-identical to batch ``ab_switchback`` (shares its
+    oracle)."""
+    from flink_example_spark.operators.ml import (
+        switchback_buckets,
+        switchback_from_buckets,
+    )
+    from flink_example_spark.streaming.staging import stage_table_by_key
+    from flink_example_spark.tables import normalize_ts
+
+    tune(spark)
+    tmpdir, schema = stage_table_by_key(
+        spark, sf_dir, "events", "event_id", chunks
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/chunk_*")
+    )
+    buckets = switchback_buckets(normalize_ts(stream, "ts"))
+    name = f"stream_swb_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            buckets.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = spark.table(name)
+    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    return switchback_from_buckets(fresh)
+
+
 def run_streaming_did(
     spark: SparkSession,
     sf_dir: str,

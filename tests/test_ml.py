@@ -1553,3 +1553,113 @@ def test_data_shapley_efficiency_axiom_iid_sources(spark):
     # efficiency: sum == 24 * r2_full; recover r2_full via the loo+solo
     # identity is lossy, so just check the sum is 24 * (~1.0 fit)
     assert abs(sum(shaps) - 24 * 1_000_000) < 24 * 6_000
+
+
+def _swb_arm(bucket: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(bucket).encode()).hexdigest()[:8], 16) % 2
+
+
+def _swb_events(spark):
+    """Switchback fixture: 20 hourly buckets (100..119), body rows carry
+    the CURRENT bucket's arm effect (10.0 if arm==1), head rows (first
+    10 min) carry the PREVIOUS bucket's — planted carryover."""
+    from datetime import datetime, timezone
+
+    rows = []
+    for k in range(100, 120):
+        eff = lambda a: 10.0 if a == 1 else 0.0  # noqa: E731
+        for minute, carry in ((2, True), (5, True), (15, False), (30, False), (45, False)):
+            a = _swb_arm(k - 1) if carry else _swb_arm(k)
+            ts = datetime.fromtimestamp(k * 3600 + minute * 60, tz=timezone.utc).replace(tzinfo=None)
+            rows.append((ts, eff(a)))
+    return spark.createDataFrame(rows, "ts timestamp, value double"), rows
+
+
+def test_switchback_washout_strips_carryover(spark):
+    """Quality pin: the washout read recovers the EXACT planted lift
+    (-10.0: arm 0 mean 0, arm 1 mean 10) on both the row-weighted and
+    bucket-weighted estimates; the washout=0 naive read is contaminated
+    by the carryover head rows and strictly attenuated. DuckDB parity
+    on the same fixture."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.ml import (
+        ab_switchback,
+        ab_switchback_oracle,
+    )
+
+    df, rows = _swb_events(spark)
+    arms = [_swb_arm(k) for k in range(100, 120)]
+    assert len(set(arms)) == 2  # both arms occur
+    assert any(_swb_arm(k) != _swb_arm(k - 1) for k in range(100, 120))
+
+    got = {r["feature"]: r["value"] for r in ab_switchback(df).collect()}
+    assert got["n_buckets_a"] == arms.count(0)
+    assert got["n_buckets_b"] == arms.count(1)
+    assert got["n_rows_excluded"] == 40  # 2 head rows x 20 buckets
+    assert got["lift_rows_micro"] == -10_000_000
+    assert got["lift_buckets_micro"] == -10_000_000
+    assert got["mean_rows_a_micro"] == 0
+    assert got["mean_rows_b_micro"] == 10_000_000
+
+    naive = {
+        r["feature"]: r["value"]
+        for r in ab_switchback(df, washout_minutes=0).collect()
+    }
+    assert naive["n_rows_excluded"] == 0
+    assert abs(naive["lift_rows_micro"]) < 10_000_000  # carryover bias
+    assert abs(naive["lift_buckets_micro"]) < 10_000_000
+
+    con = duckdb.connect()
+    con.register("swb_ev", pd.DataFrame(rows, columns=["ts", "value"]))
+    ora = dict(con.execute(ab_switchback_oracle("swb_ev")).fetchall())
+    assert got == {k: int(v) for k, v in ora.items()}
+
+
+def test_cluster_lift_se_discipline(spark):
+    """Quality pin: with cluster-level noise and a tiny planted shift,
+    the per-row flag FIRES (falsely tight SE) while the cluster flag —
+    the valid read under cluster randomization — does not; a genuine
+    large effect fires both. DuckDB parity on the noise fixture."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.ml import (
+        ab_cluster_lift,
+        ab_cluster_lift_oracle,
+    )
+
+    def fixture(shift):
+        return [
+            (k, ((k * 13) % 7) * 10.0 + (shift if k % 2 == 0 else 0.0))
+            for k in range(40)
+            for _ in range(25)
+        ]
+
+    rows = fixture(5.0)
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    got = {r["feature"]: r["value"] for r in ab_cluster_lift(df).collect()}
+    assert got["n_clusters_a"] == 20 and got["n_clusters_b"] == 20
+    assert got["lift_cluster_milli"] == 4500  # +5000 shift - 500 baseline
+    assert got["sig_naive"] == 1  # the false positive
+    assert got["sig_cluster"] == 0  # the valid read holds
+    assert got["se2_cluster_milli2"] > got["se2_naive_milli2"]
+
+    big = {
+        r["feature"]: r["value"]
+        for r in ab_cluster_lift(
+            spark.createDataFrame(
+                fixture(500.0), "user_id long, value double"
+            )
+        ).collect()
+    }
+    assert big["sig_cluster"] == 1 and big["sig_naive"] == 1
+    assert big["lift_cluster_milli"] == 499_500
+
+    con = duckdb.connect()
+    con.register("cl_ev", pd.DataFrame(rows, columns=["user_id", "value"]))
+    ora = dict(con.execute(ab_cluster_lift_oracle("cl_ev")).fetchall())
+    assert got == {k: int(v) for k, v in ora.items()}

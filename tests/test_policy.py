@@ -230,3 +230,74 @@ def test_ips_by_context_total_row_and_losing_segment(spark):
         key=lambda t: ((t[0] is not None, t[0] if t[0] is not None else 0),) + t[1:],
     )
     assert spk == ora
+
+
+def test_sndr_matches_dr_on_exact_model(spark):
+    """With a deterministic-reward fixture the outcome model is exact,
+    every matched residual is zero, and SNDR == DR == DM == truth even
+    under 2x-corrupted propensities (double robustness carries over).
+    DuckDB parity on the same rows."""
+    from flink_example_spark.operators.policy import (
+        sndr_value,
+        sndr_value_oracle,
+    )
+
+    rows = _biased_rows(p0_micro=200_000, p1_micro=1_000_000)
+    got = {
+        r["feature"]: r["value"]
+        for r in sndr_value(_logs_df(spark, rows)).collect()
+    }
+    assert got["v_sndr_micro"] == 5_000_000
+    assert got["v_dm_micro"] == 5_000_000
+    assert got["corr_sn_micro"] == 0
+    assert got["__n_fallback_ctx"] == 0
+
+    con = duckdb.connect()
+    con.register(
+        "slogs",
+        pd.DataFrame(rows, columns=["x", "a", "p_micro", "a_target", "reward"]),
+    )
+    ora = dict(
+        con.execute(sndr_value_oracle("SELECT * FROM slogs")).fetchall()
+    )
+    assert got == {k: int(v) for k, v in ora.items()}
+
+
+def test_sndr_bounded_under_weight_spike_where_dr_explodes(spark):
+    """The self-normalization property: the SNDR correction is a
+    WEIGHTED MEAN of residuals, so |corr| <= max|residual| and the
+    estimate stays inside the reward range no matter how extreme one
+    weight is; plain DR's correction divides by n and a single
+    tiny-propensity row blows the estimate past the maximum possible
+    reward. DuckDB parity."""
+    from flink_example_spark.operators.policy import (
+        dr_value,
+        sndr_value,
+        sndr_value_oracle,
+    )
+
+    # one context, imperfect model (mixed rewards among matched rows),
+    # one huge-weight row (p = 0.001 -> w hits the 100x cap)
+    rows = (
+        [(0, 1, 900_000, 1, 0)] * 5
+        + [(0, 1, 900_000, 1, 10)] * 5
+        + [(0, 1, 1_000, 1, 10)] * 1
+        + [(0, 0, 500_000, 1, 0)] * 9
+    )
+    df = _logs_df(spark, rows)
+    dr = {r["feature"]: r["value"] for r in dr_value(df).collect()}
+    sn = {r["feature"]: r["value"] for r in sndr_value(df).collect()}
+    assert dr["v_dr_micro"] > 10_000_000  # past max reward: pathology
+    assert 0 <= sn["v_sndr_micro"] <= 10_000_000
+    # weighted-mean bound: |corr| <= max |residual|
+    assert abs(sn["corr_sn_micro"]) <= 10_000_000 - sn["v_dm_micro"]
+
+    con = duckdb.connect()
+    con.register(
+        "slogs2",
+        pd.DataFrame(rows, columns=["x", "a", "p_micro", "a_target", "reward"]),
+    )
+    ora = dict(
+        con.execute(sndr_value_oracle("SELECT * FROM slogs2")).fetchall()
+    )
+    assert sn == {k: int(v) for k, v in ora.items()}
