@@ -1160,3 +1160,55 @@ def test_rater_quality_windows_are_item_partitioned(spark):
     for m in re.finditer(r"Window \[", plan):
         seg = plan[m.start():m.start() + 400]
         assert "item" in seg  # partitioned, not global
+
+
+def test_switchback_is_two_aggregations_no_join(spark):
+    """ab_switchback must compile to the bucket monoid aggregation plus
+    the arm rollup — both partial-aggregated, no window, no join (the
+    bucket-mean read is a projection between the two)."""
+    from datetime import datetime, timezone
+
+    from flink_example_spark.operators.ml import ab_switchback
+
+    rows = [
+        (
+            datetime.fromtimestamp(
+                k * 3600 + m * 60, tz=timezone.utc
+            ).replace(tzinfo=None),
+            float(k % 5),
+        )
+        for k in range(20)
+        for m in (5, 30)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    plan = physical(ab_switchback(df))
+    assert "WindowExec" not in plan and "Window [" not in plan
+    assert "Join" not in plan
+    assert "partial_" in plan  # map-side combine of the monoid
+
+
+def test_cluster_lift_is_two_aggregations_no_join(spark):
+    """ab_cluster_lift: one key-partitioned per-cluster aggregation +
+    one arm rollup — no window, no join, partials present."""
+    from flink_example_spark.operators.ml import ab_cluster_lift
+
+    rows = [(k, float((k * 13) % 7)) for k in range(40) for _ in range(3)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    plan = physical(ab_cluster_lift(df))
+    assert "WindowExec" not in plan and "Window [" not in plan
+    assert "Join" not in plan
+    assert "partial_" in plan
+
+
+def test_sndr_broadcasts_context_model(spark):
+    """sndr_value's scoring join must broadcast the context-sized q
+    table (never shuffle the log relation for it), like dr_value."""
+    from flink_example_spark.operators.policy import sndr_value
+
+    rows = [(i % 4, i % 3, 250_000, (i + 1) % 3, i % 2) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "x long, a long, p_micro long, a_target long, reward long"
+    )
+    plan = physical(sndr_value(df))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
