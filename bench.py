@@ -312,6 +312,12 @@ HEADLINE = [
     # round-11 wave 12 (sf0.1 warm probe: 7.3s — one stats pass + one
     # 16-residual scoring scan over the tokenized corpus)
     "ml_data_shapley",
+    # round-12 wave 1 (sf0.1 warm probes: 1.5 / 7.4 / 1.2 / 1.5s —
+    # streaming_switchback is the bounded 3-chunk replay)
+    "ab_switchback",
+    "streaming_switchback",
+    "ab_cluster_lift",
+    "policy_sndr_eval",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite
