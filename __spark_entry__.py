@@ -3156,6 +3156,27 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t",
         ),
         "sketch_kmv_distinct": kmv_entry,
+        # the TRUE JVM bounded-state merge-aggregate form (round 12 —
+        # closes the long-documented "needs a JVM TypedImperativeAggregate"
+        # residual): fes.KmvBottomK compiled on demand, registered into
+        # the running session, partial_kmv_bottomk32 below the exchange;
+        # bit-identical to the window form, shares its oracle
+        "sketch_kmv_jvm": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.sketch",
+            fromlist=["kmv_distinct"],
+        ).kmv_distinct(
+            _docs(spark, sf_dir).select(
+                "lang",
+                __import__(
+                    "flink_example_spark.operators.text",
+                    fromlist=["fingerprint"],
+                ).fingerprint(F.col("text")).alias("fp"),
+            ),
+            "lang",
+            "fp",
+            k=32,
+            method="jvm",
+        ),
         "sketch_cm_heavy_hitters": cm_hh_entry,
         # runtime-bloom-filter shape: per-nation Bloom (bit_or monoid words)
         # over shipped partkeys, probed by the full part table — measures
@@ -5828,6 +5849,8 @@ def _northstar_oracles() -> dict[str, str]:
         "fp",
         k=32,
     )
+    # the JVM merge-aggregate form is bit-identical to the window form
+    out["sketch_kmv_jvm"] = out["sketch_kmv_distinct"]
     from flink_example_spark.operators.sketch import (
         cm_heavy_hitters_oracle,
         kmv_overlap_oracle,

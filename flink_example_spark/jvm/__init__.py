@@ -1,0 +1,88 @@
+"""JVM-side aggregates: lazy javac build + per-session registration.
+
+The one capability the pure-Python surface could not provide (PERF.md
+"missing: JVM merge aggregates", VERDICT r8-r11): a BOUNDED-STATE
+aggregate that partial-aggregates on the map side. Python grouped-agg
+pandas UDFs ship whole groups across the Arrow boundary; the Java
+``UserDefinedAggregateFunction`` here plans as
+``partial_kmv_bottomk{k}`` below the exchange, so only
+``partitions x k`` hashes per group ever shuffle.
+
+Build chain: the JDK (required by Spark itself) compiles
+``src/fes/*.java`` once against the installed PySpark jars; the jar is
+cached next to the sources and rebuilt when any source is newer.
+Registration is runtime-only (``ADD JAR`` + ``registerJavaUDAF``), so
+it works on ANY running session — including the driver's vanilla one.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+
+_SRC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "src")
+_JAR = os.path.join(_SRC_DIR, "fes_udaf.jar")
+_KS = (8, 16, 32, 64, 128)
+_REGISTERED: set = set()
+
+
+def _pyspark_jars() -> str:
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "jars", "*")
+
+
+def ensure_jar() -> str:
+    """Compile the Java aggregates into a jar (cached; rebuilt when any
+    source is newer than the jar). Raises a clear error when no JDK
+    compiler is available (runtime-only JREs)."""
+    src_files = [
+        os.path.join(_SRC_DIR, "fes", f)
+        for f in sorted(os.listdir(os.path.join(_SRC_DIR, "fes")))
+        if f.endswith(".java")
+    ]
+    if os.path.exists(_JAR) and all(
+        os.path.getmtime(_JAR) >= os.path.getmtime(s) for s in src_files
+    ):
+        return _JAR
+    javac = shutil.which("javac") or os.path.join(
+        os.environ.get("JAVA_HOME", ""), "bin", "javac"
+    )
+    jar = shutil.which("jar") or os.path.join(
+        os.environ.get("JAVA_HOME", ""), "bin", "jar"
+    )
+    if not (javac and os.path.exists(javac)):
+        raise RuntimeError(
+            "JVM aggregates need a JDK compiler (javac); found none. "
+            "Use kmv_distinct(method='window'|'merge') instead."
+        )
+    subprocess.run(
+        [javac, "-cp", _pyspark_jars(), *src_files],
+        check=True,
+        capture_output=True,
+    )
+    tmp = _JAR + ".tmp"
+    subprocess.run(
+        [jar, "cf", tmp, "-C", _SRC_DIR, "fes"],
+        check=True,
+        capture_output=True,
+    )
+    os.replace(tmp, _JAR)
+    return _JAR
+
+
+def register_kmv_bottomk(spark, k: int) -> str:
+    """Idempotently register ``kmv_bottomk{k}`` on this session; returns
+    the SQL function name."""
+    if k not in _KS:
+        raise ValueError(f"k must be one of {_KS}, got {k}")
+    name = f"kmv_bottomk{k}"
+    key = (spark.sparkContext.applicationId, name)
+    if key in _REGISTERED:
+        return name
+    path = ensure_jar()
+    spark.sql(f"ADD JAR '{path}'")
+    spark.udf.registerJavaUDAF(name, f"fes.KmvBottomK{k}")
+    _REGISTERED.add(key)
+    return name

@@ -68,12 +68,24 @@ def kmv_distinct(
     ``partitions × k`` hashes per group ever shuffle. Identical output to
     the window form (bottom-k is a commutative merge; the estimator
     arithmetic runs the same IEEE double ops).
+
+    ``method='jvm'`` (round 12) is the strongest form — the long-missing
+    TRUE JVM bounded-state merge aggregate (``fes.KmvBottomK``, a Java
+    UserDefinedAggregateFunction compiled on demand and registered into
+    the running session): ONE hash aggregation whose O(k) sorted-array
+    state partial-aggregates on the MAP side (the plan shows
+    ``partial_kmv_bottomk{k}`` below the exchange), with no Python
+    anywhere. Identical output to both other forms (pinned by test).
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     if method == "merge":
         return _kmv_merge(df, groups, value_col, k)
+    if method == "jvm":
+        return _kmv_jvm(df, groups, value_col, k)
     if method != "window":
-        raise ValueError(f"method must be 'window' or 'merge', got {method!r}")
+        raise ValueError(
+            f"method must be 'window', 'merge' or 'jvm', got {method!r}"
+        )
     # NULL values hash to NULL, which Spark's window ORDER BY sorts first
     # while DuckDB sorts NULLs last — drop them before the bottom-k so both
     # engines sketch the same (non-null) domain.
@@ -181,6 +193,34 @@ def _kmv_merge(df: DataFrame, groups: list[str], value_col: str, k: int) -> Data
         F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
         .otherwise(
             F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("kth_hash").cast("double")
+        )
+        .alias("est_distinct"),
+    )
+
+
+def _kmv_jvm(df: DataFrame, groups: list[str], value_col: str, k: int) -> DataFrame:
+    """True JVM bounded-state KMV: ONE hash aggregation over the Java
+    ``kmv_bottomk{k}`` UDAF (O(k) sorted-array buffer, map-side partial
+    merge — only ``partitions × k`` hashes per group shuffle), then the
+    shared estimator arithmetic on the returned array. Bottom-k distinct
+    is schedule-invariant, so the array — and therefore every output —
+    is bit-identical to the window and merge forms."""
+    from flink_example_spark.jvm import register_kmv_bottomk
+
+    fn = register_kmv_bottomk(df.sparkSession, k)
+    src = df.select(
+        *groups, portable_hash32(F.col(value_col)).alias("__h")
+    ).filter(F.col("__h").isNotNull())
+    g = src.groupBy(*groups).agg(F.expr(f"{fn}(__h)").alias("__ks"))
+    return g.select(
+        *groups,
+        F.size("__ks").cast("long").alias("n_kept"),
+        F.when(F.size("__ks") >= k, F.element_at("__ks", k)).alias("kth_hash"),
+        F.when(F.size("__ks") < k, F.size("__ks").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1))
+            * F.lit(HASH_SPACE)
+            / F.element_at("__ks", k).cast("double")
         )
         .alias("est_distinct"),
     )

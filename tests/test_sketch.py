@@ -504,3 +504,35 @@ def test_mp_quantile_sketch_accuracy_and_determinism(spark):
         ).collect()
     }
     assert est == est2
+
+
+def test_kmv_jvm_form_bit_identical_and_partial_aggregated(spark):
+    """The JVM bounded-state form (fes.KmvBottomK UDAF): bit-identical
+    output to BOTH the window and mapInPandas-merge forms on a
+    multi-partition input (exercising update, partial merge, and final
+    merge paths), and the executed plan must carry the map-side
+    partial_ mode — the whole point of the JVM aggregate."""
+    rows = [("g%d" % (i % 3), "v%d" % (i % 157)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v string").repartition(8)
+    w = sorted(tuple(r) for r in kmv_distinct(df, "g", "v", k=64).collect())
+    j_df = kmv_distinct(df, "g", "v", k=64, method="jvm")
+    j = sorted(tuple(r) for r in j_df.collect())
+    m = sorted(
+        tuple(r)
+        for r in kmv_distinct(df, "g", "v", k=64, method="merge").collect()
+    )
+    assert w == j == m
+    plan = j_df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_kmv_bottomk64" in plan
+
+
+def test_kmv_jvm_exact_below_k(spark):
+    """Below k the JVM form returns the exact distinct count and a NULL
+    kth hash, like the other forms."""
+    df = spark.createDataFrame(
+        [("a", "v%d" % i) for i in range(10)], "g string, v string"
+    )
+    row = kmv_distinct(df, "g", "v", k=64, method="jvm").first()
+    assert row["n_kept"] == 10
+    assert row["kth_hash"] is None
+    assert row["est_distinct"] == 10.0
