@@ -3177,6 +3177,18 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=32,
             method="jvm",
         ),
+        # the quantile sibling on the same JVM device: the hash-rank
+        # sample as one bounded-state aggregation (payload-carrying
+        # bottom-k, partial_kmv_sample_bottomk64 below the exchange) —
+        # the mergeable-quantile-state on-ramp; shares sketch_quantiles'
+        # oracle (bit-identical sample, same percentile arithmetic)
+        "sketch_quantiles_jvm": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.sketch",
+            fromlist=["kmv_quantiles"],
+        ).kmv_quantiles(
+            _docs(spark, sf_dir), "lang", "n_chars", "doc_id",
+            k=64, method="jvm",
+        ),
         "sketch_cm_heavy_hitters": cm_hh_entry,
         # runtime-bloom-filter shape: per-nation Bloom (bit_or monoid words)
         # over shipped partkeys, probed by the full part table — measures
@@ -5867,6 +5879,8 @@ def _northstar_oracles() -> dict[str, str]:
     out["sketch_quantiles"] = kmv_quantiles_oracle(
         "documents", ["lang"], "n_chars", "doc_id", k=64
     )
+    # the JVM sample-aggregate form draws the bit-identical sample
+    out["sketch_quantiles_jvm"] = out["sketch_quantiles"]
     from flink_example_spark.sources.synthetic import synth_events_oracle
 
     out["source_synth_events"] = synth_events_oracle(2000)

@@ -72,17 +72,30 @@ def ensure_jar() -> str:
     return _JAR
 
 
-def register_kmv_bottomk(spark, k: int) -> str:
-    """Idempotently register ``kmv_bottomk{k}`` on this session; returns
-    the SQL function name."""
-    if k not in _KS:
-        raise ValueError(f"k must be one of {_KS}, got {k}")
-    name = f"kmv_bottomk{k}"
+def _register(spark, name: str, cls: str) -> str:
     key = (spark.sparkContext.applicationId, name)
     if key in _REGISTERED:
         return name
     path = ensure_jar()
     spark.sql(f"ADD JAR '{path}'")
-    spark.udf.registerJavaUDAF(name, f"fes.KmvBottomK{k}")
+    spark.udf.registerJavaUDAF(name, cls)
     _REGISTERED.add(key)
     return name
+
+
+def register_kmv_bottomk(spark, k: int) -> str:
+    """Idempotently register ``kmv_bottomk{k}`` on this session; returns
+    the SQL function name."""
+    if k not in _KS:
+        raise ValueError(f"k must be one of {_KS}, got {k}")
+    return _register(spark, f"kmv_bottomk{k}", f"fes.KmvBottomK{k}")
+
+
+def register_kmv_sample_bottomk(spark, k: int) -> str:
+    """Idempotently register the payload-carrying sample aggregate
+    ``kmv_sample_bottomk{k}`` (hash, key, value) -> array of values."""
+    if k not in (64, 256):
+        raise ValueError(f"k must be 64 or 256, got {k}")
+    return _register(
+        spark, f"kmv_sample_bottomk{k}", f"fes.KmvSampleBottomK{k}"
+    )

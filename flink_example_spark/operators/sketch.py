@@ -559,6 +559,7 @@ def kmv_quantile_sample(
     key_col: str,
     k: int = 256,
     sub_buckets: int = 16,
+    method: str = "window",
 ) -> DataFrame:
     """Deterministic uniform row sample per group: the k rows whose
     portable md5 hash of ``key_col`` is smallest. Because the sample is
@@ -568,6 +569,10 @@ def kmv_quantile_sample(
     Same two-phase bottom-k windows as ``kmv_distinct`` (skew-safe, shuffle
     rows capped at sub_buckets*k per group per phase-1 task)."""
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if method == "jvm":
+        return _kmv_sample_jvm(df, groups, value_col, key_col, k)
+    if method != "window":
+        raise ValueError(f"method must be 'window' or 'jvm', got {method!r}")
     src = df.select(
         *groups,
         F.col(value_col).alias("__v"),
@@ -590,6 +595,43 @@ def kmv_quantile_sample(
     )
 
 
+def _kmv_sample_jvm(
+    df: DataFrame, groups: list[str], value_col: str, key_col: str, k: int
+) -> DataFrame:
+    """The hash-rank sample as ONE JVM bounded-state aggregation
+    (``fes.KmvSampleBottomK`` — O(k) buffer, map-side partial merge,
+    the mergeable-quantile-state on-ramp). Tie-break parity with the
+    window form: the window orders by (hash, NATIVE key); the JVM
+    aggregate compares keys as UTF-8 strings, so non-negative numeric
+    keys are zero-padded (lexicographic == numeric — the repo's
+    composite-order-key device) and string keys pass through. Other key
+    types (or negative numerics) are the window form's job."""
+    from flink_example_spark.jvm import register_kmv_sample_bottomk
+
+    fn = register_kmv_sample_bottomk(df.sparkSession, k)
+    kt = dict(df.dtypes).get(key_col, "")
+    ks = F.col(key_col).cast("string")
+    if kt in ("tinyint", "smallint", "int", "bigint"):
+        order_key = F.lpad(ks, 20, "0")
+    elif kt == "string":
+        order_key = F.col(key_col)
+    else:
+        raise ValueError(
+            f"method='jvm' needs a string or non-negative integer key "
+            f"column; {key_col!r} is {kt!r} — use method='window'"
+        )
+    src = df.select(
+        *groups,
+        portable_hash32(ks).alias("__h"),
+        order_key.alias("__ok"),
+        F.col(value_col).cast("double").alias("__vd"),
+    ).filter(F.col("__h").isNotNull())
+    g = src.groupBy(*groups).agg(
+        F.expr(f"{fn}(__h, __ok, __vd)").alias("__vs")
+    )
+    return g.select(*groups, F.explode("__vs").alias("__v"))
+
+
 def kmv_quantiles(
     df: DataFrame,
     group_cols: str | Sequence[str],
@@ -597,6 +639,7 @@ def kmv_quantiles(
     key_col: str,
     k: int = 256,
     probs: Sequence[float] = (0.25, 0.5, 0.75),
+    method: str = "window",
 ) -> DataFrame:
     """Per-group approximate quantiles from the deterministic hash-rank
     sample — the quantile sibling of the KMV cardinality sketch. Groups
@@ -615,7 +658,7 @@ def kmv_quantiles(
     construction.
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    s = kmv_quantile_sample(df, groups, value_col, key_col, k=k)
+    s = kmv_quantile_sample(df, groups, value_col, key_col, k=k, method=method)
     aggs = [F.count(F.lit(1)).alias("n_sample")] + [
         F.expr(f"percentile(__v, {p!r})").alias(f"p{int(round(p * 100)):02d}")
         for p in probs

@@ -536,3 +536,39 @@ def test_kmv_jvm_exact_below_k(spark):
     assert row["n_kept"] == 10
     assert row["kth_hash"] is None
     assert row["est_distinct"] == 10.0
+
+
+def test_kmv_quantiles_jvm_bit_identical(spark):
+    """The payload-carrying JVM sample aggregate draws the bit-identical
+    hash-rank sample (zero-padded numeric keys make the UTF-8 tiebreak
+    equal the window form's native order), so the quantile outputs match
+    exactly; the plan carries the map-side partial_ mode."""
+    from flink_example_spark.operators.sketch import kmv_quantiles
+
+    rows = [("g%d" % (i % 3), i, float((i * 37) % 500)) for i in range(900)]
+    df = spark.createDataFrame(
+        rows, "g string, key long, val double"
+    ).repartition(8)
+    w = sorted(
+        tuple(r) for r in kmv_quantiles(df, "g", "val", "key", k=64).collect()
+    )
+    j_df = kmv_quantiles(df, "g", "val", "key", k=64, method="jvm")
+    j = sorted(tuple(r) for r in j_df.collect())
+    assert w == j
+    plan = j_df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_kmv_sample_bottomk64" in plan
+
+
+def test_kmv_sample_jvm_rejects_unorderable_keys(spark):
+    """Non-string, non-integer key columns must raise (the UTF-8
+    tiebreak cannot reproduce their native order) instead of silently
+    sampling differently from the window form."""
+    import pytest
+
+    from flink_example_spark.operators.sketch import kmv_quantile_sample
+
+    df = spark.createDataFrame(
+        [("a", 1.5, 2.0)], "g string, key double, val double"
+    )
+    with pytest.raises(ValueError, match="window"):
+        kmv_quantile_sample(df, "g", "val", "key", k=64, method="jvm")
