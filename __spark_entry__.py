@@ -7557,6 +7557,15 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (O(k) state, no watermark needed — commutative monoid); final
         # sketch equals the batch kmv_distinct -> shares its oracle
         "streaming_kmv_distinct": _run_streaming_kmv,
+        # LIVE KMV with ZERO Python state (round 12): the bottom-k
+        # monoid lives in the Java fes.KmvBottomK aggregate inside a
+        # plain streaming complete-mode aggregation — O(k) JVM buffer
+        # per key in the state store; converges exactly to batch
+        # kmv_distinct -> shares its oracle
+        "streaming_kmv_jvm": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.sketch_stream",
+            fromlist=["run_streaming_kmv_jvm"],
+        ).run_streaming_kmv_jvm(spark, sf_dir, k=32),
         # streaming count-min: the counter matrix maintained as a plain
         # streaming groupBy aggregate — pure JVM state (no Python), at most
         # depth*width state rows; converges to batch cm_sketch -> shares
@@ -7819,6 +7828,7 @@ def _all_oracles() -> dict[str, str]:
     out["streaming_text_features"] = out["text_features"]
     out["streaming_gopher_filter"] = out["curation_gopher_filter"]
     out["streaming_kmv_distinct"] = out["sketch_kmv_distinct"]
+    out["streaming_kmv_jvm"] = out["sketch_kmv_distinct"]
     from flink_example_spark.operators.sketch import cm_sketch_oracle
     from flink_example_spark.operators.text import _DUCK_NORM as _DN
 

@@ -14,6 +14,13 @@ merge property, pinned in tests/test_sketch.py) and shares its oracle.
 State here is the pickled sorted list (applyInPandasWithState); the
 transformWithState port (ListState of longs, JVM-side) follows
 streaming/stateful.py's pattern once google.protobuf lands.
+
+Round 12 adds the stronger form that does NOT wait for protobuf:
+``run_streaming_kmv_jvm`` holds the bottom-k state in the Java
+``fes.KmvBottomK`` aggregate inside a plain streaming aggregation — the
+state store keeps the O(k) buffer row per key, merges run JVM-side, and
+NO Python (pickled or otherwise) touches the path. Converges exactly to
+the batch relation (shares its oracle).
 """
 
 from __future__ import annotations
@@ -137,6 +144,65 @@ def run_streaming_kmv(
         ") WHERE rn = 1"
     )
     return spark.sql(w_latest)
+
+
+def run_streaming_kmv_jvm(
+    spark: SparkSession, sf_dir: str, k: int = 32, chunks: int = 3
+) -> DataFrame:
+    """LIVE KMV with ZERO Python state: the bottom-k monoid lives in the
+    Java ``fes.KmvBottomK`` aggregate inside a plain streaming
+    COMPLETE-mode aggregation — the streaming state store holds the O(k)
+    buffer row per language and every update/merge runs JVM-side (the
+    plan's partial_ mode applies per micro-batch too). The pickled-state
+    ``run_streaming_kmv`` twin remains as the applyInPandasWithState
+    reference; this form is the production path. Converges exactly to
+    batch ``kmv_distinct`` (bottom-k is a commutative, idempotent merge)
+    and shares its oracle."""
+    import os
+    import uuid
+
+    from flink_example_spark.jvm import register_kmv_bottomk
+    from flink_example_spark.operators.text import fingerprint
+    from flink_example_spark.session import shuffle_partitions, tune
+    from flink_example_spark.streaming.dedup_stream import _stage_by_id
+
+    tune(spark)
+    fn = register_kmv_bottomk(spark, k)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+        .select("lang", fingerprint(F.col("text")).alias("fp"))
+    )
+    src = stream.select(
+        "lang", portable_hash32(F.col("fp")).alias("__h")
+    ).filter(F.col("__h").isNotNull())
+    g = src.groupBy("lang").agg(F.expr(f"{fn}(__h)").alias("__ks"))
+    name = f"stream_kmv_jvm_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            g.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = spark.table(name)
+    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    return fresh.select(
+        "lang",
+        F.size("__ks").cast("long").alias("n_kept"),
+        F.when(F.size("__ks") >= k, F.element_at("__ks", k)).alias("kth_hash"),
+        F.when(F.size("__ks") < k, F.size("__ks").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1))
+            * F.lit(HASH_SPACE)
+            / F.element_at("__ks", k).cast("double")
+        )
+        .alias("est_distinct"),
+    )
 
 
 def run_streaming_cm_sketch(

@@ -572,3 +572,28 @@ def test_kmv_sample_jvm_rejects_unorderable_keys(spark):
     )
     with pytest.raises(ValueError, match="window"):
         kmv_quantile_sample(df, "g", "val", "key", k=64, method="jvm")
+
+
+def test_streaming_kmv_jvm_converges_to_batch(spark):
+    """The zero-Python streaming KMV (JVM aggregate state in a plain
+    complete-mode streaming aggregation) converges exactly to the batch
+    relation across a 3-chunk bounded replay."""
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.text import fingerprint
+    from flink_example_spark.streaming.sketch_stream import (
+        run_streaming_kmv_jvm,
+    )
+    from flink_example_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in run_streaming_kmv_jvm(spark, sf, k=32).collect()
+    )
+    d = load_table(spark, sf, "documents").select(
+        "lang", fingerprint(F.col("text")).alias("fp")
+    )
+    want = sorted(
+        tuple(r) for r in kmv_distinct(d, "lang", "fp", k=32).collect()
+    )
+    assert got == want
