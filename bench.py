@@ -318,6 +318,12 @@ HEADLINE = [
     "streaming_switchback",
     "ab_cluster_lift",
     "policy_sndr_eval",
+    # round-12 wave 2: the JVM bounded-state aggregate family (sf0.1
+    # warm probes: 1.3 / 2.0 / 8.8s — streaming_kmv_jvm is the bounded
+    # 3-chunk replay with zero-Python state)
+    "sketch_kmv_jvm",
+    "sketch_quantiles_jvm",
+    "streaming_kmv_jvm",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite
