@@ -7566,6 +7566,13 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.sketch_stream",
             fromlist=["run_streaming_kmv_jvm"],
         ).run_streaming_kmv_jvm(spark, sf_dir, k=32),
+        # LIVE quantile sketch on the same zero-Python device: the
+        # payload-carrying bottom-k JVM aggregate in complete mode;
+        # sample bit-identical to batch -> shares kmv_quantiles' oracle
+        "streaming_quantiles_jvm": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.sketch_stream",
+            fromlist=["run_streaming_quantiles_jvm"],
+        ).run_streaming_quantiles_jvm(spark, sf_dir, k=64),
         # streaming count-min: the counter matrix maintained as a plain
         # streaming groupBy aggregate — pure JVM state (no Python), at most
         # depth*width state rows; converges to batch cm_sketch -> shares
@@ -7829,6 +7836,7 @@ def _all_oracles() -> dict[str, str]:
     out["streaming_gopher_filter"] = out["curation_gopher_filter"]
     out["streaming_kmv_distinct"] = out["sketch_kmv_distinct"]
     out["streaming_kmv_jvm"] = out["sketch_kmv_distinct"]
+    out["streaming_quantiles_jvm"] = out["sketch_quantiles"]
     from flink_example_spark.operators.sketch import cm_sketch_oracle
     from flink_example_spark.operators.text import _DUCK_NORM as _DN
 

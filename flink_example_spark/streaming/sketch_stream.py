@@ -360,6 +360,64 @@ def run_streaming_kmv_quantiles(
     )
 
 
+def run_streaming_quantiles_jvm(
+    spark: SparkSession, sf_dir: str, k: int = 64, chunks: int = 3
+) -> DataFrame:
+    """LIVE quantile sketch with ZERO Python state: the payload-carrying
+    bottom-k monoid lives in the Java ``fes.KmvSampleBottomK`` aggregate
+    inside a plain streaming COMPLETE-mode aggregation (O(k)
+    three-array buffer per key in the state store; numeric keys ride
+    the zero-pad order device). The final sample — and therefore the
+    percentile read — is bit-identical to batch ``kmv_quantiles``
+    (shares its oracle)."""
+    import os
+    import uuid
+
+    from flink_example_spark.jvm import register_kmv_sample_bottomk
+    from flink_example_spark.session import shuffle_partitions, tune
+    from flink_example_spark.streaming.dedup_stream import _stage_by_id
+
+    tune(spark)
+    fn = register_kmv_sample_bottomk(spark, k)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+        .select("lang", "doc_id", "n_chars")
+    )
+    ks = F.col("doc_id").cast("string")
+    src = stream.select(
+        "lang",
+        portable_hash32(ks).alias("__h"),
+        F.lpad(ks, 20, "0").alias("__ok"),
+        F.col("n_chars").cast("double").alias("__vd"),
+    ).filter(F.col("__h").isNotNull())
+    g = src.groupBy("lang").agg(F.expr(f"{fn}(__h, __ok, __vd)").alias("__vs"))
+    name = f"stream_kq_jvm_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            g.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = spark.table(name)
+    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    return (
+        fresh.select("lang", F.explode("__vs").alias("__v"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            F.expr("percentile(__v, 0.25)").alias("p25"),
+            F.expr("percentile(__v, 0.5)").alias("p50"),
+            F.expr("percentile(__v, 0.75)").alias("p75"),
+        )
+    )
+
+
 def run_streaming_hll_distinct(
     spark: SparkSession,
     sf_dir: str,

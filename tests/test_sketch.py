@@ -597,3 +597,26 @@ def test_streaming_kmv_jvm_converges_to_batch(spark):
         tuple(r) for r in kmv_distinct(d, "lang", "fp", k=32).collect()
     )
     assert got == want
+
+
+def test_streaming_quantiles_jvm_converges_to_batch(spark):
+    """The zero-Python streaming quantile sketch (payload-carrying JVM
+    aggregate state) converges exactly to the batch kmv_quantiles
+    relation across a bounded replay."""
+    from flink_example_spark.operators.sketch import kmv_quantiles
+    from flink_example_spark.streaming.sketch_stream import (
+        run_streaming_quantiles_jvm,
+    )
+    from flink_example_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r)
+        for r in run_streaming_quantiles_jvm(spark, sf, k=64).collect()
+    )
+    d = load_table(spark, sf, "documents")
+    want = sorted(
+        tuple(r)
+        for r in kmv_quantiles(d, "lang", "n_chars", "doc_id", k=64).collect()
+    )
+    assert got == want
