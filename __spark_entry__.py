@@ -7290,7 +7290,12 @@ DRIVER_KEYS = [
     # q2's correlated-MIN stays in extras (orders_above_customer_avg keeps
     # the correlated-subquery class); the slot records association rules
     "mining_assoc_rules",
-    "q21_sole_returner",
+    # q21 moves to extras (the relational class stays driver-exercised
+    # 7-deep: q1/q3/cte/set_ops/window/grouping/correlated-subquery);
+    # the slot records the round-12 flagship — the TRUE JVM
+    # bounded-state KMV merge aggregate (partial_kmv_bottomk32 below
+    # the exchange, zero Python; = sketch_kmv_distinct's hash)
+    "sketch_kmv_jvm",
     "orders_above_customer_avg",
     "cte_distinct_counts",
     "set_ops_suite",
@@ -7336,7 +7341,12 @@ DRIVER_KEYS = [
     # keep-first materialization stays in extras (one anti-join over the
     # driver-recorded LSH pairs); the slot records the PCA eigensolver
     "ann_pca_power",
-    "dedup_paragraphs",
+    # dedup_paragraphs moves to extras (dedup stays 2-deep via
+    # minhash_lsh + minhash_clusters, with simhash/ppjoin/paragraphs
+    # locally swept); the slot records the round-12 switchback
+    # experiment analysis (washout-gated time randomization, whose live
+    # twin shares the identical hash)
+    "ab_switchback",
     "ann_cosine_topk",
     # ann_lsh_topk + recall eval stay in extras; the NDCG row composes the
     # SAME two retrievers with the graded (integer-DCG) metric, so both
