@@ -57,18 +57,28 @@ def ensure_jar() -> str:
             "JVM aggregates need a JDK compiler (javac); found none. "
             "Use kmv_distinct(method='window'|'merge') instead."
         )
-    subprocess.run(
-        [javac, "-cp", _pyspark_jars(), *src_files],
-        check=True,
-        capture_output=True,
-    )
-    tmp = _JAR + ".tmp"
-    subprocess.run(
-        [jar, "cf", tmp, "-C", _SRC_DIR, "fes"],
-        check=True,
-        capture_output=True,
-    )
-    os.replace(tmp, _JAR)
+    # Compile into a per-process temp dir (-d) and jar from THERE: two
+    # drivers compiling concurrently must not share .class files or the
+    # tmp jar path, and a fresh dir can never pack stale .class files
+    # from removed/renamed sources. os.replace keeps the publish atomic.
+    import tempfile
+
+    build = tempfile.mkdtemp(prefix="fes_udaf_")
+    try:
+        subprocess.run(
+            [javac, "-cp", _pyspark_jars(), "-d", build, *src_files],
+            check=True,
+            capture_output=True,
+        )
+        tmp = os.path.join(build, "fes_udaf.jar")
+        subprocess.run(
+            [jar, "cf", tmp, "-C", build, "fes"],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(tmp, _JAR)
+    finally:
+        shutil.rmtree(build, ignore_errors=True)
     return _JAR
 
 

@@ -7606,7 +7606,11 @@ def ab_cluster_lift(
                 ("svm", "vm"),
                 ("svm2", "vm * vm"),
             )
-        ]
+        ],
+        # rows whose key maps to NEITHER arm (NULL or negative key gives
+        # arm NULL/-1) are dropped from both CASE sums — the audit row
+        # below makes that loss observable (repo audit-counter convention)
+        F.sum("n").cast("long").alias("nr_all"),
     )
     cm = lambda t: (  # noqa: E731
         f"CASE WHEN nc_{t} > 0 THEN "
@@ -7637,11 +7641,12 @@ def ab_cluster_lift(
         f" + (CASE WHEN nr_b > 0 THEN ({var_r('b')}) div nr_b ELSE 0 END)"
     )
     return g.selectExpr(
-        "stack(10,"
+        "stack(11,"
         " 'n_clusters_a', nc_a,"
         " 'n_clusters_b', nc_b,"
         " 'n_rows_a', nr_a,"
         " 'n_rows_b', nr_b,"
+        " '__n_rows_dropped', nr_all - nr_a - nr_b,"
         f" 'lift_cluster_milli', {lift_c},"
         f" 'lift_naive_milli', {lift_r},"
         f" 'se2_cluster_milli2', {se2_c},"
@@ -7717,13 +7722,15 @@ def ab_cluster_lift_oracle(
                 FROM {events_table})
           GROUP BY k),
         g AS MATERIALIZED (
-          SELECT {arm_sums}
+          SELECT {arm_sums},
+                 CAST(COALESCE(SUM(n), 0) AS BIGINT) AS nr_all
           FROM per)
         SELECT 'n_clusters_a' AS feature, CAST(nc_a AS BIGINT) AS value
         FROM g
         UNION ALL SELECT 'n_clusters_b', nc_b FROM g
         UNION ALL SELECT 'n_rows_a', nr_a FROM g
         UNION ALL SELECT 'n_rows_b', nr_b FROM g
+        UNION ALL SELECT '__n_rows_dropped', nr_all - nr_a - nr_b FROM g
         UNION ALL SELECT 'lift_cluster_milli',
           CAST({lift_c} AS BIGINT) FROM g
         UNION ALL SELECT 'lift_naive_milli',

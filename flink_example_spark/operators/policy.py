@@ -525,7 +525,14 @@ def sndr_value(
         )
     )
     nf = q.agg(F.sum("is_fallback").cast("long").alias("n_fb"))
-    dm = "CASE WHEN n > 0 THEN s_q div n ELSE 0 END"
+    # s_q can be negative (negative rewards): sign-and-magnitude form for
+    # belt-and-braces consistency with corr (value identical — the pinned
+    # DuckDB integer // truncates toward zero like Spark div).
+    dm = (
+        "CASE WHEN n > 0 THEN"
+        " (CASE WHEN s_q >= 0 THEN 1 ELSE -1 END)"
+        " * (abs(s_q) div n) ELSE 0 END"
+    )
     corr = (
         "CASE WHEN s_w > 0 THEN"
         " (CASE WHEN s_corr >= 0 THEN 1 ELSE -1 END)"
@@ -548,7 +555,11 @@ def sndr_value_oracle(
 ) -> str:
     """DuckDB twin of :func:`sndr_value` (identical q table, residual
     products, sign-and-magnitude weight-mass division)."""
-    dm = "CASE WHEN n > 0 THEN s_q // n ELSE 0 END"
+    dm = (
+        "CASE WHEN n > 0 THEN"
+        " (CASE WHEN s_q >= 0 THEN 1 ELSE -1 END)"
+        " * (abs(s_q) // n) ELSE 0 END"
+    )
     corr = (
         "CASE WHEN s_w > 0 THEN"
         " (CASE WHEN s_corr >= 0 THEN 1 ELSE -1 END)"

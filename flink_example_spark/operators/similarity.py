@@ -1376,6 +1376,11 @@ def _power_top_rows(
     for _ in range(n_iter):
         w = w_of(v)
         m = max(abs(x) for x in w)
+        if m == 0.0:
+            # zero covariance / rank-deficient after deflation: the
+            # distributed solver degenerates rather than throwing — mirror
+            # the den <= 0 path instead of dividing by zero.
+            return []
         v = [x / m for x in w]
     w = w_of(v)
     num = sum(_q12(v[i] * w[i]) for i in range(dim))

@@ -612,7 +612,19 @@ def _kmv_sample_jvm(
     kt = dict(df.dtypes).get(key_col, "")
     ks = F.col(key_col).cast("string")
     if kt in ("tinyint", "smallint", "int", "bigint"):
-        order_key = F.lpad(ks, 20, "0")
+        # Runtime guard: zero-pad ordering only matches numeric order for
+        # NON-NEGATIVE keys ('-3' sorts before '-5'); a negative key must
+        # raise like the other unsupported key types, not silently break
+        # the hash-tie parity with the window form.
+        order_key = F.when(
+            F.col(key_col) < 0,
+            F.raise_error(
+                F.lit(
+                    "kmv_sample method='jvm': negative integer key breaks "
+                    "zero-pad ordering; use method='window'"
+                )
+            ).cast("string"),
+        ).otherwise(F.lpad(ks, 20, "0"))
     elif kt == "string":
         order_key = F.col(key_col)
     else:

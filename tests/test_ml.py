@@ -1663,3 +1663,27 @@ def test_cluster_lift_se_discipline(spark):
     con.register("cl_ev", pd.DataFrame(rows, columns=["user_id", "value"]))
     ora = dict(con.execute(ab_cluster_lift_oracle("cl_ev")).fetchall())
     assert got == {k: int(v) for k, v in ora.items()}
+
+
+def test_cluster_lift_audit_counts_dropped_keys(spark):
+    """Rows whose key maps to neither arm (NULL / negative -> arm
+    NULL/-1) are no longer silent: the __n_rows_dropped audit row counts
+    them, and DuckDB agrees."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.ml import (
+        ab_cluster_lift,
+        ab_cluster_lift_oracle,
+    )
+
+    rows = [(0, 1.0), (1, 2.0), (-3, 9.0), (-3, 9.0), (None, 4.0)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    got = {r["feature"]: r["value"] for r in ab_cluster_lift(df).collect()}
+    assert got["__n_rows_dropped"] == 3
+    assert got["n_rows_a"] == 1 and got["n_rows_b"] == 1
+
+    con = duckdb.connect()
+    con.register("cl_ev2", pd.DataFrame(rows, columns=["user_id", "value"]))
+    ora = dict(con.execute(ab_cluster_lift_oracle("cl_ev2")).fetchall())
+    assert got == {k: int(v) for k, v in ora.items()}

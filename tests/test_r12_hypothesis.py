@@ -147,6 +147,8 @@ def _ref_cluster(rows):
         "n_clusters_b": agg["b"]["nc"],
         "n_rows_a": agg["a"]["nr"],
         "n_rows_b": agg["b"]["nr"],
+        # generator keys are 0-9 (non-negative, non-null): nothing drops
+        "__n_rows_dropped": 0,
         "lift_cluster_milli": lift_c,
         "lift_naive_milli": lift_r,
         "se2_cluster_milli2": se2_c,
