@@ -348,6 +348,33 @@ COMMON_R3 = COMMON_R2 + [
 ]
 
 
+# Box-speed calibration canary: a FIXED CPU-bound DuckDB workload (md5 over
+# 8M generated rows, all cores — no I/O, no Spark, deterministic result
+# 31033). Two band-ambiguous rounds (r11/r12: same-code quiet readings
+# swinging ~40% with loadavg≈0) motivated this: the canary is measured on
+# the same box state as the suite, so `common_r2 / canary_sec` is a
+# box-speed-normalized number and a band breach is machine-checkably
+# code-vs-box (PERF.md states the bands in canary units).
+CANARY_SQL = (
+    "SELECT count(*) FROM (SELECT md5(CAST(i AS VARCHAR)) AS h "
+    "FROM range(8000000) t(i)) WHERE h LIKE '00%'"
+)
+
+
+def _canary_sec(reps: int = 3) -> float:
+    import duckdb
+
+    con = duckdb.connect()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        assert con.execute(CANARY_SQL).fetchone()[0] == 31033
+        ts.append(time.perf_counter() - t0)
+    con.close()
+    ts.sort()
+    return round(ts[len(ts) // 2], 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -369,6 +396,7 @@ def main() -> None:
     while os.getloadavg()[0] >= 1.5 and time.time() < quiet_deadline:
         time.sleep(5)
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    canary = _canary_sec()
 
     spark = get_spark("flink-example-spark-bench")
     # merged driver + extra view: HEADLINE is stable round-over-round even
@@ -398,6 +426,11 @@ def main() -> None:
     # (self-load included) goes to the side file for transparency
     loadavg = loadavg_start
     loadavg_end = [round(x, 2) for x in os.getloadavg()]
+    canary_end = _canary_sec(reps=1)
+    # box-speed-normalized subtotals (canary units — dimensionless):
+    # these are the graded quiet-band numbers, robust to whole-box swings
+    r2_x = round(common_r2 / canary, 2)
+    r3_x = round(common_r3 / canary, 2)
 
     # Full per-query detail goes to a side file: the driver captures only the
     # LAST 2000 chars of stdout, and a queries dict spanning the whole
@@ -411,6 +444,10 @@ def main() -> None:
         "queries": timings,
         "common_r2_subtotal_sec": common_r2,
         "common_r3_subtotal_sec": common_r3,
+        "canary_sec": canary,
+        "canary_end_sec": canary_end,
+        "common_r2_x_canary": r2_x,
+        "common_r3_x_canary": r3_x,
         "n_queries": len(timings),
         "loadavg": loadavg,
         "loadavg_end": loadavg_end,
@@ -430,6 +467,9 @@ def main() -> None:
         "queries": {q: timings[q] for q in COMMON_R3},
         "common_r2_subtotal_sec": common_r2,
         "common_r3_subtotal_sec": common_r3,
+        "canary_sec": canary,
+        "common_r2_x_canary": r2_x,
+        "common_r3_x_canary": r3_x,
         "n_queries": len(timings),
         "loadavg": loadavg,
         "detail": "BENCH_FULL.json",
