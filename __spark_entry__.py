@@ -3189,6 +3189,50 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), "lang", "n_chars", "doc_id",
             k=64, method="jvm",
         ),
+        # adaptive dyadic-histogram quantile sketch (fes.DyadicHist):
+        # the deterministic mergeable quantile device — exact counts of
+        # <= k dyadic buckets at the coarsest-needed resolution,
+        # merge-order-invariant (the property KLL compaction lacks), so
+        # the closed-form DuckDB twin hash-matches; partial_dyadic_hist64
+        # below the exchange, O(k) state per group
+        "sketch_dyadic_quantiles": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.sketch",
+            fromlist=["dyadic_quantiles"],
+        ).dyadic_quantiles(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "events"),
+            "event_type",
+            "value",
+            k=64,
+        ),
+        # live twin: the same O(k) histogram monoid in the streaming
+        # state store (complete mode, zero Python) — bit-identical to
+        # batch by the merge-order-invariance theorem, shares its oracle
+        "streaming_dyadic_jvm": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.sketch_stream",
+            fromlist=["run_streaming_dyadic_jvm"],
+        ).run_streaming_dyadic_jvm(spark, sf_dir, k=64),
+        # Misra-Gries O(k) heavy-hitter JVM aggregate, CERTIFIED read:
+        # the MG guarantee (every f > n/(k+1) key survives any merge
+        # order) makes exact-heavy SEMI-JOIN MG-survivors deterministic
+        # — the oracle is the exact filter; the MG plan genuinely runs
+        # (partial_mg_topk8 below the exchange) and a dropped guaranteed
+        # key would fail the row
+        "sketch_mg_heavy_hitters": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.sketch",
+            fromlist=["mg_heavy_hitters"],
+        ).mg_heavy_hitters(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "events").selectExpr(
+                "event_type",
+                "CAST(floor(value / 25) AS BIGINT) AS band",
+            ),
+            "event_type",
+            "band",
+            k=8,
+        ),
         "sketch_cm_heavy_hitters": cm_hh_entry,
         # runtime-bloom-filter shape: per-nation Bloom (bit_or monoid words)
         # over shipped partkeys, probed by the full part table — measures
@@ -5881,6 +5925,23 @@ def _northstar_oracles() -> dict[str, str]:
     )
     # the JVM sample-aggregate form draws the bit-identical sample
     out["sketch_quantiles_jvm"] = out["sketch_quantiles"]
+    from flink_example_spark.operators.sketch import (
+        dyadic_quantiles_oracle,
+        mg_heavy_hitters_oracle,
+    )
+
+    out["sketch_dyadic_quantiles"] = dyadic_quantiles_oracle(
+        "events", ["event_type"], "value", k=64
+    )
+    # live twin replays to the bit-identical histogram state
+    out["streaming_dyadic_jvm"] = out["sketch_dyadic_quantiles"]
+    out["sketch_mg_heavy_hitters"] = mg_heavy_hitters_oracle(
+        "(SELECT event_type, CAST(floor(value / 25) AS BIGINT) AS band"
+        " FROM events)",
+        ["event_type"],
+        "band",
+        k=8,
+    )
     from flink_example_spark.sources.synthetic import synth_events_oracle
 
     out["source_synth_events"] = synth_events_oracle(2000)

@@ -324,6 +324,12 @@ HEADLINE = [
     "sketch_kmv_jvm",
     "sketch_quantiles_jvm",
     "streaming_kmv_jvm",
+    # round-13 wave 1: the deterministic mergeable quantile histogram +
+    # certified Misra-Gries heavy hitters (both JVM bounded-state
+    # aggregates), and the dyadic live twin (bounded 3-chunk replay)
+    "sketch_dyadic_quantiles",
+    "sketch_mg_heavy_hitters",
+    "streaming_dyadic_jvm",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

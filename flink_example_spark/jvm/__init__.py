@@ -109,3 +109,23 @@ def register_kmv_sample_bottomk(spark, k: int) -> str:
     return _register(
         spark, f"kmv_sample_bottomk{k}", f"fes.KmvSampleBottomK{k}"
     )
+
+
+def register_dyadic_hist(spark, k: int) -> str:
+    """Idempotently register the adaptive dyadic-histogram quantile
+    sketch ``dyadic_hist{k}`` (non-negative long) -> flat long array
+    [level, b1, c1, ...] — merge-order-invariant exact bucket counts at
+    the coarsest-needed resolution (fes.DyadicHist)."""
+    if k not in (64, 256):
+        raise ValueError(f"k must be 64 or 256, got {k}")
+    return _register(spark, f"dyadic_hist{k}", f"fes.DyadicHist{k}")
+
+
+def register_mg_topk(spark, k: int) -> str:
+    """Idempotently register the Misra-Gries heavy-hitter summary
+    ``mg_topk{k}`` (string key) -> array of 'key\\tcount' strings.
+    Content is merge-order-DEPENDENT; only the guarantee/bound reads
+    are deterministic (fes.MGTopK docstring)."""
+    if k not in (8, 32):
+        raise ValueError(f"k must be 8 or 32, got {k}")
+    return _register(spark, f"mg_topk{k}", f"fes.MGTopK{k}")

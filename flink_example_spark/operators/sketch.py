@@ -1565,3 +1565,287 @@ def grouped_order_stats_oracle(
         FROM ranked CROSS JOIN (VALUES {pcts_rows}) p(pct)
         WHERE rn = (CAST(pct AS BIGINT) * n + 99) // 100
     """
+
+
+def dyadic_quantiles(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    value_col: str,
+    k: int = 64,
+    pcts: Sequence[int] = (25, 50, 75, 90),
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group quantile BOUNDS from the adaptive dyadic histogram —
+    the deterministic mergeable quantile sketch (``fes.DyadicHist``):
+    one JVM bounded-state aggregation keeps EXACT counts of at most k
+    dyadic value buckets, halving resolution only when the bucket set
+    outgrows k. Unlike KLL (whose rank-uniform guarantee needs
+    order-DEPENDENT compaction, so its content can't be oracle-hashed)
+    the histogram is a pure function of the input multiset: the final
+    level is min{L : |{v >> L}| <= k} whatever the merge tree, so a SQL
+    engine reproduces it in closed form (GROUP BY v >> L at the argmin
+    level). The read gives deterministic VALUE bounds per percentile —
+    the p-th order statistic (rank ``ceil(pct*n/100)``, the
+    grouped_order_stats contract) lands in one bucket spanning
+    ``[b << L, ((b+1) << L) - 1]`` — complementary to the KMV row
+    sample's probabilistic rank-uniform error (``kmv_quantiles``).
+
+    Values quantize to ``floor(v * scale + 0.5)`` and must be
+    NON-NEGATIVE (dyadic shifts floor only for v >= 0) — negative
+    inputs raise at runtime, like the kmv 'jvm' key guard.
+
+    Output (tall, scalar BIGINT): per group ``level / n / n_buckets``
+    plus ``p{pct}_lo / p{pct}_hi`` per requested percentile.
+
+    Scale: ONE map-side-combined aggregation (partial_dyadic_hist{k}
+    below the exchange — partitions x k longs per group shuffle); the
+    read runs on the sketch-sized relation (<= k rows per group). The
+    same aggregate holds its O(k) state in Structured Streaming's state
+    store (streaming_dyadic_jvm).
+    """
+    from flink_example_spark.jvm import register_dyadic_hist
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    fn = register_dyadic_hist(df.sparkSession, k)
+    vq = f"CAST(floor({value_col} * {scale} + 0.5) AS BIGINT)"
+    src = df.select(
+        *groups,
+        F.expr(
+            f"CASE WHEN {vq} < 0 THEN CAST(raise_error("
+            f"'dyadic_quantiles: negative value breaks dyadic bucketing;"
+            f" offset or filter first') AS BIGINT) ELSE {vq} END"
+        ).alias("__vq"),
+    )
+    g = src.groupBy(*groups).agg(F.expr(f"{fn}(__vq)").alias("__a"))
+    return dyadic_read(g, groups, pcts)
+
+
+def dyadic_read(
+    g: DataFrame, groups: Sequence[str], pcts: Sequence[int]
+) -> DataFrame:
+    """The quantile-bounds read over an aggregated ``(groups..., __a)``
+    dyadic-histogram relation — shared by :func:`dyadic_quantiles` and
+    the streaming twin (monoid-in-state, algebra-at-read)."""
+    # unpack [L, b1, c1, ...]: guard the pair range with a CASE — Spark 4
+    # sequence(1, 0) DESCENDS (round-1 rule), so the empty-hist arm must
+    # never build the sequence
+    parsed = g.select(
+        *groups,
+        F.element_at("__a", 1).alias("__lvl"),
+        F.expr(
+            "CASE WHEN size(__a) >= 3 THEN"
+            " transform(sequence(1, (size(__a) - 1) div 2),"
+            "   i -> struct(element_at(__a, CAST(2*i AS INT)) AS b,"
+            "               element_at(__a, CAST(2*i + 1 AS INT)) AS c))"
+            " ELSE array() END"
+        ).alias("__bs"),
+    )
+    ex = parsed.select(
+        *groups, "__lvl", F.explode("__bs").alias("__p")
+    ).select(
+        *groups,
+        "__lvl",
+        F.col("__p.b").alias("__b"),
+        F.col("__p.c").alias("__c"),
+    )
+    wcum = (
+        Window.partitionBy(*groups)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*groups)
+    ex2 = ex.select(
+        *groups,
+        "__lvl",
+        "__b",
+        "__c",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(wall).alias("__n"),
+        F.count(F.lit(1)).over(wall).alias("__nb"),
+    )
+    # ONE aggregation feeds every output row (conditional aggs — exactly
+    # one bucket matches each pct's rank window, so max() is exact)
+    hit = lambda p: f"__cum >= ({p} * __n + 99) div 100 AND __cum - __c < ({p} * __n + 99) div 100"  # noqa: E731,E501
+    aggs = [
+        F.max("__lvl").cast("long").alias("level"),
+        F.max("__n").cast("long").alias("n"),
+        F.max("__nb").cast("long").alias("n_buckets"),
+    ]
+    for p in pcts:
+        aggs.append(
+            F.max(F.expr(f"CASE WHEN {hit(p)} THEN shiftleft(__b, __lvl) END"))
+            .cast("long")
+            .alias(f"p{int(p)}_lo")
+        )
+        aggs.append(
+            F.max(
+                F.expr(
+                    f"CASE WHEN {hit(p)} THEN"
+                    f" shiftleft(__b + 1, __lvl) - 1 END"
+                )
+            )
+            .cast("long")
+            .alias(f"p{int(p)}_hi")
+        )
+    wide = ex2.groupBy(*groups).agg(*aggs)
+    stats = ["level", "n", "n_buckets"] + [
+        f"p{int(p)}_{s}" for p in pcts for s in ("lo", "hi")
+    ]
+    pairs = ", ".join(f"'{s}', {s}" for s in stats)
+    return wide.selectExpr(
+        *groups, f"stack({len(stats)}, {pairs}) AS (feature, value)"
+    ).select(*groups, "feature", F.col("value").cast("long"))
+
+
+def dyadic_quantiles_oracle(
+    table: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+    pcts: Sequence[int] = (25, 50, 75, 90),
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`dyadic_quantiles` in closed form: the
+    merge-order-invariance theorem (DyadicHist.java) says the JVM
+    sketch's state IS the exact bucket relation at level
+    min{L : count(distinct vq >> L) <= k} — computable by a 64-level
+    scan — so the whole read reproduces bit-for-bit."""
+    gs = ", ".join(group_cols)
+    hit = (
+        lambda p: f"cum >= ({p} * n + 99) // 100"
+        f" AND cum - c < ({p} * n + 99) // 100"
+    )
+    stat_rows = "\n".join(
+        f"        UNION ALL SELECT {gs}, 'p{int(p)}_{s}',"
+        f" p{int(p)}_{s} FROM wide"
+        for p in pcts
+        for s in ("lo", "hi")
+    )
+    pct_aggs = ",\n                 ".join(
+        f"MAX(CASE WHEN {hit(p)} THEN"
+        f" {expr} END) AS p{int(p)}_{s}"
+        for p in pcts
+        for s, expr in (("lo", "b << lvl"), ("hi", "((b + 1) << lvl) - 1"))
+    )
+    return f"""
+        WITH q AS MATERIALIZED (
+          SELECT {gs}, CAST(floor({value_col} * {scale} + 0.5) AS BIGINT)
+                   AS vq
+          FROM {table} WHERE {value_col} IS NOT NULL),
+        lv AS MATERIALIZED (
+          SELECT {gs}, CAST(MIN(L) AS INT) AS lvl FROM (
+            SELECT {gs}, ls.L AS L,
+                   COUNT(DISTINCT vq >> ls.L) AS nbk
+            FROM q CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS L)
+              ls
+            GROUP BY {gs}, ls.L)
+          WHERE nbk <= {k} GROUP BY {gs}),
+        bk AS MATERIALIZED (
+          SELECT {gs}, lvl, vq >> lvl AS b, CAST(COUNT(*) AS BIGINT) AS c
+          FROM q JOIN lv USING ({gs}) GROUP BY {gs}, lvl, b),
+        ex AS MATERIALIZED (
+          SELECT {gs}, lvl, b, c,
+                 CAST(SUM(c) OVER (PARTITION BY {gs} ORDER BY b)
+                   AS BIGINT) AS cum,
+                 CAST(SUM(c) OVER (PARTITION BY {gs}) AS BIGINT) AS n,
+                 CAST(COUNT(*) OVER (PARTITION BY {gs}) AS BIGINT) AS nbk
+          FROM bk),
+        wide AS MATERIALIZED (
+          SELECT {gs}, CAST(MAX(lvl) AS BIGINT) AS level, MAX(n) AS n,
+                 MAX(nbk) AS n_buckets,
+                 {pct_aggs}
+          FROM ex GROUP BY {gs})
+        SELECT {gs}, 'level' AS feature, CAST(level AS BIGINT) AS value
+        FROM wide
+        UNION ALL SELECT {gs}, 'n', n FROM wide
+        UNION ALL SELECT {gs}, 'n_buckets', n_buckets FROM wide
+{stat_rows}
+    """
+
+
+def mg_heavy_hitters(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    key_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Per-group heavy hitters via a Misra-Gries O(k) JVM merge
+    aggregate (``fes.MGTopK``) CERTIFIED against exact counts. The MG
+    summary itself is merge-order-dependent (measured: 191 distinct
+    summaries over 200 shuffles of one multiset — MGTopK.java), so the
+    recorded relation is the order-INVARIANT read the MG guarantee
+    makes exact: every key with true frequency ``f > n/(k+1)`` is
+    present in the summary on EVERY order, so
+
+        exact-heavy keys SEMI-JOIN MG survivors  ==  exact-heavy keys
+
+    deterministically. The semi-join runs the real MG plan (a buggy
+    summary that dropped a guaranteed key WOULD lose a row and fail the
+    oracle); the exact counts come from a plain groupBy the same scan
+    feeds. The estimate-error bound (``f - n/(k+1) <= est <= f``) is
+    pinned in tests/test_sketch.py across shuffled partitionings.
+
+    Output: ``(group..., hh_key string, exact_count, n)`` — keys whose
+    exact frequency strictly exceeds ``n / (k+1)``.
+
+    Scale: the MG branch is ONE map-side-combined aggregation with O(k)
+    state per group (cm_heavy_hitters ships depth x width counter rows
+    per group; this ships k). The exact branch is a standard
+    two-aggregation count — at 100 TB replace it with a second MG pass
+    at higher k or accept the summary's bounded counts; the certified
+    read here is what makes the row oracle-gradable.
+    """
+    from flink_example_spark.jvm import register_mg_topk
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    fm = register_mg_topk(df.sparkSession, k)
+    src = df.select(
+        *groups, F.col(key_col).cast("string").alias("__key")
+    ).filter(F.col("__key").isNotNull())
+    mg = (
+        src.groupBy(*groups)
+        .agg(F.expr(f"{fm}(__key)").alias("__mg"))
+        .select(*groups, F.explode("__mg").alias("__e"))
+        .select(
+            *groups, F.split(F.col("__e"), "\t").getItem(0).alias("__key")
+        )
+    )
+    exact = src.groupBy(*groups, "__key").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    wall = Window.partitionBy(*groups)
+    heavy = exact.select(
+        *groups,
+        "__key",
+        "exact_count",
+        F.sum("exact_count").over(wall).cast("long").alias("n"),
+    ).filter(F.expr(f"exact_count * {k + 1} > n"))
+    return heavy.join(mg, [*groups, "__key"], "left_semi").select(
+        *groups, F.col("__key").alias("hh_key"), "exact_count", "n"
+    )
+
+
+def mg_heavy_hitters_oracle(
+    table: str,
+    group_cols: Sequence[str],
+    key_col: str,
+    k: int = 8,
+) -> str:
+    """DuckDB twin of :func:`mg_heavy_hitters`: the MG guarantee makes
+    the semi-join a proven identity, so the oracle is the exact-count
+    filter alone."""
+    gs = ", ".join(group_cols)
+    return f"""
+        WITH src AS MATERIALIZED (
+          SELECT {gs}, CAST({key_col} AS VARCHAR) AS hh_key
+          FROM {table} WHERE {key_col} IS NOT NULL),
+        exact AS MATERIALIZED (
+          SELECT {gs}, hh_key, CAST(COUNT(*) AS BIGINT) AS exact_count
+          FROM src GROUP BY {gs}, hh_key)
+        SELECT {gs}, hh_key, exact_count, n FROM (
+          SELECT {gs}, hh_key, exact_count,
+                 CAST(SUM(exact_count) OVER (PARTITION BY {gs}) AS BIGINT)
+                   AS n
+          FROM exact)
+        WHERE exact_count * {k + 1} > n
+    """

@@ -583,3 +583,55 @@ def run_streaming_order_stats(
         q.awaitTermination()
     latest = spark.table(name).groupBy("v").agg(F.max("c").alias("c"))
     return exact_order_stats_from_counts(latest)
+
+def run_streaming_dyadic_jvm(
+    spark: SparkSession, sf_dir: str, k: int = 64, chunks: int = 3
+) -> DataFrame:
+    """LIVE dyadic-histogram quantile sketch with ZERO Python state: the
+    adaptive dyadic histogram (``fes.DyadicHist`` — exact bucket counts
+    at the coarsest-needed resolution) is a commutative merge monoid,
+    so a plain streaming COMPLETE-mode aggregation holds its O(k)
+    buffer per event_type in the state store, and the merge-order-
+    invariance theorem (DyadicHist.java) makes the replayed state — and
+    therefore the quantile-bounds read — BIT-IDENTICAL to batch
+    ``dyadic_quantiles`` (shares its oracle)."""
+    import os
+    import uuid
+
+    from flink_example_spark.jvm import register_dyadic_hist
+    from flink_example_spark.operators.sketch import dyadic_read
+    from flink_example_spark.session import shuffle_partitions, tune
+    from flink_example_spark.streaming.cdc_stream import _stage_events_chunks
+
+    tune(spark)
+    fn = register_dyadic_hist(spark, k)
+    tmpdir, schema = _stage_events_chunks(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+        .select("event_type", "value")
+    )
+    vq = "CAST(floor(value * 1000000 + 0.5) AS BIGINT)"
+    src = stream.select(
+        "event_type",
+        F.expr(
+            f"CASE WHEN {vq} < 0 THEN CAST(raise_error("
+            f"'streaming_dyadic_jvm: negative value') AS BIGINT)"
+            f" ELSE {vq} END"
+        ).alias("__vq"),
+    )
+    g = src.groupBy("event_type").agg(F.expr(f"{fn}(__vq)").alias("__a"))
+    name = f"stream_dyadic_jvm_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            g.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = spark.table(name)
+    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    return dyadic_read(fresh, ["event_type"], (25, 50, 75, 90))

@@ -620,3 +620,179 @@ def test_streaming_quantiles_jvm_converges_to_batch(spark):
         for r in kmv_quantiles(d, "lang", "n_chars", "doc_id", k=64).collect()
     )
     assert got == want
+
+
+def _dyadic_brute(vals, k):
+    """Closed-form reference: exact bucket counts at the minimal level
+    with <= k distinct buckets (the merge-order-invariance theorem)."""
+    from collections import Counter
+
+    lvl = 0
+    while len({v >> lvl for v in vals}) > k:
+        lvl += 1
+    return lvl, dict(Counter(v >> lvl for v in vals))
+
+
+def test_dyadic_hist_matches_closed_form_and_partial_aggregates(spark):
+    """The JVM dyadic histogram's (level, buckets, counts) equals the
+    closed form min{L : |{v >> L}| <= k} with exact counts, on a
+    multi-partition input; the plan carries the map-side partial_ mode."""
+    from flink_example_spark.jvm import register_dyadic_hist
+
+    fn = register_dyadic_hist(spark, 64)
+    vals = [(i * 7919) % 1_000_003 for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").repartition(16)
+    g = df.groupBy().agg(__import__("pyspark.sql.functions", fromlist=["expr"]).expr(f"{fn}(v)").alias("a"))
+    arr = g.first()["a"]
+    lvl, buckets = _dyadic_brute(vals, 64)
+    assert arr[0] == lvl
+    got = dict(zip(arr[1::2], arr[2::2]))
+    assert got == buckets
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "partial_dyadic_hist64" in plan
+
+
+def test_dyadic_hist_is_merge_order_invariant(spark):
+    """Shuffled input + different partitionings produce the IDENTICAL
+    array — the property KLL compaction lacks and the reason this sketch
+    is oracle-hashable."""
+    import random
+
+    from flink_example_spark.jvm import register_dyadic_hist
+
+    fn = register_dyadic_hist(spark, 64)
+    vals = [(i * i * 31) % 500_009 for i in range(3000)]
+    outs = []
+    for seed, parts in ((1, 2), (2, 32), (3, 7)):
+        random.Random(seed).shuffle(vals)
+        df = spark.createDataFrame([(v,) for v in vals], "v long").repartition(parts)
+        outs.append(
+            tuple(
+                df.groupBy()
+                .agg(F.expr(f"{fn}(v)").alias("a"))
+                .first()["a"]
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_dyadic_quantiles_bounds_contain_exact_percentiles(spark):
+    """Every reported [p_lo, p_hi] interval contains the TRUE exact
+    percentile value (rank contract ceil(pct*n/100)), and the bucket
+    span is 2^level."""
+    from flink_example_spark.operators.sketch import dyadic_quantiles
+
+    rows = [("g", float(((i * 37) % 977) ** 2) / 100.0) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g string, val double").repartition(8)
+    out = {
+        r["feature"]: r["value"]
+        for r in dyadic_quantiles(df, "g", "val", k=64).collect()
+    }
+    vq = sorted(int(v * 1_000_000 + 0.5) for _, v in rows)
+    n = len(vq)
+    assert out["n"] == n
+    assert out["n_buckets"] <= 64
+    for pct in (25, 50, 75, 90):
+        exact = vq[(pct * n + 99) // 100 - 1]
+        lo, hi = out[f"p{pct}_lo"], out[f"p{pct}_hi"]
+        assert lo <= exact <= hi
+        assert hi - lo + 1 == 1 << out["level"]
+
+
+def test_dyadic_quantiles_negative_values_raise(spark):
+    import pytest
+
+    from flink_example_spark.operators.sketch import dyadic_quantiles
+
+    df = spark.createDataFrame([("g", -1.5)], "g string, val double")
+    with pytest.raises(Exception, match="negative value"):
+        dyadic_quantiles(df, "g", "val", k=64).collect()
+
+
+def test_streaming_dyadic_jvm_converges_to_batch(spark):
+    """The live complete-mode dyadic aggregation replayed over 3 chunks
+    equals batch dyadic_quantiles bit-for-bit (merge-order invariance
+    across micro-batches)."""
+    from flink_example_spark.operators.sketch import dyadic_quantiles
+    from flink_example_spark.streaming.sketch_stream import (
+        run_streaming_dyadic_jvm,
+    )
+    from flink_example_spark.tables import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    live = sorted(
+        tuple(r) for r in run_streaming_dyadic_jvm(spark, sf, k=64).collect()
+    )
+    ev = load_tables(spark, sf, register=False)["events"]
+    batch = sorted(
+        tuple(r)
+        for r in dyadic_quantiles(ev, "event_type", "value", k=64).collect()
+    )
+    assert live == batch
+
+
+def _mg_exact(pairs):
+    from collections import Counter
+
+    return Counter(k for k in pairs)
+
+
+def test_mg_summary_bound_and_guarantee_across_partitionings(spark):
+    """The MG invariants that hold on EVERY merge order: est <= f (no
+    overcount), f - est <= n/(k+1) (bounded undercount), and every key
+    with f > n/(k+1) is present. Checked across three different
+    partitionings of a skewed multiset."""
+    import random
+
+    from flink_example_spark.jvm import register_mg_topk
+
+    k = 8
+    fm = register_mg_topk(spark, k)
+    keys = (
+        ["heavy"] * 400
+        + ["second"] * 250
+        + [f"mid{i}" for i in range(20) for _ in range(10)]
+        + [f"tail{i}" for i in range(150)]
+    )
+    exact = _mg_exact(keys)
+    n = len(keys)
+    for seed, parts in ((1, 2), (2, 32), (3, 5)):
+        random.Random(seed).shuffle(keys)
+        df = spark.createDataFrame([(x,) for x in keys], "k string").repartition(parts)
+        arr = df.groupBy().agg(F.expr(f"{fm}(k)").alias("a")).first()["a"]
+        summary = dict(
+            (e.rsplit("\t", 1)[0], int(e.rsplit("\t", 1)[1])) for e in arr
+        )
+        assert len(summary) <= k
+        for key, est in summary.items():
+            assert est <= exact[key]
+            assert exact[key] - est <= n / (k + 1)
+        for key, f in exact.items():
+            if f > n / (k + 1):
+                assert key in summary, (key, f, n)
+
+
+def test_mg_heavy_hitters_certified_read_matches_exact(spark):
+    """The recorded relation (exact-heavy semi-join MG survivors) equals
+    the pure exact filter — the deterministic read the MG guarantee
+    certifies — and the plan carries the map-side partial_ mode."""
+    from flink_example_spark.operators.sketch import mg_heavy_hitters
+
+    rows = [("g%d" % (i % 2), "k%d" % min(i % 37, (i * i) % 11)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, key string").repartition(8)
+    out = mg_heavy_hitters(df, "g", "key", k=8)
+    got = sorted(tuple(r) for r in out.collect())
+    from collections import Counter
+
+    exact: dict = {}
+    for g_, k_ in rows:
+        exact.setdefault(g_, Counter())[k_] += 1
+    want = sorted(
+        (g_, k_, c, sum(cnt.values()))
+        for g_, cnt in exact.items()
+        for k_, c in cnt.items()
+        if c * 9 > sum(cnt.values())
+    )
+    assert got == want and len(want) > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_mg_topk8" in plan
