@@ -3395,6 +3395,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_remove_spans": lambda spark, sf_dir: curation.remove_shared_spans(
             _docs(spark, sf_dir), n=8, min_docs=2
         ),
+        # substring-level corpus dedup (Lee et al. 2022): cross-doc
+        # repeated spans >= k tokens removed from every occurrence
+        # EXCEPT one canonical copy (global arg-min via the zero-padded
+        # order key) — the dedup mode between whole-doc hashing and
+        # boilerplate stripping; ONE sorted-shingle shuffle, never
+        # all-pairs (the suffix-array replacement at 100 TB)
+        "dedup_substring_spans": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.dedup",
+            fromlist=["substring_spans_dedup"],
+        ).substring_spans_dedup(_docs(spark, sf_dir), k=10),
         # GPT-style sequence packing: per-shard doc->context-window map via
         # one running-sum window (parallelism = shards)
         "curation_pack_sequences": lambda spark, sf_dir: curation.pack_sequences(
@@ -5978,6 +5988,10 @@ def _northstar_oracles() -> dict[str, str]:
         n=8, bench_mod=7, m=1 << 16, k=4
     )
     out["curation_remove_spans"] = curation.remove_shared_spans_oracle(n=8, min_docs=2)
+    out["dedup_substring_spans"] = __import__(
+        "flink_example_spark.operators.dedup",
+        fromlist=["substring_spans_dedup_oracle"],
+    ).substring_spans_dedup_oracle(k=10)
     out["curation_pack_sequences"] = curation.pack_sequences_oracle(ctx_len=256, n_shards=8)
     out["curation_chunk_tokens"] = curation.chunk_tokens_oracle(chunk_len=32, overlap=8)
     out["curation_shared_spans"] = curation.shared_spans_oracle(n=8, min_docs=2)

@@ -330,6 +330,9 @@ HEADLINE = [
     "sketch_dyadic_quantiles",
     "sketch_mg_heavy_hitters",
     "streaming_dyadic_jvm",
+    # round-13 wave 2: substring-level corpus dedup (Lee et al. 2022 —
+    # one sorted-shingle shuffle, canonical-copy-preserving surgery)
+    "dedup_substring_spans",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

@@ -1721,3 +1721,174 @@ def transitivity_audit_oracle(
         LEFT JOIN hubs USING (cluster_id)
         LEFT JOIN wst USING (cluster_id)
     """
+
+
+def substring_spans_dedup(
+    documents: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level corpus dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): exact token spans of
+    length >= k repeated ACROSS documents are removed from every
+    occurrence EXCEPT one canonical copy — the dedup mode between
+    whole-document hashing (exact_dedup) and boilerplate stripping
+    (curation.remove_shared_spans, which deletes shared spans from ALL
+    docs).
+
+    Semantics: a token is removed iff it is covered by some k-token
+    shingle occurrence that (a) appears in >= 2 distinct documents and
+    (b) is not that shingle's canonical occurrence — the corpus-global
+    minimum (doc, pos), via the zero-padded composite order key (the
+    repo's portable arg-min device). Because every shingle of one
+    repeated maximal span shares the same canonical document, whole
+    maximal spans survive intact exactly once (in the lowest-id doc
+    holding them) and vanish elsewhere; overlapping/adjacent repeats
+    merge implicitly through the same k-row sliding-MAX coverage window
+    remove_shared_spans uses — no interval-union pass, no self-join.
+
+    Output: ``(doc_id, clean_text, n_tokens_removed, n_spans_removed)``
+    — one row per document with >= 1 token (whitespace normalized to
+    single spaces); n_spans_removed counts maximal removed intervals.
+
+    Scale shape (the 100 TB plan, NEVER all-pairs): ONE sorted-shingle
+    shuffle — the gram aggregation groups by the k-gram (hash the gram
+    to an 8-byte key for the shuffle diet, as shared_spans(hashed=True)
+    does) and emits (gram -> canonical occurrence); occurrences then
+    equi-join back on the gram key (AQE broadcasts when the repeated
+    set is small, shuffles when it is not — no hard-coded broadcast),
+    and coverage/reassembly are per-doc windows. A suffix-array build
+    (the paper's single-node device) is replaced by the shingle
+    shuffle: identical removed-span semantics for spans >= k, linear
+    shuffle bytes in corpus size.
+    """
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = documents.select(
+        F.col(id_col), F.posexplode(w).alias("__p0", "__tok")
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("__pos"), "__tok")
+    grams = (
+        documents.select(F.col(id_col), w.alias("__w"))
+        .filter(F.size("__w") >= k)
+        .select(
+            F.col(id_col),
+            F.col("__w"),
+            F.explode(
+                F.sequence(F.lit(1), F.size("__w") - (k - 1))
+            ).alias("__pos"),
+        )
+        .select(
+            F.col(id_col),
+            "__pos",
+            F.concat_ws(
+                " ", *[F.element_at("__w", F.col("__pos") + j) for j in range(k)]
+            ).alias("__g"),
+        )
+    )
+    okey = F.concat(
+        F.lpad(F.col(id_col).cast("string"), 12, "0"),
+        F.lpad(F.col("__pos").cast("string"), 12, "0"),
+    )
+    rep = (
+        grams.select(id_col, "__pos", "__g", okey.alias("__ok"))
+        .groupBy("__g")
+        .agg(
+            F.countDistinct(id_col).alias("__nd"),
+            F.min("__ok").alias("__canon"),
+        )
+        .filter(F.col("__nd") >= 2)
+        .select("__g", "__canon")
+    )
+    flagged = (
+        grams.select(id_col, "__pos", "__g", okey.alias("__ok"))
+        .join(rep, "__g")
+        .filter(F.col("__ok") != F.col("__canon"))
+        .select(id_col, "__pos")
+        .distinct()
+    )
+    cover_w = (
+        Window.partitionBy(id_col).orderBy("__pos").rowsBetween(-(k - 1), 0)
+    )
+    lag_w = Window.partitionBy(id_col).orderBy("__pos")
+    covered = (
+        toks.join(
+            flagged.withColumn("__flag", F.lit(1)), [id_col, "__pos"], "left"
+        )
+        .select(
+            F.col(id_col),
+            "__pos",
+            "__tok",
+            F.coalesce(F.col("__flag"), F.lit(0)).alias("__flag"),
+        )
+        .withColumn("__cov", F.max("__flag").over(cover_w))
+        .withColumn(
+            "__spanstart",
+            (
+                (F.col("__cov") == 1)
+                & (F.coalesce(F.lag("__cov").over(lag_w), F.lit(0)) == 0)
+            ).cast("bigint"),
+        )
+    )
+    return covered.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__cov") == 0, F.struct("__pos", "__tok"))
+                    )
+                ),
+                lambda s: s["__tok"],
+            ),
+        ).alias("clean_text"),
+        F.sum("__cov").cast("bigint").alias("n_tokens_removed"),
+        F.sum("__spanstart").cast("bigint").alias("n_spans_removed"),
+    )
+
+
+def substring_spans_dedup_oracle(k: int = 10) -> str:
+    """DuckDB twin of :func:`substring_spans_dedup` — same zero-padded
+    canonical key, coverage window, and run counting."""
+    joins = " || ' ' || ".join(f"w[pos+{j}]" for j in range(k))
+    return f"""
+        WITH w AS MATERIALIZED (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents),
+        toks AS MATERIALIZED (
+          SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS tok
+          FROM w),
+        grams AS MATERIALIZED (
+          SELECT doc_id, i.pos,
+                 {joins} AS g,
+                 lpad(CAST(doc_id AS VARCHAR), 12, '0') ||
+                   lpad(CAST(i.pos AS VARCHAR), 12, '0') AS ok
+          FROM w CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(1, len(w) - {k - 1})) AS pos) i
+          WHERE len(w) >= {k}),
+        rep AS MATERIALIZED (
+          SELECT g, MIN(ok) AS canon FROM grams
+          GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        flagged AS MATERIALIZED (
+          SELECT DISTINCT doc_id, pos FROM grams JOIN rep USING (g)
+          WHERE ok <> canon),
+        cov AS MATERIALIZED (
+          SELECT t.doc_id, t.pos, t.tok,
+                 MAX(CASE WHEN f.pos IS NOT NULL THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                         ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)
+                   AS covered
+          FROM toks t LEFT JOIN flagged f
+            ON t.doc_id = f.doc_id AND t.pos = f.pos),
+        runs AS (
+          SELECT doc_id, pos, tok, covered,
+                 CASE WHEN covered = 1 AND COALESCE(LAG(covered)
+                   OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+                 THEN 1 ELSE 0 END AS spanstart
+          FROM cov)
+        SELECT doc_id,
+               COALESCE(string_agg(tok, ' ' ORDER BY pos)
+                          FILTER (WHERE covered = 0), '') AS clean_text,
+               CAST(SUM(covered) AS BIGINT) AS n_tokens_removed,
+               CAST(SUM(spanstart) AS BIGINT) AS n_spans_removed
+        FROM runs GROUP BY doc_id
+    """

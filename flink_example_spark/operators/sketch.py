@@ -1616,6 +1616,11 @@ def dyadic_quantiles(
             f" offset or filter first') AS BIGINT) ELSE {vq} END"
         ).alias("__vq"),
     )
+    # single-file parquet scans as ONE partition; the UDAF update path is
+    # CPU-heavy per row, so spread it (explicit count — AQE never
+    # coalesces REPARTITION_BY_NUM; merge-order invariance makes any
+    # split exact). Measured 7.2s -> ~1s at sf0.1.
+    src = src.repartition(df.sparkSession.sparkContext.defaultParallelism)
     g = src.groupBy(*groups).agg(F.expr(f"{fn}(__vq)").alias("__a"))
     return dyadic_read(g, groups, pcts)
 
@@ -1802,8 +1807,11 @@ def mg_heavy_hitters(
     src = df.select(
         *groups, F.col(key_col).cast("string").alias("__key")
     ).filter(F.col("__key").isNotNull())
+    # spread the per-row MG update across cores (single-file scan rule;
+    # the certified read is order-invariant so any split is exact)
+    mg_src = src.repartition(df.sparkSession.sparkContext.defaultParallelism)
     mg = (
-        src.groupBy(*groups)
+        mg_src.groupBy(*groups)
         .agg(F.expr(f"{fm}(__key)").alias("__mg"))
         .select(*groups, F.explode("__mg").alias("__e"))
         .select(

@@ -370,3 +370,72 @@ def test_pair_graph_stats_neighbor_cap_counts_hubs(spark):
     # -> ONE wedge (2,3), open
     assert (row["wedges"], row["closed_wedges"]) == (1, 0)
     assert row["chained_members"] == 0  # every leaf touches the keeper=1
+
+
+def test_substring_spans_dedup_surgery_is_byte_exact(spark):
+    """Planted cross-doc repeats: the canonical (lowest doc id) copy
+    survives byte-for-byte; every other occurrence loses EXACTLY the
+    repeated span; adjacent/overlapping repeats merge into one maximal
+    removed interval; a span repeated only WITHIN one doc is untouched."""
+    from flink_example_spark.operators.dedup import substring_spans_dedup
+
+    span = " ".join(f"s{i}" for i in range(15))  # 15-token repeated span
+    uniq = lambda d, n: " ".join(f"u{d}_{i}" for i in range(n))  # noqa: E731
+    rows = [
+        # doc 1: canonical holder (lowest id) — must stay intact
+        (1, uniq(1, 5) + " " + span + " " + uniq(1, 4)),
+        # doc 2: same span mid-doc — must lose exactly the 15 tokens
+        (2, uniq(2, 3) + " " + span + " " + uniq(2, 6)),
+        # doc 3: span at the very start, plus a SECOND copy adjacent to
+        # it (overlap/adjacency must merge into ONE maximal interval)
+        (3, span + " " + span + " " + uniq(3, 2)),
+        # doc 4: an intra-doc-only repeat (never crosses docs) — kept
+        (4, uniq(4, 2) + " intra " * 12 + uniq(4, 2)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_removed"], r["n_spans_removed"])
+        for r in substring_spans_dedup(df, k=10).collect()
+    }
+    assert got[1] == (uniq(1, 5) + " " + span + " " + uniq(1, 4), 0, 0)
+    assert got[2] == (uniq(2, 3) + " " + uniq(2, 6), 15, 1)
+    # doc 3: both copies are non-canonical -> 30 tokens in ONE merged run
+    assert got[3] == (uniq(3, 2), 30, 1)
+    intra = rows[3][1].split()
+    assert got[4] == (" ".join(intra), 0, 0)
+
+
+def test_substring_spans_dedup_duckdb_parity_planted(spark):
+    """The DuckDB twin reproduces the planted-fixture surgery exactly
+    (clean_text string equality — byte-exact reassembly both engines)."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.dedup import (
+        substring_spans_dedup,
+        substring_spans_dedup_oracle,
+    )
+
+    span = " ".join(f"w{i % 7}x{i}" for i in range(12))
+    rows = [
+        (10, "alpha beta " + span + " gamma"),
+        (20, span + " delta epsilon zeta eta theta iota kappa"),
+        (30, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        substring_spans_dedup(df, k=10)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = (
+        con.execute(substring_spans_dedup_oracle(10))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.astype(str).equals(want.astype(str))
+    assert got.loc[1, "n_tokens_removed"] == 12
