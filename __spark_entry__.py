@@ -7349,7 +7349,6 @@ DRIVER_KEYS = [
     "streaming_features_agg",
     "streaming_pipeline_e2e",
     "streaming_incremental_history",
-    "streaming_dedup_exact",
     # tumbling stays in extras (same oracle family as session windows);
     # the slot showcases the streaming CDC net-change MERGE instead
     "streaming_cdc_apply",
@@ -7366,11 +7365,26 @@ DRIVER_KEYS = [
     # the correlated-subquery class); the slot records association rules
     "mining_assoc_rules",
     # q21 moves to extras (the relational class stays driver-exercised
-    # 7-deep: q1/q3/cte/set_ops/window/grouping/correlated-subquery);
-    # the slot records the round-12 flagship — the TRUE JVM
-    # bounded-state KMV merge aggregate (partial_kmv_bottomk32 below
-    # the exchange, zero Python; = sketch_kmv_distinct's hash)
-    "sketch_kmv_jvm",
+    # 7-deep: q1/q3/cte/set_ops/window/grouping/correlated-subquery).
+    # Round-13 rotation: sketch_kmv_jvm moves to extras (its hash was
+    # driver-recorded in r12 and equals sketch_kmv_distinct's); the slot
+    # records the round-13 flagship — the adaptive dyadic-histogram
+    # quantile sketch (fes.DyadicHist, merge-order-invariant exact
+    # bucket counts, partial_dyadic_hist64 below the exchange)
+    "sketch_dyadic_quantiles",
+    # ab_exposure_lift moves to extras (driver-recorded r12; the AB
+    # family stays 2-deep via switchback + cluster_lift); the slot
+    # records the cluster-randomized lift with its design-effect gates
+    "ab_cluster_lift",
+    # policy_ips_eval moves to extras (driver-recorded r12; OPE stays
+    # driver-exercised by the strictly-stronger self-normalized DR
+    # estimator, which shares _ctx_outcome_model with dr_value)
+    "policy_sndr_eval",
+    # streaming_dedup_exact moves to extras (batch dedup_exact shares
+    # its oracle and the class stays locally swept); the slot records
+    # the live JVM bounded-state KMV twin — O(k) buffer per key in the
+    # streaming state store, zero Python (= sketch_kmv_distinct's hash)
+    "streaming_kmv_jvm",
     "orders_above_customer_avg",
     "cte_distinct_counts",
     "set_ops_suite",
@@ -7410,9 +7424,12 @@ DRIVER_KEYS = [
     # feature_latest + the streaming MERGE row streaming_cdc_apply); the
     # slot records the exposure-gated experiment lift (first-exposure
     # MIN monoid, pre-exposure outcomes excluded)
-    "ab_exposure_lift",
     "dedup_minhash_lsh",
-    "dedup_minhash_clusters",
+    # dedup_minhash_clusters moves to extras (dedup stays 2-deep via
+    # minhash_lsh + the substring surgery below); the slot records the
+    # round-13 substring-level corpus dedup (Lee et al. 2022 —
+    # canonical-copy-preserving span removal, one shingle shuffle)
+    "dedup_substring_spans",
     # keep-first materialization stays in extras (one anti-join over the
     # driver-recorded LSH pairs); the slot records the PCA eigensolver
     "ann_pca_power",
@@ -7470,19 +7487,20 @@ DRIVER_KEYS = [
     # curation driver-exercised); the slot records the Fleming-Harrington
     # RMST survival KPI — the round-10 time-series family head
     "timeseries_rmst",
-    # curation_doc_quality moves to extras (gopher rules are also the
-    # streaming filter row); the slot records the Bloom runtime-filter
-    # sketch (bit_or monoid words + probe-side pruning measurement)
-    "sketch_bloom_filter",
+    # sketch_bloom_filter moves to extras (driver-recorded r7-r12; the
+    # mergeable-sketch class stays 2-deep via the dyadic histogram +
+    # the certified Misra-Gries read below, with kmv/bloom/cm locally
+    # swept); the slot records the MG heavy hitters — exact counts of
+    # guaranteed-heavy keys semi-joined against the O(k) MG survivors
+    "sketch_mg_heavy_hitters",
     # sample/dist_stats stay in extras (portable-hash sampling and the
     # moment stats are both exercised by other driver rows); the slot
     # records the round-7 entity-resolution family
     "entity_resolve",
-    # timeseries_acf moves to extras (time series stays driver-exercised
-    # by the RMST survival KPI); the slot records clipped IPS + SNIPS +
-    # Kish-ESS — the off-policy-evaluation family head, whose live twin
-    # shares the identical hash (streaming_policy_ips, locally swept)
-    "policy_ips_eval",
+    # timeseries_acf stays in extras (time series stays driver-exercised
+    # by the RMST survival KPI); policy_sndr_eval (above) records the
+    # OPE family; the IPS/SNIPS row and both its live twins are locally
+    # swept
 ]
 
 

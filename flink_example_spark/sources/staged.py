@@ -118,7 +118,8 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     read it back, and emit the two per-format checksum rows — identical
     iff the ORC ingest path is lossless. Avro is NOT exercised: the
     spark-avro module is an external jar absent from this environment
-    (verified; gate documented here rather than stubbed)."""
+    (verified; re-verified 2026-08-16 — only the avro core libs ship,
+    not the DataSource; gate documented here rather than stubbed)."""
     from flink_example_spark.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").select(
