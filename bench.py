@@ -469,6 +469,11 @@ def main() -> None:
         json.dump(full, fh, indent=1)
         fh.write("\n")
 
+    # FROZEN (VERDICT-r12 task 7): the printed per-query detail is the
+    # 28-query COMMON_R3 set and stays that way as the suite grows — the
+    # full map lives in BENCH_FULL.json; round-over-round diffs of the
+    # printed line stay one-screen and the common_r2/r3 subtotals (the
+    # graded bands) are unaffected by headline growth.
     compact = {
         "metric": "headline_suite_wall_sec",
         "value": total,
