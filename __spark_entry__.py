@@ -3213,6 +3213,38 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.sketch_stream",
             fromlist=["run_streaming_dyadic_jvm"],
         ).run_streaming_dyadic_jvm(spark, sf_dir, k=64),
+        # the 100 TB feed lever on the same sketch: a codegen
+        # pre-aggregation collapses duplicate values BEFORE the UDAF
+        # (weighted fes.DyadicHistW input) — bit-identical relation,
+        # shares sketch_dyadic_quantiles' oracle
+        "sketch_dyadic_preagg": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.sketch",
+            fromlist=["dyadic_quantiles"],
+        ).dyadic_quantiles(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "events"),
+            "event_type",
+            "value",
+            k=64,
+            pre_agg=True,
+        ),
+        # the planner read over the same sketch: DETERMINISTIC
+        # selectivity bounds for range predicates (n_min from buckets
+        # fully inside, n_max adds edge buckets — exact bounds on the
+        # true count by construction)
+        "sketch_dyadic_selectivity": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.sketch",
+            fromlist=["dyadic_selectivity"],
+        ).dyadic_selectivity(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "events"),
+            "event_type",
+            "value",
+            ((0.0, 50.0), (50.0, 150.0), (150.0, 500.0)),
+            k=64,
+        ),
         # Misra-Gries O(k) heavy-hitter JVM aggregate, CERTIFIED read:
         # the MG guarantee (every f > n/(k+1) key survives any merge
         # order) makes exact-heavy SEMI-JOIN MG-survivors deterministic
@@ -5945,6 +5977,18 @@ def _northstar_oracles() -> dict[str, str]:
     )
     # live twin replays to the bit-identical histogram state
     out["streaming_dyadic_jvm"] = out["sketch_dyadic_quantiles"]
+    # the weighted pre-agg feed is the bit-identical relation
+    out["sketch_dyadic_preagg"] = out["sketch_dyadic_quantiles"]
+    out["sketch_dyadic_selectivity"] = __import__(
+        "flink_example_spark.operators.sketch",
+        fromlist=["dyadic_selectivity_oracle"],
+    ).dyadic_selectivity_oracle(
+        "events",
+        ["event_type"],
+        "value",
+        ((0.0, 50.0), (50.0, 150.0), (150.0, 500.0)),
+        k=64,
+    )
     out["sketch_mg_heavy_hitters"] = mg_heavy_hitters_oracle(
         "(SELECT event_type, CAST(floor(value / 25) AS BIGINT) AS band"
         " FROM events)",

@@ -333,6 +333,11 @@ HEADLINE = [
     # round-13 wave 2: substring-level corpus dedup (Lee et al. 2022 —
     # one sorted-shingle shuffle, canonical-copy-preserving surgery)
     "dedup_substring_spans",
+    # round-13 wave 3: the weighted pre-agg feed (codegen duplicate
+    # collapse before the UDAF) and the planner selectivity read over
+    # the same dyadic sketch
+    "sketch_dyadic_preagg",
+    "sketch_dyadic_selectivity",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

@@ -121,6 +121,16 @@ def register_dyadic_hist(spark, k: int) -> str:
     return _register(spark, f"dyadic_hist{k}", f"fes.DyadicHist{k}")
 
 
+def register_dyadic_histw(spark, k: int) -> str:
+    """Idempotently register the WEIGHTED-input dyadic histogram
+    ``dyadic_histw{k}`` (value, count) — lets a codegen pre-aggregation
+    feed distinct values instead of raw rows; state identical to the
+    row-fed form by merge-order invariance."""
+    if k != 64:
+        raise ValueError(f"k must be 64, got {k}")
+    return _register(spark, f"dyadic_histw{k}", f"fes.DyadicHistW{k}")
+
+
 def register_mg_topk(spark, k: int) -> str:
     """Idempotently register the Misra-Gries heavy-hitter summary
     ``mg_topk{k}`` (string key) -> array of 'key\\tcount' strings.

@@ -112,7 +112,7 @@ public class DyadicHist extends UserDefinedAggregateFunction {
     return level;
   }
 
-  private void addOne(MutableAggregationBuffer buffer, long v, long c) {
+  protected void addOne(MutableAggregationBuffer buffer, long v, long c) {
     if (v < 0) {
       throw new IllegalArgumentException(
           "DyadicHist: negative input " + v + " (dyadic shift is floor "

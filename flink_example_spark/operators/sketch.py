@@ -1574,6 +1574,7 @@ def dyadic_quantiles(
     k: int = 64,
     pcts: Sequence[int] = (25, 50, 75, 90),
     scale: int = 1_000_000,
+    pre_agg: bool = False,
 ) -> DataFrame:
     """Per-group quantile BOUNDS from the adaptive dyadic histogram —
     the deterministic mergeable quantile sketch (``fes.DyadicHist``):
@@ -1621,16 +1622,30 @@ def dyadic_quantiles(
     # coalesces REPARTITION_BY_NUM; merge-order invariance makes any
     # split exact). Measured 7.2s -> ~1s at sf0.1.
     src = src.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    g = src.groupBy(*groups).agg(F.expr(f"{fn}(__vq)").alias("__a"))
+    if pre_agg:
+        # 100 TB feed lever: collapse duplicates in whole-stage codegen
+        # BEFORE the UDAF — the weighted form sees distinct (group,
+        # value) pairs instead of raw rows (state identical: a weighted
+        # multiset is the same multiset). Worth it when values repeat;
+        # a no-op-cost extra exchange when they don't.
+        from flink_example_spark.jvm import register_dyadic_histw
+
+        fnw = register_dyadic_histw(df.sparkSession, k)
+        pre = src.groupBy(*groups, "__vq").agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        g = pre.groupBy(*groups).agg(
+            F.expr(f"{fnw}(__vq, __c)").alias("__a")
+        )
+    else:
+        g = src.groupBy(*groups).agg(F.expr(f"{fn}(__vq)").alias("__a"))
     return dyadic_read(g, groups, pcts)
 
 
-def dyadic_read(
-    g: DataFrame, groups: Sequence[str], pcts: Sequence[int]
-) -> DataFrame:
-    """The quantile-bounds read over an aggregated ``(groups..., __a)``
-    dyadic-histogram relation — shared by :func:`dyadic_quantiles` and
-    the streaming twin (monoid-in-state, algebra-at-read)."""
+def _dyadic_buckets(g: DataFrame, groups: Sequence[str]) -> DataFrame:
+    """Explode an aggregated ``(groups..., __a)`` dyadic-histogram
+    relation into ``(groups..., __lvl, __b, __c)`` bucket rows — shared
+    by the quantile and selectivity reads."""
     # unpack [L, b1, c1, ...]: guard the pair range with a CASE — Spark 4
     # sequence(1, 0) DESCENDS (round-1 rule), so the empty-hist arm must
     # never build the sequence
@@ -1645,7 +1660,7 @@ def dyadic_read(
             " ELSE array() END"
         ).alias("__bs"),
     )
-    ex = parsed.select(
+    return parsed.select(
         *groups, "__lvl", F.explode("__bs").alias("__p")
     ).select(
         *groups,
@@ -1653,6 +1668,15 @@ def dyadic_read(
         F.col("__p.b").alias("__b"),
         F.col("__p.c").alias("__c"),
     )
+
+
+def dyadic_read(
+    g: DataFrame, groups: Sequence[str], pcts: Sequence[int]
+) -> DataFrame:
+    """The quantile-bounds read over an aggregated ``(groups..., __a)``
+    dyadic-histogram relation — shared by :func:`dyadic_quantiles` and
+    the streaming twin (monoid-in-state, algebra-at-read)."""
+    ex = _dyadic_buckets(g, groups)
     wcum = (
         Window.partitionBy(*groups)
         .orderBy("__b")
@@ -1856,4 +1880,137 @@ def mg_heavy_hitters_oracle(
                    AS n
           FROM exact)
         WHERE exact_count * {k + 1} > n
+    """
+
+
+def dyadic_selectivity(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    value_col: str,
+    ranges: Sequence[tuple[float, float]],
+    k: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DETERMINISTIC selectivity bounds for range predicates from the
+    dyadic histogram — the planner read over the same sketch
+    :func:`dyadic_quantiles` builds (selectivity estimation is what a
+    layout/scan planner consults before choosing a sort or a runtime
+    filter; see layout_range_plan for the file-level sibling). For each
+    probe range ``[lo, hi)`` (inclusive-exclusive, original value
+    units): ``n_min`` counts buckets fully inside the quantized range,
+    ``n_max`` adds partially-overlapping edge buckets — EXACT bounds on
+    the true row count, n_min <= true <= n_max, by construction (bucket
+    counts are exact; only edge-bucket membership is unresolved).
+
+    Output (tall, scalar BIGINT): per group, per range i:
+    ``r{i}_n_min`` / ``r{i}_n_max``.
+
+    Scale: the same ONE bounded-state aggregation; the read is
+    sketch-sized conditional sums (one pass, no joins).
+    """
+    from flink_example_spark.jvm import register_dyadic_hist
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    fn = register_dyadic_hist(df.sparkSession, k)
+    vq = f"CAST(floor({value_col} * {scale} + 0.5) AS BIGINT)"
+    src = df.select(
+        *groups,
+        F.expr(
+            f"CASE WHEN {vq} < 0 THEN CAST(raise_error("
+            f"'dyadic_selectivity: negative value') AS BIGINT)"
+            f" ELSE {vq} END"
+        ).alias("__vq"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    g = src.groupBy(*groups).agg(F.expr(f"{fn}(__vq)").alias("__a"))
+    ex = _dyadic_buckets(g, groups)
+    # bucket value span: [b << L, (b+1) << L - 1] inclusive
+    aggs = []
+    stats = []
+    for i, (lo, hi) in enumerate(ranges):
+        qlo = int(lo * scale)
+        qhi = int(hi * scale)  # exclusive
+        blo = "shiftleft(__b, __lvl)"
+        bhi = "shiftleft(__b + 1, __lvl) - 1"
+        full = f"{blo} >= {qlo} AND {bhi} < {qhi}"
+        overlap = f"{blo} < {qhi} AND {bhi} >= {qlo}"
+        aggs.append(
+            F.coalesce(
+                F.sum(F.expr(f"CASE WHEN {full} THEN __c END")), F.lit(0)
+            ).cast("long").alias(f"r{i}_n_min")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.expr(f"CASE WHEN {overlap} THEN __c END")), F.lit(0)
+            ).cast("long").alias(f"r{i}_n_max")
+        )
+        stats += [f"r{i}_n_min", f"r{i}_n_max"]
+    wide = ex.groupBy(*groups).agg(*aggs)
+    pairs = ", ".join(f"'{s}', {s}" for s in stats)
+    return wide.selectExpr(
+        *groups, f"stack({len(stats)}, {pairs}) AS (feature, value)"
+    ).select(*groups, "feature", F.col("value").cast("long"))
+
+
+def dyadic_selectivity_oracle(
+    table: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    ranges: Sequence[tuple[float, float]],
+    k: int = 64,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`dyadic_selectivity` — same closed-form
+    bucket relation (the invariance theorem), same overlap algebra."""
+    gs = ", ".join(group_cols)
+    aggs = []
+    rows = []
+    for i, (lo, hi) in enumerate(ranges):
+        qlo = int(lo * scale)
+        qhi = int(hi * scale)
+        blo = "(b << lvl)"
+        bhi = "((b + 1) << lvl) - 1"
+        aggs.append(
+            f"CAST(COALESCE(SUM(CASE WHEN {blo} >= {qlo} AND {bhi} < {qhi}"
+            f" THEN c END), 0) AS BIGINT) AS r{i}_n_min"
+        )
+        aggs.append(
+            f"CAST(COALESCE(SUM(CASE WHEN {blo} < {qhi} AND {bhi} >= {qlo}"
+            f" THEN c END), 0) AS BIGINT) AS r{i}_n_max"
+        )
+        rows.append(
+            f"        UNION ALL SELECT {gs}, 'r{i}_n_min', r{i}_n_min"
+            f" FROM wide"
+        )
+        rows.append(
+            f"        UNION ALL SELECT {gs}, 'r{i}_n_max', r{i}_n_max"
+            f" FROM wide"
+        )
+    agg_sql = ",\n                 ".join(aggs)
+    row_sql = "\n".join(rows[1:])
+    first = (
+        f"SELECT {gs}, 'r0_n_min' AS feature,"
+        f" CAST(r0_n_min AS BIGINT) AS value FROM wide"
+    )
+    return f"""
+        WITH q AS MATERIALIZED (
+          SELECT {gs}, CAST(floor({value_col} * {scale} + 0.5) AS BIGINT)
+                   AS vq
+          FROM {table} WHERE {value_col} IS NOT NULL),
+        lv AS MATERIALIZED (
+          SELECT {gs}, CAST(MIN(L) AS INT) AS lvl FROM (
+            SELECT {gs}, ls.L AS L,
+                   COUNT(DISTINCT vq >> ls.L) AS nbk
+            FROM q CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS L)
+              ls
+            GROUP BY {gs}, ls.L)
+          WHERE nbk <= {k} GROUP BY {gs}),
+        bk AS MATERIALIZED (
+          SELECT {gs}, lvl, vq >> lvl AS b, CAST(COUNT(*) AS BIGINT) AS c
+          FROM q JOIN lv USING ({gs}) GROUP BY {gs}, lvl, b),
+        wide AS MATERIALIZED (
+          SELECT {gs},
+                 {agg_sql}
+          FROM bk GROUP BY {gs})
+        {first}
+{row_sql}
     """

@@ -796,3 +796,48 @@ def test_mg_heavy_hitters_certified_read_matches_exact(spark):
     assert got == want and len(want) > 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "partial_mg_topk8" in plan
+
+
+def test_dyadic_preagg_form_bit_identical(spark):
+    """The weighted-input form (codegen pre-aggregation feeding
+    fes.DyadicHistW with (value, count) pairs) returns the bit-identical
+    relation — a weighted multiset is the same multiset under the
+    invariance theorem — and plans the weighted partial_ mode."""
+    from flink_example_spark.operators.sketch import dyadic_quantiles
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 17) % 300 / 7.0).alias("v"),
+    ).repartition(8)
+    a = sorted(tuple(r) for r in dyadic_quantiles(df, "g", "v", k=64).collect())
+    b_df = dyadic_quantiles(df, "g", "v", k=64, pre_agg=True)
+    b = sorted(tuple(r) for r in b_df.collect())
+    assert a == b
+    plan = b_df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_dyadic_histw64" in plan
+
+
+def test_dyadic_selectivity_bounds_contain_truth(spark):
+    """n_min <= true range count <= n_max for every group and range —
+    exact bounds by construction (only edge-bucket membership is
+    unresolved); full-domain range is exact (n_min == n_max == n)."""
+    from flink_example_spark.operators.sketch import dyadic_selectivity
+
+    rows = [("g%d" % (i % 2), float((i * 37) % 977)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g string, val double").repartition(8)
+    ranges = ((0.0, 100.0), (100.0, 500.0), (0.0, 1000.0))
+    out = {
+        (r["g"], r["feature"]): r["value"]
+        for r in dyadic_selectivity(df, "g", "val", ranges, k=64).collect()
+    }
+    from collections import Counter
+
+    per = {}
+    for g_, v in rows:
+        per.setdefault(g_, []).append(int(v * 1_000_000 + 0.5))
+    for g_, vs in per.items():
+        for i, (lo, hi) in enumerate(ranges):
+            t = sum(1 for v in vs if int(lo * 1e6) <= v < int(hi * 1e6))
+            assert out[(g_, f"r{i}_n_min")] <= t <= out[(g_, f"r{i}_n_max")]
+        # the full-domain range resolves exactly
+        assert out[(g_, "r2_n_min")] == out[(g_, "r2_n_max")] == len(vs)
