@@ -3265,6 +3265,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "band",
             k=8,
         ),
+        # live MG monitor: the O(k) counter buffer in the streaming
+        # state store (complete mode, zero Python); recorded via the
+        # same certified read — equals the batch row on every replay
+        "streaming_mg_jvm": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.sketch_stream",
+            fromlist=["run_streaming_mg_jvm"],
+        ).run_streaming_mg_jvm(spark, sf_dir, k=8),
         "sketch_cm_heavy_hitters": cm_hh_entry,
         # runtime-bloom-filter shape: per-nation Bloom (bit_or monoid words)
         # over shipped partkeys, probed by the full part table — measures
@@ -5988,6 +5995,14 @@ def _northstar_oracles() -> dict[str, str]:
         "value",
         ((0.0, 50.0), (50.0, 150.0), (150.0, 500.0)),
         k=64,
+    )
+    # live MG twin records the identical certified relation
+    out["streaming_mg_jvm"] = mg_heavy_hitters_oracle(
+        "(SELECT event_type, CAST(floor(value / 25) AS BIGINT) AS band"
+        " FROM events)",
+        ["event_type"],
+        "band",
+        k=8,
     )
     out["sketch_mg_heavy_hitters"] = mg_heavy_hitters_oracle(
         "(SELECT event_type, CAST(floor(value / 25) AS BIGINT) AS band"

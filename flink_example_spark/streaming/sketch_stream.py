@@ -635,3 +635,76 @@ def run_streaming_dyadic_jvm(
     latest = spark.table(name)
     fresh = spark.createDataFrame(latest.rdd, latest.schema)
     return dyadic_read(fresh, ["event_type"], (25, 50, 75, 90))
+
+def run_streaming_mg_jvm(
+    spark: SparkSession, sf_dir: str, k: int = 8, chunks: int = 3
+) -> DataFrame:
+    """LIVE Misra-Gries heavy-hitter monitor with ZERO Python state: the
+    O(k) MG counter buffer (``fes.MGTopK``) lives in the streaming
+    state store under a plain COMPLETE-mode aggregation. The MG summary
+    content is merge-order-dependent (micro-batch arrival IS a merge
+    order), so the recorded relation is the same CERTIFIED read as
+    batch ``mg_heavy_hitters``: exact-heavy keys (computed batch-side
+    on the same bounded input) semi-joined against the LIVE survivors —
+    the MG guarantee makes the result deterministic and equal to the
+    batch row on every replay (shares its oracle); a live summary that
+    dropped a guaranteed-heavy key would lose a row and fail the gate."""
+    import os
+    import uuid
+
+    from flink_example_spark.jvm import register_mg_topk
+    from flink_example_spark.session import shuffle_partitions, tune
+    from flink_example_spark.streaming.cdc_stream import _stage_events_chunks
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    fm = register_mg_topk(spark, k)
+    tmpdir, schema = _stage_events_chunks(spark, sf_dir, chunks)
+    band = "CAST(floor(value / 25) AS BIGINT)"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+        .selectExpr("event_type", f"CAST({band} AS STRING) AS __key")
+        .filter(F.col("__key").isNotNull())
+    )
+    g = stream.groupBy("event_type").agg(F.expr(f"{fm}(__key)").alias("__mg"))
+    name = f"stream_mg_jvm_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            g.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = spark.table(name)
+    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    survivors = fresh.select(
+        "event_type", F.explode("__mg").alias("__e")
+    ).select(
+        "event_type", F.split(F.col("__e"), "\t").getItem(0).alias("__key")
+    )
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", f"CAST({band} AS STRING) AS __key"
+    ).filter(F.col("__key").isNotNull())
+    exact = ev.groupBy("event_type", "__key").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    from pyspark.sql import Window as _W
+
+    heavy = exact.select(
+        "event_type",
+        "__key",
+        "exact_count",
+        F.sum("exact_count")
+        .over(_W.partitionBy("event_type"))
+        .cast("long")
+        .alias("n"),
+    ).filter(F.expr(f"exact_count * {k + 1} > n"))
+    return heavy.join(
+        survivors, ["event_type", "__key"], "left_semi"
+    ).select(
+        "event_type", F.col("__key").alias("hh_key"), "exact_count", "n"
+    )

@@ -841,3 +841,27 @@ def test_dyadic_selectivity_bounds_contain_truth(spark):
             assert out[(g_, f"r{i}_n_min")] <= t <= out[(g_, f"r{i}_n_max")]
         # the full-domain range resolves exactly
         assert out[(g_, "r2_n_min")] == out[(g_, "r2_n_max")] == len(vs)
+
+
+def test_streaming_mg_jvm_converges_to_batch(spark):
+    """The live MG certified read over the 3-chunk replay equals batch
+    mg_heavy_hitters exactly (the guarantee holds on every merge order,
+    including micro-batch arrival)."""
+    from flink_example_spark.operators.sketch import mg_heavy_hitters
+    from flink_example_spark.streaming.sketch_stream import (
+        run_streaming_mg_jvm,
+    )
+    from flink_example_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    live = sorted(
+        tuple(r) for r in run_streaming_mg_jvm(spark, sf, k=8).collect()
+    )
+    ev = load_table(spark, sf, "events").selectExpr(
+        "event_type", "CAST(floor(value / 25) AS BIGINT) AS band"
+    )
+    batch = sorted(
+        tuple(r)
+        for r in mg_heavy_hitters(ev, "event_type", "band", k=8).collect()
+    )
+    assert live == batch
