@@ -1212,3 +1212,30 @@ def test_sndr_broadcasts_context_model(spark):
     plan = physical(sndr_value(df))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_substring_spans_is_join_not_cartesian(spark):
+    """dedup_substring_spans: the shingle shuffle + two equi-joins
+    (gram->canonical, flagged->tokens) — never a cartesian/BNLJ
+    all-pairs plan; the per-doc surgery stays in windows."""
+    from flink_example_spark.operators.dedup import substring_spans_dedup
+
+    rows = [(i, " ".join(f"t{j % 30}x{(i * j) % 11}" for j in range(40)))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = physical(substring_spans_dedup(df, k=10))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dyadic_quantiles_single_udaf_aggregation(spark):
+    """sketch_dyadic_quantiles: ONE JVM bounded-state aggregation (the
+    partial_ mode below the exchange) feeding sketch-sized windows —
+    no joins anywhere."""
+    from flink_example_spark.operators.sketch import dyadic_quantiles
+
+    rows = [("g", float(i % 97)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    plan = physical(dyadic_quantiles(df, "g", "v", k=64))
+    assert "partial_dyadic_hist64" in plan
+    assert "Join" not in plan
