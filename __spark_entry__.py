@@ -3296,6 +3296,33 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch x event-time windowing: daily distinct-user KMV over the
         # events stream (k=16 so large days estimate, small days exact)
         "sketch_kmv_daily": kmv_daily_entry,
+        # time-hierarchy quantile profile on the dyadic sketch: per-day
+        # value quantile BOUNDS from shard-mergeable exact-count
+        # histograms (the daily sibling of sketch_dyadic_quantiles;
+        # day output is a day-truncated TIMESTAMP both engines)
+        "sketch_dyadic_daily": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.sketch",
+            fromlist=["dyadic_quantiles"],
+        ).dyadic_quantiles(
+            __import__(
+                "flink_example_spark.plans.events_demo",
+                fromlist=["load_events"],
+            ).load_events(spark, sf_dir).select(
+                F.date_trunc("day", F.col("ts")).alias("day"), "value"
+            ),
+            "day",
+            "value",
+            k=64,
+            pcts=(50, 90),
+        ),
+        # the per-source substring-dedup scorecard (pipeline reporting
+        # over the surgery — how much of each source is cross-corpus
+        # boilerplate); NOT benched: embeds the full surgery the
+        # dedup_substring_spans row already times
+        "dedup_substring_stats": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.dedup",
+            fromlist=["substring_dedup_stats"],
+        ).substring_dedup_stats(_docs(spark, sf_dir), k=10),
         # custom Python DataSource connector (Spark 4 DataSource API):
         # deterministic synthetic events, md5-regenerable in DuckDB
         "source_synth_events": lambda spark, sf_dir: __import__(
@@ -6004,6 +6031,17 @@ def _northstar_oracles() -> dict[str, str]:
         "band",
         k=8,
     )
+    out["sketch_dyadic_daily"] = dyadic_quantiles_oracle(
+        "(SELECT date_trunc('day', ts) AS day, value FROM events)",
+        ["day"],
+        "value",
+        k=64,
+        pcts=(50, 90),
+    )
+    out["dedup_substring_stats"] = __import__(
+        "flink_example_spark.operators.dedup",
+        fromlist=["substring_dedup_stats_oracle"],
+    ).substring_dedup_stats_oracle(k=10)
     out["sketch_mg_heavy_hitters"] = mg_heavy_hitters_oracle(
         "(SELECT event_type, CAST(floor(value / 25) AS BIGINT) AS band"
         " FROM events)",

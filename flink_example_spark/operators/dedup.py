@@ -1892,3 +1892,45 @@ def substring_spans_dedup_oracle(k: int = 10) -> str:
                CAST(SUM(spanstart) AS BIGINT) AS n_spans_removed
         FROM runs GROUP BY doc_id
     """
+
+
+def substring_dedup_stats(
+    documents: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source reporting over the substring surgery — the pipeline
+    scorecard a corpus owner reads before shipping the deduped shard:
+    how much of each source is cross-corpus boilerplate. Output:
+    ``(source, n_docs, docs_touched, tokens_removed, spans_removed)``."""
+    surgery = substring_spans_dedup(documents, k, id_col, text_col)
+    src = documents.select(F.col(id_col), F.col(source_col).alias("source"))
+    return (
+        surgery.join(src, id_col)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                (F.col("n_tokens_removed") > 0).cast("long")
+            ).cast("long").alias("docs_touched"),
+            F.sum("n_tokens_removed").cast("long").alias("tokens_removed"),
+            F.sum("n_spans_removed").cast("long").alias("spans_removed"),
+        )
+    )
+
+
+def substring_dedup_stats_oracle(k: int = 10) -> str:
+    """DuckDB twin of :func:`substring_dedup_stats`."""
+    return f"""
+        WITH surgery AS MATERIALIZED ({substring_spans_dedup_oracle(k)})
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN s.n_tokens_removed > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS docs_touched,
+               CAST(SUM(s.n_tokens_removed) AS BIGINT) AS tokens_removed,
+               CAST(SUM(s.n_spans_removed) AS BIGINT) AS spans_removed
+        FROM surgery s JOIN documents d USING (doc_id)
+        GROUP BY d.source
+    """

@@ -1575,6 +1575,7 @@ def dyadic_quantiles(
     pcts: Sequence[int] = (25, 50, 75, 90),
     scale: int = 1_000_000,
     pre_agg: bool = False,
+    shift: int = 0,
 ) -> DataFrame:
     """Per-group quantile BOUNDS from the adaptive dyadic histogram —
     the deterministic mergeable quantile sketch (``fes.DyadicHist``):
@@ -1591,9 +1592,12 @@ def dyadic_quantiles(
     ``[b << L, ((b+1) << L) - 1]`` — complementary to the KMV row
     sample's probabilistic rank-uniform error (``kmv_quantiles``).
 
-    Values quantize to ``floor(v * scale + 0.5)`` and must be
-    NON-NEGATIVE (dyadic shifts floor only for v >= 0) — negative
-    inputs raise at runtime, like the kmv 'jvm' key guard.
+    Values quantize to ``floor(v * scale + 0.5) + shift`` and the
+    shifted result must be NON-NEGATIVE (dyadic shifts floor only for
+    v >= 0) — negative inputs raise at runtime, like the kmv 'jvm' key
+    guard. A metric with a known lower bound supports negatives by
+    passing ``shift >= -scale * min_value``; the read subtracts the
+    shift back, so reported bounds stay in the caller's units.
 
     Output (tall, scalar BIGINT): per group ``level / n / n_buckets``
     plus ``p{pct}_lo / p{pct}_hi`` per requested percentile.
@@ -1608,13 +1612,14 @@ def dyadic_quantiles(
 
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     fn = register_dyadic_hist(df.sparkSession, k)
-    vq = f"CAST(floor({value_col} * {scale} + 0.5) AS BIGINT)"
+    vq = f"CAST(floor({value_col} * {scale} + 0.5) AS BIGINT) + ({shift})"
     src = df.select(
         *groups,
         F.expr(
             f"CASE WHEN {vq} < 0 THEN CAST(raise_error("
-            f"'dyadic_quantiles: negative value breaks dyadic bucketing;"
-            f" offset or filter first') AS BIGINT) ELSE {vq} END"
+            f"'dyadic_quantiles: negative shifted value breaks dyadic"
+            f" bucketing; raise shift or filter first') AS BIGINT)"
+            f" ELSE {vq} END"
         ).alias("__vq"),
     )
     # single-file parquet scans as ONE partition; the UDAF update path is
@@ -1639,7 +1644,7 @@ def dyadic_quantiles(
         )
     else:
         g = src.groupBy(*groups).agg(F.expr(f"{fn}(__vq)").alias("__a"))
-    return dyadic_read(g, groups, pcts)
+    return dyadic_read(g, groups, pcts, shift=shift)
 
 
 def _dyadic_buckets(g: DataFrame, groups: Sequence[str]) -> DataFrame:
@@ -1671,7 +1676,7 @@ def _dyadic_buckets(g: DataFrame, groups: Sequence[str]) -> DataFrame:
 
 
 def dyadic_read(
-    g: DataFrame, groups: Sequence[str], pcts: Sequence[int]
+    g: DataFrame, groups: Sequence[str], pcts: Sequence[int], shift: int = 0
 ) -> DataFrame:
     """The quantile-bounds read over an aggregated ``(groups..., __a)``
     dyadic-histogram relation — shared by :func:`dyadic_quantiles` and
@@ -1702,7 +1707,12 @@ def dyadic_read(
     ]
     for p in pcts:
         aggs.append(
-            F.max(F.expr(f"CASE WHEN {hit(p)} THEN shiftleft(__b, __lvl) END"))
+            F.max(
+                F.expr(
+                    f"CASE WHEN {hit(p)} THEN"
+                    f" shiftleft(__b, __lvl) - ({shift}) END"
+                )
+            )
             .cast("long")
             .alias(f"p{int(p)}_lo")
         )
@@ -1710,7 +1720,7 @@ def dyadic_read(
             F.max(
                 F.expr(
                     f"CASE WHEN {hit(p)} THEN"
-                    f" shiftleft(__b + 1, __lvl) - 1 END"
+                    f" shiftleft(__b + 1, __lvl) - 1 - ({shift}) END"
                 )
             )
             .cast("long")
@@ -1733,6 +1743,7 @@ def dyadic_quantiles_oracle(
     k: int = 64,
     pcts: Sequence[int] = (25, 50, 75, 90),
     scale: int = 1_000_000,
+    shift: int = 0,
 ) -> str:
     """DuckDB twin of :func:`dyadic_quantiles` in closed form: the
     merge-order-invariance theorem (DyadicHist.java) says the JVM
@@ -1754,12 +1765,15 @@ def dyadic_quantiles_oracle(
         f"MAX(CASE WHEN {hit(p)} THEN"
         f" {expr} END) AS p{int(p)}_{s}"
         for p in pcts
-        for s, expr in (("lo", "b << lvl"), ("hi", "((b + 1) << lvl) - 1"))
+        for s, expr in (
+            ("lo", f"(b << lvl) - ({shift})"),
+            ("hi", f"((b + 1) << lvl) - 1 - ({shift})"),
+        )
     )
     return f"""
         WITH q AS MATERIALIZED (
           SELECT {gs}, CAST(floor({value_col} * {scale} + 0.5) AS BIGINT)
-                   AS vq
+                   + ({shift}) AS vq
           FROM {table} WHERE {value_col} IS NOT NULL),
         lv AS MATERIALIZED (
           SELECT {gs}, CAST(MIN(L) AS INT) AS lvl FROM (

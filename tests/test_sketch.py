@@ -865,3 +865,42 @@ def test_streaming_mg_jvm_converges_to_batch(spark):
         for r in mg_heavy_hitters(ev, "event_type", "band", k=8).collect()
     )
     assert live == batch
+
+
+def test_dyadic_quantiles_shift_supports_negative_values(spark):
+    """A metric with a known lower bound runs through the histogram via
+    the shift device: reported bounds come back in the caller's units
+    (shift subtracted), contain the exact percentiles, and DuckDB
+    agrees with the shifted oracle."""
+    import duckdb
+    import pandas as pd
+
+    from flink_example_spark.operators.sketch import (
+        dyadic_quantiles,
+        dyadic_quantiles_oracle,
+    )
+
+    rows = [("g", float(((i * 37) % 977) - 500)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, val double")
+    shift = 500 * 1_000_000
+    out = {
+        r["feature"]: r["value"]
+        for r in dyadic_quantiles(df, "g", "val", k=64, shift=shift).collect()
+    }
+    # integer-valued doubles: floor(v*1e6 + 0.5) == v*1e6 exactly,
+    # negatives included
+    vq = sorted(int(v) * 1_000_000 for _, v in rows)
+    n = len(vq)
+    assert out["n"] == n
+    for pct in (25, 50, 75, 90):
+        exact = vq[(pct * n + 99) // 100 - 1]
+        assert out[f"p{pct}_lo"] <= exact <= out[f"p{pct}_hi"]
+    assert out["p25_lo"] < 0  # bounds really are in caller units
+
+    con = duckdb.connect()
+    con.register("neg_t", pd.DataFrame(rows, columns=["g", "val"]))
+    ora = con.execute(
+        dyadic_quantiles_oracle("neg_t", ["g"], "val", k=64, shift=shift)
+    ).df()
+    got = {(r["feature"]): int(r["value"]) for _, r in ora.iterrows()}
+    assert got == {k: int(v) for k, v in out.items()}
