@@ -2005,6 +2005,20 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # referential-integrity audit over the schema's FK graph
         # (distinct-key anti-joins; includes one unconstrained pair)
         "quality_ref_integrity": _ref_integrity_entry,
+        # right-to-erasure cascade PLAN (GDPR art. 17): blast-radius
+        # audit down the FK chain before any delete executes — request
+        # keys flow as semi-join probes, nothing row-sized crosses twice
+        "quality_deletion_cascade": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.quality",
+            fromlist=["deletion_cascade"],
+        ).deletion_cascade(
+            *(
+                __import__(
+                    "flink_example_spark.tables", fromlist=["load_table"]
+                ).load_table(spark, sf_dir, t)
+                for t in ("customer", "orders", "lineitem")
+            )
+        ),
         # functional-dependency discovery over candidate lhs -> rhs
         # pairs: violating-group counts + worst fan-out, exact verdict
         "quality_fd_profile": lambda spark, sf_dir: __import__(
@@ -5288,6 +5302,10 @@ def _northstar_oracles() -> dict[str, str]:
     out["quality_ref_integrity"] = ref_integrity_oracle(
         [(n, c, cc, p, pc) for n, c, cc, p, pc in _REF_INTEGRITY_FKS]
     )
+    out["quality_deletion_cascade"] = __import__(
+        "flink_example_spark.operators.quality",
+        fromlist=["deletion_cascade_oracle"],
+    ).deletion_cascade_oracle()
     from flink_example_spark.operators.quality import t_closeness_oracle
 
     out["quality_t_closeness"] = t_closeness_oracle(

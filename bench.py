@@ -338,6 +338,10 @@ HEADLINE = [
     # the same dyadic sketch
     "sketch_dyadic_preagg",
     "sketch_dyadic_selectivity",
+    # round-13 wave 4: time-hierarchy dyadic profile + the GDPR
+    # deletion-cascade blast-radius audit
+    "sketch_dyadic_daily",
+    "quality_deletion_cascade",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

@@ -966,3 +966,83 @@ def gini_by_group_oracle(
                  / CAST(n * sv AS DOUBLE) AS gini
         FROM s WHERE n >= 2 AND sv > 0
     """
+
+
+def deletion_cascade(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    request_pred: str = "c_custkey % 97 = 0",
+) -> DataFrame:
+    """Right-to-erasure (GDPR art. 17) deletion-cascade PLAN: given a
+    predicate selecting the erasure-request subjects, compute — without
+    mutating anything — exactly how many rows each table in the FK
+    cascade loses (customer -> orders via o_custkey -> lineitem via
+    l_orderkey), so the owner can review blast radius before executing.
+    The audit a compliance pipeline runs per request batch at 100 TB.
+
+    Scale posture: the request list collapses to its KEY projection and
+    flows down the cascade as semi-join probes (each level shuffles
+    only its own key column; the request keys broadcast when small —
+    AQE decides). Nothing row-sized crosses a join twice.
+
+    Output (tall): per table ``(table_name, n_rows, n_deleted,
+    deleted_ppm)`` with deleted_ppm = exact integer
+    ``(n_deleted * 1e6) div n_rows``.
+    """
+    req = customer.filter(F.expr(request_pred)).select("c_custkey")
+    del_orders = orders.join(
+        req.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey",
+        "left_semi",
+    )
+    del_li_keys = del_orders.select("o_orderkey").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    del_lineitem = lineitem.join(del_li_keys, "l_orderkey", "left_semi")
+
+    def _stat(name: str, full: DataFrame, deleted: DataFrame) -> DataFrame:
+        n = full.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        d = deleted.agg(F.count(F.lit(1)).cast("long").alias("n_deleted"))
+        return n.crossJoin(d).select(
+            F.lit(name).alias("table_name"),
+            "n_rows",
+            "n_deleted",
+            F.expr("CASE WHEN n_rows > 0 THEN (n_deleted * 1000000)"
+                   " div n_rows ELSE 0 END").cast("long")
+            .alias("deleted_ppm"),
+        )
+
+    return (
+        _stat("customer", customer, req)
+        .unionByName(_stat("orders", orders, del_orders))
+        .unionByName(_stat("lineitem", lineitem, del_lineitem))
+    )
+
+
+def deletion_cascade_oracle(request_pred: str = "c_custkey % 97 = 0") -> str:
+    """DuckDB twin of :func:`deletion_cascade`."""
+    return f"""
+        WITH req AS MATERIALIZED (
+          SELECT c_custkey FROM customer WHERE {request_pred}),
+        del_o AS MATERIALIZED (
+          SELECT o_orderkey FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM req)),
+        stats AS (
+          SELECT 'customer' AS table_name,
+                 CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_rows,
+                 CAST((SELECT COUNT(*) FROM req) AS BIGINT) AS n_deleted
+          UNION ALL
+          SELECT 'orders',
+                 CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+                 CAST((SELECT COUNT(*) FROM del_o) AS BIGINT)
+          UNION ALL
+          SELECT 'lineitem',
+                 CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+                 CAST((SELECT COUNT(*) FROM lineitem
+                       WHERE l_orderkey IN (SELECT o_orderkey FROM del_o))
+                   AS BIGINT))
+        SELECT table_name, n_rows, n_deleted,
+               CASE WHEN n_rows > 0 THEN (n_deleted * 1000000) // n_rows
+                    ELSE 0 END AS deleted_ppm
+        FROM stats
+    """

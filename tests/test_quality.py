@@ -88,3 +88,31 @@ def test_compression_signal_matches_direct_zlib(spark):
     ]
     # the signal separates: ratios are non-trivial (not all equal)
     assert got["ratio_milli"].nunique() > 1
+
+
+def test_deletion_cascade_counts_exact_blast_radius(spark):
+    """Planted cascade: request subjects' orders and their lineitems —
+    and nothing else — are counted at each level; ppm is the exact
+    integer division."""
+    from flink_example_spark.operators.quality import deletion_cascade
+
+    cust = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,)], "c_custkey long"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 3)],
+        "o_orderkey long, o_custkey long",
+    )
+    li = spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 1), (12, 1), (13, 1), (13, 2)],
+        "l_orderkey long, l_linenumber long",
+    )
+    out = {
+        r["table_name"]: (r["n_rows"], r["n_deleted"], r["deleted_ppm"])
+        for r in deletion_cascade(
+            cust, orders, li, request_pred="c_custkey IN (1, 3)"
+        ).collect()
+    }
+    assert out["customer"] == (4, 2, 500_000)
+    assert out["orders"] == (4, 3, 750_000)  # orders 10, 11, 13
+    assert out["lineitem"] == (6, 5, 833_333)  # all but order 12's line
