@@ -1114,6 +1114,7 @@ def bloom_probe_summary(
     value_col: str,
     m_bits: int = BLOOM_BITS,
     k: int = BLOOM_K,
+    n_probes: int | None = None,
 ) -> DataFrame:
     """Probe every row of ``probes[value_col]`` against every group's Bloom
     filter; summarize per group against the ``actual`` membership relation
@@ -1153,7 +1154,10 @@ def bloom_probe_summary(
         .groupBy(*gcols)
         .agg(F.count(F.lit(1)).alias("actual_present"))
     )
-    n_probes = probes.select(F.col(value_col).cast("string")).distinct().count()
+    if n_probes is None:  # callers comparing sizes pass it once
+        n_probes = (
+            probes.select(F.col(value_col).cast("string")).distinct().count()
+        )
     return (
         hits.join(actual_counts, on=gcols)
         .select(
