@@ -3329,6 +3329,14 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=64,
             pcts=(50, 90),
         ),
+        # event-time-windowed sketch stream: the JVM dyadic aggregate
+        # inside a window('1 day') streaming aggregation (T6 x sketch,
+        # one O(k) buffer per day window) — bit-identical replay to
+        # batch sketch_dyadic_daily, shares its oracle
+        "streaming_dyadic_daily": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.sketch_stream",
+            fromlist=["run_streaming_dyadic_daily"],
+        ).run_streaming_dyadic_daily(spark, sf_dir, k=64),
         # the per-source substring-dedup scorecard (pipeline reporting
         # over the surgery — how much of each source is cross-corpus
         # boilerplate); NOT benched: embeds the full surgery the
@@ -6056,6 +6064,8 @@ def _northstar_oracles() -> dict[str, str]:
         k=64,
         pcts=(50, 90),
     )
+    # the windowed stream replays to the identical per-day sketch
+    out["streaming_dyadic_daily"] = out["sketch_dyadic_daily"]
     out["dedup_substring_stats"] = __import__(
         "flink_example_spark.operators.dedup",
         fromlist=["substring_dedup_stats_oracle"],

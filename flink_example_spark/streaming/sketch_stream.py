@@ -708,3 +708,62 @@ def run_streaming_mg_jvm(
     ).select(
         "event_type", F.col("__key").alias("hh_key"), "exact_count", "n"
     )
+
+def run_streaming_dyadic_daily(
+    spark: SparkSession, sf_dir: str, k: int = 64, chunks: int = 3
+) -> DataFrame:
+    """EVENT-TIME-WINDOWED dyadic sketch stream: per-day value
+    histograms maintained live — the JVM bounded-state aggregate inside
+    a ``window('1 day')`` streaming aggregation (T6 x sketch), state =
+    one O(k) buffer per (day) window. Bounded 3-chunk replay in
+    complete mode converges BIT-IDENTICALLY to batch
+    ``sketch_dyadic_daily`` (``window.start`` == ``date_trunc('day')``
+    under the UTC pin; merge-order invariance covers micro-batch
+    arrival) and shares its oracle. Production runs update mode with
+    the zero-delay watermark expiring closed windows from the state
+    store."""
+    import os
+    import uuid
+
+    from flink_example_spark.jvm import register_dyadic_hist
+    from flink_example_spark.operators.sketch import dyadic_read
+    from flink_example_spark.session import shuffle_partitions, tune
+    from flink_example_spark.streaming.cdc_stream import _stage_events_chunks
+
+    tune(spark)
+    fn = register_dyadic_hist(spark, k)
+    tmpdir, schema = _stage_events_chunks(spark, sf_dir, chunks)
+    vq = "CAST(floor(value * 1000000 + 0.5) AS BIGINT)"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+        # staged chunks carry the already-normalized ts; cast NTZ -> LTZ
+        # (exact under the UTC pin) for the event-time window
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "0 seconds")
+        .selectExpr(
+            "ts",
+            f"CASE WHEN {vq} < 0 THEN CAST(raise_error("
+            f"'streaming_dyadic_daily: negative value') AS BIGINT)"
+            f" ELSE {vq} END AS __vq",
+        )
+    )
+    g = (
+        stream.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.expr(f"{fn}(__vq)").alias("__a"))
+        .select(F.col("w.start").alias("day"), "__a")
+    )
+    name = f"stream_dyadic_daily_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            g.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = spark.table(name)
+    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    return dyadic_read(fresh, ["day"], (50, 90))

@@ -904,3 +904,30 @@ def test_dyadic_quantiles_shift_supports_negative_values(spark):
     ).df()
     got = {(r["feature"]): int(r["value"]) for _, r in ora.iterrows()}
     assert got == {k: int(v) for k, v in out.items()}
+
+
+def test_streaming_dyadic_daily_converges_to_batch(spark):
+    """The event-time-windowed dyadic stream (one O(k) buffer per day
+    window) replays to the bit-identical batch per-day sketch —
+    window('1 day').start == date_trunc('day') under the UTC pin."""
+    from flink_example_spark.operators.sketch import dyadic_quantiles
+    from flink_example_spark.plans.events_demo import load_events
+    from flink_example_spark.streaming.sketch_stream import (
+        run_streaming_dyadic_daily,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    live = sorted(
+        tuple(r)
+        for r in run_streaming_dyadic_daily(spark, sf, k=64).collect()
+    )
+    ev = load_events(spark, sf).select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "value"
+    )
+    batch = sorted(
+        tuple(r)
+        for r in dyadic_quantiles(
+            ev, "day", "value", k=64, pcts=(50, 90)
+        ).collect()
+    )
+    assert live == batch
