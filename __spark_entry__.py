@@ -3329,6 +3329,21 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=64,
             pcts=(50, 90),
         ),
+        # shard-merge WITHOUT rescan: weekly quantile bounds rolled up
+        # from the stored per-day sketches — the rollup stage touches
+        # only the days x <=k bucket relation (exact counts survive:
+        # (b << L_day) >> L == v >> L for L >= L_day, with the weekly
+        # level floored at max member-day level)
+        "sketch_dyadic_rollup": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.sketch",
+            fromlist=["dyadic_rollup"],
+        ).dyadic_rollup(
+            __import__(
+                "flink_example_spark.tables", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "events"),
+            k=64,
+            pcts=(50, 90),
+        ),
         # event-time-windowed sketch stream: the JVM dyadic aggregate
         # inside a window('1 day') streaming aggregation (T6 x sketch,
         # one O(k) buffer per day window) — bit-identical replay to
@@ -6066,6 +6081,10 @@ def _northstar_oracles() -> dict[str, str]:
     )
     # the windowed stream replays to the identical per-day sketch
     out["streaming_dyadic_daily"] = out["sketch_dyadic_daily"]
+    out["sketch_dyadic_rollup"] = __import__(
+        "flink_example_spark.operators.sketch",
+        fromlist=["dyadic_rollup_oracle"],
+    ).dyadic_rollup_oracle("events", k=64, pcts=(50, 90))
     out["dedup_substring_stats"] = __import__(
         "flink_example_spark.operators.dedup",
         fromlist=["substring_dedup_stats_oracle"],

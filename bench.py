@@ -342,6 +342,8 @@ HEADLINE = [
     # deletion-cascade blast-radius audit
     "sketch_dyadic_daily",
     "quality_deletion_cascade",
+    # round-13 wave 5: the no-rescan weekly rollup from day sketches
+    "sketch_dyadic_rollup",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

@@ -2032,3 +2032,218 @@ def dyadic_selectivity_oracle(
         {first}
 {row_sql}
     """
+
+
+def dyadic_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k: int = 64,
+    pcts: Sequence[int] = (50, 90),
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Shard-merge WITHOUT rescan: weekly quantile bounds computed from
+    the stored per-DAY dyadic sketches — the property that makes the
+    histogram the right incremental profiling tool at 100 TB (day
+    sketches are tiny and append-only; weeks/months/global roll up from
+    them, never from raw events).
+
+    Exactness: a day bucket at level ``L_day`` IS the exact count of
+    ``v >> L_day``; re-bucketing its lower bound at any coarser level L
+    satisfies ``(b << L_day) >> L == v >> L``, so the rollup at level
+    ``L* = min{L >= max(L_day in week) : |buckets_L| <= k}`` carries
+    EXACT counts — the same sketch a from-scratch build would produce
+    whenever its natural level is >= every member day's level (the
+    floor keeps the rollup honest when days were coarser than the week
+    would need). Deterministic by the same invariance argument, so the
+    DuckDB twin reproduces the two-stage definition bit-for-bit.
+
+    Output (tall, scalar): per week ``level / n / n_buckets`` +
+    ``p{pct}_lo / p{pct}_hi`` (week = date_trunc('week'), a TIMESTAMP).
+
+    Scale: the rollup stage touches ONLY the day-sketch relation
+    (days x <= k rows) — no raw-data scan.
+    """
+    from flink_example_spark.jvm import register_dyadic_hist
+
+    fn = register_dyadic_hist(df.sparkSession, k)
+    vq = f"CAST(floor({value_col} * {scale} + 0.5) AS BIGINT)"
+    src = df.select(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        F.expr(
+            f"CASE WHEN {vq} < 0 THEN CAST(raise_error("
+            f"'dyadic_rollup: negative value') AS BIGINT) ELSE {vq} END"
+        ).alias("__vq"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    day_g = src.groupBy("day").agg(F.expr(f"{fn}(__vq)").alias("__a"))
+    # ---- rollup stage: day-sketch relation only, no raw rescan ----
+    daybk = _dyadic_buckets(day_g, ["day"]).select(
+        F.date_trunc("week", F.col("day")).alias("week"),
+        "__lvl",
+        F.expr("shiftleft(__b, __lvl)").alias("__vlo"),
+        "__c",
+    )
+    wk = Window.partitionBy("week")
+    floored = daybk.withColumn("__lmin", F.max("__lvl").over(wk))
+    # candidate levels Lmin..63 per week; pick the min level whose
+    # re-bucketed distinct count fits k (the same argmin scan the
+    # oracle runs — 64x the sketch-sized relation, trivially small)
+    cand = (
+        floored.select(
+            "week",
+            "__vlo",
+            "__c",
+            "__lmin",
+            F.explode(F.expr("sequence(__lmin, CAST(63 AS INT))")).alias(
+                "__L"
+            ),
+        )
+        .groupBy("week", "__L")
+        .agg(
+            F.countDistinct(
+                F.expr("shiftright(__vlo, __L)")
+            ).alias("__nb")
+        )
+        .filter(F.col("__nb") <= k)
+        .groupBy("week")
+        .agg(F.min("__L").alias("__wlvl"))
+    )
+    rolled = (
+        floored.drop("__lvl")
+        .join(cand, "week")
+        .select(
+            "week",
+            F.col("__wlvl").alias("__lvl"),
+            F.expr("shiftright(__vlo, __wlvl)").alias("__b"),
+            "__c",
+        )
+        .groupBy("week", "__lvl", "__b")
+        .agg(F.sum("__c").cast("long").alias("__c"))
+    )
+    # same quantile-bounds read as dyadic_read, over the rolled buckets
+    wcum = (
+        Window.partitionBy("week")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("week")
+    ex2 = rolled.select(
+        "week",
+        "__lvl",
+        "__b",
+        "__c",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(wall).alias("__n"),
+        F.count(F.lit(1)).over(wall).alias("__nb"),
+    )
+    hit = lambda p: (  # noqa: E731
+        f"__cum >= ({p} * __n + 99) div 100"
+        f" AND __cum - __c < ({p} * __n + 99) div 100"
+    )
+    aggs = [
+        F.max("__lvl").cast("long").alias("level"),
+        F.max("__n").cast("long").alias("n"),
+        F.max("__nb").cast("long").alias("n_buckets"),
+    ]
+    for p in pcts:
+        aggs.append(
+            F.max(
+                F.expr(f"CASE WHEN {hit(p)} THEN shiftleft(__b, __lvl) END")
+            ).cast("long").alias(f"p{int(p)}_lo")
+        )
+        aggs.append(
+            F.max(
+                F.expr(
+                    f"CASE WHEN {hit(p)} THEN"
+                    f" shiftleft(__b + 1, __lvl) - 1 END"
+                )
+            ).cast("long").alias(f"p{int(p)}_hi")
+        )
+    wide = ex2.groupBy("week").agg(*aggs)
+    stats = ["level", "n", "n_buckets"] + [
+        f"p{int(p)}_{s}" for p in pcts for s in ("lo", "hi")
+    ]
+    pairs = ", ".join(f"'{s}', {s}" for s in stats)
+    return wide.selectExpr(
+        "week", f"stack({len(stats)}, {pairs}) AS (feature, value)"
+    ).select("week", "feature", F.col("value").cast("long"))
+
+
+def dyadic_rollup_oracle(
+    table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k: int = 64,
+    pcts: Sequence[int] = (50, 90),
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`dyadic_rollup` — the same two-stage
+    definition (per-day argmin levels, then the floored weekly argmin
+    over day-bucket lower bounds)."""
+    hit = (
+        lambda p: f"cum >= ({p} * n + 99) // 100"
+        f" AND cum - c < ({p} * n + 99) // 100"
+    )
+    pct_aggs = ",\n                 ".join(
+        f"MAX(CASE WHEN {hit(p)} THEN {expr} END) AS p{int(p)}_{s}"
+        for p in pcts
+        for s, expr in (
+            ("lo", "(b << lvl)"),
+            ("hi", "((b + 1) << lvl) - 1"),
+        )
+    )
+    stat_rows = "\n".join(
+        f"        UNION ALL SELECT week, 'p{int(p)}_{s}',"
+        f" p{int(p)}_{s} FROM wide"
+        for p in pcts
+        for s in ("lo", "hi")
+    )
+    return f"""
+        WITH q AS MATERIALIZED (
+          SELECT date_trunc('day', {ts_col}) AS day,
+                 CAST(floor({value_col} * {scale} + 0.5) AS BIGINT) AS vq
+          FROM {table} WHERE {value_col} IS NOT NULL),
+        dlv AS MATERIALIZED (
+          SELECT day, CAST(MIN(L) AS INT) AS dl FROM (
+            SELECT day, ls.L AS L, COUNT(DISTINCT vq >> ls.L) AS nbk
+            FROM q CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS L)
+              ls
+            GROUP BY day, ls.L)
+          WHERE nbk <= {k} GROUP BY day),
+        daybk AS MATERIALIZED (
+          SELECT date_trunc('week', q.day) AS week, dl,
+                 (vq >> dl) << dl AS vlo, CAST(COUNT(*) AS BIGINT) AS c
+          FROM q JOIN dlv ON q.day = dlv.day GROUP BY 1, 2, vq >> dl),
+        fl AS MATERIALIZED (
+          SELECT week, vlo, c,
+                 CAST(MAX(dl) OVER (PARTITION BY week) AS INT) AS lmin
+          FROM daybk),
+        wlv AS MATERIALIZED (
+          SELECT week, CAST(MIN(L) AS INT) AS lvl FROM (
+            SELECT week, ls.L AS L, COUNT(DISTINCT vlo >> ls.L) AS nbk
+            FROM fl CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS L)
+              ls
+            WHERE ls.L >= lmin
+            GROUP BY week, ls.L)
+          WHERE nbk <= {k} GROUP BY week),
+        rolled AS MATERIALIZED (
+          SELECT fl.week, lvl, vlo >> lvl AS b, CAST(SUM(c) AS BIGINT) AS c
+          FROM fl JOIN wlv ON fl.week = wlv.week GROUP BY 1, 2, 3),
+        ex AS MATERIALIZED (
+          SELECT week, lvl, b, c,
+                 CAST(SUM(c) OVER (PARTITION BY week ORDER BY b)
+                   AS BIGINT) AS cum,
+                 CAST(SUM(c) OVER (PARTITION BY week) AS BIGINT) AS n,
+                 CAST(COUNT(*) OVER (PARTITION BY week) AS BIGINT) AS nbk
+          FROM rolled),
+        wide AS MATERIALIZED (
+          SELECT week, CAST(MAX(lvl) AS BIGINT) AS level, MAX(n) AS n,
+                 MAX(nbk) AS n_buckets,
+                 {pct_aggs}
+          FROM ex GROUP BY week)
+        SELECT week, 'level' AS feature, CAST(level AS BIGINT) AS value
+        FROM wide
+        UNION ALL SELECT week, 'n', n FROM wide
+        UNION ALL SELECT week, 'n_buckets', n_buckets FROM wide
+{stat_rows}
+    """

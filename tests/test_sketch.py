@@ -931,3 +931,38 @@ def test_streaming_dyadic_daily_converges_to_batch(spark):
         ).collect()
     )
     assert live == batch
+
+
+def test_dyadic_rollup_bounds_contain_weekly_percentiles(spark):
+    """Weekly bounds rolled up FROM day sketches (no raw rescan in the
+    rollup stage) still contain the exact weekly percentiles, and the
+    rollup level is >= every member day's level (the honesty floor)."""
+    from flink_example_spark.operators.sketch import dyadic_rollup
+    from flink_example_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = dyadic_rollup(ev, k=64, pcts=(50, 90)).collect()
+    byweek: dict = {}
+    for r in out:
+        byweek.setdefault(r["week"], {})[r["feature"]] = r["value"]
+    rows = ev.selectExpr(
+        "date_trunc('week', ts) AS week",
+        "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq",
+    ).collect()
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r["week"], []).append(r["vq"])
+    assert set(per) == set(byweek)
+    for wkey, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        got = byweek[wkey]
+        assert got["n"] == n
+        assert got["n_buckets"] <= 64
+        for pct in (50, 90):
+            exact = vals[(pct * n + 99) // 100 - 1]
+            assert got[f"p{pct}_lo"] <= exact <= got[f"p{pct}_hi"]
+            assert (
+                got[f"p{pct}_hi"] - got[f"p{pct}_lo"] + 1
+                == 1 << got["level"]
+            )
