@@ -3352,6 +3352,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.sketch_stream",
             fromlist=["run_streaming_dyadic_daily"],
         ).run_streaming_dyadic_daily(spark, sf_dir, k=64),
+        # live weekly rollup: read-time algebra over the LIVE day-sketch
+        # state (monoid-in-state applied to the no-rescan rollup) —
+        # bit-identical to batch dyadic_rollup, shares its oracle
+        "streaming_dyadic_rollup": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.sketch_stream",
+            fromlist=["run_streaming_dyadic_rollup"],
+        ).run_streaming_dyadic_rollup(spark, sf_dir, k=64),
         # the per-source substring-dedup scorecard (pipeline reporting
         # over the surgery — how much of each source is cross-corpus
         # boilerplate); NOT benched: embeds the full surgery the
@@ -6085,6 +6092,8 @@ def _northstar_oracles() -> dict[str, str]:
         "flink_example_spark.operators.sketch",
         fromlist=["dyadic_rollup_oracle"],
     ).dyadic_rollup_oracle("events", k=64, pcts=(50, 90))
+    # the live rollup reads the identical relation off the day state
+    out["streaming_dyadic_rollup"] = out["sketch_dyadic_rollup"]
     out["dedup_substring_stats"] = __import__(
         "flink_example_spark.operators.dedup",
         fromlist=["substring_dedup_stats_oracle"],

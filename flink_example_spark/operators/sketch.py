@@ -2076,6 +2076,15 @@ def dyadic_rollup(
         ).alias("__vq"),
     ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     day_g = src.groupBy("day").agg(F.expr(f"{fn}(__vq)").alias("__a"))
+    return dyadic_rollup_read(day_g, k=k, pcts=pcts)
+
+
+def dyadic_rollup_read(
+    day_g: DataFrame, k: int = 64, pcts: Sequence[int] = (50, 90)
+) -> DataFrame:
+    """The no-rescan weekly rollup read over a ``(day, __a)`` day-sketch
+    relation — shared by :func:`dyadic_rollup` and the streaming twin
+    (the rollup is pure read-time algebra over stored/live sketches)."""
     # ---- rollup stage: day-sketch relation only, no raw rescan ----
     daybk = _dyadic_buckets(day_g, ["day"]).select(
         F.date_trunc("week", F.col("day")).alias("week"),

@@ -767,3 +767,56 @@ def run_streaming_dyadic_daily(
     latest = spark.table(name)
     fresh = spark.createDataFrame(latest.rdd, latest.schema)
     return dyadic_read(fresh, ["day"], (50, 90))
+
+def run_streaming_dyadic_rollup(
+    spark: SparkSession, sf_dir: str, k: int = 64, chunks: int = 3
+) -> DataFrame:
+    """LIVE weekly rollup: the event-time-windowed day sketches stream
+    into the state store (run_streaming_dyadic_daily's aggregation),
+    and the weekly bounds are pure READ-TIME ALGEBRA over that live
+    day-sketch relation — monoid-in-state, algebra-at-read applied to
+    the no-rescan rollup. Converges bit-identically to batch
+    ``dyadic_rollup`` (shares its oracle)."""
+    import os
+    import uuid
+
+    from flink_example_spark.jvm import register_dyadic_hist
+    from flink_example_spark.operators.sketch import dyadic_rollup_read
+    from flink_example_spark.session import shuffle_partitions, tune
+    from flink_example_spark.streaming.cdc_stream import _stage_events_chunks
+
+    tune(spark)
+    fn = register_dyadic_hist(spark, k)
+    tmpdir, schema = _stage_events_chunks(spark, sf_dir, chunks)
+    vq = "CAST(floor(value * 1000000 + 0.5) AS BIGINT)"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "0 seconds")
+        .selectExpr(
+            "ts",
+            f"CASE WHEN {vq} < 0 THEN CAST(raise_error("
+            f"'streaming_dyadic_rollup: negative value') AS BIGINT)"
+            f" ELSE {vq} END AS __vq",
+        )
+    )
+    g = (
+        stream.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.expr(f"{fn}(__vq)").alias("__a"))
+        .select(F.col("w.start").alias("day"), "__a")
+    )
+    name = f"stream_dyadic_rollup_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            g.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = spark.table(name)
+    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    return dyadic_rollup_read(fresh, k=k, pcts=(50, 90))

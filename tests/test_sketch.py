@@ -966,3 +966,26 @@ def test_dyadic_rollup_bounds_contain_weekly_percentiles(spark):
                 got[f"p{pct}_hi"] - got[f"p{pct}_lo"] + 1
                 == 1 << got["level"]
             )
+
+
+def test_streaming_dyadic_rollup_converges_to_batch(spark):
+    """Live weekly bounds (read-time rollup over the streamed day-sketch
+    state) equal batch dyadic_rollup bit-for-bit."""
+    from flink_example_spark.operators.sketch import dyadic_rollup
+    from flink_example_spark.streaming.sketch_stream import (
+        run_streaming_dyadic_rollup,
+    )
+    from flink_example_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    live = sorted(
+        tuple(r)
+        for r in run_streaming_dyadic_rollup(spark, sf, k=64).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in dyadic_rollup(
+            load_table(spark, sf, "events"), k=64, pcts=(50, 90)
+        ).collect()
+    )
+    assert live == batch
