@@ -705,7 +705,7 @@ def test_dyadic_quantiles_negative_values_raise(spark):
     from flink_example_spark.operators.sketch import dyadic_quantiles
 
     df = spark.createDataFrame([("g", -1.5)], "g string, val double")
-    with pytest.raises(Exception, match="negative value"):
+    with pytest.raises(Exception, match="negative shifted value"):
         dyadic_quantiles(df, "g", "val", k=64).collect()
 
 
