@@ -413,7 +413,14 @@ def main() -> None:
     quiet_deadline = time.time() + float(
         os.environ.get("SPARK_GRAFT_QUIET_WAIT_S", "240")
     )
-    while os.getloadavg()[0] >= 1.5 and time.time() < quiet_deadline:
+    # gate BOTH the 1-min and 5-min averages: a draining box (1-min
+    # already low, 5-min still high from a just-finished heavy job)
+    # measured +20% uniform suite inflation WITH an in-range canary —
+    # drain-phase interference (page cache, JIT, cgroup settle) that a
+    # CPU-bound canary doesn't see (round-13 ledger).
+    while (
+        os.getloadavg()[0] >= 1.5 or os.getloadavg()[1] >= 3.0
+    ) and time.time() < quiet_deadline:
         time.sleep(5)
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
     canary = _canary_sec()
