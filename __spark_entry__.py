@@ -1744,6 +1744,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "value",
             width=25,
         ),
+        # exact two-sample Kolmogorov-Smirnov drift between the
+        # before/after halves of a time split (value-count rank device,
+        # cross-multiplied integer max, split-form significance gate) —
+        # the distribution-level complement of psi_drift/drift_chi2
+        "ml_ks_drift": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.ml", fromlist=["ks_drift"]
+        ).ks_drift(_events(spark, sf_dir)),
         # exact per-event-type percentiles (per-group windows — no
         # global ordering; each group pays only its own size)
         "sketch_grouped_order_stats": lambda spark, sf_dir: __import__(
@@ -5031,8 +5038,9 @@ def _northstar_oracles() -> dict[str, str]:
         "n_chars >= 800",
         "ntok >= 160",
     )
-    from flink_example_spark.operators.ml import psi_drift_oracle
+    from flink_example_spark.operators.ml import ks_drift_oracle, psi_drift_oracle
 
+    out["ml_ks_drift"] = ks_drift_oracle("events")
     out["ml_psi_drift"] = psi_drift_oracle(
         "SELECT event_type, value FROM events",
         "event_type = 'error'",

@@ -344,6 +344,8 @@ HEADLINE = [
     "quality_deletion_cascade",
     # round-13 wave 5: the no-rescan weekly rollup from day sketches
     "sketch_dyadic_rollup",
+    # round-13 wave 6: exact integer two-sample KS drift
+    "ml_ks_drift",
 ]
 
 # the round-2 headline set: its subtotal is reported separately so suite

@@ -8196,3 +8196,146 @@ def data_shapley_oracle(
                shap.r2_solo_ppm, shap.r2_loo_ppm, shap.shap_xkf_ppm
         FROM shap LEFT JOIN per_src ON shap.source = per_src.src
     """
+
+
+def ks_drift(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    split_ts: str = "2024-01-16 00:00:00",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test between the
+    before/after halves of a time split — the distribution-level
+    complement of ``psi_drift`` (binned) and ``drift_chi2``
+    (categorical): D = max_v |F_a(v) - F_b(v)| over the union of
+    observed values, computed EXACTLY in integers via the round-8
+    value-count rank device (per-value counts, one cumulative window —
+    cross-multiplied so no division enters the max:
+    ``d_num = max |cum_a * n_b - cum_b * n_a|``, D = d_num/(n_a n_b)).
+
+    Significance is the embedded large-sample gate at alpha = .05:
+    ``D > 1.358 * sqrt((n_a+n_b)/(n_a n_b))``, squared to integers —
+    ``d_micro^2 > (1844164 * (n_a+n_b) scaled) / (n_a n_b)`` with the
+    RHS in the round-11 exact split form (no intermediate overflow for
+    arms up to ~3e9 rows; the micro truncation of D is part of the
+    contract, identical both engines).
+
+    Output (tall BIGINT): ``n_a / n_b / n_values / d_num / d_micro /
+    ks_reject_95``.
+
+    Scale: one per-value count aggregation (map-side combined; state
+    bounded by the quantized-metric cardinality) + one cumulative
+    window over it. For unbounded-cardinality metrics swap the window
+    for the two-phase distributed rank device (operators/distrank.py).
+    """
+    split = f"unix_micros(CAST('{split_ts}' AS TIMESTAMP))"
+    src = events.selectExpr(
+        f"CAST(unix_micros(CAST({ts_col} AS TIMESTAMP)) >= {split}"
+        f" AS INT) AS arm",
+        f"CAST(floor({value_col} * {scale} + 0.5) AS BIGINT) AS vq",
+    ).filter("vq IS NOT NULL")
+    vc = src.groupBy("vq").agg(
+        F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("c1"),
+    )
+    w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = vc.select(
+        F.sum("c0").over(w).alias("cum0"),
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c0").over(wall).alias("n0"),
+        F.sum("c1").over(wall).alias("n1"),
+    )
+    agg = cum.groupBy().agg(
+        F.max("n0").cast("long").alias("n_a"),
+        F.max("n1").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.max(F.expr("abs(cum0 * n1 - cum1 * n0)"))
+        .cast("long")
+        .alias("d_num"),
+    )
+    d_micro = (
+        "CASE WHEN n_a > 0 AND n_b > 0 THEN"
+        " ((d_num div (n_a * n_b)) * 1000000"
+        "  + ((d_num % (n_a * n_b)) * 1000000) div (n_a * n_b))"
+        " ELSE 0 END"
+    )
+    rhs = (
+        "((1844164 * (n_a + n_b)) div (n_a * n_b)) * 1000000"
+        " + (((1844164 * (n_a + n_b)) % (n_a * n_b)) * 1000000)"
+        "   div (n_a * n_b)"
+    )
+    return agg.selectExpr(
+        "stack(6,"
+        " 'n_a', n_a,"
+        " 'n_b', n_b,"
+        " 'n_values', n_values,"
+        " 'd_num', d_num,"
+        f" 'd_micro', {d_micro},"
+        f" 'ks_reject_95', CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN"
+        f"   ({d_micro}) * ({d_micro}) > {rhs} ELSE FALSE END AS BIGINT)"
+        ") AS (feature, value)"
+    ).select("feature", F.col("value").cast("long"))
+
+
+def ks_drift_oracle(
+    table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    split_ts: str = "2024-01-16 00:00:00",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`ks_drift` (identical micros split, integer
+    cross-multiplied max, split-form gate)."""
+    d_micro = (
+        "CASE WHEN n_a > 0 AND n_b > 0 THEN"
+        " ((d_num // (n_a * n_b)) * 1000000"
+        "  + ((d_num % (n_a * n_b)) * 1000000) // (n_a * n_b))"
+        " ELSE 0 END"
+    )
+    rhs = (
+        "((1844164 * (n_a + n_b)) // (n_a * n_b)) * 1000000"
+        " + (((1844164 * (n_a + n_b)) % (n_a * n_b)) * 1000000)"
+        "   // (n_a * n_b)"
+    )
+    return f"""
+        WITH src AS MATERIALIZED (
+          SELECT CASE WHEN epoch_us({ts_col}) >=
+                   epoch_us(TIMESTAMP '{split_ts}') THEN 1 ELSE 0 END
+                   AS arm,
+                 CAST(floor({value_col} * {scale} + 0.5) AS BIGINT) AS vq
+          FROM {table} WHERE {value_col} IS NOT NULL),
+        vc AS MATERIALIZED (
+          SELECT vq,
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c0,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1
+          FROM src GROUP BY vq),
+        cum AS MATERIALIZED (
+          SELECT CAST(SUM(c0) OVER (ORDER BY vq) AS BIGINT) AS cum0,
+                 CAST(SUM(c1) OVER (ORDER BY vq) AS BIGINT) AS cum1,
+                 CAST(SUM(c0) OVER () AS BIGINT) AS n0,
+                 CAST(SUM(c1) OVER () AS BIGINT) AS n1
+          FROM vc),
+        agg AS MATERIALIZED (
+          SELECT CAST(MAX(n0) AS BIGINT) AS n_a,
+                 CAST(MAX(n1) AS BIGINT) AS n_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_values,
+                 CAST(MAX(abs(cum0 * n1 - cum1 * n0)) AS BIGINT) AS d_num
+          FROM cum)
+        SELECT 'n_a' AS feature, CAST(n_a AS BIGINT) AS value FROM agg
+        UNION ALL SELECT 'n_b', n_b FROM agg
+        UNION ALL SELECT 'n_values', n_values FROM agg
+        UNION ALL SELECT 'd_num', d_num FROM agg
+        UNION ALL SELECT 'd_micro', CAST({d_micro} AS BIGINT) FROM agg
+        UNION ALL SELECT 'ks_reject_95',
+          CAST(CASE WHEN n_a > 0 AND n_b > 0 AND
+            ({d_micro}) * ({d_micro}) > {rhs} THEN 1 ELSE 0 END
+            AS BIGINT) FROM agg
+    """

@@ -1687,3 +1687,53 @@ def test_cluster_lift_audit_counts_dropped_keys(spark):
     con.register("cl_ev2", pd.DataFrame(rows, columns=["user_id", "value"]))
     ora = dict(con.execute(ab_cluster_lift_oracle("cl_ev2")).fetchall())
     assert got == {k: int(v) for k, v in ora.items()}
+
+
+def test_ks_drift_detects_planted_shift_and_respects_null(spark):
+    """Quality pin: identically-distributed halves do NOT reject; a
+    planted location shift in the second half rejects; d_num matches a
+    direct Python reference of the discrete KS statistic."""
+    from flink_example_spark.operators.ml import ks_drift
+
+    def fixture(shift):
+        rows = []
+        for i in range(900):
+            ts = f"2024-01-{1 + (i % 30):02d} 12:00:00"
+            # value depends only on the block index, so every day sees
+            # the identical value multiset -> the null halves really are
+            # identically distributed
+            base = float((i // 30) % 50)
+            rows.append((ts, base + (shift if (i % 30) >= 15 else 0.0)))
+        return rows
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "ts string, value double").selectExpr(
+            "CAST(ts AS TIMESTAMP) AS ts", "value"
+        )
+        return {r["feature"]: r["value"] for r in ks_drift(df).collect()}
+
+    null = run(fixture(0.0))
+    assert null["ks_reject_95"] == 0
+    assert null["d_num"] == 0  # identical halves, identical values
+
+    shifted_rows = fixture(30.0)
+    shifted = run(shifted_rows)
+    assert shifted["ks_reject_95"] == 1
+
+    # direct reference of d_num on the shifted fixture
+    a = sorted(
+        int(v * 1e6 + 0.5) for t, v in shifted_rows if int(t[8:10]) < 16
+    )
+    b = sorted(
+        int(v * 1e6 + 0.5) for t, v in shifted_rows if int(t[8:10]) >= 16
+    )
+    na, nb = len(a), len(b)
+    vals = sorted(set(a) | set(b))
+    import bisect
+
+    d_num = max(
+        abs(bisect.bisect_right(a, v) * nb - bisect.bisect_right(b, v) * na)
+        for v in vals
+    )
+    assert shifted["d_num"] == d_num
+    assert shifted["n_a"] == na and shifted["n_b"] == nb
