@@ -1904,6 +1904,13 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.ml_stream",
             fromlist=["run_streaming_psi"],
         ).run_streaming_psi(spark, sf_dir),
+        # KS drift LIVE: per-value (c0, c1) count monoid in state; the
+        # cumulative cross-multiplied statistic + gate at read time —
+        # BIT-equal to batch ml_ks_drift (shared oracle)
+        "streaming_ks_drift": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.ml_stream",
+            fromlist=["run_streaming_ks"],
+        ).run_streaming_ks(spark, sf_dir),
         # Benford audit LIVE: 9 first-digit counts in state; expected
         # shares + quantized chi-square at read time — BIT-equal to batch
         # quality_benford (shared oracle)
@@ -5080,6 +5087,7 @@ def _northstar_oracles() -> dict[str, str]:
     out["streaming_roc_auc"] = out["ml_roc_auc"]
     # the live PSI monitor converges to the batch drift gate exactly
     out["streaming_psi_drift"] = out["ml_psi_drift"]
+    out["streaming_ks_drift"] = out["ml_ks_drift"]
     # live MI converges to the batch contingency relation exactly
     out["streaming_mutual_info"] = out["ml_mutual_info"]
     from flink_example_spark.operators.ml import gbm_stumps_oracle

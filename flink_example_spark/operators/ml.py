@@ -8243,6 +8243,13 @@ def ks_drift(
         .cast("long")
         .alias("c1"),
     )
+    return ks_read(vc)
+
+
+def ks_read(vc: DataFrame) -> DataFrame:
+    """The KS statistic + gate over a ``(vq, c0, c1)`` per-value count
+    relation — shared by :func:`ks_drift` and the streaming twin
+    (monoid-in-state, algebra-at-read)."""
     w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy()
     cum = vc.select(

@@ -804,3 +804,60 @@ def run_streaming_did(
     )
     fresh = spark.createDataFrame(latest.rdd, latest.schema)
     return did_from_cells(fresh)
+
+
+def run_streaming_ks(
+    spark: SparkSession, sf_dir: str, chunks: int = 3
+) -> DataFrame:
+    """LIVE distribution-drift monitor: the per-value (c0, c1) counts of
+    the KS test are the only streaming state — a count monoid in ONE
+    update-mode JVM aggregation (quantized-metric-cardinality-sized);
+    the cumulative/cross-multiplied KS statistic and the significance
+    gate (``ml.ks_read``) run at read time over the sink. BIT-equal to
+    the batch ``ml_ks_drift`` (shared oracle)."""
+    from flink_example_spark.operators.ml import ks_read
+    from flink_example_spark.streaming.staging import stage_table_by_key
+
+    tune(spark)
+    tmpdir, schema = stage_table_by_key(
+        spark, sf_dir, "events", "event_id", chunks
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/chunk_*")
+    )
+    split = "unix_micros(CAST('2024-01-16 00:00:00' AS TIMESTAMP))"
+    counts = (
+        stream.filter(F.col("value").isNotNull())
+        .selectExpr(
+            f"CAST(unix_micros(CAST(ts AS TIMESTAMP)) >= {split} AS INT)"
+            " AS arm",
+            "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq",
+        )
+        .groupBy("vq")
+        .agg(
+            F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("c0"),
+            F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("c1"),
+        )
+    )
+    name = f"stream_ks_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            counts.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # update-mode sink keeps every emitted version; counts only grow,
+    # so a value's final state is its max per component
+    latest = spark.table(name).groupBy("vq").agg(
+        F.max("c0").alias("c0"), F.max("c1").alias("c1")
+    )
+    return ks_read(latest)

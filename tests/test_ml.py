@@ -1737,3 +1737,19 @@ def test_ks_drift_detects_planted_shift_and_respects_null(spark):
     )
     assert shifted["d_num"] == d_num
     assert shifted["n_a"] == na and shifted["n_b"] == nb
+
+
+def test_streaming_ks_converges_to_batch(spark):
+    """The live KS monitor (per-value count monoid in state, statistic
+    at read) replays to the bit-identical batch row."""
+    from flink_example_spark.operators.ml import ks_drift
+    from flink_example_spark.streaming.ml_stream import run_streaming_ks
+    from flink_example_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    live = sorted(tuple(r) for r in run_streaming_ks(spark, sf).collect())
+    batch = sorted(
+        tuple(r)
+        for r in ks_drift(load_table(spark, sf, "events")).collect()
+    )
+    assert live == batch
