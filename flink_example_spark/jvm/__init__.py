@@ -70,13 +70,19 @@ def ensure_jar() -> str:
             check=True,
             capture_output=True,
         )
+        # Jar into the temp dir, but PUBLISH via a tmp file NEXT TO the
+        # destination: os.replace across filesystems (mkdtemp is often
+        # tmpfs) raises EXDEV and would not be atomic anyway
+        # (ADVICE-r13). Same-dir replace is always same-fs + atomic.
         tmp = os.path.join(build, "fes_udaf.jar")
         subprocess.run(
             [jar, "cf", tmp, "-C", build, "fes"],
             check=True,
             capture_output=True,
         )
-        os.replace(tmp, _JAR)
+        stage = f"{_JAR}.{os.getpid()}.tmp"
+        shutil.copyfile(tmp, stage)
+        os.replace(stage, _JAR)
     finally:
         shutil.rmtree(build, ignore_errors=True)
     return _JAR

@@ -1753,15 +1753,23 @@ def substring_spans_dedup(
     single spaces); n_spans_removed counts maximal removed intervals.
 
     Scale shape (the 100 TB plan, NEVER all-pairs): ONE sorted-shingle
-    shuffle — the gram aggregation groups by the k-gram (hash the gram
-    to an 8-byte key for the shuffle diet, as shared_spans(hashed=True)
-    does) and emits (gram -> canonical occurrence); occurrences then
-    equi-join back on the gram key (AQE broadcasts when the repeated
-    set is small, shuffles when it is not — no hard-coded broadcast),
-    and coverage/reassembly are per-doc windows. A suffix-array build
-    (the paper's single-node device) is replaced by the shingle
-    shuffle: identical removed-span semantics for spans >= k, linear
-    shuffle bytes in corpus size.
+    shuffle — and the shingle NEVER ships as a string. The k-gram is
+    reduced to ``xxhash64(gram)`` (8 bytes, ~10x fewer shuffle bytes
+    than the ~k-word string) in the same projection that builds it, so
+    both the gram aggregation and the occurrence equi-join carry only
+    the hashed key plus the fixed-width order key — the
+    ``shared_spans(hashed=True)`` diet (curation.py module header;
+    tools/hash_shuffle_probe records the measured delta). The gram
+    string itself never reaches an exchange or the output (pinned by
+    test_plan_regressions). AQE broadcasts the repeated set when it is
+    small, shuffles when it is not — no hard-coded broadcast; coverage
+    and reassembly are per-doc windows. A suffix-array build (the
+    paper's single-node device) is replaced by the shingle shuffle:
+    identical removed-span semantics for spans >= k, linear shuffle
+    bytes in corpus size. Two distinct grams colliding at 64 bits
+    (~1e-13 at 1e6 distinct grams) could over-flag one occurrence; the
+    exact-string form stays the oracle's definition, so the sf gates
+    would catch a collision as a hash mismatch.
     """
     w = F.split(F.trim(F.col(text_col)), r"\s+")
     toks = documents.select(
@@ -1789,19 +1797,22 @@ def substring_spans_dedup(
         F.lpad(F.col(id_col).cast("string"), 12, "0"),
         F.lpad(F.col("__pos").cast("string"), 12, "0"),
     )
+    # the string gram dies here: only the 8-byte hashed key (plus the
+    # fixed-width order key) crosses any exchange
+    gh = grams.select(
+        id_col, "__pos", F.xxhash64("__g").alias("__h"), okey.alias("__ok")
+    )
     rep = (
-        grams.select(id_col, "__pos", "__g", okey.alias("__ok"))
-        .groupBy("__g")
+        gh.groupBy("__h")
         .agg(
             F.countDistinct(id_col).alias("__nd"),
             F.min("__ok").alias("__canon"),
         )
         .filter(F.col("__nd") >= 2)
-        .select("__g", "__canon")
+        .select("__h", "__canon")
     )
     flagged = (
-        grams.select(id_col, "__pos", "__g", okey.alias("__ok"))
-        .join(rep, "__g")
+        gh.join(rep, "__h")
         .filter(F.col("__ok") != F.col("__canon"))
         .select(id_col, "__pos")
         .distinct()

@@ -7609,8 +7609,9 @@ def ab_cluster_lift(
         ],
         # rows whose key maps to NEITHER arm (NULL or negative key gives
         # arm NULL/-1) are dropped from both CASE sums — the audit row
-        # below makes that loss observable (repo audit-counter convention)
-        F.sum("n").cast("long").alias("nr_all"),
+        # below makes that loss observable (repo audit-counter convention);
+        # COALESCE matches the oracle's COALESCE(SUM(n), 0) on empty input
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("nr_all"),
     )
     cm = lambda t: (  # noqa: E731
         f"CASE WHEN nc_{t} > 0 THEN "
@@ -8216,25 +8217,39 @@ def ks_drift(
 
     Significance is the embedded large-sample gate at alpha = .05:
     ``D > 1.358 * sqrt((n_a+n_b)/(n_a n_b))``, squared to integers —
-    ``d_micro^2 > (1844164 * (n_a+n_b) scaled) / (n_a n_b)`` with the
-    RHS in the round-11 exact split form (no intermediate overflow for
-    arms up to ~3e9 rows; the micro truncation of D is part of the
-    contract, identical both engines).
+    ``d_micro^2 > (1844164 * (n_a+n_b) scaled) / (n_a n_b)`` with BOTH
+    sides in the round-12 two-stage kilo-split form
+    (``policy._split_micro_div`` — every intermediate bounded by
+    ``n_a*n_b*1000``), so the binding int64 bound is ``n_a*n_b <
+    ~9.2e18``: arms up to ~3e9 rows each when balanced (the gate's
+    ``1844164*(n_a+n_b)`` factor caps total rows at ~5e12, never
+    binding under that). The micro truncation of D is part of the
+    contract, identical both engines.
+
+    NULL handling (identical both engines): rows with a NULL
+    ``ts_col`` OR NULL ``value_col`` are excluded entirely — a NULL
+    timestamp belongs to neither arm, so counting its value row would
+    inflate ``n_values`` on one engine only (ADVICE-r13).
 
     Output (tall BIGINT): ``n_a / n_b / n_values / d_num / d_micro /
     ks_reject_95``.
 
     Scale: one per-value count aggregation (map-side combined; state
-    bounded by the quantized-metric cardinality) + one cumulative
-    window over it. For unbounded-cardinality metrics swap the window
-    for the two-phase distributed rank device (operators/distrank.py).
+    bounded by the quantized-metric cardinality) + the two-phase
+    distributed rank device (operators/distrank.py::dist_cumsum) for
+    the cumulative sums — no unpartitioned window, so a continuous
+    metric whose quantized cardinality approaches row count still
+    scales.
     """
     split = f"unix_micros(CAST('{split_ts}' AS TIMESTAMP))"
-    src = events.selectExpr(
-        f"CAST(unix_micros(CAST({ts_col} AS TIMESTAMP)) >= {split}"
-        f" AS INT) AS arm",
-        f"CAST(floor({value_col} * {scale} + 0.5) AS BIGINT) AS vq",
-    ).filter("vq IS NOT NULL")
+    src = (
+        events.filter(f"{ts_col} IS NOT NULL AND {value_col} IS NOT NULL")
+        .selectExpr(
+            f"CAST(unix_micros(CAST({ts_col} AS TIMESTAMP)) >= {split}"
+            f" AS INT) AS arm",
+            f"CAST(floor({value_col} * {scale} + 0.5) AS BIGINT) AS vq",
+        )
+    )
     vc = src.groupBy("vq").agg(
         F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END"))
         .cast("long")
@@ -8249,34 +8264,41 @@ def ks_drift(
 def ks_read(vc: DataFrame) -> DataFrame:
     """The KS statistic + gate over a ``(vq, c0, c1)`` per-value count
     relation — shared by :func:`ks_drift` and the streaming twin
-    (monoid-in-state, algebra-at-read)."""
-    w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    cum = vc.select(
-        F.sum("c0").over(w).alias("cum0"),
-        F.sum("c1").over(w).alias("cum1"),
-        F.sum("c0").over(wall).alias("n0"),
-        F.sum("c1").over(wall).alias("n1"),
+    (monoid-in-state, algebra-at-read).
+
+    The cumulative sums run on the round-8 two-phase device
+    (``distrank.dist_cumsum`` — range-bucketed within-partition windows
+    + a bucket-count-sized broadcast offset merge), never an
+    unpartitioned window, so the read scales with the per-value
+    relation's cardinality (pr_curve / ``_cox_risk`` precedent); the
+    arm totals come from one extra map-side-combined aggregation
+    broadcast back (``_cox_risk`` shape)."""
+    from flink_example_spark.operators.distrank import dist_cumsum
+    from flink_example_spark.operators.policy import _split_micro_div
+
+    cum = dist_cumsum(vc, ["vq"], {"cum0": "c0", "cum1": "c1"})
+    tots = vc.groupBy().agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
     )
-    agg = cum.groupBy().agg(
-        F.max("n0").cast("long").alias("n_a"),
-        F.max("n1").cast("long").alias("n_b"),
-        F.count(F.lit(1)).cast("long").alias("n_values"),
-        F.max(F.expr("abs(cum0 * n1 - cum1 * n0)"))
-        .cast("long")
-        .alias("d_num"),
+    agg = (
+        cum.crossJoin(F.broadcast(tots))
+        .groupBy()
+        .agg(
+            F.max("n0").cast("long").alias("n_a"),
+            F.max("n1").cast("long").alias("n_b"),
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.max(F.expr("abs(cum0 * n1 - cum1 * n0)"))
+            .cast("long")
+            .alias("d_num"),
+        )
     )
     d_micro = (
         "CASE WHEN n_a > 0 AND n_b > 0 THEN"
-        " ((d_num div (n_a * n_b)) * 1000000"
-        "  + ((d_num % (n_a * n_b)) * 1000000) div (n_a * n_b))"
+        f" ({_split_micro_div('d_num', '(n_a * n_b)')})"
         " ELSE 0 END"
     )
-    rhs = (
-        "((1844164 * (n_a + n_b)) div (n_a * n_b)) * 1000000"
-        " + (((1844164 * (n_a + n_b)) % (n_a * n_b)) * 1000000)"
-        "   div (n_a * n_b)"
-    )
+    rhs = _split_micro_div("(1844164 * (n_a + n_b))", "(n_a * n_b)")
     return agg.selectExpr(
         "stack(6,"
         " 'n_a', n_a,"
@@ -8298,25 +8320,24 @@ def ks_drift_oracle(
     scale: int = 1_000_000,
 ) -> str:
     """DuckDB twin of :func:`ks_drift` (identical micros split, integer
-    cross-multiplied max, split-form gate)."""
+    cross-multiplied max, identical two-stage kilo-split gate,
+    identical NULL-ts exclusion)."""
+    from flink_example_spark.operators.policy import _split_micro_div
+
     d_micro = (
         "CASE WHEN n_a > 0 AND n_b > 0 THEN"
-        " ((d_num // (n_a * n_b)) * 1000000"
-        "  + ((d_num % (n_a * n_b)) * 1000000) // (n_a * n_b))"
+        f" ({_split_micro_div('d_num', '(n_a * n_b)', '//')})"
         " ELSE 0 END"
     )
-    rhs = (
-        "((1844164 * (n_a + n_b)) // (n_a * n_b)) * 1000000"
-        " + (((1844164 * (n_a + n_b)) % (n_a * n_b)) * 1000000)"
-        "   // (n_a * n_b)"
-    )
+    rhs = _split_micro_div("(1844164 * (n_a + n_b))", "(n_a * n_b)", "//")
     return f"""
         WITH src AS MATERIALIZED (
           SELECT CASE WHEN epoch_us({ts_col}) >=
                    epoch_us(TIMESTAMP '{split_ts}') THEN 1 ELSE 0 END
                    AS arm,
                  CAST(floor({value_col} * {scale} + 0.5) AS BIGINT) AS vq
-          FROM {table} WHERE {value_col} IS NOT NULL),
+          FROM {table}
+          WHERE {value_col} IS NOT NULL AND {ts_col} IS NOT NULL),
         vc AS MATERIALIZED (
           SELECT vq,
                  CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)

@@ -1919,6 +1919,10 @@ def dyadic_selectivity(
     ``n_max`` adds partially-overlapping edge buckets — EXACT bounds on
     the true row count, n_min <= true <= n_max, by construction (bucket
     counts are exact; only edge-bucket membership is unresolved).
+    Endpoints quantize with the SAME round-half-up as values
+    (``int(x*scale + 0.5)``), so the bounds are exact w.r.t. the
+    round-half-up-quantized range — endpoints not exactly representable
+    at the scale land on the same quantum a data value there would.
 
     Output (tall, scalar BIGINT): per group, per range i:
     ``r{i}_n_min`` / ``r{i}_n_max``.
@@ -1945,8 +1949,12 @@ def dyadic_selectivity(
     aggs = []
     stats = []
     for i, (lo, hi) in enumerate(ranges):
-        qlo = int(lo * scale)
-        qhi = int(hi * scale)  # exclusive
+        # endpoints quantize with the SAME round-half-up as values, so
+        # the [qlo, qhi) contract aligns with value rounding even when
+        # lo*scale is not exactly representable (ADVICE-r13); bounds are
+        # exact w.r.t. the quantized range
+        qlo = int(lo * scale + 0.5)
+        qhi = int(hi * scale + 0.5)  # exclusive
         blo = "shiftleft(__b, __lvl)"
         bhi = "shiftleft(__b + 1, __lvl) - 1"
         full = f"{blo} >= {qlo} AND {bhi} < {qhi}"
@@ -1983,8 +1991,9 @@ def dyadic_selectivity_oracle(
     aggs = []
     rows = []
     for i, (lo, hi) in enumerate(ranges):
-        qlo = int(lo * scale)
-        qhi = int(hi * scale)
+        # round-half-up, identical to the Spark side (ADVICE-r13)
+        qlo = int(lo * scale + 0.5)
+        qhi = int(hi * scale + 0.5)
         blo = "(b << lvl)"
         bhi = "((b + 1) << lvl) - 1"
         aggs.append(

@@ -829,7 +829,9 @@ def run_streaming_ks(
     )
     split = "unix_micros(CAST('2024-01-16 00:00:00' AS TIMESTAMP))"
     counts = (
-        stream.filter(F.col("value").isNotNull())
+        # NULL exclusion identical to batch ks_drift (ADVICE-r13): a
+        # NULL ts belongs to neither arm, so the row is dropped entirely
+        stream.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
         .selectExpr(
             f"CAST(unix_micros(CAST(ts AS TIMESTAMP)) >= {split} AS INT)"
             " AS arm",
@@ -860,4 +862,8 @@ def run_streaming_ks(
     latest = spark.table(name).groupBy("vq").agg(
         F.max("c0").alias("c0"), F.max("c1").alias("c1")
     )
-    return ks_read(latest)
+    # ks_read now branches its input (dist_cumsum + the totals join) —
+    # mint fresh expr-ids off the memory sink (round-8 device) so the
+    # read-time self-join cannot hit "Conflicting attributes"
+    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    return ks_read(fresh)

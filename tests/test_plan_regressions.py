@@ -1098,6 +1098,57 @@ def test_cox_multi_risk_uses_two_phase_cumsum(spark):
         assert spec_head.startswith("__dr_pid") or "__dr_n" in summed, m.group(0)
 
 
+def test_substring_dedup_shuffles_hashed_gram_key(spark):
+    """substring_spans_dedup's shingle shuffle must carry xxhash64(gram)
+    (8 bytes), never the ~k-word gram string — the operator's 100 TB
+    cost center (VERDICT-r13 item 1; shared_spans(hashed=True)
+    precedent). The gram string may exist only inside the projection
+    that hashes it; no exchange partitions on it."""
+    from flink_example_spark.operators.dedup import substring_spans_dedup
+
+    rows = [
+        (i, " ".join("w%d" % ((i * 5 + j) % 11) for j in range(12)))
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = physical(substring_spans_dedup(docs, k=3))
+    assert "xxhash64" in plan
+    assert "partitioning(__h" in plan  # the hashed key is the shuffle key
+    assert "partitioning(__g" not in plan  # the string gram never ships
+
+
+def test_ks_read_uses_two_phase_cumsum(spark):
+    """ks_drift's cumulative sums must ride the range-bucketed
+    dist_cumsum (round-8 device) — never an unpartitioned window over
+    the per-value count relation, whose cardinality approaches row
+    count for continuous metrics at scale=1e6 (VERDICT-r13 item 2).
+    Every window in the plan is either __dr_pid-partitioned or the
+    bucket-count-sized offset prefix (summing a __dr_n_* column)."""
+    import re
+    from datetime import datetime, timezone
+
+    from flink_example_spark.operators.ml import ks_drift
+
+    rows = [
+        (
+            datetime.fromtimestamp(86400 * (i % 30), tz=timezone.utc)
+            .replace(tzinfo=None),
+            float(i % 17) + 0.25,
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    plan = physical(ks_drift(df, split_ts="1970-01-16 00:00:00"))
+    assert "rangepartitioning" in plan
+    assert "CartesianProduct" not in plan  # totals ride a broadcast join
+    for m in re.finditer(
+        r"Window \[(row_number|sum)\(([^)]*)\)[^\n]*windowspecdefinition\(([^,)]*)",
+        plan,
+    ):
+        spec_head, summed = m.group(3), m.group(2)
+        assert spec_head.startswith("__dr_pid") or "__dr_n" in summed, m.group(0)
+
+
 def test_dpo_pairs_is_one_aggregation(spark):
     """dpo_pairs must compile to a single partial-aggregated hash
     aggregation — no window (the arg-extremes are min_by/max_by monoids
