@@ -7574,11 +7574,14 @@ DRIVER_KEYS = [
     # driver-exercised by the strictly-stronger self-normalized DR
     # estimator, which shares _ctx_outcome_model with dr_value)
     "policy_sndr_eval",
-    # streaming_dedup_exact moves to extras (batch dedup_exact shares
-    # its oracle and the class stays locally swept); the slot records
-    # the live JVM bounded-state KMV twin — O(k) buffer per key in the
-    # streaming state store, zero Python (= sketch_kmv_distinct's hash)
-    "streaming_kmv_jvm",
+    # Round-14 rotation (VERDICT-r13 task 4): five slots point at the
+    # round-13 leftovers; every displaced row was driver-recorded in
+    # r12/r13 and keeps its operator class driver-exercised elsewhere.
+    # streaming_kmv_jvm moves to extras (driver-recorded r12+r13; its
+    # hash equals sketch_kmv_distinct's) — the live-JVM-sketch-state
+    # class stays recorded by the strictly richer event-time-windowed
+    # dyadic daily profile below
+    "streaming_dyadic_daily",
     "orders_above_customer_avg",
     "cte_distinct_counts",
     "set_ops_suite",
@@ -7624,15 +7627,18 @@ DRIVER_KEYS = [
     # round-13 substring-level corpus dedup (Lee et al. 2022 —
     # canonical-copy-preserving span removal, one shingle shuffle)
     "dedup_substring_spans",
-    # keep-first materialization stays in extras (one anti-join over the
-    # driver-recorded LSH pairs); the slot records the PCA eigensolver
-    "ann_pca_power",
-    # dedup_paragraphs moves to extras (dedup stays 2-deep via
-    # minhash_lsh + minhash_clusters, with simhash/ppjoin/paragraphs
-    # locally swept); the slot records the round-12 switchback
-    # experiment analysis (washout-gated time randomization, whose live
-    # twin shares the identical hash)
-    "ab_switchback",
+    # ann_pca_power moves to extras (driver-recorded r12+r13; ANN stays
+    # driver-exercised via cosine_topk + ndcg_eval); the slot records
+    # the NO-RESCAN weekly rollup from stored day sketches — the exact
+    # re-bucketing identity ((b << L_day) >> L == v >> L for L >= L_day)
+    "sketch_dyadic_rollup",
+    # ab_switchback moves to extras (driver-recorded r12+r13; the AB
+    # family stays driver-exercised via ab_cluster_lift, and the
+    # switchback live twin is locally swept); the slot records the
+    # planner selectivity bounds read over the dyadic sketch — exact
+    # n_min/n_max range-count bounds from the same bounded-state
+    # aggregation sketch_dyadic_quantiles records
+    "sketch_dyadic_selectivity",
     "ann_cosine_topk",
     # ann_lsh_topk + recall eval stay in extras; the NDCG row composes the
     # SAME two retrievers with the graded (integer-DCG) metric, so both
@@ -7643,17 +7649,18 @@ DRIVER_KEYS = [
     # effect estimator — the causal triad's representative (AIPW + overlap
     # stay locally swept)
     "causal_ipw_ate",
-    # kmeans centroids move to extras (ANN stays 3-deep via
-    # cosine/ndcg/pca, and the PQ/IVF rows ride the same Lloyd core,
-    # locally swept); the slot records difference-in-differences — the
-    # experimentation arc's causal head (2x2 cell monoids, planted
-    # shared trend stripped; placebo QA stays in extras)
-    "causal_did",
-    # embedding_near_dup moves to extras (dedup stays 3-deep via
-    # minhash_lsh/minhash_clusters/paragraphs); the slot records the
-    # leave-one-out rater-quality scorecard — the annotator-QA family
-    # head, whose live twin shares the identical hash
-    "eval_rater_quality",
+    # causal_did moves to extras (driver-recorded r12+r13; the causal
+    # class stays driver-exercised via causal_ipw_ate, with aipw/
+    # overlap/placebo locally swept); the slot records the GDPR
+    # deletion-cascade blast-radius audit — the governance family's
+    # round-13 addition
+    "quality_deletion_cascade",
+    # eval_rater_quality moves to extras (driver-recorded r12+r13; the
+    # annotator-QA class stays driver-exercised via eval_kripp_alpha,
+    # and the rater live twin is locally swept); the slot records the
+    # per-source substring-dedup scorecard — the reporting read over
+    # the driver-recorded span surgery
+    "dedup_substring_stats",
     # byte-stats row moves to extras (the REAL codec path keeps
     # multimodal driver-exercised); the slot records the exact-integer
     # gradient-boosted-stumps trainer
