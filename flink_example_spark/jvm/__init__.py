@@ -33,17 +33,38 @@ def _pyspark_jars() -> str:
     return os.path.join(os.path.dirname(pyspark.__file__), "jars", "*")
 
 
+def _jar_list() -> list[str]:
+    import glob
+
+    import pyspark
+
+    return sorted(
+        glob.glob(
+            os.path.join(os.path.dirname(pyspark.__file__), "jars", "*.jar")
+        )
+    )
+
+
 def ensure_jar() -> str:
-    """Compile the Java aggregates into a jar (cached; rebuilt when any
-    source is newer than the jar). Raises a clear error when no JDK
-    compiler is available (runtime-only JREs)."""
+    """Compile the Java aggregates — plus the Scala typed (zero-copy
+    buffer) twins when the pyspark-bundled scala-compiler jar is present
+    — into one jar (cached; rebuilt when any source is newer). Raises a
+    clear error when no JDK compiler is available (runtime-only JREs);
+    a Scala compile failure is non-fatal (the UDAF forms remain)."""
+    fes_dir = os.path.join(_SRC_DIR, "fes")
     src_files = [
-        os.path.join(_SRC_DIR, "fes", f)
-        for f in sorted(os.listdir(os.path.join(_SRC_DIR, "fes")))
+        os.path.join(fes_dir, f)
+        for f in sorted(os.listdir(fes_dir))
         if f.endswith(".java")
     ]
+    scala_files = [
+        os.path.join(fes_dir, f)
+        for f in sorted(os.listdir(fes_dir))
+        if f.endswith(".scala")
+    ]
     if os.path.exists(_JAR) and all(
-        os.path.getmtime(_JAR) >= os.path.getmtime(s) for s in src_files
+        os.path.getmtime(_JAR) >= os.path.getmtime(s)
+        for s in src_files + scala_files
     ):
         return _JAR
     javac = shutil.which("javac") or os.path.join(
@@ -70,6 +91,27 @@ def ensure_jar() -> str:
             check=True,
             capture_output=True,
         )
+        # Scala typed aggregates: the compiler ships INSIDE the pyspark
+        # jars (scala-compiler-2.13) and runs as a plain java main class
+        # — no external toolchain. Wildcard classpaths are a JVM
+        # launcher feature, so the -classpath arg is the explicit list.
+        if scala_files:
+            java_bin = shutil.which("java") or os.path.join(
+                os.environ.get("JAVA_HOME", ""), "bin", "java"
+            )
+            cp = ":".join(_jar_list())
+            try:
+                subprocess.run(
+                    [
+                        java_bin, "-cp", cp, "scala.tools.nsc.Main",
+                        "-classpath", cp, "-d", build, *scala_files,
+                    ],
+                    check=True,
+                    capture_output=True,
+                    timeout=600,
+                )
+            except (subprocess.SubprocessError, OSError):
+                pass  # typed twins unavailable; UDAF forms still work
         # Jar into the temp dir, but PUBLISH via a tmp file NEXT TO the
         # destination: os.replace across filesystems (mkdtemp is often
         # tmpfs) raises EXDEV and would not be atomic anyway
@@ -88,12 +130,75 @@ def ensure_jar() -> str:
     return _JAR
 
 
-def _register(spark, name: str, cls: str) -> str:
+def typed_available() -> bool:
+    """True when the built jar carries the Scala typed twins (the
+    scala-compiler jar was present and the compile succeeded)."""
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(ensure_jar()) as zf:
+            return "fes/ScalaReg.class" in zf.namelist()
+    except Exception:
+        return False
+
+
+def _register_scala(spark, method: str, name: str, k: int) -> None:
+    """Invoke ``fes.ScalaReg.<method>(name, k)`` through the session's
+    ADD JAR classloader (py4j reflection): registers the Aggregator-
+    based function (planned as TypedImperativeAggregate inside
+    ObjectHashAggregate — the zero-copy buffer path) under the SAME SQL
+    name the UDAF form would use. Works on a vanilla driver session —
+    no spark.jars at startup, same device registerJavaUDAF relies on."""
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    try:
+        loader = jvm.org.apache.spark.util.Utils.getContextOrSparkClassLoader()
+        cls = loader.loadClass("fes.ScalaReg")
+    except Exception:
+        cls = (
+            spark._jsparkSession.sharedState()
+            .jarClassLoader()
+            .loadClass("fes.ScalaReg")
+        )
+    argt = gw.new_array(jvm.java.lang.Class, 2)
+    argt[0] = jvm.java.lang.Class.forName("java.lang.String")
+    argt[1] = jvm.java.lang.Integer.TYPE
+    m = cls.getMethod(method, argt)
+    args = gw.new_array(jvm.java.lang.Object, 2)
+    args[0] = name
+    args[1] = k
+    m.invoke(None, args)
+
+
+def _register(
+    spark,
+    name: str,
+    cls: str,
+    typed_method: str | None = None,
+    k: int | None = None,
+) -> str:
     key = (spark.sparkContext.applicationId, name)
     if key in _REGISTERED:
         return name
     path = ensure_jar()
     spark.sql(f"ADD JAR '{path}'")
+    # Prefer the typed (zero-copy buffer) implementation when built —
+    # results are bit-identical (merge-order invariance / certified
+    # reads; TypedAggs.scala header), only the per-row buffer copy
+    # disappears. SPARK_GRAFT_NO_TYPED_AGG=1 forces the UDAF form
+    # (A/B benchmarking, tools/r14_typed_probe.py).
+    if (
+        typed_method
+        and k is not None
+        and not os.environ.get("SPARK_GRAFT_NO_TYPED_AGG")
+        and typed_available()
+    ):
+        try:
+            _register_scala(spark, typed_method, name, k)
+            _REGISTERED.add(key)
+            return name
+        except Exception:
+            pass  # fall back to the UDAF form below
     spark.udf.registerJavaUDAF(name, cls)
     _REGISTERED.add(key)
     return name
@@ -104,7 +209,10 @@ def register_kmv_bottomk(spark, k: int) -> str:
     the SQL function name."""
     if k not in _KS:
         raise ValueError(f"k must be one of {_KS}, got {k}")
-    return _register(spark, f"kmv_bottomk{k}", f"fes.KmvBottomK{k}")
+    return _register(
+        spark, f"kmv_bottomk{k}", f"fes.KmvBottomK{k}",
+        typed_method="registerKmv", k=k,
+    )
 
 
 def register_kmv_sample_bottomk(spark, k: int) -> str:
@@ -124,7 +232,10 @@ def register_dyadic_hist(spark, k: int) -> str:
     the coarsest-needed resolution (fes.DyadicHist)."""
     if k not in (64, 256):
         raise ValueError(f"k must be 64 or 256, got {k}")
-    return _register(spark, f"dyadic_hist{k}", f"fes.DyadicHist{k}")
+    return _register(
+        spark, f"dyadic_hist{k}", f"fes.DyadicHist{k}",
+        typed_method="registerDyadic", k=k,
+    )
 
 
 def register_dyadic_histw(spark, k: int) -> str:
@@ -134,7 +245,10 @@ def register_dyadic_histw(spark, k: int) -> str:
     row-fed form by merge-order invariance."""
     if k != 64:
         raise ValueError(f"k must be 64, got {k}")
-    return _register(spark, f"dyadic_histw{k}", f"fes.DyadicHistW{k}")
+    return _register(
+        spark, f"dyadic_histw{k}", f"fes.DyadicHistW{k}",
+        typed_method="registerDyadicW", k=k,
+    )
 
 
 def register_mg_topk(spark, k: int) -> str:
@@ -144,4 +258,7 @@ def register_mg_topk(spark, k: int) -> str:
     are deterministic (fes.MGTopK docstring)."""
     if k not in (8, 32):
         raise ValueError(f"k must be 8 or 32, got {k}")
-    return _register(spark, f"mg_topk{k}", f"fes.MGTopK{k}")
+    return _register(
+        spark, f"mg_topk{k}", f"fes.MGTopK{k}",
+        typed_method="registerMg", k=k,
+    )
