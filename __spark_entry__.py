@@ -3319,6 +3319,35 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bits — the measured fpp/memory tradeoff a planner consults
         "sketch_bloom_sizing": _bloom_sizing_entry,
         "sketch_hll_distinct": hll_entry,
+        # round-14 typed-buffer form: the SAME registers held as ONE
+        # O(m)-byte fes.HllTI buffer per group (register-wise max of a
+        # pure hash function — merge-order invariant), ~20x fewer
+        # shuffle bytes than the register relation; shares
+        # sketch_hll_distinct's oracle verbatim
+        "sketch_hll_jvm": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.sketch",
+            fromlist=["hll_distinct_jvm"],
+        ).hll_distinct_jvm(
+            _docs(spark, sf_dir)
+            .select(
+                "lang",
+                F.explode(
+                    __import__(
+                        "flink_example_spark.operators.text",
+                        fromlist=["tokens"],
+                    ).tokens(
+                        __import__(
+                            "flink_example_spark.operators.text",
+                            fromlist=["normalized"],
+                        ).normalized(F.col("text"))
+                    )
+                ).alias("term"),
+            )
+            .filter(F.col("term") != ""),
+            "lang",
+            "term",
+            p=6,
+        ),
         "sketch_overlap": kmv_overlap_entry,
         "sketch_quantiles": quantile_entry,
         # sketch x event-time windowing: daily distinct-user KMV over the
@@ -7895,6 +7924,13 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # idempotent monoid (no watermark); converges to batch
         # hll_distinct -> shares its oracle
         "streaming_hll_distinct": _run_streaming_hll,
+        # round-14: the typed-buffer live twin — the whole m-register
+        # array is ONE O(m)-byte fes.HllTI buffer per language in the
+        # state store; converges to batch hll_distinct bit-exactly
+        "streaming_hll_jvm": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.sketch_stream",
+            fromlist=["run_streaming_hll_jvm"],
+        ).run_streaming_hll_jvm(spark, sf_dir, p=6),
         # streaming hash-rank sample: bottom-k-by-hash state (O(k)/group,
         # no watermark — idempotent monoid merge); final sample == batch
         # kmv_quantile_sample, quantiles via the same Spark percentile
@@ -8154,6 +8190,9 @@ def _all_oracles() -> dict[str, str]:
         width=8,
     )
     out["streaming_hll_distinct"] = out["sketch_hll_distinct"]
+    # typed-buffer forms: identical registers by merge-order invariance
+    out["sketch_hll_jvm"] = out["sketch_hll_distinct"]
+    out["streaming_hll_jvm"] = out["sketch_hll_distinct"]
     out["streaming_bloom_filter"] = out["sketch_bloom_filter"]
     out["streaming_minhash_dedup"] = out["dedup_minhash_portable"]
     out["streaming_cdc_apply"] = out["versioned_cdc_apply"]

@@ -262,3 +262,29 @@ def register_mg_topk(spark, k: int) -> str:
         spark, f"mg_topk{k}", f"fes.MGTopK{k}",
         typed_method="registerMg", k=k,
     )
+
+
+def register_hll(spark, p: int) -> str:
+    """Idempotently register the typed portable-HLL register aggregate
+    ``hll_jvm{p}`` (portable_hash32 long) -> flat [bucket, max_rho, ...]
+    pairs — the O(m)-byte-buffer form of ``sketch.hll_registers`` (same
+    registers, same oracle; fes.HllTI). Typed-only: there is no Java
+    UDAF fallback (and none is needed — the register RELATION path
+    serves when the Scala twins are unavailable). Note: no pinned-p
+    subclasses — typed registration passes p straight to the ctor."""
+    if not 4 <= p <= 14:
+        raise ValueError(f"p must be in [4, 14], got {p}")
+    name = f"hll_jvm{p}"
+    key = (spark.sparkContext.applicationId, name)
+    if key in _REGISTERED:
+        return name
+    path = ensure_jar()
+    spark.sql(f"ADD JAR '{path}'")
+    if not typed_available():
+        raise RuntimeError(
+            "hll_jvm needs the Scala typed twins (scala-compiler jar "
+            "absent or compile failed); use hll_registers instead"
+        )
+    _register_scala(spark, "registerHll", name, p)
+    _REGISTERED.add(key)
+    return name

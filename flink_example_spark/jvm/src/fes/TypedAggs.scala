@@ -281,6 +281,78 @@ class MGTopKTI(k: Int) extends Aggregator[String, MGBuf, Array[String]] {
   def outputEncoder: Encoder[Array[String]] = ExpressionEncoder[Array[String]]()
 }
 
+// --------------------------------------------------------------------- hll
+
+/** Portable-HLL register array as ONE typed buffer: m = 2^p bytes of
+  * max-rho state per group (vs the register RELATION's m rows x ~20
+  * bytes per group per partition on the shuffle — sketch.py
+  * hll_registers). Register-wise max is a commutative idempotent monoid
+  * and rho is a pure function of the hash, so the state is a pure
+  * function of the input SET — merge-order invariant, bit-identical to
+  * the relation form, same oracle. Input is the engine-portable 32-bit
+  * md5 hash (portable_hash32) as a long in [0, 2^32); rho arithmetic
+  * mirrors hll_registers exactly (all-zero remainder pinned to
+  * q = rem_bits + 1; otherwise rem_bits - floor(log2(rem))). */
+class HllTI(p: Int) extends Aggregator[java.lang.Long, Array[Byte], Array[Long]] {
+  private val m = 1 << p
+  private val remBits = 32 - p
+  private val div = 1L << remBits
+  private val q = remBits + 1
+
+  def zero: Array[Byte] = new Array[Byte](m)
+
+  def reduce(b: Array[Byte], a: java.lang.Long): Array[Byte] = {
+    if (a != null) {
+      val h = a.longValue()
+      if (h < 0 || h >= (1L << 32)) {
+        throw new IllegalArgumentException(
+          "HllTI: hash out of [0, 2^32): " + h +
+            " (feed portable_hash32 output)")
+      }
+      val bucket = (h / div).toInt
+      val rem = h % div
+      val rho =
+        if (rem == 0) q
+        else remBits - (63 - java.lang.Long.numberOfLeadingZeros(rem))
+      if (rho > b(bucket)) b(bucket) = rho.toByte
+    }
+    b
+  }
+
+  def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) {
+      if (y(i) > x(i)) x(i) = y(i)
+      i += 1
+    }
+    x
+  }
+
+  /** Flat [bucket, max_rho, ...] pairs for NON-EMPTY registers, bucket
+    * ascending — the same relation hll_registers emits (rho >= 1 for
+    * every observed hash, so byte 0 == register never hit). */
+  def finish(b: Array[Byte]): Array[Long] = {
+    var n = 0
+    var i = 0
+    while (i < m) { if (b(i) != 0) n += 1; i += 1 }
+    val out = new Array[Long](2 * n)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (b(i) != 0) {
+        out(w) = i.toLong
+        out(w + 1) = b(i).toLong
+        w += 2
+      }
+      i += 1
+    }
+    out
+  }
+
+  def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
 // ------------------------------------------------------------ registration
 
 /** Registered from PySpark through the session's ADD JAR classloader
@@ -302,4 +374,7 @@ object ScalaReg {
   def registerMg(name: String, k: Int): Unit =
     SparkSession.active.udf.register(
       name, functions.udaf(new MGTopKTI(k), Encoders.STRING))
+  def registerHll(name: String, p: Int): Unit =
+    SparkSession.active.udf.register(
+      name, functions.udaf(new HllTI(p), Encoders.LONG))
 }

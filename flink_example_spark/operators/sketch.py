@@ -328,6 +328,58 @@ def hll_distinct(
     return hll_finalize(hll_registers(df, group_cols, value_col, p=p), group_cols, p=p)
 
 
+def _hll_pairs(g: DataFrame, groups: Sequence[str]) -> DataFrame:
+    """Explode an aggregated ``(groups..., __a)`` flat [bucket, rho, ...]
+    HLL relation into ``(groups..., bucket, max_rho)`` register rows —
+    the bridge from the typed array aggregate back to the relation form
+    ``hll_finalize`` reads (same CASE guard as ``_dyadic_buckets``:
+    Spark 4 ``sequence(1, 0)`` DESCENDS, the empty arm must not build
+    the sequence)."""
+    parsed = g.select(
+        *groups,
+        F.expr(
+            "CASE WHEN size(__a) >= 2 THEN"
+            " transform(sequence(1, size(__a) div 2),"
+            "   i -> struct(element_at(__a, CAST(2*i - 1 AS INT)) AS b,"
+            "               element_at(__a, CAST(2*i AS INT)) AS r))"
+            " ELSE array() END"
+        ).alias("__ps"),
+    )
+    return parsed.select(*groups, F.explode("__ps").alias("__p")).select(
+        *groups,
+        F.col("__p.b").alias("bucket"),
+        F.col("__p.r").alias("max_rho"),
+    )
+
+
+def hll_distinct_jvm(
+    df: DataFrame, group_cols: str | Sequence[str], value_col: str, p: int = 8
+) -> DataFrame:
+    """``hll_distinct`` with the register state held as ONE O(m)-byte
+    typed JVM buffer per group (``fes.HllTI``, round-14 typed-aggregate
+    family) instead of the m-row register relation: the shuffle carries
+    ``groups x partitions`` byte arrays (~m bytes each) rather than up
+    to ``groups x m x partitions`` register rows (~20 bytes each) —
+    the ~20x register-shuffle diet at profiling scale. Register-wise
+    max is a commutative idempotent monoid and rho is a pure function
+    of the hash, so the state is a pure function of the input SET —
+    bit-identical registers, bit-identical estimate, SAME oracle as
+    ``hll_distinct`` (shared verbatim in the registry). The same
+    aggregate holds its state in the streaming state store
+    (run_streaming_hll_jvm)."""
+    from flink_example_spark.jvm import register_hll
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    fn = register_hll(df.sparkSession, p)
+    src = df.select(
+        *groups, portable_hash32(F.col(value_col)).alias("__h")
+    ).filter(F.col("__h").isNotNull())
+    # single-file scan rule: spread the per-row update across cores
+    src = src.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    g = src.groupBy(*groups).agg(F.expr(f"{fn}(__h)").alias("__a"))
+    return hll_finalize(_hll_pairs(g, groups), groups, p=p)
+
+
 def hll_distinct_oracle(
     source_sql: str,
     group_cols: Sequence[str],

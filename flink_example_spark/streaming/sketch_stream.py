@@ -466,6 +466,61 @@ def run_streaming_hll_distinct(
     return hll_finalize(spark.table(name), "lang", p=p)
 
 
+def run_streaming_hll_jvm(
+    spark: SparkSession,
+    sf_dir: str,
+    p: int = 6,
+    chunks: int = 3,
+) -> DataFrame:
+    """The typed-buffer form of :func:`run_streaming_hll_distinct`: the
+    whole m-register array is ONE O(m)-byte ``fes.HllTI`` buffer per
+    language in the streaming state store (round-14 typed-aggregate
+    family) instead of m register-relation rows — same registers by
+    merge-order invariance (register-wise max of a pure hash function),
+    so bounded replay converges to batch ``hll_distinct`` bit-exactly
+    and shares its oracle verbatim."""
+    import os
+    import uuid
+
+    from flink_example_spark.jvm import register_hll
+    from flink_example_spark.operators.sketch import _hll_pairs, hll_finalize
+    from flink_example_spark.operators.sketch import portable_hash32
+    from flink_example_spark.operators.text import normalized, tokens
+    from flink_example_spark.session import shuffle_partitions, tune
+    from flink_example_spark.streaming.dedup_stream import _stage_by_id
+
+    tune(spark)
+    fn = register_hll(spark, p)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+        .select(
+            F.col("lang"),
+            F.explode(tokens(normalized(F.col("text")))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    src = stream.select(
+        "lang", portable_hash32(F.col("term")).alias("__h")
+    ).filter(F.col("__h").isNotNull())
+    g = src.groupBy("lang").agg(F.expr(f"{fn}(__h)").alias("__a"))
+    name = f"stream_hll_jvm_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            g.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = spark.table(name)
+    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    return hll_finalize(_hll_pairs(fresh, ["lang"]), ["lang"], p=p)
+
+
 def run_streaming_bloom_filter(
     spark: SparkSession,
     sf_dir: str,

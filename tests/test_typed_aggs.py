@@ -100,6 +100,30 @@ def test_kmv_typed_equals_udaf(spark):
         assert arr == sorted(set(arr)) and len(arr) <= 64
 
 
+def test_hll_typed_equals_register_relation(spark):
+    """The O(m)-byte HllTI buffer must reproduce the register RELATION
+    bit-for-bit (register-wise max of a pure hash function is merge-
+    order invariant) — estimate, reg_sum, n_registers all identical."""
+    from flink_example_spark.operators.sketch import (
+        hll_distinct,
+        hll_distinct_jvm,
+    )
+
+    df = (
+        spark.range(60_000)
+        .selectExpr("id % 4 AS g", "concat('v', id % 7000) AS val")
+        .repartition(8)
+    )
+    a = sorted(tuple(r) for r in hll_distinct(df, "g", "val", p=8).collect())
+    b = sorted(
+        tuple(r) for r in hll_distinct_jvm(df, "g", "val", p=8).collect()
+    )
+    assert a == b
+    # and the typed plan partial-aggregates below the exchange
+    plan = _plan(hll_distinct_jvm(df, "g", "val", p=8))
+    assert "partial_hll_jvm8" in plan
+
+
 def test_mg_typed_respects_guarantee(spark):
     """MG content is merge-order-dependent, so no bit-comparison vs the
     UDAF — the pinned property is the guarantee both implementations

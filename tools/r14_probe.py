@@ -33,7 +33,7 @@ from pyspark.sql import Window  # noqa: E402
 from flink_example_spark.operators.dedup import (  # noqa: E402
     substring_spans_dedup,
 )
-from flink_example_spark.session import get_spark  # noqa: E402
+
 from flink_example_spark.tables import load_table  # noqa: E402
 
 
@@ -145,7 +145,26 @@ def _multiply(df, mult: int, stride: int = 10_000_000):
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("r14-probe")
+    # get_spark disables the UI; the probe needs the REST status API for
+    # shuffle bytes — build the same session with the UI on
+    from pyspark.sql import SparkSession
+
+    from flink_example_spark.session import RUNTIME_CONF, tune
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName("r14-probe")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
+        .config("spark.ui.enabled", "true")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = tune(builder.getOrCreate())
+    assert spark.sparkContext.uiWebUrl, "spark UI required for shuffle bytes"
     docs = load_table(spark, sf_dir, "documents").localCheckpoint()
     substring_spans_dedup(docs, k=10).write.format("noop").mode(
         "overwrite"
