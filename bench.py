@@ -91,6 +91,10 @@ HEADLINE = [
     "timeseries_resample",
     "timeseries_gaps",
     "sketch_hll_distinct",
+    # round 14: typed-buffer HLL (batch + live) — same oracle/hash as
+    # sketch_hll_distinct, O(m)-byte state
+    "sketch_hll_jvm",
+    "streaming_hll_jvm",
     "sketch_overlap",
     "json_props_stats",
     "ann_sq8_topk",

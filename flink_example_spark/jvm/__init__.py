@@ -221,7 +221,8 @@ def register_kmv_sample_bottomk(spark, k: int) -> str:
     if k not in (64, 256):
         raise ValueError(f"k must be 64 or 256, got {k}")
     return _register(
-        spark, f"kmv_sample_bottomk{k}", f"fes.KmvSampleBottomK{k}"
+        spark, f"kmv_sample_bottomk{k}", f"fes.KmvSampleBottomK{k}",
+        typed_method="registerKmvSample", k=k,
     )
 
 

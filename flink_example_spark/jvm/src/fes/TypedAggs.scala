@@ -281,6 +281,87 @@ class MGTopKTI(k: Int) extends Aggregator[String, MGBuf, Array[String]] {
   def outputEncoder: Encoder[Array[String]] = ExpressionEncoder[Array[String]]()
 }
 
+// -------------------------------------------------------------- kmv sample
+
+class KmvSampleBuf(
+    var hs: Array[Long],
+    var ks: Array[String],
+    var vs: Array[java.lang.Double],
+    var n: Int
+) extends Serializable
+
+/** Typed twin of KmvSampleBottomK.java — bottom-k rows by (hash, key)
+  * carrying a value payload; ordering and multiset semantics mirror the
+  * Java form exactly (unsigned UTF-8 key ties, stable insert after all
+  * entries <= (h, key), duplicates kept). */
+class KmvSampleBottomKTI(k: Int)
+    extends Aggregator[
+      (java.lang.Long, String, java.lang.Double),
+      KmvSampleBuf,
+      Array[java.lang.Double]
+    ] {
+  def zero: KmvSampleBuf = new KmvSampleBuf(
+    new Array[Long](k + 1),
+    new Array[String](k + 1),
+    new Array[java.lang.Double](k + 1),
+    0
+  )
+
+  private def cmpUtf8(a: String, b: String): Int = {
+    val ba = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(ba.length, bb.length)
+    var i = 0
+    while (i < n) {
+      val d = (ba(i) & 0xff) - (bb(i) & 0xff)
+      if (d != 0) { return d }
+      i += 1
+    }
+    ba.length - bb.length
+  }
+
+  private def insert(
+      b: KmvSampleBuf, h: Long, key: String, v: java.lang.Double): Unit = {
+    var lo = 0
+    var hi = b.n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val mh = b.hs(mid)
+      val c = if (mh < h) -1 else if (mh > h) 1 else cmpUtf8(b.ks(mid), key)
+      if (c <= 0) lo = mid + 1 else hi = mid
+    }
+    if (b.n >= k && lo >= k) { return } // full and past the cutoff
+    val keep = math.min(b.n, k) - lo
+    System.arraycopy(b.hs, lo, b.hs, lo + 1, keep)
+    System.arraycopy(b.ks, lo, b.ks, lo + 1, keep)
+    System.arraycopy(b.vs, lo, b.vs, lo + 1, keep)
+    b.hs(lo) = h
+    b.ks(lo) = key
+    b.vs(lo) = v
+    if (b.n < k) b.n += 1
+  }
+
+  def reduce(
+      b: KmvSampleBuf,
+      a: (java.lang.Long, String, java.lang.Double)): KmvSampleBuf = {
+    if (a != null && a._1 != null && a._2 != null) {
+      insert(b, a._1.longValue(), a._2, a._3)
+    }
+    b
+  }
+  def merge(x: KmvSampleBuf, y: KmvSampleBuf): KmvSampleBuf = {
+    var i = 0
+    while (i < y.n) { insert(x, y.hs(i), y.ks(i), y.vs(i)); i += 1 }
+    x
+  }
+  def finish(b: KmvSampleBuf): Array[java.lang.Double] =
+    java.util.Arrays.copyOf(b.vs, b.n)
+  def bufferEncoder: Encoder[KmvSampleBuf] =
+    Encoders.kryo(classOf[KmvSampleBuf])
+  def outputEncoder: Encoder[Array[java.lang.Double]] =
+    ExpressionEncoder[Array[java.lang.Double]]()
+}
+
 // --------------------------------------------------------------------- hll
 
 /** Portable-HLL register array as ONE typed buffer: m = 2^p bytes of
@@ -377,4 +458,10 @@ object ScalaReg {
   def registerHll(name: String, p: Int): Unit =
     SparkSession.active.udf.register(
       name, functions.udaf(new HllTI(p), Encoders.LONG))
+  def registerKmvSample(name: String, k: Int): Unit =
+    SparkSession.active.udf.register(
+      name,
+      functions.udaf(
+        new KmvSampleBottomKTI(k),
+        Encoders.tuple(Encoders.LONG, Encoders.STRING, Encoders.DOUBLE)))
 }

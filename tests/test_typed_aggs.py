@@ -100,6 +100,39 @@ def test_kmv_typed_equals_udaf(spark):
         assert arr == sorted(set(arr)) and len(arr) <= 64
 
 
+def test_kmv_sample_typed_equals_udaf(spark):
+    """The payload-carrying bottom-k sample: identical multiset insert
+    semantics (unsigned-UTF-8 key ties, stable order, NULL payloads
+    preserved) through the typed buffer."""
+    fns = J.register_kmv_sample_bottomk(spark, 64)
+    spark.udf.registerJavaUDAF("t_kmvs_udaf", "fes.KmvSampleBottomK64")
+    df = (
+        spark.range(40_000)
+        .selectExpr(
+            "id % 3 AS g",
+            "xxhash64(concat('x', id)) & 4294967295 AS h",
+            "concat('k', id) AS key",
+            "CASE WHEN id % 17 = 0 THEN NULL"
+            " ELSE CAST((id * 13) % 997 AS DOUBLE) END AS v",
+        )
+        .repartition(8)
+    )
+    a = {
+        r["g"]: list(r["a"])
+        for r in df.groupBy("g")
+        .agg(F.expr(f"{fns}(h, key, v)").alias("a"))
+        .collect()
+    }
+    b = {
+        r["g"]: list(r["a"])
+        for r in df.groupBy("g")
+        .agg(F.expr("t_kmvs_udaf(h, key, v)").alias("a"))
+        .collect()
+    }
+    assert a == b
+    assert all(len(x) == 64 for x in a.values())
+
+
 def test_hll_typed_equals_register_relation(spark):
     """The O(m)-byte HllTI buffer must reproduce the register RELATION
     bit-for-bit (register-wise max of a pure hash function is merge-
