@@ -109,6 +109,41 @@ def test_mg_certified_read_exact_boundary(spark, m, parts):
     assert got == {"B": (m + 1, 9 * m)}
 
 
+# ------------------------------------------------------- typed HLL identity
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=0x2FFF),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    parts=st.sampled_from([1, 4, 9]),
+)
+def test_hll_typed_equals_relation_any_multiset(spark, vals, parts):
+    """The O(m)-byte HllTI buffer equals the register-relation form on
+    ANY value multiset and ANY partitioning (register-wise max of a
+    pure hash function is merge-order invariant) — estimate, reg_sum,
+    n_registers all bit-identical, non-ASCII keys included."""
+    from flink_example_spark.operators.sketch import (
+        hll_distinct,
+        hll_distinct_jvm,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "val string"
+    ).selectExpr("0 AS g", "val").repartition(parts)
+    a = sorted(tuple(r) for r in hll_distinct(df, "g", "val", p=6).collect())
+    b = sorted(
+        tuple(r) for r in hll_distinct_jvm(df, "g", "val", p=6).collect()
+    )
+    assert a == b
+
+
 # ------------------------------------------------------------ rollup floor
 
 def _rollup_ref(day_vals, k):

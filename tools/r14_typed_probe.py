@@ -37,9 +37,12 @@ def main() -> None:
     J.register_dyadic_hist(spark, 64)
     J.register_kmv_bottomk(spark, 64)
     J.register_mg_topk(spark, 8)
+    J.register_kmv_sample_bottomk(spark, 64)
+    J.register_hll(spark, 8)  # typed-only: compared vs the relation form
     spark.udf.registerJavaUDAF("dyadic_hist64_udaf", "fes.DyadicHist64")
     spark.udf.registerJavaUDAF("kmv_bottomk64_udaf", "fes.KmvBottomK64")
     spark.udf.registerJavaUDAF("mg_topk8_udaf", "fes.MGTopK8")
+    spark.udf.registerJavaUDAF("kmvs64_udaf", "fes.KmvSampleBottomK64")
 
     base = (
         spark.range(N)
@@ -48,6 +51,8 @@ def main() -> None:
             "(id * 37) % 977000 AS v",
             "xxhash64(id % 1000000) AS h",
             "concat('t', id % 5000) AS key",
+            "xxhash64(concat('s', id)) & 4294967295 AS h32",
+            "CAST((id * 13) % 997 AS DOUBLE) AS val",
         )
         .repartition(32)
         .localCheckpoint()
@@ -56,6 +61,11 @@ def main() -> None:
         ("dyadic_hist64", "dyadic_hist64(v)", "dyadic_hist64_udaf(v)"),
         ("kmv_bottomk64", "kmv_bottomk64(h)", "kmv_bottomk64_udaf(h)"),
         ("mg_topk8", "mg_topk8(key)", "mg_topk8_udaf(key)"),
+        (
+            "kmv_sample64",
+            "kmv_sample_bottomk64(h, key, val)",
+            "kmvs64_udaf(h, key, val)",
+        ),
     ]
     print(f"rows = {N}")
     print(f"{'aggregate':>15} {'typed_s':>9} {'udaf_s':>9} {'speedup':>8}")
