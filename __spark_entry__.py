@@ -3301,6 +3301,33 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fromlist=["run_streaming_mg_jvm"],
         ).run_streaming_mg_jvm(spark, sf_dir, k=8),
         "sketch_cm_heavy_hitters": cm_hh_entry,
+        # round-14 typed-buffer count-min: the whole depth x width
+        # counter matrix as ONE fes.CmTI buffer (no coordinate explode;
+        # md5 coords mirrored JVM-side bit-exactly); shares the
+        # streaming_cm_sketch oracle fixture
+        "sketch_cm_jvm": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.sketch",
+            fromlist=["cm_sketch_jvm"],
+        ).cm_sketch_jvm(
+            _docs(spark, sf_dir)
+            .select(
+                F.explode(
+                    __import__(
+                        "flink_example_spark.operators.text",
+                        fromlist=["tokens"],
+                    ).tokens(
+                        __import__(
+                            "flink_example_spark.operators.text",
+                            fromlist=["normalized"],
+                        ).normalized(F.col("text"))
+                    )
+                ).alias("term")
+            )
+            .filter(F.col("term") != ""),
+            "term",
+            depth=3,
+            width=8,
+        ),
         # runtime-bloom-filter shape: per-nation Bloom (bit_or monoid words)
         # over shipped partkeys, probed by the full part table — measures
         # exactly the rows a pushed runtime filter would fail to prune
@@ -7911,6 +7938,12 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # depth*width state rows; converges to batch cm_sketch -> shares
         # its oracle
         "streaming_cm_sketch": _run_streaming_cm,
+        # round-14: the typed-buffer live twin — one CmTI matrix buffer
+        # in the state store, no coordinate explode in the stream
+        "streaming_cm_jvm": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.sketch_stream",
+            fromlist=["run_streaming_cm_jvm"],
+        ).run_streaming_cm_jvm(spark, sf_dir, depth=3, width=8),
         # streaming runtime-bloom-filter: per-nation word table as a plain
         # streaming bit_or aggregate — pure JVM state, idempotent monoid
         # (no watermark), <= groups x m/62 state rows; converges to batch
@@ -8193,6 +8226,9 @@ def _all_oracles() -> dict[str, str]:
     # typed-buffer forms: identical registers by merge-order invariance
     out["sketch_hll_jvm"] = out["sketch_hll_distinct"]
     out["streaming_hll_jvm"] = out["sketch_hll_distinct"]
+    # typed count-min: identical matrix (pure-hash coords, sum monoid)
+    out["sketch_cm_jvm"] = out["streaming_cm_sketch"]
+    out["streaming_cm_jvm"] = out["streaming_cm_sketch"]
     out["streaming_bloom_filter"] = out["sketch_bloom_filter"]
     out["streaming_minhash_dedup"] = out["dedup_minhash_portable"]
     out["streaming_cdc_apply"] = out["versioned_cdc_apply"]

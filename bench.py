@@ -91,10 +91,12 @@ HEADLINE = [
     "timeseries_resample",
     "timeseries_gaps",
     "sketch_hll_distinct",
-    # round 14: typed-buffer HLL (batch + live) — same oracle/hash as
-    # sketch_hll_distinct, O(m)-byte state
+    # round 14: typed-buffer HLL + count-min (batch + live) — same
+    # oracles/hashes as their relation forms, O(m)/O(depth*width) state
     "sketch_hll_jvm",
     "streaming_hll_jvm",
+    "sketch_cm_jvm",
+    "streaming_cm_jvm",
     "sketch_overlap",
     "json_props_stats",
     "ann_sq8_topk",

@@ -142,13 +142,14 @@ def typed_available() -> bool:
         return False
 
 
-def _register_scala(spark, method: str, name: str, k: int) -> None:
-    """Invoke ``fes.ScalaReg.<method>(name, k)`` through the session's
-    ADD JAR classloader (py4j reflection): registers the Aggregator-
-    based function (planned as TypedImperativeAggregate inside
-    ObjectHashAggregate — the zero-copy buffer path) under the SAME SQL
-    name the UDAF form would use. Works on a vanilla driver session —
-    no spark.jars at startup, same device registerJavaUDAF relies on."""
+def _register_scala(spark, method: str, name: str, *ks: int) -> None:
+    """Invoke ``fes.ScalaReg.<method>(name, *ks)`` through the
+    session's ADD JAR classloader (py4j reflection): registers the
+    Aggregator-based function (planned as TypedImperativeAggregate
+    inside ObjectHashAggregate — the zero-copy buffer path) under the
+    SAME SQL name the UDAF form would use. Works on a vanilla driver
+    session — no spark.jars at startup, same device registerJavaUDAF
+    relies on."""
     jvm = spark._jvm
     gw = spark.sparkContext._gateway
     try:
@@ -160,13 +161,15 @@ def _register_scala(spark, method: str, name: str, k: int) -> None:
             .jarClassLoader()
             .loadClass("fes.ScalaReg")
         )
-    argt = gw.new_array(jvm.java.lang.Class, 2)
+    argt = gw.new_array(jvm.java.lang.Class, 1 + len(ks))
     argt[0] = jvm.java.lang.Class.forName("java.lang.String")
-    argt[1] = jvm.java.lang.Integer.TYPE
+    for i in range(len(ks)):
+        argt[1 + i] = jvm.java.lang.Integer.TYPE
     m = cls.getMethod(method, argt)
-    args = gw.new_array(jvm.java.lang.Object, 2)
+    args = gw.new_array(jvm.java.lang.Object, 1 + len(ks))
     args[0] = name
-    args[1] = k
+    for i, k in enumerate(ks):
+        args[1 + i] = k
     m.invoke(None, args)
 
 
@@ -275,7 +278,17 @@ def register_hll(spark, p: int) -> str:
     subclasses — typed registration passes p straight to the ctor."""
     if not 4 <= p <= 14:
         raise ValueError(f"p must be in [4, 14], got {p}")
-    name = f"hll_jvm{p}"
+    return _register_typed_only(
+        spark, f"hll_jvm{p}", "registerHll", "hll_registers", p
+    )
+
+
+def _register_typed_only(
+    spark, name: str, method: str, fallback_hint: str, *ks: int
+) -> str:
+    """Register a typed-only aggregate (no Java UDAF twin exists — the
+    relation-form operator is the fallback path when the Scala twins
+    are unavailable)."""
     key = (spark.sparkContext.applicationId, name)
     if key in _REGISTERED:
         return name
@@ -283,9 +296,28 @@ def register_hll(spark, p: int) -> str:
     spark.sql(f"ADD JAR '{path}'")
     if not typed_available():
         raise RuntimeError(
-            "hll_jvm needs the Scala typed twins (scala-compiler jar "
-            "absent or compile failed); use hll_registers instead"
+            f"{name} needs the Scala typed twins (scala-compiler jar "
+            f"absent or compile failed); use {fallback_hint} instead"
         )
-    _register_scala(spark, "registerHll", name, p)
+    _register_scala(spark, method, name, *ks)
     _REGISTERED.add(key)
     return name
+
+
+def register_cm(spark, depth: int, width: int) -> str:
+    """Idempotently register the typed count-min aggregate
+    ``cm_jvm{depth}x{width}`` (string value) -> flat row-major
+    depth*width counter matrix — the O(depth*width)-buffer form of
+    ``sketch.cm_sketch`` (same md5 coordinates, same counts, same
+    oracle; fes.CmTI). Typed-only: the exploded-relation path serves
+    when the Scala twins are unavailable."""
+    if not (1 <= depth <= 16 and 1 <= width <= 65536):
+        raise ValueError(f"bad depth/width {depth}/{width}")
+    return _register_typed_only(
+        spark,
+        f"cm_jvm{depth}x{width}",
+        "registerCm",
+        "cm_sketch",
+        depth,
+        width,
+    )

@@ -434,6 +434,51 @@ class HllTI(p: Int) extends Aggregator[java.lang.Long, Array[Byte], Array[Long]]
   def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
 }
 
+// ---------------------------------------------------------------- count-min
+
+/** Count-min counter matrix as ONE typed Array[Long] buffer (row-major
+  * depth x width) — the typed form of sketch.py::cm_sketch. Counter
+  * addition is a commutative monoid and the coordinates are a pure
+  * function of the value (the engine-portable md5 bucket of
+  * "r:" + value, EXACTLY portable_hash32's arithmetic: first 8 hex
+  * chars of md5 as a long, pmod width), so the matrix is a pure
+  * function of the input multiset — merge-order invariant, bit-equal
+  * to the exploded-relation form, same oracle. Removes the x depth
+  * explode ahead of the partial aggregation. Output: the full flat
+  * matrix; readers emit the nonzero cells to match the relation. */
+class CmTI(depth: Int, width: Int)
+    extends Aggregator[String, Array[Long], Array[Long]] {
+  def zero: Array[Long] = new Array[Long](depth * width)
+
+  private def bucket(r: Int, v: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(
+      (r.toString + ":" + v).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (h % width).toInt // h is non-negative: pmod == mod
+  }
+
+  def reduce(b: Array[Long], a: String): Array[Long] = {
+    if (a != null) {
+      var r = 0
+      while (r < depth) {
+        b(r * width + bucket(r, a)) += 1L
+        r += 1
+      }
+    }
+    b
+  }
+  def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < x.length) { x(i) += y(i); i += 1 }
+    x
+  }
+  def finish(b: Array[Long]): Array[Long] = b
+  def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
 // ------------------------------------------------------------ registration
 
 /** Registered from PySpark through the session's ADD JAR classloader
@@ -464,4 +509,7 @@ object ScalaReg {
       functions.udaf(
         new KmvSampleBottomKTI(k),
         Encoders.tuple(Encoders.LONG, Encoders.STRING, Encoders.DOUBLE)))
+  def registerCm(name: String, depth: Int, width: Int): Unit =
+    SparkSession.active.udf.register(
+      name, functions.udaf(new CmTI(depth, width), Encoders.STRING))
 }

@@ -484,6 +484,42 @@ def cm_sketch(
     return coords.groupBy("r", "j").agg(F.sum("__w").alias("cnt"))
 
 
+def cm_sketch_jvm(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """``cm_sketch`` with the counter matrix held as ONE typed
+    O(depth*width) JVM buffer (``fes.CmTI``, round-14 typed family):
+    no ``x depth`` coordinate explode ahead of the aggregation, and the
+    shuffle carries one flat array per partition instead of up to
+    depth*width partial rows. Coordinates are the SAME engine-portable
+    md5 buckets (portable_hash32 of ``'r:' || v``) computed JVM-side,
+    and counter addition is a commutative monoid, so the matrix is a
+    pure function of the input multiset — bit-identical nonzero cells,
+    SAME oracle as ``cm_sketch`` (shared verbatim in the registry).
+    Unweighted form only (the weighted relation path remains
+    ``cm_sketch(weight_col=...)``)."""
+    from flink_example_spark.jvm import register_cm
+
+    fn = register_cm(df.sparkSession, depth, width)
+    src = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias("__v")
+    )
+    src = src.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    g = src.groupBy().agg(F.expr(f"{fn}(__v)").alias("__a"))
+    return (
+        g.select(F.posexplode("__a").alias("__i", "cnt"))
+        .filter(F.col("cnt") > 0)
+        .selectExpr(
+            f"CAST(__i div {width} AS INT) AS r",
+            f"CAST(__i % {width} AS BIGINT) AS j",
+            "cnt",
+        )
+    )
+
+
 def cm_merge(*sketches: DataFrame) -> DataFrame:
     """Merge shard sketches (same depth/width) by summing counters."""
     out = sketches[0]

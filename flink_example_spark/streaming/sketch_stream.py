@@ -254,6 +254,62 @@ def run_streaming_cm_sketch(
     return spark.sql(f"SELECT r, j, cnt FROM {name}")
 
 
+def run_streaming_cm_jvm(
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int = 3,
+    width: int = 8,
+    chunks: int = 3,
+) -> DataFrame:
+    """The typed-buffer form of :func:`run_streaming_cm_sketch`: the
+    whole depth x width counter matrix is ONE ``fes.CmTI`` buffer in
+    the streaming state store (round-14 typed family) — no coordinate
+    explode in the stream, one state row total. Counter addition is a
+    commutative monoid over pure-hash coordinates, so bounded replay
+    converges to the batch matrix bit-exactly and shares
+    ``cm_sketch``'s oracle."""
+    import os
+    import uuid
+
+    from flink_example_spark.jvm import register_cm
+    from flink_example_spark.operators.text import normalized, tokens
+    from flink_example_spark.session import shuffle_partitions, tune
+    from flink_example_spark.streaming.dedup_stream import _stage_by_id
+
+    tune(spark)
+    fn = register_cm(spark, depth, width)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+        .select(F.explode(tokens(normalized(F.col("text")))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    g = stream.groupBy().agg(F.expr(f"{fn}(term)").alias("__a"))
+    name = f"stream_cm_jvm_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            g.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = spark.table(name)
+    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    return (
+        fresh.select(F.posexplode("__a").alias("__i", "cnt"))
+        .filter(F.col("cnt") > 0)
+        .selectExpr(
+            f"CAST(__i div {width} AS INT) AS r",
+            f"CAST(__i % {width} AS BIGINT) AS j",
+            "cnt",
+        )
+    )
+
+
 def streaming_kmv_quantile_sample(
     doc_stream: DataFrame,
     group_col: str,

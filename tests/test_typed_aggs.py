@@ -157,6 +157,30 @@ def test_hll_typed_equals_register_relation(spark):
     assert "partial_hll_jvm8" in plan
 
 
+def test_cm_typed_equals_relation(spark):
+    """The CmTI matrix buffer equals the exploded-relation cm_sketch
+    bit-for-bit (pure-md5 coordinates mirrored JVM-side, sum monoid)
+    — nonzero cells, dtypes included."""
+    from flink_example_spark.operators.sketch import cm_sketch, cm_sketch_jvm
+
+    df = (
+        spark.range(30_000)
+        .selectExpr("concat('t', (id * 7) % 500) AS term")
+        .repartition(8)
+    )
+    a = sorted(tuple(r) for r in cm_sketch(df, "term", depth=3, width=8).collect())
+    b = sorted(
+        tuple(r) for r in cm_sketch_jvm(df, "term", depth=3, width=8).collect()
+    )
+    assert a == b and len(a) > 0
+    assert (
+        cm_sketch(df, "term", 3, 8).dtypes
+        == cm_sketch_jvm(df, "term", 3, 8).dtypes
+    )
+    plan = _plan(cm_sketch_jvm(df, "term", depth=3, width=8))
+    assert "partial_cm_jvm3x8" in plan
+
+
 def test_mg_typed_respects_guarantee(spark):
     """MG content is merge-order-dependent, so no bit-comparison vs the
     UDAF — the pinned property is the guarantee both implementations
