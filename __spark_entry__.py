@@ -7881,6 +7881,15 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # watermark, no Python state); converges to batch
         # dedup_minhash_portable -> shares its oracle
         "streaming_minhash_dedup": _run_streaming_minhash_dedup,
+        # round-14: LIVE substring-level corpus dedup — the corpus-
+        # global (gram -> spread, canonical key) state as ONE update-
+        # mode aggregation over the hashed occurrence stream (both read
+        # columns are monoids); span surgery at read, bit-equal to the
+        # batch operator -> shares its oracle
+        "streaming_substring_dedup": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.dedup_stream",
+            fromlist=["run_streaming_substring_dedup"],
+        ).run_streaming_substring_dedup(spark, sf_dir, k=10),
         # streaming trending terms: live (lang, term) counts (pure-JVM
         # monoid agg), top-k ranked over the converged vocab-sized table;
         # converges to batch text_top_terms -> shares its oracle
@@ -8231,6 +8240,7 @@ def _all_oracles() -> dict[str, str]:
     out["streaming_cm_jvm"] = out["streaming_cm_sketch"]
     out["streaming_bloom_filter"] = out["sketch_bloom_filter"]
     out["streaming_minhash_dedup"] = out["dedup_minhash_portable"]
+    out["streaming_substring_dedup"] = out["dedup_substring_spans"]
     out["streaming_cdc_apply"] = out["versioned_cdc_apply"]
     out["streaming_trending_terms"] = out["text_top_terms"]
     from flink_example_spark.streaming.late_split import late_split_oracle

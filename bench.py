@@ -339,6 +339,9 @@ HEADLINE = [
     # round-13 wave 2: substring-level corpus dedup (Lee et al. 2022 —
     # one sorted-shingle shuffle, canonical-copy-preserving surgery)
     "dedup_substring_spans",
+    # round 14: live substring-dedup twin (update-mode gram monoid,
+    # surgery at read — shares the batch oracle)
+    "streaming_substring_dedup",
     # round-13 wave 3: the weighted pre-agg feed (codegen duplicate
     # collapse before the UDAF) and the planner selectivity read over
     # the same dyadic sketch

@@ -1771,10 +1771,33 @@ def substring_spans_dedup(
     exact-string form stays the oracle's definition, so the sf gates
     would catch a collision as a hash mismatch.
     """
+    gh = _substring_occurrences(documents, k, id_col, text_col)
+    rep = (
+        gh.groupBy("__h")
+        .agg(
+            F.countDistinct(id_col).alias("__nd"),
+            F.min("__ok").alias("__canon"),
+        )
+        .filter(F.col("__nd") >= 2)
+        .select("__h", "__canon")
+    )
+    flagged = (
+        gh.join(rep, "__h")
+        .filter(F.col("__ok") != F.col("__canon"))
+        .select(id_col, "__pos")
+        .distinct()
+    )
+    return _substring_surgery(documents, flagged, k, id_col, text_col)
+
+
+def _substring_occurrences(
+    documents: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """``(id, __pos, __h, __ok)`` k-gram occurrence relation shared by
+    the batch operator and the streaming twin: the string gram dies
+    inside this projection — only the 8-byte hashed key (plus the
+    fixed-width order key) ever crosses an exchange."""
     w = F.split(F.trim(F.col(text_col)), r"\s+")
-    toks = documents.select(
-        F.col(id_col), F.posexplode(w).alias("__p0", "__tok")
-    ).select(F.col(id_col), (F.col("__p0") + 1).alias("__pos"), "__tok")
     grams = (
         documents.select(F.col(id_col), w.alias("__w"))
         .filter(F.size("__w") >= k)
@@ -1797,26 +1820,25 @@ def substring_spans_dedup(
         F.lpad(F.col(id_col).cast("string"), 12, "0"),
         F.lpad(F.col("__pos").cast("string"), 12, "0"),
     )
-    # the string gram dies here: only the 8-byte hashed key (plus the
-    # fixed-width order key) crosses any exchange
-    gh = grams.select(
+    return grams.select(
         id_col, "__pos", F.xxhash64("__g").alias("__h"), okey.alias("__ok")
     )
-    rep = (
-        gh.groupBy("__h")
-        .agg(
-            F.countDistinct(id_col).alias("__nd"),
-            F.min("__ok").alias("__canon"),
-        )
-        .filter(F.col("__nd") >= 2)
-        .select("__h", "__canon")
-    )
-    flagged = (
-        gh.join(rep, "__h")
-        .filter(F.col("__ok") != F.col("__canon"))
-        .select(id_col, "__pos")
-        .distinct()
-    )
+
+
+def _substring_surgery(
+    documents: DataFrame,
+    flagged: DataFrame,
+    k: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Apply the span surgery given the flagged ``(id, __pos)`` gram
+    starts: k-row sliding-MAX coverage + ordered reassembly (shared by
+    the batch operator and the streaming twin's read)."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = documents.select(
+        F.col(id_col), F.posexplode(w).alias("__p0", "__tok")
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("__pos"), "__tok")
     cover_w = (
         Window.partitionBy(id_col).orderBy("__pos").rowsBetween(-(k - 1), 0)
     )

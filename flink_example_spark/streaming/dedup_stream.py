@@ -799,3 +799,74 @@ def run_streaming_template_mining(
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def run_streaming_substring_dedup(
+    spark: SparkSession, sf_dir: str, k: int = 10, chunks: int = 3
+) -> DataFrame:
+    """LIVE substring-level corpus dedup (the round-13 Lee-et-al
+    surgery's streaming twin): the corpus-global gram state — per
+    hashed k-gram, the distinct-document spread and the corpus-minimum
+    (doc, pos) canonical key — is maintained as ONE update-mode
+    streaming aggregation over the hashed occurrence stream
+    (``groupBy(__h, doc).min(__ok)``: both columns of the read are
+    monoids — min-of-min is min, and the distinct-doc count is the
+    per-(gram, doc) row count after the max-version collapse). The
+    span surgery itself is read-time algebra over the sink
+    ("monoid-in-state, algebra-at-read"), sharing the batch operator's
+    coverage/reassembly helper — so the replay converges to batch
+    ``substring_spans_dedup`` bit-exactly and shares its oracle.
+
+    Scale note: streaming state is the distinct (gram, doc) pair
+    relation — the same cardinality the batch shuffle carries; the
+    gram string never enters the stream (xxhash64 only, the round-14
+    shuffle diet)."""
+    from flink_example_spark.operators.dedup import (
+        _substring_occurrences,
+        _substring_surgery,
+    )
+    from flink_example_spark.tables import load_table
+
+    tune(spark)
+    tmpdir, schema = _stage_by_id(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+    )
+    occ = _substring_occurrences(stream, k, "doc_id", "text")
+    state = occ.groupBy("__h", "doc_id").agg(F.min("__ok").alias("__mo"))
+    name = f"stream_substr_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            state.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # update-mode sink keeps every emitted version; __mo only decreases,
+    # so a pair's final state is its min — then the per-gram read:
+    # nd = #distinct docs, canon = min over the pair minima
+    latest = spark.table(name)
+    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    pairs = fresh.groupBy("__h", "doc_id").agg(F.min("__mo").alias("__mo"))
+    rep = (
+        pairs.groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__nd"),
+            F.min("__mo").alias("__canon"),
+        )
+        .filter(F.col("__nd") >= 2)
+        .select("__h", "__canon")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    gh = _substring_occurrences(docs, k, "doc_id", "text")
+    flagged = (
+        gh.join(rep, "__h")
+        .filter(F.col("__ok") != F.col("__canon"))
+        .select("doc_id", "__pos")
+        .distinct()
+    )
+    return _substring_surgery(docs, flagged, k, "doc_id", "text")

@@ -129,3 +129,26 @@ def test_fourth_wave_twins_chunk_invariant(spark):
     assert rows(run_streaming_template_mining(spark, sf, chunks=1)) == rows(
         run_streaming_template_mining(spark, sf, chunks=2)
     )
+
+
+def test_streaming_substring_dedup_converges_to_batch(spark):
+    """The live substring-dedup twin (gram state as one update-mode
+    monoid aggregation, span surgery at read) replays to the
+    bit-identical batch surgery."""
+    from flink_example_spark.operators.dedup import substring_spans_dedup
+    from flink_example_spark.streaming.dedup_stream import (
+        run_streaming_substring_dedup,
+    )
+    from flink_example_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    live = sorted(
+        tuple(r) for r in run_streaming_substring_dedup(spark, sf).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in substring_spans_dedup(
+            load_table(spark, sf, "documents")
+        ).collect()
+    )
+    assert live == batch
