@@ -3380,6 +3380,23 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch x event-time windowing: daily distinct-user KMV over the
         # events stream (k=16 so large days estimate, small days exact)
         "sketch_kmv_daily": kmv_daily_entry,
+        # round-14: trailing-7-day distinct users per day, computed from
+        # the STORED day sketches only (bottom-k of a union == bottom-k
+        # of the union of bottom-ks — exact, no raw rescan per window);
+        # the KMV sibling of sketch_dyadic_rollup's no-rescan story
+        "sketch_kmv_rolling": lambda spark, sf_dir: __import__(
+            "flink_example_spark.operators.sketch",
+            fromlist=["kmv_rolling_distinct"],
+        ).kmv_rolling_distinct(
+            __import__(
+                "flink_example_spark.plans.events_demo",
+                fromlist=["load_events"],
+            ).load_events(spark, sf_dir),
+            "ts",
+            "user_id",
+            k=16,
+            window_days=7,
+        ),
         # time-hierarchy quantile profile on the dyadic sketch: per-day
         # value quantile BOUNDS from shard-mergeable exact-count
         # histograms (the daily sibling of sketch_dyadic_quantiles;
@@ -6189,6 +6206,10 @@ def _northstar_oracles() -> dict[str, str]:
         "uid",
         k=16,
     )
+    out["sketch_kmv_rolling"] = __import__(
+        "flink_example_spark.operators.sketch",
+        fromlist=["kmv_rolling_distinct_oracle"],
+    ).kmv_rolling_distinct_oracle("events", "ts", "user_id", 16, 7)
 
     _duck_terms = (
         f"SELECT t FROM (SELECT unnest(string_split_regex({_DUCK_NORM}, '\\s+')) AS t"

@@ -328,6 +328,8 @@ HEADLINE = [
     # warm probes: 1.3 / 2.0 / 8.8s — streaming_kmv_jvm is the bounded
     # 3-chunk replay with zero-Python state)
     "sketch_kmv_jvm",
+    # round 14: trailing-window distinct from stored day sketches
+    "sketch_kmv_rolling",
     "sketch_quantiles_jvm",
     "streaming_kmv_jvm",
     # round-13 wave 1: the deterministic mergeable quantile histogram +

@@ -819,6 +819,121 @@ def kmv_distinct_oracle(
     """
 
 
+def kmv_rolling_distinct(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+    k: int = 16,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling ``window_days``-day distinct-count profile WITHOUT
+    rescanning raw events per window — the KMV sibling of
+    ``dyadic_rollup``'s no-rescan story: per-day bottom-k sketches are
+    built ONCE (the typed ``fes.KmvBottomK`` aggregate), and every
+    rolling window's sketch is the bottom-k of the UNION of its member
+    days' sketches — EXACT, because any of the k smallest hashes of
+    the window is among its own day's k smallest (the KMV merge
+    property). Output per observed day ``d``: the
+    ``kmv_distinct``-shaped estimate over the value domain of days
+    ``[d - window_days + 1, d]`` — identical to running the sketch
+    from scratch on that window, which is what the oracle does.
+
+    Scale: one day-keyed aggregation over raw events (O(k) state per
+    day), then the rolling read touches ONLY the day-sketch relation
+    (days x k rows, fanned out x window_days) — the incremental
+    profiling shape for "distinct users, trailing week, per day" at
+    100 TB. NULL values are skipped like ``kmv_distinct``.
+    """
+    from flink_example_spark.jvm import register_kmv_bottomk
+
+    spark = df.sparkSession
+    fn = register_kmv_bottomk(spark, k)
+    # md5 of a non-string differs across engines — hash the decimal
+    # string form in both (kmv_daily precedent)
+    src = df.select(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        portable_hash32(F.col(value_col).cast("string")).alias("__h"),
+    ).filter(F.col("__h").isNotNull())
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    day_g = src.groupBy("day").agg(F.expr(f"{fn}(__h)").alias("__ks"))
+    # ---- rolling read: day-sketch relation only, no raw rescan ----
+    # a day's hashes serve the windows ending on day..day+w-1; keep
+    # only windows that end on an OBSERVED day (broadcast semi-join)
+    serve = (
+        day_g.select("day", F.explode("__ks").alias("__h"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"sequence(day, day + interval {window_days - 1} days,"
+                    " interval 1 day)"
+                )
+            ).alias("day"),
+            "__h",
+        )
+        .join(F.broadcast(day_g.select("day").distinct()), "day", "left_semi")
+        .distinct()
+    )
+    w = Window.partitionBy("day").orderBy("__h")
+    kept = serve.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return (
+        kept.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("__h").alias("__max_h"),
+        )
+        .select(
+            "day",
+            "n_kept",
+            F.when(F.col("n_kept") >= k, F.col("__max_h")).alias("kth_hash"),
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+            .otherwise(
+                F.lit(float(k - 1))
+                * F.lit(HASH_SPACE)
+                / F.col("__max_h").cast("double")
+            )
+            .alias("est_distinct"),
+        )
+    )
+
+
+def kmv_rolling_distinct_oracle(
+    table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+    k: int = 16,
+    window_days: int = 7,
+) -> str:
+    """DuckDB twin of :func:`kmv_rolling_distinct`, built FROM SCRATCH
+    per window (the from-raw definition the sketch read provably
+    equals by the KMV merge property)."""
+    return f"""
+        WITH pairs AS MATERIALIZED (
+          SELECT DISTINCT date_trunc('day', {ts_col}) AS day,
+                 CAST(concat('0x', substr(md5(CAST({value_col} AS VARCHAR)),
+                   1, 8)) AS BIGINT) AS h
+          FROM {table} WHERE {value_col} IS NOT NULL
+        ), days AS (SELECT DISTINCT day FROM pairs),
+        serve AS (
+          SELECT d.day AS day, p.h FROM pairs p JOIN days d
+          ON d.day >= p.day
+           AND d.day < p.day + INTERVAL {window_days} DAY
+        ), dist AS (SELECT DISTINCT day, h FROM serve),
+        kept AS (
+          SELECT day, h,
+                 ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+          FROM dist QUALIFY rn <= {k}
+        )
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CASE WHEN COUNT(*) >= {k} THEN MAX(h) END AS kth_hash,
+               CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE CAST({k - 1} AS DOUBLE) * 4294967296.0
+                         / CAST(MAX(h) AS DOUBLE) END AS est_distinct
+        FROM kept GROUP BY day
+    """
+
+
 def _bottomk_hashes(df: DataFrame, value_col: str, k: int, sub_buckets: int = 16) -> DataFrame:
     """The k smallest distinct portable hashes of a column — the KMV sample
     set itself, via the same skew-safe two-phase window as ``kmv_distinct``."""

@@ -989,3 +989,48 @@ def test_streaming_dyadic_rollup_converges_to_batch(spark):
         ).collect()
     )
     assert live == batch
+
+
+def test_kmv_rolling_equals_from_scratch_windows(spark):
+    """The no-rescan rolling read (bottom-k of the union of stored day
+    sketches) equals kmv_distinct built FROM SCRATCH on each trailing
+    window — the KMV merge property made executable; sparse windows
+    (< k distinct) come out exact."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from flink_example_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_rolling_distinct,
+    )
+
+    rows = []
+    for d in range(12):
+        # day d carries users d*3 .. d*3+40 — windows overlap heavily
+        for u in range(d * 3, d * 3 + 41):
+            rows.append(
+                (
+                    datetime(2024, 1, 1 + d, 12, 0, tzinfo=timezone.utc)
+                    .replace(tzinfo=None),
+                    u,
+                )
+            )
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    rolling = {
+        r["day"]: (r["n_kept"], r["kth_hash"], r["est_distinct"])
+        for r in kmv_rolling_distinct(df, "ts", "user_id", k=16).collect()
+    }
+    days = sorted(rolling)
+    assert len(days) == 12
+    for day in days:
+        win = df.filter(
+            (F.col("ts") >= F.lit(day) - F.expr("interval 6 days"))
+            & (F.date_trunc("day", F.col("ts")) <= F.lit(day))
+        ).select(F.lit(0).alias("g"), F.col("user_id").cast("string").alias("u"))
+        scratch = kmv_distinct(win, "g", "u", k=16).collect()[0]
+        assert rolling[day] == (
+            scratch["n_kept"],
+            scratch["kth_hash"],
+            scratch["est_distinct"],
+        ), day
