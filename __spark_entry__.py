@@ -7974,6 +7974,12 @@ def _streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "flink_example_spark.streaming.sketch_stream",
             fromlist=["run_streaming_cm_jvm"],
         ).run_streaming_cm_jvm(spark, sf_dir, depth=3, width=8),
+        # round-14: LIVE trailing-window distinct — per-day KMV sketches
+        # as event-time window('1 day') state, rolling read at read time
+        "streaming_kmv_rolling": lambda spark, sf_dir: __import__(
+            "flink_example_spark.streaming.sketch_stream",
+            fromlist=["run_streaming_kmv_rolling"],
+        ).run_streaming_kmv_rolling(spark, sf_dir, k=16, window_days=7),
         # streaming runtime-bloom-filter: per-nation word table as a plain
         # streaming bit_or aggregate — pure JVM state, idempotent monoid
         # (no watermark), <= groups x m/62 state rows; converges to batch
@@ -8259,6 +8265,8 @@ def _all_oracles() -> dict[str, str]:
     # typed count-min: identical matrix (pure-hash coords, sum monoid)
     out["sketch_cm_jvm"] = out["streaming_cm_sketch"]
     out["streaming_cm_jvm"] = out["streaming_cm_sketch"]
+    # live rolling KMV: identical day sketches (idempotent merge)
+    out["streaming_kmv_rolling"] = out["sketch_kmv_rolling"]
     out["streaming_bloom_filter"] = out["sketch_bloom_filter"]
     out["streaming_minhash_dedup"] = out["dedup_minhash_portable"]
     out["streaming_substring_dedup"] = out["dedup_substring_spans"]

@@ -330,6 +330,7 @@ HEADLINE = [
     "sketch_kmv_jvm",
     # round 14: trailing-window distinct from stored day sketches
     "sketch_kmv_rolling",
+    "streaming_kmv_rolling",
     "sketch_quantiles_jvm",
     "streaming_kmv_jvm",
     # round-13 wave 1: the deterministic mergeable quantile histogram +

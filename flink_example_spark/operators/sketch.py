@@ -856,7 +856,15 @@ def kmv_rolling_distinct(
     ).filter(F.col("__h").isNotNull())
     src = src.repartition(spark.sparkContext.defaultParallelism)
     day_g = src.groupBy("day").agg(F.expr(f"{fn}(__h)").alias("__ks"))
-    # ---- rolling read: day-sketch relation only, no raw rescan ----
+    return kmv_rolling_read(day_g, k=k, window_days=window_days)
+
+
+def kmv_rolling_read(
+    day_g: DataFrame, k: int = 16, window_days: int = 7
+) -> DataFrame:
+    """The no-rescan rolling read over a ``(day, __ks)`` day-sketch
+    relation — shared by :func:`kmv_rolling_distinct` and the streaming
+    twin (monoid-in-state, algebra-at-read)."""
     # a day's hashes serve the windows ending on day..day+w-1; keep
     # only windows that end on an OBSERVED day (broadcast semi-join)
     serve = (

@@ -931,3 +931,62 @@ def run_streaming_dyadic_rollup(
     latest = spark.table(name)
     fresh = spark.createDataFrame(latest.rdd, latest.schema)
     return dyadic_rollup_read(fresh, k=k, pcts=(50, 90))
+
+
+def run_streaming_kmv_rolling(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 16,
+    window_days: int = 7,
+    chunks: int = 3,
+) -> DataFrame:
+    """LIVE trailing-window distinct profile: per-day KMV sketches
+    maintained as event-time ``window('1 day')`` state (T6 x sketch,
+    one O(k) ``fes.KmvBottomK`` buffer per day window — the
+    run_streaming_dyadic_daily shape), with the rolling
+    ``window_days``-day read as read-time algebra over the sink
+    (``kmv_rolling_read``). Bounded replay converges BIT-IDENTICALLY
+    to batch ``kmv_rolling_distinct`` (bottom-k union is a
+    commutative idempotent merge; ``window.start`` ==
+    ``date_trunc('day')`` under the UTC pin) and shares its oracle."""
+    import os
+    import uuid
+
+    from flink_example_spark.jvm import register_kmv_bottomk
+    from flink_example_spark.operators.sketch import kmv_rolling_read
+    from flink_example_spark.session import shuffle_partitions, tune
+    from flink_example_spark.streaming.cdc_stream import _stage_events_chunks
+
+    tune(spark)
+    fn = register_kmv_bottomk(spark, k)
+    tmpdir, schema = _stage_events_chunks(spark, sf_dir, chunks)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmpdir, "chunk_*"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "0 seconds")
+        .select(
+            "ts",
+            portable_hash32(F.col("user_id").cast("string")).alias("__h"),
+        )
+        .filter(F.col("__h").isNotNull())
+    )
+    g = (
+        stream.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.expr(f"{fn}(__h)").alias("__ks"))
+        .select(F.col("w.start").alias("day"), "__ks")
+    )
+    name = f"stream_kmv_roll_{uuid.uuid4().hex[:8]}"
+    with shuffle_partitions(spark, 8):
+        q = (
+            g.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = spark.table(name)
+    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    return kmv_rolling_read(fresh, k=k, window_days=window_days)

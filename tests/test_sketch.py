@@ -1034,3 +1034,26 @@ def test_kmv_rolling_equals_from_scratch_windows(spark):
             scratch["kth_hash"],
             scratch["est_distinct"],
         ), day
+
+
+def test_streaming_kmv_rolling_converges_to_batch(spark):
+    """The live rolling-distinct profile (per-day KMV state in event-
+    time windows, rolling read at read time) replays to the
+    bit-identical batch kmv_rolling_distinct."""
+    from flink_example_spark.operators.sketch import kmv_rolling_distinct
+    from flink_example_spark.plans.events_demo import load_events
+    from flink_example_spark.streaming.sketch_stream import (
+        run_streaming_kmv_rolling,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    live = sorted(
+        tuple(r) for r in run_streaming_kmv_rolling(spark, sf).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in kmv_rolling_distinct(
+            load_events(spark, sf), "ts", "user_id", k=16
+        ).collect()
+    )
+    assert live == batch
