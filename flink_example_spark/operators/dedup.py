@@ -22,6 +22,8 @@ no Python in the hot path.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
+
+from flink_example_spark.operators.util import spread
 from pyspark.sql import functions as F
 
 
@@ -337,7 +339,7 @@ def ngram_jaccard_pairs(
     simple; use minhash_lsh_pairs when blocks are large.
     """
     g = (
-        documents.repartition(F.col(id_col))  # parallelize the gram transform
+        spread(documents, F.col(id_col))  # parallelize the gram transform
         .select(
             F.col(id_col),
             *([F.col(block_col)] if block_col else []),
@@ -440,7 +442,7 @@ def minhash_lsh_pairs(
     # scan as ONE partition. Signatures are reused by banding and the
     # estimate prefilter → persist.
     shingle_rows = exploded_char_shingles(
-        documents.repartition(F.col(id_col)), id_col, text_col, shingle_k
+        spread(documents, F.col(id_col)), id_col, text_col, shingle_k
     )
     # Pack the signature into one array column: narrows the join plans
     # (1 column vs num_hashes) — measured ~3x faster estimate joins.
@@ -607,7 +609,7 @@ def simhash_pairs(
     """
     w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     sh = simhash64_agg(
-        documents.repartition(F.col(id_col)).select(F.col(id_col), w.alias("__tok")),
+        spread(documents, F.col(id_col)).select(F.col(id_col), w.alias("__tok")),
         id_col,
         "__tok",
         token_hash=token_hash,

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from flink_example_spark.operators.util import spread
+
 
 def _sm_div(num: str, den: int | str, div: str = "div") -> str:
     """Sign-and-magnitude integer division for a possibly-negative
@@ -1503,7 +1505,9 @@ def bootstrap_ci(
         F.col(id_col).cast("string").alias("rid"),
         F.col(value_col).cast("decimal(18,2)").alias("v"),
     )
-    rep = src.select(
+    # spread before the B-way explode + per-row md5: off a single-file
+    # scan this otherwise runs single-task (guide SS2.5; r14)
+    rep = spread(src, F.col("rid")).select(
         "grp",
         "rid",
         "v",
@@ -2735,7 +2739,8 @@ def stump_bagging(
     from flink_example_spark.operators.sketch import portable_hash32
 
     thresholds = _POISSON_THRESHOLDS
-    rep = train.select(
+    # spread before the B-way explode + per-row md5 (single-file scan rule)
+    rep = spread(train, F.col("rid")).select(
         "rid",
         "xq",
         "y",

@@ -28,6 +28,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from flink_example_spark.operators.util import spread
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -125,7 +127,7 @@ def decode_media(media: DataFrame, dim: int = 16, fake: bool = False) -> DataFra
     # stragglers don't dominate — at cluster scale this is the knob that
     # keeps 1000 executors busy. (Partitioning on media_type would cap
     # parallelism at the handful of distinct modalities.)
-    return media.repartition("media_id").mapInPandas(decode, schema=FEATURE_SCHEMA)
+    return spread(media, "media_id").mapInPandas(decode, schema=FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(
@@ -182,8 +184,7 @@ def sample_frames(media: DataFrame, n_frames: int = 4, fake: bool = False) -> Da
             )
 
     return (
-        media.filter(F.col("media_type") == "video")
-        .repartition("media_id")
+        spread(media.filter(F.col("media_type") == "video"), "media_id")
         .mapInPandas(sample, schema=FRAME_SCHEMA)
     )
 
@@ -414,8 +415,7 @@ def encode_codec_media(
     # single-file harness parquet scans as ONE partition — spread before
     # the Python-side packing so every core encodes
     return (
-        documents.select("doc_id", "text")
-        .repartition("doc_id")
+        spread(documents.select("doc_id", "text"), "doc_id")
         .mapInPandas(encode, schema=CODEC_MEDIA_SCHEMA)
     )
 
@@ -467,7 +467,7 @@ def decode_codec_media(media: DataFrame, repartition: bool = True) -> DataFrame:
     # (e.g. straight off encode_codec_media) chain both Python stages in one
     # task without re-shuffling payload bytes
     if repartition:
-        media = media.repartition("media_id")
+        media = spread(media, "media_id")
     return media.mapInPandas(decode, schema=CODEC_META_SCHEMA)
 
 
@@ -513,7 +513,7 @@ def chunk_audio(
 
     audio = media.filter(F.col("media_type") == "audio")
     if repartition:
-        audio = audio.repartition("media_id")
+        audio = spread(audio, "media_id")
     return audio.mapInPandas(chunk, schema=CHUNK_SCHEMA)
 
 
@@ -603,7 +603,7 @@ def resize_image(
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
 
     if repartition:
-        media = media.repartition("media_id")
+        media = spread(media, "media_id")
     return media.mapInPandas(resize, schema=RESIZE_SCHEMA)
 
 
@@ -649,7 +649,7 @@ def crop_image(media: DataFrame, repartition: bool = True) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
 
     if repartition:
-        media = media.repartition("media_id")
+        media = spread(media, "media_id")
     return media.mapInPandas(crop, schema=RESIZE_SCHEMA)
 
 
@@ -717,7 +717,7 @@ def image_ahash(media: DataFrame, repartition: bool = True) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA.fields])
 
     if repartition:
-        media = media.repartition("media_id")
+        media = spread(media, "media_id")
     return media.mapInPandas(ahash, schema=AHASH_SCHEMA)
 
 
@@ -818,7 +818,7 @@ def image_dhash(media: DataFrame, repartition: bool = True) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA.fields])
 
     if repartition:
-        media = media.repartition("media_id")
+        media = spread(media, "media_id")
     return media.mapInPandas(dhash, schema=AHASH_SCHEMA)
 
 
@@ -879,7 +879,7 @@ def image_grid8(media: DataFrame, repartition: bool = True) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in GRID8_SCHEMA.fields])
 
     if repartition:
-        media = media.repartition("media_id")
+        media = spread(media, "media_id")
     return media.mapInPandas(grid, schema=GRID8_SCHEMA)
 
 
@@ -1054,7 +1054,7 @@ def audio_frames8(media: DataFrame, repartition: bool = True) -> DataFrame:
             )
 
     if repartition:
-        media = media.repartition("media_id")
+        media = spread(media, "media_id")
     return media.mapInPandas(frames, schema=AUDIO_SAMPLES_SCHEMA)
 
 
@@ -1219,7 +1219,7 @@ def image_sobel(
             yield pd.DataFrame(rows, columns=[f.name for f in SOBEL_SCHEMA.fields])
 
     if repartition:
-        media = media.repartition("media_id")
+        media = spread(media, "media_id")
     return media.mapInPandas(sobel, schema=SOBEL_SCHEMA)
 
 
@@ -1354,7 +1354,7 @@ def audio_silence(
             )
 
     if repartition:
-        media = media.repartition("media_id")
+        media = spread(media, "media_id")
     return media.mapInPandas(score, schema=SILENCE_SCHEMA)
 
 
@@ -1475,7 +1475,7 @@ def hist_equalize(media: DataFrame, repartition: bool = True) -> DataFrame:
             )
 
     if repartition:
-        media = media.repartition("media_id")
+        media = spread(media, "media_id")
     return media.mapInPandas(eq, schema=EQUALIZE_SCHEMA)
 
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_example_spark.operators.util import spread
+
 # Tiny function-word lists for the lang-id heuristic. The heuristic is the
 # operator; the lists are deliberately small and fixed so Spark and the SQL
 # oracle share one definition.
@@ -933,8 +935,12 @@ def winnowing_fingerprints(
     from flink_example_spark.operators.sketch import portable_hash32
 
     norm = normalized(F.col(text_col))
+    # spread before the per-char gram hashing: a single-file corpus scans
+    # as ONE partition and the md5-per-position work would run single-task
+    # (guide SS2.5 input skew; r14 probe). Keyed by id at defaultParallelism
+    # so the window's hashpartitioning(id) is already satisfied.
     grams = (
-        documents.select(F.col(id_col).alias("id"), norm.alias("nt"))
+        spread(documents, F.col(id_col)).select(F.col(id_col).alias("id"), norm.alias("nt"))
         .filter(F.length("nt") >= k + w - 1)
         .select(
             "id",
@@ -1170,8 +1176,12 @@ def winnowing_containment(
     from flink_example_spark.operators.sketch import portable_hash32
 
     norm = normalized(F.col(text_col))
+    # spread before the per-char gram hashing: a single-file corpus scans
+    # as ONE partition and the md5-per-position work would run single-task
+    # (guide SS2.5 input skew; r14 probe). Keyed by id at defaultParallelism
+    # so the window's hashpartitioning(id) is already satisfied.
     grams = (
-        documents.select(F.col(id_col).alias("id"), norm.alias("nt"))
+        spread(documents, F.col(id_col)).select(F.col(id_col).alias("id"), norm.alias("nt"))
         .filter(F.length("nt") >= k + w - 1)
         .select(
             "id",
