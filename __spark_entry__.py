@@ -7372,12 +7372,14 @@ def _bloom_sizing_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cut it once instead of re-running the double broadcast join per
     # consumer (multi-consumer recompute rule; measured 7.0 -> ~4.5s
     # warm at sf0.1). Relation identical, hash unchanged.
-    shipped = (
+    from flink_example_spark.operators.util import spread
+
+    shipped = spread(
         li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
-        .select(F.col("n_name"), F.col("l_partkey"))
-        .localCheckpoint()
-    )
+        .select(F.col("n_name"), F.col("l_partkey")),
+        "l_partkey",
+    ).localCheckpoint()
     probes = part.select(F.col("p_partkey").alias("l_partkey"))
     n_probes = probes.distinct().count()  # once, not per size
     out = None

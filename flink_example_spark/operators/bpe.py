@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from flink_example_spark.operators.util import local_df
+
 from flink_example_spark.operators.text import normalized, tokens
 
 
@@ -130,9 +132,7 @@ def bpe_train(
         nxt = seqs.select(_merge_expr(a, b).alias("s"), "freq").persist()
         prev, seqs = seqs, nxt
     seqs.unpersist()
-    return spark.createDataFrame(
-        merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
-    )
+    return local_df(spark, merges, "merge_rank int, lhs string, rhs string, pair_count bigint")
 
 
 def bpe_tokenize(

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flink_example_spark.operators.util import local_df, spread
+
 from flink_example_spark.operators.text import (
     STOPWORDS,
     alpha_ratio,
@@ -1701,10 +1703,13 @@ def greedy_coverage(
     selection, never corpus-sized) and broadcasts into the anti-join.
     """
     spark = documents.sparkSession
+    # spread both the gram transform (single-file scan rule) and the
+    # cached relation every round re-scans (r14: build 2.4s -> 1.0s,
+    # per-round collect 0.9s -> 0.6s)
     grams = (
-        exploded_word_ngrams(documents, id_col, text_col, n)
+        spread(exploded_word_ngrams(spread(documents, F.col(id_col)), id_col, text_col, n)
         .select(F.col(id_col).alias("d"), F.col("__g").alias("g"))
-        .distinct()
+        .distinct(), "d")
         .persist()
     )
     grams.count()
@@ -1717,9 +1722,7 @@ def greedy_coverage(
         while len(rows) < k:
             n_dist_rounds += 1
             if covered_set:
-                cov_df = spark.createDataFrame(
-                    [(g,) for g in sorted(covered_set)], "g string"
-                )
+                cov_df = local_df(spark, [(g,) for g in sorted(covered_set)], "g string")
                 cand = grams.join(F.broadcast(cov_df), "g", "left_anti")
             else:
                 cand = grams
@@ -1773,9 +1776,7 @@ def greedy_coverage(
     # global function attribute — it raced under concurrent callers).
     if stats is not None:
         stats["distributed_rounds"] = n_dist_rounds
-    return spark.createDataFrame(
-        rows, "round long, doc_id long, gain long, covered_total long"
-    )
+    return local_df(spark, rows, "round long, doc_id long, gain long, covered_total long")
 
 
 def greedy_coverage_oracle(k: int = 6, n: int = 3) -> str:

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 
-from flink_example_spark.operators.util import spread
+from flink_example_spark.operators.util import local_df, spread
 from pyspark.sql import functions as F
 
 
@@ -144,6 +144,18 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint(eager=True)  # auto-freed on GC (no persist leak)
     )
+    # Scale-adaptive crossover (r14, guide SS1.2 "choose the algorithm"):
+    # a driver-sized edge set pays ~6 jobs/round x O(log^2) rounds of star
+    # contraction for milliseconds of union-find (entity rows: 51 stages,
+    # ~5s wall at sf0.1 for a few hundred edges). Below the bound the
+    # driver union-find returns BIT-identical min-id components (pinned:
+    # tests/test_northstar.py::test_duplicate_clusters_local_gate); above
+    # it the distributed path runs untouched — nothing edge-sized ever
+    # reaches the driver at scale. The count is free (e is materialized).
+    import os as _os
+
+    if e.count() <= int(_os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX", "100000")):
+        return _clusters_local(pairs, id_col)
     prev = checksum(e)
     converged = False
     for _ in range(max_iter):
@@ -203,7 +215,7 @@ def _clusters_local(pairs: DataFrame, id_col: str) -> DataFrame:
 
     id_type = pairs.schema["doc_a"].dataType  # works for any id type
     schema = StructType([StructField(id_col, id_type), StructField("cluster_id", id_type)])
-    return spark.createDataFrame([(m, find(m)) for m in members], schema)
+    return local_df(spark, [(m, find(m)) for m in members], schema)
 
 
 def exact_dedup(documents: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -22,6 +22,8 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from flink_example_spark.operators.util import local_df
+
 
 def zorder_index(cols: list[Column], bits: int = 10) -> Column:
     """Morton (Z-order) interleave of non-negative integer columns, LSB
@@ -698,10 +700,7 @@ def _pruning_from_stats(spark, stats, names, preds) -> DataFrame:
     relation ``(bucket, n, <name>_min, <name>_max ...)`` — shared by the
     Morton and Hilbert layouts (identical arithmetic; the zorder row's
     hash is unchanged by this factor)."""
-    pred_df = spark.createDataFrame(
-        [(q, d, int(lo), int(hi)) for q, d, lo, hi in preds],
-        "query string, dim string, lo long, hi long",
-    )
+    pred_df = local_df(spark, [(q, d, int(lo), int(hi)) for q, d, lo, hi in preds], "query string, dim string, lo long, hi long")
     dim_min = F.when(F.lit(False), F.lit(None))
     for k in names:
         dim_min = F.when(F.col("dim") == k, F.col(f"{k}_min")).otherwise(dim_min)

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from flink_example_spark.operators.util import spread
+from flink_example_spark.operators.util import local_df, spread
 
 
 def _sm_div(num: str, den: int | str, div: str = "div") -> str:
@@ -301,11 +301,16 @@ def user_knn(
     prof = events.groupBy(
         F.col(key_col).alias("u"), F.col(dim_col).alias("d")
     ).agg(F.count(F.lit(1)).alias("n"))
-    prof = prof.localCheckpoint()  # feeds norms AND both join sides
+    # spread before the cut: the profile inherits ONE AQE-coalesced
+    # partition and the quadratic pair enumeration ran single-task
+    # (r14 stage probe: 6.7s/1 task). Broadcasting the build side keeps
+    # the 5-distinct-value dimension key from hash-partitioning the
+    # probe side onto <=5 tasks (guide SS3.1: inherent key skew).
+    prof = spread(prof, "u").localCheckpoint()  # feeds norms AND both join sides
     ss = prof.groupBy("u").agg(F.sum(F.col("n") * F.col("n")).alias("ss"))
     a, b = prof.alias("a"), prof.alias("b")
     dots = (
-        a.join(b, (F.col("a.d") == F.col("b.d")) & (F.col("a.u") != F.col("b.u")))
+        a.join(F.broadcast(b), (F.col("a.d") == F.col("b.d")) & (F.col("a.u") != F.col("b.u")))
         .groupBy(F.col("a.u").alias("user_a"), F.col("b.u").alias("user_b"))
         .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("dot"))
     )
@@ -3648,9 +3653,7 @@ def ipw_ate(
             ("__n_clipped", int(agg["nclip"] or 0)),
         ]
     )
-    return units.sparkSession.createDataFrame(
-        rows, "feature string, value long"
-    )
+    return local_df(units.sparkSession, rows, "feature string, value long")
 
 
 def aipw_ate(
@@ -3796,9 +3799,7 @@ def aipw_ate(
             ("__n_fallback_units", int(agg["nfb"] or 0)),
         ]
     )
-    return units.sparkSession.createDataFrame(
-        rows, "feature string, value long"
-    )
+    return local_df(units.sparkSession, rows, "feature string, value long")
 
 
 def overlap_report(
@@ -4246,9 +4247,7 @@ def learning_curve(
             F.sum(F.col("x") * F.col("y")).alias("sxy"),
         )
     )
-    cuts_df = per_b.sparkSession.createDataFrame(
-        [(c,) for c in cuts], "cut long"
-    )
+    cuts_df = local_df(per_b.sparkSession, [(c,) for c in cuts], "cut long")
     fits = (
         per_b.join(F.broadcast(cuts_df), F.col("bkt") <= F.col("cut"))
         .groupBy("cut")
@@ -6197,7 +6196,7 @@ def logistic_fit(
         [(nm, int(wi)) for nm, wi in zip(names, w)]
         + [("__n", int(n)), ("__n_correct", int(correct))]
     )
-    return df.sparkSession.createDataFrame(rows, "feature string, w_micro long")
+    return local_df(df.sparkSession, rows, "feature string, w_micro long")
 
 
 def _descent_parts(
@@ -6402,7 +6401,7 @@ def quantile_fit(
         [(nm, int(wi)) for nm, wi in zip(names, w)]
         + [("__n", int(n)), ("__n_below", int(below))]
     )
-    return df.sparkSession.createDataFrame(rows, "feature string, w_micro long")
+    return local_df(df.sparkSession, rows, "feature string, w_micro long")
 
 
 def quantile_fit_oracle(
@@ -6521,7 +6520,7 @@ def huber_fit(
         [(nm, int(wi)) for nm, wi in zip(names, w)]
         + [("__n", int(n)), ("__n_clipped", int(clipped))]
     )
-    return df.sparkSession.createDataFrame(rows, "feature string, w_micro long")
+    return local_df(df.sparkSession, rows, "feature string, w_micro long")
 
 
 def huber_fit_oracle(
@@ -6646,7 +6645,7 @@ def poisson_fit(
         [(nm, int(wi)) for nm, wi in zip(names, w)]
         + [("__n", int(n)), ("__sum_y", int(sum_y))]
     )
-    return df.sparkSession.createDataFrame(rows, "feature string, w_micro long")
+    return local_df(df.sparkSession, rows, "feature string, w_micro long")
 
 
 def poisson_fit_oracle(
@@ -7949,7 +7948,7 @@ def data_shapley(
     # subset membership (2^k x k indicator rows, driver-embedded —
     # k-bounded, never data-sized)
     spark = df.sparkSession
-    member = spark.createDataFrame(
+    member = local_df(spark, 
         [
             (sid, s)
             for sid in range(1 << k)

@@ -29,7 +29,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_example_spark.operators.util import spread
+from flink_example_spark.operators.util import local_df, spread
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -908,10 +908,8 @@ def image_phash(media: DataFrame, repartition: bool = True) -> DataFrame:
     spark = media.sparkSession
     grid = image_grid8(media, repartition=repartition)
     k = _phash_k()
-    ku = spark.createDataFrame(k, "u int, gx int, ku long")
-    kv = spark.createDataFrame(
-        [(v, y, c) for (v, y, c) in k], "v int, gy int, kv long"
-    )
+    ku = local_df(spark, k, "u int, gx int, ku long")
+    kv = local_df(spark, [(v, y, c) for (v, y, c) in k], "v int, gy int, kv long")
     coef = (
         grid.join(F.broadcast(ku), "gx")
         .join(F.broadcast(kv), "gy")
@@ -1074,7 +1072,7 @@ def audio_dct_bands(media: DataFrame, repartition: bool = True) -> DataFrame:
     """
     spark = media.sparkSession
     fr = audio_frames8(media, repartition=repartition)
-    kb = spark.createDataFrame(_phash_k(), "u int, pos int, k long")
+    kb = local_df(spark, _phash_k(), "u int, pos int, k long")
     coef = (
         fr.join(F.broadcast(kb), "pos")
         .groupBy("media_id", "sample_rate", "n_mono", "f", "u")

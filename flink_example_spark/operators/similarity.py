@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_example_spark.operators.util import local_df
+
 
 def as_double_vec(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -1291,9 +1293,7 @@ def pca_power(
     if solver == "driver":
         cm = _collect_cells(cells)
         rows = _power_top_rows(cm, dim, n_iter)
-        return spark.createDataFrame(
-            rows, "i long, loading double, eigenvalue double"
-        )
+        return local_df(spark, rows, "i long, loading double, eigenvalue double")
     return _power_top(spark, cells, dim, n_iter).select("i", "loading", "eigenvalue")
 
 
@@ -1396,7 +1396,7 @@ def _power_top(spark, cells: DataFrame, dim: int, n_iter: int) -> DataFrame:
     ``(i, loading, eigenvalue)`` — loading unit-normalized. Shared by the
     single-component and deflation paths (identical arithmetic)."""
     q12 = lambda col: F.floor(col * F.lit(1e12) + F.lit(0.5)).cast("bigint")  # noqa: E731
-    v = spark.createDataFrame([(i, 1.0) for i in range(dim)], "vi long, v double")
+    v = local_df(spark, [(i, 1.0) for i in range(dim)], "vi long, v double")
     for _ in range(n_iter):
         w = (
             cells.join(v.select(F.col("vi").alias("cj"), "v"), "cj")
@@ -1483,10 +1483,7 @@ def pca_components(
                         for (ci, cj), c in cm.items()
                         if ci in u and cj in u
                     }
-        return spark.createDataFrame(
-            out_rows,
-            "component long, i long, loading double, eigenvalue double",
-        )
+        return local_df(spark, out_rows, "component long, i long, loading double, eigenvalue double")
     outs = []
     for comp in range(n_components):
         top = _power_top(spark, cells, dim, n_iter).localCheckpoint()

@@ -30,6 +30,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_example_spark.operators.util import local_df, spread
+
 HASH_SPACE = 4294967296.0  # 2^32: first 8 md5 hex digits as uniform points
 
 
@@ -1339,9 +1341,14 @@ def bloom_probe_summary(
     input before the real equi-join runs.
     """
     gcols = list(group_cols)
+    # spread after the distinct: AQE coalesces the small distinct output
+    # to ONE partition and the k-way md5 explode would run single-task
+    # (r14 stage probe: 1.8s single-task stage at sf0.1)
     probe_bits = (
-        probes.select(F.col(value_col).cast("string").alias("v"))
-        .distinct()
+        spread(
+            probes.select(F.col(value_col).cast("string").alias("v")).distinct(),
+            "v",
+        )
         .select(
             "v",
             F.explode(_bloom_coords(F.col("v"), m_bits, k)).alias("__c"),
@@ -1396,11 +1403,15 @@ def bloom_partkey_filter(
     table — per nation, how many parts the filter would let through vs the
     exact membership (false positives = wasted probe-side rows a runtime
     filter would fail to prune)."""
-    shipped = (
+    # spread + cut: the joined relation otherwise inherits the 3-partition
+    # lineitem scan (k-way md5 explode at 3 tasks, r14 stage probe) and is
+    # re-computed by both consumers (bloom build + exact membership)
+    shipped = spread(
         lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
-        .select(F.col("n_name"), F.col("l_partkey"))
-    )
+        .select(F.col("n_name"), F.col("l_partkey")),
+        "l_partkey",
+    ).localCheckpoint()
     bloom = bloom_words(shipped, ["n_name"], "l_partkey", m_bits, k)
     probes = part.select(F.col("p_partkey").alias("l_partkey"))
     return bloom_probe_summary(
@@ -1489,10 +1500,7 @@ def exact_order_stats(
     )
     ranked = dist_row_number(rows, ["v", "id"], "rn")
     n = rows.count()
-    targets = spark.createDataFrame(
-        [(int(p), (int(p) * n + 99) // 100) for p in pcts],
-        "pct long, target_rank long",
-    )
+    targets = local_df(spark, [(int(p), (int(p) * n + 99) // 100) for p in pcts], "pct long, target_rank long")
     return (
         ranked.join(
             F.broadcast(targets), F.col("rn") == F.col("target_rank")
@@ -1543,10 +1551,7 @@ def exact_order_stats_from_counts(
     cum = dist_cumsum(counts, ["v"], {"cum": "c"})
     n_df = cum.agg(F.sum("c").cast("long").alias("n"))
     n = n_df.first()["n"]
-    targets = spark.createDataFrame(
-        [(int(p), (int(p) * int(n) + 99) // 100) for p in pcts],
-        "pct long, target_rank long",
-    )
+    targets = local_df(spark, [(int(p), (int(p) * int(n) + 99) // 100) for p in pcts], "pct long, target_rank long")
     return cum.join(
         F.broadcast(targets),
         (F.col("target_rank") <= F.col("cum"))
@@ -1625,10 +1630,7 @@ def mp_quantile_sketch(
     )
     m = ranked.count()
     weight = 1 << (rounds_local + rounds_merge)
-    targets = spark.createDataFrame(
-        [(int(p), max(1, (int(p) * int(m) + 99) // 100)) for p in pcts],
-        "pct long, target_rank long",
-    )
+    targets = local_df(spark, [(int(p), max(1, (int(p) * int(m) + 99) // 100)) for p in pcts], "pct long, target_rank long")
     return (
         ranked.join(F.broadcast(targets), F.col("rn") == F.col("target_rank"))
         .crossJoin(F.broadcast(n_total_df))
@@ -1737,9 +1739,7 @@ def grouped_order_stats(
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
-    pcts_df = spark.createDataFrame(
-        [(int(p),) for p in pcts], "pct long"
-    )
+    pcts_df = local_df(spark, [(int(p),) for p in pcts], "pct long")
     return (
         ranked.crossJoin(F.broadcast(pcts_df))
         .filter(F.col("rn") == F.expr("(pct * n + 99) div 100"))

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_example_spark.operators.util import local_df
+
 
 def _obs(df: DataFrame, key_col: str, ts_col: str, value_col: str) -> DataFrame:
     """One observation per (key, micros): MAX(value) — comparison-only, so
@@ -2313,8 +2315,54 @@ def holt_forecast(
     equi-join on the rn-indexed relation; keys advance in parallel
     within each step.
     """
-    import uuid
+    series = _holt_series(df, key_col, ts_col, value_col)
+    # DRIVER-SIDE recurrence (round-12 device: model-sized iterative
+    # solves move to the driver BIT-EQUAL when every op is exact integer
+    # arithmetic). The daily series is keys x calendar-days — bounded by
+    # the key vocabulary and the time span, never by row count — and the
+    # recursive-CTE form ran one Spark join JOB per day (158 stages,
+    # 11.5s wall at sf0.1; r14 stage probe) for work that is microseconds
+    # of pure-BIGINT math. _tdiv reproduces the SQL trunc-division token
+    # (Spark `div` / pinned-DuckDB integer `//`) exactly; equality with
+    # the in-engine recursive CTE is pinned executable in
+    # tests/test_timeseries.py::test_holt_driver_matches_recursive_cte.
+    rows = series.collect()
+    state: dict = {}
+    for r in sorted(rows, key=lambda r: (r["key"], r["rn"])):
+        k, vq = r["key"], int(r["vq"])
+        if r["rn"] == 1:
+            state[k] = [1, vq * 1_000_000, 0]
+        else:
+            n, l, b = state[k]
+            lnew = _tdiv(vq * 1_000_000 + 3 * (l + b), 4)
+            state[k] = [n + 1, lnew, _tdiv(lnew - l + 3 * b, 4)]
+    out = [
+        (k, n, _tdiv(l, 1_000_000), _tdiv(b, 1_000_000), _tdiv(l + b, 1_000_000))
+        for k, (n, l, b) in state.items()
+    ]
+    from flink_example_spark.operators.util import local_df
 
+    return local_df(
+        df.sparkSession,
+        out,
+        "key string, n_days long, level_centi long, trend_centi long, "
+        "forecast_centi long",
+    )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — the semantics of both
+    engines' SQL tokens (Spark ``div``, pinned-DuckDB integer ``//``);
+    Python ``//`` FLOORS, so negative numerators need the sign-magnitude
+    form (the round-8 rule, driver-side edition)."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def _holt_series(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """The rn-indexed daily series the Holt recurrence folds over (shared
+    by the driver path and the in-engine recursive-CTE parity test)."""
     day_us = 86_400_000_000
     daily = (
         df.filter(F.col(value_col).isNotNull())
@@ -2329,9 +2377,22 @@ def holt_forecast(
         .agg(F.sum("vq").alias("vq"))
     )
     w = Window.partitionBy("key").orderBy("day")
-    series = daily.withColumn("rn", F.row_number().over(w)).select(
+    return daily.withColumn("rn", F.row_number().over(w)).select(
         "key", "rn", "vq"
     )
+
+
+def holt_forecast_recursive(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """The original in-engine recursive-CTE Holt (one join job per day) —
+    kept as the executable parity witness for the driver-side port."""
+    import uuid
+
+    series = _holt_series(df, key_col, ts_col, value_col)
     name = f"holt_series_{uuid.uuid4().hex[:8]}"
     # the recursion scans the series once per step — checkpoint the build
     series.localCheckpoint().createOrReplaceTempView(name)
@@ -2641,9 +2702,7 @@ def spectral_peak(
         .withColumn("mu", F.expr("sum(vq) over (partition by key) div " + str(n_points)))
         .withColumn("cv", F.col("vq") - F.col("mu"))
     )
-    basis = df.sparkSession.createDataFrame(
-        _dct_basis(n_points, n_freqs), "u int, i int, k long"
-    )
+    basis = local_df(df.sparkSession, _dct_basis(n_points, n_freqs), "u int, i int, k long")
     coefs = (
         centered.join(F.broadcast(basis), "i")
         .groupBy("key", "u")
@@ -3442,32 +3501,31 @@ def cox_fit(
         F.col(event_col).cast("long").alias("d"),
         F.col(x_col).cast("long").alias("x"),
     ).localCheckpoint()
-    # the step loop re-reads this tiny relation — cut once
-    risk = _cox_risk(u).localCheckpoint()
     tot = u.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("d").alias("ev"),
         F.sum("x").alias("tr"),
     ).first()
     n_ev = int(tot["ev"] or 0)
+    # ONE driver read of the calendar-bounded at-risk relation; the
+    # n_steps score sums run in exact Python BIGINT arithmetic — the
+    # identical expression the in-engine aggregate evaluated (see
+    # _cox_risk_rows; the DuckDB twin is unchanged and re-proves every
+    # cell through the oracle hash)
+    rrows = [
+        (int(r["d1"]), int(r["d0"]), int(r["n1"]), int(r["n0"]))
+        for r in _cox_risk(u).collect()
+    ]
     beta = 0
     for _ in range(n_steps):
-        # beta is parameter-sized and driver-known each step, so its exp
-        # lookup happens in Python with the SAME clamp-shift bucket
-        # arithmetic (_exp_val) and lands in the plan as a literal — the
-        # DuckDB twin evaluates the identical expression over its weight
-        # CTE and hits the same table cell
-        ratio = F.expr(
-            f"(n1 * {_exp_val(beta)} * 1000000)"
-            f" div (n0 * 1000000 + n1 * {_exp_val(beta)})"
+        # beta is parameter-sized and driver-known each step — same
+        # clamp-shift table lookup (_exp_val) as the plan literal had
+        ev = _exp_val(beta)
+        g = sum(
+            d1 * 1_000_000
+            - (d1 + d0) * ((n1 * ev * 1_000_000) // (n0 * 1_000_000 + n1 * ev))
+            for d1, d0, n1, n0 in rrows
         )
-        g = risk.agg(
-            F.sum(
-                F.col("d1") * F.lit(1_000_000)
-                - (F.col("d1") + F.col("d0")) * ratio
-            ).alias("g")
-        ).first()["g"]
-        g = int(g or 0)
         beta = beta + (1 if g >= 0 else -1) * (abs(g) // (scale_den * max(n_ev, 1)))
     rows = [
         ("beta", int(beta)),
@@ -3476,7 +3534,7 @@ def cox_fit(
         ("__n_events", n_ev),
         ("__n_treated", int(tot["tr"] or 0)),
     ]
-    return units.sparkSession.createDataFrame(rows, "feature string, w_micro long")
+    return local_df(units.sparkSession, rows, "feature string, w_micro long")
 
 
 def _cox_risk(u: DataFrame) -> DataFrame:
@@ -3682,7 +3740,6 @@ def cox_fit_multi(
         F.col(event_col).cast("long").alias("d"),
         s_expr.alias("s"),
     ).localCheckpoint()
-    risk = _cox_multi_risk(u, ns).localCheckpoint()
     meta = u.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("d").alias("ev"),
@@ -3694,28 +3751,21 @@ def cox_fit_multi(
         ],
     ).first()
     n_ev = int(meta["ev"] or 0)
+    # ONE driver read + Python BIGINT score sums per step (bit-equal to
+    # the in-engine aggregates — _cox_risk_rows)
+    rrows = _cox_risk_rows(_cox_multi_risk(u, ns), ns)
+    bitvals = [
+        [1 if sv & (1 << j) else 0 for sv in range(ns)] for j in range(p)
+    ]
     betas = [0] * p
     for _ in range(n_steps):
         ev_s = [
             _exp_val(sum(betas[j] for j in range(p) if sv & (1 << j)))
             for sv in range(ns)
         ]
-        den = " + ".join(f"n{sv} * {ev_s[sv]}" for sv in range(ns))
-        aggs = []
+        gs = [_cox_score(rrows, ns, ev_s, bitvals[j]) for j in range(p)]
         for j in range(p):
-            bit = [sv for sv in range(ns) if sv & (1 << j)]
-            num = " + ".join(f"n{sv} * {ev_s[sv]}" for sv in bit)
-            dx = " + ".join(f"de{sv}" for sv in bit)
-            ratio = f"(({num}) * 1000000) div ({den})"
-            dd = " + ".join(f"de{sv}" for sv in range(ns))
-            aggs.append(
-                F.expr(
-                    f"sum(({dx}) * 1000000 - ({dd}) * ({ratio}))"
-                ).alias(f"g{j}")
-            )
-        g = risk.agg(*aggs).first()
-        for j in range(p):
-            gj = int(g[f"g{j}"] or 0)
+            gj = gs[j]
             betas[j] = betas[j] + (1 if gj >= 0 else -1) * (
                 abs(gj) // (scale_den * max(n_ev, 1))
             )
@@ -3727,9 +3777,39 @@ def cox_fit_multi(
     rows.append(("__n_events", n_ev))
     for j, name in enumerate(x_cols):
         rows.append((f"__n_treated_{name}", int(meta[f"tr{j}"] or 0)))
-    return units.sparkSession.createDataFrame(
-        rows, "feature string, w_micro long"
-    )
+    return local_df(units.sparkSession, rows, "feature string, w_micro long")
+
+
+def _cox_risk_rows(risk: DataFrame, ns: int) -> list:
+    """ONE driver read of the bounded at-risk relation (a row per distinct
+    EVENT time, 2*ns BIGINT count columns). The n_steps score passes are
+    exact integer sums over these rows, so evaluating them in Python is
+    BIT-equal to the in-engine aggregate (round-12 driver-solve device:
+    order-independent integer sums + trunc divisions of non-negative
+    operands) — n_steps single-row Spark jobs become zero. Bounded by the
+    duration granularity (calendar-sized), never by unit count."""
+    return [
+        (
+            tuple(int(r[f"de{sv}"]) for sv in range(ns)),
+            tuple(int(r[f"n{sv}"]) for sv in range(ns)),
+        )
+        for r in risk.collect()
+    ]
+
+
+def _cox_score(rows: list, ns: int, ev_s: list, vals: list) -> int:
+    """Driver evaluation of one coefficient's Breslow score sum — the
+    exact integer arithmetic of the in-engine form: per event time,
+    ``dx*1e6 - D * ((num*1e6) div den)`` with num/den non-negative (so
+    Python ``//`` == SQL ``div``)."""
+    g = 0
+    for de, nn in rows:
+        den = sum(nn[sv] * ev_s[sv] for sv in range(ns))
+        dd = sum(de)
+        num = sum(nn[sv] * vals[sv] * ev_s[sv] for sv in range(ns))
+        dx = sum(de[sv] * vals[sv] for sv in range(ns))
+        g += dx * 1_000_000 - dd * ((num * 1_000_000) // den)
+    return g
 
 
 def _cox_multi_risk(u: DataFrame, ns: int) -> DataFrame:
@@ -3953,7 +4033,6 @@ def cox_fit_banded(
         F.col(event_col).cast("long").alias("d"),
         band.alias("s"),
     ).localCheckpoint()
-    risk = _cox_multi_risk(u, n_bands).localCheckpoint()
     meta = u.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("d").alias("ev"),
@@ -3963,22 +4042,15 @@ def cox_fit_banded(
         ],
     ).first()
     n_ev = int(meta["ev"] or 0)
+    # ONE driver read + Python BIGINT score sums (see _cox_risk_rows)
+    rrows = _cox_risk_rows(_cox_multi_risk(u, n_bands), n_bands)
+    bvals = list(range(n_bands))
     beta = 0
     for _ in range(n_steps):
         ev_b = [
             _exp_val((beta * b)) for b in range(n_bands)
         ]
-        den = " + ".join(f"n{b} * {ev_b[b]}" for b in range(n_bands))
-        num = " + ".join(f"n{b} * {b} * {ev_b[b]}" for b in range(n_bands))
-        dx = " + ".join(f"de{b} * {b}" for b in range(1, n_bands))
-        dd = " + ".join(f"de{b}" for b in range(n_bands))
-        g = risk.agg(
-            F.expr(
-                f"sum(({dx}) * 1000000 - ({dd}) *"
-                f" ((({num}) * 1000000) div ({den})))"
-            ).alias("g")
-        ).first()["g"]
-        g = int(g or 0)
+        g = _cox_score(rrows, n_bands, ev_b, bvals)
         beta = beta + (1 if g >= 0 else -1) * (
             abs(g) // (scale_den * max(n_ev, 1))
         )
@@ -3989,9 +4061,7 @@ def cox_fit_banded(
     rows.append(("__n_events", n_ev))
     for b in range(n_bands):
         rows.append((f"__n_band_{b}", int(meta[f"nb{b}"] or 0)))
-    return units.sparkSession.createDataFrame(
-        rows, "feature string, w_micro long"
-    )
+    return local_df(units.sparkSession, rows, "feature string, w_micro long")
 
 
 def cox_fit_banded_oracle(
@@ -4142,12 +4212,12 @@ def cox_fit_banded_adj(
         F.col(event_col).cast("long").alias("d"),
         s_expr.alias("s"),
     ).localCheckpoint()
-    risk = _cox_multi_risk(u, ns).localCheckpoint()
-
     # covariate value vectors over strata: dose band + each confounder bit
     vals = [[sv % n_bands for sv in range(ns)]] + [
         [((sv // n_bands) >> j) & 1 for sv in range(ns)] for j in range(q)
     ]
+    # ONE driver read + Python BIGINT score sums (see _cox_risk_rows)
+    rrows = _cox_risk_rows(_cox_multi_risk(u, ns), ns)
     meta = u.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("d").alias("ev"),
@@ -4171,25 +4241,12 @@ def cox_fit_banded_adj(
             _exp_val(sum(betas[i] * vals[i][sv] for i in range(1 + q)))
             for sv in range(ns)
         ]
-        den = " + ".join(f"n{sv} * {ev_s[sv]}" for sv in range(ns))
-        dd = " + ".join(f"de{sv}" for sv in range(ns))
-        aggs = []
         for i in range(1 + q):
-            pos = [sv for sv in range(ns) if vals[i][sv]]
-            num = " + ".join(f"n{sv} * {vals[i][sv]} * {ev_s[sv]}" for sv in pos)
-            dx = " + ".join(f"de{sv} * {vals[i][sv]}" for sv in pos)
-            if not pos:
-                aggs.append(F.expr("CAST(0 AS BIGINT)").alias(f"g{i}"))
-                continue
-            aggs.append(
-                F.expr(
-                    f"sum(({dx}) * 1000000 - ({dd}) *"
-                    f" ((({num}) * 1000000) div ({den})))"
-                ).alias(f"g{i}")
+            gi = (
+                _cox_score(rrows, ns, ev_s, vals[i])
+                if any(vals[i])
+                else 0
             )
-        g = risk.agg(*aggs).first()
-        for i in range(1 + q):
-            gi = int(g[f"g{i}"] or 0)
             betas[i] = betas[i] + (1 if gi >= 0 else -1) * (
                 abs(gi) // (dens[i] * max(n_ev, 1))
             )
@@ -4204,9 +4261,7 @@ def cox_fit_banded_adj(
         rows.append((f"__n_band_{b}", int(meta[f"nb{b}"] or 0)))
     for j, name in enumerate(z_cols):
         rows.append((f"__n_treated_{name}", int(meta[f"tz{j}"] or 0)))
-    return units.sparkSession.createDataFrame(
-        rows, "feature string, w_micro long"
-    )
+    return local_df(units.sparkSession, rows, "feature string, w_micro long")
 
 
 def cox_fit_banded_adj_oracle(

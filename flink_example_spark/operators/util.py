@@ -21,3 +21,26 @@ def spread(df: DataFrame, *cols: Column | str) -> DataFrame:
     """
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
+def local_df(spark, rows, schema):
+    """Driver-held model-sized rows as an Arrow LocalTableScan instead of a
+    32-task pickled-RDD scan.
+
+    ``createDataFrame(list, schema)`` parallelizes even a 5-row literal
+    across ``defaultParallelism`` Python-runner tasks, and EVERY downstream
+    consumer re-runs that scan (measured r14: ~0.7s per noop-save warm vs
+    ~0.17s via Arrow; a 53s-CPU stage on ml_poisson_fit's 5-row output).
+    Routing through a dtype=object pandas frame keeps values exact (no
+    float roundtrip for >2^53 ints, None survives — probe-verified) and
+    plans as LocalTableScan. Falls back to the plain form for empty input.
+    """
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    st = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
+    pdf = pd.DataFrame(rows, columns=st.fieldNames(), dtype=object)
+    return spark.createDataFrame(pdf, st)

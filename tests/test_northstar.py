@@ -260,11 +260,15 @@ def test_duplicate_clusters_long_chain(spark):
         return rows
 
     DataFrame.collect = spy
+    import os
+
+    os.environ["SPARK_GRAFT_CC_LOCAL_MAX"] = "0"  # force the scale path
     try:
         out = dedup.duplicate_clusters(pairs, max_iter=10)  # default method
         rows = orig_collect(out)
     finally:
         DataFrame.collect = orig_collect
+        del os.environ["SPARK_GRAFT_CC_LOCAL_MAX"]
     labels = {r["doc_id"]: r["cluster_id"] for r in rows}
     assert labels == {**{i: 0 for i in range(n + 1)}, 100: 100, 101: 100}
     # driver saw only scalar checksums (DataFrame.first goes through limit(1)
@@ -1133,3 +1137,27 @@ def test_hist_equalize_constant_image_all_zero(spark):
     )
     r = hist_equalize(media).collect()[0]
     assert r["distinct_in"] == 1 and r["out_sum"] == 0 and r["out_max"] == 0
+
+
+def test_duplicate_clusters_local_gate(spark):
+    """r14 crossover: below SPARK_GRAFT_CC_LOCAL_MAX the default path takes
+    the driver union-find; labels must be BIT-identical to the distributed
+    star contraction on the same edges."""
+    import os
+
+    chain = [(i, i + 1, 1.0) for i in range(40)] + [(90, 91, 1.0), (91, 7, 1.0)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long, jaccard double")
+    local = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()  # gate: local
+    }
+    os.environ["SPARK_GRAFT_CC_LOCAL_MAX"] = "0"
+    try:
+        dist = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(pairs).collect()
+        }
+    finally:
+        del os.environ["SPARK_GRAFT_CC_LOCAL_MAX"]
+    assert local == dist
+    assert local[91] == 0  # 90-91-7 bridges into the chain component

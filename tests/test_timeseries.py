@@ -1133,3 +1133,33 @@ def test_rmst_by_arm_planted_contrast(spark):
         key=lambda t: (t[0] is None, t),
     )
     assert got == ora
+
+
+def test_holt_driver_matches_recursive_cte(spark):
+    """The r14 driver-side Holt port must be BIT-equal to the in-engine
+    recursive CTE it replaced — including negative daily sums, where the
+    trunc-division semantics (Spark ``div``) diverge from Python ``//``
+    (the _tdiv sign-magnitude form covers it)."""
+    from datetime import datetime, timezone
+
+    from flink_example_spark.operators.timeseries import (
+        holt_forecast,
+        holt_forecast_recursive,
+    )
+
+    def ts(d):
+        return datetime.fromtimestamp(86400 * d, tz=timezone.utc)
+
+    rows = [
+        (k, ts(d), v)
+        for k in ("a", "b")
+        for d, v in enumerate(
+            [3.17, -8.5, 0.004, 12.0, -0.25, 7.77, -13.31, 2.0, 0.0, -5.5]
+        )
+    ] + [("c", ts(0), -41.02)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {r["key"]: r for r in holt_forecast(df).collect()}
+    want = {r["key"]: r for r in holt_forecast_recursive(df).collect()}
+    assert set(got) == set(want) == {"a", "b", "c"}
+    for k in want:
+        assert tuple(got[k]) == tuple(want[k])
