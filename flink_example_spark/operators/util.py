@@ -44,3 +44,22 @@ def local_df(spark, rows, schema):
     st = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
     pdf = pd.DataFrame(rows, columns=st.fieldNames(), dtype=object)
     return spark.createDataFrame(pdf, st)
+
+
+def fresh_local(df):
+    """Memory-sink fresh-attribute mint WITHOUT the pickled-RDD scan.
+
+    ``createDataFrame(df.rdd, df.schema)`` (the DESIGN.md conflicting-
+    attributes device) re-evaluates the state-sized sink through 32
+    Python-runner tasks — once per downstream consumer. Collecting the
+    (state-sized, bounded by construction) relation once and re-emitting
+    it through :func:`local_df` mints the same fresh expr-ids as an Arrow
+    LocalTableScan. collect() yields Python scalars (int/str/Decimal/
+    datetime/bytes), and the object-dtype pandas path round-trips them
+    losslessly; anything Arrow can't convert falls back to the RDD mint.
+    """
+    spark = df.sparkSession
+    try:
+        return local_df(spark, [tuple(r) for r in df.collect()], df.schema)
+    except Exception:
+        return spark.createDataFrame(df.rdd, df.schema)

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_example_spark.session import shuffle_partitions, tune
+from flink_example_spark.operators.util import fresh_local
 from flink_example_spark.streaming.staging import stamp_chunk_mtimes
 
 
@@ -850,7 +851,7 @@ def run_streaming_substring_dedup(
     # so a pair's final state is its min — then the per-gram read:
     # nd = #distinct docs, canon = min over the pair minima
     latest = spark.table(name)
-    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    fresh = fresh_local(latest)
     pairs = fresh.groupBy("__h", "doc_id").agg(F.min("__mo").alias("__mo"))
     rep = (
         pairs.groupBy("__h")

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from flink_example_spark.operators.ml import fit_from_stats
 from flink_example_spark.session import shuffle_partitions, tune
+from flink_example_spark.operators.util import fresh_local
 
 
 def streaming_linear_fit(
@@ -659,7 +660,7 @@ def run_streaming_mutual_info(
     # the algebra joins `cells` against its own aggregates; memory-sink
     # branches share expr-ids (DESIGN.md "Conflicting attributes") — mint
     # fresh attributes with an RDD round-trip (cell-cardinality-sized)
-    latest = spark.createDataFrame(latest.rdd, latest.schema)
+    latest = fresh_local(latest)
     return mutual_info_from_cells(latest)
 
 
@@ -742,7 +743,7 @@ def run_streaming_switchback(
         )
         q.awaitTermination()
     latest = spark.table(name)
-    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    fresh = fresh_local(latest)
     return switchback_from_buckets(fresh)
 
 
@@ -802,7 +803,7 @@ def run_streaming_did(
     latest = spark.table(name).groupBy("g", "p").agg(
         F.max("n").alias("n"), F.max("s").alias("s")
     )
-    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    fresh = fresh_local(latest)
     return did_from_cells(fresh)
 
 
@@ -865,5 +866,5 @@ def run_streaming_ks(
     # ks_read now branches its input (dist_cumsum + the totals join) —
     # mint fresh expr-ids off the memory sink (round-8 device) so the
     # read-time self-join cannot hit "Conflicting attributes"
-    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    fresh = fresh_local(latest)
     return ks_read(fresh)

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_example_spark.session import shuffle_partitions, tune
+from flink_example_spark.operators.util import fresh_local
 
 
 def run_streaming_ips(
@@ -71,5 +72,5 @@ def run_streaming_ips(
     # single read-time consumer, but mint fresh attrs off the memory
     # sink anyway (DESIGN.md memory-sink rule — stack() reads columns
     # several times)
-    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    fresh = fresh_local(latest)
     return ope_from_sums(fresh)

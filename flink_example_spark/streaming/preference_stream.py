@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_example_spark.session import shuffle_partitions, tune
+from flink_example_spark.operators.util import fresh_local
 
 
 def run_streaming_bradley_terry(
@@ -77,7 +78,7 @@ def run_streaming_bradley_terry(
     # the MM algebra reads the state relation through several consumers
     # (adj both directions, item rollup, per-round joins): mint fresh
     # expr-ids off the memory sink first (DESIGN.md memory-sink rule)
-    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    fresh = fresh_local(latest)
     return bradley_terry_from_wincounts(fresh, n_iter=n_iter)
 
 
@@ -124,7 +125,7 @@ def run_streaming_kripp_alpha(
         F.max("c").alias("c")
     )
     # fresh expr-ids before the multi-consumer algebra (memory-sink rule)
-    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    fresh = fresh_local(latest)
     return kripp_alpha_from_counts(fresh)
 
 
@@ -180,7 +181,7 @@ def run_streaming_copeland(
     # the point algebra reads the state through a two-branch union —
     # mint fresh expr-ids off the memory sink (DESIGN.md), then the
     # SHARED batch core
-    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    fresh = fresh_local(latest)
     return copeland_from_wincounts(fresh)
 
 
@@ -233,5 +234,5 @@ def run_streaming_rater_quality(
         F.min("cat").alias("cat")
     )
     # multi-consumer algebra over the memory sink: fresh expr-ids
-    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    fresh = fresh_local(latest)
     return rater_quality_from_dedup(fresh)

@@ -30,6 +30,8 @@ from collections.abc import Iterator
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+
+from flink_example_spark.operators.util import fresh_local
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -190,7 +192,7 @@ def run_streaming_kmv_jvm(
         )
         q.awaitTermination()
     latest = spark.table(name)
-    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    fresh = fresh_local(latest)
     return fresh.select(
         "lang",
         F.size("__ks").cast("long").alias("n_kept"),
@@ -298,7 +300,7 @@ def run_streaming_cm_jvm(
         )
         q.awaitTermination()
     latest = spark.table(name)
-    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    fresh = fresh_local(latest)
     return (
         fresh.select(F.posexplode("__a").alias("__i", "cnt"))
         .filter(F.col("cnt") > 0)
@@ -461,7 +463,7 @@ def run_streaming_quantiles_jvm(
         )
         q.awaitTermination()
     latest = spark.table(name)
-    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    fresh = fresh_local(latest)
     return (
         fresh.select("lang", F.explode("__vs").alias("__v"))
         .groupBy("lang")
@@ -573,7 +575,7 @@ def run_streaming_hll_jvm(
         )
         q.awaitTermination()
     latest = spark.table(name)
-    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    fresh = fresh_local(latest)
     return hll_finalize(_hll_pairs(fresh, ["lang"]), ["lang"], p=p)
 
 
@@ -744,7 +746,7 @@ def run_streaming_dyadic_jvm(
         )
         q.awaitTermination()
     latest = spark.table(name)
-    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    fresh = fresh_local(latest)
     return dyadic_read(fresh, ["event_type"], (25, 50, 75, 90))
 
 def run_streaming_mg_jvm(
@@ -791,7 +793,7 @@ def run_streaming_mg_jvm(
         )
         q.awaitTermination()
     latest = spark.table(name)
-    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    fresh = fresh_local(latest)
     survivors = fresh.select(
         "event_type", F.explode("__mg").alias("__e")
     ).select(
@@ -876,7 +878,7 @@ def run_streaming_dyadic_daily(
         )
         q.awaitTermination()
     latest = spark.table(name)
-    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    fresh = fresh_local(latest)
     return dyadic_read(fresh, ["day"], (50, 90))
 
 def run_streaming_dyadic_rollup(
@@ -929,7 +931,7 @@ def run_streaming_dyadic_rollup(
         )
         q.awaitTermination()
     latest = spark.table(name)
-    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    fresh = fresh_local(latest)
     return dyadic_rollup_read(fresh, k=k, pcts=(50, 90))
 
 
@@ -988,5 +990,5 @@ def run_streaming_kmv_rolling(
         )
         q.awaitTermination()
     latest = spark.table(name)
-    fresh = spark.createDataFrame(latest.rdd, latest.schema)
+    fresh = fresh_local(latest)
     return kmv_rolling_read(fresh, k=k, window_days=window_days)
