@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from flink_example_spark.operators.util import local_df, spread
+from flink_example_spark.operators.util import compact_cut, local_df, spread
 
 
 def _sm_div(num: str, den: int | str, div: str = "div") -> str:
@@ -6179,7 +6179,8 @@ def logistic_fit(
         F.col(y_col).cast("long").alias("y"),
         F.lit(1).cast("long").alias("x0"),
         *[F.col(c).cast("long").alias(f"x{i + 1}") for i, c in enumerate(x_cols)],
-    ).localCheckpoint()  # reused by every step + the final audit
+    )
+    data = compact_cut(data)  # reused by every step + the final audit
     w, n = _logistic_weights(data, len(names), n_steps, scale_den)
 
     def z_sql(ws: list[int]) -> str:
@@ -6373,7 +6374,8 @@ def quantile_fit(
         (F.col(y_col).cast("long") * F.lit(1_000_000)).alias("ym"),
         F.lit(1).cast("long").alias("x0"),
         *[F.col(c).cast("long").alias(f"x{i + 1}") for i, c in enumerate(x_cols)],
-    ).localCheckpoint()
+    )
+    data = compact_cut(data)  # fit-loop input: cut + adaptive coalesce
     n = data.count()
     w = [0] * k
 
@@ -6490,7 +6492,8 @@ def huber_fit(
         (F.col(y_col).cast("long") * F.lit(1_000_000)).alias("ym"),
         F.lit(1).cast("long").alias("x0"),
         *[F.col(c).cast("long").alias(f"x{i + 1}") for i, c in enumerate(x_cols)],
-    ).localCheckpoint()
+    )
+    data = compact_cut(data)  # fit-loop input: cut + adaptive coalesce
     n = data.count()
     w = [0] * k
 
@@ -6625,7 +6628,8 @@ def poisson_fit(
         F.col(y_col).cast("long").alias("y"),
         F.lit(1).cast("long").alias("x0"),
         *[F.col(c).cast("long").alias(f"x{i + 1}") for i, c in enumerate(x_cols)],
-    ).localCheckpoint()
+    )
+    data = compact_cut(data)  # fit-loop input: cut + adaptive coalesce
     n = data.count()
     arr = F.array(*[F.lit(v) for v in _EXP_TABLE])
     w = [0] * k

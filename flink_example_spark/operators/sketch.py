@@ -1616,6 +1616,38 @@ def mp_quantile_sketch(
     # whole per-shard halving chain (which would re-execute 2^rounds
     # times through the branching lineage)
     merged = cur.drop("sh").localCheckpoint(eager=True)
+    weight = 1 << (rounds_local + rounds_merge)
+    # Scale-adaptive crossover (r14, the duplicate_clusters device): the
+    # phase-1 survivor set is n / 2^rounds_local rows. When that is
+    # driver-sized, the remaining halvings are a deterministic sort +
+    # odd-rank slice — running them through the two-phase rank device
+    # costs ~3 jobs per round (range-sampler, window, offset merge; 39
+    # stages total at sf0.1) for milliseconds of work. Python's tuple
+    # sort over (v, id) matches the engine order exactly (BIGINT v;
+    # UTF-8 byte order == code-point order for string ids), so survivor
+    # picks are bit-identical. Above the bound the distributed device
+    # runs untouched — nothing survivor-sized reaches the driver.
+    import os as _os
+
+    if merged.count() <= int(
+        _os.environ.get("SPARK_GRAFT_MP_LOCAL_MAX", "1000000")
+    ):
+        vi = sorted((int(r["v"]), r["id"]) for r in merged.collect())
+        for _ in range(rounds_merge):
+            vi = vi[0::2]
+        m = len(vi)
+        n_total = int(n_total_df.first()["n_total"])
+        out = []
+        for pct in pcts:
+            tr = max(1, (int(pct) * m + 99) // 100)
+            if 1 <= tr <= m:  # the rank join emitted nothing past m
+                out.append((int(pct), vi[tr - 1][0], m, n_total, weight))
+        return local_df(
+            spark,
+            out,
+            "pct long, est_value long, sketch_rows long, n_total long,"
+            " weight long",
+        )
     for _ in range(rounds_merge):
         merged = (
             dist_row_number(merged, ["v", "id"], "rn")
@@ -1629,7 +1661,6 @@ def mp_quantile_sketch(
         eager=True
     )
     m = ranked.count()
-    weight = 1 << (rounds_local + rounds_merge)
     targets = local_df(spark, [(int(p), max(1, (int(p) * int(m) + 99) // 100)) for p in pcts], "pct long, target_rank long")
     return (
         ranked.join(F.broadcast(targets), F.col("rn") == F.col("target_rank"))

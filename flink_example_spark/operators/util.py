@@ -63,3 +63,19 @@ def fresh_local(df):
         return local_df(spark, [tuple(r) for r in df.collect()], df.schema)
     except Exception:
         return spark.createDataFrame(df.rdd, df.schema)
+
+
+def compact_cut(df: DataFrame, rows_per_part: int = 250_000) -> DataFrame:
+    """localCheckpoint + scale-adaptive coalesce for fit-loop inputs.
+
+    An n_steps descent loop re-aggregates this relation every step; a
+    32-block layout of a few-MB checkpoint pays ~33 near-empty tasks per
+    step. Coalesce the materialized blocks to ceil(n / rows_per_part)
+    read tasks (no shuffle; floor 1, cap at the current count) — the loop
+    aggregates order-independent integers, so results are unchanged, and
+    big inputs keep their parallelism."""
+    cut = df.localCheckpoint()
+    n = cut.count()
+    cur = cut.rdd.getNumPartitions()
+    parts = max(1, min(cur, (n + rows_per_part - 1) // rows_per_part))
+    return cut.coalesce(parts) if parts < cur else cut

@@ -28,6 +28,8 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+from flink_example_spark.operators.util import local_df
 from pyspark.sql import functions as F
 
 DOC_SCHEMA = (
@@ -89,7 +91,9 @@ def csv_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    # LocalTableScan, not a 32-python-task literal scan (r14 local_df)
+    return local_df(
+        spark,
         rows,
         "format string, n_rows long, sum_doc_id long, sum_n_chars long,"
         " text_checksum long",
@@ -134,7 +138,9 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()  # temp-dir scratch: materialize before cleanup
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    # LocalTableScan, not a 32-python-task literal scan (r14 local_df)
+    return local_df(
+        spark,
         rows,
         "format string, n_rows long, sum_doc_id long, sum_n_chars long,"
         " text_checksum long",
@@ -182,7 +188,9 @@ def partitioned_pruning_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         rows = out.collect()  # temp-dir scratch: materialize before cleanup
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    # LocalTableScan, not a 32-python-task literal scan (r14 local_df)
+    return local_df(
+        spark,
         rows,
         "format string, n_rows long, sum_doc_id long, sum_n_chars long,"
         " text_checksum long",

@@ -1057,3 +1057,27 @@ def test_streaming_kmv_rolling_converges_to_batch(spark):
         ).collect()
     )
     assert live == batch
+
+
+def test_mp_sketch_local_gate_matches_distributed(spark):
+    """r14 crossover: the driver-side phase-2 halving must be BIT-equal to
+    the distributed two-phase rank device on the same survivors."""
+    import os
+
+    from flink_example_spark.operators.sketch import mp_quantile_sketch
+
+    rows = [(int((i * 37) % 1000), i) for i in range(4000)]
+    df = spark.createDataFrame(rows, "value long, event_id long")
+    kw = dict(n_shards=4, rounds_local=3, rounds_merge=3, pcts=(10, 50, 99))
+    local = sorted(
+        tuple(r) for r in mp_quantile_sketch(df, "value", "event_id", **kw).collect()
+    )
+    os.environ["SPARK_GRAFT_MP_LOCAL_MAX"] = "0"
+    try:
+        dist = sorted(
+            tuple(r)
+            for r in mp_quantile_sketch(df, "value", "event_id", **kw).collect()
+        )
+    finally:
+        del os.environ["SPARK_GRAFT_MP_LOCAL_MAX"]
+    assert local == dist
