@@ -96,7 +96,15 @@ def duplicate_clusters(
     only for interactive use on small pair sets.
     """
     if method == "local":
-        return _clusters_local(pairs, id_col)
+        return _clusters_local(
+            pairs.select(F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct(),
+            pairs.select(F.col("doc_a").alias(id_col))
+            .union(pairs.select(F.col("doc_b").alias(id_col)))
+            .distinct(),
+            id_col,
+        )
     if method != "distributed":
         raise ValueError(f"unknown method {method!r}")
 
@@ -152,10 +160,23 @@ def duplicate_clusters(
     # tests/test_northstar.py::test_duplicate_clusters_local_gate); above
     # it the distributed path runs untouched — nothing edge-sized ever
     # reaches the driver at scale. The count is free (e is materialized).
+    # Both paths need the distinct member set at the end, so it is
+    # materialized here; the local path collects e + members (both
+    # count-gated) — NEVER the raw pre-distinct `pairs`, whose row count
+    # the edge gate does not bound (r15 fix).
     import os as _os
 
-    if e.count() <= int(_os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX", "100000")):
-        return _clusters_local(pairs, id_col)
+    members = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bound = int(_os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX", "100000"))
+    # members <= 2*edges + self-paired singletons; the 4x headroom keeps
+    # singleton-heavy pair sets local without unbounding the collect
+    if e.count() <= bound and members.count() <= 4 * bound:
+        return _clusters_local(e, members, id_col)
     prev = checksum(e)
     converged = False
     for _ in range(max_iter):
@@ -180,20 +201,19 @@ def duplicate_clusters(
             "raise max_iter"
         )
     # e is now a star forest: (member -> component-min root). Roots map to
-    # themselves via the left join + coalesce.
-    members = (
-        pairs.select(F.col("doc_a").alias(id_col))
-        .union(pairs.select(F.col("doc_b").alias(id_col)))
-        .distinct()
-    )
+    # themselves via the left join + coalesce; members was materialized
+    # at the gate above.
     stars = e.select(F.col("hi").alias(id_col), F.col("lo").alias("__root"))
     return members.join(stars, id_col, "left").select(
         F.col(id_col), F.coalesce("__root", F.col(id_col)).alias("cluster_id")
     )
 
 
-def _clusters_local(pairs: DataFrame, id_col: str) -> DataFrame:
-    """Driver-side union-find — small pair sets / interactive use only."""
+def _clusters_local(e: DataFrame, members: DataFrame, id_col: str) -> DataFrame:
+    """Driver-side union-find over the MATERIALIZED canonical edge set
+    ``e`` (hi > lo, distinct — the relation the caller's size gate
+    actually counted; the raw pair stream can be arbitrarily larger) and
+    the materialized distinct member set."""
     parent: dict = {}
 
     def find(x):
@@ -202,20 +222,19 @@ def _clusters_local(pairs: DataFrame, id_col: str) -> DataFrame:
             x = parent[x]
         return x
 
-    rows = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).collect()
-    for r in rows:
-        a, b = find(r["src"]), find(r["dst"])
+    for r in e.collect():
+        a, b = find(r["hi"]), find(r["lo"])
         if a != b:
             if b < a:
                 a, b = b, a
             parent[b] = a
-    members = sorted({x for r in rows for x in (r["src"], r["dst"])})
-    spark = pairs.sparkSession
+    member_ids = sorted(r[0] for r in members.collect())
+    spark = e.sparkSession
     from pyspark.sql.types import StructField, StructType
 
-    id_type = pairs.schema["doc_a"].dataType  # works for any id type
+    id_type = members.schema[id_col].dataType  # works for any id type
     schema = StructType([StructField(id_col, id_type), StructField("cluster_id", id_type)])
-    return local_df(spark, [(m, find(m)) for m in members], schema)
+    return local_df(spark, [(m, find(m)) for m in member_ids], schema)
 
 
 def exact_dedup(documents: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:

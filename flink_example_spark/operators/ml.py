@@ -305,20 +305,61 @@ def user_knn(
     # partition and the quadratic pair enumeration ran single-task
     # (r14 stage probe: 6.7s/1 task). Broadcasting the build side keeps
     # the 5-distinct-value dimension key from hash-partitioning the
-    # probe side onto <=5 tasks (guide SS3.1: inherent key skew).
+    # probe side onto <=5 tasks (guide SS3.1: inherent key skew) — but
+    # the profile is USER-scaled, so the broadcast is SIZE-GATED (r15,
+    # guide SS3.1 "broadcast only when the small side fits"): above
+    # SPARK_GRAFT_KNN_BCAST_MAX rows the pair join falls back to a
+    # deterministic salted join (probe side bucketed by xxhash64(u),
+    # build side replicated per salt — guide SS2.5), which spreads the
+    # low-cardinality dimension key across salt x dim tasks without any
+    # driver-sized relation. Both paths groupBy the same integer sums —
+    # results identical (pinned: tests/test_ml.py::
+    # test_user_knn_salted_path_matches_broadcast).
     prof = spread(prof, "u").localCheckpoint()  # feeds norms AND both join sides
-    ss = prof.groupBy("u").agg(F.sum(F.col("n") * F.col("n")).alias("ss"))
-    a, b = prof.alias("a"), prof.alias("b")
-    dots = (
-        a.join(F.broadcast(b), (F.col("a.d") == F.col("b.d")) & (F.col("a.u") != F.col("b.u")))
-        .groupBy(F.col("a.u").alias("user_a"), F.col("b.u").alias("user_b"))
-        .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("dot"))
+    import os as _os
+
+    small = prof.count() <= int(
+        _os.environ.get("SPARK_GRAFT_KNN_BCAST_MAX", "4000000")
     )
+    ss = prof.groupBy("u").agg(F.sum(F.col("n") * F.col("n")).alias("ss"))
+    if small:
+        a, b = prof.alias("a"), prof.alias("b")
+        dots = (
+            a.join(F.broadcast(b), (F.col("a.d") == F.col("b.d")) & (F.col("a.u") != F.col("b.u")))
+            .groupBy(F.col("a.u").alias("user_a"), F.col("b.u").alias("user_b"))
+            .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("dot"))
+        )
+    else:
+        n_salt = prof.sparkSession.sparkContext.defaultParallelism * 4
+        pa = prof.select(
+            F.col("u").alias("__ua"),
+            F.col("d").alias("__da"),
+            F.col("n").alias("__na"),
+            F.expr(f"pmod(xxhash64(u), {n_salt})").alias("__salt"),
+        )
+        pb = prof.select(
+            F.col("u").alias("__ub"),
+            F.col("d").alias("__db"),
+            F.col("n").alias("__nb"),
+            F.explode(F.array(*[F.lit(i) for i in range(n_salt)])).alias("__salt"),
+        )
+        dots = (
+            pa.join(
+                pb,
+                (F.col("__da") == F.col("__db"))
+                & (pa["__salt"] == pb["__salt"])
+                & (F.col("__ua") != F.col("__ub")),
+            )
+            .groupBy(F.col("__ua").alias("user_a"), F.col("__ub").alias("user_b"))
+            .agg(F.sum(F.col("__na") * F.col("__nb")).alias("dot"))
+        )
     sa = ss.select(F.col("u").alias("user_a"), F.col("ss").alias("__ssa"))
     sb = ss.select(F.col("u").alias("user_b"), F.col("ss").alias("__ssb"))
+    if small:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     scored = (
-        dots.join(F.broadcast(sa), "user_a")
-        .join(F.broadcast(sb), "user_b")
+        dots.join(sa, "user_a")
+        .join(sb, "user_b")
         .select(
             "user_a",
             "user_b",

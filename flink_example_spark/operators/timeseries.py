@@ -2315,21 +2315,34 @@ def holt_forecast(
     equi-join on the rn-indexed relation; keys advance in parallel
     within each step.
     """
-    series = _holt_series(df, key_col, ts_col, value_col)
+    series = _holt_series(df, key_col, ts_col, value_col).localCheckpoint()
     # DRIVER-SIDE recurrence (round-12 device: model-sized iterative
     # solves move to the driver BIT-EQUAL when every op is exact integer
     # arithmetic). The daily series is keys x calendar-days — bounded by
-    # the key vocabulary and the time span, never by row count — and the
-    # recursive-CTE form ran one Spark join JOB per day (158 stages,
-    # 11.5s wall at sf0.1; r14 stage probe) for work that is microseconds
-    # of pure-BIGINT math. _tdiv reproduces the SQL trunc-division token
-    # (Spark `div` / pinned-DuckDB integer `//`) exactly; equality with
-    # the in-engine recursive CTE is pinned executable in
-    # tests/test_timeseries.py::test_holt_driver_matches_recursive_cte.
+    # the key VOCABULARY and the time span, so it is only driver-sized
+    # when key_col is low-cardinality; a high-cardinality key makes the
+    # collect data-sized, so the collect is SIZE-GATED (r15): above
+    # SPARK_GRAFT_HOLT_LOCAL_MAX rows the in-engine recursive-CTE form
+    # runs instead (one join per day; the r14 parity witness, bit-equal
+    # by tests/test_timeseries.py::test_holt_driver_matches_recursive_cte).
+    # _tdiv reproduces the SQL trunc-division token (Spark `div` /
+    # pinned-DuckDB integer `//`) exactly.
+    import os
+
+    if series.count() > int(
+        os.environ.get("SPARK_GRAFT_HOLT_LOCAL_MAX", "1000000")
+    ):
+        return _holt_recursive_from(series)
     rows = series.collect()
     state: dict = {}
-    for r in sorted(rows, key=lambda r: (r["key"], r["rn"])):
+    # rn order within each key is all the fold needs; keys advance
+    # independently. A NULL key matches the recursive-CTE witness
+    # semantics: the step join's `key = key` predicate is never true for
+    # NULL, so that group stays at its rn=1 seed row.
+    for r in sorted(rows, key=lambda r: r["rn"]):
         k, vq = r["key"], int(r["vq"])
+        if k is None and r["rn"] > 1:
+            continue
         if r["rn"] == 1:
             state[k] = [1, vq * 1_000_000, 0]
         else:
@@ -2338,16 +2351,24 @@ def holt_forecast(
             state[k] = [n + 1, lnew, _tdiv(lnew - l + 3 * b, 4)]
     out = [
         (k, n, _tdiv(l, 1_000_000), _tdiv(b, 1_000_000), _tdiv(l + b, 1_000_000))
-        for k, (n, l, b) in state.items()
+        for k, (n, l, b) in sorted(
+            state.items(), key=lambda kv: (kv[0] is None, kv[0])
+        )
     ]
+    from pyspark.sql.types import LongType, StructField, StructType
+
     from flink_example_spark.operators.util import local_df
 
-    return local_df(
-        df.sparkSession,
-        out,
-        "key string, n_days long, level_centi long, trend_centi long, "
-        "forecast_centi long",
+    # derive the key type from the series schema (a non-string key_col
+    # must keep the same output schema as the recursive-CTE form)
+    schema = StructType(
+        [StructField("key", series.schema["key"].dataType)]
+        + [
+            StructField(n, LongType())
+            for n in ("n_days", "level_centi", "trend_centi", "forecast_centi")
+        ]
     )
+    return local_df(df.sparkSession, out, schema)
 
 
 def _tdiv(a: int, b: int) -> int:
@@ -2389,14 +2410,21 @@ def holt_forecast_recursive(
     value_col: str = "value",
 ) -> DataFrame:
     """The original in-engine recursive-CTE Holt (one join job per day) —
-    kept as the executable parity witness for the driver-side port."""
+    the executable parity witness for the driver-side port AND the
+    above-bound path of its size gate."""
+    # the recursion scans the series once per step — checkpoint the build
+    return _holt_recursive_from(
+        _holt_series(df, key_col, ts_col, value_col).localCheckpoint()
+    )
+
+
+def _holt_recursive_from(series: DataFrame) -> DataFrame:
+    """In-engine recursive-CTE Holt over an already-checkpointed series."""
     import uuid
 
-    series = _holt_series(df, key_col, ts_col, value_col)
     name = f"holt_series_{uuid.uuid4().hex[:8]}"
-    # the recursion scans the series once per step — checkpoint the build
-    series.localCheckpoint().createOrReplaceTempView(name)
-    return df.sparkSession.sql(_holt_sql(name, "div"))
+    series.createOrReplaceTempView(name)
+    return series.sparkSession.sql(_holt_sql(name, "div"))
 
 
 def holt_forecast_oracle(
@@ -3507,25 +3535,33 @@ def cox_fit(
         F.sum("x").alias("tr"),
     ).first()
     n_ev = int(tot["ev"] or 0)
-    # ONE driver read of the calendar-bounded at-risk relation; the
-    # n_steps score sums run in exact Python BIGINT arithmetic — the
-    # identical expression the in-engine aggregate evaluated (see
-    # _cox_risk_rows; the DuckDB twin is unchanged and re-proves every
-    # cell through the oracle hash)
-    rrows = [
-        (int(r["d1"]), int(r["d0"]), int(r["n1"]), int(r["n0"]))
-        for r in _cox_risk(u).collect()
-    ]
+    # Size-gated crossover (r15): the at-risk relation is one row per
+    # distinct time with >=1 event — bounded by DURATION GRANULARITY,
+    # which is data-dependent, not by construction. Within
+    # SPARK_GRAFT_COX_LOCAL_MAX rows it is collected once and the
+    # n_steps score sums run in exact Python BIGINT arithmetic (the r14
+    # driver port); above the bound each step runs as ONE in-engine
+    # aggregation over the checkpointed relation — the identical
+    # integer expression, bit-equal (_cox_scores; forced-path pinned by
+    # tests/test_timeseries.py::test_cox_forced_distributed_matches).
+    # cox_fit's stratum-0 weight is the hard-coded 1e6 (not the
+    # table-bucketed exp_micro(0)), expressed via ev_s = [1e6, E].
+    src = _cox_src(
+        _cox_risk(u).select(
+            "t",
+            F.col("d0").alias("de0"),
+            F.col("d1").alias("de1"),
+            "n0",
+            "n1",
+        ),
+        2,
+    )
     beta = 0
     for _ in range(n_steps):
         # beta is parameter-sized and driver-known each step — same
         # clamp-shift table lookup (_exp_val) as the plan literal had
         ev = _exp_val(beta)
-        g = sum(
-            d1 * 1_000_000
-            - (d1 + d0) * ((n1 * ev * 1_000_000) // (n0 * 1_000_000 + n1 * ev))
-            for d1, d0, n1, n0 in rrows
-        )
+        g = _cox_scores(src, 2, [1_000_000, ev], [[0, 1]])[0]
         beta = beta + (1 if g >= 0 else -1) * (abs(g) // (scale_den * max(n_ev, 1)))
     rows = [
         ("beta", int(beta)),
@@ -3751,9 +3787,10 @@ def cox_fit_multi(
         ],
     ).first()
     n_ev = int(meta["ev"] or 0)
-    # ONE driver read + Python BIGINT score sums per step (bit-equal to
-    # the in-engine aggregates — _cox_risk_rows)
-    rrows = _cox_risk_rows(_cox_multi_risk(u, ns), ns)
+    # Size-gated score source (r15 crossover — see _cox_src): Python
+    # BIGINT sums below the bound, one in-engine aggregation per step
+    # above it; bit-equal either way
+    src = _cox_src(_cox_multi_risk(u, ns), ns)
     bitvals = [
         [1 if sv & (1 << j) else 0 for sv in range(ns)] for j in range(p)
     ]
@@ -3763,7 +3800,7 @@ def cox_fit_multi(
             _exp_val(sum(betas[j] for j in range(p) if sv & (1 << j)))
             for sv in range(ns)
         ]
-        gs = [_cox_score(rrows, ns, ev_s, bitvals[j]) for j in range(p)]
+        gs = _cox_scores(src, ns, ev_s, bitvals)
         for j in range(p):
             gj = gs[j]
             betas[j] = betas[j] + (1 if gj >= 0 else -1) * (
@@ -3780,21 +3817,61 @@ def cox_fit_multi(
     return local_df(units.sparkSession, rows, "feature string, w_micro long")
 
 
-def _cox_risk_rows(risk: DataFrame, ns: int) -> list:
-    """ONE driver read of the bounded at-risk relation (a row per distinct
-    EVENT time, 2*ns BIGINT count columns). The n_steps score passes are
-    exact integer sums over these rows, so evaluating them in Python is
-    BIT-equal to the in-engine aggregate (round-12 driver-solve device:
-    order-independent integer sums + trunc divisions of non-negative
-    operands) — n_steps single-row Spark jobs become zero. Bounded by the
-    duration granularity (calendar-sized), never by unit count."""
-    return [
-        (
-            tuple(int(r[f"de{sv}"]) for sv in range(ns)),
-            tuple(int(r[f"n{sv}"]) for sv in range(ns)),
+def _cox_src(risk: DataFrame, ns: int) -> "list | DataFrame":
+    """Size-gated score source for the cox descent loops (r15 crossover).
+
+    The at-risk relation (one row per distinct time with >=1 event,
+    2*ns BIGINT count columns) is bounded by DURATION GRANULARITY — a
+    property of the caller's data, not of the operator. Checkpoint it
+    once; within ``SPARK_GRAFT_COX_LOCAL_MAX`` rows collect it and let
+    the n_steps score passes run as exact Python BIGINT sums (the r14
+    driver port — round-12 device: order-independent integer sums +
+    trunc divisions of non-negative operands are BIT-equal on the
+    driver). Above the bound the relation stays distributed and each
+    step evaluates as ONE in-engine aggregation (:func:`_cox_scores`)
+    over the checkpointed blocks — nothing data-sized ever reaches the
+    driver at 100 TB. Both paths pinned bit-equal by
+    tests/test_timeseries.py::test_cox_forced_distributed_matches."""
+    import os
+
+    risk = risk.localCheckpoint()
+    bound = int(os.environ.get("SPARK_GRAFT_COX_LOCAL_MAX", "1000000"))
+    if risk.count() <= bound:
+        return [
+            (
+                tuple(int(r[f"de{sv}"]) for sv in range(ns)),
+                tuple(int(r[f"n{sv}"]) for sv in range(ns)),
+            )
+            for r in risk.collect()
+        ]
+    return risk
+
+
+def _cox_scores(src, ns: int, ev_s: list, vals_list: list) -> list:
+    """All coefficients' Breslow score sums for one descent step — the
+    same exact integer expression on either side of the crossover:
+    per event time ``dx*1e6 - D * ((num*1e6) div den)`` with num/den
+    non-negative (Python ``//`` == SQL ``div``), summed order-free."""
+    if isinstance(src, list):
+        return [_cox_score(src, ns, ev_s, vals) for vals in vals_list]
+    den = " + ".join(f"n{sv} * {int(ev_s[sv])}" for sv in range(ns))
+    dd = " + ".join(f"de{sv}" for sv in range(ns))
+    exprs = []
+    for i, vals in enumerate(vals_list):
+        num = " + ".join(
+            f"n{sv} * {int(vals[sv]) * int(ev_s[sv])}"
+            for sv in range(ns)
+            if vals[sv]
         )
-        for r in risk.collect()
-    ]
+        dx = " + ".join(f"de{sv} * {int(vals[sv])}" for sv in range(ns) if vals[sv])
+        body = (
+            f"({dx}) * 1000000 - ({dd}) * ((({num}) * 1000000) div ({den}))"
+            if num
+            else "0"
+        )
+        exprs.append(f"COALESCE(CAST(SUM({body}) AS BIGINT), 0) AS g{i}")
+    row = src.selectExpr(*exprs).first()
+    return [int(row[f"g{i}"]) for i in range(len(vals_list))]
 
 
 def _cox_score(rows: list, ns: int, ev_s: list, vals: list) -> int:
@@ -4042,15 +4119,15 @@ def cox_fit_banded(
         ],
     ).first()
     n_ev = int(meta["ev"] or 0)
-    # ONE driver read + Python BIGINT score sums (see _cox_risk_rows)
-    rrows = _cox_risk_rows(_cox_multi_risk(u, n_bands), n_bands)
+    # Size-gated score source (r15 crossover — see _cox_src)
+    src = _cox_src(_cox_multi_risk(u, n_bands), n_bands)
     bvals = list(range(n_bands))
     beta = 0
     for _ in range(n_steps):
         ev_b = [
             _exp_val((beta * b)) for b in range(n_bands)
         ]
-        g = _cox_score(rrows, n_bands, ev_b, bvals)
+        g = _cox_scores(src, n_bands, ev_b, [bvals])[0]
         beta = beta + (1 if g >= 0 else -1) * (
             abs(g) // (scale_den * max(n_ev, 1))
         )
@@ -4216,8 +4293,8 @@ def cox_fit_banded_adj(
     vals = [[sv % n_bands for sv in range(ns)]] + [
         [((sv // n_bands) >> j) & 1 for sv in range(ns)] for j in range(q)
     ]
-    # ONE driver read + Python BIGINT score sums (see _cox_risk_rows)
-    rrows = _cox_risk_rows(_cox_multi_risk(u, ns), ns)
+    # Size-gated score source (r15 crossover — see _cox_src)
+    src = _cox_src(_cox_multi_risk(u, ns), ns)
     meta = u.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("d").alias("ev"),
@@ -4241,12 +4318,9 @@ def cox_fit_banded_adj(
             _exp_val(sum(betas[i] * vals[i][sv] for i in range(1 + q)))
             for sv in range(ns)
         ]
+        gs = _cox_scores(src, ns, ev_s, vals)
         for i in range(1 + q):
-            gi = (
-                _cox_score(rrows, ns, ev_s, vals[i])
-                if any(vals[i])
-                else 0
-            )
+            gi = gs[i] if any(vals[i]) else 0
             betas[i] = betas[i] + (1 if gi >= 0 else -1) * (
                 abs(gi) // (dens[i] * max(n_ev, 1))
             )

@@ -59,10 +59,16 @@ def fresh_local(df):
     losslessly; anything Arrow can't convert falls back to the RDD mint.
     """
     spark = df.sparkSession
+    # collect ONCE, outside the guard: a genuine collect failure must
+    # propagate, and the Arrow-conversion fallback must not re-execute
+    # the sink a second time (r15 — was a bare except around both)
+    rows = [tuple(r) for r in df.collect()]
     try:
-        return local_df(spark, [tuple(r) for r in df.collect()], df.schema)
+        return local_df(spark, rows, df.schema)
     except Exception:
-        return spark.createDataFrame(df.rdd, df.schema)
+        # only the Arrow/pandas conversion falls back (exotic cell types);
+        # the pickled local scan reuses the already-collected rows
+        return spark.createDataFrame(rows, df.schema)
 
 
 def compact_cut(df: DataFrame, rows_per_part: int = 250_000) -> DataFrame:

@@ -1753,3 +1753,28 @@ def test_streaming_ks_converges_to_batch(spark):
         for r in ks_drift(load_table(spark, sf, "events")).collect()
     )
     assert live == batch
+
+
+def test_user_knn_salted_path_matches_broadcast(spark):
+    """r15 size gate: with SPARK_GRAFT_KNN_BCAST_MAX=0 the pair join takes
+    the deterministic salted fallback (no user-scaled broadcast); rows must
+    match the broadcast path exactly (same integer dot sums, same IEEE cos,
+    same deterministic rank tie-breaks)."""
+    import os
+
+    from flink_example_spark.operators.ml import user_knn
+
+    rows = [
+        (f"u{i % 7}", f"e{(i * 3) % 5}") for i in range(200)
+    ]
+    events = spark.createDataFrame(rows, "user_id string, event_type string")
+    key = lambda r: (r["user_a"], r["user_b"])
+    bcast = sorted((tuple(r) for r in user_knn(events, k=3).collect()), key=lambda t: t[:2])
+    os.environ["SPARK_GRAFT_KNN_BCAST_MAX"] = "0"
+    try:
+        salted = sorted(
+            (tuple(r) for r in user_knn(events, k=3).collect()), key=lambda t: t[:2]
+        )
+    finally:
+        del os.environ["SPARK_GRAFT_KNN_BCAST_MAX"]
+    assert bcast == salted and len(bcast) > 0

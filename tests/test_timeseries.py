@@ -1163,3 +1163,102 @@ def test_holt_driver_matches_recursive_cte(spark):
     assert set(got) == set(want) == {"a", "b", "c"}
     for k in want:
         assert tuple(got[k]) == tuple(want[k])
+
+
+def test_cox_forced_distributed_matches(spark):
+    """r15 crossover: with SPARK_GRAFT_COX_LOCAL_MAX=0 every cox variant
+    runs its n_steps score sums as in-engine aggregations over the
+    checkpointed at-risk relation; results must be BIT-identical to the
+    default driver-collected path (same integer expression both sides)."""
+    import os
+
+    from flink_example_spark.operators.timeseries import (
+        cox_fit,
+        cox_fit_banded,
+        cox_fit_banded_adj,
+        cox_fit_multi,
+    )
+
+    rows = [
+        (1 + (i * 7) % 23, 1 if i % 3 else 0, i % 2, (i >> 1) % 2, (i * 5) % 40)
+        for i in range(120)
+    ]
+    u = spark.createDataFrame(rows, "dur long, d long, x long, z long, c long")
+
+    def run_all():
+        return [
+            sorted(tuple(r) for r in cox_fit(u, "dur", "d", "x").collect()),
+            sorted(tuple(r) for r in cox_fit_multi(u, "dur", "d", ["x", "z"]).collect()),
+            sorted(
+                tuple(r)
+                for r in cox_fit_banded(u, "dur", "d", "c", lo=0, width=10).collect()
+            ),
+            sorted(
+                tuple(r)
+                for r in cox_fit_banded_adj(
+                    u, "dur", "d", "c", lo=0, width=10, z_cols=["z"], n_bands=4
+                ).collect()
+            ),
+        ]
+
+    local = run_all()
+    os.environ["SPARK_GRAFT_COX_LOCAL_MAX"] = "0"
+    try:
+        dist = run_all()
+    finally:
+        del os.environ["SPARK_GRAFT_COX_LOCAL_MAX"]
+    assert local == dist
+    # the fit found SOMETHING (betas present) — guards against a silently
+    # empty risk relation making the equality vacuous
+    assert any("beta" == f for f, _ in local[0])
+
+
+def test_holt_forced_recursive_gate(spark):
+    """r15 size gate: with SPARK_GRAFT_HOLT_LOCAL_MAX=0 holt_forecast must
+    route to the in-engine recursive CTE and return the same rows as the
+    driver fold (the r14 witness already pins driver==recursive)."""
+    import os
+    from datetime import datetime, timezone
+
+    from flink_example_spark.operators.timeseries import holt_forecast
+
+    def ts(d):
+        return datetime.fromtimestamp(86400 * d, tz=timezone.utc)
+
+    rows = [
+        (k, ts(d), v)
+        for k in ("a", "b")
+        for d, v in enumerate([3.17, -8.5, 0.004, 12.0, -0.25])
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    local = sorted(tuple(r) for r in holt_forecast(df).collect())
+    os.environ["SPARK_GRAFT_HOLT_LOCAL_MAX"] = "0"
+    try:
+        rec = sorted(tuple(r) for r in holt_forecast(df).collect())
+    finally:
+        del os.environ["SPARK_GRAFT_HOLT_LOCAL_MAX"]
+    assert local == rec and len(local) == 2
+
+
+def test_holt_null_and_nonstring_keys(spark):
+    """The driver fold must keep schema parity with the recursive form for
+    a non-string key_col, and a NULL key must fold as its own group (not
+    raise in the sort) — r15 ADVICE fix."""
+    from datetime import datetime, timezone
+
+    from flink_example_spark.operators.timeseries import (
+        holt_forecast,
+        holt_forecast_recursive,
+    )
+
+    def ts(d):
+        return datetime.fromtimestamp(86400 * d, tz=timezone.utc)
+
+    rows = [(7, ts(0), 5.0), (7, ts(1), 9.5), (None, ts(0), -3.25), (None, ts(1), 4.0)]
+    df = spark.createDataFrame(rows, "event_type long, ts timestamp, value double")
+    got = holt_forecast(df, key_col="event_type")
+    want = holt_forecast_recursive(df, key_col="event_type")
+    assert got.schema["key"].dataType == want.schema["key"].dataType
+    gk = {r["key"]: tuple(r) for r in got.collect()}
+    wk = {r["key"]: tuple(r) for r in want.collect()}
+    assert gk == wk and set(gk) == {7, None}
