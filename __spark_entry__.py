@@ -7382,13 +7382,27 @@ def _bloom_sizing_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     probes = part.select(F.col("p_partkey").alias("l_partkey"))
     n_probes = probes.distinct().count()  # once, not per size
+    # r15 md5 sharing: the k md5 bases are m-independent (only `% m`
+    # differs), so ONE exploded base relation per side feeds both filter
+    # sizes — halves the dominant hash CPU (guide §2.4 multi-consumer
+    # recompute). base % m == the original per-size hash exactly; hashes
+    # unchanged.
+    from flink_example_spark.operators.sketch import (
+        bloom_build_base,
+        bloom_probe_base,
+    )
+
+    ship_base = bloom_build_base(shipped, ["n_name"], "l_partkey").localCheckpoint()
+    probe_base = bloom_probe_base(probes, "l_partkey").localCheckpoint()
     out = None
     for m in (4096, 65536):
-        bloom = bloom_words(shipped, ["n_name"], "l_partkey", m_bits=m)
+        bloom = bloom_words(
+            shipped, ["n_name"], "l_partkey", m_bits=m, base=ship_base
+        )
         summ = (
             bloom_probe_summary(
                 bloom, probes, shipped, ["n_name"], "l_partkey", m_bits=m,
-                n_probes=n_probes,
+                n_probes=n_probes, probe_base=probe_base,
             )
             .orderBy("n_name")
             .select(F.lit(m).cast("long").alias("m_bits"), "*")

@@ -1282,12 +1282,54 @@ def _bloom_coords(value: F.Column, m_bits: int, k: int) -> F.Column:
     return F.array(*coords)
 
 
+def _bloom_base(value: F.Column, k: int) -> F.Column:
+    """Array of the k m-INDEPENDENT md5 hash bases for ``value`` — the
+    ``conv(substr(md5('j:' || v), 1, 8), 16, 10)`` BIGINT before any
+    ``% m``. The md5 digests dominate the bloom rows' CPU and are
+    identical across filter sizes, so one exploded base relation can
+    feed every ``m`` (r15; ``base % m_bits`` equals the
+    :func:`_bloom_coords` hash exactly)."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}:"), value)), 1, 8), 16, 10
+            ).cast("bigint")
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_build_base(
+    df: DataFrame, group_cols: Sequence[str], value_col: str, k: int = BLOOM_K
+) -> DataFrame:
+    """Exploded ``(groups..., __hb)`` md5-base rows for :func:`bloom_words`
+    — build once, reuse across filter sizes."""
+    return df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.explode(_bloom_base(F.col(value_col).cast("string"), k)).alias("__hb"),
+    )
+
+
+def bloom_probe_base(
+    probes: DataFrame, value_col: str, k: int = BLOOM_K
+) -> DataFrame:
+    """Exploded ``(v, __hb)`` md5-base rows for the probe side of
+    :func:`bloom_probe_summary` — build once, reuse across filter sizes.
+    spread after the distinct: AQE coalesces the small distinct output to
+    ONE partition and the k-way md5 explode would run single-task."""
+    return spread(
+        probes.select(F.col(value_col).cast("string").alias("v")).distinct(),
+        "v",
+    ).select("v", F.explode(_bloom_base(F.col("v"), k)).alias("__hb"))
+
+
 def bloom_words(
     df: DataFrame,
     group_cols: Sequence[str],
     value_col: str,
     m_bits: int = BLOOM_BITS,
     k: int = BLOOM_K,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Per-group Bloom filter as ``(groups..., word, bits)`` rows — the
     sparse representation of an m-bit filter (absent word == all zeros).
@@ -1305,16 +1347,11 @@ def bloom_words(
     shuffle.
     """
     exploded = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(
-            *group_cols,
-            F.explode(
-                _bloom_coords(F.col(value_col).cast("string"), m_bits, k)
-            ).alias("__c"),
-        )
-        .select(*group_cols, F.col("__c.h").alias("h"))
+        (base if base is not None else bloom_build_base(df, group_cols, value_col, k))
+        .withColumn("h", F.col("__hb") % m_bits)
         .withColumn("word", F.expr("h div 62"))
         .withColumn("mask", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 62 AS INT))"))
+        .drop("__hb")
     )
     return exploded.groupBy(*group_cols, "word").agg(F.bit_or("mask").alias("bits"))
 
@@ -1328,6 +1365,7 @@ def bloom_probe_summary(
     m_bits: int = BLOOM_BITS,
     k: int = BLOOM_K,
     n_probes: int | None = None,
+    probe_base: DataFrame | None = None,
 ) -> DataFrame:
     """Probe every row of ``probes[value_col]`` against every group's Bloom
     filter; summarize per group against the ``actual`` membership relation
@@ -1341,21 +1379,16 @@ def bloom_probe_summary(
     input before the real equi-join runs.
     """
     gcols = list(group_cols)
-    # spread after the distinct: AQE coalesces the small distinct output
-    # to ONE partition and the k-way md5 explode would run single-task
-    # (r14 stage probe: 1.8s single-task stage at sf0.1)
+    # spread-after-distinct happens inside bloom_probe_base (r14 stage
+    # probe: 1.8s single-task k-way md5 explode otherwise); callers
+    # comparing sizes pass the base relation once (r15 md5 sharing)
+    if probe_base is None:
+        probe_base = bloom_probe_base(probes, value_col, k)
     probe_bits = (
-        spread(
-            probes.select(F.col(value_col).cast("string").alias("v")).distinct(),
-            "v",
-        )
-        .select(
-            "v",
-            F.explode(_bloom_coords(F.col("v"), m_bits, k)).alias("__c"),
-        )
-        .select("v", F.col("__c.h").alias("h"))
+        probe_base.withColumn("h", F.col("__hb") % m_bits)
         .withColumn("word", F.expr("h div 62"))
         .withColumn("mask", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 62 AS INT))"))
+        .drop("__hb")
     )
     hits = (
         probe_bits.join(F.broadcast(bloom), on=["word"])
