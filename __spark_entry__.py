@@ -1101,14 +1101,16 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """REAL codec round-trip: pack genuine PPM/WAV payloads, parse them
         back from raw bytes (no fake flag anywhere); the oracle re-derives
         every decoded field analytically (operators/multimodal.py)."""
-        media = multimodal.encode_codec_media(_docs(spark, sf_dir))
+        media = multimodal.encode_codec_media(_docs(spark, sf_dir), size_aware=True)
         return multimodal.decode_codec_media(media, repartition=False)
 
     def mm_codec_be(spark, sf_dir):
         """Big-endian / grayscale codec sibling: PGM (P5) images and AIFF
         (IFF, 80-bit-extended-float sample rate) audio — same analytic
         oracle scheme, exercising the other byte orders and headers."""
-        media = multimodal.encode_codec_media(_docs(spark, sf_dir), formats=("pgm", "aiff"))
+        media = multimodal.encode_codec_media(
+            _docs(spark, sf_dir), formats=("pgm", "aiff"), size_aware=True
+        )
         return multimodal.decode_codec_media(media, repartition=False)
 
     def mm_resize(spark, sf_dir):

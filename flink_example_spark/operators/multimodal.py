@@ -29,7 +29,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_example_spark.operators.util import local_df, spread
+from flink_example_spark.operators.util import local_df, spread, spread_sized
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -373,7 +373,9 @@ def _parse_wav(payload: bytes) -> tuple[int, int, bytes]:
 
 
 def encode_codec_media(
-    documents: DataFrame, formats: tuple[str, str] = ("ppm", "wav")
+    documents: DataFrame,
+    formats: tuple[str, str] = ("ppm", "wav"),
+    size_aware: bool = False,
 ) -> DataFrame:
     """REAL encoder: pack each document into a genuine media payload — an
     image format for even doc_ids, an audio format for odd ones
@@ -413,9 +415,14 @@ def encode_codec_media(
             yield pd.DataFrame(rows, columns=["media_id", "media_type", "payload"])
 
     # single-file harness parquet scans as ONE partition — spread before
-    # the Python-side packing so every core encodes
+    # the Python-side packing so every core encodes. size_aware=True (the
+    # light pack+parse codec rows, r15): derive the width from the input
+    # size estimate so a toy input does not pay defaultParallelism Python
+    # worker startups; heavy per-row consumers (DCT/resize) keep full
+    # width.
+    sp = spread_sized if size_aware else spread
     return (
-        spread(documents.select("doc_id", "text"), "doc_id")
+        sp(documents.select("doc_id", "text"), "doc_id")
         .mapInPandas(encode, schema=CODEC_MEDIA_SCHEMA)
     )
 

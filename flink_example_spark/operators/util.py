@@ -23,6 +23,30 @@ def spread(df: DataFrame, *cols: Column | str) -> DataFrame:
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
+def spread_sized(
+    df: DataFrame, *cols: Column | str, bytes_per_task: int = 64 << 10
+) -> DataFrame:
+    """:func:`spread` with a size-aware partition count for Python-runner
+    stages whose per-row work is LIGHT (codec pack/parse): a tiny input
+    split 32 ways pays ~32 Python worker startups for sub-second work
+    (r14 driver bench: multimodal_codec 0.53 scaling ratio — the 8-core
+    run beat 32). The count derives from the optimizer's size estimate,
+    ``ceil(bytes / bytes_per_task)`` capped at ``defaultParallelism`` —
+    full width at scale, few tasks at toy scale; an unavailable estimate
+    falls back to full width. Partition count never changes results
+    (DESIGN.md accumulation rules)."""
+    sc = df.sparkSession.sparkContext
+    cap = sc.defaultParallelism
+    try:
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        n = max(1, min(cap, (est + bytes_per_task - 1) // bytes_per_task))
+    except Exception:
+        n = cap
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def local_df(spark, rows, schema):
     """Driver-held model-sized rows as an Arrow LocalTableScan instead of a
     32-task pickled-RDD scan.
