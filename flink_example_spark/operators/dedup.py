@@ -553,6 +553,10 @@ def minhash_lsh_pairs(
     sh_sets = (
         documents.join(F.broadcast(involved), id_col)
         .select(F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("__sh"))
+        # both broadcast sides read this involved-sized relation; without a
+        # cut each broadcast build re-runs the shingle-set construction
+        # (multi-consumer recompute rule — r15, ~1s at sf0.1)
+        .localCheckpoint(eager=False)
     )
     sh_a = sh_sets.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sha"))
     sh_b = sh_sets.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__shb"))
