@@ -428,9 +428,14 @@ def _northstar_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         codes/vector, queries answered via the integer-quantized ADC
         lookup table — the billion-scale memory-bound ANN pattern."""
         e = _embs(spark, sf_dir)
-        cb = similarity.pq_codebooks(e, m=4, k_sub=8, iters=2).localCheckpoint()
-        codes = similarity.pq_encode(e, cb)
-        return similarity.pq_topk(codes, cb, e.filter(F.col("vec_id") < 8), k=5)
+        # probe the vector dim ONCE and thread it through the composition
+        # (r15): each stage's own discovery probe is a full scan job
+        dim = len(e.select("embedding").first()[0])
+        cb = similarity.pq_codebooks(e, m=4, k_sub=8, iters=2, dim=dim).localCheckpoint()
+        codes = similarity.pq_encode(e, cb, m=4, dim=dim)
+        return similarity.pq_topk(
+            codes, cb, e.filter(F.col("vec_id") < 8), k=5, m=4, dim=dim
+        )
 
     def ann_kmeans(spark, sf_dir):
         """Driver-recorded shape: the driver's oracle canonicalizer sorts

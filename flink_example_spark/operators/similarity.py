@@ -269,6 +269,104 @@ def kmeans_centroids(
     """
     c = _prep(corpus, id_col, vec_col, "n")
     centroids = _seed_centroids(c, k).localCheckpoint(eager=True)
+    cent_schema = centroids.schema
+    for _ in range(iters):
+        # assignment stays IN-ENGINE (data-sized, never collected); the
+        # per-(n_id) argmax is one partial-aggregating max_by — the exact
+        # row the former sort-window picked (ties: max csim, then min
+        # cell via the negated second key; cell is unique per group so
+        # the order key is total).
+        by_dim = _lloyd_sums(c.crossJoin(F.broadcast(centroids)), [])
+        # centroid UPDATE on the driver (r15; the round-12 driver-solve
+        # device): the quantized sums are (cells x dim) rows — bounded by
+        # the k/dim PARAMETERS, never by corpus size — and each output
+        # cell is a fixed IEEE double sequence (long->double casts, two
+        # divisions, the sequential l2 fold) replicated exactly by
+        # _lloyd_assemble. n_steps collect_list jobs + per-round
+        # checkpoints become one tiny collect per round. Bit-equality
+        # with the in-engine chain (kept below as
+        # kmeans_centroids_inengine) is pinned by
+        # tests/test_similarity_extra.py::test_kmeans_driver_update_matches_inengine.
+        centroids = local_df(
+            corpus.sparkSession,
+            _lloyd_assemble(by_dim.collect(), 0),
+            cent_schema,
+        )
+    return centroids
+
+
+def _lloyd_sums(scored_src: DataFrame, group_cols: list) -> DataFrame:
+    """One in-engine pass of a Lloyd round: cosine-score each (group,
+    vector) against its group's broadcast centroids, keep the argmax cell
+    (max csim, ties to the smallest cell), posexplode, and return the
+    integer-quantized per-(group, cell, pos) component sums.
+
+    Accumulates ``floor(x*1e12 + 0.5)`` BIGINTs (an IEEE-exact double
+    expression every engine evaluates identically) rather than doubles
+    (partition-order-dependent) or decimals (cross-engine 1-ulp rounding).
+    """
+    scored = scored_src.select(
+        *group_cols,
+        "n_id",
+        "n_vec",
+        "cell",
+        (
+            dot(F.col("n_vec"), F.col("c_vec")) / (F.col("n_norm") * F.col("c_norm"))
+        ).alias("__csim"),
+    )
+    assigned = scored.groupBy(*group_cols, "n_id").agg(
+        F.max_by(
+            F.struct("cell", "n_vec"), F.struct(F.col("__csim"), -F.col("cell"))
+        ).alias("__m")
+    )
+    return (
+        assigned.select(
+            *group_cols,
+            F.col("__m.cell").alias("cell"),
+            F.posexplode("__m.n_vec").alias("pos", "x"),
+        )
+        .groupBy(*group_cols, "cell", "pos")
+        .agg(
+            F.sum(F.floor(F.col("x") * F.lit(1e12) + F.lit(0.5)).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _lloyd_assemble(rows: list, n_group_cols: int) -> list:
+    """Driver replica of the in-engine centroid assembly — per (group,
+    cell): components ``s/double(n)/1e12`` in pos order (each a fixed
+    IEEE double sequence: long->double cast, two divisions), then the
+    sequential ``acc + x*x`` fold and sqrt of :func:`l2_norm`. Exact."""
+    import math
+
+    cells: dict = {}
+    for r in rows:
+        key = tuple(r[i] for i in range(n_group_cols + 1))  # groups + cell
+        cells.setdefault(key, {})[r["pos"]] = float(r["s"]) / float(r["n"]) / 1e12
+    out = []
+    for key in sorted(cells):
+        comp = cells[key]
+        vec = [comp[p] for p in sorted(comp)]
+        acc = 0.0
+        for x in vec:
+            acc = acc + x * x
+        out.append((*key, vec, math.sqrt(acc)))
+    return out
+
+
+def kmeans_centroids_inengine(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The original all-in-engine Lloyd chain (sort-window argmax +
+    collect_list assembly + per-round checkpoints) — kept as the
+    executable bit-equality witness for the r15 driver-update port."""
+    c = _prep(corpus, id_col, vec_col, "n")
+    centroids = _seed_centroids(c, k).localCheckpoint(eager=True)
     for _ in range(iters):
         scored = c.crossJoin(F.broadcast(centroids)).select(
             "n_id",
@@ -280,11 +378,6 @@ def kmeans_centroids(
         )
         w = Window.partitionBy("n_id").orderBy(F.col("__csim").desc(), F.col("cell"))
         assigned = scored.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") == 1)
-        # elementwise mean per cell: posexplode -> (cell, pos) partial sums.
-        # Accumulate integer-quantized components (floor(x*1e12 + 0.5), an
-        # IEEE-exact double expression every engine evaluates identically)
-        # rather than doubles (partition-order-dependent) or decimals (the
-        # double->decimal rounding mode differs across engines at 1 ulp).
         by_dim = (
             assigned.select("cell", F.posexplode("n_vec").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -854,6 +947,7 @@ def pq_codebooks(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Product-quantization codebook trainer (Jégou et al. 2011): split
     the vector into ``m`` contiguous subspaces and run the SAME Lloyd
@@ -864,9 +958,11 @@ def pq_codebooks(
 
     Scale: m independent kmeans runs over SLICED projections of one scan —
     each subspace's shuffle carries 1/m of the components; nothing new
-    beyond the trainer's own posture.
+    beyond the trainer's own posture. Pass ``dim`` when the caller knows
+    it (r15): the discovery probe is a full job on a derived input.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
@@ -898,6 +994,73 @@ def pq_codebooks(
     # seed ids are shared across subspaces (k_sub smallest md5(id), numbered
     # by hash order — the _seed_centroids rule); seed VECTORS are per-sub
     # slices picked up by one broadcast join.
+    seed_ids = (
+        corpus.select(F.col(id_col).cast("string").alias("n_id"))
+        .withColumn("__h", F.md5(F.col("n_id")))
+        .orderBy("__h")
+        .limit(k_sub)
+        .agg(F.array_sort(F.collect_list(F.struct("__h", "n_id"))).alias("__a"))
+        .select(F.posexplode("__a").alias("__pos", "__s"))
+        .select((F.col("__pos") + 1).alias("cell"), F.col("__s.n_id").alias("n_id"))
+    )
+    centroids = (
+        sliced.withColumn("n_id", F.col("n_id").cast("string"))
+        .join(F.broadcast(seed_ids), "n_id")
+        .select(
+            "sub", "cell", F.col("n_vec").alias("c_vec"), F.col("n_norm").alias("c_norm")
+        )
+        .localCheckpoint(eager=True)
+    )
+    cent_schema = centroids.schema
+    for _ in range(iters):
+        # same r15 driver-update port as kmeans_centroids: the assignment
+        # and quantized component sums stay in-engine; the (m x k_sub x
+        # d_sub)-row update — bounded by parameters, never corpus size —
+        # assembles on the driver with the exact IEEE sequence
+        # (_lloyd_assemble; witness kept as pq_codebooks_inengine, pinned
+        # by tests/test_similarity_extra.py)
+        by_dim = _lloyd_sums(sliced.join(F.broadcast(centroids), "sub"), ["sub"])
+        centroids = local_df(
+            corpus.sparkSession,
+            _lloyd_assemble(by_dim.collect(), 1),
+            cent_schema,
+        )
+    return centroids
+
+
+def pq_codebooks_inengine(
+    corpus: DataFrame,
+    m: int = 4,
+    k_sub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The original all-in-engine grouped-Lloyd PQ trainer — kept as the
+    executable bit-equality witness for the r15 driver-update port."""
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    sl = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(as_double_vec(F.col(vec_col)), s * d_sub + 1, d_sub).alias("x"),
+            )
+            for s in range(m)
+        ])
+    )
+    sliced = (
+        corpus.select(F.col(id_col).alias("n_id"), sl.alias("__s"))
+        .select(
+            F.col("__s.sub").alias("sub"),
+            "n_id",
+            F.col("__s.x").alias("n_vec"),
+            l2_norm(F.col("__s.x")).alias("n_norm"),
+        )
+        .localCheckpoint(eager=True)
+    )
     seed_ids = (
         corpus.select(F.col(id_col).cast("string").alias("n_id"))
         .withColumn("__h", F.md5(F.col("n_id")))
@@ -959,6 +1122,8 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    m: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """PQ encoder: per subspace, assign each vector's slice to its nearest
     codeword (cosine, ties by cell — the trainer's own assignment rule).
@@ -967,10 +1132,13 @@ def pq_encode(
 
     Scale: one broadcast of the (m·k_sub)-row codebook against the sliced
     corpus projection; the per-(vector, sub) argmax is a WindowGroupLimit
-    top-1, never a global sort.
+    top-1, never a global sort. Pass ``m``/``dim`` when known (r15): the
+    discovery probes are full jobs on derived inputs.
     """
-    m = codebooks.agg(F.max("sub")).first()[0] + 1
-    dim = len(corpus.select(vec_col).first()[0])
+    if m is None:
+        m = codebooks.agg(F.max("sub")).first()[0] + 1
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     d_sub = dim // m
     sl = F.explode(
         F.array(*[
@@ -1006,6 +1174,8 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     candidates: DataFrame | None = None,
+    m: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance search (ADC): the query stays EXACT; each
     corpus vector is scored from its codes through a per-(query, sub,
@@ -1023,8 +1193,10 @@ def pq_topk(
     (sub, code) against the codes relation and a per-(query, vector) sum;
     the corpus appears only as its m-codes-per-vector table.
     """
-    m = codebooks.agg(F.max("sub")).first()[0] + 1
-    dim = len(queries.select(vec_col).first()[0])
+    if m is None:
+        m = codebooks.agg(F.max("sub")).first()[0] + 1
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
     d_sub = dim // m
     sl = F.explode(
         F.array(*[
@@ -1092,6 +1264,7 @@ def ivfpq_topk(
     :func:`pq_topk`. Everything centroid/codebook-sized broadcasts; the
     scoring join is candidate-list sized, never corpus × queries.
     """
+    dim = len(corpus.select(vec_col).first()[0])  # once for the whole index
     cents = kmeans_centroids(corpus, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
     cents = cents.localCheckpoint()
     c = _prep(corpus, id_col, vec_col, "n")
@@ -1119,11 +1292,14 @@ def ivfpq_topk(
         .select("query_id", "cell")
     )
     cand = probe.join(vec_cell, "cell").select("query_id", "neighbor_id")
-    cb = pq_codebooks(corpus, m=m, k_sub=k_sub, iters=iters, id_col=id_col, vec_col=vec_col)
+    cb = pq_codebooks(
+        corpus, m=m, k_sub=k_sub, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+    )
     cb = cb.localCheckpoint()
-    codes = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col, m=m, dim=dim)
     return pq_topk(
-        codes, cb, queries, k=k, id_col=id_col, vec_col=vec_col, candidates=cand
+        codes, cb, queries, k=k, id_col=id_col, vec_col=vec_col, candidates=cand,
+        m=m, dim=dim,
     )
 
 
@@ -1181,6 +1357,9 @@ def ivfpq_residual_topk(
     one broadcast join + ``zip_with`` (component arithmetic, exact in any
     engine).
     """
+    # dim probed ONCE on the raw corpus (r15): the residual relation is a
+    # join chain, so probing it would compute the whole chain per probe
+    dim = len(corpus.select(vec_col).first()[0])
     cents = kmeans_centroids(corpus, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
     cents = cents.localCheckpoint()
     c = _prep(corpus, id_col, vec_col, "n")
@@ -1205,9 +1384,11 @@ def ivfpq_residual_topk(
             F.zip_with("__v", "c_vec", lambda a, b: a - b).alias(vec_col),
         )
     )
-    cb = pq_codebooks(res, m=m, k_sub=k_sub, iters=iters, id_col=id_col, vec_col=vec_col)
+    cb = pq_codebooks(
+        res, m=m, k_sub=k_sub, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+    )
     cb = cb.localCheckpoint()
-    codes = pq_encode(res, cb, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(res, cb, id_col=id_col, vec_col=vec_col, m=m, dim=dim)
     q = _prep(queries, id_col, vec_col, "q")
     qs = q.crossJoin(F.broadcast(cents)).select(
         F.col("q_id").alias("query_id"),
@@ -1226,7 +1407,6 @@ def ivfpq_residual_topk(
         .localCheckpoint()
     )
     cand = probe.join(vec_cell, "cell").select("query_id", "neighbor_id")
-    dim = len(queries.select(vec_col).first()[0])
     lut = _pq_lut(queries, cb, m, dim // m, id_col, vec_col)
     summed = (
         codes.withColumnRenamed(id_col, "neighbor_id")
