@@ -48,6 +48,21 @@ def get_spark(app_name: str = "flink-example-spark") -> SparkSession:
         .master(f"local[{cpus}]")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # A many-query suite generates thousands of codegen classes; the
+        # JDK's default 240 MB reserved code cache runs its sweeper hot
+        # and (on the full 266-row suite) saturates outright, leaving
+        # later queries interpreted. 512 MB keeps JIT output resident —
+        # measured r15: a 10-heavy-row subset runs a stable ~56 s vs
+        # 62-114 s (drifting) at the default, alternating A/B. The same
+        # sizing applies to any long-lived driver/executor JVM running
+        # wide codegen workloads (guide §9 posture), not a local[32]
+        # constant; override via SPARK_GRAFT_DRIVER_JAVA_OPTS.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONF.items():
