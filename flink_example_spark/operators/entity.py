@@ -839,7 +839,21 @@ def blocking_eval(
     Scale: reuses the production blockers' own relations — nothing here
     is all-pairs on the record count (the brute force lives only in the
     DuckDB oracle, documented audit-sized).
+
+    Physical shape (r15): ONE scored pair relation + ONE aggregation.
+    Both arms are pure functions of the truth set, by the operator's own
+    recall theorems: SymSpell at depth d has perfect recall for
+    levenshtein <= d over the same name set, so the d1 arm == truth pairs
+    with dist <= 1; and the phonetic candidates are lev-verified at the
+    same ``max_dist`` (with a length band implied by the edit distance),
+    so the soundex arm == truth pairs with equal codes. The previous form
+    re-ran the d1 delete-expansion join and the whole phonetic block join
+    (including a second normalization aggregate) only to semi-join both
+    back against truth — three pair joins and two checkpoints where one
+    suffices. This is the exact shape of the DuckDB oracle.
     """
+    if max_dist not in (1, 2):
+        raise ValueError("max_dist must be 1 or 2")
     g = (
         records.select(
             F.col(id_col).alias("__id"), _normalized(name_col).alias("nm")
@@ -847,30 +861,54 @@ def blocking_eval(
         .filter(F.col("nm") != "")
         .groupBy("nm")
         .agg(F.min("__id").alias("rep_id"))
-        .localCheckpoint()
+        .withColumn("code", F.expr(_soundex_expr("nm", "spark")))
+        .localCheckpoint()  # both sides of the delete-expansion join
     )
-    truth = _edit_pairs(g, max_dist).localCheckpoint()
-    phon = phonetic_links(records, id_col, name_col, max_dist).select(
-        F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b")
-    ).distinct()
-    d1 = _edit_pairs(g, 1)
-    n_true = truth.count()
-
-    def arm(name: str, cand: DataFrame) -> DataFrame:
-        found = truth.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
-            F.count(F.lit(1)).alias("n_found")
+    var = g.select("nm", "code", F.col("nm").alias("__v"))
+    for _ in range(max_dist):
+        var = _expand_deletes(var, "__v")
+    var = var.distinct()
+    pairs = (
+        var.select(F.col("nm").alias("na"), F.col("code").alias("ca"), "__v")
+        .join(
+            var.select(F.col("nm").alias("nb"), F.col("code").alias("cb"), "__v"),
+            "__v",
         )
-        return found.select(
-            F.lit(name).alias("strategy"),
-            F.lit(n_true).cast("long").alias("n_true"),
-            F.col("n_found").cast("long").alias("n_found"),
-            (F.lit(n_true) - F.col("n_found")).cast("long").alias("n_missed"),
-            F.expr(f"(n_found * 1000000) div {max(n_true, 1)}").alias(
-                "recall_ppm"
-            ),
+        .filter(F.col("na") < F.col("nb"))
+        .select("na", "nb", "ca", "cb")
+        .distinct()
+        .withColumn("dist", F.levenshtein("na", "nb"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.when(F.col("dist") <= 1, 1).otherwise(0)).alias("n_d1"),
+        F.sum(F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)).alias(
+            "n_soundex"
+        ),
+    ).first()
+    n_true = int(stats["n_true"])
+    rows = [
+        (
+            name,
+            n_true,
+            found,
+            n_true - found,
+            (found * 1_000_000) // max(n_true, 1),  # non-neg: // == SQL div
         )
+        for name, found in (
+            ("soundex", int(stats["n_soundex"] or 0)),
+            ("symspell_d1", int(stats["n_d1"] or 0)),
+        )
+    ]
+    from flink_example_spark.operators.util import local_df
 
-    return arm("soundex", phon).unionByName(arm("symspell_d1", d1))
+    return local_df(
+        records.sparkSession,
+        rows,
+        "strategy string, n_true bigint, n_found bigint,"
+        " n_missed bigint, recall_ppm bigint",
+    )
 
 
 def blocking_eval_oracle(
